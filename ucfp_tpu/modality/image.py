@@ -1,0 +1,229 @@
+"""Image modality pipeline: decode -> preprocess -> device hash -> Record.
+
+Mirrors the reference image modality surface (src/modality/image.rs:62-241):
+  * fingerprint_multi   -> 536-byte multi bundle   (algorithm "multi")
+  * fingerprint_single  -> 8-byte phash/dhash/ahash
+  * inspect_image       -> per-stage extractor (32x32/8x8 grayscale, mean)
+
+Preprocess defaults come from the reference algorithms manifest
+(src/server/algorithms_manifest.rs:446-470): max_input_bytes 50 MiB,
+max_dimension 8192, min_dimension 32. Oversized dimensions downscale the
+longest edge; undersized inputs are rejected.
+
+Decode is host work (PIL: PNG/JPEG/WebP/GIF/BMP, matching image.rs:54-55);
+everything after raw RGB runs in one jitted batched kernel
+(ucfp_tpu.ops.imagehash). The batch dimension is the TPU seam: the ingest
+batcher groups same-shape decodes into one device call.
+"""
+
+from __future__ import annotations
+
+import io
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..core import Modality, ModalityError, Record
+from ..ops import imagehash
+from .confighash import config_hash64
+
+ALGORITHM_MULTI = "imgfprint-multi-v1"
+ALGORITHM_PHASH = "imgfprint-phash-v1"
+ALGORITHM_DHASH = "imgfprint-dhash-v1"
+ALGORITHM_AHASH = "imgfprint-ahash-v1"
+
+
+@dataclass(frozen=True)
+class PreprocessConfig:
+    """Validation + pre-resize config (manifest defaults)."""
+
+    max_input_bytes: int = 50 * 1024 * 1024
+    max_dimension: int = 8192
+    min_dimension: int = 32
+
+    def config_hash(self) -> int:
+        return config_hash64(
+            "image-preprocess",
+            max_input_bytes=self.max_input_bytes,
+            max_dimension=self.max_dimension,
+            min_dimension=self.min_dimension,
+        )
+
+
+def decode_rgb(data: bytes, pre: PreprocessConfig) -> np.ndarray:
+    """Decode image bytes to RGB uint8 [H, W, 3], enforcing preprocess limits."""
+    try:
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover
+        raise ModalityError(f"image decode unavailable: {e}")
+
+    if len(data) > pre.max_input_bytes:
+        raise ModalityError(
+            f"image exceeds max_input_bytes ({len(data)} > {pre.max_input_bytes})"
+        )
+    try:
+        img = Image.open(io.BytesIO(data))
+        img.load()
+    except Exception as e:
+        raise ModalityError(f"image decode: {e}")
+    if img.mode != "RGB":
+        img = img.convert("RGB")
+    arr = np.asarray(img, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    if min(h, w) < pre.min_dimension:
+        raise ModalityError(
+            f"image too small: {w}x{h} < min_dimension {pre.min_dimension}"
+        )
+    if max(h, w) > pre.max_dimension:
+        # Downscale longest edge with the same exact-int tent resize the
+        # hash kernels use, preserving determinism end to end.
+        scale = pre.max_dimension / max(h, w)
+        nh = max(1, round(h * scale))
+        nw = max(1, round(w * scale))
+        gray_like = arr.astype(np.int64)
+        out = np.stack(
+            [imagehash.np_resize(gray_like[..., c], nh, nw) for c in range(3)],
+            axis=-1,
+        )
+        arr = out.astype(np.uint8)
+    return arr
+
+
+def _multi_outputs(rgbs: np.ndarray) -> dict:
+    """Run the batched multi-hash kernel on same-shape RGB uint8 [B,H,W,3]."""
+    b, h, w, _ = rgbs.shape
+    return jax_device_get(imagehash.multihash_kernel(rgbs, h, w))
+
+
+def jax_device_get(tree):
+    import jax
+
+    return jax.device_get(tree)
+
+
+def fingerprint_multi(
+    data: bytes,
+    tenant_id: int,
+    record_id: int,
+    pre: PreprocessConfig | None = None,
+) -> Record:
+    """536-byte multi bundle (phash + dhash + ahash + hist + block)."""
+    pre = pre or PreprocessConfig()
+    rgb = decode_rgb(data, pre)
+    out = _multi_outputs(rgb[None])
+    fp = imagehash.serialize_multihash(out, 0)
+    return Record(
+        tenant_id=tenant_id,
+        record_id=record_id,
+        modality=Modality.IMAGE,
+        algorithm=ALGORITHM_MULTI,
+        fingerprint=fp,
+        config_hash=pre.config_hash(),
+    )
+
+
+_SINGLE_ALGOS = {
+    "phash": ALGORITHM_PHASH,
+    "dhash": ALGORITHM_DHASH,
+    "ahash": ALGORITHM_AHASH,
+}
+
+
+def fingerprint_single(
+    data: bytes,
+    algorithm: str,
+    tenant_id: int,
+    record_id: int,
+    pre: PreprocessConfig | None = None,
+) -> Record:
+    """8-byte single hash; algorithm in {phash, dhash, ahash}."""
+    if algorithm not in _SINGLE_ALGOS:
+        raise ModalityError(f"unknown image algorithm: {algorithm!r}")
+    pre = pre or PreprocessConfig()
+    rgb = decode_rgb(data, pre)
+    h, w = rgb.shape[:2]
+    out = jax_device_get(imagehash.single_hash_kernel(rgb[None], h, w, algorithm))
+    return Record(
+        tenant_id=tenant_id,
+        record_id=record_id,
+        modality=Modality.IMAGE,
+        algorithm=_SINGLE_ALGOS[algorithm],
+        fingerprint=bytes(out[0]),
+        config_hash=pre.config_hash(),
+    )
+
+
+def fingerprint_batch(
+    rgbs: np.ndarray, tenant_ids: list[int], record_ids: list[int],
+    pre: PreprocessConfig | None = None,
+) -> list[Record]:
+    """Batched multi-hash over same-shape decoded images — the TPU hot path."""
+    pre = pre or PreprocessConfig()
+    out = _multi_outputs(rgbs)
+    ch = pre.config_hash()
+    return [
+        Record(
+            tenant_id=tenant_ids[i],
+            record_id=record_ids[i],
+            modality=Modality.IMAGE,
+            algorithm=ALGORITHM_MULTI,
+            fingerprint=imagehash.serialize_multihash(out, i),
+            config_hash=ch,
+        )
+        for i in range(rgbs.shape[0])
+    ]
+
+
+def inspect_image(data: bytes, pre: PreprocessConfig | None = None) -> dict:
+    """Per-stage extractor (reference inspect_image, image.rs:291-339).
+
+    Returns the original size, PNG-b64 thumbnails of the 32x32 and 8x8
+    grayscale stages, the integer aHash mean, and the final multi bundle.
+    """
+    import base64
+
+    from PIL import Image
+
+    pre = pre or PreprocessConfig()
+    rgb = decode_rgb(data, pre)
+    h, w = rgb.shape[:2]
+    gray = ((299 * rgb[..., 0].astype(np.int64)
+             + 587 * rgb[..., 1].astype(np.int64)
+             + 114 * rgb[..., 2].astype(np.int64) + 500) // 1000)
+    g32 = imagehash.np_resize(gray, 32, 32).astype(np.uint8)
+    g8 = imagehash.np_resize(gray, 8, 8).astype(np.uint8)
+    ahash_mean = int(g8.astype(np.uint32).sum()) // 64
+
+    def png_b64(a: np.ndarray) -> str:
+        buf = io.BytesIO()
+        Image.fromarray(a, mode="L").save(buf, format="PNG")
+        return base64.b64encode(buf.getvalue()).decode()
+
+    # max-256px thumbnail of the original
+    max_edge = 256
+    if max(h, w) > max_edge:
+        scale = max_edge / max(h, w)
+        nh, nw = max(1, round(h * scale)), max(1, round(w * scale))
+        thumb = np.stack(
+            [imagehash.np_resize(rgb[..., c].astype(np.int64), nh, nw) for c in range(3)],
+            axis=-1,
+        ).astype(np.uint8)
+    else:
+        thumb = rgb
+    tbuf = io.BytesIO()
+    Image.fromarray(thumb, mode="RGB").save(tbuf, format="PNG")
+    rec = fingerprint_multi(data, 0, 0, pre)
+    import base64 as b64mod
+
+    return {
+        "algorithm": ALGORITHM_MULTI,
+        "width": w,
+        "height": h,
+        "original_png_b64": b64mod.b64encode(tbuf.getvalue()).decode(),
+        "gray32_png_b64": png_b64(g32),
+        "gray8_png_b64": png_b64(g8),
+        "ahash_mean": ahash_mean,
+        "fingerprint_hex": rec.fingerprint.hex(),
+        "fingerprint_bytes": len(rec.fingerprint),
+        "config_hash": rec.config_hash,
+    }
