@@ -1,0 +1,340 @@
+"""Index layer tests: BM25 engine, device knn kernels, embedded backend.
+
+Mirrors the reference's unit tiers (src/index/embedded/bm25.rs:653-785 and
+src/index/embedded/mod.rs:497-633): tokenize, tf ranking, tenant isolation,
+delete, re-upsert replacement, upsert/knn round trip, missing-embedding
+skip, WAL durability.
+"""
+
+import asyncio
+
+import numpy as np
+import pytest
+
+from ucfp_tpu.core import Hit, HitSource, Modality, Query, Record, RecordNotFound
+from ucfp_tpu.index.bm25 import Bm25Engine, tokenize
+from ucfp_tpu.index.embedded import EmbeddedBackend
+from ucfp_tpu.matcher import Matcher, rrf, rrf_with_sources
+from ucfp_tpu.ops import knn as knn_ops
+
+
+def run(coro):
+    return asyncio.run(coro)
+
+
+def rec(tid, rid, emb=None, text=None, algo="test-v1", fp=b"\x01\x02\x03\x04"):
+    return Record(
+        tenant_id=tid,
+        record_id=rid,
+        modality=Modality.TEXT,
+        algorithm=algo,
+        fingerprint=fp,
+        embedding=emb,
+        text=text,
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+
+class TestBm25:
+    def test_tokenize(self):
+        assert tokenize("Hello, World! foo_bar 42") == [
+            "hello",
+            "world",
+            "foo",
+            "bar",
+            "42",
+        ]
+
+    def test_tf_ranking(self):
+        e = Bm25Engine()
+        e.upsert_one(0, 1, "apple apple apple banana")
+        e.upsert_one(0, 2, "apple banana banana")
+        e.upsert_one(0, 3, "cherry")
+        res = e.search(0, ["apple"], 10)
+        assert [d for d, _ in res][0] == 1  # higher tf wins
+        assert {d for d, _ in res} == {1, 2}
+
+    def test_multi_term(self):
+        e = Bm25Engine()
+        e.upsert_one(0, 1, "apple banana")
+        e.upsert_one(0, 2, "apple")
+        res = e.search(0, ["apple", "banana"], 10)
+        assert res[0][0] == 1  # matches both terms
+
+    def test_tenant_isolation(self):
+        e = Bm25Engine()
+        e.upsert_one(0, 1, "secret data")
+        e.upsert_one(1, 2, "other tenant")
+        assert e.search(1, ["secret"], 10) == []
+        assert [d for d, _ in e.search(0, ["secret"], 10)] == [1]
+
+    def test_unknown_term(self):
+        e = Bm25Engine()
+        e.upsert_one(0, 1, "hello")
+        assert e.search(0, ["zzz"], 10) == []
+
+    def test_delete(self):
+        e = Bm25Engine()
+        e.upsert_one(0, 1, "hello world")
+        e.clear_one(0, 1)
+        assert e.search(0, ["hello"], 10) == []
+        assert e.stats(0)["doc_count"] == 0
+
+    def test_reupsert_replaces(self):
+        e = Bm25Engine()
+        e.upsert_one(0, 1, "apple apple")
+        e.upsert_one(0, 1, "banana")
+        assert e.search(0, ["apple"], 10) == []
+        assert [d for d, _ in e.search(0, ["banana"], 10)] == [1]
+
+    def test_empty_text_removes(self):
+        e = Bm25Engine()
+        e.upsert_one(0, 1, "hello")
+        e.upsert_one(0, 1, None)
+        assert e.search(0, ["hello"], 10) == []
+
+    def test_explain_contributions(self):
+        e = Bm25Engine()
+        e.upsert_one(0, 1, "apple banana apple")
+        res = e.search_explain(0, ["apple banana"], 5)
+        assert len(res) == 1
+        _, score, ths = res[0]
+        assert len(ths) == 2
+        assert abs(sum(t.contribution for t in ths) - score) < 1e-9
+        by_term = {t.term: t for t in ths}
+        assert by_term["apple"].tf == 2 and by_term["banana"].tf == 1
+
+
+# ---------------------------------------------------------------------------
+# Device knn kernels
+# ---------------------------------------------------------------------------
+
+
+class TestKnnKernels:
+    def test_cosine_matches_numpy(self):
+        rng = np.random.default_rng(0)
+        mat = rng.normal(size=(100, 16)).astype(np.float32)
+        q = rng.normal(size=(1, 16)).astype(np.float32)
+        valid = np.ones(100, bool)
+        scores, idx = knn_ops.cosine_topk(q, mat, valid, 5)
+        ref = (q @ mat.T) / (
+            np.linalg.norm(q) * np.linalg.norm(mat, axis=1)[None, :]
+        )
+        order = np.argsort(-ref[0])[:5]
+        np.testing.assert_array_equal(np.asarray(idx[0]), order)
+        np.testing.assert_allclose(np.asarray(scores[0]), ref[0][order], rtol=1e-5)
+
+    def test_cosine_skips_invalid_and_zero_norm(self):
+        mat = np.eye(4, dtype=np.float32)
+        mat[2] = 0.0  # zero-norm row
+        valid = np.array([True, True, True, False])
+        q = np.array([[1.0, 0, 0, 0]], np.float32)
+        scores, idx = knn_ops.cosine_topk(q, mat, valid, 4)
+        s = np.asarray(scores[0])
+        finite = s[np.isfinite(s)]
+        assert len(finite) == 2  # rows 0 and 1 only
+
+    def test_hamming(self):
+        db = np.array(
+            [[0b1111, 0], [0b1010, 0], [0, 0]], dtype=np.uint32
+        )
+        q = np.array([[0b1111, 0]], np.uint32)
+        valid = np.ones(3, bool)
+        dist, idx = knn_ops.hamming_topk(q, db, valid, 3)
+        d = dict(zip(np.asarray(idx[0]).tolist(), np.asarray(dist[0]).tolist()))
+        assert d == {0: 0, 1: 2, 2: 4}
+
+    def test_pack_bits(self):
+        words = knn_ops.pack_bits_to_u32(b"\x01\x00\x00\x00\xff")
+        assert words == [1, 0xFF]
+
+
+# ---------------------------------------------------------------------------
+# Embedded backend
+# ---------------------------------------------------------------------------
+
+
+class TestEmbeddedBackend:
+    def test_upsert_knn_round_trip(self, tmp_path):
+        b = EmbeddedBackend(str(tmp_path))
+        run(
+            b.upsert(
+                [
+                    rec(0, 1, emb=[1.0, 0.0]),
+                    rec(0, 2, emb=[0.0, 1.0]),
+                    rec(0, 3, emb=[0.7, 0.7]),
+                ]
+            )
+        )
+        hits = run(b.knn(0, [1.0, 0.0], 2))
+        assert [h.record_id for h in hits] == [1, 3]
+        assert hits[0].score == pytest.approx(1.0)
+
+    def test_tenant_isolation(self, tmp_path):
+        b = EmbeddedBackend(str(tmp_path))
+        run(b.upsert([rec(0, 1, emb=[1.0, 0.0]), rec(7, 2, emb=[1.0, 0.0])]))
+        hits = run(b.knn(7, [1.0, 0.0], 10))
+        assert [h.record_id for h in hits] == [2]
+
+    def test_delete(self, tmp_path):
+        b = EmbeddedBackend(str(tmp_path))
+        run(b.upsert([rec(0, 1, emb=[1.0, 0.0], text="hello")]))
+        run(b.delete(0, [1]))
+        assert run(b.knn(0, [1.0, 0.0], 10)) == []
+        assert run(b.bm25(0, ["hello"], 10)) == []
+        with pytest.raises(RecordNotFound):
+            run(b.get_record_metadata(0, 1))
+
+    def test_missing_embedding_skipped(self, tmp_path):
+        b = EmbeddedBackend(str(tmp_path))
+        run(b.upsert([rec(0, 1), rec(0, 2, emb=[1.0, 0.0])]))
+        hits = run(b.knn(0, [1.0, 0.0], 10))
+        assert [h.record_id for h in hits] == [2]
+
+    def test_dim_mismatch_skipped(self, tmp_path):
+        b = EmbeddedBackend(str(tmp_path))
+        run(b.upsert([rec(0, 1, emb=[1.0, 0.0, 0.0]), rec(0, 2, emb=[1.0, 0.0])]))
+        hits = run(b.knn(0, [1.0, 0.0], 10))
+        assert [h.record_id for h in hits] == [2]
+
+    def test_zero_query_empty(self, tmp_path):
+        b = EmbeddedBackend(str(tmp_path))
+        run(b.upsert([rec(0, 1, emb=[1.0, 0.0])]))
+        assert run(b.knn(0, [0.0, 0.0], 10)) == []
+        assert run(b.knn(0, [], 10)) == []
+
+    def test_bm25_via_upsert(self, tmp_path):
+        b = EmbeddedBackend(str(tmp_path))
+        run(b.upsert([rec(0, 1, text="the quick brown fox")]))
+        hits = run(b.bm25(0, ["quick"], 10))
+        assert [h.record_id for h in hits] == [1]
+        assert hits[0].source is HitSource.BM25
+
+    def test_metadata(self, tmp_path):
+        b = EmbeddedBackend(str(tmp_path))
+        run(b.upsert([rec(0, 1, emb=[1.0, 0.0], algo="phash-v1", fp=b"12345678")]))
+        m = run(b.get_record_metadata(0, 1))
+        assert m.algorithm == "phash-v1"
+        assert m.fingerprint_bytes == 8
+        assert m.has_embedding
+
+    def test_wal_replay(self, tmp_path):
+        b = EmbeddedBackend(str(tmp_path))
+        run(b.upsert([rec(0, 1, emb=[1.0, 0.0], text="persist me")]))
+        run(b.upsert([rec(0, 2, emb=[0.0, 1.0])]))
+        run(b.delete(0, [2]))
+        b.close()
+        b2 = EmbeddedBackend(str(tmp_path))
+        hits = run(b2.knn(0, [1.0, 0.0], 10))
+        assert [h.record_id for h in hits] == [1]
+        assert [h.record_id for h in run(b2.bm25(0, ["persist"], 10))] == [1]
+        with pytest.raises(RecordNotFound):
+            run(b2.get_record_metadata(0, 2))
+
+    def test_compact_then_replay(self, tmp_path):
+        b = EmbeddedBackend(str(tmp_path))
+        run(b.upsert([rec(0, i, emb=[float(i), 1.0]) for i in range(1, 6)]))
+        run(b.delete(0, [3]))
+        b.compact()
+        b.close()
+        b2 = EmbeddedBackend(str(tmp_path))
+        hits = run(b2.knn(0, [1.0, 0.0], 10))
+        assert 3 not in [h.record_id for h in hits]
+        assert len(hits) == 4
+
+    def test_reupsert_replaces_vector(self, tmp_path):
+        b = EmbeddedBackend(str(tmp_path))
+        run(b.upsert([rec(0, 1, emb=[1.0, 0.0])]))
+        run(b.upsert([rec(0, 1, emb=[0.0, 1.0])]))
+        hits = run(b.knn(0, [0.0, 1.0], 10))
+        assert len(hits) == 1 and hits[0].score == pytest.approx(1.0)
+
+    def test_hamming_fingerprint_knn(self, tmp_path):
+        b = EmbeddedBackend(str(tmp_path))
+        run(
+            b.upsert(
+                [
+                    rec(0, 1, algo="phash-v1", fp=(0xFF).to_bytes(8, "little")),
+                    rec(0, 2, algo="phash-v1", fp=(0xF0).to_bytes(8, "little")),
+                    rec(0, 3, algo="phash-v1", fp=(0x00).to_bytes(8, "little")),
+                ]
+            )
+        )
+        hits = run(b.knn_fingerprint(0, "phash-v1", (0xFF).to_bytes(8, "little"), 2))
+        assert [h.record_id for h in hits] == [1, 2]
+        assert hits[0].score == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# RRF + Matcher
+# ---------------------------------------------------------------------------
+
+
+def hit(rid, score, source=HitSource.VECTOR):
+    return Hit(record_id=rid, score=score, source=source)
+
+
+class TestRrf:
+    def test_breakdown_on_overlap(self):
+        vec = [hit(1, 0.9), hit(2, 0.8)]
+        bm = [hit(2, 5.0, HitSource.BM25), hit(3, 4.0, HitSource.BM25)]
+        fused = rrf_with_sources([vec, bm], [HitSource.VECTOR, HitSource.BM25], 60)
+        by_id = {h.record_id: h for h in fused}
+        # doc 2 appears in both: rank 2 in vec, rank 1 in bm25
+        assert by_id[2].vector_score == pytest.approx(1 / 62)
+        assert by_id[2].bm25_score == pytest.approx(1 / 61)
+        assert by_id[2].score == pytest.approx(1 / 62 + 1 / 61)
+        assert by_id[2].vector_rank == 2 and by_id[2].bm25_rank == 1
+        assert fused[0].record_id == 2  # highest fused score
+        assert by_id[1].bm25_score is None
+
+    def test_legacy_equiv(self):
+        vec = [hit(1, 0.9), hit(2, 0.8)]
+        bm = [hit(2, 5.0, HitSource.BM25)]
+        a = rrf([vec, bm], 60)
+        b = rrf_with_sources([vec, bm], [], 60)
+        assert [(h.record_id, h.score) for h in a] == [
+            (h.record_id, h.score) for h in b
+        ]
+
+
+class TestMatcher:
+    def test_hybrid_search(self, tmp_path):
+        b = EmbeddedBackend(str(tmp_path))
+        run(
+            b.upsert(
+                [
+                    rec(0, 1, emb=[1.0, 0.0], text="apple pie recipe"),
+                    rec(0, 2, emb=[0.9, 0.1], text="banana bread"),
+                    rec(0, 3, emb=[0.0, 1.0], text="apple cider"),
+                ]
+            )
+        )
+        m = Matcher(b)
+        q = Query(0, Modality.TEXT, k=3, vector=[1.0, 0.0], terms=["apple"], explain=True)
+        hits = run(m.search(q))
+        assert hits[0].source is HitSource.FUSED
+        # doc 1 is rank 1 in vector and matches "apple" -> top
+        assert hits[0].record_id == 1
+        assert hits[0].term_hits is not None
+
+    def test_vector_only(self, tmp_path):
+        b = EmbeddedBackend(str(tmp_path))
+        run(b.upsert([rec(0, 1, emb=[1.0, 0.0])]))
+        hits = run(Matcher(b).search(Query(0, Modality.TEXT, k=5, vector=[1.0, 0.0])))
+        assert [h.record_id for h in hits] == [1]
+        assert hits[0].source is HitSource.VECTOR
+
+    def test_terms_only(self, tmp_path):
+        b = EmbeddedBackend(str(tmp_path))
+        run(b.upsert([rec(0, 1, text="hello world")]))
+        hits = run(Matcher(b).search(Query(0, Modality.TEXT, k=5, terms=["hello"])))
+        assert [h.record_id for h in hits] == [1]
+
+    def test_empty_query(self, tmp_path):
+        b = EmbeddedBackend(str(tmp_path))
+        assert run(Matcher(b).search(Query(0, Modality.TEXT, k=5))) == []

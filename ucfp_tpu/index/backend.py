@@ -1,0 +1,48 @@
+"""IndexBackend trait: the storage + ANN abstraction (layer 3).
+
+Same shape as the reference trait (src/index/mod.rs:18-78): async
+upsert/delete/knn/bm25/bm25_explain/flush/get_record_metadata, with
+bm25_explain defaulting to bm25-without-breakdown and
+get_record_metadata defaulting to Unsupported.
+"""
+
+from __future__ import annotations
+
+import abc
+from typing import Optional
+
+from ..core import FingerprintMeta, Hit, TermHit, UnsupportedError
+
+
+class IndexBackend(abc.ABC):
+    @abc.abstractmethod
+    async def upsert(self, records: list) -> None: ...
+
+    @abc.abstractmethod
+    async def delete(self, tenant_id: int, record_ids: list[int]) -> None: ...
+
+    @abc.abstractmethod
+    async def knn(
+        self,
+        tenant_id: int,
+        query: list[float],
+        k: int,
+        filter: Optional[bytes] = None,
+    ) -> list[Hit]: ...
+
+    @abc.abstractmethod
+    async def bm25(self, tenant_id: int, terms: list[str], k: int) -> list[Hit]: ...
+
+    async def bm25_explain(
+        self, tenant_id: int, terms: list[str], k: int
+    ) -> list[tuple[Hit, list[TermHit]]]:
+        """Default: delegate to bm25 with empty breakdowns (src/index/mod.rs)."""
+        return [(h, []) for h in await self.bm25(tenant_id, terms, k)]
+
+    @abc.abstractmethod
+    async def flush(self) -> None: ...
+
+    async def get_record_metadata(
+        self, tenant_id: int, record_id: int
+    ) -> FingerprintMeta:
+        raise UnsupportedError("get_record_metadata not supported by this backend")

@@ -1,0 +1,156 @@
+"""Host BM25 engine: inverted index with same-transaction semantics.
+
+Rebuild of the reference's redb-backed BM25 (src/index/embedded/bm25.rs):
+  * tokenizer: lowercase + split on non-alphanumeric (bm25.rs:88-97)
+  * constants: k1 = 1.2, b = 0.75 (bm25.rs:79-80)
+  * IDF: BM25+ form ln((N - n + 0.5) / (n + 0.5) + 1) (bm25.rs:551)
+  * upsert is clear-then-reindex, idempotent (bm25.rs:333-401)
+  * explain mode caps per-doc term contributions at 16 (bm25.rs:467,583-589)
+  * per-tenant corpora are fully isolated
+
+The reference keeps postings in redb tables (FST term dict + roaring
+bitmaps) updated in the same write txn as the fingerprint tables so the
+text index never lags the catalog. Here the engine is an in-process
+structure owned by the embedded backend, mutated under the backend's
+write lock in the same logical transaction, and rebuilt from the WAL on
+boot — the same never-lags guarantee by construction.
+
+Scoring stays on host: postings walks are pointer-chasing, not matmuls;
+SURVEY.md section 7 explicitly defers device-scored postings.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+from dataclasses import dataclass, field
+
+from ..core import TermHit
+
+K1 = 1.2
+B = 0.75
+MAX_EXPLAIN_TERMS_PER_DOC = 16
+
+
+def tokenize(text: str) -> list[str]:
+    """Lowercase + split on non-alphanumeric (bm25.rs:88-97)."""
+    out: list[str] = []
+    cur: list[str] = []
+    for ch in text.lower():
+        if ch.isalnum():
+            cur.append(ch)
+        elif cur:
+            out.append("".join(cur))
+            cur = []
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+@dataclass
+class _TenantCorpus:
+    postings: dict[str, dict[int, int]] = field(default_factory=dict)  # term -> {doc: tf}
+    doc_lens: dict[int, int] = field(default_factory=dict)  # doc -> token count
+    doc_terms: dict[int, list[str]] = field(default_factory=dict)  # doc -> its terms
+    total_doc_len: int = 0
+
+    @property
+    def doc_count(self) -> int:
+        return len(self.doc_lens)
+
+
+class Bm25Engine:
+    """Per-tenant BM25 corpora."""
+
+    def __init__(self) -> None:
+        self._tenants: dict[int, _TenantCorpus] = defaultdict(_TenantCorpus)
+
+    # -- writes (called under the backend's txn lock) ----------------------
+
+    def upsert_one(self, tenant_id: int, record_id: int, text: str | None) -> None:
+        """Clear-then-reindex one document; None/empty text removes it."""
+        self.clear_one(tenant_id, record_id)
+        if not text:
+            return
+        toks = tokenize(text)
+        if not toks:
+            return
+        c = self._tenants[tenant_id]
+        tf = Counter(toks)
+        for term, n in tf.items():
+            c.postings.setdefault(term, {})[record_id] = n
+        c.doc_lens[record_id] = len(toks)
+        c.doc_terms[record_id] = list(tf.keys())
+        c.total_doc_len += len(toks)
+
+    def clear_one(self, tenant_id: int, record_id: int) -> None:
+        c = self._tenants.get(tenant_id)
+        if c is None or record_id not in c.doc_lens:
+            return
+        for term in c.doc_terms.pop(record_id, []):
+            docs = c.postings.get(term)
+            if docs is not None:
+                docs.pop(record_id, None)
+                if not docs:
+                    del c.postings[term]
+        c.total_doc_len -= c.doc_lens.pop(record_id)
+
+    # -- reads --------------------------------------------------------------
+
+    def search_explain(
+        self, tenant_id: int, terms: list[str], k: int
+    ) -> list[tuple[int, float, list[TermHit]]]:
+        """BM25 top-k with per-term contribution breakdown.
+
+        Query terms are re-tokenized through the same tokenizer, matching
+        the reference's behavior of normalizing query input identically
+        to documents.
+        """
+        c = self._tenants.get(tenant_id)
+        if c is None or c.doc_count == 0 or k == 0:
+            return []
+        qtoks: list[str] = []
+        for t in terms:
+            qtoks.extend(tokenize(t))
+        if not qtoks:
+            return []
+        n_docs = c.doc_count
+        avgdl = c.total_doc_len / n_docs if n_docs else 0.0
+
+        scores: dict[int, float] = defaultdict(float)
+        contribs: dict[int, list[TermHit]] = defaultdict(list)
+        seen_terms = set()
+        for term in qtoks:
+            if term in seen_terms:  # each unique query term scores once
+                continue
+            seen_terms.add(term)
+            docs = c.postings.get(term)
+            if not docs:
+                continue
+            n_t = len(docs)
+            idf = math.log((n_docs - n_t + 0.5) / (n_t + 0.5) + 1.0)
+            for doc, tf in docs.items():
+                dl = c.doc_lens[doc]
+                denom = tf + K1 * (1.0 - B + B * dl / avgdl)
+                contribution = idf * (tf * (K1 + 1.0)) / denom
+                scores[doc] += contribution
+                if len(contribs[doc]) < MAX_EXPLAIN_TERMS_PER_DOC:
+                    contribs[doc].append(
+                        TermHit(term=term, tf=tf, idf=idf, contribution=contribution)
+                    )
+        # descending score, ties by ascending record id (deterministic)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return [(doc, score, contribs[doc]) for doc, score in ranked]
+
+    def search(self, tenant_id: int, terms: list[str], k: int) -> list[tuple[int, float]]:
+        return [(d, s) for d, s, _ in self.search_explain(tenant_id, terms, k)]
+
+    def stats(self, tenant_id: int) -> dict:
+        c = self._tenants.get(tenant_id)
+        if c is None:
+            return {"doc_count": 0, "total_doc_len": 0, "terms": 0}
+        return {
+            "doc_count": c.doc_count,
+            "total_doc_len": c.total_doc_len,
+            "terms": len(c.postings),
+        }

@@ -1,0 +1,500 @@
+"""EmbeddedBackend: WAL-durable host store + device-cached ANN matrices.
+
+Rebuild of the reference's redb-backed EmbeddedBackend
+(src/index/embedded/mod.rs). Storage layout follows the same four
+logical tables keyed (tenant u32, record u64) — fingerprints, metadata,
+vectors, catalog (mod.rs:37-43) — plus the BM25 corpus updated in the
+same logical transaction as every fingerprint write (bm25.rs:7-9: the
+text index never lags the catalog).
+
+Durability model: an fsync'd append-only WAL (one fsync per upsert/delete
+batch, matching redb's one-commit-per-txn), replayed on open; `compact()`
+rewrites the snapshot. The database file is the checkpoint, exactly as in
+the reference (ARCHITECTURE.md:182-193) — device state is a pure cache
+rebuilt from the host store, never persisted.
+
+The ANN path is the flagship TPU change: instead of redb range scan +
+rayon cosine fold (mod.rs:268-360), each (tenant, dim) owns a padded
+device-resident f32 matrix (capacity-doubled so jit recompiles only on
+growth) queried with ops.knn.cosine_topk — one MXU matmul + lax.top_k.
+Packed fingerprint bytes get the same treatment per (tenant, algorithm)
+for Hamming top-k. Caches mark dirty on writes and re-upload lazily on
+the next query, so bulk ingest costs one transfer, not N.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import os
+import threading
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from ..core import (
+    FingerprintMeta,
+    Hit,
+    HitSource,
+    IndexError_,
+    Modality,
+    Record,
+    RecordNotFound,
+    TermHit,
+)
+from ..ops import knn as knn_ops
+from .backend import IndexBackend
+from .bm25 import Bm25Engine
+
+_WAL_MAGIC = "ucfp-wal-v1"
+
+
+def _next_pow2(n: int) -> int:
+    c = 1024
+    while c < n:
+        c *= 2
+    return c
+
+
+@dataclass
+class _VecCache:
+    """Per-(tenant, dim) vector matrix with capacity-doubled padding."""
+
+    dim: int
+    rids: list[int] = field(default_factory=list)
+    rows: dict[int, int] = field(default_factory=dict)  # rid -> row
+    data: np.ndarray | None = None  # [cap, dim] f32
+    n: int = 0
+    dirty: bool = True
+    device: tuple | None = None  # (matrix, valid) device arrays
+
+    def upsert(self, rid: int, vec: np.ndarray) -> None:
+        if rid in self.rows:
+            self.data[self.rows[rid]] = vec
+        else:
+            if self.data is None:
+                cap = _next_pow2(1)
+                self.data = np.zeros((cap, self.dim), np.float32)
+            elif self.n == self.data.shape[0]:
+                grown = np.zeros((self.data.shape[0] * 2, self.dim), np.float32)
+                grown[: self.n] = self.data
+                self.data = grown
+            self.data[self.n] = vec
+            self.rows[rid] = self.n
+            self.rids.append(rid)
+            self.n += 1
+        self.dirty = True
+
+    def remove(self, rid: int) -> None:
+        row = self.rows.pop(rid, None)
+        if row is None:
+            return
+        # swap-with-last keeps the matrix dense
+        last = self.n - 1
+        if row != last:
+            self.data[row] = self.data[last]
+            moved = self.rids[last]
+            self.rids[row] = moved
+            self.rows[moved] = row
+        self.rids.pop()
+        self.data[last] = 0.0
+        self.n -= 1
+        self.dirty = True
+
+
+@dataclass
+class _HamCache:
+    """Per-(tenant, algorithm) packed-bit fingerprint matrix."""
+
+    words: int
+    rids: list[int] = field(default_factory=list)
+    rows: dict[int, int] = field(default_factory=dict)
+    data: np.ndarray | None = None  # [cap, words] uint32
+    n: int = 0
+    dirty: bool = True
+    device: tuple | None = None
+
+    def upsert(self, rid: int, packed: np.ndarray) -> None:
+        if rid in self.rows:
+            self.data[self.rows[rid]] = packed
+        else:
+            if self.data is None:
+                self.data = np.zeros((1024, self.words), np.uint32)
+            elif self.n == self.data.shape[0]:
+                grown = np.zeros((self.data.shape[0] * 2, self.words), np.uint32)
+                grown[: self.n] = self.data
+                self.data = grown
+            self.data[self.n] = packed
+            self.rows[rid] = self.n
+            self.rids.append(rid)
+            self.n += 1
+        self.dirty = True
+
+    def remove(self, rid: int) -> None:
+        row = self.rows.pop(rid, None)
+        if row is None:
+            return
+        last = self.n - 1
+        if row != last:
+            self.data[row] = self.data[last]
+            moved = self.rids[last]
+            self.rids[row] = moved
+            self.rows[moved] = row
+        self.rids.pop()
+        self.data[last] = 0
+        self.n -= 1
+        self.dirty = True
+
+
+class EmbeddedBackend(IndexBackend):
+    """Single-file-directory embedded index (open() then use)."""
+
+    def __init__(self, data_dir: str):
+        self.data_dir = data_dir
+        os.makedirs(data_dir, exist_ok=True)
+        self._wal_path = os.path.join(data_dir, "ucfp.wal")
+        self._lock = threading.Lock()  # one writer, same-txn BM25 semantics
+        self._records: dict[tuple[int, int], dict] = {}
+        self._bm25 = Bm25Engine()
+        self._vec: dict[tuple[int, int], _VecCache] = {}  # (tenant, dim)
+        self._ham: dict[tuple[int, str], _HamCache] = {}  # (tenant, algorithm)
+        self._wal = None
+        self._replay()
+        self._wal = open(self._wal_path, "ab")
+
+    # -- WAL ----------------------------------------------------------------
+
+    def _replay(self) -> None:
+        if not os.path.exists(self._wal_path):
+            return
+        with open(self._wal_path, "rb") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    ev = json.loads(line)
+                except json.JSONDecodeError:
+                    break  # torn tail write: stop at last complete entry
+                if ev.get("op") == "upsert":
+                    self._apply_upsert(self._rec_from_wal(ev), wal=False)
+                elif ev.get("op") == "delete":
+                    for rid in ev["record_ids"]:
+                        self._apply_delete(ev["tenant_id"], rid, wal=False)
+
+    @staticmethod
+    def _rec_from_wal(ev: dict) -> Record:
+        return Record(
+            tenant_id=ev["tenant_id"],
+            record_id=ev["record_id"],
+            modality=Modality(ev["modality"]),
+            algorithm=ev["algorithm"],
+            fingerprint=bytes.fromhex(ev["fingerprint"]),
+            format_version=ev.get("format_version", 1),
+            config_hash=ev.get("config_hash", 0),
+            embedding=ev.get("embedding"),
+            model_id=ev.get("model_id"),
+            metadata=bytes.fromhex(ev.get("metadata", "")),
+            text=ev.get("text"),
+        )
+
+    def _wal_write(self, events: list[dict]) -> None:
+        if self._wal is None:
+            return
+        payload = b"".join(
+            json.dumps(e, separators=(",", ":")).encode() + b"\n" for e in events
+        )
+        self._wal.write(payload)
+        self._wal.flush()
+        os.fsync(self._wal.fileno())  # one fsync per batch, like redb commit
+
+    # -- mutations ------------------------------------------------------------
+
+    def _apply_upsert(self, rec: Record, wal: bool) -> None:
+        key = (rec.tenant_id, rec.record_id)
+        old = self._records.get(key)
+        self._records[key] = {
+            "modality": rec.modality.value,
+            "algorithm": rec.algorithm,
+            "config_hash": rec.config_hash,
+            "format_version": rec.format_version,
+            "fingerprint": rec.fingerprint,
+            "embedding": rec.embedding,
+            "model_id": rec.model_id,
+            "metadata": rec.metadata,
+            "text": rec.text,
+        }
+        # vectors table
+        if old is not None and old["embedding"] is not None:
+            olddim = len(old["embedding"])
+            if rec.embedding is None or len(rec.embedding) != olddim:
+                c = self._vec.get((rec.tenant_id, olddim))
+                if c:
+                    c.remove(rec.record_id)
+        if rec.embedding is not None:
+            dim = len(rec.embedding)
+            cache = self._vec.setdefault((rec.tenant_id, dim), _VecCache(dim))
+            cache.upsert(rec.record_id, np.asarray(rec.embedding, np.float32))
+        # packed fingerprint table
+        if old is not None and old["algorithm"] != rec.algorithm:
+            h = self._ham.get((rec.tenant_id, old["algorithm"]))
+            if h:
+                h.remove(rec.record_id)
+        packed = np.asarray(knn_ops.pack_bits_to_u32(rec.fingerprint), np.uint32)
+        hcache = self._ham.get((rec.tenant_id, rec.algorithm))
+        if hcache is None:
+            hcache = _HamCache(words=len(packed))
+            self._ham[(rec.tenant_id, rec.algorithm)] = hcache
+        if len(packed) == hcache.words:
+            hcache.upsert(rec.record_id, packed)
+        # BM25 — same logical txn (bm25.rs:333-401; no text clears the doc)
+        self._bm25.upsert_one(rec.tenant_id, rec.record_id, rec.text)
+        if wal:
+            ev = {
+                "op": "upsert",
+                "tenant_id": rec.tenant_id,
+                "record_id": rec.record_id,
+                "modality": rec.modality.value,
+                "algorithm": rec.algorithm,
+                "config_hash": rec.config_hash,
+                "format_version": rec.format_version,
+                "fingerprint": rec.fingerprint.hex(),
+                "metadata": rec.metadata.hex(),
+            }
+            if rec.embedding is not None:
+                ev["embedding"] = [float(x) for x in rec.embedding]
+            if rec.model_id:
+                ev["model_id"] = rec.model_id
+            if rec.text is not None:
+                ev["text"] = rec.text
+            self._pending_wal.append(ev)
+
+    def _apply_delete(self, tenant_id: int, rid: int, wal: bool) -> None:
+        key = (tenant_id, rid)
+        old = self._records.pop(key, None)
+        if old is not None:
+            if old["embedding"] is not None:
+                c = self._vec.get((tenant_id, len(old["embedding"])))
+                if c:
+                    c.remove(rid)
+            h = self._ham.get((tenant_id, old["algorithm"]))
+            if h:
+                h.remove(rid)
+        self._bm25.clear_one(tenant_id, rid)
+
+    # -- IndexBackend -----------------------------------------------------------
+
+    async def upsert(self, records: list[Record]) -> None:
+        def work():
+            with self._lock:
+                self._pending_wal: list[dict] = []
+                for rec in records:
+                    self._apply_upsert(rec, wal=True)
+                self._wal_write(self._pending_wal)
+
+        await asyncio.to_thread(work)
+
+    async def delete(self, tenant_id: int, record_ids: list[int]) -> None:
+        def work():
+            with self._lock:
+                for rid in record_ids:
+                    self._apply_delete(tenant_id, rid, wal=False)
+                self._wal_write(
+                    [{"op": "delete", "tenant_id": tenant_id, "record_ids": record_ids}]
+                )
+
+        await asyncio.to_thread(work)
+
+    def _device_vec(self, cache: _VecCache):
+        import jax.numpy as jnp
+
+        if cache.dirty or cache.device is None:
+            cap = cache.data.shape[0]
+            valid = np.zeros(cap, bool)
+            valid[: cache.n] = True
+            cache.device = (jnp.asarray(cache.data), jnp.asarray(valid))
+            cache.dirty = False
+        return cache.device
+
+    def _device_ham(self, cache: _HamCache):
+        import jax.numpy as jnp
+
+        if cache.dirty or cache.device is None:
+            cap = cache.data.shape[0]
+            valid = np.zeros(cap, bool)
+            valid[: cache.n] = True
+            cache.device = (jnp.asarray(cache.data), jnp.asarray(valid))
+            cache.dirty = False
+        return cache.device
+
+    async def knn(
+        self,
+        tenant_id: int,
+        query: list[float],
+        k: int,
+        filter: Optional[bytes] = None,
+    ) -> list[Hit]:
+        """Cosine top-k, semantics matching mod.rs:268-360: empty query or
+        k=0 or zero-norm query -> empty; only vectors of matching dim."""
+        if not query or k == 0:
+            return []
+        q = np.asarray(query, np.float32)
+        if float(np.linalg.norm(q)) == 0.0:
+            return []
+        cache = self._vec.get((tenant_id, len(query)))
+        if cache is None or cache.n == 0:
+            return []
+
+        def work():
+            with self._lock:
+                matrix, valid = self._device_vec(cache)
+                rids = list(cache.rids)
+            kk = min(k, cache.n)
+            scores, idx = knn_ops.cosine_topk(q[None], matrix, valid, kk)
+            scores = np.asarray(scores[0])
+            idx = np.asarray(idx[0])
+            out = []
+            for s, i in zip(scores, idx):
+                if not np.isfinite(s):
+                    continue
+                out.append((rids[int(i)], float(s)))
+            # descending score, ties by ascending record id
+            out.sort(key=lambda t: (-t[1], t[0]))
+            return [
+                Hit(record_id=rid, score=s, source=HitSource.VECTOR)
+                for rid, s in out
+            ]
+
+        return await asyncio.to_thread(work)
+
+    async def knn_fingerprint(
+        self, tenant_id: int, algorithm: str, fingerprint: bytes, k: int
+    ) -> list[Hit]:
+        """TPU extension: Hamming top-k over packed stored fingerprints.
+
+        score = 1 - dist/bits so larger is better, consistent with Hit
+        ordering elsewhere.
+        """
+        if k == 0 or not fingerprint:
+            return []
+        cache = self._ham.get((tenant_id, algorithm))
+        if cache is None or cache.n == 0:
+            return []
+        packed = np.asarray(knn_ops.pack_bits_to_u32(fingerprint), np.uint32)
+        if len(packed) != cache.words:
+            return []
+
+        def work():
+            with self._lock:
+                matrix, valid = self._device_ham(cache)
+                rids = list(cache.rids)
+            kk = min(k, cache.n)
+            dist, idx = knn_ops.hamming_topk(packed[None], matrix, valid, kk)
+            dist = np.asarray(dist[0])
+            idx = np.asarray(idx[0])
+            bits = cache.words * 32
+            out = [
+                (rids[int(i)], int(d))
+                for d, i in zip(dist, idx)
+                if d != 0x7FFFFFFF
+            ]
+            out.sort(key=lambda t: (t[1], t[0]))
+            return [
+                Hit(record_id=rid, score=1.0 - d / bits, source=HitSource.VECTOR)
+                for rid, d in out
+            ]
+
+        return await asyncio.to_thread(work)
+
+    async def bm25(self, tenant_id: int, terms: list[str], k: int) -> list[Hit]:
+        def work():
+            with self._lock:
+                res = self._bm25.search(tenant_id, terms, k)
+            return [
+                Hit(record_id=d, score=s, source=HitSource.BM25) for d, s in res
+            ]
+
+        return await asyncio.to_thread(work)
+
+    async def bm25_explain(
+        self, tenant_id: int, terms: list[str], k: int
+    ) -> list[tuple[Hit, list[TermHit]]]:
+        def work():
+            with self._lock:
+                res = self._bm25.search_explain(tenant_id, terms, k)
+            return [
+                (Hit(record_id=d, score=s, source=HitSource.BM25), th)
+                for d, s, th in res
+            ]
+
+        return await asyncio.to_thread(work)
+
+    async def flush(self) -> None:
+        def work():
+            with self._lock:
+                if self._wal is not None:
+                    self._wal.flush()
+                    os.fsync(self._wal.fileno())
+
+        await asyncio.to_thread(work)
+
+    async def get_record_metadata(
+        self, tenant_id: int, record_id: int
+    ) -> FingerprintMeta:
+        row = self._records.get((tenant_id, record_id))
+        if row is None:
+            raise RecordNotFound(f"record {tenant_id}/{record_id} not found")
+        return FingerprintMeta(
+            tenant_id=tenant_id,
+            record_id=record_id,
+            modality=Modality(row["modality"]),
+            algorithm=row["algorithm"],
+            config_hash=row["config_hash"],
+            format_version=row["format_version"],
+            fingerprint_bytes=len(row["fingerprint"]),
+            has_embedding=row["embedding"] is not None,
+            model_id=row["model_id"],
+        )
+
+    def get_record(self, tenant_id: int, record_id: int) -> dict:
+        row = self._records.get((tenant_id, record_id))
+        if row is None:
+            raise RecordNotFound(f"record {tenant_id}/{record_id} not found")
+        return row
+
+    def close(self) -> None:
+        if self._wal is not None:
+            self._wal.close()
+            self._wal = None
+
+    def compact(self) -> None:
+        """Rewrite the WAL as a snapshot of current state (checkpoint)."""
+        with self._lock:
+            tmp = self._wal_path + ".tmp"
+            with open(tmp, "wb") as f:
+                for (tid, rid), row in sorted(self._records.items()):
+                    ev = {
+                        "op": "upsert",
+                        "tenant_id": tid,
+                        "record_id": rid,
+                        "modality": row["modality"],
+                        "algorithm": row["algorithm"],
+                        "config_hash": row["config_hash"],
+                        "format_version": row["format_version"],
+                        "fingerprint": row["fingerprint"].hex(),
+                        "metadata": row["metadata"].hex(),
+                    }
+                    if row["embedding"] is not None:
+                        ev["embedding"] = [float(x) for x in row["embedding"]]
+                    if row["model_id"]:
+                        ev["model_id"] = row["model_id"]
+                    if row["text"] is not None:
+                        ev["text"] = row["text"]
+                    f.write(json.dumps(ev, separators=(",", ":")).encode() + b"\n")
+                f.flush()
+                os.fsync(f.fileno())
+            if self._wal is not None:
+                self._wal.close()
+            os.replace(tmp, self._wal_path)
+            self._wal = open(self._wal_path, "ab")

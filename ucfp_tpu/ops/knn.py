@@ -1,0 +1,82 @@
+"""Device k-NN kernels: cosine top-k (MXU) and Hamming-popcount top-k (VPU).
+
+This replaces the reference's CPU brute-force scan (src/index/embedded/
+mod.rs:268-360: redb range scan + rayon fold/reduce with an 8-lane
+unrolled dot product) with dense device kernels:
+
+  * cosine_topk  — one [Q, D] x [D, N] matmul on the MXU + lax.top_k.
+    Semantics match the reference exactly: score = dot / (|q| * |v|),
+    zero-norm database rows are skipped, ties resolve to the lower row
+    index (the reference's partial_cmp sort is stable over insert order,
+    which is ascending record order after the range scan).
+  * hamming_topk — XOR + lax.population_count over bit-packed uint32
+    fingerprint words; top-k smallest distance. This is the packed-hash
+    path for phash/dhash/ahash records (8 bytes -> 2 words).
+
+Capacity model: the store hands us a padded matrix of power-of-two
+capacity C with a validity mask, so recompilation happens only on
+capacity doubling, never per insert. See parallel/sharded_knn.py for the
+ICI-sharded version with the cross-chip top-k merge.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = jnp.float32(-jnp.inf)
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def cosine_topk(
+    query: jax.Array,  # [Q, D] f32
+    matrix: jax.Array,  # [C, D] f32 (rows >= N are padding)
+    valid: jax.Array,  # [C] bool
+    k: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Top-k cosine scores over valid rows. Returns ([Q,k] scores, [Q,k] idx).
+
+    Invalid / zero-norm rows surface as -inf scores; the caller drops them
+    (they only appear when fewer than k valid rows exist).
+    """
+    row_norm = jnp.linalg.norm(matrix, axis=1)  # [C]
+    q_norm = jnp.linalg.norm(query, axis=1, keepdims=True)  # [Q, 1]
+    dots = jax.lax.dot_general(
+        query,
+        matrix,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [Q, C]
+    denom = q_norm * row_norm[None, :]
+    ok = valid[None, :] & (row_norm[None, :] > 0.0) & (q_norm > 0.0)
+    scores = jnp.where(ok, dots / jnp.where(denom == 0.0, 1.0, denom), NEG_INF)
+    return jax.lax.top_k(scores, k)
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def hamming_topk(
+    query: jax.Array,  # [Q, W] uint32 packed bits
+    matrix: jax.Array,  # [C, W] uint32
+    valid: jax.Array,  # [C] bool
+    k: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Top-k SMALLEST Hamming distance. Returns ([Q,k] dist int32, [Q,k] idx).
+
+    Invalid rows surface as distance 0x7fffffff.
+    """
+    x = jnp.bitwise_xor(query[:, None, :], matrix[None, :, :])  # [Q, C, W]
+    dist = jnp.sum(jax.lax.population_count(x).astype(jnp.int32), axis=-1)
+    big = jnp.int32(0x7FFFFFFF)
+    dist = jnp.where(valid[None, :], dist, big)
+    neg, idx = jax.lax.top_k(-dist, k)
+    return -neg, idx
+
+
+def pack_bits_to_u32(fp: bytes) -> list[int]:
+    """Fingerprint bytes -> little-endian uint32 words (zero-padded)."""
+    pad = (-len(fp)) % 4
+    data = fp + b"\x00" * pad
+    return [int.from_bytes(data[i : i + 4], "little") for i in range(0, len(data), 4)]

@@ -1,0 +1,258 @@
+"""Text signature math: MinHash, SimHash, LSH bands, TLSH.
+
+Rebuilds the fingerprint families the reference consumes from the
+(non-vendored) txtfp SDK (call-sites: src/modality/text.rs:182-484).
+Since txtfp's internal hash derivations are not recoverable from the
+reference repo, the schemes here are *self-defined and documented*, with
+the same wire layouts and parameters; goldens in tests/goldens/ lock them.
+
+Design note (TPU): string hashing is byte-sequential host work, and the
+per-slot mixing below is memory-bound over a few KiB per document — far
+below the cost of a host->device round trip. It is therefore vectorized
+on the host with numpy uint64 (xxh3 for the base hashes is C-backed).
+Device work for text is the semantic-embedding path and the k-NN matrix.
+
+Canonical MinHash scheme (h slots):
+  base_s   = xxh3_64(shingle_s utf-8 bytes)
+  key_i    = splitmix64(0x9E3779B97F4A7C15 * (i + 1) mod 2^64)
+  v[s, i]  = mix64(base_s XOR key_i)        (splitmix64 finalizer)
+  sig[i]   = min over s of v[s, i]
+Wire: u16 schema=1 LE + 6 zero bytes + h x u64 LE  (1032 bytes at h=128,
+matching the reference size contract, src/server/tests.rs:1114-1118).
+
+SimHash64: token hash xxh3_64; accumulate +/- weight per bit; bit = acc>0.
+Wire: one u64 LE (8 bytes; reference tags simhash-b64-*, text.rs:46-48).
+
+LSH: the reference re-tags the MinHash record (text.rs:437-446) — the
+fingerprint bytes are the same signature; banding happens at index time.
+band_hashes() exposes the b x r banding (default 20 x 6 over 120 slots,
+REPORT.md:677) for the LSH bucket index.
+
+TLSH 128/1: standard published algorithm (Oliver et al. 2013): Pearson-
+chained triplet bucket counts over a 5-byte sliding window, quartile
+2-bit coding, 35-byte digest, 70-char hex, stored as the hex STRING's
+bytes (text.rs:478). Requires >= 50 input bytes.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import xxhash
+
+GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+U64 = np.uint64
+
+
+def _splitmix64_arr(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized over uint64 (mod-2^64 wraparound)."""
+    with np.errstate(over="ignore"):
+        z = x + GOLDEN
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def _mix64_arr(x: np.ndarray) -> np.ndarray:
+    """Stafford mix13 finalizer (the splitmix64 output mix), vectorized."""
+    with np.errstate(over="ignore"):
+        z = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def slot_keys(h: int) -> np.ndarray:
+    """Per-slot xor keys: splitmix64 of GOLDEN*(i+1)."""
+    with np.errstate(over="ignore"):
+        seeds = GOLDEN * np.arange(1, h + 1, dtype=np.uint64)
+    return _splitmix64_arr(seeds)
+
+
+MINHASH_SCHEMA = 1
+
+
+def minhash_signature(shingles: list[str], h: int = 128) -> np.ndarray:
+    """[h] uint64 signature; empty shingle list -> all u64::MAX."""
+    if not shingles:
+        return np.full(h, np.iinfo(np.uint64).max, dtype=np.uint64)
+    base = np.array(
+        [xxhash.xxh3_64_intdigest(s.encode("utf-8")) for s in shingles],
+        dtype=np.uint64,
+    )
+    keys = slot_keys(h)
+    v = _mix64_arr(base[:, None] ^ keys[None, :])  # [S, h]
+    return v.min(axis=0)
+
+
+def serialize_minhash(sig: np.ndarray) -> bytes:
+    """u16 schema + 6 pad + h x u64 LE."""
+    return struct.pack("<H6x", MINHASH_SCHEMA) + sig.astype("<u8").tobytes()
+
+
+def minhash_similarity(a: np.ndarray, b: np.ndarray) -> float:
+    """Jaccard estimate: matching slots / h."""
+    return float(np.mean(a == b))
+
+
+def simhash64(tokens: list[str], weights: list[float]) -> int:
+    """Weighted 64-bit SimHash over token hashes."""
+    if not tokens:
+        return 0
+    hs = np.array(
+        [xxhash.xxh3_64_intdigest(t.encode("utf-8")) for t in tokens],
+        dtype=np.uint64,
+    )
+    w = np.asarray(weights, dtype=np.float64)
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & U64(1)).astype(
+        np.float64
+    )  # [T, 64]
+    acc = ((bits * 2.0 - 1.0) * w[:, None]).sum(axis=0)
+    out = np.uint64(0)
+    for i in range(64):
+        if acc[i] > 0:
+            out |= U64(1) << U64(i)
+    return int(out)
+
+
+def band_hashes(sig: np.ndarray, bands: int = 20, rows: int = 6) -> list[int]:
+    """LSH band keys over the first bands*rows slots (REPORT.md:677)."""
+    out = []
+    for j in range(bands):
+        chunk = sig[j * rows : (j + 1) * rows].astype("<u8").tobytes()
+        out.append(xxhash.xxh3_64_intdigest(chunk, seed=j))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# TLSH 128/1 (standard published algorithm)
+# ---------------------------------------------------------------------------
+
+# Pearson permutation table from the TLSH reference specification.
+_PEARSON = [
+    1, 87, 49, 12, 176, 178, 102, 166, 121, 193, 6, 84, 249, 230, 44, 163,
+    14, 197, 213, 181, 161, 85, 218, 80, 64, 239, 24, 226, 236, 142, 38, 200,
+    110, 177, 104, 103, 141, 253, 255, 50, 77, 101, 81, 18, 45, 96, 31, 222,
+    25, 107, 190, 70, 86, 237, 240, 34, 72, 242, 20, 214, 244, 227, 149, 235,
+    97, 234, 57, 22, 60, 250, 82, 175, 208, 5, 127, 199, 111, 62, 135, 248,
+    174, 169, 211, 58, 66, 154, 106, 195, 245, 171, 17, 187, 182, 179, 0, 243,
+    132, 56, 148, 75, 128, 133, 158, 100, 130, 126, 91, 13, 153, 246, 216, 219,
+    119, 68, 223, 78, 83, 88, 201, 99, 122, 11, 92, 32, 136, 114, 52, 10,
+    138, 30, 48, 183, 156, 35, 61, 26, 143, 74, 251, 94, 129, 162, 63, 152,
+    170, 7, 115, 167, 241, 206, 3, 150, 55, 59, 151, 220, 90, 53, 23, 131,
+    125, 173, 15, 238, 79, 95, 89, 16, 105, 137, 225, 224, 217, 160, 37, 123,
+    118, 73, 2, 157, 46, 116, 9, 145, 134, 228, 207, 212, 202, 215, 69, 229,
+    27, 188, 67, 124, 168, 252, 42, 4, 29, 108, 21, 247, 19, 205, 39, 203,
+    233, 40, 186, 147, 198, 192, 155, 33, 164, 191, 98, 204, 165, 180, 117, 76,
+    140, 36, 210, 172, 41, 54, 159, 8, 185, 232, 113, 196, 231, 47, 146, 120,
+    51, 65, 28, 144, 254, 221, 93, 189, 194, 139, 112, 43, 71, 109, 184, 209,
+]
+
+TLSH_MIN_LEN = 50
+_TLSH_BUCKETS = 128
+
+
+def _b_mapping(salt: int, i: int, j: int, k: int) -> int:
+    t = _PEARSON[salt]
+    t = _PEARSON[t ^ i]
+    t = _PEARSON[t ^ j]
+    t = _PEARSON[t ^ k]
+    return t
+
+
+def _l_capturing(length: int) -> int:
+    """Logarithmic length bucket (TLSH spec l_capturing)."""
+    if length <= 656:
+        i = 0
+        topval = 1
+        while topval < length:
+            i += 1
+            topval = int(1.5**i)
+        return min(i, 255)
+    import math
+
+    if length <= 3199:
+        x = math.log(length / 656.0) / math.log(1.3) + 8.72777
+    else:
+        x = math.log(length / 3199.0) / math.log(1.1) + 62.5472
+    return min(int(x) + 26 if length <= 3199 else int(x) + 55, 255) & 0xFF
+
+
+def _swap_nibbles(b: int) -> int:
+    return ((b & 0x0F) << 4) | ((b & 0xF0) >> 4)
+
+
+def tlsh_128_1(data: bytes) -> str:
+    """TLSH 128-bucket / 1-byte-checksum digest -> 70-char lowercase hex.
+
+    Raises ValueError on inputs shorter than TLSH_MIN_LEN or with too
+    little variation (q3 == 0).
+    """
+    n = len(data)
+    if n < TLSH_MIN_LEN:
+        raise ValueError(f"TLSH requires >= {TLSH_MIN_LEN} bytes, got {n}")
+    buckets = [0] * 256
+    checksum = 0
+    for i in range(4, n):
+        b0, b1, b2, b3, b4 = data[i], data[i - 1], data[i - 2], data[i - 3], data[i - 4]
+        checksum = _b_mapping(0, b0, b1, checksum)
+        buckets[_b_mapping(2, b0, b1, b2)] += 1
+        buckets[_b_mapping(3, b0, b1, b3)] += 1
+        buckets[_b_mapping(5, b0, b2, b3)] += 1
+        buckets[_b_mapping(7, b0, b2, b4)] += 1
+        buckets[_b_mapping(11, b0, b1, b4)] += 1
+        buckets[_b_mapping(13, b0, b3, b4)] += 1
+    bl = buckets[:_TLSH_BUCKETS]
+    s = sorted(bl)
+    q1, q2, q3 = s[31], s[63], s[95]
+    if q3 == 0:
+        raise ValueError("TLSH: insufficient variation in input")
+    lvalue = _l_capturing(n)
+    q1ratio = (q1 * 100 // q3) % 16
+    q2ratio = (q2 * 100 // q3) % 16
+    body = bytearray(32)
+    # spec packs bucket codes from the LAST bucket down, 4 codes per byte
+    for i in range(32):
+        sextet = 0
+        for j in range(4):
+            k = bl[127 - (i * 4 + j)]
+            if k <= q1:
+                code = 0
+            elif k <= q2:
+                code = 1
+            elif k <= q3:
+                code = 2
+            else:
+                code = 3
+            sextet |= code << (j * 2)
+        body[i] = sextet
+    header = bytes(
+        [_swap_nibbles(checksum), _swap_nibbles(lvalue), (q1ratio << 4) | q2ratio]
+    )
+    return (header + bytes(body)).hex()
+
+
+def tlsh_distance(a: str, b: str) -> int:
+    """Approximate TLSH distance: 2-bit code diff sum over the body plus
+    header penalties (spec's diff with 6-point penalty for code distance 3)."""
+    ba, bb = bytes.fromhex(a), bytes.fromhex(b)
+    if len(ba) != 35 or len(bb) != 35:
+        raise ValueError("bad TLSH digest length")
+    dist = 0
+    if ba[0] != bb[0]:
+        dist += 1
+    ldiff = abs(ba[1] - bb[1])
+    dist += ldiff if ldiff <= 1 else ldiff * 12
+    q1a, q2a = ba[2] >> 4, ba[2] & 0xF
+    q1b, q2b = bb[2] >> 4, bb[2] & 0xF
+    for da, db in ((q1a, q1b), (q2a, q2b)):
+        d = abs(da - db)
+        d = min(d, 16 - d)
+        dist += d if d <= 1 else (d - 1) * 12
+    for x, y in zip(ba[3:], bb[3:]):
+        for shift in (0, 2, 4, 6):
+            ca = (x >> shift) & 3
+            cb = (y >> shift) & 3
+            d = abs(ca - cb)
+            dist += 6 if d == 3 else d
+    return dist
