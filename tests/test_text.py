@@ -1,0 +1,260 @@
+"""Text modality tests: canonicalizer, tokenizers, all signature families,
+streaming, preprocess passes, inspect, goldens."""
+
+import json
+import pathlib
+
+import numpy as np
+import pytest
+
+from ucfp_tpu.core import ModalityError, UnsupportedError
+from ucfp_tpu.modality import text as tmod
+from ucfp_tpu.ops import textsig
+
+PANGRAM = "the quick brown fox jumps over the lazy dog"
+
+
+class TestCanonicalize:
+    def test_nfkc_fold(self):
+        opts = tmod.TextOpts()
+        assert tmod.canonicalize("Ｈｅｌｌｏ Ｗorld", opts) == "hello world"
+
+    def test_bidi_stripped(self):
+        opts = tmod.TextOpts()
+        assert tmod.canonicalize("a‮b‬c", opts) == "abc"
+
+    def test_format_stripped(self):
+        opts = tmod.TextOpts()
+        assert tmod.canonicalize("so­ft", opts) == "soft"  # soft hyphen is Cf
+
+    def test_no_fold(self):
+        opts = tmod.TextOpts(case_fold=False, normalization="none")
+        assert tmod.canonicalize("Hello", opts) == "Hello"
+
+    def test_confusables(self):
+        opts = tmod.TextOpts(apply_confusable=True)
+        # Cyrillic а/о/е map to Latin
+        assert tmod.canonicalize("сат", opts) != "cat"  # т not in subset map
+        assert tmod.canonicalize("сар", opts) == "cap"
+
+
+class TestTokenize:
+    def test_words(self):
+        assert tmod.tokenize_words("hello, world! 42") == ["hello", "world", "42"]
+
+    def test_graphemes_combining(self):
+        toks = tmod.tokenize_graphemes("éx")  # e + combining acute
+        assert toks == ["é", "x"]
+
+    def test_shingles(self):
+        toks = ["a", "b", "c", "d"]
+        assert tmod.shingles_of(toks, 3) == ["a b c", "b c d"]
+        assert tmod.shingles_of(["a"], 3) == ["a"]
+        assert tmod.shingles_of([], 3) == []
+
+    def test_cjk_unsupported(self):
+        with pytest.raises(UnsupportedError):
+            tmod.tokenize("하늘", "cjk")
+
+
+class TestMinHash:
+    def test_wire_layout(self):
+        rec = tmod.fingerprint_minhash(PANGRAM, 0, 1)
+        assert rec.algorithm == "minhash-h128"
+        assert len(rec.fingerprint) == 1032  # u16 + 6 pad + 128 u64
+        assert rec.fingerprint[:8] == b"\x01" + b"\x00" * 7
+        assert rec.text == PANGRAM  # already canonical
+
+    def test_deterministic(self):
+        a = tmod.fingerprint_minhash(PANGRAM, 0, 1)
+        b = tmod.fingerprint_minhash(PANGRAM, 0, 2)
+        assert a.fingerprint == b.fingerprint
+        assert a.config_hash == b.config_hash
+
+    def test_similarity_estimates_jaccard(self):
+        base = " ".join(f"tok{i}" for i in range(200))
+        edited = " ".join(f"tok{i}" if i % 10 else "CHANGED" for i in range(200))
+        s1 = textsig.minhash_signature(
+            tmod.shingles_of(tmod.tokenize_words(base), 5)
+        )
+        s2 = textsig.minhash_signature(
+            tmod.shingles_of(tmod.tokenize_words(edited), 5)
+        )
+        sim = textsig.minhash_similarity(s1, s2)
+        assert 0.2 < sim < 0.9  # similar but not identical
+        assert textsig.minhash_similarity(s1, s1) == 1.0
+
+    def test_h_variants(self):
+        rec = tmod.fingerprint_minhash(PANGRAM, 0, 1, tmod.TextOpts(h=64))
+        assert rec.algorithm == "minhash-h64"
+        assert len(rec.fingerprint) == 8 + 64 * 8
+
+    def test_empty_rejected(self):
+        with pytest.raises(ModalityError):
+            tmod.fingerprint_minhash("   ", 0, 1)
+
+    def test_config_hash_sensitive_to_opts(self):
+        a = tmod.fingerprint_minhash(PANGRAM, 0, 1)
+        b = tmod.fingerprint_minhash(PANGRAM, 0, 1, tmod.TextOpts(k=4))
+        assert a.config_hash != b.config_hash
+
+
+class TestSimHash:
+    def test_tf(self):
+        rec = tmod.fingerprint_simhash(PANGRAM, 0, 1)
+        assert rec.algorithm == "simhash-b64-tf"
+        assert len(rec.fingerprint) == 8
+
+    def test_idf_tag_and_fallback(self):
+        rec = tmod.fingerprint_simhash(PANGRAM, 0, 1, idf={})
+        assert rec.algorithm == "simhash-b64-idf"
+        rec2 = tmod.fingerprint_simhash(PANGRAM, 0, 1, idf={"quick": 3.0})
+        assert rec2.algorithm == "simhash-b64-idf"
+
+    def test_similar_texts_close_hamming(self):
+        a = tmod.fingerprint_simhash(PANGRAM, 0, 1).fingerprint
+        b = tmod.fingerprint_simhash(PANGRAM + " again", 0, 2).fingerprint
+        c = tmod.fingerprint_simhash(
+            "completely different subject matter entirely", 0, 3
+        ).fingerprint
+        ham = lambda x, y: bin(
+            int.from_bytes(x, "little") ^ int.from_bytes(y, "little")
+        ).count("1")
+        assert ham(a, b) < ham(a, c)
+
+
+class TestLshTlsh:
+    def test_lsh_retag(self):
+        mh = tmod.fingerprint_minhash(PANGRAM, 0, 1)
+        lsh = tmod.fingerprint_lsh(PANGRAM, 0, 1)
+        assert lsh.algorithm == "minhash-lsh-h128"
+        assert lsh.fingerprint == mh.fingerprint
+
+    def test_band_hashes(self):
+        sig = textsig.minhash_signature(["a b c"], 128)
+        bands = textsig.band_hashes(sig)
+        assert len(bands) == 20
+        assert len(set(bands)) > 1
+
+    def test_tlsh_wire(self):
+        body = PANGRAM * 4
+        rec = tmod.fingerprint_tlsh(body, 0, 1)
+        assert rec.algorithm == "tlsh-128-1"
+        assert len(rec.fingerprint) == 70  # hex chars as bytes
+        bytes.fromhex(rec.fingerprint.decode())  # valid hex
+
+    def test_tlsh_min_len(self):
+        with pytest.raises(ModalityError):
+            tmod.fingerprint_tlsh("short", 0, 1)
+
+    def test_tlsh_distance_orders_similarity(self):
+        base = (PANGRAM + " ") * 10
+        near = base.replace("fox", "cat")
+        far = " ".join(f"unrelated{i} material{i*7}" for i in range(30))
+        da = textsig.tlsh_distance(
+            textsig.tlsh_128_1(base.encode()), textsig.tlsh_128_1(near.encode())
+        )
+        db = textsig.tlsh_distance(
+            textsig.tlsh_128_1(base.encode()), textsig.tlsh_128_1(far.encode())
+        )
+        assert da < db
+
+
+class TestSemantic:
+    def test_local_embedding(self):
+        rec = tmod.fingerprint_semantic(PANGRAM, 0, 1)
+        assert rec.algorithm == "embedding-local"
+        assert rec.model_id == tmod.SEMANTIC_LOCAL_MODEL_ID
+        assert len(rec.embedding) == 384
+        assert len(rec.fingerprint) == 384 * 4
+        assert abs(np.linalg.norm(rec.embedding) - 1.0) < 1e-5
+
+    def test_semantic_similarity_ordering(self):
+        a = np.array(tmod.fingerprint_semantic("the cat sat on the mat", 0, 1).embedding)
+        b = np.array(tmod.fingerprint_semantic("the cat sat on a mat", 0, 2).embedding)
+        c = np.array(
+            tmod.fingerprint_semantic("quantum flux capacitors overload", 0, 3).embedding
+        )
+        assert a @ b > a @ c
+
+    def test_external_providers_gated(self):
+        with pytest.raises(UnsupportedError):
+            tmod.fingerprint_semantic(PANGRAM, 0, 1, provider="openai")
+
+
+class TestStreaming:
+    def test_chunked_equals_whole(self):
+        s = tmod.StreamingMinHashSession(0, 1)
+        s.push("the quick brown ")
+        s.push("fox jumps over the lazy dog")
+        rec = s.finalize()
+        whole = tmod.fingerprint_minhash(PANGRAM, 0, 1)
+        assert rec.fingerprint == whole.fingerprint
+
+    def test_finalize_once(self):
+        s = tmod.StreamingMinHashSession(0, 1)
+        s.push("hello world")
+        s.finalize()
+        with pytest.raises(ModalityError):
+            s.finalize()
+        with pytest.raises(ModalityError):
+            s.push("more")
+
+
+class TestPreprocess:
+    def test_html(self):
+        out = tmod.html_to_text(
+            "<html><body><h1>Title</h1><script>evil()</script><p>Hello <b>world</b></p></body></html>"
+        )
+        assert "evil" not in out
+        assert "Title" in out and "Hello world" in out
+
+    def test_markdown(self):
+        out = tmod.markdown_to_text("# Head\n\n**bold** [link](http://x) `code`\n- item")
+        assert out == "Head bold link code item"
+
+    def test_pdf_minimal(self):
+        pdf = (
+            b"%PDF-1.4\n1 0 obj\n<< /Length 44 >>\nstream\n"
+            b"BT /F1 12 Tf (Hello PDF world) Tj ET\nendstream\nendobj\n%%EOF"
+        )
+        assert "Hello PDF world" in tmod.pdf_to_text(pdf)
+
+    def test_preprocess_in_pipeline(self):
+        rec = tmod.fingerprint_minhash(
+            "<p>the quick brown fox jumps over the lazy dog</p>",
+            0,
+            1,
+            tmod.TextOpts(preprocess="html"),
+        )
+        plain = tmod.fingerprint_minhash(PANGRAM, 0, 1)
+        assert rec.fingerprint == plain.fingerprint
+
+
+class TestInspect:
+    def test_stages(self):
+        res = tmod.inspect_text("Hello World, Hello There Again Friend")
+        assert res["canonicalized"].startswith("hello")
+        assert "hello" in res["tokens"]
+        assert len(res["shingles"]) >= 1
+        assert res["fingerprint_bytes"] == 1032
+        assert len(res["signature_u64"]) == 128
+
+
+class TestGolden:
+    """Golden regression for OUR canonical scheme (the analog of the
+    reference golden at src/server/tests.rs:1130-1163; see ops/textsig.py
+    header for why the txtfp bytes themselves are unobtainable)."""
+
+    def test_golden_pangram(self):
+        rec = tmod.fingerprint_minhash(PANGRAM, 0, 1)
+        got = {
+            "prefix16": rec.fingerprint[:16].hex(),
+            "config_hash": rec.config_hash,
+            "bytes": len(rec.fingerprint),
+        }
+        p = pathlib.Path(__file__).parent / "goldens" / "text_pangram_minhash.json"
+        if not p.exists():
+            p.parent.mkdir(exist_ok=True)
+            p.write_text(json.dumps(got, indent=1))
+        assert got == json.loads(p.read_text())

@@ -1,0 +1,490 @@
+"""Text modality pipeline: canonicalize -> tokenize -> shingle -> signature.
+
+Rebuilds the reference's text modality surface (src/modality/text.rs):
+  * fingerprint_minhash      "minhash-h128"      1032-byte signature
+  * fingerprint_simhash_tf   "simhash-b64-tf"    8 bytes
+  * fingerprint_simhash_idf  "simhash-b64-idf"   8 bytes
+  * fingerprint_lsh          "minhash-lsh-h128"  minhash bytes, re-tagged
+  * fingerprint_tlsh         "tlsh-128-1"        70-char hex STRING bytes
+  * fingerprint_semantic     "embedding-local" / "embedding-openai" /
+                             "embedding-voyage" / "embedding-cohere"
+  * StreamingMinHashSession  buffered push/finalize (text.rs:655-730)
+  * inspect_text             stage extractor (text.rs:877-967)
+  * html/markdown/pdf preprocess passes (text.rs:764-798)
+
+Canonicalizer knobs mirror txtfp's (normalization nfc/nfkc/none, simple
+case fold, strip bidi controls, strip format chars, optional confusable
+mapping; defaults NFKC + fold + strip, reference manifest
+algorithms_manifest.rs:240-268).
+
+The signature math lives in ucfp_tpu.ops.textsig (see its header for the
+documented schemes and the host-vs-device rationale).
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from dataclasses import dataclass, field, replace
+
+import numpy as np
+
+from ..core import Modality, ModalityError, Record, UnsupportedError
+from ..ops import textsig
+from .confighash import config_hash64
+
+DEFAULT_K = 5
+DEFAULT_H = 128
+
+ALGORITHM_MINHASH_128 = "minhash-h128"
+ALGORITHM_SIMHASH_TF = "simhash-b64-tf"
+ALGORITHM_SIMHASH_IDF = "simhash-b64-idf"
+ALGORITHM_LSH = "minhash-lsh-h128"
+ALGORITHM_TLSH = "tlsh-128-1"
+ALGORITHM_SEMANTIC_LOCAL = "embedding-local"
+ALGORITHM_SEMANTIC_OPENAI = "embedding-openai"
+ALGORITHM_SEMANTIC_VOYAGE = "embedding-voyage"
+ALGORITHM_SEMANTIC_COHERE = "embedding-cohere"
+
+
+# ---------------------------------------------------------------------------
+# Canonicalization
+# ---------------------------------------------------------------------------
+
+_BIDI_CONTROLS = {
+    "‎",  # LRM
+    "‏",  # RLM
+    "؜",  # ALM
+    "‪",  # LRE
+    "‫",  # RLE
+    "‬",  # PDF
+    "‭",  # LRO
+    "‮",  # RLO
+    "⁦",  # LRI
+    "⁧",  # RLI
+    "⁨",  # FSI
+    "⁩",  # PDI
+}
+
+# Small built-in confusable map (UTS#39-inspired subset: common Cyrillic /
+# Greek homoglyphs of Latin letters). Off by default like the reference.
+_CONFUSABLES = str.maketrans(
+    {
+        "а": "a", "е": "e", "о": "o", "р": "p", "с": "c", "х": "x", "у": "y",
+        "і": "i", "ѕ": "s", "ԁ": "d", "ɡ": "g", "α": "a", "β": "b", "ο": "o",
+        "ρ": "p", "τ": "t", "υ": "u", "ν": "v",
+    }
+)
+
+
+@dataclass(frozen=True)
+class TextOpts:
+    """Per-request tunables (reference TextOpts, text.rs:116-147)."""
+
+    k: int = DEFAULT_K
+    h: int = DEFAULT_H
+    tokenizer: str = "word"  # word | grapheme | char
+    normalization: str = "nfkc"  # nfc | nfkc | none
+    case_fold: bool = True
+    strip_bidi: bool = True
+    strip_format: bool = True
+    apply_confusable: bool = False
+    preprocess: str | None = None  # html | markdown | pdf
+
+
+def canonicalize(text: str, opts: TextOpts) -> str:
+    if opts.normalization == "nfkc":
+        text = unicodedata.normalize("NFKC", text)
+    elif opts.normalization == "nfc":
+        text = unicodedata.normalize("NFC", text)
+    elif opts.normalization != "none":
+        raise ModalityError(f"unknown normalization {opts.normalization!r}")
+    if opts.case_fold:
+        text = text.casefold()
+    if opts.strip_bidi or opts.strip_format:
+        out = []
+        for ch in text:
+            if opts.strip_bidi and ch in _BIDI_CONTROLS:
+                continue
+            if opts.strip_format and unicodedata.category(ch) == "Cf":
+                continue
+            out.append(ch)
+        text = "".join(out)
+    if opts.apply_confusable:
+        text = text.translate(_CONFUSABLES)
+    return text
+
+
+# ---------------------------------------------------------------------------
+# Tokenizers (word = UAX#29-style alnum runs; grapheme; char)
+# ---------------------------------------------------------------------------
+
+_WORD_RE = re.compile(r"[\w]+", re.UNICODE)
+
+
+def tokenize_words(text: str) -> list[str]:
+    return _WORD_RE.findall(text)
+
+
+def tokenize_graphemes(text: str) -> list[str]:
+    """Simplified grapheme clustering: base char + combining marks + ZWJ
+    sequences. Full UAX#29 segmentation is a later-round refinement."""
+    out: list[str] = []
+    cur = ""
+    prev_zwj = False
+    for ch in text:
+        cat = unicodedata.category(ch)
+        joiner = ch == "‍"
+        if cur and (cat.startswith("M") or joiner or prev_zwj):
+            cur += ch
+        else:
+            if cur:
+                out.append(cur)
+            cur = ch
+        prev_zwj = joiner
+    if cur:
+        out.append(cur)
+    return out
+
+
+def tokenize(text: str, kind: str) -> list[str]:
+    if kind == "word":
+        return tokenize_words(text)
+    if kind == "grapheme":
+        return [g for g in tokenize_graphemes(text) if not g.isspace()]
+    if kind == "char":
+        return [c for c in text if not c.isspace()]
+    if kind == "cjk":
+        raise UnsupportedError(
+            "cjk tokenizer (Lindera/KoDic morphological analysis) not enabled "
+            "in this build"
+        )
+    raise ModalityError(f"unknown tokenizer {kind!r}")
+
+
+def shingles_of(tokens: list[str], k: int) -> list[str]:
+    """k-token windows joined by single space; short inputs yield one
+    shingle of all tokens."""
+    if not tokens:
+        return []
+    if len(tokens) < k:
+        return [" ".join(tokens)]
+    return [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
+
+
+def _opts_config_hash(algorithm: str, opts: TextOpts) -> int:
+    return config_hash64(
+        algorithm,
+        k=opts.k,
+        h=opts.h,
+        tokenizer=opts.tokenizer,
+        normalization=opts.normalization,
+        case_fold=opts.case_fold,
+        strip_bidi=opts.strip_bidi,
+        strip_format=opts.strip_format,
+        apply_confusable=opts.apply_confusable,
+    )
+
+
+def _prepare(text: str, opts: TextOpts) -> str:
+    if opts.preprocess == "html":
+        text = html_to_text(text)
+    elif opts.preprocess == "markdown":
+        text = markdown_to_text(text)
+    elif opts.preprocess == "pdf":
+        raise ModalityError("pdf preprocess takes raw bytes; use pdf_to_text")
+    elif opts.preprocess is not None:
+        raise ModalityError(f"unknown preprocess {opts.preprocess!r}")
+    return canonicalize(text, opts)
+
+
+# ---------------------------------------------------------------------------
+# Fingerprint functions
+# ---------------------------------------------------------------------------
+
+
+def fingerprint_minhash(
+    text: str, tenant_id: int, record_id: int, opts: TextOpts | None = None
+) -> Record:
+    opts = opts or TextOpts()
+    canon = _prepare(text, opts)
+    toks = tokenize(canon, opts.tokenizer)
+    if not toks:
+        raise ModalityError("no tokens after canonicalization")
+    sh = shingles_of(toks, opts.k)
+    sig = textsig.minhash_signature(sh, opts.h)
+    algorithm = f"minhash-h{opts.h}" if opts.h != 128 else ALGORITHM_MINHASH_128
+    return Record(
+        tenant_id=tenant_id,
+        record_id=record_id,
+        modality=Modality.TEXT,
+        algorithm=algorithm,
+        fingerprint=textsig.serialize_minhash(sig),
+        config_hash=_opts_config_hash(algorithm, opts),
+        text=canon,
+    )
+
+
+def fingerprint_simhash(
+    text: str,
+    tenant_id: int,
+    record_id: int,
+    opts: TextOpts | None = None,
+    idf: dict[str, float] | None = None,
+) -> Record:
+    """TF-weighted (idf=None) or TF-IDF-weighted 64-bit SimHash.
+
+    The IDF variant falls back to pure TF when no corpus stats are
+    available, matching REPORT.md 4.1.2's first-document behavior.
+    """
+    opts = opts or TextOpts()
+    canon = _prepare(text, opts)
+    toks = tokenize(canon, opts.tokenizer)
+    if not toks:
+        raise ModalityError("no tokens after canonicalization")
+    from collections import Counter
+
+    tf = Counter(toks)
+    terms = list(tf.keys())
+    if idf:
+        weights = [tf[t] * idf.get(t, 1.0) for t in terms]
+        algorithm = ALGORITHM_SIMHASH_IDF
+    else:
+        weights = [float(tf[t]) for t in terms]
+        algorithm = ALGORITHM_SIMHASH_IDF if idf is not None else ALGORITHM_SIMHASH_TF
+    h = textsig.simhash64(terms, weights)
+    return Record(
+        tenant_id=tenant_id,
+        record_id=record_id,
+        modality=Modality.TEXT,
+        algorithm=algorithm,
+        fingerprint=h.to_bytes(8, "little"),
+        config_hash=_opts_config_hash(algorithm, opts),
+        text=canon,
+    )
+
+
+def fingerprint_lsh(
+    text: str, tenant_id: int, record_id: int, opts: TextOpts | None = None
+) -> Record:
+    """MinHash record re-tagged for LSH bucket insertion (text.rs:437-446)."""
+    rec = fingerprint_minhash(text, tenant_id, record_id, opts)
+    return replace(rec, algorithm=ALGORITHM_LSH)
+
+
+def fingerprint_tlsh(
+    text: str, tenant_id: int, record_id: int, opts: TextOpts | None = None
+) -> Record:
+    opts = opts or TextOpts()
+    canon = _prepare(text, opts)
+    data = canon.encode("utf-8")
+    try:
+        digest = textsig.tlsh_128_1(data)
+    except ValueError as e:
+        raise ModalityError(str(e))
+    return Record(
+        tenant_id=tenant_id,
+        record_id=record_id,
+        modality=Modality.TEXT,
+        algorithm=ALGORITHM_TLSH,
+        # stored as the hex string's bytes, matching text.rs:478
+        fingerprint=digest.encode("ascii"),
+        config_hash=_opts_config_hash(ALGORITHM_TLSH, opts),
+        text=canon,
+    )
+
+
+# -- semantic providers -------------------------------------------------------
+
+SEMANTIC_DIM = 384
+SEMANTIC_LOCAL_MODEL_ID = "ucfp-hash-embed-384-v1"
+
+
+def _local_embed(canon: str) -> np.ndarray:
+    """Deterministic local embedding: feature-hashed TF bag of words +
+    word-bigrams, signed hashing trick, L2-normalized.
+
+    Stands in for the reference's local ONNX MiniLM provider
+    (text.rs:500-606) without a model download; a flax encoder slots in
+    behind the same provider seam in a later round.
+    """
+    import xxhash
+
+    toks = tokenize_words(canon)
+    if not toks:
+        raise ModalityError("no tokens for semantic embedding")
+    feats = toks + [f"{a}\x1f{b}" for a, b in zip(toks, toks[1:])]
+    v = np.zeros(SEMANTIC_DIM, np.float64)
+    for f in feats:
+        h = xxhash.xxh3_64_intdigest(f.encode("utf-8"))
+        idx = h % SEMANTIC_DIM
+        sign = 1.0 if (h >> 63) else -1.0
+        v[idx] += sign
+    n = np.linalg.norm(v)
+    if n == 0:
+        raise ModalityError("degenerate semantic embedding")
+    return (v / n).astype(np.float32)
+
+
+def fingerprint_semantic(
+    text: str,
+    tenant_id: int,
+    record_id: int,
+    provider: str = "local",
+    opts: TextOpts | None = None,
+    provider_key: str | None = None,
+) -> Record:
+    """Semantic embedding record: embedding slot + f32-LE fingerprint bytes."""
+    opts = opts or TextOpts()
+    canon = _prepare(text, opts)
+    if provider == "local":
+        emb = _local_embed(canon)
+        algorithm, model_id = ALGORITHM_SEMANTIC_LOCAL, SEMANTIC_LOCAL_MODEL_ID
+    elif provider in ("openai", "voyage", "cohere"):
+        raise UnsupportedError(
+            f"semantic provider {provider!r} requires network egress, "
+            "disabled in this build"
+        )
+    else:
+        raise ModalityError(f"unknown semantic provider {provider!r}")
+    return Record(
+        tenant_id=tenant_id,
+        record_id=record_id,
+        modality=Modality.TEXT,
+        algorithm=algorithm,
+        fingerprint=emb.astype("<f4").tobytes(),
+        embedding=[float(x) for x in emb],
+        model_id=model_id,
+        config_hash=_opts_config_hash(algorithm, opts),
+        text=canon,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming session (buffered, like txtfp MinHashStreaming, text.rs:655-730)
+# ---------------------------------------------------------------------------
+
+
+class StreamingMinHashSession:
+    """Push text chunks, finalize once into a MinHash record."""
+
+    def __init__(self, tenant_id: int, record_id: int, opts: TextOpts | None = None):
+        self.tenant_id = tenant_id
+        self.record_id = record_id
+        self.opts = opts or TextOpts()
+        self._chunks: list[str] = []
+        self._finalized = False
+
+    def push(self, chunk: str) -> None:
+        if self._finalized:
+            raise ModalityError("session already finalized")
+        self._chunks.append(chunk)
+
+    def finalize(self) -> Record:
+        if self._finalized:
+            raise ModalityError("session already finalized")
+        self._finalized = True
+        return fingerprint_minhash(
+            "".join(self._chunks), self.tenant_id, self.record_id, self.opts
+        )
+
+
+# ---------------------------------------------------------------------------
+# Preprocess passes (text.rs:764-798)
+# ---------------------------------------------------------------------------
+
+
+def html_to_text(html: str) -> str:
+    from html.parser import HTMLParser
+
+    class _Extract(HTMLParser):
+        def __init__(self):
+            super().__init__()
+            self.parts: list[str] = []
+            self._skip = 0
+
+        def handle_starttag(self, tag, attrs):
+            if tag in ("script", "style"):
+                self._skip += 1
+
+        def handle_endtag(self, tag):
+            if tag in ("script", "style") and self._skip:
+                self._skip -= 1
+
+        def handle_data(self, data):
+            if not self._skip:
+                self.parts.append(data)
+
+    p = _Extract()
+    p.feed(html)
+    return re.sub(r"\s+", " ", " ".join(p.parts)).strip()
+
+
+_MD_PATTERNS = [
+    (re.compile(r"```.*?```", re.DOTALL), " "),
+    (re.compile(r"`([^`]*)`"), r"\1"),
+    (re.compile(r"!\[([^\]]*)\]\([^)]*\)"), r"\1"),
+    (re.compile(r"\[([^\]]*)\]\([^)]*\)"), r"\1"),
+    (re.compile(r"^#{1,6}\s*", re.MULTILINE), ""),
+    (re.compile(r"[*_~]{1,3}([^*_~]+)[*_~]{1,3}"), r"\1"),
+    (re.compile(r"^>\s?", re.MULTILINE), ""),
+    (re.compile(r"^[-+*]\s+", re.MULTILINE), ""),
+    (re.compile(r"^\d+\.\s+", re.MULTILINE), ""),
+]
+
+
+def markdown_to_text(md: str) -> str:
+    for pat, rep in _MD_PATTERNS:
+        md = pat.sub(rep, md)
+    return re.sub(r"\s+", " ", md).strip()
+
+
+def pdf_to_text(data: bytes) -> str:
+    """Minimal PDF text extraction: literal strings in Tj/TJ show operators
+    across uncompressed content streams. Compressed streams (FlateDecode)
+    are inflated with zlib. Not a full PDF renderer — enough for the
+    text-bearing PDFs the reference's preprocess pass targets."""
+    import zlib
+
+    text_parts: list[str] = []
+    for m in re.finditer(rb"stream\r?\n(.*?)endstream", data, re.DOTALL):
+        blob = m.group(1)
+        try:
+            blob = zlib.decompress(blob)
+        except zlib.error:
+            pass
+        for sm in re.finditer(rb"\(((?:[^()\\]|\\.)*)\)\s*T[jJ]", blob):
+            raw = sm.group(1)
+            s = re.sub(rb"\\([()\\])", rb"\1", raw)
+            try:
+                text_parts.append(s.decode("latin-1"))
+            except UnicodeDecodeError:
+                continue
+    if not text_parts:
+        raise ModalityError("pdf: no extractable text")
+    return re.sub(r"\s+", " ", " ".join(text_parts)).strip()
+
+
+# ---------------------------------------------------------------------------
+# Inspect (stage extractor, text.rs:877-967)
+# ---------------------------------------------------------------------------
+
+
+def inspect_text(text: str, opts: TextOpts | None = None) -> dict:
+    opts = opts or TextOpts()
+    canon = _prepare(text, opts)
+    toks = tokenize(canon, opts.tokenizer)
+    sh = shingles_of(toks, opts.k)
+    sig = textsig.minhash_signature(sh, opts.h)
+    fp = textsig.serialize_minhash(sig)
+    algorithm = f"minhash-h{opts.h}" if opts.h != 128 else ALGORITHM_MINHASH_128
+    return {
+        "algorithm": algorithm,
+        "canonicalized": canon,
+        "tokens": toks,
+        "shingles": sh,
+        "signature_u64": [int(x) for x in sig],
+        "fingerprint_hex": fp.hex(),
+        "fingerprint_bytes": len(fp),
+        "config_hash": _opts_config_hash(algorithm, opts),
+    }
