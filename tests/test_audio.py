@@ -1,0 +1,296 @@
+"""Audio pipeline tests: DSP primitives vs scipy oracle, peak picking,
+Wang/Panako/Haitsma properties, neural, watermark, streaming, inspect."""
+
+import math
+
+import numpy as np
+import pytest
+
+from ucfp_tpu.core import ModalityError
+from ucfp_tpu.modality import audio as amod
+from ucfp_tpu.ops.audio import constellation, dsp, haitsma as hops
+
+
+def sine(freq=440.0, secs=4.0, sr=8000, amp=0.5):
+    t = np.arange(int(secs * sr)) / sr
+    return (amp * np.sin(2 * math.pi * freq * t)).astype(np.float32)
+
+
+def two_tone(secs=4.0, sr=8000):
+    t = np.arange(int(secs * sr)) / sr
+    x = 0.4 * np.sin(2 * math.pi * 440 * t)
+    x += 0.3 * np.sin(2 * math.pi * 1200 * t) * (np.sin(2 * math.pi * 0.5 * t) > 0)
+    return x.astype(np.float32)
+
+
+class TestDsp:
+    def test_stft_matches_scipy(self):
+        """Matmul-DFT magnitudes vs scipy rfft on the same frames."""
+        import jax.numpy as jnp
+
+        x = sine(secs=0.5)
+        power = np.asarray(dsp.stft_power(jnp.asarray(x), 1024, 256, False))
+        w = dsp.hann_periodic(1024)
+        f0 = x[:1024] * w
+        ref = np.abs(np.fft.rfft(f0)) ** 2
+        np.testing.assert_allclose(power[0], ref, rtol=1e-3, atol=1e-3)
+
+    def test_stft_peak_at_tone_bin(self):
+        import jax.numpy as jnp
+
+        x = sine(freq=1000.0, secs=1.0)
+        power = np.asarray(dsp.stft_power(jnp.asarray(x), 1024, 256, True))
+        # 1000 Hz at 8 kHz, n_fft 1024 -> bin 128
+        assert abs(int(np.argmax(power[4])) - 128) <= 1
+
+    def test_centered_frame_count(self):
+        import jax.numpy as jnp
+
+        x = sine(secs=1.0)
+        power = np.asarray(dsp.stft_power(jnp.asarray(x), 1024, 256, True))
+        assert power.shape == (8000 // 256 + 1, 513)
+
+    def test_resample_linear(self):
+        x = np.arange(10, dtype=np.float32)
+        y = dsp.resample_linear(x, 10, 20)
+        assert len(y) == 20
+        np.testing.assert_allclose(y[:4], [0.0, 0.5, 1.0, 1.5])
+        # identity
+        np.testing.assert_array_equal(dsp.resample_linear(x, 10, 10), x)
+
+    def test_mel_bank_shape_and_coverage(self):
+        bank = dsp.mel_filterbank(64, 1024, 8000, 0.0, 4000.0)
+        assert bank.shape == (513, 64)
+        assert (bank.sum(axis=0) > 0).all()  # every band has support
+
+
+class TestPeaks:
+    def test_single_tone_peaks_at_bin(self):
+        x = sine(freq=1000.0, secs=2.0)
+        t, f, mags, _ = constellation.peaks_for_inspect(
+            x, 8000, constellation.WangConfig()
+        )
+        assert len(t) > 0
+        # the strongest peaks sit at the tone bin (128); weaker floor
+        # peaks may pass the -50 dB gate but never outrank the ridge
+        order = np.argsort(-mags)
+        top = f.astype(int)[order[: max(1, len(order) // 2)]]
+        assert np.all(np.abs(top - 128) <= 1)
+        # and the ridge is picked repeatedly across time slabs
+        assert len(np.unique(t[np.abs(f.astype(int) - 128) <= 1])) >= 10
+
+    def test_peaks_per_sec_cap(self):
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=8000 * 2).astype(np.float32)
+        cfg = constellation.WangConfig(peaks_per_sec=10)
+        t, f, mags, power = constellation.peaks_for_inspect(x, 8000, cfg)
+        slab = 8000 // 256
+        n_slabs = -(-power.shape[0] // slab)
+        assert len(t) <= n_slabs * 10
+
+    def test_silence_no_peaks(self):
+        x = np.zeros(8000, np.float32)
+        t, f, mags, _ = constellation.peaks_for_inspect(
+            x, 8000, constellation.WangConfig()
+        )
+        assert len(t) == 0
+
+
+class TestWang:
+    def test_fingerprint_roundtrip(self):
+        rec = amod.fingerprint_wang(two_tone(), 8000, 0, 1)
+        assert rec.algorithm == "audiofp-wang-v1"
+        assert len(rec.fingerprint) % 8 == 0
+        n = len(rec.fingerprint) // 8
+        assert n > 0
+        arr = np.frombuffer(rec.fingerprint, dtype="<u4").reshape(n, 2)
+        dts = arr[:, 0] & 0xFFF
+        assert (dts > 0).all() and (dts <= 63).all()
+
+    def test_deterministic(self):
+        a = amod.fingerprint_wang(two_tone(), 8000, 0, 1)
+        b = amod.fingerprint_wang(two_tone(), 8000, 0, 2)
+        assert a.fingerprint == b.fingerprint
+
+    def test_resamples_non_canonical_rate(self):
+        x16 = dsp.resample_linear(two_tone(), 8000, 16000)
+        rec = amod.fingerprint_wang(x16, 16000, 0, 1)
+        assert len(rec.fingerprint) > 0
+
+    def test_fan_out_respected(self):
+        cfg = constellation.WangConfig(fan_out=2)
+        rec = amod.fingerprint_wang(two_tone(), 8000, 0, 1, cfg)
+        arr = np.frombuffer(rec.fingerprint, dtype="<u4").reshape(-1, 2)
+        from collections import Counter
+
+        # an anchor peak is identified by (t1 frame, f1 bin)
+        per_anchor = Counter(
+            (int(t), int(h) >> 22) for h, t in arr.tolist()
+        )
+        assert max(per_anchor.values()) <= 2
+
+    def test_overlap_shares_hashes(self):
+        """A clip and the same clip with a prefix share many hash values
+        (time-offset invariance of the hash field)."""
+        x = two_tone(secs=3.0)
+        # hop- and slab-aligned prefix (31 frames * 256 hop = 7936 samples)
+        # so the test exercises the pairing rule, not STFT phase jitter
+        pre = np.concatenate([sine(220.0, 7936 / 8000.0), x])
+        h1 = np.frombuffer(
+            amod.fingerprint_wang(x, 8000, 0, 1).fingerprint, dtype="<u4"
+        ).reshape(-1, 2)[:, 0]
+        h2 = np.frombuffer(
+            amod.fingerprint_wang(pre, 8000, 0, 2).fingerprint, dtype="<u4"
+        ).reshape(-1, 2)[:, 0]
+        inter = len(set(h1.tolist()) & set(h2.tolist()))
+        assert inter >= len(h1) * 0.3
+
+
+class TestPanako:
+    def test_roundtrip(self):
+        rec = amod.fingerprint_panako(two_tone(), 8000, 0, 1)
+        assert rec.algorithm == "audiofp-panako-v1"
+        assert len(rec.fingerprint) % 8 == 0 and len(rec.fingerprint) > 0
+
+    def test_requires_8k(self):
+        with pytest.raises(ModalityError):
+            amod.fingerprint_panako(two_tone(), 16000, 0, 1)
+
+
+class TestHaitsma:
+    def test_density_312_bytes_per_sec(self):
+        """The manifest's density contract: ~312 B per second of audio."""
+        rec = amod.fingerprint_haitsma(sine(secs=4.0), 8000, 0, 1)
+        bps = len(rec.fingerprint) / 4.0
+        assert 280 <= bps <= 315  # (T-1) frames and edge effects
+
+    def test_band_matrix(self):
+        m = hops.band_matrix(300.0, 2000.0)
+        assert m.shape == (1025, 33)
+        assert (m.sum(axis=1) <= 1.0 + 1e-6).all()  # non-overlapping
+
+    def test_robust_to_small_noise(self):
+        # broadband content: sparse pure tones leave most of the 33 bands
+        # empty, where the double-differential sign is noise-dominated.
+        rng0 = np.random.default_rng(42)
+        x = rng0.normal(size=16000).astype(np.float32)
+        x = np.convolve(x, np.ones(8) / 8, mode="same").astype(np.float32)
+        rng = np.random.default_rng(1)
+        noisy = (x + 0.001 * rng.normal(size=len(x)).astype(np.float32)).astype(
+            np.float32
+        )
+        a = np.frombuffer(
+            amod.fingerprint_haitsma(x, 8000, 0, 1).fingerprint, dtype="<u4"
+        )
+        b = np.frombuffer(
+            amod.fingerprint_haitsma(noisy, 8000, 0, 2).fingerprint, dtype="<u4"
+        )
+        n = min(len(a), len(b))
+        ber = np.unpackbits(
+            (a[:n] ^ b[:n]).view(np.uint8)
+        ).mean()
+        assert ber < 0.15  # bit error rate small under light noise
+
+    def test_distinguishes_content(self):
+        a = np.frombuffer(
+            amod.fingerprint_haitsma(two_tone(secs=2.0), 8000, 0, 1).fingerprint,
+            dtype="<u4",
+        )
+        rng = np.random.default_rng(2)
+        other = rng.normal(size=16000).astype(np.float32)
+        b = np.frombuffer(
+            amod.fingerprint_haitsma(other, 8000, 0, 2).fingerprint, dtype="<u4"
+        )
+        n = min(len(a), len(b))
+        ber = np.unpackbits((a[:n] ^ b[:n]).view(np.uint8)).mean()
+        assert ber > 0.25
+
+
+class TestNeural:
+    def test_embeddings(self):
+        rec = amod.fingerprint_neural(two_tone(secs=4.0), 8000, 0, 1)
+        assert rec.algorithm == "audiofp-neural-v1"
+        assert rec.model_id == amod.NEURAL_MODEL_ID
+        assert len(rec.embedding) == 128
+        assert abs(np.linalg.norm(rec.embedding) - 1.0) < 1e-4
+        # multiple windows packed
+        assert len(rec.fingerprint) >= 128 * 4
+
+    def test_similarity_ordering(self):
+        a = np.array(amod.fingerprint_neural(two_tone(), 8000, 0, 1).embedding)
+        b = np.array(
+            amod.fingerprint_neural(two_tone() * 0.8, 8000, 0, 2).embedding
+        )
+        rng = np.random.default_rng(3)
+        c = np.array(
+            amod.fingerprint_neural(
+                rng.normal(size=32000).astype(np.float32), 8000, 0, 3
+            ).embedding
+        )
+        assert a @ b > a @ c
+
+
+class TestWatermark:
+    def test_embed_detect_roundtrip(self):
+        x = sine(secs=5.0)
+        marked = amod.embed_watermark(x, 8000, payload=0xBEEF)
+        rep = amod.detect_watermark(marked, 8000)
+        assert rep.detected
+        assert rep.payload == 0xBEEF
+        assert rep.confidence > 0.5
+
+    def test_unmarked_not_detected(self):
+        rep = amod.detect_watermark(sine(secs=5.0), 8000)
+        assert not rep.detected
+        assert rep.payload is None
+
+    def test_short_input(self):
+        rep = amod.detect_watermark(sine(secs=0.1), 8000)
+        assert not rep.detected and rep.confidence == 0.0
+
+
+class TestStreaming:
+    def test_requires_8k(self):
+        with pytest.raises(ModalityError):
+            amod.StreamingWangSession(0, 1, 16000)
+
+    def test_segments_emitted(self):
+        s = amod.StreamingWangSession(0, 1, 8000, segment_secs=2.0)
+        x = two_tone(secs=7.0)
+        recs = []
+        for i in range(0, len(x), 8000):
+            recs.extend(s.push(x[i : i + 8000]))
+        recs.extend(s.finalize())
+        assert len(recs) >= 3
+        assert recs[0].metadata == b"segment=0"
+        assert all(len(r.fingerprint) > 0 for r in recs)
+
+    def test_closed_session(self):
+        s = amod.StreamingWangSession(0, 1, 8000)
+        s.finalize()
+        with pytest.raises(ModalityError):
+            s.push(np.zeros(100, np.float32))
+
+
+class TestDecodeAndInspect:
+    def test_decode_f32le(self):
+        x = np.array([1.0, -0.5], np.float32)
+        out = amod.decode_f32le(x.tobytes())
+        np.testing.assert_array_equal(out, x)
+        with pytest.raises(ModalityError):
+            amod.decode_f32le(b"\x00\x01\x02")  # not multiple of 4
+        with pytest.raises(ModalityError):
+            amod.decode_f32le(b"")
+
+    def test_inspect_stages(self):
+        res = amod.inspect_audio(two_tone(secs=2.0), 8000)
+        assert res["algorithm"] == "audiofp-wang-v1"
+        assert len(res["envelope"]) == 256
+        assert res["total_peaks"] > 0
+        assert res["total_landmarks"] > 0
+        assert res["mel_bands"] == 64
+        assert res["duration_secs"] == pytest.approx(2.0)
+
+    def test_inspect_empty_rejected(self):
+        with pytest.raises(ModalityError):
+            amod.inspect_audio(np.zeros(0, np.float32), 8000)

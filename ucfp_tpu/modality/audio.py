@@ -1,0 +1,473 @@
+"""Audio modality pipeline: raw f32 PCM -> device DSP -> Records.
+
+Rebuilds the reference audio surface (src/modality/audio.rs):
+  * fingerprint_wang     "audiofp-wang-v1"     landmark (hash,t) u32 pairs
+  * fingerprint_panako   "audiofp-panako-v1"   triplet (hash,aux) u32 pairs
+  * fingerprint_haitsma  "audiofp-haitsma-v1"  u32 frame sequence (5 kHz)
+  * fingerprint_neural   "audiofp-neural-v1"   per-window log-mel embeddings,
+                                               first window lifted to the
+                                               embedding slot (audio.rs:268-321)
+  * detect_watermark     "audiofp-watermark-v1" WatermarkReport, no Record
+                                               (audio.rs:333-400)
+  * StreamingWangSession requires exactly 8 kHz (audio.rs:425-429)
+  * inspect_audio        shared DSP stage extractor (audio.rs:600-699)
+
+All spectral work runs on device (ops/audio/*); this module validates
+input, assembles Records, and owns the streaming/segmenting logic.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..core import Modality, ModalityError, Record
+from ..ops.audio import constellation, dsp, haitsma as haitsma_ops
+from ..ops.audio.constellation import PanakoConfig, WangConfig
+from ..ops.audio.haitsma import HaitsmaConfig
+from .confighash import config_hash64
+
+ALGORITHM_WANG = "audiofp-wang-v1"
+ALGORITHM_PANAKO = "audiofp-panako-v1"
+ALGORITHM_HAITSMA = "audiofp-haitsma-v1"
+ALGORITHM_NEURAL = "audiofp-neural-v1"
+ALGORITHM_WATERMARK = "audiofp-watermark-v1"
+
+CANONICAL_SR = 8_000  # Wang/Panako canonical rate (audio.rs:425-429)
+MAX_SAMPLE_RATE = 192_000
+
+
+def _check_input(samples: np.ndarray, sample_rate: int) -> np.ndarray:
+    if sample_rate <= 0 or sample_rate > MAX_SAMPLE_RATE:
+        raise ModalityError(f"invalid sample rate {sample_rate}")
+    x = np.asarray(samples, np.float32)
+    if x.ndim != 1:
+        raise ModalityError("audio must be mono f32")
+    if x.size == 0:
+        raise ModalityError("empty sample buffer")
+    return x
+
+
+def decode_f32le(body: bytes) -> np.ndarray:
+    """Raw little-endian f32 body, 4-byte aligned (handlers.rs:737-750)."""
+    if len(body) == 0:
+        raise ModalityError("empty audio body")
+    if len(body) % 4 != 0:
+        raise ModalityError("audio body length must be a multiple of 4 (f32 LE)")
+    return np.frombuffer(body, dtype="<f4").astype(np.float32)
+
+
+def _wang_cfg_hash(cfg: WangConfig, algorithm: str) -> int:
+    return config_hash64(
+        algorithm,
+        fan_out=cfg.fan_out,
+        target_zone_t=cfg.target_zone_t,
+        target_zone_f=cfg.target_zone_f,
+        peaks_per_sec=cfg.peaks_per_sec,
+        min_anchor_mag_db=cfg.min_anchor_mag_db,
+    )
+
+
+def fingerprint_wang(
+    samples: np.ndarray,
+    sample_rate: int,
+    tenant_id: int,
+    record_id: int,
+    cfg: WangConfig | None = None,
+) -> Record:
+    cfg = cfg or WangConfig()
+    x = _check_input(samples, sample_rate)
+    if sample_rate != CANONICAL_SR:
+        x = dsp.resample_linear(x, sample_rate, CANONICAL_SR)
+    hashes, t1 = constellation.extract_landmarks(x, CANONICAL_SR, cfg)
+    # (hash u32, t1 u32) LE pairs, cast straight to bytes
+    buf = np.empty((len(hashes), 2), dtype="<u4")
+    buf[:, 0] = hashes
+    buf[:, 1] = t1
+    return Record(
+        tenant_id=tenant_id,
+        record_id=record_id,
+        modality=Modality.AUDIO,
+        algorithm=ALGORITHM_WANG,
+        fingerprint=buf.tobytes(),
+        config_hash=_wang_cfg_hash(cfg, ALGORITHM_WANG),
+    )
+
+
+def fingerprint_panako(
+    samples: np.ndarray,
+    sample_rate: int,
+    tenant_id: int,
+    record_id: int,
+    cfg: PanakoConfig | None = None,
+) -> Record:
+    cfg = cfg or PanakoConfig()
+    x = _check_input(samples, sample_rate)
+    if sample_rate != CANONICAL_SR:
+        raise ModalityError(
+            f"panako requires {CANONICAL_SR} Hz input, got {sample_rate}"
+        )
+    hashes, aux = constellation.extract_panako(x, CANONICAL_SR, cfg)
+    buf = np.empty((len(hashes), 2), dtype="<u4")
+    buf[:, 0] = hashes
+    buf[:, 1] = aux
+    return Record(
+        tenant_id=tenant_id,
+        record_id=record_id,
+        modality=Modality.AUDIO,
+        algorithm=ALGORITHM_PANAKO,
+        fingerprint=buf.tobytes(),
+        config_hash=config_hash64(
+            ALGORITHM_PANAKO,
+            fan_out=cfg.fan_out,
+            target_zone_t=cfg.target_zone_t,
+            target_zone_f=cfg.target_zone_f,
+            peaks_per_sec=cfg.peaks_per_sec,
+            min_anchor_mag_db=cfg.min_anchor_mag_db,
+        ),
+    )
+
+
+def fingerprint_haitsma(
+    samples: np.ndarray,
+    sample_rate: int,
+    tenant_id: int,
+    record_id: int,
+    cfg: HaitsmaConfig | None = None,
+) -> Record:
+    """Resamples to 5 kHz internally (audio.rs:193-201)."""
+    cfg = cfg or HaitsmaConfig()
+    x = _check_input(samples, sample_rate)
+    frames = haitsma_ops.fingerprint_frames(x, sample_rate, cfg)
+    return Record(
+        tenant_id=tenant_id,
+        record_id=record_id,
+        modality=Modality.AUDIO,
+        algorithm=ALGORITHM_HAITSMA,
+        fingerprint=frames.astype("<u4").tobytes(),
+        config_hash=config_hash64(ALGORITHM_HAITSMA, fmin=cfg.fmin, fmax=cfg.fmax),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Neural log-mel embedder (device model with fixed seeded weights)
+# ---------------------------------------------------------------------------
+
+NEURAL_MODEL_ID = "ucfp-audio-logmel-mlp-v1"
+NEURAL_DIM = 128
+_NEURAL_MELS = 64
+_NEURAL_WIN = 96  # frames per window
+_NEURAL_HOP = 48
+
+
+@functools.lru_cache(maxsize=1)
+def _neural_params():
+    """Deterministic fixed weights (seeded PRNG): a 2-layer MLP over the
+    flattened log-mel window. Stands in for the reference's ONNX log-mel
+    embedder (audio.rs:268-321) as a real on-device JAX model; a trained
+    encoder slots in behind the same model_id seam later."""
+    import jax
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0xA0D10), 2)
+    d_in = _NEURAL_WIN * _NEURAL_MELS
+    w1 = jax.random.normal(k1, (d_in, 512), jnp_dtype()) * (1.0 / math.sqrt(d_in))
+    w2 = jax.random.normal(k2, (512, NEURAL_DIM), jnp_dtype()) * (1.0 / math.sqrt(512))
+    return w1, w2
+
+
+def jnp_dtype():
+    import jax.numpy as jnp
+
+    return jnp.float32
+
+
+def _neural_embed_windows(x: np.ndarray, sr: int) -> np.ndarray:
+    import jax
+    import jax.numpy as jnp
+
+    power = dsp.stft_power(jnp.asarray(x, jnp.float32), 1024, 256, True)
+    mel = dsp.mel_spectrogram(power, _NEURAL_MELS, 1024, sr)
+    logmel = jnp.log(mel + 1e-6)
+    t = logmel.shape[0]
+    if t < _NEURAL_WIN:
+        pad = _NEURAL_WIN - t
+        logmel = jnp.pad(logmel, ((0, pad), (0, 0)))
+        t = _NEURAL_WIN
+    n_win = 1 + (t - _NEURAL_WIN) // _NEURAL_HOP
+    idx = (
+        jnp.arange(n_win)[:, None] * _NEURAL_HOP + jnp.arange(_NEURAL_WIN)[None, :]
+    )
+    wins = logmel[idx].reshape(n_win, -1)  # [n_win, WIN*MELS]
+    w1, w2 = _neural_params()
+    h = jnp.tanh(
+        jnp.dot(wins, w1, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+    )
+    e = jnp.dot(h, w2, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+    e = e / jnp.maximum(jnp.linalg.norm(e, axis=1, keepdims=True), 1e-9)
+    return np.asarray(e, dtype=np.float32)
+
+
+def fingerprint_neural(
+    samples: np.ndarray, sample_rate: int, tenant_id: int, record_id: int
+) -> Record:
+    """Per-window embeddings packed into the fingerprint; the first window
+    is lifted to the embedding slot (audio.rs:268-321)."""
+    x = _check_input(samples, sample_rate)
+    emb = _neural_embed_windows(x, sample_rate)
+    return Record(
+        tenant_id=tenant_id,
+        record_id=record_id,
+        modality=Modality.AUDIO,
+        algorithm=ALGORITHM_NEURAL,
+        fingerprint=emb.astype("<f4").tobytes(),
+        embedding=[float(v) for v in emb[0]],
+        model_id=NEURAL_MODEL_ID,
+        config_hash=config_hash64(
+            ALGORITHM_NEURAL, model_id=NEURAL_MODEL_ID, dim=NEURAL_DIM,
+            win=_NEURAL_WIN, hop=_NEURAL_HOP, mels=_NEURAL_MELS,
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Watermark (spread-spectrum embed/detect pair)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class WatermarkConfig:
+    threshold: float = 0.5  # detection threshold (dto.rs:320-323)
+    seed: int = 0x5EED
+    # 0.05 keeps the per-chip matched-filter SNR ~6x above typical host
+    # audio leakage (host dot-product sigma ~ amp*sqrt(chip_len))
+    strength: float = 0.05
+    payload_bits: int = 16
+    chip_len: int = 2048  # samples per payload bit
+
+
+@dataclass
+class WatermarkReport:
+    """Matches the reference report shape (audio.rs:333-400)."""
+
+    detected: bool
+    payload: int | None
+    confidence: float
+
+
+def _pn_sequence(cfg: WatermarkConfig, n: int) -> np.ndarray:
+    rng = np.random.default_rng(cfg.seed)
+    return rng.choice(np.array([-1.0, 1.0], np.float32), size=n)
+
+
+def embed_watermark(
+    samples: np.ndarray, sample_rate: int, payload: int,
+    cfg: WatermarkConfig | None = None,
+) -> np.ndarray:
+    """ucfp-native spread-spectrum watermark: each payload bit modulates a
+    PN chip sequence added at `strength` amplitude. The companion of
+    detect_watermark — a self-consistent pair standing in for the
+    reference's AudioSeal model (which cannot be reproduced offline)."""
+    cfg = cfg or WatermarkConfig()
+    x = _check_input(samples, sample_rate).copy()
+    need = cfg.payload_bits * cfg.chip_len
+    if len(x) < need:
+        raise ModalityError(
+            f"watermark needs >= {need} samples, got {len(x)}"
+        )
+    pn = _pn_sequence(cfg, need)
+    for b in range(cfg.payload_bits):
+        bit = 1.0 if (payload >> b) & 1 else -1.0
+        sl = slice(b * cfg.chip_len, (b + 1) * cfg.chip_len)
+        x[sl] += cfg.strength * bit * pn[sl]
+    return x
+
+
+def detect_watermark(
+    samples: np.ndarray, sample_rate: int, cfg: WatermarkConfig | None = None
+) -> WatermarkReport:
+    """Correlation detector; confidence = mean |normalized correlation|."""
+    cfg = cfg or WatermarkConfig()
+    x = _check_input(samples, sample_rate)
+    need = cfg.payload_bits * cfg.chip_len
+    if len(x) < need:
+        return WatermarkReport(detected=False, payload=None, confidence=0.0)
+    pn = _pn_sequence(cfg, need)
+    payload = 0
+    corrs = []
+    for b in range(cfg.payload_bits):
+        sl = slice(b * cfg.chip_len, (b + 1) * cfg.chip_len)
+        seg = x[sl]
+        c = float(np.dot(seg, pn[sl]))
+        # expected |c| at strength alpha: alpha * chip_len
+        norm = cfg.strength * cfg.chip_len
+        corrs.append(min(abs(c) / norm, 1.0) if norm > 0 else 0.0)
+        if c > 0:
+            payload |= 1 << b
+    confidence = float(np.mean(corrs))
+    detected = confidence >= cfg.threshold
+    return WatermarkReport(
+        detected=detected, payload=payload if detected else None, confidence=confidence
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Wang session (requires exactly 8 kHz, audio.rs:414-480)
+# ---------------------------------------------------------------------------
+
+
+class StreamingWangSession:
+    """Push chunked 8 kHz PCM; emits one Record per completed segment.
+
+    Segments are `segment_secs` long with a `zone + n_fft` tail carried
+    into the next segment so landmarks spanning the boundary aren't lost
+    (the halo the SURVEY's sequence-parallel analog calls for).
+    """
+
+    def __init__(
+        self,
+        tenant_id: int,
+        record_id: int,
+        sample_rate: int,
+        cfg: WangConfig | None = None,
+        segment_secs: float = 10.0,
+    ):
+        if sample_rate != CANONICAL_SR:
+            raise ModalityError(
+                f"streaming wang requires exactly {CANONICAL_SR} Hz, got {sample_rate}"
+            )
+        self.tenant_id = tenant_id
+        self.record_id = record_id
+        self.cfg = cfg or WangConfig()
+        self.segment = int(segment_secs * CANONICAL_SR)
+        self.halo = (self.cfg.target_zone_t + 4) * 256  # zone frames * hop
+        self._buf = np.zeros(0, np.float32)
+        self._seg_index = 0
+        self._closed = False
+
+    def push(self, chunk: np.ndarray) -> list[Record]:
+        if self._closed:
+            raise ModalityError("session closed")
+        self._buf = np.concatenate([self._buf, np.asarray(chunk, np.float32)])
+        out = []
+        while len(self._buf) >= self.segment + self.halo:
+            seg = self._buf[: self.segment + self.halo]
+            out.append(self._emit(seg))
+            self._buf = self._buf[self.segment :]
+        return out
+
+    def finalize(self) -> list[Record]:
+        if self._closed:
+            raise ModalityError("session closed")
+        self._closed = True
+        if len(self._buf) >= CANONICAL_SR // 2:  # at least half a second
+            return [self._emit(self._buf)]
+        return []
+
+    def _emit(self, seg: np.ndarray) -> Record:
+        rec = fingerprint_wang(
+            seg, CANONICAL_SR, self.tenant_id, self.record_id, self.cfg
+        )
+        rec.metadata = f"segment={self._seg_index}".encode()
+        self._seg_index += 1
+        return rec
+
+
+# ---------------------------------------------------------------------------
+# Inspect (audio.rs:600-699)
+# ---------------------------------------------------------------------------
+
+
+def _downsample_envelope(x: np.ndarray, buckets: int) -> list[float]:
+    n = len(x)
+    out = []
+    for i in range(buckets):
+        lo = i * n // buckets
+        hi = max(lo + 1, (i + 1) * n // buckets)
+        out.append(float(np.max(np.abs(x[lo:hi]))))
+    return out
+
+
+def inspect_audio(
+    samples: np.ndarray,
+    sample_rate: int,
+    algorithm: str = "wang",
+    cfg: WangConfig | None = None,
+) -> dict:
+    """Shared DSP stages (envelope, spectrograms, peaks, landmark pairs)
+    plus the selected algorithm's fingerprint."""
+    x = _check_input(samples, sample_rate)
+    cfg = cfg or WangConfig()
+    duration_secs = len(x) / sample_rate
+
+    envelope = _downsample_envelope(x, 256)
+
+    t, f, mags, power = constellation.peaks_for_inspect(x, sample_rate, cfg)
+    n_frames, n_bins = power.shape
+    max_mag = max(float(power.max()), 1e-9)
+    bin_hz = sample_rate / 1024.0
+    frame_ms = 1000.0 * 256.0 / sample_rate
+
+    peaks = [
+        {
+            "t_ms": float(tt) * frame_ms,
+            "freq_hz": float(ff) * bin_hz,
+            "db": 10.0 * math.log10(max(float(m), 1e-9) / max_mag),
+        }
+        for tt, ff, m in list(zip(t, f, mags))[:256]
+    ]
+
+    # landmark pairs for the overlay (capped at 256)
+    hashes, t1 = constellation.extract_landmarks(x, sample_rate, cfg)
+    landmarks = []
+    for h, a in list(zip(hashes, t1))[:256]:
+        f1 = (int(h) >> 22) & 0x3FF
+        f2 = (int(h) >> 12) & 0x3FF
+        dt = int(h) & 0xFFF
+        landmarks.append(
+            {
+                "t1_ms": float(a) * frame_ms,
+                "f1_hz": f1 * bin_hz,
+                "t2_ms": (float(a) + dt) * frame_ms,
+                "f2_hz": f2 * bin_hz,
+            }
+        )
+
+    # mel spectrogram (64 Slaney bands over full range, audio.rs:656-665)
+    import jax.numpy as jnp
+
+    mel = np.asarray(
+        dsp.mel_spectrogram(jnp.asarray(power), 64, 1024, sample_rate)
+    )
+
+    if algorithm == "wang":
+        fp = fingerprint_wang(x, sample_rate, 0, 0, cfg)
+    elif algorithm == "panako":
+        fp = fingerprint_panako(x, sample_rate, 0, 0)
+    elif algorithm == "haitsma":
+        fp = fingerprint_haitsma(x, sample_rate, 0, 0)
+    elif algorithm == "neural":
+        fp = fingerprint_neural(x, sample_rate, 0, 0)
+    else:
+        raise ModalityError(f"unknown inspect algorithm {algorithm!r}")
+
+    return {
+        "algorithm": fp.algorithm,
+        "duration_secs": duration_secs,
+        "sample_rate": sample_rate,
+        "envelope": envelope,
+        "n_frames": int(n_frames),
+        "n_bins": int(n_bins),
+        "mel_bands": int(mel.shape[1]),
+        "peaks": peaks,
+        "total_peaks": int(len(t)),
+        "landmarks": landmarks,
+        "total_landmarks": int(len(hashes)),
+        "fingerprint_hex": fp.fingerprint.hex()[:4096],
+        "fingerprint_bytes": len(fp.fingerprint),
+        "config_hash": fp.config_hash,
+    }

@@ -1,0 +1,1 @@
+"""Audio DSP + fingerprint device kernels."""

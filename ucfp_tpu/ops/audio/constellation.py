@@ -1,0 +1,261 @@
+"""Peak constellation + Wang / Panako landmark hashing on device.
+
+Rebuilds the audiofp classical pipeline the reference wraps
+(src/modality/audio.rs:64-156) with the pairing rule the reference itself
+re-derives for its inspector (audio.rs:965-1003): for each anchor peak,
+scan forward in time within the target zone (0 < dt <= target_zone_t,
+|df| <= target_zone_f) and take up to fan_out targets.
+
+Canonical peak picker (documented; audiofp's PeakPicker internals are not
+vendored):
+  * a peak is a frequency-axis local max (strictly above f-1, >= f+1 —
+    the left-strict tie break picks exactly one bin per frequency
+    plateau) that is also >= its time neighbours at the same bin
+    (time-inclusive: a stationary tone's ridge is exactly tied frame to
+    frame and must survive). Diagonals are not consulted — they make
+    selection unstable under small time shifts, which destroys landmark
+    overlap between a clip and the same clip embedded in other audio.
+  * magnitude floor: >= min_anchor_mag_db relative to the global max
+  * per-second cap: the top `peaks_per_sec` peaks per slab of
+    floor(sr / hop) frames, magnitude order, ties to the earlier (t, f)
+Peaks order by (t, f) ascending — the order the pairing rule walks.
+
+Device shape discipline: everything is fixed-size + validity-masked. The
+pairing scans a W=256-successor window per anchor (documented cap; at the
+default 30 peaks/sec a 2-second zone holds ~60 successors). Wang hash
+wire layout (8 bytes LE per landmark):
+  u32 hash = f1(10 bits) << 22 | f2(10 bits) << 12 | dt(12 bits)
+  u32 t1   = anchor frame index
+Panako triplet layout (8 bytes LE per triplet) builds tempo-invariance
+from the time-ratio quantization:
+  u32 hash = f1(10) << 22 | f2(10) << 12 | f3(10) << 2 | ratio_hi(2)
+  u32 aux  = ratio(8) << 24 | t1
+  where ratio = round(255 * (t2 - t1) / (t3 - t1)).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import dsp
+
+PAIR_WINDOW = 256  # successor-scan cap per anchor
+
+
+@dataclass(frozen=True)
+class WangConfig:
+    """Defaults from the reference manifest (algorithms_manifest.rs:546-600)."""
+
+    fan_out: int = 10
+    target_zone_t: int = 63
+    target_zone_f: int = 64
+    peaks_per_sec: int = 30
+    min_anchor_mag_db: float = -50.0
+
+
+@dataclass(frozen=True)
+class PanakoConfig:
+    """Defaults from the reference manifest (algorithms_manifest.rs:601-650)."""
+
+    fan_out: int = 5
+    target_zone_t: int = 96
+    target_zone_f: int = 96
+    peaks_per_sec: int = 30
+    min_anchor_mag_db: float = -50.0
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def pick_peaks(
+    power: jax.Array,  # [T, K] power spectrogram
+    slab_frames: int,
+    peaks_per_sec: int,
+    min_mag_db: float,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """-> (t [P], f [P], valid [P]) sorted by (t, f); P = n_slabs * cap.
+
+    Works on power: the dB floor doubles (20*log10 mag = 10*log10 power).
+    """
+    t_dim, k_dim = power.shape
+    neg = jnp.float32(-1.0)
+    p = jnp.pad(power, ((1, 1), (1, 1)), constant_values=neg)
+
+    def sh(dt, df):
+        return p[1 + dt : 1 + dt + t_dim, 1 + df : 1 + df + k_dim]
+
+    center = power
+    is_max = (
+        (center > sh(0, -1))
+        & (center >= sh(0, 1))
+        & (center >= sh(-1, 0))
+        & (center >= sh(1, 0))
+    )
+    gmax = jnp.max(power)
+    floor = gmax * jnp.float32(10.0 ** (2.0 * min_mag_db / 10.0))
+    is_max = is_max & (center >= floor) & (gmax > 0.0)
+
+    # per-slab top-k by magnitude
+    n_slabs = -(-t_dim // slab_frames)
+    pad_t = n_slabs * slab_frames - t_dim
+    mag = jnp.where(is_max, power, neg)
+    mag = jnp.pad(mag, ((0, pad_t), (0, 0)), constant_values=neg)
+    mag = mag.reshape(n_slabs, slab_frames * k_dim)
+    top_mag, top_idx = jax.lax.top_k(mag, peaks_per_sec)  # [S, cap]
+    t_local = top_idx // k_dim
+    f_idx = top_idx % k_dim
+    t_idx = t_local + jnp.arange(n_slabs, dtype=jnp.int32)[:, None] * slab_frames
+    valid = (top_mag > 0.0).reshape(-1)
+    t_flat = t_idx.reshape(-1).astype(jnp.int32)
+    f_flat = f_idx.reshape(-1).astype(jnp.int32)
+    # sort by (t, f); invalid entries to the end
+    big = jnp.int32(t_dim * k_dim + 7)
+    key = jnp.where(valid, t_flat * k_dim + f_flat, jnp.int32(0x7FFFFFF0))
+    order = jnp.argsort(key)
+    return t_flat[order], f_flat[order], valid[order]
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def wang_pairs(
+    t: jax.Array, f: jax.Array, valid: jax.Array,
+    fan_out: int, zone_t: int, zone_f: int,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Pair anchors with forward-in-time targets (audio.rs:965-1003).
+
+    Returns (hash u32 [P, W], t1 u32 [P, W], mask [P, W]) over the
+    W-successor window; the host packs valid entries in (anchor, rank)
+    order.
+    """
+    p = t.shape[0]
+    w = min(PAIR_WINDOW, p - 1) if p > 1 else 1
+    idx = jnp.arange(p, dtype=jnp.int32)
+    succ = idx[:, None] + jnp.arange(1, w + 1, dtype=jnp.int32)[None, :]  # [P, W]
+    in_range = succ < p
+    succ_c = jnp.minimum(succ, p - 1)
+    dt = t[succ_c] - t[:, None]
+    df = jnp.abs(f[succ_c] - f[:, None])
+    ok = (
+        in_range
+        & valid[:, None]
+        & valid[succ_c]
+        & (dt > 0)
+        & (dt <= zone_t)
+        & (df <= zone_f)
+    )
+    # rank among valid targets per anchor, in time order; keep < fan_out
+    rank = jnp.cumsum(ok.astype(jnp.int32), axis=1) - 1
+    ok = ok & (rank < fan_out)
+    h = (
+        (f[:, None].astype(jnp.uint32) << 22)
+        | (f[succ_c].astype(jnp.uint32) << 12)
+        | dt.astype(jnp.uint32)
+    )
+    return h, jnp.broadcast_to(t[:, None].astype(jnp.uint32), h.shape), ok
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def panako_triplets(
+    t: jax.Array, f: jax.Array, valid: jax.Array,
+    fan_out: int, zone_t: int, zone_f: int,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Tempo-invariant triplets: anchor + its j-th and (j+1)-th targets.
+
+    Consecutive target pairs of the Wang-style scan become (p1, p2, p3);
+    the quantized time ratio (t2-t1)/(t3-t1) survives +/-5% tempo shifts
+    (manifest algorithms_manifest.rs:604).
+    """
+    p = t.shape[0]
+    w = min(PAIR_WINDOW, p - 1) if p > 1 else 1
+    idx = jnp.arange(p, dtype=jnp.int32)
+    succ = idx[:, None] + jnp.arange(1, w + 1, dtype=jnp.int32)[None, :]
+    in_range = succ < p
+    succ_c = jnp.minimum(succ, p - 1)
+    dt = t[succ_c] - t[:, None]
+    df = jnp.abs(f[succ_c] - f[:, None])
+    ok = (
+        in_range & valid[:, None] & valid[succ_c]
+        & (dt > 0) & (dt <= zone_t) & (df <= zone_f)
+    )
+    rank = jnp.cumsum(ok.astype(jnp.int32), axis=1) - 1
+    ok = ok & (rank < fan_out + 1)  # need fan_out consecutive pairs
+
+    # gather, per anchor, the first (fan_out+1) valid targets' (t, f)
+    # order valid targets to the front via argsort on (!ok, w-index)
+    sort_key = jnp.where(ok, jnp.arange(w, dtype=jnp.int32)[None, :], jnp.int32(w + 1))
+    order = jnp.argsort(sort_key, axis=1)[:, : fan_out + 1]  # [P, fan_out+1]
+    g = jnp.take_along_axis(succ_c, order, axis=1)
+    gv = jnp.take_along_axis(ok, order, axis=1)
+    t2 = t[g]
+    f2 = f[g]
+    # consecutive pairs (j, j+1)
+    t2a, t3a = t2[:, :-1], t2[:, 1:]
+    f2a, f3a = f2[:, :-1], f2[:, 1:]
+    pair_ok = gv[:, :-1] & gv[:, 1:]
+    denom = jnp.maximum(t3a - t[:, None], 1)
+    ratio = jnp.clip(
+        (255 * (t2a - t[:, None])) // denom, 0, 255
+    ).astype(jnp.uint32)
+    h = (
+        (f[:, None].astype(jnp.uint32) << 22)
+        | (f2a.astype(jnp.uint32) << 12)
+        | (f3a.astype(jnp.uint32) << 2)
+        | (ratio >> 6)
+    )
+    aux = (ratio << 24) | t[:, None].astype(jnp.uint32)
+    return h, aux, pair_ok
+
+
+# ---------------------------------------------------------------------------
+# Host assembly
+# ---------------------------------------------------------------------------
+
+
+def extract_landmarks(
+    samples: np.ndarray,
+    sr: int,
+    cfg: WangConfig,
+    n_fft: int = 1024,
+    hop: int = 256,
+) -> tuple[np.ndarray, np.ndarray]:
+    """-> (hashes u32 [L], t1 u32 [L]) in (anchor, rank) order."""
+    power = dsp.stft_power(jnp.asarray(samples, jnp.float32), n_fft, hop, True)
+    slab = max(1, sr // hop)
+    t, f, valid = pick_peaks(power, slab, cfg.peaks_per_sec, cfg.min_anchor_mag_db)
+    h, t1, ok = wang_pairs(
+        t, f, valid, cfg.fan_out, cfg.target_zone_t, cfg.target_zone_f
+    )
+    ok = np.asarray(ok)
+    return np.asarray(h)[ok], np.asarray(t1)[ok]
+
+
+def extract_panako(
+    samples: np.ndarray,
+    sr: int,
+    cfg: PanakoConfig,
+    n_fft: int = 1024,
+    hop: int = 256,
+) -> tuple[np.ndarray, np.ndarray]:
+    power = dsp.stft_power(jnp.asarray(samples, jnp.float32), n_fft, hop, True)
+    slab = max(1, sr // hop)
+    t, f, valid = pick_peaks(power, slab, cfg.peaks_per_sec, cfg.min_anchor_mag_db)
+    h, aux, ok = panako_triplets(
+        t, f, valid, cfg.fan_out, cfg.target_zone_t, cfg.target_zone_f
+    )
+    ok = np.asarray(ok)
+    return np.asarray(h)[ok], np.asarray(aux)[ok]
+
+
+def peaks_for_inspect(
+    samples: np.ndarray, sr: int, cfg: WangConfig, n_fft: int = 1024, hop: int = 256
+):
+    """(t, f, mag_power) arrays of valid peaks, for the inspector."""
+    power = dsp.stft_power(jnp.asarray(samples, jnp.float32), n_fft, hop, True)
+    slab = max(1, sr // hop)
+    t, f, valid = pick_peaks(power, slab, cfg.peaks_per_sec, cfg.min_anchor_mag_db)
+    t, f, valid = np.asarray(t), np.asarray(f), np.asarray(valid)
+    pw = np.asarray(power)
+    t, f = t[valid], f[valid]
+    return t, f, pw[t, f], pw

@@ -1,0 +1,150 @@
+"""Core audio DSP on device: framing, matmul-DFT STFT, mel bank, resample.
+
+Rebuilds the audiofp::dsp surface the reference consumes
+(src/modality/audio.rs:621-699): ShortTimeFFT (n_fft 1024 / hop 256 /
+Hann / centered), Slaney MelFilterBank, linear resampler.
+
+TPU-first choice: the DFT is two fixed f32 matmuls (cos/sin bases) at
+HIGHEST precision rather than an FFT — ~40x the FLOPs but it rides the
+MXU, has no cross-backend butterfly-ordering drift, and at fingerprint
+scale (a 1-hour clip is ~236 GFLOP) is milliseconds on a v5e. Framing is
+one gather; the whole spectrogram pipeline jits into a single fusion.
+
+Canonical spec (documented; audiofp's internals are not vendored in the
+reference):
+  * window  = periodic Hann: 0.5 * (1 - cos(2*pi*n / N))
+  * centered STFT reflect-pads N/2 both sides
+  * magnitude^2 = re^2 + im^2 from the matmul-DFT
+  * linear resample: out[i] = lerp(in, i * sr_in / sr_out), f64 positions
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def hann_periodic(n: int) -> np.ndarray:
+    i = np.arange(n, dtype=np.float64)
+    return (0.5 * (1.0 - np.cos(2.0 * math.pi * i / n))).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def dft_matrices(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
+    """Real-DFT bases: cos[n_fft, K], -sin[n_fft, K] with K = n_fft//2 + 1."""
+    k = np.arange(n_fft // 2 + 1, dtype=np.float64)
+    n = np.arange(n_fft, dtype=np.float64)
+    ang = 2.0 * math.pi * np.outer(n, k) / n_fft
+    return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)
+
+
+def num_frames(n_samples: int, n_fft: int, hop: int, center: bool) -> int:
+    if center:
+        return n_samples // hop + 1
+    return max(0, (n_samples - n_fft) // hop + 1)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def stft_power(
+    samples: jax.Array, n_fft: int = 1024, hop: int = 256, center: bool = True
+) -> jax.Array:
+    """Power spectrogram [T, K] from mono f32 samples (matmul-DFT)."""
+    x = samples.astype(jnp.float32)
+    if center:
+        pad = n_fft // 2
+        x = jnp.pad(x, (pad, pad), mode="reflect")
+    t = (x.shape[0] - n_fft) // hop + 1
+    idx = jnp.arange(t)[:, None] * hop + jnp.arange(n_fft)[None, :]
+    frames = x[idx] * jnp.asarray(hann_periodic(n_fft))[None, :]
+    c, s = dft_matrices(n_fft)
+    kwargs = dict(
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+    )
+    re = jnp.dot(frames, jnp.asarray(c), **kwargs)
+    im = jnp.dot(frames, jnp.asarray(s), **kwargs)
+    return re * re + im * im
+
+
+def stft_magnitude(samples, n_fft: int = 1024, hop: int = 256, center: bool = True):
+    return jnp.sqrt(stft_power(samples, n_fft, hop, center))
+
+
+# ---------------------------------------------------------------------------
+# Slaney mel filter bank
+# ---------------------------------------------------------------------------
+
+
+def _hz_to_mel_slaney(f):
+    f = np.asarray(f, dtype=np.float64)
+    mel = f / (200.0 / 3.0)
+    log_region = f >= 1000.0
+    mel = np.where(
+        log_region,
+        15.0 + np.log(np.maximum(f, 1e-9) / 1000.0) / (np.log(6.4) / 27.0),
+        mel,
+    )
+    return mel
+
+
+def _mel_to_hz_slaney(m):
+    m = np.asarray(m, dtype=np.float64)
+    f = m * (200.0 / 3.0)
+    log_region = m >= 15.0
+    f = np.where(log_region, 1000.0 * np.exp((np.log(6.4) / 27.0) * (m - 15.0)), f)
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def mel_filterbank(
+    n_mels: int, n_fft: int, sr: int, fmin: float, fmax: float
+) -> np.ndarray:
+    """Slaney-style triangular mel bank [K, n_mels], area-normalized."""
+    k = n_fft // 2 + 1
+    fft_freqs = np.arange(k, dtype=np.float64) * sr / n_fft
+    mels = np.linspace(
+        _hz_to_mel_slaney(fmin), _hz_to_mel_slaney(fmax), n_mels + 2
+    )
+    hz = _mel_to_hz_slaney(mels)
+    bank = np.zeros((k, n_mels), dtype=np.float64)
+    for m in range(n_mels):
+        lo, ctr, hi = hz[m], hz[m + 1], hz[m + 2]
+        up = (fft_freqs - lo) / max(ctr - lo, 1e-9)
+        down = (hi - fft_freqs) / max(hi - ctr, 1e-9)
+        tri = np.maximum(0.0, np.minimum(up, down))
+        bank[:, m] = tri * (2.0 / max(hi - lo, 1e-9))  # slaney norm
+    return bank.astype(np.float32)
+
+
+def mel_spectrogram(power: jax.Array, n_mels: int, n_fft: int, sr: int,
+                    fmin: float = 0.0, fmax: float | None = None) -> jax.Array:
+    fmax = fmax if fmax is not None else sr / 2
+    bank = jnp.asarray(mel_filterbank(n_mels, n_fft, sr, float(fmin), float(fmax)))
+    return jnp.dot(
+        power, bank, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Linear resample (host numpy: cheap, feeds the device pipeline)
+# ---------------------------------------------------------------------------
+
+
+def resample_linear(samples: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """audiofp::dsp::resample::linear equivalent (audio.rs:193-201)."""
+    if sr_in == sr_out:
+        return np.asarray(samples, np.float32)
+    x = np.asarray(samples, np.float64)
+    n_out = int(round(len(x) * sr_out / sr_in))
+    if n_out <= 0:
+        return np.zeros(0, np.float32)
+    pos = np.arange(n_out, dtype=np.float64) * (sr_in / sr_out)
+    i0 = np.minimum(pos.astype(np.int64), len(x) - 1)
+    i1 = np.minimum(i0 + 1, len(x) - 1)
+    frac = pos - i0
+    return ((1.0 - frac) * x[i0] + frac * x[i1]).astype(np.float32)
