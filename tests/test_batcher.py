@@ -1,0 +1,79 @@
+"""Deadline batcher tests: size-triggered flush, deadline flush, ordering,
+error propagation, bucket isolation."""
+
+import asyncio
+
+import pytest
+
+from ucfp_tpu.ingest.batcher import DeadlineBatcher
+
+
+def run(coro):
+    return asyncio.run(coro)
+
+
+class TestBatcher:
+    def test_size_triggered_flush(self):
+        batches = []
+
+        async def runner(bucket, payloads):
+            batches.append(list(payloads))
+            return [p * 10 for p in payloads]
+
+        async def go():
+            b = DeadlineBatcher(runner, max_batch=4, max_delay_ms=10_000)
+            results = await asyncio.gather(*(b.submit("x", i) for i in range(4)))
+            return results
+
+        results = run(go())
+        assert sorted(results) == [0, 10, 20, 30]
+        assert len(batches) == 1 and len(batches[0]) == 4
+
+    def test_deadline_flush(self):
+        async def runner(bucket, payloads):
+            return [p + 1 for p in payloads]
+
+        async def go():
+            b = DeadlineBatcher(runner, max_batch=100, max_delay_ms=5)
+            return await asyncio.wait_for(b.submit("x", 41), timeout=2.0)
+
+        assert run(go()) == 42
+
+    def test_result_order_matches_submit_order(self):
+        async def runner(bucket, payloads):
+            return [f"{bucket}:{p}" for p in payloads]
+
+        async def go():
+            b = DeadlineBatcher(runner, max_batch=3, max_delay_ms=10_000)
+            return await asyncio.gather(*(b.submit("b", i) for i in range(3)))
+
+        assert run(go()) == ["b:0", "b:1", "b:2"]
+
+    def test_buckets_are_isolated(self):
+        batches = []
+
+        async def runner(bucket, payloads):
+            batches.append((bucket, list(payloads)))
+            return payloads
+
+        async def go():
+            b = DeadlineBatcher(runner, max_batch=2, max_delay_ms=5)
+            return await asyncio.gather(
+                b.submit("small", 1), b.submit("large", 2), b.submit("small", 3)
+            )
+
+        run(go())
+        assert sorted(b for b, _ in batches) == ["large", "small"]
+
+    def test_error_propagates_to_all(self):
+        async def runner(bucket, payloads):
+            raise RuntimeError("device fault")
+
+        async def go():
+            b = DeadlineBatcher(runner, max_batch=2, max_delay_ms=10_000)
+            return await asyncio.gather(
+                b.submit("x", 1), b.submit("x", 2), return_exceptions=True
+            )
+
+        r = run(go())
+        assert all(isinstance(e, RuntimeError) for e in r)

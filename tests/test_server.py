@@ -1,0 +1,412 @@
+"""HTTP integration tests: full router through handle_request, no sockets.
+
+Mirrors the reference's tower::oneshot approach (src/server/tests.rs):
+synthetic PNG/sine inputs, trait-object fakes injected through the same
+DI seams (ApiKeyLookup / TenantRateLimiter / UsageSink), auth + tenant
+isolation + rate limit + usage + feature-gate + inspect coverage.
+"""
+
+import asyncio
+import json
+
+import numpy as np
+import pytest
+
+from ucfp_tpu.index.embedded import EmbeddedBackend
+from ucfp_tpu.server.app import ServerState, build_server
+from ucfp_tpu.server.auth import ApiKeyContext, ApiKeyLookup, StaticSingleKey, parse_keys_file, StaticMapKey
+from ucfp_tpu.server.http import Request
+from ucfp_tpu.server.inputs_cache import InputsCache
+from ucfp_tpu.server.ratelimit import NoopRateLimiter, RateDecision, TenantRateLimiter
+from ucfp_tpu.server.usage import LogUsageSink, NoopUsageSink
+
+from test_imagehash import synthetic_png
+
+TOKEN = "test-token"
+
+
+def make_app(tmp_path, api_keys=None, rate=None, usage=None):
+    state = ServerState(
+        index=EmbeddedBackend(str(tmp_path / "db")),
+        api_keys=api_keys or StaticSingleKey(TOKEN),
+        rate_limit=rate or NoopRateLimiter(),
+        usage=usage or NoopUsageSink(),
+        inputs=InputsCache(),
+    )
+    # 120 s timeout: first-compile jit latency on the 1-core CPU test host
+    # can exceed the production 10 s default
+    return build_server(state, timeout_secs=120.0), state
+
+
+def req(method, path, body=b"", token=TOKEN, headers=None, query=""):
+    h = {"content-length": str(len(body))}
+    if token is not None:
+        h["authorization"] = f"Bearer {token}"
+    if headers:
+        h.update(headers)
+    from urllib.parse import parse_qs
+
+    q = {k: v[0] for k, v in parse_qs(query, keep_blank_values=True).items()}
+    return Request(method, path, q, h, body)
+
+
+def call(app, *args, **kw):
+    async def go():
+        resp, _ = await app.handle_request(req(*args, **kw))
+        return resp
+
+    return asyncio.run(go())
+
+
+def jbody(resp):
+    return json.loads(resp.body)
+
+
+def sine_bytes(secs=2.0, sr=8000, freq=440.0):
+    t = np.arange(int(secs * sr)) / sr
+    x = (0.5 * np.sin(2 * np.pi * freq * t)).astype("<f4")
+    # add a second band so constellation has structure
+    x = x + (0.25 * np.sin(2 * np.pi * 1200.0 * t) * (np.sin(2 * np.pi * 0.7 * t) > 0)).astype("<f4")
+    return x.astype("<f4").tobytes()
+
+
+class TestPublic:
+    def test_healthz(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        resp = call(app, "GET", "/healthz", token=None)
+        assert resp.status == 200 and jbody(resp)["status"] == "ok"
+
+    def test_info(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        body = jbody(call(app, "GET", "/v1/info", token=None))
+        assert body["name"] == "ucfp-tpu"
+        assert set(body["modalities"]) == {"text", "image", "audio"}
+
+    def test_algorithms_manifest(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        body = jbody(call(app, "GET", "/v1/algorithms", token=None))
+        text_ids = {a["id"] for a in body["text"]["algorithms"]}
+        assert {"minhash", "simhash-tf", "tlsh", "semantic"} <= text_ids
+        wang = next(
+            a for a in body["audio"]["algorithms"] if a["id"] == "wang"
+        )
+        defaults = {t["name"]: t["default"] for t in wang["tunables"]}
+        assert defaults["fan_out"] == 10 and defaults["target_zone_t"] == 63
+        assert defaults["peaks_per_sec"] == 30
+
+    def test_metrics_endpoint(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        call(app, "GET", "/healthz", token=None)
+        resp = call(app, "GET", "/metrics", token=None)
+        assert b"ucfp_http_requests_total" in resp.body
+        assert b'path="/healthz"' in resp.body
+        assert b'path="/metrics"' not in resp.body  # self-scrape excluded
+
+
+class TestAuth:
+    def test_401_without_bearer(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        resp = call(app, "POST", "/v1/ingest/text/0/1", b"hi", token=None)
+        assert resp.status == 401
+
+    def test_401_wrong_token(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        resp = call(app, "POST", "/v1/ingest/text/0/1", b"hi", token="nope")
+        assert resp.status == 401
+
+    def test_201_with_bearer(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        resp = call(app, "POST", "/v1/ingest/text/0/1", b"hello world one two three")
+        assert resp.status == 201
+
+    def test_multi_tenant_isolation(self, tmp_path):
+        keys = parse_keys_file(
+            """
+            [keys.alpha]
+            token = "alpha-token"
+            tenant_id = 1
+            [keys.beta]
+            token = "beta-token"
+            tenant_id = 2
+            """
+        )
+        app, _ = make_app(tmp_path, api_keys=StaticMapKey(keys))
+        # tenant 1 ingests under its own id: ok
+        assert call(app, "POST", "/v1/ingest/text/1/1", b"mine alone here",
+                    token="alpha-token").status == 201
+        # beta cannot touch tenant 1 -> 403
+        resp = call(app, "GET", "/v1/records/1/1", token="beta-token")
+        assert resp.status == 403
+        # alpha describes its own record
+        assert call(app, "GET", "/v1/records/1/1", token="alpha-token").status == 200
+
+    def test_service_bearer_tenant0_any(self, tmp_path):
+        app, _ = make_app(tmp_path)  # StaticSingleKey -> tenant 0
+        assert call(app, "POST", "/v1/ingest/text/42/1",
+                    b"service bearer writes anywhere").status == 201
+
+
+class CountingRateLimiter(TenantRateLimiter):
+    """Allow N then deny (the reference's fake, tests.rs:783-816)."""
+
+    def __init__(self, allow: int):
+        self.allow = allow
+        self.seen = 0
+
+    async def check(self, tenant_id, rate_class="default"):
+        self.seen += 1
+        if self.seen <= self.allow:
+            return RateDecision(allowed=True, remaining=self.allow - self.seen)
+        return RateDecision(allowed=False, retry_after_ms=1500)
+
+
+class TestRateLimitAndUsage:
+    def test_429_with_retry_after(self, tmp_path):
+        app, _ = make_app(tmp_path, rate=CountingRateLimiter(2))
+        assert call(app, "POST", "/v1/ingest/text/0/1", b"one two three x").status == 201
+        assert call(app, "POST", "/v1/ingest/text/0/2", b"one two three y").status == 201
+        resp = call(app, "POST", "/v1/ingest/text/0/3", b"one two three z")
+        assert resp.status == 429
+        assert resp.headers.get("retry-after") == "1"
+
+    def test_usage_ndjson(self, tmp_path):
+        log = tmp_path / "usage.ndjson"
+        app, _ = make_app(tmp_path, usage=LogUsageSink(str(log)))
+
+        async def go():
+            await app.handle_request(
+                req("POST", "/v1/ingest/text/0/1", b"hello usage meter")
+            )
+            await asyncio.sleep(0.05)  # fire-and-forget task drain
+
+        asyncio.run(go())
+        lines = [json.loads(l) for l in log.read_text().splitlines()]
+        assert lines and lines[0]["op"] == "ingest"
+        assert lines[0]["tenant_id"] == 0 and lines[0]["status"] == 201
+
+
+class TestIngestText:
+    def test_minhash_round_trip(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        resp = call(app, "POST", "/v1/ingest/text/0/1",
+                    "the quick brown fox jumps over the lazy dog".encode())
+        body = jbody(resp)
+        assert body["algorithm"] == "minhash-h128"
+        assert body["fingerprint_bytes"] == 1032
+        assert len(body["fingerprint_hex"]) == 2064
+        assert body["fingerprint_hex"][:16] == "0100000000000000"
+
+    def test_opts_via_query(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        body = jbody(call(app, "POST", "/v1/ingest/text/0/1",
+                          b"alpha beta gamma delta", query="algorithm=minhash&h=64&k=2"))
+        assert body["algorithm"] == "minhash-h64"
+        assert body["fingerprint_bytes"] == 8 + 64 * 8
+
+    def test_tlsh_and_errors(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        resp = call(app, "POST", "/v1/ingest/text/0/1", b"too short",
+                    query="algorithm=tlsh")
+        assert resp.status == 400
+        long = ("the quick brown fox jumps over the lazy dog " * 4).encode()
+        body = jbody(call(app, "POST", "/v1/ingest/text/0/2", long,
+                          query="algorithm=tlsh"))
+        assert body["fingerprint_bytes"] == 70
+
+    def test_semantic_returns_embedding(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        body = jbody(call(app, "POST", "/v1/ingest/text/0/3",
+                          b"semantic content here",
+                          query="algorithm=semantic&return_embedding=1"))
+        assert body["has_embedding"] and len(body["embedding"]) == 384
+
+    def test_semantic_external_gated_501(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        resp = call(app, "POST", "/v1/ingest/text/0/4", b"text",
+                    query="algorithm=semantic&provider=openai")
+        assert resp.status == 501
+        assert jbody(resp)["error"] == "unsupported"
+
+    def test_bad_utf8_400(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        resp = call(app, "POST", "/v1/ingest/text/0/5", b"\xff\xfe\xfd")
+        assert resp.status == 400
+
+    def test_stream_ndjson(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        nd = b'{"chunk": "the quick brown "}\n{"chunk": "fox jumps over the lazy dog"}\n'
+        body = jbody(call(app, "POST", "/v1/ingest/text/0/6/stream", nd))
+        whole = jbody(call(app, "POST", "/v1/ingest/text/0/7",
+                           b"the quick brown fox jumps over the lazy dog"))
+        assert body["fingerprint_hex"] == whole["fingerprint_hex"]
+
+
+class TestIngestImage:
+    def test_multi_536(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        body = jbody(call(app, "POST", "/v1/ingest/image/0/1", synthetic_png(64, 64)))
+        assert body["algorithm"] == "imgfprint-multi-v1"
+        assert body["fingerprint_bytes"] == 536
+        assert len(body["fingerprint_hex"]) == 1072
+
+    def test_single_algos(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        for algo in ("phash", "dhash", "ahash"):
+            body = jbody(call(app, "POST", "/v1/ingest/image/0/2",
+                              synthetic_png(64, 64), query=f"algorithm={algo}"))
+            assert body["fingerprint_bytes"] == 8
+
+    def test_semantic_image(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        body = jbody(call(app, "POST", "/v1/ingest/image/0/3",
+                          synthetic_png(64, 64),
+                          query="algorithm=semantic&return_embedding=1"))
+        assert len(body["embedding"]) == 512
+
+    def test_decode_error_400(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        resp = call(app, "POST", "/v1/ingest/image/0/4", b"not an image")
+        assert resp.status == 400
+
+
+class TestIngestAudio:
+    def test_wang(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        body = jbody(call(app, "POST", "/v1/ingest/audio/0/1", sine_bytes(),
+                          query="sample_rate=8000&algorithm=wang"))
+        assert body["algorithm"] == "audiofp-wang-v1"
+        assert body["fingerprint_bytes"] > 0
+        assert body["fingerprint_bytes"] % 8 == 0
+
+    def test_haitsma(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        body = jbody(call(app, "POST", "/v1/ingest/audio/0/2", sine_bytes(secs=3.0),
+                          query="sample_rate=8000&algorithm=haitsma"))
+        assert body["algorithm"] == "audiofp-haitsma-v1"
+
+    def test_alignment_400(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        resp = call(app, "POST", "/v1/ingest/audio/0/3", b"\x00\x01\x02",
+                    query="sample_rate=8000")
+        assert resp.status == 400
+
+    def test_sample_rate_required(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        resp = call(app, "POST", "/v1/ingest/audio/0/4", sine_bytes())
+        assert resp.status == 400
+
+    def test_watermark_report(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        body = jbody(call(app, "POST", "/v1/ingest/audio/0/5", sine_bytes(secs=5.0),
+                          query="sample_rate=8000&algorithm=watermark"))
+        assert body["detected"] is False and "confidence" in body
+
+    def test_stream_segments(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        body = jbody(call(app, "POST", "/v1/ingest/audio/0/6/stream",
+                          sine_bytes(secs=5.0),
+                          query="sample_rate=8000&segment_secs=2"))
+        assert body["segments"] >= 2
+
+
+class TestRecordsAndQuery:
+    def test_raw_record_upsert_describe_delete(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        rec = {
+            "tenant_id": 0, "record_id": 9, "modality": "text",
+            "format_version": 1, "algorithm": "custom-v1", "config_hash": 5,
+            "fingerprint": [1, 2, 3, 4], "embedding": [1.0, 0.0],
+        }
+        resp = call(app, "PUT", "/v1/records", json.dumps(rec).encode())
+        assert jbody(resp)["upserted"] == 1
+        d = jbody(call(app, "GET", "/v1/records/0/9"))
+        assert d["algorithm"] == "custom-v1" and d["has_embedding"]
+        assert call(app, "DELETE", "/v1/records/0/9").status == 200
+        assert call(app, "GET", "/v1/records/0/9").status == 404
+
+    def test_vector_query(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        for rid, emb in ((1, [1.0, 0.0]), (2, [0.0, 1.0])):
+            rec = {"tenant_id": 0, "record_id": rid, "modality": "text",
+                   "algorithm": "e", "fingerprint": [0], "embedding": emb}
+            call(app, "PUT", "/v1/records", json.dumps(rec).encode())
+        body = jbody(call(app, "POST", "/v1/query",
+                          json.dumps({"tenant_id": 0, "modality": "text",
+                                      "k": 1, "vector": [1.0, 0.0]}).encode()))
+        assert [h["record_id"] for h in body["hits"]] == [1]
+        assert body["hits"][0]["source"] == "vector"
+
+    def test_hybrid_query_with_explain(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        call(app, "POST", "/v1/ingest/text/0/1", b"apple pie recipe baking")
+        call(app, "POST", "/v1/ingest/text/0/2", b"banana bread baking")
+        body = jbody(call(app, "POST", "/v1/query",
+                          json.dumps({"tenant_id": 0, "modality": "text",
+                                      "k": 5, "terms": ["apple"]}).encode(),
+                          query="explain=1"))
+        assert [h["record_id"] for h in body["hits"]] == [1]
+        assert body["hits"][0]["term_hits"][0]["term"] == "apple"
+
+    def test_hash_query(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        png = synthetic_png(64, 64)
+        b1 = jbody(call(app, "POST", "/v1/ingest/image/0/1", png,
+                        query="algorithm=phash"))
+        body = jbody(call(app, "POST", "/v1/query",
+                          json.dumps({"tenant_id": 0, "modality": "image", "k": 3,
+                                      "fingerprint_hex": b1["fingerprint_hex"],
+                                      "algorithm": "imgfprint-phash-v1"}).encode()))
+        assert body["hits"][0]["record_id"] == 1
+        assert body["hits"][0]["score"] == pytest.approx(1.0)
+
+
+class TestInputsCacheRoutes:
+    def test_put_ingest_delete(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        png = synthetic_png(64, 64)
+        put = jbody(call(app, "POST", "/v1/inputs/0", png))
+        iid = put["input_id"]
+        body = jbody(call(app, "POST", "/v1/ingest/image/0/1", b"",
+                          query=f"input_id={iid}"))
+        assert body["fingerprint_bytes"] == 536
+        assert call(app, "DELETE", f"/v1/inputs/0/{iid}").status == 200
+        resp = call(app, "POST", "/v1/ingest/image/0/2", b"", query=f"input_id={iid}")
+        assert resp.status == 404
+
+
+class TestInspectRoutes:
+    def test_text(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        body = jbody(call(app, "POST", "/v1/pipeline/inspect/text",
+                          b"Hello World Hello There Friend"))
+        assert body["canonicalized"].startswith("hello")
+        assert body["fingerprint_bytes"] == 1032
+
+    def test_image(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        body = jbody(call(app, "POST", "/v1/pipeline/inspect/image",
+                          synthetic_png(64, 64)))
+        assert body["fingerprint_bytes"] == 536
+        assert body["gray32_png_b64"] and body["gray8_png_b64"]
+
+    def test_audio(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        body = jbody(call(app, "POST", "/v1/pipeline/inspect/audio",
+                          sine_bytes(secs=1.0), query="sample_rate=8000"))
+        assert body["total_peaks"] > 0
+        assert len(body["envelope"]) == 256
+
+
+class TestErrors:
+    def test_404_route(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        assert call(app, "GET", "/nope", token=None).status == 404
+
+    def test_405_method(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        assert call(app, "DELETE", "/healthz", token=None).status == 405
+
+    def test_error_envelope_shape(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        body = jbody(call(app, "POST", "/v1/ingest/text/0/1", b"\xff"))
+        assert set(body) == {"error", "message"}

@@ -1,0 +1,65 @@
+"""Sharded query kernel tests on the 8-device virtual CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from ucfp_tpu.ops import knn as knn_ops
+from ucfp_tpu.parallel.mesh import data_mesh
+from ucfp_tpu.parallel.sharded_knn import (
+    shard_matrix,
+    sharded_cosine_topk,
+    sharded_hamming_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must force 8 virtual devices"
+    return data_mesh(8)
+
+
+class TestShardedCosine:
+    def test_matches_single_chip(self, mesh):
+        rng = np.random.default_rng(0)
+        c, d, q, k = 1024, 32, 3, 7
+        matrix = rng.normal(size=(c, d)).astype(np.float32)
+        valid = np.ones(c, bool)
+        valid[100:200] = False
+        query = rng.normal(size=(q, d)).astype(np.float32)
+
+        sm, sv = shard_matrix(mesh, matrix, valid)
+        vals, idx = sharded_cosine_topk(query, sm, sv, k, mesh)
+        ref_vals, ref_idx = knn_ops.cosine_topk(query, matrix, valid, k)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+        np.testing.assert_allclose(
+            np.asarray(vals), np.asarray(ref_vals), rtol=1e-5
+        )
+
+    def test_top1_is_true_argmax(self, mesh):
+        rng = np.random.default_rng(1)
+        c, d = 2048, 16
+        matrix = rng.normal(size=(c, d)).astype(np.float32)
+        valid = np.ones(c, bool)
+        query = rng.normal(size=(1, d)).astype(np.float32)
+        sm, sv = shard_matrix(mesh, matrix, valid)
+        _, idx = sharded_cosine_topk(query, sm, sv, 1, mesh)
+        cos = (query @ matrix.T) / (
+            np.linalg.norm(query) * np.linalg.norm(matrix, axis=1)
+        )
+        assert int(idx[0, 0]) == int(np.argmax(cos))
+
+
+class TestShardedHamming:
+    def test_matches_single_chip(self, mesh):
+        rng = np.random.default_rng(2)
+        c, w, k = 512, 2, 5
+        matrix = rng.integers(0, 2**32, size=(c, w), dtype=np.uint32)
+        valid = np.ones(c, bool)
+        query = matrix[37:38].copy()
+        sm, sv = shard_matrix(mesh, matrix, valid)
+        dist, idx = sharded_hamming_topk(query, sm, sv, k, mesh)
+        ref_dist, ref_idx = knn_ops.hamming_topk(query, matrix, valid, k)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+        np.testing.assert_array_equal(np.asarray(dist), np.asarray(ref_dist))
+        assert int(idx[0, 0]) == 37 and int(dist[0, 0]) == 0

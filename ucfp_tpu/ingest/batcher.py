@@ -1,0 +1,92 @@
+"""Deadline batcher: cross-request batching onto fixed-size device batches.
+
+The single biggest architectural change vs the reference's
+request-at-a-time model (SURVEY.md section 7): ingest requests enqueue
+decoded, same-shape payloads; a scheduler flushes a batch to the device
+when either `max_batch` items are waiting or the oldest item has waited
+`max_delay_ms` — the classic deadline batching policy. The reference's
+`IngestSource::next_batch(max)` trait (src/ingest/mod.rs:18-28) is the
+natural seam this fills.
+
+Shape bucketing: device kernels compile per input shape, so the batcher
+keys queues by an arbitrary hashable bucket (e.g. decoded image HxW).
+Padding to a small set of canonical buckets is the caller's choice.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import time
+from dataclasses import dataclass, field
+from typing import Any, Awaitable, Callable, Hashable
+
+
+@dataclass
+class _Pending:
+    payload: Any
+    future: asyncio.Future
+    enqueued: float
+
+
+class DeadlineBatcher:
+    """Groups awaitable work items into device-sized batches per bucket.
+
+    run_batch(bucket, payloads) -> list of per-item results (same order).
+    """
+
+    def __init__(
+        self,
+        run_batch: Callable[[Hashable, list], Awaitable[list]],
+        max_batch: int = 64,
+        max_delay_ms: float = 2.0,
+    ):
+        self.run_batch = run_batch
+        self.max_batch = max_batch
+        self.max_delay = max_delay_ms / 1000.0
+        self._queues: dict[Hashable, list[_Pending]] = {}
+        self._timers: dict[Hashable, asyncio.TimerHandle] = {}
+        self._lock = asyncio.Lock()
+
+    async def submit(self, bucket: Hashable, payload: Any):
+        loop = asyncio.get_running_loop()
+        fut: asyncio.Future = loop.create_future()
+        flush_now = False
+        async with self._lock:
+            q = self._queues.setdefault(bucket, [])
+            q.append(_Pending(payload, fut, time.monotonic()))
+            if len(q) >= self.max_batch:
+                flush_now = True
+            elif bucket not in self._timers:
+                self._timers[bucket] = loop.call_later(
+                    self.max_delay,
+                    lambda: asyncio.ensure_future(self._flush(bucket)),
+                )
+        if flush_now:
+            await self._flush(bucket)
+        return await fut
+
+    async def _flush(self, bucket: Hashable) -> None:
+        async with self._lock:
+            timer = self._timers.pop(bucket, None)
+            if timer is not None:
+                timer.cancel()
+            q = self._queues.pop(bucket, [])
+        if not q:
+            return
+        try:
+            results = await self.run_batch(bucket, [p.payload for p in q])
+            for p, r in zip(q, results):
+                if not p.future.done():
+                    p.future.set_result(r)
+        except Exception as e:
+            for p in q:
+                if not p.future.done():
+                    p.future.set_exception(e)
+
+    async def flush_all(self) -> None:
+        for bucket in list(self._queues.keys()):
+            await self._flush(bucket)
+
+    @property
+    def queued(self) -> int:
+        return sum(len(q) for q in self._queues.values())

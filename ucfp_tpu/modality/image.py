@@ -174,6 +174,66 @@ def fingerprint_batch(
     ]
 
 
+ALGORITHM_SEMANTIC = "embedding-image-local"
+SEMANTIC_MODEL_ID = "ucfp-image-embed-512-v1"
+SEMANTIC_DIM = 512
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=1)
+def _semantic_params():
+    """Deterministic fixed weights (seeded PRNG) for the local image
+    encoder: a 2-layer MLP over the exact-int 32x32 RGB downsample.
+    Stands in for the reference's CLIP ONNX LocalProvider
+    (image.rs:210-241) as a real on-device JAX model; a trained CLIP
+    encoder slots in behind the same model_id seam later."""
+    import jax
+    import jax.numpy as jnp
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0x1A6E), 2)
+    d_in = 32 * 32 * 3
+    w1 = jax.random.normal(k1, (d_in, 1024), jnp.float32) * (1.0 / d_in**0.5)
+    w2 = jax.random.normal(k2, (1024, SEMANTIC_DIM), jnp.float32) * (1.0 / 32.0)
+    return w1, w2
+
+
+def fingerprint_semantic(
+    data: bytes,
+    tenant_id: int,
+    record_id: int,
+    pre: PreprocessConfig | None = None,
+    model_id: str | None = None,
+) -> Record:
+    """CLIP-class local embedding record (embedding slot + f32 LE bytes)."""
+    import jax
+    import jax.numpy as jnp
+
+    pre = pre or PreprocessConfig()
+    rgb = decode_rgb(data, pre)
+    # exact-int 32x32 per channel, then [0,1] scale
+    chans = [imagehash.np_resize(rgb[..., c].astype(np.int64), 32, 32) for c in range(3)]
+    x = (np.stack(chans, -1).astype(np.float32) / 255.0).reshape(1, -1)
+    w1, w2 = _semantic_params()
+    h = jnp.tanh(jnp.dot(jnp.asarray(x), w1, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST))
+    e = jnp.dot(h, w2, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+    e = e / jnp.maximum(jnp.linalg.norm(e, axis=1, keepdims=True), 1e-9)
+    emb = np.asarray(e[0], np.float32)
+    return Record(
+        tenant_id=tenant_id,
+        record_id=record_id,
+        modality=Modality.IMAGE,
+        algorithm=ALGORITHM_SEMANTIC,
+        fingerprint=emb.astype("<f4").tobytes(),
+        embedding=[float(v) for v in emb],
+        model_id=model_id or SEMANTIC_MODEL_ID,
+        config_hash=config_hash64(ALGORITHM_SEMANTIC, model_id=model_id or SEMANTIC_MODEL_ID),
+    )
+
+
 def inspect_image(data: bytes, pre: PreprocessConfig | None = None) -> dict:
     """Per-stage extractor (reference inspect_image, image.rs:291-339).
 

@@ -1,0 +1,111 @@
+"""ICI-sharded brute-force top-k: the north-star query kernel.
+
+Replaces the reference's single-host rayon cosine scan
+(src/index/embedded/mod.rs:268-360) with a row-sharded HBM-resident
+matrix over a jax.sharding.Mesh:
+
+  * the fingerprint/embedding matrix [C, D] is sharded on rows across
+    the "d" axis (each chip holds C/n rows in HBM)
+  * the query is replicated; each chip computes its local scores with
+    one MXU matmul (cosine) or XOR+popcount (Hamming)
+  * per-chip lax.top_k(k) reduces the candidate set n*k << C
+  * one all_gather over ICI moves n*k candidates everywhere; a final
+    lax.top_k(k) merges — the classic two-stage distributed top-k
+
+Scaling: for 10M x 768 f32 that is 30 GB — 3.8 GB/chip on a v5e-8,
+inside the 16 GB HBM budget; per-query FLOPs 2*C*D/n per chip ride the
+MXU and the collective moves only k rows. Tie behavior matches the
+single-chip path: lax.top_k prefers the lower (global) row index.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+AXIS = "d"
+
+
+def shard_matrix(mesh: Mesh, matrix, valid):
+    """Place [C, D] rows and [C] validity across the mesh (C % n == 0)."""
+    ms = NamedSharding(mesh, P(AXIS, None))
+    vs = NamedSharding(mesh, P(AXIS))
+    return jax.device_put(matrix, ms), jax.device_put(valid, vs)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _sharded_cosine_impl(query, matrix, valid, k: int, mesh: Mesh):
+    def local(q, m, v):
+        # q [Q, D] replicated; m [C/n, D]; v [C/n]
+        row_norm = jnp.linalg.norm(m, axis=1)
+        q_norm = jnp.linalg.norm(q, axis=1, keepdims=True)
+        dots = jax.lax.dot_general(
+            q, m, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        denom = q_norm * row_norm[None, :]
+        ok = v[None, :] & (row_norm[None, :] > 0.0) & (q_norm > 0.0)
+        scores = jnp.where(ok, dots / jnp.where(denom == 0.0, 1.0, denom),
+                           -jnp.inf)
+        vals, idx = jax.lax.top_k(scores, k)  # [Q, k] local
+        gidx = idx + jax.lax.axis_index(AXIS) * m.shape[0]
+        # gather all chips' candidates; [n, Q, k] -> [Q, n*k]
+        vals_all = jax.lax.all_gather(vals, AXIS)
+        idx_all = jax.lax.all_gather(gidx, AXIS)
+        q_n = q.shape[0]
+        vc = jnp.moveaxis(vals_all, 0, 1).reshape(q_n, -1)
+        ic = jnp.moveaxis(idx_all, 0, 1).reshape(q_n, -1)
+        fv, pos = jax.lax.top_k(vc, k)
+        fi = jnp.take_along_axis(ic, pos, axis=1)
+        return fv, fi
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(AXIS, None), P(AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,  # outputs replicated via all_gather + local merge
+    )(query, matrix, valid)
+
+
+def sharded_cosine_topk(query, matrix, valid, k: int, mesh: Mesh):
+    """query [Q, D] f32, matrix [C, D] row-sharded, valid [C] -> ([Q,k], [Q,k])."""
+    return _sharded_cosine_impl(query, matrix, valid, k, mesh)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _sharded_hamming_impl(query, matrix, valid, k: int, mesh: Mesh):
+    def local(q, m, v):
+        # q [Q, W] uint32; m [C/n, W]
+        x = jnp.bitwise_xor(q[:, None, :], m[None, :, :])
+        dist = jnp.sum(jax.lax.population_count(x).astype(jnp.int32), axis=-1)
+        big = jnp.int32(0x7FFFFFFF)
+        dist = jnp.where(v[None, :], dist, big)
+        vals, idx = jax.lax.top_k(-dist, k)
+        gidx = idx + jax.lax.axis_index(AXIS) * m.shape[0]
+        vals_all = jax.lax.all_gather(vals, AXIS)
+        idx_all = jax.lax.all_gather(gidx, AXIS)
+        q_n = q.shape[0]
+        vc = jnp.moveaxis(vals_all, 0, 1).reshape(q_n, -1)
+        ic = jnp.moveaxis(idx_all, 0, 1).reshape(q_n, -1)
+        fv, pos = jax.lax.top_k(vc, k)
+        fi = jnp.take_along_axis(ic, pos, axis=1)
+        return -fv, fi
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(AXIS, None), P(AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,  # outputs replicated via all_gather + local merge
+    )(query, matrix, valid)
+
+
+def sharded_hamming_topk(query, matrix, valid, k: int, mesh: Mesh):
+    """query [Q, W] u32 packed bits, matrix [C, W] row-sharded -> dist, idx."""
+    return _sharded_hamming_impl(query, matrix, valid, k, mesh)

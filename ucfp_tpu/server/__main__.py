@@ -1,0 +1,34 @@
+"""CLI launcher: python -m ucfp_tpu.server --bind HOST:PORT --token T --data-dir D."""
+
+import argparse
+import asyncio
+
+from .app import run, state_from_env
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(prog="ucfp-tpu-server")
+    p.add_argument("--bind", default=None, help="host:port (env UCFP_BIND)")
+    p.add_argument("--token", default=None, help="service bearer (env UCFP_TOKEN)")
+    p.add_argument("--keys-file", default=None, help="multi-tenant keys file")
+    p.add_argument("--data-dir", default=None, help="index directory")
+    p.add_argument("--usage-log", default=None, help="NDJSON usage log path")
+    args = p.parse_args()
+
+    import os
+
+    bind = args.bind or os.environ.get("UCFP_BIND", "127.0.0.1:8080")
+    state = state_from_env(
+        data_dir=args.data_dir,
+        token=args.token,
+        keys_file=args.keys_file,
+        usage_log=args.usage_log,
+    )
+    try:
+        asyncio.run(run(bind, state))
+    except KeyboardInterrupt:
+        pass  # graceful ctrl-c shutdown (bin/ucfp.rs:279-284)
+
+
+if __name__ == "__main__":
+    main()

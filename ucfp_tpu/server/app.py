@@ -1,0 +1,199 @@
+"""Server composition: router, auth middleware, env wiring, launcher.
+
+Mirrors the reference's composition (src/server/mod.rs:78-290 router and
+src/bin/ucfp.rs:106-287 env resolution):
+
+  * public_router: /healthz, /v1/info, /v1/algorithms, /metrics
+  * protected routes behind the auth -> rate-limit -> usage middleware
+    (mod.rs:300-412): bearer parse -> ApiKeyLookup (401) -> rate check
+    (429 + Retry-After) -> handler -> fire-and-forget UsageEvent
+  * env resolution, same precedence and refuse-if-none rule:
+    UCFP_KEYS_FILE > UCFP_TOKEN, else refuse to start; UCFP_BIND,
+    UCFP_DATA_DIR, UCFP_BODY_LIMIT_MB, UCFP_USAGE_LOG_PATH,
+    UCFP_RATELIMIT_* knobs
+
+Run: python -m ucfp_tpu.server --bind 127.0.0.1:8080 --token t --data-dir d
+"""
+
+from __future__ import annotations
+
+import asyncio
+import os
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+from ..index.embedded import EmbeddedBackend
+from .auth import ApiKeyLookup, StaticMapKey, StaticSingleKey
+from .handlers import Handlers
+from .http import HttpError, HttpServer, Request, Response, Router
+from .inputs_cache import InputsCache
+from .ratelimit import InMemoryTokenBucket, NoopRateLimiter, TenantRateLimiter
+from .usage import LogUsageSink, NoopUsageSink, UsageEvent, UsageOp, UsageSink, now_ms
+
+
+@dataclass
+class ServerState:
+    index: EmbeddedBackend
+    api_keys: ApiKeyLookup
+    rate_limit: TenantRateLimiter
+    usage: UsageSink
+    inputs: InputsCache
+
+
+_OP_BY_PREFIX = [
+    ("/v1/ingest", UsageOp.INGEST),
+    ("/v1/records", UsageOp.UPSERT),
+    ("/v1/query", UsageOp.QUERY),
+]
+
+
+def build_server(
+    state: ServerState,
+    body_limit: Optional[int] = None,
+    timeout_secs: Optional[float] = None,
+) -> HttpServer:
+    h = Handlers(state.index, state.inputs)
+    r = Router()
+    # public (mod.rs:78-88)
+    r.add("GET", "/healthz", h.healthz, protected=False)
+    r.add("GET", "/v1/info", h.info, protected=False)
+    r.add("GET", "/v1/algorithms", h.algorithms, protected=False)
+    # protected (mod.rs:104-193)
+    r.add("PUT", "/v1/records", h.upsert_records)
+    r.add("POST", "/v1/records", h.upsert_records)
+    r.add("GET", "/v1/records/{tenant_id}/{record_id}", h.describe_record)
+    r.add("DELETE", "/v1/records/{tenant_id}/{record_id}", h.delete_record)
+    r.add("POST", "/v1/query", h.query)
+    r.add("POST", "/v1/ingest/text/{tenant_id}/{record_id}", h.ingest_text)
+    r.add(
+        "POST", "/v1/ingest/text/{tenant_id}/{record_id}/stream", h.ingest_text_stream
+    )
+    r.add("POST", "/v1/ingest/image/{tenant_id}/{record_id}", h.ingest_image)
+    r.add("POST", "/v1/ingest/audio/{tenant_id}/{record_id}", h.ingest_audio)
+    r.add(
+        "POST",
+        "/v1/ingest/audio/{tenant_id}/{record_id}/stream",
+        h.ingest_audio_stream,
+    )
+    r.add("POST", "/v1/inputs/{tenant_id}", h.inputs_put)
+    r.add("DELETE", "/v1/inputs/{tenant_id}/{input_id}", h.inputs_delete)
+    r.add("POST", "/v1/pipeline/inspect/text", h.inspect_text)
+    r.add("POST", "/v1/pipeline/inspect/image", h.inspect_image)
+    r.add("POST", "/v1/pipeline/inspect/audio", h.inspect_audio)
+
+    server: HttpServer = HttpServer(
+        r,
+        body_limit=body_limit or int(os.environ.get("UCFP_BODY_LIMIT_MB", "16")) * 1024 * 1024,
+        timeout_secs=timeout_secs
+        or float(os.environ.get("UCFP_REQUEST_TIMEOUT_SECS", "10")),
+    )
+
+    async def metrics_handler(req: Request) -> Response:
+        return Response.text(
+            server.metrics.render(), content_type="text/plain; version=0.0.4"
+        )
+
+    r.add("GET", "/metrics", metrics_handler, protected=False)
+
+    async def middleware(req: Request, handler, protected: bool) -> Response:
+        if not protected:
+            return await handler(req)
+        # bearer parse -> lookup (mod.rs:310-330)
+        authz = req.headers.get("authorization", "")
+        if not authz.lower().startswith("bearer "):
+            raise HttpError(401, "unauthorized", "missing bearer token")
+        ctx = await state.api_keys.lookup(authz[7:].strip())
+        if ctx is None:
+            raise HttpError(401, "unauthorized", "unknown API key")
+        # rate check (mod.rs:332-345)
+        decision = await state.rate_limit.check(ctx.tenant_id, ctx.rate_class)
+        if not decision.allowed:
+            raise HttpError(
+                429,
+                "rate_limited",
+                "tenant rate limit exceeded",
+                headers={
+                    "retry-after": str(max(1, decision.retry_after_ms // 1000))
+                },
+            )
+        req.extensions["api_key"] = ctx
+        start = time.monotonic()
+        status = 500
+        try:
+            resp = await handler(req)
+            status = resp.status
+            return resp
+        except HttpError as e:
+            status = e.status
+            raise
+        except Exception as e:
+            status = getattr(e, "http_status", 500)
+            raise
+        finally:
+            op = UsageOp.DESCRIBE
+            for prefix, o in _OP_BY_PREFIX:
+                if req.path.startswith(prefix):
+                    op = o
+                    break
+            if req.method == "DELETE":
+                op = UsageOp.DELETE
+            ev = UsageEvent(
+                tenant_id=ctx.tenant_id,
+                key_id=ctx.key_id,
+                op=op,
+                bytes_in=len(req.body),
+                elapsed_ms=(time.monotonic() - start) * 1000.0,
+                status=status,
+                ts=now_ms(),
+            )
+            # fire-and-forget (mod.rs:396-409)
+            asyncio.get_running_loop().create_task(state.usage.record(ev))
+
+    server.middleware = middleware
+    return server
+
+
+def state_from_env(
+    data_dir: Optional[str] = None,
+    token: Optional[str] = None,
+    keys_file: Optional[str] = None,
+    usage_log: Optional[str] = None,
+    rate: Optional[float] = None,
+    burst: Optional[float] = None,
+) -> ServerState:
+    """Env-driven composition with the reference's precedence and
+    refuse-if-no-auth rule (bin/ucfp.rs:106-205)."""
+    data_dir = data_dir or os.environ.get("UCFP_DATA_DIR", "./ucfp-data")
+    keys_file = keys_file or os.environ.get("UCFP_KEYS_FILE")
+    token = token or os.environ.get("UCFP_TOKEN")
+    if keys_file:
+        api_keys: ApiKeyLookup = StaticMapKey.from_file(keys_file)
+    elif token:
+        api_keys = StaticSingleKey(token)
+    else:
+        raise SystemExit(
+            "refusing to start without auth: set UCFP_KEYS_FILE or UCFP_TOKEN"
+        )
+    rate = rate if rate is not None else float(os.environ.get("UCFP_RATELIMIT_RPS", "100"))
+    burst = burst if burst is not None else float(os.environ.get("UCFP_RATELIMIT_BURST", "200"))
+    rate_limit: TenantRateLimiter = (
+        NoopRateLimiter() if rate <= 0 else InMemoryTokenBucket(rate, burst)
+    )
+    usage_log = usage_log or os.environ.get("UCFP_USAGE_LOG_PATH")
+    usage: UsageSink = LogUsageSink(usage_log) if usage_log else NoopUsageSink()
+    return ServerState(
+        index=EmbeddedBackend(data_dir),
+        api_keys=api_keys,
+        rate_limit=rate_limit,
+        usage=usage,
+        inputs=InputsCache(),
+    )
+
+
+async def run(bind: str, state: ServerState) -> None:
+    host, _, port = bind.rpartition(":")
+    server = build_server(state)
+    srv = await server.serve(host or "127.0.0.1", int(port))
+    async with srv:
+        await srv.serve_forever()

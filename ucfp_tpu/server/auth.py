@@ -1,0 +1,129 @@
+"""Pluggable API-key auth (reference: src/server/apikey.rs).
+
+  * ApiKeyContext{tenant_id, key_id, scopes, rate_class}  (apikey.rs:34-48)
+  * StaticSingleKey  — constant-time compare (apikey.rs:70-108)
+  * StaticMapKey     — multi-tenant key file, minimal TOML subset parser
+                       (apikey.rs:134-313)
+  * WebhookKeyLookup — remote lookup with 60 s TTL cache and bounded size
+                       (apikey.rs:317-418); performs no network here (zero
+                       egress build) unless given a custom fetch callable.
+"""
+
+from __future__ import annotations
+
+import abc
+import hmac
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+
+@dataclass(frozen=True)
+class ApiKeyContext:
+    tenant_id: int
+    key_id: str = "default"
+    scopes: tuple[str, ...] = ()
+    rate_class: str = "default"
+
+
+class ApiKeyLookup(abc.ABC):
+    @abc.abstractmethod
+    async def lookup(self, token: str) -> Optional[ApiKeyContext]:
+        """Return the key's context, or None for an unknown token."""
+
+
+class StaticSingleKey(ApiKeyLookup):
+    """One service token, tenant 0 (service bearer). Constant-time compare."""
+
+    def __init__(self, token: str, tenant_id: int = 0):
+        self._token = token.encode()
+        self._ctx = ApiKeyContext(tenant_id=tenant_id, key_id="static")
+
+    async def lookup(self, token: str) -> Optional[ApiKeyContext]:
+        if hmac.compare_digest(token.encode(), self._token):
+            return self._ctx
+        return None
+
+
+def parse_keys_file(content: str) -> dict[str, ApiKeyContext]:
+    """Minimal TOML-subset parser for the keys file, like the reference's
+    hand-rolled one (apikey.rs:134-313). Format:
+
+        [keys.some-key-id]
+        token = "secret"
+        tenant_id = 7
+    """
+    keys: dict[str, ApiKeyContext] = {}
+    section: Optional[str] = None
+    fields: dict[str, str] = {}
+
+    def commit():
+        nonlocal fields, section
+        if section is not None and "token" in fields:
+            keys[fields["token"]] = ApiKeyContext(
+                tenant_id=int(fields.get("tenant_id", "0")),
+                key_id=section,
+            )
+        fields = {}
+
+    for raw in content.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        if line.startswith("[") and line.endswith("]"):
+            commit()
+            name = line[1:-1].strip()
+            section = name.split(".", 1)[1] if name.startswith("keys.") else name
+        elif "=" in line and section is not None:
+            k, v = line.split("=", 1)
+            fields[k.strip()] = v.strip().strip('"')
+    commit()
+    return keys
+
+
+class StaticMapKey(ApiKeyLookup):
+    """Multi-tenant static key map loaded from a keys file."""
+
+    def __init__(self, keys: dict[str, ApiKeyContext]):
+        self._keys = keys
+
+    @classmethod
+    def from_file(cls, path: str) -> "StaticMapKey":
+        with open(path) as f:
+            return cls(parse_keys_file(f.read()))
+
+    async def lookup(self, token: str) -> Optional[ApiKeyContext]:
+        # constant-time scan over all keys so timing doesn't leak which
+        # prefix matched
+        found: Optional[ApiKeyContext] = None
+        for t, ctx in self._keys.items():
+            if hmac.compare_digest(token, t):
+                found = ctx
+        return found
+
+
+class WebhookKeyLookup(ApiKeyLookup):
+    """Remote key lookup with TTL cache (apikey.rs:317-418).
+
+    `fetch(token) -> Optional[ApiKeyContext]` is injected; the default
+    raises, since this build has no egress.
+    """
+
+    TTL_SECS = 60.0
+    MAX_CACHE = 4096
+
+    def __init__(self, fetch: Callable, clock=time.monotonic):
+        self._fetch = fetch
+        self._clock = clock
+        self._cache: dict[str, tuple[float, Optional[ApiKeyContext]]] = {}
+
+    async def lookup(self, token: str) -> Optional[ApiKeyContext]:
+        now = self._clock()
+        hit = self._cache.get(token)
+        if hit is not None and now - hit[0] < self.TTL_SECS:
+            return hit[1]
+        ctx = await self._fetch(token)
+        if len(self._cache) >= self.MAX_CACHE:
+            self._cache.clear()  # clear-on-overflow, like the reference
+        self._cache[token] = (now, ctx)
+        return ctx

@@ -1,0 +1,535 @@
+"""Endpoint logic (reference: src/server/handlers.rs).
+
+Route contract identical to the reference:
+  public:    GET /healthz, GET /v1/info, GET /v1/algorithms, GET /metrics
+  protected: PUT  /v1/records                      raw Record upsert
+             GET  /v1/records/{tid}/{rid}          describe (metadata)
+             DELETE /v1/records/{tid}/{rid}
+             POST /v1/query[?explain=1]            vector / hybrid / hash
+             POST /v1/ingest/text/{tid}/{rid}      ?algorithm=&k=&h=&canon_*
+             POST /v1/ingest/text/{tid}/{rid}/stream   NDJSON lines
+             POST /v1/ingest/image/{tid}/{rid}     ?algorithm=multi|phash|...
+             POST /v1/ingest/audio/{tid}/{rid}     ?sample_rate=&algorithm=
+             POST /v1/ingest/audio/{tid}/{rid}/stream  chunked 8 kHz f32
+             POST /v1/inputs/{tid}                 playground byte cache
+             DELETE /v1/inputs/{tid}/{input_id}
+             POST /v1/pipeline/inspect/{text|image|audio}
+
+tenant_guard semantics (handlers.rs:48-60): a key with tenant 0 is the
+service bearer and may touch any tenant; any other key must match the
+path/body tenant exactly or gets 403.
+
+Query extensions beyond the reference's vector-only DTO: `terms` enables
+the hybrid/BM25 path the reference exposes only via the library Matcher,
+and `fingerprint_hex` + `algorithm` run the packed Hamming top-k kernel.
+Responses for reference-shaped requests remain wire-identical.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Optional
+
+import numpy as np
+
+from .. import __version__
+from ..core import (
+    ForbiddenError,
+    Hit,
+    HitSource,
+    Modality,
+    Query,
+    Record,
+    RecordNotFound,
+    UcfpError,
+)
+from ..index.embedded import EmbeddedBackend
+from ..matcher import Matcher
+from ..modality import audio as amod
+from ..modality import image as imod
+from ..modality import text as tmod
+from ..ops.audio.constellation import PanakoConfig, WangConfig
+from ..ops.audio.haitsma import HaitsmaConfig
+from .auth import ApiKeyContext
+from .http import HttpError, Request, Response
+from .inputs_cache import InputsCache
+from .manifest import build_manifest
+
+SERVICE_TENANT = 0
+
+
+def _ctx(req: Request) -> ApiKeyContext:
+    return req.extensions["api_key"]
+
+
+def tenant_guard(ctx: ApiKeyContext, tenant_id: int) -> None:
+    """Service bearer (tenant 0) may touch any tenant (handlers.rs:48-60)."""
+    if ctx.tenant_id != SERVICE_TENANT and ctx.tenant_id != tenant_id:
+        raise ForbiddenError(
+            f"key for tenant {ctx.tenant_id} may not access tenant {tenant_id}"
+        )
+
+
+def _err(e: UcfpError) -> HttpError:
+    return HttpError(e.http_status, e.code, e.message)
+
+
+def _path_ids(req: Request) -> tuple[int, int]:
+    try:
+        return int(req.params["tenant_id"]), int(req.params["record_id"])
+    except (KeyError, ValueError):
+        raise HttpError(400, "bad_path", "tenant_id/record_id must be integers")
+
+
+def _ingest_response(rec: Record, return_embedding: bool) -> Response:
+    body = {
+        "tenant_id": rec.tenant_id,
+        "record_id": rec.record_id,
+        "modality": rec.modality.value,
+        "format_version": rec.format_version,
+        "algorithm": rec.algorithm,
+        "config_hash": rec.config_hash,
+        "fingerprint_bytes": len(rec.fingerprint),
+        "fingerprint_hex": rec.fingerprint.hex(),
+        "has_embedding": rec.embedding is not None,
+    }
+    if return_embedding and rec.embedding is not None:
+        body["embedding"] = rec.embedding
+    return Response.json(body, status=201)
+
+
+class Handlers:
+    def __init__(self, index: EmbeddedBackend, inputs: InputsCache):
+        self.index = index
+        self.inputs = inputs
+        self.matcher = Matcher(index)
+        self.started = time.time()
+
+    # -- public ---------------------------------------------------------------
+
+    async def healthz(self, req: Request) -> Response:
+        try:
+            await self.index.flush()  # index ping (handlers.rs:70-75)
+        except Exception as e:
+            raise HttpError(503, "unhealthy", str(e))
+        return Response.json({"status": "ok"})
+
+    async def info(self, req: Request) -> Response:
+        return Response.json(
+            {
+                "name": "ucfp-tpu",
+                "version": __version__,
+                "format_version": 1,
+                "uptime_secs": int(time.time() - self.started),
+                "modalities": ["text", "image", "audio"],
+            }
+        )
+
+    async def algorithms(self, req: Request) -> Response:
+        return Response.json(build_manifest())
+
+    # -- records ----------------------------------------------------------------
+
+    async def upsert_records(self, req: Request) -> Response:
+        body = req.json()
+        items = body if isinstance(body, list) else [body]
+        recs = []
+        for r in items:
+            try:
+                rec = Record(
+                    tenant_id=r["tenant_id"],
+                    record_id=r["record_id"],
+                    modality=Modality(r["modality"]),
+                    format_version=r.get("format_version", 1),
+                    algorithm=r["algorithm"],
+                    config_hash=r.get("config_hash", 0),
+                    fingerprint=bytes(r["fingerprint"]),  # JSON u8 array
+                    embedding=r.get("embedding"),
+                    model_id=r.get("model_id"),
+                    metadata=bytes(r.get("metadata", [])),
+                )
+            except (KeyError, ValueError, TypeError) as e:
+                raise HttpError(400, "bad_record", f"invalid record: {e}")
+            tenant_guard(_ctx(req), rec.tenant_id)
+            recs.append(rec)
+        await self.index.upsert(recs)
+        return Response.json({"upserted": len(recs)})
+
+    async def describe_record(self, req: Request) -> Response:
+        tid, rid = _path_ids(req)
+        tenant_guard(_ctx(req), tid)
+        try:
+            m = await self.index.get_record_metadata(tid, rid)
+        except RecordNotFound as e:
+            raise _err(e)
+        return Response.json(
+            {
+                "tenant_id": m.tenant_id,
+                "record_id": m.record_id,
+                "modality": m.modality.value,
+                "algorithm": m.algorithm,
+                "config_hash": m.config_hash,
+                "format_version": m.format_version,
+                "fingerprint_bytes": m.fingerprint_bytes,
+                "has_embedding": m.has_embedding,
+                "model_id": m.model_id,
+            }
+        )
+
+    async def delete_record(self, req: Request) -> Response:
+        tid, rid = _path_ids(req)
+        tenant_guard(_ctx(req), tid)
+        await self.index.delete(tid, [rid])
+        return Response.json({"deleted": 1})
+
+    # -- query -------------------------------------------------------------------
+
+    async def query(self, req: Request) -> Response:
+        body = req.json()
+        try:
+            tenant_id = int(body["tenant_id"])
+            modality = Modality(body["modality"])
+        except (KeyError, ValueError) as e:
+            raise HttpError(400, "bad_query", f"invalid query: {e}")
+        tenant_guard(_ctx(req), tenant_id)
+        k = max(1, int(body.get("k", 10)))
+        explain = req.qp_bool("explain")
+        vector = body.get("vector")
+        terms = body.get("terms") or []
+        fp_hex = body.get("fingerprint_hex")
+
+        if fp_hex is not None:
+            algorithm = body.get("algorithm")
+            if not algorithm:
+                raise HttpError(
+                    400, "bad_query", "fingerprint_hex queries require algorithm"
+                )
+            try:
+                fp = bytes.fromhex(fp_hex)
+            except ValueError:
+                raise HttpError(400, "bad_query", "fingerprint_hex is not hex")
+            hits = await self.index.knn_fingerprint(tenant_id, algorithm, fp, k)
+        else:
+            q = Query(
+                tenant_id=tenant_id,
+                modality=modality,
+                k=k,
+                vector=vector,
+                terms=list(terms),
+                rrf_k=int(body.get("rrf_k", 60)),
+                explain=explain,
+            )
+            hits = await self.matcher.search(q)
+        return Response.json({"hits": [self._hit_out(tenant_id, h) for h in hits]})
+
+    @staticmethod
+    def _hit_out(tenant_id: int, h: Hit) -> dict:
+        out = {
+            "tenant_id": tenant_id,
+            "record_id": h.record_id,
+            "score": h.score,
+            "source": h.source.value,
+        }
+        if h.vector_score is not None:
+            out["vector_score"] = h.vector_score
+        if h.bm25_score is not None:
+            out["bm25_score"] = h.bm25_score
+        if h.vector_rank is not None:
+            out["vector_rank"] = h.vector_rank
+        if h.bm25_rank is not None:
+            out["bm25_rank"] = h.bm25_rank
+        if h.term_hits:
+            out["term_hits"] = [
+                {
+                    "term": t.term,
+                    "idf": t.idf,
+                    "tf": t.tf,
+                    "contribution": t.contribution,
+                }
+                for t in h.term_hits[:16]
+            ]
+        return out
+
+    # -- ingest: text ---------------------------------------------------------------
+
+    def _text_opts(self, req: Request) -> tmod.TextOpts:
+        """build_text_opts equivalent (handlers.rs:521-588)."""
+        return tmod.TextOpts(
+            k=req.qp_int("k", tmod.DEFAULT_K),
+            h=req.qp_int("h", tmod.DEFAULT_H),
+            tokenizer=req.query.get("tokenizer", "word"),
+            normalization=req.query.get("canon_normalization", "nfkc"),
+            case_fold=req.qp_bool("canon_case_fold", True),
+            strip_bidi=req.qp_bool("canon_strip_bidi", True),
+            strip_format=req.qp_bool("canon_strip_format", True),
+            apply_confusable=req.qp_bool("canon_confusable", False),
+            preprocess=req.query.get("preprocess"),
+        )
+
+    def _body_or_input(self, req: Request, tenant_id: int) -> tuple[bytes, Optional[int]]:
+        """Inputs-cache override via ?input_id= (handlers.rs:377-385)."""
+        input_id = req.query.get("input_id")
+        if input_id:
+            e = self.inputs.get(tenant_id, input_id)
+            if e is None:
+                raise HttpError(404, "input_not_found", f"input {input_id} not cached")
+            return e.data, e.sample_rate
+        return req.body, None
+
+    async def ingest_text(self, req: Request) -> Response:
+        tid, rid = _path_ids(req)
+        tenant_guard(_ctx(req), tid)
+        raw, _ = self._body_or_input(req, tid)
+        algorithm = req.query.get("algorithm", "minhash")
+        opts = self._text_opts(req)
+        if opts.preprocess == "pdf":
+            try:
+                text = tmod.pdf_to_text(raw)
+            except UcfpError as e:
+                raise _err(e)
+            opts = tmod.TextOpts(**{**opts.__dict__, "preprocess": None})
+        else:
+            try:
+                text = raw.decode("utf-8")
+            except UnicodeDecodeError:
+                raise HttpError(400, "bad_utf8", "body is not valid UTF-8")
+        try:
+            if algorithm == "minhash":
+                rec = tmod.fingerprint_minhash(text, tid, rid, opts)
+            elif algorithm == "simhash-tf":
+                rec = tmod.fingerprint_simhash(text, tid, rid, opts)
+            elif algorithm == "simhash-idf":
+                rec = tmod.fingerprint_simhash(text, tid, rid, opts, idf={})
+            elif algorithm == "lsh":
+                rec = tmod.fingerprint_lsh(text, tid, rid, opts)
+            elif algorithm == "tlsh":
+                rec = tmod.fingerprint_tlsh(text, tid, rid, opts)
+            elif algorithm == "semantic":
+                provider = req.query.get("provider", "local")
+                rec = tmod.fingerprint_semantic(
+                    text, tid, rid, provider=provider, opts=opts,
+                    provider_key=req.headers.get("x-provider-key"),
+                )
+            else:
+                raise HttpError(400, "bad_algorithm", f"unknown text algorithm {algorithm!r}")
+        except UcfpError as e:
+            raise _err(e)
+        await self.index.upsert([rec])
+        return _ingest_response(rec, req.qp_bool("return_embedding"))
+
+    async def ingest_text_stream(self, req: Request) -> Response:
+        """NDJSON lines: {"chunk": "..."} ... (handlers.rs:591-626)."""
+        tid, rid = _path_ids(req)
+        tenant_guard(_ctx(req), tid)
+        opts = self._text_opts(req)
+        session = tmod.StreamingMinHashSession(tid, rid, opts)
+        try:
+            for line in req.body.decode("utf-8").splitlines():
+                line = line.strip()
+                if not line:
+                    continue
+                obj = json.loads(line)
+                session.push(obj.get("chunk", ""))
+            rec = session.finalize()
+        except (UnicodeDecodeError, json.JSONDecodeError) as e:
+            raise HttpError(400, "bad_ndjson", f"invalid NDJSON stream: {e}")
+        except UcfpError as e:
+            raise _err(e)
+        await self.index.upsert([rec])
+        return _ingest_response(rec, False)
+
+    # -- ingest: image ---------------------------------------------------------------
+
+    def _image_pre(self, req: Request) -> imod.PreprocessConfig:
+        return imod.PreprocessConfig(
+            max_input_bytes=req.qp_int("max_input_bytes", 50 * 1024 * 1024),
+            max_dimension=req.qp_int("max_dimension", 8192),
+            min_dimension=req.qp_int("min_dimension", 32),
+        )
+
+    async def ingest_image(self, req: Request) -> Response:
+        tid, rid = _path_ids(req)
+        tenant_guard(_ctx(req), tid)
+        raw, _ = self._body_or_input(req, tid)
+        algorithm = req.query.get("algorithm", "multi")
+        pre = self._image_pre(req)
+        try:
+            if algorithm == "multi":
+                rec = imod.fingerprint_multi(raw, tid, rid, pre)
+            elif algorithm in ("phash", "dhash", "ahash"):
+                rec = imod.fingerprint_single(raw, algorithm, tid, rid, pre)
+            elif algorithm == "semantic":
+                rec = imod.fingerprint_semantic(
+                    raw, tid, rid, pre, model_id=req.query.get("model_id")
+                )
+            else:
+                raise HttpError(
+                    400, "bad_algorithm", f"unknown image algorithm {algorithm!r}"
+                )
+        except UcfpError as e:
+            raise _err(e)
+        await self.index.upsert([rec])
+        return _ingest_response(rec, req.qp_bool("return_embedding"))
+
+    # -- ingest: audio ---------------------------------------------------------------
+
+    async def ingest_audio(self, req: Request) -> Response:
+        tid, rid = _path_ids(req)
+        tenant_guard(_ctx(req), tid)
+        raw, cached_sr = self._body_or_input(req, tid)
+        sample_rate = req.qp_int("sample_rate", cached_sr)
+        if sample_rate is None:
+            raise HttpError(400, "bad_query", "sample_rate is required")
+        algorithm = req.query.get("algorithm", "wang")
+        try:
+            samples = amod.decode_f32le(raw)
+        except UcfpError as e:
+            raise _err(e)
+
+        try:
+            if algorithm == "wang":
+                cfg = WangConfig(
+                    fan_out=req.qp_int("fan_out", 10),
+                    target_zone_t=req.qp_int("target_zone_t", 63),
+                    target_zone_f=req.qp_int("target_zone_f", 64),
+                    peaks_per_sec=req.qp_int("peaks_per_sec", 30),
+                    min_anchor_mag_db=req.qp_float("min_anchor_mag_db", -50.0),
+                )
+                rec = amod.fingerprint_wang(samples, sample_rate, tid, rid, cfg)
+            elif algorithm == "panako":
+                cfg = PanakoConfig(
+                    fan_out=req.qp_int("fan_out", 5),
+                    target_zone_t=req.qp_int("target_zone_t", 96),
+                    target_zone_f=req.qp_int("target_zone_f", 96),
+                    peaks_per_sec=req.qp_int("peaks_per_sec", 30),
+                    min_anchor_mag_db=req.qp_float("min_anchor_mag_db", -50.0),
+                )
+                rec = amod.fingerprint_panako(samples, sample_rate, tid, rid, cfg)
+            elif algorithm == "haitsma":
+                cfg = HaitsmaConfig(
+                    fmin=req.qp_float("fmin", 300.0),
+                    fmax=req.qp_float("fmax", 2000.0),
+                )
+                rec = amod.fingerprint_haitsma(samples, sample_rate, tid, rid, cfg)
+            elif algorithm == "neural":
+                rec = amod.fingerprint_neural(samples, sample_rate, tid, rid)
+            elif algorithm == "watermark":
+                wcfg = amod.WatermarkConfig(
+                    threshold=req.qp_float("threshold", 0.5)
+                )
+                rep = amod.detect_watermark(samples, sample_rate, wcfg)
+                # watermark returns a report, not a Record (audio.rs:333-400)
+                return Response.json(
+                    {
+                        "detected": rep.detected,
+                        "payload": rep.payload,
+                        "confidence": rep.confidence,
+                    }
+                )
+            else:
+                raise HttpError(
+                    400, "bad_algorithm", f"unknown audio algorithm {algorithm!r}"
+                )
+        except UcfpError as e:
+            raise _err(e)
+        await self.index.upsert([rec])
+        return _ingest_response(rec, req.qp_bool("return_embedding"))
+
+    async def ingest_audio_stream(self, req: Request) -> Response:
+        """Chunked 8 kHz f32 body run through the streaming Wang session;
+        each completed segment is upserted as record_id + segment index in
+        metadata (reference multipart route handlers.rs:963-1011)."""
+        tid, rid = _path_ids(req)
+        tenant_guard(_ctx(req), tid)
+        sample_rate = req.qp_int("sample_rate", None)
+        if sample_rate is None:
+            raise HttpError(400, "bad_query", "sample_rate is required")
+        try:
+            samples = amod.decode_f32le(req.body)
+            session = amod.StreamingWangSession(
+                tid, rid, sample_rate,
+                segment_secs=req.qp_float("segment_secs", 10.0),
+            )
+            recs = session.push(samples)
+            recs.extend(session.finalize())
+        except UcfpError as e:
+            raise _err(e)
+        if recs:
+            await self.index.upsert(recs)
+        return Response.json(
+            {
+                "segments": len(recs),
+                "records": [
+                    {
+                        "record_id": r.record_id,
+                        "metadata": r.metadata.decode(),
+                        "fingerprint_bytes": len(r.fingerprint),
+                    }
+                    for r in recs
+                ],
+            },
+            status=201,
+        )
+
+    # -- inputs cache -------------------------------------------------------------
+
+    async def inputs_put(self, req: Request) -> Response:
+        tid = int(req.params["tenant_id"])
+        tenant_guard(_ctx(req), tid)
+        input_id = self.inputs.put(
+            tid,
+            req.body,
+            content_type=req.headers.get("content-type", "application/octet-stream"),
+            sample_rate=req.qp_int("sample_rate", None),
+        )
+        return Response.json({"input_id": input_id, "bytes": len(req.body)}, status=201)
+
+    async def inputs_delete(self, req: Request) -> Response:
+        tid = int(req.params["tenant_id"])
+        tenant_guard(_ctx(req), tid)
+        ok = self.inputs.delete(tid, req.params["input_id"])
+        if not ok:
+            raise HttpError(404, "input_not_found", "no such cached input")
+        return Response.json({"deleted": 1})
+
+    # -- pipeline inspect ------------------------------------------------------------
+
+    async def inspect_text(self, req: Request) -> Response:
+        tid = req.qp_int("tenant_id", 0)
+        tenant_guard(_ctx(req), tid)
+        raw, _ = self._body_or_input(req, tid)
+        try:
+            return Response.json(
+                tmod.inspect_text(raw.decode("utf-8"), self._text_opts(req))
+            )
+        except UnicodeDecodeError:
+            raise HttpError(400, "bad_utf8", "body is not valid UTF-8")
+        except UcfpError as e:
+            raise _err(e)
+
+    async def inspect_image(self, req: Request) -> Response:
+        tid = req.qp_int("tenant_id", 0)
+        tenant_guard(_ctx(req), tid)
+        raw, _ = self._body_or_input(req, tid)
+        try:
+            return Response.json(imod.inspect_image(raw, self._image_pre(req)))
+        except UcfpError as e:
+            raise _err(e)
+
+    async def inspect_audio(self, req: Request) -> Response:
+        tid = req.qp_int("tenant_id", 0)
+        tenant_guard(_ctx(req), tid)
+        raw, cached_sr = self._body_or_input(req, tid)
+        sample_rate = req.qp_int("sample_rate", cached_sr)
+        if sample_rate is None:
+            raise HttpError(400, "bad_query", "sample_rate is required")
+        try:
+            samples = amod.decode_f32le(raw)
+            return Response.json(
+                amod.inspect_audio(
+                    samples, sample_rate, req.query.get("algorithm", "wang")
+                )
+            )
+        except UcfpError as e:
+            raise _err(e)

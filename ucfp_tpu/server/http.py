@@ -1,0 +1,328 @@
+"""Minimal asyncio HTTP/1.1 server plumbing: parse, route, respond.
+
+Stands in for the reference's axum stack (src/server/mod.rs:78-290 and
+src/bin/ucfp.rs:264-273) with the same layer semantics, inner to outer:
+handlers < body limit (16 MiB default, 413) < concurrency limit 512 <
+timeout 10 s (408) < trace/metrics. Keep-alive supported; graceful
+shutdown on cancel. No external HTTP framework — stdlib only, so the
+host layer stays dependency-free (the C++ server port slots in behind
+the same Router contract).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import re
+import time
+from dataclasses import dataclass, field
+from typing import Awaitable, Callable, Optional
+from urllib.parse import parse_qs, unquote
+
+MAX_HEADER_BYTES = 32 * 1024
+DEFAULT_BODY_LIMIT = 16 * 1024 * 1024
+DEFAULT_TIMEOUT_SECS = 10.0
+DEFAULT_CONCURRENCY = 512
+
+_STATUS_TEXT = {
+    200: "OK", 201: "Created", 204: "No Content", 400: "Bad Request",
+    401: "Unauthorized", 403: "Forbidden", 404: "Not Found",
+    405: "Method Not Allowed", 408: "Request Timeout",
+    409: "Conflict", 413: "Payload Too Large", 415: "Unsupported Media Type",
+    422: "Unprocessable Entity", 429: "Too Many Requests",
+    500: "Internal Server Error", 501: "Not Implemented",
+    503: "Service Unavailable",
+}
+
+
+@dataclass
+class Request:
+    method: str
+    path: str
+    query: dict[str, str]
+    headers: dict[str, str]
+    body: bytes
+    params: dict[str, str] = field(default_factory=dict)
+    extensions: dict = field(default_factory=dict)
+
+    def json(self):
+        try:
+            return json.loads(self.body)
+        except json.JSONDecodeError as e:
+            raise HttpError(400, "bad_json", f"invalid JSON body: {e}")
+
+    def qp_int(self, name: str, default: Optional[int] = None) -> Optional[int]:
+        v = self.query.get(name)
+        if v is None:
+            return default
+        try:
+            return int(v)
+        except ValueError:
+            raise HttpError(400, "bad_query", f"query param {name} must be int")
+
+    def qp_float(self, name: str, default: Optional[float] = None) -> Optional[float]:
+        v = self.query.get(name)
+        if v is None:
+            return default
+        try:
+            return float(v)
+        except ValueError:
+            raise HttpError(400, "bad_query", f"query param {name} must be float")
+
+    def qp_bool(self, name: str, default: bool = False) -> bool:
+        v = self.query.get(name)
+        if v is None:
+            return default
+        return v.lower() in ("1", "true", "yes", "on")
+
+
+@dataclass
+class Response:
+    status: int = 200
+    body: bytes = b""
+    content_type: str = "application/json"
+    headers: dict[str, str] = field(default_factory=dict)
+
+    @classmethod
+    def json(cls, obj, status: int = 200, headers: Optional[dict] = None) -> "Response":
+        return cls(
+            status=status,
+            body=json.dumps(obj, separators=(",", ":")).encode(),
+            headers=headers or {},
+        )
+
+    @classmethod
+    def text(cls, s: str, status: int = 200, content_type: str = "text/plain") -> "Response":
+        return cls(status=status, body=s.encode(), content_type=content_type)
+
+
+class HttpError(Exception):
+    """Error envelope {error, message} (reference src/server/error.rs:22-41)."""
+
+    def __init__(self, status: int, code: str, message: str,
+                 headers: Optional[dict] = None):
+        super().__init__(message)
+        self.status = status
+        self.code = code
+        self.message = message
+        self.headers = headers or {}
+
+    def to_response(self) -> Response:
+        return Response.json(
+            {"error": self.code, "message": self.message},
+            status=self.status,
+            headers=self.headers,
+        )
+
+
+Handler = Callable[[Request], Awaitable[Response]]
+
+
+class Router:
+    """Pattern routes like /v1/records/{tenant_id}/{record_id}."""
+
+    def __init__(self) -> None:
+        self._routes: list[tuple[str, re.Pattern, str, Handler, bool]] = []
+
+    def add(self, method: str, pattern: str, handler: Handler,
+            protected: bool = True) -> None:
+        rx = re.compile(
+            "^" + re.sub(r"\{(\w+)\}", r"(?P<\1>[^/]+)", pattern) + "$"
+        )
+        self._routes.append((method, rx, pattern, handler, protected))
+
+    def match(self, method: str, path: str):
+        """-> (handler, params, pattern, protected) or raises 404/405."""
+        path_seen = False
+        for m, rx, pattern, handler, protected in self._routes:
+            g = rx.match(path)
+            if g:
+                path_seen = True
+                if m == method:
+                    return handler, {k: unquote(v) for k, v in g.groupdict().items()}, pattern, protected
+        if path_seen:
+            raise HttpError(405, "method_not_allowed", f"{method} not allowed")
+        raise HttpError(404, "not_found", f"no route for {path}")
+
+
+class Metrics:
+    """Prometheus counters/histograms, matched-route path labels,
+    /metrics self-scrape excluded (reference src/bin/ucfp.rs:75-101)."""
+
+    BUCKETS = [0.001, 0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0]
+
+    def __init__(self) -> None:
+        self.requests: dict[tuple[str, str, int], int] = {}
+        self.duration_sum: dict[tuple[str, str], float] = {}
+        self.duration_count: dict[tuple[str, str], int] = {}
+        self.duration_buckets: dict[tuple[str, str], list[int]] = {}
+
+    def observe(self, method: str, path_label: str, status: int, secs: float) -> None:
+        if path_label == "/metrics":
+            return
+        k3 = (method, path_label, status)
+        self.requests[k3] = self.requests.get(k3, 0) + 1
+        k2 = (method, path_label)
+        self.duration_sum[k2] = self.duration_sum.get(k2, 0.0) + secs
+        self.duration_count[k2] = self.duration_count.get(k2, 0) + 1
+        b = self.duration_buckets.setdefault(k2, [0] * len(self.BUCKETS))
+        for i, ub in enumerate(self.BUCKETS):
+            if secs <= ub:
+                b[i] += 1
+
+    def render(self) -> str:
+        out = [
+            "# HELP ucfp_http_requests_total HTTP requests by route/status",
+            "# TYPE ucfp_http_requests_total counter",
+        ]
+        for (m, p, s), n in sorted(self.requests.items()):
+            out.append(
+                f'ucfp_http_requests_total{{method="{m}",path="{p}",status="{s}"}} {n}'
+            )
+        out += [
+            "# HELP ucfp_http_request_duration_seconds request latency",
+            "# TYPE ucfp_http_request_duration_seconds histogram",
+        ]
+        for (m, p), cnt in sorted(self.duration_count.items()):
+            buckets = self.duration_buckets[(m, p)]
+            for i, ub in enumerate(self.BUCKETS):
+                out.append(
+                    f'ucfp_http_request_duration_seconds_bucket{{method="{m}",path="{p}",le="{ub}"}} {buckets[i]}'
+                )
+            out.append(
+                f'ucfp_http_request_duration_seconds_bucket{{method="{m}",path="{p}",le="+Inf"}} {cnt}'
+            )
+            out.append(
+                f'ucfp_http_request_duration_seconds_sum{{method="{m}",path="{p}"}} {self.duration_sum[(m, p)]}'
+            )
+            out.append(
+                f'ucfp_http_request_duration_seconds_count{{method="{m}",path="{p}"}} {cnt}'
+            )
+        return "\n".join(out) + "\n"
+
+
+class HttpServer:
+    def __init__(
+        self,
+        router: Router,
+        middleware: Optional[Callable] = None,
+        body_limit: int = DEFAULT_BODY_LIMIT,
+        timeout_secs: float = DEFAULT_TIMEOUT_SECS,
+        concurrency: int = DEFAULT_CONCURRENCY,
+    ):
+        self.router = router
+        self.middleware = middleware  # async (request, handler, protected) -> Response
+        self.body_limit = body_limit
+        self.timeout_secs = timeout_secs
+        self.metrics = Metrics()
+        self._sem = asyncio.Semaphore(concurrency)
+        self._server: Optional[asyncio.AbstractServer] = None
+
+    async def handle_request(self, req: Request) -> tuple[Response, str]:
+        """Route + middleware + metrics. Returns (response, path_label)."""
+        start = time.monotonic()
+        path_label = req.path
+        try:
+            handler, params, pattern, protected = self.router.match(
+                req.method, req.path
+            )
+            path_label = pattern
+            req.params = params
+            async with self._sem:
+                if self.middleware is not None:
+                    resp = await asyncio.wait_for(
+                        self.middleware(req, handler, protected),
+                        timeout=self.timeout_secs,
+                    )
+                else:
+                    resp = await asyncio.wait_for(
+                        handler(req), timeout=self.timeout_secs
+                    )
+        except HttpError as e:
+            resp = e.to_response()
+        except asyncio.TimeoutError:
+            resp = HttpError(408, "timeout", "request timed out").to_response()
+        except Exception as e:
+            # domain errors carry their own HTTP mapping (core/errors.py)
+            status = getattr(e, "http_status", None)
+            code = getattr(e, "code", None)
+            if isinstance(status, int) and isinstance(code, str):
+                resp = HttpError(status, code, str(e)).to_response()
+            else:  # pragma: no cover - last-resort envelope
+                resp = HttpError(
+                    500, "internal", f"{type(e).__name__}: {e}"
+                ).to_response()
+        self.metrics.observe(
+            req.method, path_label, resp.status, time.monotonic() - start
+        )
+        return resp, path_label
+
+    async def _client(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter):
+        try:
+            while True:
+                try:
+                    head = await reader.readuntil(b"\r\n\r\n")
+                except (asyncio.IncompleteReadError, ConnectionResetError):
+                    return
+                except asyncio.LimitOverrunError:
+                    writer.write(_raw_response(431, b'{"error":"headers_too_large"}'))
+                    await writer.drain()
+                    return
+                lines = head.decode("latin-1").split("\r\n")
+                try:
+                    method, target, _version = lines[0].split(" ", 2)
+                except ValueError:
+                    writer.write(_raw_response(400, b'{"error":"bad_request_line"}'))
+                    await writer.drain()
+                    return
+                headers: dict[str, str] = {}
+                for ln in lines[1:]:
+                    if ":" in ln:
+                        k, v = ln.split(":", 1)
+                        headers[k.strip().lower()] = v.strip()
+                clen = int(headers.get("content-length", "0") or "0")
+                if clen > self.body_limit:
+                    writer.write(
+                        _raw_response(413, b'{"error":"payload_too_large"}')
+                    )
+                    await writer.drain()
+                    return
+                body = await reader.readexactly(clen) if clen else b""
+                path, _, qs = target.partition("?")
+                query = {k: v[0] for k, v in parse_qs(qs, keep_blank_values=True).items()}
+                req = Request(method, path, query, headers, body)
+                resp, _ = await self.handle_request(req)
+                keep = headers.get("connection", "keep-alive").lower() != "close"
+                writer.write(_serialize(resp, keep))
+                await writer.drain()
+                if not keep:
+                    return
+        finally:
+            try:
+                writer.close()
+                await writer.wait_closed()
+            except Exception:
+                pass
+
+    async def serve(self, host: str, port: int):
+        self._server = await asyncio.start_server(
+            self._client, host, port, limit=MAX_HEADER_BYTES
+        )
+        return self._server
+
+
+def _serialize(resp: Response, keep_alive: bool) -> bytes:
+    status_text = _STATUS_TEXT.get(resp.status, "Unknown")
+    head = [
+        f"HTTP/1.1 {resp.status} {status_text}",
+        f"content-type: {resp.content_type}",
+        f"content-length: {len(resp.body)}",
+        f"connection: {'keep-alive' if keep_alive else 'close'}",
+    ]
+    for k, v in resp.headers.items():
+        head.append(f"{k}: {v}")
+    return ("\r\n".join(head) + "\r\n\r\n").encode() + resp.body
+
+
+def _raw_response(status: int, body: bytes) -> bytes:
+    return _serialize(Response(status=status, body=body), keep_alive=False)

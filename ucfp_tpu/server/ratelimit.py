@@ -1,0 +1,78 @@
+"""Per-tenant rate limiting (reference: src/server/ratelimit.rs).
+
+  * RateDecision Allow{remaining, reset_ms} / Deny{retry_after_ms}
+  * NoopRateLimiter
+  * InMemoryTokenBucket — float tokens, default 100 rps / 200 burst
+    (ratelimit.rs:89-198), idle buckets evicted after 1 h, sweep every
+    5 min
+  * WebhookRateLimiter — remote decision via injected fetch
+"""
+
+from __future__ import annotations
+
+import abc
+import time
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+
+@dataclass(frozen=True)
+class RateDecision:
+    allowed: bool
+    remaining: int = 0
+    reset_ms: int = 0
+    retry_after_ms: int = 0
+
+
+class TenantRateLimiter(abc.ABC):
+    @abc.abstractmethod
+    async def check(self, tenant_id: int, rate_class: str = "default") -> RateDecision: ...
+
+
+class NoopRateLimiter(TenantRateLimiter):
+    async def check(self, tenant_id: int, rate_class: str = "default") -> RateDecision:
+        return RateDecision(allowed=True, remaining=1 << 30)
+
+
+class InMemoryTokenBucket(TenantRateLimiter):
+    IDLE_EVICT_SECS = 3600.0
+    SWEEP_EVERY_SECS = 300.0
+
+    def __init__(self, rate: float = 100.0, burst: float = 200.0, clock=time.monotonic):
+        self.rate = rate
+        self.burst = burst
+        self._clock = clock
+        self._buckets: dict[int, list[float]] = {}  # tenant -> [tokens, last]
+        self._last_sweep = clock()
+
+    async def check(self, tenant_id: int, rate_class: str = "default") -> RateDecision:
+        now = self._clock()
+        if now - self._last_sweep > self.SWEEP_EVERY_SECS:
+            self._buckets = {
+                t: b
+                for t, b in self._buckets.items()
+                if now - b[1] < self.IDLE_EVICT_SECS
+            }
+            self._last_sweep = now
+        b = self._buckets.get(tenant_id)
+        if b is None:
+            b = [self.burst, now]
+            self._buckets[tenant_id] = b
+        tokens = min(self.burst, b[0] + (now - b[1]) * self.rate)
+        b[1] = now
+        if tokens >= 1.0:
+            b[0] = tokens - 1.0
+            reset_ms = int(1000.0 * (self.burst - b[0]) / self.rate)
+            return RateDecision(allowed=True, remaining=int(b[0]), reset_ms=reset_ms)
+        b[0] = tokens
+        return RateDecision(
+            allowed=False, retry_after_ms=int(1000.0 * (1.0 - tokens) / self.rate)
+        )
+
+
+class WebhookRateLimiter(TenantRateLimiter):
+    def __init__(self, fetch: Callable):
+        self._fetch = fetch
+
+    async def check(self, tenant_id: int, rate_class: str = "default") -> RateDecision:
+        return await self._fetch(tenant_id, rate_class)
