@@ -1,0 +1,141 @@
+"""WAL engine tests: binary codec round-trip, native C++ log, torn-tail
+tolerance, cross-engine sniffing, compaction."""
+
+import os
+
+import pytest
+
+from ucfp_tpu.index import wal as walmod
+from ucfp_tpu.native import load_walstore
+
+
+def upsert_ev(rid=1, emb=None, text=None):
+    return {
+        "op": "upsert",
+        "tenant_id": 7,
+        "record_id": rid,
+        "modality": "image",
+        "format_version": 1,
+        "config_hash": 123456789,
+        "algorithm": "imgfprint-phash-v1",
+        "fingerprint": bytes(range(8)),
+        "embedding": emb,
+        "model_id": "m1" if emb else None,
+        "metadata": b"\x01\x02",
+        "text": text,
+    }
+
+
+class TestCodec:
+    def test_upsert_roundtrip(self):
+        ev = upsert_ev(emb=[0.5, -1.25], text="héllo")
+        back = walmod.decode_event(walmod.encode_event(ev))
+        assert back == ev
+
+    def test_upsert_minimal(self):
+        ev = upsert_ev()
+        back = walmod.decode_event(walmod.encode_event(ev))
+        assert back["embedding"] is None and back["text"] is None
+        assert back["fingerprint"] == bytes(range(8))
+
+    def test_delete_roundtrip(self):
+        ev = {"op": "delete", "tenant_id": 3, "record_ids": [1, 2, 2**63]}
+        assert walmod.decode_event(walmod.encode_event(ev)) == ev
+
+
+class TestNativeWal:
+    def test_toolchain_available(self):
+        assert load_walstore() is not None, "g++ toolchain should be present"
+
+    def test_append_replay(self, tmp_path):
+        p = str(tmp_path / "n.wal")
+        w = walmod.open_wal(p, "native")
+        assert isinstance(w, walmod.NativeWal)
+        w.append_events([upsert_ev(1), upsert_ev(2, emb=[1.0])])
+        w.append_events([{"op": "delete", "tenant_id": 7, "record_ids": [1]}])
+        w.close()
+        w2 = walmod.open_wal(p, "native")
+        evs = list(w2.replay())
+        assert [e["op"] for e in evs] == ["upsert", "upsert", "delete"]
+        assert evs[1]["embedding"] == [1.0]
+        w2.close()
+
+    def test_torn_tail_dropped(self, tmp_path):
+        p = str(tmp_path / "t.wal")
+        w = walmod.open_wal(p, "native")
+        w.append_events([upsert_ev(1)])
+        w.close()
+        with open(p, "ab") as f:
+            f.write(b"PFCU\xff\xff")  # garbage partial frame
+        w2 = walmod.open_wal(p, "native")
+        evs = list(w2.replay())
+        assert len(evs) == 1 and evs[0]["record_id"] == 1
+        w2.close()
+
+    def test_rewrite_compacts(self, tmp_path):
+        p = str(tmp_path / "c.wal")
+        w = walmod.open_wal(p, "native")
+        w.append_events([upsert_ev(i) for i in range(10)])
+        size_before = os.path.getsize(p)
+        w.rewrite([upsert_ev(99)])
+        w.close()
+        assert os.path.getsize(p) < size_before
+        w2 = walmod.open_wal(p, "native")
+        evs = list(w2.replay())
+        assert [e["record_id"] for e in evs] == [99]
+        w2.close()
+
+    def test_append_after_rewrite(self, tmp_path):
+        p = str(tmp_path / "a.wal")
+        w = walmod.open_wal(p, "native")
+        w.append_events([upsert_ev(1)])
+        w.rewrite([upsert_ev(2)])
+        w.append_events([upsert_ev(3)])
+        w.close()
+        w2 = walmod.open_wal(p, "native")
+        assert [e["record_id"] for e in w2.replay()] == [2, 3]
+        w2.close()
+
+
+class TestBackendIntegration:
+    def test_native_store_survives_restart(self, tmp_path):
+        import asyncio
+
+        from ucfp_tpu.core import Modality, Record
+        from ucfp_tpu.index.embedded import EmbeddedBackend
+
+        d = str(tmp_path / "db")
+        b = EmbeddedBackend(d, wal_engine="native")
+        asyncio.run(
+            b.upsert(
+                [
+                    Record(0, 1, Modality.TEXT, "a", b"\x01",
+                           embedding=[1.0, 0.0], text="hello world"),
+                ]
+            )
+        )
+        b.close()
+        # the log is binary, not JSON
+        with open(os.path.join(d, "ucfp.wal"), "rb") as f:
+            assert f.read(4) == b"PFCU"
+        b2 = EmbeddedBackend(d)  # auto-sniffs native format
+        hits = asyncio.run(b2.knn(0, [1.0, 0.0], 5))
+        assert [h.record_id for h in hits] == [1]
+        assert [h.record_id for h in asyncio.run(b2.bm25(0, ["hello"], 5))] == [1]
+        b2.close()
+
+    def test_json_store_still_reopens(self, tmp_path):
+        import asyncio
+
+        from ucfp_tpu.core import Modality, Record
+        from ucfp_tpu.index.embedded import EmbeddedBackend
+
+        d = str(tmp_path / "db")
+        b = EmbeddedBackend(d, wal_engine="json")
+        asyncio.run(b.upsert([Record(0, 5, Modality.TEXT, "a", b"\x01", text="x y")]))
+        b.close()
+        with open(os.path.join(d, "ucfp.wal"), "rb") as f:
+            assert f.read(1) == b"{"
+        b2 = EmbeddedBackend(d)
+        assert [h.record_id for h in asyncio.run(b2.bm25(0, ["x"], 5))] == [5]
+        b2.close()

@@ -57,6 +57,23 @@ def _next_pow2(n: int) -> int:
     return c
 
 
+def _upsert_event(tenant_id: int, record_id: int, row: dict) -> dict:
+    return {
+        "op": "upsert",
+        "tenant_id": tenant_id,
+        "record_id": record_id,
+        "modality": row["modality"],
+        "algorithm": row["algorithm"],
+        "config_hash": row["config_hash"],
+        "format_version": row["format_version"],
+        "fingerprint": row["fingerprint"],
+        "embedding": row["embedding"],
+        "model_id": row["model_id"],
+        "metadata": row["metadata"],
+        "text": row["text"],
+    }
+
+
 @dataclass
 class _VecCache:
     """Per-(tenant, dim) vector matrix with capacity-doubled padding."""
@@ -148,9 +165,16 @@ class _HamCache:
 
 
 class EmbeddedBackend(IndexBackend):
-    """Single-file-directory embedded index (open() then use)."""
+    """Single-file-directory embedded index (open() then use).
 
-    def __init__(self, data_dir: str):
+    wal_engine: "auto" prefers the native C++ log (ucfp_tpu/native) and
+    falls back to the pure-Python JSON log; existing files are sniffed so
+    a store written by either engine reopens correctly.
+    """
+
+    def __init__(self, data_dir: str, wal_engine: str = "auto"):
+        from .wal import JsonWal, open_wal
+
         self.data_dir = data_dir
         os.makedirs(data_dir, exist_ok=True)
         self._wal_path = os.path.join(data_dir, "ucfp.wal")
@@ -159,29 +183,24 @@ class EmbeddedBackend(IndexBackend):
         self._bm25 = Bm25Engine()
         self._vec: dict[tuple[int, int], _VecCache] = {}  # (tenant, dim)
         self._ham: dict[tuple[int, str], _HamCache] = {}  # (tenant, algorithm)
-        self._wal = None
+        # sniff an existing file's format: native frames start with the
+        # "PFCU" magic, the JSON log with '{'
+        if os.path.exists(self._wal_path) and os.path.getsize(self._wal_path) > 0:
+            with open(self._wal_path, "rb") as f:
+                first = f.read(1)
+            wal_engine = "json" if first == b"{" else "native"
+        self._wal = open_wal(self._wal_path, wal_engine) if wal_engine != "json" else JsonWal(self._wal_path)
         self._replay()
-        self._wal = open(self._wal_path, "ab")
 
     # -- WAL ----------------------------------------------------------------
 
     def _replay(self) -> None:
-        if not os.path.exists(self._wal_path):
-            return
-        with open(self._wal_path, "rb") as f:
-            for line in f:
-                line = line.strip()
-                if not line:
-                    continue
-                try:
-                    ev = json.loads(line)
-                except json.JSONDecodeError:
-                    break  # torn tail write: stop at last complete entry
-                if ev.get("op") == "upsert":
-                    self._apply_upsert(self._rec_from_wal(ev), wal=False)
-                elif ev.get("op") == "delete":
-                    for rid in ev["record_ids"]:
-                        self._apply_delete(ev["tenant_id"], rid, wal=False)
+        for ev in self._wal.replay():
+            if ev.get("op") == "upsert":
+                self._apply_upsert(self._rec_from_wal(ev), wal=False)
+            elif ev.get("op") == "delete":
+                for rid in ev["record_ids"]:
+                    self._apply_delete(ev["tenant_id"], rid, wal=False)
 
     @staticmethod
     def _rec_from_wal(ev: dict) -> Record:
@@ -190,24 +209,19 @@ class EmbeddedBackend(IndexBackend):
             record_id=ev["record_id"],
             modality=Modality(ev["modality"]),
             algorithm=ev["algorithm"],
-            fingerprint=bytes.fromhex(ev["fingerprint"]),
+            fingerprint=ev["fingerprint"],
             format_version=ev.get("format_version", 1),
             config_hash=ev.get("config_hash", 0),
             embedding=ev.get("embedding"),
             model_id=ev.get("model_id"),
-            metadata=bytes.fromhex(ev.get("metadata", "")),
+            metadata=ev.get("metadata", b""),
             text=ev.get("text"),
         )
 
     def _wal_write(self, events: list[dict]) -> None:
         if self._wal is None:
             return
-        payload = b"".join(
-            json.dumps(e, separators=(",", ":")).encode() + b"\n" for e in events
-        )
-        self._wal.write(payload)
-        self._wal.flush()
-        os.fsync(self._wal.fileno())  # one fsync per batch, like redb commit
+        self._wal.append_events(events)
 
     # -- mutations ------------------------------------------------------------
 
@@ -251,24 +265,9 @@ class EmbeddedBackend(IndexBackend):
         # BM25 — same logical txn (bm25.rs:333-401; no text clears the doc)
         self._bm25.upsert_one(rec.tenant_id, rec.record_id, rec.text)
         if wal:
-            ev = {
-                "op": "upsert",
-                "tenant_id": rec.tenant_id,
-                "record_id": rec.record_id,
-                "modality": rec.modality.value,
-                "algorithm": rec.algorithm,
-                "config_hash": rec.config_hash,
-                "format_version": rec.format_version,
-                "fingerprint": rec.fingerprint.hex(),
-                "metadata": rec.metadata.hex(),
-            }
-            if rec.embedding is not None:
-                ev["embedding"] = [float(x) for x in rec.embedding]
-            if rec.model_id:
-                ev["model_id"] = rec.model_id
-            if rec.text is not None:
-                ev["text"] = rec.text
-            self._pending_wal.append(ev)
+            self._pending_wal.append(
+                _upsert_event(rec.tenant_id, rec.record_id, self._records[key])
+            )
 
     def _apply_delete(self, tenant_id: int, rid: int, wal: bool) -> None:
         key = (tenant_id, rid)
@@ -435,7 +434,6 @@ class EmbeddedBackend(IndexBackend):
             with self._lock:
                 if self._wal is not None:
                     self._wal.flush()
-                    os.fsync(self._wal.fileno())
 
         await asyncio.to_thread(work)
 
@@ -471,30 +469,8 @@ class EmbeddedBackend(IndexBackend):
     def compact(self) -> None:
         """Rewrite the WAL as a snapshot of current state (checkpoint)."""
         with self._lock:
-            tmp = self._wal_path + ".tmp"
-            with open(tmp, "wb") as f:
-                for (tid, rid), row in sorted(self._records.items()):
-                    ev = {
-                        "op": "upsert",
-                        "tenant_id": tid,
-                        "record_id": rid,
-                        "modality": row["modality"],
-                        "algorithm": row["algorithm"],
-                        "config_hash": row["config_hash"],
-                        "format_version": row["format_version"],
-                        "fingerprint": row["fingerprint"].hex(),
-                        "metadata": row["metadata"].hex(),
-                    }
-                    if row["embedding"] is not None:
-                        ev["embedding"] = [float(x) for x in row["embedding"]]
-                    if row["model_id"]:
-                        ev["model_id"] = row["model_id"]
-                    if row["text"] is not None:
-                        ev["text"] = row["text"]
-                    f.write(json.dumps(ev, separators=(",", ":")).encode() + b"\n")
-                f.flush()
-                os.fsync(f.fileno())
-            if self._wal is not None:
-                self._wal.close()
-            os.replace(tmp, self._wal_path)
-            self._wal = open(self._wal_path, "ab")
+            events = [
+                _upsert_event(tid, rid, row)
+                for (tid, rid), row in sorted(self._records.items())
+            ]
+            self._wal.rewrite(events)

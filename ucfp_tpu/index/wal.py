@@ -1,0 +1,272 @@
+"""WAL backends: native C++ (binary frames) with pure-Python JSON fallback.
+
+Both speak the same event-dict protocol the embedded backend uses:
+  {"op": "upsert", tenant_id, record_id, modality, algorithm, config_hash,
+   format_version, fingerprint: bytes, embedding: list[float]|None,
+   model_id, metadata: bytes, text}
+  {"op": "delete", tenant_id, record_ids: [..]}
+
+The native path (ucfp_tpu/native/walstore.cpp) frames a compact struct
+codec with CRC32 and one fsync per batch; the JSON path keeps hex-encoded
+lines. Replay tolerates torn tails in both.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+from typing import Iterable, Iterator, Optional
+
+from ..core import Modality
+
+_MOD_TO_U8 = {"text": 0, "image": 1, "audio": 2}
+_U8_TO_MOD = {v: k for k, v in _MOD_TO_U8.items()}
+
+OP_UPSERT = 1
+OP_DELETE = 2
+
+
+def encode_event(ev: dict) -> bytes:
+    """Binary codec for one WAL event (little-endian, length-prefixed)."""
+    if ev["op"] == "delete":
+        rids = ev["record_ids"]
+        return struct.pack("<BII", OP_DELETE, ev["tenant_id"], len(rids)) + struct.pack(
+            f"<{len(rids)}Q", *rids
+        )
+    alg = ev["algorithm"].encode()
+    fp: bytes = ev["fingerprint"]
+    emb = ev.get("embedding")
+    model = (ev.get("model_id") or "").encode()
+    meta: bytes = ev.get("metadata", b"")
+    text = ev.get("text")
+    flags = (1 if emb is not None else 0) | (2 if model else 0) | (
+        4 if text is not None else 0
+    )
+    out = bytearray()
+    out += struct.pack(
+        "<BIQBIQB",
+        OP_UPSERT,
+        ev["tenant_id"],
+        ev["record_id"],
+        _MOD_TO_U8[ev["modality"]],
+        ev.get("format_version", 1),
+        ev.get("config_hash", 0),
+        flags,
+    )
+    out += struct.pack("<H", len(alg)) + alg
+    out += struct.pack("<I", len(fp)) + fp
+    if emb is not None:
+        out += struct.pack("<I", len(emb)) + struct.pack(f"<{len(emb)}f", *emb)
+    if model:
+        out += struct.pack("<H", len(model)) + model
+    out += struct.pack("<I", len(meta)) + meta
+    if text is not None:
+        tb = text.encode()
+        out += struct.pack("<I", len(tb)) + tb
+    return bytes(out)
+
+
+def decode_event(data: bytes) -> dict:
+    op = data[0]
+    if op == OP_DELETE:
+        tenant, n = struct.unpack_from("<II", data, 1)
+        rids = list(struct.unpack_from(f"<{n}Q", data, 9))
+        return {"op": "delete", "tenant_id": tenant, "record_ids": rids}
+    (_, tenant, rid, mod, fmt, cfg, flags) = struct.unpack_from("<BIQBIQB", data, 0)
+    off = struct.calcsize("<BIQBIQB")
+    (alen,) = struct.unpack_from("<H", data, off)
+    off += 2
+    alg = data[off : off + alen].decode()
+    off += alen
+    (flen,) = struct.unpack_from("<I", data, off)
+    off += 4
+    fp = data[off : off + flen]
+    off += flen
+    emb = None
+    if flags & 1:
+        (n,) = struct.unpack_from("<I", data, off)
+        off += 4
+        emb = list(struct.unpack_from(f"<{n}f", data, off))
+        off += 4 * n
+    model = None
+    if flags & 2:
+        (mlen,) = struct.unpack_from("<H", data, off)
+        off += 2
+        model = data[off : off + mlen].decode()
+        off += mlen
+    (melen,) = struct.unpack_from("<I", data, off)
+    off += 4
+    meta = data[off : off + melen]
+    off += melen
+    text = None
+    if flags & 4:
+        (tlen,) = struct.unpack_from("<I", data, off)
+        off += 4
+        text = data[off : off + tlen].decode()
+    return {
+        "op": "upsert",
+        "tenant_id": tenant,
+        "record_id": rid,
+        "modality": _U8_TO_MOD[mod],
+        "format_version": fmt,
+        "config_hash": cfg,
+        "algorithm": alg,
+        "fingerprint": fp,
+        "embedding": emb,
+        "model_id": model,
+        "metadata": meta,
+        "text": text,
+    }
+
+
+class NativeWal:
+    """C++ walstore-backed log."""
+
+    def __init__(self, path: str, lib):
+        self._lib = lib
+        self._path = path
+        self._h = lib.ucfp_wal_open(path.encode())
+        if not self._h:
+            raise OSError(f"cannot open native WAL at {path}")
+
+    def append_events(self, events: list[dict]) -> None:
+        for ev in events:
+            blob = encode_event(ev)
+            rc = self._lib.ucfp_wal_append(self._h, blob, len(blob))
+            if rc != 0:
+                raise OSError(f"wal append failed: {rc}")
+        rc = self._lib.ucfp_wal_commit(self._h)
+        if rc != 0:
+            raise OSError(f"wal commit failed: {rc}")
+
+    def replay(self) -> Iterator[dict]:
+        import ctypes
+
+        events: list[dict] = []
+
+        def cb(_ctx, data_ptr, length):
+            events.append(decode_event(ctypes.string_at(data_ptr, length)))
+
+        cfunc = self._lib._replay_cb_type(cb)
+        self._lib.ucfp_wal_replay(self._path.encode(), cfunc, None)
+        return iter(events)
+
+    def rewrite(self, events: Iterable[dict]) -> None:
+        """Compaction: write a snapshot log and atomically replace."""
+        tmp = self._path + ".tmp"
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        self.close()
+        nh = self._lib.ucfp_wal_open(tmp.encode())
+        if not nh:
+            raise OSError("cannot open compaction target")
+        self._h = nh
+        old_path = self._path
+        self._path = tmp
+        self.append_events(list(events))
+        rc = self._lib.ucfp_wal_replace(self._h, old_path.encode())
+        if rc != 0:
+            raise OSError(f"wal replace failed: {rc}")
+        self._path = old_path
+
+    def flush(self) -> None:
+        rc = self._lib.ucfp_wal_commit(self._h)
+        if rc != 0:
+            raise OSError(f"wal flush failed: {rc}")
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.ucfp_wal_close(self._h)
+            self._h = None
+
+
+class JsonWal:
+    """Pure-Python NDJSON log (hex-encoded bytes), torn-tail tolerant."""
+
+    def __init__(self, path: str):
+        self._path = path
+        self._f = open(path, "ab")
+
+    @staticmethod
+    def _to_json(ev: dict) -> dict:
+        if ev["op"] == "delete":
+            return ev
+        out = dict(ev)
+        out["fingerprint"] = ev["fingerprint"].hex()
+        out["metadata"] = ev.get("metadata", b"").hex()
+        return {k: v for k, v in out.items() if v is not None}
+
+    @staticmethod
+    def _from_json(ev: dict) -> dict:
+        if ev["op"] == "delete":
+            return ev
+        out = dict(ev)
+        out["fingerprint"] = bytes.fromhex(ev["fingerprint"])
+        out["metadata"] = bytes.fromhex(ev.get("metadata", ""))
+        out.setdefault("embedding", None)
+        out.setdefault("model_id", None)
+        out.setdefault("text", None)
+        out.setdefault("format_version", 1)
+        out.setdefault("config_hash", 0)
+        return out
+
+    def append_events(self, events: list[dict]) -> None:
+        payload = b"".join(
+            json.dumps(self._to_json(e), separators=(",", ":")).encode() + b"\n"
+            for e in events
+        )
+        self._f.write(payload)
+        self._f.flush()
+        os.fsync(self._f.fileno())
+
+    def replay(self) -> Iterator[dict]:
+        if not os.path.exists(self._path):
+            return iter(())
+        events = []
+        with open(self._path, "rb") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    events.append(self._from_json(json.loads(line)))
+                except (json.JSONDecodeError, KeyError, ValueError):
+                    break  # torn tail
+        return iter(events)
+
+    def rewrite(self, events: Iterable[dict]) -> None:
+        tmp = self._path + ".tmp"
+        with open(tmp, "wb") as f:
+            for e in events:
+                f.write(
+                    json.dumps(self._to_json(e), separators=(",", ":")).encode()
+                    + b"\n"
+                )
+            f.flush()
+            os.fsync(f.fileno())
+        self._f.close()
+        os.replace(tmp, self._path)
+        self._f = open(self._path, "ab")
+
+    def flush(self) -> None:
+        self._f.flush()
+        os.fsync(self._f.fileno())
+
+    def close(self) -> None:
+        if self._f:
+            self._f.close()
+            self._f = None
+
+
+def open_wal(path: str, engine: str = "auto"):
+    """engine: auto | native | json."""
+    if engine in ("auto", "native"):
+        from ..native import load_walstore
+
+        lib = load_walstore()
+        if lib is not None:
+            return NativeWal(path, lib)
+        if engine == "native":
+            raise OSError("native WAL requested but toolchain unavailable")
+    return JsonWal(path)

@@ -1,0 +1,57 @@
+"""Native (C++) host components, built lazily with the system toolchain."""
+
+from __future__ import annotations
+
+import ctypes
+import functools
+import os
+import subprocess
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+
+
+def _build(src: str, out: str) -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O2", "-fPIC", "-shared", "-o", out, src],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError, OSError,
+            subprocess.TimeoutExpired):
+        return False
+
+
+@functools.lru_cache(maxsize=1)
+def load_walstore():
+    """Load (building if needed) the native WAL library, or None when the
+    toolchain is unavailable — callers fall back to the pure-Python WAL."""
+    src = os.path.join(_DIR, "walstore.cpp")
+    out = os.path.join(_DIR, "libucfpwal.so")
+    if not os.path.exists(out) or os.path.getmtime(out) < os.path.getmtime(src):
+        if not _build(src, out):
+            return None
+    try:
+        lib = ctypes.CDLL(out)
+    except OSError:
+        return None
+    lib.ucfp_wal_open.restype = ctypes.c_void_p
+    lib.ucfp_wal_open.argtypes = [ctypes.c_char_p]
+    lib.ucfp_wal_append.restype = ctypes.c_int
+    lib.ucfp_wal_append.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint32
+    ]
+    lib.ucfp_wal_commit.restype = ctypes.c_int
+    lib.ucfp_wal_commit.argtypes = [ctypes.c_void_p]
+    lib.ucfp_wal_close.restype = ctypes.c_int
+    lib.ucfp_wal_close.argtypes = [ctypes.c_void_p]
+    lib.ucfp_wal_replace.restype = ctypes.c_int
+    lib.ucfp_wal_replace.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    CB = ctypes.CFUNCTYPE(None, ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
+                          ctypes.c_uint32)
+    lib._replay_cb_type = CB
+    lib.ucfp_wal_replay.restype = ctypes.c_long
+    lib.ucfp_wal_replay.argtypes = [ctypes.c_char_p, CB, ctypes.c_void_p]
+    return lib
