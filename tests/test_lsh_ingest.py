@@ -1,0 +1,96 @@
+"""LSH bucket index, SimHash-IDF corpus wiring, ingest source loop."""
+
+import asyncio
+import json
+
+import pytest
+
+from ucfp_tpu.core import Modality, Record
+from ucfp_tpu.index.embedded import EmbeddedBackend
+from ucfp_tpu.ingest.source import MemoryIngestSource, run_ingest_loop
+from ucfp_tpu.modality import text as tmod
+
+
+def run(coro):
+    return asyncio.run(coro)
+
+
+DOC_A = "the quick brown fox jumps over the lazy dog and runs far away home"
+DOC_A2 = "the quick brown fox jumps over the lazy dog and runs far away now"
+DOC_B = "completely different content about satellites orbiting the gas giants"
+
+
+class TestLshIndex:
+    def test_candidates_and_ranking(self, tmp_path):
+        b = EmbeddedBackend(str(tmp_path))
+        recs = [
+            tmod.fingerprint_lsh(DOC_A, 0, 1),
+            tmod.fingerprint_lsh(DOC_A2, 0, 2),
+            tmod.fingerprint_lsh(DOC_B, 0, 3),
+        ]
+        run(b.upsert(recs))
+        q = tmod.fingerprint_lsh(DOC_A, 0, 999)
+        hits = run(b.knn_lsh(0, q.fingerprint, 5))
+        assert hits[0].record_id == 1 and hits[0].score == 1.0
+        ids = [h.record_id for h in hits]
+        assert 2 in ids  # near-duplicate lands in shared buckets
+        by_id = {h.record_id: h.score for h in hits}
+        if 3 in by_id:
+            assert by_id[3] < by_id[2]
+
+    def test_delete_removes_buckets(self, tmp_path):
+        b = EmbeddedBackend(str(tmp_path))
+        run(b.upsert([tmod.fingerprint_lsh(DOC_A, 0, 1)]))
+        run(b.delete(0, [1]))
+        q = tmod.fingerprint_lsh(DOC_A, 0, 9)
+        assert run(b.knn_lsh(0, q.fingerprint, 5)) == []
+
+    def test_survives_replay(self, tmp_path):
+        b = EmbeddedBackend(str(tmp_path))
+        run(b.upsert([tmod.fingerprint_lsh(DOC_A, 0, 1)]))
+        b.close()
+        b2 = EmbeddedBackend(str(tmp_path))
+        q = tmod.fingerprint_lsh(DOC_A, 0, 9)
+        hits = run(b2.knn_lsh(0, q.fingerprint, 5))
+        assert [h.record_id for h in hits] == [1]
+
+
+class TestSimhashIdfWiring:
+    def test_idf_map_from_corpus(self, tmp_path):
+        b = EmbeddedBackend(str(tmp_path))
+        run(b.upsert([
+            Record(0, 1, Modality.TEXT, "a", b"x", text="apple banana"),
+            Record(0, 2, Modality.TEXT, "a", b"x", text="apple cherry"),
+        ]))
+        idf = b.bm25_idf_map(0, ["apple", "banana", "unknown"])
+        assert idf["banana"] > idf["apple"]  # rarer term, higher idf
+        assert "unknown" not in idf
+
+    def test_http_simhash_idf_uses_corpus(self, tmp_path):
+        from test_server import call, jbody, make_app
+
+        app, _ = make_app(tmp_path)
+        # seed the corpus, then idf-weighted fingerprints should differ
+        # from tf-weighted ones once stats exist
+        call(app, "POST", "/v1/ingest/text/0/1", b"apple banana cherry")
+        call(app, "POST", "/v1/ingest/text/0/2", b"apple apple apple")
+        tf = jbody(call(app, "POST", "/v1/ingest/text/0/3",
+                        b"apple banana", query="algorithm=simhash-tf"))
+        idf = jbody(call(app, "POST", "/v1/ingest/text/0/4",
+                         b"apple banana", query="algorithm=simhash-idf"))
+        assert tf["algorithm"] == "simhash-b64-tf"
+        assert idf["algorithm"] == "simhash-b64-idf"
+
+
+class TestIngestSource:
+    def test_loop_drains_and_acks(self, tmp_path):
+        b = EmbeddedBackend(str(tmp_path))
+        src = MemoryIngestSource()
+        for i in range(10):
+            src.offer(Record(0, i, Modality.TEXT, "a", b"x",
+                             embedding=[float(i), 1.0]))
+        n = run(run_ingest_loop(src, b, batch_size=4))
+        assert n == 10
+        assert len(src.acked) == 10
+        hits = run(b.knn(0, [9.0, 1.0], 1))
+        assert hits[0].record_id == 9

@@ -145,6 +145,20 @@ class Bm25Engine:
     def search(self, tenant_id: int, terms: list[str], k: int) -> list[tuple[int, float]]:
         return [(d, s) for d, s, _ in self.search_explain(tenant_id, terms, k)]
 
+    def idf_map(self, tenant_id: int, terms: list[str]) -> dict[str, float]:
+        """IDF values for the SimHash-IDF weighting path (the reference
+        feeds corpus stats from the BM25 tables, REPORT.md 4.1.2)."""
+        c = self._tenants.get(tenant_id)
+        if c is None or c.doc_count == 0:
+            return {}
+        n_docs = c.doc_count
+        out = {}
+        for t in terms:
+            docs = c.postings.get(t)
+            if docs:
+                out[t] = math.log((n_docs - len(docs) + 0.5) / (len(docs) + 0.5) + 1.0)
+        return out
+
     def stats(self, tenant_id: int) -> dict:
         c = self._tenants.get(tenant_id)
         if c is None:

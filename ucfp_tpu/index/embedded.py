@@ -47,7 +47,7 @@ from ..ops import knn as knn_ops
 from .backend import IndexBackend
 from .bm25 import Bm25Engine
 
-_WAL_MAGIC = "ucfp-wal-v1"
+LSH_ALGORITHM = "minhash-lsh-h128"
 
 
 def _next_pow2(n: int) -> int:
@@ -183,6 +183,7 @@ class EmbeddedBackend(IndexBackend):
         self._bm25 = Bm25Engine()
         self._vec: dict[tuple[int, int], _VecCache] = {}  # (tenant, dim)
         self._ham: dict[tuple[int, str], _HamCache] = {}  # (tenant, algorithm)
+        self._lsh: dict[int, dict[tuple[int, int], set[int]]] = {}  # tenant -> band buckets
         # sniff an existing file's format: native frames start with the
         # "PFCU" magic, the JSON log with '{'
         if os.path.exists(self._wal_path) and os.path.getsize(self._wal_path) > 0:
@@ -262,6 +263,13 @@ class EmbeddedBackend(IndexBackend):
             self._ham[(rec.tenant_id, rec.algorithm)] = hcache
         if len(packed) == hcache.words:
             hcache.upsert(rec.record_id, packed)
+        # LSH band-bucket index for re-tagged MinHash records
+        # (reference text.rs:434-446: "the index layer knows to insert
+        # into the LSH buckets")
+        if old is not None and old["algorithm"] == LSH_ALGORITHM:
+            self._lsh_remove(rec.tenant_id, rec.record_id, old["fingerprint"])
+        if rec.algorithm == LSH_ALGORITHM:
+            self._lsh_insert(rec.tenant_id, rec.record_id, rec.fingerprint)
         # BM25 — same logical txn (bm25.rs:333-401; no text clears the doc)
         self._bm25.upsert_one(rec.tenant_id, rec.record_id, rec.text)
         if wal:
@@ -280,7 +288,83 @@ class EmbeddedBackend(IndexBackend):
             h = self._ham.get((tenant_id, old["algorithm"]))
             if h:
                 h.remove(rid)
+            if old["algorithm"] == LSH_ALGORITHM:
+                self._lsh_remove(tenant_id, rid, old["fingerprint"])
         self._bm25.clear_one(tenant_id, rid)
+
+    # -- LSH band buckets --------------------------------------------------------
+
+    @staticmethod
+    def _lsh_signature(fp: bytes) -> Optional[np.ndarray]:
+        if len(fp) < 8 + 8 or (len(fp) - 8) % 8 != 0:
+            return None
+        return np.frombuffer(fp, dtype="<u8", offset=8)
+
+    def _lsh_insert(self, tenant_id: int, rid: int, fp: bytes) -> None:
+        from ..ops.textsig import band_hashes
+
+        sig = self._lsh_signature(fp)
+        if sig is None or len(sig) < 120:
+            return
+        buckets = self._lsh.setdefault(tenant_id, {})
+        for j, bh in enumerate(band_hashes(sig)):
+            buckets.setdefault((j, bh), set()).add(rid)
+
+    def _lsh_remove(self, tenant_id: int, rid: int, fp: bytes) -> None:
+        from ..ops.textsig import band_hashes
+
+        sig = self._lsh_signature(fp)
+        if sig is None or len(sig) < 120:
+            return
+        buckets = self._lsh.get(tenant_id)
+        if not buckets:
+            return
+        for j, bh in enumerate(band_hashes(sig)):
+            s = buckets.get((j, bh))
+            if s is not None:
+                s.discard(rid)
+                if not s:
+                    del buckets[(j, bh)]
+
+    async def knn_lsh(self, tenant_id: int, fingerprint: bytes, k: int) -> list[Hit]:
+        """Sub-linear candidate retrieval: union the band buckets the query
+        signature lands in, then rank candidates by MinHash slot agreement
+        (estimated Jaccard)."""
+        sig = self._lsh_signature(fingerprint)
+        if sig is None or k == 0:
+            return []
+
+        def work():
+            from ..ops.textsig import band_hashes
+
+            with self._lock:
+                buckets = self._lsh.get(tenant_id, {})
+                cands: set[int] = set()
+                for j, bh in enumerate(band_hashes(sig)):
+                    cands |= buckets.get((j, bh), set())
+                rows = {
+                    rid: self._records.get((tenant_id, rid)) for rid in cands
+                }
+            scored = []
+            for rid, row in rows.items():
+                if row is None:
+                    continue
+                other = self._lsh_signature(row["fingerprint"])
+                if other is None or len(other) != len(sig):
+                    continue
+                scored.append((rid, float(np.mean(sig == other))))
+            scored.sort(key=lambda t: (-t[1], t[0]))
+            return [
+                Hit(record_id=rid, score=s, source=HitSource.VECTOR)
+                for rid, s in scored[:k]
+            ]
+
+        return await asyncio.to_thread(work)
+
+    def bm25_idf_map(self, tenant_id: int, terms: list[str]) -> dict[str, float]:
+        """Corpus IDF for the SimHash-IDF weighting (REPORT.md 4.1.2)."""
+        with self._lock:
+            return self._bm25.idf_map(tenant_id, terms)
 
     # -- IndexBackend -----------------------------------------------------------
 

@@ -203,6 +203,13 @@ def _prepare(text: str, opts: TextOpts) -> str:
 # ---------------------------------------------------------------------------
 
 
+def terms_of(text: str, opts: TextOpts | None = None) -> list[str]:
+    """Canonicalized token list — the corpus-stats lookup key for the
+    SimHash-IDF path."""
+    opts = opts or TextOpts()
+    return tokenize(_prepare(text, opts), opts.tokenizer)
+
+
 def fingerprint_minhash(
     text: str, tenant_id: int, record_id: int, opts: TextOpts | None = None
 ) -> Record:

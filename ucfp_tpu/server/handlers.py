@@ -209,7 +209,10 @@ class Handlers:
                 fp = bytes.fromhex(fp_hex)
             except ValueError:
                 raise HttpError(400, "bad_query", "fingerprint_hex is not hex")
-            hits = await self.index.knn_fingerprint(tenant_id, algorithm, fp, k)
+            if algorithm == "minhash-lsh-h128":
+                hits = await self.index.knn_lsh(tenant_id, fp, k)
+            else:
+                hits = await self.index.knn_fingerprint(tenant_id, algorithm, fp, k)
         else:
             q = Query(
                 tenant_id=tenant_id,
@@ -300,7 +303,11 @@ class Handlers:
             elif algorithm == "simhash-tf":
                 rec = tmod.fingerprint_simhash(text, tid, rid, opts)
             elif algorithm == "simhash-idf":
-                rec = tmod.fingerprint_simhash(text, tid, rid, opts, idf={})
+                # corpus IDF from the tenant's BM25 tables (REPORT.md 4.1.2);
+                # an empty corpus falls back to pure TF weighting
+                terms = tmod.terms_of(text, opts)
+                idf = self.index.bm25_idf_map(tid, terms)
+                rec = tmod.fingerprint_simhash(text, tid, rid, opts, idf=idf)
             elif algorithm == "lsh":
                 rec = tmod.fingerprint_lsh(text, tid, rid, opts)
             elif algorithm == "tlsh":
