@@ -105,6 +105,34 @@ class Handlers:
         self.inputs = inputs
         self.matcher = Matcher(index)
         self.started = time.time()
+        # cross-request device batching for image hashing: concurrent
+        # same-shape decodes share one kernel launch (SURVEY.md section 7's
+        # deadline scheduler; 2 ms deadline, 64-image batches)
+        from ..ingest.batcher import DeadlineBatcher
+
+        async def _run_image_batch(bucket, payloads):
+            import asyncio
+
+            import numpy as np
+
+            algo, h, w = bucket
+            rgbs = np.stack(payloads)
+
+            def work():
+                from ..ops import imagehash
+
+                if algo == "multi":
+                    out = imod.jax_device_get(imagehash.multihash_kernel(rgbs, h, w))
+                    return [imagehash.serialize_multihash(out, i) for i in range(len(payloads))]
+                out = imod.jax_device_get(
+                    imagehash.single_hash_kernel(rgbs, h, w, algo)
+                )
+                return [bytes(out[i]) for i in range(len(payloads))]
+
+            return await asyncio.to_thread(work)
+
+        self.image_batcher = DeadlineBatcher(_run_image_batch, max_batch=64,
+                                             max_delay_ms=2.0)
 
     # -- public ---------------------------------------------------------------
 
@@ -362,10 +390,23 @@ class Handlers:
         algorithm = req.query.get("algorithm", "multi")
         pre = self._image_pre(req)
         try:
-            if algorithm == "multi":
-                rec = imod.fingerprint_multi(raw, tid, rid, pre)
-            elif algorithm in ("phash", "dhash", "ahash"):
-                rec = imod.fingerprint_single(raw, algorithm, tid, rid, pre)
+            if algorithm in ("multi", "phash", "dhash", "ahash"):
+                rgb = imod.decode_rgb(raw, pre)
+                h, w = rgb.shape[:2]
+                fp = await self.image_batcher.submit((algorithm, h, w), rgb)
+                algo_tag = (
+                    imod.ALGORITHM_MULTI
+                    if algorithm == "multi"
+                    else imod._SINGLE_ALGOS[algorithm]
+                )
+                rec = Record(
+                    tenant_id=tid,
+                    record_id=rid,
+                    modality=Modality.IMAGE,
+                    algorithm=algo_tag,
+                    fingerprint=fp,
+                    config_hash=pre.config_hash(),
+                )
             elif algorithm == "semantic":
                 rec = imod.fingerprint_semantic(
                     raw, tid, rid, pre, model_id=req.query.get("model_id")

@@ -252,9 +252,20 @@ class HttpServer:
                 resp = HttpError(
                     500, "internal", f"{type(e).__name__}: {e}"
                 ).to_response()
-        self.metrics.observe(
-            req.method, path_label, resp.status, time.monotonic() - start
-        )
+        elapsed = time.monotonic() - start
+        self.metrics.observe(req.method, path_label, resp.status, elapsed)
+        if path_label != "/metrics":
+            from .logging import logger
+
+            logger().info(
+                "request",
+                method=req.method,
+                path=path_label,
+                status=resp.status,
+                elapsed_ms=round(elapsed * 1000.0, 3),
+                bytes_in=len(req.body),
+                bytes_out=len(resp.body),
+            )
         return resp, path_label
 
     async def _client(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter):
