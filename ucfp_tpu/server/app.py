@@ -56,6 +56,12 @@ def build_server(
     h = Handlers(state.index, state.inputs)
     r = Router()
     # public (mod.rs:78-88)
+    async def index_page(req: Request) -> Response:
+        from .webui import PAGE
+
+        return Response(body=PAGE.encode(), content_type="text/html; charset=utf-8")
+
+    r.add("GET", "/", index_page, protected=False)
     r.add("GET", "/healthz", h.healthz, protected=False)
     r.add("GET", "/v1/info", h.info, protected=False)
     r.add("GET", "/v1/algorithms", h.algorithms, protected=False)

@@ -1,0 +1,291 @@
+"""Self-hosted playground dashboard (layer 7).
+
+The reference ships a SvelteKit control plane on Cloudflare (Pages + D1 +
+KV + R2) with an interactive algorithm playground, pipeline inspector,
+search and records UI (web/, SURVEY.md section 2.3). This build serves
+the same capabilities as a single self-hosted page straight from the
+service — no build system, no external services; auth/keys/usage already
+live in the core server. The page drives the public JSON API:
+  /v1/algorithms -> algorithm picker + tunables
+  /v1/ingest/*   -> fingerprinting
+  /v1/pipeline/inspect/* -> stage visualizations (MinHash slot heatmap,
+                            SimHash bits, image stage thumbnails, audio
+                            envelope + peak constellation)
+  /v1/query      -> search
+"""
+
+PAGE = r"""<!doctype html>
+<html>
+<head>
+<meta charset="utf-8">
+<title>ucfp-tpu playground</title>
+<style>
+ body{font-family:system-ui,sans-serif;margin:0;background:#0e1117;color:#e6edf3}
+ header{padding:12px 20px;background:#161b22;display:flex;gap:16px;align-items:center}
+ h1{font-size:16px;margin:0}
+ main{max-width:1060px;margin:0 auto;padding:20px}
+ .tabs{display:flex;gap:8px;margin-bottom:16px}
+ .tabs button{background:#21262d;color:#e6edf3;border:1px solid #30363d;
+   padding:6px 14px;border-radius:6px;cursor:pointer}
+ .tabs button.active{background:#1f6feb;border-color:#1f6feb}
+ textarea,input,select{background:#0d1117;color:#e6edf3;border:1px solid #30363d;
+   border-radius:6px;padding:6px;font-family:ui-monospace,monospace}
+ textarea{width:100%;min-height:90px}
+ .row{display:flex;gap:10px;flex-wrap:wrap;margin:8px 0;align-items:center}
+ .card{background:#161b22;border:1px solid #30363d;border-radius:8px;
+   padding:14px;margin-bottom:14px}
+ .hex{font-family:ui-monospace,monospace;font-size:11px;word-break:break-all;
+   max-height:120px;overflow:auto;background:#0d1117;padding:8px;border-radius:6px}
+ canvas{background:#0d1117;border-radius:6px}
+ button.go{background:#238636;color:#fff;border:0;padding:8px 18px;
+   border-radius:6px;cursor:pointer;font-weight:600}
+ label{font-size:12px;color:#8b949e}
+ .kv{font-size:12px;color:#8b949e} .kv b{color:#e6edf3}
+ img.stage{image-rendering:pixelated;border-radius:4px;border:1px solid #30363d}
+</style>
+</head>
+<body>
+<header>
+ <h1>ucfp-tpu playground</h1>
+ <label>API token <input id="token" size="18" placeholder="bearer token"></label>
+ <label>tenant <input id="tenant" size="4" value="0"></label>
+ <span class="kv" id="info"></span>
+</header>
+<main>
+ <div class="tabs">
+  <button data-tab="text" class="active">Text</button>
+  <button data-tab="image">Image</button>
+  <button data-tab="audio">Audio</button>
+  <button data-tab="search">Search</button>
+  <button data-tab="records">Records</button>
+ </div>
+
+ <section id="tab-text" class="card">
+  <div class="row">
+   <label>algorithm <select id="text-algo"></select></label>
+   <label>k <input id="text-k" size="3" value="5"></label>
+   <label>h <input id="text-h" size="4" value="128"></label>
+   <button class="go" onclick="runText()">Fingerprint</button>
+  </div>
+  <textarea id="text-input">the quick brown fox jumps over the lazy dog</textarea>
+  <div id="text-out"></div>
+ </section>
+
+ <section id="tab-image" class="card" style="display:none">
+  <div class="row">
+   <label>algorithm <select id="img-algo"></select></label>
+   <input type="file" id="img-file" accept="image/*">
+   <button class="go" onclick="runImage()">Fingerprint</button>
+  </div>
+  <div id="img-out"></div>
+ </section>
+
+ <section id="tab-audio" class="card" style="display:none">
+  <div class="row">
+   <label>algorithm <select id="aud-algo"></select></label>
+   <input type="file" id="aud-file" accept="audio/*">
+   <button class="go" onclick="runAudio()">Fingerprint</button>
+   <span class="kv">decoded to mono f32 in-browser (WebAudio), like the
+   reference demo</span>
+  </div>
+  <div id="aud-out"></div>
+ </section>
+
+ <section id="tab-search" class="card" style="display:none">
+  <div class="row">
+   <label>terms <input id="q-terms" size="30" placeholder="keyword search"></label>
+   <label>k <input id="q-k" size="3" value="10"></label>
+   <label><input type="checkbox" id="q-explain" checked> explain</label>
+   <button class="go" onclick="runQuery()">Search</button>
+  </div>
+  <div id="q-out"></div>
+ </section>
+
+ <section id="tab-records" class="card" style="display:none">
+  <div class="row">
+   <label>record id <input id="r-id" size="10"></label>
+   <button class="go" onclick="describeRec()">Describe</button>
+   <button class="go" style="background:#da3633" onclick="deleteRec()">Delete</button>
+  </div>
+  <div id="r-out"></div>
+ </section>
+</main>
+<script>
+const $=id=>document.getElementById(id);
+const tok=()=>$('token').value.trim();
+const ten=()=>parseInt($('tenant').value)||0;
+let RID=1;
+document.querySelectorAll('.tabs button').forEach(b=>b.onclick=()=>{
+ document.querySelectorAll('.tabs button').forEach(x=>x.classList.remove('active'));
+ b.classList.add('active');
+ ['text','image','audio','search','records'].forEach(t=>
+   $('tab-'+t).style.display = t===b.dataset.tab?'':'none');
+});
+$('token').value = localStorage.getItem('ucfp_token')||'';
+$('token').onchange=()=>localStorage.setItem('ucfp_token',tok());
+
+async function api(path, opts={}){
+ opts.headers = Object.assign({'Authorization':'Bearer '+tok()}, opts.headers||{});
+ const r = await fetch(path, opts);
+ const body = await r.json().catch(()=>({}));
+ if(!r.ok) throw new Error(body.message||r.status);
+ return body;
+}
+fetch('/v1/info').then(r=>r.json()).then(i=>$('info').textContent=
+  i.name+' v'+i.version).catch(()=>{});
+fetch('/v1/algorithms').then(r=>r.json()).then(m=>{
+ for(const [sel, cat] of [['text-algo','text'],['img-algo','image'],['aud-algo','audio']]){
+  const s=$(sel);
+  m[cat].algorithms.forEach(a=>{
+   const o=document.createElement('option');o.value=a.id;o.textContent=a.label;
+   s.appendChild(o);
+  });
+ }
+});
+
+function kv(obj, keys){return keys.map(k=>`<span class="kv">${k} <b>${obj[k]}</b></span>`).join(' · ');}
+function hexBox(h){return `<div class="hex">${h}</div>`;}
+
+function slotHeatmap(sig){
+ // MinHash slot heatmap: 16x8 grid coloured by slot value
+ const c=document.createElement('canvas');c.width=320;c.height=160;
+ const g=c.getContext('2d');
+ sig.forEach((v,i)=>{
+  const hue = Number(BigInt(v) % 360n);
+  g.fillStyle=`hsl(${hue},60%,45%)`;
+  g.fillRect((i%16)*20, Math.floor(i/16)*20, 19, 19);
+ });
+ return c;
+}
+function bitGrid(hex, w, h, cell){
+ const c=document.createElement('canvas');c.width=w*cell;c.height=h*cell;
+ const g=c.getContext('2d');
+ const bytes = hex.match(/../g).map(x=>parseInt(x,16));
+ for(let i=0;i<w*h;i++){
+  const bit = (bytes[i>>3] >> (i&7)) & 1;
+  g.fillStyle = bit?'#58a6ff':'#21262d';
+  g.fillRect((i%w)*cell, Math.floor(i/w)*cell, cell-1, cell-1);
+ }
+ return c;
+}
+
+async function runText(){
+ const algo=$('text-algo').value;
+ const q=`algorithm=${algo}&k=${$('text-k').value}&h=${$('text-h').value}`;
+ const out=$('text-out'); out.innerHTML='…';
+ try{
+  const ins = await api(`/v1/pipeline/inspect/text?${q}&tenant_id=${ten()}`,
+    {method:'POST', body:$('text-input').value});
+  const fp = await api(`/v1/ingest/text/${ten()}/${RID++}?${q}`,
+    {method:'POST', body:$('text-input').value});
+  out.innerHTML = `<div class="row">${kv(fp,['algorithm','fingerprint_bytes','config_hash','record_id'])}</div>`
+   + `<div class="kv">canonicalized</div><div class="hex">${ins.canonicalized}</div>`
+   + `<div class="kv">tokens (${ins.tokens.length})</div><div class="hex">${ins.tokens.join(' ')}</div>`
+   + hexBox(fp.fingerprint_hex.slice(0,512)+(fp.fingerprint_hex.length>512?'…':''));
+  if(algo==='minhash'||algo==='lsh'){
+   const d=document.createElement('div');d.innerHTML='<div class="kv">MinHash slot heatmap</div>';
+   d.appendChild(slotHeatmap(ins.signature_u64)); out.appendChild(d);
+  }
+  if(algo.startsWith('simhash')){
+   const d=document.createElement('div');d.innerHTML='<div class="kv">SimHash bits</div>';
+   d.appendChild(bitGrid(fp.fingerprint_hex,8,8,16)); out.appendChild(d);
+  }
+ }catch(e){out.innerHTML=`<div class="hex">error: ${e.message}</div>`;}
+}
+
+async function runImage(){
+ const f=$('img-file').files[0]; const out=$('img-out');
+ if(!f){out.textContent='pick a file';return;}
+ out.innerHTML='…';
+ const bytes = await f.arrayBuffer();
+ const algo=$('img-algo').value;
+ try{
+  const ins = await api(`/v1/pipeline/inspect/image?tenant_id=${ten()}`,
+    {method:'POST', body:bytes});
+  const fp = await api(`/v1/ingest/image/${ten()}/${RID++}?algorithm=${algo}`,
+    {method:'POST', body:bytes});
+  out.innerHTML = `<div class="row">${kv(fp,['algorithm','fingerprint_bytes','record_id'])}</div>`
+   + `<div class="row">
+    <span><div class="kv">original ${ins.width}x${ins.height}</div>
+      <img class="stage" src="data:image/png;base64,${ins.original_png_b64}" height="128"></span>
+    <span><div class="kv">32x32 gray (pHash DCT input)</div>
+      <img class="stage" src="data:image/png;base64,${ins.gray32_png_b64}" width="96" height="96"></span>
+    <span><div class="kv">8x8 gray (aHash, mean ${ins.ahash_mean})</div>
+      <img class="stage" src="data:image/png;base64,${ins.gray8_png_b64}" width="96" height="96"></span>
+   </div>` + hexBox(fp.fingerprint_hex);
+  if(fp.fingerprint_bytes>=8){
+   const d=document.createElement('div');
+   d.innerHTML='<div class="kv">pHash bits</div>';
+   d.appendChild(bitGrid(fp.fingerprint_hex.slice(0,16),8,8,16));
+   out.appendChild(d);
+  }
+ }catch(e){out.innerHTML=`<div class="hex">error: ${e.message}</div>`;}
+}
+
+async function runAudio(){
+ const f=$('aud-file').files[0]; const out=$('aud-out');
+ if(!f){out.textContent='pick a file';return;}
+ out.innerHTML='decoding…';
+ const ac = new (window.AudioContext||window.webkitAudioContext)({sampleRate:8000});
+ const buf = await ac.decodeAudioData(await f.arrayBuffer());
+ const mono = buf.getChannelData(0);
+ const body = new Float32Array(mono).buffer;
+ const algo=$('aud-algo').value;
+ try{
+  const ins = await api(`/v1/pipeline/inspect/audio?sample_rate=8000&algorithm=${algo}&tenant_id=${ten()}`,
+    {method:'POST', body});
+  const fp = await api(`/v1/ingest/audio/${ten()}/${RID++}?sample_rate=8000&algorithm=${algo}`,
+    {method:'POST', body});
+  out.innerHTML = `<div class="row">${kv(ins,['duration_secs','total_peaks','total_landmarks'])}</div>`;
+  // envelope
+  const env=document.createElement('canvas');env.width=512;env.height=80;
+  const g=env.getContext('2d');g.strokeStyle='#58a6ff';g.beginPath();
+  ins.envelope.forEach((v,i)=>{const y=40-v*38;g.moveTo(i*2,40+(40-y));g.lineTo(i*2,y);});
+  g.stroke(); out.appendChild(env);
+  // peak constellation + landmark lines
+  const c=document.createElement('canvas');c.width=512;c.height=200;
+  const g2=c.getContext('2d');
+  const tmax = Math.max(...ins.peaks.map(p=>p.t_ms),1);
+  g2.strokeStyle='rgba(88,166,255,.35)';
+  ins.landmarks.slice(0,200).forEach(l=>{g2.beginPath();
+   g2.moveTo(l.t1_ms/tmax*500, 195-l.f1_hz/4000*190);
+   g2.lineTo(l.t2_ms/tmax*500, 195-l.f2_hz/4000*190);g2.stroke();});
+  g2.fillStyle='#f78166';
+  ins.peaks.forEach(p=>g2.fillRect(p.t_ms/tmax*500-1, 195-p.freq_hz/4000*190-1, 3,3));
+  out.appendChild(c);
+  if(fp.fingerprint_hex) out.innerHTML += hexBox(fp.fingerprint_hex.slice(0,512)+'…');
+  else out.innerHTML += `<div class="row">${kv(fp,['detected','confidence'])}</div>`;
+ }catch(e){out.innerHTML=`<div class="hex">error: ${e.message}</div>`;}
+}
+
+async function runQuery(){
+ const out=$('q-out'); out.innerHTML='…';
+ try{
+  const body={tenant_id:ten(),modality:'text',k:parseInt($('q-k').value)||10,
+              terms:$('q-terms').value.split(/\s+/).filter(x=>x)};
+  const res=await api('/v1/query?explain='+($('q-explain').checked?1:0),
+    {method:'POST',body:JSON.stringify(body)});
+  out.innerHTML = res.hits.length? res.hits.map(h=>
+   `<div class="row">${kv(h,['record_id','score','source'])}`
+   +(h.term_hits?h.term_hits.map(t=>`<span class="kv">${t.term}:${t.contribution.toFixed(3)}</span>`).join(''):'')
+   +`</div>`).join('') : '<div class="kv">no hits</div>';
+ }catch(e){out.innerHTML=`<div class="hex">error: ${e.message}</div>`;}
+}
+
+async function describeRec(){
+ const out=$('r-out');
+ try{
+  const d=await api(`/v1/records/${ten()}/${$('r-id').value}`);
+  out.innerHTML=`<div class="row">${kv(d,['record_id','modality','algorithm','fingerprint_bytes','has_embedding'])}</div>`;
+ }catch(e){out.innerHTML=`<div class="hex">error: ${e.message}</div>`;}
+}
+async function deleteRec(){
+ const out=$('r-out');
+ try{ await api(`/v1/records/${ten()}/${$('r-id').value}`,{method:'DELETE'});
+  out.innerHTML='<div class="kv">deleted</div>';
+ }catch(e){out.innerHTML=`<div class="hex">error: ${e.message}</div>`;}
+}
+</script>
+</body>
+</html>
+"""
