@@ -181,6 +181,75 @@ def bench_query_p50(n=1_000_000, d=64, k=10, iters=64):
     return per_iter * 1000.0
 
 
+def bench_hamming_10m(n=10_000_000, w=2, k=10, iters=64):
+    """Hamming top-k over 10M packed 64-bit fingerprints (ms per query).
+    Data generated on device (80 MB) to skip host transfer."""
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(0)
+    matrix = jax.random.randint(
+        key, (n, w), 0, 2**31 - 1, dtype=jnp.int32
+    ).astype(jnp.uint32)
+    matrix = jax.block_until_ready(matrix)
+    q0 = jnp.asarray(np.array([[12345, 67890]], np.uint32))
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def loop(q, m, it):
+        def body(_i, carry):
+            x = jnp.bitwise_xor(carry[:, None, :], m[None, :, :])
+            dist = jnp.sum(jax.lax.population_count(x).astype(jnp.int32), axis=-1)
+            _vals, idx = jax.lax.top_k(-dist, k)
+            return jnp.bitwise_xor(carry, m[idx[0, 0]][None, :])
+
+        out = jax.lax.fori_loop(0, it, body, q)
+        return jnp.sum(out.astype(jnp.int32))
+
+    def run(it):
+        return int(loop(q0, matrix, it))
+
+    return _timed(run, iters) * 1000.0
+
+
+def bench_cosine_int8_10m(n=10_000_000, d=64, k=10, iters=32):
+    """int8-quantized cosine top-k over 10M x 64 rows (ms per query);
+    the quantized representation the sub-ms @10M design calls for.
+    640 MB generated on device."""
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(1)
+    m8 = jax.random.randint(key, (n, d), -127, 128, dtype=jnp.int32).astype(
+        jnp.int8
+    )
+    m8 = jax.block_until_ready(m8)
+    row_norm = jnp.linalg.norm(m8.astype(jnp.float32), axis=1)
+    q0 = jnp.asarray(np.random.default_rng(2).normal(size=(1, d)).astype(np.float32))
+
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def loop(q, m, rn, it):
+        def body(_i, carry):
+            qa = jnp.max(jnp.abs(carry), axis=1, keepdims=True)
+            qs = jnp.where(qa == 0.0, 1.0, qa / 127.0)
+            qq = jnp.clip(jnp.round(carry / qs), -127, 127).astype(jnp.int8)
+            dots = jax.lax.dot_general(
+                qq, m, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            qn = jnp.linalg.norm(qq.astype(jnp.float32), axis=1, keepdims=True)
+            scores = dots / (qn * rn[None, :] + 1e-9)
+            _vals, idx = jax.lax.top_k(scores, k)
+            return carry + m[idx[0, 0]].astype(jnp.float32)[None, :] * 1e-6
+
+        out = jax.lax.fori_loop(0, it, body, q)
+        return jnp.sum(out)
+
+    def run(it):
+        return float(loop(q0, m8, row_norm, it))
+
+    return _timed(run, iters) * 1000.0
+
+
 def main():
     phash_ips = bench_phash()
     extra = {}
@@ -188,6 +257,10 @@ def main():
         extra["multihash_images_per_sec"] = round(bench_multihash(), 1)
         extra["audio_wang_xrt"] = round(bench_audio_xrt(), 1)
         extra["query_cosine_p50_ms_1m_x64"] = round(bench_query_p50(), 3)
+        extra["query_hamming_p50_ms_10m_x64bit"] = round(bench_hamming_10m(), 3)
+        extra["query_cosine_int8_p50_ms_10m_x64"] = round(
+            bench_cosine_int8_10m(), 3
+        )
     except Exception as e:  # secondary metrics must not sink the headline
         extra["error"] = f"{type(e).__name__}: {e}"
     print(

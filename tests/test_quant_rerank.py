@@ -1,0 +1,108 @@
+"""int8-quantized cosine kernel + embedding reranker tests."""
+
+import asyncio
+
+import numpy as np
+import pytest
+
+from ucfp_tpu.core import Modality, Query, Record
+from ucfp_tpu.index.embedded import EmbeddedBackend
+from ucfp_tpu.matcher import Matcher
+from ucfp_tpu.ops import knn as knn_ops
+from ucfp_tpu.rerank.embedding import EmbeddingReranker
+
+
+def run(coro):
+    return asyncio.run(coro)
+
+
+class TestInt8Cosine:
+    def test_recall_vs_f32(self):
+        rng = np.random.default_rng(0)
+        c, d, k = 4096, 64, 10
+        matrix = rng.normal(size=(c, d)).astype(np.float32)
+        valid = np.ones(c, bool)
+        q = rng.normal(size=(4, d)).astype(np.float32)
+        q8, row_norm = knn_ops.quantize_rows_int8(matrix)
+        vals_q, idx_q = knn_ops.cosine_topk_int8(q, q8, row_norm, valid, k)
+        vals_f, idx_f = knn_ops.cosine_topk(q, matrix, valid, k)
+        # top-10 recall vs the exact kernel should be near-perfect
+        for row in range(4):
+            inter = len(set(np.asarray(idx_q[row]).tolist())
+                        & set(np.asarray(idx_f[row]).tolist()))
+            assert inter >= 9
+        # scores are cosines (bounded, close to exact)
+        np.testing.assert_allclose(
+            np.asarray(vals_q), np.asarray(vals_f), atol=0.02
+        )
+
+    def test_exact_match_found(self):
+        rng = np.random.default_rng(1)
+        matrix = rng.normal(size=(512, 32)).astype(np.float32)
+        q8, rn = knn_ops.quantize_rows_int8(matrix)
+        valid = np.ones(512, bool)
+        q = matrix[77:78]
+        _, idx = knn_ops.cosine_topk_int8(q, q8, rn, valid, 1)
+        assert int(idx[0, 0]) == 77
+
+    def test_zero_row_skipped(self):
+        matrix = np.eye(4, dtype=np.float32)
+        matrix[2] = 0.0
+        q8, rn = knn_ops.quantize_rows_int8(matrix)
+        valid = np.ones(4, bool)
+        scores, _ = knn_ops.cosine_topk_int8(
+            np.array([[1.0, 0, 0, 0]], np.float32), q8, rn, valid, 4
+        )
+        assert np.isfinite(np.asarray(scores[0])).sum() == 3
+
+
+class TestEmbeddingReranker:
+    def test_rescores_by_embedding(self, tmp_path):
+        b = EmbeddedBackend(str(tmp_path))
+        run(b.upsert([
+            Record(0, 1, Modality.TEXT, "a", b"x", embedding=[1.0, 0.0],
+                   text="apple apple apple"),
+            Record(0, 2, Modality.TEXT, "a", b"x", embedding=[0.0, 1.0],
+                   text="apple"),
+        ]))
+        m = Matcher(b, EmbeddingReranker(b))
+        # BM25 ranks doc 1 first (tf), but the query vector points at doc 2
+        q = Query(0, Modality.TEXT, k=2, vector=[0.0, 1.0], terms=["apple"])
+        hits = run(m.search(q))
+        assert hits[0].record_id == 2
+        assert hits[0].score == pytest.approx(1.0)
+
+    def test_missing_embedding_sorts_last(self, tmp_path):
+        b = EmbeddedBackend(str(tmp_path))
+        run(b.upsert([
+            Record(0, 1, Modality.TEXT, "a", b"x", text="apple"),
+            Record(0, 2, Modality.TEXT, "a", b"x", embedding=[0.0, 1.0],
+                   text="apple"),
+        ]))
+        m = Matcher(b, EmbeddingReranker(b))
+        q = Query(0, Modality.TEXT, k=2, vector=[0.0, 1.0], terms=["apple"])
+        hits = run(m.search(q))
+        assert [h.record_id for h in hits] == [2, 1]
+
+    def test_no_vector_noop(self, tmp_path):
+        b = EmbeddedBackend(str(tmp_path))
+        run(b.upsert([Record(0, 1, Modality.TEXT, "a", b"x", text="apple")]))
+        m = Matcher(b, EmbeddingReranker(b))
+        hits = run(m.search(Query(0, Modality.TEXT, k=2, terms=["apple"])))
+        assert [h.record_id for h in hits] == [1]
+
+    def test_http_rerank_param(self, tmp_path):
+        import json
+
+        from test_server import call, jbody, make_app
+
+        app, _ = make_app(tmp_path)
+        for rid, emb in ((1, [1.0, 0.0]), (2, [0.0, 1.0])):
+            rec = {"tenant_id": 0, "record_id": rid, "modality": "text",
+                   "algorithm": "e", "fingerprint": [0], "embedding": emb}
+            call(app, "PUT", "/v1/records", json.dumps(rec).encode())
+        body = jbody(call(app, "POST", "/v1/query",
+                          json.dumps({"tenant_id": 0, "modality": "text",
+                                      "k": 2, "vector": [0.0, 1.0]}).encode(),
+                          query="rerank=embedding"))
+        assert body["hits"][0]["record_id"] == 2

@@ -75,6 +75,54 @@ def hamming_topk(
     return -neg, idx
 
 
+def quantize_rows_int8(matrix) -> tuple:
+    """Symmetric per-row int8 quantization for the HBM-resident matrix.
+
+    The sub-ms @10M x 768 budget is bandwidth-bound: f32 rows are 30 GB,
+    int8 rows are 7.5 GB — the only representation that scans inside a
+    v5e-8's aggregate HBM bandwidth in under a millisecond. Cosine only
+    needs row direction, so per-row scales drop out of the score
+    entirely: score = (q/|q|) . (r/|r|), and the int8 row divided by its
+    own int8-row norm IS the unit direction up to quantization noise.
+    Returns (q8 [C, D] int8, row_norm_q [C] f32 = |q8 row|).
+    """
+    import numpy as np
+
+    m = np.asarray(matrix, np.float32)
+    absmax = np.abs(m).max(axis=1, keepdims=True)
+    scale = np.where(absmax == 0.0, 1.0, absmax / 127.0)
+    q8 = np.clip(np.round(m / scale), -127, 127).astype(np.int8)
+    row_norm = np.linalg.norm(q8.astype(np.float32), axis=1)
+    return q8, row_norm.astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def cosine_topk_int8(
+    query: jax.Array,  # [Q, D] f32
+    q8: jax.Array,  # [C, D] int8
+    row_norm: jax.Array,  # [C] f32 (|int8 row|)
+    valid: jax.Array,  # [C] bool
+    k: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Quantized cosine top-k: int8 matrix rides the MXU int path at 4x
+    the f32 scan rate; scores are exact cosines of the quantized rows
+    (per-row scales cancel), so recall loss is bounded by row
+    quantization noise (~1e-2 on unit vectors)."""
+    # quantize the query symmetrically too: int8 x int8 -> int32 on MXU
+    q = query
+    q_absmax = jnp.max(jnp.abs(q), axis=1, keepdims=True)
+    q_scale = jnp.where(q_absmax == 0.0, 1.0, q_absmax / 127.0)
+    qq = jnp.clip(jnp.round(q / q_scale), -127, 127).astype(jnp.int8)
+    dots = jax.lax.dot_general(
+        qq, q8, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    ).astype(jnp.float32)  # [Q, C]
+    q_norm = jnp.linalg.norm(qq.astype(jnp.float32), axis=1, keepdims=True)
+    denom = q_norm * row_norm[None, :]
+    ok = valid[None, :] & (row_norm[None, :] > 0.0) & (q_norm > 0.0)
+    scores = jnp.where(ok, dots / jnp.where(denom == 0.0, 1.0, denom), NEG_INF)
+    return jax.lax.top_k(scores, k)
+
+
 def pack_bits_to_u32(fp: bytes) -> list[int]:
     """Fingerprint bytes -> little-endian uint32 words (zero-padded)."""
     pad = (-len(fp)) % 4

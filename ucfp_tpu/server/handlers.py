@@ -251,7 +251,13 @@ class Handlers:
                 rrf_k=int(body.get("rrf_k", 60)),
                 explain=explain,
             )
-            hits = await self.matcher.search(q)
+            if req.query.get("rerank") == "embedding":
+                from ..rerank.embedding import EmbeddingReranker
+
+                matcher = Matcher(self.index, EmbeddingReranker(self.index))
+                hits = await matcher.search(q)
+            else:
+                hits = await self.matcher.search(q)
         return Response.json({"hits": [self._hit_out(tenant_id, h) for h in hits]})
 
     @staticmethod
