@@ -251,6 +251,22 @@ def bench_cosine_int8_10m(n=10_000_000, d=64, k=10, iters=32):
 
 
 def main():
+    import contextlib
+    import os
+
+    profile_dir = os.environ.get("UCFP_PROFILE_DIR")
+    ctx = contextlib.nullcontext()
+    if profile_dir:
+        # JAX profiler -> Perfetto/XPlane traces (the reference's
+        # criterion-with-debug profiling entry point, TPU edition)
+        import jax
+
+        ctx = jax.profiler.trace(profile_dir)
+    with ctx:
+        _run_all()
+
+
+def _run_all():
     phash_ips = bench_phash()
     extra = {}
     try:

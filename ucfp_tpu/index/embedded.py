@@ -172,9 +172,15 @@ class EmbeddedBackend(IndexBackend):
     a store written by either engine reopens correctly.
     """
 
-    def __init__(self, data_dir: str, wal_engine: str = "auto"):
+    def __init__(self, data_dir: str, wal_engine: str = "auto",
+                 knn_quant: str | None = None):
         from .wal import JsonWal, open_wal
 
+        # knn_quant: None/"none" = exact f32 cosine (reference semantics);
+        # "int8" = per-row symmetric quantized scan (4x bandwidth, the
+        # sub-ms @10M representation; scores are cosines of the quantized
+        # rows). Also settable via UCFP_KNN_QUANT.
+        self.knn_quant = (knn_quant or os.environ.get("UCFP_KNN_QUANT", "none")).lower()
         self.data_dir = data_dir
         os.makedirs(data_dir, exist_ok=True)
         self._wal_path = os.path.join(data_dir, "ucfp.wal")
@@ -396,7 +402,15 @@ class EmbeddedBackend(IndexBackend):
             cap = cache.data.shape[0]
             valid = np.zeros(cap, bool)
             valid[: cache.n] = True
-            cache.device = (jnp.asarray(cache.data), jnp.asarray(valid))
+            if self.knn_quant == "int8":
+                q8, row_norm = knn_ops.quantize_rows_int8(cache.data)
+                cache.device = (
+                    jnp.asarray(q8),
+                    jnp.asarray(row_norm),
+                    jnp.asarray(valid),
+                )
+            else:
+                cache.device = (jnp.asarray(cache.data), jnp.asarray(valid))
             cache.dirty = False
         return cache.device
 
@@ -431,10 +445,17 @@ class EmbeddedBackend(IndexBackend):
 
         def work():
             with self._lock:
-                matrix, valid = self._device_vec(cache)
+                dev = self._device_vec(cache)
                 rids = list(cache.rids)
             kk = min(k, cache.n)
-            scores, idx = knn_ops.cosine_topk(q[None], matrix, valid, kk)
+            if self.knn_quant == "int8":
+                q8m, row_norm, valid = dev
+                scores, idx = knn_ops.cosine_topk_int8(
+                    q[None], q8m, row_norm, valid, kk
+                )
+            else:
+                matrix, valid = dev
+                scores, idx = knn_ops.cosine_topk(q[None], matrix, valid, kk)
             scores = np.asarray(scores[0])
             idx = np.asarray(idx[0])
             out = []
