@@ -156,6 +156,25 @@ class TestPanako:
         with pytest.raises(ModalityError):
             amod.fingerprint_panako(two_tone(), 16000, 0, 1)
 
+    def test_tempo_invariance_floor(self):
+        """Triplet hashes survive a 3% resample stretch at a usable rate
+        (manifest claims tempo-invariance +/-5%; exact-hash overlap is
+        bounded by peak-constellation survival, so the floor is modest —
+        retrieval uses many hashes per clip + offset voting)."""
+        x = two_tone(secs=3.0)
+        stretched = dsp.resample_linear(x, 8000, 8240).astype(np.float32)
+        h1 = set(
+            np.frombuffer(
+                amod.fingerprint_panako(x, 8000, 0, 1).fingerprint, "<u4"
+            ).reshape(-1, 2)[:, 0].tolist()
+        )
+        h2 = set(
+            np.frombuffer(
+                amod.fingerprint_panako(stretched, 8000, 0, 2).fingerprint, "<u4"
+            ).reshape(-1, 2)[:, 0].tolist()
+        )
+        assert len(h1 & h2) >= 0.04 * len(h1)
+
 
 class TestHaitsma:
     def test_density_312_bytes_per_sec(self):

@@ -156,36 +156,18 @@ def fingerprint_haitsma(
 # Neural log-mel embedder (device model with fixed seeded weights)
 # ---------------------------------------------------------------------------
 
-NEURAL_MODEL_ID = "ucfp-audio-logmel-mlp-v1"
-NEURAL_DIM = 128
-_NEURAL_MELS = 64
-_NEURAL_WIN = 96  # frames per window
-_NEURAL_HOP = 48
-
-
-@functools.lru_cache(maxsize=1)
-def _neural_params():
-    """Deterministic fixed weights (seeded PRNG): a 2-layer MLP over the
-    flattened log-mel window. Stands in for the reference's ONNX log-mel
-    embedder (audio.rs:268-321) as a real on-device JAX model; a trained
-    encoder slots in behind the same model_id seam later."""
-    import jax
-
-    k1, k2 = jax.random.split(jax.random.PRNGKey(0xA0D10), 2)
-    d_in = _NEURAL_WIN * _NEURAL_MELS
-    w1 = jax.random.normal(k1, (d_in, 512), jnp_dtype()) * (1.0 / math.sqrt(d_in))
-    w2 = jax.random.normal(k2, (512, NEURAL_DIM), jnp_dtype()) * (1.0 / math.sqrt(512))
-    return w1, w2
-
-
-def jnp_dtype():
-    import jax.numpy as jnp
-
-    return jnp.float32
+from ..models import AUDIO_MODEL_ID as NEURAL_MODEL_ID
+from ..models.encoders import AUDIO_DIM as NEURAL_DIM
+from ..models.encoders import AUDIO_HOP as _NEURAL_HOP
+from ..models.encoders import AUDIO_MELS as _NEURAL_MELS
+from ..models.encoders import AUDIO_WIN as _NEURAL_WIN
+from ..models.encoders import audio_logmel_encode
 
 
 def _neural_embed_windows(x: np.ndarray, sr: int) -> np.ndarray:
-    import jax
+    """Log-mel windowing on device; the encoder lives in
+    ucfp_tpu.models.encoders (stand-in for the reference's ONNX log-mel
+    embedder, audio.rs:268-321)."""
     import jax.numpy as jnp
 
     power = dsp.stft_power(jnp.asarray(x, jnp.float32), 1024, 256, True)
@@ -201,15 +183,7 @@ def _neural_embed_windows(x: np.ndarray, sr: int) -> np.ndarray:
         jnp.arange(n_win)[:, None] * _NEURAL_HOP + jnp.arange(_NEURAL_WIN)[None, :]
     )
     wins = logmel[idx].reshape(n_win, -1)  # [n_win, WIN*MELS]
-    w1, w2 = _neural_params()
-    h = jnp.tanh(
-        jnp.dot(wins, w1, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
-    )
-    e = jnp.dot(h, w2, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
-    e = e / jnp.maximum(jnp.linalg.norm(e, axis=1, keepdims=True), 1e-9)
-    return np.asarray(e, dtype=np.float32)
+    return audio_logmel_encode(wins)
 
 
 def fingerprint_neural(

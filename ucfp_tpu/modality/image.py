@@ -175,28 +175,6 @@ def fingerprint_batch(
 
 
 ALGORITHM_SEMANTIC = "embedding-image-local"
-SEMANTIC_MODEL_ID = "ucfp-image-embed-512-v1"
-SEMANTIC_DIM = 512
-
-
-import functools
-
-
-@functools.lru_cache(maxsize=1)
-def _semantic_params():
-    """Deterministic fixed weights (seeded PRNG) for the local image
-    encoder: a 2-layer MLP over the exact-int 32x32 RGB downsample.
-    Stands in for the reference's CLIP ONNX LocalProvider
-    (image.rs:210-241) as a real on-device JAX model; a trained CLIP
-    encoder slots in behind the same model_id seam later."""
-    import jax
-    import jax.numpy as jnp
-
-    k1, k2 = jax.random.split(jax.random.PRNGKey(0x1A6E), 2)
-    d_in = 32 * 32 * 3
-    w1 = jax.random.normal(k1, (d_in, 1024), jnp.float32) * (1.0 / d_in**0.5)
-    w2 = jax.random.normal(k2, (1024, SEMANTIC_DIM), jnp.float32) * (1.0 / 32.0)
-    return w1, w2
 
 
 def fingerprint_semantic(
@@ -206,22 +184,20 @@ def fingerprint_semantic(
     pre: PreprocessConfig | None = None,
     model_id: str | None = None,
 ) -> Record:
-    """CLIP-class local embedding record (embedding slot + f32 LE bytes)."""
-    import jax
-    import jax.numpy as jnp
+    """CLIP-class local embedding record (embedding slot + f32 LE bytes).
+
+    Stands in for the reference's CLIP ONNX LocalProvider
+    (image.rs:210-241); the encoder lives in ucfp_tpu.models.encoders.
+    """
+    from ..models import IMAGE_MODEL_ID as SEMANTIC_MODEL_ID
+    from ..models import image_encode
 
     pre = pre or PreprocessConfig()
     rgb = decode_rgb(data, pre)
     # exact-int 32x32 per channel, then [0,1] scale
     chans = [imagehash.np_resize(rgb[..., c].astype(np.int64), 32, 32) for c in range(3)]
     x = (np.stack(chans, -1).astype(np.float32) / 255.0).reshape(1, -1)
-    w1, w2 = _semantic_params()
-    h = jnp.tanh(jnp.dot(jnp.asarray(x), w1, preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST))
-    e = jnp.dot(h, w2, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
-    e = e / jnp.maximum(jnp.linalg.norm(e, axis=1, keepdims=True), 1e-9)
-    emb = np.asarray(e[0], np.float32)
+    emb = image_encode(x)[0]
     return Record(
         tenant_id=tenant_id,
         record_id=record_id,
@@ -230,7 +206,9 @@ def fingerprint_semantic(
         fingerprint=emb.astype("<f4").tobytes(),
         embedding=[float(v) for v in emb],
         model_id=model_id or SEMANTIC_MODEL_ID,
-        config_hash=config_hash64(ALGORITHM_SEMANTIC, model_id=model_id or SEMANTIC_MODEL_ID),
+        config_hash=config_hash64(
+            ALGORITHM_SEMANTIC, model_id=model_id or SEMANTIC_MODEL_ID
+        ),
     )
 
 

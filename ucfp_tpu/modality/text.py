@@ -303,34 +303,21 @@ def fingerprint_tlsh(
 
 # -- semantic providers -------------------------------------------------------
 
-SEMANTIC_DIM = 384
-SEMANTIC_LOCAL_MODEL_ID = "ucfp-hash-embed-384-v1"
+from ..models import TEXT_MODEL_ID as SEMANTIC_LOCAL_MODEL_ID
+from ..models.encoders import TEXT_DIM as SEMANTIC_DIM
 
 
 def _local_embed(canon: str) -> np.ndarray:
-    """Deterministic local embedding: feature-hashed TF bag of words +
-    word-bigrams, signed hashing trick, L2-normalized.
-
-    Stands in for the reference's local ONNX MiniLM provider
-    (text.rs:500-606) without a model download; a flax encoder slots in
-    behind the same provider seam in a later round.
-    """
-    import xxhash
+    """Deterministic local embedding via ucfp_tpu.models.encoders
+    (stand-in for the reference's local ONNX MiniLM provider,
+    text.rs:500-606)."""
+    from ..models import text_hash_embed
 
     toks = tokenize_words(canon)
-    if not toks:
-        raise ModalityError("no tokens for semantic embedding")
-    feats = toks + [f"{a}\x1f{b}" for a, b in zip(toks, toks[1:])]
-    v = np.zeros(SEMANTIC_DIM, np.float64)
-    for f in feats:
-        h = xxhash.xxh3_64_intdigest(f.encode("utf-8"))
-        idx = h % SEMANTIC_DIM
-        sign = 1.0 if (h >> 63) else -1.0
-        v[idx] += sign
-    n = np.linalg.norm(v)
-    if n == 0:
-        raise ModalityError("degenerate semantic embedding")
-    return (v / n).astype(np.float32)
+    try:
+        return text_hash_embed(toks)
+    except ValueError as e:
+        raise ModalityError(str(e))
 
 
 def fingerprint_semantic(

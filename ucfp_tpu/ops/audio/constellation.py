@@ -26,11 +26,22 @@ default 30 peaks/sec a 2-second zone holds ~60 successors). Wang hash
 wire layout (8 bytes LE per landmark):
   u32 hash = f1(10 bits) << 22 | f2(10 bits) << 12 | dt(12 bits)
   u32 t1   = anchor frame index
-Panako triplet layout (8 bytes LE per triplet) builds tempo-invariance
-from the time-ratio quantization:
-  u32 hash = f1(10) << 22 | f2(10) << 12 | f3(10) << 2 | ratio_hi(2)
-  u32 aux  = ratio(8) << 24 | t1
-  where ratio = round(255 * (t2 - t1) / (t3 - t1)).
+Panako triplet layout (8 bytes LE per triplet) builds pitch- AND
+tempo-invariance the way the real Panako family does: frequencies map to
+log-spaced bands (24/octave), where a uniform pitch shift is an ADDITIVE
+offset — so band DIFFERENCES are invariant; a uniform tempo change
+scales all time deltas — so the time RATIO is invariant:
+  u32 hash = db12(8, offset 128) << 24 | db23(8, offset 128) << 16
+             | tratio(4) << 12 | b1coarse(8 = semitone band >> 3) << 4
+  u32 aux  = t1 frame index
+  where db12 = sb(f2) - sb(f1), db23 = sb(f3) - sb(f2),
+        tratio = round(15 * (t2 - t1) / (t3 - t1)),
+        sb(f) = round(12 * log2(f_hz / 32.7)) (semitones above C1).
+Quantization is deliberately coarse: peak times land on integer frames,
+so a fine ratio would flip on ±1-frame jitter; semitone bands keep a 3%
+pitch shift (~0.5 semitone) inside one rounding step most of the time.
+b1coarse (8-semitone granularity) keeps some absolute-pitch selectivity
+without breaking small-shift invariance.
 """
 
 from __future__ import annotations
@@ -156,15 +167,26 @@ def wang_pairs(
     return h, jnp.broadcast_to(t[:, None].astype(jnp.uint32), h.shape), ok
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+PANAKO_BANDS_PER_OCTAVE = 12  # semitones
+PANAKO_FREF_HZ = 32.7  # C1
+
+
+def _log_band(f_bin: jax.Array, bin_hz: float) -> jax.Array:
+    """Linear STFT bin -> semitone band above C1 (int32)."""
+    hz = jnp.maximum(f_bin.astype(jnp.float32) * bin_hz, 1.0)
+    return jnp.round(
+        PANAKO_BANDS_PER_OCTAVE * jnp.log2(hz / PANAKO_FREF_HZ)
+    ).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
 def panako_triplets(
     t: jax.Array, f: jax.Array, valid: jax.Array,
-    fan_out: int, zone_t: int, zone_f: int,
+    fan_out: int, zone_t: int, zone_f: int, bin_hz: float = 7.8125,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Tempo-invariant triplets: anchor + its j-th and (j+1)-th targets.
-
-    Consecutive target pairs of the Wang-style scan become (p1, p2, p3);
-    the quantized time ratio (t2-t1)/(t3-t1) survives +/-5% tempo shifts
+    """Pitch/tempo-invariant triplets: anchor + its j-th and (j+1)-th
+    targets. Log-band differences cancel uniform pitch shifts; the
+    quantized time ratio (t2-t1)/(t3-t1) survives +/-5% tempo shifts
     (manifest algorithms_manifest.rs:604).
     """
     p = t.shape[0]
@@ -195,16 +217,19 @@ def panako_triplets(
     f2a, f3a = f2[:, :-1], f2[:, 1:]
     pair_ok = gv[:, :-1] & gv[:, 1:]
     denom = jnp.maximum(t3a - t[:, None], 1)
+    # rounded (not floored) 4-bit ratio: +/-1-frame jitter on small dt
+    # stays within one step far more often than an 8-bit ratio would
     ratio = jnp.clip(
-        (255 * (t2a - t[:, None])) // denom, 0, 255
+        (15 * (t2a - t[:, None]) + denom // 2) // denom, 0, 15
     ).astype(jnp.uint32)
-    h = (
-        (f[:, None].astype(jnp.uint32) << 22)
-        | (f2a.astype(jnp.uint32) << 12)
-        | (f3a.astype(jnp.uint32) << 2)
-        | (ratio >> 6)
-    )
-    aux = (ratio << 24) | t[:, None].astype(jnp.uint32)
+    lb1 = _log_band(f[:, None], bin_hz)
+    lb2 = _log_band(f2a, bin_hz)
+    lb3 = _log_band(f3a, bin_hz)
+    db12 = jnp.clip(lb2 - lb1 + 128, 0, 255).astype(jnp.uint32)
+    db23 = jnp.clip(lb3 - lb2 + 128, 0, 255).astype(jnp.uint32)
+    b1coarse = jnp.clip(lb1 >> 3, 0, 255).astype(jnp.uint32)
+    h = (db12 << 24) | (db23 << 16) | (ratio << 12) | (b1coarse << 4)
+    aux = jnp.broadcast_to(t[:, None].astype(jnp.uint32), h.shape)
     return h, aux, pair_ok
 
 

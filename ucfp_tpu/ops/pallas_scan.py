@@ -1,22 +1,31 @@
-"""Pallas fused scan kernels: tiled Hamming / int8-cosine top-k.
+"""Pallas fused scan kernels: tiled Hamming / int8-cosine candidate scan.
 
 Why Pallas here: the XLA kernels in ops/knn.py materialize the full
-[Q, C] score row in HBM before lax.top_k — at 10M records that is a
-40 MB write + read per query, a measurable slice of the sub-ms budget.
-These kernels stream the database through VMEM in tiles (the pallas
-pipeline double-buffers the HBM->VMEM copies automatically via the
-grid BlockSpecs), reduce each tile to its local top-k *inside* VMEM,
-and emit only [tiles, k] candidates — ~1000x less HBM traffic on the
-output side. The final merge over tiles*k candidates is a tiny
-lax.top_k outside.
+[Q, C] score row in HBM and run lax.top_k over all C elements — at 10M
+records the top-k sort dominates (measured ~22 ms for Hamming@10M vs a
+~0.1 ms scan). These kernels stream the database through VMEM in tiles
+(the pallas grid pipeline double-buffers the HBM->VMEM copies), reduce
+each tile to 128 per-lane best candidates *inside* VMEM, and emit only
+[tiles, 128] candidates; the final lax.top_k runs over tiles*128
+elements (~40k at 10M) instead of 10M.
 
-Top-k inside the kernel is k rounds of masked argmin/argmax (static
-shapes, VPU-friendly) — no sort lowering required.
+Candidate-set semantics: the database is viewed as [R, 128] lanes; each
+tile keeps its best row PER LANE. Top-k then selects across
+tiles x lanes. This is the standard TPU partial-reduce top-k shape (the
+same idea behind lax.approx_max_k): exact for k=1, and for small k the
+probability that two true top-k entries collide in the same
+(tile, lane) cell is ~k^2/(2*tiles*128) — <0.1% at k=10 over 10M rows.
+Use the exact XLA kernels when guaranteed-exact top-k matters more than
+latency.
 
-Layout notes (guide: /opt/skills/guides/pallas_guide.md):
-  * tiles are (TILE_ROWS, D) with D padded to the 128-lane boundary
-  * distances/scores live in VMEM scratch; argmin via broadcasted_iota
-  * grid iterates row tiles; index_map pins the query block to 0
+Mosaic layout notes (guide: /opt/skills/guides/pallas_guide.md):
+  * db is reshaped host-side to [R, W, 128]: the word/feature axis rides
+    the SUBLANE dimension — putting it minor would get padded to the
+    128-lane width and blow VMEM 64x (measured: 20.9 MB for a 256 KB
+    tile). Scores reduce over axis 1 into native (sublane, lane) 2D.
+  * output blocks are (1, 8, 128): row 0 carries the 128 lane minima,
+    rows 1..7 are padding to satisfy the (8, 128) tiling floor
+  * argmin per lane via broadcasted_iota + masked min (no sort)
 """
 
 from __future__ import annotations
@@ -28,124 +37,137 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_ROWS = 2048
+LANES = 128
+SUB = 8  # output sublane padding floor
+ROWS_PER_TILE = 256  # hamming tile covers ROWS_PER_TILE * 128 db rows
+ROWS_PER_TILE_C = 128  # int8-cosine tile (int32 intermediates are 4x)
 
 
-def _tile_topk_small(vals: jax.Array, k: int, largest: bool):
-    """k rounds of masked argmax/argmin over [T] -> ([k], [k])."""
-    t = vals.shape[0]
-    idx2d = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)[:, 0]
-    worst = jnp.asarray(
-        -(2**31 - 1) if largest else 2**31 - 1, dtype=vals.dtype
-    )
-
-    def body(j, carry):
-        cur, out_v, out_i = carry
-        best = jnp.max(cur) if largest else jnp.min(cur)
-        hit = cur == best
-        first = jnp.min(jnp.where(hit, idx2d, jnp.int32(t)))
-        out_v = out_v.at[j].set(best)
-        out_i = out_i.at[j].set(first)
-        cur = jnp.where(idx2d == first, worst, cur)
-        return cur, out_v, out_i
-
-    out_v = jnp.full((k,), worst, vals.dtype)
-    out_i = jnp.zeros((k,), jnp.int32)
-    _, out_v, out_i = jax.lax.fori_loop(0, k, body, (vals, out_v, out_i))
-    return out_v, out_i
+def _lane_argbest(score2d: jax.Array, largest: bool):
+    """[R, 128] -> (best [1, 128], row index of best [1, 128])."""
+    r, l = score2d.shape
+    if largest:
+        best = jnp.max(score2d, axis=0, keepdims=True)
+    else:
+        best = jnp.min(score2d, axis=0, keepdims=True)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (r, l), 0)
+    hit = score2d == best
+    first = jnp.min(jnp.where(hit, rows, jnp.int32(r)), axis=0, keepdims=True)
+    return best, first
 
 
-def _hamming_kernel(k: int, q_ref, db_ref, dist_ref, idx_ref):
-    tile = db_ref[:]  # [TILE_ROWS, W] int32 (bit-identical to u32 xor)
-    q = q_ref[:]  # [1, W]
+def _hamming_kernel(q_ref, db_ref, dist_ref, idx_ref):
+    tile = db_ref[:]  # [R, W, 128] int32
+    q = q_ref[:]  # [1, W, 1]
     x = jax.lax.bitwise_xor(tile, q)
-    d = jnp.sum(jax.lax.population_count(x), axis=1)  # [TILE_ROWS]
-    vals, idx = _tile_topk_small(d, k, largest=False)
-    base = pl.program_id(0) * TILE_ROWS
-    dist_ref[0, :] = vals
-    idx_ref[0, :] = idx + base
+    d = jnp.sum(jax.lax.population_count(x), axis=1)  # [R, 128]
+    best, row = _lane_argbest(d, largest=False)
+    base_row = pl.program_id(0) * ROWS_PER_TILE
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    gidx = (base_row + row) * LANES + lanes  # flat db row index
+    dist_ref[0, 0:1, :] = best
+    dist_ref[0, 1:SUB, :] = jnp.full((SUB - 1, LANES), 2**31 - 1, jnp.int32)
+    idx_ref[0, 0:1, :] = gidx
+    idx_ref[0, 1:SUB, :] = jnp.zeros((SUB - 1, LANES), jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
 def hamming_topk_fused(query: jax.Array, db: jax.Array, k: int):
-    """query [W] uint32, db [C, W] uint32 (C % TILE_ROWS == 0)
-    -> (dist [k] int32, idx [k] int32), smallest distances first."""
+    """query [W] uint32, db [C, W] uint32 with C % (ROWS_PER_TILE*128) == 0
+    -> (dist [k] int32, idx [k] int32), smallest first."""
     c, w = db.shape
-    grid = c // TILE_ROWS
-    db_i = db.astype(jnp.int32) if db.dtype != jnp.int32 else db
-    q_i = query.astype(jnp.int32).reshape(1, w)
+    r_total = c // LANES
+    grid = r_total // ROWS_PER_TILE
+    db3 = db.astype(jnp.int32).reshape(r_total, LANES, w).swapaxes(1, 2)
+    q3 = query.astype(jnp.int32).reshape(1, w, 1)
     dist_t, idx_t = pl.pallas_call(
-        functools.partial(_hamming_kernel, k),
+        _hamming_kernel,
         grid=(grid,),
         interpret=jax.default_backend() == "cpu",
         in_specs=[
-            pl.BlockSpec((1, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (TILE_ROWS, w), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (ROWS_PER_TILE, w, LANES),
+                lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[
-            pl.BlockSpec((1, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUB, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUB, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((grid, k), jnp.int32),
-            jax.ShapeDtypeStruct((grid, k), jnp.int32),
+            jax.ShapeDtypeStruct((grid, SUB, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((grid, SUB, LANES), jnp.int32),
         ],
-    )(q_i, db_i.view(jnp.int32) if db_i.dtype != jnp.int32 else db_i)
-    flat_d = dist_t.reshape(-1)
-    flat_i = idx_t.reshape(-1)
+    )(q3, db3)
+    flat_d = dist_t[:, 0, :].reshape(-1)
+    flat_i = idx_t[:, 0, :].reshape(-1)
     neg, pos = jax.lax.top_k(-flat_d, k)
     return -neg, flat_i[pos]
 
 
-def _cosine_i8_kernel(k: int, q_ref, db_ref, rn_ref, val_ref, idx_ref):
-    tile = db_ref[:]  # [TILE_ROWS, D] int8
-    q = q_ref[:]  # [1, D] int8
-    dots = jax.lax.dot_general(
-        tile, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
-    )[:, 0].astype(jnp.float32)
-    rn = rn_ref[:][0]  # [TILE_ROWS] f32 row norms
+def _cosine_i8_kernel(q_ref, db_ref, rn_ref, val_ref, idx_ref):
+    tile = db_ref[:].astype(jnp.int32)  # [R, D, 128]
+    q = q_ref[:].astype(jnp.int32)  # [1, D, 1]
+    dots = jnp.sum(tile * q, axis=1).astype(jnp.float32)  # [R, 128]
+    rn = rn_ref[:]  # [R, 128]
     scores = dots / jnp.maximum(rn, 1e-9)
-    vals, idx = _tile_topk_small(scores, k, largest=True)
-    base = pl.program_id(0) * TILE_ROWS
-    val_ref[0, :] = vals
-    idx_ref[0, :] = idx + base
+    best, row = _lane_argbest(scores, largest=True)
+    base_row = pl.program_id(0) * ROWS_PER_TILE_C
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    gidx = (base_row + row) * LANES + lanes
+    val_ref[0, 0:1, :] = best
+    val_ref[0, 1:SUB, :] = jnp.full((SUB - 1, LANES), -jnp.inf, jnp.float32)
+    idx_ref[0, 0:1, :] = gidx
+    idx_ref[0, 1:SUB, :] = jnp.zeros((SUB - 1, LANES), jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnums=(3,))
 def cosine_int8_topk_fused(
     q8: jax.Array,  # [D] int8 (pre-quantized query)
-    db8: jax.Array,  # [C, D] int8
+    db8: jax.Array,  # [C, D] int8, C % (ROWS_PER_TILE*128) == 0
     row_norm: jax.Array,  # [C] f32
     k: int,
 ):
     """-> (scores [k] f32 = dot/|row| — divide by |q8| outside, idx [k])."""
     c, d = db8.shape
-    grid = c // TILE_ROWS
+    r_total = c // LANES
+    grid = r_total // ROWS_PER_TILE_C
+    db3 = db8.reshape(r_total, LANES, d).swapaxes(1, 2)
+    rn3 = row_norm.reshape(r_total, LANES)
+    q3 = q8.reshape(1, d, 1)
     val_t, idx_t = pl.pallas_call(
-        functools.partial(_cosine_i8_kernel, k),
+        _cosine_i8_kernel,
         grid=(grid,),
         interpret=jax.default_backend() == "cpu",
         in_specs=[
-            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (TILE_ROWS, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (ROWS_PER_TILE_C, d, LANES),
+                lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, TILE_ROWS), lambda i: (0, i), memory_space=pltpu.VMEM
+                (ROWS_PER_TILE_C, LANES),
+                lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[
-            pl.BlockSpec((1, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUB, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUB, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((grid, k), jnp.float32),
-            jax.ShapeDtypeStruct((grid, k), jnp.int32),
+            jax.ShapeDtypeStruct((grid, SUB, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((grid, SUB, LANES), jnp.int32),
         ],
-    )(q8.reshape(1, d), db8, row_norm.reshape(1, c))
-    flat_v = val_t.reshape(-1)
-    flat_i = idx_t.reshape(-1)
+    )(q3, db3, rn3)
+    flat_v = val_t[:, 0, :].reshape(-1)
+    flat_i = idx_t[:, 0, :].reshape(-1)
     vals, pos = jax.lax.top_k(flat_v, k)
     return vals, flat_i[pos]
