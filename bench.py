@@ -250,6 +250,74 @@ def bench_cosine_int8_10m(n=10_000_000, d=64, k=10, iters=32):
     return _timed(run, iters) * 1000.0
 
 
+def bench_hamming_10m_fused(k=10, iters=64):
+    """Pallas fused per-lane-reduce Hamming top-k at 10M (ms per query)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ucfp_tpu.ops import pallas_scan
+
+    tile = pallas_scan.ROWS_PER_TILE * pallas_scan.LANES
+    n = (10_000_000 // tile) * tile
+    key = jax.random.PRNGKey(0)
+    db = jax.random.randint(key, (n, 2), 0, 2**31 - 1, dtype=jnp.int32).astype(
+        jnp.uint32
+    )
+    db = jax.block_until_ready(db)
+    q0 = jnp.asarray(np.array([12345, 678901], np.uint32))
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def loop(q, m, it):
+        def body(_i, carry):
+            _dist, idx = pallas_scan.hamming_topk_fused(carry, m, k)
+            return jnp.bitwise_xor(carry, m[idx[0]])
+
+        out = jax.lax.fori_loop(0, it, body, q)
+        return jnp.sum(out.astype(jnp.int32))
+
+    def run(it):
+        return int(loop(q0, db, it))
+
+    return _timed(run, iters) * 1000.0
+
+
+def bench_cosine_int8_10m_hybrid(k=10, iters=32):
+    """MXU matmul + pallas partial-reduce top-k at 10M x 64 (ms/query)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ucfp_tpu.ops import pallas_scan
+
+    tile = pallas_scan.ROWS_PER_TILE * pallas_scan.LANES
+    n = (10_000_000 // tile) * tile
+    key = jax.random.PRNGKey(0)
+    m8 = jax.random.randint(key, (n, 64), -127, 128, dtype=jnp.int32).astype(
+        jnp.int8
+    )
+    m8 = jax.block_until_ready(m8)
+    rn = jnp.linalg.norm(m8.astype(jnp.float32), axis=1)
+    q0 = jax.random.randint(
+        jax.random.PRNGKey(3), (64,), -127, 128, dtype=jnp.int32
+    ).astype(jnp.int8)
+
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def loop(q, m, rnv, it):
+        def body(_i, carry):
+            _vals, idx = pallas_scan.cosine_int8_topk_hybrid(carry, m, rnv, k)
+            return jnp.clip(
+                carry.astype(jnp.int32) + m[idx[0]].astype(jnp.int32) // 127,
+                -127, 127,
+            ).astype(jnp.int8)
+
+        out = jax.lax.fori_loop(0, it, body, q)
+        return jnp.sum(out.astype(jnp.int32))
+
+    def run(it):
+        return int(loop(q0, m8, rn, it))
+
+    return _timed(run, iters) * 1000.0
+
+
 def main():
     import contextlib
     import os
@@ -273,7 +341,12 @@ def _run_all():
         extra["multihash_images_per_sec"] = round(bench_multihash(), 1)
         extra["audio_wang_xrt"] = round(bench_audio_xrt(), 1)
         extra["query_cosine_p50_ms_1m_x64"] = round(bench_query_p50(), 3)
-        extra["query_hamming_p50_ms_10m_x64bit"] = round(bench_hamming_10m(), 3)
+        extra["query_hamming_fused_p50_ms_10m_x64bit"] = round(
+            bench_hamming_10m_fused(), 3
+        )
+        extra["query_cosine_int8_hybrid_p50_ms_10m_x64"] = round(
+            bench_cosine_int8_10m_hybrid(), 3
+        )
         extra["query_cosine_int8_p50_ms_10m_x64"] = round(
             bench_cosine_int8_10m(), 3
         )

@@ -38,6 +38,37 @@ class TestHammingFused:
         assert int(np.asarray(dist)[0]) == 0
 
 
+class TestScoresTopkFused:
+    def test_matches_lax_topk(self):
+        rng = np.random.default_rng(5)
+        c, k = TILE, 16
+        scores = rng.normal(size=c).astype(np.float32)
+        vals, idx = pallas_scan.scores_topk_fused(scores, k, largest=True)
+        order = np.argsort(-scores)
+        # top-1 exact; top-k high recall (per-lane collisions possible)
+        assert int(np.asarray(idx)[0]) == int(order[0])
+        inter = len(set(np.asarray(idx).tolist()) & set(order[:k].tolist()))
+        assert inter >= k - 2
+
+    def test_smallest_mode(self):
+        rng = np.random.default_rng(6)
+        scores = rng.normal(size=TILE).astype(np.float32)
+        vals, idx = pallas_scan.scores_topk_fused(scores, 4, largest=False)
+        assert int(np.asarray(idx)[0]) == int(np.argmin(scores))
+
+    def test_hybrid_cosine(self):
+        rng = np.random.default_rng(7)
+        c, d, k = TILE, 64, 8
+        matrix = rng.normal(size=(c, d)).astype(np.float32)
+        q8m, row_norm = knn_ops.quantize_rows_int8(matrix)
+        q = matrix[1234]
+        qq = np.clip(np.round(q / (np.abs(q).max() / 127.0)), -127, 127).astype(
+            np.int8
+        )
+        vals, idx = pallas_scan.cosine_int8_topk_hybrid(qq, q8m, row_norm, k)
+        assert int(np.asarray(idx)[0]) == 1234
+
+
 class TestCosineInt8Fused:
     def test_exact_match_and_recall(self):
         rng = np.random.default_rng(2)

@@ -25,7 +25,6 @@ the next query, so bulk ingest costs one transfer, not N.
 from __future__ import annotations
 
 import asyncio
-import json
 import os
 import threading
 from dataclasses import dataclass, field

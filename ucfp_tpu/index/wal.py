@@ -16,9 +16,7 @@ from __future__ import annotations
 import json
 import os
 import struct
-from typing import Iterable, Iterator, Optional
-
-from ..core import Modality
+from typing import Iterable, Iterator
 
 _MOD_TO_U8 = {"text": 0, "image": 1, "audio": 2}
 _U8_TO_MOD = {v: k for k, v in _MOD_TO_U8.items()}

@@ -18,9 +18,8 @@ input, assembles Records, and owns the streaming/segmenting logic.
 
 from __future__ import annotations
 
-import functools
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -37,7 +37,6 @@ from .. import __version__
 from ..core import (
     ForbiddenError,
     Hit,
-    HitSource,
     Modality,
     Query,
     Record,
