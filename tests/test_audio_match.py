@@ -1,0 +1,93 @@
+"""Audio landmark offset-voting retrieval (capability beyond the reference:
+it stores Wang hashes but never matches them)."""
+
+import asyncio
+import math
+
+import numpy as np
+import pytest
+
+from ucfp_tpu.index.embedded import EmbeddedBackend
+from ucfp_tpu.modality import audio as amod
+
+
+def run(coro):
+    return asyncio.run(coro)
+
+
+def song(seed, secs=4.0, sr=8000):
+    """Synthetic 'song': random tone steps, deterministic per seed."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(secs * sr)) / sr
+    x = np.zeros_like(t, dtype=np.float32)
+    step = 0.25  # seconds per note
+    for i in range(int(secs / step)):
+        f = rng.choice([220, 330, 440, 550, 660, 880, 1320])
+        seg = slice(int(i * step * sr), int((i + 1) * step * sr))
+        x[seg] = 0.4 * np.sin(2 * math.pi * f * t[seg]).astype(np.float32)
+    return x
+
+
+class TestOffsetVoting:
+    def test_clip_finds_source(self, tmp_path):
+        b = EmbeddedBackend(str(tmp_path))
+        songs = {rid: song(rid) for rid in (1, 2, 3)}
+        run(b.upsert([
+            amod.fingerprint_wang(x, 8000, 0, rid) for rid, x in songs.items()
+        ]))
+        # query: a 2-second excerpt from the middle of song 2
+        clip = songs[2][8000 : 8000 + 16000]
+        q = amod.fingerprint_wang(clip, 8000, 0, 999)
+        hits = run(b.knn_audio(0, "audiofp-wang-v1", q.fingerprint, 3))
+        assert hits and hits[0].record_id == 2
+        if len(hits) > 1:
+            assert hits[0].score > hits[1].score * 1.5  # decisive margin
+
+    def test_unrelated_clip_scores_low(self, tmp_path):
+        b = EmbeddedBackend(str(tmp_path))
+        run(b.upsert([amod.fingerprint_wang(song(1), 8000, 0, 1)]))
+        q = amod.fingerprint_wang(song(42), 8000, 0, 999)
+        hits = run(b.knn_audio(0, "audiofp-wang-v1", q.fingerprint, 3))
+        assert not hits or hits[0].score < 0.2
+
+    def test_delete_removes_from_index(self, tmp_path):
+        b = EmbeddedBackend(str(tmp_path))
+        x = song(5)
+        run(b.upsert([amod.fingerprint_wang(x, 8000, 0, 7)]))
+        run(b.delete(0, [7]))
+        q = amod.fingerprint_wang(x[:16000], 8000, 0, 999)
+        assert run(b.knn_audio(0, "audiofp-wang-v1", q.fingerprint, 3)) == []
+
+    def test_survives_replay(self, tmp_path):
+        b = EmbeddedBackend(str(tmp_path))
+        x = song(6)
+        run(b.upsert([amod.fingerprint_wang(x, 8000, 0, 11)]))
+        b.close()
+        b2 = EmbeddedBackend(str(tmp_path))
+        q = amod.fingerprint_wang(x[4000:20000], 8000, 0, 999)
+        hits = run(b2.knn_audio(0, "audiofp-wang-v1", q.fingerprint, 3))
+        assert hits and hits[0].record_id == 11
+
+    def test_http_route(self, tmp_path):
+        import json
+        import sys
+
+        sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+        from test_server import call, jbody, make_app
+
+        app, state = make_app(tmp_path)
+        x = song(9)
+        body = x.astype("<f4").tobytes()
+        call(app, "POST", "/v1/ingest/audio/0/21", body,
+             query="sample_rate=8000&algorithm=wang")
+        clip = x[8000:24000].astype("<f4").tobytes()
+        qfp = jbody(call(app, "POST", "/v1/ingest/audio/0/999", clip,
+                         query="sample_rate=8000&algorithm=wang"))
+        res = jbody(call(app, "POST", "/v1/query", json.dumps({
+            "tenant_id": 0, "modality": "audio", "k": 3,
+            "fingerprint_hex": qfp["fingerprint_hex"],
+            "algorithm": "audiofp-wang-v1",
+        }).encode()))
+        assert res["hits"][0]["record_id"] in (21, 999)
+        ids = [h["record_id"] for h in res["hits"]]
+        assert 21 in ids

@@ -47,6 +47,7 @@ from .backend import IndexBackend
 from .bm25 import Bm25Engine
 
 LSH_ALGORITHM = "minhash-lsh-h128"
+AUDIO_LANDMARK_ALGOS = ("audiofp-wang-v1", "audiofp-panako-v1")
 
 
 def _next_pow2(n: int) -> int:
@@ -189,6 +190,7 @@ class EmbeddedBackend(IndexBackend):
         self._vec: dict[tuple[int, int], _VecCache] = {}  # (tenant, dim)
         self._ham: dict[tuple[int, str], _HamCache] = {}  # (tenant, algorithm)
         self._lsh: dict[int, dict[tuple[int, int], set[int]]] = {}  # tenant -> band buckets
+        self._audio: dict[int, dict[int, list[tuple[int, int]]]] = {}  # tenant -> hash -> [(rid, t)]
         # sniff an existing file's format: native frames start with the
         # "PFCU" magic, the JSON log with '{'
         if os.path.exists(self._wal_path) and os.path.getsize(self._wal_path) > 0:
@@ -275,6 +277,11 @@ class EmbeddedBackend(IndexBackend):
             self._lsh_remove(rec.tenant_id, rec.record_id, old["fingerprint"])
         if rec.algorithm == LSH_ALGORITHM:
             self._lsh_insert(rec.tenant_id, rec.record_id, rec.fingerprint)
+        # audio landmark inverted index (wang/panako offset voting)
+        if old is not None and old["algorithm"] in AUDIO_LANDMARK_ALGOS:
+            self._audio_index_remove(rec.tenant_id, rec.record_id, old["fingerprint"])
+        if rec.algorithm in AUDIO_LANDMARK_ALGOS:
+            self._audio_index_insert(rec.tenant_id, rec.record_id, rec.fingerprint)
         # BM25 — same logical txn (bm25.rs:333-401; no text clears the doc)
         self._bm25.upsert_one(rec.tenant_id, rec.record_id, rec.text)
         if wal:
@@ -295,6 +302,8 @@ class EmbeddedBackend(IndexBackend):
                 h.remove(rid)
             if old["algorithm"] == LSH_ALGORITHM:
                 self._lsh_remove(tenant_id, rid, old["fingerprint"])
+            if old["algorithm"] in AUDIO_LANDMARK_ALGOS:
+                self._audio_index_remove(tenant_id, rid, old["fingerprint"])
         self._bm25.clear_one(tenant_id, rid)
 
     # -- LSH band buckets --------------------------------------------------------
@@ -370,6 +379,69 @@ class EmbeddedBackend(IndexBackend):
         """Corpus IDF for the SimHash-IDF weighting (REPORT.md 4.1.2)."""
         with self._lock:
             return self._bm25.idf_map(tenant_id, terms)
+
+    # -- audio landmark matching (offset voting) ---------------------------------
+
+    def _audio_index_insert(self, tenant_id: int, rid: int, fp: bytes) -> None:
+        pairs = np.frombuffer(fp, dtype="<u4")
+        if pairs.size % 2:
+            return
+        pairs = pairs.reshape(-1, 2)
+        idx = self._audio.setdefault(tenant_id, {})
+        for h, t in pairs.tolist():
+            idx.setdefault(int(h), []).append((rid, int(t)))
+
+    def _audio_index_remove(self, tenant_id: int, rid: int, fp: bytes) -> None:
+        idx = self._audio.get(tenant_id)
+        if not idx:
+            return
+        pairs = np.frombuffer(fp, dtype="<u4")
+        if pairs.size % 2:
+            return
+        for h in pairs.reshape(-1, 2)[:, 0].tolist():
+            lst = idx.get(int(h))
+            if lst is not None:
+                idx[int(h)] = [(r, t) for r, t in lst if r != rid]
+                if not idx[int(h)]:
+                    del idx[int(h)]
+
+    async def knn_audio(
+        self, tenant_id: int, algorithm: str, fingerprint: bytes, k: int
+    ) -> list[Hit]:
+        """Shazam-style offset voting over stored Wang/Panako landmarks —
+        a retrieval capability the reference lacks (it stores audio hashes
+        but never matches them). For each query (hash, t) that appears in
+        the inverted landmark index, vote for (record, t_db - t_q); the
+        score is the largest consistent-offset bin per record, normalized
+        by the query hash count."""
+        if k == 0 or not fingerprint:
+            return []
+        pairs = np.frombuffer(fingerprint, dtype="<u4")
+        if pairs.size == 0 or pairs.size % 2:
+            return []
+        pairs = pairs.reshape(-1, 2)
+
+        def work():
+            from collections import defaultdict
+
+            with self._lock:
+                idx = self._audio.get(tenant_id, {})
+                votes: dict[tuple[int, int], int] = defaultdict(int)
+                for h, tq in pairs.tolist():
+                    for rid, tdb in idx.get(int(h), ()):  # noqa: B909
+                        votes[(rid, tdb - int(tq))] += 1
+            best: dict[int, int] = {}
+            for (rid, _off), n in votes.items():
+                if n > best.get(rid, 0):
+                    best[rid] = n
+            total = max(len(pairs), 1)
+            ranked = sorted(best.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+            return [
+                Hit(record_id=rid, score=n / total, source=HitSource.VECTOR)
+                for rid, n in ranked
+            ]
+
+        return await asyncio.to_thread(work)
 
     # -- IndexBackend -----------------------------------------------------------
 

@@ -238,6 +238,8 @@ class Handlers:
                 raise HttpError(400, "bad_query", "fingerprint_hex is not hex")
             if algorithm == "minhash-lsh-h128":
                 hits = await self.index.knn_lsh(tenant_id, fp, k)
+            elif algorithm in ("audiofp-wang-v1", "audiofp-panako-v1"):
+                hits = await self.index.knn_audio(tenant_id, algorithm, fp, k)
             else:
                 hits = await self.index.knn_fingerprint(tenant_id, algorithm, fp, k)
         else:
