@@ -68,6 +68,27 @@ class TestOffsetVoting:
         hits = run(b2.knn_audio(0, "audiofp-wang-v1", q.fingerprint, 3))
         assert hits and hits[0].record_id == 11
 
+    def test_haitsma_ber_lookup(self, tmp_path):
+        b = EmbeddedBackend(str(tmp_path))
+        songs = {rid: song(rid, secs=4.0) for rid in (1, 2)}
+        run(b.upsert([
+            amod.fingerprint_haitsma(x, 8000, 0, rid) for rid, x in songs.items()
+        ]))
+        # query: excerpt of song 1 (sample-aligned so frames line up)
+        clip = songs[1][8000 : 8000 + 16000]
+        q = amod.fingerprint_haitsma(clip, 8000, 0, 999)
+        hits = run(b.knn_haitsma(0, q.fingerprint, 2))
+        assert hits and hits[0].record_id == 1
+        assert hits[0].score > 0.85  # near-zero BER at the right offset
+        if len(hits) > 1:
+            assert hits[0].score > hits[1].score + 0.1
+
+    def test_haitsma_query_longer_than_db(self, tmp_path):
+        b = EmbeddedBackend(str(tmp_path))
+        run(b.upsert([amod.fingerprint_haitsma(song(1, secs=1.0), 8000, 0, 1)]))
+        q = amod.fingerprint_haitsma(song(1, secs=3.0), 8000, 0, 999)
+        assert run(b.knn_haitsma(0, q.fingerprint, 2)) == []
+
     def test_http_route(self, tmp_path):
         import json
         import sys

@@ -405,6 +405,38 @@ class EmbeddedBackend(IndexBackend):
                 if not idx[int(h)]:
                     del idx[int(h)]
 
+    async def knn_haitsma(
+        self, tenant_id: int, fingerprint: bytes, k: int
+    ) -> list[Hit]:
+        """Philips-style sliding bit-error-rate lookup: the query frame
+        block slides over each stored haitsma stream on device; records
+        rank by minimum BER (score = 1 - ber)."""
+        if k == 0 or len(fingerprint) < 4 or len(fingerprint) % 4:
+            return []
+        q = np.frombuffer(fingerprint, dtype="<u4")
+
+        def work():
+            from ..ops.audio import haitsma as hops
+
+            with self._lock:
+                rows = [
+                    (rid, np.frombuffer(row["fingerprint"], dtype="<u4"))
+                    for (tid, rid), row in self._records.items()
+                    if tid == tenant_id and row["algorithm"] == "audiofp-haitsma-v1"
+                ]
+            scored = []
+            for rid, frames in rows:
+                ber, _off = hops.min_ber(frames, q)
+                if ber < 1.0:
+                    scored.append((rid, 1.0 - ber))
+            scored.sort(key=lambda x: (-x[1], x[0]))
+            return [
+                Hit(record_id=rid, score=s, source=HitSource.VECTOR)
+                for rid, s in scored[:k]
+            ]
+
+        return await asyncio.to_thread(work)
+
     async def knn_audio(
         self, tenant_id: int, algorithm: str, fingerprint: bytes, k: int
     ) -> list[Hit]:

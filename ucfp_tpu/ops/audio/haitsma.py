@@ -76,3 +76,36 @@ def fingerprint_frames(samples: np.ndarray, sr: int, cfg: HaitsmaConfig) -> np.n
     if len(x) < FRAME + HOP:
         return np.zeros(0, np.uint32)
     return np.asarray(haitsma_words(jnp.asarray(x), cfg.fmin, cfg.fmax))
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def min_ber_kernel(db_frames: jax.Array, q_frames: jax.Array, q_len: int):
+    """Best bit-error-rate of the query block across all alignments.
+
+    The classic Philips lookup (REPORT.md:913-944 describes the frame
+    stream; matching slides the query block over the stored stream and
+    takes the minimum BER). db [T] uint32, q [q_len] uint32 ->
+    (min_ber f32, best_offset i32). Requires T >= q_len.
+    """
+    t = db_frames.shape[0]
+    n_off = t - q_len + 1
+    idx = jnp.arange(n_off)[:, None] + jnp.arange(q_len)[None, :]
+    windows = db_frames[idx]  # [n_off, q_len]
+    x = jnp.bitwise_xor(windows, q_frames[None, :])
+    errs = jnp.sum(jax.lax.population_count(x).astype(jnp.int32), axis=1)
+    ber = errs.astype(jnp.float32) / jnp.float32(32 * q_len)
+    best = jnp.argmin(ber)
+    return ber[best], best.astype(jnp.int32)
+
+
+def min_ber(db_frames: np.ndarray, q_frames: np.ndarray) -> tuple[float, int]:
+    """Host wrapper; returns (1.0, -1) when the query is longer than the
+    stored stream."""
+    if len(q_frames) == 0 or len(db_frames) < len(q_frames):
+        return 1.0, -1
+    b, off = min_ber_kernel(
+        jnp.asarray(db_frames.astype(np.uint32)),
+        jnp.asarray(q_frames.astype(np.uint32)),
+        int(len(q_frames)),
+    )
+    return float(b), int(off)

@@ -240,6 +240,8 @@ class Handlers:
                 hits = await self.index.knn_lsh(tenant_id, fp, k)
             elif algorithm in ("audiofp-wang-v1", "audiofp-panako-v1"):
                 hits = await self.index.knn_audio(tenant_id, algorithm, fp, k)
+            elif algorithm == "audiofp-haitsma-v1":
+                hits = await self.index.knn_haitsma(tenant_id, fp, k)
             else:
                 hits = await self.index.knn_fingerprint(tenant_id, algorithm, fp, k)
         else:
