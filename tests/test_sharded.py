@@ -50,6 +50,30 @@ class TestShardedCosine:
         assert int(idx[0, 0]) == int(np.argmax(cos))
 
 
+class TestShardedHammingFused:
+    def test_matches_reference_top1(self, mesh):
+        from ucfp_tpu.ops import pallas_scan
+
+        tile = pallas_scan.ROWS_PER_TILE * pallas_scan.LANES
+        rng = np.random.default_rng(5)
+        c, k = tile * 8, 5  # one tile per device
+        matrix = rng.integers(0, 2**32, size=(c, 2), dtype=np.uint32)
+        q = matrix[123_456].copy()
+        sm = jax.device_put(
+            matrix,
+            jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("d", None)),
+        )
+        from ucfp_tpu.parallel.sharded_knn import sharded_hamming_topk_fused
+
+        dist, idx = sharded_hamming_topk_fused(q, sm, k, mesh)
+        assert int(np.asarray(idx)[0]) == 123_456
+        assert int(np.asarray(dist)[0]) == 0
+        ref_d, ref_i = knn_ops.hamming_topk(q[None], matrix, np.ones(c, bool), k)
+        inter = len(set(np.asarray(idx).tolist())
+                    & set(np.asarray(ref_i[0]).tolist()))
+        assert inter >= k - 1
+
+
 class TestShardedHamming:
     def test_matches_single_chip(self, mesh):
         rng = np.random.default_rng(2)

@@ -109,3 +109,34 @@ def _sharded_hamming_impl(query, matrix, valid, k: int, mesh: Mesh):
 def sharded_hamming_topk(query, matrix, valid, k: int, mesh: Mesh):
     """query [Q, W] u32 packed bits, matrix [C, W] row-sharded -> dist, idx."""
     return _sharded_hamming_impl(query, matrix, valid, k, mesh)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _sharded_hamming_fused_impl(query, matrix, k: int, mesh: Mesh):
+    from ..ops import pallas_scan
+
+    def local(q, m):
+        # q [W] replicated; m [C/n, W]; fused pallas per-lane scan
+        dist, idx = pallas_scan.hamming_topk_fused(q, m, k)
+        gidx = idx + jax.lax.axis_index(AXIS) * m.shape[0]
+        dist_all = jax.lax.all_gather(dist, AXIS).reshape(-1)
+        idx_all = jax.lax.all_gather(gidx, AXIS).reshape(-1)
+        neg, pos = jax.lax.top_k(-dist_all, k)
+        return -neg, idx_all[pos]
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(AXIS, None)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(query, matrix)
+
+
+def sharded_hamming_topk_fused(query, matrix, k: int, mesh: Mesh):
+    """Fused pallas scan per shard + cross-chip merge — the big-catalog
+    path (sub-ms at 10M rows on ONE chip; each of n chips scans C/n).
+    query [W] uint32, matrix [C, W] row-sharded with
+    (C/n) % (ROWS_PER_TILE*128) == 0; no validity mask — callers keep
+    the matrix dense (the embedded backend's fused path compacts rows)."""
+    return _sharded_hamming_fused_impl(query, matrix, k, mesh)
