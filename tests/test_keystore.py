@@ -1,0 +1,83 @@
+"""API-key issuance/revocation: keystore unit + admin route integration."""
+
+import asyncio
+import json
+
+import pytest
+
+from ucfp_tpu.index.embedded import EmbeddedBackend
+from ucfp_tpu.server.app import ServerState, build_server
+from ucfp_tpu.server.auth import StaticSingleKey
+from ucfp_tpu.server.inputs_cache import InputsCache
+from ucfp_tpu.server.keystore import CompositeKeyLookup, PersistentKeyStore
+from ucfp_tpu.server.ratelimit import NoopRateLimiter
+from ucfp_tpu.server.usage import NoopUsageSink
+
+from test_server import TOKEN, call, jbody
+
+
+def run(coro):
+    return asyncio.run(coro)
+
+
+def make_app_with_keystore(tmp_path):
+    ks = PersistentKeyStore(str(tmp_path / "keys.json"))
+    static = StaticSingleKey(TOKEN)
+    state = ServerState(
+        index=EmbeddedBackend(str(tmp_path / "db")),
+        api_keys=CompositeKeyLookup(static, ks),
+        rate_limit=NoopRateLimiter(),
+        usage=NoopUsageSink(),
+        inputs=InputsCache(),
+        keystore=ks,
+    )
+    return build_server(state, timeout_secs=120.0), ks
+
+
+class TestKeystore:
+    def test_issue_lookup_revoke(self, tmp_path):
+        ks = PersistentKeyStore(str(tmp_path / "k.json"))
+        issued = ks.issue(7, "mykey")
+        assert issued["token"].startswith("ucfp_")
+        ctx = run(ks.lookup(issued["token"]))
+        assert ctx.tenant_id == 7 and ctx.key_id == "mykey"
+        assert ks.revoke("mykey")
+        assert run(ks.lookup(issued["token"])) is None
+        assert not ks.revoke("mykey")
+
+    def test_persists_across_reopen(self, tmp_path):
+        p = str(tmp_path / "k.json")
+        tok = PersistentKeyStore(p).issue(3)["token"]
+        ks2 = PersistentKeyStore(p)
+        assert run(ks2.lookup(tok)).tenant_id == 3
+
+    def test_file_stores_digests_not_tokens(self, tmp_path):
+        p = tmp_path / "k.json"
+        tok = PersistentKeyStore(str(p)).issue(1)["token"]
+        assert tok not in p.read_text()
+
+
+class TestAdminRoutes:
+    def test_key_lifecycle_over_http(self, tmp_path):
+        app, ks = make_app_with_keystore(tmp_path)
+        issued = jbody(call(app, "POST", "/v1/admin/keys",
+                            json.dumps({"tenant_id": 5, "key_id": "alpha"}).encode()))
+        assert issued["tenant_id"] == 5
+        # the issued key works for its own tenant...
+        assert call(app, "POST", "/v1/ingest/text/5/1", b"hello issued key",
+                    token=issued["token"]).status == 201
+        # ...but not for others
+        assert call(app, "POST", "/v1/ingest/text/6/1", b"nope",
+                    token=issued["token"]).status == 403
+        # list + revoke via service bearer
+        keys = jbody(call(app, "GET", "/v1/admin/keys"))["keys"]
+        assert any(k["key_id"] == "alpha" for k in keys)
+        assert call(app, "DELETE", "/v1/admin/keys/alpha").status == 200
+        assert call(app, "POST", "/v1/ingest/text/5/2", b"x",
+                    token=issued["token"]).status == 401
+
+    def test_admin_requires_service_bearer(self, tmp_path):
+        app, ks = make_app_with_keystore(tmp_path)
+        issued = ks.issue(5, "beta")
+        resp = call(app, "POST", "/v1/admin/keys", b"{}", token=issued["token"])
+        assert resp.status == 403

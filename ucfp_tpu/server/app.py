@@ -39,6 +39,7 @@ class ServerState:
     rate_limit: TenantRateLimiter
     usage: UsageSink
     inputs: InputsCache
+    keystore: object = None  # Optional[PersistentKeyStore]
 
 
 _OP_BY_PREFIX = [
@@ -53,7 +54,7 @@ def build_server(
     body_limit: Optional[int] = None,
     timeout_secs: Optional[float] = None,
 ) -> HttpServer:
-    h = Handlers(state.index, state.inputs)
+    h = Handlers(state.index, state.inputs, keystore=state.keystore)
     r = Router()
     # public (mod.rs:78-88)
     async def index_page(req: Request) -> Response:
@@ -82,6 +83,10 @@ def build_server(
         "/v1/ingest/audio/{tenant_id}/{record_id}/stream",
         h.ingest_audio_stream,
     )
+    r.add("POST", "/v1/admin/keys", h.admin_create_key)
+    r.add("GET", "/v1/admin/keys", h.admin_list_keys)
+    r.add("DELETE", "/v1/admin/keys/{key_id}", h.admin_revoke_key)
+    r.add("GET", "/v1/admin/usage", h.admin_usage)
     r.add("POST", "/v1/inputs/{tenant_id}", h.inputs_put)
     r.add("DELETE", "/v1/inputs/{tenant_id}/{input_id}", h.inputs_delete)
     r.add("POST", "/v1/pipeline/inspect/text", h.inspect_text)
@@ -188,12 +193,18 @@ def state_from_env(
     )
     usage_log = usage_log or os.environ.get("UCFP_USAGE_LOG_PATH")
     usage: UsageSink = LogUsageSink(usage_log) if usage_log else NoopUsageSink()
+    # issued keys live beside the index; the static service bearer and
+    # issued tenant keys compose (first match wins)
+    from .keystore import CompositeKeyLookup, PersistentKeyStore
+
+    keystore = PersistentKeyStore(os.path.join(data_dir, "keys.json"))
     return ServerState(
         index=EmbeddedBackend(data_dir),
-        api_keys=api_keys,
+        api_keys=CompositeKeyLookup(api_keys, keystore),
         rate_limit=rate_limit,
         usage=usage,
         inputs=InputsCache(),
+        keystore=keystore,
     )
 
 

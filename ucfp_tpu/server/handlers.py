@@ -99,9 +99,10 @@ def _ingest_response(rec: Record, return_embedding: bool) -> Response:
 
 
 class Handlers:
-    def __init__(self, index: EmbeddedBackend, inputs: InputsCache):
+    def __init__(self, index: EmbeddedBackend, inputs: InputsCache, keystore=None):
         self.index = index
         self.inputs = inputs
+        self.keystore = keystore
         self.matcher = Matcher(index)
         self.started = time.time()
         # cross-request device batching for image hashing: concurrent
@@ -528,6 +529,58 @@ class Handlers:
             },
             status=201,
         )
+
+    # -- admin: API key management (service bearer only) -----------------------
+
+    def _require_service(self, req: Request) -> None:
+        if _ctx(req).tenant_id != SERVICE_TENANT:
+            raise HttpError(403, "forbidden", "admin routes require the service bearer")
+
+    def _keystore(self):
+        if self.keystore is None:
+            raise HttpError(
+                501, "unsupported", "key management not enabled (no keystore)"
+            )
+        return self.keystore
+
+    async def admin_create_key(self, req: Request) -> Response:
+        self._require_service(req)
+        body = req.json() if req.body else {}
+        tenant_id = int(body.get("tenant_id", 0))
+        issued = self._keystore().issue(tenant_id, body.get("key_id"))
+        return Response.json(issued, status=201)
+
+    async def admin_list_keys(self, req: Request) -> Response:
+        self._require_service(req)
+        tid = req.qp_int("tenant_id", None)
+        return Response.json({"keys": self._keystore().list_keys(tid)})
+
+    async def admin_revoke_key(self, req: Request) -> Response:
+        self._require_service(req)
+        if not self._keystore().revoke(req.params["key_id"]):
+            raise HttpError(404, "not_found", "no such key")
+        return Response.json({"revoked": 1})
+
+    async def admin_usage(self, req: Request) -> Response:
+        """Tail the NDJSON usage log (reference web usage view analog)."""
+        self._require_service(req)
+        import os
+
+        path = os.environ.get("UCFP_USAGE_LOG_PATH")
+        if not path or not os.path.exists(path):
+            return Response.json({"events": []})
+        tid = req.qp_int("tenant_id", None)
+        limit = req.qp_int("limit", 200)
+        events = []
+        with open(path) as f:
+            for line in f:
+                try:
+                    ev = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if tid is None or ev.get("tenant_id") == tid:
+                    events.append(ev)
+        return Response.json({"events": events[-limit:]})
 
     # -- inputs cache -------------------------------------------------------------
 

@@ -1,0 +1,99 @@
+"""Persistent API-key issuance and revocation.
+
+Self-hosted equivalent of the reference web control plane's key
+management (web/src/lib/server/keys.ts: token = "ucfp_" +
+base64url(random32), display prefix kept, sha256 digest stored — the
+plaintext is returned exactly once at issuance). Keys live in a JSON
+file next to the index data; lookups compare sha256 digests, so a
+leaked keys file does not leak tokens.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import json
+import os
+import secrets
+import threading
+import time
+from typing import Optional
+
+from .auth import ApiKeyContext, ApiKeyLookup
+
+
+def _digest(token: str) -> str:
+    return hashlib.sha256(token.encode()).hexdigest()
+
+
+class PersistentKeyStore(ApiKeyLookup):
+    def __init__(self, path: str):
+        self.path = path
+        self._lock = threading.Lock()
+        self._keys: dict[str, dict] = {}  # sha256 -> row
+        if os.path.exists(path):
+            try:
+                with open(path) as f:
+                    self._keys = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                self._keys = {}
+
+    def _save(self) -> None:
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._keys, f, indent=1)
+        os.replace(tmp, self.path)
+
+    def issue(self, tenant_id: int, key_id: Optional[str] = None) -> dict:
+        """Create a key; returns the one-time plaintext token."""
+        token = "ucfp_" + base64.urlsafe_b64encode(secrets.token_bytes(32)).rstrip(
+            b"="
+        ).decode()
+        with self._lock:
+            kid = key_id or f"key_{len(self._keys) + 1}_{int(time.time())}"
+            self._keys[_digest(token)] = {
+                "key_id": kid,
+                "tenant_id": tenant_id,
+                "prefix": token[:12],
+                "created": int(time.time()),
+            }
+            self._save()
+        return {"token": token, "key_id": kid, "tenant_id": tenant_id,
+                "prefix": token[:12]}
+
+    def revoke(self, key_id: str) -> bool:
+        with self._lock:
+            found = [h for h, row in self._keys.items() if row["key_id"] == key_id]
+            for h in found:
+                del self._keys[h]
+            if found:
+                self._save()
+            return bool(found)
+
+    def list_keys(self, tenant_id: Optional[int] = None) -> list[dict]:
+        with self._lock:
+            return [
+                {k: v for k, v in row.items()}
+                for row in self._keys.values()
+                if tenant_id is None or row["tenant_id"] == tenant_id
+            ]
+
+    async def lookup(self, token: str) -> Optional[ApiKeyContext]:
+        row = self._keys.get(_digest(token))
+        if row is None:
+            return None
+        return ApiKeyContext(tenant_id=row["tenant_id"], key_id=row["key_id"])
+
+
+class CompositeKeyLookup(ApiKeyLookup):
+    """First match wins across several lookups (service bearer + issued)."""
+
+    def __init__(self, *lookups: ApiKeyLookup):
+        self.lookups = lookups
+
+    async def lookup(self, token: str) -> Optional[ApiKeyContext]:
+        for lk in self.lookups:
+            ctx = await lk.lookup(token)
+            if ctx is not None:
+                return ctx
+        return None
