@@ -58,6 +58,7 @@ PAGE = r"""<!doctype html>
   <button data-tab="audio">Audio</button>
   <button data-tab="search">Search</button>
   <button data-tab="records">Records</button>
+  <button data-tab="keys">Keys</button>
  </div>
 
  <section id="tab-text" class="card">
@@ -109,6 +110,17 @@ PAGE = r"""<!doctype html>
   </div>
   <div id="r-out"></div>
  </section>
+
+ <section id="tab-keys" class="card" style="display:none">
+  <div class="row">
+   <label>tenant <input id="k-tenant" size="4" value="1"></label>
+   <label>key id <input id="k-id" size="12" placeholder="optional"></label>
+   <button class="go" onclick="createKey()">Issue key</button>
+   <button class="go" onclick="listKeys()">List</button>
+   <span class="kv">service bearer required</span>
+  </div>
+  <div id="k-out"></div>
+ </section>
 </main>
 <script>
 const $=id=>document.getElementById(id);
@@ -118,7 +130,7 @@ let RID=1;
 document.querySelectorAll('.tabs button').forEach(b=>b.onclick=()=>{
  document.querySelectorAll('.tabs button').forEach(x=>x.classList.remove('active'));
  b.classList.add('active');
- ['text','image','audio','search','records'].forEach(t=>
+ ['text','image','audio','search','records','keys'].forEach(t=>
    $('tab-'+t).style.display = t===b.dataset.tab?'':'none');
 });
 $('token').value = localStorage.getItem('ucfp_token')||'';
@@ -278,6 +290,31 @@ async function describeRec(){
   const d=await api(`/v1/records/${ten()}/${$('r-id').value}`);
   out.innerHTML=`<div class="row">${kv(d,['record_id','modality','algorithm','fingerprint_bytes','has_embedding'])}</div>`;
  }catch(e){out.innerHTML=`<div class="hex">error: ${e.message}</div>`;}
+}
+async function createKey(){
+ const out=$('k-out');
+ try{
+  const body={tenant_id:parseInt($('k-tenant').value)||0};
+  if($('k-id').value) body.key_id=$('k-id').value;
+  const k=await api('/v1/admin/keys',{method:'POST',body:JSON.stringify(body)});
+  out.innerHTML=`<div class="kv">token (copy now — shown once):</div><div class="hex">${k.token}</div>`
+   +`<div class="row">${kv(k,['key_id','tenant_id','prefix'])}</div>`;
+ }catch(e){out.innerHTML=`<div class="hex">error: ${e.message}</div>`;}
+}
+async function listKeys(){
+ const out=$('k-out');
+ try{
+  const r=await api('/v1/admin/keys');
+  out.innerHTML = r.keys.length? r.keys.map(k=>
+   `<div class="row">${kv(k,['key_id','tenant_id','prefix'])}
+    <button class="go" style="background:#da3633;padding:2px 8px"
+     onclick="revokeKey('${k.key_id}')">revoke</button></div>`).join('')
+   : '<div class="kv">no issued keys</div>';
+ }catch(e){out.innerHTML=`<div class="hex">error: ${e.message}</div>`;}
+}
+async function revokeKey(id){
+ try{ await api('/v1/admin/keys/'+id,{method:'DELETE'}); listKeys(); }
+ catch(e){ $('k-out').innerHTML=`<div class="hex">error: ${e.message}</div>`; }
 }
 async function deleteRec(){
  const out=$('r-out');
