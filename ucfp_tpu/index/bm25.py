@@ -168,3 +168,163 @@ class Bm25Engine:
             "total_doc_len": c.total_doc_len,
             "terms": len(c.postings),
         }
+
+
+# ---------------------------------------------------------------------------
+# Native C++ engine (ucfp_tpu/native/bm25.cpp)
+# ---------------------------------------------------------------------------
+
+
+def _terms_blob(pairs: list[tuple[str, int]]) -> bytes:
+    """[u32 n] then n x { u16 len, utf-8 bytes, u32 tf }."""
+    import struct
+
+    out = bytearray(struct.pack("<I", len(pairs)))
+    for term, tf in pairs:
+        b = term.encode("utf-8")
+        out += struct.pack("<H", len(b)) + b + struct.pack("<I", tf)
+    return bytes(out)
+
+
+class NativeBm25Engine:
+    """Same API and bit-identical scoring as Bm25Engine, postings and
+    scoring in C++ (the reference's BM25 is native Rust; this is the
+    equivalent host engine). Explain-mode contributions recompute on the
+    top-k docs only, via the per-(term, doc) accessors."""
+
+    def __init__(self, lib) -> None:
+        self._lib = lib
+        self._tenants: dict[int, int] = {}  # tenant -> handle
+
+    def _h(self, tenant_id: int, create: bool = False):
+        h = self._tenants.get(tenant_id)
+        if h is None and create:
+            h = self._lib.ucfp_bm25_new()
+            self._tenants[tenant_id] = h
+        return h
+
+    def upsert_one(self, tenant_id: int, record_id: int, text: str | None) -> None:
+        h = self._h(tenant_id, create=True)
+        if not text:
+            self._lib.ucfp_bm25_clear(h, record_id)
+            return
+        toks = tokenize(text)
+        if not toks:
+            self._lib.ucfp_bm25_clear(h, record_id)
+            return
+        tf = Counter(toks)
+        blob = _terms_blob(list(tf.items()))
+        self._lib.ucfp_bm25_upsert(h, record_id, blob, len(blob), len(toks))
+
+    def clear_one(self, tenant_id: int, record_id: int) -> None:
+        h = self._h(tenant_id)
+        if h is not None:
+            self._lib.ucfp_bm25_clear(h, record_id)
+
+    def _query_terms(self, terms: list[str]) -> list[str]:
+        qtoks: list[str] = []
+        for t in terms:
+            qtoks.extend(tokenize(t))
+        seen = set()
+        uniq = []
+        for t in qtoks:
+            if t not in seen:
+                seen.add(t)
+                uniq.append(t)
+        return uniq
+
+    def search(self, tenant_id: int, terms: list[str], k: int) -> list[tuple[int, float]]:
+        import ctypes
+
+        h = self._h(tenant_id)
+        if h is None or k == 0:
+            return []
+        uniq = self._query_terms(terms)
+        if not uniq:
+            return []
+        blob = _terms_blob([(t, 1) for t in uniq])
+        docs = (ctypes.c_uint64 * k)()
+        scores = (ctypes.c_double * k)()
+        n = self._lib.ucfp_bm25_search(h, blob, len(blob), k, docs, scores)
+        if n < 0:
+            return []
+        return [(int(docs[i]), float(scores[i])) for i in range(n)]
+
+    def search_explain(
+        self, tenant_id: int, terms: list[str], k: int
+    ) -> list[tuple[int, float, list[TermHit]]]:
+        h = self._h(tenant_id)
+        ranked = self.search(tenant_id, terms, k)
+        if not ranked or h is None:
+            return []
+        uniq = self._query_terms(terms)
+        n_docs = self._lib.ucfp_bm25_doc_count(h)
+        avgdl = self._lib.ucfp_bm25_total_doc_len(h) / n_docs if n_docs else 0.0
+        out = []
+        for doc, score in ranked:
+            ths: list[TermHit] = []
+            dl = self._lib.ucfp_bm25_doc_len(h, doc)
+            for t in uniq:
+                if len(ths) >= MAX_EXPLAIN_TERMS_PER_DOC:
+                    break
+                b = t.encode("utf-8")
+                tf = self._lib.ucfp_bm25_tf(h, b, len(b), doc)
+                if tf == 0:
+                    continue
+                df = self._lib.ucfp_bm25_df(h, b, len(b))
+                idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                denom = tf + K1 * (1.0 - B + B * dl / avgdl)
+                ths.append(
+                    TermHit(term=t, tf=tf, idf=idf,
+                            contribution=idf * (tf * (K1 + 1.0)) / denom)
+                )
+            out.append((doc, score, ths))
+        return out
+
+    def idf_map(self, tenant_id: int, terms: list[str]) -> dict[str, float]:
+        h = self._h(tenant_id)
+        if h is None:
+            return {}
+        n_docs = self._lib.ucfp_bm25_doc_count(h)
+        if n_docs == 0:
+            return {}
+        out = {}
+        for t in terms:
+            b = t.encode("utf-8")
+            df = self._lib.ucfp_bm25_df(h, b, len(b))
+            if df:
+                out[t] = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        return out
+
+    def stats(self, tenant_id: int) -> dict:
+        h = self._h(tenant_id)
+        if h is None:
+            return {"doc_count": 0, "total_doc_len": 0, "terms": 0}
+        return {
+            "doc_count": int(self._lib.ucfp_bm25_doc_count(h)),
+            "total_doc_len": int(self._lib.ucfp_bm25_total_doc_len(h)),
+            "terms": int(self._lib.ucfp_bm25_term_count(h)),
+        }
+
+    def __del__(self):  # release native corpora
+        lib = getattr(self, "_lib", None)
+        if lib is not None:
+            for h in self._tenants.values():
+                try:
+                    lib.ucfp_bm25_free(h)
+                except Exception:
+                    pass
+
+
+def make_engine(prefer_native: bool = True):
+    """Native engine when the toolchain is available, Python otherwise."""
+    if prefer_native:
+        try:
+            from ..native import load_bm25
+
+            lib = load_bm25()
+            if lib is not None:
+                return NativeBm25Engine(lib)
+        except Exception:
+            pass
+    return Bm25Engine()

@@ -186,7 +186,11 @@ class EmbeddedBackend(IndexBackend):
         self._wal_path = os.path.join(data_dir, "ucfp.wal")
         self._lock = threading.Lock()  # one writer, same-txn BM25 semantics
         self._records: dict[tuple[int, int], dict] = {}
-        self._bm25 = Bm25Engine()
+        from .bm25 import make_engine
+
+        self._bm25 = make_engine(
+            prefer_native=os.environ.get("UCFP_BM25", "native") != "python"
+        )
         self._vec: dict[tuple[int, int], _VecCache] = {}  # (tenant, dim)
         self._ham: dict[tuple[int, str], _HamCache] = {}  # (tenant, algorithm)
         self._lsh: dict[int, dict[tuple[int, int], set[int]]] = {}  # tenant -> band buckets

@@ -25,6 +25,47 @@ def _build(src: str, out: str) -> bool:
 
 
 @functools.lru_cache(maxsize=1)
+def load_bm25():
+    """Load (building if needed) the native BM25 engine, or None when the
+    toolchain is unavailable — callers fall back to the Python engine."""
+    src = os.path.join(_DIR, "bm25.cpp")
+    out = os.path.join(_DIR, "libucfpbm25.so")
+    if not os.path.exists(out) or os.path.getmtime(out) < os.path.getmtime(src):
+        if not _build(src, out):
+            return None
+    try:
+        lib = ctypes.CDLL(out)
+    except OSError:
+        return None
+    lib.ucfp_bm25_new.restype = ctypes.c_void_p
+    lib.ucfp_bm25_free.argtypes = [ctypes.c_void_p]
+    lib.ucfp_bm25_clear.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+    lib.ucfp_bm25_upsert.restype = ctypes.c_int
+    lib.ucfp_bm25_upsert.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint64, ctypes.c_char_p, ctypes.c_uint32,
+        ctypes.c_uint32,
+    ]
+    for fn in ("ucfp_bm25_doc_count", "ucfp_bm25_total_doc_len",
+               "ucfp_bm25_term_count"):
+        getattr(lib, fn).restype = ctypes.c_uint64
+        getattr(lib, fn).argtypes = [ctypes.c_void_p]
+    lib.ucfp_bm25_df.restype = ctypes.c_uint64
+    lib.ucfp_bm25_df.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint16]
+    lib.ucfp_bm25_tf.restype = ctypes.c_uint32
+    lib.ucfp_bm25_tf.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint16, ctypes.c_uint64
+    ]
+    lib.ucfp_bm25_doc_len.restype = ctypes.c_uint32
+    lib.ucfp_bm25_doc_len.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+    lib.ucfp_bm25_search.restype = ctypes.c_long
+    lib.ucfp_bm25_search.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_double),
+    ]
+    return lib
+
+
+@functools.lru_cache(maxsize=1)
 def load_walstore():
     """Load (building if needed) the native WAL library, or None when the
     toolchain is unavailable — callers fall back to the pure-Python WAL."""
