@@ -52,9 +52,23 @@ class TestTokenize:
         assert tmod.shingles_of(["a"], 3) == ["a"]
         assert tmod.shingles_of([], 3) == []
 
-    def test_cjk_unsupported(self):
-        with pytest.raises(UnsupportedError):
-            tmod.tokenize("하늘", "cjk")
+    def test_cjk_han_bigrams(self):
+        toks = tmod.tokenize("北京大学", "cjk")
+        assert toks == ["北京", "京大", "大学"]
+
+    def test_cjk_mixed_scripts(self):
+        toks = tmod.tokenize("我爱 python 和 한국어", "cjk")
+        assert "我爱" in toks and "python" in toks and "한국어" in toks
+
+    def test_cjk_single_han(self):
+        assert tmod.tokenize("山", "cjk") == ["山"]
+
+    def test_cjk_minhash_pipeline(self):
+        rec = tmod.fingerprint_minhash(
+            "北京大学的计算机科学课程非常好", 0, 1,
+            tmod.TextOpts(tokenizer="cjk", k=3),
+        )
+        assert len(rec.fingerprint) == 1032
 
 
 class TestMinHash:

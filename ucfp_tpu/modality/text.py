@@ -147,6 +147,66 @@ def tokenize_graphemes(text: str) -> list[str]:
     return out
 
 
+def _is_han(ch: str) -> bool:
+    cp = ord(ch)
+    return (
+        0x4E00 <= cp <= 0x9FFF
+        or 0x3400 <= cp <= 0x4DBF
+        or 0xF900 <= cp <= 0xFAFF
+        or 0x20000 <= cp <= 0x2A6DF
+    )
+
+
+def _is_kana(ch: str) -> bool:
+    cp = ord(ch)
+    return 0x3040 <= cp <= 0x30FF or 0x31F0 <= cp <= 0x31FF
+
+
+def _is_hangul(ch: str) -> bool:
+    cp = ord(ch)
+    return 0xAC00 <= cp <= 0xD7AF or 0x1100 <= cp <= 0x11FF
+
+
+def tokenize_cjk(text: str) -> list[str]:
+    """Script-aware CJK tokenization (documented divergence from the
+    reference's Lindera/KoDic dictionary morphology, which needs
+    multi-MB dictionaries unavailable in this build): Han runs emit
+    character BIGRAMS (the standard dictionary-free CJK indexing
+    scheme — a bigram postings index retrieves any dictionary
+    segmentation of the same text), kana and hangul runs emit whole
+    script runs, everything else goes through the word tokenizer."""
+    out: list[str] = []
+    i = 0
+    n = len(text)
+    while i < n:
+        ch = text[i]
+        if _is_han(ch):
+            j = i
+            while j < n and _is_han(text[j]):
+                j += 1
+            run = text[i:j]
+            if len(run) == 1:
+                out.append(run)
+            else:
+                out.extend(run[k : k + 2] for k in range(len(run) - 1))
+            i = j
+        elif _is_kana(ch) or _is_hangul(ch):
+            pred = _is_kana if _is_kana(ch) else _is_hangul
+            j = i
+            while j < n and pred(text[j]):
+                j += 1
+            out.append(text[i:j])
+            i = j
+        else:
+            j = i
+            while j < n and not (_is_han(text[j]) or _is_kana(text[j])
+                                 or _is_hangul(text[j])):
+                j += 1
+            out.extend(tokenize_words(text[i:j]))
+            i = j
+    return out
+
+
 def tokenize(text: str, kind: str) -> list[str]:
     if kind == "word":
         return tokenize_words(text)
@@ -155,10 +215,7 @@ def tokenize(text: str, kind: str) -> list[str]:
     if kind == "char":
         return [c for c in text if not c.isspace()]
     if kind == "cjk":
-        raise UnsupportedError(
-            "cjk tokenizer (Lindera/KoDic morphological analysis) not enabled "
-            "in this build"
-        )
+        return tokenize_cjk(text)
     raise ModalityError(f"unknown tokenizer {kind!r}")
 
 

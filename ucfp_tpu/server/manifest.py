@@ -28,8 +28,8 @@ def _tunable(name, label, help, kind, default, min=None, max=None, step=None,
 
 def _text_common():
     return [
-        _tunable("tokenizer", "Tokenizer", "word | grapheme | char", "enum",
-                 "word", enum_values=["word", "grapheme", "char"]),
+        _tunable("tokenizer", "Tokenizer", "word | grapheme | char | cjk", "enum",
+                 "word", enum_values=["word", "grapheme", "char", "cjk"]),
         _tunable("preprocess", "Preprocess", "optional html/markdown strip",
                  "enum", None, enum_values=[None, "html", "markdown"]),
         _tunable("canon_normalization", "Normalization", "Unicode normalization",
