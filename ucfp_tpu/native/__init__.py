@@ -13,7 +13,8 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 def _build(src: str, out: str) -> bool:
     try:
         subprocess.run(
-            ["g++", "-O2", "-fPIC", "-shared", "-o", out, src],
+            ["g++", "-O2", "-std=c++17", "-pthread", "-fPIC", "-shared",
+             "-o", out, src],
             check=True,
             capture_output=True,
             timeout=120,
@@ -22,6 +23,46 @@ def _build(src: str, out: str) -> bool:
     except (subprocess.CalledProcessError, FileNotFoundError, OSError,
             subprocess.TimeoutExpired):
         return False
+
+
+class UcfpHttpReq(ctypes.Structure):
+    _fields_ = [
+        ("id", ctypes.c_uint64),
+        ("method", ctypes.c_char_p),
+        ("path", ctypes.c_char_p),
+        ("headers", ctypes.c_char_p),
+        ("body", ctypes.POINTER(ctypes.c_uint8)),
+        ("body_len", ctypes.c_uint32),
+    ]
+
+
+@functools.lru_cache(maxsize=1)
+def load_httpfront():
+    """Load (building if needed) the native epoll HTTP front, or None."""
+    src = os.path.join(_DIR, "httpfront.cpp")
+    out = os.path.join(_DIR, "libucfphttp.so")
+    if not os.path.exists(out) or os.path.getmtime(out) < os.path.getmtime(src):
+        if not _build(src, out):
+            return None
+    try:
+        lib = ctypes.CDLL(out)
+    except OSError:
+        return None
+    lib.ucfp_http_start.restype = ctypes.c_void_p
+    lib.ucfp_http_start.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_uint32]
+    lib.ucfp_http_port.restype = ctypes.c_int
+    lib.ucfp_http_port.argtypes = [ctypes.c_void_p]
+    lib.ucfp_http_next.restype = ctypes.c_int
+    lib.ucfp_http_next.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(UcfpHttpReq)
+    ]
+    lib.ucfp_http_free_req.argtypes = [ctypes.POINTER(UcfpHttpReq)]
+    lib.ucfp_http_respond.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint64, ctypes.c_int, ctypes.c_char_p,
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_uint32, ctypes.c_int,
+    ]
+    lib.ucfp_http_stop.argtypes = [ctypes.c_void_p]
+    return lib
 
 
 @functools.lru_cache(maxsize=1)

@@ -13,6 +13,8 @@ def main() -> None:
     p.add_argument("--keys-file", default=None, help="multi-tenant keys file")
     p.add_argument("--data-dir", default=None, help="index directory")
     p.add_argument("--usage-log", default=None, help="NDJSON usage log path")
+    p.add_argument("--native-http", action="store_true",
+                   help="serve through the C++ epoll front (env UCFP_HTTP=native)")
     args = p.parse_args()
 
     import os
@@ -25,7 +27,7 @@ def main() -> None:
         usage_log=args.usage_log,
     )
     try:
-        asyncio.run(run(bind, state))
+        asyncio.run(run(bind, state, native_http=args.native_http or None))
     except KeyboardInterrupt:
         pass  # graceful ctrl-c shutdown (bin/ucfp.rs:279-284)
 

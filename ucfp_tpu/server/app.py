@@ -208,9 +208,21 @@ def state_from_env(
     )
 
 
-async def run(bind: str, state: ServerState) -> None:
+async def run(bind: str, state: ServerState, native_http: bool | None = None) -> None:
     host, _, port = bind.rpartition(":")
+    host = host or "127.0.0.1"
     server = build_server(state)
-    srv = await server.serve(host or "127.0.0.1", int(port))
+    if native_http is None:
+        native_http = os.environ.get("UCFP_HTTP", "").lower() == "native"
+    if native_http:
+        from .nativehttp import NativeHttpBridge
+
+        bridge = NativeHttpBridge(server, host, int(port))
+        from .logging import logger
+
+        logger().info("serving", front="native-epoll", port=bridge.port)
+        await bridge.serve_forever()
+        return
+    srv = await server.serve(host, int(port))
     async with srv:
         await srv.serve_forever()

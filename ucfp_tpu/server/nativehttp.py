@@ -1,0 +1,112 @@
+"""Bridge between the native epoll HTTP front and the Python handlers.
+
+ucfp_tpu/native/httpfront.cpp owns sockets, parsing, keep-alive, and
+writes; this bridge pulls parsed requests on a worker thread, schedules
+them onto the asyncio loop (where the device pipeline lives), and pushes
+responses back through the C ABI. Selected with UCFP_HTTP=native or
+`python -m ucfp_tpu.server --native-http`.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import ctypes
+import threading
+from urllib.parse import parse_qs, unquote
+
+from ..core import UcfpError
+from ..native import UcfpHttpReq, load_httpfront
+from .http import HttpServer, Request, _STATUS_TEXT
+
+
+class NativeHttpBridge:
+    def __init__(self, server: HttpServer, host: str, port: int):
+        self.lib = load_httpfront()
+        if self.lib is None:
+            raise RuntimeError("native HTTP front unavailable (no toolchain)")
+        self.server = server
+        self._h = self.lib.ucfp_http_start(
+            host.encode(), port, server.body_limit
+        )
+        if not self._h:
+            raise OSError(f"native HTTP front failed to bind {host}:{port}")
+        self.port = self.lib.ucfp_http_port(self._h)
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    def _to_request(self, raw: UcfpHttpReq) -> tuple[int, Request, bool]:
+        headers: dict[str, str] = {}
+        for line in (raw.headers or b"").decode("latin-1").splitlines():
+            k, _, v = line.partition("\t")
+            if k:
+                headers[k] = v
+        target = (raw.path or b"/").decode("latin-1")
+        path, _, qs = target.partition("?")
+        query = {k: v[0] for k, v in parse_qs(qs, keep_blank_values=True).items()}
+        body = ctypes.string_at(raw.body, raw.body_len) if raw.body_len else b""
+        close_after = headers.get("connection", "").lower() == "close"
+        req = Request(
+            (raw.method or b"GET").decode("latin-1"),
+            unquote(path),
+            query,
+            headers,
+            body,
+        )
+        return raw.id, req, close_after
+
+    def _respond(self, req_id: int, resp, close_after: bool) -> None:
+        extra = f"content-type: {resp.content_type}\r\n"
+        for k, v in resp.headers.items():
+            extra += f"{k}: {v}\r\n"
+        self.lib.ucfp_http_respond(
+            self._h,
+            req_id,
+            resp.status,
+            _STATUS_TEXT.get(resp.status, "Unknown").encode(),
+            extra.encode("latin-1"),
+            resp.body,
+            len(resp.body),
+            1 if close_after else 0,
+        )
+
+    def _pull_loop(self, loop: asyncio.AbstractEventLoop) -> None:
+        raw = UcfpHttpReq()
+        while not self._stop.is_set():
+            rc = self.lib.ucfp_http_next(self._h, 200, ctypes.byref(raw))
+            if rc <= 0:
+                if rc < 0:
+                    break
+                continue
+            req_id, req, close_after = self._to_request(raw)
+            self.lib.ucfp_http_free_req(ctypes.byref(raw))
+
+            async def handle(req_id=req_id, req=req, close_after=close_after):
+                try:
+                    resp, _ = await self.server.handle_request(req)
+                except UcfpError as e:  # pragma: no cover - handled inside
+                    from .http import HttpError
+
+                    resp = HttpError(e.http_status, e.code, e.message).to_response()
+                self._respond(req_id, resp, close_after)
+
+            asyncio.run_coroutine_threadsafe(handle(), loop)
+
+    async def serve_forever(self) -> None:
+        loop = asyncio.get_running_loop()
+        self._thread = threading.Thread(
+            target=self._pull_loop, args=(loop,), daemon=True
+        )
+        self._thread.start()
+        try:
+            while not self._stop.is_set():
+                await asyncio.sleep(0.5)
+        finally:
+            self.stop()
+
+    def stop(self) -> None:
+        if not self._stop.is_set():
+            self._stop.set()
+            if self._thread is not None:
+                self._thread.join(timeout=2)
+            self.lib.ucfp_http_stop(self._h)
+            self._h = None
