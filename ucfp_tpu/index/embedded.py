@@ -274,6 +274,10 @@ class EmbeddedBackend(IndexBackend):
             self._ham[(rec.tenant_id, rec.algorithm)] = hcache
         if len(packed) == hcache.words:
             hcache.upsert(rec.record_id, packed)
+        else:
+            # width mismatch: drop any stale row so knn_fingerprint never
+            # scores this record against its previous fingerprint
+            hcache.remove(rec.record_id)
         # LSH band-bucket index for re-tagged MinHash records
         # (reference text.rs:434-446: "the index layer knows to insert
         # into the LSH buckets")

@@ -298,7 +298,9 @@ class StreamingWangSession:
 
     Segments are `segment_secs` long with a `zone + n_fft` tail carried
     into the next segment so landmarks spanning the boundary aren't lost
-    (the halo the SURVEY's sequence-parallel analog calls for).
+    (the halo the SURVEY's sequence-parallel analog calls for). Segment
+    N is stored as record_id = base record_id + N (metadata "segment=N"),
+    so callers should leave id headroom between streamed records.
     """
 
     def __init__(
@@ -342,8 +344,12 @@ class StreamingWangSession:
         return []
 
     def _emit(self, seg: np.ndarray) -> Record:
+        # each segment gets its own record identity (base id + index) —
+        # re-using one id would make every upsert overwrite the previous
+        # segment's landmarks
         rec = fingerprint_wang(
-            seg, CANONICAL_SR, self.tenant_id, self.record_id, self.cfg
+            seg, CANONICAL_SR, self.tenant_id,
+            self.record_id + self._seg_index, self.cfg,
         )
         rec.metadata = f"segment={self._seg_index}".encode()
         self._seg_index += 1

@@ -75,17 +75,19 @@ def decode_rgb(data: bytes, pre: PreprocessConfig) -> np.ndarray:
             f"image too small: {w}x{h} < min_dimension {pre.min_dimension}"
         )
     if max(h, w) > pre.max_dimension:
-        # Downscale longest edge with the same exact-int tent resize the
-        # hash kernels use, preserving determinism end to end.
+        # Pre-shrink oversized inputs with PIL's C bilinear resize: the
+        # dense exact-int resize matrix for an 8k-pixel edge would be
+        # hundreds of MB and minutes of host matmul. Only inputs ABOVE
+        # max_dimension take this path, so the exact-int guarantee of the
+        # hash-stage resizes (which always run) is unaffected; the
+        # preprocess shrink is deterministic for a given PIL build.
         scale = pre.max_dimension / max(h, w)
         nh = max(1, round(h * scale))
         nw = max(1, round(w * scale))
-        gray_like = arr.astype(np.int64)
-        out = np.stack(
-            [imagehash.np_resize(gray_like[..., c], nh, nw) for c in range(3)],
-            axis=-1,
+        shrunk = Image.fromarray(arr, "RGB").resize(
+            (nw, nh), Image.Resampling.BILINEAR
         )
-        arr = out.astype(np.uint8)
+        arr = np.asarray(shrunk, dtype=np.uint8)
     return arr
 
 
@@ -237,15 +239,19 @@ def inspect_image(data: bytes, pre: PreprocessConfig | None = None) -> dict:
         Image.fromarray(a, mode="L").save(buf, format="PNG")
         return base64.b64encode(buf.getvalue()).decode()
 
-    # max-256px thumbnail of the original
+    # max-256px thumbnail of the original (visualization only: PIL's C
+    # resize, not the exact-int path — a dense matrix against a large
+    # original would be needlessly slow)
     max_edge = 256
     if max(h, w) > max_edge:
         scale = max_edge / max(h, w)
         nh, nw = max(1, round(h * scale)), max(1, round(w * scale))
-        thumb = np.stack(
-            [imagehash.np_resize(rgb[..., c].astype(np.int64), nh, nw) for c in range(3)],
-            axis=-1,
-        ).astype(np.uint8)
+        thumb = np.asarray(
+            Image.fromarray(rgb, "RGB").resize(
+                (nw, nh), Image.Resampling.BILINEAR
+            ),
+            dtype=np.uint8,
+        )
     else:
         thumb = rgb
     tbuf = io.BytesIO()

@@ -287,7 +287,13 @@ void io_loop(Server* s) {
           ssize_t r = ::recv(fd, buf, sizeof(buf), 0);
           if (r > 0) {
             c->rbuf.append(buf, static_cast<size_t>(r));
-            if (c->rbuf.size() > s->body_limit + 65536) break;  // runaway
+            if (c->rbuf.size() > s->body_limit + 65536) {
+              // runaway input (e.g. streaming garbage while a request is
+              // in flight): hard-close, or level-triggered epoll would
+              // keep growing rbuf without bound
+              close_conn(s, fd);
+              break;
+            }
           } else if (r == 0) {
             close_conn(s, fd);
             break;

@@ -42,6 +42,9 @@ class ServerState:
     keystore: object = None  # Optional[PersistentKeyStore]
 
 
+# strong refs for in-flight usage tasks (see middleware comment)
+_usage_tasks: set = set()
+
 _OP_BY_PREFIX = [
     ("/v1/ingest", UsageOp.INGEST),
     ("/v1/records", UsageOp.UPSERT),
@@ -158,8 +161,12 @@ def build_server(
                 status=status,
                 ts=now_ms(),
             )
-            # fire-and-forget (mod.rs:396-409)
-            asyncio.get_running_loop().create_task(state.usage.record(ev))
+            # fire-and-forget (mod.rs:396-409); hold a strong reference —
+            # the loop keeps only a weak one and GC could drop the task
+            # before it runs, silently losing metering events
+            task = asyncio.get_running_loop().create_task(state.usage.record(ev))
+            _usage_tasks.add(task)
+            task.add_done_callback(_usage_tasks.discard)
 
     server.middleware = middleware
     return server

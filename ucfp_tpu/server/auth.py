@@ -94,10 +94,12 @@ class StaticMapKey(ApiKeyLookup):
 
     async def lookup(self, token: str) -> Optional[ApiKeyContext]:
         # constant-time scan over all keys so timing doesn't leak which
-        # prefix matched
+        # prefix matched; compare bytes — compare_digest raises on
+        # non-ASCII str input, which would turn a bad credential into a 500
         found: Optional[ApiKeyContext] = None
+        tb = token.encode()
         for t, ctx in self._keys.items():
-            if hmac.compare_digest(token, t):
+            if hmac.compare_digest(tb, t.encode()):
                 found = ctx
         return found
 

@@ -165,6 +165,12 @@ class Handlers:
         recs = []
         for r in items:
             try:
+                fp = r["fingerprint"]
+                meta = r.get("metadata", [])
+                # must be JSON u8 arrays — bytes(int) would zero-allocate
+                # that many bytes, letting a 60-byte request reserve GBs
+                if not isinstance(fp, list) or not isinstance(meta, list):
+                    raise ValueError("fingerprint/metadata must be u8 arrays")
                 rec = Record(
                     tenant_id=r["tenant_id"],
                     record_id=r["record_id"],
@@ -172,10 +178,10 @@ class Handlers:
                     format_version=r.get("format_version", 1),
                     algorithm=r["algorithm"],
                     config_hash=r.get("config_hash", 0),
-                    fingerprint=bytes(r["fingerprint"]),  # JSON u8 array
+                    fingerprint=bytes(fp),
                     embedding=r.get("embedding"),
                     model_id=r.get("model_id"),
-                    metadata=bytes(r.get("metadata", [])),
+                    metadata=bytes(meta),
                 )
             except (KeyError, ValueError, TypeError) as e:
                 raise HttpError(400, "bad_record", f"invalid record: {e}")
@@ -218,10 +224,11 @@ class Handlers:
         try:
             tenant_id = int(body["tenant_id"])
             modality = Modality(body["modality"])
-        except (KeyError, ValueError) as e:
+            k = max(1, int(body.get("k", 10)))
+            rrf_k = int(body.get("rrf_k", 60))
+        except (KeyError, ValueError, TypeError) as e:
             raise HttpError(400, "bad_query", f"invalid query: {e}")
         tenant_guard(_ctx(req), tenant_id)
-        k = max(1, int(body.get("k", 10)))
         explain = req.qp_bool("explain")
         vector = body.get("vector")
         terms = body.get("terms") or []
@@ -252,7 +259,7 @@ class Handlers:
                 k=k,
                 vector=vector,
                 terms=list(terms),
-                rrf_k=int(body.get("rrf_k", 60)),
+                rrf_k=rrf_k,
                 explain=explain,
             )
             if req.query.get("rerank") == "embedding":
@@ -399,9 +406,13 @@ class Handlers:
         raw, _ = self._body_or_input(req, tid)
         algorithm = req.query.get("algorithm", "multi")
         pre = self._image_pre(req)
+        import asyncio
+
         try:
             if algorithm in ("multi", "phash", "dhash", "ahash"):
-                rgb = imod.decode_rgb(raw, pre)
+                # decode off the event loop: PIL decode of a large image
+                # would stall every other request
+                rgb = await asyncio.to_thread(imod.decode_rgb, raw, pre)
                 h, w = rgb.shape[:2]
                 fp = await self.image_batcher.submit((algorithm, h, w), rgb)
                 algo_tag = (
@@ -584,8 +595,15 @@ class Handlers:
 
     # -- inputs cache -------------------------------------------------------------
 
+    @staticmethod
+    def _tenant_param(req: Request) -> int:
+        try:
+            return int(req.params["tenant_id"])
+        except (KeyError, ValueError):
+            raise HttpError(400, "bad_path", "tenant_id must be an integer")
+
     async def inputs_put(self, req: Request) -> Response:
-        tid = int(req.params["tenant_id"])
+        tid = self._tenant_param(req)
         tenant_guard(_ctx(req), tid)
         input_id = self.inputs.put(
             tid,
@@ -596,7 +614,7 @@ class Handlers:
         return Response.json({"input_id": input_id, "bytes": len(req.body)}, status=201)
 
     async def inputs_delete(self, req: Request) -> Response:
-        tid = int(req.params["tenant_id"])
+        tid = self._tenant_param(req)
         tenant_guard(_ctx(req), tid)
         ok = self.inputs.delete(tid, req.params["input_id"])
         if not ok:

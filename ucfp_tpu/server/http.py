@@ -221,7 +221,9 @@ class HttpServer:
     async def handle_request(self, req: Request) -> tuple[Response, str]:
         """Route + middleware + metrics. Returns (response, path_label)."""
         start = time.monotonic()
-        path_label = req.path
+        # unmatched requests share one label — recording raw paths would
+        # let a pre-auth scanner grow the metrics maps without bound
+        path_label = "<unmatched>"
         try:
             handler, params, pattern, protected = self.router.match(
                 req.method, req.path

@@ -12,7 +12,7 @@ from __future__ import annotations
 import asyncio
 import ctypes
 import threading
-from urllib.parse import parse_qs, unquote
+from urllib.parse import parse_qs
 
 from ..core import UcfpError
 from ..native import UcfpHttpReq, load_httpfront
@@ -45,9 +45,12 @@ class NativeHttpBridge:
         query = {k: v[0] for k, v in parse_qs(qs, keep_blank_values=True).items()}
         body = ctypes.string_at(raw.body, raw.body_len) if raw.body_len else b""
         close_after = headers.get("connection", "").lower() == "close"
+        # keep the RAW path: the router unquotes captured params itself,
+        # and the asyncio front routes raw paths — decoding here would
+        # double-decode and diverge between the two fronts
         req = Request(
             (raw.method or b"GET").decode("latin-1"),
-            unquote(path),
+            path,
             query,
             headers,
             body,
