@@ -134,8 +134,13 @@ class TestWang:
         (time-offset invariance of the hash field)."""
         x = two_tone(secs=3.0)
         # hop- and slab-aligned prefix (31 frames * 256 hop = 7936 samples)
-        # so the test exercises the pairing rule, not STFT phase jitter
-        pre = np.concatenate([sine(220.0, 7936 / 8000.0), x])
+        # so the test exercises the pairing rule, not STFT phase jitter.
+        # Prefix amplitude stays BELOW the content's 0.4 peak: the -50 dB
+        # magnitude floor is relative to the global max, so a louder
+        # prefix would shift the floor and change peak selection (a known
+        # sensitivity of global-relative floors; local adaptive
+        # thresholds are the eventual fix).
+        pre = np.concatenate([sine(220.0, 7936 / 8000.0, amp=0.3), x])
         h1 = np.frombuffer(
             amod.fingerprint_wang(x, 8000, 0, 1).fingerprint, dtype="<u4"
         ).reshape(-1, 2)[:, 0]

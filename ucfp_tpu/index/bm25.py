@@ -175,12 +175,22 @@ class Bm25Engine:
 # ---------------------------------------------------------------------------
 
 
+MAX_TERM_BYTES = 65535  # u16 length field in the native blob
+
+
 def _terms_blob(pairs: list[tuple[str, int]]) -> bytes:
-    """[u32 n] then n x { u16 len, utf-8 bytes, u32 tf }."""
+    """[u32 n] then n x { u16 len, utf-8 bytes, u32 tf }.
+
+    Terms longer than the u16 length field (pathological 64 KiB+ tokens)
+    are skipped rather than crashing mid-upsert; such terms are
+    unsearchable in either engine in practice.
+    """
     import struct
 
-    out = bytearray(struct.pack("<I", len(pairs)))
-    for term, tf in pairs:
+    kept = [(t, tf) for t, tf in pairs
+            if len(t.encode("utf-8")) <= MAX_TERM_BYTES]
+    out = bytearray(struct.pack("<I", len(kept)))
+    for term, tf in kept:
         b = term.encode("utf-8")
         out += struct.pack("<H", len(b)) + b + struct.pack("<I", tf)
     return bytes(out)
@@ -268,6 +278,8 @@ class NativeBm25Engine:
                 if len(ths) >= MAX_EXPLAIN_TERMS_PER_DOC:
                     break
                 b = t.encode("utf-8")
+                if len(b) > MAX_TERM_BYTES:
+                    continue
                 tf = self._lib.ucfp_bm25_tf(h, b, len(b), doc)
                 if tf == 0:
                     continue
@@ -291,6 +303,8 @@ class NativeBm25Engine:
         out = {}
         for t in terms:
             b = t.encode("utf-8")
+            if len(b) > MAX_TERM_BYTES:
+                continue
             df = self._lib.ucfp_bm25_df(h, b, len(b))
             if df:
                 out[t] = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)

@@ -74,27 +74,47 @@ def _upsert_event(tenant_id: int, record_id: int, row: dict) -> dict:
     }
 
 
-@dataclass
-class _VecCache:
-    """Per-(tenant, dim) vector matrix with capacity-doubled padding."""
+def _record_event(rec: Record) -> dict:
+    return {
+        "op": "upsert",
+        "tenant_id": rec.tenant_id,
+        "record_id": rec.record_id,
+        "modality": rec.modality.value,
+        "algorithm": rec.algorithm,
+        "config_hash": rec.config_hash,
+        "format_version": rec.format_version,
+        "fingerprint": rec.fingerprint,
+        "embedding": rec.embedding,
+        "model_id": rec.model_id,
+        "metadata": rec.metadata,
+        "text": rec.text,
+    }
 
-    dim: int
+
+@dataclass
+class _RowCache:
+    """Dense row matrix with capacity-doubled padding and swap-with-last
+    removal. One implementation serves both the f32 embedding caches
+    (width = dim) and the packed uint32 fingerprint caches (width =
+    words) — the grow/swap invariants live in exactly one place."""
+
+    width: int
+    dtype: type = np.float32
     rids: list[int] = field(default_factory=list)
     rows: dict[int, int] = field(default_factory=dict)  # rid -> row
-    data: np.ndarray | None = None  # [cap, dim] f32
+    data: np.ndarray | None = None  # [cap, width]
     n: int = 0
     dirty: bool = True
-    device: tuple | None = None  # (matrix, valid) device arrays
+    device: tuple | None = None  # device-side cache arrays
 
     def upsert(self, rid: int, vec: np.ndarray) -> None:
         if rid in self.rows:
             self.data[self.rows[rid]] = vec
         else:
             if self.data is None:
-                cap = _next_pow2(1)
-                self.data = np.zeros((cap, self.dim), np.float32)
+                self.data = np.zeros((1024, self.width), self.dtype)
             elif self.n == self.data.shape[0]:
-                grown = np.zeros((self.data.shape[0] * 2, self.dim), np.float32)
+                grown = np.zeros((self.data.shape[0] * 2, self.width), self.dtype)
                 grown[: self.n] = self.data
                 self.data = grown
             self.data[self.n] = vec
@@ -115,53 +135,17 @@ class _VecCache:
             self.rids[row] = moved
             self.rows[moved] = row
         self.rids.pop()
-        self.data[last] = 0.0
-        self.n -= 1
-        self.dirty = True
-
-
-@dataclass
-class _HamCache:
-    """Per-(tenant, algorithm) packed-bit fingerprint matrix."""
-
-    words: int
-    rids: list[int] = field(default_factory=list)
-    rows: dict[int, int] = field(default_factory=dict)
-    data: np.ndarray | None = None  # [cap, words] uint32
-    n: int = 0
-    dirty: bool = True
-    device: tuple | None = None
-
-    def upsert(self, rid: int, packed: np.ndarray) -> None:
-        if rid in self.rows:
-            self.data[self.rows[rid]] = packed
-        else:
-            if self.data is None:
-                self.data = np.zeros((1024, self.words), np.uint32)
-            elif self.n == self.data.shape[0]:
-                grown = np.zeros((self.data.shape[0] * 2, self.words), np.uint32)
-                grown[: self.n] = self.data
-                self.data = grown
-            self.data[self.n] = packed
-            self.rows[rid] = self.n
-            self.rids.append(rid)
-            self.n += 1
-        self.dirty = True
-
-    def remove(self, rid: int) -> None:
-        row = self.rows.pop(rid, None)
-        if row is None:
-            return
-        last = self.n - 1
-        if row != last:
-            self.data[row] = self.data[last]
-            moved = self.rids[last]
-            self.rids[row] = moved
-            self.rows[moved] = row
-        self.rids.pop()
         self.data[last] = 0
         self.n -= 1
         self.dirty = True
+
+
+def _VecCache(dim: int) -> _RowCache:  # noqa: N802 - constructor alias
+    return _RowCache(width=dim, dtype=np.float32)
+
+
+def _HamCache(words: int) -> _RowCache:  # noqa: N802 - constructor alias
+    return _RowCache(width=words, dtype=np.uint32)
 
 
 class EmbeddedBackend(IndexBackend):
@@ -272,7 +256,7 @@ class EmbeddedBackend(IndexBackend):
         if hcache is None:
             hcache = _HamCache(words=len(packed))
             self._ham[(rec.tenant_id, rec.algorithm)] = hcache
-        if len(packed) == hcache.words:
+        if len(packed) == hcache.width:
             hcache.upsert(rec.record_id, packed)
         else:
             # width mismatch: drop any stale row so knn_fingerprint never
@@ -292,10 +276,7 @@ class EmbeddedBackend(IndexBackend):
             self._audio_index_insert(rec.tenant_id, rec.record_id, rec.fingerprint)
         # BM25 — same logical txn (bm25.rs:333-401; no text clears the doc)
         self._bm25.upsert_one(rec.tenant_id, rec.record_id, rec.text)
-        if wal:
-            self._pending_wal.append(
-                _upsert_event(rec.tenant_id, rec.record_id, self._records[key])
-            )
+
 
     def _apply_delete(self, tenant_id: int, rid: int, wal: bool) -> None:
         key = (tenant_id, rid)
@@ -353,7 +334,7 @@ class EmbeddedBackend(IndexBackend):
         signature lands in, then rank candidates by MinHash slot agreement
         (estimated Jaccard)."""
         sig = self._lsh_signature(fingerprint)
-        if sig is None or k == 0:
+        if sig is None or len(sig) < 120 or k == 0:
             return []
 
         def work():
@@ -488,21 +469,23 @@ class EmbeddedBackend(IndexBackend):
     async def upsert(self, records: list[Record]) -> None:
         def work():
             with self._lock:
-                self._pending_wal: list[dict] = []
+                # WAL first: if the durable append fails, nothing is
+                # applied — otherwise queries would serve phantom records
+                # that vanish on restart
+                self._wal_write([_record_event(r) for r in records])
                 for rec in records:
-                    self._apply_upsert(rec, wal=True)
-                self._wal_write(self._pending_wal)
+                    self._apply_upsert(rec, wal=False)
 
         await asyncio.to_thread(work)
 
     async def delete(self, tenant_id: int, record_ids: list[int]) -> None:
         def work():
             with self._lock:
-                for rid in record_ids:
-                    self._apply_delete(tenant_id, rid, wal=False)
                 self._wal_write(
                     [{"op": "delete", "tenant_id": tenant_id, "record_ids": record_ids}]
                 )
+                for rid in record_ids:
+                    self._apply_delete(tenant_id, rid, wal=False)
 
         await asyncio.to_thread(work)
 
@@ -597,7 +580,7 @@ class EmbeddedBackend(IndexBackend):
         if cache is None or cache.n == 0:
             return []
         packed = np.asarray(knn_ops.pack_bits_to_u32(fingerprint), np.uint32)
-        if len(packed) != cache.words:
+        if len(packed) != cache.width:
             return []
 
         def work():
@@ -608,7 +591,7 @@ class EmbeddedBackend(IndexBackend):
             dist, idx = knn_ops.hamming_topk(packed[None], matrix, valid, kk)
             dist = np.asarray(dist[0])
             idx = np.asarray(idx[0])
-            bits = cache.words * 32
+            bits = cache.width * 32
             out = [
                 (rids[int(i)], int(d))
                 for d, i in zip(dist, idx)

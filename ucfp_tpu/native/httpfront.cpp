@@ -153,6 +153,15 @@ int try_parse(Server* s, Conn* c) {
     while (vs < line.size() && line[vs] == ' ') vs++;
     std::string v = line.substr(vs);
     if (k == "content-length") content_length = strtoul(v.c_str(), nullptr, 10);
+    if (k == "transfer-encoding") {
+      // chunked bodies are not implemented; parsing them as zero-length
+      // would desync the connection (request smuggling) — reject hard
+      c->wbuf += simple_response(501, "Not Implemented",
+                                 "{\"error\":\"chunked_not_supported\"}",
+                                 false);
+      c->close_after = true;
+      return -1;
+    }
     if (k == "connection") {
       std::string lv = v;
       for (auto& ch : lv) ch = static_cast<char>(tolower(ch));
@@ -342,7 +351,12 @@ void* ucfp_http_start(const char* host, int port, uint32_t body_limit) {
   sockaddr_in addr{};
   addr.sin_family = AF_INET;
   addr.sin_port = htons(static_cast<uint16_t>(port));
-  inet_pton(AF_INET, host, &addr.sin_addr);
+  if (inet_pton(AF_INET, host, &addr.sin_addr) != 1) {
+    // refuse non-numeric hosts rather than silently binding 0.0.0.0
+    ::close(s->listen_fd);
+    delete s;
+    return nullptr;
+  }
   if (::bind(s->listen_fd, reinterpret_cast<sockaddr*>(&addr), sizeof(addr)) !=
           0 ||
       ::listen(s->listen_fd, 512) != 0) {

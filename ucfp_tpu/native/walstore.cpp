@@ -137,6 +137,15 @@ int ucfp_wal_replace(void* h, const char* final_path) {
   int rc = ucfp_wal_commit(h);
   if (rc != 0) return rc;
   if (::rename(s->path.c_str(), final_path) != 0) return -4;
+  // fsync the containing directory so the rename itself is durable
+  std::string dir(final_path);
+  size_t slash = dir.find_last_of('/');
+  dir = (slash == std::string::npos) ? std::string(".") : dir.substr(0, slash);
+  int dfd = ::open(dir.c_str(), O_RDONLY | O_DIRECTORY);
+  if (dfd >= 0) {
+    ::fsync(dfd);
+    ::close(dfd);
+  }
   s->path = final_path;
   return 0;
 }

@@ -15,7 +15,11 @@ vendored):
     frame and must survive). Diagonals are not consulted — they make
     selection unstable under small time shifts, which destroys landmark
     overlap between a clip and the same clip embedded in other audio.
-  * magnitude floor: >= min_anchor_mag_db relative to the global max
+  * magnitude floor: >= min_anchor_mag_db relative to the global max.
+    Note the global-relative floor makes peak selection sensitive to the
+    loudest event in the clip (a louder irrelevant passage shifts the
+    floor for everything); per-slab local thresholds are the planned
+    refinement.
   * per-second cap: the top `peaks_per_sec` peaks per slab of
     floor(sr / hop) frames, magnitude order, ties to the earlier (t, f)
 Peaks order by (t, f) ascending — the order the pairing rule walks.
@@ -106,7 +110,9 @@ def pick_peaks(
         & (center >= sh(1, 0))
     )
     gmax = jnp.max(power)
-    floor = gmax * jnp.float32(10.0 ** (2.0 * min_mag_db / 10.0))
+    # magnitude threshold of m dB == power threshold of 10^(m/10):
+    # 10*log10(power ratio) = 20*log10(mag ratio)
+    floor = gmax * jnp.float32(10.0 ** (min_mag_db / 10.0))
     is_max = is_max & (center >= floor) & (gmax > 0.0)
 
     # per-slab top-k by magnitude
@@ -123,7 +129,6 @@ def pick_peaks(
     t_flat = t_idx.reshape(-1).astype(jnp.int32)
     f_flat = f_idx.reshape(-1).astype(jnp.int32)
     # sort by (t, f); invalid entries to the end
-    big = jnp.int32(t_dim * k_dim + 7)
     key = jnp.where(valid, t_flat * k_dim + f_flat, jnp.int32(0x7FFFFFF0))
     order = jnp.argsort(key)
     return t_flat[order], f_flat[order], valid[order]

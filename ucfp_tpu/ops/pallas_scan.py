@@ -76,6 +76,11 @@ def hamming_topk_fused(query: jax.Array, db: jax.Array, k: int):
     """query [W] uint32, db [C, W] uint32 with C % (ROWS_PER_TILE*128) == 0
     -> (dist [k] int32, idx [k] int32), smallest first."""
     c, w = db.shape
+    if c % (ROWS_PER_TILE * LANES):
+        raise ValueError(
+            f"hamming_topk_fused requires C % {ROWS_PER_TILE * LANES} == 0, "
+            f"got {c} (trailing rows would be silently skipped)"
+        )
     r_total = c // LANES
     grid = r_total // ROWS_PER_TILE
     db3 = db.astype(jnp.int32).reshape(r_total, LANES, w).swapaxes(1, 2)
@@ -132,6 +137,10 @@ def scores_topk_fused(scores: jax.Array, k: int, largest: bool = True):
     ~20 ms lax.top_k-over-C with a streaming per-lane reduction.
     """
     c = scores.shape[0]
+    if c % (ROWS_PER_TILE * LANES):
+        raise ValueError(
+            f"scores_topk_fused requires C % {ROWS_PER_TILE * LANES} == 0, got {c}"
+        )
     r_total = c // LANES
     grid = r_total // ROWS_PER_TILE
     s2 = scores.reshape(r_total, LANES)
@@ -207,6 +216,11 @@ def cosine_int8_topk_fused(
 ):
     """-> (scores [k] f32 = dot/|row| — divide by |q8| outside, idx [k])."""
     c, d = db8.shape
+    if c % (ROWS_PER_TILE_C * LANES):
+        raise ValueError(
+            f"cosine_int8_topk_fused requires C % {ROWS_PER_TILE_C * LANES} == 0, "
+            f"got {c}"
+        )
     r_total = c // LANES
     grid = r_total // ROWS_PER_TILE_C
     db3 = db8.reshape(r_total, LANES, d).swapaxes(1, 2)

@@ -161,21 +161,19 @@ def _b_mapping(salt: int, i: int, j: int, k: int) -> int:
 
 
 def _l_capturing(length: int) -> int:
-    """Logarithmic length bucket (TLSH spec l_capturing)."""
-    if length <= 656:
-        i = 0
-        topval = 1
-        while topval < length:
-            i += 1
-            topval = int(1.5**i)
-        return min(i, 255)
+    """Logarithmic length bucket (TLSH spec l_capturing): continuous
+    log-base buckets with the published base switches at 656 and 3199."""
     import math
 
-    if length <= 3199:
-        x = math.log(length / 656.0) / math.log(1.3) + 8.72777
+    if length <= 0:
+        return 0
+    if length <= 656:
+        x = math.log(length) / math.log(1.5)
+    elif length <= 3199:
+        x = math.log(length) / math.log(1.3) - 8.72777
     else:
-        x = math.log(length / 3199.0) / math.log(1.1) + 62.5472
-    return min(int(x) + 26 if length <= 3199 else int(x) + 55, 255) & 0xFF
+        x = math.log(length) / math.log(1.1) - 62.5472
+    return min(max(int(x), 0), 255)
 
 
 def _swap_nibbles(b: int) -> int:
@@ -241,7 +239,10 @@ def tlsh_distance(a: str, b: str) -> int:
     dist = 0
     if ba[0] != bb[0]:
         dist += 1
-    ldiff = abs(ba[1] - bb[1])
+    # header bytes are stored nibble-swapped; unswap before arithmetic
+    la = _swap_nibbles(ba[1])
+    lb = _swap_nibbles(bb[1])
+    ldiff = abs(la - lb)
     dist += ldiff if ldiff <= 1 else ldiff * 12
     q1a, q2a = ba[2] >> 4, ba[2] & 0xF
     q1b, q2b = bb[2] >> 4, bb[2] & 0xF
