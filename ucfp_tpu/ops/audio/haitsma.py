@@ -78,22 +78,42 @@ def fingerprint_frames(samples: np.ndarray, sr: int, cfg: HaitsmaConfig) -> np.n
     return np.asarray(haitsma_words(jnp.asarray(x), cfg.fmin, cfg.fmax))
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def min_ber_kernel(db_frames: jax.Array, q_frames: jax.Array, q_len: int):
+def _next_pow2(n: int) -> int:
+    c = 64
+    while c < n:
+        c *= 2
+    return c
+
+
+@jax.jit
+def _min_ber_bucketed(
+    db_pad: jax.Array,  # [Tb] uint32 (zero padded)
+    q_pad: jax.Array,  # [Qb] uint32 (zero padded)
+    t_true: jax.Array,  # scalar int32
+    q_true: jax.Array,  # scalar int32
+):
     """Best bit-error-rate of the query block across all alignments.
 
     The classic Philips lookup (REPORT.md:913-944 describes the frame
     stream; matching slides the query block over the stored stream and
-    takes the minimum BER). db [T] uint32, q [q_len] uint32 ->
-    (min_ber f32, best_offset i32). Requires T >= q_len.
+    takes the minimum BER). Both streams are padded to power-of-two
+    buckets with validity carried as traced scalars, so XLA compiles one
+    variant per (Tb, Qb) bucket pair instead of one per exact length —
+    a catalog of arbitrary-duration tracks stays at O(log^2) compiles.
     """
-    t = db_frames.shape[0]
-    n_off = t - q_len + 1
-    idx = jnp.arange(n_off)[:, None] + jnp.arange(q_len)[None, :]
-    windows = db_frames[idx]  # [n_off, q_len]
-    x = jnp.bitwise_xor(windows, q_frames[None, :])
-    errs = jnp.sum(jax.lax.population_count(x).astype(jnp.int32), axis=1)
-    ber = errs.astype(jnp.float32) / jnp.float32(32 * q_len)
+    tb = db_pad.shape[0]
+    qb = q_pad.shape[0]
+    n_off_max = tb - qb + 1
+    idx = jnp.arange(n_off_max)[:, None] + jnp.arange(qb)[None, :]
+    windows = db_pad[idx]  # [n_off_max, Qb]
+    x = jnp.bitwise_xor(windows, q_pad[None, :])
+    colmask = (jnp.arange(qb) < q_true)[None, :]
+    errs = jnp.sum(
+        jax.lax.population_count(x).astype(jnp.int32) * colmask, axis=1
+    )
+    ber = errs.astype(jnp.float32) / (32.0 * q_true.astype(jnp.float32))
+    valid_off = jnp.arange(n_off_max) < (t_true - q_true + 1)
+    ber = jnp.where(valid_off, ber, jnp.inf)
     best = jnp.argmin(ber)
     return ber[best], best.astype(jnp.int32)
 
@@ -101,11 +121,17 @@ def min_ber_kernel(db_frames: jax.Array, q_frames: jax.Array, q_len: int):
 def min_ber(db_frames: np.ndarray, q_frames: np.ndarray) -> tuple[float, int]:
     """Host wrapper; returns (1.0, -1) when the query is longer than the
     stored stream."""
-    if len(q_frames) == 0 or len(db_frames) < len(q_frames):
+    t, q = len(db_frames), len(q_frames)
+    if q == 0 or t < q:
         return 1.0, -1
-    b, off = min_ber_kernel(
-        jnp.asarray(db_frames.astype(np.uint32)),
-        jnp.asarray(q_frames.astype(np.uint32)),
-        int(len(q_frames)),
+    tb, qb = _next_pow2(t), _next_pow2(q)
+    tb = max(tb, qb)
+    db_pad = np.zeros(tb, np.uint32)
+    db_pad[:t] = db_frames
+    q_pad = np.zeros(qb, np.uint32)
+    q_pad[:q] = q_frames
+    b, off = _min_ber_bucketed(
+        jnp.asarray(db_pad), jnp.asarray(q_pad),
+        jnp.int32(t), jnp.int32(q),
     )
     return float(b), int(off)
