@@ -97,6 +97,45 @@ class TestNativeWal:
         w2.close()
 
 
+class TestWalFirstSemantics:
+    def test_failed_wal_append_applies_nothing(self, tmp_path):
+        """WAL-first: if the durable append raises, no in-memory mutation
+        happens — queries never serve phantom records."""
+        import asyncio
+
+        from ucfp_tpu.core import Modality, Record
+        from ucfp_tpu.index.embedded import EmbeddedBackend
+
+        b = EmbeddedBackend(str(tmp_path / "db"))
+        asyncio.run(b.upsert([Record(0, 1, Modality.TEXT, "a", b"\x01",
+                                     embedding=[1.0, 0.0], text="kept")]))
+
+        class FailingWal:
+            def append_events(self, events):
+                raise OSError("disk full")
+
+            def flush(self):
+                pass
+
+            def close(self):
+                pass
+
+        b._wal = FailingWal()
+        with pytest.raises(OSError):
+            asyncio.run(b.upsert([Record(0, 2, Modality.TEXT, "a", b"\x02",
+                                         embedding=[0.0, 1.0], text="phantom")]))
+        # record 2 must be invisible everywhere
+        assert asyncio.run(b.bm25(0, ["phantom"], 5)) == []
+        hits = asyncio.run(b.knn(0, [0.0, 1.0], 5))
+        assert [h.record_id for h in hits] == [1]
+        with pytest.raises(Exception):
+            asyncio.run(b.get_record_metadata(0, 2))
+        # deletes behave the same
+        with pytest.raises(OSError):
+            asyncio.run(b.delete(0, [1]))
+        assert [h.record_id for h in asyncio.run(b.bm25(0, ["kept"], 5))] == [1]
+
+
 class TestBackendIntegration:
     def test_native_store_survives_restart(self, tmp_path):
         import asyncio
