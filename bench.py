@@ -335,23 +335,32 @@ def main():
 
 
 def _run_all():
+    import os
+
     phash_ips = bench_phash()
     extra = {}
-    try:
-        extra["multihash_images_per_sec"] = round(bench_multihash(), 1)
-        extra["audio_wang_xrt"] = round(bench_audio_xrt(), 1)
-        extra["query_cosine_p50_ms_1m_x64"] = round(bench_query_p50(), 3)
-        extra["query_hamming_fused_p50_ms_10m_x64bit"] = round(
-            bench_hamming_10m_fused(), 3
-        )
-        extra["query_cosine_int8_hybrid_p50_ms_10m_x64"] = round(
-            bench_cosine_int8_10m_hybrid(), 3
-        )
-        extra["query_cosine_int8_p50_ms_10m_x64"] = round(
-            bench_cosine_int8_10m(), 3
-        )
-    except Exception as e:  # secondary metrics must not sink the headline
-        extra["error"] = f"{type(e).__name__}: {e}"
+    # Each secondary metric costs two jit compiles through the device
+    # tunnel (~1-2 min each); the default set is trimmed to fit the
+    # driver's window. UCFP_BENCH_FULL=1 adds the comparison kernels
+    # (exact 1M cosine, exact 10M int8) whose numbers are recorded in
+    # README.md / ROUND_NOTES.md.
+    full = os.environ.get("UCFP_BENCH_FULL") == "1"
+    for name, fn in [
+        ("multihash_images_per_sec", lambda: round(bench_multihash(), 1)),
+        ("audio_wang_xrt", lambda: round(bench_audio_xrt(), 1)),
+        ("query_hamming_fused_p50_ms_10m_x64bit",
+         lambda: round(bench_hamming_10m_fused(iters=32), 3)),
+        ("query_cosine_int8_hybrid_p50_ms_10m_x64",
+         lambda: round(bench_cosine_int8_10m_hybrid(iters=16), 3)),
+    ] + ([
+        ("query_cosine_p50_ms_1m_x64", lambda: round(bench_query_p50(), 3)),
+        ("query_cosine_int8_p50_ms_10m_x64",
+         lambda: round(bench_cosine_int8_10m(), 3)),
+    ] if full else []):
+        try:
+            extra[name] = fn()
+        except Exception as e:  # secondary metrics must not sink the headline
+            extra[name] = f"error: {type(e).__name__}: {e}"
     print(
         json.dumps(
             {

@@ -108,13 +108,6 @@ _PACK64 = np.array([1 << b for b in range(8)], dtype=np.int32)  # per-byte LSB
 # ---------------------------------------------------------------------------
 
 
-def _imatmul(a, b):
-    """Exact int32 matmul (VPU / MXU int path)."""
-    return jax.lax.dot_general(
-        a, b, (((a.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.int32
-    )
-
-
 def luma_u8(rgb: jax.Array) -> jax.Array:
     """BT.601 integer luma: (299R + 587G + 114B + 500) // 1000.
 
