@@ -345,6 +345,10 @@ def _run_all():
     # (exact 1M cosine, exact 10M int8) whose numbers are recorded in
     # README.md / ROUND_NOTES.md.
     full = os.environ.get("UCFP_BENCH_FULL") == "1"
+    # hard wall: remote-tunnel compiles can take minutes each; whatever
+    # doesn't fit the budget is skipped so the JSON line always prints
+    budget_s = float(os.environ.get("UCFP_BENCH_BUDGET_S", "420"))
+    t_start = time.perf_counter()
     for name, fn in [
         ("multihash_images_per_sec", lambda: round(bench_multihash(), 1)),
         ("audio_wang_xrt", lambda: round(bench_audio_xrt(), 1)),
@@ -357,6 +361,9 @@ def _run_all():
         ("query_cosine_int8_p50_ms_10m_x64",
          lambda: round(bench_cosine_int8_10m(), 3)),
     ] if full else []):
+        if time.perf_counter() - t_start > budget_s:
+            extra[name] = "skipped: bench budget exhausted"
+            continue
         try:
             extra[name] = fn()
         except Exception as e:  # secondary metrics must not sink the headline
