@@ -76,6 +76,44 @@ class TestAdminRoutes:
         assert call(app, "POST", "/v1/ingest/text/5/2", b"x",
                     token=issued["token"]).status == 401
 
+    def test_admin_usage_tail(self, tmp_path, monkeypatch):
+        import asyncio
+        import os
+
+        from ucfp_tpu.server.usage import LogUsageSink
+
+        log = tmp_path / "usage.ndjson"
+        monkeypatch.setenv("UCFP_USAGE_LOG_PATH", str(log))
+        from ucfp_tpu.index.embedded import EmbeddedBackend
+        from ucfp_tpu.server.app import ServerState, build_server
+        from ucfp_tpu.server.inputs_cache import InputsCache
+        from ucfp_tpu.server.ratelimit import NoopRateLimiter
+
+        state = ServerState(
+            index=EmbeddedBackend(str(tmp_path / "db")),
+            api_keys=StaticSingleKey(TOKEN),
+            rate_limit=NoopRateLimiter(),
+            usage=LogUsageSink(str(log)),
+            inputs=InputsCache(),
+        )
+        app = build_server(state, timeout_secs=120.0)
+
+        async def go():
+            await app.handle_request(
+                __import__("test_server").req(
+                    "POST", "/v1/ingest/text/0/1", b"meter this request"
+                )
+            )
+            await asyncio.sleep(0.05)
+            resp, _ = await app.handle_request(
+                __import__("test_server").req("GET", "/v1/admin/usage")
+            )
+            return resp
+
+        resp = run(go())
+        events = json.loads(resp.body)["events"]
+        assert events and events[-1]["op"] == "ingest"
+
     def test_admin_requires_service_bearer(self, tmp_path):
         app, ks = make_app_with_keystore(tmp_path)
         issued = ks.issue(5, "beta")

@@ -94,6 +94,16 @@ class TestPublic:
         assert defaults["fan_out"] == 10 and defaults["target_zone_t"] == 63
         assert defaults["peaks_per_sec"] == 30
 
+    def test_dashboard_page(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        resp = call(app, "GET", "/", token=None)
+        assert resp.status == 200
+        assert resp.content_type.startswith("text/html")
+        body = resp.body.decode()
+        assert "ucfp-tpu playground" in body
+        for route in ("/v1/algorithms", "/v1/pipeline/inspect/text", "/v1/query"):
+            assert route in body  # the page drives the public API
+
     def test_metrics_endpoint(self, tmp_path):
         app, _ = make_app(tmp_path)
         call(app, "GET", "/healthz", token=None)
