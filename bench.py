@@ -56,12 +56,9 @@ def bench_phash(batch=512, iters=64):
     def loop(x, n):
         def body(_i, carry):
             h = imagehash.single_hash_kernel(carry, 256, 256, "phash")
-            # feed the hash back into the pixels: a real data dependency
-            # that changes every iteration's input
-            bump = h[:, 0][:, None, None, None]
-            return (carry.astype(jnp.int32) + bump.astype(jnp.int32)).astype(
-                jnp.uint8
-            )
+            # single-pixel data dependency: serializes iterations without
+            # adding a full-array rewrite to the measured cost
+            return carry.at[:, 0, 0, 0].add(h[:, 0])
 
         out = jax.lax.fori_loop(0, n, body, x)
         return jnp.sum(out[:, 0, 0, 0].astype(jnp.int32))
@@ -88,10 +85,7 @@ def bench_multihash(batch=256, iters=32):
     def loop(x, n):
         def body(_i, carry):
             out = imagehash.multihash_kernel(carry, 256, 256)
-            bump = out["phash"][:, 0][:, None, None, None]
-            return (carry.astype(jnp.int32) + bump.astype(jnp.int32)).astype(
-                jnp.uint8
-            )
+            return carry.at[:, 0, 0, 0].add(out["phash"][:, 0])
 
         out = jax.lax.fori_loop(0, n, body, x)
         return jnp.sum(out[:, 0, 0, 0].astype(jnp.int32))

@@ -73,15 +73,26 @@ class DeadlineBatcher:
             q = self._queues.pop(bucket, [])
         if not q:
             return
-        try:
-            results = await self.run_batch(bucket, [p.payload for p in q])
-            for p, r in zip(q, results):
-                if not p.future.done():
-                    p.future.set_result(r)
-        except Exception as e:
-            for p in q:
-                if not p.future.done():
-                    p.future.set_exception(e)
+        # the flush_now race can admit a few extra items; keep device
+        # batches at the contracted size by chunking
+        for lo in range(0, len(q), self.max_batch):
+            chunk = q[lo : lo + self.max_batch]
+            try:
+                results = await self.run_batch(
+                    bucket, [p.payload for p in chunk]
+                )
+                if len(results) != len(chunk):
+                    raise RuntimeError(
+                        f"run_batch returned {len(results)} results for "
+                        f"{len(chunk)} payloads"
+                    )
+                for p, r in zip(chunk, results):
+                    if not p.future.done():
+                        p.future.set_result(r)
+            except Exception as e:
+                for p in chunk:
+                    if not p.future.done():
+                        p.future.set_exception(e)
 
     async def flush_all(self) -> None:
         for bucket in list(self._queues.keys()):

@@ -31,20 +31,27 @@ class Matcher:
         has_terms = bool(q.terms)
         if has_vec and has_terms:
             knn_task = asyncio.create_task(
-                self.index.knn(q.tenant_id, q.vector, q.k, None)
+                self.index.knn(q.tenant_id, q.vector, q.k, q.filter)
             )
-            if q.explain:
-                bm_pairs = await self.index.bm25_explain(q.tenant_id, q.terms, q.k)
-                bm_hits = []
-                term_by_id = {}
-                for hit, ths in bm_pairs:
-                    hit.term_hits = ths
-                    bm_hits.append(hit)
-                    if ths:
-                        term_by_id[hit.record_id] = ths
-            else:
-                bm_hits = await self.index.bm25(q.tenant_id, q.terms, q.k)
-                term_by_id = {}
+            try:
+                if q.explain:
+                    bm_pairs = await self.index.bm25_explain(
+                        q.tenant_id, q.terms, q.k
+                    )
+                    bm_hits = []
+                    term_by_id = {}
+                    for hit, ths in bm_pairs:
+                        hit.term_hits = ths
+                        bm_hits.append(hit)
+                        if ths:
+                            term_by_id[hit.record_id] = ths
+                else:
+                    bm_hits = await self.index.bm25(q.tenant_id, q.terms, q.k)
+                    term_by_id = {}
+            except BaseException:
+                # don't orphan the in-flight kNN when the bm25 leg fails
+                knn_task.cancel()
+                raise
             vec_hits = await knn_task
             fused = rrf_with_sources(
                 [vec_hits, bm_hits], [HitSource.VECTOR, HitSource.BM25], q.rrf_k
@@ -55,7 +62,7 @@ class Matcher:
                     if th is not None:
                         h.term_hits = th
         elif has_vec:
-            fused = await self.index.knn(q.tenant_id, q.vector, q.k, None)
+            fused = await self.index.knn(q.tenant_id, q.vector, q.k, q.filter)
         elif has_terms:
             if q.explain:
                 pairs = await self.index.bm25_explain(q.tenant_id, q.terms, q.k)

@@ -81,6 +81,11 @@ def fingerprint_wang(
     x = _check_input(samples, sample_rate)
     if sample_rate != CANONICAL_SR:
         x = dsp.resample_linear(x, sample_rate, CANONICAL_SR)
+    if len(x) < 1024:  # one STFT frame at the canonical rate
+        raise ModalityError(
+            f"audio too short for wang after resampling to {CANONICAL_SR} Hz "
+            f"({len(x)} samples; need >= 1024)"
+        )
     hashes, t1 = constellation.extract_landmarks(x, CANONICAL_SR, cfg)
     # (hash u32, t1 u32) LE pairs, cast straight to bytes
     buf = np.empty((len(hashes), 2), dtype="<u4")
@@ -203,6 +208,10 @@ def fingerprint_neural(
         config_hash=config_hash64(
             ALGORITHM_NEURAL, model_id=NEURAL_MODEL_ID, dim=NEURAL_DIM,
             win=_NEURAL_WIN, hop=_NEURAL_HOP, mels=_NEURAL_MELS,
+            # the mel bank spans 0..sr/2 and frames last hop/sr seconds,
+            # so embeddings from different rates are NOT comparable —
+            # the config hash must refuse the comparison
+            sample_rate=sample_rate,
         ),
     )
 
@@ -246,6 +255,10 @@ def embed_watermark(
     detect_watermark — a self-consistent pair standing in for the
     reference's AudioSeal model (which cannot be reproduced offline)."""
     cfg = cfg or WatermarkConfig()
+    if not (0 <= payload < (1 << cfg.payload_bits)):
+        raise ModalityError(
+            f"payload must fit {cfg.payload_bits} bits, got {payload:#x}"
+        )
     x = _check_input(samples, sample_rate).copy()
     need = cfg.payload_bits * cfg.chip_len
     if len(x) < need:
@@ -382,6 +395,11 @@ def inspect_audio(
     x = _check_input(samples, sample_rate)
     cfg = cfg or WangConfig()
     duration_secs = len(x) / sample_rate
+    if algorithm in ("wang", "panako") and sample_rate != CANONICAL_SR:
+        # the stored fingerprint is computed at the canonical rate; the
+        # overlay must show the same constellation the hash actually uses
+        x = dsp.resample_linear(x, sample_rate, CANONICAL_SR)
+        sample_rate = CANONICAL_SR
 
     envelope = _downsample_envelope(x, 256)
 

@@ -84,6 +84,12 @@ def decode_rgb(data: bytes, pre: PreprocessConfig) -> np.ndarray:
         scale = pre.max_dimension / max(h, w)
         nh = max(1, round(h * scale))
         nw = max(1, round(w * scale))
+        if min(nh, nw) < pre.min_dimension:
+            raise ModalityError(
+                f"image aspect ratio too extreme: downscaling {w}x{h} to the "
+                f"max_dimension {pre.max_dimension} leaves the short edge "
+                f"below min_dimension {pre.min_dimension}"
+            )
         shrunk = Image.fromarray(arr, "RGB").resize(
             (nw, nh), Image.Resampling.BILINEAR
         )
@@ -227,9 +233,7 @@ def inspect_image(data: bytes, pre: PreprocessConfig | None = None) -> dict:
     pre = pre or PreprocessConfig()
     rgb = decode_rgb(data, pre)
     h, w = rgb.shape[:2]
-    gray = ((299 * rgb[..., 0].astype(np.int64)
-             + 587 * rgb[..., 1].astype(np.int64)
-             + 114 * rgb[..., 2].astype(np.int64) + 500) // 1000)
+    gray = imagehash.np_luma(rgb)
     g32 = imagehash.np_resize(gray, 32, 32).astype(np.uint8)
     g8 = imagehash.np_resize(gray, 8, 8).astype(np.uint8)
     ahash_mean = int(g8.astype(np.uint32).sum()) // 64
@@ -256,18 +260,20 @@ def inspect_image(data: bytes, pre: PreprocessConfig | None = None) -> dict:
         thumb = rgb
     tbuf = io.BytesIO()
     Image.fromarray(thumb, mode="RGB").save(tbuf, format="PNG")
-    rec = fingerprint_multi(data, 0, 0, pre)
-    import base64 as b64mod
+    # reuse the decode: fingerprint_multi would decode the (up to 50 MiB)
+    # input a second time
+    out = _multi_outputs(rgb[None])
+    fp = imagehash.serialize_multihash(out, 0)
 
     return {
         "algorithm": ALGORITHM_MULTI,
         "width": w,
         "height": h,
-        "original_png_b64": b64mod.b64encode(tbuf.getvalue()).decode(),
+        "original_png_b64": base64.b64encode(tbuf.getvalue()).decode(),
         "gray32_png_b64": png_b64(g32),
         "gray8_png_b64": png_b64(g8),
         "ahash_mean": ahash_mean,
-        "fingerprint_hex": rec.fingerprint.hex(),
-        "fingerprint_bytes": len(rec.fingerprint),
-        "config_hash": rec.config_hash,
+        "fingerprint_hex": fp.hex(),
+        "fingerprint_bytes": len(fp),
+        "config_hash": pre.config_hash(),
     }

@@ -240,6 +240,7 @@ def _opts_config_hash(algorithm: str, opts: TextOpts) -> int:
         strip_bidi=opts.strip_bidi,
         strip_format=opts.strip_format,
         apply_confusable=opts.apply_confusable,
+        preprocess=opts.preprocess,
     )
 
 
