@@ -314,6 +314,13 @@ class TestDecodeAndInspect:
         assert res["total_landmarks"] > 0
         assert res["mel_bands"] == 64
         assert res["duration_secs"] == pytest.approx(2.0)
+        # viridis spectrogram PNGs for the playground (reference
+        # audio.rs:648-652)
+        import base64
+
+        for key in ("lin_spec_png_b64", "mel_spec_png_b64"):
+            png = base64.b64decode(res[key])
+            assert png[:8] == b"\x89PNG\r\n\x1a\n"
 
     def test_inspect_empty_rejected(self):
         with pytest.raises(ModalityError):

@@ -18,6 +18,7 @@ input, assembles Records, and owns the streaming/segmenting logic.
 
 from __future__ import annotations
 
+import io
 import math
 from dataclasses import dataclass
 
@@ -374,6 +375,45 @@ class StreamingWangSession:
 # ---------------------------------------------------------------------------
 
 
+_VIRIDIS_STOPS = np.array(
+    # (r, g, b) anchors of the viridis colormap, interpolated linearly
+    [(68, 1, 84), (59, 82, 139), (33, 145, 140), (94, 201, 98), (253, 231, 37)],
+    dtype=np.float32,
+)
+
+
+def _spec_png_b64(grid: np.ndarray, target_w: int = 256) -> str:
+    """Magnitude grid [T, F] -> viridis PNG (freq up, time right), b64.
+
+    Mirrors the reference inspector's spectrogram rendering
+    (audio.rs:648-652: linear grid downsampled by time-axis peak pooling,
+    painted viridis). Log-compressed for visibility.
+    """
+    import base64
+
+    from PIL import Image
+
+    t_dim, f_dim = grid.shape
+    w = min(target_w, max(t_dim, 1))
+    # peak-pool the time axis down to w columns
+    edges = (np.arange(w + 1) * t_dim / w).astype(int)
+    pooled = np.stack(
+        [grid[edges[i]:max(edges[i + 1], edges[i] + 1)].max(axis=0)
+         for i in range(w)]
+    )  # [w, F]
+    db = np.log10(pooled + 1e-9)
+    lo, hi = db.min(), db.max()
+    norm = (db - lo) / max(hi - lo, 1e-9)  # [w, F] in 0..1
+    pos = norm * (len(_VIRIDIS_STOPS) - 1)
+    i0 = np.clip(pos.astype(int), 0, len(_VIRIDIS_STOPS) - 2)
+    frac = (pos - i0)[..., None]
+    rgb = (_VIRIDIS_STOPS[i0] * (1 - frac) + _VIRIDIS_STOPS[i0 + 1] * frac)
+    img = rgb.transpose(1, 0, 2)[::-1].astype(np.uint8)  # freq up, time right
+    buf = io.BytesIO()
+    Image.fromarray(img, "RGB").save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
 def _downsample_envelope(x: np.ndarray, buckets: int) -> list[float]:
     n = len(x)
     out = []
@@ -440,6 +480,8 @@ def inspect_audio(
     mel = np.asarray(
         dsp.mel_spectrogram(jnp.asarray(power), 64, 1024, sample_rate)
     )
+    lin_spec_png = _spec_png_b64(power)
+    mel_spec_png = _spec_png_b64(mel)
 
     if algorithm == "wang":
         fp = fingerprint_wang(x, sample_rate, 0, 0, cfg)
@@ -460,6 +502,8 @@ def inspect_audio(
         "n_frames": int(n_frames),
         "n_bins": int(n_bins),
         "mel_bands": int(mel.shape[1]),
+        "lin_spec_png_b64": lin_spec_png,
+        "mel_spec_png_b64": mel_spec_png,
         "peaks": peaks,
         "total_peaks": int(len(t)),
         "landmarks": landmarks,

@@ -185,6 +185,36 @@ def fingerprint_batch(
 ALGORITHM_SEMANTIC = "embedding-image-local"
 
 
+def semantic_features(rgb: np.ndarray) -> np.ndarray:
+    """Decoded RGB -> the encoder's [3072] input (exact-int 32x32 per
+    channel, scaled to [0, 1]). Split out so the ingest batcher can stack
+    many requests into one encoder call."""
+    chans = [
+        imagehash.np_resize(rgb[..., c].astype(np.int64), 32, 32) for c in range(3)
+    ]
+    return (np.stack(chans, -1).astype(np.float32) / 255.0).reshape(-1)
+
+
+def semantic_record(
+    emb: np.ndarray, tenant_id: int, record_id: int, model_id: str | None = None
+) -> Record:
+    """Wrap one encoder output row into the semantic Record."""
+    from ..models import IMAGE_MODEL_ID as SEMANTIC_MODEL_ID
+
+    return Record(
+        tenant_id=tenant_id,
+        record_id=record_id,
+        modality=Modality.IMAGE,
+        algorithm=ALGORITHM_SEMANTIC,
+        fingerprint=emb.astype("<f4").tobytes(),
+        embedding=[float(v) for v in emb],
+        model_id=model_id or SEMANTIC_MODEL_ID,
+        config_hash=config_hash64(
+            ALGORITHM_SEMANTIC, model_id=model_id or SEMANTIC_MODEL_ID
+        ),
+    )
+
+
 def fingerprint_semantic(
     data: bytes,
     tenant_id: int,
@@ -202,9 +232,7 @@ def fingerprint_semantic(
 
     pre = pre or PreprocessConfig()
     rgb = decode_rgb(data, pre)
-    # exact-int 32x32 per channel, then [0,1] scale
-    chans = [imagehash.np_resize(rgb[..., c].astype(np.int64), 32, 32) for c in range(3)]
-    x = (np.stack(chans, -1).astype(np.float32) / 255.0).reshape(1, -1)
+    x = semantic_features(rgb)[None]
     emb = image_encode(x)[0]
     return Record(
         tenant_id=tenant_id,

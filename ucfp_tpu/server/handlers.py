@@ -115,12 +115,20 @@ class Handlers:
 
             import numpy as np
 
-            algo, h, w = bucket
+            algo = bucket[0]
             rgbs = np.stack(payloads)
 
             def work():
                 from ..ops import imagehash
 
+                if algo == "semantic":
+                    # payloads are prepared [3072] encoder features — one
+                    # bucket regardless of source image shape
+                    from ..models import image_encode
+
+                    embs = image_encode(rgbs)
+                    return [embs[i] for i in range(len(payloads))]
+                _, h, w = bucket
                 if algo == "multi":
                     out = imod.jax_device_get(imagehash.multihash_kernel(rgbs, h, w))
                     return [imagehash.serialize_multihash(out, i) for i in range(len(payloads))]
@@ -429,8 +437,11 @@ class Handlers:
                     config_hash=pre.config_hash(),
                 )
             elif algorithm == "semantic":
-                rec = imod.fingerprint_semantic(
-                    raw, tid, rid, pre, model_id=req.query.get("model_id")
+                rgb = await asyncio.to_thread(imod.decode_rgb, raw, pre)
+                feats = await asyncio.to_thread(imod.semantic_features, rgb)
+                emb = await self.image_batcher.submit(("semantic",), feats)
+                rec = imod.semantic_record(
+                    emb, tid, rid, model_id=req.query.get("model_id")
                 )
             else:
                 raise HttpError(

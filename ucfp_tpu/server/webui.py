@@ -248,7 +248,13 @@ async function runAudio(){
     {method:'POST', body});
   const fp = await api(`/v1/ingest/audio/${ten()}/${RID++}?sample_rate=8000&algorithm=${algo}`,
     {method:'POST', body});
-  out.innerHTML = `<div class="row">${kv(ins,['duration_secs','total_peaks','total_landmarks'])}</div>`;
+  out.innerHTML = `<div class="row">${kv(ins,['duration_secs','total_peaks','total_landmarks'])}</div>`
+   + `<div class="row">
+      <span><div class="kv">linear spectrogram</div>
+       <img class="stage" src="data:image/png;base64,${ins.lin_spec_png_b64}" width="256"></span>
+      <span><div class="kv">mel spectrogram</div>
+       <img class="stage" src="data:image/png;base64,${ins.mel_spec_png_b64}" width="256"></span>
+     </div>`;
   // envelope
   const env=document.createElement('canvas');env.width=512;env.height=80;
   const g=env.getContext('2d');g.strokeStyle='#58a6ff';g.beginPath();
