@@ -203,6 +203,7 @@ class Handlers:
         tenant_guard(_ctx(req), tid)
         try:
             m = await self.index.get_record_metadata(tid, rid)
+            row = self.index.get_record(tid, rid)
         except RecordNotFound as e:
             raise _err(e)
         return Response.json(
@@ -215,6 +216,10 @@ class Handlers:
                 "format_version": m.format_version,
                 "fingerprint_bytes": m.fingerprint_bytes,
                 "has_embedding": m.has_embedding,
+                # catalog-entry parity (reference CatalogEntry,
+                # embedded/mod.rs:104-125)
+                "embedding_dim": len(row["embedding"]) if row["embedding"] else 0,
+                "metadata_bytes": len(row["metadata"]),
                 "model_id": m.model_id,
             }
         )
