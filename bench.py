@@ -56,9 +56,14 @@ def bench_phash(batch=512, iters=64):
     def loop(x, n):
         def body(_i, carry):
             h = imagehash.single_hash_kernel(carry, 256, 256, "phash")
-            # single-pixel data dependency: serializes iterations without
-            # adding a full-array rewrite to the measured cost
-            return carry.at[:, 0, 0, 0].add(h[:, 0])
+            # whole-array bump: measured FASTER than a single-pixel
+            # dynamic-update-slice (which copies the whole carry); either
+            # chain makes the number a conservative lower bound since the
+            # next iteration's input must materialize anyway
+            bump = h[:, 0][:, None, None, None]
+            return (carry.astype(jnp.int32) + bump.astype(jnp.int32)).astype(
+                jnp.uint8
+            )
 
         out = jax.lax.fori_loop(0, n, body, x)
         return jnp.sum(out[:, 0, 0, 0].astype(jnp.int32))
@@ -85,7 +90,10 @@ def bench_multihash(batch=256, iters=32):
     def loop(x, n):
         def body(_i, carry):
             out = imagehash.multihash_kernel(carry, 256, 256)
-            return carry.at[:, 0, 0, 0].add(out["phash"][:, 0])
+            bump = out["phash"][:, 0][:, None, None, None]
+            return (carry.astype(jnp.int32) + bump.astype(jnp.int32)).astype(
+                jnp.uint8
+            )
 
         out = jax.lax.fori_loop(0, n, body, x)
         return jnp.sum(out[:, 0, 0, 0].astype(jnp.int32))
