@@ -48,28 +48,25 @@ def bench_phash(batch=512, iters=64):
     from ucfp_tpu.ops import imagehash
 
     rng = np.random.default_rng(0)
-    imgs = jax.device_put(
-        rng.integers(0, 256, size=(batch, 256, 256, 3), dtype=np.uint8)
+    # select-chain: the loop picks one of 4 pre-staged batches by a
+    # hash-derived index — a real data dependency that defeats loop-
+    # invariant hoisting WITHOUT adding synthetic write traffic (the
+    # whole-array bump variant measured ~6% slower)
+    stack4 = jax.device_put(
+        rng.integers(0, 256, size=(4, batch, 256, 256, 3), dtype=np.uint8)
     )
 
     @functools.partial(jax.jit, static_argnums=(1,))
-    def loop(x, n):
+    def loop(s4, n):
         def body(_i, carry):
-            h = imagehash.single_hash_kernel(carry, 256, 256, "phash")
-            # whole-array bump: measured FASTER than a single-pixel
-            # dynamic-update-slice (which copies the whole carry); either
-            # chain makes the number a conservative lower bound since the
-            # next iteration's input must materialize anyway
-            bump = h[:, 0][:, None, None, None]
-            return (carry.astype(jnp.int32) + bump.astype(jnp.int32)).astype(
-                jnp.uint8
-            )
+            x = jax.lax.dynamic_index_in_dim(s4, carry % 4, 0, keepdims=False)
+            h = imagehash.single_hash_kernel(x, 256, 256, "phash")
+            return (carry + jnp.sum(h[:, 0].astype(jnp.int32))) % 1000003
 
-        out = jax.lax.fori_loop(0, n, body, x)
-        return jnp.sum(out[:, 0, 0, 0].astype(jnp.int32))
+        return jax.lax.fori_loop(0, n, body, jnp.int32(0))
 
     def run(n):
-        return int(loop(imgs, n))
+        return int(loop(stack4, n))
 
     per_iter = _timed(run, iters)
     return batch / per_iter
@@ -82,24 +79,21 @@ def bench_multihash(batch=256, iters=32):
     from ucfp_tpu.ops import imagehash
 
     rng = np.random.default_rng(0)
-    imgs = jax.device_put(
-        rng.integers(0, 256, size=(batch, 256, 256, 3), dtype=np.uint8)
+    stack4 = jax.device_put(
+        rng.integers(0, 256, size=(4, batch, 256, 256, 3), dtype=np.uint8)
     )
 
     @functools.partial(jax.jit, static_argnums=(1,))
-    def loop(x, n):
+    def loop(s4, n):
         def body(_i, carry):
-            out = imagehash.multihash_kernel(carry, 256, 256)
-            bump = out["phash"][:, 0][:, None, None, None]
-            return (carry.astype(jnp.int32) + bump.astype(jnp.int32)).astype(
-                jnp.uint8
-            )
+            x = jax.lax.dynamic_index_in_dim(s4, carry % 4, 0, keepdims=False)
+            out = imagehash.multihash_kernel(x, 256, 256)
+            return (carry + jnp.sum(out["phash"][:, 0].astype(jnp.int32))) % 1000003
 
-        out = jax.lax.fori_loop(0, n, body, x)
-        return jnp.sum(out[:, 0, 0, 0].astype(jnp.int32))
+        return jax.lax.fori_loop(0, n, body, jnp.int32(0))
 
     def run(n):
-        return int(loop(imgs, n))
+        return int(loop(stack4, n))
 
     per_iter = _timed(run, iters)
     return batch / per_iter
