@@ -253,6 +253,42 @@ class TestEmbeddedBackend:
         hits = run(b.knn(0, [0.0, 1.0], 10))
         assert len(hits) == 1 and hits[0].score == pytest.approx(1.0)
 
+    def test_incremental_device_sync_matches_rebuild(self, tmp_path):
+        """Interleaved writes/queries exercise the scatter-update device
+        sync (including the MAX_PENDING fallback); results must match a
+        cold rebuild at every step."""
+        import math
+
+        b = EmbeddedBackend(str(tmp_path / "a"))
+
+        def vec(i):
+            th = i * 0.01
+            return [math.cos(th), math.sin(th)]
+
+        run(b.upsert([rec(0, i, emb=vec(i)) for i in range(50)]))
+        run(b.knn(0, vec(3), 1))  # build the device cache
+        # updates, removals, inserts — queried between batches
+        for step in range(4):
+            run(b.upsert([rec(0, i, emb=vec(i + 1000)) for i in range(step * 5, step * 5 + 5)]))
+            run(b.delete(0, [40 + step]))
+            run(b.upsert([rec(0, 100 + step, emb=vec(100 + step))]))
+            hits = run(b.knn(0, vec(100 + step), 1))
+            assert hits[0].record_id == 100 + step
+        # exceed MAX_PENDING to force the bulk fallback
+        run(b.upsert([rec(0, 200 + i, emb=vec(200 + i)) for i in range(300)]))
+        got = run(b.knn(0, vec(250), 3))
+        # cold rebuild reference
+        b2 = EmbeddedBackend(str(tmp_path / "a") + "-rebuild")
+        import shutil
+
+        b.close()
+        shutil.copytree(str(tmp_path / "a"), str(tmp_path / "c"))
+        b3 = EmbeddedBackend(str(tmp_path / "c"))
+        want = run(b3.knn(0, vec(250), 3))
+        assert [(h.record_id, round(h.score, 6)) for h in got] == [
+            (h.record_id, round(h.score, 6)) for h in want
+        ]
+
     def test_hamming_fingerprint_knn(self, tmp_path):
         b = EmbeddedBackend(str(tmp_path))
         run(

@@ -106,22 +106,44 @@ class _RowCache:
     n: int = 0
     dirty: bool = True
     device: tuple | None = None  # device-side cache arrays
+    # rows touched since the last device sync; None = full re-upload
+    # needed (growth / first build). Bounded so a huge backlog falls back
+    # to one bulk transfer instead of thousands of scattered updates.
+    pending: list | None = None
+
+    MAX_PENDING = 256
+
+    def _note(self, row: int) -> None:
+        if self.dirty or self.pending is None:
+            self.dirty = True
+            self.pending = None
+        elif len(self.pending) >= self.MAX_PENDING:
+            self.dirty = True
+            self.pending = None
+        else:
+            self.pending.append(row)
 
     def upsert(self, rid: int, vec: np.ndarray) -> None:
         if rid in self.rows:
-            self.data[self.rows[rid]] = vec
+            row = self.rows[rid]
+            self.data[row] = vec
+            self._note(row)
         else:
             if self.data is None:
                 self.data = np.zeros((1024, self.width), self.dtype)
+                self.dirty = True
+                self.pending = None
             elif self.n == self.data.shape[0]:
                 grown = np.zeros((self.data.shape[0] * 2, self.width), self.dtype)
                 grown[: self.n] = self.data
                 self.data = grown
+                self.dirty = True  # capacity change: full re-upload
+                self.pending = None
             self.data[self.n] = vec
             self.rows[rid] = self.n
             self.rids.append(rid)
+            self._note(self.n)
             self.n += 1
-        self.dirty = True
 
     def remove(self, rid: int) -> None:
         row = self.rows.pop(rid, None)
@@ -134,10 +156,11 @@ class _RowCache:
             moved = self.rids[last]
             self.rids[row] = moved
             self.rows[moved] = row
+            self._note(row)
         self.rids.pop()
         self.data[last] = 0
+        self._note(last)
         self.n -= 1
-        self.dirty = True
 
 
 def _VecCache(dim: int) -> _RowCache:  # noqa: N802 - constructor alias
@@ -489,34 +512,79 @@ class EmbeddedBackend(IndexBackend):
 
         await asyncio.to_thread(work)
 
-    def _device_vec(self, cache: _VecCache):
+    @staticmethod
+    def _device_valid(cap: int, n: int):
         import jax.numpy as jnp
 
+        # built on device (no host transfer): rows below n are live
+        return jnp.arange(cap) < n
+
+    def _device_vec(self, cache: _RowCache):
+        """Sync the per-tenant vector matrix to the device.
+
+        Full upload on first build / capacity growth; otherwise only the
+        rows touched since the last sync transfer (scatter update), so a
+        write between queries costs O(changed rows), not O(matrix).
+        """
+        import jax.numpy as jnp
+
+        cap = cache.data.shape[0]
+        quant = self.knn_quant == "int8"
         if cache.dirty or cache.device is None:
-            cap = cache.data.shape[0]
-            valid = np.zeros(cap, bool)
-            valid[: cache.n] = True
-            if self.knn_quant == "int8":
+            if quant:
                 q8, row_norm = knn_ops.quantize_rows_int8(cache.data)
                 cache.device = (
                     jnp.asarray(q8),
                     jnp.asarray(row_norm),
-                    jnp.asarray(valid),
+                    self._device_valid(cap, cache.n),
                 )
             else:
-                cache.device = (jnp.asarray(cache.data), jnp.asarray(valid))
+                cache.device = (
+                    jnp.asarray(cache.data),
+                    self._device_valid(cap, cache.n),
+                )
             cache.dirty = False
+            cache.pending = []
+        elif cache.pending:
+            rows = sorted(set(cache.pending))
+            ridx = jnp.asarray(rows)
+            if quant:
+                q8u, rnu = knn_ops.quantize_rows_int8(cache.data[rows])
+                m, rn, _v = cache.device
+                cache.device = (
+                    m.at[ridx].set(jnp.asarray(q8u)),
+                    rn.at[ridx].set(jnp.asarray(rnu)),
+                    self._device_valid(cap, cache.n),
+                )
+            else:
+                m, _v = cache.device
+                cache.device = (
+                    m.at[ridx].set(jnp.asarray(cache.data[rows])),
+                    self._device_valid(cap, cache.n),
+                )
+            cache.pending = []
         return cache.device
 
-    def _device_ham(self, cache: _HamCache):
+    def _device_ham(self, cache: _RowCache):
         import jax.numpy as jnp
 
+        cap = cache.data.shape[0]
         if cache.dirty or cache.device is None:
-            cap = cache.data.shape[0]
-            valid = np.zeros(cap, bool)
-            valid[: cache.n] = True
-            cache.device = (jnp.asarray(cache.data), jnp.asarray(valid))
+            cache.device = (
+                jnp.asarray(cache.data),
+                self._device_valid(cap, cache.n),
+            )
             cache.dirty = False
+            cache.pending = []
+        elif cache.pending:
+            rows = sorted(set(cache.pending))
+            ridx = jnp.asarray(rows)
+            m, _v = cache.device
+            cache.device = (
+                m.at[ridx].set(jnp.asarray(cache.data[rows])),
+                self._device_valid(cap, cache.n),
+            )
+            cache.pending = []
         return cache.device
 
     async def knn(
