@@ -117,6 +117,58 @@ def build_corpus() -> dict:
         amod.fingerprint_haitsma(x, 8000, 0, 1).fingerprint
     )
     out["audio/neural/8k"] = d(amod.fingerprint_neural(x, 8000, 0, 1).fingerprint)
+    # -- variant sweeps (strengthen the lock) ---------------------------------
+    out["text/minhash/nfc-nofold"] = d(
+        tmod.fingerprint_minhash(
+            UNICODE_TEXT, 0, 1,
+            tmod.TextOpts(normalization="nfc", case_fold=False),
+        ).fingerprint
+    )
+    out["text/minhash/confusables"] = d(
+        tmod.fingerprint_minhash(
+            "сар fits like a cap", 0, 1, tmod.TextOpts(apply_confusable=True)
+        ).fingerprint
+    )
+    out["text/minhash/cjk"] = d(
+        tmod.fingerprint_minhash(
+            "北京大学的计算机科学课程非常好", 0, 1,
+            tmod.TextOpts(tokenizer="cjk", k=3),
+        ).fingerprint
+    )
+    out["text/minhash/char-tok"] = d(
+        tmod.fingerprint_minhash(
+            PANGRAM, 0, 1, tmod.TextOpts(tokenizer="char")
+        ).fingerprint
+    )
+    out["text/tlsh/pangram-x4"] = d(
+        tmod.fingerprint_tlsh(PANGRAM * 4, 0, 1).fingerprint
+    )
+    out["text/minhash/html-preprocess"] = d(
+        tmod.fingerprint_minhash(
+            f"<html><body><p>{LONG_TEXT}</p></body></html>", 0, 1,
+            tmod.TextOpts(preprocess="html"),
+        ).fingerprint
+    )
+    short = fixed_audio(secs=1.0)
+    out["audio/wang/1s"] = d(amod.fingerprint_wang(short, 8000, 0, 1).fingerprint)
+    out["audio/haitsma/44k1-resampled"] = d(
+        amod.fingerprint_haitsma(
+            fixed_audio(secs=2.0, sr=44100), 44100, 0, 1
+        ).fingerprint
+    )
+    wcfg = amod.WangConfig(fan_out=4, target_zone_t=32, target_zone_f=32,
+                           peaks_per_sec=15, min_anchor_mag_db=-40.0)
+    out["audio/wang/tuned"] = d(
+        amod.fingerprint_wang(x, 8000, 0, 1, wcfg).fingerprint
+    )
+    hcfg = amod.HaitsmaConfig(fmin=200.0, fmax=1800.0)
+    out["audio/haitsma/tuned"] = d(
+        amod.fingerprint_haitsma(x, 8000, 0, 1, hcfg).fingerprint
+    )
+    for seed, w, h in ((20, 31, 4097),):
+        pass  # extreme shapes covered by preprocess tests, not goldens
+    png = fixed_png(13, 48, 640)  # tall-thin within limits
+    out["image/multi/48x640"] = d(imod.fingerprint_multi(png, 0, 1).fingerprint)
     return out
 
 
