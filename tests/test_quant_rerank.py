@@ -56,6 +56,49 @@ class TestInt8Cosine:
         assert np.isfinite(np.asarray(scores[0])).sum() == 3
 
 
+class TestKnnBatch:
+    def test_matches_single_queries(self, tmp_path):
+        import math
+
+        b = EmbeddedBackend(str(tmp_path))
+        vec = lambda i: [math.cos(i * 0.05), math.sin(i * 0.05)]
+        run(b.upsert([Record(0, i, Modality.TEXT, "e", b"x", embedding=vec(i))
+                      for i in range(40)]))
+        queries = [vec(3), vec(17), [0.0, 0.0], vec(39)]
+        batched = run(b.knn_batch(0, queries, 3))
+        assert batched[2] == []  # zero-norm query
+        for qi in (0, 1, 3):
+            single = run(b.knn(0, queries[qi], 3))
+            assert [(h.record_id, round(h.score, 6)) for h in batched[qi]] == [
+                (h.record_id, round(h.score, 6)) for h in single
+            ]
+
+    def test_mixed_dims_rejected(self, tmp_path):
+        from ucfp_tpu.core import ModalityError
+
+        b = EmbeddedBackend(str(tmp_path))
+        with pytest.raises(ModalityError):
+            run(b.knn_batch(0, [[1.0, 0.0], [1.0, 0.0, 0.0]], 3))
+
+    def test_http_batched_query(self, tmp_path):
+        import json
+
+        from test_server import call, jbody, make_app
+
+        app, _ = make_app(tmp_path)
+        for rid, emb in ((1, [1.0, 0.0]), (2, [0.0, 1.0])):
+            call(app, "PUT", "/v1/records", json.dumps(
+                {"tenant_id": 0, "record_id": rid, "modality": "text",
+                 "algorithm": "e", "fingerprint": [0], "embedding": emb}
+            ).encode())
+        body = jbody(call(app, "POST", "/v1/query", json.dumps(
+            {"tenant_id": 0, "modality": "text", "k": 1,
+             "vectors": [[1.0, 0.0], [0.0, 1.0]]}
+        ).encode()))
+        got = [r["hits"][0]["record_id"] for r in body["results"]]
+        assert got == [1, 2]
+
+
 class TestEmbeddingReranker:
     def test_rescores_by_embedding(self, tmp_path):
         b = EmbeddedBackend(str(tmp_path))

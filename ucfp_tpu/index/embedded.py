@@ -634,6 +634,60 @@ class EmbeddedBackend(IndexBackend):
 
         return await asyncio.to_thread(work)
 
+    async def knn_batch(
+        self, tenant_id: int, queries: list[list[float]], k: int
+    ) -> list[list[Hit]]:
+        """Batched cosine top-k: all queries share ONE device matmul —
+        the MXU runs a real GEMM instead of Q GEMVs (a single 10M x 64
+        GEMV streams at ~30% of HBM peak; batching recovers it). Returns
+        one hit list per query, same semantics as knn()."""
+        if k == 0 or not queries:
+            return [[] for _ in queries]
+        dims = {len(q) for q in queries}
+        if len(dims) != 1:
+            from ..core import ModalityError
+
+            raise ModalityError("all queries in a batch must share one dim")
+        dim = dims.pop()
+        if dim == 0:
+            return [[] for _ in queries]
+        qm = np.asarray(queries, np.float32)
+        cache = self._vec.get((tenant_id, dim))
+        if cache is None or cache.n == 0:
+            return [[] for _ in queries]
+
+        def work():
+            with self._lock:
+                dev = self._device_vec(cache)
+                rids = list(cache.rids)
+            kk = min(k, cache.n)
+            if self.knn_quant == "int8":
+                q8m, row_norm, valid = dev
+                scores, idx = knn_ops.cosine_topk_int8(qm, q8m, row_norm, valid, kk)
+            else:
+                matrix, valid = dev
+                scores, idx = knn_ops.cosine_topk(qm, matrix, valid, kk)
+            scores = np.asarray(scores)
+            idx = np.asarray(idx)
+            out: list[list[Hit]] = []
+            for row in range(qm.shape[0]):
+                if float(np.linalg.norm(qm[row])) == 0.0:
+                    out.append([])
+                    continue
+                pairs = [
+                    (rids[int(i)], float(s))
+                    for s, i in zip(scores[row], idx[row])
+                    if np.isfinite(s)
+                ]
+                pairs.sort(key=lambda t: (-t[1], t[0]))
+                out.append(
+                    [Hit(record_id=r, score=s, source=HitSource.VECTOR)
+                     for r, s in pairs]
+                )
+            return out
+
+        return await asyncio.to_thread(work)
+
     async def knn_fingerprint(
         self, tenant_id: int, algorithm: str, fingerprint: bytes, k: int
     ) -> list[Hit]:

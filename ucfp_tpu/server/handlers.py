@@ -246,6 +246,26 @@ class Handlers:
         vector = body.get("vector")
         terms = body.get("terms") or []
         fp_hex = body.get("fingerprint_hex")
+        vectors = body.get("vectors")
+
+        if vectors is not None:
+            # batched query extension: all vectors share one device GEMM
+            if not isinstance(vectors, list) or not all(
+                isinstance(v, list) for v in vectors
+            ):
+                raise HttpError(400, "bad_query", "vectors must be a list of vectors")
+            try:
+                results = await self.index.knn_batch(tenant_id, vectors, k)
+            except UcfpError as e:
+                raise _err(e)
+            return Response.json(
+                {
+                    "results": [
+                        {"hits": [self._hit_out(tenant_id, h) for h in hits]}
+                        for hits in results
+                    ]
+                }
+            )
 
         if fp_hex is not None:
             algorithm = body.get("algorithm")
