@@ -88,6 +88,22 @@ class TestPeaks:
         n_slabs = -(-power.shape[0] // slab)
         assert len(t) <= n_slabs * 10
 
+    def test_local_floor_keeps_quiet_sections(self):
+        """A loud passage suppresses quiet-section peaks under the global
+        floor; the opt-in per-slab floor keeps them."""
+        quiet = 0.002 * np.sin(2 * np.pi * 700 * np.arange(16000) / 8000)  # -54 dB
+        loud = 1.0 * np.sin(2 * np.pi * 440 * np.arange(16000) / 8000)
+        x = np.concatenate([loud, quiet]).astype(np.float32)
+        g = constellation.WangConfig()  # global floor (-50 dB of max)
+        lf = constellation.WangConfig(local_floor=True)
+        tg, fg, _, _ = constellation.peaks_for_inspect(x, 8000, g)
+        tl, fl, _, _ = constellation.peaks_for_inspect(x, 8000, lf)
+        # peaks in the quiet half (frames > ~62)
+        quiet_global = int(np.sum(tg > 70))
+        quiet_local = int(np.sum(tl > 70))
+        assert quiet_global == 0  # -48 dB tone is under the global floor
+        assert quiet_local > 10  # but well above its own slab's floor
+
     def test_silence_no_peaks(self):
         x = np.zeros(8000, np.float32)
         t, f, mags, _ = constellation.peaks_for_inspect(

@@ -68,6 +68,7 @@ def _wang_cfg_hash(cfg: WangConfig, algorithm: str) -> int:
         target_zone_f=cfg.target_zone_f,
         peaks_per_sec=cfg.peaks_per_sec,
         min_anchor_mag_db=cfg.min_anchor_mag_db,
+        local_floor=cfg.local_floor,
     )
 
 

@@ -64,13 +64,19 @@ PAIR_WINDOW = 256  # successor-scan cap per anchor
 
 @dataclass(frozen=True)
 class WangConfig:
-    """Defaults from the reference manifest (algorithms_manifest.rs:546-600)."""
+    """Defaults from the reference manifest (algorithms_manifest.rs:546-600).
+
+    local_floor=True applies min_anchor_mag_db relative to each time
+    slab's own maximum instead of the clip-global maximum — robust to a
+    loud unrelated passage shifting the floor for the whole clip (off by
+    default to keep the documented global-floor behavior)."""
 
     fan_out: int = 10
     target_zone_t: int = 63
     target_zone_f: int = 64
     peaks_per_sec: int = 30
     min_anchor_mag_db: float = -50.0
+    local_floor: bool = False
 
 
 @dataclass(frozen=True)
@@ -84,17 +90,15 @@ class PanakoConfig:
     min_anchor_mag_db: float = -50.0
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def pick_peaks(
     power: jax.Array,  # [T, K] power spectrogram
     slab_frames: int,
     peaks_per_sec: int,
     min_mag_db: float,
+    local_floor: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """-> (t [P], f [P], valid [P]) sorted by (t, f); P = n_slabs * cap.
-
-    Works on power: the dB floor doubles (20*log10 mag = 10*log10 power).
-    """
+    """-> (t [P], f [P], valid [P]) sorted by (t, f); P = n_slabs * cap."""
     t_dim, k_dim = power.shape
     neg = jnp.float32(-1.0)
     p = jnp.pad(power, ((1, 1), (1, 1)), constant_values=neg)
@@ -112,12 +116,21 @@ def pick_peaks(
     gmax = jnp.max(power)
     # magnitude threshold of m dB == power threshold of 10^(m/10):
     # 10*log10(power ratio) = 20*log10(mag ratio)
-    floor = gmax * jnp.float32(10.0 ** (min_mag_db / 10.0))
-    is_max = is_max & (center >= floor) & (gmax > 0.0)
-
-    # per-slab top-k by magnitude
+    rel = jnp.float32(10.0 ** (min_mag_db / 10.0))
     n_slabs = -(-t_dim // slab_frames)
     pad_t = n_slabs * slab_frames - t_dim
+    if local_floor:
+        # per-slab reference: each second's floor tracks its own max
+        pmax = jnp.pad(power, ((0, pad_t), (0, 0)), constant_values=0.0)
+        slab_max = jnp.max(
+            pmax.reshape(n_slabs, slab_frames * k_dim), axis=1
+        )  # [S]
+        floor2d = jnp.repeat(slab_max * rel, slab_frames)[:t_dim][:, None]
+        is_max = is_max & (center >= floor2d) & (gmax > 0.0)
+    else:
+        is_max = is_max & (center >= gmax * rel) & (gmax > 0.0)
+
+    # per-slab top-k by magnitude
     mag = jnp.where(is_max, power, neg)
     mag = jnp.pad(mag, ((0, pad_t), (0, 0)), constant_values=neg)
     mag = mag.reshape(n_slabs, slab_frames * k_dim)
@@ -253,7 +266,10 @@ def extract_landmarks(
     """-> (hashes u32 [L], t1 u32 [L]) in (anchor, rank) order."""
     power = dsp.stft_power(jnp.asarray(samples, jnp.float32), n_fft, hop, True)
     slab = max(1, sr // hop)
-    t, f, valid = pick_peaks(power, slab, cfg.peaks_per_sec, cfg.min_anchor_mag_db)
+    t, f, valid = pick_peaks(
+        power, slab, cfg.peaks_per_sec, cfg.min_anchor_mag_db,
+        getattr(cfg, "local_floor", False),
+    )
     h, t1, ok = wang_pairs(
         t, f, valid, cfg.fan_out, cfg.target_zone_t, cfg.target_zone_f
     )
@@ -270,7 +286,10 @@ def extract_panako(
 ) -> tuple[np.ndarray, np.ndarray]:
     power = dsp.stft_power(jnp.asarray(samples, jnp.float32), n_fft, hop, True)
     slab = max(1, sr // hop)
-    t, f, valid = pick_peaks(power, slab, cfg.peaks_per_sec, cfg.min_anchor_mag_db)
+    t, f, valid = pick_peaks(
+        power, slab, cfg.peaks_per_sec, cfg.min_anchor_mag_db,
+        getattr(cfg, "local_floor", False),
+    )
     h, aux, ok = panako_triplets(
         t, f, valid, cfg.fan_out, cfg.target_zone_t, cfg.target_zone_f
     )
@@ -284,7 +303,10 @@ def peaks_for_inspect(
     """(t, f, mag_power) arrays of valid peaks, for the inspector."""
     power = dsp.stft_power(jnp.asarray(samples, jnp.float32), n_fft, hop, True)
     slab = max(1, sr // hop)
-    t, f, valid = pick_peaks(power, slab, cfg.peaks_per_sec, cfg.min_anchor_mag_db)
+    t, f, valid = pick_peaks(
+        power, slab, cfg.peaks_per_sec, cfg.min_anchor_mag_db,
+        getattr(cfg, "local_floor", False),
+    )
     t, f, valid = np.asarray(t), np.asarray(f), np.asarray(valid)
     pw = np.asarray(power)
     t, f = t[valid], f[valid]

@@ -500,6 +500,7 @@ class Handlers:
                     target_zone_f=req.qp_int("target_zone_f", 64),
                     peaks_per_sec=req.qp_int("peaks_per_sec", 30),
                     min_anchor_mag_db=req.qp_float("min_anchor_mag_db", -50.0),
+                    local_floor=req.qp_bool("local_floor", False),
                 )
                 rec = amod.fingerprint_wang(samples, sample_rate, tid, rid, cfg)
             elif algorithm == "panako":

@@ -51,6 +51,9 @@ def build_manifest() -> dict:
                  30, 1, 120, 1),
         _tunable("min_anchor_mag_db", "Floor (dB)", "magnitude floor vs max",
                  "float", -50.0, -120.0, 0.0, 1.0),
+        _tunable("local_floor", "Per-slab floor",
+                 "floor relative to each second's max (robust to loud "
+                 "unrelated passages)", "bool", False),
     ]
     return {
         "format_version": 1,
