@@ -179,6 +179,15 @@ class TestRateLimitAndUsage:
         assert resp.status == 429
         assert resp.headers.get("retry-after") == "1"
 
+    def test_ratelimit_headers_on_success(self, tmp_path):
+        from ucfp_tpu.server.ratelimit import InMemoryTokenBucket
+
+        app, _ = make_app(tmp_path, rate=InMemoryTokenBucket(100, 200))
+        resp = call(app, "POST", "/v1/ingest/text/0/1", b"rate limited hello")
+        assert resp.status == 201
+        assert int(resp.headers["x-ratelimit-remaining"]) >= 0
+        assert int(resp.headers["x-ratelimit-reset-ms"]) >= 0
+
     def test_usage_ndjson(self, tmp_path):
         log = tmp_path / "usage.ndjson"
         app, _ = make_app(tmp_path, usage=LogUsageSink(str(log)))

@@ -137,6 +137,10 @@ def build_server(
         try:
             resp = await handler(req)
             status = resp.status
+            # expose the token-bucket state like the reference's
+            # RateDecision::Allow{remaining, reset_ms}
+            resp.headers.setdefault("x-ratelimit-remaining", str(decision.remaining))
+            resp.headers.setdefault("x-ratelimit-reset-ms", str(decision.reset_ms))
             return resp
         except HttpError as e:
             status = e.status
