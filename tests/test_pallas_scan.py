@@ -56,6 +56,16 @@ class TestScoresTopkFused:
         vals, idx = pallas_scan.scores_topk_fused(scores, 4, largest=False)
         assert int(np.asarray(idx)[0]) == int(np.argmin(scores))
 
+    def test_batched_matches_single(self):
+        rng = np.random.default_rng(9)
+        q, c, k = 4, TILE, 8
+        scores = rng.normal(size=(q, c)).astype(np.float32)
+        bv, bi = pallas_scan.scores_topk_fused_batched(scores, k, largest=True)
+        for row in range(q):
+            sv, si = pallas_scan.scores_topk_fused(scores[row], k, largest=True)
+            np.testing.assert_array_equal(np.asarray(bi[row]), np.asarray(si))
+            np.testing.assert_array_equal(np.asarray(bv[row]), np.asarray(sv))
+
     def test_hybrid_cosine(self):
         rng = np.random.default_rng(7)
         c, d, k = TILE, 64, 8

@@ -173,6 +173,65 @@ def scores_topk_fused(scores: jax.Array, k: int, largest: bool = True):
     return vals, flat_i[pos]
 
 
+def _scores_kernel_batched(largest: bool, s_ref, val_ref, idx_ref):
+    scores = s_ref[0]  # [R, 128] f32 (this query's tile)
+    best, row = _lane_argbest(scores, largest=largest)
+    base_row = pl.program_id(1) * ROWS_PER_TILE
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    gidx = (base_row + row) * LANES + lanes
+    fill = -jnp.inf if largest else jnp.inf
+    val_ref[0, 0, 0:1, :] = best
+    val_ref[0, 0, 1:SUB, :] = jnp.full((SUB - 1, LANES), fill, jnp.float32)
+    idx_ref[0, 0, 0:1, :] = gidx
+    idx_ref[0, 0, 1:SUB, :] = jnp.zeros((SUB - 1, LANES), jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def scores_topk_fused_batched(scores: jax.Array, k: int, largest: bool = True):
+    """Batched partial-reduce top-k: scores [Q, C] -> ([Q, k], [Q, k]).
+
+    One pallas launch over a (Q, tiles) grid — the batched companion of
+    scores_topk_fused for multi-query serving (knn_batch): all queries'
+    candidates reduce in one kernel instead of Q separate launches.
+    """
+    q, c = scores.shape
+    if c % (ROWS_PER_TILE * LANES):
+        raise ValueError(
+            f"scores_topk_fused_batched requires C % {ROWS_PER_TILE * LANES}"
+            f" == 0, got {c}"
+        )
+    r_total = c // LANES
+    grid_t = r_total // ROWS_PER_TILE
+    s3 = scores.reshape(q, r_total, LANES)
+    val_t, idx_t = pl.pallas_call(
+        functools.partial(_scores_kernel_batched, largest),
+        grid=(q, grid_t),
+        interpret=jax.default_backend() == "cpu",
+        in_specs=[
+            pl.BlockSpec((1, ROWS_PER_TILE, LANES), lambda qi, i: (qi, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, SUB, LANES), lambda qi, i: (qi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, SUB, LANES), lambda qi, i: (qi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((q, grid_t, SUB, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((q, grid_t, SUB, LANES), jnp.int32),
+        ],
+    )(s3)
+    flat_v = val_t[:, :, 0, :].reshape(q, -1)
+    flat_i = idx_t[:, :, 0, :].reshape(q, -1)
+    if largest:
+        vals, pos = jax.lax.top_k(flat_v, k)
+    else:
+        neg, pos = jax.lax.top_k(-flat_v, k)
+        vals = -neg
+    return vals, jnp.take_along_axis(flat_i, pos, axis=1)
+
+
 @functools.partial(jax.jit, static_argnums=(3,))
 def cosine_int8_topk_hybrid(
     q8: jax.Array,  # [D] int8
