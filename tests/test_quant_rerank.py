@@ -73,6 +73,34 @@ class TestKnnBatch:
                 (h.record_id, round(h.score, 6)) for h in single
             ]
 
+    def test_int8_fused_batch_path(self, tmp_path):
+        """With quantization on and tile-aligned capacity, knn_batch takes
+        the GEMM + batched-pallas-reduce path; results must still rank the
+        exact match first and respect validity (padding rows)."""
+        from ucfp_tpu.ops import pallas_scan
+
+        tile = pallas_scan.ROWS_PER_TILE * pallas_scan.LANES
+        b = EmbeddedBackend(str(tmp_path), knn_quant="int8")
+        # 32-d random unit vectors: distinct directions survive int8
+        # quantization (2-d would collapse to ~256 distinguishable angles)
+        rng = np.random.default_rng(0)
+        vecs = rng.normal(size=(40_000, 32)).astype(np.float32)
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        vec = lambda i: [float(x) for x in vecs[i]]
+        # capacity doubles in powers of 2 from 1024: inserting 40k rows
+        # lands capacity at 65536 = 2 * tile (aligned)
+        n = 40_000
+        run(b.upsert([Record(0, i, Modality.TEXT, "e", b"x", embedding=vec(i))
+                      for i in range(n)]))
+        cache = b._vec[(0, 32)]
+        assert cache.data.shape[0] % tile == 0  # fused path active
+        res = run(b.knn_batch(0, [vec(123), vec(39_000)], 3))
+        assert res[0][0].record_id == 123
+        assert res[1][0].record_id == 39_000
+        # padding rows (invalid) never surface
+        for hits in res:
+            assert all(h.record_id < n for h in hits)
+
     def test_mixed_dims_rejected(self, tmp_path):
         from ucfp_tpu.core import ModalityError
 
