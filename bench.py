@@ -30,15 +30,33 @@ import numpy as np
 
 
 def _timed(fn, n_iters: int) -> float:
-    """Seconds per iteration via the (t(N)-t(1))/(N-1) calibration."""
+    """Seconds per iteration via the (t(N)-t(1))/(N-1) calibration.
+
+    Tunnel jitter can inflate the 1-iteration baseline past the N-
+    iteration run, collapsing the estimate to ~0; take the median of up
+    to three positive measurement pairs and fall back to the raw t(N)/N
+    upper bound if every pair came out negative.
+    """
     fn(1)  # compile both variants + warm
     fn(n_iters)
-    t0 = time.perf_counter()
-    fn(1)
-    t1 = time.perf_counter()
-    fn(n_iters)
-    t2 = time.perf_counter()
-    return max((t2 - t1) - (t1 - t0), 1e-9) / (n_iters - 1)
+    estimates = []
+    fallback = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fn(1)
+        t1 = time.perf_counter()
+        fn(n_iters)
+        t2 = time.perf_counter()
+        fallback = (t2 - t1) / n_iters
+        delta = (t2 - t1) - (t1 - t0)
+        if delta > 0:
+            estimates.append(delta / (n_iters - 1))
+        if len(estimates) >= 2:
+            break
+    if estimates:
+        estimates.sort()
+        return estimates[len(estimates) // 2]
+    return max(fallback, 1e-9)
 
 
 def bench_phash(batch=512, iters=64):
