@@ -51,11 +51,10 @@ def _timed(fn, n_iters: int) -> float:
         delta = (t2 - t1) - (t1 - t0)
         if delta > 0:
             estimates.append(delta / (n_iters - 1))
-        if len(estimates) >= 2:
-            break
+        if estimates:
+            break  # first clean pair wins; retries only on jitter
     if estimates:
-        estimates.sort()
-        return estimates[len(estimates) // 2]
+        return estimates[0]
     return max(fallback, 1e-9)
 
 
