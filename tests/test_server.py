@@ -246,6 +246,21 @@ class TestIngestText:
         assert resp.status == 501
         assert jbody(resp)["error"] == "unsupported"
 
+    def test_tunables_validated_against_manifest(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        # h above the manifest max (1024): 400, not a mega-signature
+        resp = call(app, "POST", "/v1/ingest/text/0/1", b"some text here",
+                    query="algorithm=minhash&h=1000000")
+        assert resp.status == 400
+        assert b"within" in resp.body
+        # audio fan_out above max
+        import numpy as np
+
+        body = np.zeros(8192, "<f4").tobytes()
+        resp = call(app, "POST", "/v1/ingest/audio/0/2", body,
+                    query="sample_rate=8000&algorithm=wang&fan_out=9999")
+        assert resp.status == 400
+
     def test_bad_utf8_400(self, tmp_path):
         app, _ = make_app(tmp_path)
         resp = call(app, "POST", "/v1/ingest/text/0/5", b"\xff\xfe\xfd")

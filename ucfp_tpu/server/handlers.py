@@ -334,11 +334,24 @@ class Handlers:
 
     # -- ingest: text ---------------------------------------------------------------
 
+    @staticmethod
+    def _in_range(req: Request, name: str, default, lo, hi, float_=False):
+        """Tunables are validated against the manifest's bounds, like the
+        reference (algorithms_manifest.rs drives per-request validation) —
+        an out-of-range knob is a 400, not a silent mega-allocation."""
+        v = req.qp_float(name, default) if float_ else req.qp_int(name, default)
+        if v is not None and not (lo <= v <= hi):
+            raise HttpError(
+                400, "bad_query",
+                f"{name} must be within [{lo}, {hi}], got {v}",
+            )
+        return v
+
     def _text_opts(self, req: Request) -> tmod.TextOpts:
         """build_text_opts equivalent (handlers.rs:521-588)."""
         return tmod.TextOpts(
-            k=req.qp_int("k", tmod.DEFAULT_K),
-            h=req.qp_int("h", tmod.DEFAULT_H),
+            k=self._in_range(req, "k", tmod.DEFAULT_K, 1, 16),
+            h=self._in_range(req, "h", tmod.DEFAULT_H, 16, 1024),
             tokenizer=req.query.get("tokenizer", "word"),
             normalization=req.query.get("canon_normalization", "nfkc"),
             case_fold=req.qp_bool("canon_case_fold", True),
@@ -428,9 +441,11 @@ class Handlers:
 
     def _image_pre(self, req: Request) -> imod.PreprocessConfig:
         return imod.PreprocessConfig(
-            max_input_bytes=req.qp_int("max_input_bytes", 50 * 1024 * 1024),
-            max_dimension=req.qp_int("max_dimension", 8192),
-            min_dimension=req.qp_int("min_dimension", 32),
+            max_input_bytes=self._in_range(
+                req, "max_input_bytes", 50 * 1024 * 1024, 1024, 512 * 1024 * 1024
+            ),
+            max_dimension=self._in_range(req, "max_dimension", 8192, 64, 16384),
+            min_dimension=self._in_range(req, "min_dimension", 32, 1, 1024),
         )
 
     async def ingest_image(self, req: Request) -> Response:
@@ -495,27 +510,31 @@ class Handlers:
         try:
             if algorithm == "wang":
                 cfg = WangConfig(
-                    fan_out=req.qp_int("fan_out", 10),
-                    target_zone_t=req.qp_int("target_zone_t", 63),
-                    target_zone_f=req.qp_int("target_zone_f", 64),
-                    peaks_per_sec=req.qp_int("peaks_per_sec", 30),
-                    min_anchor_mag_db=req.qp_float("min_anchor_mag_db", -50.0),
+                    fan_out=self._in_range(req, "fan_out", 10, 1, 32),
+                    target_zone_t=self._in_range(req, "target_zone_t", 63, 1, 256),
+                    target_zone_f=self._in_range(req, "target_zone_f", 64, 1, 256),
+                    peaks_per_sec=self._in_range(req, "peaks_per_sec", 30, 1, 120),
+                    min_anchor_mag_db=self._in_range(
+                        req, "min_anchor_mag_db", -50.0, -120.0, 0.0, float_=True
+                    ),
                     local_floor=req.qp_bool("local_floor", False),
                 )
                 rec = amod.fingerprint_wang(samples, sample_rate, tid, rid, cfg)
             elif algorithm == "panako":
                 cfg = PanakoConfig(
-                    fan_out=req.qp_int("fan_out", 5),
-                    target_zone_t=req.qp_int("target_zone_t", 96),
-                    target_zone_f=req.qp_int("target_zone_f", 96),
-                    peaks_per_sec=req.qp_int("peaks_per_sec", 30),
-                    min_anchor_mag_db=req.qp_float("min_anchor_mag_db", -50.0),
+                    fan_out=self._in_range(req, "fan_out", 5, 1, 32),
+                    target_zone_t=self._in_range(req, "target_zone_t", 96, 1, 256),
+                    target_zone_f=self._in_range(req, "target_zone_f", 96, 1, 256),
+                    peaks_per_sec=self._in_range(req, "peaks_per_sec", 30, 1, 120),
+                    min_anchor_mag_db=self._in_range(
+                        req, "min_anchor_mag_db", -50.0, -120.0, 0.0, float_=True
+                    ),
                 )
                 rec = amod.fingerprint_panako(samples, sample_rate, tid, rid, cfg)
             elif algorithm == "haitsma":
                 cfg = HaitsmaConfig(
-                    fmin=req.qp_float("fmin", 300.0),
-                    fmax=req.qp_float("fmax", 2000.0),
+                    fmin=self._in_range(req, "fmin", 300.0, 50.0, 2000.0, float_=True),
+                    fmax=self._in_range(req, "fmax", 2000.0, 500.0, 2500.0, float_=True),
                 )
                 rec = amod.fingerprint_haitsma(samples, sample_rate, tid, rid, cfg)
             elif algorithm == "neural":
