@@ -640,7 +640,13 @@ class EmbeddedBackend(IndexBackend):
         """Batched cosine top-k: all queries share ONE device matmul —
         the MXU runs a real GEMM instead of Q GEMVs (a single 10M x 64
         GEMV streams at ~30% of HBM peak; batching recovers it). Returns
-        one hit list per query, same semantics as knn()."""
+        one hit list per query.
+
+        Semantics match knn() except under UCFP_KNN_QUANT=int8 with
+        small k, where the fused pallas partial-reduce keeps one
+        candidate per (tile, lane) — exact for top-1 and near-exact for
+        k <= 16 (collision odds documented in ops/pallas_scan.py); larger
+        k falls back to the exact kernel."""
         if k == 0 or not queries:
             return [[] for _ in queries]
         dims = {len(q) for q in queries}
@@ -670,7 +676,10 @@ class EmbeddedBackend(IndexBackend):
                 q8m, row_norm, valid = dev
                 cap = q8m.shape[0]
                 tile = pallas_scan.ROWS_PER_TILE * pallas_scan.LANES
-                if cap % tile == 0:
+                n_candidates = (cap // tile) * pallas_scan.LANES
+                # fused partial-reduce: only when the candidate pool covers
+                # k with headroom (near-exact for small k; see docstring)
+                if cap % tile == 0 and kk <= min(16, n_candidates):
                     # the measured sub-ms path: one MXU GEMM over all
                     # queries + one 2D-grid pallas partial-reduce
                     qa = jnp.max(jnp.abs(jnp.asarray(qm)), axis=1, keepdims=True)
@@ -683,7 +692,8 @@ class EmbeddedBackend(IndexBackend):
                     qn = jnp.linalg.norm(qq.astype(jnp.float32), axis=1,
                                          keepdims=True)
                     denom = qn * jnp.maximum(row_norm, 1e-9)[None, :]
-                    sc = jnp.where(valid[None, :], dots / denom, -jnp.inf)
+                    ok = valid[None, :] & (row_norm[None, :] > 0.0)
+                    sc = jnp.where(ok, dots / denom, -jnp.inf)
                     scores, idx = pallas_scan.scores_topk_fused_batched(sc, kk)
                 else:
                     scores, idx = knn_ops.cosine_topk_int8(

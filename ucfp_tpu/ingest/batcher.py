@@ -46,6 +46,9 @@ class DeadlineBatcher:
         self._queues: dict[Hashable, list[_Pending]] = {}
         self._timers: dict[Hashable, asyncio.TimerHandle] = {}
         self._lock = asyncio.Lock()
+        # strong refs: the loop holds tasks weakly, and a GC'd flush task
+        # would leave every queued future hanging forever
+        self._flush_tasks: set = set()
 
     async def submit(self, bucket: Hashable, payload: Any):
         loop = asyncio.get_running_loop()
@@ -57,10 +60,13 @@ class DeadlineBatcher:
             if len(q) >= self.max_batch:
                 flush_now = True
             elif bucket not in self._timers:
-                self._timers[bucket] = loop.call_later(
-                    self.max_delay,
-                    lambda: asyncio.ensure_future(self._flush(bucket)),
-                )
+
+                def _fire(b=bucket):
+                    task = asyncio.ensure_future(self._flush(b))
+                    self._flush_tasks.add(task)
+                    task.add_done_callback(self._flush_tasks.discard)
+
+                self._timers[bucket] = loop.call_later(self.max_delay, _fire)
         if flush_now:
             await self._flush(bucket)
         return await fut

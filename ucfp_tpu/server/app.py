@@ -57,7 +57,12 @@ def build_server(
     body_limit: Optional[int] = None,
     timeout_secs: Optional[float] = None,
 ) -> HttpServer:
-    h = Handlers(state.index, state.inputs, keystore=state.keystore)
+    h = Handlers(
+        state.index,
+        state.inputs,
+        keystore=state.keystore,
+        usage_log_path=getattr(state.usage, "path", None),
+    )
     r = Router()
     # public (mod.rs:78-88)
     async def index_page(req: Request) -> Response:
@@ -150,11 +155,12 @@ def build_server(
             raise
         finally:
             op = UsageOp.DESCRIBE
-            for prefix, o in _OP_BY_PREFIX:
-                if req.path.startswith(prefix):
-                    op = o
-                    break
-            if req.method == "DELETE":
+            if req.method in ("PUT", "POST"):
+                for prefix, o in _OP_BY_PREFIX:
+                    if req.path.startswith(prefix):
+                        op = o
+                        break
+            elif req.method == "DELETE":
                 op = UsageOp.DELETE
             ev = UsageEvent(
                 tenant_id=ctx.tenant_id,

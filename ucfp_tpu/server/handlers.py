@@ -99,10 +99,12 @@ def _ingest_response(rec: Record, return_embedding: bool) -> Response:
 
 
 class Handlers:
-    def __init__(self, index: EmbeddedBackend, inputs: InputsCache, keystore=None):
+    def __init__(self, index: EmbeddedBackend, inputs: InputsCache,
+                 keystore=None, usage_log_path=None):
         self.index = index
         self.inputs = inputs
         self.keystore = keystore
+        self.usage_log_path = usage_log_path
         self.matcher = Matcher(index)
         self.started = time.time()
         # cross-request device batching for image hashing: concurrent
@@ -613,8 +615,18 @@ class Handlers:
     async def admin_create_key(self, req: Request) -> Response:
         self._require_service(req)
         body = req.json() if req.body else {}
-        tenant_id = int(body.get("tenant_id", 0))
-        issued = self._keystore().issue(tenant_id, body.get("key_id"))
+        try:
+            tenant_id = int(body.get("tenant_id", 0))
+        except (TypeError, ValueError):
+            raise HttpError(400, "bad_request", "tenant_id must be an integer")
+        import asyncio as _aio
+
+        try:
+            issued = await _aio.to_thread(
+                self._keystore().issue, tenant_id, body.get("key_id")
+            )
+        except ValueError as e:
+            raise HttpError(409, "conflict", str(e))
         return Response.json(issued, status=201)
 
     async def admin_list_keys(self, req: Request) -> Response:
@@ -633,7 +645,9 @@ class Handlers:
         self._require_service(req)
         import os
 
-        path = os.environ.get("UCFP_USAGE_LOG_PATH")
+        # the configured sink's path wins; env is the fallback for noop
+        # sinks configured out-of-band
+        path = self.usage_log_path or os.environ.get("UCFP_USAGE_LOG_PATH")
         if not path or not os.path.exists(path):
             return Response.json({"events": []})
         tid = req.qp_int("tenant_id", None)

@@ -42,15 +42,25 @@ class PersistentKeyStore(ApiKeyLookup):
         tmp = self.path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(self._keys, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())  # the plaintext is shown once; the
+            # digest must survive a crash or the issued key is dead
         os.replace(tmp, self.path)
 
     def issue(self, tenant_id: int, key_id: Optional[str] = None) -> dict:
-        """Create a key; returns the one-time plaintext token."""
+        """Create a key; returns the one-time plaintext token. Raises
+        ValueError when key_id is already in use — revoke() deletes by
+        key_id, so duplicates would make one call revoke both keys."""
         token = "ucfp_" + base64.urlsafe_b64encode(secrets.token_bytes(32)).rstrip(
             b"="
         ).decode()
         with self._lock:
-            kid = key_id or f"key_{len(self._keys) + 1}_{int(time.time())}"
+            existing = {row["key_id"] for row in self._keys.values()}
+            if key_id is not None and key_id in existing:
+                raise ValueError(f"key_id {key_id!r} already exists")
+            kid = key_id
+            while kid is None or kid in existing:
+                kid = f"key_{secrets.token_hex(4)}"
             self._keys[_digest(token)] = {
                 "key_id": kid,
                 "tenant_id": tenant_id,

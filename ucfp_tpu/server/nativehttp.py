@@ -33,10 +33,16 @@ class NativeHttpBridge:
         self.port = self.lib.ucfp_http_port(self._h)
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
+        # guards the native handle: _respond from late handler tasks must
+        # not race ucfp_http_stop freeing the Server
+        self._hlock = threading.Lock()
 
     def _to_request(self, raw: UcfpHttpReq) -> tuple[int, Request, bool]:
         headers: dict[str, str] = {}
-        for line in (raw.headers or b"").decode("latin-1").splitlines():
+        # split ONLY on \n (the C side's separator): str.splitlines also
+        # breaks on latin-1 control chars (0x85 NEL etc.) that are legal
+        # obs-text inside header values
+        for line in (raw.headers or b"").decode("latin-1").split("\n"):
             k, _, v = line.partition("\t")
             if k:
                 headers[k] = v
@@ -61,6 +67,12 @@ class NativeHttpBridge:
         extra = f"content-type: {resp.content_type}\r\n"
         for k, v in resp.headers.items():
             extra += f"{k}: {v}\r\n"
+        with self._hlock:
+            if self._h is None:
+                return  # shut down while the handler was in flight
+            self._respond_locked(req_id, resp, extra, close_after)
+
+    def _respond_locked(self, req_id, resp, extra, close_after) -> None:
         self.lib.ucfp_http_respond(
             self._h,
             req_id,
@@ -110,6 +122,11 @@ class NativeHttpBridge:
         if not self._stop.is_set():
             self._stop.set()
             if self._thread is not None:
-                self._thread.join(timeout=2)
-            self.lib.ucfp_http_stop(self._h)
-            self._h = None
+                # the pull loop polls with a 200 ms timeout, so it exits
+                # promptly; wait without a timeout rather than freeing the
+                # native Server under a live ucfp_http_next call
+                self._thread.join()
+            with self._hlock:
+                h, self._h = self._h, None
+            if h:
+                self.lib.ucfp_http_stop(h)
