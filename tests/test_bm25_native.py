@@ -81,3 +81,39 @@ class TestNativeParity:
         e = make_engine(prefer_native=True)
         assert isinstance(e, NativeBm25Engine)
         assert isinstance(make_engine(prefer_native=False), Bm25Engine)
+
+
+class TestNativeTokenizePath:
+    """ucfp_bm25_upsert_text (ASCII tokenize in C++) vs the blob path."""
+
+    def test_unicode_falls_back_and_matches(self, engines):
+        nat, py = engines
+        docs = {
+            0: "Cafe au lait plain ascii",
+            1: "Café au lait, naïve façade — İstanbul!",  # blob fallback
+            2: "MIXED case And   punct!!! x2 plus y3",
+            3: "same same same SAME tokens Tokens",  # tf counting
+            4: "____ --- !!!",  # tokenless -> behaves like delete
+        }
+        for rid, text in docs.items():
+            nat.upsert_one(0, rid, text)
+            py.upsert_one(0, rid, text)
+        assert nat.stats(0) == py.stats(0)
+        for q in (["cafe"], ["café"], ["same tokens"], ["istanbul au"]):
+            assert nat.search(0, q, 10) == py.search(0, q, 10)
+
+    def test_ascii_reupsert_churn(self, engines):
+        nat, py = engines
+        fill(engines, seed=7, docs=40)
+        rng = random.Random(8)
+        for rid in range(0, 40, 3):
+            text = " ".join(rng.choices(WORDS, k=rng.randint(1, 25)))
+            nat.upsert_one(0, rid, text)
+            py.upsert_one(0, rid, text)
+        for rid in range(0, 40, 5):
+            nat.clear_one(0, rid)
+            py.clear_one(0, rid)
+        assert nat.stats(0) == py.stats(0)
+        for _ in range(10):
+            q = rng.choices(WORDS, k=2)
+            assert nat.search(0, q, 10) == py.search(0, q, 10)

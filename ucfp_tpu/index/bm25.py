@@ -22,6 +22,7 @@ SURVEY.md section 7 explicitly defers device-scored postings.
 from __future__ import annotations
 
 import math
+import re
 from collections import Counter, defaultdict
 from dataclasses import dataclass, field
 
@@ -32,19 +33,17 @@ B = 0.75
 MAX_EXPLAIN_TERMS_PER_DOC = 16
 
 
+# runs of isalnum chars: Python's re defines \w as str.isalnum() plus
+# underscore, so [^\W_]+ is exactly "maximal isalnum runs" — verified
+# bit-identical to a per-char isalnum loop over the full BMP + astral
+# planes and a 2000-string Unicode fuzz (incl. lowercase-expanding chars
+# like İ, since lower() runs first either way)
+_TOKEN_RE = re.compile(r"[^\W_]+")
+
+
 def tokenize(text: str) -> list[str]:
     """Lowercase + split on non-alphanumeric (bm25.rs:88-97)."""
-    out: list[str] = []
-    cur: list[str] = []
-    for ch in text.lower():
-        if ch.isalnum():
-            cur.append(ch)
-        elif cur:
-            out.append("".join(cur))
-            cur = []
-    if cur:
-        out.append("".join(cur))
-    return out
+    return _TOKEN_RE.findall(text.lower())
 
 
 @dataclass
@@ -217,6 +216,13 @@ class NativeBm25Engine:
         h = self._h(tenant_id, create=True)
         if not text:
             self._lib.ucfp_bm25_clear(h, record_id)
+            return
+        if text.isascii():
+            # tokenize + count natively (exact ASCII subset of the
+            # Python tokenizer); returns -1 only on a non-ASCII byte,
+            # which isascii() already excludes
+            b = text.encode()
+            self._lib.ucfp_bm25_upsert_text(h, record_id, b, len(b))
             return
         toks = tokenize(text)
         if not toks:

@@ -86,6 +86,10 @@ def load_bm25():
         ctypes.c_void_p, ctypes.c_uint64, ctypes.c_char_p, ctypes.c_uint32,
         ctypes.c_uint32,
     ]
+    lib.ucfp_bm25_upsert_text.restype = ctypes.c_long
+    lib.ucfp_bm25_upsert_text.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint64, ctypes.c_char_p, ctypes.c_uint32,
+    ]
     for fn in ("ucfp_bm25_doc_count", "ucfp_bm25_total_doc_len",
                "ucfp_bm25_term_count"):
         getattr(lib, fn).restype = ctypes.c_uint64

@@ -2,15 +2,27 @@
 //
 // The reference's BM25 is native (FST term dict + roaring postings in
 // redb, scored in Rust — src/index/embedded/bm25.rs). This is the
-// equivalent host engine: per-tenant corpora with term -> postings maps,
-// clear-then-reindex upserts, and BM25+ scoring
+// equivalent host engine: per-tenant corpora with interned terms and
+// contiguous postings vectors, clear-then-reindex upserts, and BM25+
+// scoring
 //   idf = ln((N - n + 0.5) / (n + 0.5) + 1)
 //   score += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
 // with k1 = 1.2, b = 0.75 (bm25.rs:79-80,551). Accumulation runs in
 // double in query-term order, matching the Python engine bit for bit so
 // either backend produces identical rankings.
 //
+// Layout: terms are interned to dense uint32 ids once; each term's
+// postings are a flat vector<pair<doc, tf>> (clear-then-reindex keeps
+// them duplicate-free). Contiguous postings make the scoring loop a
+// linear sweep instead of a node-chasing hash-map walk, and inserts are
+// amortized push_backs instead of per-posting heap allocations.
+//
 // C ABI. Term blobs: [u32 n] then n x { u16 len, bytes, u32 tf }.
+// ucfp_bm25_upsert_text additionally accepts raw ASCII text and runs
+// tokenize (lowercase + split on non-alphanumeric, the Python
+// tokenizer's exact semantics for ASCII input) in native code; callers
+// must route non-ASCII text through the blob path, where Python owns
+// the Unicode lowercase/isalnum semantics.
 // Search results are written into caller-provided arrays.
 
 #include <algorithm>
@@ -26,14 +38,35 @@ namespace {
 constexpr double kK1 = 1.2;
 constexpr double kB = 0.75;
 
+using Postings = std::vector<std::pair<uint64_t, uint32_t>>;  // (doc, tf)
+
 struct Corpus {
-  // term -> postings (doc -> tf). flat_hash semantics via unordered_map.
-  std::unordered_map<std::string, std::unordered_map<uint64_t, uint32_t>>
-      postings;
+  std::unordered_map<std::string, uint32_t> term_ids;  // term -> dense id
+  std::vector<Postings> postings;                      // by term id
   std::unordered_map<uint64_t, uint32_t> doc_lens;
-  std::unordered_map<uint64_t, std::vector<std::string>> doc_terms;
+  std::unordered_map<uint64_t, std::vector<uint32_t>> doc_terms;  // doc -> ids
   uint64_t total_doc_len = 0;
+  uint64_t live_terms = 0;  // term ids with non-empty postings
 };
+
+uint32_t intern(Corpus* c, const char* ptr, size_t len) {
+  auto [it, inserted] =
+      c->term_ids.emplace(std::string(ptr, len), (uint32_t)c->postings.size());
+  if (inserted) c->postings.emplace_back();
+  return it->second;
+}
+
+// -1 when the term was never seen.
+long term_id(const Corpus* c, const char* ptr, size_t len) {
+  auto it = c->term_ids.find(std::string(ptr, len));
+  return it == c->term_ids.end() ? -1 : (long)it->second;
+}
+
+void add_posting(Corpus* c, uint32_t tid, uint64_t doc, uint32_t tf) {
+  Postings& p = c->postings[tid];
+  if (p.empty()) c->live_terms++;
+  p.emplace_back(doc, tf);
+}
 
 struct TermRef {
   const char* ptr;
@@ -76,12 +109,16 @@ void ucfp_bm25_clear(void* h, uint64_t doc) {
   Corpus* c = static_cast<Corpus*>(h);
   auto it = c->doc_terms.find(doc);
   if (it == c->doc_terms.end()) return;
-  for (const auto& term : it->second) {
-    auto p = c->postings.find(term);
-    if (p != c->postings.end()) {
-      p->second.erase(doc);
-      if (p->second.empty()) c->postings.erase(p);
+  for (uint32_t tid : it->second) {
+    Postings& p = c->postings[tid];
+    for (size_t i = 0; i < p.size(); i++) {
+      if (p[i].first == doc) {
+        p[i] = p.back();
+        p.pop_back();
+        break;  // clear-then-reindex keeps lists duplicate-free
+      }
     }
+    if (p.empty()) c->live_terms--;
   }
   c->total_doc_len -= c->doc_lens[doc];
   c->doc_lens.erase(doc);
@@ -99,13 +136,58 @@ int ucfp_bm25_upsert(void* h, uint64_t doc, const uint8_t* blob,
   auto& dt = c->doc_terms[doc];
   dt.reserve(terms.size());
   for (const auto& t : terms) {
-    std::string term(t.ptr, t.len);
-    c->postings[term][doc] = t.tf;
-    dt.push_back(std::move(term));
+    uint32_t tid = intern(c, t.ptr, t.len);
+    add_posting(c, tid, doc, t.tf);
+    dt.push_back(tid);
   }
   c->doc_lens[doc] = doc_len;
   c->total_doc_len += doc_len;
   return 0;
+}
+
+// Tokenize ASCII text natively and upsert. Returns the token count, or
+// -1 when the text contains a non-ASCII byte (caller must fall back to
+// the Python tokenizer + blob path — Unicode semantics live there).
+// Empty token stream degrades to a plain clear, like the Python engine.
+long ucfp_bm25_upsert_text(void* h, uint64_t doc, const uint8_t* text,
+                           uint32_t text_len) {
+  for (uint32_t i = 0; i < text_len; i++) {
+    if (text[i] >= 0x80) return -1;
+  }
+  Corpus* c = static_cast<Corpus*>(h);
+  ucfp_bm25_clear(h, doc);
+
+  // lowercase + split on non-alphanumeric; count via sort + run-length
+  // over dense term ids (cheaper than a per-doc hash map).
+  std::vector<uint32_t> ids;
+  std::string tok;
+  uint32_t n_tokens = 0;
+  for (uint32_t i = 0; i <= text_len; i++) {
+    char ch = i < text_len ? (char)text[i] : ' ';
+    if (ch >= 'A' && ch <= 'Z') ch = (char)(ch - 'A' + 'a');
+    const bool alnum =
+        (ch >= 'a' && ch <= 'z') || (ch >= '0' && ch <= '9');
+    if (alnum) {
+      tok.push_back(ch);
+    } else if (!tok.empty()) {
+      ids.push_back(intern(c, tok.data(), tok.size()));
+      n_tokens++;
+      tok.clear();
+    }
+  }
+  if (ids.empty()) return 0;
+  std::sort(ids.begin(), ids.end());
+  auto& dt = c->doc_terms[doc];
+  for (size_t i = 0; i < ids.size();) {
+    size_t j = i;
+    while (j < ids.size() && ids[j] == ids[i]) j++;
+    add_posting(c, ids[i], doc, (uint32_t)(j - i));
+    dt.push_back(ids[i]);
+    i = j;
+  }
+  c->doc_lens[doc] = n_tokens;
+  c->total_doc_len += n_tokens;
+  return (long)n_tokens;
 }
 
 uint64_t ucfp_bm25_doc_count(void* h) {
@@ -117,23 +199,25 @@ uint64_t ucfp_bm25_total_doc_len(void* h) {
 }
 
 uint64_t ucfp_bm25_term_count(void* h) {
-  return static_cast<Corpus*>(h)->postings.size();
+  return static_cast<Corpus*>(h)->live_terms;
 }
 
 // df of one term (for SimHash-IDF corpus stats).
 uint64_t ucfp_bm25_df(void* h, const char* term, uint16_t len) {
   Corpus* c = static_cast<Corpus*>(h);
-  auto it = c->postings.find(std::string(term, len));
-  return it == c->postings.end() ? 0 : it->second.size();
+  long tid = term_id(c, term, len);
+  return tid < 0 ? 0 : c->postings[tid].size();
 }
 
 // tf of (term, doc) and the doc's length — for explain recomputation.
 uint32_t ucfp_bm25_tf(void* h, const char* term, uint16_t len, uint64_t doc) {
   Corpus* c = static_cast<Corpus*>(h);
-  auto it = c->postings.find(std::string(term, len));
-  if (it == c->postings.end()) return 0;
-  auto d = it->second.find(doc);
-  return d == it->second.end() ? 0 : d->second;
+  long tid = term_id(c, term, len);
+  if (tid < 0) return 0;
+  for (const auto& [d, tf] : c->postings[tid]) {
+    if (d == doc) return tf;
+  }
+  return 0;
 }
 
 uint32_t ucfp_bm25_doc_len(void* h, uint64_t doc) {
@@ -156,11 +240,12 @@ long ucfp_bm25_search(void* h, const uint8_t* blob, uint32_t blob_len,
 
   std::unordered_map<uint64_t, double> scores;
   for (const auto& t : terms) {
-    auto it = c->postings.find(std::string(t.ptr, t.len));
-    if (it == c->postings.end()) continue;
-    const double n_t = static_cast<double>(it->second.size());
+    long tid = term_id(c, t.ptr, t.len);
+    if (tid < 0 || c->postings[tid].empty()) continue;
+    const Postings& plist = c->postings[tid];
+    const double n_t = static_cast<double>(plist.size());
     const double idf = std::log((n_docs - n_t + 0.5) / (n_t + 0.5) + 1.0);
-    for (const auto& [doc, tf] : it->second) {
+    for (const auto& [doc, tf] : plist) {
       const double dl = static_cast<double>(c->doc_lens[doc]);
       const double denom = tf + kK1 * (1.0 - kB + kB * dl / avgdl);
       scores[doc] += idf * (tf * (kK1 + 1.0)) / denom;
