@@ -114,8 +114,15 @@ class TestAdminRoutes:
         events = json.loads(resp.body)["events"]
         assert events and events[-1]["op"] == "ingest"
 
-    def test_admin_requires_service_bearer(self, tmp_path):
+    def test_tenant_key_scoped_to_own_tenant(self, tmp_path):
+        """A tenant-scoped key manages ONLY its own tenant's keys (the
+        reference dashboard's per-user key CRUD); other tenants 403."""
         app, ks = make_app_with_keystore(tmp_path)
         issued = ks.issue(5, "beta")
         resp = call(app, "POST", "/v1/admin/keys", b"{}", token=issued["token"])
+        assert resp.status == 201
+        assert json.loads(resp.body)["tenant_id"] == 5
+        resp = call(app, "POST", "/v1/admin/keys",
+                    json.dumps({"tenant_id": 6}).encode(),
+                    token=issued["token"])
         assert resp.status == 403

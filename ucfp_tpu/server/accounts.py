@@ -1,0 +1,142 @@
+"""User accounts + browser sessions for the dashboard.
+
+Self-hosted rebuild of the reference web control plane's auth
+(web/src/lib/server/auth.ts:32-150 and web/migrations/0001_init.sql):
+
+  * users: PBKDF2-SHA256 password hashes (per-user random salt), each
+    signup auto-assigned the next tenant_id (the D1 schema's
+    auto-tenant trigger)
+  * sessions: the browser cookie holds a random token; the store keeps
+    only sha256(token), so a leaked store cannot mint sessions
+    (auth.ts session id = sha256(cookie token))
+  * signup / login / logout handlers; a valid session authenticates
+    protected API routes scoped to the user's tenant (the reference's
+    SvelteKit layer proxies with a service bearer + X-Ucfp-Tenant —
+    here the session acts directly with the same tenant scoping)
+
+Storage is one JSON file beside the index data, written atomically and
+fsync'd like the keystore.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import hmac
+import json
+import os
+import secrets
+import threading
+import time
+from typing import Optional
+
+PBKDF2_ITERS = 100_000
+SESSION_TTL_SECS = 7 * 24 * 3600
+_MAX_SESSIONS = 4096  # clear-on-overflow bound, like the key cache
+
+
+def _hash_password(password: str, salt: bytes) -> str:
+    return hashlib.pbkdf2_hmac(
+        "sha256", password.encode(), salt, PBKDF2_ITERS
+    ).hex()
+
+
+class AccountStore:
+    def __init__(self, path: str):
+        self.path = path
+        self._lock = threading.Lock()
+        self._users: dict[str, dict] = {}  # email -> row
+        self._sessions: dict[str, dict] = {}  # sha256(token) -> row
+        if os.path.exists(path):
+            try:
+                with open(path) as f:
+                    blob = json.load(f)
+                self._users = blob.get("users", {})
+                self._sessions = blob.get("sessions", {})
+            except (json.JSONDecodeError, OSError):
+                pass
+
+    def _save(self) -> None:
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"users": self._users, "sessions": self._sessions}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self.path)
+
+    def _next_tenant_id(self) -> int:
+        used = [row["tenant_id"] for row in self._users.values()]
+        return max(used, default=0) + 1
+
+    # -- users ---------------------------------------------------------------
+
+    def signup(self, email: str, password: str) -> dict:
+        """Create a user with the next free tenant_id; returns a fresh
+        session. Raises ValueError on a duplicate email or weak input."""
+        email = email.strip().lower()
+        if not email or "@" not in email or len(email) > 254:
+            raise ValueError("invalid email")
+        if len(password) < 8:
+            raise ValueError("password must be at least 8 characters")
+        with self._lock:
+            if email in self._users:
+                raise ValueError("account already exists")
+            salt = secrets.token_bytes(16)
+            self._users[email] = {
+                "salt": salt.hex(),
+                "pw": _hash_password(password, salt),
+                "tenant_id": self._next_tenant_id(),
+                "created": int(time.time()),
+            }
+            return self._new_session_locked(email)
+
+    def login(self, email: str, password: str) -> Optional[dict]:
+        """Constant-time verify; returns a fresh session or None."""
+        email = email.strip().lower()
+        with self._lock:
+            row = self._users.get(email)
+            # always burn a PBKDF2 round so unknown emails are not
+            # distinguishable from wrong passwords by timing
+            salt = bytes.fromhex(row["salt"]) if row else b"\x00" * 16
+            got = _hash_password(password, salt)
+            if row is None or not hmac.compare_digest(got, row["pw"]):
+                return None
+            return self._new_session_locked(email)
+
+    # -- sessions ------------------------------------------------------------
+
+    def _new_session_locked(self, email: str) -> dict:
+        if len(self._sessions) >= _MAX_SESSIONS:
+            self._sessions.clear()
+        token = secrets.token_urlsafe(32)
+        self._sessions[hashlib.sha256(token.encode()).hexdigest()] = {
+            "email": email,
+            "tenant_id": self._users[email]["tenant_id"],
+            "expires": int(time.time()) + SESSION_TTL_SECS,
+        }
+        self._save()
+        return {
+            "token": token,
+            "email": email,
+            "tenant_id": self._users[email]["tenant_id"],
+        }
+
+    def resolve(self, token: str) -> Optional[dict]:
+        """Session row for a cookie token, or None if unknown/expired."""
+        h = hashlib.sha256(token.encode()).hexdigest()
+        with self._lock:
+            row = self._sessions.get(h)
+            if row is None:
+                return None
+            if row["expires"] < time.time():
+                del self._sessions[h]
+                self._save()
+                return None
+            return dict(row)
+
+    def logout(self, token: str) -> bool:
+        h = hashlib.sha256(token.encode()).hexdigest()
+        with self._lock:
+            if self._sessions.pop(h, None) is not None:
+                self._save()
+                return True
+            return False

@@ -40,6 +40,7 @@ class ServerState:
     usage: UsageSink
     inputs: InputsCache
     keystore: object = None  # Optional[PersistentKeyStore]
+    accounts: object = None  # Optional[AccountStore]
 
 
 # strong refs for in-flight usage tasks (see middleware comment)
@@ -62,6 +63,7 @@ def build_server(
         state.inputs,
         keystore=state.keystore,
         usage_log_path=getattr(state.usage, "path", None),
+        accounts=state.accounts,
     )
     r = Router()
     # public (mod.rs:78-88)
@@ -91,6 +93,11 @@ def build_server(
         "/v1/ingest/audio/{tenant_id}/{record_id}/stream",
         h.ingest_audio_stream,
     )
+    # dashboard accounts (reference web/src/routes/api/auth/*)
+    r.add("POST", "/v1/auth/signup", h.auth_signup, protected=False)
+    r.add("POST", "/v1/auth/login", h.auth_login, protected=False)
+    r.add("POST", "/v1/auth/logout", h.auth_logout, protected=False)
+    r.add("GET", "/v1/auth/whoami", h.auth_whoami)
     r.add("POST", "/v1/admin/keys", h.admin_create_key)
     r.add("GET", "/v1/admin/keys", h.admin_list_keys)
     r.add("DELETE", "/v1/admin/keys/{key_id}", h.admin_revoke_key)
@@ -118,13 +125,27 @@ def build_server(
     async def middleware(req: Request, handler, protected: bool) -> Response:
         if not protected:
             return await handler(req)
-        # bearer parse -> lookup (mod.rs:310-330)
+        # bearer parse -> lookup (mod.rs:310-330); a dashboard session
+        # cookie is an accepted alternative, scoped to its tenant
         authz = req.headers.get("authorization", "")
-        if not authz.lower().startswith("bearer "):
-            raise HttpError(401, "unauthorized", "missing bearer token")
-        ctx = await state.api_keys.lookup(authz[7:].strip())
+        ctx = None
+        if authz.lower().startswith("bearer "):
+            ctx = await state.api_keys.lookup(authz[7:].strip())
+            if ctx is None:
+                raise HttpError(401, "unauthorized", "unknown API key")
+        elif state.accounts is not None:
+            from .auth import ApiKeyContext
+            from .handlers import session_token
+
+            tok = session_token(req)
+            sess = state.accounts.resolve(tok) if tok else None
+            if sess is not None:
+                ctx = ApiKeyContext(
+                    tenant_id=sess["tenant_id"],
+                    key_id=f"session:{sess['email']}",
+                )
         if ctx is None:
-            raise HttpError(401, "unauthorized", "unknown API key")
+            raise HttpError(401, "unauthorized", "missing bearer token")
         # rate check (mod.rs:332-345)
         decision = await state.rate_limit.check(ctx.tenant_id, ctx.rate_class)
         if not decision.allowed:
@@ -215,6 +236,9 @@ def state_from_env(
     from .keystore import CompositeKeyLookup, PersistentKeyStore
 
     keystore = PersistentKeyStore(os.path.join(data_dir, "keys.json"))
+    from .accounts import AccountStore
+
+    accounts = AccountStore(os.path.join(data_dir, "accounts.json"))
     return ServerState(
         index=EmbeddedBackend(data_dir),
         api_keys=CompositeKeyLookup(api_keys, keystore),
@@ -222,6 +246,7 @@ def state_from_env(
         usage=usage,
         inputs=InputsCache(),
         keystore=keystore,
+        accounts=accounts,
     )
 
 

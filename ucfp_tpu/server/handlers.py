@@ -74,6 +74,15 @@ def _err(e: UcfpError) -> HttpError:
     return HttpError(e.http_status, e.code, e.message)
 
 
+def session_token(req: Request) -> Optional[str]:
+    """The ucfp_session cookie value, if the browser sent one."""
+    for part in req.headers.get("cookie", "").split(";"):
+        name, _, value = part.strip().partition("=")
+        if name == "ucfp_session" and value:
+            return value
+    return None
+
+
 def _path_ids(req: Request) -> tuple[int, int]:
     try:
         return int(req.params["tenant_id"]), int(req.params["record_id"])
@@ -100,11 +109,12 @@ def _ingest_response(rec: Record, return_embedding: bool) -> Response:
 
 class Handlers:
     def __init__(self, index: EmbeddedBackend, inputs: InputsCache,
-                 keystore=None, usage_log_path=None):
+                 keystore=None, usage_log_path=None, accounts=None):
         self.index = index
         self.inputs = inputs
         self.keystore = keystore
         self.usage_log_path = usage_log_path
+        self.accounts = accounts  # Optional[AccountStore]
         self.matcher = Matcher(index)
         self.started = time.time()
         # cross-request device batching for image hashing: concurrent
@@ -599,7 +609,12 @@ class Handlers:
             status=201,
         )
 
-    # -- admin: API key management (service bearer only) -----------------------
+    # -- admin: API key management ------------------------------------------------
+    #
+    # The service bearer (tenant 0) has full control. A tenant-scoped
+    # caller — an issued key or a dashboard session — manages only its
+    # own tenant's keys and usage, the reference web dashboard's
+    # per-user key CRUD (web/src/routes/api/keys, keys.ts:3-45).
 
     def _require_service(self, req: Request) -> None:
         if _ctx(req).tenant_id != SERVICE_TENANT:
@@ -613,12 +628,13 @@ class Handlers:
         return self.keystore
 
     async def admin_create_key(self, req: Request) -> Response:
-        self._require_service(req)
+        ctx = _ctx(req)
         body = req.json() if req.body else {}
         try:
-            tenant_id = int(body.get("tenant_id", 0))
+            tenant_id = int(body.get("tenant_id", ctx.tenant_id))
         except (TypeError, ValueError):
             raise HttpError(400, "bad_request", "tenant_id must be an integer")
+        tenant_guard(ctx, tenant_id)
         import asyncio as _aio
 
         try:
@@ -630,19 +646,31 @@ class Handlers:
         return Response.json(issued, status=201)
 
     async def admin_list_keys(self, req: Request) -> Response:
-        self._require_service(req)
-        tid = req.qp_int("tenant_id", None)
+        ctx = _ctx(req)
+        if ctx.tenant_id == SERVICE_TENANT:
+            tid = req.qp_int("tenant_id", None)
+        else:
+            tid = ctx.tenant_id
         return Response.json({"keys": self._keystore().list_keys(tid)})
 
     async def admin_revoke_key(self, req: Request) -> Response:
-        self._require_service(req)
-        if not self._keystore().revoke(req.params["key_id"]):
+        ctx = _ctx(req)
+        ks = self._keystore()
+        key_id = req.params["key_id"]
+        if ctx.tenant_id != SERVICE_TENANT:
+            owned = {row["key_id"] for row in ks.list_keys(ctx.tenant_id)}
+            if key_id not in owned:
+                # 404 for both "not yours" and "missing": existence of
+                # other tenants' key ids must not leak
+                raise HttpError(404, "not_found", "no such key")
+        if not ks.revoke(key_id):
             raise HttpError(404, "not_found", "no such key")
         return Response.json({"revoked": 1})
 
     async def admin_usage(self, req: Request) -> Response:
-        """Tail the NDJSON usage log (reference web usage view analog)."""
-        self._require_service(req)
+        """Tail the NDJSON usage log (reference web usage view analog).
+        Tenant-scoped callers see only their own tenant's events."""
+        ctx = _ctx(req)
         import os
 
         # the configured sink's path wins; env is the fallback for noop
@@ -650,7 +678,10 @@ class Handlers:
         path = self.usage_log_path or os.environ.get("UCFP_USAGE_LOG_PATH")
         if not path or not os.path.exists(path):
             return Response.json({"events": []})
-        tid = req.qp_int("tenant_id", None)
+        if ctx.tenant_id == SERVICE_TENANT:
+            tid = req.qp_int("tenant_id", None)
+        else:
+            tid = ctx.tenant_id
         limit = req.qp_int("limit", 200)
         events = []
         with open(path) as f:
@@ -662,6 +693,73 @@ class Handlers:
                 if tid is None or ev.get("tenant_id") == tid:
                     events.append(ev)
         return Response.json({"events": events[-limit:]})
+
+    # -- accounts: dashboard signup / login / logout -------------------------------
+    #
+    # Self-hosted rebuild of the reference web auth routes
+    # (web/src/routes/api/auth/{signup,login,logout}, auth.ts:32-150).
+    # Sessions ride an HttpOnly cookie; the middleware accepts a valid
+    # session as an alternative to a bearer, scoped to the user's tenant.
+
+    def _accounts(self):
+        if self.accounts is None:
+            raise HttpError(501, "unsupported", "accounts not enabled")
+        return self.accounts
+
+    @staticmethod
+    def _session_cookie(token: str, max_age: int) -> dict:
+        return {
+            "set-cookie": (
+                f"ucfp_session={token}; Path=/; HttpOnly; "
+                f"SameSite=Strict; Max-Age={max_age}"
+            )
+        }
+
+    async def auth_signup(self, req: Request) -> Response:
+        import asyncio as _aio
+
+        body = req.json() if req.body else {}
+        try:
+            sess = await _aio.to_thread(
+                self._accounts().signup,
+                str(body.get("email", "")),
+                str(body.get("password", "")),
+            )
+        except ValueError as e:
+            status = 409 if "exists" in str(e) else 400
+            raise HttpError(status, "bad_signup", str(e))
+        return Response.json(
+            {"email": sess["email"], "tenant_id": sess["tenant_id"]},
+            status=201,
+            headers=self._session_cookie(sess["token"], 7 * 24 * 3600),
+        )
+
+    async def auth_login(self, req: Request) -> Response:
+        import asyncio as _aio
+
+        body = req.json() if req.body else {}
+        sess = await _aio.to_thread(
+            self._accounts().login,
+            str(body.get("email", "")),
+            str(body.get("password", "")),
+        )
+        if sess is None:
+            raise HttpError(401, "unauthorized", "invalid email or password")
+        return Response.json(
+            {"email": sess["email"], "tenant_id": sess["tenant_id"]},
+            headers=self._session_cookie(sess["token"], 7 * 24 * 3600),
+        )
+
+    async def auth_logout(self, req: Request) -> Response:
+        tok = session_token(req)
+        if tok:
+            self._accounts().logout(tok)
+        return Response.json({"ok": True},
+                             headers=self._session_cookie("", 0))
+
+    async def auth_whoami(self, req: Request) -> Response:
+        ctx = _ctx(req)
+        return Response.json({"tenant_id": ctx.tenant_id, "key_id": ctx.key_id})
 
     # -- inputs cache -------------------------------------------------------------
 

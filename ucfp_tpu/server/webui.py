@@ -50,6 +50,13 @@ PAGE = r"""<!doctype html>
  <label>API token <input id="token" size="18" placeholder="bearer token"></label>
  <label>tenant <input id="tenant" size="4" value="0"></label>
  <span class="kv" id="info"></span>
+ <span style="flex:1"></span>
+ <label>email <input id="acct-email" size="16" placeholder="you@example.com"></label>
+ <label>password <input id="acct-pw" type="password" size="10"></label>
+ <button class="go" onclick="acct('signup')">Sign up</button>
+ <button class="go" onclick="acct('login')">Log in</button>
+ <button class="go" style="background:#6e7681" onclick="acct('logout')">Log out</button>
+ <span class="kv" id="acct-state"></span>
 </header>
 <main>
  <div class="tabs">
@@ -137,12 +144,32 @@ $('token').value = localStorage.getItem('ucfp_token')||'';
 $('token').onchange=()=>localStorage.setItem('ucfp_token',tok());
 
 async function api(path, opts={}){
- opts.headers = Object.assign({'Authorization':'Bearer '+tok()}, opts.headers||{});
+ // bearer wins when pasted; otherwise the ucfp_session cookie (set by
+ // signup/login below) authenticates, scoped to the account's tenant
+ const auth = tok() ? {'Authorization':'Bearer '+tok()} : {};
+ opts.headers = Object.assign(auth, opts.headers||{});
  const r = await fetch(path, opts);
  const body = await r.json().catch(()=>({}));
  if(!r.ok) throw new Error(body.message||r.status);
  return body;
 }
+async function acct(kind){
+ try{
+  const body = kind==='logout' ? '{}' : JSON.stringify(
+    {email:$('acct-email').value.trim(), password:$('acct-pw').value});
+  const out = await api('/v1/auth/'+kind, {method:'POST', body});
+  if(kind==='logout'){ $('acct-state').textContent='signed out'; return; }
+  $('tenant').value = out.tenant_id;
+  $('acct-state').textContent = out.email+' (tenant '+out.tenant_id+')';
+ }catch(e){ $('acct-state').textContent = 'auth: '+e.message; }
+}
+// restore an existing session on load
+fetch('/v1/auth/whoami').then(r=>r.ok?r.json():null).then(w=>{
+ if(w && w.key_id && w.key_id.startsWith('session:')){
+  $('tenant').value = w.tenant_id;
+  $('acct-state').textContent = w.key_id.slice(8)+' (tenant '+w.tenant_id+')';
+ }
+}).catch(()=>{});
 fetch('/v1/info').then(r=>r.json()).then(i=>$('info').textContent=
   i.name+' v'+i.version).catch(()=>{});
 fetch('/v1/algorithms').then(r=>r.json()).then(m=>{
