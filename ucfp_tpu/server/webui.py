@@ -65,6 +65,8 @@ PAGE = r"""<!doctype html>
   <button data-tab="audio">Audio</button>
   <button data-tab="search">Search</button>
   <button data-tab="records">Records</button>
+  <button data-tab="bulk">Bulk</button>
+  <button data-tab="usage">Usage</button>
   <button data-tab="keys">Keys</button>
  </div>
 
@@ -118,6 +120,28 @@ PAGE = r"""<!doctype html>
   <div id="r-out"></div>
  </section>
 
+ <section id="tab-bulk" class="card" style="display:none">
+  <div class="row">
+   <label>algorithm <select id="bulk-algo">
+    <option value="minhash">minhash</option><option value="simhash-tf">simhash-tf</option>
+    <option value="tlsh">tlsh</option></select></label>
+   <label>start record id <input id="bulk-start" size="8" value="1000"></label>
+   <button class="go" onclick="runBulk()">Ingest lines</button>
+   <span class="kv">one text record per line (the dashboard bulk page)</span>
+  </div>
+  <textarea id="bulk-input" placeholder="one document per line"></textarea>
+  <div id="bulk-out"></div>
+ </section>
+
+ <section id="tab-usage" class="card" style="display:none">
+  <div class="row">
+   <label>limit <input id="u-limit" size="5" value="200"></label>
+   <button class="go" onclick="loadUsage()">Refresh</button>
+   <span class="kv">tenant-scoped unless service bearer</span>
+  </div>
+  <div id="u-out"></div>
+ </section>
+
  <section id="tab-keys" class="card" style="display:none">
   <div class="row">
    <label>tenant <input id="k-tenant" size="4" value="1"></label>
@@ -137,7 +161,7 @@ let RID=1;
 document.querySelectorAll('.tabs button').forEach(b=>b.onclick=()=>{
  document.querySelectorAll('.tabs button').forEach(x=>x.classList.remove('active'));
  b.classList.add('active');
- ['text','image','audio','search','records','keys'].forEach(t=>
+ ['text','image','audio','search','records','bulk','usage','keys'].forEach(t=>
    $('tab-'+t).style.display = t===b.dataset.tab?'':'none');
 });
 $('token').value = localStorage.getItem('ucfp_token')||'';
@@ -323,6 +347,40 @@ async function describeRec(){
   const d=await api(`/v1/records/${ten()}/${$('r-id').value}`);
   out.innerHTML=`<div class="row">${kv(d,['record_id','modality','algorithm','fingerprint_bytes','has_embedding'])}</div>`;
  }catch(e){out.innerHTML=`<div class="hex">error: ${e.message}</div>`;}
+}
+async function runBulk(){
+ const lines = $('bulk-input').value.split('\n').map(s=>s.trim()).filter(Boolean);
+ const algo = $('bulk-algo').value; let rid = parseInt($('bulk-start').value)||1000;
+ const out = $('bulk-out'); out.textContent = '';
+ const t0 = performance.now(); let ok = 0, fail = 0;
+ for(const line of lines){
+  try{
+   await api(`/v1/ingest/text/${ten()}/${rid++}?algorithm=${algo}`,
+             {method:'POST', body: JSON.stringify({text: line})});
+   ok++;
+  }catch(e){ fail++; }
+  if((ok+fail) % 10 === 0) out.textContent = `${ok+fail}/${lines.length}…`;
+ }
+ const dt = ((performance.now()-t0)/1000).toFixed(2);
+ out.innerHTML = `<div class="kv"><b>${ok}</b> ingested, ${fail} failed in ${dt}s`
+   + ` (${(ok/Math.max(dt,0.01)).toFixed(0)}/s) — ids ${rid-ok-fail}…${rid-1}</div>`;
+}
+async function loadUsage(){
+ const out = $('u-out');
+ try{
+  const u = await api('/v1/admin/usage?limit='+(parseInt($('u-limit').value)||200));
+  const evs = u.events||[];
+  const byOp = {};
+  evs.forEach(e=>byOp[e.op]=(byOp[e.op]||0)+1);
+  const chips = Object.entries(byOp).map(([k,v])=>`<b>${k}</b>: ${v}`).join(' · ');
+  const rows = evs.slice(-50).reverse().map(e=>
+   `<tr><td>${new Date(e.ts).toISOString().slice(11,19)}</td><td>${e.tenant_id}</td>`
+   + `<td>${e.key_id||''}</td><td>${e.op}</td><td>${e.status}</td>`
+   + `<td>${e.bytes_in}</td><td>${(e.elapsed_ms||0).toFixed(1)}ms</td></tr>`).join('');
+  out.innerHTML = `<div class="kv">${evs.length} events — ${chips||'none'}</div>`
+   + `<table style="font-size:12px;border-spacing:8px 2px"><tr><th>time</th><th>tenant</th>`
+   + `<th>key</th><th>op</th><th>status</th><th>bytes</th><th>ms</th></tr>${rows}</table>`;
+ }catch(e){ out.textContent = 'usage: '+e.message; }
 }
 async function createKey(){
  const out=$('k-out');
