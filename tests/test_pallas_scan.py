@@ -98,3 +98,52 @@ class TestCosineInt8Fused:
         inter = len(set(np.asarray(idx).tolist())
                     & set(np.asarray(ref_i[0]).tolist()))
         assert inter >= k - 2
+
+
+class TestCosineInt8Mxu:
+    def test_exact_match_and_recall(self):
+        rng = np.random.default_rng(3)
+        c, d, k = 64 * 128, 64, 8
+        matrix = rng.normal(size=(c, d)).astype(np.float32)
+        q8m, row_norm = knn_ops.quantize_rows_int8(matrix)
+        q = matrix[4_321]
+        qa = np.abs(q).max()
+        qq = np.clip(np.round(q / (qa / 127.0)), -127, 127).astype(np.int8)
+        vals, idx = pallas_scan.cosine_int8_topk_mxu(qq, q8m, row_norm, k)
+        assert int(np.asarray(idx)[0]) == 4_321
+        qn = np.linalg.norm(qq.astype(np.float32))
+        np.testing.assert_allclose(np.asarray(vals)[0] / qn, 1.0, atol=0.02)
+        ref_v, ref_i = knn_ops.cosine_topk_int8(
+            q[None], q8m, row_norm, np.ones(c, bool), k
+        )
+        inter = len(set(np.asarray(idx).tolist())
+                    & set(np.asarray(ref_i[0]).tolist()))
+        assert inter >= k - 2
+
+    def test_dots_bit_exact_vs_int_gemv(self):
+        """bf16 inputs + f32 MXU accumulation must reproduce the int32
+        GEMV dots exactly (|dot| < 2^24)."""
+        rng = np.random.default_rng(4)
+        c, d = 32 * 128, 128  # per = 1 packing path
+        db8 = rng.integers(-127, 128, size=(c, d)).astype(np.int8)
+        rn = np.linalg.norm(db8.astype(np.float32), axis=1).astype(np.float32)
+        qq = rng.integers(-127, 128, size=d).astype(np.int8)
+        vals, idx = pallas_scan.cosine_int8_topk_mxu(qq, db8, rn, 5)
+        exact_dots = db8.astype(np.int64) @ qq.astype(np.int64)
+        got = np.asarray(vals) * rn[np.asarray(idx)]
+        np.testing.assert_allclose(
+            got, exact_dots[np.asarray(idx)].astype(np.float32), rtol=0, atol=0.5
+        )
+
+    def test_d32_packing_and_guards(self):
+        rng = np.random.default_rng(5)
+        c, d = 32 * 512, 32  # per = 4
+        db8 = rng.integers(-127, 128, size=(c, d)).astype(np.int8)
+        rn = np.linalg.norm(db8.astype(np.float32), axis=1).astype(np.float32)
+        qq = db8[777].copy()
+        vals, idx = pallas_scan.cosine_int8_topk_mxu(qq, db8, rn, 3)
+        assert int(np.asarray(idx)[0]) == 777
+        with pytest.raises(ValueError):
+            pallas_scan.cosine_int8_topk_mxu(
+                np.zeros(48, np.int8), np.zeros((1024, 48), np.int8),
+                np.ones(1024, np.float32), 3)

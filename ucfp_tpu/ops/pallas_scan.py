@@ -317,3 +317,113 @@ def cosine_int8_topk_fused(
     flat_i = idx_t[:, 0, :].reshape(-1)
     vals, pos = jax.lax.top_k(flat_v, k)
     return vals, flat_i[pos]
+
+# -- fused MXU int8 cosine ----------------------------------------------------
+#
+# The int8 scan is bandwidth-bound (10M x 64 int8 = 640 MB -> ~0.78 ms
+# floor at v5e HBM speed), but both earlier paths fall well short: the
+# XLA GEMV (cosine_int8_topk_hybrid) streams at ~25-30% of peak at
+# batch 1, and the all-pallas VPU kernel pays a 60% multiply penalty.
+# This kernel does the dot on the MXU *inside* pallas: pack 128//D
+# db rows into each 128-lane row (db8.reshape — free, no transpose),
+# convert to bf16 in-register (exact for int8: 8-bit mantissa), and
+# multiply by a [128, 128] block-diagonal matrix whose j-th useful
+# column holds the query in rows j*D..(j+1)*D. f32 MXU accumulation is
+# exact at these magnitudes (|dot| <= 64*127^2 < 2^24), so dots are
+# bit-identical to the int32 GEMV. Norm division happens afterward on
+# the tiny candidate set only (per-tile/lane winners), keeping scores
+# identical to the hybrid path up to candidate selection: each
+# (tile, lane-pair) keeps its best DOT rather than best dot/|row|; with
+# per-row |q8 row| within ~0.4% of 127*sqrt(1) of each other the
+# selection differs only among near-ties (same class of approximation
+# as the documented per-(tile,lane) collision bound).
+
+
+def _cosine_i8_mxu_kernel(rpt, per, w_ref, db_ref, val_ref, idx_ref):
+    x = db_ref[:].astype(jnp.bfloat16)  # [R, 128] = per db rows per line
+    w = w_ref[:]  # [128, 128] bf16; cols 0..per-1 hold the query
+    dots = jax.lax.dot_general(
+        x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [R, 128]; cols >= per are 0
+    # only `per` lanes carry scores, so a single per-lane winner would
+    # leave a thin candidate pool; emit SUB per-segment winners instead
+    # (all 8 output sublanes useful -> grid*SUB*per candidates)
+    seg = rpt // SUB
+    d3 = dots.reshape(SUB, seg, LANES)
+    best = jnp.max(d3, axis=1)  # [SUB, 128]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (SUB, seg, LANES), 1)
+    row = jnp.min(
+        jnp.where(d3 == best[:, None, :], rows, jnp.int32(seg)), axis=1
+    )  # [SUB, 128] row-within-segment of each winner
+    base = pl.program_id(0) * rpt
+    segs = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
+    gidx = per * (base + segs * seg + row) + lanes  # valid for lanes < per
+    val_ref[0, :, :] = best
+    idx_ref[0, :, :] = gidx
+
+
+def _pick_rpt(packed_rows: int) -> int:
+    """Largest sublane-aligned tile height dividing the packed row count."""
+    for rpt in (1024, 800, 512, 320, 256, 160, 128, 96, 64, 32):
+        if packed_rows % rpt == 0:
+            return rpt
+    raise ValueError(
+        f"packed row count {packed_rows} has no 32-multiple tile divisor "
+        f"<= 1024; pad the candidate set"
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def cosine_int8_topk_mxu(
+    q8: jax.Array,  # [D] int8, D in {32, 64, 128}
+    db8: jax.Array,  # [C, D] int8, (C*D/128) % 32 == 0
+    row_norm: jax.Array,  # [C] f32 (|int8 row|)
+    k: int,
+):
+    """-> (scores [k] f32 = dot/|row| — divide by |q8| outside, idx [k])."""
+    c, d = db8.shape
+    if LANES % d:
+        raise ValueError(f"cosine_int8_topk_mxu requires 128 % D == 0, got D={d}")
+    per = LANES // d  # db rows per packed 128-lane row
+    if c % per:
+        raise ValueError(f"C={c} must be a multiple of {per} for D={d}")
+    packed = c // per
+    rpt = _pick_rpt(packed)
+    grid = packed // rpt
+    db_packed = db8.reshape(packed, LANES)
+    qb = q8.astype(jnp.bfloat16)
+    w = jnp.zeros((LANES, LANES), jnp.bfloat16)
+    for j in range(per):
+        w = w.at[j * d:(j + 1) * d, j].set(qb)
+    val_t, idx_t = pl.pallas_call(
+        functools.partial(_cosine_i8_mxu_kernel, rpt, per),
+        grid=(grid,),
+        interpret=jax.default_backend() == "cpu",
+        in_specs=[
+            pl.BlockSpec((LANES, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rpt, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, SUB, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUB, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((grid, SUB, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((grid, SUB, LANES), jnp.int32),
+        ],
+    )(w, db_packed)
+    dots = val_t[:, :, 0:per].reshape(-1)  # [grid*SUB*per] candidate dots
+    idxs = idx_t[:, :, 0:per].reshape(-1)
+    if k > dots.shape[0]:
+        raise ValueError(
+            f"k={k} exceeds the candidate pool {dots.shape[0]} "
+            f"(grid {grid} x {SUB} segments x {per} rows/line)"
+        )
+    cand = dots / jnp.maximum(row_norm[idxs], 1e-9)
+    vals, pos = jax.lax.top_k(cand, k)
+    return vals, idxs[pos]
