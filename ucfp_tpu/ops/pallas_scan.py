@@ -320,10 +320,16 @@ def cosine_int8_topk_fused(
 
 # -- fused MXU int8 cosine ----------------------------------------------------
 #
-# The int8 scan is bandwidth-bound (10M x 64 int8 = 640 MB -> ~0.78 ms
-# floor at v5e HBM speed), but both earlier paths fall well short: the
-# XLA GEMV (cosine_int8_topk_hybrid) streams at ~25-30% of peak at
-# batch 1, and the all-pallas VPU kernel pays a 60% multiply penalty.
+# The int8 scan is bandwidth-bound (10M x 64 int8 = 640 MB). Measured
+# at 10M x 64 with varying queries on a v5e chip: this kernel 0.59 ms
+# vs 0.48 ms for cosine_int8_topk_hybrid — the XLA int8 GEMV is already
+# near speed-of-light on a healthy runtime, and this kernel's
+# 128/useful-columns MXU waste (~0.83 ms FLOP bound at D=64) caps it
+# slightly behind. It remains valuable as (a) a single-dispatch path
+# with no materialized 10M-score array (40 MB less HBM churn when
+# capacity is tight), and (b) the faster option on runtimes where the
+# XLA GEMV degrades (the tunneled runtime measured the hybrid at
+# 2.8 ms, 6x this kernel's cost model).
 # This kernel does the dot on the MXU *inside* pallas: pack 128//D
 # db rows into each 128-lane row (db8.reshape — free, no transpose),
 # convert to bf16 in-register (exact for int8: 8-bit mantissa), and
