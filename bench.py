@@ -331,10 +331,49 @@ def bench_cosine_int8_10m_hybrid(k=10, iters=32):
     return _timed(run, iters) * 1000.0
 
 
+def _prefer_direct_tpu():
+    """Prefer a direct local TPU over the tunneled runtime when one is
+    free. The tunnel acks dispatch early and compiles remotely (minutes
+    per kernel, flaky on large pallas programs); the direct chip
+    compiles locally in seconds and reports honest wall-clock. Probe in
+    a subprocess first — a failed in-process init poisons jax's backend
+    cache — and still fall back if the chip is grabbed between probe
+    and use. UCFP_BENCH_PLATFORM=<name> forces a platform and skips the
+    probe."""
+    import os
+    import subprocess
+    import sys
+
+    import jax
+
+    want = os.environ.get("UCFP_BENCH_PLATFORM")
+    if want:
+        jax.config.update("jax_platforms", want or None)
+        return
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.config.update('jax_platforms','tpu'); "
+             "jax.devices()"],
+            capture_output=True, timeout=90,
+        )
+        if probe.returncode != 0:
+            return
+        jax.config.update("jax_platforms", "tpu")
+        jax.devices()
+    except Exception:
+        try:
+            jax.config.update("jax_platforms", None)
+            jax.devices()
+        except Exception:
+            pass
+
+
 def main():
     import contextlib
     import os
 
+    _prefer_direct_tpu()
     profile_dir = os.environ.get("UCFP_PROFILE_DIR")
     ctx = contextlib.nullcontext()
     if profile_dir:
