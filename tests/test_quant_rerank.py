@@ -100,6 +100,13 @@ class TestKnnBatch:
         # padding rows (invalid) never surface
         for hits in res:
             assert all(h.record_id < n for h in hits)
+        # single-query knn takes the same fused GEMV+reduce path here
+        single = run(b.knn(0, vec(123), 3))
+        assert single[0].record_id == 123
+        assert all(h.record_id < n for h in single)
+        np.testing.assert_allclose(
+            [h.score for h in single], [h.score for h in res[0]], rtol=1e-5
+        )
 
     def test_mixed_dims_rejected(self, tmp_path):
         from ucfp_tpu.core import ModalityError

@@ -612,9 +612,38 @@ class EmbeddedBackend(IndexBackend):
             kk = min(k, cache.n)
             if self.knn_quant == "int8":
                 q8m, row_norm, valid = dev
-                scores, idx = knn_ops.cosine_topk_int8(
-                    q[None], q8m, row_norm, valid, kk
-                )
+                from ..ops import pallas_scan
+
+                cap = q8m.shape[0]
+                tile = pallas_scan.ROWS_PER_TILE * pallas_scan.LANES
+                n_candidates = (cap // tile) * pallas_scan.LANES
+                if cap % tile == 0 and kk <= min(16, n_candidates):
+                    # same fused GEMV + pallas partial-reduce path as
+                    # knn_batch (near-exact for k <= 16, exact top-1);
+                    # the exact kernel's lax.top_k over the full row
+                    # count costs ~7x more at 10M
+                    import jax
+                    import jax.numpy as jnp
+
+                    qa = float(np.abs(q).max())
+                    qs = 1.0 if qa == 0.0 else qa / 127.0
+                    qq = jnp.asarray(
+                        np.clip(np.round(q / qs), -127, 127).astype(np.int8)
+                    )
+                    dots = jax.lax.dot_general(
+                        qq[None, :], q8m, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )[0].astype(jnp.float32)
+                    qn = float(np.linalg.norm(np.asarray(qq, np.float32)))
+                    denom = max(qn, 1e-9) * jnp.maximum(row_norm, 1e-9)
+                    ok = valid & (row_norm > 0.0)
+                    sc = jnp.where(ok, dots / denom, -jnp.inf)
+                    s1, i1 = pallas_scan.scores_topk_fused(sc, kk)
+                    scores, idx = s1[None, :], i1[None, :]
+                else:
+                    scores, idx = knn_ops.cosine_topk_int8(
+                        q[None], q8m, row_norm, valid, kk
+                    )
             else:
                 matrix, valid = dev
                 scores, idx = knn_ops.cosine_topk(q[None], matrix, valid, kk)
