@@ -16,13 +16,16 @@ def run(coro):
 
 
 def song(seed, secs=4.0, sr=8000):
-    """Synthetic 'song': random tone steps, deterministic per seed."""
+    """Synthetic 'song': random tone steps, deterministic per seed.
+    Each seed draws its own note alphabet so different songs don't share
+    landmark hashes by construction."""
     rng = np.random.default_rng(seed)
     t = np.arange(int(secs * sr)) / sr
     x = np.zeros_like(t, dtype=np.float32)
     step = 0.25  # seconds per note
+    alphabet = rng.uniform(180, 2400, size=7)
     for i in range(int(secs / step)):
-        f = rng.choice([220, 330, 440, 550, 660, 880, 1320])
+        f = rng.choice(alphabet)
         seg = slice(int(i * step * sr), int((i + 1) * step * sr))
         x[seg] = 0.4 * np.sin(2 * math.pi * f * t[seg]).astype(np.float32)
     return x
@@ -112,3 +115,39 @@ class TestOffsetVoting:
         assert res["hits"][0]["record_id"] in (21, 999)
         ids = [h["record_id"] for h in res["hits"]]
         assert 21 in ids
+
+
+class TestPanakoTempoInvariance:
+    @pytest.mark.parametrize("up,down", [(100, 103), (100, 105)])
+    def test_stretched_clip_finds_source(self, tmp_path, up, down):
+        """A 3-5% tempo-stretched excerpt must still retrieve its source:
+        all-target-pair hashing survives peak insertion, ratio-neighbor
+        expansion survives the 4-bit quantization boundary, and coarse
+        offset bins absorb the linear offset drift."""
+        from scipy.signal import resample_poly
+
+        b = EmbeddedBackend(str(tmp_path))
+        songs = {rid: song(rid, secs=8.0) for rid in (1, 2, 3)}
+        run(b.upsert([
+            amod.fingerprint_panako(x, 8000, 0, rid)
+            for rid, x in songs.items()
+        ]))
+        clip = songs[2][8000 : 8000 + 32000]
+        # band-limited resample = uniform tempo+pitch stretch
+        stretched = resample_poly(clip, up, down).astype(np.float32)
+        q = amod.fingerprint_panako(stretched, 8000, 0, 999)
+        hits = run(b.knn_audio(0, "audiofp-panako-v1", q.fingerprint, 3))
+        assert hits and hits[0].record_id == 2
+
+    def test_exact_clip_still_decisive(self, tmp_path):
+        b = EmbeddedBackend(str(tmp_path))
+        songs = {rid: song(rid, secs=8.0) for rid in (1, 2, 3)}
+        run(b.upsert([
+            amod.fingerprint_panako(x, 8000, 0, rid)
+            for rid, x in songs.items()
+        ]))
+        clip = songs[2][8000 : 8000 + 32000]
+        q = amod.fingerprint_panako(clip, 8000, 0, 999)
+        hits = run(b.knn_audio(0, "audiofp-panako-v1", q.fingerprint, 3))
+        assert hits and hits[0].record_id == 2
+        assert hits[0].score <= 1.0

@@ -457,13 +457,37 @@ class EmbeddedBackend(IndexBackend):
         but never matches them). For each query (hash, t) that appears in
         the inverted landmark index, vote for (record, t_db - t_q); the
         score is the largest consistent-offset bin per record, normalized
-        by the query hash count."""
+        by the query hash count.
+
+        Panako queries additionally (a) expand each hash across the
+        adjacent quantized time-ratio steps (the 4-bit ratio field sits
+        at bits 12-15; +/-5% tempo stretch moves landmarks across one
+        quantization boundary — the hash's other fields are
+        pitch/tempo-invariant log-band differences), and (b) bin vote
+        offsets by 16 frames, since a stretched query's t_db - t_q
+        drifts linearly instead of staying constant (Panako's published
+        design matches on coarse offset agreement for the same reason).
+        """
         if k == 0 or not fingerprint:
             return []
         pairs = np.frombuffer(fingerprint, dtype="<u4")
         if pairs.size == 0 or pairs.size % 2:
             return []
         pairs = pairs.reshape(-1, 2)
+        panako = algorithm == "audiofp-panako-v1"
+
+        def expand(h: int) -> tuple[int, ...]:
+            if not panako:
+                return (h,)
+            ratio = (h >> 12) & 0xF
+            out = [h]
+            if ratio > 0:
+                out.append(h - (1 << 12))
+            if ratio < 15:
+                out.append(h + (1 << 12))
+            return tuple(out)
+
+        off_bin = 8 if panako else 1
 
         def work():
             from collections import defaultdict
@@ -472,8 +496,9 @@ class EmbeddedBackend(IndexBackend):
                 idx = self._audio.get(tenant_id, {})
                 votes: dict[tuple[int, int], int] = defaultdict(int)
                 for h, tq in pairs.tolist():
-                    for rid, tdb in idx.get(int(h), ()):  # noqa: B909
-                        votes[(rid, tdb - int(tq))] += 1
+                    for hv in expand(int(h)):
+                        for rid, tdb in idx.get(hv, ()):  # noqa: B909
+                            votes[(rid, (tdb - int(tq)) // off_bin)] += 1
             best: dict[int, int] = {}
             for (rid, _off), n in votes.items():
                 if n > best.get(rid, 0):
@@ -481,7 +506,8 @@ class EmbeddedBackend(IndexBackend):
             total = max(len(pairs), 1)
             ranked = sorted(best.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
             return [
-                Hit(record_id=rid, score=n / total, source=HitSource.VECTOR)
+                Hit(record_id=rid, score=min(n / total, 1.0),
+                    source=HitSource.VECTOR)
                 for rid, n in ranked
             ]
 

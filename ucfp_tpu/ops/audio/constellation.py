@@ -202,10 +202,18 @@ def panako_triplets(
     t: jax.Array, f: jax.Array, valid: jax.Array,
     fan_out: int, zone_t: int, zone_f: int, bin_hz: float = 7.8125,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Pitch/tempo-invariant triplets: anchor + its j-th and (j+1)-th
-    targets. Log-band differences cancel uniform pitch shifts; the
-    quantized time ratio (t2-t1)/(t3-t1) survives +/-5% tempo shifts
+    """Pitch/tempo-invariant triplets: anchor + every PAIR of its first
+    fan_out+1 targets. Log-band differences cancel uniform pitch shifts;
+    the quantized time ratio (t2-t1)/(t3-t1) survives +/-5% tempo shifts
     (manifest algorithms_manifest.rs:604).
+
+    All C(fan_out+1, 2) target pairs are hashed, not just consecutive
+    ones: consecutive-pair hashing collapses under peak insertion —
+    one spurious peak between targets reindexes every later pair, so a
+    3% resample (whose interpolation artifacts add peaks) destroyed
+    nearly all hash overlap. With all pairs, surviving original peaks
+    keep their mutual hashes regardless of insertions (Panako's
+    published design pairs the full target zone for the same reason).
     """
     p = t.shape[0]
     w = min(PAIR_WINDOW, p - 1) if p > 1 else 1
@@ -230,10 +238,13 @@ def panako_triplets(
     gv = jnp.take_along_axis(ok, order, axis=1)
     t2 = t[g]
     f2 = f[g]
-    # consecutive pairs (j, j+1)
-    t2a, t3a = t2[:, :-1], t2[:, 1:]
-    f2a, f3a = f2[:, :-1], f2[:, 1:]
-    pair_ok = gv[:, :-1] & gv[:, 1:]
+    # all target pairs (i1 < i2) among the fan_out+1 gathered targets
+    i1, i2 = np.triu_indices(fan_out + 1, k=1)
+    i1 = jnp.asarray(i1, jnp.int32)
+    i2 = jnp.asarray(i2, jnp.int32)
+    t2a, t3a = t2[:, i1], t2[:, i2]
+    f2a, f3a = f2[:, i1], f2[:, i2]
+    pair_ok = gv[:, i1] & gv[:, i2]
     denom = jnp.maximum(t3a - t[:, None], 1)
     # rounded (not floored) 4-bit ratio: +/-1-frame jitter on small dt
     # stays within one step far more often than an 8-bit ratio would
