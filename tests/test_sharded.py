@@ -87,3 +87,36 @@ class TestShardedHamming:
         np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
         np.testing.assert_array_equal(np.asarray(dist), np.asarray(ref_dist))
         assert int(idx[0, 0]) == 37 and int(dist[0, 0]) == 0
+
+
+class TestShardedCosineInt8:
+    def test_matches_single_chip(self, mesh):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ucfp_tpu.parallel.sharded_knn import AXIS, sharded_cosine_int8_topk
+
+        rng = np.random.default_rng(4)
+        c, d, k = 2048, 32, 7
+        matrix = rng.normal(size=(c, d)).astype(np.float32)
+        q8m, row_norm = knn_ops.quantize_rows_int8(matrix)
+        valid = np.ones(c, bool)
+        valid[300:400] = False
+        q = matrix[777]
+        qa = np.abs(q).max()
+        qq = np.clip(np.round(q / (qa / 127.0)), -127, 127).astype(np.int8)
+
+        ms = NamedSharding(mesh, P(AXIS, None))
+        vs = NamedSharding(mesh, P(AXIS))
+        db_s = jax.device_put(q8m, ms)
+        rn_s = jax.device_put(row_norm, vs)
+        v_s = jax.device_put(valid, vs)
+        vals, idx = sharded_cosine_int8_topk(qq, db_s, rn_s, v_s, k, mesh)
+
+        # reference: single-chip exact int8 scoring
+        dots = q8m.astype(np.float32) @ qq.astype(np.float32)
+        scores = np.where(valid, dots / np.maximum(row_norm, 1e-9), -np.inf)
+        ref_idx = np.argsort(-scores)[:k]
+        assert int(np.asarray(idx)[0]) == 777
+        assert set(np.asarray(idx).tolist()) == set(ref_idx.tolist())
+        np.testing.assert_allclose(
+            np.asarray(vals), np.sort(scores)[::-1][:k], rtol=1e-5
+        )
