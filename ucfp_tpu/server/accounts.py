@@ -121,7 +121,11 @@ class AccountStore:
         }
 
     def resolve(self, token: str) -> Optional[dict]:
-        """Session row for a cookie token, or None if unknown/expired."""
+        """Session row for a cookie token, or None if unknown/expired.
+        Called on the request path (event loop): never fsyncs — an
+        expired row is dropped in memory only, and the next mutating
+        call's _save persists the purge (expiry is re-checked on every
+        resolve, so a stale on-disk row cannot authenticate)."""
         h = hashlib.sha256(token.encode()).hexdigest()
         with self._lock:
             row = self._sessions.get(h)
@@ -129,7 +133,6 @@ class AccountStore:
                 return None
             if row["expires"] < time.time():
                 del self._sessions[h]
-                self._save()
                 return None
             return dict(row)
 
