@@ -147,3 +147,31 @@ class TestSessionRoutes:
         r = call(app, "POST", "/v1/admin/keys",
                  body=json.dumps({"tenant_id": tid_b}).encode())
         assert r.status == 201
+
+
+class TestSessionExpiry:
+    def test_expired_session_rejected(self, tmp_path, monkeypatch):
+        from ucfp_tpu.server import accounts as acc
+
+        st = AccountStore(str(tmp_path / "a.json"))
+        s = st.signup("u@x.co", "password!")
+        assert st.resolve(s["token"]) is not None
+        # jump past the TTL
+        real_time = acc.time.time
+        monkeypatch.setattr(acc.time, "time",
+                            lambda: real_time() + acc.SESSION_TTL_SECS + 1)
+        assert st.resolve(s["token"]) is None
+        # purge was in-memory; a fresh login still works and persists
+        monkeypatch.undo()
+        assert st.login("u@x.co", "password!") is not None
+
+    def test_session_store_overflow_clears(self, tmp_path, monkeypatch):
+        from ucfp_tpu.server import accounts as acc
+
+        monkeypatch.setattr(acc, "_MAX_SESSIONS", 4)
+        st = AccountStore(str(tmp_path / "a.json"))
+        first = st.signup("u@x.co", "password!")
+        tokens = [st.login("u@x.co", "password!")["token"] for _ in range(4)]
+        # the 4-session cap forced a clear; only the newest survives
+        assert st.resolve(tokens[-1]) is not None
+        assert st.resolve(first["token"]) is None

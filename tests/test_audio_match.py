@@ -151,3 +151,22 @@ class TestPanakoTempoInvariance:
         hits = run(b.knn_audio(0, "audiofp-panako-v1", q.fingerprint, 3))
         assert hits and hits[0].record_id == 2
         assert hits[0].score <= 1.0
+
+
+class TestDegenerateAudio:
+    def test_silence_produces_no_panako_hashes(self, tmp_path):
+        silence = np.zeros(16000, np.float32)
+        rec = amod.fingerprint_panako(silence, 8000, 0, 1)
+        b = EmbeddedBackend(str(tmp_path))
+        hits = run(b.knn_audio(0, "audiofp-panako-v1", rec.fingerprint, 3))
+        assert hits == []
+
+    def test_single_tone_clip_matches_itself(self, tmp_path):
+        t = np.arange(16000) / 8000.0
+        tone = (0.5 * np.sin(2 * math.pi * 523.0 * t)).astype(np.float32)
+        b = EmbeddedBackend(str(tmp_path))
+        rec = amod.fingerprint_panako(tone, 8000, 0, 5)
+        run(b.upsert([rec]))
+        hits = run(b.knn_audio(0, "audiofp-panako-v1", rec.fingerprint, 3))
+        if rec.fingerprint:  # a pure tone may yield zero triplets
+            assert hits and hits[0].record_id == 5
