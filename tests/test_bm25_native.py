@@ -117,3 +117,52 @@ class TestNativeTokenizePath:
         for _ in range(10):
             q = rng.choices(WORDS, k=2)
             assert nat.search(0, q, 10) == py.search(0, q, 10)
+
+
+class TestMalformedBlobs:
+    """The C ABI must reject truncated/hostile term blobs, never crash."""
+
+    def test_truncated_and_hostile_blobs(self):
+        import ctypes
+        import struct
+
+        lib = load_bm25()
+        h = lib.ucfp_bm25_new()
+        try:
+            bad = [
+                b"",                                   # empty
+                b"\x01",                               # shorter than count
+                struct.pack("<I", 1),                  # count, no entries
+                struct.pack("<IH", 1, 5) + b"ab",      # len overruns buffer
+                struct.pack("<IH", 2, 1) + b"a" + struct.pack("<I", 1),  # 2nd missing
+                struct.pack("<I", 0xFFFFFFFF),         # huge count, no data
+            ]
+            for blob in bad:
+                rc = lib.ucfp_bm25_upsert(h, 1, blob, len(blob), 3)
+                assert rc == -1, blob
+            # engine state must be untouched by rejected upserts
+            assert lib.ucfp_bm25_doc_count(h) == 0
+            docs = (ctypes.c_uint64 * 4)()
+            scores = (ctypes.c_double * 4)()
+            # search on malformed blob: 0 hits on empty corpus (guard runs
+            # before parse), then -1 once a real doc exists
+            ok_blob = struct.pack("<IH", 1, 1) + b"a" + struct.pack("<I", 1)
+            assert lib.ucfp_bm25_upsert(h, 1, ok_blob, len(ok_blob), 1) == 0
+            for blob in bad:
+                rc = lib.ucfp_bm25_search(h, blob, len(blob), 4, docs, scores)
+                assert rc == -1, blob
+            rc = lib.ucfp_bm25_search(h, ok_blob, len(ok_blob), 4, docs, scores)
+            assert rc == 1 and docs[0] == 1
+        finally:
+            lib.ucfp_bm25_free(h)
+
+    def test_upsert_text_rejects_non_ascii_bytes(self):
+        lib = load_bm25()
+        h = lib.ucfp_bm25_new()
+        try:
+            assert lib.ucfp_bm25_upsert_text(h, 1, "café".encode(), 5) == -1
+            assert lib.ucfp_bm25_doc_count(h) == 0
+            assert lib.ucfp_bm25_upsert_text(h, 1, b"plain text", 10) == 2
+            assert lib.ucfp_bm25_doc_count(h) == 1
+        finally:
+            lib.ucfp_bm25_free(h)

@@ -81,7 +81,10 @@ bool parse_blob(const uint8_t* blob, uint32_t blob_len,
   uint32_t n;
   std::memcpy(&n, blob, 4);
   uint32_t off = 4;
-  out->reserve(n);
+  // each entry needs >= 6 bytes, so a count beyond blob_len/6 is
+  // malformed; clamping also keeps a hostile count from turning
+  // reserve() into a multi-GB allocation before the loop rejects it
+  out->reserve(std::min<uint32_t>(n, blob_len / 6 + 1));
   for (uint32_t i = 0; i < n; i++) {
     if (off + 2 > blob_len) return false;
     uint16_t len;
