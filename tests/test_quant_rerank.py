@@ -184,3 +184,49 @@ class TestEmbeddingReranker:
                                       "k": 2, "vector": [0.0, 1.0]}).encode(),
                           query="rerank=embedding"))
         assert body["hits"][0]["record_id"] == 2
+
+
+class TestBatchedFingerprintQuery:
+    def test_batch_matches_single_and_handles_bad_rows(self, tmp_path):
+        b = EmbeddedBackend(str(tmp_path))
+        rng = np.random.default_rng(0)
+        fps = [rng.integers(0, 256, size=8, dtype=np.uint8).tobytes()
+               for _ in range(50)]
+        run(b.upsert([Record(0, i, Modality.IMAGE, "phash-64", fps[i])
+                      for i in range(50)]))
+        batch = run(b.knn_fingerprint_batch(
+            0, "phash-64", [fps[7], fps[31], b"", b"\x01\x02"], 3))
+        assert batch[0][0].record_id == 7 and batch[0][0].score == 1.0
+        assert batch[1][0].record_id == 31
+        assert batch[2] == []   # empty fingerprint
+        assert batch[3] == []   # width mismatch
+        for qi, fp in ((0, fps[7]), (1, fps[31])):
+            single = run(b.knn_fingerprint(0, "phash-64", fp, 3))
+            assert [(h.record_id, h.score) for h in batch[qi]] == [
+                (h.record_id, h.score) for h in single]
+
+    def test_http_batched_fingerprints(self, tmp_path):
+        import json
+
+        from test_server import call, jbody, make_app
+
+        app, _ = make_app(tmp_path)
+        fp = bytes(range(8))
+        call(app, "PUT", "/v1/records", json.dumps(
+            {"tenant_id": 0, "record_id": 9, "modality": "image",
+             "algorithm": "phash-64", "fingerprint": list(fp)}).encode())
+        res = jbody(call(app, "POST", "/v1/query", json.dumps(
+            {"tenant_id": 0, "modality": "image", "k": 2,
+             "algorithm": "phash-64",
+             "fingerprints_hex": [fp.hex(), "ff" * 8]}).encode()))
+        assert res["results"][0]["hits"][0]["record_id"] == 9
+        assert len(res["results"]) == 2
+        # malformed entries -> 400
+        r = call(app, "POST", "/v1/query", json.dumps(
+            {"tenant_id": 0, "modality": "image", "k": 2,
+             "algorithm": "phash-64", "fingerprints_hex": ["zz"]}).encode())
+        assert r.status == 400
+        r = call(app, "POST", "/v1/query", json.dumps(
+            {"tenant_id": 0, "modality": "image", "k": 2,
+             "fingerprints_hex": [fp.hex()]}).encode())
+        assert r.status == 400  # algorithm required

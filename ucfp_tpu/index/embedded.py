@@ -817,6 +817,57 @@ class EmbeddedBackend(IndexBackend):
 
         return await asyncio.to_thread(work)
 
+    async def knn_fingerprint_batch(
+        self, tenant_id: int, algorithm: str, fingerprints: list[bytes], k: int
+    ) -> list[list[Hit]]:
+        """Batched Hamming top-k: all queries share ONE device dispatch
+        (the XOR+popcount matrix reads the packed catalog once for the
+        whole batch instead of once per query). Width-mismatched or
+        empty fingerprints return an empty hit list at their position."""
+        if k == 0 or not fingerprints:
+            return [[] for _ in fingerprints]
+        cache = self._ham.get((tenant_id, algorithm))
+        if cache is None or cache.n == 0:
+            return [[] for _ in fingerprints]
+        packs = []
+        ok_rows = []
+        for fp in fingerprints:
+            p = (np.asarray(knn_ops.pack_bits_to_u32(fp), np.uint32)
+                 if fp else np.zeros(0, np.uint32))
+            ok = bool(fp) and len(p) == cache.width
+            packs.append(p if ok else np.zeros(cache.width, np.uint32))
+            ok_rows.append(ok)
+        qm = np.stack(packs)
+
+        def work():
+            with self._lock:
+                matrix, valid = self._device_ham(cache)
+                rids = list(cache.rids)
+            kk = min(k, cache.n)
+            dist, idx = knn_ops.hamming_topk(qm, matrix, valid, kk)
+            dist = np.asarray(dist)
+            idx = np.asarray(idx)
+            bits = cache.width * 32
+            res: list[list[Hit]] = []
+            for row in range(qm.shape[0]):
+                if not ok_rows[row]:
+                    res.append([])
+                    continue
+                out = [
+                    (rids[int(i)], int(d))
+                    for d, i in zip(dist[row], idx[row])
+                    if d != 0x7FFFFFFF
+                ]
+                out.sort(key=lambda t: (t[1], t[0]))
+                res.append([
+                    Hit(record_id=rid, score=1.0 - d / bits,
+                        source=HitSource.VECTOR)
+                    for rid, d in out
+                ])
+            return res
+
+        return await asyncio.to_thread(work)
+
     async def bm25(self, tenant_id: int, terms: list[str], k: int) -> list[Hit]:
         def work():
             with self._lock:

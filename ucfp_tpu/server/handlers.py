@@ -279,6 +279,37 @@ class Handlers:
                 }
             )
 
+        fps_hex = body.get("fingerprints_hex")
+        if fps_hex is not None:
+            # batched Hamming extension: all fingerprints share one
+            # XOR+popcount dispatch over the packed catalog
+            algorithm = body.get("algorithm")
+            if not algorithm:
+                raise HttpError(
+                    400, "bad_query", "fingerprints_hex queries require algorithm"
+                )
+            if not isinstance(fps_hex, list) or not all(
+                isinstance(s, str) for s in fps_hex
+            ):
+                raise HttpError(
+                    400, "bad_query", "fingerprints_hex must be a list of hex strings"
+                )
+            try:
+                fps = [bytes.fromhex(s) for s in fps_hex]
+            except ValueError:
+                raise HttpError(400, "bad_query", "fingerprints_hex entry is not hex")
+            results = await self.index.knn_fingerprint_batch(
+                tenant_id, algorithm, fps, k
+            )
+            return Response.json(
+                {
+                    "results": [
+                        {"hits": [self._hit_out(tenant_id, h) for h in hits]}
+                        for hits in results
+                    ]
+                }
+            )
+
         if fp_hex is not None:
             algorithm = body.get("algorithm")
             if not algorithm:
