@@ -282,6 +282,21 @@ async function runImage(){
    d.appendChild(bitGrid(fp.fingerprint_hex.slice(0,16),8,8,16));
    out.appendChild(d);
   }
+  // Hamming search over previously ingested fingerprints of this algorithm
+  const sim=document.createElement('div');
+  sim.innerHTML=`<button class="go" style="margin-top:8px">Find similar</button>
+    <span id="img-sim" class="kv"></span>`;
+  sim.querySelector('button').onclick=async()=>{
+   try{
+    const res = await api('/v1/query', {method:'POST', body: JSON.stringify(
+     {tenant_id: ten(), modality:'image', k:5,
+      fingerprint_hex: fp.fingerprint_hex, algorithm: fp.algorithm})});
+    const hits=(res.hits||[]).map(h=>
+      `#${h.record_id} (${(h.score*100).toFixed(1)}%)`).join('  ');
+    sim.querySelector('#img-sim').textContent = hits || 'no matches';
+   }catch(e){ sim.querySelector('#img-sim').textContent='error: '+e.message; }
+  };
+  out.appendChild(sim);
  }catch(e){out.innerHTML=`<div class="hex">error: ${e.message}</div>`;}
 }
 
