@@ -788,34 +788,9 @@ class EmbeddedBackend(IndexBackend):
         """
         if k == 0 or not fingerprint:
             return []
-        cache = self._ham.get((tenant_id, algorithm))
-        if cache is None or cache.n == 0:
-            return []
-        packed = np.asarray(knn_ops.pack_bits_to_u32(fingerprint), np.uint32)
-        if len(packed) != cache.width:
-            return []
-
-        def work():
-            with self._lock:
-                matrix, valid = self._device_ham(cache)
-                rids = list(cache.rids)
-            kk = min(k, cache.n)
-            dist, idx = knn_ops.hamming_topk(packed[None], matrix, valid, kk)
-            dist = np.asarray(dist[0])
-            idx = np.asarray(idx[0])
-            bits = cache.width * 32
-            out = [
-                (rids[int(i)], int(d))
-                for d, i in zip(dist, idx)
-                if d != 0x7FFFFFFF
-            ]
-            out.sort(key=lambda t: (t[1], t[0]))
-            return [
-                Hit(record_id=rid, score=1.0 - d / bits, source=HitSource.VECTOR)
-                for rid, d in out
-            ]
-
-        return await asyncio.to_thread(work)
+        res = await self.knn_fingerprint_batch(tenant_id, algorithm,
+                                               [fingerprint], k)
+        return res[0]
 
     async def knn_fingerprint_batch(
         self, tenant_id: int, algorithm: str, fingerprints: list[bytes], k: int
