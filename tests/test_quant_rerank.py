@@ -230,3 +230,19 @@ class TestBatchedFingerprintQuery:
             {"tenant_id": 0, "modality": "image", "k": 2,
              "fingerprints_hex": [fp.hex()]}).encode())
         assert r.status == 400  # algorithm required
+
+    def test_batch_size_capped(self, tmp_path):
+        import json
+
+        from test_server import call, make_app
+
+        app, _ = make_app(tmp_path)
+        r = call(app, "POST", "/v1/query", json.dumps(
+            {"tenant_id": 0, "modality": "image", "k": 1,
+             "algorithm": "phash-64",
+             "fingerprints_hex": ["00" * 8] * 257}).encode())
+        assert r.status == 400
+        r = call(app, "POST", "/v1/query", json.dumps(
+            {"tenant_id": 0, "modality": "text", "k": 1,
+             "vectors": [[1.0, 0.0]] * 257}).encode())
+        assert r.status == 400

@@ -56,6 +56,10 @@ from .inputs_cache import InputsCache
 from .manifest import build_manifest
 
 SERVICE_TENANT = 0
+# batched /v1/query cap: the scans materialize [Q, C] score/distance
+# matrices, so Q must be bounded server-side (256 x 10M f32 = 10 GB is
+# already the ceiling of what one request may pin)
+MAX_QUERY_BATCH = 256
 
 
 def _ctx(req: Request) -> ApiKeyContext:
@@ -266,6 +270,13 @@ class Handlers:
                 isinstance(v, list) for v in vectors
             ):
                 raise HttpError(400, "bad_query", "vectors must be a list of vectors")
+            if len(vectors) > MAX_QUERY_BATCH:
+                # the scan materializes a [Q, C] score matrix; an
+                # unbounded Q turns one request into a multi-GB allocation
+                raise HttpError(
+                    400, "bad_query",
+                    f"at most {MAX_QUERY_BATCH} vectors per batch",
+                )
             try:
                 results = await self.index.knn_batch(tenant_id, vectors, k)
             except UcfpError as e:
@@ -293,6 +304,11 @@ class Handlers:
             ):
                 raise HttpError(
                     400, "bad_query", "fingerprints_hex must be a list of hex strings"
+                )
+            if len(fps_hex) > MAX_QUERY_BATCH:
+                raise HttpError(
+                    400, "bad_query",
+                    f"at most {MAX_QUERY_BATCH} fingerprints per batch",
                 )
             try:
                 fps = [bytes.fromhex(s) for s in fps_hex]
