@@ -1,0 +1,316 @@
+"""Round-2 hardening: embedding validation, WAL replay resilience,
+records envelope, per-key quotas, auth IP limits, chunked bodies,
+usage metering tags, filter contract."""
+
+import asyncio
+import json
+
+import pytest
+
+from ucfp_tpu.index.embedded import EmbeddedBackend
+from ucfp_tpu.server.usage import LogUsageSink
+
+from test_accounts import cookie_of
+from test_accounts import make_app as make_app_accounts
+from test_server import TOKEN, call, jbody, make_app, req
+
+
+def _record(rid=1, **over):
+    base = {
+        "tenant_id": 1,
+        "record_id": rid,
+        "modality": "text",
+        "algorithm": "raw",
+        "fingerprint": [1, 2, 3, 4],
+    }
+    base.update(over)
+    return base
+
+
+class TestUpsertValidation:
+    def test_records_envelope_accepted(self, tmp_path):
+        """Reference UpsertRequest is {"records": [...]} (dto.rs:27-34)."""
+        app, _ = make_app(tmp_path)
+        body = json.dumps({"records": [_record(1), _record(2)]}).encode()
+        resp = call(app, "PUT", "/v1/records", body)
+        assert resp.status == 200
+        assert jbody(resp)["upserted"] == 2
+
+    def test_bad_records_envelope(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        resp = call(app, "PUT", "/v1/records",
+                    json.dumps({"records": "nope"}).encode())
+        assert resp.status == 400
+
+    @pytest.mark.parametrize(
+        "emb",
+        [["x"], [1.0, "y"], [], "str", [float("nan")], [float("inf")], [True]],
+    )
+    def test_bad_embedding_rejected_before_wal(self, tmp_path, emb):
+        app, state = make_app(tmp_path)
+        resp = call(
+            app, "PUT", "/v1/records",
+            json.dumps([_record(embedding=emb)]).encode(),
+        )
+        assert resp.status == 400
+        # nothing durably logged: a fresh open must see zero records
+        state.index.close()
+        reopened = EmbeddedBackend(str(tmp_path / "db"))
+        with pytest.raises(Exception):
+            reopened.get_record(1, 1)
+        reopened.close()
+
+    def test_good_embedding_roundtrip(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        resp = call(
+            app, "PUT", "/v1/records",
+            json.dumps([_record(embedding=[0.5, 1, -2.25])]).encode(),
+        )
+        assert resp.status == 200
+
+
+class TestReplayResilience:
+    def test_poisoned_wal_event_skipped(self, tmp_path):
+        """A malformed event in the log must not brick open()."""
+        d = str(tmp_path / "db")
+        be = EmbeddedBackend(d, wal_engine="json")
+        from ucfp_tpu.core import Modality, Record
+
+        asyncio.run(be.upsert([Record(
+            tenant_id=1, record_id=1, modality=Modality.TEXT,
+            algorithm="raw", fingerprint=b"\x01\x02",
+        )]))
+        be.close()
+        # hand-poison the log: non-numeric embedding (the class of row a
+        # pre-validation build could have persisted)
+        import os
+
+        with open(os.path.join(d, "ucfp.wal"), "a") as f:
+            f.write(json.dumps({
+                "op": "upsert", "tenant_id": 1, "record_id": 2,
+                "modality": "text", "algorithm": "raw",
+                "fingerprint": "0102", "metadata": "",
+                "embedding": ["x"],
+            }) + "\n")
+        reopened = EmbeddedBackend(d)  # must not raise
+        assert reopened.get_record(1, 1)["algorithm"] == "raw"
+        with pytest.raises(Exception):
+            reopened.get_record(1, 2)
+        reopened.close()
+
+
+class TestInfoContract:
+    def test_crate_version_field(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        body = jbody(call(app, "GET", "/v1/info", token=None))
+        assert body["crate_version"] == body["version"]
+
+
+class TestQueryFilter:
+    def test_filter_is_unsupported_not_ignored(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        body = json.dumps({
+            "tenant_id": 1, "modality": "text", "k": 3,
+            "vector": [1.0, 0.0], "filter": {"field": "x"},
+        }).encode()
+        resp = call(app, "POST", "/v1/query", body)
+        assert resp.status == 501
+        assert jbody(resp)["error"] == "unsupported"
+
+
+def make_app_keys(tmp_path):
+    """Accounts app whose issued keys also authenticate (composite
+    lookup, as state_from_env wires it)."""
+    from ucfp_tpu.server.accounts import AccountStore
+    from ucfp_tpu.server.app import ServerState, build_server
+    from ucfp_tpu.server.auth import StaticSingleKey
+    from ucfp_tpu.server.inputs_cache import InputsCache
+    from ucfp_tpu.server.keystore import CompositeKeyLookup, PersistentKeyStore
+    from ucfp_tpu.server.ratelimit import NoopRateLimiter
+    from ucfp_tpu.server.usage import NoopUsageSink
+
+    ks = PersistentKeyStore(str(tmp_path / "keys.json"))
+    state = ServerState(
+        index=EmbeddedBackend(str(tmp_path / "db")),
+        api_keys=CompositeKeyLookup(StaticSingleKey(TOKEN), ks),
+        rate_limit=NoopRateLimiter(),
+        usage=NoopUsageSink(),
+        inputs=InputsCache(),
+        keystore=ks,
+        accounts=AccountStore(str(tmp_path / "accounts.json")),
+    )
+    return build_server(state, timeout_secs=120.0), state
+
+
+class TestPerKeyQuota:
+    def test_minute_budget_429(self, tmp_path):
+        app, state = make_app_keys(tmp_path)
+        issued = jbody(call(
+            app, "POST", "/v1/admin/keys",
+            json.dumps({"tenant_id": 5, "rate_limit_per_min": 2}).encode(),
+        ))
+        assert issued["rate_limit_per_min"] == 2
+        tok = issued["token"]
+        q = json.dumps({"tenant_id": 5, "modality": "text", "k": 1,
+                        "vector": [1.0]}).encode()
+        assert call(app, "POST", "/v1/query", q, token=tok).status == 200
+        assert call(app, "POST", "/v1/query", q, token=tok).status == 200
+        third = call(app, "POST", "/v1/query", q, token=tok)
+        assert third.status == 429
+        assert "retry-after" in third.headers
+        # the service bearer (no per-key budget) is unaffected
+        assert call(app, "POST", "/v1/query", json.dumps(
+            {"tenant_id": 1, "modality": "text", "k": 1, "vector": [1.0]}
+        ).encode()).status == 200
+
+    def test_daily_quota_429(self, tmp_path):
+        app, state = make_app_keys(tmp_path)
+        issued = jbody(call(
+            app, "POST", "/v1/admin/keys",
+            json.dumps({"tenant_id": 5, "rate_limit_per_min": 0,
+                        "daily_quota": 1}).encode(),
+        ))
+        tok = issued["token"]
+        q = json.dumps({"tenant_id": 5, "modality": "text", "k": 1,
+                        "vector": [1.0]}).encode()
+        assert call(app, "POST", "/v1/query", q, token=tok).status == 200
+        assert call(app, "POST", "/v1/query", q, token=tok).status == 429
+
+    def test_bad_quota_body_400(self, tmp_path):
+        app, _ = make_app_accounts(tmp_path)
+        resp = call(app, "POST", "/v1/admin/keys",
+                    json.dumps({"tenant_id": 5, "daily_quota": -1}).encode())
+        assert resp.status == 400
+
+
+class TestAuthIpLimit:
+    def test_signup_rate_limited_per_ip(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("UCFP_AUTH_IP_RPM", "3")
+        app, _ = make_app_accounts(tmp_path)
+        for i in range(3):
+            r = call(app, "POST", "/v1/auth/signup",
+                     json.dumps({"email": f"u{i}@x.co",
+                                 "password": "password!"}).encode(),
+                     token=None)
+            assert r.status == 201
+        r = call(app, "POST", "/v1/auth/signup",
+                 json.dumps({"email": "u9@x.co",
+                             "password": "password!"}).encode(), token=None)
+        assert r.status == 429
+        assert "retry-after" in r.headers
+
+
+class TestUsageTags:
+    def test_modality_and_algorithm_populated(self, tmp_path):
+        log = tmp_path / "usage.ndjson"
+        app, _ = make_app(tmp_path, usage=LogUsageSink(str(log)))
+
+        async def go():
+            r1, _ = await app.handle_request(req(
+                "POST", "/v1/ingest/text/1/1",
+                b"the quick brown fox jumps over the lazy dog",
+                query="algorithm=minhash",
+            ))
+            r2, _ = await app.handle_request(req(
+                "POST", "/v1/query",
+                json.dumps({"tenant_id": 1, "modality": "text", "k": 1,
+                            "vector": [1.0]}).encode(),
+            ))
+            await asyncio.sleep(0.2)  # fire-and-forget usage tasks drain
+            return r1, r2
+
+        r1, r2 = asyncio.run(go())
+        assert r1.status == 201 and r2.status == 200
+        events = [json.loads(l) for l in log.read_text().splitlines()]
+        ingest = [e for e in events if e["op"] == "ingest"]
+        query = [e for e in events if e["op"] == "query"]
+        assert ingest and ingest[0]["modality"] == "text"
+        assert ingest[0]["algorithm"].startswith("minhash")
+        assert query and query[0]["modality"] == "text"
+
+
+class TestAsyncioFrontFraming:
+    """Raw-socket tests against the asyncio HTTP front."""
+
+    def _roundtrip(self, tmp_path, payload: bytes, nresp: int = 1):
+        app, _ = make_app(tmp_path)
+
+        async def go():
+            srv = await app.serve("127.0.0.1", 0)
+            port = srv.sockets[0].getsockname()[1]
+            try:
+                reader, writer = await asyncio.open_connection("127.0.0.1", port)
+                writer.write(payload)
+                await writer.drain()
+                data = b""
+                # read until we have nresp complete responses or EOF
+                while data.count(b"HTTP/1.1 ") < nresp:
+                    chunk = await asyncio.wait_for(reader.read(65536), timeout=20)
+                    if not chunk:
+                        break
+                    data += chunk
+                # small grace read for trailing bytes
+                try:
+                    data += await asyncio.wait_for(reader.read(65536), timeout=0.3)
+                except asyncio.TimeoutError:
+                    pass
+                writer.close()
+                return data
+            finally:
+                srv.close()
+                await srv.wait_closed()
+
+        return asyncio.run(go())
+
+    def test_chunked_body_decoded(self, tmp_path):
+        body = b"the quick brown fox jumps over the lazy dog"
+        chunked = b"%x\r\n%s\r\n0\r\n\r\n" % (len(body), body)
+        payload = (
+            b"POST /v1/ingest/text/1/7?algorithm=minhash HTTP/1.1\r\n"
+            b"Host: x\r\nAuthorization: Bearer " + TOKEN.encode() + b"\r\n"
+            b"Transfer-Encoding: chunked\r\n\r\n" + chunked
+        )
+        data = self._roundtrip(tmp_path, payload)
+        assert b"201 Created" in data
+        assert b'"fingerprint_hex"' in data
+
+    def test_chunked_smuggling_fails_closed(self, tmp_path):
+        """A chunked body containing a pipelined-looking request must be
+        treated as BODY, not as a second request."""
+        inner = (b"GET /healthz HTTP/1.1\r\nHost: x\r\n\r\n")
+        chunked = b"%x\r\n%s\r\n0\r\n\r\n" % (len(inner), inner)
+        payload = (
+            b"POST /v1/ingest/text/1/8?algorithm=minhash HTTP/1.1\r\n"
+            b"Host: x\r\nAuthorization: Bearer " + TOKEN.encode() + b"\r\n"
+            b"Content-Length: 0\r\n"
+            b"Transfer-Encoding: chunked\r\n\r\n" + chunked
+        )
+        data = self._roundtrip(tmp_path, payload, nresp=1)
+        # exactly ONE response — the smuggled GET never executes
+        assert data.count(b"HTTP/1.1 ") == 1
+        assert b"201 Created" in data
+
+    def test_bad_content_length_400(self, tmp_path):
+        payload = (
+            b"POST /v1/query HTTP/1.1\r\nHost: x\r\n"
+            b"Content-Length: abc\r\n\r\n"
+        )
+        data = self._roundtrip(tmp_path, payload)
+        assert b"400 Bad Request" in data
+        assert b"bad_content_length" in data
+
+    def test_negative_content_length_400(self, tmp_path):
+        payload = (
+            b"POST /v1/query HTTP/1.1\r\nHost: x\r\n"
+            b"Content-Length: -5\r\n\r\n"
+        )
+        data = self._roundtrip(tmp_path, payload)
+        assert b"400 Bad Request" in data
+
+    def test_malformed_chunk_400(self, tmp_path):
+        payload = (
+            b"POST /v1/query HTTP/1.1\r\nHost: x\r\n"
+            b"Transfer-Encoding: chunked\r\n\r\nzz\r\n"
+        )
+        data = self._roundtrip(tmp_path, payload)
+        assert b"400 Bad Request" in data

@@ -214,12 +214,31 @@ class EmbeddedBackend(IndexBackend):
     # -- WAL ----------------------------------------------------------------
 
     def _replay(self) -> None:
+        # A single malformed event must not brick the store: a bad row
+        # that somehow reached the log (pre-validation builds, partial
+        # corruption the CRC missed) is skipped with a warning instead of
+        # crashing open() on every restart.
+        skipped = 0
         for ev in self._wal.replay():
-            if ev.get("op") == "upsert":
-                self._apply_upsert(self._rec_from_wal(ev), wal=False)
-            elif ev.get("op") == "delete":
-                for rid in ev["record_ids"]:
-                    self._apply_delete(ev["tenant_id"], rid, wal=False)
+            try:
+                if ev.get("op") == "upsert":
+                    self._apply_upsert(self._rec_from_wal(ev), wal=False)
+                elif ev.get("op") == "delete":
+                    for rid in ev["record_ids"]:
+                        self._apply_delete(ev["tenant_id"], rid, wal=False)
+            except Exception as e:  # noqa: BLE001 - replay must finish
+                skipped += 1
+                from ..server.logging import logger
+
+                logger().warn(
+                    "wal_replay_skip", op=ev.get("op"),
+                    tenant_id=ev.get("tenant_id"),
+                    record_id=ev.get("record_id"), error=str(e),
+                )
+        if skipped:
+            from ..server.logging import logger
+
+            logger().warn("wal_replay_skipped_events", count=skipped)
 
     @staticmethod
     def _rec_from_wal(ev: dict) -> Record:
@@ -246,6 +265,14 @@ class EmbeddedBackend(IndexBackend):
 
     def _apply_upsert(self, rec: Record, wal: bool) -> None:
         key = (rec.tenant_id, rec.record_id)
+        # convert fallible inputs BEFORE touching any table: a malformed
+        # record (e.g. non-numeric embedding from an old log) must fail
+        # without leaving partial state behind for _replay to skip over
+        emb_arr = (np.asarray(rec.embedding, np.float32)
+                   if rec.embedding is not None else None)
+        if emb_arr is not None and (emb_arr.ndim != 1 or not np.all(np.isfinite(emb_arr))):
+            raise ValueError("embedding must be a flat finite float vector")
+        packed = np.asarray(knn_ops.pack_bits_to_u32(rec.fingerprint), np.uint32)
         old = self._records.get(key)
         self._records[key] = {
             "modality": rec.modality.value,
@@ -265,16 +292,15 @@ class EmbeddedBackend(IndexBackend):
                 c = self._vec.get((rec.tenant_id, olddim))
                 if c:
                     c.remove(rec.record_id)
-        if rec.embedding is not None:
-            dim = len(rec.embedding)
+        if emb_arr is not None:
+            dim = len(emb_arr)
             cache = self._vec.setdefault((rec.tenant_id, dim), _VecCache(dim))
-            cache.upsert(rec.record_id, np.asarray(rec.embedding, np.float32))
+            cache.upsert(rec.record_id, emb_arr)
         # packed fingerprint table
         if old is not None and old["algorithm"] != rec.algorithm:
             h = self._ham.get((rec.tenant_id, old["algorithm"]))
             if h:
                 h.remove(rec.record_id)
-        packed = np.asarray(knn_ops.pack_bits_to_u32(rec.fingerprint), np.uint32)
         hcache = self._ham.get((rec.tenant_id, rec.algorithm))
         if hcache is None:
             hcache = _HamCache(words=len(packed))
@@ -622,6 +648,11 @@ class EmbeddedBackend(IndexBackend):
     ) -> list[Hit]:
         """Cosine top-k, semantics matching mod.rs:268-360: empty query or
         k=0 or zero-norm query -> empty; only vectors of matching dim."""
+        if filter is not None:
+            from ..core import UnsupportedError
+
+            # surfaced, not silently dropped (src/index/mod.rs:18-78)
+            raise UnsupportedError("knn filters are not implemented")
         if not query or k == 0:
             return []
         q = np.asarray(query, np.float32)

@@ -106,7 +106,16 @@ class AccountStore:
 
     def _new_session_locked(self, email: str) -> dict:
         if len(self._sessions) >= _MAX_SESSIONS:
-            self._sessions.clear()
+            # evict expired first, then oldest-expiring — clearing the
+            # whole map would log out every user on session #4096
+            now = time.time()
+            expired = [h for h, row in self._sessions.items()
+                       if row["expires"] < now]
+            for h in expired:
+                del self._sessions[h]
+            while len(self._sessions) >= _MAX_SESSIONS:
+                oldest = min(self._sessions, key=lambda h: self._sessions[h]["expires"])
+                del self._sessions[oldest]
         token = secrets.token_urlsafe(32)
         self._sessions[hashlib.sha256(token.encode()).hexdigest()] = {
             "email": email,

@@ -28,7 +28,12 @@ from .auth import ApiKeyLookup, StaticMapKey, StaticSingleKey
 from .handlers import Handlers
 from .http import HttpError, HttpServer, Request, Response, Router
 from .inputs_cache import InputsCache
-from .ratelimit import InMemoryTokenBucket, NoopRateLimiter, TenantRateLimiter
+from .ratelimit import (
+    FixedWindowLimiter,
+    InMemoryTokenBucket,
+    NoopRateLimiter,
+    TenantRateLimiter,
+)
 from .usage import LogUsageSink, NoopUsageSink, UsageEvent, UsageOp, UsageSink, now_ms
 
 
@@ -122,8 +127,21 @@ def build_server(
 
     r.add("GET", "/metrics", metrics_handler, protected=False)
 
+    # per-key minute/day budgets (reference web KV counters) + per-IP
+    # limits on the public auth routes (signup burns 2 PBKDF2-100k
+    # hashes on a one-core host; the reference demo path is 60/min/IP)
+    key_quota = FixedWindowLimiter()
+    auth_ip_rpm = int(os.environ.get("UCFP_AUTH_IP_RPM", "30"))
+
     async def middleware(req: Request, handler, protected: bool) -> Response:
         if not protected:
+            if req.path.startswith("/v1/auth/") and req.method == "POST":
+                d = key_quota.check(f"ip:{req.remote_addr}", auth_ip_rpm)
+                if not d.allowed:
+                    raise HttpError(
+                        429, "rate_limited", "auth rate limit exceeded",
+                        headers={"retry-after": str(max(1, d.retry_after_ms // 1000))},
+                    )
             return await handler(req)
         # bearer parse -> lookup (mod.rs:310-330); a dashboard session
         # cookie is an accepted alternative, scoped to its tenant
@@ -157,6 +175,23 @@ def build_server(
                     "retry-after": str(max(1, decision.retry_after_ms // 1000))
                 },
             )
+        # per-key budget on top of the tenant bucket (ratelimit.ts:10-80:
+        # minute window + daily quota; a key may exhaust its own budget
+        # without touching the tenant's)
+        if ctx.rate_limit_per_min or ctx.daily_quota:
+            kd = key_quota.check(
+                f"key:{ctx.key_id}", ctx.rate_limit_per_min, ctx.daily_quota
+            )
+            if not kd.allowed:
+                raise HttpError(
+                    429,
+                    "rate_limited",
+                    "API key rate limit exceeded",
+                    headers={
+                        "retry-after": str(max(1, kd.retry_after_ms // 1000))
+                    },
+                )
+            decision = kd if kd.remaining < decision.remaining else decision
         req.extensions["api_key"] = ctx
         start = time.monotonic()
         status = 500
@@ -183,10 +218,21 @@ def build_server(
                         break
             elif req.method == "DELETE":
                 op = UsageOp.DELETE
+            # modality/algorithm (usage.rs:49-81 populates both; the
+            # dashboard usage view groups on them). Handlers set the
+            # resolved pair in extensions; the path is the fallback.
+            modality = req.extensions.get("usage_modality")
+            algorithm = req.extensions.get("usage_algorithm")
+            if modality is None and req.path.startswith("/v1/ingest/"):
+                seg = req.path.split("/")
+                modality = seg[3] if len(seg) > 3 else None
+                algorithm = algorithm or req.query.get("algorithm")
             ev = UsageEvent(
                 tenant_id=ctx.tenant_id,
                 key_id=ctx.key_id,
                 op=op,
+                modality=modality,
+                algorithm=algorithm,
                 bytes_in=len(req.body),
                 elapsed_ms=(time.monotonic() - start) * 1000.0,
                 status=status,

@@ -24,6 +24,11 @@ class ApiKeyContext:
     key_id: str = "default"
     scopes: tuple[str, ...] = ()
     rate_class: str = "default"
+    # per-key budgets (reference D1 api_keys schema: rate_limit_per_min
+    # 600, daily_quota 50000 — web/migrations/0001_init.sql). 0 = no
+    # per-key limit (static service bearers).
+    rate_limit_per_min: int = 0
+    daily_quota: int = 0
 
 
 class ApiKeyLookup(abc.ABC):

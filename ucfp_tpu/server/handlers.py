@@ -94,6 +94,13 @@ def _path_ids(req: Request) -> tuple[int, int]:
         raise HttpError(400, "bad_path", "tenant_id/record_id must be integers")
 
 
+def _tag_usage(req: Request, modality: str, algorithm: Optional[str]) -> None:
+    """Resolved modality/algorithm for the middleware's UsageEvent
+    (usage.rs:49-81 populates both; the usage dashboard groups on them)."""
+    req.extensions["usage_modality"] = modality
+    req.extensions["usage_algorithm"] = algorithm
+
+
 def _ingest_response(rec: Record, return_embedding: bool) -> Response:
     body = {
         "tenant_id": rec.tenant_id,
@@ -171,6 +178,9 @@ class Handlers:
         return Response.json(
             {
                 "name": "ucfp-tpu",
+                # reference InfoResponse field name (dto.rs); "version"
+                # kept as an additive alias for earlier clients
+                "crate_version": __version__,
                 "version": __version__,
                 "format_version": 1,
                 "uptime_secs": int(time.time() - self.started),
@@ -183,12 +193,40 @@ class Handlers:
 
     # -- records ----------------------------------------------------------------
 
+    @staticmethod
+    def _valid_embedding(emb) -> Optional[list[float]]:
+        """Embeddings must be flat lists of finite numbers BEFORE the WAL
+        append — a bad entry durably logged would poison every replay
+        (the store would fail to open until the WAL is hand-edited)."""
+        if emb is None:
+            return None
+        if not isinstance(emb, list) or not emb:
+            raise ValueError("embedding must be a non-empty array of numbers")
+        out = []
+        for x in emb:
+            if isinstance(x, bool) or not isinstance(x, (int, float)):
+                raise ValueError("embedding entries must be numbers")
+            f = float(x)
+            if not np.isfinite(f):
+                raise ValueError("embedding entries must be finite")
+            out.append(f)
+        return out
+
     async def upsert_records(self, req: Request) -> Response:
         body = req.json()
-        items = body if isinstance(body, list) else [body]
+        # reference UpsertRequest is {"records": [...]} (dto.rs:27-34);
+        # a bare record object or bare array are accepted as extensions
+        if isinstance(body, dict) and "records" in body:
+            items = body["records"]
+            if not isinstance(items, list):
+                raise HttpError(400, "bad_record", "records must be an array")
+        else:
+            items = body if isinstance(body, list) else [body]
         recs = []
         for r in items:
             try:
+                if not isinstance(r, dict):
+                    raise ValueError("each record must be an object")
                 fp = r["fingerprint"]
                 meta = r.get("metadata", [])
                 # must be JSON u8 arrays — bytes(int) would zero-allocate
@@ -203,7 +241,7 @@ class Handlers:
                     algorithm=r["algorithm"],
                     config_hash=r.get("config_hash", 0),
                     fingerprint=bytes(fp),
-                    embedding=r.get("embedding"),
+                    embedding=self._valid_embedding(r.get("embedding")),
                     model_id=r.get("model_id"),
                     metadata=bytes(meta),
                 )
@@ -258,6 +296,11 @@ class Handlers:
         except (KeyError, ValueError, TypeError) as e:
             raise HttpError(400, "bad_query", f"invalid query: {e}")
         tenant_guard(_ctx(req), tenant_id)
+        if body.get("filter") is not None:
+            # surface Unsupported rather than silently dropping the
+            # filter (reference src/index/mod.rs:18-78 contract)
+            raise HttpError(501, "unsupported", "query filters are not implemented")
+        _tag_usage(req, modality.value, body.get("algorithm"))
         explain = req.qp_bool("explain")
         vector = body.get("vector")
         terms = body.get("terms") or []
@@ -472,6 +515,7 @@ class Handlers:
                 raise HttpError(400, "bad_algorithm", f"unknown text algorithm {algorithm!r}")
         except UcfpError as e:
             raise _err(e)
+        _tag_usage(req, "text", rec.algorithm)
         await self.index.upsert([rec])
         return _ingest_response(rec, req.qp_bool("return_embedding"))
 
@@ -493,6 +537,7 @@ class Handlers:
             raise HttpError(400, "bad_ndjson", f"invalid NDJSON stream: {e}")
         except UcfpError as e:
             raise _err(e)
+        _tag_usage(req, "text", rec.algorithm)
         await self.index.upsert([rec])
         return _ingest_response(rec, False)
 
@@ -548,6 +593,7 @@ class Handlers:
                 )
         except UcfpError as e:
             raise _err(e)
+        _tag_usage(req, "image", rec.algorithm)
         await self.index.upsert([rec])
         return _ingest_response(rec, req.qp_bool("return_embedding"))
 
@@ -603,6 +649,7 @@ class Handlers:
                     threshold=req.qp_float("threshold", 0.5)
                 )
                 rep = amod.detect_watermark(samples, sample_rate, wcfg)
+                _tag_usage(req, "audio", "watermark")
                 # watermark returns a report, not a Record (audio.rs:333-400)
                 return Response.json(
                     {
@@ -617,6 +664,7 @@ class Handlers:
                 )
         except UcfpError as e:
             raise _err(e)
+        _tag_usage(req, "audio", rec.algorithm)
         await self.index.upsert([rec])
         return _ingest_response(rec, req.qp_bool("return_embedding"))
 
@@ -639,6 +687,7 @@ class Handlers:
             recs.extend(session.finalize())
         except UcfpError as e:
             raise _err(e)
+        _tag_usage(req, "audio", "audiofp-wang-v1")
         if recs:
             await self.index.upsert(recs)
         return Response.json(
@@ -684,9 +733,14 @@ class Handlers:
         tenant_guard(ctx, tenant_id)
         import asyncio as _aio
 
+        for knob in ("rate_limit_per_min", "daily_quota"):
+            v = body.get(knob)
+            if v is not None and (isinstance(v, bool) or not isinstance(v, int) or v < 0):
+                raise HttpError(400, "bad_request", f"{knob} must be a non-negative integer")
         try:
             issued = await _aio.to_thread(
-                self._keystore().issue, tenant_id, body.get("key_id")
+                self._keystore().issue, tenant_id, body.get("key_id"),
+                body.get("rate_limit_per_min"), body.get("daily_quota"),
             )
         except ValueError as e:
             raise HttpError(409, "conflict", str(e))
@@ -729,17 +783,43 @@ class Handlers:
             tid = req.qp_int("tenant_id", None)
         else:
             tid = ctx.tenant_id
-        limit = req.qp_int("limit", 200)
-        events = []
-        with open(path) as f:
-            for line in f:
-                try:
-                    ev = json.loads(line)
-                except json.JSONDecodeError:
-                    continue
-                if tid is None or ev.get("tenant_id") == tid:
-                    events.append(ev)
-        return Response.json({"events": events[-limit:]})
+        limit = min(max(req.qp_int("limit", 200), 1), 10_000)
+
+        def tail():
+            # reverse block reads: memory stays O(limit + block), not
+            # O(log file) — the log grows without bound on a live server
+            events: list = []
+            block = 256 * 1024
+            with open(path, "rb") as f:
+                f.seek(0, 2)
+                pos = f.tell()
+                buf = b""
+                while pos > 0 and len(events) < limit:
+                    step = min(block, pos)
+                    pos -= step
+                    f.seek(pos)
+                    buf = f.read(step) + buf
+                    lines = buf.split(b"\n")
+                    # the first fragment may be a partial line unless we
+                    # reached the file start
+                    buf = lines.pop(0) if pos > 0 else b""
+                    for line in reversed(lines):
+                        if not line.strip():
+                            continue
+                        try:
+                            ev = json.loads(line)
+                        except json.JSONDecodeError:
+                            continue
+                        if tid is None or ev.get("tenant_id") == tid:
+                            events.append(ev)
+                            if len(events) >= limit:
+                                break
+            events.reverse()
+            return events
+
+        import asyncio as _aio
+
+        return Response.json({"events": await _aio.to_thread(tail)})
 
     # -- accounts: dashboard signup / login / logout -------------------------------
     #

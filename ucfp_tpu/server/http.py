@@ -44,6 +44,7 @@ class Request:
     body: bytes
     params: dict[str, str] = field(default_factory=dict)
     extensions: dict = field(default_factory=dict)
+    remote_addr: str = ""  # client IP (per-IP limits on public auth routes)
 
     def json(self):
         try:
@@ -94,6 +95,10 @@ class Response:
     @classmethod
     def text(cls, s: str, status: int = 200, content_type: str = "text/plain") -> "Response":
         return cls(status=status, body=s.encode(), content_type=content_type)
+
+
+class _BodyTooLarge(Exception):
+    """Chunked body exceeded the body limit mid-stream."""
 
 
 class HttpError(Exception):
@@ -270,7 +275,42 @@ class HttpServer:
             )
         return resp, path_label
 
+    async def _read_chunked(self, reader: asyncio.StreamReader) -> Optional[bytes]:
+        """RFC 7230 chunked body decode, bounded by body_limit.
+        Returns None on malformed framing (caller responds 400)."""
+        parts: list[bytes] = []
+        total = 0
+        while True:
+            line = await reader.readline()
+            if not line.endswith(b"\n"):
+                return None
+            size_s = line.strip().split(b";", 1)[0]  # drop chunk extensions
+            try:
+                size = int(size_s, 16)
+            except ValueError:
+                return None
+            if size < 0:
+                return None
+            total += size
+            if total > self.body_limit:
+                raise _BodyTooLarge()
+            if size == 0:
+                # last chunk carries no data; the trailer section follows,
+                # terminated by a blank line
+                while True:
+                    t = await reader.readline()
+                    if not t.endswith(b"\n"):
+                        return None
+                    if t in (b"\r\n", b"\n"):
+                        return b"".join(parts)
+            chunk = await reader.readexactly(size + 2)  # data + CRLF
+            if chunk[-2:] != b"\r\n":
+                return None
+            parts.append(chunk[:-2])
+
     async def _client(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter):
+        peer = writer.get_extra_info("peername")
+        remote = peer[0] if isinstance(peer, tuple) and peer else ""
         try:
             while True:
                 try:
@@ -293,17 +333,54 @@ class HttpServer:
                     if ":" in ln:
                         k, v = ln.split(":", 1)
                         headers[k.strip().lower()] = v.strip()
-                clen = int(headers.get("content-length", "0") or "0")
-                if clen > self.body_limit:
-                    writer.write(
-                        _raw_response(413, b'{"error":"payload_too_large"}')
-                    )
-                    await writer.drain()
-                    return
-                body = await reader.readexactly(clen) if clen else b""
+                # Transfer-Encoding wins over Content-Length (RFC 7230
+                # §3.3.3) — ignoring it would let a chunked body be parsed
+                # as the next pipelined request (request smuggling)
+                te = headers.get("transfer-encoding", "").lower()
+                if te:
+                    if te != "chunked":
+                        writer.write(_raw_response(
+                            501, b'{"error":"unsupported_transfer_encoding"}'
+                        ))
+                        await writer.drain()
+                        return
+                    try:
+                        body = await self._read_chunked(reader)
+                    except _BodyTooLarge:
+                        writer.write(_raw_response(413, b'{"error":"payload_too_large"}'))
+                        await writer.drain()
+                        return
+                    except (asyncio.IncompleteReadError, ConnectionResetError):
+                        return
+                    except ValueError:  # readline limit overrun
+                        body = None
+                    if body is None:
+                        writer.write(_raw_response(400, b'{"error":"bad_chunked_body"}'))
+                        await writer.drain()
+                        return
+                else:
+                    try:
+                        clen = int(headers.get("content-length", "0") or "0")
+                        if clen < 0:
+                            raise ValueError
+                    except ValueError:
+                        writer.write(_raw_response(400, b'{"error":"bad_content_length"}'))
+                        await writer.drain()
+                        return
+                    if clen > self.body_limit:
+                        writer.write(
+                            _raw_response(413, b'{"error":"payload_too_large"}')
+                        )
+                        await writer.drain()
+                        return
+                    try:
+                        body = await reader.readexactly(clen) if clen else b""
+                    except (asyncio.IncompleteReadError, ConnectionResetError):
+                        return
                 path, _, qs = target.partition("?")
                 query = {k: v[0] for k, v in parse_qs(qs, keep_blank_values=True).items()}
-                req = Request(method, path, query, headers, body)
+                req = Request(method, path, query, headers, body,
+                              remote_addr=remote)
                 resp, _ = await self.handle_request(req)
                 keep = headers.get("connection", "keep-alive").lower() != "close"
                 writer.write(_serialize(resp, keep))

@@ -47,13 +47,23 @@ class PersistentKeyStore(ApiKeyLookup):
             # digest must survive a crash or the issued key is dead
         os.replace(tmp, self.path)
 
-    def issue(self, tenant_id: int, key_id: Optional[str] = None) -> dict:
+    # reference D1 api_keys defaults (web/migrations/0001_init.sql)
+    DEFAULT_RPM = 600
+    DEFAULT_DAILY = 50_000
+
+    def issue(self, tenant_id: int, key_id: Optional[str] = None,
+              rate_limit_per_min: Optional[int] = None,
+              daily_quota: Optional[int] = None) -> dict:
         """Create a key; returns the one-time plaintext token. Raises
         ValueError when key_id is already in use — revoke() deletes by
         key_id, so duplicates would make one call revoke both keys."""
         token = "ucfp_" + base64.urlsafe_b64encode(secrets.token_bytes(32)).rstrip(
             b"="
         ).decode()
+        rpm = self.DEFAULT_RPM if rate_limit_per_min is None else int(rate_limit_per_min)
+        daily = self.DEFAULT_DAILY if daily_quota is None else int(daily_quota)
+        if rpm < 0 or daily < 0:
+            raise ValueError("rate_limit_per_min/daily_quota must be >= 0")
         with self._lock:
             existing = {row["key_id"] for row in self._keys.values()}
             if key_id is not None and key_id in existing:
@@ -66,10 +76,13 @@ class PersistentKeyStore(ApiKeyLookup):
                 "tenant_id": tenant_id,
                 "prefix": token[:12],
                 "created": int(time.time()),
+                "rate_limit_per_min": rpm,
+                "daily_quota": daily,
             }
             self._save()
         return {"token": token, "key_id": kid, "tenant_id": tenant_id,
-                "prefix": token[:12]}
+                "prefix": token[:12], "rate_limit_per_min": rpm,
+                "daily_quota": daily}
 
     def revoke(self, key_id: str) -> bool:
         with self._lock:
@@ -92,7 +105,13 @@ class PersistentKeyStore(ApiKeyLookup):
         row = self._keys.get(_digest(token))
         if row is None:
             return None
-        return ApiKeyContext(tenant_id=row["tenant_id"], key_id=row["key_id"])
+        return ApiKeyContext(
+            tenant_id=row["tenant_id"],
+            key_id=row["key_id"],
+            # rows written before quotas existed get the schema defaults
+            rate_limit_per_min=row.get("rate_limit_per_min", self.DEFAULT_RPM),
+            daily_quota=row.get("daily_quota", self.DEFAULT_DAILY),
+        )
 
 
 class CompositeKeyLookup(ApiKeyLookup):

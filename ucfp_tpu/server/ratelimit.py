@@ -70,6 +70,67 @@ class InMemoryTokenBucket(TenantRateLimiter):
         )
 
 
+class FixedWindowLimiter:
+    """String-keyed fixed-window counters: per-minute rate and optional
+    daily quota. Rebuild of the reference web tier's KV counters
+    (web/src/lib/server/ratelimit.ts:10-80 — `rl:{key}:{minute}` minute
+    windows, `quota:{key}:{day}` daily quotas; D1 defaults 600/min and
+    50 000/day per API key, 60/min/IP for the demo path). Synchronous —
+    callers hold no locks across awaits; the asyncio server runs one
+    event loop so plain dict ops are safe."""
+
+    MAX_KEYS = 16384  # stale-window sweep threshold
+
+    def __init__(self, clock=time.time):
+        self._clock = clock
+        self._minute: dict[str, list[int]] = {}  # key -> [window, count]
+        self._day: dict[str, list[int]] = {}
+
+    def _sweep(self, table: dict, current: int) -> None:
+        if len(table) > self.MAX_KEYS:
+            for k in [k for k, row in table.items() if row[0] != current]:
+                del table[k]
+
+    def check(self, key: str, per_min: int, daily: int = 0) -> RateDecision:
+        now = self._clock()
+        win = int(now // 60)
+        day = int(now // 86400)
+        if daily:
+            drow = self._day.get(key)
+            if drow is None or drow[0] != day:
+                self._sweep(self._day, day)
+                drow = [day, 0]
+                self._day[key] = drow
+            if drow[1] >= daily:
+                return RateDecision(
+                    allowed=False,
+                    retry_after_ms=int(((day + 1) * 86400 - now) * 1000),
+                )
+        remaining = 1 << 30
+        if per_min:
+            row = self._minute.get(key)
+            if row is None or row[0] != win:
+                self._sweep(self._minute, win)
+                row = [win, 0]
+                self._minute[key] = row
+            if row[1] >= per_min:
+                return RateDecision(
+                    allowed=False,
+                    retry_after_ms=int(((win + 1) * 60 - now) * 1000),
+                )
+            row[1] += 1
+            remaining = per_min - row[1]
+        if daily:
+            drow = self._day[key]
+            drow[1] += 1
+            remaining = min(remaining, daily - drow[1])
+        return RateDecision(
+            allowed=True,
+            remaining=remaining,
+            reset_ms=int(((win + 1) * 60 - now) * 1000),
+        )
+
+
 class WebhookRateLimiter(TenantRateLimiter):
     def __init__(self, fetch: Callable):
         self._fetch = fetch
