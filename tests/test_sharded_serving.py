@@ -1,0 +1,186 @@
+"""Sharded serving integration: EmbeddedBackend row-shards its ANN
+caches over the device mesh (SURVEY §7 step 7 — the north-star kernel
+wired into /v1/query, not just the raw kernels). conftest forces 8
+virtual CPU devices, so UCFP_SHARD=auto activates the mesh here."""
+
+import asyncio
+
+import numpy as np
+import pytest
+
+from ucfp_tpu.core import Modality, Record
+from ucfp_tpu.index.embedded import EmbeddedBackend
+
+
+def _rec(rid, emb=None, fp=b"\x00" * 8, tenant=1, algo="imgfprint-phash-v1"):
+    return Record(
+        tenant_id=tenant, record_id=rid, modality=Modality.IMAGE,
+        algorithm=algo, fingerprint=fp,
+        embedding=list(emb) if emb is not None else None,
+    )
+
+
+def _mk(tmp_path, name, **kw):
+    return EmbeddedBackend(str(tmp_path / name), **kw)
+
+
+def _ingest_vectors(be, n=40, d=16, seed=0):
+    rng = np.random.default_rng(seed)
+    embs = rng.normal(size=(n, d)).astype(np.float32)
+    recs = [_rec(i, embs[i]) for i in range(n)]
+    asyncio.run(be.upsert(recs))
+    return embs
+
+
+def _ingest_prints(be, n=40, words=2, seed=0):
+    rng = np.random.default_rng(seed)
+    fps = rng.integers(0, 256, size=(n, words * 4), dtype=np.uint8)
+    recs = [_rec(i, fp=bytes(fps[i])) for i in range(n)]
+    asyncio.run(be.upsert(recs))
+    return fps
+
+
+class TestMeshActivation:
+    def test_mesh_on_by_default_with_8_devices(self, tmp_path):
+        be = _mk(tmp_path, "a")
+        assert be._mesh is not None
+        assert be._mesh.devices.size == 8
+        be.close()
+
+    def test_shard_off_knob(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("UCFP_SHARD", "off")
+        be = _mk(tmp_path, "b")
+        assert be._mesh is None
+        be.close()
+
+    def test_caches_actually_sharded(self, tmp_path):
+        from jax.sharding import NamedSharding
+
+        be = _mk(tmp_path, "c")
+        _ingest_vectors(be)
+        hits = asyncio.run(be.knn(1, [1.0] * 16, 3))
+        assert len(hits) == 3
+        cache = be._vec[(1, 16)]
+        sh = cache.device[0].sharding
+        assert isinstance(sh, NamedSharding)
+        assert sh.spec[0] == "d"  # rows sharded over the mesh axis
+        # the packed fingerprint cache too
+        asyncio.run(be.knn_fingerprint(1, "imgfprint-phash-v1", b"\x01" * 8, 2))
+        hsh = be._ham[(1, "imgfprint-phash-v1")].device[0].sharding
+        assert isinstance(hsh, NamedSharding)
+        assert hsh.spec[0] == "d"
+        be.close()
+
+    def test_scatter_update_preserves_sharding(self, tmp_path):
+        be = _mk(tmp_path, "d")
+        embs = _ingest_vectors(be)
+        asyncio.run(be.knn(1, [1.0] * 16, 3))  # build the device cache
+        before = be._vec[(1, 16)].device[0].sharding
+        # incremental write -> pending-row scatter on next query
+        asyncio.run(be.upsert([_rec(7, np.ones(16, np.float32))]))
+        hits = asyncio.run(be.knn(1, list(np.ones(16) / 4.0), 1))
+        assert hits[0].record_id == 7  # updated row wins
+        after = be._vec[(1, 16)].device[0].sharding
+        assert after == before
+        be.close()
+
+
+class TestShardedMatchesSingleDevice:
+    def test_knn_parity(self, tmp_path, monkeypatch):
+        be_s = _mk(tmp_path, "s")
+        embs = _ingest_vectors(be_s, n=50, d=24)
+        monkeypatch.setenv("UCFP_SHARD", "off")
+        be_1 = _mk(tmp_path, "one")
+        _ingest_vectors(be_1, n=50, d=24)
+        q = list(np.asarray(embs[13], float))
+        hs = asyncio.run(be_s.knn(1, q, 7))
+        h1 = asyncio.run(be_1.knn(1, q, 7))
+        assert [h.record_id for h in hs] == [h.record_id for h in h1]
+        np.testing.assert_allclose(
+            [h.score for h in hs], [h.score for h in h1], rtol=1e-5
+        )
+        assert hs[0].record_id == 13
+        be_s.close()
+        be_1.close()
+
+    def test_knn_batch_parity(self, tmp_path, monkeypatch):
+        be_s = _mk(tmp_path, "s")
+        embs = _ingest_vectors(be_s, n=64, d=8, seed=3)
+        monkeypatch.setenv("UCFP_SHARD", "off")
+        be_1 = _mk(tmp_path, "one")
+        _ingest_vectors(be_1, n=64, d=8, seed=3)
+        queries = [list(map(float, embs[i])) for i in (0, 9, 33)]
+        rs = asyncio.run(be_s.knn_batch(1, queries, 5))
+        r1 = asyncio.run(be_1.knn_batch(1, queries, 5))
+        for hs, h1 in zip(rs, r1):
+            assert [h.record_id for h in hs] == [h.record_id for h in h1]
+        be_s.close()
+        be_1.close()
+
+    def test_knn_int8_sharded(self, tmp_path):
+        be = _mk(tmp_path, "q", knn_quant="int8")
+        assert be._mesh is not None
+        embs = _ingest_vectors(be, n=30, d=32, seed=5)
+        hits = asyncio.run(be.knn(1, list(map(float, embs[11])), 3))
+        assert hits[0].record_id == 11
+        assert hits[0].score == pytest.approx(1.0, abs=2e-2)
+        be.close()
+
+    def test_fingerprint_parity(self, tmp_path, monkeypatch):
+        be_s = _mk(tmp_path, "s")
+        fps = _ingest_prints(be_s, n=60, seed=7)
+        monkeypatch.setenv("UCFP_SHARD", "off")
+        be_1 = _mk(tmp_path, "one")
+        _ingest_prints(be_1, n=60, seed=7)
+        q = bytes(fps[21])
+        hs = asyncio.run(be_s.knn_fingerprint(1, "imgfprint-phash-v1", q, 5))
+        h1 = asyncio.run(be_1.knn_fingerprint(1, "imgfprint-phash-v1", q, 5))
+        assert hs[0].record_id == 21 and hs[0].score == 1.0
+        assert [h.record_id for h in hs] == [h.record_id for h in h1]
+        assert [h.score for h in hs] == [h.score for h in h1]
+        be_s.close()
+        be_1.close()
+
+    def test_k_larger_than_shard_height(self, tmp_path, monkeypatch):
+        """k > cap/n_devices exercises the local-k clamp: each shard can
+        contribute at most all of its rows, so results stay exact."""
+        be_s = _mk(tmp_path, "s")
+        _ingest_vectors(be_s, n=40, d=4, seed=9)
+        monkeypatch.setenv("UCFP_SHARD", "off")
+        be_1 = _mk(tmp_path, "one")
+        _ingest_vectors(be_1, n=40, d=4, seed=9)
+        q = [1.0, 0.5, -0.25, 2.0]
+        # cap = 1024, 8 devices -> shard height 128; k=40 covers every
+        # live record and must return all of them in identical order
+        hs = asyncio.run(be_s.knn(1, q, 40))
+        h1 = asyncio.run(be_1.knn(1, q, 40))
+        assert len(hs) == 40
+        assert [h.record_id for h in hs] == [h.record_id for h in h1]
+        be_s.close()
+        be_1.close()
+
+
+class TestFusedBatchedHamming:
+    def test_matches_exact_on_tile_aligned_db(self):
+        import jax.numpy as jnp
+
+        from ucfp_tpu.ops import knn as knn_ops
+        from ucfp_tpu.ops import pallas_scan
+
+        rng = np.random.default_rng(2)
+        c = pallas_scan.ROWS_PER_TILE * pallas_scan.LANES  # one tile
+        db = rng.integers(0, 2**32, size=(c, 2), dtype=np.uint32)
+        valid = np.ones(c, bool)
+        valid[c - 500:] = False  # padding tail
+        qm = db[[5, 77, c - 400]]  # the last one targets an INVALID row
+        fd, fi = pallas_scan.hamming_topk_fused_batched(
+            jnp.asarray(qm), jnp.asarray(db), jnp.asarray(valid), 1
+        )
+        ed, ei = knn_ops.hamming_topk(
+            jnp.asarray(qm), jnp.asarray(db), jnp.asarray(valid), 1
+        )
+        # top-1 is exact in the partial reduce
+        assert int(fi[0, 0]) == 5 and int(fd[0, 0]) == 0
+        assert int(fi[1, 0]) == 77
+        assert int(fd[2, 0]) == int(ed[2, 0])  # masked row never wins
+        assert int(fd[2, 0]) > 0

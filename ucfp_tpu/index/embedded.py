@@ -200,6 +200,21 @@ class EmbeddedBackend(IndexBackend):
         )
         self._vec: dict[tuple[int, int], _VecCache] = {}  # (tenant, dim)
         self._ham: dict[tuple[int, str], _HamCache] = {}  # (tenant, algorithm)
+        # ICI-sharded serving (SURVEY §7 step 7): with more than one
+        # device the ANN caches are row-sharded over a 1-D mesh and every
+        # query rides the two-stage distributed top-k. UCFP_SHARD=off
+        # forces single-device; "auto" (default) shards over the largest
+        # power-of-two device count (capacities are powers of two, so
+        # rows always divide evenly).
+        self._mesh = None
+        if (os.environ.get("UCFP_SHARD", "auto").lower() != "off"):
+            import jax
+
+            n = len(jax.devices())
+            if n >= 2:
+                from ..parallel.mesh import data_mesh
+
+                self._mesh = data_mesh(1 << (n.bit_length() - 1))
         self._lsh: dict[int, dict[tuple[int, int], set[int]]] = {}  # tenant -> band buckets
         self._audio: dict[int, dict[int, list[tuple[int, int]]]] = {}  # tenant -> hash -> [(rid, t)]
         # sniff an existing file's format: native frames start with the
@@ -564,19 +579,61 @@ class EmbeddedBackend(IndexBackend):
 
         await asyncio.to_thread(work)
 
-    @staticmethod
-    def _device_valid(cap: int, n: int):
+    def _shardings(self):
+        """(matrix, row-vector) NamedShardings, or (None, None) single-chip."""
+        if self._mesh is None:
+            return None, None
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        return (
+            NamedSharding(self._mesh, P("d", None)),
+            NamedSharding(self._mesh, P("d")),
+        )
+
+    def _put_matrix(self, arr: np.ndarray):
+        """HBM placement: row-sharded over the mesh when serving is
+        sharded, plain single-device upload otherwise."""
+        import jax
+        import jax.numpy as jnp
+
+        ms, _ = self._shardings()
+        return jax.device_put(arr, ms) if ms is not None else jnp.asarray(arr)
+
+    def _put_rowvec(self, arr: np.ndarray):
+        import jax
+        import jax.numpy as jnp
+
+        _, vs = self._shardings()
+        return jax.device_put(arr, vs) if vs is not None else jnp.asarray(arr)
+
+    def _device_valid(self, cap: int, n: int):
+        if self._mesh is not None:
+            return self._put_rowvec(np.arange(cap) < n)
         import jax.numpy as jnp
 
         # built on device (no host transfer): rows below n are live
         return jnp.arange(cap) < n
 
+    def _scatter_rows(self, m, ridx, vals):
+        """In-place-style row update that PRESERVES the array's sharding
+        (eager .at[].set keeps it via propagation; device_put is a no-op
+        when the sharding already matches, a reshard if it drifted)."""
+        import jax
+
+        out = m.at[ridx].set(vals)
+        if self._mesh is not None:
+            out = jax.device_put(out, m.sharding)
+        return out
+
     def _device_vec(self, cache: _RowCache):
-        """Sync the per-tenant vector matrix to the device.
+        """Sync the per-tenant vector matrix to the device(s).
 
         Full upload on first build / capacity growth; otherwise only the
         rows touched since the last sync transfer (scatter update), so a
         write between queries costs O(changed rows), not O(matrix).
+        Under a mesh the matrix is row-sharded (P("d", None)) so each
+        chip holds cap/n rows in HBM.
         """
         import jax.numpy as jnp
 
@@ -586,13 +643,13 @@ class EmbeddedBackend(IndexBackend):
             if quant:
                 q8, row_norm = knn_ops.quantize_rows_int8(cache.data)
                 cache.device = (
-                    jnp.asarray(q8),
-                    jnp.asarray(row_norm),
+                    self._put_matrix(q8),
+                    self._put_rowvec(row_norm),
                     self._device_valid(cap, cache.n),
                 )
             else:
                 cache.device = (
-                    jnp.asarray(cache.data),
+                    self._put_matrix(cache.data),
                     self._device_valid(cap, cache.n),
                 )
             cache.dirty = False
@@ -604,14 +661,14 @@ class EmbeddedBackend(IndexBackend):
                 q8u, rnu = knn_ops.quantize_rows_int8(cache.data[rows])
                 m, rn, _v = cache.device
                 cache.device = (
-                    m.at[ridx].set(jnp.asarray(q8u)),
-                    rn.at[ridx].set(jnp.asarray(rnu)),
+                    self._scatter_rows(m, ridx, jnp.asarray(q8u)),
+                    self._scatter_rows(rn, ridx, jnp.asarray(rnu)),
                     self._device_valid(cap, cache.n),
                 )
             else:
                 m, _v = cache.device
                 cache.device = (
-                    m.at[ridx].set(jnp.asarray(cache.data[rows])),
+                    self._scatter_rows(m, ridx, jnp.asarray(cache.data[rows])),
                     self._device_valid(cap, cache.n),
                 )
             cache.pending = []
@@ -623,7 +680,7 @@ class EmbeddedBackend(IndexBackend):
         cap = cache.data.shape[0]
         if cache.dirty or cache.device is None:
             cache.device = (
-                jnp.asarray(cache.data),
+                self._put_matrix(cache.data),
                 self._device_valid(cap, cache.n),
             )
             cache.dirty = False
@@ -633,7 +690,7 @@ class EmbeddedBackend(IndexBackend):
             ridx = jnp.asarray(rows)
             m, _v = cache.device
             cache.device = (
-                m.at[ridx].set(jnp.asarray(cache.data[rows])),
+                self._scatter_rows(m, ridx, jnp.asarray(cache.data[rows])),
                 self._device_valid(cap, cache.n),
             )
             cache.pending = []
@@ -667,7 +724,22 @@ class EmbeddedBackend(IndexBackend):
                 dev = self._device_vec(cache)
                 rids = list(cache.rids)
             kk = min(k, cache.n)
-            if self.knn_quant == "int8":
+            if self._mesh is not None:
+                # ICI-sharded serving: each chip scans its row shard,
+                # per-chip top-k + all_gather merge (sharded_knn.py)
+                from ..parallel import sharded_knn
+
+                if self.knn_quant == "int8":
+                    q8m, row_norm, valid = dev
+                    scores, idx = sharded_knn.sharded_cosine_int8_batch_topk(
+                        q[None], q8m, row_norm, valid, kk, self._mesh
+                    )
+                else:
+                    matrix, valid = dev
+                    scores, idx = sharded_knn.sharded_cosine_topk(
+                        q[None], matrix, valid, kk, self._mesh
+                    )
+            elif self.knn_quant == "int8":
                 q8m, row_norm, valid = dev
                 from ..ops import pallas_scan
 
@@ -756,7 +828,20 @@ class EmbeddedBackend(IndexBackend):
                 dev = self._device_vec(cache)
                 rids = list(cache.rids)
             kk = min(k, cache.n)
-            if self.knn_quant == "int8":
+            if self._mesh is not None:
+                from ..parallel import sharded_knn
+
+                if self.knn_quant == "int8":
+                    q8m, row_norm, valid = dev
+                    scores, idx = sharded_knn.sharded_cosine_int8_batch_topk(
+                        qm, q8m, row_norm, valid, kk, self._mesh
+                    )
+                else:
+                    matrix, valid = dev
+                    scores, idx = sharded_knn.sharded_cosine_topk(
+                        qm, matrix, valid, kk, self._mesh
+                    )
+            elif self.knn_quant == "int8":
                 from ..ops import pallas_scan
 
                 q8m, row_norm, valid = dev
@@ -850,7 +935,28 @@ class EmbeddedBackend(IndexBackend):
                 matrix, valid = self._device_ham(cache)
                 rids = list(cache.rids)
             kk = min(k, cache.n)
-            dist, idx = knn_ops.hamming_topk(qm, matrix, valid, kk)
+            if self._mesh is not None:
+                from ..parallel import sharded_knn
+
+                dist, idx = sharded_knn.sharded_hamming_topk(
+                    qm, matrix, valid, kk, self._mesh
+                )
+            else:
+                from ..ops import pallas_scan
+
+                cap = matrix.shape[0]
+                tile = pallas_scan.ROWS_PER_TILE * pallas_scan.LANES
+                n_candidates = (cap // tile) * pallas_scan.LANES
+                if cap % tile == 0 and kk <= min(16, n_candidates):
+                    # big-catalog path: stream tiles through VMEM, never
+                    # materialize [Q, C, W] (per-(tile,lane) partial
+                    # reduce — near-exact for k <= 16, exact top-1; the
+                    # collision bound is documented in ops/pallas_scan.py)
+                    dist, idx = pallas_scan.hamming_topk_fused_batched(
+                        qm, matrix, valid, kk
+                    )
+                else:
+                    dist, idx = knn_ops.hamming_topk(qm, matrix, valid, kk)
             dist = np.asarray(dist)
             idx = np.asarray(idx)
             bits = cache.width * 32
@@ -862,7 +968,7 @@ class EmbeddedBackend(IndexBackend):
                 out = [
                     (rids[int(i)], int(d))
                     for d, i in zip(dist[row], idx[row])
-                    if d != 0x7FFFFFFF
+                    if d < 2**30  # masked rows surface as 2^30 / 2^31-1
                 ]
                 out.sort(key=lambda t: (t[1], t[0]))
                 res.append([

@@ -65,10 +65,16 @@ def hamming_topk(
 ) -> tuple[jax.Array, jax.Array]:
     """Top-k SMALLEST Hamming distance. Returns ([Q,k] dist int32, [Q,k] idx).
 
-    Invalid rows surface as distance 0x7fffffff.
+    Invalid rows surface as distance 0x7fffffff. The per-word unrolled
+    accumulation keeps the live intermediate at [Q, C] int32 — the naive
+    broadcast XOR would materialize [Q, C, W] (tens of GB at 10M rows
+    with a 256-query batch).
     """
-    x = jnp.bitwise_xor(query[:, None, :], matrix[None, :, :])  # [Q, C, W]
-    dist = jnp.sum(jax.lax.population_count(x).astype(jnp.int32), axis=-1)
+    w_total = matrix.shape[1]
+    dist = jnp.zeros((query.shape[0], matrix.shape[0]), jnp.int32)
+    for w in range(w_total):
+        x = jnp.bitwise_xor(query[:, w][:, None], matrix[None, :, w])
+        dist = dist + jax.lax.population_count(x).astype(jnp.int32)
     big = jnp.int32(0x7FFFFFFF)
     dist = jnp.where(valid[None, :], dist, big)
     neg, idx = jax.lax.top_k(-dist, k)

@@ -41,6 +41,9 @@ def shard_matrix(mesh: Mesh, matrix, valid):
 def _sharded_cosine_impl(query, matrix, valid, k: int, mesh: Mesh):
     def local(q, m, v):
         # q [Q, D] replicated; m [C/n, D]; v [C/n]
+        # a shard can contribute at most ALL of its rows, so clamping the
+        # local top-k to the shard height keeps any k <= C exact
+        k_local = min(k, m.shape[0])
         row_norm = jnp.linalg.norm(m, axis=1)
         q_norm = jnp.linalg.norm(q, axis=1, keepdims=True)
         dots = jax.lax.dot_general(
@@ -52,9 +55,9 @@ def _sharded_cosine_impl(query, matrix, valid, k: int, mesh: Mesh):
         ok = v[None, :] & (row_norm[None, :] > 0.0) & (q_norm > 0.0)
         scores = jnp.where(ok, dots / jnp.where(denom == 0.0, 1.0, denom),
                            -jnp.inf)
-        vals, idx = jax.lax.top_k(scores, k)  # [Q, k] local
+        vals, idx = jax.lax.top_k(scores, k_local)  # [Q, k_local] local
         gidx = idx + jax.lax.axis_index(AXIS) * m.shape[0]
-        # gather all chips' candidates; [n, Q, k] -> [Q, n*k]
+        # gather all chips' candidates; [n, Q, k_local] -> [Q, n*k_local]
         vals_all = jax.lax.all_gather(vals, AXIS)
         idx_all = jax.lax.all_gather(gidx, AXIS)
         q_n = q.shape[0]
@@ -81,12 +84,16 @@ def sharded_cosine_topk(query, matrix, valid, k: int, mesh: Mesh):
 @functools.partial(jax.jit, static_argnums=(3, 4))
 def _sharded_hamming_impl(query, matrix, valid, k: int, mesh: Mesh):
     def local(q, m, v):
-        # q [Q, W] uint32; m [C/n, W]
-        x = jnp.bitwise_xor(q[:, None, :], m[None, :, :])
-        dist = jnp.sum(jax.lax.population_count(x).astype(jnp.int32), axis=-1)
+        # q [Q, W] uint32; m [C/n, W]. Accumulate per-word so the live
+        # intermediate is [Q, C/n] int32, never [Q, C/n, W].
+        k_local = min(k, m.shape[0])
+        dist = jnp.zeros((q.shape[0], m.shape[0]), jnp.int32)
+        for w in range(m.shape[1]):
+            x = jnp.bitwise_xor(q[:, w][:, None], m[None, :, w])
+            dist = dist + jax.lax.population_count(x).astype(jnp.int32)
         big = jnp.int32(0x7FFFFFFF)
         dist = jnp.where(v[None, :], dist, big)
-        vals, idx = jax.lax.top_k(-dist, k)
+        vals, idx = jax.lax.top_k(-dist, k_local)
         gidx = idx + jax.lax.axis_index(AXIS) * m.shape[0]
         vals_all = jax.lax.all_gather(vals, AXIS)
         idx_all = jax.lax.all_gather(gidx, AXIS)
@@ -146,13 +153,14 @@ def sharded_hamming_topk_fused(query, matrix, k: int, mesh: Mesh):
 def _sharded_cosine_int8_impl(q8, db8, row_norm, valid, k: int, mesh: Mesh):
     def local(q, m, rn, v):
         # q [D] int8 replicated; m [C/n, D] int8; rn [C/n] f32
+        k_local = min(k, m.shape[0])
         dots = jax.lax.dot_general(
             q.reshape(1, -1), m, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
         )[0].astype(jnp.float32)
         ok = v & (rn > 0.0)
         scores = jnp.where(ok, dots / jnp.maximum(rn, 1e-9), -jnp.inf)
-        vals, idx = jax.lax.top_k(scores, k)
+        vals, idx = jax.lax.top_k(scores, k_local)
         gidx = idx + jax.lax.axis_index(AXIS) * m.shape[0]
         vals_all = jax.lax.all_gather(vals, AXIS).reshape(-1)
         idx_all = jax.lax.all_gather(gidx, AXIS).reshape(-1)
@@ -176,3 +184,48 @@ def sharded_cosine_int8_topk(q8, db8, row_norm, valid, k: int, mesh: Mesh):
     q8 [D] int8 (pre-quantized, scores are dot/|row| — divide by |q8|
     outside), db8 [C, D] int8 row-sharded, row_norm/valid [C]."""
     return _sharded_cosine_int8_impl(q8, db8, row_norm, valid, k, mesh)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _sharded_cosine_int8_batch_impl(query, db8, row_norm, valid, k: int,
+                                    mesh: Mesh):
+    def local(q, m, rn, v):
+        # q [Q, D] f32 replicated; m [C/n, D] int8; rn/v [C/n]
+        k_local = min(k, m.shape[0])
+        qa = jnp.max(jnp.abs(q), axis=1, keepdims=True)
+        qs = jnp.where(qa == 0.0, 1.0, qa / 127.0)
+        qq = jnp.clip(jnp.round(q / qs), -127, 127).astype(jnp.int8)
+        dots = jax.lax.dot_general(
+            qq, m, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)  # [Q, C/n]
+        qn = jnp.linalg.norm(qq.astype(jnp.float32), axis=1, keepdims=True)
+        denom = jnp.maximum(qn, 1e-9) * jnp.maximum(rn, 1e-9)[None, :]
+        ok = v[None, :] & (rn[None, :] > 0.0) & (qn > 0.0)
+        scores = jnp.where(ok, dots / denom, -jnp.inf)
+        vals, idx = jax.lax.top_k(scores, k_local)
+        gidx = idx + jax.lax.axis_index(AXIS) * m.shape[0]
+        vals_all = jax.lax.all_gather(vals, AXIS)
+        idx_all = jax.lax.all_gather(gidx, AXIS)
+        q_n = q.shape[0]
+        vc = jnp.moveaxis(vals_all, 0, 1).reshape(q_n, -1)
+        ic = jnp.moveaxis(idx_all, 0, 1).reshape(q_n, -1)
+        fv, pos = jax.lax.top_k(vc, k)
+        return fv, jnp.take_along_axis(ic, pos, axis=1)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(AXIS, None), P(AXIS), P(AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(query, db8, row_norm, valid)
+
+
+def sharded_cosine_int8_batch_topk(query, db8, row_norm, valid, k: int,
+                                   mesh: Mesh):
+    """Batched serving variant: query [Q, D] f32 (quantized on device,
+    semantics identical to ops.knn.cosine_topk_int8 — scores are cosines
+    of the quantized rows), db8 [C, D] int8 row-sharded over the mesh.
+    Returns ([Q, k] scores, [Q, k] global row idx)."""
+    return _sharded_cosine_int8_batch_impl(query, db8, row_norm, valid, k, mesh)
