@@ -184,3 +184,56 @@ class TestFusedBatchedHamming:
         assert int(fi[1, 0]) == 77
         assert int(fd[2, 0]) == int(ed[2, 0])  # masked row never wins
         assert int(fd[2, 0]) > 0
+
+
+class TestBatchedHaitsma:
+    """One padded-stream device dispatch per query (was a per-record
+    kernel-launch loop); results match the single-pair kernel."""
+
+    def _frames(self, rng, t):
+        return rng.integers(0, 2**32, size=t, dtype=np.uint32)
+
+    def test_batch_matches_single_pair(self, tmp_path):
+        from ucfp_tpu.ops.audio import haitsma as hops
+
+        rng = np.random.default_rng(4)
+        streams = {i: self._frames(rng, 50 + 13 * i) for i in range(9)}
+        q = streams[4][10:34].copy()
+        be = _mk(tmp_path, "h")
+        recs = [
+            Record(tenant_id=2, record_id=i, modality=Modality.AUDIO,
+                   algorithm="audiofp-haitsma-v1",
+                   fingerprint=streams[i].tobytes())
+            for i in streams
+        ]
+        asyncio.run(be.upsert(recs))
+        hits = asyncio.run(be.knn_haitsma(2, q.tobytes(), 3))
+        assert hits[0].record_id == 4 and hits[0].score == 1.0
+        # every returned score agrees with the reference single-pair kernel
+        for h in hits:
+            ber, _ = hops.min_ber(streams[h.record_id], q)
+            assert h.score == pytest.approx(1.0 - ber, abs=1e-6)
+        # the device cache is one padded matrix covering the catalog
+        sc = be._haitsma[2]
+        assert sc.n == 9 and sc.data.shape[1] >= max(len(s) for s in streams.values())
+        be.close()
+
+    def test_delete_and_replay(self, tmp_path):
+        rng = np.random.default_rng(5)
+        s1, s2 = self._frames(rng, 80), self._frames(rng, 96)
+        be = _mk(tmp_path, "h2")
+        asyncio.run(be.upsert([
+            Record(tenant_id=1, record_id=1, modality=Modality.AUDIO,
+                   algorithm="audiofp-haitsma-v1", fingerprint=s1.tobytes()),
+            Record(tenant_id=1, record_id=2, modality=Modality.AUDIO,
+                   algorithm="audiofp-haitsma-v1", fingerprint=s2.tobytes()),
+        ]))
+        asyncio.run(be.delete(1, [1]))
+        hits = asyncio.run(be.knn_haitsma(1, s1[:32].tobytes(), 2))
+        assert all(h.record_id != 1 for h in hits)
+        be.close()
+        # replay rebuilds the stream cache
+        be2 = EmbeddedBackend(str(tmp_path / "h2"))
+        hits2 = asyncio.run(be2.knn_haitsma(1, s2[20:52].tobytes(), 1))
+        assert hits2 and hits2[0].record_id == 2 and hits2[0].score == 1.0
+        be2.close()

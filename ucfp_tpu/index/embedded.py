@@ -48,6 +48,7 @@ from .bm25 import Bm25Engine
 
 LSH_ALGORITHM = "minhash-lsh-h128"
 AUDIO_LANDMARK_ALGOS = ("audiofp-wang-v1", "audiofp-panako-v1")
+HAITSMA_ALGORITHM = "audiofp-haitsma-v1"
 
 
 def _next_pow2(n: int) -> int:
@@ -163,6 +164,73 @@ class _RowCache:
         self.n -= 1
 
 
+@dataclass
+class _StreamCache:
+    """Variable-length u32 streams packed into one padded device matrix
+    [cap, tmax] + true lengths, so a haitsma query is ONE batched device
+    dispatch over the whole catalog instead of a per-record launch loop.
+    Row capacity and tmax both grow by doubling (O(log^2) recompiles)."""
+
+    rids: list[int] = field(default_factory=list)
+    rows: dict[int, int] = field(default_factory=dict)
+    data: np.ndarray | None = None  # [cap, tmax] uint32
+    lens: np.ndarray | None = None  # [cap] int32
+    n: int = 0
+    dirty: bool = True
+    device: tuple | None = None
+
+    def upsert(self, rid: int, frames: np.ndarray) -> None:
+        t = len(frames)
+        if self.data is None:
+            tmax = 64
+            while tmax < t:
+                tmax *= 2
+            self.data = np.zeros((64, tmax), np.uint32)
+            self.lens = np.zeros(64, np.int32)
+        if t > self.data.shape[1]:
+            tmax = self.data.shape[1]
+            while tmax < t:
+                tmax *= 2
+            grown = np.zeros((self.data.shape[0], tmax), np.uint32)
+            grown[:, : self.data.shape[1]] = self.data
+            self.data = grown
+        row = self.rows.get(rid)
+        if row is None:
+            if self.n == self.data.shape[0]:
+                grown = np.zeros((self.data.shape[0] * 2, self.data.shape[1]),
+                                 np.uint32)
+                grown[: self.n] = self.data
+                self.data = grown
+                glen = np.zeros(grown.shape[0], np.int32)
+                glen[: self.n] = self.lens
+                self.lens = glen
+            row = self.n
+            self.rows[rid] = row
+            self.rids.append(rid)
+            self.n += 1
+        self.data[row, :] = 0
+        self.data[row, :t] = frames
+        self.lens[row] = t
+        self.dirty = True
+
+    def remove(self, rid: int) -> None:
+        row = self.rows.pop(rid, None)
+        if row is None:
+            return
+        last = self.n - 1
+        if row != last:
+            self.data[row] = self.data[last]
+            self.lens[row] = self.lens[last]
+            moved = self.rids[last]
+            self.rids[row] = moved
+            self.rows[moved] = row
+        self.rids.pop()
+        self.data[last] = 0
+        self.lens[last] = 0
+        self.n -= 1
+        self.dirty = True
+
+
 def _VecCache(dim: int) -> _RowCache:  # noqa: N802 - constructor alias
     return _RowCache(width=dim, dtype=np.float32)
 
@@ -217,6 +285,7 @@ class EmbeddedBackend(IndexBackend):
                 self._mesh = data_mesh(1 << (n.bit_length() - 1))
         self._lsh: dict[int, dict[tuple[int, int], set[int]]] = {}  # tenant -> band buckets
         self._audio: dict[int, dict[int, list[tuple[int, int]]]] = {}  # tenant -> hash -> [(rid, t)]
+        self._haitsma: dict[int, _StreamCache] = {}  # tenant -> padded streams
         # sniff an existing file's format: native frames start with the
         # "PFCU" magic, the JSON log with '{'
         if os.path.exists(self._wal_path) and os.path.getsize(self._wal_path) > 0:
@@ -338,6 +407,15 @@ class EmbeddedBackend(IndexBackend):
             self._audio_index_remove(rec.tenant_id, rec.record_id, old["fingerprint"])
         if rec.algorithm in AUDIO_LANDMARK_ALGOS:
             self._audio_index_insert(rec.tenant_id, rec.record_id, rec.fingerprint)
+        # haitsma padded-stream cache (batched min-BER lookups)
+        if old is not None and old["algorithm"] == HAITSMA_ALGORITHM:
+            sc = self._haitsma.get(rec.tenant_id)
+            if sc and rec.algorithm != HAITSMA_ALGORITHM:
+                sc.remove(rec.record_id)
+        if rec.algorithm == HAITSMA_ALGORITHM and len(rec.fingerprint) % 4 == 0:
+            sc = self._haitsma.setdefault(rec.tenant_id, _StreamCache())
+            sc.upsert(rec.record_id,
+                      np.frombuffer(rec.fingerprint, dtype="<u4"))
         # BM25 — same logical txn (bm25.rs:333-401; no text clears the doc)
         self._bm25.upsert_one(rec.tenant_id, rec.record_id, rec.text)
 
@@ -357,6 +435,10 @@ class EmbeddedBackend(IndexBackend):
                 self._lsh_remove(tenant_id, rid, old["fingerprint"])
             if old["algorithm"] in AUDIO_LANDMARK_ALGOS:
                 self._audio_index_remove(tenant_id, rid, old["fingerprint"])
+            if old["algorithm"] == HAITSMA_ALGORITHM:
+                sc = self._haitsma.get(tenant_id)
+                if sc:
+                    sc.remove(rid)
         self._bm25.clear_one(tenant_id, rid)
 
     # -- LSH band buckets --------------------------------------------------------
@@ -458,30 +540,62 @@ class EmbeddedBackend(IndexBackend):
                 if not idx[int(h)]:
                     del idx[int(h)]
 
+    def _device_haitsma(self, cache: _StreamCache):
+        """Padded stream matrix + lengths on device (row-sharded over the
+        mesh like the ANN caches — min_ber_batch is row-parallel, so
+        GSPMD partitions it with no collectives)."""
+        if cache.dirty or cache.device is None:
+            cache.device = (
+                self._put_matrix(cache.data),
+                self._put_rowvec(cache.lens),
+            )
+            cache.dirty = False
+        return cache.device
+
     async def knn_haitsma(
         self, tenant_id: int, fingerprint: bytes, k: int
     ) -> list[Hit]:
-        """Philips-style sliding bit-error-rate lookup: the query frame
-        block slides over each stored haitsma stream on device; records
-        rank by minimum BER (score = 1 - ber)."""
+        """Philips-style sliding bit-error-rate lookup, ONE batched device
+        dispatch over the whole padded-stream catalog (the old path
+        launched one kernel per stored record); records rank by minimum
+        BER (score = 1 - ber)."""
         if k == 0 or len(fingerprint) < 4 or len(fingerprint) % 4:
             return []
         q = np.frombuffer(fingerprint, dtype="<u4")
+        cache = self._haitsma.get(tenant_id)
+        if cache is None or cache.n == 0:
+            return []
 
         def work():
+            import jax.numpy as jnp
+
             from ..ops.audio import haitsma as hops
 
             with self._lock:
-                rows = [
-                    (rid, np.frombuffer(row["fingerprint"], dtype="<u4"))
-                    for (tid, rid), row in self._records.items()
-                    if tid == tenant_id and row["algorithm"] == "audiofp-haitsma-v1"
-                ]
-            scored = []
-            for rid, frames in rows:
-                ber, _off = hops.min_ber(frames, q)
-                if ber < 1.0:
-                    scored.append((rid, 1.0 - ber))
+                if cache.n == 0:
+                    return []
+                tmax = cache.data.shape[1]
+                if len(q) > tmax:
+                    # query longer than every stored stream
+                    return []
+                dev = self._device_haitsma(cache)
+                rids = list(cache.rids)
+            data, lens = dev
+            qb = 64
+            while qb < len(q):
+                qb *= 2
+            qb = min(qb, tmax)
+            q_pad = np.zeros(qb, np.uint32)
+            q_pad[: len(q)] = q
+            ber, _off = hops.min_ber_batch(
+                data, lens, jnp.asarray(q_pad), jnp.int32(len(q))
+            )
+            ber = np.asarray(ber)[: len(rids)]
+            scored = [
+                (rid, 1.0 - float(b))
+                for rid, b in zip(rids, ber)
+                if np.isfinite(b) and b < 1.0
+            ]
             scored.sort(key=lambda x: (-x[1], x[0]))
             return [
                 Hit(record_id=rid, score=s, source=HitSource.VECTOR)
