@@ -1094,6 +1094,66 @@ class EmbeddedBackend(IndexBackend):
 
         return await asyncio.to_thread(work)
 
+    async def knn_multihash(
+        self, tenant_id: int, fingerprints: list[bytes], k: int,
+        weights: Optional[dict] = None,
+    ) -> list[list[Hit]]:
+        """Weighted multi-hash comparison over stored 536-byte bundles
+        (reference MultiHashConfigDto semantics, dto.rs:465-480): the
+        score is the weighted sum of per-component similarities — three
+        64-bit Hamming terms, histogram L1, and the fraction of 4x4
+        blocks within block_distance_threshold. One batched device
+        dispatch; weights default to the manifest's 0.4/.3/.1/.1/.1."""
+        from ..modality.image import ALGORITHM_MULTI
+        from ..ops import imagehash as ih
+
+        if k == 0 or not fingerprints:
+            return [[] for _ in fingerprints]
+        cache = self._ham.get((tenant_id, ALGORITHM_MULTI))
+        if cache is None or cache.n == 0 or cache.width != ih.MULTIHASH_WORDS:
+            return [[] for _ in fingerprints]
+        packs, ok_rows = [], []
+        for fp in fingerprints:
+            ok = len(fp) == ih.MULTIHASH_BYTES
+            packs.append(
+                np.asarray(knn_ops.pack_bits_to_u32(fp), np.uint32)
+                if ok else np.zeros(ih.MULTIHASH_WORDS, np.uint32)
+            )
+            ok_rows.append(ok)
+        qm = np.stack(packs)
+        params = ih.multihash_params(weights)
+
+        def work():
+            import jax.numpy as jnp
+
+            with self._lock:
+                matrix, valid = self._device_ham(cache)
+                rids = list(cache.rids)
+            kk = min(k, cache.n)
+            scores, idx = ih.multihash_weighted_topk(
+                jnp.asarray(qm), matrix, valid, jnp.asarray(params), kk
+            )
+            scores = np.asarray(scores)
+            idx = np.asarray(idx)
+            res: list[list[Hit]] = []
+            for row in range(qm.shape[0]):
+                if not ok_rows[row]:
+                    res.append([])
+                    continue
+                out = [
+                    (rids[int(i)], float(s))
+                    for s, i in zip(scores[row], idx[row])
+                    if np.isfinite(s)
+                ]
+                out.sort(key=lambda t: (-t[1], t[0]))
+                res.append([
+                    Hit(record_id=rid, score=s, source=HitSource.VECTOR)
+                    for rid, s in out
+                ])
+            return res
+
+        return await asyncio.to_thread(work)
+
     async def bm25(self, tenant_id: int, terms: list[str], k: int) -> list[Hit]:
         def work():
             with self._lock:

@@ -261,6 +261,113 @@ def single_hash_kernel(rgb: jax.Array, in_h: int, in_w: int, algo: str) -> jax.A
 
 
 # ---------------------------------------------------------------------------
+# Weighted multi-hash comparison (query-time kernel)
+# ---------------------------------------------------------------------------
+#
+# The reference compares 536-byte bundles component-wise with weights
+# phash .4 / dhash .3 / ahash .1 / global .1 / block .1 and a
+# block_distance_threshold of 12 (MultiHashConfigDto, dto.rs:465-480;
+# web docs api-reference-image.md:55-62). Raw XOR-popcount over all 536
+# bytes is meaningless — the histogram bytes are f32s. This kernel views
+# the packed u32 catalog rows ([C, 134] words) as their components:
+#   words [0:2) phash  [2:4) dhash  [4:6) ahash
+#   words [6:70)  histogram, bitcast to 64 f32 (L1-normalized)
+#   words [70:134) block means, 4 u8 per word (256 blocks)
+# and scores
+#   score = wp*(1-hd_p/64) + wd*(1-hd_d/64) + wa*(1-hd_a/64)
+#         + wg*max(0, 1 - L1(hist)/2) + wb*mean(|block diff| <= thresh)
+# All reductions accumulate into [Q, C] via fori_loops so the live
+# intermediate never exceeds the score matrix.
+
+MULTIHASH_WORDS = 134
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def multihash_weighted_topk(
+    qm: jax.Array,  # [Q, 134] uint32 packed bundles
+    db: jax.Array,  # [C, 134] uint32
+    valid: jax.Array,  # [C] bool
+    params: jax.Array,  # [6] f32: wp, wd, wa, wg, wb, block_thresh
+    k: int,
+):
+    """-> (scores [Q, k] f32 descending, idx [Q, k] int32)."""
+    qn = qm.shape[0]
+    c = db.shape[0]
+
+    def ham64(a, b):  # a [Q, 2] u32, b [C, 2] u32 -> [Q, C] f32 similarity
+        d = jnp.zeros((qn, c), jnp.int32)
+        for w in range(2):
+            x = jnp.bitwise_xor(a[:, w][:, None], b[None, :, w])
+            d = d + jax.lax.population_count(x).astype(jnp.int32)
+        return 1.0 - d.astype(jnp.float32) / 64.0
+
+    psim = ham64(qm[:, 0:2], db[:, 0:2])
+    dsim = ham64(qm[:, 2:4], db[:, 2:4])
+    asim = ham64(qm[:, 4:6], db[:, 4:6])
+
+    qh = jax.lax.bitcast_convert_type(qm[:, 6:70], jnp.float32)  # [Q, 64]
+    dh = jax.lax.bitcast_convert_type(db[:, 6:70], jnp.float32)  # [C, 64]
+
+    def hist_body(j, acc):
+        return acc + jnp.abs(qh[:, j][:, None] - dh[None, :, j])
+
+    l1 = jax.lax.fori_loop(0, 64, hist_body, jnp.zeros((qn, c), jnp.float32))
+    gsim = jnp.clip(1.0 - 0.5 * l1, 0.0, 1.0)
+
+    # block means: unpack u8 lanes once, then accumulate matches
+    shifts = jnp.arange(4, dtype=jnp.uint32) * 8
+    qb = ((qm[:, 70:134, None] >> shifts[None, None, :]) & 0xFF).reshape(
+        qn, 256
+    ).astype(jnp.int32)
+    dbb = ((db[:, 70:134, None] >> shifts[None, None, :]) & 0xFF).reshape(
+        c, 256
+    ).astype(jnp.int32)
+    thresh = params[5]
+
+    def block_body(j, acc):
+        diff = jnp.abs(qb[:, j][:, None] - dbb[None, :, j]).astype(jnp.float32)
+        return acc + (diff <= thresh).astype(jnp.float32)
+
+    nmatch = jax.lax.fori_loop(
+        0, 256, block_body, jnp.zeros((qn, c), jnp.float32)
+    )
+    bsim = nmatch / 256.0
+
+    score = (
+        params[0] * psim + params[1] * dsim + params[2] * asim
+        + params[3] * gsim + params[4] * bsim
+    )
+    score = jnp.where(valid[None, :], score, -jnp.inf)
+    return jax.lax.top_k(score, k)
+
+
+# reference MultiHashConfigDto defaults (dto.rs:465-480)
+MULTIHASH_DEFAULT_WEIGHTS = {
+    "phash_weight": 0.4,
+    "dhash_weight": 0.3,
+    "ahash_weight": 0.1,
+    "global_weight": 0.1,
+    "block_weight": 0.1,
+    "block_distance_threshold": 12,
+}
+
+
+def multihash_params(weights: dict | None) -> "np.ndarray":
+    """[6] f32 param vector from a MultiHashConfigDto-shaped dict."""
+    w = dict(MULTIHASH_DEFAULT_WEIGHTS)
+    if weights:
+        for key in w:
+            if key in weights:
+                w[key] = float(weights[key])
+    return np.asarray(
+        [w["phash_weight"], w["dhash_weight"], w["ahash_weight"],
+         w["global_weight"], w["block_weight"],
+         w["block_distance_threshold"]],
+        np.float32,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Wire serialization (host)
 # ---------------------------------------------------------------------------
 

@@ -357,9 +357,14 @@ class Handlers:
                 fps = [bytes.fromhex(s) for s in fps_hex]
             except ValueError:
                 raise HttpError(400, "bad_query", "fingerprints_hex entry is not hex")
-            results = await self.index.knn_fingerprint_batch(
-                tenant_id, algorithm, fps, k
-            )
+            if algorithm == imod.ALGORITHM_MULTI:
+                results = await self.index.knn_multihash(
+                    tenant_id, fps, k, self._multihash_weights(body)
+                )
+            else:
+                results = await self.index.knn_fingerprint_batch(
+                    tenant_id, algorithm, fps, k
+                )
             return Response.json(
                 {
                     "results": [
@@ -385,6 +390,14 @@ class Handlers:
                 hits = await self.index.knn_audio(tenant_id, algorithm, fp, k)
             elif algorithm == "audiofp-haitsma-v1":
                 hits = await self.index.knn_haitsma(tenant_id, fp, k)
+            elif algorithm == imod.ALGORITHM_MULTI:
+                # weighted component comparison (dto.rs:465-480) — raw
+                # Hamming over the 536-byte bundle would XOR f32
+                # histogram bytes
+                res = await self.index.knn_multihash(
+                    tenant_id, [fp], k, self._multihash_weights(body)
+                )
+                hits = res[0]
             else:
                 hits = await self.index.knn_fingerprint(tenant_id, algorithm, fp, k)
         else:
@@ -405,6 +418,29 @@ class Handlers:
             else:
                 hits = await self.matcher.search(q)
         return Response.json({"hits": [self._hit_out(tenant_id, h) for h in hits]})
+
+    @staticmethod
+    def _multihash_weights(body: dict) -> Optional[dict]:
+        """MultiHashConfigDto-shaped weights from the query body
+        (reference dto.rs:465-480); validated against manifest bounds."""
+        w = body.get("multihash")
+        if w is None:
+            return None
+        if not isinstance(w, dict):
+            raise HttpError(400, "bad_query", "multihash must be an object")
+        from ..ops.imagehash import MULTIHASH_DEFAULT_WEIGHTS
+
+        for key, v in w.items():
+            if key not in MULTIHASH_DEFAULT_WEIGHTS:
+                raise HttpError(400, "bad_query", f"unknown multihash knob {key!r}")
+            if isinstance(v, bool) or not isinstance(v, (int, float)):
+                raise HttpError(400, "bad_query", f"{key} must be a number")
+            hi = 64.0 if key == "block_distance_threshold" else 1.0
+            if not (0.0 <= float(v) <= hi):
+                raise HttpError(
+                    400, "bad_query", f"{key} must be within [0, {hi:g}]"
+                )
+        return w
 
     @staticmethod
     def _hit_out(tenant_id: int, h: Hit) -> dict:
