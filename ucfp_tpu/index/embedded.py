@@ -649,11 +649,18 @@ class EmbeddedBackend(IndexBackend):
 
             with self._lock:
                 idx = self._audio.get(tenant_id, {})
-                votes: dict[tuple[int, int], int] = defaultdict(int)
-                for h, tq in pairs.tolist():
+                # one vote per (query landmark, record, offset-bin): a
+                # stationary ridge stores the same hash at many frames,
+                # and raw pair-counting lets those cross-products
+                # saturate the bin (every record scores 1.0). Counting
+                # DISTINCT supporting query landmarks is the classic
+                # Shazam histogram semantics.
+                votes: dict[tuple[int, int], set] = defaultdict(set)
+                for qi, (h, tq) in enumerate(pairs.tolist()):
                     for hv in expand(int(h)):
                         for rid, tdb in idx.get(hv, ()):  # noqa: B909
-                            votes[(rid, (tdb - int(tq)) // off_bin)] += 1
+                            votes[(rid, (tdb - int(tq)) // off_bin)].add(qi)
+                votes = {k: len(s) for k, s in votes.items()}
             best: dict[int, int] = {}
             for (rid, _off), n in votes.items():
                 if n > best.get(rid, 0):

@@ -187,14 +187,26 @@ def wang_pairs(
 
 PANAKO_BANDS_PER_OCTAVE = 12  # semitones
 PANAKO_FREF_HZ = 32.7  # C1
+_BAND_TABLE_BINS = 4096  # covers any n_fft <= 8190
+
+
+@functools.lru_cache(maxsize=None)
+def _band_table_np(bin_hz: float):
+    """Semitone band of each STFT bin, precomputed on host in f64.
+    Device log2 is a transcendental whose last-ulp differs between
+    backends; round() at a band boundary would then flip hashes. A
+    host table makes the bin->band map one gather — bit-identical."""
+    hz = np.maximum(
+        np.arange(_BAND_TABLE_BINS, dtype=np.float64) * bin_hz, 1.0
+    )
+    return np.round(
+        PANAKO_BANDS_PER_OCTAVE * np.log2(hz / PANAKO_FREF_HZ)
+    ).astype(np.int32)
 
 
 def _log_band(f_bin: jax.Array, bin_hz: float) -> jax.Array:
-    """Linear STFT bin -> semitone band above C1 (int32)."""
-    hz = jnp.maximum(f_bin.astype(jnp.float32) * bin_hz, 1.0)
-    return jnp.round(
-        PANAKO_BANDS_PER_OCTAVE * jnp.log2(hz / PANAKO_FREF_HZ)
-    ).astype(jnp.int32)
+    """Linear STFT bin -> semitone band above C1 (int32 table gather)."""
+    return jnp.asarray(_band_table_np(bin_hz))[f_bin]
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
@@ -275,7 +287,14 @@ def extract_landmarks(
     hop: int = 256,
 ) -> tuple[np.ndarray, np.ndarray]:
     """-> (hashes u32 [L], t1 u32 [L]) in (anchor, rank) order."""
-    power = dsp.stft_power(jnp.asarray(samples, jnp.float32), n_fft, hop, True)
+    from jax import enable_x64
+
+    with enable_x64():
+        # bit-exact integer spectrogram (int64 needs x64 tracing); one
+        # deterministic convert to f32 feeds the unchanged selection code
+        power = dsp.stft_power_int(
+            jnp.asarray(samples, jnp.float32), n_fft, hop, True
+        ).astype(jnp.float32)
     slab = max(1, sr // hop)
     t, f, valid = pick_peaks(
         power, slab, cfg.peaks_per_sec, cfg.min_anchor_mag_db,
@@ -295,7 +314,14 @@ def extract_panako(
     n_fft: int = 1024,
     hop: int = 256,
 ) -> tuple[np.ndarray, np.ndarray]:
-    power = dsp.stft_power(jnp.asarray(samples, jnp.float32), n_fft, hop, True)
+    from jax import enable_x64
+
+    with enable_x64():
+        # bit-exact integer spectrogram (int64 needs x64 tracing); one
+        # deterministic convert to f32 feeds the unchanged selection code
+        power = dsp.stft_power_int(
+            jnp.asarray(samples, jnp.float32), n_fft, hop, True
+        ).astype(jnp.float32)
     slab = max(1, sr // hop)
     t, f, valid = pick_peaks(
         power, slab, cfg.peaks_per_sec, cfg.min_anchor_mag_db,
@@ -312,7 +338,14 @@ def peaks_for_inspect(
     samples: np.ndarray, sr: int, cfg: WangConfig, n_fft: int = 1024, hop: int = 256
 ):
     """(t, f, mag_power) arrays of valid peaks, for the inspector."""
-    power = dsp.stft_power(jnp.asarray(samples, jnp.float32), n_fft, hop, True)
+    from jax import enable_x64
+
+    with enable_x64():
+        # bit-exact integer spectrogram (int64 needs x64 tracing); one
+        # deterministic convert to f32 feeds the unchanged selection code
+        power = dsp.stft_power_int(
+            jnp.asarray(samples, jnp.float32), n_fft, hop, True
+        ).astype(jnp.float32)
     slab = max(1, sr // hop)
     t, f, valid = pick_peaks(
         power, slab, cfg.peaks_per_sec, cfg.min_anchor_mag_db,

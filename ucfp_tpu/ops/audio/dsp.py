@@ -75,6 +75,91 @@ def stft_magnitude(samples, n_fft: int = 1024, hop: int = 256, center: bool = Tr
 
 
 # ---------------------------------------------------------------------------
+# Integer (bit-exact) STFT — the fingerprint-path spectrogram
+# ---------------------------------------------------------------------------
+#
+# The f32 matmul-DFT drifts across backends (MXU vs CPU accumulation
+# order), which flipped ~19% of Wang hashes at spectral plateaus
+# (PARITY.md round 1). This path makes the whole spectrogram exact
+# integer arithmetic, the same recipe that made the image hashes
+# bit-identical:
+#   1. samples quantize to 14-bit ints (x_q = round(clip(x,-1,1)*16383))
+#   2. the window-combined DFT basis quantizes to 15-bit ints
+#   3. both split into two 7/8-bit limbs; FOUR int8xint8->int32 MXU
+#      matmuls are exact (|partial dot| <= n_fft*128^2 <= 2^26 < 2^31)
+#   4. limbs recombine in int64; re/im truncate to 24-ish bits
+#      (canonical >>14 — the quantization IS the spec)
+#   5. power = re*re + im*im in int64 — no float op anywhere, so CPU
+#      and TPU agree to the bit; every downstream comparison (peak
+#      picking, dB floors, Haitsma band-energy signs) is deterministic.
+# Absolute scale is arbitrary (relative thresholds only).
+
+SAMPLE_Q = 16383  # 14-bit sample quantization
+BASIS_Q = 16383  # 15-bit (signed) basis quantization
+
+
+@functools.lru_cache(maxsize=None)
+def dft_basis_int_limbs(n_fft: int):
+    """Window-combined quantized DFT bases split into int8 limbs.
+
+    Returns (ch, cl, sh, sl), each [n_fft, K] int8 with
+    B_q = 128*bh + bl, bl in [0, 127]."""
+    c, s = dft_matrices(n_fft)  # f32 from f64 angles
+    w = hann_periodic(n_fft).astype(np.float64)[:, None]
+    out = []
+    for b in (c.astype(np.float64) * w, s.astype(np.float64) * w):
+        bq = np.round(b * BASIS_Q).astype(np.int32)
+        bh = np.floor_divide(bq, 128)
+        bl = bq - 128 * bh
+        assert bh.min() >= -128 and bh.max() <= 127
+        out.append((bh.astype(np.int8), bl.astype(np.int8)))
+    (ch, cl), (sh, sl) = out
+    return ch, cl, sh, sl
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def stft_power_int(
+    samples: jax.Array, n_fft: int = 1024, hop: int = 256, center: bool = True,
+    shift: int = 8,
+) -> jax.Array:
+    """Bit-exact integer power spectrogram [T, K] int64.
+
+    `shift` is the canonical re/im truncation: |re| <= 2^(38-shift) for
+    n_fft=1024, and power = re^2+im^2 must stay under 2^62, so shift=8
+    is the floor at n_fft 1024 (finest resolution -> fewest exact-tie
+    plateaus in peak picking); Haitsma's 2048-point frames pass 14 (its
+    band-energy sums add ~10 bits and only signs matter there)."""
+    xq = jnp.round(
+        jnp.clip(samples.astype(jnp.float32), -1.0, 1.0) * SAMPLE_Q
+    ).astype(jnp.int32)
+    if center:
+        pad = n_fft // 2
+        xq = jnp.pad(xq, (pad, pad), mode="reflect")
+    t = (xq.shape[0] - n_fft) // hop + 1
+    idx = jnp.arange(t)[:, None] * hop + jnp.arange(n_fft)[None, :]
+    frames = xq[idx]  # [T, n_fft] int32
+    fh = jnp.floor_divide(frames, 128).astype(jnp.int8)
+    fl = (frames - 128 * jnp.floor_divide(frames, 128)).astype(jnp.int8)
+    ch, cl, sh, sl = (jnp.asarray(a) for a in dft_basis_int_limbs(n_fft))
+
+    def i8dot(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+
+    def combine(bh, bl):
+        hh = i8dot(fh, bh).astype(jnp.int64)
+        mid = (i8dot(fh, bl) + i8dot(fl, bh)).astype(jnp.int64)
+        ll = i8dot(fl, bl).astype(jnp.int64)
+        full = (hh << 14) + (mid << 7) + ll
+        return full >> shift  # canonical truncation (see docstring)
+
+    re = combine(ch, cl)
+    im = combine(sh, sl)
+    return re * re + im * im  # int64; <= 2^61 at n_fft 1024 / shift 8
+
+
+# ---------------------------------------------------------------------------
 # Slaney mel filter bank
 # ---------------------------------------------------------------------------
 

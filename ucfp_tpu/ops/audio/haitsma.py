@@ -56,26 +56,41 @@ def band_matrix(fmin: float, fmax: float) -> np.ndarray:
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def haitsma_words(samples: jax.Array, fmin: float, fmax: float) -> jax.Array:
-    """5 kHz mono f32 -> [T-1] uint32 sub-fingerprints."""
-    power = dsp.stft_power(samples, FRAME, HOP, center=False)  # [T, K]
-    bank = jnp.asarray(band_matrix(fmin, fmax))
-    e = jnp.dot(
-        power, bank, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # [T, 33]
+    """5 kHz mono f32 -> [T-1] uint32 sub-fingerprints.
+
+    Fully integer (call under jax.experimental.enable_x64): band
+    energies are int64 sums of the bit-exact integer spectrogram, and
+    the double-differential sign bits are integer comparisons — CPU and
+    TPU emit identical words (the image-path exactness recipe applied
+    to audio; round-1 PARITY measured 1.2% frame drift on the f32 path).
+    """
+    power = dsp.stft_power_int(samples, FRAME, HOP, center=False,
+                               shift=14)  # [T, K] int64
+    bank = band_matrix(fmin, fmax)  # [K, 33] 0/1
+    masks = jnp.asarray(bank.T != 0.0)  # [33, K] bool
+    e = jnp.stack(
+        [
+            jnp.sum(jnp.where(masks[b], power, jnp.int64(0)), axis=1)
+            for b in range(N_BANDS)
+        ],
+        axis=1,
+    )  # [T, 33] int64 (exact: <= 2^51 * K < 2^62)
     d = e[:, :-1] - e[:, 1:]  # [T, 32] band differentials
     dd = d[1:] - d[:-1]  # [T-1, 32] time differential
-    bits = (dd > 0.0).astype(jnp.uint32)
+    bits = (dd > 0).astype(jnp.uint32)
     weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, :]
     return jnp.sum(bits * weights, axis=1, dtype=jnp.uint32)
 
 
 def fingerprint_frames(samples: np.ndarray, sr: int, cfg: HaitsmaConfig) -> np.ndarray:
     """Resample to 5 kHz and compute the u32 frame sequence."""
+    from jax import enable_x64
+
     x = dsp.resample_linear(np.asarray(samples, np.float32), sr, HAITSMA_SR)
     if len(x) < FRAME + HOP:
         return np.zeros(0, np.uint32)
-    return np.asarray(haitsma_words(jnp.asarray(x), cfg.fmin, cfg.fmax))
+    with enable_x64():
+        return np.asarray(haitsma_words(jnp.asarray(x), cfg.fmin, cfg.fmax))
 
 
 def _next_pow2(n: int) -> int:
