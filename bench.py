@@ -368,13 +368,24 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32):
     d = 768
 
     @jax.jit
-    def gen(key):
-        # raw bits + bitcast: randint would stage a full uint32 copy
-        # (4x = 30 GB, OOM); bitcast reuses the bits buffer in place
-        bits = jax.random.bits(key, (n, d // 4), jnp.uint32)
-        return jax.lax.bitcast_convert_type(bits, jnp.int8).reshape(n, d)
+    def gen(keys):
+        # chunked generation: randint would stage a full uint32 copy and
+        # bitcast pads its layout — both OOM at 10M x 768. lax.map keeps
+        # the live intermediates at one chunk (~1 GB) beside the 7.15 GB
+        # int8 output.
+        def one(k):
+            bits = jax.random.bits(k, (n // 16, d // 4), jnp.uint32)
+            bytes4 = [
+                ((bits >> (8 * i)) & 0xFF).astype(jnp.uint8) for i in range(4)
+            ]
+            by = jnp.stack(bytes4, axis=-1).reshape(n // 16, d)
+            return (by.astype(jnp.int16) - 128).astype(jnp.int8)
 
-    m8 = jax.block_until_ready(gen(jax.random.PRNGKey(0)))
+        return jax.lax.map(one, keys).reshape(n, d)
+
+    m8 = jax.block_until_ready(
+        gen(jax.random.split(jax.random.PRNGKey(0), 16))
+    )
     rn = jax.block_until_ready(_row_norms_int8(m8, tile))
     q_single = jax.random.randint(
         jax.random.PRNGKey(3), (d,), -127, 128, dtype=jnp.int8
