@@ -314,3 +314,77 @@ class TestAsyncioFrontFraming:
         )
         data = self._roundtrip(tmp_path, payload)
         assert b"400 Bad Request" in data
+
+
+class TestDemoFingerprint:
+    """Anonymous compute-only demo path (reference /api/fingerprint
+    anonymous mode: 60/min/IP)."""
+
+    def test_text_demo_no_auth_no_store(self, tmp_path):
+        app, state = make_app(tmp_path)
+        r = call(app, "POST", "/v1/demo/fingerprint",
+                 b"the quick brown fox jumps over the lazy dog", token=None)
+        assert r.status == 200
+        b = jbody(r)
+        assert b["stored"] is False
+        assert b["algorithm"].startswith("minhash")
+        assert b["fingerprint_bytes"] == 1032
+        assert state.index._records == {}  # nothing persisted
+
+    def test_demo_image_multihash(self, tmp_path):
+        from test_imagehash import synthetic_png
+
+        app, _ = make_app(tmp_path)
+        r = call(app, "POST", "/v1/demo/fingerprint", synthetic_png(64, 64),
+                 token=None, headers={"content-type": "image/png"})
+        assert r.status == 200
+        assert jbody(r)["fingerprint_bytes"] == 536
+
+    def test_demo_ip_limit(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("UCFP_DEMO_RPM", "2")
+        app, _ = make_app(tmp_path)
+        for _ in range(2):
+            assert call(app, "POST", "/v1/demo/fingerprint", b"hello world",
+                        token=None).status == 200
+        r = call(app, "POST", "/v1/demo/fingerprint", b"hello world",
+                 token=None)
+        assert r.status == 429 and "retry-after" in r.headers
+
+    def test_demo_disabled(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("UCFP_DEMO_RPM", "0")
+        app, _ = make_app(tmp_path)
+        r = call(app, "POST", "/v1/demo/fingerprint", b"x", token=None)
+        assert r.status == 404
+
+
+class TestApproximateMarker:
+    def test_fused_fingerprint_path_is_marked(self, tmp_path, monkeypatch):
+        """When the fused partial-reduce serves a query, the response
+        carries approximate: true instead of silently changing semantics."""
+        monkeypatch.setenv("UCFP_SHARD", "off")
+        from ucfp_tpu.ops import pallas_scan
+
+        # shrink the tile so the 1024-row starting capacity is aligned
+        monkeypatch.setattr(pallas_scan, "ROWS_PER_TILE", 8)
+        app, state = make_app(tmp_path)
+        recs = [_record(i, fingerprint=[i % 256] * 8, algorithm="raw",
+                        modality="image") for i in range(1, 6)]
+        assert call(app, "PUT", "/v1/records",
+                    json.dumps({"records": recs}).encode()).status == 200
+        q = json.dumps({
+            "tenant_id": 1, "modality": "image", "k": 1,
+            "algorithm": "raw",
+            "fingerprint_hex": ("03" * 8),
+        }).encode()
+        resp = jbody(call(app, "POST", "/v1/query", q))
+        assert resp.get("approximate") is True
+        assert resp["hits"][0]["record_id"] == 3  # top-1 stays exact
+
+    def test_exact_paths_unmarked(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        call(app, "PUT", "/v1/records", json.dumps(
+            {"records": [_record(1, embedding=[1.0, 0.0])]}).encode())
+        resp = jbody(call(app, "POST", "/v1/query", json.dumps({
+            "tenant_id": 1, "modality": "text", "k": 1, "vector": [1.0, 0.0],
+        }).encode()))
+        assert "approximate" not in resp

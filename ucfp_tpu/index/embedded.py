@@ -817,6 +817,39 @@ class EmbeddedBackend(IndexBackend):
             cache.pending = []
         return cache.device
 
+    def knn_is_approximate(self, tenant_id: int, dim: int, k: int) -> bool:
+        """True when a (dim, k) vector query rides the fused
+        partial-reduce candidate path — near-exact for k <= 16, exact
+        top-1; collision odds documented in ops/pallas_scan.py. Lets the
+        serving layer mark responses instead of silently changing
+        semantics under UCFP_KNN_QUANT=int8."""
+        if self._mesh is not None or self.knn_quant != "int8":
+            return False
+        cache = self._vec.get((tenant_id, dim))
+        if cache is None or cache.n == 0 or cache.data is None:
+            return False
+        from ..ops import pallas_scan
+
+        cap = cache.data.shape[0]
+        tile = pallas_scan.ROWS_PER_TILE * pallas_scan.LANES
+        n_candidates = (cap // tile) * pallas_scan.LANES
+        return cap % tile == 0 and min(k, cache.n) <= min(16, n_candidates)
+
+    def fingerprint_is_approximate(self, tenant_id: int, algorithm: str,
+                                   k: int) -> bool:
+        """Same marker for the fused Hamming serving path."""
+        if self._mesh is not None:
+            return False
+        cache = self._ham.get((tenant_id, algorithm))
+        if cache is None or cache.n == 0 or cache.data is None:
+            return False
+        from ..ops import pallas_scan
+
+        cap = cache.data.shape[0]
+        tile = pallas_scan.ROWS_PER_TILE * pallas_scan.LANES
+        n_candidates = (cap // tile) * pallas_scan.LANES
+        return cap % tile == 0 and min(k, cache.n) <= min(16, n_candidates)
+
     async def knn(
         self,
         tenant_id: int,

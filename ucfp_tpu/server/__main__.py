@@ -20,6 +20,17 @@ def main() -> None:
     import os
 
     bind = args.bind or os.environ.get("UCFP_BIND", "127.0.0.1:8080")
+    # on-demand kernel tracing (SURVEY §5: JAX profiler + Perfetto are
+    # the TPU equivalent of the reference's tracing stack): point
+    # TensorBoard/xprof at this port to capture device traces live
+    prof_port = os.environ.get("UCFP_PROFILER_PORT")
+    if prof_port:
+        import jax.profiler
+
+        jax.profiler.start_server(int(prof_port))
+        from .logging import logger
+
+        logger().info("profiler", port=int(prof_port))
     state = state_from_env(
         data_dir=args.data_dir,
         token=args.token,

@@ -81,6 +81,8 @@ def build_server(
     r.add("GET", "/healthz", h.healthz, protected=False)
     r.add("GET", "/v1/info", h.info, protected=False)
     r.add("GET", "/v1/algorithms", h.algorithms, protected=False)
+    # anonymous compute-only demo (reference /api/fingerprint anon path)
+    r.add("POST", "/v1/demo/fingerprint", h.demo_fingerprint, protected=False)
     # protected (mod.rs:104-193)
     r.add("PUT", "/v1/records", h.upsert_records)
     r.add("POST", "/v1/records", h.upsert_records)
@@ -132,6 +134,7 @@ def build_server(
     # hashes on a one-core host; the reference demo path is 60/min/IP)
     key_quota = FixedWindowLimiter()
     auth_ip_rpm = int(os.environ.get("UCFP_AUTH_IP_RPM", "30"))
+    demo_rpm = int(os.environ.get("UCFP_DEMO_RPM", "60"))
 
     async def middleware(req: Request, handler, protected: bool) -> Response:
         if not protected:
@@ -140,6 +143,16 @@ def build_server(
                 if not d.allowed:
                     raise HttpError(
                         429, "rate_limited", "auth rate limit exceeded",
+                        headers={"retry-after": str(max(1, d.retry_after_ms // 1000))},
+                    )
+            elif req.path == "/v1/demo/fingerprint":
+                # reference demo limit: 60/min/IP (ratelimit.ts:10-80)
+                if demo_rpm <= 0:
+                    raise HttpError(404, "not_found", "demo is disabled")
+                d = key_quota.check(f"demo:{req.remote_addr}", demo_rpm)
+                if not d.allowed:
+                    raise HttpError(
+                        429, "rate_limited", "demo rate limit exceeded",
                         headers={"retry-after": str(max(1, d.retry_after_ms // 1000))},
                     )
             return await handler(req)

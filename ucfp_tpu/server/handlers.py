@@ -191,6 +191,49 @@ class Handlers:
     async def algorithms(self, req: Request) -> Response:
         return Response.json(build_manifest())
 
+    async def demo_fingerprint(self, req: Request) -> Response:
+        """Anonymous demo ingest (reference web/src/routes/api/fingerprint
+        anonymous path: Turnstile + 60/min/IP). Zero-egress build has no
+        Turnstile, so the guard is the per-IP fixed window enforced in
+        the middleware (UCFP_DEMO_RPM, default 60; 0 disables the route).
+        Modality resolves from Content-Type; the fingerprint is computed
+        but NEVER stored — an unauthenticated caller cannot grow the
+        index (divergence from the reference, which proxies to tenant 0)."""
+        import asyncio
+
+        ct = req.headers.get("content-type", "").split(";")[0].strip().lower()
+        raw = req.body
+        try:
+            if ct.startswith("image/"):
+                rgb = await asyncio.to_thread(
+                    imod.decode_rgb, raw, imod.PreprocessConfig()
+                )
+                h, w = rgb.shape[:2]
+                fp = await self.image_batcher.submit(("multi", h, w), rgb)
+                rec = Record(
+                    tenant_id=0, record_id=0, modality=Modality.IMAGE,
+                    algorithm=imod.ALGORITHM_MULTI, fingerprint=fp,
+                )
+            elif ct.startswith("audio/") or ct == "application/octet-stream":
+                # WebAudio-decoded f32 LE, like the reference demo client
+                sr = req.qp_int("sample_rate", 8000)
+                if not (1000 <= sr <= 192_000):
+                    raise HttpError(400, "bad_query", "sample_rate out of range")
+                samples = amod.decode_f32le(raw)
+                rec = amod.fingerprint_wang(samples, sr, 0, 0)
+            else:  # text/plain and friends
+                try:
+                    text = raw.decode("utf-8")
+                except UnicodeDecodeError:
+                    raise HttpError(400, "bad_utf8", "body is not valid UTF-8")
+                rec = tmod.fingerprint_minhash(text, 0, 0)
+        except UcfpError as e:
+            raise _err(e)
+        resp = _ingest_response(rec, False)
+        body = json.loads(resp.body)
+        body["stored"] = False
+        return Response.json(body, status=200)
+
     # -- records ----------------------------------------------------------------
 
     @staticmethod
@@ -324,14 +367,19 @@ class Handlers:
                 results = await self.index.knn_batch(tenant_id, vectors, k)
             except UcfpError as e:
                 raise _err(e)
-            return Response.json(
-                {
-                    "results": [
-                        {"hits": [self._hit_out(tenant_id, h) for h in hits]}
-                        for hits in results
-                    ]
-                }
-            )
+            out = {
+                "results": [
+                    {"hits": [self._hit_out(tenant_id, h) for h in hits]}
+                    for hits in results
+                ]
+            }
+            if vectors and self.index.knn_is_approximate(
+                tenant_id, len(vectors[0]), k
+            ):
+                # fused partial-reduce candidate semantics (near-exact
+                # for k <= 16) — marked, never silent
+                out["approximate"] = True
+            return Response.json(out)
 
         fps_hex = body.get("fingerprints_hex")
         if fps_hex is not None:
@@ -361,18 +409,23 @@ class Handlers:
                 results = await self.index.knn_multihash(
                     tenant_id, fps, k, self._multihash_weights(body)
                 )
+                approx = False
             else:
+                approx = self.index.fingerprint_is_approximate(
+                    tenant_id, algorithm, k
+                )
                 results = await self.index.knn_fingerprint_batch(
                     tenant_id, algorithm, fps, k
                 )
-            return Response.json(
-                {
-                    "results": [
-                        {"hits": [self._hit_out(tenant_id, h) for h in hits]}
-                        for hits in results
-                    ]
-                }
-            )
+            out = {
+                "results": [
+                    {"hits": [self._hit_out(tenant_id, h) for h in hits]}
+                    for hits in results
+                ]
+            }
+            if approx:
+                out["approximate"] = True
+            return Response.json(out)
 
         if fp_hex is not None:
             algorithm = body.get("algorithm")
@@ -399,6 +452,8 @@ class Handlers:
                 )
                 hits = res[0]
             else:
+                if self.index.fingerprint_is_approximate(tenant_id, algorithm, k):
+                    req.extensions["approximate"] = True
                 hits = await self.index.knn_fingerprint(tenant_id, algorithm, fp, k)
         else:
             q = Query(
@@ -410,6 +465,10 @@ class Handlers:
                 rrf_k=rrf_k,
                 explain=explain,
             )
+            if vector and self.index.knn_is_approximate(
+                tenant_id, len(vector), k
+            ):
+                req.extensions["approximate"] = True
             if req.query.get("rerank") == "embedding":
                 from ..rerank.embedding import EmbeddingReranker
 
@@ -417,7 +476,10 @@ class Handlers:
                 hits = await matcher.search(q)
             else:
                 hits = await self.matcher.search(q)
-        return Response.json({"hits": [self._hit_out(tenant_id, h) for h in hits]})
+        out = {"hits": [self._hit_out(tenant_id, h) for h in hits]}
+        if req.extensions.get("approximate"):
+            out["approximate"] = True
+        return Response.json(out)
 
     @staticmethod
     def _multihash_weights(body: dict) -> Optional[dict]:
