@@ -388,3 +388,98 @@ class TestApproximateMarker:
             "tenant_id": 1, "modality": "text", "k": 1, "vector": [1.0, 0.0],
         }).encode()))
         assert "approximate" not in resp
+
+
+class TestTrueStreaming:
+    """Stream endpoints consume the socket incrementally (BodyStream):
+    O(segment) memory, chunked or content-length framed, keep-alive
+    survives."""
+
+    def _stream(self, tmp_path, payload: bytes, nresp=1):
+        # reuse the socket runner from the framing tests
+        return TestAsyncioFrontFraming()._roundtrip(tmp_path, payload, nresp)
+
+    def test_chunked_audio_stream_segments(self, tmp_path):
+        import numpy as np
+
+        sr = 8000
+        t = np.arange(sr * 4) / sr
+        x = (0.5 * np.sin(2 * np.pi * 440 * t)
+             + 0.3 * np.sin(2 * np.pi * 1200 * t) * (np.sin(2 * np.pi * 0.9 * t) > 0)
+             ).astype("<f4").tobytes()
+        # feed in 16 KiB chunks with deliberately unaligned sizes
+        chunks = []
+        pos = 0
+        while pos < len(x):
+            step = 16384 + 3 if pos else 16381  # exercise the f32 tail carry
+            chunks.append(x[pos:pos + step])
+            pos += step
+        chunked = b"".join(b"%x\r\n%s\r\n" % (len(c), c) for c in chunks if c)
+        chunked += b"0\r\n\r\n"
+        payload = (
+            b"POST /v1/ingest/audio/1/100/stream?sample_rate=8000&segment_secs=1 HTTP/1.1\r\n"
+            b"Host: x\r\nAuthorization: Bearer " + TOKEN.encode() + b"\r\n"
+            b"Transfer-Encoding: chunked\r\n\r\n" + chunked
+            # pipelined request proves framing survived the stream
+            + b"GET /healthz HTTP/1.1\r\nHost: x\r\nConnection: close\r\n\r\n"
+        )
+        data = self._stream(tmp_path, payload, nresp=2)
+        assert b"201 Created" in data
+        assert b'"segments":' in data
+        body = json.loads(data.split(b"\r\n\r\n")[1].split(b"HTTP/1.1")[0])
+        assert body["segments"] >= 2  # 4 s at 1 s segments (+halo)
+        assert b'"status":"ok"' in data  # the pipelined healthz answered
+
+    def test_stream_exceeds_normal_body_limit(self, tmp_path):
+        """Streaming routes are exempt from the buffered body limit —
+        unbounded length with bounded memory is their purpose."""
+        import numpy as np
+
+        from test_server import make_app as _make
+
+        app, _ = _make(tmp_path)
+        app.body_limit = 64 * 1024  # tiny buffered limit
+        sr = 8000
+        x = np.zeros(sr * 3, "<f4")
+        x[::9] = 0.7
+        raw = x.tobytes()  # 96 KB > 64 KB limit
+        payload = (
+            b"POST /v1/ingest/audio/1/200/stream?sample_rate=8000&segment_secs=1 HTTP/1.1\r\n"
+            b"Host: x\r\nAuthorization: Bearer " + TOKEN.encode() + b"\r\n"
+            b"Content-Length: " + str(len(raw)).encode() + b"\r\n\r\n" + raw
+        )
+
+        async def go():
+            srv = await app.serve("127.0.0.1", 0)
+            port = srv.sockets[0].getsockname()[1]
+            try:
+                reader, writer = await asyncio.open_connection("127.0.0.1", port)
+                writer.write(payload)
+                await writer.drain()
+                data = await asyncio.wait_for(reader.read(65536), timeout=60)
+                writer.close()
+                return data
+            finally:
+                srv.close()
+                await srv.wait_closed()
+
+        data = asyncio.run(go())
+        assert b"201 Created" in data
+
+    def test_chunked_text_stream(self, tmp_path):
+        lines = b"".join(
+            json.dumps({"chunk": f"the quick brown fox part {i} "}).encode() + b"\n"
+            for i in range(8)
+        )
+        half = len(lines) // 2
+        chunked = (b"%x\r\n%s\r\n" % (half, lines[:half])
+                   + b"%x\r\n%s\r\n" % (len(lines) - half, lines[half:])
+                   + b"0\r\n\r\n")
+        payload = (
+            b"POST /v1/ingest/text/1/300/stream?algorithm=minhash HTTP/1.1\r\n"
+            b"Host: x\r\nAuthorization: Bearer " + TOKEN.encode() + b"\r\n"
+            b"Transfer-Encoding: chunked\r\n\r\n" + chunked
+        )
+        data = self._stream(tmp_path, payload)
+        assert b"201 Created" in data
+        assert b'"fingerprint_bytes":1032' in data

@@ -91,7 +91,8 @@ def build_server(
     r.add("POST", "/v1/query", h.query)
     r.add("POST", "/v1/ingest/text/{tenant_id}/{record_id}", h.ingest_text)
     r.add(
-        "POST", "/v1/ingest/text/{tenant_id}/{record_id}/stream", h.ingest_text_stream
+        "POST", "/v1/ingest/text/{tenant_id}/{record_id}/stream",
+        h.ingest_text_stream, streaming=True,
     )
     r.add("POST", "/v1/ingest/image/{tenant_id}/{record_id}", h.ingest_image)
     r.add("POST", "/v1/ingest/audio/{tenant_id}/{record_id}", h.ingest_audio)
@@ -99,6 +100,7 @@ def build_server(
         "POST",
         "/v1/ingest/audio/{tenant_id}/{record_id}/stream",
         h.ingest_audio_stream,
+        streaming=True,
     )
     # dashboard accounts (reference web/src/routes/api/auth/*)
     r.add("POST", "/v1/auth/signup", h.auth_signup, protected=False)

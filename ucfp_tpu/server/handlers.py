@@ -617,19 +617,45 @@ class Handlers:
         await self.index.upsert([rec])
         return _ingest_response(rec, req.qp_bool("return_embedding"))
 
+    @staticmethod
+    async def _body_chunks(req: Request):
+        """Async iterator over body bytes: incremental from the socket on
+        streaming routes (BodyStream in extensions), one shot otherwise
+        (native front / direct handler tests)."""
+        stream = req.extensions.get("body_stream")
+        if stream is None:
+            if req.body:
+                yield req.body
+            return
+        while True:
+            data = await stream.read(65536)
+            if not data:
+                return
+            yield data
+
     async def ingest_text_stream(self, req: Request) -> Response:
-        """NDJSON lines: {"chunk": "..."} ... (handlers.rs:591-626)."""
+        """NDJSON lines: {"chunk": "..."} ... (handlers.rs:591-626).
+        Consumed incrementally off the socket — the HTTP layer never
+        buffers the whole body (the session itself accumulates text,
+        matching the reference's buffered StreamingMinHash)."""
         tid, rid = _path_ids(req)
         tenant_guard(_ctx(req), tid)
         opts = self._text_opts(req)
         session = tmod.StreamingMinHashSession(tid, rid, opts)
+        tail = b""
         try:
-            for line in req.body.decode("utf-8").splitlines():
-                line = line.strip()
-                if not line:
-                    continue
-                obj = json.loads(line)
-                session.push(obj.get("chunk", ""))
+            async for data in self._body_chunks(req):
+                tail += data
+                *lines, tail = tail.split(b"\n")
+                for line in lines:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    obj = json.loads(line.decode("utf-8"))
+                    session.push(obj.get("chunk", ""))
+            line = tail.strip()
+            if line:
+                session.push(json.loads(line.decode("utf-8")).get("chunk", ""))
             rec = session.finalize()
         except (UnicodeDecodeError, json.JSONDecodeError) as e:
             raise HttpError(400, "bad_ndjson", f"invalid NDJSON stream: {e}")
@@ -768,39 +794,58 @@ class Handlers:
 
     async def ingest_audio_stream(self, req: Request) -> Response:
         """Chunked 8 kHz f32 body run through the streaming Wang session;
-        each completed segment is upserted as record_id + segment index in
-        metadata (reference multipart route handlers.rs:963-1011)."""
+        each completed segment is upserted AS IT COMPLETES — a 10-minute
+        stream holds O(segment + halo) memory, never the whole body
+        (reference multipart route handlers.rs:963-1011). On the asyncio
+        front the socket feeds the session incrementally via BodyStream."""
+        import numpy as np
+
         tid, rid = _path_ids(req)
         tenant_guard(_ctx(req), tid)
         sample_rate = req.qp_int("sample_rate", None)
         if sample_rate is None:
             raise HttpError(400, "bad_query", "sample_rate is required")
-        try:
-            samples = amod.decode_f32le(req.body)
-            session = amod.StreamingWangSession(
-                tid, rid, sample_rate,
-                segment_secs=req.qp_float("segment_secs", 10.0),
-            )
-            recs = session.push(samples)
-            recs.extend(session.finalize())
-        except UcfpError as e:
-            raise _err(e)
-        _tag_usage(req, "audio", "audiofp-wang-v1")
-        if recs:
-            await self.index.upsert(recs)
-        return Response.json(
-            {
-                "segments": len(recs),
-                "records": [
+        meta: list[dict] = []
+
+        async def store(recs):
+            if recs:
+                await self.index.upsert(recs)
+                meta.extend(
                     {
                         "record_id": r.record_id,
                         "metadata": r.metadata.decode(),
                         "fingerprint_bytes": len(r.fingerprint),
                     }
                     for r in recs
-                ],
-            },
-            status=201,
+                )
+
+        try:
+            session = amod.StreamingWangSession(
+                tid, rid, sample_rate,
+                segment_secs=req.qp_float("segment_secs", 10.0),
+            )
+            tail = b""  # carry f32 alignment across chunk boundaries
+            total = 0
+            async for data in self._body_chunks(req):
+                total += len(data)
+                tail += data
+                usable = len(tail) - (len(tail) % 4)
+                if usable:
+                    samples = np.frombuffer(tail[:usable], dtype="<f4")
+                    tail = tail[usable:]
+                    await store(session.push(samples))
+            if total == 0:
+                raise HttpError(400, "bad_body", "empty audio body")
+            if tail:
+                raise HttpError(
+                    400, "bad_body", "f32 stream length not a multiple of 4"
+                )
+            await store(session.finalize())
+        except UcfpError as e:
+            raise _err(e)
+        _tag_usage(req, "audio", "audiofp-wang-v1")
+        return Response.json(
+            {"segments": len(meta), "records": meta}, status=201
         )
 
     # -- admin: API key management ------------------------------------------------

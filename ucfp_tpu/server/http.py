@@ -127,27 +127,102 @@ class Router:
     """Pattern routes like /v1/records/{tenant_id}/{record_id}."""
 
     def __init__(self) -> None:
-        self._routes: list[tuple[str, re.Pattern, str, Handler, bool]] = []
+        self._routes: list[tuple[str, re.Pattern, str, Handler, bool, bool]] = []
 
     def add(self, method: str, pattern: str, handler: Handler,
-            protected: bool = True) -> None:
+            protected: bool = True, streaming: bool = False) -> None:
         rx = re.compile(
             "^" + re.sub(r"\{(\w+)\}", r"(?P<\1>[^/]+)", pattern) + "$"
         )
-        self._routes.append((method, rx, pattern, handler, protected))
+        self._routes.append((method, rx, pattern, handler, protected, streaming))
 
     def match(self, method: str, path: str):
-        """-> (handler, params, pattern, protected) or raises 404/405."""
+        """-> (handler, params, pattern, protected, streaming) or 404/405."""
         path_seen = False
-        for m, rx, pattern, handler, protected in self._routes:
+        for m, rx, pattern, handler, protected, streaming in self._routes:
             g = rx.match(path)
             if g:
                 path_seen = True
                 if m == method:
-                    return handler, {k: unquote(v) for k, v in g.groupdict().items()}, pattern, protected
+                    return (
+                        handler,
+                        {k: unquote(v) for k, v in g.groupdict().items()},
+                        pattern, protected, streaming,
+                    )
         if path_seen:
             raise HttpError(405, "method_not_allowed", f"{method} not allowed")
         raise HttpError(404, "not_found", f"no route for {path}")
+
+    def is_streaming(self, method: str, path: str) -> bool:
+        try:
+            return self.match(method, path)[4]
+        except HttpError:
+            return False
+
+
+class BodyStream:
+    """Incremental request-body reader for streaming routes: yields the
+    socket's bytes as they arrive (Content-Length budget or chunked
+    framing) so a long-running ingest holds O(chunk) memory instead of
+    buffering the whole body (reference multipart audio route,
+    handlers.rs:963-1011)."""
+
+    def __init__(self, reader: asyncio.StreamReader,
+                 content_length: Optional[int] = None, chunked: bool = False):
+        self._r = reader
+        self._remaining = content_length or 0
+        self._chunked = chunked
+        self._chunk_left = 0
+        self.done = content_length == 0 and not chunked
+
+    async def read(self, n: int = 65536) -> bytes:
+        """Up to n body bytes; b'' at end. Raises ValueError on bad
+        chunked framing (the connection is no longer trustworthy)."""
+        if self.done:
+            return b""
+        if not self._chunked:
+            take = min(n, self._remaining)
+            data = await self._r.readexactly(take)
+            self._remaining -= take
+            if self._remaining == 0:
+                self.done = True
+            return data
+        if self._chunk_left == 0:
+            line = await self._r.readline()
+            if not line.endswith(b"\n"):
+                raise ValueError("bad chunk header")
+            size = int(line.strip().split(b";", 1)[0], 16)
+            if size < 0:
+                raise ValueError("bad chunk size")
+            if size == 0:
+                while True:  # trailer section
+                    t = await self._r.readline()
+                    if not t.endswith(b"\n"):
+                        raise ValueError("bad trailer")
+                    if t in (b"\r\n", b"\n"):
+                        self.done = True
+                        return b""
+            self._chunk_left = size
+        take = min(n, self._chunk_left)
+        data = await self._r.readexactly(take)
+        self._chunk_left -= take
+        if self._chunk_left == 0:
+            if await self._r.readexactly(2) != b"\r\n":
+                raise ValueError("bad chunk terminator")
+        return data
+
+    async def drain(self, cap: int = 64 * 1024 * 1024) -> bool:
+        """Consume any unread remainder so keep-alive framing survives a
+        handler that returned early. False = too much left, close."""
+        spent = 0
+        while not self.done:
+            data = await self.read(65536)
+            spent += len(data)
+            if spent > cap:
+                return False
+            if not data and self.done:
+                break
+        return True
 
 
 class Metrics:
@@ -219,6 +294,13 @@ class HttpServer:
         self.middleware = middleware  # async (request, handler, protected) -> Response
         self.body_limit = body_limit
         self.timeout_secs = timeout_secs
+        import os
+
+        # streaming routes run as long as data keeps arriving; the
+        # normal request timeout would kill a multi-minute audio stream
+        self.stream_timeout_secs = float(
+            os.environ.get("UCFP_STREAM_TIMEOUT_SECS", "3600")
+        )
         self.metrics = Metrics()
         self._sem = asyncio.Semaphore(concurrency)
         self._server: Optional[asyncio.AbstractServer] = None
@@ -230,20 +312,23 @@ class HttpServer:
         # let a pre-auth scanner grow the metrics maps without bound
         path_label = "<unmatched>"
         try:
-            handler, params, pattern, protected = self.router.match(
+            handler, params, pattern, protected, streaming = self.router.match(
                 req.method, req.path
             )
             path_label = pattern
             req.params = params
+            timeout = self.stream_timeout_secs if (
+                streaming and "body_stream" in req.extensions
+            ) else self.timeout_secs
             async with self._sem:
                 if self.middleware is not None:
                     resp = await asyncio.wait_for(
                         self.middleware(req, handler, protected),
-                        timeout=self.timeout_secs,
+                        timeout=timeout,
                     )
                 else:
                     resp = await asyncio.wait_for(
-                        handler(req), timeout=self.timeout_secs
+                        handler(req), timeout=timeout
                     )
         except HttpError as e:
             resp = e.to_response()
@@ -333,10 +418,60 @@ class HttpServer:
                     if ":" in ln:
                         k, v = ln.split(":", 1)
                         headers[k.strip().lower()] = v.strip()
+                path_probe = target.partition("?")[0]
                 # Transfer-Encoding wins over Content-Length (RFC 7230
                 # §3.3.3) — ignoring it would let a chunked body be parsed
                 # as the next pipelined request (request smuggling)
                 te = headers.get("transfer-encoding", "").lower()
+                if te not in ("", "chunked"):
+                    writer.write(_raw_response(
+                        501, b'{"error":"unsupported_transfer_encoding"}'
+                    ))
+                    await writer.drain()
+                    return
+                if self.router.is_streaming(method, path_probe):
+                    # streaming route: hand the socket to the handler via
+                    # BodyStream — O(chunk) memory for unbounded bodies,
+                    # no body_limit (length is the point; auth still
+                    # gates it in the middleware)
+                    if te == "chunked":
+                        stream = BodyStream(reader, chunked=True)
+                    else:
+                        try:
+                            clen = int(headers.get("content-length", "0") or "0")
+                            if clen < 0:
+                                raise ValueError
+                        except ValueError:
+                            writer.write(_raw_response(
+                                400, b'{"error":"bad_content_length"}'
+                            ))
+                            await writer.drain()
+                            return
+                        stream = BodyStream(reader, content_length=clen)
+                    path, _, qs = target.partition("?")
+                    query = {k: v[0] for k, v in
+                             parse_qs(qs, keep_blank_values=True).items()}
+                    req = Request(method, path, query, headers, b"",
+                                  remote_addr=remote)
+                    req.extensions["body_stream"] = stream
+                    try:
+                        resp, _ = await self.handle_request(req)
+                        framing_ok = await stream.drain()
+                    except (ValueError, asyncio.IncompleteReadError,
+                            ConnectionResetError):
+                        writer.write(_raw_response(
+                            400, b'{"error":"bad_stream_body"}'
+                        ))
+                        await writer.drain()
+                        return
+                    keep = framing_ok and (
+                        headers.get("connection", "keep-alive").lower() != "close"
+                    )
+                    writer.write(_serialize(resp, keep))
+                    await writer.drain()
+                    if not keep:
+                        return
+                    continue
                 if te:
                     if te != "chunked":
                         writer.write(_raw_response(
