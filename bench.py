@@ -331,6 +331,47 @@ def bench_cosine_int8_10m_hybrid(k=10, iters=32):
     return _timed(run, iters) * 1000.0
 
 
+def bench_cosine_int8_10m_mxu(k=10, iters=32):
+    """Fused all-pallas MXU int8 cosine at 10M x 64 (ms/query). On a
+    healthy runtime the XLA-GEMV hybrid wins by ~20%; on the tunneled
+    runtime the XLA GEMV degrades ~6x and this kernel is the fast path
+    (ops/pallas_scan.py:321-346) — benched so the driver captures
+    whichever runtime it runs on."""
+    import jax
+    import jax.numpy as jnp
+
+    from ucfp_tpu.ops import pallas_scan
+
+    tile = pallas_scan.ROWS_PER_TILE * pallas_scan.LANES
+    n = (10_000_000 // tile) * tile
+    key = jax.random.PRNGKey(0)
+    m8 = jax.random.randint(key, (n, 64), -127, 128, dtype=jnp.int32).astype(
+        jnp.int8
+    )
+    m8 = jax.block_until_ready(m8)
+    rn = jnp.linalg.norm(m8.astype(jnp.float32), axis=1)
+    q0 = jax.random.randint(
+        jax.random.PRNGKey(3), (64,), -127, 128, dtype=jnp.int32
+    ).astype(jnp.int8)
+
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def loop(q, m, rnv, it):
+        def body(_i, carry):
+            _vals, idx = pallas_scan.cosine_int8_topk_mxu(carry, m, rnv, k)
+            return jnp.clip(
+                carry.astype(jnp.int32) + m[idx[0]].astype(jnp.int32) // 127,
+                -127, 127,
+            ).astype(jnp.int8)
+
+        out = jax.lax.fori_loop(0, it, body, q)
+        return jnp.sum(out.astype(jnp.int32))
+
+    def run(it):
+        return int(loop(q0, m8, rn, it))
+
+    return _timed(run, iters) * 1000.0
+
+
 def _row_norms_int8(m8, chunk):
     """|row| of an int8 matrix without materializing an int32 copy:
     lax.map over row blocks keeps the live intermediate at [chunk, D]."""
@@ -519,6 +560,8 @@ def _run_all():
          lambda: round(bench_hamming_10m_fused(iters=32), 3)),
         ("query_cosine_int8_hybrid_p50_ms_10m_x64",
          lambda: round(bench_cosine_int8_10m_hybrid(iters=16), 3)),
+        ("query_cosine_int8_mxu_p50_ms_10m_x64",
+         lambda: round(bench_cosine_int8_10m_mxu(iters=16), 3)),
     ] + ([
         ("query_cosine_p50_ms_1m_x64", lambda: round(bench_query_p50(), 3)),
         ("query_cosine_int8_p50_ms_10m_x64",

@@ -7,6 +7,7 @@ import math
 import numpy as np
 import pytest
 
+from ucfp_tpu.core import Modality, Record
 from ucfp_tpu.index.embedded import EmbeddedBackend
 from ucfp_tpu.modality import audio as amod
 
@@ -170,3 +171,36 @@ class TestDegenerateAudio:
         hits = run(b.knn_audio(0, "audiofp-panako-v1", rec.fingerprint, 3))
         if rec.fingerprint:  # a pure tone may yield zero triplets
             assert hits and hits[0].record_id == 5
+
+
+class TestLandmarkIndexScale:
+    """Columnar postings: vectorized lookup/vote, mask-pass deletes."""
+
+    def test_catalog_scale_voting(self, tmp_path):
+        import time
+
+        rng = np.random.default_rng(0)
+        b = EmbeddedBackend(str(tmp_path))
+        recs = []
+        for rid in range(300):
+            h = rng.integers(0, 2**22, 400, dtype=np.uint32)
+            t = rng.integers(0, 3000, 400, dtype=np.uint32)
+            fp = np.stack([h, t], axis=1).astype("<u4").tobytes()
+            recs.append(Record(tenant_id=1, record_id=rid, modality=Modality.AUDIO,
+                               algorithm="audiofp-wang-v1", fingerprint=fp))
+        run(b.upsert(recs))
+        q = np.frombuffer(recs[77].fingerprint, "<u4").reshape(-1, 2).copy()
+        q = q[50:250]
+        q[:, 1] -= q[:, 1].min()
+        hits = run(b.knn_audio(1, "audiofp-wang-v1",
+                               q.astype("<u4").tobytes(), 5))
+        assert hits[0].record_id == 77 and hits[0].score > 0.9
+        # warm path: one searchsorted + unique, not a dict walk per hash
+        t0 = time.perf_counter()
+        run(b.knn_audio(1, "audiofp-wang-v1", q.astype("<u4").tobytes(), 5))
+        assert time.perf_counter() - t0 < 0.5
+        # delete = one mask pass; record disappears from results
+        run(b.delete(1, [77]))
+        hits2 = run(b.knn_audio(1, "audiofp-wang-v1",
+                                q.astype("<u4").tobytes(), 5))
+        assert all(h.record_id != 77 for h in hits2)
