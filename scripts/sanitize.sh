@@ -1,0 +1,27 @@
+#!/usr/bin/env bash
+# ASan/UBSan run over the three native C++ modules (WAL engine, BM25,
+# epoll HTTP front) — the race/memory-safety check the reference gets
+# from Rust itself (SURVEY §5). Builds sanitized .san.so artifacts
+# beside the production ones and drives them through a jax-free driver
+# (XLA's runtime is not sanitizer-clean and would drown our reports).
+#
+#   scripts/sanitize.sh            # address,undefined (default)
+#   scripts/sanitize.sh address    # ASan only
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SAN="${1:-address,undefined}"
+PRELOAD="$(g++ -print-file-name=libasan.so)"
+case "$SAN" in
+  *address*) ;;
+  *) PRELOAD="$(g++ -print-file-name=libubsan.so)" ;;
+esac
+
+# leak checking off: the host process is CPython, whose arenas and
+# interned objects report as leaks; we are after the C++ modules' bugs
+export ASAN_OPTIONS="detect_leaks=0:halt_on_error=1"
+export UBSAN_OPTIONS="halt_on_error=1:print_stacktrace=1"
+export UCFP_NATIVE_SANITIZE="$SAN"
+
+LD_PRELOAD="$PRELOAD" python scripts/native_sanitize_driver.py
+echo "sanitized native run clean ($SAN)"

@@ -10,11 +10,28 @@ import subprocess
 _DIR = os.path.dirname(os.path.abspath(__file__))
 
 
+def _sanitize_flags() -> list[str]:
+    """UCFP_NATIVE_SANITIZE=address,undefined builds the native modules
+    under ASan/UBSan — the TSAN/ASAN gap the reference fills with Rust's
+    own guarantees (SURVEY §5 race detection). The loading process must
+    LD_PRELOAD the matching sanitizer runtime (scripts/sanitize.sh)."""
+    san = os.environ.get("UCFP_NATIVE_SANITIZE", "").strip()
+    return [f"-fsanitize={san}", "-fno-omit-frame-pointer", "-g"] if san else []
+
+
+def _outname(base: str) -> str:
+    """Sanitized builds get their own artifact so they never clobber the
+    production .so."""
+    if os.environ.get("UCFP_NATIVE_SANITIZE", "").strip():
+        return base.replace(".so", ".san.so")
+    return base
+
+
 def _build(src: str, out: str) -> bool:
     try:
         subprocess.run(
-            ["g++", "-O2", "-std=c++17", "-pthread", "-fPIC", "-shared",
-             "-o", out, src],
+            ["g++", "-O2", "-std=c++17", "-pthread", "-fPIC", "-shared"]
+            + _sanitize_flags() + ["-o", out, src],
             check=True,
             capture_output=True,
             timeout=120,
@@ -40,7 +57,7 @@ class UcfpHttpReq(ctypes.Structure):
 def load_httpfront():
     """Load (building if needed) the native epoll HTTP front, or None."""
     src = os.path.join(_DIR, "httpfront.cpp")
-    out = os.path.join(_DIR, "libucfphttp.so")
+    out = os.path.join(_DIR, _outname("libucfphttp.so"))
     if not os.path.exists(out) or os.path.getmtime(out) < os.path.getmtime(src):
         if not _build(src, out):
             return None
@@ -70,7 +87,7 @@ def load_bm25():
     """Load (building if needed) the native BM25 engine, or None when the
     toolchain is unavailable — callers fall back to the Python engine."""
     src = os.path.join(_DIR, "bm25.cpp")
-    out = os.path.join(_DIR, "libucfpbm25.so")
+    out = os.path.join(_DIR, _outname("libucfpbm25.so"))
     if not os.path.exists(out) or os.path.getmtime(out) < os.path.getmtime(src):
         if not _build(src, out):
             return None
@@ -115,7 +132,7 @@ def load_walstore():
     """Load (building if needed) the native WAL library, or None when the
     toolchain is unavailable — callers fall back to the pure-Python WAL."""
     src = os.path.join(_DIR, "walstore.cpp")
-    out = os.path.join(_DIR, "libucfpwal.so")
+    out = os.path.join(_DIR, _outname("libucfpwal.so"))
     if not os.path.exists(out) or os.path.getmtime(out) < os.path.getmtime(src):
         if not _build(src, out):
             return None
