@@ -483,3 +483,72 @@ class TestTrueStreaming:
         data = self._stream(tmp_path, payload)
         assert b"201 Created" in data
         assert b'"fingerprint_bytes":1032' in data
+
+
+class TestMultipartAudioStream:
+    """Reference wire shape: the audio stream route accepts
+    multipart/form-data, each part a chunk of f32 PCM
+    (handlers.rs:963-1011)."""
+
+    def _multipart(self, parts, boundary=b"XBOUND"):
+        out = b""
+        for p in parts:
+            out += (b"--" + boundary + b"\r\n"
+                    + b'Content-Disposition: form-data; name="chunk"\r\n'
+                    + b"Content-Type: application/octet-stream\r\n\r\n"
+                    + p + b"\r\n")
+        return out + b"--" + boundary + b"--\r\n"
+
+    def test_multipart_parts_concatenate(self, tmp_path):
+        import numpy as np
+
+        app, state = make_app(tmp_path)
+        sr = 8000
+        t = np.arange(sr * 3) / sr
+        x = (0.5 * np.sin(2 * np.pi * 440 * t)).astype("<f4").tobytes()
+        third = len(x) // 3 // 4 * 4
+        body = self._multipart([x[:third], x[third:2 * third], x[2 * third:]])
+        r = call(
+            app, "POST", "/v1/ingest/audio/1/700/stream", body,
+            query="sample_rate=8000&segment_secs=1",
+            headers={"content-type": "multipart/form-data; boundary=XBOUND"},
+        )
+        assert r.status == 201
+        assert jbody(r)["segments"] >= 1
+        # identical to the raw-body ingest of the same PCM
+        r2 = call(app, "POST", "/v1/ingest/audio/1/800/stream", x,
+                  query="sample_rate=8000&segment_secs=1")
+        b1 = [m["fingerprint_bytes"] for m in jbody(r)["records"]]
+        b2 = [m["fingerprint_bytes"] for m in jbody(r2)["records"]]
+        assert b1 == b2
+
+    def test_multipart_chunked_socket(self, tmp_path):
+        """Multipart over chunked transfer with the delimiter split
+        across chunk boundaries."""
+        import numpy as np
+
+        sr = 8000
+        t = np.arange(sr * 2) / sr
+        x = (0.4 * np.sin(2 * np.pi * 700 * t)).astype("<f4").tobytes()
+        body = self._multipart([x])
+        # split so the boundary bytes straddle two transfer chunks
+        cut = body.find(b"--XBOUND--") + 4
+        chunks = [body[:1000], body[1000:cut], body[cut:]]
+        chunked = b"".join(b"%x\r\n%s\r\n" % (len(c), c) for c in chunks if c)
+        chunked += b"0\r\n\r\n"
+        payload = (
+            b"POST /v1/ingest/audio/1/900/stream?sample_rate=8000&segment_secs=1 HTTP/1.1\r\n"
+            b"Host: x\r\nAuthorization: Bearer " + TOKEN.encode() + b"\r\n"
+            b"Content-Type: multipart/form-data; boundary=XBOUND\r\n"
+            b"Transfer-Encoding: chunked\r\n\r\n" + chunked
+        )
+        data = TestAsyncioFrontFraming()._roundtrip(tmp_path, payload)
+        assert b"201 Created" in data
+        assert b'"segments":' in data
+
+    def test_multipart_missing_boundary_400(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        r = call(app, "POST", "/v1/ingest/audio/1/1/stream", b"\x00" * 8,
+                 query="sample_rate=8000",
+                 headers={"content-type": "multipart/form-data"})
+        assert r.status == 400

@@ -792,8 +792,58 @@ class Handlers:
         await self.index.upsert([rec])
         return _ingest_response(rec, req.qp_bool("return_embedding"))
 
+    @staticmethod
+    async def _multipart_chunks(chunks, boundary: bytes):
+        """Incremental multipart/form-data splitter: yields the parts'
+        payload bytes in order as they arrive (the reference audio
+        stream route is multipart, handlers.rs:963-1011 — each part is
+        the next chunk of the PCM stream). Headers of each part are
+        skipped; memory stays O(chunk)."""
+        delim = b"--" + boundary
+        buf = b""
+        in_part = False
+        ended = False
+        async for data in chunks:
+            if ended:
+                break
+            buf += data
+            while True:
+                if not in_part:
+                    i = buf.find(delim)
+                    if i < 0:
+                        # drop preamble junk, keep a tail that could hold
+                        # a partial delimiter
+                        buf = buf[-(len(delim) + 4):]
+                        break
+                    buf = buf[i + len(delim):]
+                    if buf.startswith(b"--"):
+                        ended = True  # closing delimiter
+                        break
+                    j = buf.find(b"\r\n\r\n")
+                    if j < 0:
+                        if len(buf) > 64 * 1024:
+                            raise HttpError(400, "bad_multipart",
+                                            "part headers too large")
+                        buf = delim + buf  # headers incomplete: re-find
+                        break
+                    buf = buf[j + 4:]
+                    in_part = True
+                else:
+                    i = buf.find(b"\r\n" + delim)
+                    if i < 0:
+                        keep = len(delim) + 4
+                        if len(buf) > keep:
+                            yield buf[:-keep]
+                            buf = buf[-keep:]
+                        break
+                    if i > 0:
+                        yield buf[:i]
+                    buf = buf[i + 2:]  # delimiter now at buffer start
+                    in_part = False
+
     async def ingest_audio_stream(self, req: Request) -> Response:
-        """Chunked 8 kHz f32 body run through the streaming Wang session;
+        """Raw f32 or multipart/form-data body (the reference's wire
+        shape) run through the streaming Wang session;
         each completed segment is upserted AS IT COMPLETES — a 10-minute
         stream holds O(segment + halo) memory, never the whole body
         (reference multipart route handlers.rs:963-1011). On the asyncio
@@ -824,9 +874,19 @@ class Handlers:
                 tid, rid, sample_rate,
                 segment_secs=req.qp_float("segment_secs", 10.0),
             )
+            chunks = self._body_chunks(req)
+            ct = req.headers.get("content-type", "")
+            if ct.split(";")[0].strip().lower() == "multipart/form-data":
+                import re as _re
+
+                m = _re.search(r'boundary="?([^";]+)"?', ct)
+                if not m:
+                    raise HttpError(400, "bad_multipart",
+                                    "multipart body without a boundary")
+                chunks = self._multipart_chunks(chunks, m.group(1).encode())
             tail = b""  # carry f32 alignment across chunk boundaries
             total = 0
-            async for data in self._body_chunks(req):
+            async for data in chunks:
                 total += len(data)
                 tail += data
                 usable = len(tail) - (len(tail) % 4)
