@@ -552,3 +552,24 @@ class TestMultipartAudioStream:
                  query="sample_rate=8000",
                  headers={"content-type": "multipart/form-data"})
         assert r.status == 400
+
+
+class TestAlgorithmGates:
+    """UCFP_DISABLED_ALGORITHMS: the reference's per-algorithm feature
+    gates answer 501 naming the missing flag (handlers.rs:259-263)."""
+
+    def test_disabled_algorithm_501(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("UCFP_DISABLED_ALGORITHMS", "tlsh, panako")
+        app, _ = make_app(tmp_path)
+        r = call(app, "POST", "/v1/ingest/text/1/1",
+                 b"a long enough body for tlsh fingerprinting " * 3,
+                 query="algorithm=tlsh")
+        assert r.status == 501
+        assert "UCFP_DISABLED_ALGORITHMS" in jbody(r)["message"]
+        # other algorithms unaffected
+        ok = call(app, "POST", "/v1/ingest/text/1/2",
+                  b"the quick brown fox", query="algorithm=minhash")
+        assert ok.status == 201
+        aud = call(app, "POST", "/v1/ingest/audio/1/3", b"\x00" * 32000,
+                   query="sample_rate=8000&algorithm=panako")
+        assert aud.status == 501

@@ -94,6 +94,25 @@ def _path_ids(req: Request) -> tuple[int, int]:
         raise HttpError(400, "bad_path", "tenant_id/record_id must be integers")
 
 
+def _algo_gate(algorithm_id: str) -> None:
+    """Per-algorithm disable switch: the reference gates every algorithm
+    behind a cargo feature and answers 501 naming the missing flag
+    (Cargo.toml:13-87, handlers.rs:259-263). The runtime equivalent here
+    is UCFP_DISABLED_ALGORITHMS, a comma list of manifest algorithm ids."""
+    import os
+
+    raw = os.environ.get("UCFP_DISABLED_ALGORITHMS", "")
+    if not raw:
+        return
+    disabled = {a.strip() for a in raw.split(",") if a.strip()}
+    if algorithm_id in disabled:
+        raise HttpError(
+            501, "unsupported",
+            f"algorithm {algorithm_id!r} is disabled in this deployment "
+            f"(listed in UCFP_DISABLED_ALGORITHMS)",
+        )
+
+
 def _tag_usage(req: Request, modality: str, algorithm: Optional[str]) -> None:
     """Resolved modality/algorithm for the middleware's UsageEvent
     (usage.rs:49-81 populates both; the usage dashboard groups on them)."""
@@ -576,6 +595,7 @@ class Handlers:
         tenant_guard(_ctx(req), tid)
         raw, _ = self._body_or_input(req, tid)
         algorithm = req.query.get("algorithm", "minhash")
+        _algo_gate(algorithm)
         opts = self._text_opts(req)
         if opts.preprocess == "pdf":
             try:
@@ -681,6 +701,7 @@ class Handlers:
         tenant_guard(_ctx(req), tid)
         raw, _ = self._body_or_input(req, tid)
         algorithm = req.query.get("algorithm", "multi")
+        _algo_gate(algorithm)
         pre = self._image_pre(req)
         import asyncio
 
@@ -731,6 +752,7 @@ class Handlers:
         if sample_rate is None:
             raise HttpError(400, "bad_query", "sample_rate is required")
         algorithm = req.query.get("algorithm", "wang")
+        _algo_gate(algorithm)
         try:
             samples = amod.decode_f32le(raw)
         except UcfpError as e:
