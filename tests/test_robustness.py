@@ -144,7 +144,16 @@ class TestConcurrency:
 
         run(go())
         hits = run(b.knn(0, vec(2019), 1))
-        assert hits[0].record_id == 2019
+        import os
+
+        if os.environ.get("UCFP_KNN_QUANT") == "int8":
+            # adjacent 0.001-rad directions quantize to the same int8
+            # vector (step ~1/127 = 0.008 rad); ties resolve to the
+            # lowest id, so accept the quantization neighbourhood
+            assert abs(hits[0].record_id - 2019) <= 16
+            assert hits[0].score > 0.999
+        else:
+            assert hits[0].record_id == 2019
         assert len(run(b.bm25(0, ["payload"], 100))) == 60
 
 
