@@ -573,3 +573,33 @@ class TestAlgorithmGates:
         aud = call(app, "POST", "/v1/ingest/audio/1/3", b"\x00" * 32000,
                    query="sample_rate=8000&algorithm=panako")
         assert aud.status == 501
+
+
+class TestReferenceTunableAliases:
+    """Reference AudioParams prefixes per-algorithm tunables
+    (panako_*/haitsma_*/watermark_*, dto.rs:256-332); both spellings
+    work, prefixed wins."""
+
+    def test_haitsma_prefixed_alias(self, tmp_path):
+        import numpy as np
+
+        app, _ = make_app(tmp_path)
+        sr = 8000
+        t = np.arange(sr * 2) / sr
+        x = (0.5 * np.sin(2 * np.pi * 700 * t)).astype("<f4").tobytes()
+        a = jbody(call(app, "POST", "/v1/ingest/audio/1/1", x,
+                       query="sample_rate=8000&algorithm=haitsma&haitsma_fmin=400"))
+        b = jbody(call(app, "POST", "/v1/ingest/audio/1/2", x,
+                       query="sample_rate=8000&algorithm=haitsma&fmin=400"))
+        c = jbody(call(app, "POST", "/v1/ingest/audio/1/3", x,
+                       query="sample_rate=8000&algorithm=haitsma"))
+        assert a["config_hash"] == b["config_hash"]
+        assert a["config_hash"] != c["config_hash"]
+        assert a["fingerprint_hex"] == b["fingerprint_hex"]
+
+    def test_prefixed_out_of_range_400(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        r = call(app, "POST", "/v1/ingest/audio/1/4", b"\x00" * 64,
+                 query="sample_rate=8000&algorithm=panako&panako_fan_out=999")
+        assert r.status == 400
+        assert "panako_fan_out" in jbody(r)["message"]

@@ -554,15 +554,22 @@ class Handlers:
     # -- ingest: text ---------------------------------------------------------------
 
     @staticmethod
-    def _in_range(req: Request, name: str, default, lo, hi, float_=False):
+    def _in_range(req: Request, name: str, default, lo, hi, float_=False,
+                  alias: Optional[str] = None):
         """Tunables are validated against the manifest's bounds, like the
         reference (algorithms_manifest.rs drives per-request validation) —
-        an out-of-range knob is a 400, not a silent mega-allocation."""
-        v = req.qp_float(name, default) if float_ else req.qp_int(name, default)
+        an out-of-range knob is a 400, not a silent mega-allocation.
+        `alias` is the reference AudioParams' prefixed spelling
+        (dto.rs:256-332: panako_*/haitsma_*/watermark_*); it wins when
+        both are present so reference-shaped clients tune correctly."""
+        use = name
+        if alias is not None and alias in req.query:
+            use = alias
+        v = req.qp_float(use, default) if float_ else req.qp_int(use, default)
         if v is not None and not (lo <= v <= hi):
             raise HttpError(
                 400, "bad_query",
-                f"{name} must be within [{lo}, {hi}], got {v}",
+                f"{use} must be within [{lo}, {hi}], got {v}",
             )
         return v
 
@@ -773,26 +780,37 @@ class Handlers:
                 rec = amod.fingerprint_wang(samples, sample_rate, tid, rid, cfg)
             elif algorithm == "panako":
                 cfg = PanakoConfig(
-                    fan_out=self._in_range(req, "fan_out", 5, 1, 32),
-                    target_zone_t=self._in_range(req, "target_zone_t", 96, 1, 256),
-                    target_zone_f=self._in_range(req, "target_zone_f", 96, 1, 256),
-                    peaks_per_sec=self._in_range(req, "peaks_per_sec", 30, 1, 120),
+                    fan_out=self._in_range(req, "fan_out", 5, 1, 32,
+                                           alias="panako_fan_out"),
+                    target_zone_t=self._in_range(
+                        req, "target_zone_t", 96, 1, 256,
+                        alias="panako_target_zone_t"),
+                    target_zone_f=self._in_range(
+                        req, "target_zone_f", 96, 1, 256,
+                        alias="panako_target_zone_f"),
+                    peaks_per_sec=self._in_range(
+                        req, "peaks_per_sec", 30, 1, 120,
+                        alias="panako_peaks_per_sec"),
                     min_anchor_mag_db=self._in_range(
-                        req, "min_anchor_mag_db", -50.0, -120.0, 0.0, float_=True
-                    ),
+                        req, "min_anchor_mag_db", -50.0, -120.0, 0.0,
+                        float_=True, alias="panako_min_anchor_mag_db"),
                 )
                 rec = amod.fingerprint_panako(samples, sample_rate, tid, rid, cfg)
             elif algorithm == "haitsma":
                 cfg = HaitsmaConfig(
-                    fmin=self._in_range(req, "fmin", 300.0, 50.0, 2000.0, float_=True),
-                    fmax=self._in_range(req, "fmax", 2000.0, 500.0, 2500.0, float_=True),
+                    fmin=self._in_range(req, "fmin", 300.0, 50.0, 2000.0,
+                                        float_=True, alias="haitsma_fmin"),
+                    fmax=self._in_range(req, "fmax", 2000.0, 500.0, 2500.0,
+                                        float_=True, alias="haitsma_fmax"),
                 )
                 rec = amod.fingerprint_haitsma(samples, sample_rate, tid, rid, cfg)
             elif algorithm == "neural":
                 rec = amod.fingerprint_neural(samples, sample_rate, tid, rid)
             elif algorithm == "watermark":
                 wcfg = amod.WatermarkConfig(
-                    threshold=req.qp_float("threshold", 0.5)
+                    threshold=self._in_range(
+                        req, "threshold", 0.5, 0.0, 1.0, float_=True,
+                        alias="watermark_threshold")
                 )
                 rep = amod.detect_watermark(samples, sample_rate, wcfg)
                 _tag_usage(req, "audio", "watermark")
