@@ -603,3 +603,31 @@ class TestReferenceTunableAliases:
                  query="sample_rate=8000&algorithm=panako&panako_fan_out=999")
         assert r.status == 400
         assert "panako_fan_out" in jbody(r)["message"]
+
+
+class TestCanonAliases:
+    def test_nfd_nfkd_normalization(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        # é composed vs decomposed: NFD splits, so shingles differ from NFC
+        body = "café latte again and again".encode()
+        a = jbody(call(app, "POST", "/v1/ingest/text/1/1", body,
+                       query="algorithm=minhash&canon_normalization=nfd"))
+        b = jbody(call(app, "POST", "/v1/ingest/text/1/2", body,
+                       query="algorithm=minhash&canon_normalization=nfc"))
+        assert a["config_hash"] != b["config_hash"]
+        bad = call(app, "POST", "/v1/ingest/text/1/3", body,
+                   query="algorithm=minhash&canon_normalization=bogus")
+        assert bad.status == 400
+
+    def test_canon_apply_confusable_alias(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        # Cyrillic 'а' confusable-folds to Latin 'a' under the skeleton
+        body = "pаyload attack text here".encode()
+        a = jbody(call(app, "POST", "/v1/ingest/text/1/4", body,
+                       query="algorithm=minhash&canon_apply_confusable=1"))
+        b = jbody(call(app, "POST", "/v1/ingest/text/1/5", body,
+                       query="algorithm=minhash&canon_confusable=1"))
+        plain = jbody(call(app, "POST", "/v1/ingest/text/1/6", body,
+                           query="algorithm=minhash"))
+        assert a["fingerprint_hex"] == b["fingerprint_hex"]
+        assert a["fingerprint_hex"] != plain["fingerprint_hex"]

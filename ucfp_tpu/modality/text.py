@@ -93,10 +93,10 @@ class TextOpts:
 
 
 def canonicalize(text: str, opts: TextOpts) -> str:
-    if opts.normalization == "nfkc":
-        text = unicodedata.normalize("NFKC", text)
-    elif opts.normalization == "nfc":
-        text = unicodedata.normalize("NFC", text)
+    # the reference canonicalizer accepts nfc/nfkc/nfd/nfkd/none
+    # (dto.rs:405-408)
+    if opts.normalization in ("nfc", "nfkc", "nfd", "nfkd"):
+        text = unicodedata.normalize(opts.normalization.upper(), text)
     elif opts.normalization != "none":
         raise ModalityError(f"unknown normalization {opts.normalization!r}")
     if opts.case_fold:

@@ -583,7 +583,11 @@ class Handlers:
             case_fold=req.qp_bool("canon_case_fold", True),
             strip_bidi=req.qp_bool("canon_strip_bidi", True),
             strip_format=req.qp_bool("canon_strip_format", True),
-            apply_confusable=req.qp_bool("canon_confusable", False),
+            # reference spelling canon_apply_confusable (dto.rs:419-422);
+            # canon_confusable kept as the shorter alias
+            apply_confusable=req.qp_bool(
+                "canon_apply_confusable", req.qp_bool("canon_confusable", False)
+            ),
             preprocess=req.query.get("preprocess"),
         )
 
@@ -634,7 +638,11 @@ class Handlers:
                 provider = req.query.get("provider", "local")
                 rec = tmod.fingerprint_semantic(
                     text, tid, rid, provider=provider, opts=opts,
-                    provider_key=req.headers.get("x-provider-key"),
+                    # reference TextParams carries the provider key as the
+                    # api_key query param (dto.rs:396-399); the header is
+                    # our extension (keys in URLs leak into logs)
+                    provider_key=req.headers.get("x-provider-key")
+                    or req.query.get("api_key"),
                 )
             else:
                 raise HttpError(400, "bad_algorithm", f"unknown text algorithm {algorithm!r}")
