@@ -631,3 +631,32 @@ class TestCanonAliases:
                            query="algorithm=minhash"))
         assert a["fingerprint_hex"] == b["fingerprint_hex"]
         assert a["fingerprint_hex"] != plain["fingerprint_hex"]
+
+
+class TestRouteParity:
+    def test_dedicated_watermark_route(self, tmp_path):
+        import numpy as np
+
+        app, _ = make_app(tmp_path)
+        sr = 8000
+        x = np.zeros(sr, "<f4")
+        r = call(app, "POST", "/v1/ingest/audio/1/1/watermark", x.tobytes(),
+                 query="sample_rate=8000&watermark_threshold=0.9")
+        assert r.status == 200
+        b = jbody(r)
+        assert set(b) >= {"detected", "payload", "confidence"}
+        assert b["detected"] is False  # silence carries no watermark
+
+    def test_inspect_text_algorithm_selector(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        body = b"the quick brown fox jumps over the lazy dog " * 3
+        sim = jbody(call(app, "POST", "/v1/pipeline/inspect/text", body,
+                         query="algorithm=simhash-tf&tenant_id=1"))
+        assert len(sim["simhash_hex"]) == 16
+        tl = jbody(call(app, "POST", "/v1/pipeline/inspect/text", body,
+                        query="algorithm=tlsh&tenant_id=1"))
+        assert len(tl["tlsh"]) == 70
+        # unknown algorithm falls back to the minhash stages (reference)
+        mh = jbody(call(app, "POST", "/v1/pipeline/inspect/text", body,
+                        query="algorithm=bogus&tenant_id=1"))
+        assert "signature_u64" in mh and "simhash_hex" not in mh

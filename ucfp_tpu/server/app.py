@@ -102,6 +102,12 @@ def build_server(
         h.ingest_audio_stream,
         streaming=True,
     )
+    # dedicated watermark route (reference mod.rs:156-159)
+    r.add(
+        "POST",
+        "/v1/ingest/audio/{tenant_id}/{record_id}/watermark",
+        h.ingest_audio_watermark,
+    )
     # dashboard accounts (reference web/src/routes/api/auth/*)
     r.add("POST", "/v1/auth/signup", h.auth_signup, protected=False)
     r.add("POST", "/v1/auth/login", h.auth_login, protected=False)

@@ -889,6 +889,14 @@ class Handlers:
                     buf = buf[i + 2:]  # delimiter now at buffer start
                     in_part = False
 
+    async def ingest_audio_watermark(self, req: Request) -> Response:
+        """Dedicated watermark route (reference
+        /v1/ingest/audio/{tid}/{rid}/watermark, mod.rs:156-159) — same
+        semantics as ?algorithm=watermark on the main audio route."""
+        req.query = dict(req.query)
+        req.query["algorithm"] = "watermark"
+        return await self.ingest_audio(req)
+
     async def ingest_audio_stream(self, req: Request) -> Response:
         """Raw f32 or multipart/form-data body (the reference's wire
         shape) run through the streaming Wang session;
@@ -1173,10 +1181,28 @@ class Handlers:
         tid = req.qp_int("tenant_id", 0)
         tenant_guard(_ctx(req), tid)
         raw, _ = self._body_or_input(req, tid)
+        # reference InspectTextQuery carries an algorithm selector
+        # (dto.rs:597-601; unknown values fall back to minhash)
+        algorithm = req.query.get("algorithm", "minhash")
         try:
-            return Response.json(
-                tmod.inspect_text(raw.decode("utf-8"), self._text_opts(req))
-            )
+            text = raw.decode("utf-8")
+            out = tmod.inspect_text(text, self._text_opts(req))
+            if algorithm.startswith("simhash"):
+                idf = (self.index.bm25_idf_map(tid, out["tokens"])
+                       if algorithm == "simhash-idf" else None)
+                rec = tmod.fingerprint_simhash(
+                    text, tid, 0, self._text_opts(req), idf=idf)
+                out["simhash_hex"] = rec.fingerprint.hex()
+            elif algorithm == "tlsh":
+                rec = tmod.fingerprint_tlsh(text, tid, 0, self._text_opts(req))
+                out["tlsh"] = rec.fingerprint.decode()
+            elif algorithm == "lsh":
+                from ucfp_tpu.ops.textsig import band_hashes
+
+                sig = np.asarray(out["signature_u64"], np.uint64)
+                if len(sig) >= 120:
+                    out["lsh_bands"] = [int(b) for b in band_hashes(sig)]
+            return Response.json(out)
         except UnicodeDecodeError:
             raise HttpError(400, "bad_utf8", "body is not valid UTF-8")
         except UcfpError as e:
