@@ -660,3 +660,40 @@ class TestRouteParity:
         mh = jbody(call(app, "POST", "/v1/pipeline/inspect/text", body,
                         query="algorithm=bogus&tenant_id=1"))
         assert "signature_u64" in mh and "simhash_hex" not in mh
+
+
+class TestReferenceRouteShapes:
+    def test_image_semantic_route(self, tmp_path):
+        from test_imagehash import synthetic_png
+
+        app, _ = make_app(tmp_path)
+        r = call(app, "POST", "/v1/ingest/image/1/1/semantic",
+                 synthetic_png(64, 64), query="return_embedding=1")
+        assert r.status == 201
+        b = jbody(r)
+        assert b["has_embedding"] and "embedding" in b["algorithm"]
+
+    def test_text_preprocess_route(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        html = b"<html><body><h1>Title</h1><p>the quick brown fox</p></body></html>"
+        r = call(app, "POST", "/v1/ingest/text/1/2/preprocess/html", html)
+        assert r.status == 201
+        bad = call(app, "POST", "/v1/ingest/text/1/3/preprocess/docx", b"x")
+        assert bad.status == 400
+
+    def test_inputs_post_without_tenant(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        r = call(app, "POST", "/v1/inputs", b"cached bytes")
+        assert r.status == 201
+        iid = jbody(r)["input_id"]
+        # the service bearer is tenant 0, so the cached entry lives there
+        ok = call(app, "POST", "/v1/ingest/text/0/5",
+                  b"", query=f"algorithm=minhash&input_id={iid}")
+        assert ok.status == 201
+
+    def test_inspect_tenant_in_path(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        r = call(app, "POST", "/v1/pipeline/inspect/text/3",
+                 b"the quick brown fox jumps over the lazy dog")
+        assert r.status == 200
+        assert "tokens" in jbody(r)

@@ -95,6 +95,10 @@ def build_server(
         h.ingest_text_stream, streaming=True,
     )
     r.add("POST", "/v1/ingest/image/{tenant_id}/{record_id}", h.ingest_image)
+    r.add("POST", "/v1/ingest/image/{tenant_id}/{record_id}/semantic",
+          h.ingest_image_semantic)
+    r.add("POST", "/v1/ingest/text/{tenant_id}/{record_id}/preprocess/{kind}",
+          h.ingest_text_preprocess)
     r.add("POST", "/v1/ingest/audio/{tenant_id}/{record_id}", h.ingest_audio)
     r.add(
         "POST",
@@ -117,11 +121,16 @@ def build_server(
     r.add("GET", "/v1/admin/keys", h.admin_list_keys)
     r.add("DELETE", "/v1/admin/keys/{key_id}", h.admin_revoke_key)
     r.add("GET", "/v1/admin/usage", h.admin_usage)
+    r.add("POST", "/v1/inputs", h.inputs_put_ctx)
     r.add("POST", "/v1/inputs/{tenant_id}", h.inputs_put)
     r.add("DELETE", "/v1/inputs/{tenant_id}/{input_id}", h.inputs_delete)
     r.add("POST", "/v1/pipeline/inspect/text", h.inspect_text)
     r.add("POST", "/v1/pipeline/inspect/image", h.inspect_image)
     r.add("POST", "/v1/pipeline/inspect/audio", h.inspect_audio)
+    # reference path shapes carry the tenant in the path (mod.rs:176-193)
+    r.add("POST", "/v1/pipeline/inspect/text/{tenant_id}", h.inspect_text)
+    r.add("POST", "/v1/pipeline/inspect/image/{tenant_id}", h.inspect_image)
+    r.add("POST", "/v1/pipeline/inspect/audio/{tenant_id}", h.inspect_audio)
 
     server: HttpServer = HttpServer(
         r,

@@ -889,6 +889,33 @@ class Handlers:
                     buf = buf[i + 2:]  # delimiter now at buffer start
                     in_part = False
 
+    async def ingest_image_semantic(self, req: Request) -> Response:
+        """Dedicated semantic image route (reference mod.rs:128-133) —
+        same semantics as ?algorithm=semantic on the main image route."""
+        req.query = dict(req.query)
+        req.query["algorithm"] = "semantic"
+        return await self.ingest_image(req)
+
+    async def ingest_text_preprocess(self, req: Request) -> Response:
+        """Dedicated preprocess route (reference mod.rs:146-151,
+        handlers.rs:630-699): /preprocess/{kind} with kind in
+        html|markdown|pdf, equivalent to ?preprocess=kind."""
+        kind = req.params.get("kind", "")
+        if kind not in ("html", "markdown", "pdf"):
+            raise HttpError(400, "bad_path",
+                            f"unknown preprocess kind {kind!r}")
+        req.query = dict(req.query)
+        req.query["preprocess"] = kind
+        return await self.ingest_text(req)
+
+    async def inputs_put_ctx(self, req: Request) -> Response:
+        """Reference shape: POST /v1/inputs with the tenant taken from
+        the caller's key (mod.rs:169); the /v1/inputs/{tenant_id} form
+        stays as the service-bearer extension."""
+        req.params = dict(req.params)
+        req.params["tenant_id"] = str(_ctx(req).tenant_id)
+        return await self.inputs_put(req)
+
     async def ingest_audio_watermark(self, req: Request) -> Response:
         """Dedicated watermark route (reference
         /v1/ingest/audio/{tid}/{rid}/watermark, mod.rs:156-159) — same
@@ -1178,7 +1205,12 @@ class Handlers:
     # -- pipeline inspect ------------------------------------------------------------
 
     async def inspect_text(self, req: Request) -> Response:
-        tid = req.qp_int("tenant_id", 0)
+        # tenant rides the path in the reference shape, the query in ours
+        try:
+            tid = (int(req.params["tenant_id"]) if "tenant_id" in req.params
+                   else req.qp_int("tenant_id", 0))
+        except ValueError:
+            raise HttpError(400, "bad_path", "tenant_id must be an integer")
         tenant_guard(_ctx(req), tid)
         raw, _ = self._body_or_input(req, tid)
         # reference InspectTextQuery carries an algorithm selector
@@ -1209,7 +1241,12 @@ class Handlers:
             raise _err(e)
 
     async def inspect_image(self, req: Request) -> Response:
-        tid = req.qp_int("tenant_id", 0)
+        # tenant rides the path in the reference shape, the query in ours
+        try:
+            tid = (int(req.params["tenant_id"]) if "tenant_id" in req.params
+                   else req.qp_int("tenant_id", 0))
+        except ValueError:
+            raise HttpError(400, "bad_path", "tenant_id must be an integer")
         tenant_guard(_ctx(req), tid)
         raw, _ = self._body_or_input(req, tid)
         try:
@@ -1218,7 +1255,12 @@ class Handlers:
             raise _err(e)
 
     async def inspect_audio(self, req: Request) -> Response:
-        tid = req.qp_int("tenant_id", 0)
+        # tenant rides the path in the reference shape, the query in ours
+        try:
+            tid = (int(req.params["tenant_id"]) if "tenant_id" in req.params
+                   else req.qp_int("tenant_id", 0))
+        except ValueError:
+            raise HttpError(400, "bad_path", "tenant_id must be an integer")
         tenant_guard(_ctx(req), tid)
         raw, cached_sr = self._body_or_input(req, tid)
         sample_rate = req.qp_int("sample_rate", cached_sr)
