@@ -697,3 +697,32 @@ class TestReferenceRouteShapes:
                  b"the quick brown fox jumps over the lazy dog")
         assert r.status == 200
         assert "tokens" in jbody(r)
+
+
+class TestLibraryPathValidation:
+    def test_direct_upsert_validates_before_wal(self, tmp_path):
+        """The WAL-first guarantee holds for LIBRARY callers too: a bad
+        record mid-batch must reach neither the log nor live state."""
+        import pytest as _pytest
+
+        from ucfp_tpu.core import Modality, Record
+
+        be = EmbeddedBackend(str(tmp_path / "db"))
+        good = Record(1, 1, Modality.TEXT, "raw", b"\x01",
+                      embedding=[1.0, 0.0])
+        bad = Record(1, 2, Modality.TEXT, "raw", b"\x02",
+                     embedding=[float("nan"), 0.0])
+        good2 = Record(1, 3, Modality.TEXT, "raw", b"\x03")
+        with _pytest.raises(ValueError):
+            asyncio.run(be.upsert([good, bad, good2]))
+        # nothing from the batch is live
+        for rid in (1, 2, 3):
+            with _pytest.raises(Exception):
+                be.get_record(1, rid)
+        be.close()
+        # ...and nothing survived in the log
+        be2 = EmbeddedBackend(str(tmp_path / "db"))
+        for rid in (1, 2, 3):
+            with _pytest.raises(Exception):
+                be2.get_record(1, rid)
+        be2.close()

@@ -261,11 +261,21 @@ class _LandmarkIndex:
     def _consolidate(self) -> None:
         if not self._pend:
             return
-        h = np.concatenate([self.hashes] + [p[0] for p in self._pend])
-        r = np.concatenate([self.rids] + [p[1] for p in self._pend])
-        t = np.concatenate([self.ts] + [p[2] for p in self._pend])
-        order = np.argsort(h, kind="stable")
-        self.hashes, self.rids, self.ts = h[order], r[order], t[order]
+        ph = np.concatenate([p[0] for p in self._pend])
+        pr = np.concatenate([p[1] for p in self._pend])
+        pt = np.concatenate([p[2] for p in self._pend])
+        order = np.argsort(ph, kind="stable")
+        ph, pr, pt = ph[order], pr[order], pt[order]
+        if len(self.hashes) == 0:
+            self.hashes, self.rids, self.ts = ph, pr, pt
+        else:
+            # the base is already sorted: merge in O(N + P) instead of
+            # re-sorting everything (an interleaved write/query workload
+            # would otherwise pay O(N log N) per query)
+            pos = np.searchsorted(self.hashes, ph, side="right")
+            self.hashes = np.insert(self.hashes, pos, ph)
+            self.rids = np.insert(self.rids, pos, pr)
+            self.ts = np.insert(self.ts, pos, pt)
         self._pend = []
 
     def remove(self, rid: int) -> None:
@@ -725,12 +735,29 @@ class EmbeddedBackend(IndexBackend):
             # packed key directly), clamp the bounded fields into a
             # 64-bit key, unique once for dedupe, once for counting.
             urids, rinv = np.unique(rids_m, return_inverse=True)
-            off0 = np.clip(offb - offb.min(), 0, (1 << 21) - 1).astype(np.uint64)
-            qiu = np.clip(qi, 0, (1 << 21) - 1).astype(np.uint64)
-            key = (rinv.astype(np.uint64) << 42) | (off0 << 21) | qiu
-            distinct = np.unique(key)
-            vote_key, counts = np.unique(distinct >> 21, return_counts=True)
-            rid_idx = (vote_key >> 21).astype(np.int64)
+            off0 = (offb - offb.min()).astype(np.uint64)
+            qiu = qi.astype(np.uint64)
+            # dynamic packing: bit widths sized to the actual ranges so
+            # nothing aliases (a fixed clamp would merge distinct
+            # offsets/landmarks on very long streams or huge queries)
+            qbits = max(int(qiu.max()) if len(qiu) else 0, 1).bit_length()
+            obits = max(int(off0.max()) if len(off0) else 0, 1).bit_length()
+            rbits = max(len(urids) - 1, 1).bit_length()
+            if rbits + obits + qbits <= 63:
+                key = ((rinv.astype(np.uint64) << (obits + qbits))
+                       | (off0 << qbits) | qiu)
+                distinct = np.unique(key)
+                vote_key, counts = np.unique(distinct >> qbits,
+                                             return_counts=True)
+                rid_idx = (vote_key >> obits).astype(np.int64)
+            else:  # pathological ranges: exact 3-column unique
+                triples = np.stack(
+                    [rinv.astype(np.int64), off0.astype(np.int64),
+                     qiu.astype(np.int64)], axis=1)
+                distinct = np.unique(triples, axis=0)
+                ro_pairs, counts = np.unique(distinct[:, :2], axis=0,
+                                             return_counts=True)
+                rid_idx = ro_pairs[:, 0]
             best = np.zeros(len(urids), np.int64)
             np.maximum.at(best, rid_idx, counts)
             total = max(len(pairs), 1)
@@ -750,8 +777,30 @@ class EmbeddedBackend(IndexBackend):
 
     # -- IndexBackend -----------------------------------------------------------
 
+    @staticmethod
+    def _validate_record(rec: Record) -> None:
+        """Reject malformed records BEFORE the WAL append for every
+        caller (the HTTP handler validates too, but library callers must
+        get the same guarantee): a bad event durably logged would be
+        skipped on every replay, and a mid-batch apply failure would
+        leave live state behind the log."""
+        if rec.embedding is not None:
+            emb = np.asarray(rec.embedding, np.float32)
+            if emb.ndim != 1 or not np.all(np.isfinite(emb)):
+                raise ValueError(
+                    f"record {rec.tenant_id}/{rec.record_id}: embedding "
+                    f"must be a flat finite float vector"
+                )
+        if not isinstance(rec.fingerprint, (bytes, bytearray)):
+            raise ValueError(
+                f"record {rec.tenant_id}/{rec.record_id}: fingerprint "
+                f"must be bytes"
+            )
+
     async def upsert(self, records: list[Record]) -> None:
         def work():
+            for rec in records:
+                self._validate_record(rec)
             with self._lock:
                 # WAL first: if the durable append fails, nothing is
                 # applied — otherwise queries would serve phantom records
@@ -890,6 +939,17 @@ class EmbeddedBackend(IndexBackend):
             cache.pending = []
         return cache.device
 
+    @staticmethod
+    def _fused_pool_ok(cap: int, n: int, k: int) -> bool:
+        """THE dispatch predicate for the fused partial-reduce candidate
+        path — the query paths and the approximate-markers must agree,
+        so it lives in exactly one place."""
+        from ..ops import pallas_scan
+
+        tile = pallas_scan.ROWS_PER_TILE * pallas_scan.LANES
+        n_candidates = (cap // tile) * pallas_scan.LANES
+        return cap % tile == 0 and min(k, n) <= min(16, n_candidates)
+
     def knn_is_approximate(self, tenant_id: int, dim: int, k: int) -> bool:
         """True when a (dim, k) vector query rides the fused
         partial-reduce candidate path — near-exact for k <= 16, exact
@@ -901,12 +961,7 @@ class EmbeddedBackend(IndexBackend):
         cache = self._vec.get((tenant_id, dim))
         if cache is None or cache.n == 0 or cache.data is None:
             return False
-        from ..ops import pallas_scan
-
-        cap = cache.data.shape[0]
-        tile = pallas_scan.ROWS_PER_TILE * pallas_scan.LANES
-        n_candidates = (cap // tile) * pallas_scan.LANES
-        return cap % tile == 0 and min(k, cache.n) <= min(16, n_candidates)
+        return self._fused_pool_ok(cache.data.shape[0], cache.n, k)
 
     def fingerprint_is_approximate(self, tenant_id: int, algorithm: str,
                                    k: int) -> bool:
@@ -916,12 +971,7 @@ class EmbeddedBackend(IndexBackend):
         cache = self._ham.get((tenant_id, algorithm))
         if cache is None or cache.n == 0 or cache.data is None:
             return False
-        from ..ops import pallas_scan
-
-        cap = cache.data.shape[0]
-        tile = pallas_scan.ROWS_PER_TILE * pallas_scan.LANES
-        n_candidates = (cap // tile) * pallas_scan.LANES
-        return cap % tile == 0 and min(k, cache.n) <= min(16, n_candidates)
+        return self._fused_pool_ok(cache.data.shape[0], cache.n, k)
 
     async def knn(
         self,
@@ -970,10 +1020,7 @@ class EmbeddedBackend(IndexBackend):
                 q8m, row_norm, valid = dev
                 from ..ops import pallas_scan
 
-                cap = q8m.shape[0]
-                tile = pallas_scan.ROWS_PER_TILE * pallas_scan.LANES
-                n_candidates = (cap // tile) * pallas_scan.LANES
-                if cap % tile == 0 and kk <= min(16, n_candidates):
+                if self._fused_pool_ok(q8m.shape[0], cache.n, kk):
                     # same fused GEMV + pallas partial-reduce path as
                     # knn_batch (near-exact for k <= 16, exact top-1);
                     # the exact kernel's lax.top_k over the full row
@@ -1072,12 +1119,9 @@ class EmbeddedBackend(IndexBackend):
                 from ..ops import pallas_scan
 
                 q8m, row_norm, valid = dev
-                cap = q8m.shape[0]
-                tile = pallas_scan.ROWS_PER_TILE * pallas_scan.LANES
-                n_candidates = (cap // tile) * pallas_scan.LANES
                 # fused partial-reduce: only when the candidate pool covers
                 # k with headroom (near-exact for small k; see docstring)
-                if cap % tile == 0 and kk <= min(16, n_candidates):
+                if self._fused_pool_ok(q8m.shape[0], cache.n, kk):
                     # the measured sub-ms path: one MXU GEMM over all
                     # queries + one 2D-grid pallas partial-reduce
                     qa = jnp.max(jnp.abs(jnp.asarray(qm)), axis=1, keepdims=True)
@@ -1171,10 +1215,7 @@ class EmbeddedBackend(IndexBackend):
             else:
                 from ..ops import pallas_scan
 
-                cap = matrix.shape[0]
-                tile = pallas_scan.ROWS_PER_TILE * pallas_scan.LANES
-                n_candidates = (cap // tile) * pallas_scan.LANES
-                if cap % tile == 0 and kk <= min(16, n_candidates):
+                if self._fused_pool_ok(matrix.shape[0], cache.n, kk):
                     # big-catalog path: stream tiles through VMEM, never
                     # materialize [Q, C, W] (per-(tile,lane) partial
                     # reduce — near-exact for k <= 16, exact top-1; the

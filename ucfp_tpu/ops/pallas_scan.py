@@ -114,22 +114,6 @@ def hamming_topk_fused(query: jax.Array, db: jax.Array, k: int):
     return -neg, flat_i[pos]
 
 
-def _hamming_kernel_masked(q_ref, db_ref, v_ref, dist_ref, idx_ref):
-    tile = db_ref[:]  # [R, W, 128] int32
-    q = q_ref[:]  # [1, W, 1]
-    x = jax.lax.bitwise_xor(tile, q)
-    d = jnp.sum(jax.lax.population_count(x), axis=1)  # [R, 128]
-    d = jnp.where(v_ref[:] != 0, d, jnp.int32(2**30))  # dead rows lose
-    best, row = _lane_argbest(d, largest=False)
-    base_row = pl.program_id(0) * ROWS_PER_TILE
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-    gidx = (base_row + row) * LANES + lanes
-    dist_ref[0, 0:1, :] = best
-    dist_ref[0, 1:SUB, :] = jnp.full((SUB - 1, LANES), 2**31 - 1, jnp.int32)
-    idx_ref[0, 0:1, :] = gidx
-    idx_ref[0, 1:SUB, :] = jnp.zeros((SUB - 1, LANES), jnp.int32)
-
-
 def _hamming_kernel_batched(q_ref, db_ref, v_ref, dist_ref, idx_ref):
     tile = db_ref[:]  # [R, W, 128] int32 (shared across queries)
     q = q_ref[0]  # [1, W, 1] — this grid row's query
@@ -202,57 +186,6 @@ def hamming_topk_fused_batched(
     flat_i = idx_t[:, :, 0, :].reshape(qn, -1)
     neg, pos = jax.lax.top_k(-flat_d, k)
     return -neg, jnp.take_along_axis(flat_i, pos, axis=1)
-
-
-@functools.partial(jax.jit, static_argnums=(3,))
-def hamming_topk_fused_masked(
-    query: jax.Array,  # [W] uint32
-    db: jax.Array,  # [C, W] uint32, C % (ROWS_PER_TILE*128) == 0
-    valid: jax.Array,  # [C] bool
-    k: int,
-):
-    """Single-query masked variant of hamming_topk_fused for the serving
-    caches (capacity-padded rows are invalid, not dense)."""
-    c, w = db.shape
-    if c % (ROWS_PER_TILE * LANES):
-        raise ValueError(
-            f"hamming_topk_fused_masked requires C % {ROWS_PER_TILE * LANES}"
-            f" == 0, got {c}"
-        )
-    r_total = c // LANES
-    grid = r_total // ROWS_PER_TILE
-    db3 = db.astype(jnp.int32).reshape(r_total, LANES, w).swapaxes(1, 2)
-    v2 = valid.astype(jnp.int32).reshape(r_total, LANES)
-    q3 = query.astype(jnp.int32).reshape(1, w, 1)
-    dist_t, idx_t = pl.pallas_call(
-        _hamming_kernel_masked,
-        grid=(grid,),
-        interpret=jax.default_backend() == "cpu",
-        in_specs=[
-            pl.BlockSpec((1, w, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (ROWS_PER_TILE, w, LANES),
-                lambda i: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((ROWS_PER_TILE, LANES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, SUB, LANES), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SUB, LANES), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((grid, SUB, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((grid, SUB, LANES), jnp.int32),
-        ],
-    )(q3, db3, v2)
-    flat_d = dist_t[:, 0, :].reshape(-1)
-    flat_i = idx_t[:, 0, :].reshape(-1)
-    neg, pos = jax.lax.top_k(-flat_d, k)
-    return -neg, flat_i[pos]
 
 
 def _scores_kernel(largest: bool, s_ref, val_ref, idx_ref):

@@ -257,13 +257,16 @@ def build_server(
                 seg = req.path.split("/")
                 modality = seg[3] if len(seg) > 3 else None
                 algorithm = algorithm or req.query.get("algorithm")
+            stream = req.extensions.get("body_stream")
             ev = UsageEvent(
                 tenant_id=ctx.tenant_id,
                 key_id=ctx.key_id,
                 op=op,
                 modality=modality,
                 algorithm=algorithm,
-                bytes_in=len(req.body),
+                # streamed requests carry body=b''; meter what the
+                # handler actually consumed off the socket
+                bytes_in=stream.consumed if stream is not None else len(req.body),
                 elapsed_ms=(time.monotonic() - start) * 1000.0,
                 status=status,
                 ts=now_ms(),

@@ -224,6 +224,7 @@ class Handlers:
         raw = req.body
         try:
             if ct.startswith("image/"):
+                _algo_gate("multi")
                 rgb = await asyncio.to_thread(
                     imod.decode_rgb, raw, imod.PreprocessConfig()
                 )
@@ -234,6 +235,7 @@ class Handlers:
                     algorithm=imod.ALGORITHM_MULTI, fingerprint=fp,
                 )
             elif ct.startswith("audio/") or ct == "application/octet-stream":
+                _algo_gate("wang")
                 # WebAudio-decoded f32 LE, like the reference demo client
                 sr = req.qp_int("sample_rate", 8000)
                 if not (1000 <= sr <= 192_000):
@@ -241,6 +243,7 @@ class Handlers:
                 samples = amod.decode_f32le(raw)
                 rec = amod.fingerprint_wang(samples, sr, 0, 0)
             else:  # text/plain and friends
+                _algo_gate("minhash")
                 try:
                     text = raw.decode("utf-8")
                 except UnicodeDecodeError:
@@ -980,8 +983,12 @@ class Handlers:
             if total == 0:
                 raise HttpError(400, "bad_body", "empty audio body")
             if tail:
+                # streaming commits segments as they complete, so a bad
+                # tail cannot be all-or-nothing — say what was stored
                 raise HttpError(
-                    400, "bad_body", "f32 stream length not a multiple of 4"
+                    400, "bad_body",
+                    f"f32 stream length not a multiple of 4 "
+                    f"({len(meta)} complete segment(s) were already stored)",
                 )
             await store(session.finalize())
         except UcfpError as e:

@@ -173,6 +173,7 @@ class BodyStream:
         self._remaining = content_length or 0
         self._chunked = chunked
         self._chunk_left = 0
+        self.consumed = 0  # body bytes handed out (usage metering)
         self.done = content_length == 0 and not chunked
 
     async def read(self, n: int = 65536) -> bytes:
@@ -184,6 +185,7 @@ class BodyStream:
             take = min(n, self._remaining)
             data = await self._r.readexactly(take)
             self._remaining -= take
+            self.consumed += take
             if self._remaining == 0:
                 self.done = True
             return data
@@ -206,6 +208,7 @@ class BodyStream:
         take = min(n, self._chunk_left)
         data = await self._r.readexactly(take)
         self._chunk_left -= take
+        self.consumed += take
         if self._chunk_left == 0:
             if await self._r.readexactly(2) != b"\r\n":
                 raise ValueError("bad chunk terminator")
@@ -361,37 +364,23 @@ class HttpServer:
         return resp, path_label
 
     async def _read_chunked(self, reader: asyncio.StreamReader) -> Optional[bytes]:
-        """RFC 7230 chunked body decode, bounded by body_limit.
+        """Buffered chunked-body read for non-streaming routes: the SAME
+        decoder as streaming routes (BodyStream), plus the body limit.
         Returns None on malformed framing (caller responds 400)."""
+        stream = BodyStream(reader, chunked=True)
         parts: list[bytes] = []
         total = 0
-        while True:
-            line = await reader.readline()
-            if not line.endswith(b"\n"):
-                return None
-            size_s = line.strip().split(b";", 1)[0]  # drop chunk extensions
-            try:
-                size = int(size_s, 16)
-            except ValueError:
-                return None
-            if size < 0:
-                return None
-            total += size
-            if total > self.body_limit:
-                raise _BodyTooLarge()
-            if size == 0:
-                # last chunk carries no data; the trailer section follows,
-                # terminated by a blank line
-                while True:
-                    t = await reader.readline()
-                    if not t.endswith(b"\n"):
-                        return None
-                    if t in (b"\r\n", b"\n"):
-                        return b"".join(parts)
-            chunk = await reader.readexactly(size + 2)  # data + CRLF
-            if chunk[-2:] != b"\r\n":
-                return None
-            parts.append(chunk[:-2])
+        try:
+            while not stream.done:
+                data = await stream.read(65536)
+                total += len(data)
+                if total > self.body_limit:
+                    raise _BodyTooLarge()
+                if data:
+                    parts.append(data)
+        except ValueError:
+            return None
+        return b"".join(parts)
 
     async def _client(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter):
         peer = writer.get_extra_info("peername")
