@@ -32,6 +32,16 @@ def _ingest_vectors(be, n=40, d=16, seed=0):
     return embs
 
 
+def _ingest_prints_at(be, base, n=40, words=2, seed=0):
+    """Fingerprint records at rid base+i (separate id space so they don't
+    evict same-id vector records' embeddings)."""
+    rng = np.random.default_rng(seed)
+    fps = rng.integers(0, 256, size=(n, words * 4), dtype=np.uint8)
+    recs = [_rec(base + i, fp=bytes(fps[i])) for i in range(n)]
+    asyncio.run(be.upsert(recs))
+    return fps
+
+
 def _ingest_prints(be, n=40, words=2, seed=0):
     rng = np.random.default_rng(seed)
     fps = rng.integers(0, 256, size=(n, words * 4), dtype=np.uint8)
@@ -237,3 +247,45 @@ class TestBatchedHaitsma:
         hits2 = asyncio.run(be2.knn_haitsma(1, s2[20:52].tobytes(), 1))
         assert hits2 and hits2[0].record_id == 2 and hits2[0].score == 1.0
         be2.close()
+
+
+class TestMultiSliceMesh:
+    """UCFP_MESH_SHAPE=2x4: rows sharded over slices x ICI with the
+    hierarchical two-stage merge (innermost axis first)."""
+
+    def test_2d_mesh_parity(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("UCFP_MESH_SHAPE", "2x4")
+        be2 = _mk(tmp_path, "m2")
+        assert be2._mesh is not None and be2._mesh_axes == ("s", "d")
+        assert be2._mesh.devices.shape == (2, 4)
+        embs = _ingest_vectors(be2, n=48, d=16, seed=12)
+        fps = _ingest_prints_at(be2, base=1000, n=48, seed=13)
+        monkeypatch.delenv("UCFP_MESH_SHAPE")
+        monkeypatch.setenv("UCFP_SHARD", "off")
+        be1 = _mk(tmp_path, "m1")
+        _ingest_vectors(be1, n=48, d=16, seed=12)
+        _ingest_prints_at(be1, base=1000, n=48, seed=13)
+        q = list(map(float, embs[17]))
+        h2 = asyncio.run(be2.knn(1, q, 6))
+        h1 = asyncio.run(be1.knn(1, q, 6))
+        assert [h.record_id for h in h2] == [h.record_id for h in h1]
+        assert h2[0].record_id == 17
+        f2 = asyncio.run(be2.knn_fingerprint(1, "imgfprint-phash-v1",
+                                             bytes(fps[9]), 4))
+        f1 = asyncio.run(be1.knn_fingerprint(1, "imgfprint-phash-v1",
+                                             bytes(fps[9]), 4))
+        assert f2 and [h.record_id for h in f2] == [h.record_id for h in f1]
+        assert f2[0].record_id == 1009
+        # the cache really spans both mesh axes
+        sh = be2._vec[(1, 16)].device[0].sharding
+        assert sh.spec[0] == ("s", "d")
+        be2.close()
+        be1.close()
+
+    def test_2d_int8(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("UCFP_MESH_SHAPE", "4x2")
+        be = _mk(tmp_path, "mq", knn_quant="int8")
+        embs = _ingest_vectors(be, n=40, d=32, seed=14)
+        hits = asyncio.run(be.knn(1, list(map(float, embs[23])), 3))
+        assert hits[0].record_id == 23
+        be.close()

@@ -353,11 +353,21 @@ class EmbeddedBackend(IndexBackend):
         # power-of-two device count (capacities are powers of two, so
         # rows always divide evenly).
         self._mesh = None
+        self._mesh_axes: tuple = ("d",)
         if (os.environ.get("UCFP_SHARD", "auto").lower() != "off"):
             import jax
 
             n = len(jax.devices())
-            if n >= 2:
+            shape = os.environ.get("UCFP_MESH_SHAPE", "").lower()
+            if "x" in shape:
+                # multi-slice pod: UCFP_MESH_SHAPE=<slices>x<chips/slice>;
+                # the hierarchical merge keeps the wide reduction on ICI
+                from ..parallel.mesh import data_mesh_2d
+
+                s_, d_ = (int(x) for x in shape.split("x", 1))
+                self._mesh = data_mesh_2d(s_, d_)
+                self._mesh_axes = ("s", "d")
+            elif n >= 2:
                 from ..parallel.mesh import data_mesh
 
                 self._mesh = data_mesh(1 << (n.bit_length() - 1))
@@ -830,8 +840,8 @@ class EmbeddedBackend(IndexBackend):
         from jax.sharding import PartitionSpec as P
 
         return (
-            NamedSharding(self._mesh, P("d", None)),
-            NamedSharding(self._mesh, P("d")),
+            NamedSharding(self._mesh, P(self._mesh_axes, None)),
+            NamedSharding(self._mesh, P(self._mesh_axes)),
         )
 
     def _put_matrix(self, arr: np.ndarray):
@@ -1009,12 +1019,14 @@ class EmbeddedBackend(IndexBackend):
                 if self.knn_quant == "int8":
                     q8m, row_norm, valid = dev
                     scores, idx = sharded_knn.sharded_cosine_int8_batch_topk(
-                        q[None], q8m, row_norm, valid, kk, self._mesh
+                        q[None], q8m, row_norm, valid, kk, self._mesh,
+                        self._mesh_axes,
                     )
                 else:
                     matrix, valid = dev
                     scores, idx = sharded_knn.sharded_cosine_topk(
-                        q[None], matrix, valid, kk, self._mesh
+                        q[None], matrix, valid, kk, self._mesh,
+                        self._mesh_axes,
                     )
             elif self.knn_quant == "int8":
                 q8m, row_norm, valid = dev
@@ -1108,12 +1120,13 @@ class EmbeddedBackend(IndexBackend):
                 if self.knn_quant == "int8":
                     q8m, row_norm, valid = dev
                     scores, idx = sharded_knn.sharded_cosine_int8_batch_topk(
-                        qm, q8m, row_norm, valid, kk, self._mesh
+                        qm, q8m, row_norm, valid, kk, self._mesh,
+                        self._mesh_axes,
                     )
                 else:
                     matrix, valid = dev
                     scores, idx = sharded_knn.sharded_cosine_topk(
-                        qm, matrix, valid, kk, self._mesh
+                        qm, matrix, valid, kk, self._mesh, self._mesh_axes,
                     )
             elif self.knn_quant == "int8":
                 from ..ops import pallas_scan
@@ -1210,7 +1223,7 @@ class EmbeddedBackend(IndexBackend):
                 from ..parallel import sharded_knn
 
                 dist, idx = sharded_knn.sharded_hamming_topk(
-                    qm, matrix, valid, kk, self._mesh
+                    qm, matrix, valid, kk, self._mesh, self._mesh_axes
                 )
             else:
                 from ..ops import pallas_scan

@@ -14,3 +14,19 @@ def data_mesh(n_devices: int | None = None, axis: str = "d") -> Mesh:
     import numpy as np
 
     return Mesh(np.array(devs), (axis,))
+
+
+def data_mesh_2d(n_slices: int, per_slice: int,
+                 axes: tuple[str, str] = ("s", "d")) -> Mesh:
+    """2-D mesh for multi-slice pods: the inner axis ("d") is ICI within
+    a slice, the outer ("s") crosses slices over DCN. The hierarchical
+    top-k merge in sharded_knn reduces over "d" first so only k
+    candidates per slice ride the slower DCN links."""
+    import numpy as np
+
+    devs = jax.devices()
+    need = n_slices * per_slice
+    if len(devs) < need:
+        raise ValueError(f"mesh {n_slices}x{per_slice} needs {need} devices,"
+                         f" have {len(devs)}")
+    return Mesh(np.array(devs[:need]).reshape(n_slices, per_slice), axes)

@@ -30,6 +30,29 @@ from jax.sharding import PartitionSpec as P
 AXIS = "d"
 
 
+def _flat_shard_index(axes: tuple) -> "jax.Array":
+    """Flattened shard id for rows sharded over several mesh axes in
+    P(axes, ...) order (major axis first)."""
+    idx = jnp.int32(0)
+    for ax in axes:
+        idx = idx * jax.lax.axis_size(ax) + jax.lax.axis_index(ax)
+    return idx
+
+
+def _merge_axis(vals, idx, ax: str, k: int):
+    """One two-stage top-k merge step over a mesh axis: gather every
+    shard's candidates along `ax`, keep the best k. Called innermost
+    axis first so ICI absorbs the wide merge and only k candidates per
+    slice ride the slower cross-slice links (DCN)."""
+    va = jax.lax.all_gather(vals, ax)  # [n, Q, kc]
+    ia = jax.lax.all_gather(idx, ax)
+    q = vals.shape[0]
+    vc = jnp.moveaxis(va, 0, 1).reshape(q, -1)
+    ic = jnp.moveaxis(ia, 0, 1).reshape(q, -1)
+    fv, pos = jax.lax.top_k(vc, min(k, vc.shape[1]))
+    return fv, jnp.take_along_axis(ic, pos, axis=1)
+
+
 def shard_matrix(mesh: Mesh, matrix, valid):
     """Place [C, D] rows and [C] validity across the mesh (C % n == 0)."""
     ms = NamedSharding(mesh, P(AXIS, None))
@@ -37,8 +60,9 @@ def shard_matrix(mesh: Mesh, matrix, valid):
     return jax.device_put(matrix, ms), jax.device_put(valid, vs)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4))
-def _sharded_cosine_impl(query, matrix, valid, k: int, mesh: Mesh):
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _sharded_cosine_impl(query, matrix, valid, k: int, mesh: Mesh,
+                         axes: tuple = (AXIS,)):
     def local(q, m, v):
         # q [Q, D] replicated; m [C/n, D]; v [C/n]
         # a shard can contribute at most ALL of its rows, so clamping the
@@ -56,33 +80,33 @@ def _sharded_cosine_impl(query, matrix, valid, k: int, mesh: Mesh):
         scores = jnp.where(ok, dots / jnp.where(denom == 0.0, 1.0, denom),
                            -jnp.inf)
         vals, idx = jax.lax.top_k(scores, k_local)  # [Q, k_local] local
-        gidx = idx + jax.lax.axis_index(AXIS) * m.shape[0]
-        # gather all chips' candidates; [n, Q, k_local] -> [Q, n*k_local]
-        vals_all = jax.lax.all_gather(vals, AXIS)
-        idx_all = jax.lax.all_gather(gidx, AXIS)
-        q_n = q.shape[0]
-        vc = jnp.moveaxis(vals_all, 0, 1).reshape(q_n, -1)
-        ic = jnp.moveaxis(idx_all, 0, 1).reshape(q_n, -1)
-        fv, pos = jax.lax.top_k(vc, k)
-        fi = jnp.take_along_axis(ic, pos, axis=1)
-        return fv, fi
+        gidx = idx + _flat_shard_index(axes) * m.shape[0]
+        # hierarchical merge: innermost axis (ICI) first, so only k
+        # candidates per slice cross the slower outer links (DCN)
+        for ax in reversed(axes):
+            vals, gidx = _merge_axis(vals, gidx, ax, k)
+        return vals, gidx
 
     return jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(AXIS, None), P(AXIS)),
+        in_specs=(P(), P(axes, None), P(axes)),
         out_specs=(P(), P()),
         check_vma=False,  # outputs replicated via all_gather + local merge
     )(query, matrix, valid)
 
 
-def sharded_cosine_topk(query, matrix, valid, k: int, mesh: Mesh):
-    """query [Q, D] f32, matrix [C, D] row-sharded, valid [C] -> ([Q,k], [Q,k])."""
-    return _sharded_cosine_impl(query, matrix, valid, k, mesh)
+def sharded_cosine_topk(query, matrix, valid, k: int, mesh: Mesh,
+                        axes: tuple = (AXIS,)):
+    """query [Q, D] f32, matrix [C, D] row-sharded over `axes`, valid [C]
+    -> ([Q,k], [Q,k]). axes=("s","d") = rows over slices x ICI with a
+    hierarchical cross-chip merge."""
+    return _sharded_cosine_impl(query, matrix, valid, k, mesh, tuple(axes))
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4))
-def _sharded_hamming_impl(query, matrix, valid, k: int, mesh: Mesh):
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _sharded_hamming_impl(query, matrix, valid, k: int, mesh: Mesh,
+                          axes: tuple = (AXIS,)):
     def local(q, m, v):
         # q [Q, W] uint32; m [C/n, W]. Accumulate per-word so the live
         # intermediate is [Q, C/n] int32, never [Q, C/n, W].
@@ -94,28 +118,24 @@ def _sharded_hamming_impl(query, matrix, valid, k: int, mesh: Mesh):
         big = jnp.int32(0x7FFFFFFF)
         dist = jnp.where(v[None, :], dist, big)
         vals, idx = jax.lax.top_k(-dist, k_local)
-        gidx = idx + jax.lax.axis_index(AXIS) * m.shape[0]
-        vals_all = jax.lax.all_gather(vals, AXIS)
-        idx_all = jax.lax.all_gather(gidx, AXIS)
-        q_n = q.shape[0]
-        vc = jnp.moveaxis(vals_all, 0, 1).reshape(q_n, -1)
-        ic = jnp.moveaxis(idx_all, 0, 1).reshape(q_n, -1)
-        fv, pos = jax.lax.top_k(vc, k)
-        fi = jnp.take_along_axis(ic, pos, axis=1)
-        return -fv, fi
+        gidx = idx + _flat_shard_index(axes) * m.shape[0]
+        for ax in reversed(axes):
+            vals, gidx = _merge_axis(vals, gidx, ax, k)
+        return -vals, gidx
 
     return jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(AXIS, None), P(AXIS)),
+        in_specs=(P(), P(axes, None), P(axes)),
         out_specs=(P(), P()),
         check_vma=False,  # outputs replicated via all_gather + local merge
     )(query, matrix, valid)
 
 
-def sharded_hamming_topk(query, matrix, valid, k: int, mesh: Mesh):
+def sharded_hamming_topk(query, matrix, valid, k: int, mesh: Mesh,
+                         axes: tuple = (AXIS,)):
     """query [Q, W] u32 packed bits, matrix [C, W] row-sharded -> dist, idx."""
-    return _sharded_hamming_impl(query, matrix, valid, k, mesh)
+    return _sharded_hamming_impl(query, matrix, valid, k, mesh, tuple(axes))
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
@@ -186,9 +206,9 @@ def sharded_cosine_int8_topk(q8, db8, row_norm, valid, k: int, mesh: Mesh):
     return _sharded_cosine_int8_impl(q8, db8, row_norm, valid, k, mesh)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5))
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
 def _sharded_cosine_int8_batch_impl(query, db8, row_norm, valid, k: int,
-                                    mesh: Mesh):
+                                    mesh: Mesh, axes: tuple = (AXIS,)):
     def local(q, m, rn, v):
         # q [Q, D] f32 replicated; m [C/n, D] int8; rn/v [C/n]
         k_local = min(k, m.shape[0])
@@ -204,28 +224,25 @@ def _sharded_cosine_int8_batch_impl(query, db8, row_norm, valid, k: int,
         ok = v[None, :] & (rn[None, :] > 0.0) & (qn > 0.0)
         scores = jnp.where(ok, dots / denom, -jnp.inf)
         vals, idx = jax.lax.top_k(scores, k_local)
-        gidx = idx + jax.lax.axis_index(AXIS) * m.shape[0]
-        vals_all = jax.lax.all_gather(vals, AXIS)
-        idx_all = jax.lax.all_gather(gidx, AXIS)
-        q_n = q.shape[0]
-        vc = jnp.moveaxis(vals_all, 0, 1).reshape(q_n, -1)
-        ic = jnp.moveaxis(idx_all, 0, 1).reshape(q_n, -1)
-        fv, pos = jax.lax.top_k(vc, k)
-        return fv, jnp.take_along_axis(ic, pos, axis=1)
+        gidx = idx + _flat_shard_index(axes) * m.shape[0]
+        for ax in reversed(axes):
+            vals, gidx = _merge_axis(vals, gidx, ax, k)
+        return vals, gidx
 
     return jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(AXIS, None), P(AXIS), P(AXIS)),
+        in_specs=(P(), P(axes, None), P(axes), P(axes)),
         out_specs=(P(), P()),
         check_vma=False,
     )(query, db8, row_norm, valid)
 
 
 def sharded_cosine_int8_batch_topk(query, db8, row_norm, valid, k: int,
-                                   mesh: Mesh):
+                                   mesh: Mesh, axes: tuple = (AXIS,)):
     """Batched serving variant: query [Q, D] f32 (quantized on device,
     semantics identical to ops.knn.cosine_topk_int8 — scores are cosines
     of the quantized rows), db8 [C, D] int8 row-sharded over the mesh.
     Returns ([Q, k] scores, [Q, k] global row idx)."""
-    return _sharded_cosine_int8_batch_impl(query, db8, row_norm, valid, k, mesh)
+    return _sharded_cosine_int8_batch_impl(query, db8, row_norm, valid, k,
+                                           mesh, tuple(axes))
