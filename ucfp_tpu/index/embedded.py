@@ -582,18 +582,26 @@ class EmbeddedBackend(IndexBackend):
                 rows = {
                     rid: self._records.get((tenant_id, rid)) for rid in cands
                 }
-            scored = []
+            rids_l, sigs = [], []
             for rid, row in rows.items():
                 if row is None:
                     continue
                 other = self._lsh_signature(row["fingerprint"])
                 if other is None or len(other) != len(sig):
                     continue
-                scored.append((rid, float(np.mean(sig == other))))
-            scored.sort(key=lambda t: (-t[1], t[0]))
+                rids_l.append(rid)
+                sigs.append(other)
+            if not sigs:
+                return []
+            # one vectorized slot-agreement pass over all candidates
+            mat = np.stack(sigs)  # [N, h]
+            scores = (mat == sig[None, :]).mean(axis=1)
+            rid_arr = np.asarray(rids_l, np.uint64)
+            order = np.lexsort((rid_arr, -scores))[:k]
             return [
-                Hit(record_id=rid, score=s, source=HitSource.VECTOR)
-                for rid, s in scored[:k]
+                Hit(record_id=int(rid_arr[i]), score=float(scores[i]),
+                    source=HitSource.VECTOR)
+                for i in order
             ]
 
         return await asyncio.to_thread(work)
