@@ -1,0 +1,141 @@
+"""Property-based fuzz of the streaming framing code: BodyStream's
+chunked decoder and the multipart splitter must reassemble the exact
+payload regardless of how the transport fragments the bytes."""
+
+import asyncio
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ucfp_tpu.server.handlers import Handlers
+from ucfp_tpu.server.http import BodyStream
+
+
+class _ScriptedReader:
+    """asyncio.StreamReader stand-in fed from a fixed byte script,
+    returning data in the fragment sizes the fuzzer chose."""
+
+    def __init__(self, data: bytes):
+        self._data = data
+        self._pos = 0
+
+    async def readexactly(self, n: int) -> bytes:
+        if self._pos + n > len(self._data):
+            raise asyncio.IncompleteReadError(
+                self._data[self._pos:], n
+            )
+        out = self._data[self._pos:self._pos + n]
+        self._pos += n
+        return out
+
+    async def readline(self) -> bytes:
+        i = self._data.find(b"\n", self._pos)
+        if i < 0:
+            out = self._data[self._pos:]
+            self._pos = len(self._data)
+            return out
+        out = self._data[self._pos:i + 1]
+        self._pos = i + 1
+        return out
+
+
+def _chunked_encode(payload: bytes, sizes: list[int]) -> bytes:
+    out = b""
+    pos = 0
+    for s in sizes:
+        if pos >= len(payload):
+            break
+        part = payload[pos:pos + max(1, s)]
+        pos += len(part)
+        out += b"%x\r\n%s\r\n" % (len(part), part)
+    if pos < len(payload):
+        rest = payload[pos:]
+        out += b"%x\r\n%s\r\n" % (len(rest), rest)
+    return out + b"0\r\n\r\n"
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    payload=st.binary(min_size=0, max_size=4096),
+    sizes=st.lists(st.integers(1, 700), min_size=1, max_size=12),
+    read_n=st.integers(1, 1500),
+)
+def test_bodystream_chunked_roundtrip(payload, sizes, read_n):
+    wire = _chunked_encode(payload, sizes)
+    stream = BodyStream(_ScriptedReader(wire), chunked=True)
+
+    async def go():
+        parts = []
+        while not stream.done:
+            d = await stream.read(read_n)
+            if not d and stream.done:
+                break
+            parts.append(d)
+        return b"".join(parts)
+
+    got = asyncio.run(go())
+    assert got == payload
+    assert stream.consumed == len(payload)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    payload=st.binary(min_size=0, max_size=4096),
+    read_n=st.integers(1, 999),
+)
+def test_bodystream_content_length_roundtrip(payload, read_n):
+    stream = BodyStream(_ScriptedReader(payload), content_length=len(payload))
+
+    async def go():
+        parts = []
+        while not stream.done:
+            d = await stream.read(read_n)
+            parts.append(d)
+        return b"".join(parts)
+
+    assert asyncio.run(go()) == payload
+
+
+def _multipart_encode(parts: list[bytes], boundary: bytes) -> bytes:
+    out = b"preamble junk\r\n"
+    for p in parts:
+        out += (b"--" + boundary + b"\r\n"
+                + b'Content-Disposition: form-data; name="c"\r\n\r\n'
+                + p + b"\r\n")
+    return out + b"--" + boundary + b"--\r\nepilogue"
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    parts=st.lists(
+        st.binary(min_size=0, max_size=1200).filter(
+            # payload bytes must not contain the delimiter sequence
+            lambda b: b"--BNDRY" not in b
+        ),
+        min_size=0, max_size=5,
+    ),
+    cuts=st.lists(st.integers(1, 400), min_size=1, max_size=16),
+)
+def test_multipart_splitter_roundtrip(parts, cuts):
+    wire = _multipart_encode(parts, b"BNDRY")
+    # fragment the wire at the fuzzer's cut sizes
+    frags = []
+    pos = 0
+    i = 0
+    while pos < len(wire):
+        step = cuts[i % len(cuts)]
+        frags.append(wire[pos:pos + step])
+        pos += step
+        i += 1
+
+    async def chunks():
+        for f in frags:
+            yield f
+
+    async def go():
+        out = []
+        async for data in Handlers._multipart_chunks(chunks(), b"BNDRY"):
+            out.append(data)
+        return b"".join(out)
+
+    assert asyncio.run(go()) == b"".join(parts)
