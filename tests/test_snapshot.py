@@ -60,3 +60,49 @@ class TestSnapshot:
         r = sh("restore", str(tmp_path / "d"), str(tmp_path / "nothing"))
         assert r.returncode == 0
         assert "no snapshot" in r.stdout
+
+
+class TestCompaction:
+    def test_admin_compact_route(self, tmp_path):
+        import json as _json
+
+        from test_server import call, jbody, make_app
+
+        app, state = make_app(tmp_path)
+        for rid in range(1, 30):
+            call(app, "PUT", "/v1/records", _json.dumps(
+                {"records": [{"tenant_id": 1, "record_id": rid % 3 + 1,
+                              "modality": "text", "algorithm": "raw",
+                              "fingerprint": [rid % 256]}]}).encode())
+        r = call(app, "POST", "/v1/admin/compact", b"")
+        assert r.status == 200
+        b = jbody(r)
+        assert b["compacted"] and b["wal_bytes_after"] < b["wal_bytes_before"]
+        # a reopened store sees the compacted state
+        state.index.close()
+        from ucfp_tpu.index.embedded import EmbeddedBackend
+
+        be2 = EmbeddedBackend(str(tmp_path / "db"))
+        assert be2.get_record(1, 1) is not None
+        be2.close()
+
+    def test_autocompact_bounds_log_growth(self, tmp_path, monkeypatch):
+        import asyncio as _aio
+
+        from ucfp_tpu.core import Modality, Record
+        from ucfp_tpu.index.embedded import EmbeddedBackend
+
+        monkeypatch.setenv("UCFP_AUTOCOMPACT_MB", "0.01")  # ~10 KB
+        be = EmbeddedBackend(str(tmp_path / "db"))
+        rec = Record(1, 1, Modality.TEXT, "raw", b"\x01" * 64,
+                     text="some text " * 30)
+        for _ in range(200):  # same record rewritten: pure churn
+            _aio.run(be.upsert([rec]))
+        size = be._wal_size()
+        # without compaction the log would be ~200 events; with it the
+        # snapshot holds ONE record
+        assert size < 200 * 400
+        be.close()
+        be2 = EmbeddedBackend(str(tmp_path / "db"))
+        assert be2.get_record(1, 1)["text"].startswith("some text")
+        be2.close()

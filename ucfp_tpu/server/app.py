@@ -121,6 +121,7 @@ def build_server(
     r.add("GET", "/v1/admin/keys", h.admin_list_keys)
     r.add("DELETE", "/v1/admin/keys/{key_id}", h.admin_revoke_key)
     r.add("GET", "/v1/admin/usage", h.admin_usage)
+    r.add("POST", "/v1/admin/compact", h.admin_compact)
     r.add("POST", "/v1/inputs", h.inputs_put_ctx)
     r.add("POST", "/v1/inputs/{tenant_id}", h.inputs_put)
     r.add("DELETE", "/v1/inputs/{tenant_id}/{input_id}", h.inputs_delete)

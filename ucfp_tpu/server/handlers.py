@@ -1061,6 +1061,20 @@ class Handlers:
             raise HttpError(404, "not_found", "no such key")
         return Response.json({"revoked": 1})
 
+    async def admin_compact(self, req: Request) -> Response:
+        """Checkpoint the WAL (the reference's redb is COW and needs no
+        compaction; our append-only log does under churn). Service
+        bearer only — the snapshot is store-global."""
+        self._require_service(req)
+        import asyncio as _aio
+
+        before = self.index._wal_size()
+        await _aio.to_thread(self.index.compact)
+        return Response.json(
+            {"compacted": True, "wal_bytes_before": before,
+             "wal_bytes_after": self.index._wal_size()}
+        )
+
     async def admin_usage(self, req: Request) -> Response:
         """Tail the NDJSON usage log (reference web usage view analog).
         Tenant-scoped callers see only their own tenant's events."""
