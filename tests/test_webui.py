@@ -57,3 +57,16 @@ class TestPage:
         s = _script()
         assert "lin_spec_png_b64" in s and "mel_spec_png_b64" in s
         assert "landmarks" in s and "peaks" in s  # LandmarkScatter overlay
+
+
+class TestManifestDrivenTunables:
+    def test_tunable_controls_present(self):
+        s = _script()
+        assert "function renderTunables" in s
+        assert "function tunableQuery" in s
+        # every modality tab has a tunables container wired to its select
+        for box in ("text-tunables", "img-tunables", "aud-tunables"):
+            assert box in PAGE
+        # controls cover all three tunable kinds
+        for kind in ("enum", "bool"):
+            assert f"t.kind==='{kind}'" in s

@@ -73,10 +73,9 @@ PAGE = r"""<!doctype html>
  <section id="tab-text" class="card">
   <div class="row">
    <label>algorithm <select id="text-algo"></select></label>
-   <label>k <input id="text-k" size="3" value="5"></label>
-   <label>h <input id="text-h" size="4" value="128"></label>
    <button class="go" onclick="runText()">Fingerprint</button>
   </div>
+  <div class="row" id="text-tunables"></div>
   <textarea id="text-input">the quick brown fox jumps over the lazy dog</textarea>
   <label>compare against (optional — renders slot agreement + bit diff)</label>
   <textarea id="text-compare" style="min-height:48px" placeholder="second input for side-by-side diff"></textarea>
@@ -90,6 +89,7 @@ PAGE = r"""<!doctype html>
    <label>compare <input type="file" id="img-compare" accept="image/*"></label>
    <button class="go" onclick="runImage()">Fingerprint</button>
   </div>
+  <div class="row" id="img-tunables"></div>
   <div id="img-out"></div>
  </section>
 
@@ -101,6 +101,7 @@ PAGE = r"""<!doctype html>
    <span class="kv">decoded to mono f32 in-browser (WebAudio), like the
    reference demo</span>
   </div>
+  <div class="row" id="aud-tunables"></div>
   <div id="aud-out"></div>
  </section>
 
@@ -200,13 +201,57 @@ fetch('/v1/auth/whoami').then(r=>r.ok?r.json():null).then(w=>{
 }).catch(()=>{});
 fetch('/v1/info').then(r=>r.json()).then(i=>$('info').textContent=
   i.name+' v'+i.version).catch(()=>{});
+let MANIFEST=null;
+function renderTunables(cat, selId, boxId){
+ // manifest-driven controls, like the reference playground: every
+ // tunable the selected algorithm declares becomes an input
+ const box=$(boxId); box.innerHTML='';
+ if(!MANIFEST) return;
+ const algo=MANIFEST[cat].algorithms.find(a=>a.id===$(selId).value);
+ if(!algo) return;
+ algo.tunables.forEach(t=>{
+  const lab=document.createElement('label');
+  lab.title=t.help||'';
+  const id=`tun-${cat}-${t.name}`;
+  if(t.kind==='enum'){
+   lab.innerHTML=`${t.label} <select id="${id}">`+
+    t.enum_values.map(v=>`<option${v===t.default?' selected':''}>${v}</option>`).join('')+
+    `</select>`;
+  }else if(t.kind==='bool'){
+   lab.innerHTML=`${t.label} <input type="checkbox" id="${id}"${t.default?' checked':''}>`;
+  }else{
+   lab.innerHTML=`${t.label} <input id="${id}" size="6" value="${t.default}"`+
+    (t.min!=null?` min="${t.min}" max="${t.max}"`:'')+`>`;
+  }
+  box.appendChild(lab);
+ });
+}
+function tunableQuery(cat, selId){
+ // collect the rendered controls into query params; defaults are omitted
+ if(!MANIFEST) return '';
+ const algo=MANIFEST[cat].algorithms.find(a=>a.id===$(selId).value);
+ if(!algo) return '';
+ const parts=[];
+ algo.tunables.forEach(t=>{
+  const el=$(`tun-${cat}-${t.name}`);
+  if(!el) return;
+  let v = t.kind==='bool' ? (el.checked?'1':'0') : el.value;
+  if(String(v)!==String(t.kind==='bool'?(t.default?'1':'0'):t.default))
+   parts.push(`${t.name}=${encodeURIComponent(v)}`);
+ });
+ return parts.length?('&'+parts.join('&')):'';
+}
 fetch('/v1/algorithms').then(r=>r.json()).then(m=>{
- for(const [sel, cat] of [['text-algo','text'],['img-algo','image'],['aud-algo','audio']]){
+ MANIFEST=m;
+ for(const [sel, cat, box] of [['text-algo','text','text-tunables'],
+   ['img-algo','image','img-tunables'],['aud-algo','audio','aud-tunables']]){
   const s=$(sel);
   m[cat].algorithms.forEach(a=>{
    const o=document.createElement('option');o.value=a.id;o.textContent=a.label;
    s.appendChild(o);
   });
+  s.onchange=()=>renderTunables(cat, sel, box);
+  renderTunables(cat, sel, box);
  }
 });
 
@@ -416,7 +461,7 @@ function f32FromHex(hex){
 
 async function textFp(body){
  const algo=$('text-algo').value;
- const q=`algorithm=${algo}&k=${$('text-k').value}&h=${$('text-h').value}`;
+ const q=`algorithm=${algo}${tunableQuery('text','text-algo')}`;
  const ins = await api(`/v1/pipeline/inspect/text?${q}&tenant_id=${ten()}`,
    {method:'POST', body});
  const fp = await api(`/v1/ingest/text/${ten()}/${RID++}?${q}`,
@@ -461,10 +506,11 @@ async function runText(){
 }
 
 async function imageFp(bytes, algo){
- const ins = await api(`/v1/pipeline/inspect/image?tenant_id=${ten()}`,
+ const tq = tunableQuery('image','img-algo');
+ const ins = await api(`/v1/pipeline/inspect/image?tenant_id=${ten()}${tq}`,
    {method:'POST', body:bytes});
  const fp = await api(
-   `/v1/ingest/image/${ten()}/${RID++}?algorithm=${algo}`
+   `/v1/ingest/image/${ten()}/${RID++}?algorithm=${algo}${tq}`
    + (algo==='semantic'?'&return_embedding=1':''),
    {method:'POST', body:bytes});
  return {ins, fp};
@@ -552,9 +598,10 @@ async function runAudio(){
  const body = new Float32Array(mono).buffer;
  const algo=$('aud-algo').value;
  try{
-  const ins = await api(`/v1/pipeline/inspect/audio?sample_rate=8000&algorithm=${algo}&tenant_id=${ten()}`,
+  const tq = tunableQuery('audio','aud-algo');
+  const ins = await api(`/v1/pipeline/inspect/audio?sample_rate=8000&algorithm=${algo}&tenant_id=${ten()}${tq}`,
     {method:'POST', body});
-  const fp = await api(`/v1/ingest/audio/${ten()}/${RID++}?sample_rate=8000&algorithm=${algo}`,
+  const fp = await api(`/v1/ingest/audio/${ten()}/${RID++}?sample_rate=8000&algorithm=${algo}${tq}`,
     {method:'POST', body});
   out.innerHTML = `<div class="row">${kv(ins,['duration_secs','total_peaks','total_landmarks'])}</div>`
    + `<div class="row">
