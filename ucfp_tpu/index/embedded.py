@@ -977,7 +977,7 @@ class EmbeddedBackend(IndexBackend):
         top-1; collision odds documented in ops/pallas_scan.py. Lets the
         serving layer mark responses instead of silently changing
         semantics under UCFP_KNN_QUANT=int8."""
-        if self._mesh is not None or self.knn_quant != "int8":
+        if self._mesh is not None:
             return False
         cache = self._vec.get((tenant_id, dim))
         if cache is None or cache.n == 0 or cache.data is None:
@@ -1072,7 +1072,11 @@ class EmbeddedBackend(IndexBackend):
                     )
             else:
                 matrix, valid = dev
-                scores, idx = knn_ops.cosine_topk(q[None], matrix, valid, kk)
+                if self._fused_pool_ok(matrix.shape[0], cache.n, kk):
+                    scores, idx = knn_ops.cosine_topk_fused(
+                        q[None], matrix, valid, kk)
+                else:
+                    scores, idx = knn_ops.cosine_topk(q[None], matrix, valid, kk)
             scores = np.asarray(scores[0])
             idx = np.asarray(idx[0])
             out = []
@@ -1167,7 +1171,11 @@ class EmbeddedBackend(IndexBackend):
                     )
             else:
                 matrix, valid = dev
-                scores, idx = knn_ops.cosine_topk(qm, matrix, valid, kk)
+                if self._fused_pool_ok(matrix.shape[0], cache.n, kk):
+                    scores, idx = knn_ops.cosine_topk_fused(
+                        qm, matrix, valid, kk)
+                else:
+                    scores, idx = knn_ops.cosine_topk(qm, matrix, valid, kk)
             scores = np.asarray(scores)
             idx = np.asarray(idx)
             out: list[list[Hit]] = []

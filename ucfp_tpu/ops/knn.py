@@ -81,6 +81,33 @@ def hamming_topk(
     return -neg, idx
 
 
+@functools.partial(jax.jit, static_argnums=(3,))
+def cosine_topk_fused(
+    query: jax.Array,  # [Q, D] f32
+    matrix: jax.Array,  # [C, D] f32, C % (ROWS_PER_TILE*128) == 0
+    valid: jax.Array,  # [C] bool
+    k: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact f32 cosine scores + pallas partial-reduce candidate top-k:
+    the big-catalog path for the DEFAULT (unquantized) config — lax.top_k
+    over 10M rows costs ~22 ms while the streaming per-lane reduce costs
+    ~0.5 ms. Same candidate semantics as the int8 fused path (near-exact
+    for k <= 16, exact top-1); callers mark responses approximate."""
+    from . import pallas_scan
+
+    row_norm = jnp.linalg.norm(matrix, axis=1)
+    q_norm = jnp.linalg.norm(query, axis=1, keepdims=True)
+    dots = jax.lax.dot_general(
+        query, matrix, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    denom = q_norm * row_norm[None, :]
+    ok = valid[None, :] & (row_norm[None, :] > 0.0) & (q_norm > 0.0)
+    scores = jnp.where(ok, dots / jnp.where(denom == 0.0, 1.0, denom), NEG_INF)
+    return pallas_scan.scores_topk_fused_batched(scores, k)
+
+
 def quantize_rows_int8(matrix) -> tuple:
     """Symmetric per-row int8 quantization for the HBM-resident matrix.
 
