@@ -1,0 +1,304 @@
+/**
+ * @ucfp/client — dependency-free JavaScript client for the UCFP
+ * content-fingerprinting API.
+ *
+ * Surface per the reference doc (web/src/lib/docs/sdk-javascript.md):
+ * UcfpClient with text/textStream/image/audio/audioWatermark/
+ * getRecord/deleteRecord plus query(), typed UcfpError, configurable
+ * fetch/timeout/retry. Works in Node >= 18, Bun, Deno, and browsers.
+ */
+
+export class UcfpError extends Error {
+  /**
+   * @param {number} status HTTP status
+   * @param {string} code machine error code (the {error} envelope field)
+   * @param {string} message human message
+   * @param {number|undefined} retryAfterMs from Retry-After on 429
+   * @param {number|undefined} recordId record the failing call named
+   */
+  constructor(status, code, message, retryAfterMs, recordId) {
+    super(`${status} ${code}: ${message}`);
+    this.name = 'UcfpError';
+    this.status = status;
+    this.code = code;
+    this.message = message;
+    this.retryAfterMs = retryAfterMs;
+    this.recordId = recordId;
+  }
+}
+
+const sleep = (ms) => new Promise((r) => setTimeout(r, ms));
+
+/** Random u53 record id (ids are u64 server-side; 53 bits keeps JS
+ * number round-trips exact — pass BigInt/string ids yourself if you
+ * need the full range). */
+const newRecordId = () =>
+  (Math.floor(Math.random() * Number.MAX_SAFE_INTEGER) | 1);
+
+const CANON_PARAMS = {
+  normalization: 'canon_normalization',
+  caseFold: 'canon_case_fold',
+  stripBidi: 'canon_strip_bidi',
+  stripFormat: 'canon_strip_format',
+  applyConfusable: 'canon_apply_confusable',
+};
+
+function canonParams(canonicalizer, params) {
+  if (!canonicalizer) return;
+  for (const [key, value] of Object.entries(canonicalizer)) {
+    const name = CANON_PARAMS[key];
+    if (!name) throw new Error(`unknown canonicalizer knob ${key}`);
+    params.set(name, typeof value === 'boolean' ? (value ? '1' : '0')
+      : String(value).toLowerCase());
+  }
+}
+
+function fingerprintOf(body) {
+  return {
+    tenantId: body.tenant_id,
+    recordId: body.record_id,
+    modality: body.modality,
+    algorithm: body.algorithm,
+    formatVersion: body.format_version,
+    configHash: String(body.config_hash),
+    fingerprintBytes: body.fingerprint_bytes,
+    fingerprintHex: body.fingerprint_hex,
+    hasEmbedding: body.has_embedding,
+    embedding: body.embedding,
+  };
+}
+
+function hitOf(h) {
+  return {
+    tenantId: h.tenant_id,
+    recordId: h.record_id,
+    score: h.score,
+    source: h.source,
+    vectorScore: h.vector_score,
+    bm25Score: h.bm25_score,
+    vectorRank: h.vector_rank,
+    bm25Rank: h.bm25_rank,
+    termHits: (h.term_hits ?? []).map((t) => ({
+      term: t.term, idf: t.idf, tf: t.tf, contribution: t.contribution,
+    })),
+  };
+}
+
+export class UcfpClient {
+  /**
+   * @param {{apiKey?: string, baseUrl?: string, tenantId?: number,
+   *          fetch?: typeof fetch, timeoutMs?: number,
+   *          retry?: {attempts?: number, base?: number}}} opts
+   */
+  constructor(opts = {}) {
+    this.apiKey = opts.apiKey;
+    this.baseUrl = (opts.baseUrl ?? 'http://127.0.0.1:8080').replace(/\/+$/, '');
+    this.tenantId = opts.tenantId ?? 0;
+    this.fetch = opts.fetch ?? globalThis.fetch;
+    this.timeoutMs = opts.timeoutMs ?? 30_000;
+    this.retry = { attempts: 3, base: 250, ...(opts.retry ?? {}) };
+  }
+
+  async #request(method, path, { params, body, json, recordId } = {}) {
+    const url = new URL(this.baseUrl + path);
+    if (params) {
+      for (const [k, v] of Object.entries(params)) {
+        if (v !== undefined && v !== null) url.searchParams.set(k, String(v));
+      }
+    }
+    const headers = {};
+    if (this.apiKey) headers.authorization = `Bearer ${this.apiKey}`;
+    let payload = body;
+    if (json !== undefined) {
+      headers['content-type'] = 'application/json';
+      payload = JSON.stringify(json);
+    }
+    for (let attempt = 0; ; attempt++) {
+      const ctl = new AbortController();
+      const timer = setTimeout(() => ctl.abort(), this.timeoutMs);
+      let resp;
+      try {
+        resp = await this.fetch(url, {
+          method, headers, body: payload, signal: ctl.signal,
+        });
+      } finally {
+        clearTimeout(timer);
+      }
+      if (resp.ok) {
+        const text = await resp.text();
+        return text ? JSON.parse(text) : {};
+      }
+      let code = 'error';
+      let message = '';
+      try {
+        const parsed = await resp.json();
+        code = parsed.error ?? code;
+        message = parsed.message ?? '';
+      } catch { /* non-JSON error body */ }
+      const ra = resp.headers.get('retry-after');
+      const retryAfterMs = ra ? Math.round(parseFloat(ra) * 1000) : undefined;
+      const err = new UcfpError(resp.status, code, message, retryAfterMs, recordId);
+      const retryable = resp.status === 429 || resp.status >= 500;
+      if (retryable && attempt < this.retry.attempts) {
+        await sleep(retryAfterMs ?? this.retry.base * 2 ** attempt);
+        continue;
+      }
+      throw err;
+    }
+  }
+
+  // -- public ---------------------------------------------------------------
+
+  healthz() { return this.#request('GET', '/healthz'); }
+  info() { return this.#request('GET', '/v1/info'); }
+  algorithms() { return this.#request('GET', '/v1/algorithms'); }
+
+  // -- text -----------------------------------------------------------------
+
+  /**
+   * @param {string} text
+   * @param {{algorithm?: string, h?: number, k?: number, tokenizer?: string,
+   *          canonicalizer?: object, preprocess?: string, recordId?: number,
+   *          tenantId?: number, returnEmbedding?: boolean}} opts
+   */
+  async text(text, opts = {}) {
+    const tid = opts.tenantId ?? this.tenantId;
+    const rid = opts.recordId ?? newRecordId();
+    const params = new URLSearchParams({ algorithm: opts.algorithm ?? 'minhash' });
+    if (opts.h !== undefined) params.set('h', String(opts.h));
+    if (opts.k !== undefined) params.set('k', String(opts.k));
+    if (opts.tokenizer) params.set('tokenizer', opts.tokenizer.toLowerCase());
+    if (opts.preprocess) params.set('preprocess', opts.preprocess);
+    if (opts.returnEmbedding) params.set('return_embedding', '1');
+    canonParams(opts.canonicalizer, params);
+    const out = await this.#request('POST',
+      `/v1/ingest/text/${tid}/${rid}?${params}`,
+      { body: text, recordId: rid });
+    return fingerprintOf(out);
+  }
+
+  /** Fingerprint each input of a (sync or async) iterable lazily. */
+  async *textStream(inputs, opts = {}) {
+    for await (const doc of inputs) yield this.text(doc, opts);
+  }
+
+  // -- image ----------------------------------------------------------------
+
+  /**
+   * @param {Blob|ArrayBuffer|Uint8Array} image
+   * @param {{algorithm?: string, preprocess?: {maxInputBytes?: number,
+   *          maxDimension?: number, minDimension?: number},
+   *          recordId?: number, tenantId?: number}} opts
+   */
+  async image(image, opts = {}) {
+    const tid = opts.tenantId ?? this.tenantId;
+    const rid = opts.recordId ?? newRecordId();
+    const params = new URLSearchParams({ algorithm: opts.algorithm ?? 'multi' });
+    const pre = opts.preprocess ?? {};
+    if (pre.maxInputBytes !== undefined) params.set('max_input_bytes', String(pre.maxInputBytes));
+    if (pre.maxDimension !== undefined) params.set('max_dimension', String(pre.maxDimension));
+    if (pre.minDimension !== undefined) params.set('min_dimension', String(pre.minDimension));
+    const out = await this.#request('POST',
+      `/v1/ingest/image/${tid}/${rid}?${params}`,
+      { body: image, recordId: rid });
+    return fingerprintOf(out);
+  }
+
+  // -- audio ----------------------------------------------------------------
+
+  /**
+   * Raw f32-LE PCM samples. In the browser, decode first with WebAudio
+   * (AudioContext.decodeAudioData → Float32Array), as the reference demo
+   * does.
+   * @param {Float32Array|ArrayBuffer|Uint8Array} samples
+   * @param {{algorithm?: string, sampleRate: number, recordId?: number,
+   *          tenantId?: number, tunables?: object}} opts
+   */
+  async audio(samples, opts) {
+    if (!opts?.sampleRate) throw new Error('sampleRate is required');
+    const tid = opts.tenantId ?? this.tenantId;
+    const rid = opts.recordId ?? newRecordId();
+    const params = new URLSearchParams({
+      algorithm: opts.algorithm ?? 'wang',
+      sample_rate: String(opts.sampleRate),
+    });
+    for (const [k, v] of Object.entries(opts.tunables ?? {})) params.set(k, String(v));
+    const body = samples instanceof Float32Array
+      ? new Uint8Array(samples.buffer, samples.byteOffset, samples.byteLength)
+      : samples;
+    const out = await this.#request('POST',
+      `/v1/ingest/audio/${tid}/${rid}?${params}`,
+      { body, recordId: rid });
+    return fingerprintOf(out);
+  }
+
+  /** Watermark detection — no record persisted. */
+  async audioWatermark(samples, opts) {
+    if (!opts?.sampleRate) throw new Error('sampleRate is required');
+    const tid = opts.tenantId ?? this.tenantId;
+    const rid = newRecordId();
+    const params = new URLSearchParams({ sample_rate: String(opts.sampleRate) });
+    if (opts.threshold !== undefined) params.set('threshold', String(opts.threshold));
+    const body = samples instanceof Float32Array
+      ? new Uint8Array(samples.buffer, samples.byteOffset, samples.byteLength)
+      : samples;
+    const out = await this.#request('POST',
+      `/v1/ingest/audio/${tid}/${rid}/watermark?${params}`, { body });
+    return { detected: out.detected, payload: out.payload, confidence: out.confidence };
+  }
+
+  // -- records --------------------------------------------------------------
+
+  async getRecord(recordId, opts = {}) {
+    const tid = opts.tenantId ?? this.tenantId;
+    const m = await this.#request('GET', `/v1/records/${tid}/${recordId}`,
+      { recordId });
+    return {
+      tenantId: m.tenant_id,
+      recordId: m.record_id,
+      modality: m.modality,
+      algorithm: m.algorithm,
+      configHash: String(m.config_hash),
+      formatVersion: m.format_version,
+      fingerprintBytes: m.fingerprint_bytes,
+      hasEmbedding: m.has_embedding,
+      embeddingDim: m.embedding_dim,
+      modelId: m.model_id,
+    };
+  }
+
+  async deleteRecord(recordId, opts = {}) {
+    const tid = opts.tenantId ?? this.tenantId;
+    await this.#request('DELETE', `/v1/records/${tid}/${recordId}`, { recordId });
+  }
+
+  // -- search ---------------------------------------------------------------
+
+  /**
+   * @param {string} modality 'text' | 'image' | 'audio'
+   * @param {{k?: number, vector?: number[], terms?: string[],
+   *          fingerprintHex?: string, algorithm?: string, rrfK?: number,
+   *          explain?: boolean, multihash?: object, tenantId?: number}} opts
+   */
+  async query(modality, opts = {}) {
+    const tid = opts.tenantId ?? this.tenantId;
+    const body = { tenant_id: tid, modality, k: opts.k ?? 10 };
+    if (opts.vector) body.vector = opts.vector;
+    if (opts.terms?.length) body.terms = opts.terms;
+    if (opts.fingerprintHex) {
+      if (!opts.algorithm) throw new Error('fingerprint queries require algorithm');
+      body.fingerprint_hex = opts.fingerprintHex;
+    }
+    if (opts.algorithm) body.algorithm = opts.algorithm;
+    if (opts.rrfK !== undefined) body.rrf_k = opts.rrfK;
+    if (opts.multihash) body.multihash = opts.multihash;
+    const path = opts.explain ? '/v1/query?explain=1' : '/v1/query';
+    const out = await this.#request('POST', path, { json: body });
+    return {
+      hits: (out.hits ?? []).map(hitOf),
+      approximate: out.approximate ?? false,
+    };
+  }
+}
+
+export default UcfpClient;

@@ -1,0 +1,390 @@
+"""Synchronous client (`Ucfp`).
+
+Thin transport over `_common` request shaping. Uses `httpx` when
+installed (the reference SDK's only dependency, sdk-python.md:9); falls
+back to the stdlib `urllib` so the package works with no deps at all.
+Retries 5xx + 429 with exponential backoff, honouring Retry-After
+(sdk-python.md:132).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Any, Iterable, Iterator, Optional, Union
+
+from . import _common as c
+from ._types import (
+    Fingerprint,
+    QueryResult,
+    RecordMeta,
+    StreamIngest,
+    UcfpError,
+    WatermarkReport,
+    _parse_fingerprint,
+    _parse_query,
+    _parse_record_meta,
+    _parse_watermark,
+)
+
+try:
+    import httpx as _httpx
+except ImportError:  # pragma: no cover - httpx is present in CI
+    _httpx = None
+
+
+class Ucfp:
+    """Synchronous UCFP client (reference surface: sdk-python.md).
+
+    >>> client = Ucfp(api_key="ucfp_...", base_url="http://host:8080")
+    >>> fp = client.text("The quick brown fox.")
+    >>> fp.algorithm
+    'minhash-h128'
+    """
+
+    def __init__(
+        self,
+        api_key: str,
+        *,
+        base_url: str = c.DEFAULT_BASE_URL,
+        tenant_id: int = 0,
+        timeout_s: float = 30.0,
+        retries: int = 3,
+        transport: Any = None,
+    ) -> None:
+        self.api_key = api_key
+        self.base_url = base_url.rstrip("/")
+        self.tenant_id = tenant_id
+        self.timeout_s = timeout_s
+        self.retries = retries
+        if _httpx is not None:
+            self._http = _httpx.Client(
+                base_url=self.base_url,
+                timeout=timeout_s,
+                transport=transport,
+            )
+        else:
+            if transport is not None:
+                raise RuntimeError("transport override requires httpx")
+            self._http = None
+
+    # -- plumbing ---------------------------------------------------------------
+
+    def close(self) -> None:
+        if self._http is not None:
+            self._http.close()
+
+    def __enter__(self) -> "Ucfp":
+        return self
+
+    def __exit__(self, *exc: Any) -> None:
+        self.close()
+
+    def _headers(self, extra: Optional[dict] = None) -> dict:
+        h = {"authorization": f"Bearer {self.api_key}"}
+        if extra:
+            h.update(extra)
+        return h
+
+    def _urllib_request(
+        self, method: str, path: str, params: dict, content: bytes, headers: dict
+    ) -> tuple[int, dict, bytes]:
+        import urllib.error
+        import urllib.parse
+        import urllib.request
+
+        url = self.base_url + path
+        if params:
+            url += "?" + urllib.parse.urlencode(params)
+        req = urllib.request.Request(url, data=content or None, method=method)
+        for k, v in headers.items():
+            req.add_header(k, v)
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+                return resp.status, dict(resp.headers.items()), resp.read()
+        except urllib.error.HTTPError as e:
+            return e.code, dict(e.headers.items()), e.read()
+
+    def _request(
+        self,
+        method: str,
+        path: str,
+        *,
+        params: Optional[dict] = None,
+        content: bytes = b"",
+        json_body: Any = None,
+        headers: Optional[dict] = None,
+        record_id: Optional[int] = None,
+    ) -> dict:
+        hdrs = self._headers(headers)
+        if json_body is not None:
+            content = json.dumps(json_body).encode("utf-8")
+            hdrs["content-type"] = "application/json"
+        last: Optional[UcfpError] = None
+        for attempt in range(self.retries + 1):
+            if self._http is not None:
+                r = self._http.request(
+                    method, path, params=params, content=content, headers=hdrs
+                )
+                status, rheaders, body = r.status_code, r.headers, r.content
+            else:
+                status, raw_headers, body = self._urllib_request(
+                    method, path, params or {}, content, hdrs
+                )
+                rheaders = {k.lower(): v for k, v in raw_headers.items()}
+            try:
+                c.raise_for_response(status, rheaders, body, record_id)
+                return json.loads(body) if body else {}
+            except UcfpError as e:
+                last = e
+                if attempt < self.retries and c.should_retry(status):
+                    time.sleep(c.backoff_seconds(attempt, e.retry_after_ms))
+                    continue
+                raise
+        raise last  # pragma: no cover - loop always returns or raises
+
+    # -- public (unauthenticated) -----------------------------------------------
+
+    def healthz(self) -> dict:
+        return self._request("GET", "/healthz")
+
+    def info(self) -> dict:
+        return self._request("GET", "/v1/info")
+
+    def algorithms(self) -> dict:
+        """GET /v1/algorithms — the machine-readable tunables manifest."""
+        return self._request("GET", "/v1/algorithms")
+
+    # -- text -------------------------------------------------------------------
+
+    def text(
+        self,
+        text: Union[str, bytes],
+        *,
+        algorithm: str = "minhash",
+        record_id: Optional[int] = None,
+        tenant_id: Optional[int] = None,
+        h: Optional[int] = None,
+        k: Optional[int] = None,
+        tokenizer: Optional[str] = None,
+        canonicalizer: Optional[dict] = None,
+        preprocess: Optional[str] = None,
+        provider: Optional[str] = None,
+        model_id: Optional[str] = None,
+        return_embedding: bool = False,
+        **tunables: Any,
+    ) -> Fingerprint:
+        tid = self.tenant_id if tenant_id is None else tenant_id
+        path, params, body = c.text_request(
+            tid, record_id, text, algorithm,
+            h=h, k=k, tokenizer=tokenizer, canonicalizer=canonicalizer,
+            preprocess=preprocess, provider=provider, model_id=model_id,
+            return_embedding=return_embedding, extra_params=tunables,
+        )
+        out = self._request("POST", path, params=params, content=body)
+        return _parse_fingerprint(out)
+
+    def text_stream(
+        self, inputs: Iterable[Union[str, bytes]], **kwargs: Any
+    ) -> Iterator[Fingerprint]:
+        """Fingerprint each input lazily (sdk-python.md:60-64): one
+        fingerprint per document, yielded as responses arrive."""
+        for doc in inputs:
+            yield self.text(doc, **kwargs)
+
+    def text_stream_chunks(
+        self,
+        chunks: Iterable[str],
+        *,
+        record_id: Optional[int] = None,
+        tenant_id: Optional[int] = None,
+        **kwargs: Any,
+    ) -> Fingerprint:
+        """Stream ONE long document as NDJSON chunks through the
+        server's buffered StreamingMinHash session
+        (POST /v1/ingest/text/{tid}/{rid}/stream)."""
+        tid = self.tenant_id if tenant_id is None else tenant_id
+        rid = record_id if record_id is not None else c.new_record_id()
+        path, params, _ = c.text_request(tid, rid, "", "minhash", **kwargs)
+        out = self._request(
+            "POST", path + "/stream", params=params,
+            content=c.ndjson_chunks(chunks), record_id=rid,
+        )
+        return _parse_fingerprint(out)
+
+    # -- image ------------------------------------------------------------------
+
+    def image(
+        self,
+        image: c.ImageSource,
+        *,
+        algorithm: str = "multi",
+        record_id: Optional[int] = None,
+        tenant_id: Optional[int] = None,
+        preprocess: Optional[dict] = None,
+        model_id: Optional[str] = None,
+        return_embedding: bool = False,
+    ) -> Fingerprint:
+        tid = self.tenant_id if tenant_id is None else tenant_id
+        path, params, body = c.image_request(
+            tid, record_id, image, algorithm,
+            preprocess=preprocess, model_id=model_id,
+            return_embedding=return_embedding,
+        )
+        out = self._request("POST", path, params=params, content=body)
+        return _parse_fingerprint(out)
+
+    # -- audio ------------------------------------------------------------------
+
+    def audio(
+        self,
+        audio: c.AudioSource,
+        *,
+        algorithm: str = "wang",
+        sample_rate: Optional[int] = None,
+        record_id: Optional[int] = None,
+        tenant_id: Optional[int] = None,
+        return_embedding: bool = False,
+        **tunables: Any,
+    ) -> Fingerprint:
+        tid = self.tenant_id if tenant_id is None else tenant_id
+        path, params, body = c.audio_request(
+            tid, record_id, audio, algorithm,
+            sample_rate=sample_rate, tunables=tunables,
+            return_embedding=return_embedding,
+        )
+        out = self._request("POST", path, params=params, content=body)
+        return _parse_fingerprint(out)
+
+    def audio_watermark(
+        self,
+        audio: c.AudioSource,
+        *,
+        sample_rate: Optional[int] = None,
+        threshold: Optional[float] = None,
+        tenant_id: Optional[int] = None,
+    ) -> WatermarkReport:
+        tid = self.tenant_id if tenant_id is None else tenant_id
+        tunables = {"threshold": threshold} if threshold is not None else None
+        path, params, body = c.audio_request(
+            tid, None, audio, "watermark",
+            sample_rate=sample_rate, tunables=tunables,
+        )
+        out = self._request("POST", path, params=params, content=body)
+        return _parse_watermark(out)
+
+    def audio_stream(
+        self,
+        chunks: Iterable[bytes],
+        *,
+        sample_rate: int,
+        record_id: Optional[int] = None,
+        tenant_id: Optional[int] = None,
+        segment_secs: Optional[float] = None,
+    ) -> StreamIngest:
+        """Stream raw f32-LE PCM chunks through the Wang streaming
+        session (POST /v1/ingest/audio/{tid}/{rid}/stream); each
+        completed segment becomes its own Record server-side."""
+        tid = self.tenant_id if tenant_id is None else tenant_id
+        rid = record_id if record_id is not None else c.new_record_id()
+        params = {"sample_rate": str(sample_rate)}
+        if segment_secs is not None:
+            params["segment_secs"] = str(segment_secs)
+        body = b"".join(chunks)
+        out = self._request(
+            "POST", f"/v1/ingest/audio/{tid}/{rid}/stream",
+            params=params, content=body, record_id=rid,
+        )
+        return StreamIngest(
+            segments=int(out["segments"]), records=out.get("records", [])
+        )
+
+    # -- records ----------------------------------------------------------------
+
+    def get_record(
+        self, record_id: int, *, tenant_id: Optional[int] = None
+    ) -> RecordMeta:
+        tid = self.tenant_id if tenant_id is None else tenant_id
+        out = self._request(
+            "GET", f"/v1/records/{tid}/{int(record_id)}",
+            record_id=int(record_id),
+        )
+        return _parse_record_meta(out)
+
+    def delete_record(
+        self, record_id: int, *, tenant_id: Optional[int] = None
+    ) -> None:
+        tid = self.tenant_id if tenant_id is None else tenant_id
+        self._request(
+            "DELETE", f"/v1/records/{tid}/{int(record_id)}",
+            record_id=int(record_id),
+        )
+
+    def upsert_records(self, records: list[dict]) -> dict:
+        """PUT /v1/records with the reference UpsertRequest envelope."""
+        return self._request(
+            "PUT", "/v1/records", json_body={"records": records}
+        )
+
+    # -- search -----------------------------------------------------------------
+
+    def query(
+        self,
+        modality: str,
+        *,
+        k: int = 10,
+        vector: Optional[list[float]] = None,
+        terms: Optional[list[str]] = None,
+        fingerprint: Optional[Union[bytes, str]] = None,
+        algorithm: Optional[str] = None,
+        tenant_id: Optional[int] = None,
+        rrf_k: int = 60,
+        explain: bool = False,
+        rerank: Optional[str] = None,
+        multihash: Optional[dict] = None,
+    ) -> QueryResult:
+        tid = self.tenant_id if tenant_id is None else tenant_id
+        body = c.query_body(
+            tid, modality, k=k, vector=vector, terms=terms,
+            fingerprint=fingerprint, algorithm=algorithm, rrf_k=rrf_k,
+            multihash=multihash,
+        )
+        params: dict[str, str] = {}
+        if explain:
+            params["explain"] = "1"
+        if rerank:
+            params["rerank"] = rerank
+        out = self._request(
+            "POST", "/v1/query", params=params or None, json_body=body
+        )
+        return _parse_query(out)
+
+    # -- pipeline inspection ------------------------------------------------------
+
+    def inspect_text(self, text: Union[str, bytes], **params: Any) -> dict:
+        body = text.encode("utf-8") if isinstance(text, str) else bytes(text)
+        return self._request(
+            "POST", "/v1/pipeline/inspect/text",
+            params={k: str(v) for k, v in params.items()} or None, content=body,
+        )
+
+    def inspect_image(self, image: c.ImageSource, **params: Any) -> dict:
+        if isinstance(image, Path):
+            image = image.read_bytes()
+        return self._request(
+            "POST", "/v1/pipeline/inspect/image",
+            params={k: str(v) for k, v in params.items()} or None,
+            content=bytes(image),
+        )
+
+    def inspect_audio(
+        self, audio: c.AudioSource, *, sample_rate: Optional[int] = None,
+        **params: Any,
+    ) -> dict:
+        pcm, sr = c.audio_payload(audio, sample_rate)
+        q = {"sample_rate": str(sr)}
+        q.update({k: str(v) for k, v in params.items()})
+        return self._request(
+            "POST", "/v1/pipeline/inspect/audio", params=q, content=pcm
+        )
