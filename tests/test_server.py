@@ -129,6 +129,26 @@ class TestAuth:
         resp = call(app, "POST", "/v1/ingest/text/0/1", b"hello world one two three")
         assert resp.status == 201
 
+    def test_x_api_key_fallback(self, tmp_path):
+        # reference docs/authentication.md: X-Api-Key is equivalent to
+        # the bearer for clients that cannot set Authorization
+        app, _ = make_app(tmp_path)
+        resp = call(app, "POST", "/v1/ingest/text/0/2",
+                    b"hello world one two three", token=None,
+                    headers={"x-api-key": TOKEN})
+        assert resp.status == 201
+        resp = call(app, "POST", "/v1/ingest/text/0/3", b"hi", token=None,
+                    headers={"x-api-key": "wrong"})
+        assert resp.status == 401
+
+    def test_bearer_wins_over_x_api_key(self, tmp_path):
+        # both present -> Authorization: Bearer decides (and a bad
+        # bearer is rejected even with a valid X-Api-Key alongside)
+        app, _ = make_app(tmp_path)
+        resp = call(app, "POST", "/v1/ingest/text/0/4", b"hi",
+                    token="nope", headers={"x-api-key": TOKEN})
+        assert resp.status == 401
+
     def test_multi_tenant_isolation(self, tmp_path):
         keys = parse_keys_file(
             """

@@ -182,6 +182,13 @@ def build_server(
             ctx = await state.api_keys.lookup(authz[7:].strip())
             if ctx is None:
                 raise HttpError(401, "unauthorized", "unknown API key")
+        elif req.headers.get("x-api-key"):
+            # X-Api-Key fallback transport for callers that cannot set
+            # Authorization (reference docs/authentication.md); Bearer
+            # wins when both are present
+            ctx = await state.api_keys.lookup(req.headers["x-api-key"].strip())
+            if ctx is None:
+                raise HttpError(401, "unauthorized", "unknown API key")
         elif state.accounts is not None:
             from .auth import ApiKeyContext
             from .handlers import session_token
