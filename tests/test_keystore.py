@@ -126,3 +126,84 @@ class TestAdminRoutes:
                     json.dumps({"tenant_id": 6}).encode(),
                     token=issued["token"])
         assert resp.status == 403
+
+
+class TestScopes:
+    """Scoped keys: empty scopes = unrestricted; explicit scopes gate
+    route families with 403 (web docs/error-codes scope-mismatch rule,
+    reference keys-file TOML `scopes = ["ingest", "query"]`)."""
+
+    def test_issue_with_scopes_enforced(self, tmp_path):
+        app, ks = make_app_with_keystore(tmp_path)
+        resp = call(app, "POST", "/v1/admin/keys", json.dumps({
+            "tenant_id": 5, "key_id": "ingest-only",
+            "scopes": ["ingest"],
+        }).encode())
+        assert resp.status == 201
+        tok = jbody(resp)["token"]
+        assert jbody(resp)["scopes"] == ["ingest"]
+
+        # allowed: its scope's route family
+        resp = call(app, "POST", "/v1/ingest/text/5/1",
+                    b"hello world text", token=tok)
+        assert resp.status == 201
+        # denied: query is outside the key's scopes
+        resp = call(app, "POST", "/v1/query", json.dumps({
+            "tenant_id": 5, "modality": "text", "k": 3,
+            "terms": ["hello"],
+        }).encode(), token=tok)
+        assert resp.status == 403
+        assert "scope" in jbody(resp)["message"]
+        # denied: records reads too
+        resp = call(app, "GET", "/v1/records/5/1", token=tok)
+        assert resp.status == 403
+
+    def test_multi_scope_key(self, tmp_path):
+        app, ks = make_app_with_keystore(tmp_path)
+        tok = ks.issue(6, "iq", scopes=["ingest", "query"])["token"]
+        assert call(app, "POST", "/v1/ingest/text/6/1",
+                    b"some words here", token=tok).status == 201
+        assert call(app, "POST", "/v1/query", json.dumps({
+            "tenant_id": 6, "modality": "text", "terms": ["words"],
+        }).encode(), token=tok).status == 200
+        assert call(app, "GET", "/v1/records/6/1", token=tok).status == 403
+
+    def test_empty_scopes_unrestricted(self, tmp_path):
+        app, ks = make_app_with_keystore(tmp_path)
+        tok = ks.issue(6, "full")["token"]
+        assert call(app, "POST", "/v1/ingest/text/6/2",
+                    b"unrestricted key words", token=tok).status == 201
+        assert call(app, "GET", "/v1/records/6/2", token=tok).status == 200
+
+    def test_unknown_scope_rejected(self, tmp_path):
+        app, _ = make_app_with_keystore(tmp_path)
+        resp = call(app, "POST", "/v1/admin/keys", json.dumps({
+            "tenant_id": 5, "scopes": ["superuser"],
+        }).encode())
+        assert resp.status == 400
+        assert "unknown scopes" in jbody(resp)["message"]
+
+    def test_scopes_survive_reopen(self, tmp_path):
+        from ucfp_tpu.server.keystore import PersistentKeyStore
+
+        p = str(tmp_path / "k.json")
+        tok = PersistentKeyStore(p).issue(3, scopes=["query"])["token"]
+        ctx = run(PersistentKeyStore(p).lookup(tok))
+        assert ctx.scopes == ("query",)
+
+
+class TestKeysFileScopes:
+    def test_toml_scope_array_parsed(self):
+        from ucfp_tpu.server.auth import parse_keys_file
+
+        keys = parse_keys_file('''
+[keys.worker]
+token = "sek"
+tenant_id = 4
+scopes = ["ingest", "query"]
+rate_class = "bulk"
+''')
+        ctx = keys["sek"]
+        assert ctx.scopes == ("ingest", "query")
+        assert ctx.rate_class == "bulk"
+        assert ctx.tenant_id == 4

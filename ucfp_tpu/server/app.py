@@ -202,6 +202,16 @@ def build_server(
                 )
         if ctx is None:
             raise HttpError(401, "unauthorized", "missing bearer token")
+        # scope gate: keys issued with explicit scopes may only touch
+        # their route families; empty scopes = unrestricted (web
+        # docs/error-codes: 403 on scope mismatch)
+        from .auth import required_scope, scope_allows
+
+        if not scope_allows(ctx, req.path):
+            raise HttpError(
+                403, "forbidden",
+                f"key lacks the {required_scope(req.path)!r} scope",
+            )
         # rate check (mod.rs:332-345)
         decision = await state.rate_limit.check(ctx.tenant_id, ctx.rate_class)
         if not decision.allowed:

@@ -37,6 +37,49 @@ class ApiKeyLookup(abc.ABC):
         """Return the key's context, or None for an unknown token."""
 
 
+# Scope names → the route families they unlock. A key with EMPTY scopes
+# is unrestricted (the reference default: apikey.rs:101 builds contexts
+# with Vec::new() and its keys-file TOML documents
+# `scopes = ["ingest", "query"]`, apikey.rs:173; the web error-codes doc
+# specifies 403 on scope mismatch).
+SCOPE_ROUTES: tuple[tuple[str, str], ...] = (
+    ("/v1/ingest/", "ingest"),
+    ("/v1/inputs", "ingest"),
+    ("/v1/records", "records"),
+    ("/v1/query", "query"),
+    ("/v1/pipeline/", "query"),
+    ("/v1/admin/", "admin"),
+)
+
+
+def required_scope(path: str) -> Optional[str]:
+    """The scope a protected route needs, or None for unscoped routes
+    (e.g. /v1/auth/whoami)."""
+    for prefix, scope in SCOPE_ROUTES:
+        if path.startswith(prefix):
+            return scope
+    return None
+
+
+def scope_allows(ctx: ApiKeyContext, path: str) -> bool:
+    if not ctx.scopes:
+        return True
+    need = required_scope(path)
+    return need is None or need in ctx.scopes
+
+
+def _parse_scope_list(raw: str) -> tuple[str, ...]:
+    """Parse the TOML array form `["ingest", "query"]` (and tolerate a
+    bare comma list)."""
+    raw = raw.strip()
+    if raw.startswith("[") and raw.endswith("]"):
+        raw = raw[1:-1]
+    return tuple(
+        s for s in (part.strip().strip('"').strip("'") for part in raw.split(","))
+        if s
+    )
+
+
 class StaticSingleKey(ApiKeyLookup):
     """One service token, tenant 0 (service bearer). Constant-time compare."""
 
@@ -68,6 +111,8 @@ def parse_keys_file(content: str) -> dict[str, ApiKeyContext]:
             keys[fields["token"]] = ApiKeyContext(
                 tenant_id=int(fields.get("tenant_id", "0")),
                 key_id=section,
+                scopes=_parse_scope_list(fields.get("scopes", "")),
+                rate_class=fields.get("rate_class", "default"),
             )
         fields = {}
 

@@ -1030,13 +1030,22 @@ class Handlers:
             v = body.get(knob)
             if v is not None and (isinstance(v, bool) or not isinstance(v, int) or v < 0):
                 raise HttpError(400, "bad_request", f"{knob} must be a non-negative integer")
+        scopes = body.get("scopes")
+        if scopes is not None and (
+            not isinstance(scopes, list)
+            or not all(isinstance(s, str) for s in scopes)
+        ):
+            raise HttpError(400, "bad_request", "scopes must be a list of strings")
         try:
             issued = await _aio.to_thread(
                 self._keystore().issue, tenant_id, body.get("key_id"),
                 body.get("rate_limit_per_min"), body.get("daily_quota"),
+                scopes,
             )
         except ValueError as e:
-            raise HttpError(409, "conflict", str(e))
+            code = 400 if "unknown scopes" in str(e) else 409
+            raise HttpError(code, "bad_request" if code == 400 else "conflict",
+                            str(e))
         return Response.json(issued, status=201)
 
     async def admin_list_keys(self, req: Request) -> Response:

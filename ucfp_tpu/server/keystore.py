@@ -53,7 +53,8 @@ class PersistentKeyStore(ApiKeyLookup):
 
     def issue(self, tenant_id: int, key_id: Optional[str] = None,
               rate_limit_per_min: Optional[int] = None,
-              daily_quota: Optional[int] = None) -> dict:
+              daily_quota: Optional[int] = None,
+              scopes: Optional[list] = None) -> dict:
         """Create a key; returns the one-time plaintext token. Raises
         ValueError when key_id is already in use — revoke() deletes by
         key_id, so duplicates would make one call revoke both keys."""
@@ -64,6 +65,15 @@ class PersistentKeyStore(ApiKeyLookup):
         daily = self.DEFAULT_DAILY if daily_quota is None else int(daily_quota)
         if rpm < 0 or daily < 0:
             raise ValueError("rate_limit_per_min/daily_quota must be >= 0")
+        scope_list = [str(s) for s in (scopes or [])]
+        from .auth import SCOPE_ROUTES
+
+        known = {s for _, s in SCOPE_ROUTES}
+        bad = [s for s in scope_list if s not in known]
+        if bad:
+            raise ValueError(
+                f"unknown scopes {bad}; valid: {sorted(known)}"
+            )
         with self._lock:
             existing = {row["key_id"] for row in self._keys.values()}
             if key_id is not None and key_id in existing:
@@ -78,11 +88,12 @@ class PersistentKeyStore(ApiKeyLookup):
                 "created": int(time.time()),
                 "rate_limit_per_min": rpm,
                 "daily_quota": daily,
+                "scopes": scope_list,
             }
             self._save()
         return {"token": token, "key_id": kid, "tenant_id": tenant_id,
                 "prefix": token[:12], "rate_limit_per_min": rpm,
-                "daily_quota": daily}
+                "daily_quota": daily, "scopes": scope_list}
 
     def revoke(self, key_id: str) -> bool:
         with self._lock:
@@ -108,6 +119,7 @@ class PersistentKeyStore(ApiKeyLookup):
         return ApiKeyContext(
             tenant_id=row["tenant_id"],
             key_id=row["key_id"],
+            scopes=tuple(row.get("scopes", ())),
             # rows written before quotas existed get the schema defaults
             rate_limit_per_min=row.get("rate_limit_per_min", self.DEFAULT_RPM),
             daily_quota=row.get("daily_quota", self.DEFAULT_DAILY),
