@@ -27,6 +27,8 @@ export interface RecordMeta {
   hasEmbedding: boolean;
   embeddingDim?: number;
   modelId?: string | null;
+  fingerprintHex?: string;
+  embedding?: number[];
 }
 
 export interface WatermarkReport {
@@ -155,7 +157,10 @@ export declare class UcfpClient {
     samples: Float32Array | ArrayBuffer | Uint8Array,
     opts: { sampleRate: number; threshold?: number; tenantId?: number }
   ): Promise<WatermarkReport>;
-  getRecord(recordId: number, opts?: { tenantId?: number }): Promise<RecordMeta>;
+  getRecord(
+    recordId: number,
+    opts?: { tenantId?: number; include?: string }
+  ): Promise<RecordMeta>;
   deleteRecord(recordId: number, opts?: { tenantId?: number }): Promise<void>;
   query(modality: string, opts?: QueryOptions): Promise<QueryResult>;
 }

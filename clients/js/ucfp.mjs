@@ -251,7 +251,8 @@ export class UcfpClient {
 
   async getRecord(recordId, opts = {}) {
     const tid = opts.tenantId ?? this.tenantId;
-    const m = await this.#request('GET', `/v1/records/${tid}/${recordId}`,
+    const qs = opts.include ? `?include=${encodeURIComponent(opts.include)}` : '';
+    const m = await this.#request('GET', `/v1/records/${tid}/${recordId}${qs}`,
       { recordId });
     return {
       tenantId: m.tenant_id,
@@ -264,6 +265,8 @@ export class UcfpClient {
       hasEmbedding: m.has_embedding,
       embeddingDim: m.embedding_dim,
       modelId: m.model_id,
+      fingerprintHex: m.fingerprint_hex,
+      embedding: m.embedding,
     };
   }
 

@@ -276,11 +276,13 @@ class UcfpAsync:
     # -- records ----------------------------------------------------------------
 
     async def get_record(
-        self, record_id: int, *, tenant_id: Optional[int] = None
+        self, record_id: int, *, tenant_id: Optional[int] = None,
+        include: Optional[str] = None,
     ) -> RecordMeta:
         tid = self.tenant_id if tenant_id is None else tenant_id
         out = await self._request(
             "GET", f"/v1/records/{tid}/{int(record_id)}",
+            params={"include": include} if include else None,
             record_id=int(record_id),
         )
         return _parse_record_meta(out)

@@ -303,11 +303,15 @@ class Ucfp:
     # -- records ----------------------------------------------------------------
 
     def get_record(
-        self, record_id: int, *, tenant_id: Optional[int] = None
+        self, record_id: int, *, tenant_id: Optional[int] = None,
+        include: Optional[str] = None,
     ) -> RecordMeta:
+        """Describe a record. include="fingerprint" or
+        "fingerprint,embedding" also returns the stored bytes."""
         tid = self.tenant_id if tenant_id is None else tenant_id
         out = self._request(
             "GET", f"/v1/records/{tid}/{int(record_id)}",
+            params={"include": include} if include else None,
             record_id=int(record_id),
         )
         return _parse_record_meta(out)

@@ -89,6 +89,17 @@ class RecordMeta:
     embedding_dim: int = 0
     metadata_bytes: int = 0
     model_id: Optional[str] = None
+    # populated only when requested via include=...
+    fingerprint_hex: Optional[str] = None
+    embedding: Optional[list[float]] = None
+
+    @property
+    def fingerprint(self) -> Optional[bytes]:
+        return (
+            bytes.fromhex(self.fingerprint_hex)
+            if self.fingerprint_hex is not None
+            else None
+        )
 
 
 @dataclass
@@ -167,6 +178,8 @@ def _parse_record_meta(body: dict) -> RecordMeta:
         embedding_dim=int(body.get("embedding_dim", 0)),
         metadata_bytes=int(body.get("metadata_bytes", 0)),
         model_id=body.get("model_id"),
+        fingerprint_hex=body.get("fingerprint_hex"),
+        embedding=body.get("embedding"),
     )
 
 

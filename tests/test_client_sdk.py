@@ -168,6 +168,18 @@ class TestText:
         assert {200, 201} <= got and 202 not in got
         assert res.hits[0].term_hits  # explain populated
 
+    def test_get_record_include_fingerprint(self, client):
+        fp = client.text("include fingerprint document", record_id=150,
+                         tenant_id=7)
+        meta = client.get_record(150, tenant_id=7, include="fingerprint")
+        assert meta.fingerprint == fp.fingerprint
+        plain = client.get_record(150, tenant_id=7)
+        assert plain.fingerprint is None
+        with pytest.raises(UcfpError) as ei:
+            client.get_record(150, tenant_id=7, include="bogus")
+        assert ei.value.status == 400
+        client.delete_record(150, tenant_id=7)
+
     def test_auto_record_id(self, client):
         fp = client.text("auto id document", tenant_id=7)
         assert fp.record_id > 0

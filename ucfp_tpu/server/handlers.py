@@ -340,8 +340,32 @@ class Handlers:
                 "embedding_dim": len(row["embedding"]) if row["embedding"] else 0,
                 "metadata_bytes": len(row["metadata"]),
                 "model_id": m.model_id,
+                # ?include=fingerprint[,embedding] returns the stored
+                # bytes for client-side exact comparison (reference web
+                # docs/examples.md recipe 1: "pull the full fingerprint
+                # with ?include=fingerprint")
+                **self._describe_includes(req, row),
             }
         )
+
+    @staticmethod
+    def _describe_includes(req: Request, row: dict) -> dict:
+        raw = req.query.get("include", "")
+        if not raw:
+            return {}
+        out: dict = {}
+        for part in raw.split(","):
+            part = part.strip()
+            if part == "fingerprint":
+                out["fingerprint_hex"] = bytes(row["fingerprint"]).hex()
+            elif part == "embedding":
+                out["embedding"] = row["embedding"]
+            elif part:
+                raise HttpError(
+                    400, "bad_query",
+                    f"unknown include {part!r} (valid: fingerprint, embedding)",
+                )
+        return out
 
     async def delete_record(self, req: Request) -> Response:
         tid, rid = _path_ids(req)
