@@ -207,6 +207,20 @@ class TestRateLimitAndUsage:
         assert resp.status == 201
         assert int(resp.headers["x-ratelimit-remaining"]) >= 0
         assert int(resp.headers["x-ratelimit-reset-ms"]) >= 0
+        assert resp.headers["x-ratelimit-limit"] == "200"  # bucket size
+
+    def test_429_carries_limit_headers(self, tmp_path):
+        from ucfp_tpu.server.ratelimit import InMemoryTokenBucket
+
+        # burst of 2: third call in the same instant is denied
+        app, _ = make_app(tmp_path, rate=InMemoryTokenBucket(0.5, 2))
+        assert call(app, "GET", "/v1/records/0/1").status in (200, 404)
+        assert call(app, "GET", "/v1/records/0/1").status in (200, 404)
+        resp = call(app, "GET", "/v1/records/0/1")
+        assert resp.status == 429
+        assert resp.headers["x-ratelimit-limit"] == "2"
+        assert resp.headers["x-ratelimit-remaining"] == "0"
+        assert "retry-after" in resp.headers
 
     def test_usage_ndjson(self, tmp_path):
         log = tmp_path / "usage.ndjson"

@@ -70,3 +70,61 @@ class TestManifestDrivenTunables:
         # controls cover all three tunable kinds
         for kind in ("enum", "bool"):
             assert f"t.kind==='{kind}'" in s
+
+
+class TestDocsSite:
+    """/docs renders the repo's markdown doc set (reference web app's
+    documentation pages, web/src/lib/docs)."""
+
+    def test_index_lists_pages(self, tmp_path):
+        from test_server import call, make_app
+
+        app, _ = make_app(tmp_path)
+        resp = call(app, "GET", "/docs", token=None)
+        assert resp.status == 200
+        body = resp.body.decode()
+        for page in ("getting-started", "authentication", "error-codes",
+                     "api-reference-audio", "sdk-python"):
+            assert f"/docs/{page}" in body
+
+    def test_page_renders_markdown(self, tmp_path):
+        from test_server import call, make_app
+
+        app, _ = make_app(tmp_path)
+        resp = call(app, "GET", "/docs/error-codes", token=None)
+        assert resp.status == 200
+        body = resp.body.decode()
+        assert "<table>" in body and "<h1>" in body
+        assert "rate_limited" in body
+        # internal .md links rewritten to /docs routes
+        assert 'href="/docs/rate-limits"' in body
+
+    def test_unknown_and_traversal_404(self, tmp_path):
+        from test_server import call, make_app
+
+        app, _ = make_app(tmp_path)
+        assert call(app, "GET", "/docs/nope", token=None).status == 404
+        assert call(app, "GET", "/docs/..%2fSURVEY", token=None).status == 404
+
+    def test_renderer_escapes_html(self):
+        from ucfp_tpu.server.docsite import render_markdown
+
+        out = render_markdown("hello <script>alert(1)</script>\n\n"
+                              "`code <b>` and **bold <i>**")
+        assert "<script>" not in out
+        assert "&lt;script&gt;" in out
+        assert "<code>code &lt;b&gt;</code>" in out
+        assert "<strong>bold &lt;i&gt;</strong>" in out
+
+    def test_renderer_constructs(self):
+        from ucfp_tpu.server.docsite import render_markdown
+
+        md = "# Title\n\n- item one\n- item two\n\n1. first\n2. second\n\n"\
+             "```\ncode **not bold**\n```\n\n| a | b |\n| --- | --- |\n"\
+             "| 1 | 2 |\n\n> quoted\n\n---\n"
+        out = render_markdown(md)
+        assert "<h1>Title</h1>" in out
+        assert out.count("<li>") == 4 and "<ol>" in out and "<ul>" in out
+        assert "<pre><code>code **not bold**</code></pre>" in out
+        assert "<th>a</th>" in out and "<td>2</td>" in out
+        assert "<blockquote>quoted</blockquote>" in out and "<hr>" in out

@@ -78,6 +78,25 @@ def build_server(
         return Response(body=PAGE.encode(), content_type="text/html; charset=utf-8")
 
     r.add("GET", "/", index_page, protected=False)
+
+    # documentation site (reference web/src/lib/docs markdown pages)
+    async def docs_index(req: Request) -> Response:
+        from .docsite import index_html
+
+        return Response(body=index_html().encode(),
+                        content_type="text/html; charset=utf-8")
+
+    async def docs_page(req: Request) -> Response:
+        from .docsite import page_html
+
+        page = page_html(req.params.get("page", ""))
+        if page is None:
+            raise HttpError(404, "not_found", "no such doc page")
+        return Response(body=page.encode(),
+                        content_type="text/html; charset=utf-8")
+
+    r.add("GET", "/docs", docs_index, protected=False)
+    r.add("GET", "/docs/{page}", docs_page, protected=False)
     r.add("GET", "/healthz", h.healthz, protected=False)
     r.add("GET", "/v1/info", h.info, protected=False)
     r.add("GET", "/v1/algorithms", h.algorithms, protected=False)
@@ -220,7 +239,10 @@ def build_server(
                 "rate_limited",
                 "tenant rate limit exceeded",
                 headers={
-                    "retry-after": str(max(1, decision.retry_after_ms // 1000))
+                    "retry-after": str(max(1, decision.retry_after_ms // 1000)),
+                    **({"x-ratelimit-limit": str(decision.limit)}
+                       if decision.limit else {}),
+                    "x-ratelimit-remaining": "0",
                 },
             )
         # per-key budget on top of the tenant bucket (ratelimit.ts:10-80:
@@ -236,7 +258,10 @@ def build_server(
                     "rate_limited",
                     "API key rate limit exceeded",
                     headers={
-                        "retry-after": str(max(1, kd.retry_after_ms // 1000))
+                        "retry-after": str(max(1, kd.retry_after_ms // 1000)),
+                        **({"x-ratelimit-limit": str(kd.limit)}
+                           if kd.limit else {}),
+                        "x-ratelimit-remaining": "0",
                     },
                 )
             decision = kd if kd.remaining < decision.remaining else decision
@@ -250,6 +275,8 @@ def build_server(
             # RateDecision::Allow{remaining, reset_ms}
             resp.headers.setdefault("x-ratelimit-remaining", str(decision.remaining))
             resp.headers.setdefault("x-ratelimit-reset-ms", str(decision.reset_ms))
+            if decision.limit:
+                resp.headers.setdefault("x-ratelimit-limit", str(decision.limit))
             return resp
         except HttpError as e:
             status = e.status

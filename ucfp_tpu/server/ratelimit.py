@@ -22,6 +22,9 @@ class RateDecision:
     remaining: int = 0
     reset_ms: int = 0
     retry_after_ms: int = 0
+    # bucket size of the budget this decision came from; 0 = unbounded.
+    # Surfaced as the X-RateLimit-Limit response header.
+    limit: int = 0
 
 
 class TenantRateLimiter(abc.ABC):
@@ -63,10 +66,13 @@ class InMemoryTokenBucket(TenantRateLimiter):
         if tokens >= 1.0:
             b[0] = tokens - 1.0
             reset_ms = int(1000.0 * (self.burst - b[0]) / self.rate)
-            return RateDecision(allowed=True, remaining=int(b[0]), reset_ms=reset_ms)
+            return RateDecision(allowed=True, remaining=int(b[0]),
+                                reset_ms=reset_ms, limit=int(self.burst))
         b[0] = tokens
         return RateDecision(
-            allowed=False, retry_after_ms=int(1000.0 * (1.0 - tokens) / self.rate)
+            allowed=False,
+            retry_after_ms=int(1000.0 * (1.0 - tokens) / self.rate),
+            limit=int(self.burst),
         )
 
 
@@ -105,8 +111,10 @@ class FixedWindowLimiter:
                 return RateDecision(
                     allowed=False,
                     retry_after_ms=int(((day + 1) * 86400 - now) * 1000),
+                    limit=daily,
                 )
         remaining = 1 << 30
+        limit = 0
         if per_min:
             row = self._minute.get(key)
             if row is None or row[0] != win:
@@ -117,17 +125,22 @@ class FixedWindowLimiter:
                 return RateDecision(
                     allowed=False,
                     retry_after_ms=int(((win + 1) * 60 - now) * 1000),
+                    limit=per_min,
                 )
             row[1] += 1
             remaining = per_min - row[1]
+            limit = per_min
         if daily:
             drow = self._day[key]
             drow[1] += 1
-            remaining = min(remaining, daily - drow[1])
+            if daily - drow[1] < remaining:
+                remaining = daily - drow[1]
+                limit = daily
         return RateDecision(
             allowed=True,
             remaining=remaining,
             reset_ms=int(((win + 1) * 60 - now) * 1000),
+            limit=limit,
         )
 
 

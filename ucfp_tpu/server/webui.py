@@ -47,6 +47,7 @@ PAGE = r"""<!doctype html>
 <body>
 <header>
  <h1>ucfp-tpu playground</h1>
+ <a href="/docs" style="color:#58a6ff;text-decoration:none;font-size:13px">docs</a>
  <label>API token <input id="token" size="18" placeholder="bearer token"></label>
  <label>tenant <input id="tenant" size="4" value="0"></label>
  <span class="kv" id="info"></span>
