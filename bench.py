@@ -388,7 +388,8 @@ def _row_norms_int8(m8, chunk):
     return jax.lax.map(f, m8.reshape(n // chunk, chunk, d)).reshape(n)
 
 
-def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32):
+def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
+                              n_rows=10_000_000):
     """The BASELINE target shape: int8 cosine top-k over 10M x 768.
 
     Returns (single_ms, batched_ms_per_query). The catalog is 7.5 GB at
@@ -405,7 +406,7 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32):
     from ucfp_tpu.ops import pallas_scan
 
     tile = pallas_scan.ROWS_PER_TILE * pallas_scan.LANES
-    n = (10_000_000 // tile) * tile
+    n = (n_rows // tile) * tile
     d = 768
 
     @jax.jit
@@ -469,7 +470,66 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32):
                        iters) * 1000.0
     batch_ms = _timed(lambda it: int(loop_batch(q_batch, m8, rn, it)),
                       max(iters // 2, 2)) * 1000.0
-    return single_ms, batch_ms / qbatch
+
+    # -- sketch prefilter path (UCFP_KNN_QUANT=sketch) -----------------
+    # 256-bit SimHash per row: the single-query scan reads 320 MB of
+    # sketches + ~1.5 MB of gathered candidates instead of the 7.5 GB
+    # int8 matrix — the sub-10x attack on the HBM-bound single-query
+    # floor. Also measures candidate recall against the exact int8
+    # ranking (random queries = worst case; planted near-duplicates =
+    # the product workload).
+    from ucfp_tpu.ops import knn as knn_ops
+
+    planes = jnp.asarray(knn_ops.sketch_planes(d))
+    sketch = jax.block_until_ready(
+        knn_ops.build_sketch_chunked(m8, planes, chunk=tile * 8)
+    )
+    valid = jnp.ones(n, bool)
+    cand = knn_ops.sketch_candidates(n, k)
+
+    @functools.partial(jax.jit, static_argnums=(6,))
+    def loop_sketch(q, pl, m, rnv, sk, vd, it):
+        def body(_i, carry):
+            _vals, idx = knn_ops.cosine_sketch_topk(
+                carry, pl, m, rnv, sk, vd, k, cand
+            )
+            return jnp.clip(
+                carry + m[idx[0]].astype(jnp.float32) / 127.0, -127.0, 127.0
+            )
+
+        out = jax.lax.fori_loop(0, it, body, q)
+        return jnp.sum(out)
+
+    qf = q_single.astype(jnp.float32)
+    sketch_ms = _timed(
+        lambda it: float(loop_sketch(qf, planes, m8, rn, sketch, valid, it)),
+        iters,
+    ) * 1000.0
+
+    # recall: overlap of sketch top-k with the exact int8 top-k
+    rec_hits = rec_total = 0
+    planted_hits = 0
+    kq = jax.random.split(jax.random.PRNGKey(9), 8)
+    for t in range(8):
+        q = jax.random.normal(kq[t], (d,), jnp.float32) * 40.0
+        _, ie = pallas_scan.cosine_int8_topk_hybrid(
+            jnp.clip(jnp.round(q), -127, 127).astype(jnp.int8), m8, rn, k
+        )
+        _, isk = knn_ops.cosine_sketch_topk(
+            q, planes, m8, rn, sketch, valid, k, cand
+        )
+        rec_hits += len(set(ie.tolist()) & set(isk.tolist()))
+        rec_total += k
+        # planted near-duplicate: noisy copy of a stored row
+        row = int(jax.random.randint(kq[t], (), 0, n))
+        qp = m8[row].astype(jnp.float32) + \
+            jax.random.normal(kq[t], (d,), jnp.float32) * 6.0
+        _, ipl = knn_ops.cosine_sketch_topk(
+            qp, planes, m8, rn, sketch, valid, k, cand
+        )
+        planted_hits += int(row in ipl.tolist())
+    return (single_ms, batch_ms / qbatch, sketch_ms,
+            rec_hits / rec_total, planted_hits / 8.0)
 
 
 def _prefer_direct_tpu():
@@ -543,10 +603,15 @@ def _run_all():
     budget_s = float(os.environ.get("UCFP_BENCH_BUDGET_S", "420"))
     t_start = time.perf_counter()
     def _pair_768():
-        single_ms, per_q_ms = bench_cosine_int8_10m_768()
+        (single_ms, per_q_ms, sketch_ms, recall10, planted) = (
+            bench_cosine_int8_10m_768()
+        )
         extra["query_cosine_int8_batch32_ms_per_query_10m_x768"] = round(
             per_q_ms, 4
         )
+        extra["query_cosine_sketch_p50_ms_10m_x768"] = round(sketch_ms, 3)
+        extra["sketch_recall10_random_10m_x768"] = round(recall10, 3)
+        extra["sketch_top1_planted_10m_x768"] = round(planted, 3)
         return round(single_ms, 3)
 
     for name, fn in [

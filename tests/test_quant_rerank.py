@@ -246,3 +246,96 @@ class TestBatchedFingerprintQuery:
             {"tenant_id": 0, "modality": "text", "k": 1,
              "vectors": [[1.0, 0.0]] * 257}).encode())
         assert r.status == 400
+
+
+class TestSketchPrefilter:
+    """UCFP_KNN_QUANT=sketch: 256-bit SimHash prefilter + approx_max_k
+    candidates + exact int8 rescore (ops/knn.py sketch section)."""
+
+    def test_kernel_matches_int8_when_pool_covers(self):
+        # cand >= C: every row is rescored, so results == exact int8
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(1)
+        C, D = 512, 48
+        m = rng.normal(size=(C, D)).astype(np.float32)
+        q8, rn = knn_ops.quantize_rows_int8(m)
+        planes = jnp.asarray(knn_ops.sketch_planes(D))
+        sk = knn_ops.build_sketch_chunked(jnp.asarray(q8), planes)
+        valid = jnp.ones(C, bool)
+        q = rng.normal(size=D).astype(np.float32)
+        se, ie = knn_ops.cosine_topk_int8(
+            jnp.asarray(q[None]), jnp.asarray(q8), jnp.asarray(rn), valid, 5)
+        ss, isk = knn_ops.cosine_sketch_topk(
+            jnp.asarray(q), planes, jnp.asarray(q8), jnp.asarray(rn),
+            sk, valid, 5, knn_ops.sketch_candidates(C, 5))
+        assert np.asarray(ie[0]).tolist() == np.asarray(isk).tolist()
+        np.testing.assert_allclose(np.asarray(se[0]), np.asarray(ss), rtol=1e-6)
+
+    def test_kernel_near_duplicate_recall(self):
+        # pool < catalog: planted near-duplicates must surface
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(2)
+        C, D = 8192, 32
+        m = rng.normal(size=(C, D)).astype(np.float32)
+        q8, rn = knn_ops.quantize_rows_int8(m)
+        planes = jnp.asarray(knn_ops.sketch_planes(D))
+        sk = knn_ops.build_sketch_chunked(jnp.asarray(q8), planes)
+        valid = jnp.ones(C, bool)
+        cand = knn_ops.sketch_candidates(C, 10)
+        assert cand < C
+        hits = 0
+        for row in (7, 999, 5000):
+            q = m[row] + 0.05 * rng.normal(size=D).astype(np.float32)
+            _, idx = knn_ops.cosine_sketch_topk(
+                jnp.asarray(q), planes, jnp.asarray(q8), jnp.asarray(rn),
+                sk, valid, 10, cand)
+            hits += int(row in np.asarray(idx).tolist())
+        assert hits == 3
+
+    def test_backend_sketch_mode(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("UCFP_SHARD", "off")
+        rng = np.random.default_rng(3)
+        vecs = rng.normal(size=(300, 24)).astype(np.float32)
+        vec = lambda i: [float(x) for x in vecs[i]]
+
+        bs = EmbeddedBackend(str(tmp_path / "s"), knn_quant="sketch")
+        b8 = EmbeddedBackend(str(tmp_path / "i"), knn_quant="int8")
+        recs = [Record(0, i, Modality.TEXT, "e", b"x", embedding=vec(i))
+                for i in range(300)]
+        run(bs.upsert(recs))
+        run(b8.upsert(recs))
+        # small catalog: pool covers everything -> identical to int8
+        hs = run(bs.knn(0, vec(42), 5))
+        h8 = run(b8.knn(0, vec(42), 5))
+        assert [(h.record_id, round(h.score, 6)) for h in hs] == \
+               [(h.record_id, round(h.score, 6)) for h in h8]
+        assert hs[0].record_id == 42
+        # not approximate while the pool covers the catalog
+        assert not bs.knn_is_approximate(0, 24, 5)
+
+        # incremental update rides the scatter path (sketch rows too)
+        new = rng.normal(size=24).astype(np.float32)
+        run(bs.upsert([Record(0, 7777, Modality.TEXT, "e", b"x",
+                              embedding=[float(x) for x in new])]))
+        got = run(bs.knn(0, [float(x) for x in new], 1))
+        assert got[0].record_id == 7777
+
+    def test_backend_sketch_large_is_marked_approximate(self, tmp_path,
+                                                        monkeypatch):
+        monkeypatch.setenv("UCFP_SHARD", "off")
+        rng = np.random.default_rng(4)
+        n = 3000  # capacity 4096 -> pool 2048 < n
+        vecs = rng.normal(size=(n, 16)).astype(np.float32)
+        b = EmbeddedBackend(str(tmp_path), knn_quant="sketch")
+        run(b.upsert([Record(0, i, Modality.TEXT, "e", b"x",
+                             embedding=[float(x) for x in vecs[i]])
+                      for i in range(n)]))
+        assert b.knn_is_approximate(0, 16, 10)
+        q = vecs[1234] + 0.03 * rng.normal(size=16).astype(np.float32)
+        hits = run(b.knn(0, [float(x) for x in q], 10))
+        assert hits[0].record_id == 1234
+        # batch path still answers (int8 GEMM fallback under sketch mode)
+        res = run(b.knn_batch(0, [[float(x) for x in vecs[50]]], 3))
+        assert res[0][0].record_id == 50

@@ -332,8 +332,12 @@ class EmbeddedBackend(IndexBackend):
         # knn_quant: None/"none" = exact f32 cosine (reference semantics);
         # "int8" = per-row symmetric quantized scan (4x bandwidth, the
         # sub-ms @10M representation; scores are cosines of the quantized
-        # rows). Also settable via UCFP_KNN_QUANT.
+        # rows); "sketch" = int8 PLUS a 256-bit SimHash sketch prefilter
+        # for single-vector queries (24x less HBM scanned, approx_max_k
+        # candidate pool, exact int8 rescore — responses marked
+        # approximate). Also settable via UCFP_KNN_QUANT.
         self.knn_quant = (knn_quant or os.environ.get("UCFP_KNN_QUANT", "none")).lower()
+        self._planes: dict[int, object] = {}  # dim -> device planes
         self.data_dir = data_dir
         os.makedirs(data_dir, exist_ok=True)
         self._wal_path = os.path.join(data_dir, "ucfp.wal")
@@ -902,15 +906,21 @@ class EmbeddedBackend(IndexBackend):
         import jax.numpy as jnp
 
         cap = cache.data.shape[0]
-        quant = self.knn_quant == "int8"
+        quant = self.knn_quant in ("int8", "sketch")
+        sketch_on = self._sketch_on()
         if cache.dirty or cache.device is None:
             if quant:
                 q8, row_norm = knn_ops.quantize_rows_int8(cache.data)
-                cache.device = (
-                    self._put_matrix(q8),
-                    self._put_rowvec(row_norm),
-                    self._device_valid(cap, cache.n),
-                )
+                q8m = self._put_matrix(q8)
+                parts = [q8m, self._put_rowvec(row_norm)]
+                if sketch_on:
+                    parts.append(
+                        knn_ops.build_sketch_chunked(
+                            q8m, self._sketch_planes(cache.data.shape[1])
+                        )
+                    )
+                parts.append(self._device_valid(cap, cache.n))
+                cache.device = tuple(parts)
             else:
                 cache.device = (
                     self._put_matrix(cache.data),
@@ -923,12 +933,21 @@ class EmbeddedBackend(IndexBackend):
             ridx = jnp.asarray(rows)
             if quant:
                 q8u, rnu = knn_ops.quantize_rows_int8(cache.data[rows])
-                m, rn, _v = cache.device
-                cache.device = (
-                    self._scatter_rows(m, ridx, jnp.asarray(q8u)),
+                m, rn = cache.device[0], cache.device[1]
+                q8u_dev = jnp.asarray(q8u)
+                parts = [
+                    self._scatter_rows(m, ridx, q8u_dev),
                     self._scatter_rows(rn, ridx, jnp.asarray(rnu)),
-                    self._device_valid(cap, cache.n),
-                )
+                ]
+                if sketch_on:
+                    sk_rows = knn_ops.sketch_rows_int8(
+                        q8u_dev, self._sketch_planes(cache.data.shape[1])
+                    )
+                    parts.append(
+                        self._scatter_rows(cache.device[2], ridx, sk_rows)
+                    )
+                parts.append(self._device_valid(cap, cache.n))
+                cache.device = tuple(parts)
             else:
                 m, _v = cache.device
                 cache.device = (
@@ -937,6 +956,20 @@ class EmbeddedBackend(IndexBackend):
                 )
             cache.pending = []
         return cache.device
+
+    def _sketch_on(self) -> bool:
+        """Sketch prefilter applies single-device only; under a mesh the
+        int8 sharded scan already divides the bandwidth per chip."""
+        return self.knn_quant == "sketch" and self._mesh is None
+
+    def _sketch_planes(self, dim: int):
+        import jax.numpy as jnp
+
+        p = self._planes.get(dim)
+        if p is None:
+            p = jnp.asarray(knn_ops.sketch_planes(dim))
+            self._planes[dim] = p
+        return p
 
     def _device_ham(self, cache: _RowCache):
         import jax.numpy as jnp
@@ -982,6 +1015,12 @@ class EmbeddedBackend(IndexBackend):
         cache = self._vec.get((tenant_id, dim))
         if cache is None or cache.n == 0 or cache.data is None:
             return False
+        if self._sketch_on():
+            # candidate recall bounds result quality whenever the pool
+            # does not cover the whole catalog
+            return cache.n > knn_ops.sketch_candidates(
+                cache.data.shape[0], k
+            ) or self._fused_pool_ok(cache.data.shape[0], cache.n, k)
         return self._fused_pool_ok(cache.data.shape[0], cache.n, k)
 
     def fingerprint_is_approximate(self, tenant_id: int, algorithm: str,
@@ -1027,7 +1066,7 @@ class EmbeddedBackend(IndexBackend):
                 # per-chip top-k + all_gather merge (sharded_knn.py)
                 from ..parallel import sharded_knn
 
-                if self.knn_quant == "int8":
+                if self.knn_quant in ("int8", "sketch"):
                     q8m, row_norm, valid = dev
                     scores, idx = sharded_knn.sharded_cosine_int8_batch_topk(
                         q[None], q8m, row_norm, valid, kk, self._mesh,
@@ -1039,6 +1078,16 @@ class EmbeddedBackend(IndexBackend):
                         q[None], matrix, valid, kk, self._mesh,
                         self._mesh_axes,
                     )
+            elif self._sketch_on():
+                import jax.numpy as jnp
+
+                q8m, row_norm, sketch, valid = dev
+                cand = knn_ops.sketch_candidates(q8m.shape[0], kk)
+                s1, i1 = knn_ops.cosine_sketch_topk(
+                    jnp.asarray(q), self._sketch_planes(len(query)),
+                    q8m, row_norm, sketch, valid, kk, cand,
+                )
+                scores, idx = s1[None, :], i1[None, :]
             elif self.knn_quant == "int8":
                 q8m, row_norm, valid = dev
                 from ..ops import pallas_scan
@@ -1132,7 +1181,7 @@ class EmbeddedBackend(IndexBackend):
             if self._mesh is not None:
                 from ..parallel import sharded_knn
 
-                if self.knn_quant == "int8":
+                if self.knn_quant in ("int8", "sketch"):
                     q8m, row_norm, valid = dev
                     scores, idx = sharded_knn.sharded_cosine_int8_batch_topk(
                         qm, q8m, row_norm, valid, kk, self._mesh,
@@ -1143,10 +1192,13 @@ class EmbeddedBackend(IndexBackend):
                     scores, idx = sharded_knn.sharded_cosine_topk(
                         qm, matrix, valid, kk, self._mesh, self._mesh_axes,
                     )
-            elif self.knn_quant == "int8":
+            elif self.knn_quant in ("int8", "sketch"):
+                # batched queries amortize the HBM scan across the whole
+                # GEMM, so the sketch prefilter buys nothing here — ride
+                # the int8 path (the sketch cache is a superset of it)
                 from ..ops import pallas_scan
 
-                q8m, row_norm, valid = dev
+                q8m, row_norm, valid = dev[0], dev[1], dev[-1]
                 # fused partial-reduce: only when the candidate pool covers
                 # k with headroom (near-exact for small k; see docstring)
                 if self._fused_pool_ok(q8m.shape[0], cache.n, kk):

@@ -156,6 +156,118 @@ def cosine_topk_int8(
     return jax.lax.top_k(scores, k)
 
 
+# -- SimHash sketch prefilter + exact int8 rescore ---------------------------
+#
+# The single-query 10M x 768 int8 GEMV is HBM-bound at ~9.2 ms on one
+# v5e chip (7.5 GB scanned at 819 GB/s). A 256-bit SimHash sketch per
+# row cuts the scanned bytes 24x (320 MB): XOR+popcount ranks every row
+# by approximate angle, XLA's approx_max_k keeps the best `cand`
+# candidates in one streaming pass, and the exact int8 dot re-scores
+# only those. Top-k quality is then the sketch's candidate recall — for
+# near-duplicate workloads (the product's use case) a 256-bit sketch at
+# cand=2048 over 10M rows keeps recall@10 near 1.0 (measured in
+# bench.py extras); responses on this path are marked approximate.
+
+SKETCH_BITS = 256
+SKETCH_WORDS = SKETCH_BITS // 32
+
+
+def sketch_planes(dim: int, seed: int = 0x5EED):
+    """Deterministic Rademacher (+-1) hyperplane matrix [dim, 256].
+
+    Host-side and seeded by (seed, dim) only, so cache rebuilds and
+    process restarts reproduce identical sketches."""
+    import numpy as np
+
+    rng = np.random.default_rng([seed, dim])
+    return rng.choice(
+        np.asarray([-1.0, 1.0], np.float32), size=(dim, SKETCH_BITS)
+    )
+
+
+def _pack_bit_rows(bits: jax.Array) -> jax.Array:
+    """[N, 256] bool -> [N, 8] uint32 little-endian bit packing."""
+    n = bits.shape[0]
+    b3 = bits.reshape(n, SKETCH_WORDS, 32).astype(jnp.uint32)
+    weights = jnp.left_shift(
+        jnp.uint32(1), jnp.arange(32, dtype=jnp.uint32)
+    )
+    return jnp.sum(b3 * weights[None, None, :], axis=2, dtype=jnp.uint32)
+
+
+@jax.jit
+def sketch_rows_int8(q8_rows: jax.Array, planes: jax.Array) -> jax.Array:
+    """Sketch int8 rows: sign bits of the f32 projection. Quantization
+    preserves row direction, so sketching q8 instead of the f32 source
+    matches up to quantization noise — and avoids ever needing the
+    30 GB f32 matrix on device."""
+    proj = jax.lax.dot_general(
+        q8_rows.astype(jnp.float32), planes, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return _pack_bit_rows(proj >= 0.0)
+
+
+def build_sketch_chunked(q8: jax.Array, planes: jax.Array,
+                         chunk: int = 1 << 20) -> jax.Array:
+    """Sketch a [C, D] int8 matrix in row chunks: the f32 projection
+    intermediate stays O(chunk x 256) instead of O(C x 256)."""
+    c = q8.shape[0]
+    if c <= chunk:
+        return sketch_rows_int8(q8, planes)
+    parts = [
+        sketch_rows_int8(q8[i : i + chunk], planes)
+        for i in range(0, c, chunk)
+    ]
+    return jnp.concatenate(parts, axis=0)
+
+
+@functools.partial(jax.jit, static_argnums=(6, 7))
+def cosine_sketch_topk(
+    query: jax.Array,  # [D] f32
+    planes: jax.Array,  # [D, 256] f32
+    q8: jax.Array,  # [C, D] int8
+    row_norm: jax.Array,  # [C] f32
+    sketch: jax.Array,  # [C, 8] uint32
+    valid: jax.Array,  # [C] bool
+    k: int,
+    cand: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Sketch-prefilter cosine top-k. Returns ([k] scores, [k] idx);
+    scores are exact int8 cosines of the rescored candidates."""
+    qsk = _pack_bit_rows((query @ planes >= 0.0)[None])[0]  # [8] u32
+    x = jnp.bitwise_xor(sketch, qsk[None, :])
+    dist = jnp.sum(
+        jax.lax.population_count(x).astype(jnp.int32), axis=1
+    )  # [C]
+    ok = valid & (row_norm > 0.0)
+    neg = jnp.where(ok, -dist.astype(jnp.float32), NEG_INF)
+    _, cidx = jax.lax.approx_max_k(neg, cand)  # [cand]
+
+    rows = jnp.take(q8, cidx, axis=0)  # [cand, D] gather
+    q_absmax = jnp.max(jnp.abs(query))
+    q_scale = jnp.where(q_absmax == 0.0, 1.0, q_absmax / 127.0)
+    qq = jnp.clip(jnp.round(query / q_scale), -127, 127).astype(jnp.int8)
+    dots = jax.lax.dot_general(
+        qq[None, :], rows, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )[0].astype(jnp.float32)  # [cand]
+    qn = jnp.linalg.norm(qq.astype(jnp.float32))
+    rn = jnp.take(row_norm, cidx)
+    denom = jnp.maximum(qn, 1e-9) * jnp.maximum(rn, 1e-9)
+    scores = jnp.where(
+        jnp.take(ok, cidx), dots / denom, NEG_INF
+    )
+    s, p = jax.lax.top_k(scores, k)
+    return s, jnp.take(cidx, p)
+
+
+def sketch_candidates(cap: int, k: int) -> int:
+    """Candidate-pool size: 2048 floor (recall), scaled with k, capped
+    by the matrix capacity so approx_max_k stays well-formed."""
+    return min(max(2048, 64 * k), cap)
+
+
 def pack_bits_to_u32(fp: bytes) -> list[int]:
     """Fingerprint bytes -> little-endian uint32 words (zero-padded)."""
     pad = (-len(fp)) % 4
