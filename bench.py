@@ -506,9 +506,18 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
         iters,
     ) * 1000.0
 
-    # recall: overlap of sketch top-k with the exact int8 top-k
+    # recall characterization. Two regimes:
+    #  * random queries (worst case): the true top-10 of 10M random
+    #    vectors are ~5-sigma weakly-separated neighbors — a 256-bit
+    #    sketch with a 0.02% pool cannot rank them (recall ~0; use
+    #    int8 exact for that workload)
+    #  * planted similar rows (the fingerprinting workload): a noisy
+    #    copy of a stored row at cosine ~0.99/0.7/0.5 must surface
     rec_hits = rec_total = 0
-    planted_hits = 0
+    planted = {0.99: 0, 0.7: 0, 0.5: 0}
+    # per-dim noise sigma for a target cosine vs uniform-int8 rows
+    # (row rms ~73.9/dim): tan(theta) = sigma/73.9
+    sigma = {0.99: 10.5, 0.7: 75.0, 0.5: 128.0}
     kq = jax.random.split(jax.random.PRNGKey(9), 8)
     for t in range(8):
         q = jax.random.normal(kq[t], (d,), jnp.float32) * 40.0
@@ -520,16 +529,16 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
         )
         rec_hits += len(set(ie.tolist()) & set(isk.tolist()))
         rec_total += k
-        # planted near-duplicate: noisy copy of a stored row
         row = int(jax.random.randint(kq[t], (), 0, n))
-        qp = m8[row].astype(jnp.float32) + \
-            jax.random.normal(kq[t], (d,), jnp.float32) * 6.0
-        _, ipl = knn_ops.cosine_sketch_topk(
-            qp, planes, m8, rn, sketch, valid, k, cand
-        )
-        planted_hits += int(row in ipl.tolist())
+        for cos_t, sg in sigma.items():
+            qp = m8[row].astype(jnp.float32) + \
+                jax.random.normal(kq[t], (d,), jnp.float32) * sg
+            _, ipl = knn_ops.cosine_sketch_topk(
+                qp, planes, m8, rn, sketch, valid, k, cand
+            )
+            planted[cos_t] += int(row in ipl.tolist())
     return (single_ms, batch_ms / qbatch, sketch_ms,
-            rec_hits / rec_total, planted_hits / 8.0)
+            rec_hits / rec_total, {c: v / 8.0 for c, v in planted.items()})
 
 
 def _prefer_direct_tpu():
@@ -611,7 +620,9 @@ def _run_all():
         )
         extra["query_cosine_sketch_p50_ms_10m_x768"] = round(sketch_ms, 3)
         extra["sketch_recall10_random_10m_x768"] = round(recall10, 3)
-        extra["sketch_top1_planted_10m_x768"] = round(planted, 3)
+        for cos_t, rate in planted.items():
+            key = f"sketch_top1_planted_cos{str(cos_t).replace('0.', '')}"
+            extra[key] = round(rate, 3)
         return round(single_ms, 3)
 
     for name, fn in [

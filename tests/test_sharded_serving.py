@@ -289,3 +289,52 @@ class TestMultiSliceMesh:
         hits = asyncio.run(be.knn(1, list(map(float, embs[23])), 3))
         assert hits[0].record_id == 23
         be.close()
+
+
+class TestShardedSketch:
+    """UCFP_KNN_QUANT=sketch under the mesh: each shard runs the sketch
+    prefilter + exact int8 rescore over its rows, two-stage merge."""
+
+    def test_sharded_sketch_single_query(self, tmp_path):
+        be = _mk(tmp_path, "sk", knn_quant="sketch")
+        assert be._mesh is not None
+        embs = _ingest_vectors(be, n=64, d=16, seed=7)
+        hits = asyncio.run(be.knn(1, [float(x) for x in embs[33]], 5))
+        assert hits[0].record_id == 33
+        assert hits[0].score > 0.99
+        # sharded sketch cache is the 4-tuple (q8, rn, sketch, valid)
+        dev = be._vec[(1, 16)].device
+        assert len(dev) == 4
+        assert dev[2].shape[1] == 8  # 256 bits packed
+        be.close()
+
+    def test_sharded_sketch_matches_int8_small(self, tmp_path):
+        # pool covers every shard's rows -> results identical to the
+        # sharded int8 scan
+        bs = _mk(tmp_path, "s2", knn_quant="sketch")
+        b8 = _mk(tmp_path, "i2", knn_quant="int8")
+        embs = _ingest_vectors(bs, n=48, d=12, seed=3)
+        rng = np.random.default_rng(3)
+        recs = [_rec(i, embs[i]) for i in range(48)]
+        asyncio.run(b8.upsert(recs))
+        q = [float(x) for x in rng.normal(size=12).astype(np.float32)]
+        hs = asyncio.run(bs.knn(1, q, 5))
+        h8 = asyncio.run(b8.knn(1, q, 5))
+        assert [(h.record_id, round(h.score, 5)) for h in hs] == \
+               [(h.record_id, round(h.score, 5)) for h in h8]
+        bs.close(); b8.close()
+
+    def test_sharded_sketch_batch_and_update(self, tmp_path):
+        be = _mk(tmp_path, "s3", knn_quant="sketch")
+        embs = _ingest_vectors(be, n=40, d=16, seed=9)
+        res = asyncio.run(be.knn_batch(
+            1, [[float(x) for x in embs[5]], [float(x) for x in embs[29]]], 3))
+        assert res[0][0].record_id == 5
+        assert res[1][0].record_id == 29
+        # scatter update flows into the sharded sketch too
+        rng = np.random.default_rng(10)
+        new = rng.normal(size=16).astype(np.float32)
+        asyncio.run(be.upsert([_rec(901, new)]))
+        got = asyncio.run(be.knn(1, [float(x) for x in new], 1))
+        assert got[0].record_id == 901
+        be.close()

@@ -914,11 +914,18 @@ class EmbeddedBackend(IndexBackend):
                 q8m = self._put_matrix(q8)
                 parts = [q8m, self._put_rowvec(row_norm)]
                 if sketch_on:
-                    parts.append(
-                        knn_ops.build_sketch_chunked(
-                            q8m, self._sketch_planes(cache.data.shape[1])
-                        )
-                    )
+                    planes = self._sketch_planes(cache.data.shape[1])
+                    if self._mesh is not None:
+                        # one sharded matmul: XLA keeps the row sharding
+                        # through dot+pack, so each chip sketches only
+                        # its own rows; re-pin to the matrix sharding
+                        import jax
+
+                        sk = knn_ops.sketch_rows_int8(q8m, planes)
+                        sk = jax.device_put(sk, q8m.sharding)
+                    else:
+                        sk = knn_ops.build_sketch_chunked(q8m, planes)
+                    parts.append(sk)
                 parts.append(self._device_valid(cap, cache.n))
                 cache.device = tuple(parts)
             else:
@@ -958,9 +965,7 @@ class EmbeddedBackend(IndexBackend):
         return cache.device
 
     def _sketch_on(self) -> bool:
-        """Sketch prefilter applies single-device only; under a mesh the
-        int8 sharded scan already divides the bandwidth per chip."""
-        return self.knn_quant == "sketch" and self._mesh is None
+        return self.knn_quant == "sketch"
 
     def _sketch_planes(self, dim: int):
         import jax.numpy as jnp
@@ -1010,17 +1015,20 @@ class EmbeddedBackend(IndexBackend):
         top-1; collision odds documented in ops/pallas_scan.py. Lets the
         serving layer mark responses instead of silently changing
         semantics under UCFP_KNN_QUANT=int8."""
-        if self._mesh is not None:
-            return False
         cache = self._vec.get((tenant_id, dim))
         if cache is None or cache.n == 0 or cache.data is None:
             return False
         if self._sketch_on():
             # candidate recall bounds result quality whenever the pool
-            # does not cover the whole catalog
+            # does not cover the whole catalog (under a mesh each shard
+            # keeps its own pool, so the aggregate only grows — this
+            # marker stays conservative)
             return cache.n > knn_ops.sketch_candidates(
                 cache.data.shape[0], k
-            ) or self._fused_pool_ok(cache.data.shape[0], cache.n, k)
+            ) or (self._mesh is None
+                  and self._fused_pool_ok(cache.data.shape[0], cache.n, k))
+        if self._mesh is not None:
+            return False
         return self._fused_pool_ok(cache.data.shape[0], cache.n, k)
 
     def fingerprint_is_approximate(self, tenant_id: int, algorithm: str,
@@ -1066,7 +1074,18 @@ class EmbeddedBackend(IndexBackend):
                 # per-chip top-k + all_gather merge (sharded_knn.py)
                 from ..parallel import sharded_knn
 
-                if self.knn_quant in ("int8", "sketch"):
+                if self.knn_quant == "sketch":
+                    import jax.numpy as jnp
+
+                    q8m, row_norm, sketch, valid = dev
+                    cand = knn_ops.sketch_candidates(q8m.shape[0], kk)
+                    s1, i1 = sharded_knn.sharded_cosine_sketch_topk(
+                        jnp.asarray(q), self._sketch_planes(len(query)),
+                        q8m, row_norm, sketch, valid, kk, cand,
+                        self._mesh, self._mesh_axes,
+                    )
+                    scores, idx = s1[None, :], i1[None, :]
+                elif self.knn_quant == "int8":
                     q8m, row_norm, valid = dev
                     scores, idx = sharded_knn.sharded_cosine_int8_batch_topk(
                         q[None], q8m, row_norm, valid, kk, self._mesh,
@@ -1182,7 +1201,9 @@ class EmbeddedBackend(IndexBackend):
                 from ..parallel import sharded_knn
 
                 if self.knn_quant in ("int8", "sketch"):
-                    q8m, row_norm, valid = dev
+                    # batched queries amortize the sharded scan; the
+                    # sketch cache's int8 matrix serves the GEMM directly
+                    q8m, row_norm, valid = dev[0], dev[1], dev[-1]
                     scores, idx = sharded_knn.sharded_cosine_int8_batch_topk(
                         qm, q8m, row_norm, valid, kk, self._mesh,
                         self._mesh_axes,

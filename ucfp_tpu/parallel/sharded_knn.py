@@ -206,6 +206,49 @@ def sharded_cosine_int8_topk(q8, db8, row_norm, valid, k: int, mesh: Mesh):
     return _sharded_cosine_int8_impl(q8, db8, row_norm, valid, k, mesh)
 
 
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9))
+def _sharded_cosine_sketch_impl(query, planes, db8, row_norm, sketch, valid,
+                                k: int, cand: int, mesh: Mesh,
+                                axes: tuple = (AXIS,)):
+    from ..ops import knn as knn_ops
+
+    def local(q, pl, m, rn, sk, v):
+        # each shard runs the sketch prefilter + exact rescore over its
+        # own rows (per-shard candidate pool => aggregate pool is
+        # n_shards * cand_local, so sharding IMPROVES candidate recall),
+        # then the standard two-stage top-k merge
+        k_local = min(k, m.shape[0])
+        cand_local = min(cand, m.shape[0])
+        vals, idx = knn_ops.cosine_sketch_topk(
+            q, pl, m, rn, sk, v, k_local, cand_local
+        )
+        gidx = idx + _flat_shard_index(axes) * m.shape[0]
+        vals, gidx = vals[None, :], gidx[None, :]
+        for ax in reversed(axes):
+            vals, gidx = _merge_axis(vals, gidx, ax, k)
+        return vals[0], gidx[0]
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axes, None), P(axes), P(axes, None), P(axes)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(query, planes, db8, row_norm, sketch, valid)
+
+
+def sharded_cosine_sketch_topk(query, planes, db8, row_norm, sketch, valid,
+                               k: int, cand: int, mesh: Mesh,
+                               axes: tuple = (AXIS,)):
+    """Sharded sketch-prefilter cosine: query [D] f32 replicated,
+    db8/sketch row-sharded over `axes`. Each chip scans only its own
+    sketch shard (320 MB / n at 10M x 768) and rescores its local
+    candidate pool — single-query latency divides by the mesh size on
+    top of the one-chip 0.75 ms. Returns ([k] scores, [k] global idx)."""
+    return _sharded_cosine_sketch_impl(query, planes, db8, row_norm, sketch,
+                                       valid, k, cand, mesh, tuple(axes))
+
+
 @functools.partial(jax.jit, static_argnums=(4, 5, 6))
 def _sharded_cosine_int8_batch_impl(query, db8, row_norm, valid, k: int,
                                     mesh: Mesh, axes: tuple = (AXIS,)):
