@@ -31,9 +31,9 @@ const sleep = (ms) => new Promise((r) => setTimeout(r, ms));
 
 /** Random u53 record id (ids are u64 server-side; 53 bits keeps JS
  * number round-trips exact — pass BigInt/string ids yourself if you
- * need the full range). */
+ * need the full range). No bitwise ops: they would coerce to int32. */
 const newRecordId = () =>
-  (Math.floor(Math.random() * Number.MAX_SAFE_INTEGER) | 1);
+  Math.floor(Math.random() * Number.MAX_SAFE_INTEGER) + 1;
 
 const CANON_PARAMS = {
   normalization: 'canon_normalization',

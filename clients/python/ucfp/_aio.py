@@ -164,12 +164,20 @@ class UcfpAsync:
                 yield await self.text(doc, **kwargs)
             return
         pending: list[asyncio.Task] = []
-        async for doc in _aiter(inputs):
-            pending.append(asyncio.ensure_future(self.text(doc, **kwargs)))
-            while len(pending) >= concurrency:
+        try:
+            async for doc in _aiter(inputs):
+                pending.append(asyncio.ensure_future(self.text(doc, **kwargs)))
+                while len(pending) >= concurrency:
+                    yield await pending.pop(0)
+            while pending:
                 yield await pending.pop(0)
-        for t in pending:
-            yield await t
+        finally:
+            # one failure (or the consumer breaking out) must not leak
+            # the in-flight requests
+            for t in pending:
+                t.cancel()
+            if pending:
+                await asyncio.gather(*pending, return_exceptions=True)
 
     async def text_stream_chunks(
         self,

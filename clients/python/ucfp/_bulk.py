@@ -3,7 +3,8 @@
 `bulk_text` / `bulk_image` / `bulk_audio` fan an iterable of inputs over
 a thread pool driving the sync client, preserve input order, and rely on
 the client's built-in 429/5xx backoff. Failures are captured per item
-(never abort the whole run) and reported through `BulkResult.error`.
+(never abort the whole run) and reported through `BulkResult.error` — UcfpError for API rejections, transport or
+validation exceptions otherwise.
 """
 
 from __future__ import annotations
@@ -13,7 +14,7 @@ from dataclasses import dataclass
 from typing import Any, Callable, Iterable, Optional
 
 from ._client import Ucfp
-from ._types import Fingerprint, UcfpError
+from ._types import Fingerprint
 
 
 @dataclass
@@ -28,7 +29,9 @@ class BulkSource:
 class BulkResult:
     fingerprint: Optional[Fingerprint]
     source: BulkSource
-    error: Optional[UcfpError] = None
+    # UcfpError for API failures; transport/validation exceptions are
+    # captured here too so one bad item never aborts the run
+    error: Optional[Exception] = None
 
     def __iter__(self):
         # allows the documented `for fp, source in results` unpacking
@@ -51,7 +54,7 @@ def _bulk(
         i, value = pair
         try:
             return i, method(value, **kwargs), None
-        except UcfpError as e:
+        except Exception as e:  # noqa: BLE001 - per-item capture is the contract
             return i, None, e
 
     with ThreadPoolExecutor(max_workers=max(1, concurrency)) as pool:

@@ -23,13 +23,14 @@ ImageSource = Union[bytes, bytearray, memoryview, Path]
 
 
 def new_record_id() -> int:
-    """Collision-resistant u63 record id for callers that don't pass one.
+    """Collision-resistant u53 record id for callers that don't pass one.
 
     The server keys records (tenant_id:u32, record_id:u64); the hosted
     reference auto-assigns ids on the proxy path, so the SDK does the
-    same client-side.
+    same client-side. 53 bits (not 63) so the id survives a JSON
+    round trip through JavaScript consumers exactly.
     """
-    return secrets.randbits(63) | 1
+    return secrets.randbits(53) | 1
 
 
 def _qbool(v: bool) -> str:

@@ -341,3 +341,39 @@ class TestDecodeAndInspect:
     def test_inspect_empty_rejected(self):
         with pytest.raises(ModalityError):
             amod.inspect_audio(np.zeros(0, np.float32), 8000)
+
+
+class TestWavDecode:
+    def test_wav_to_f32_widths(self):
+        """Server-side stdlib WAV decode: PCM 8/16-bit, stereo to mono."""
+        import io
+        import wave
+
+        from ucfp_tpu.modality.audio import wav_to_f32
+
+        t = np.arange(800) / 8000.0
+        x = 0.5 * np.sin(2 * np.pi * 440 * t)
+
+        def pack(width, ch):
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(ch)
+                w.setsampwidth(width)
+                w.setframerate(8000)
+                if width == 1:
+                    data = ((x * 127) + 128).astype(np.uint8)
+                else:
+                    data = (x * 32767).astype("<i2")
+                if ch == 2:
+                    data = np.repeat(data, 2)
+                w.writeframes(data.tobytes())
+            return buf.getvalue()
+
+        for width, ch in ((2, 1), (2, 2), (1, 1)):
+            pcm, sr = wav_to_f32(pack(width, ch))
+            assert sr == 8000
+            y = np.frombuffer(pcm, "<f4")
+            assert len(y) == 800
+            # decoded waveform tracks the source within quantization noise
+            tol = 0.02 if width == 1 else 0.001
+            assert float(np.abs(y - x).max()) < tol

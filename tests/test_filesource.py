@@ -54,15 +54,18 @@ class TestNdjson:
 
     def test_malformed_lines_skipped(self, tmp_path):
         spool = tmp_path / "rows.ndjson"
+        bomb = dict(row(2))
+        bomb["metadata"] = 10_000_000_000  # bytes(int) would zero-alloc 10 GB
         with open(spool, "w") as f:
             f.write(json.dumps(row(0)) + "\n")
             f.write("not json at all\n")
             f.write(json.dumps({"tenant_id": 1}) + "\n")  # missing fields
+            f.write(json.dumps(bomb) + "\n")
             f.write(json.dumps(row(1)) + "\n")
         idx = EmbeddedBackend(str(tmp_path / "db"))
         src = NdjsonIngestSource(str(spool))
         assert run(run_ingest_loop(src, idx, batch_size=10)) == 2
-        assert src.skipped == 2
+        assert src.skipped == 3
         idx.close()
 
 

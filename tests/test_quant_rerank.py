@@ -339,3 +339,7 @@ class TestSketchPrefilter:
         # batch path still answers (int8 GEMM fallback under sketch mode)
         res = run(b.knn_batch(0, [[float(x) for x in vecs[50]]], 3))
         assert res[0][0].record_id == 50
+        # the batch marker mirrors knn_batch's dispatch: with k > 16 the
+        # batch runs the EXACT int8 scan, so it must not be labeled
+        # approximate just because the sketch pool is smaller than n
+        assert not b.knn_is_approximate(0, 16, 20, batch=True)

@@ -1009,16 +1009,20 @@ class EmbeddedBackend(IndexBackend):
         n_candidates = (cap // tile) * pallas_scan.LANES
         return cap % tile == 0 and min(k, n) <= min(16, n_candidates)
 
-    def knn_is_approximate(self, tenant_id: int, dim: int, k: int) -> bool:
-        """True when a (dim, k) vector query rides the fused
-        partial-reduce candidate path — near-exact for k <= 16, exact
-        top-1; collision odds documented in ops/pallas_scan.py. Lets the
-        serving layer mark responses instead of silently changing
-        semantics under UCFP_KNN_QUANT=int8."""
+    def knn_is_approximate(self, tenant_id: int, dim: int, k: int,
+                           batch: bool = False) -> bool:
+        """True when a (dim, k) vector query rides an approximate path —
+        the fused partial-reduce candidates (near-exact for k <= 16,
+        exact top-1; collision odds in ops/pallas_scan.py) or the sketch
+        prefilter pool. Lets the serving layer mark responses instead of
+        silently changing semantics under UCFP_KNN_QUANT. `batch=True`
+        mirrors knn_batch's dispatch: batched queries never use the
+        sketch prefilter (the int8 GEMM is exact up to the fused
+        candidate reduce), so sketch-pool bounds don't apply there."""
         cache = self._vec.get((tenant_id, dim))
         if cache is None or cache.n == 0 or cache.data is None:
             return False
-        if self._sketch_on():
+        if self._sketch_on() and not batch:
             # candidate recall bounds result quality whenever the pool
             # does not cover the whole catalog (under a mesh each shard
             # keeps its own pool, so the aggregate only grows — this

@@ -43,6 +43,15 @@ def _record_from_row(row: dict) -> Record:
         ):
             raise ValueError("embedding must be a flat list of numbers")
         emb = [float(x) for x in emb]
+    meta = row.get("metadata", [])
+    if not isinstance(meta, (list, str, bytes)):
+        # bytes(int) would zero-allocate that many bytes (same guard as
+        # the HTTP upsert handler)
+        raise ValueError("metadata must be a list of bytes")
+    if isinstance(meta, str):
+        meta = meta.encode("utf-8")
+    else:
+        meta = bytes(int(b) & 0xFF for b in meta) if isinstance(meta, list) else meta
     return Record(
         tenant_id=int(row["tenant_id"]),
         record_id=int(row["record_id"]),
@@ -54,7 +63,7 @@ def _record_from_row(row: dict) -> Record:
         embedding=emb,
         model_id=row.get("model_id"),
         text=row.get("text"),
-        metadata=bytes(row.get("metadata", [])),
+        metadata=meta,
     )
 
 
@@ -125,37 +134,6 @@ _IMAGE_EXT = {".png", ".jpg", ".jpeg", ".webp", ".bmp", ".gif"}
 _AUDIO_EXT = {".f32", ".wav"}
 
 
-def _wav_to_f32(data: bytes) -> tuple[bytes, int]:
-    """Minimal stdlib WAV decode to mono f32-LE (PCM16/32, float32)."""
-    import io
-    import struct
-    import wave
-
-    with wave.open(io.BytesIO(data), "rb") as w:
-        n, ch, width, sr = (
-            w.getnframes(), w.getnchannels(), w.getsampwidth(),
-            w.getframerate(),
-        )
-        raw = w.readframes(n)
-    if width == 2:
-        vals = struct.unpack(f"<{n * ch}h", raw)
-        scale = 1.0 / 32768.0
-    elif width == 4:
-        as_f = struct.unpack(f"<{n * ch}f", raw)
-        if all(-16.0 <= v <= 16.0 for v in as_f[: min(256, len(as_f))]):
-            vals, scale = as_f, 1.0
-        else:
-            vals = struct.unpack(f"<{n * ch}i", raw)
-            scale = 1.0 / 2147483648.0
-    else:
-        raise ModalityError(f"unsupported WAV sample width {width}")
-    if ch > 1:
-        mono = [sum(vals[i * ch:(i + 1) * ch]) * (scale / ch) for i in range(n)]
-    else:
-        mono = [v * scale for v in vals]
-    return struct.pack(f"<{len(mono)}f", *mono), sr
-
-
 def fingerprint_file(path: Path, tenant_id: int, record_id: int,
                      sample_rate: int = 8000) -> Record:
     """Fingerprint one content file by extension with the default
@@ -179,7 +157,7 @@ def fingerprint_file(path: Path, tenant_id: int, record_id: int,
         from ..modality import audio as amod
 
         if ext == ".wav":
-            pcm, sr = _wav_to_f32(data)
+            pcm, sr = amod.wav_to_f32(data)
         else:
             pcm, sr = data, sample_rate
         return amod.fingerprint_wang(
@@ -208,6 +186,10 @@ class SpoolDirectoryIngestSource(IngestSource):
         self.sample_rate = sample_rate
         self.errors: list[tuple[str, str]] = []
         self._inflight: dict[tuple[int, int], Path] = {}
+        # cached directory listing: draining a 200k-file spool must not
+        # re-list + re-sort the directory per batch (quadratic); the
+        # listing refreshes only when exhausted, catching late arrivals
+        self._listing: deque = deque()
 
     def _ids_for(self, path: Path) -> tuple[int, int]:
         parts = path.stem.split("_", 2)
@@ -221,16 +203,32 @@ class SpoolDirectoryIngestSource(IngestSource):
         h = hashlib.sha256(path.name.encode()).digest()
         return self.default_tenant, int.from_bytes(h[:8], "little") >> 1
 
+    def _next_paths(self, max_items: int):
+        taken = set(self._inflight.values())
+        out = []
+        refreshed = False
+        while len(out) < max_items:
+            if not self._listing:
+                if refreshed:
+                    break
+                self._listing = deque(
+                    p for p in sorted(self.dir.iterdir())
+                    if p.is_file() and p not in taken
+                )
+                refreshed = True
+                if not self._listing:
+                    break
+                continue
+            path = self._listing.popleft()
+            if path.is_file() and path not in taken:
+                out.append(path)
+        return out
+
     async def next_batch(self, max_items: int) -> list[Record]:
         import asyncio
 
         out: list[Record] = []
-        taken = set(self._inflight.values())
-        for path in sorted(self.dir.iterdir()):
-            if len(out) >= max_items:
-                break
-            if not path.is_file() or path in taken:
-                continue
+        for path in self._next_paths(max_items):
             tid, rid = self._ids_for(path)
             try:
                 rec = await asyncio.to_thread(

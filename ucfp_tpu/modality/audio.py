@@ -60,6 +60,46 @@ def decode_f32le(body: bytes) -> np.ndarray:
     return np.frombuffer(body, dtype="<f4").astype(np.float32)
 
 
+def wav_to_f32(data: bytes) -> tuple[bytes, int]:
+    """RIFF/WAVE container -> (mono f32-LE PCM bytes, sample rate).
+
+    Stdlib-only decode for server-side bulk loaders (the HTTP routes
+    take raw f32 per the reference contract; clients decode containers
+    themselves — the Python SDK ships its own standalone copy of this
+    logic in clients/python/ucfp/_common.py:decode_wav). Supports PCM
+    8/16/32-bit and float32, channels averaged to mono."""
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as w:
+        n, ch, width, sr = (
+            w.getnframes(), w.getnchannels(), w.getsampwidth(),
+            w.getframerate(),
+        )
+        raw = w.readframes(n)
+    if width == 1:
+        vals = np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0
+        scale = 1.0 / 128.0
+    elif width == 2:
+        vals = np.frombuffer(raw, "<i2").astype(np.float32)
+        scale = 1.0 / 32768.0
+    elif width == 4:
+        # `wave` hides the RIFF format code; sniff: float32 magnitudes
+        # stay within ~[-1, 1], int32 values explode when read as float
+        as_f = np.frombuffer(raw, "<f4")
+        head = as_f[: min(256, len(as_f))]
+        if len(head) == 0 or bool(np.all(np.abs(head[np.isfinite(head)]) <= 16.0)):
+            vals, scale = as_f.astype(np.float32), 1.0
+        else:
+            vals = np.frombuffer(raw, "<i4").astype(np.float32)
+            scale = 1.0 / 2147483648.0
+    else:
+        raise ModalityError(f"unsupported WAV sample width {width}")
+    mono = vals.reshape(n, ch).mean(axis=1) * scale if ch > 1 else vals * scale
+    return mono.astype("<f4").tobytes(), sr
+
+
 def _wang_cfg_hash(cfg: WangConfig, algorithm: str) -> int:
     return config_hash64(
         algorithm,

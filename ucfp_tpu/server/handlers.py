@@ -420,7 +420,7 @@ class Handlers:
                 ]
             }
             if vectors and self.index.knn_is_approximate(
-                tenant_id, len(vectors[0]), k
+                tenant_id, len(vectors[0]), k, batch=True
             ):
                 # fused partial-reduce candidate semantics (near-exact
                 # for k <= 16) — marked, never silent
