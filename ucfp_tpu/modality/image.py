@@ -228,12 +228,17 @@ def fingerprint_semantic(
     (image.rs:210-241); the encoder lives in ucfp_tpu.models.encoders.
     """
     from ..models import IMAGE_MODEL_ID as SEMANTIC_MODEL_ID
-    from ..models import image_encode
+    from ..models import hf_local, image_encode
 
     pre = pre or PreprocessConfig()
     rgb = decode_rgb(data, pre)
-    x = semantic_features(rgb)[None]
-    emb = image_encode(x)[0]
+    if model_id is None and hf_local.available("image"):
+        # real local weights (UCFP_MODEL_DIR/image) take precedence
+        # over the seeded stand-in encoder
+        emb, model_id = hf_local.image_embed(rgb)
+    else:
+        x = semantic_features(rgb)[None]
+        emb = image_encode(x)[0]
     return Record(
         tenant_id=tenant_id,
         record_id=record_id,

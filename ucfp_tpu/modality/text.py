@@ -365,15 +365,18 @@ from ..models import TEXT_MODEL_ID as SEMANTIC_LOCAL_MODEL_ID
 from ..models.encoders import TEXT_DIM as SEMANTIC_DIM
 
 
-def _local_embed(canon: str) -> np.ndarray:
-    """Deterministic local embedding via ucfp_tpu.models.encoders
-    (stand-in for the reference's local ONNX MiniLM provider,
-    text.rs:500-606)."""
-    from ..models import text_hash_embed
+def _local_embed(canon: str) -> tuple[np.ndarray, str]:
+    """Local embedding + its model_id: a real transformers model when
+    UCFP_MODEL_DIR/text holds weights (the reference's local ONNX
+    MiniLM provider, text.rs:500-606), else the deterministic seeded
+    stand-in from ucfp_tpu.models.encoders."""
+    from ..models import hf_local, text_hash_embed
 
-    toks = tokenize_words(canon)
     try:
-        return text_hash_embed(toks)
+        if hf_local.available("text"):
+            return hf_local.text_embed(canon)
+        toks = tokenize_words(canon)
+        return text_hash_embed(toks), SEMANTIC_LOCAL_MODEL_ID
     except ValueError as e:
         raise ModalityError(str(e))
 
@@ -390,8 +393,8 @@ def fingerprint_semantic(
     opts = opts or TextOpts()
     canon = _prepare(text, opts)
     if provider == "local":
-        emb = _local_embed(canon)
-        algorithm, model_id = ALGORITHM_SEMANTIC_LOCAL, SEMANTIC_LOCAL_MODEL_ID
+        emb, model_id = _local_embed(canon)
+        algorithm = ALGORITHM_SEMANTIC_LOCAL
     elif provider in ("openai", "voyage", "cohere"):
         raise UnsupportedError(
             f"semantic provider {provider!r} requires network egress, "

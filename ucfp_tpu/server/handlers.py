@@ -768,12 +768,23 @@ class Handlers:
                     config_hash=pre.config_hash(),
                 )
             elif algorithm == "semantic":
+                from ..models import hf_local
+
                 rgb = await asyncio.to_thread(imod.decode_rgb, raw, pre)
-                feats = await asyncio.to_thread(imod.semantic_features, rgb)
-                emb = await self.image_batcher.submit(("semantic",), feats)
-                rec = imod.semantic_record(
-                    emb, tid, rid, model_id=req.query.get("model_id")
-                )
+                if hf_local.available("image"):
+                    # real local weights (UCFP_MODEL_DIR/image): torch-CPU
+                    # inference off the event loop, real model_id on the
+                    # record
+                    emb, mid = await asyncio.to_thread(
+                        hf_local.image_embed, rgb
+                    )
+                    rec = imod.semantic_record(emb, tid, rid, model_id=mid)
+                else:
+                    feats = await asyncio.to_thread(imod.semantic_features, rgb)
+                    emb = await self.image_batcher.submit(("semantic",), feats)
+                    rec = imod.semantic_record(
+                        emb, tid, rid, model_id=req.query.get("model_id")
+                    )
             else:
                 raise HttpError(
                     400, "bad_algorithm", f"unknown image algorithm {algorithm!r}"
