@@ -87,7 +87,9 @@ class UcfpAsync:
         headers: Optional[dict] = None,
         record_id: Optional[int] = None,
     ) -> dict:
-        hdrs = {"authorization": f"Bearer {self.api_key}"}
+        hdrs = (
+            {"authorization": f"Bearer {self.api_key}"} if self.api_key else {}
+        )
         if headers:
             hdrs.update(headers)
         if json_body is not None:

@@ -82,7 +82,9 @@ class Ucfp:
         self.close()
 
     def _headers(self, extra: Optional[dict] = None) -> dict:
-        h = {"authorization": f"Bearer {self.api_key}"}
+        # no header at all for keyless clients (public routes / demo
+        # path) — an empty "Bearer " is an illegal header value
+        h = {"authorization": f"Bearer {self.api_key}"} if self.api_key else {}
         if extra:
             h.update(extra)
         return h

@@ -8,6 +8,7 @@ NDJSON streaming) is what's under test.
 """
 
 import asyncio
+import json
 import sys
 import threading
 import time
@@ -328,6 +329,46 @@ class TestAsyncClient:
                 await c.delete_record(800, tenant_id=9)
 
         asyncio.run(go())
+
+
+class TestCli:
+    def test_cli_text_query_get_delete(self, live, capsys):
+        from ucfp.__main__ import main
+
+        base = ["--api-key", TOKEN, "--base-url", live.base_url,
+                "--tenant", "7"]
+        assert main(base + ["text", "cli ingested document text",
+                            "--record-id", "9001"]) == 0
+        fp = json.loads(capsys.readouterr().out)
+        assert fp["record_id"] == 9001 and fp["fingerprint_bytes"] > 0
+
+        assert main(base + ["query", "--modality", "text",
+                            "--terms", "cli", "document", "-k", "3"]) == 0
+        res = json.loads(capsys.readouterr().out)
+        assert any(h["record_id"] == 9001 for h in res["hits"])
+
+        assert main(base + ["get", "9001", "--include", "fingerprint"]) == 0
+        meta = json.loads(capsys.readouterr().out)
+        assert meta["fingerprint_hex"] == fp["fingerprint_hex"]
+
+        assert main(base + ["delete", "9001"]) == 0
+        capsys.readouterr()
+        rc = main(base + ["get", "9001"])
+        assert rc == 1
+        err = json.loads(capsys.readouterr().err)
+        assert err["status"] == 404
+
+    def test_cli_requires_key_for_protected(self, capsys, monkeypatch):
+        from ucfp.__main__ import main
+
+        monkeypatch.delenv("UCFP_API_KEY", raising=False)
+        assert main(["text", "x"]) == 2
+
+    def test_cli_public_info(self, live, capsys):
+        from ucfp.__main__ import main
+
+        assert main(["--base-url", live.base_url, "info"]) == 0
+        assert "crate_version" in json.loads(capsys.readouterr().out)
 
 
 class TestBulk:
