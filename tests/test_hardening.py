@@ -726,3 +726,140 @@ class TestLibraryPathValidation:
             with _pytest.raises(Exception):
                 be2.get_record(1, rid)
         be2.close()
+
+
+class TestReadTimeouts:
+    """Slow-client protection: header/body trickling must not pin a
+    connection forever — UCFP_READ_TIMEOUT_SECS bounds the read phase."""
+
+    def _slow_client(self, tmp_path, payload, expect_close_secs,
+                     monkeypatch):
+        monkeypatch.setenv("UCFP_READ_TIMEOUT_SECS", "1")
+        app, _ = make_app(tmp_path)
+
+        async def go():
+            srv = await app.serve("127.0.0.1", 0)
+            port = srv.sockets[0].getsockname()[1]
+            try:
+                reader, writer = await asyncio.open_connection(
+                    "127.0.0.1", port)
+                writer.write(payload)
+                await writer.drain()
+                # server must give up within the timeout + slack
+                data = await asyncio.wait_for(
+                    reader.read(65536), timeout=expect_close_secs)
+                writer.close()
+                return data
+            finally:
+                srv.close()
+                await srv.wait_closed()
+
+        return asyncio.run(go())
+
+    def test_partial_headers_dropped(self, tmp_path, monkeypatch):
+        # header fragment, then silence: connection closes (no response)
+        data = self._slow_client(
+            tmp_path, b"POST /v1/query HTTP/1.1\r\nHost:", 5.0, monkeypatch)
+        assert data == b""
+
+    def test_body_trickle_gets_408(self, tmp_path, monkeypatch):
+        # full headers claiming a body that never arrives -> 408
+        payload = (
+            b"POST /v1/ingest/text/0/1 HTTP/1.1\r\nHost: x\r\n"
+            b"Authorization: Bearer " + TOKEN.encode() + b"\r\n"
+            b"Content-Length: 1000\r\n\r\nonly-a-few-bytes"
+        )
+        data = self._slow_client(tmp_path, payload, 5.0, monkeypatch)
+        assert b"408" in data and b"timeout" in data
+
+
+class TestJsonBodyEncoding:
+    def test_invalid_utf8_json_is_400(self, tmp_path):
+        # json.loads(bytes) raises UnicodeDecodeError (not JSONDecodeError)
+        # for invalid UTF-8 — must map to 400, never 500
+        app, _ = make_app(tmp_path)
+        resp = call(app, "POST", "/v1/query", b'\xff{"k":1}')
+        assert resp.status == 400
+        assert jbody(resp)["error"] == "bad_json"
+
+
+class TestMetricsHardening:
+    def test_unknown_methods_collapse_to_other(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        for m in ('M1', 'M2', 'GET",path="/forged'):
+            call(app, m, "/healthz", token=None)
+        resp = call(app, "GET", "/metrics", token=None)
+        text = resp.body.decode()
+        assert 'method="OTHER"' in text
+        assert "M1" not in text and "forged" not in text
+
+
+class TestWalEngineSniff:
+    def test_auto_sniffs_existing_json_log(self, tmp_path):
+        from ucfp_tpu.index.wal import JsonWal, open_wal
+
+        path = str(tmp_path / "w.wal")
+        w = JsonWal(path)
+        w.append_events([{"op": "upsert", "tenant_id": 1, "record_id": 2,
+                          "modality": "text", "algorithm": "a",
+                          "fingerprint": b"xy", "metadata": b"",
+                          "embedding": None, "model_id": None, "text": None,
+                          "format_version": 1, "config_hash": 0}])
+        w.close()
+        # auto must NOT hand a JSON log to the native engine (silent
+        # zero-event replay + mixed formats)
+        reopened = open_wal(path, "auto")
+        assert isinstance(reopened, JsonWal)
+        events = list(reopened.replay())
+        assert len(events) == 1 and events[0]["fingerprint"] == b"xy"
+        reopened.close()
+
+    def test_auto_sniffs_existing_native_log(self, tmp_path):
+        from ucfp_tpu.native import load_walstore
+        from ucfp_tpu.index.wal import NativeWal, open_wal
+
+        if load_walstore() is None:
+            pytest.skip("no toolchain")
+        path = str(tmp_path / "w.wal")
+        w = open_wal(path, "native")
+        w.append_events([{"op": "delete", "tenant_id": 3,
+                          "record_ids": [7, 8]}])
+        w.close()
+        reopened = open_wal(path, "auto")
+        assert isinstance(reopened, NativeWal)
+        events = list(reopened.replay())
+        assert events == [{"op": "delete", "tenant_id": 3,
+                           "record_ids": [7, 8]}]
+        reopened.close()
+
+
+class TestNativeWalCompactionSafety:
+    def test_failed_replace_reattaches_original(self, tmp_path,
+                                                monkeypatch):
+        from ucfp_tpu.native import load_walstore
+        from ucfp_tpu.index.wal import NativeWal
+
+        if load_walstore() is None:
+            pytest.skip("no toolchain")
+        path = str(tmp_path / "w.wal")
+        w = NativeWal(path, load_walstore())
+        ev = {"op": "delete", "tenant_id": 1, "record_ids": [1]}
+        w.append_events([ev])
+        # force the replace step to fail
+        real_replace = w._lib.ucfp_wal_replace
+        monkeypatch.setattr(
+            w._lib, "ucfp_wal_replace", lambda h, p: -4, raising=False)
+        with pytest.raises(OSError):
+            w.rewrite([ev])
+        monkeypatch.setattr(
+            w._lib, "ucfp_wal_replace", real_replace, raising=False)
+        # the object must still append to the ORIGINAL path...
+        assert w._path == path
+        ev2 = {"op": "delete", "tenant_id": 2, "record_ids": [9]}
+        w.append_events([ev2])
+        w.close()
+        # ...and replay sees both the old and the new event
+        w2 = NativeWal(path, load_walstore())
+        events = list(w2.replay())
+        assert ev in events and ev2 in events
+        w2.close()

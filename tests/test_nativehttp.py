@@ -130,3 +130,29 @@ class TestNativeHttpFront:
 
         statuses = bridge_runner(scenario)
         assert statuses == [201] * 24
+
+
+class TestNativePeerAddress:
+    def test_remote_addr_reaches_per_ip_limits(self, bridge_runner):
+        """The C front passes the client IP through the ABI so per-IP
+        auth/demo limits key on the real peer, not one global '' bucket."""
+        seen = []
+        from ucfp_tpu.server import nativehttp as nh
+
+        orig = nh.NativeHttpBridge._to_request
+
+        def spy(self, raw):
+            rid, req, close = orig(self, raw)
+            seen.append(req.remote_addr)
+            return rid, req, close
+
+        nh.NativeHttpBridge._to_request = spy
+        try:
+            def scenario(port):
+                return http(port, "GET", "/healthz", token=None)
+
+            status, _ = bridge_runner(scenario)
+            assert status == 200
+        finally:
+            nh.NativeHttpBridge._to_request = orig
+        assert seen and all(a == "127.0.0.1" for a in seen)

@@ -151,21 +151,37 @@ class NativeWal:
         return iter(events)
 
     def rewrite(self, events: Iterable[dict]) -> None:
-        """Compaction: write a snapshot log and atomically replace."""
+        """Compaction: write a snapshot log and atomically replace.
+
+        Failure-safe: any error while writing or replacing abandons the
+        .tmp target and reattaches to the ORIGINAL log — the object must
+        never be left appending to the tmp file (those events would be
+        invisible to the next replay)."""
         tmp = self._path + ".tmp"
         if os.path.exists(tmp):
             os.unlink(tmp)
+        old_path = self._path
         self.close()
         nh = self._lib.ucfp_wal_open(tmp.encode())
         if not nh:
+            self._h = self._lib.ucfp_wal_open(old_path.encode())
             raise OSError("cannot open compaction target")
         self._h = nh
-        old_path = self._path
         self._path = tmp
-        self.append_events(list(events))
-        rc = self._lib.ucfp_wal_replace(self._h, old_path.encode())
-        if rc != 0:
-            raise OSError(f"wal replace failed: {rc}")
+        try:
+            self.append_events(list(events))
+            rc = self._lib.ucfp_wal_replace(self._h, old_path.encode())
+            if rc != 0:
+                raise OSError(f"wal replace failed: {rc}")
+        except BaseException:
+            self.close()
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            self._path = old_path
+            self._h = self._lib.ucfp_wal_open(old_path.encode())
+            raise
         self._path = old_path
 
     def flush(self) -> None:
@@ -245,6 +261,15 @@ class JsonWal:
             os.fsync(f.fileno())
         self._f.close()
         os.replace(tmp, self._path)
+        # journal the rename itself (the native engine's ucfp_wal_replace
+        # fsyncs the directory too) or a crash can resurrect the
+        # pre-compaction log
+        dfd = os.open(os.path.dirname(os.path.abspath(self._path)) or ".",
+                      os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
         self._f = open(self._path, "ab")
 
     def flush(self) -> None:
@@ -258,7 +283,15 @@ class JsonWal:
 
 
 def open_wal(path: str, engine: str = "auto"):
-    """engine: auto | native | json."""
+    """engine: auto | native | json.
+
+    auto sniffs an existing file's format first (native frames never
+    start with '{'): picking the engine by toolchain availability alone
+    would silently replay ZERO events from a log written by the other
+    engine and then append the wrong format after it."""
+    if engine == "auto" and os.path.exists(path) and os.path.getsize(path) > 0:
+        with open(path, "rb") as f:
+            engine = "json" if f.read(1) == b"{" else "native"
     if engine in ("auto", "native"):
         from ..native import load_walstore
 

@@ -50,6 +50,7 @@ class UcfpHttpReq(ctypes.Structure):
         ("headers", ctypes.c_char_p),
         ("body", ctypes.POINTER(ctypes.c_uint8)),
         ("body_len", ctypes.c_uint32),
+        ("peer", ctypes.c_char_p),
     ]
 
 

@@ -42,6 +42,7 @@ namespace {
 
 struct Conn {
   int fd = -1;
+  std::string peer;           // client IP (per-IP limits upstream)
   std::string rbuf;           // unparsed input
   std::string wbuf;           // pending output
   bool in_flight = false;     // a request awaits its response
@@ -51,7 +52,7 @@ struct Conn {
 
 struct PendingReq {
   uint64_t id;
-  std::string method, path, headers, body;
+  std::string method, path, headers, body, peer;
 };
 
 struct PendingResp {
@@ -186,6 +187,7 @@ int try_parse(Server* s, Conn* c) {
   r.path = std::move(target);
   r.headers = std::move(headers);
   r.body = c->rbuf.substr(hdr_end + 4, content_length);
+  r.peer = c->peer;
   c->rbuf.erase(0, total);
   c->close_after = !keep;
   c->in_flight = true;
@@ -268,7 +270,10 @@ void io_loop(Server* s) {
       }
       if (fd == s->listen_fd) {
         while (true) {
-          int cfd = ::accept(s->listen_fd, nullptr, nullptr);
+          sockaddr_in caddr{};
+          socklen_t clen = sizeof(caddr);
+          int cfd = ::accept(s->listen_fd,
+                             reinterpret_cast<sockaddr*>(&caddr), &clen);
           if (cfd < 0) break;
           set_nonblock(cfd);
           int one = 1;
@@ -277,7 +282,12 @@ void io_loop(Server* s) {
           ev.events = EPOLLIN;
           ev.data.fd = cfd;
           epoll_ctl(s->epoll_fd, EPOLL_CTL_ADD, cfd, &ev);
-          s->conns[cfd].fd = cfd;
+          Conn& nc = s->conns[cfd];
+          nc.fd = cfd;
+          char ip[INET_ADDRSTRLEN] = {0};
+          if (inet_ntop(AF_INET, &caddr.sin_addr, ip, sizeof(ip))) {
+            nc.peer = ip;  // per-IP rate limits need the real peer
+          }
         }
         continue;
       }
@@ -336,6 +346,7 @@ struct UcfpHttpReq {
   char* headers;  // "key\tvalue\n" lines, lowercase keys
   uint8_t* body;
   uint32_t body_len;
+  char* peer;     // client IP string, may be empty
 };
 
 void* ucfp_http_start(const char* host, int port, uint32_t body_limit) {
@@ -401,6 +412,7 @@ int ucfp_http_next(void* h, int timeout_ms, UcfpHttpReq* out) {
   out->body_len = static_cast<uint32_t>(r.body.size());
   out->body = static_cast<uint8_t*>(malloc(r.body.size() ? r.body.size() : 1));
   memcpy(out->body, r.body.data(), r.body.size());
+  out->peer = strdup(r.peer.c_str());
   return 1;
 }
 
@@ -408,6 +420,7 @@ void ucfp_http_free_req(UcfpHttpReq* r) {
   free(r->method);
   free(r->path);
   free(r->headers);
+  free(r->peer);
   free(r->body);
 }
 

@@ -281,6 +281,11 @@ def build_server(
         except HttpError as e:
             status = e.status
             raise
+        except asyncio.CancelledError:
+            # the request-timeout wait_for cancels the middleware; the
+            # HTTP layer answers 408 — meter it as such, not as a 500
+            status = 408
+            raise
         except Exception as e:
             status = getattr(e, "http_status", 500)
             raise

@@ -51,6 +51,10 @@ class Request:
             return json.loads(self.body)
         except json.JSONDecodeError as e:
             raise HttpError(400, "bad_json", f"invalid JSON body: {e}")
+        except UnicodeDecodeError as e:
+            # json.loads(bytes) raises this (NOT a JSONDecodeError
+            # subclass) for invalid UTF-8 — still a client error
+            raise HttpError(400, "bad_json", f"body is not UTF-8: {e}")
 
     def qp_int(self, name: str, default: Optional[int] = None) -> Optional[int]:
         v = self.query.get(name)
@@ -240,9 +244,18 @@ class Metrics:
         self.duration_count: dict[tuple[str, str], int] = {}
         self.duration_buckets: dict[tuple[str, str], list[int]] = {}
 
+    # standard methods only: the method string comes off the wire, so an
+    # unconstrained label would let a scanner grow the metrics maps
+    # without bound and inject quotes into the exposition format
+    KNOWN_METHODS = frozenset(
+        ("GET", "HEAD", "POST", "PUT", "DELETE", "PATCH", "OPTIONS")
+    )
+
     def observe(self, method: str, path_label: str, status: int, secs: float) -> None:
         if path_label == "/metrics":
             return
+        if method not in self.KNOWN_METHODS:
+            method = "OTHER"
         k3 = (method, path_label, status)
         self.requests[k3] = self.requests.get(k3, 0) + 1
         k2 = (method, path_label)
@@ -303,6 +316,14 @@ class HttpServer:
         # normal request timeout would kill a multi-minute audio stream
         self.stream_timeout_secs = float(
             os.environ.get("UCFP_STREAM_TIMEOUT_SECS", "3600")
+        )
+        # bound on reading one request's headers + buffered body: without
+        # it a client trickling bytes (or just idling mid-body) pins a
+        # connection, its task, and up to body_limit of buffer forever —
+        # the handler timeout only starts AFTER the body is read. Doubles
+        # as the keep-alive idle timeout between pipelined requests.
+        self.read_timeout_secs = float(
+            os.environ.get("UCFP_READ_TIMEOUT_SECS", "30")
         )
         self.metrics = Metrics()
         self._sem = asyncio.Semaphore(concurrency)
@@ -388,7 +409,11 @@ class HttpServer:
         try:
             while True:
                 try:
-                    head = await reader.readuntil(b"\r\n\r\n")
+                    head = await asyncio.wait_for(
+                        reader.readuntil(b"\r\n\r\n"), self.read_timeout_secs
+                    )
+                except asyncio.TimeoutError:
+                    return  # idle keep-alive or header-trickling client
                 except (asyncio.IncompleteReadError, ConnectionResetError):
                     return
                 except asyncio.LimitOverrunError:
@@ -462,23 +487,25 @@ class HttpServer:
                         return
                     continue
                 if te:
-                    if te != "chunked":
-                        writer.write(_raw_response(
-                            501, b'{"error":"unsupported_transfer_encoding"}'
-                        ))
-                        await writer.drain()
-                        return
+                    # te == "chunked" here — other values were rejected
+                    # with 501 before the streaming branch
                     try:
-                        body = await self._read_chunked(reader)
+                        body = await asyncio.wait_for(
+                            self._read_chunked(reader), self.read_timeout_secs
+                        )
                     except _BodyTooLarge:
                         writer.write(_raw_response(413, b'{"error":"payload_too_large"}'))
                         await writer.drain()
                         return
+                    except asyncio.TimeoutError:
+                        writer.write(_raw_response(408, b'{"error":"timeout"}'))
+                        await writer.drain()
+                        return
                     except (asyncio.IncompleteReadError, ConnectionResetError):
                         return
-                    except ValueError:  # readline limit overrun
-                        body = None
                     if body is None:
+                        # _read_chunked reports bad framing (including
+                        # readline limit overruns) as None
                         writer.write(_raw_response(400, b'{"error":"bad_chunked_body"}'))
                         await writer.drain()
                         return
@@ -498,7 +525,18 @@ class HttpServer:
                         await writer.drain()
                         return
                     try:
-                        body = await reader.readexactly(clen) if clen else b""
+                        body = (
+                            await asyncio.wait_for(
+                                reader.readexactly(clen), self.read_timeout_secs
+                            )
+                            if clen else b""
+                        )
+                    except asyncio.TimeoutError:
+                        # body-trickling client: drop the buffer, answer
+                        # 408, close (the stream is mid-body, unusable)
+                        writer.write(_raw_response(408, b'{"error":"timeout"}'))
+                        await writer.drain()
+                        return
                     except (asyncio.IncompleteReadError, ConnectionResetError):
                         return
                 path, _, qs = target.partition("?")

@@ -60,6 +60,7 @@ class NativeHttpBridge:
             query,
             headers,
             body,
+            remote_addr=(raw.peer or b"").decode("latin-1"),
         )
         return raw.id, req, close_after
 
