@@ -5,6 +5,7 @@ usage metering tags, filter contract."""
 import asyncio
 import json
 
+import numpy as np
 import pytest
 
 from ucfp_tpu.index.embedded import EmbeddedBackend
@@ -863,3 +864,99 @@ class TestNativeWalCompactionSafety:
         events = list(w2.replay())
         assert ev in events and ev2 in events
         w2.close()
+
+
+class TestQueryValidation:
+    def test_huge_k_rejected(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        resp = call(app, "POST", "/v1/query", json.dumps({
+            "tenant_id": 0, "modality": "text", "terms": ["a"],
+            "k": 2_000_000_000,
+        }).encode())
+        assert resp.status == 400
+        assert "k must be" in jbody(resp)["message"]
+
+    def test_string_terms_rejected(self, tmp_path):
+        # a bare string would silently split into characters
+        app, _ = make_app(tmp_path)
+        resp = call(app, "POST", "/v1/query", json.dumps({
+            "tenant_id": 0, "modality": "text", "terms": "hello",
+        }).encode())
+        assert resp.status == 400
+
+    @pytest.mark.parametrize("vec", [123, "abc", ["a"], [1.0, None]])
+    def test_bad_vector_is_400_not_500(self, tmp_path, vec):
+        app, _ = make_app(tmp_path)
+        resp = call(app, "POST", "/v1/query", json.dumps({
+            "tenant_id": 0, "modality": "text", "vector": vec,
+        }).encode())
+        assert resp.status == 400
+
+    def test_bad_vectors_batch_is_400(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        resp = call(app, "POST", "/v1/query", json.dumps({
+            "tenant_id": 0, "modality": "text", "vectors": [["a"]],
+        }).encode())
+        assert resp.status == 400
+
+    def test_float_record_id_rejected(self, tmp_path):
+        # a float passes Record's range check but would crash the native
+        # WAL encoder MID-BATCH (torn log -> phantom rows on replay)
+        app, _ = make_app(tmp_path)
+        resp = call(app, "PUT", "/v1/records", json.dumps({
+            "records": [{"tenant_id": 0, "record_id": 1.5,
+                         "modality": "text", "algorithm": "a",
+                         "fingerprint": [1]}],
+        }).encode())
+        assert resp.status == 400
+        assert "record_id" in jbody(resp)["message"]
+
+    def test_ndjson_scalar_line_is_400(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        resp = call(app, "POST", "/v1/ingest/text/0/1/stream",
+                    b'5\n{"chunk":"ok words here"}\n')
+        assert resp.status == 400
+        assert jbody(resp)["error"] == "bad_ndjson"
+        resp = call(app, "POST", "/v1/ingest/text/0/1/stream",
+                    b'{"chunk": 5}\n')
+        assert resp.status == 400
+
+
+class TestAudioIndexSegregation:
+    def test_wang_query_never_matches_panako_records(self, tmp_path):
+        """Wang and panako hashes share the u32 space; the landmark index
+        must be per-(tenant, algorithm) so queries never cross."""
+        import asyncio as aio
+
+        from ucfp_tpu.core import Modality, Record
+        from ucfp_tpu.index.embedded import EmbeddedBackend
+
+        be = EmbeddedBackend(str(tmp_path / "db"))
+        pairs = np.arange(40, dtype="<u4").tobytes()  # 20 (hash, t) pairs
+        aio.run(be.upsert([Record(1, 7, Modality.AUDIO,
+                                  "audiofp-panako-v1", pairs)]))
+        hits = aio.run(be.knn_audio(1, "audiofp-wang-v1", pairs, 5))
+        assert hits == []  # same bytes, wrong algorithm: no hit
+        hits = aio.run(be.knn_audio(1, "audiofp-panako-v1", pairs, 5))
+        assert hits and hits[0].record_id == 7
+        be.close()
+
+
+class TestHaitsmaStaleStream:
+    def test_misaligned_reupsert_evicts_stream(self, tmp_path):
+        import asyncio as aio
+
+        from ucfp_tpu.core import Modality, Record
+        from ucfp_tpu.index.embedded import EmbeddedBackend
+
+        be = EmbeddedBackend(str(tmp_path / "db"))
+        frames = np.arange(64, dtype="<u4").tobytes()
+        aio.run(be.upsert([Record(1, 3, Modality.AUDIO,
+                                  "audiofp-haitsma-v1", frames)]))
+        assert aio.run(be.knn_haitsma(1, frames, 3))
+        # replace with a NON-4-aligned fingerprint: the old stream must
+        # not keep answering for the replaced record
+        aio.run(be.upsert([Record(1, 3, Modality.AUDIO,
+                                  "audiofp-haitsma-v1", b"odd")]))
+        assert aio.run(be.knn_haitsma(1, frames, 3)) == []
+        be.close()

@@ -51,13 +51,6 @@ AUDIO_LANDMARK_ALGOS = ("audiofp-wang-v1", "audiofp-panako-v1")
 HAITSMA_ALGORITHM = "audiofp-haitsma-v1"
 
 
-def _next_pow2(n: int) -> int:
-    c = 1024
-    while c < n:
-        c *= 2
-    return c
-
-
 def _upsert_event(tenant_id: int, record_id: int, row: dict) -> dict:
     return {
         "op": "upsert",
@@ -376,15 +369,19 @@ class EmbeddedBackend(IndexBackend):
 
                 self._mesh = data_mesh(1 << (n.bit_length() - 1))
         self._lsh: dict[int, dict[tuple[int, int], set[int]]] = {}  # tenant -> band buckets
-        self._audio: dict[int, _LandmarkIndex] = {}  # tenant -> columnar postings
+        # (tenant, algorithm) -> columnar postings: wang and panako
+        # hashes share the u32 space, so one per-tenant index would let
+        # queries match records across algorithms
+        self._audio: dict[tuple[int, str], _LandmarkIndex] = {}
         self._haitsma: dict[int, _StreamCache] = {}  # tenant -> padded streams
-        # sniff an existing file's format: native frames start with the
-        # "PFCU" magic, the JSON log with '{'
+        # an EXISTING log's on-disk format always wins over the requested
+        # engine (replaying a log with the wrong engine = silent zero
+        # events); open_wal("auto") performs the sniff — the format
+        # invariant lives in exactly one place
         if os.path.exists(self._wal_path) and os.path.getsize(self._wal_path) > 0:
-            with open(self._wal_path, "rb") as f:
-                first = f.read(1)
-            wal_engine = "json" if first == b"{" else "native"
-        self._wal = open_wal(self._wal_path, wal_engine) if wal_engine != "json" else JsonWal(self._wal_path)
+            wal_engine = "auto"
+        self._wal = (JsonWal(self._wal_path) if wal_engine == "json"
+                     else open_wal(self._wal_path, wal_engine))
         self._replay()
         self._wal_floor = self._wal_size()
 
@@ -497,13 +494,18 @@ class EmbeddedBackend(IndexBackend):
             self._lsh_insert(rec.tenant_id, rec.record_id, rec.fingerprint)
         # audio landmark inverted index (wang/panako offset voting)
         if old is not None and old["algorithm"] in AUDIO_LANDMARK_ALGOS:
-            self._audio_index_remove(rec.tenant_id, rec.record_id, old["fingerprint"])
+            self._audio_index_remove(rec.tenant_id, old["algorithm"],
+                                     rec.record_id)
         if rec.algorithm in AUDIO_LANDMARK_ALGOS:
-            self._audio_index_insert(rec.tenant_id, rec.record_id, rec.fingerprint)
+            self._audio_index_insert(rec.tenant_id, rec.algorithm,
+                                     rec.record_id, rec.fingerprint)
         # haitsma padded-stream cache (batched min-BER lookups)
         if old is not None and old["algorithm"] == HAITSMA_ALGORITHM:
             sc = self._haitsma.get(rec.tenant_id)
-            if sc and rec.algorithm != HAITSMA_ALGORITHM:
+            if sc and (rec.algorithm != HAITSMA_ALGORITHM
+                       or len(rec.fingerprint) % 4 != 0):
+                # replacing with another algorithm OR a misaligned
+                # fingerprint: either way the old stream is stale
                 sc.remove(rec.record_id)
         if rec.algorithm == HAITSMA_ALGORITHM and len(rec.fingerprint) % 4 == 0:
             sc = self._haitsma.setdefault(rec.tenant_id, _StreamCache())
@@ -527,7 +529,7 @@ class EmbeddedBackend(IndexBackend):
             if old["algorithm"] == LSH_ALGORITHM:
                 self._lsh_remove(tenant_id, rid, old["fingerprint"])
             if old["algorithm"] in AUDIO_LANDMARK_ALGOS:
-                self._audio_index_remove(tenant_id, rid, old["fingerprint"])
+                self._audio_index_remove(tenant_id, old["algorithm"], rid)
             if old["algorithm"] == HAITSMA_ALGORITHM:
                 sc = self._haitsma.get(tenant_id)
                 if sc:
@@ -618,16 +620,18 @@ class EmbeddedBackend(IndexBackend):
 
     # -- audio landmark matching (offset voting) ---------------------------------
 
-    def _audio_index_insert(self, tenant_id: int, rid: int, fp: bytes) -> None:
+    def _audio_index_insert(self, tenant_id: int, algorithm: str, rid: int,
+                            fp: bytes) -> None:
         pairs = np.frombuffer(fp, dtype="<u4")
         if pairs.size % 2:
             return
-        self._audio.setdefault(tenant_id, _LandmarkIndex()).insert(
-            rid, pairs.reshape(-1, 2)
-        )
+        self._audio.setdefault(
+            (tenant_id, algorithm), _LandmarkIndex()
+        ).insert(rid, pairs.reshape(-1, 2))
 
-    def _audio_index_remove(self, tenant_id: int, rid: int, fp: bytes) -> None:
-        idx = self._audio.get(tenant_id)
+    def _audio_index_remove(self, tenant_id: int, algorithm: str,
+                            rid: int) -> None:
+        idx = self._audio.get((tenant_id, algorithm))
         if idx is not None:
             idx.remove(rid)
 
@@ -742,7 +746,7 @@ class EmbeddedBackend(IndexBackend):
 
         def work():
             with self._lock:
-                idx = self._audio.get(tenant_id)
+                idx = self._audio.get((tenant_id, algorithm))
                 if idx is None or len(idx) == 0:
                     return []
                 qrep, rids_m, ts_m = idx.lookup(h_exp)

@@ -60,6 +60,7 @@ SERVICE_TENANT = 0
 # matrices, so Q must be bounded server-side (256 x 10M f32 = 10 GB is
 # already the ceiling of what one request may pin)
 MAX_QUERY_BATCH = 256
+MAX_QUERY_K = 10_000
 
 
 def _ctx(req: Request) -> ApiKeyContext:
@@ -241,14 +242,15 @@ class Handlers:
                 if not (1000 <= sr <= 192_000):
                     raise HttpError(400, "bad_query", "sample_rate out of range")
                 samples = amod.decode_f32le(raw)
-                rec = amod.fingerprint_wang(samples, sr, 0, 0)
+                rec = await asyncio.to_thread(
+                    amod.fingerprint_wang, samples, sr, 0, 0)
             else:  # text/plain and friends
                 _algo_gate("minhash")
                 try:
                     text = raw.decode("utf-8")
                 except UnicodeDecodeError:
                     raise HttpError(400, "bad_utf8", "body is not valid UTF-8")
-                rec = tmod.fingerprint_minhash(text, 0, 0)
+                rec = await asyncio.to_thread(tmod.fingerprint_minhash, text, 0, 0)
         except UcfpError as e:
             raise _err(e)
         resp = _ingest_response(rec, False)
@@ -277,6 +279,20 @@ class Handlers:
             out.append(f)
         return out
 
+    @staticmethod
+    def _valid_vector(vec, name: str):
+        """Query vectors must be flat numeric lists — np.asarray on a
+        nested/non-numeric payload raises outside the UcfpError family
+        and would surface as a 500 instead of a 400."""
+        if vec is None:
+            return None
+        if not isinstance(vec, list) or not all(
+            isinstance(x, (int, float)) and not isinstance(x, bool)
+            for x in vec
+        ):
+            raise HttpError(400, "bad_query", f"{name} must be a list of numbers")
+        return vec
+
     async def upsert_records(self, req: Request) -> Response:
         body = req.json()
         # reference UpsertRequest is {"records": [...]} (dto.rs:27-34);
@@ -298,6 +314,21 @@ class Handlers:
                 # that many bytes, letting a 60-byte request reserve GBs
                 if not isinstance(fp, list) or not isinstance(meta, list):
                     raise ValueError("fingerprint/metadata must be u8 arrays")
+                # strict ints: a float like 1.5 passes Record's range
+                # check but crashes the native WAL encoder MID-BATCH
+                # (torn log -> phantom records on replay), and a JSON
+                # float id would be unreachable via the integer routes
+                for field in ("tenant_id", "record_id"):
+                    if isinstance(r[field], bool) or not isinstance(
+                        r[field], int
+                    ):
+                        raise ValueError(f"{field} must be an integer")
+                for field in ("format_version", "config_hash"):
+                    v = r.get(field)
+                    if v is not None and (
+                        isinstance(v, bool) or not isinstance(v, int)
+                    ):
+                        raise ValueError(f"{field} must be an integer")
                 rec = Record(
                     tenant_id=r["tenant_id"],
                     record_id=r["record_id"],
@@ -384,6 +415,11 @@ class Handlers:
             rrf_k = int(body.get("rrf_k", 60))
         except (KeyError, ValueError, TypeError) as e:
             raise HttpError(400, "bad_query", f"invalid query: {e}")
+        if k > MAX_QUERY_K:
+            # the BM25 engines allocate O(k) result buffers and the
+            # device paths gather [Q, k] — an unbounded k lets one small
+            # request force a multi-GB allocation
+            raise HttpError(400, "bad_query", f"k must be <= {MAX_QUERY_K}")
         tenant_guard(_ctx(req), tenant_id)
         if body.get("filter") is not None:
             # surface Unsupported rather than silently dropping the
@@ -391,8 +427,14 @@ class Handlers:
             raise HttpError(501, "unsupported", "query filters are not implemented")
         _tag_usage(req, modality.value, body.get("algorithm"))
         explain = req.qp_bool("explain")
-        vector = body.get("vector")
+        vector = self._valid_vector(body.get("vector"), "vector")
         terms = body.get("terms") or []
+        if not isinstance(terms, list) or not all(
+            isinstance(t, str) for t in terms
+        ):
+            # a bare string would silently split into characters and
+            # search nonsense single-letter terms
+            raise HttpError(400, "bad_query", "terms must be a list of strings")
         fp_hex = body.get("fingerprint_hex")
         vectors = body.get("vectors")
 
@@ -402,6 +444,10 @@ class Handlers:
                 isinstance(v, list) for v in vectors
             ):
                 raise HttpError(400, "bad_query", "vectors must be a list of vectors")
+            vectors = [
+                self._valid_vector(v, f"vectors[{i}]")
+                for i, v in enumerate(vectors)
+            ]
             if len(vectors) > MAX_QUERY_BATCH:
                 # the scan materializes a [Q, C] score matrix; an
                 # unbounded Q turns one request into a multi-GB allocation
@@ -646,30 +692,43 @@ class Handlers:
                 text = raw.decode("utf-8")
             except UnicodeDecodeError:
                 raise HttpError(400, "bad_utf8", "body is not valid UTF-8")
+        import asyncio
+
+        # hashing (and any first jit compile) runs off the event loop:
+        # inline it would stall every concurrent request for seconds on
+        # a cold server (the image path already threads its decode)
         try:
             if algorithm == "minhash":
-                rec = tmod.fingerprint_minhash(text, tid, rid, opts)
+                rec = await asyncio.to_thread(
+                    tmod.fingerprint_minhash, text, tid, rid, opts)
             elif algorithm == "simhash-tf":
-                rec = tmod.fingerprint_simhash(text, tid, rid, opts)
+                rec = await asyncio.to_thread(
+                    tmod.fingerprint_simhash, text, tid, rid, opts)
             elif algorithm == "simhash-idf":
                 # corpus IDF from the tenant's BM25 tables (REPORT.md 4.1.2);
                 # an empty corpus falls back to pure TF weighting
                 terms = tmod.terms_of(text, opts)
                 idf = self.index.bm25_idf_map(tid, terms)
-                rec = tmod.fingerprint_simhash(text, tid, rid, opts, idf=idf)
+                rec = await asyncio.to_thread(
+                    tmod.fingerprint_simhash, text, tid, rid, opts, idf)
             elif algorithm == "lsh":
-                rec = tmod.fingerprint_lsh(text, tid, rid, opts)
+                rec = await asyncio.to_thread(
+                    tmod.fingerprint_lsh, text, tid, rid, opts)
             elif algorithm == "tlsh":
-                rec = tmod.fingerprint_tlsh(text, tid, rid, opts)
+                rec = await asyncio.to_thread(
+                    tmod.fingerprint_tlsh, text, tid, rid, opts)
             elif algorithm == "semantic":
                 provider = req.query.get("provider", "local")
-                rec = tmod.fingerprint_semantic(
-                    text, tid, rid, provider=provider, opts=opts,
-                    # reference TextParams carries the provider key as the
-                    # api_key query param (dto.rs:396-399); the header is
-                    # our extension (keys in URLs leak into logs)
-                    provider_key=req.headers.get("x-provider-key")
-                    or req.query.get("api_key"),
+                # reference TextParams carries the provider key as the
+                # api_key query param (dto.rs:396-399); the header is
+                # our extension (keys in URLs leak into logs)
+                pkey = (req.headers.get("x-provider-key")
+                        or req.query.get("api_key"))
+                rec = await asyncio.to_thread(
+                    lambda: tmod.fingerprint_semantic(
+                        text, tid, rid, provider=provider, opts=opts,
+                        provider_key=pkey,
+                    )
                 )
             else:
                 raise HttpError(400, "bad_algorithm", f"unknown text algorithm {algorithm!r}")
@@ -705,19 +764,31 @@ class Handlers:
         opts = self._text_opts(req)
         session = tmod.StreamingMinHashSession(tid, rid, opts)
         tail = b""
+
+        def push_line(line: bytes) -> None:
+            obj = json.loads(line.decode("utf-8"))
+            # a valid-JSON scalar line or a non-string chunk must be a
+            # 400, not an AttributeError/TypeError 500
+            if not isinstance(obj, dict) or not isinstance(
+                obj.get("chunk", ""), str
+            ):
+                raise HttpError(
+                    400, "bad_ndjson",
+                    'each line must be an object {"chunk": "..."}',
+                )
+            session.push(obj.get("chunk", ""))
+
         try:
             async for data in self._body_chunks(req):
                 tail += data
                 *lines, tail = tail.split(b"\n")
                 for line in lines:
                     line = line.strip()
-                    if not line:
-                        continue
-                    obj = json.loads(line.decode("utf-8"))
-                    session.push(obj.get("chunk", ""))
+                    if line:
+                        push_line(line)
             line = tail.strip()
             if line:
-                session.push(json.loads(line.decode("utf-8")).get("chunk", ""))
+                push_line(line)
             rec = session.finalize()
         except (UnicodeDecodeError, json.JSONDecodeError) as e:
             raise HttpError(400, "bad_ndjson", f"invalid NDJSON stream: {e}")
@@ -823,7 +894,10 @@ class Handlers:
                     ),
                     local_floor=req.qp_bool("local_floor", False),
                 )
-                rec = amod.fingerprint_wang(samples, sample_rate, tid, rid, cfg)
+                import asyncio as _aio
+
+                rec = await _aio.to_thread(
+                    amod.fingerprint_wang, samples, sample_rate, tid, rid, cfg)
             elif algorithm == "panako":
                 cfg = PanakoConfig(
                     fan_out=self._in_range(req, "fan_out", 5, 1, 32,
@@ -841,7 +915,11 @@ class Handlers:
                         req, "min_anchor_mag_db", -50.0, -120.0, 0.0,
                         float_=True, alias="panako_min_anchor_mag_db"),
                 )
-                rec = amod.fingerprint_panako(samples, sample_rate, tid, rid, cfg)
+                import asyncio as _aio
+
+                rec = await _aio.to_thread(
+                    amod.fingerprint_panako, samples, sample_rate, tid, rid,
+                    cfg)
             elif algorithm == "haitsma":
                 cfg = HaitsmaConfig(
                     fmin=self._in_range(req, "fmin", 300.0, 50.0, 2000.0,
@@ -849,16 +927,26 @@ class Handlers:
                     fmax=self._in_range(req, "fmax", 2000.0, 500.0, 2500.0,
                                         float_=True, alias="haitsma_fmax"),
                 )
-                rec = amod.fingerprint_haitsma(samples, sample_rate, tid, rid, cfg)
+                import asyncio as _aio
+
+                rec = await _aio.to_thread(
+                    amod.fingerprint_haitsma, samples, sample_rate, tid, rid,
+                    cfg)
             elif algorithm == "neural":
-                rec = amod.fingerprint_neural(samples, sample_rate, tid, rid)
+                import asyncio as _aio
+
+                rec = await _aio.to_thread(
+                    amod.fingerprint_neural, samples, sample_rate, tid, rid)
             elif algorithm == "watermark":
                 wcfg = amod.WatermarkConfig(
                     threshold=self._in_range(
                         req, "threshold", 0.5, 0.0, 1.0, float_=True,
                         alias="watermark_threshold")
                 )
-                rep = amod.detect_watermark(samples, sample_rate, wcfg)
+                import asyncio as _aio
+
+                rep = await _aio.to_thread(
+                    amod.detect_watermark, samples, sample_rate, wcfg)
                 _tag_usage(req, "audio", "watermark")
                 # watermark returns a report, not a Record (audio.rs:333-400)
                 return Response.json(
