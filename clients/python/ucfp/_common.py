@@ -154,14 +154,11 @@ def decode_wav(data: bytes) -> tuple[bytes, int]:
         vals = struct.unpack(f"<{n * ch}h", raw)
         scale = 1.0 / 32768.0
     elif width == 4:
-        # could be int32 or float32; RIFF format code is not exposed by
-        # `wave`, so sniff: float32 PCM magnitudes stay within ~[-1, 1]
-        as_f = struct.unpack(f"<{n * ch}f", raw)
-        if all(-16.0 <= v <= 16.0 for v in as_f[: min(256, len(as_f))]):
-            vals, scale = as_f, 1.0
-        else:
-            vals = struct.unpack(f"<{n * ch}i", raw)
-            scale = 1.0 / 2147483648.0
+        # Python's `wave` rejects IEEE-float WAVs (format 3), so 4-byte
+        # samples are always int32 PCM — a float32 sniff would misfire
+        # on int32 files with quiet openings
+        vals = struct.unpack(f"<{n * ch}i", raw)
+        scale = 1.0 / 2147483648.0
     elif width == 1:
         vals = tuple(b - 128 for b in raw)
         scale = 1.0 / 128.0

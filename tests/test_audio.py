@@ -377,3 +377,34 @@ class TestWavDecode:
             # decoded waveform tracks the source within quantization noise
             tol = 0.02 if width == 1 else 0.001
             assert float(np.abs(y - x).max()) < tol
+
+
+class TestStreamingFinalizeTail:
+    def test_boundary_end_emits_no_duplicate_segment(self):
+        """A stream ending exactly at a segment boundary must not emit a
+        finalize record made entirely of the carried halo (every landmark
+        would duplicate the previous segment's)."""
+        from ucfp_tpu.modality.audio import StreamingWangSession
+
+        s = StreamingWangSession(0, 100, 8000, segment_secs=2.0)
+        t = np.arange(s.segment + s.halo) / 8000.0
+        x = (0.5 * np.sin(2 * np.pi * 440 * t)
+             + 0.3 * np.sin(2 * np.pi * 1400 * t)
+             * (np.sin(2 * np.pi * 1.1 * t) > 0)).astype(np.float32)
+        recs = s.push(x)
+        assert len(recs) == 1           # one full segment emitted
+        assert s.finalize() == []       # only the halo remains: nothing new
+
+    def test_fresh_tail_still_emits(self):
+        from ucfp_tpu.modality.audio import StreamingWangSession
+
+        s = StreamingWangSession(0, 100, 8000, segment_secs=2.0)
+        n = s.segment + s.halo + 8000   # one full second beyond the halo
+        t = np.arange(n) / 8000.0
+        x = (0.5 * np.sin(2 * np.pi * 440 * t)
+             + 0.3 * np.sin(2 * np.pi * 1400 * t)
+             * (np.sin(2 * np.pi * 1.1 * t) > 0)).astype(np.float32)
+        recs = s.push(x)
+        assert len(recs) == 1
+        tail = s.finalize()
+        assert len(tail) == 1 and tail[0].record_id == 101

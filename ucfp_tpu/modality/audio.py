@@ -67,9 +67,10 @@ def wav_to_f32(data: bytes) -> tuple[bytes, int]:
     take raw f32 per the reference contract; clients decode containers
     themselves — the Python SDK ships its own standalone copy of this
     logic in clients/python/ucfp/_common.py:decode_wav). Supports PCM
-    8/16/32-bit and float32, channels averaged to mono."""
-    import io
-    import struct
+    8/16/32-bit, channels averaged to mono. Python's `wave` module
+    rejects IEEE-float WAVs (format 3), so 4-byte samples are always
+    int32 PCM here — sniffing for float32 would misfire on int32 files
+    with quiet openings and decode the whole file as bitcast garbage."""
     import wave
 
     with wave.open(io.BytesIO(data), "rb") as w:
@@ -85,15 +86,8 @@ def wav_to_f32(data: bytes) -> tuple[bytes, int]:
         vals = np.frombuffer(raw, "<i2").astype(np.float32)
         scale = 1.0 / 32768.0
     elif width == 4:
-        # `wave` hides the RIFF format code; sniff: float32 magnitudes
-        # stay within ~[-1, 1], int32 values explode when read as float
-        as_f = np.frombuffer(raw, "<f4")
-        head = as_f[: min(256, len(as_f))]
-        if len(head) == 0 or bool(np.all(np.abs(head[np.isfinite(head)]) <= 16.0)):
-            vals, scale = as_f.astype(np.float32), 1.0
-        else:
-            vals = np.frombuffer(raw, "<i4").astype(np.float32)
-            scale = 1.0 / 2147483648.0
+        vals = np.frombuffer(raw, "<i4").astype(np.float32)
+        scale = 1.0 / 2147483648.0
     else:
         raise ModalityError(f"unsupported WAV sample width {width}")
     mono = vals.reshape(n, ch).mean(axis=1) * scale if ch > 1 else vals * scale
@@ -378,6 +372,11 @@ class StreamingWangSession:
         self._buf = np.zeros(0, np.float32)
         self._seg_index = 0
         self._closed = False
+        # samples at the buffer head already covered by the previous
+        # segment (the carried halo); finalize must measure NEW material
+        # beyond it, or a stream ending exactly at a segment boundary
+        # would emit a record made entirely of re-hashed old samples
+        self._carry = 0
 
     def push(self, chunk: np.ndarray) -> list[Record]:
         if self._closed:
@@ -388,13 +387,15 @@ class StreamingWangSession:
             seg = self._buf[: self.segment + self.halo]
             out.append(self._emit(seg))
             self._buf = self._buf[self.segment :]
+            self._carry = self.halo
         return out
 
     def finalize(self) -> list[Record]:
         if self._closed:
             raise ModalityError("session closed")
         self._closed = True
-        if len(self._buf) >= CANONICAL_SR // 2:  # at least half a second
+        fresh = len(self._buf) - self._carry
+        if fresh >= CANONICAL_SR // 2:  # at least half a second NEW audio
             return [self._emit(self._buf)]
         return []
 
@@ -484,7 +485,11 @@ def inspect_audio(
 
     envelope = _downsample_envelope(x, 256)
 
-    t, f, mags, power = constellation.peaks_for_inspect(x, sample_rate, cfg)
+    # ONE STFT + peak pick serves the peak list, the landmark overlay,
+    # AND (for wang) the fingerprint itself
+    t, f, mags, power, hashes, t1 = constellation.peaks_and_landmarks(
+        x, sample_rate, cfg
+    )
     n_frames, n_bins = power.shape
     max_mag = max(float(power.max()), 1e-9)
     bin_hz = sample_rate / 1024.0
@@ -500,7 +505,6 @@ def inspect_audio(
     ]
 
     # landmark pairs for the overlay (capped at 256)
-    hashes, t1 = constellation.extract_landmarks(x, sample_rate, cfg)
     landmarks = []
     for h, a in list(zip(hashes, t1))[:256]:
         f1 = (int(h) >> 22) & 0x3FF
@@ -525,7 +529,16 @@ def inspect_audio(
     mel_spec_png = _spec_png_b64(mel)
 
     if algorithm == "wang":
-        fp = fingerprint_wang(x, sample_rate, 0, 0, cfg)
+        # assemble the Record from the landmarks already computed above —
+        # identical packing to fingerprint_wang, zero extra device work
+        buf = np.empty((len(hashes), 2), dtype="<u4")
+        buf[:, 0] = hashes
+        buf[:, 1] = t1
+        fp = Record(
+            tenant_id=0, record_id=0, modality=Modality.AUDIO,
+            algorithm=ALGORITHM_WANG, fingerprint=buf.tobytes(),
+            config_hash=_wang_cfg_hash(cfg, ALGORITHM_WANG),
+        )
     elif algorithm == "panako":
         fp = fingerprint_panako(x, sample_rate, 0, 0)
     elif algorithm == "haitsma":

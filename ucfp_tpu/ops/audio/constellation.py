@@ -338,6 +338,18 @@ def peaks_for_inspect(
     samples: np.ndarray, sr: int, cfg: WangConfig, n_fft: int = 1024, hop: int = 256
 ):
     """(t, f, mag_power) arrays of valid peaks, for the inspector."""
+    t, f, mags, pw, _h, _t1 = peaks_and_landmarks(samples, sr, cfg, n_fft, hop)
+    return t, f, mags, pw
+
+
+def peaks_and_landmarks(
+    samples: np.ndarray, sr: int, cfg: WangConfig,
+    n_fft: int = 1024, hop: int = 256,
+) -> tuple:
+    """One STFT + one peak pick serving BOTH the inspector overlays and
+    the wang fingerprint: -> (t, f, mag_power, power, hashes, t1). The
+    inspector previously ran the full pipeline three times per request
+    (peaks, overlay landmarks, fingerprint) on identical input."""
     from jax import enable_x64
 
     with enable_x64():
@@ -351,7 +363,12 @@ def peaks_for_inspect(
         power, slab, cfg.peaks_per_sec, cfg.min_anchor_mag_db,
         getattr(cfg, "local_floor", False),
     )
-    t, f, valid = np.asarray(t), np.asarray(f), np.asarray(valid)
+    h, t1, ok = wang_pairs(
+        t, f, valid, cfg.fan_out, cfg.target_zone_t, cfg.target_zone_f
+    )
+    ok = np.asarray(ok)
+    tv, fv, validv = np.asarray(t), np.asarray(f), np.asarray(valid)
     pw = np.asarray(power)
-    t, f = t[valid], f[valid]
-    return t, f, pw[t, f], pw
+    sel_t, sel_f = tv[validv], fv[validv]
+    return (sel_t, sel_f, pw[sel_t, sel_f], pw,
+            np.asarray(h)[ok], np.asarray(t1)[ok])

@@ -209,11 +209,16 @@ def tlsh_128_1(data: bytes) -> str:
     q1ratio = (q1 * 100 // q3) % 16
     q2ratio = (q2 * 100 // q3) % 16
     body = bytearray(32)
-    # spec packs bucket codes from the LAST bucket down, 4 codes per byte
+    # published packing (Oliver et al. 2013 reference impl): tmp byte i
+    # holds buckets 4i..4i+3 at bit pairs 2j, and the OUTPUT reverses
+    # byte order only — so output byte 0 carries buckets 124..127 with
+    # bucket 124 in the low bits. All three header bytes are
+    # nibble-swapped in the hex form (the impl's swap_byte on checksum,
+    # lvalue, AND the q-ratio byte).
     for i in range(32):
         sextet = 0
         for j in range(4):
-            k = bl[127 - (i * 4 + j)]
+            k = bl[(31 - i) * 4 + j]
             if k <= q1:
                 code = 0
             elif k <= q2:
@@ -225,7 +230,8 @@ def tlsh_128_1(data: bytes) -> str:
             sextet |= code << (j * 2)
         body[i] = sextet
     header = bytes(
-        [_swap_nibbles(checksum), _swap_nibbles(lvalue), (q1ratio << 4) | q2ratio]
+        [_swap_nibbles(checksum), _swap_nibbles(lvalue),
+         _swap_nibbles((q1ratio << 4) | q2ratio)]
     )
     return (header + bytes(body)).hex()
 
