@@ -960,3 +960,96 @@ class TestHaitsmaStaleStream:
                                   "audiofp-haitsma-v1", b"odd")]))
         assert aio.run(be.knn_haitsma(1, frames, 3)) == []
         be.close()
+
+
+class TestRetrievalStackFixes:
+    def test_negative_rrf_k_is_400(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        resp = call(app, "POST", "/v1/query", json.dumps({
+            "tenant_id": 0, "modality": "text", "terms": ["a"],
+            "vector": [1.0, 0.0], "rrf_k": -1,
+        }).encode())
+        assert resp.status == 400
+        assert "rrf_k" in jbody(resp)["message"]
+
+    def test_matcher_surfaces_filter_on_terms_only(self, tmp_path):
+        import asyncio as aio
+
+        from ucfp_tpu.core import Modality, Query, UnsupportedError
+        from ucfp_tpu.index.embedded import EmbeddedBackend
+        from ucfp_tpu.matcher import Matcher
+
+        be = EmbeddedBackend(str(tmp_path / "db"))
+        m = Matcher(be)
+        q = Query(tenant_id=0, modality=Modality.TEXT, terms=["foo"],
+                  filter=b"x")
+        with pytest.raises(UnsupportedError):
+            aio.run(m.search(q))
+        be.close()
+
+    def test_idf_map_bridges_tokenizer_mismatch(self, tmp_path):
+        import asyncio as aio
+
+        from ucfp_tpu.core import Modality, Record
+        from ucfp_tpu.index.embedded import EmbeddedBackend
+
+        be = EmbeddedBackend(str(tmp_path / "db"))
+        recs = [Record(0, i, Modality.TEXT, "a", b"x",
+                       text=f"snake case document {i} filler words")
+                for i in range(4)]
+        recs.append(Record(0, 99, Modality.TEXT, "a", b"x",
+                           text="snake only here"))
+        aio.run(be.upsert(recs))
+        # the TEXT tokenizer keeps "snake_case" whole; BM25 split it —
+        # the idf map must bridge via subtokens (max sub-IDF)
+        idf = be.bm25_idf_map(0, ["snake_case", "document"])
+        assert "snake_case" in idf and idf["snake_case"] > 0
+        assert "document" in idf
+        be.close()
+
+    def test_streaming_minhash_failed_finalize_not_poisoned(self):
+        from ucfp_tpu.core import ModalityError
+        from ucfp_tpu.modality.text import StreamingMinHashSession
+
+        s = StreamingMinHashSession(0, 1)
+        s.push("   \n\t  ")
+        with pytest.raises(ModalityError):
+            s.finalize()
+        # the failure must not have consumed the session
+        s.push("now some real words to fingerprint")
+        rec = s.finalize()
+        assert rec.fingerprint
+
+    def test_bm25_engines_agree_on_oversized_tokens(self, tmp_path):
+        from ucfp_tpu.index.bm25 import Bm25Engine, make_engine
+
+        giant = "x" * 70_000
+        text = f"{giant} normal words here"
+        py = Bm25Engine()
+        py.upsert_one(0, 1, text)
+        nat = make_engine(prefer_native=True)
+        nat.upsert_one(0, 1, text)
+        # the giant token is dropped by BOTH tokenizers; corpus stats and
+        # searchability agree
+        assert py.stats(0)["doc_count"] == nat.stats(0)["doc_count"] == 1
+        assert [d for d, _ in py.search(0, ["normal"], 5)] == \
+               [d for d, _ in nat.search(0, ["normal"], 5)] == [1]
+        assert py.search(0, [giant], 5) == []
+        assert nat.search(0, [giant], 5) == []
+
+    def test_native_term_table_reclaims_dead_terms(self):
+        from ucfp_tpu.index.bm25 import make_engine
+
+        eng = make_engine(prefer_native=True)
+        if type(eng).__name__ != "NativeBm25Engine":
+            pytest.skip("no toolchain")
+        # churn unique vocabulary through one doc id: dead terms must be
+        # reclaimed, keeping live_terms (and the intern table) bounded
+        for i in range(50):
+            eng.upsert_one(0, 1, f"unique{i}token{i} shared words")
+        st = eng.stats(0)
+        assert st["doc_count"] == 1
+        # only the final doc's terms are live
+        assert st["terms"] <= 4
+        assert [d for d, _ in eng.search(0, ["unique49token49"], 5)] == [1]
+        assert eng.search(0, ["unique0token0"], 5) == []

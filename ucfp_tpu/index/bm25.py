@@ -40,10 +40,18 @@ MAX_EXPLAIN_TERMS_PER_DOC = 16
 # like İ, since lower() runs first either way)
 _TOKEN_RE = re.compile(r"[^\W_]+")
 
+# u16 length field in the native wire blob; BOTH engines drop larger
+# tokens at tokenize time so searchability and corpus stats stay
+# bit-identical across engines (a >64 KiB "token" is pathological input)
+MAX_TERM_BYTES = 65535
+
 
 def tokenize(text: str) -> list[str]:
     """Lowercase + split on non-alphanumeric (bm25.rs:88-97)."""
-    return _TOKEN_RE.findall(text.lower())
+    out = _TOKEN_RE.findall(text.lower())
+    if out and max(map(len, out)) > MAX_TERM_BYTES // 4:
+        out = [t for t in out if len(t.encode("utf-8")) <= MAX_TERM_BYTES]
+    return out
 
 
 @dataclass
@@ -174,7 +182,6 @@ class Bm25Engine:
 # ---------------------------------------------------------------------------
 
 
-MAX_TERM_BYTES = 65535  # u16 length field in the native blob
 
 
 def _terms_blob(pairs: list[tuple[str, int]]) -> bytes:
@@ -250,12 +257,15 @@ class NativeBm25Engine:
         return uniq
 
     def search(self, tenant_id: int, terms: list[str], k: int) -> list[tuple[int, float]]:
+        return self._search_uniq(tenant_id, self._query_terms(terms), k)
+
+    def _search_uniq(self, tenant_id: int, uniq: list[str],
+                     k: int) -> list[tuple[int, float]]:
         import ctypes
 
         h = self._h(tenant_id)
         if h is None or k == 0:
             return []
-        uniq = self._query_terms(terms)
         if not uniq:
             return []
         blob = _terms_blob([(t, 1) for t in uniq])
@@ -270,10 +280,12 @@ class NativeBm25Engine:
         self, tenant_id: int, terms: list[str], k: int
     ) -> list[tuple[int, float, list[TermHit]]]:
         h = self._h(tenant_id)
-        ranked = self.search(tenant_id, terms, k)
+        # tokenize + dedupe ONCE for both the ranked search and the
+        # per-doc contribution loop below
+        uniq = self._query_terms(terms)
+        ranked = self._search_uniq(tenant_id, uniq, k)
         if not ranked or h is None:
             return []
-        uniq = self._query_terms(terms)
         n_docs = self._lib.ucfp_bm25_doc_count(h)
         avgdl = self._lib.ucfp_bm25_total_doc_len(h) / n_docs if n_docs else 0.0
         out = []

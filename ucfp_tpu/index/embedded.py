@@ -614,9 +614,30 @@ class EmbeddedBackend(IndexBackend):
         return await asyncio.to_thread(work)
 
     def bm25_idf_map(self, tenant_id: int, terms: list[str]) -> dict[str, float]:
-        """Corpus IDF for the SimHash-IDF weighting (REPORT.md 4.1.2)."""
+        """Corpus IDF for the SimHash-IDF weighting (REPORT.md 4.1.2).
+
+        The caller's tokens come from the TEXT tokenizer (\\w+, keeps
+        underscores; or grapheme/cjk forms) while the BM25 corpus is
+        keyed by its own tokenizer ([^\\W_]+) — so each term is mapped
+        to its BM25 subtokens and weighted by the MAX sub-IDF (its most
+        informative component). Without this, "snake_case" would never
+        match the postings for "snake"/"case" and silently fall back to
+        the TF default."""
+        from .bm25 import tokenize as bm25_tokenize
+
+        sub_of: dict[str, list[str]] = {}
+        for t in terms:
+            subs = bm25_tokenize(t)
+            sub_of[t] = subs if subs else [t.lower()]
+        flat = sorted({s for subs in sub_of.values() for s in subs})
         with self._lock:
-            return self._bm25.idf_map(tenant_id, terms)
+            base = self._bm25.idf_map(tenant_id, flat)
+        out: dict[str, float] = {}
+        for t, subs in sub_of.items():
+            vals = [base[s] for s in subs if s in base]
+            if vals:
+                out[t] = max(vals)
+        return out
 
     # -- audio landmark matching (offset voting) ---------------------------------
 

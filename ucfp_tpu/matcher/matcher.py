@@ -27,6 +27,14 @@ class Matcher:
         self.reranker = reranker
 
     async def search(self, q: Query) -> list[Hit]:
+        if q.filter is not None:
+            # surfaced for EVERY query shape, not just the knn leg —
+            # a terms-only query silently ignoring the filter would
+            # return unfiltered hits as if the filter matched everything
+            # (reference src/index/mod.rs:18-78 contract)
+            from ..core import UnsupportedError
+
+            raise UnsupportedError("query filters are not implemented")
         has_vec = q.vector is not None
         has_terms = bool(q.terms)
         if has_vec and has_terms:
@@ -49,8 +57,14 @@ class Matcher:
                     bm_hits = await self.index.bm25(q.tenant_id, q.terms, q.k)
                     term_by_id = {}
             except BaseException:
-                # don't orphan the in-flight kNN when the bm25 leg fails
+                # don't orphan the in-flight kNN when the bm25 leg fails —
+                # and retrieve its result/exception so a completed task
+                # doesn't log "exception was never retrieved"
                 knn_task.cancel()
+                try:
+                    await knn_task
+                except BaseException:
+                    pass
                 raise
             vec_hits = await knn_task
             fused = rrf_with_sources(

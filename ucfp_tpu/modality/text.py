@@ -438,10 +438,14 @@ class StreamingMinHashSession:
     def finalize(self) -> Record:
         if self._finalized:
             raise ModalityError("session already finalized")
-        self._finalized = True
-        return fingerprint_minhash(
+        rec = fingerprint_minhash(
             "".join(self._chunks), self.tenant_id, self.record_id, self.opts
         )
+        # only mark finalized on SUCCESS: a failed fingerprint (e.g.
+        # whitespace-only buffer) must leave the session usable, not
+        # poisoned behind a misleading "already finalized" error
+        self._finalized = True
+        return rec
 
 
 # ---------------------------------------------------------------------------

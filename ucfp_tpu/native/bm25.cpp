@@ -43,6 +43,8 @@ using Postings = std::vector<std::pair<uint64_t, uint32_t>>;  // (doc, tf)
 struct Corpus {
   std::unordered_map<std::string, uint32_t> term_ids;  // term -> dense id
   std::vector<Postings> postings;                      // by term id
+  std::vector<std::string> id_terms;                   // id -> term (reclaim)
+  std::vector<uint32_t> free_ids;                      // reusable term ids
   std::unordered_map<uint64_t, uint32_t> doc_lens;
   std::unordered_map<uint64_t, std::vector<uint32_t>> doc_terms;  // doc -> ids
   uint64_t total_doc_len = 0;
@@ -50,10 +52,33 @@ struct Corpus {
 };
 
 uint32_t intern(Corpus* c, const char* ptr, size_t len) {
-  auto [it, inserted] =
-      c->term_ids.emplace(std::string(ptr, len), (uint32_t)c->postings.size());
-  if (inserted) c->postings.emplace_back();
-  return it->second;
+  std::string term(ptr, len);
+  auto it = c->term_ids.find(term);
+  if (it != c->term_ids.end()) return it->second;
+  // reuse a reclaimed id when one is free: without reclamation the
+  // term table grows with every distinct token EVER seen (vocabulary
+  // churn — UUIDs, timestamps — would grow RSS without bound)
+  uint32_t id;
+  if (!c->free_ids.empty()) {
+    id = c->free_ids.back();
+    c->free_ids.pop_back();
+    c->id_terms[id] = term;
+  } else {
+    id = (uint32_t)c->postings.size();
+    c->postings.emplace_back();
+    c->id_terms.push_back(term);
+  }
+  c->term_ids.emplace(std::move(term), id);
+  return id;
+}
+
+// a term whose last posting vanished is dead: drop its intern entry and
+// recycle the id (no doc references a term with empty postings)
+void reclaim_term(Corpus* c, uint32_t tid) {
+  c->term_ids.erase(c->id_terms[tid]);
+  std::string().swap(c->id_terms[tid]);
+  Postings().swap(c->postings[tid]);  // release capacity too
+  c->free_ids.push_back(tid);
 }
 
 // -1 when the term was never seen.
@@ -121,7 +146,10 @@ void ucfp_bm25_clear(void* h, uint64_t doc) {
         break;  // clear-then-reindex keeps lists duplicate-free
       }
     }
-    if (p.empty()) c->live_terms--;
+    if (p.empty()) {
+      c->live_terms--;
+      reclaim_term(c, tid);
+    }
   }
   c->total_doc_len -= c->doc_lens[doc];
   c->doc_lens.erase(doc);
@@ -173,8 +201,10 @@ long ucfp_bm25_upsert_text(void* h, uint64_t doc, const uint8_t* text,
     if (alnum) {
       tok.push_back(ch);
     } else if (!tok.empty()) {
-      ids.push_back(intern(c, tok.data(), tok.size()));
-      n_tokens++;
+      if (tok.size() <= 65535) {  // same cap as the blob's u16 length
+        ids.push_back(intern(c, tok.data(), tok.size()));
+        n_tokens++;
+      }
       tok.clear();
     }
   }

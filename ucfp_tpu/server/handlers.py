@@ -420,6 +420,10 @@ class Handlers:
             # device paths gather [Q, k] — an unbounded k lets one small
             # request force a multi-GB allocation
             raise HttpError(400, "bad_query", f"k must be <= {MAX_QUERY_K}")
+        if not (0 <= rrf_k <= 1_000_000):
+            # rrf_k = -1 would divide by zero at rank 1; other negatives
+            # silently invert the fused ranking
+            raise HttpError(400, "bad_query", "rrf_k must be in [0, 1000000]")
         tenant_guard(_ctx(req), tenant_id)
         if body.get("filter") is not None:
             # surface Unsupported rather than silently dropping the
