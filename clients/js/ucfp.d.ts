@@ -109,6 +109,7 @@ export interface QueryOptions {
   rrfK?: number;
   explain?: boolean;
   multihash?: Record<string, number>;
+  filter?: { algorithm?: string; modelId?: never; model_id?: string };
   tenantId?: number;
 }
 

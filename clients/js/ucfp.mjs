@@ -295,6 +295,7 @@ export class UcfpClient {
     if (opts.algorithm) body.algorithm = opts.algorithm;
     if (opts.rrfK !== undefined) body.rrf_k = opts.rrfK;
     if (opts.multihash) body.multihash = opts.multihash;
+    if (opts.filter) body.filter = opts.filter;
     const path = opts.explain ? '/v1/query?explain=1' : '/v1/query';
     const out = await this.#request('POST', path, { json: body });
     return {

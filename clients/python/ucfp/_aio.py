@@ -327,12 +327,13 @@ class UcfpAsync:
         explain: bool = False,
         rerank: Optional[str] = None,
         multihash: Optional[dict] = None,
+        filter: Optional[dict] = None,
     ) -> QueryResult:
         tid = self.tenant_id if tenant_id is None else tenant_id
         body = c.query_body(
             tid, modality, k=k, vector=vector, terms=terms,
             fingerprint=fingerprint, algorithm=algorithm, rrf_k=rrf_k,
-            multihash=multihash,
+            multihash=multihash, filter=filter,
         )
         params: dict[str, str] = {}
         if explain:

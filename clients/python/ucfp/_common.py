@@ -229,8 +229,11 @@ def query_body(
     algorithm: Optional[str] = None,
     rrf_k: int = 60,
     multihash: Optional[dict] = None,
+    filter: Optional[dict] = None,
 ) -> dict:
     body: dict[str, Any] = {"tenant_id": tenant_id, "modality": modality, "k": k}
+    if filter is not None:
+        body["filter"] = filter
     if rrf_k != 60:
         body["rrf_k"] = rrf_k
     if vector is not None:

@@ -1053,3 +1053,87 @@ class TestRetrievalStackFixes:
         assert st["terms"] <= 4
         assert [d for d, _ in eng.search(0, ["unique49token49"], 5)] == [1]
         assert eng.search(0, ["unique0token0"], 5) == []
+
+
+class TestQueryFilterSupport:
+    """{"algorithm"/"model_id"} filters: device-masked vector top-k and
+    post-filtered BM25 — a capability beyond the reference's
+    unimplemented filter contract. Unsupported shapes still 501."""
+
+    def _seed(self, app):
+        import math
+
+        recs = []
+        for i in range(8):
+            ang = i * math.pi / 16
+            recs.append({
+                "tenant_id": 1, "record_id": i, "modality": "text",
+                "algorithm": "alg-a" if i % 2 == 0 else "alg-b",
+                "fingerprint": [1],
+                "embedding": [math.cos(ang), math.sin(ang)],
+            })
+        resp = call(app, "PUT", "/v1/records",
+                    json.dumps({"records": recs}).encode())
+        assert resp.status == 200
+
+    def test_vector_filter_masks_on_device(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        self._seed(app)
+        body = json.dumps({
+            "tenant_id": 1, "modality": "text", "k": 8,
+            "vector": [1.0, 0.0], "filter": {"algorithm": "alg-b"},
+        }).encode()
+        resp = call(app, "POST", "/v1/query", body)
+        assert resp.status == 200
+        hits = jbody(resp)["hits"]
+        assert hits and all(h["record_id"] % 2 == 1 for h in hits)
+        assert len(hits) == 4  # exactly the alg-b rows
+
+    def test_filter_unknown_value_empty(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        self._seed(app)
+        body = json.dumps({
+            "tenant_id": 1, "modality": "text", "k": 3,
+            "vector": [1.0, 0.0], "filter": {"algorithm": "never-seen"},
+        }).encode()
+        resp = call(app, "POST", "/v1/query", body)
+        assert resp.status == 200 and jbody(resp)["hits"] == []
+
+    def test_terms_filter_post_applied(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        recs = [
+            {"tenant_id": 1, "record_id": 10, "modality": "text",
+             "algorithm": "alg-a", "fingerprint": [1],
+             "text": "shared token document one"},
+            {"tenant_id": 1, "record_id": 11, "modality": "text",
+             "algorithm": "alg-b", "fingerprint": [1],
+             "text": "shared token document two"},
+        ]
+        call(app, "PUT", "/v1/records",
+             json.dumps({"records": recs}).encode())
+        body = json.dumps({
+            "tenant_id": 1, "modality": "text", "k": 5,
+            "terms": ["shared"], "filter": {"algorithm": "alg-a"},
+        }).encode()
+        resp = call(app, "POST", "/v1/query", body)
+        assert resp.status == 200
+        assert [h["record_id"] for h in jbody(resp)["hits"]] == [10]
+
+    def test_bad_shapes_still_501(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        for flt in ({"field": "x"}, {"algorithm": 3}, {}, "alg-a"):
+            body = json.dumps({
+                "tenant_id": 1, "modality": "text", "k": 3,
+                "vector": [1.0, 0.0], "filter": flt,
+            }).encode()
+            assert call(app, "POST", "/v1/query", body).status == 501
+
+    def test_fingerprint_query_filter_501(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        body = json.dumps({
+            "tenant_id": 1, "modality": "image", "k": 3,
+            "fingerprint_hex": "00" * 8,
+            "algorithm": "imgfprint-phash-v1",
+            "filter": {"algorithm": "x"},
+        }).encode()
+        assert call(app, "POST", "/v1/query", body).status == 501

@@ -13,6 +13,24 @@ from typing import Optional
 
 from ..core import FingerprintMeta, Hit, TermHit, UnsupportedError
 
+# the filter shape this build supports (a capability beyond the
+# reference's unimplemented Query.filter): restrict vector hits to
+# records carrying a specific algorithm and/or model_id
+FILTER_KEYS = frozenset(("algorithm", "model_id"))
+
+
+def validate_filter(flt) -> None:
+    """Raise Unsupported (501 at the HTTP layer) for any filter shape
+    this build cannot honor — never silently drop a filter."""
+    if flt is None:
+        return
+    if not isinstance(flt, dict) or not flt or not (
+        set(flt) <= FILTER_KEYS
+    ) or not all(isinstance(v, str) for v in flt.values()):
+        raise UnsupportedError(
+            'supported filter shape: {"algorithm": str, "model_id": str}'
+        )
+
 
 class IndexBackend(abc.ABC):
     @abc.abstractmethod

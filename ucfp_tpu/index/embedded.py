@@ -97,6 +97,10 @@ class _RowCache:
     rids: list[int] = field(default_factory=list)
     rows: dict[int, int] = field(default_factory=dict)  # rid -> row
     data: np.ndarray | None = None  # [cap, width]
+    # interned (algorithm, model_id) codes per row, for device-masked
+    # query filters; only the vector caches track them
+    track_tags: bool = False
+    tags: np.ndarray | None = None  # [cap, 2] int32
     n: int = 0
     dirty: bool = True
     device: tuple | None = None  # device-side cache arrays
@@ -117,23 +121,34 @@ class _RowCache:
         else:
             self.pending.append(row)
 
-    def upsert(self, rid: int, vec: np.ndarray) -> None:
+    def upsert(self, rid: int, vec: np.ndarray,
+               tag: tuple[int, int] | None = None) -> None:
         if rid in self.rows:
             row = self.rows[rid]
             self.data[row] = vec
+            if self.track_tags and tag is not None:
+                self.tags[row] = tag
             self._note(row)
         else:
             if self.data is None:
                 self.data = np.zeros((1024, self.width), self.dtype)
+                if self.track_tags:
+                    self.tags = np.zeros((1024, 2), np.int32)
                 self.dirty = True
                 self.pending = None
             elif self.n == self.data.shape[0]:
                 grown = np.zeros((self.data.shape[0] * 2, self.width), self.dtype)
                 grown[: self.n] = self.data
                 self.data = grown
+                if self.track_tags:
+                    gt = np.zeros((grown.shape[0], 2), np.int32)
+                    gt[: self.n] = self.tags
+                    self.tags = gt
                 self.dirty = True  # capacity change: full re-upload
                 self.pending = None
             self.data[self.n] = vec
+            if self.track_tags and tag is not None:
+                self.tags[self.n] = tag
             self.rows[rid] = self.n
             self.rids.append(rid)
             self._note(self.n)
@@ -147,12 +162,16 @@ class _RowCache:
         last = self.n - 1
         if row != last:
             self.data[row] = self.data[last]
+            if self.track_tags:
+                self.tags[row] = self.tags[last]
             moved = self.rids[last]
             self.rids[row] = moved
             self.rows[moved] = row
             self._note(row)
         self.rids.pop()
         self.data[last] = 0
+        if self.track_tags:
+            self.tags[last] = 0
         self._note(last)
         self.n -= 1
 
@@ -303,7 +322,7 @@ class _LandmarkIndex:
 
 
 def _VecCache(dim: int) -> _RowCache:  # noqa: N802 - constructor alias
-    return _RowCache(width=dim, dtype=np.float32)
+    return _RowCache(width=dim, dtype=np.float32, track_tags=True)
 
 
 def _HamCache(words: int) -> _RowCache:  # noqa: N802 - constructor alias
@@ -331,6 +350,7 @@ class EmbeddedBackend(IndexBackend):
         # approximate). Also settable via UCFP_KNN_QUANT.
         self.knn_quant = (knn_quant or os.environ.get("UCFP_KNN_QUANT", "none")).lower()
         self._planes: dict[int, object] = {}  # dim -> device planes
+        self._tag_codes: dict[str, int] = {}  # algorithm/model_id interning
         self.data_dir = data_dir
         os.makedirs(data_dir, exist_ok=True)
         self._wal_path = os.path.join(data_dir, "ucfp.wal")
@@ -469,7 +489,11 @@ class EmbeddedBackend(IndexBackend):
         if emb_arr is not None:
             dim = len(emb_arr)
             cache = self._vec.setdefault((rec.tenant_id, dim), _VecCache(dim))
-            cache.upsert(rec.record_id, emb_arr)
+            cache.upsert(
+                rec.record_id, emb_arr,
+                tag=(self._tag_code(rec.algorithm),
+                     self._tag_code(rec.model_id)),
+            )
         # packed fingerprint table
         if old is not None and old["algorithm"] != rec.algorithm:
             h = self._ham.get((rec.tenant_id, old["algorithm"]))
@@ -638,6 +662,36 @@ class EmbeddedBackend(IndexBackend):
             if vals:
                 out[t] = max(vals)
         return out
+
+    def _tag_code(self, value: str | None) -> int:
+        """Intern algorithm/model_id strings to dense int codes for the
+        per-row filter tags (0 = absent)."""
+        if value is None:
+            return 0
+        code = self._tag_codes.get(value)
+        if code is None:
+            code = len(self._tag_codes) + 1
+            self._tag_codes[value] = code
+        return code
+
+    def _vector_filter_mask(self, cache, flt: dict):
+        """[cap] bool row mask for a supported filter, or raise
+        Unsupported for shapes this build can't honor. Returns None when
+        no row can possibly match (a never-seen value)."""
+        from .backend import validate_filter
+
+        validate_filter(flt)
+        cap = cache.data.shape[0]
+        mask = np.ones(cap, bool)
+        for col, key in ((0, "algorithm"), (1, "model_id")):
+            v = flt.get(key)
+            if v is None:
+                continue
+            code = self._tag_codes.get(v)
+            if code is None:
+                return None  # value never ingested: nothing matches
+            mask &= cache.tags[:, 0 if col == 0 else 1] == code
+        return mask
 
     # -- audio landmark matching (offset voting) ---------------------------------
 
@@ -1078,12 +1132,12 @@ class EmbeddedBackend(IndexBackend):
         filter: Optional[bytes] = None,
     ) -> list[Hit]:
         """Cosine top-k, semantics matching mod.rs:268-360: empty query or
-        k=0 or zero-norm query -> empty; only vectors of matching dim."""
-        if filter is not None:
-            from ..core import UnsupportedError
+        k=0 or zero-norm query -> empty; only vectors of matching dim.
 
-            # surfaced, not silently dropped (src/index/mod.rs:18-78)
-            raise UnsupportedError("knn filters are not implemented")
+        filter: optional {"algorithm": str, "model_id": str} — rows are
+        masked on DEVICE (exact filtered top-k, not post-filtering), a
+        capability beyond the reference's unimplemented filter contract.
+        Unsupported shapes still surface UnsupportedError."""
         if not query or k == 0:
             return []
         q = np.asarray(query, np.float32)
@@ -1091,11 +1145,24 @@ class EmbeddedBackend(IndexBackend):
             return []
         cache = self._vec.get((tenant_id, len(query)))
         if cache is None or cache.n == 0:
+            from .backend import validate_filter
+
+            validate_filter(filter)  # bad shapes surface even on empty
             return []
+        flt_mask = (
+            self._vector_filter_mask(cache, filter)
+            if filter is not None else True
+        )
+        if flt_mask is None:
+            return []  # filter names a value no record carries
 
         def work():
             with self._lock:
                 dev = self._device_vec(cache)
+                if flt_mask is not True:
+                    # AND the filter rows into the validity mask: every
+                    # downstream kernel already honors `valid`
+                    dev = (*dev[:-1], dev[-1] & self._put_rowvec(flt_mask))
                 rids = list(cache.rids)
             kk = min(k, cache.n)
             if self._mesh is not None:
@@ -1191,7 +1258,8 @@ class EmbeddedBackend(IndexBackend):
         return await asyncio.to_thread(work)
 
     async def knn_batch(
-        self, tenant_id: int, queries: list[list[float]], k: int
+        self, tenant_id: int, queries: list[list[float]], k: int,
+        filter: Optional[dict] = None,
     ) -> list[list[Hit]]:
         """Batched cosine top-k: all queries share ONE device matmul —
         the MXU runs a real GEMM instead of Q GEMVs (a single 10M x 64
@@ -1217,6 +1285,12 @@ class EmbeddedBackend(IndexBackend):
         cache = self._vec.get((tenant_id, dim))
         if cache is None or cache.n == 0:
             return [[] for _ in queries]
+        flt_mask = (
+            self._vector_filter_mask(cache, filter)
+            if filter is not None else True
+        )
+        if flt_mask is None:
+            return [[] for _ in queries]
 
         def work():
             import jax
@@ -1224,6 +1298,8 @@ class EmbeddedBackend(IndexBackend):
 
             with self._lock:
                 dev = self._device_vec(cache)
+                if flt_mask is not True:
+                    dev = (*dev[:-1], dev[-1] & self._put_rowvec(flt_mask))
                 rids = list(cache.rids)
             kk = min(k, cache.n)
             if self._mesh is not None:

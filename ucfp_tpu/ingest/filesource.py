@@ -30,12 +30,21 @@ from ..core import Modality, ModalityError, Record
 from .source import IngestSource
 
 
+def _int(v) -> int:
+    """int() that raises ValueError (the caught type) instead of
+    OverflowError on float infinities."""
+    try:
+        return int(v)
+    except OverflowError:
+        raise ValueError("non-finite number where an integer is required")
+
+
 def _record_from_row(row: dict) -> Record:
     fp = row.get("fingerprint", [])
     if isinstance(fp, str):
         fingerprint = bytes.fromhex(fp)
     else:
-        fingerprint = bytes(int(b) & 0xFF for b in fp)
+        fingerprint = bytes(_int(b) & 0xFF for b in fp)
     emb = row.get("embedding")
     if emb is not None:
         if not isinstance(emb, list) or not all(
@@ -51,15 +60,15 @@ def _record_from_row(row: dict) -> Record:
     if isinstance(meta, str):
         meta = meta.encode("utf-8")
     else:
-        meta = bytes(int(b) & 0xFF for b in meta) if isinstance(meta, list) else meta
+        meta = bytes(_int(b) & 0xFF for b in meta) if isinstance(meta, list) else meta
     return Record(
-        tenant_id=int(row["tenant_id"]),
-        record_id=int(row["record_id"]),
+        tenant_id=_int(row["tenant_id"]),
+        record_id=_int(row["record_id"]),
         modality=Modality(row["modality"]),
         algorithm=str(row.get("algorithm", "custom-v1")),
         fingerprint=fingerprint,
-        format_version=int(row.get("format_version", 1)),
-        config_hash=int(row.get("config_hash", 0)),
+        format_version=_int(row.get("format_version", 1)),
+        config_hash=_int(row.get("config_hash", 0)),
         embedding=emb,
         model_id=row.get("model_id"),
         text=row.get("text"),

@@ -26,15 +26,32 @@ class Matcher:
         self.index = index
         self.reranker = reranker
 
+    async def _filter_bm25(self, q: Query, hits: list[Hit]) -> list[Hit]:
+        """Apply q.filter to a BM25 leg by metadata lookup. The vector
+        leg filters on device (exact filtered top-k); BM25's top-k is
+        post-filtered, so fewer than k hits may remain."""
+        if q.filter is None or not hits:
+            return hits
+        alg = q.filter.get("algorithm")
+        mid = q.filter.get("model_id")
+        kept = []
+        for h in hits:
+            m = await self.index.get_record_metadata(q.tenant_id, h.record_id)
+            if alg is not None and m.algorithm != alg:
+                continue
+            if mid is not None and m.model_id != mid:
+                continue
+            kept.append(h)
+        return kept
+
     async def search(self, q: Query) -> list[Hit]:
         if q.filter is not None:
-            # surfaced for EVERY query shape, not just the knn leg —
-            # a terms-only query silently ignoring the filter would
-            # return unfiltered hits as if the filter matched everything
-            # (reference src/index/mod.rs:18-78 contract)
-            from ..core import UnsupportedError
+            # validated for EVERY query shape, not just the knn leg —
+            # silently ignoring an unsupported filter would return hits
+            # as if it matched everything (src/index/mod.rs:18-78)
+            from ..index.backend import validate_filter
 
-            raise UnsupportedError("query filters are not implemented")
+            validate_filter(q.filter)
         has_vec = q.vector is not None
         has_terms = bool(q.terms)
         if has_vec and has_terms:
@@ -56,6 +73,7 @@ class Matcher:
                 else:
                     bm_hits = await self.index.bm25(q.tenant_id, q.terms, q.k)
                     term_by_id = {}
+                bm_hits = await self._filter_bm25(q, bm_hits)
             except BaseException:
                 # don't orphan the in-flight kNN when the bm25 leg fails —
                 # and retrieve its result/exception so a completed task
@@ -86,6 +104,7 @@ class Matcher:
                     fused.append(hit)
             else:
                 fused = await self.index.bm25(q.tenant_id, q.terms, q.k)
+            fused = await self._filter_bm25(q, fused)
         else:
             fused = []
 

@@ -329,6 +329,9 @@ class Handlers:
                         isinstance(v, bool) or not isinstance(v, int)
                     ):
                         raise ValueError(f"{field} must be an integer")
+                text = r.get("text")
+                if text is not None and not isinstance(text, str):
+                    raise ValueError("text must be a string")
                 rec = Record(
                     tenant_id=r["tenant_id"],
                     record_id=r["record_id"],
@@ -340,6 +343,10 @@ class Handlers:
                     embedding=self._valid_embedding(r.get("embedding")),
                     model_id=r.get("model_id"),
                     metadata=bytes(meta),
+                    # additive extension: the reference RecordIn drops
+                    # text (dto.rs:31-65 maps it to None), but raw
+                    # upserts here may carry it so BM25 indexes the doc
+                    text=text,
                 )
             except (KeyError, ValueError, TypeError) as e:
                 raise HttpError(400, "bad_record", f"invalid record: {e}")
@@ -425,10 +432,17 @@ class Handlers:
             # silently invert the fused ranking
             raise HttpError(400, "bad_query", "rrf_k must be in [0, 1000000]")
         tenant_guard(_ctx(req), tenant_id)
-        if body.get("filter") is not None:
-            # surface Unsupported rather than silently dropping the
-            # filter (reference src/index/mod.rs:18-78 contract)
-            raise HttpError(501, "unsupported", "query filters are not implemented")
+        flt = body.get("filter")
+        if flt is not None:
+            # supported shape ({"algorithm": str, "model_id": str})
+            # filters vector hits ON DEVICE — beyond the reference's
+            # unimplemented contract; anything else still surfaces 501
+            from ..index.backend import validate_filter
+
+            try:
+                validate_filter(flt)
+            except UcfpError as e:
+                raise _err(e)
         _tag_usage(req, modality.value, body.get("algorithm"))
         explain = req.qp_bool("explain")
         vector = self._valid_vector(body.get("vector"), "vector")
@@ -460,7 +474,9 @@ class Handlers:
                     f"at most {MAX_QUERY_BATCH} vectors per batch",
                 )
             try:
-                results = await self.index.knn_batch(tenant_id, vectors, k)
+                results = await self.index.knn_batch(
+                    tenant_id, vectors, k, filter=flt
+                )
             except UcfpError as e:
                 raise _err(e)
             out = {
@@ -478,6 +494,11 @@ class Handlers:
             return Response.json(out)
 
         fps_hex = body.get("fingerprints_hex")
+        if flt is not None and (fps_hex is not None or fp_hex is not None):
+            raise HttpError(
+                501, "unsupported",
+                "filters apply to vector/terms queries only",
+            )
         if fps_hex is not None:
             # batched Hamming extension: all fingerprints share one
             # XOR+popcount dispatch over the packed catalog
@@ -560,6 +581,7 @@ class Handlers:
                 terms=list(terms),
                 rrf_k=rrf_k,
                 explain=explain,
+                filter=flt,
             )
             if vector and self.index.knn_is_approximate(
                 tenant_id, len(vector), k
