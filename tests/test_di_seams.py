@@ -160,3 +160,30 @@ class TestWebhookSinks:
 
         ok, denied = run(go())
         assert ok.allowed and not denied.allowed
+
+
+class TestWebhookUsageBound:
+    def test_queue_bounded_drops_oldest(self):
+        import asyncio
+
+        from ucfp_tpu.server.usage import UsageEvent, UsageOp, WebhookUsageSink
+
+        async def go():
+            never = asyncio.Event()
+
+            async def post(batch):
+                await never.wait()  # webhook hangs forever
+
+            sink = WebhookUsageSink(post, backoff_base=0.01)
+            sink.MAX_QUEUE = 50
+            for i in range(200):
+                await sink.record(UsageEvent(
+                    tenant_id=0, key_id="k", op=UsageOp.QUERY,
+                    bytes_in=i, units=1, elapsed_ms=0.0, status=200,
+                    ts=i,
+                ))
+            assert sink._queue.qsize() <= 51
+            assert sink.dropped >= 149
+            never.set()
+
+        asyncio.run(go())

@@ -207,3 +207,20 @@ rate_class = "bulk"
         assert ctx.scopes == ("ingest", "query")
         assert ctx.rate_class == "bulk"
         assert ctx.tenant_id == 4
+
+
+class TestKeyIdValidation:
+    def test_non_string_and_bad_key_ids_rejected(self, tmp_path):
+        app, ks = make_app_with_keystore(tmp_path)
+        for bad in (5, "", "a/b", "x" * 65):
+            resp = call(app, "POST", "/v1/admin/keys", json.dumps({
+                "tenant_id": 1, "key_id": bad,
+            }).encode())
+            assert resp.status == 400, bad
+            assert "key_id must" in jbody(resp)["message"]
+        # sane ids still work and revoke by path
+        resp = call(app, "POST", "/v1/admin/keys", json.dumps({
+            "tenant_id": 1, "key_id": "worker-1.a",
+        }).encode())
+        assert resp.status == 201
+        assert call(app, "DELETE", "/v1/admin/keys/worker-1.a").status == 200

@@ -128,3 +128,27 @@ class TestDocsSite:
         assert "<pre><code>code **not bold**</code></pre>" in out
         assert "<th>a</th>" in out and "<td>2</td>" in out
         assert "<blockquote>quoted</blockquote>" in out and "<hr>" in out
+
+
+class TestWebuiHardening:
+    def test_esc_helper_and_no_inline_key_handlers(self):
+        from ucfp_tpu.server.webui import PAGE
+
+        # stored strings (key ids, usage fields, terms) render through
+        # esc(); the revoke button binds via addEventListener, never an
+        # inline onclick with an interpolated id
+        assert "function esc(" in PAGE
+        assert "${esc(e.key_id||'')}" in PAGE
+        assert "${esc(e.algorithm||'')}" in PAGE
+        assert "revokeKey('${k.key_id}')" not in PAGE
+        assert "encodeURIComponent(id)" in PAGE
+        # kv() — the generic renderer — escapes its values
+        assert "esc(obj[k])" in PAGE
+
+    def test_bulk_sends_raw_line(self):
+        from ucfp_tpu.server.webui import PAGE
+
+        # ingest_text fingerprints the RAW body: wrapping lines in JSON
+        # would fingerprint the wrapper, diverging from the Text tab
+        assert "body: line}" in PAGE
+        assert "JSON.stringify({text: line})" not in PAGE

@@ -77,13 +77,18 @@ class AccountStore:
             raise ValueError("invalid email")
         if len(password) < 8:
             raise ValueError("password must be at least 8 characters")
+        # PBKDF2 (100k rounds, tens of ms on one core) runs OUTSIDE the
+        # lock: resolve() takes this lock synchronously on the event
+        # loop, so hashing under it would stall every session-cookie
+        # request for the duration
+        salt = secrets.token_bytes(16)
+        pw = _hash_password(password, salt)
         with self._lock:
             if email in self._users:
                 raise ValueError("account already exists")
-            salt = secrets.token_bytes(16)
             self._users[email] = {
                 "salt": salt.hex(),
-                "pw": _hash_password(password, salt),
+                "pw": pw,
                 "tenant_id": self._next_tenant_id(),
                 "created": int(time.time()),
             }
@@ -94,11 +99,17 @@ class AccountStore:
         email = email.strip().lower()
         with self._lock:
             row = self._users.get(email)
-            # always burn a PBKDF2 round so unknown emails are not
-            # distinguishable from wrong passwords by timing
             salt = bytes.fromhex(row["salt"]) if row else b"\x00" * 16
-            got = _hash_password(password, salt)
-            if row is None or not hmac.compare_digest(got, row["pw"]):
+            expect = row["pw"] if row else ""
+        # always burn a PBKDF2 round so unknown emails are not
+        # distinguishable from wrong passwords by timing — but hash
+        # OUTSIDE the lock (see signup); re-check under the lock after
+        got = _hash_password(password, salt)
+        with self._lock:
+            row = self._users.get(email)
+            if row is None or row["pw"] != expect or not hmac.compare_digest(
+                got, row["pw"]
+            ):
                 return None
             return self._new_session_locked(email)
 

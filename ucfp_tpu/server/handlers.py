@@ -1192,9 +1192,10 @@ class Handlers:
                 scopes,
             )
         except ValueError as e:
-            code = 400 if "unknown scopes" in str(e) else 409
+            msg = str(e)
+            code = 400 if ("unknown scopes" in msg or "key_id must" in msg) else 409
             raise HttpError(code, "bad_request" if code == 400 else "conflict",
-                            str(e))
+                            msg)
         return Response.json(issued, status=201)
 
     async def admin_list_keys(self, req: Request) -> Response:
@@ -1365,12 +1366,16 @@ class Handlers:
     async def inputs_put(self, req: Request) -> Response:
         tid = self._tenant_param(req)
         tenant_guard(_ctx(req), tid)
-        input_id = self.inputs.put(
-            tid,
-            req.body,
-            content_type=req.headers.get("content-type", "application/octet-stream"),
-            sample_rate=req.qp_int("sample_rate", None),
-        )
+        try:
+            input_id = self.inputs.put(
+                tid,
+                req.body,
+                content_type=req.headers.get("content-type",
+                                             "application/octet-stream"),
+                sample_rate=req.qp_int("sample_rate", None),
+            )
+        except ValueError as e:  # over the per-tenant cap
+            raise HttpError(413, "payload_too_large", str(e))
         return Response.json({"input_id": input_id, "bytes": len(req.body)}, status=201)
 
     async def inputs_delete(self, req: Request) -> Response:

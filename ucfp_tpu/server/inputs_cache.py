@@ -37,6 +37,12 @@ class InputsCache:
         content_type: str = "application/octet-stream",
         sample_rate: Optional[int] = None,
     ) -> str:
+        if len(data) > TENANT_CAP_BYTES:
+            # a single oversized body would evict everything AND still
+            # exceed the documented per-tenant cap
+            raise ValueError(
+                f"input exceeds the {TENANT_CAP_BYTES} byte tenant cap"
+            )
         with self._lock:
             self._id_seed += 1
             input_id = f"in_{self._id_seed:x}"

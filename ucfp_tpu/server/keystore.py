@@ -65,6 +65,17 @@ class PersistentKeyStore(ApiKeyLookup):
         daily = self.DEFAULT_DAILY if daily_quota is None else int(daily_quota)
         if rpm < 0 or daily < 0:
             raise ValueError("rate_limit_per_min/daily_quota must be >= 0")
+        if key_id is not None:
+            import re
+
+            if not isinstance(key_id, str) or not re.fullmatch(
+                r"[A-Za-z0-9._-]{1,64}", key_id
+            ):
+                # a non-string id would never match revoke()'s path-string
+                # comparison — an unrevocable live credential
+                raise ValueError(
+                    "key_id must be 1-64 chars of [A-Za-z0-9._-]"
+                )
         scope_list = [str(s) for s in (scopes or [])]
         from .auth import SCOPE_ROUTES
 

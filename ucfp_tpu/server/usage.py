@@ -78,12 +78,18 @@ class WebhookUsageSink(UsageSink):
 
     BATCH = 32
     MAX_RETRIES = 5
+    # bounded: a down webhook drains at ~10 events/s through the backoff
+    # loop, so an unbounded queue under real traffic grows until OOM.
+    # Full queue -> the OLDEST pending event is dropped (usage metering
+    # is fire-and-forget; newest data is the most valuable).
+    MAX_QUEUE = 10_000
 
     def __init__(self, post: Callable, backoff_base: float = 0.1):
         self._post = post  # async callable(list[UsageEvent])
         self._backoff = backoff_base
         self._queue: asyncio.Queue[Optional[UsageEvent]] = asyncio.Queue()
         self._task: Optional[asyncio.Task] = None
+        self.dropped = 0
 
     def _ensure_worker(self):
         if self._task is None or self._task.done():
@@ -91,6 +97,14 @@ class WebhookUsageSink(UsageSink):
 
     async def record(self, event: UsageEvent) -> None:
         self._ensure_worker()
+        if self._queue.qsize() >= self.MAX_QUEUE:
+            try:
+                victim = self._queue.get_nowait()
+                if victim is None:  # never swallow the shutdown signal
+                    self._queue.put_nowait(None)
+                self.dropped += 1
+            except asyncio.QueueEmpty:
+                pass
         self._queue.put_nowait(event)
 
     async def _run(self):

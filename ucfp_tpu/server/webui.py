@@ -256,7 +256,9 @@ fetch('/v1/algorithms').then(r=>r.json()).then(m=>{
  }
 });
 
-function kv(obj, keys){return keys.map(k=>`<span class="kv">${k} <b>${obj[k]}</b></span>`).join(' · ');}
+function esc(v){return String(v).replace(/[&<>"']/g,
+  c=>({'&':'&amp;','<':'&lt;','>':'&gt;','"':'&quot;',"'":'&#39;'}[c]));}
+function kv(obj, keys){return keys.map(k=>`<span class="kv">${k} <b>${esc(obj[k])}</b></span>`).join(' · ');}
 function hexBox(h){return `<div class="hex">${h}</div>`;}
 
 // ---- chart primitives (reference web/src/lib/components/charts/) ----------
@@ -371,7 +373,7 @@ function termChips(term_hits){
   const s=document.createElement('span');
   s.className='kv';
   s.style.cssText='background:#21262d;border-radius:10px;padding:2px 8px;margin:2px';
-  s.innerHTML=`${t.term} <b>${t.contribution.toFixed(3)}</b>`;
+  s.innerHTML=`${esc(t.term)} <b>${t.contribution.toFixed(3)}</b>`;
   d.appendChild(s);
  });
  return d;
@@ -653,8 +655,6 @@ async function runQuery(){
     {method:'POST',body:JSON.stringify(body)});
   if(!res.hits.length){ out.innerHTML='<div class="kv">no hits</div>'; return; }
   out.innerHTML = res.hits.map(h=>{
-   const src = h.vector_rank!=null && h.bm25_rank!=null ? 'fused'
-     : (h.vector_rank!=null?'vector':'bm25');
    return `<div class="row">${kv(h,['record_id','score','source'])}`
     + (h.vector_score!=null?`<span class="kv">vec <b>${h.vector_score.toFixed(4)}</b> (rank ${h.vector_rank})</span>`:'')
     + (h.bm25_score!=null?`<span class="kv">bm25 <b>${h.bm25_score.toFixed(4)}</b> (rank ${h.bm25_rank})</span>`:'')
@@ -685,7 +685,7 @@ async function runBulk(){
  for(const line of lines){
   try{
    await api(`/v1/ingest/text/${ten()}/${rid++}?algorithm=${algo}`,
-             {method:'POST', body: JSON.stringify({text: line})});
+             {method:'POST', body: line});
    ok++;
   }catch(e){ fail++; }
   if((ok+fail) % 10 === 0) out.textContent = `${ok+fail}/${lines.length}…`;
@@ -744,10 +744,10 @@ async function loadUsage(){
     sparkline(lb, 320, 48)));
   }
   const rows = evs.slice(-50).reverse().map(e=>
-   `<tr><td>${new Date(e.ts).toISOString().slice(11,19)}</td><td>${e.tenant_id}</td>`
-   + `<td>${e.key_id||''}</td><td>${e.op}</td><td>${e.modality||''}</td>`
-   + `<td>${e.algorithm||''}</td><td>${e.status}</td>`
-   + `<td>${e.bytes_in}</td><td>${(e.elapsed_ms||0).toFixed(1)}ms</td></tr>`).join('');
+   `<tr><td>${new Date(e.ts).toISOString().slice(11,19)}</td><td>${esc(e.tenant_id)}</td>`
+   + `<td>${esc(e.key_id||'')}</td><td>${esc(e.op)}</td><td>${esc(e.modality||'')}</td>`
+   + `<td>${esc(e.algorithm||'')}</td><td>${esc(e.status)}</td>`
+   + `<td>${esc(e.bytes_in)}</td><td>${(e.elapsed_ms||0).toFixed(1)}ms</td></tr>`).join('');
   // insertAdjacentHTML: innerHTML += would reserialize and blank the canvases
   out.insertAdjacentHTML('beforeend',
    `<table style="font-size:12px;border-spacing:8px 2px"><tr><th>time</th><th>tenant</th>`
@@ -760,7 +760,7 @@ async function createKey(){
   const body={tenant_id:parseInt($('k-tenant').value)||0};
   if($('k-id').value) body.key_id=$('k-id').value;
   const k=await api('/v1/admin/keys',{method:'POST',body:JSON.stringify(body)});
-  out.innerHTML=`<div class="kv">token (copy now — shown once):</div><div class="hex">${k.token}</div>`
+  out.innerHTML=`<div class="kv">token (copy now — shown once):</div><div class="hex">${esc(k.token)}</div>`
    +`<div class="row">${kv(k,['key_id','tenant_id','prefix'])}</div>`;
  }catch(e){out.innerHTML=`<div class="hex">error: ${e.message}</div>`;}
 }
@@ -768,15 +768,18 @@ async function listKeys(){
  const out=$('k-out');
  try{
   const r=await api('/v1/admin/keys');
-  out.innerHTML = r.keys.length? r.keys.map(k=>
+  out.innerHTML = r.keys.length? r.keys.map((k,i)=>
    `<div class="row">${kv(k,['key_id','tenant_id','prefix'])}
     <button class="go" style="background:#da3633;padding:2px 8px"
-     onclick="revokeKey('${k.key_id}')">revoke</button></div>`).join('')
+     data-ki="${i}">revoke</button></div>`).join('')
    : '<div class="kv">no issued keys</div>';
+  // stored key ids are attacker-controlled strings: no inline handlers
+  out.querySelectorAll('button[data-ki]').forEach(b=>
+   b.addEventListener('click', ()=>revokeKey(r.keys[+b.dataset.ki].key_id)));
  }catch(e){out.innerHTML=`<div class="hex">error: ${e.message}</div>`;}
 }
 async function revokeKey(id){
- try{ await api('/v1/admin/keys/'+id,{method:'DELETE'}); listKeys(); }
+ try{ await api('/v1/admin/keys/'+encodeURIComponent(id),{method:'DELETE'}); listKeys(); }
  catch(e){ $('k-out').innerHTML=`<div class="hex">error: ${e.message}</div>`; }
 }
 async function deleteRec(){
