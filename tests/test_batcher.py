@@ -77,3 +77,35 @@ class TestBatcher:
 
         r = run(go())
         assert all(isinstance(e, RuntimeError) for e in r)
+
+
+class TestCancellationSafety:
+    def test_cancelled_submitter_does_not_orphan_siblings(self):
+        """The submitter that trips the max_batch flush may be cancelled
+        (client disconnect) while run_batch is in flight; every other
+        future in the batch must still resolve."""
+        import asyncio
+
+        from ucfp_tpu.ingest.batcher import DeadlineBatcher
+
+        async def go():
+            started = asyncio.Event()
+            release = asyncio.Event()
+
+            async def run_batch(bucket, payloads):
+                started.set()
+                await release.wait()
+                return [p * 2 for p in payloads]
+
+            b = DeadlineBatcher(run_batch, max_batch=2, max_delay_ms=10_000)
+            t1 = asyncio.create_task(b.submit("k", 1))
+            await asyncio.sleep(0.01)
+            t2 = asyncio.create_task(b.submit("k", 2))  # trips the flush
+            await started.wait()
+            t2.cancel()  # the flush-driving submitter dies mid-batch
+            release.set()
+            assert await asyncio.wait_for(t1, timeout=5) == 2
+            with pytest.raises(asyncio.CancelledError):
+                await t2
+
+        asyncio.run(go())

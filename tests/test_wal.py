@@ -178,3 +178,34 @@ class TestBackendIntegration:
         b2 = EmbeddedBackend(d)
         assert [h.record_id for h in asyncio.run(b2.bm25(0, ["x"], 5))] == [5]
         b2.close()
+
+
+class TestTornTailTruncation:
+    def test_appends_after_torn_tail_survive_restart(self, tmp_path):
+        """A crash-torn tail must be TRUNCATED at open: with O_APPEND,
+        frames written after garbage would be permanently invisible to
+        replay (it stops at the first bad frame)."""
+        from ucfp_tpu.native import load_walstore
+        from ucfp_tpu.index.wal import NativeWal
+
+        if load_walstore() is None:
+            pytest.skip("no toolchain")
+        path = str(tmp_path / "w.wal")
+        ev1 = {"op": "delete", "tenant_id": 1, "record_ids": [1]}
+        ev2 = {"op": "delete", "tenant_id": 2, "record_ids": [2]}
+        w = NativeWal(path, load_walstore())
+        w.append_events([ev1])
+        w.close()
+        # simulate a crash mid-commit: partial frame at the tail
+        with open(path, "ab") as f:
+            f.write(b"PFCU\x10\x00")  # magic + truncated header
+        # restart 1: open truncates the torn tail, then appends
+        w = NativeWal(path, load_walstore())
+        w.append_events([ev2])
+        w.close()
+        # restart 2: BOTH events must replay (pre-fix: only ev1)
+        w = NativeWal(path, load_walstore())
+        events = list(w.replay())
+        w.close()
+        assert ev1 in events and ev2 in events
+        assert len(events) == 2

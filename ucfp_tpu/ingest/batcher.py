@@ -16,7 +16,6 @@ Padding to a small set of canonical buckets is the caller's choice.
 from __future__ import annotations
 
 import asyncio
-import time
 from dataclasses import dataclass
 from typing import Any, Awaitable, Callable, Hashable
 
@@ -25,7 +24,6 @@ from typing import Any, Awaitable, Callable, Hashable
 class _Pending:
     payload: Any
     future: asyncio.Future
-    enqueued: float
 
 
 class DeadlineBatcher:
@@ -50,25 +48,30 @@ class DeadlineBatcher:
         # would leave every queued future hanging forever
         self._flush_tasks: set = set()
 
+    def _spawn_flush(self, bucket: Hashable) -> None:
+        task = asyncio.ensure_future(self._flush(bucket))
+        self._flush_tasks.add(task)
+        task.add_done_callback(self._flush_tasks.discard)
+
     async def submit(self, bucket: Hashable, payload: Any):
         loop = asyncio.get_running_loop()
         fut: asyncio.Future = loop.create_future()
         flush_now = False
         async with self._lock:
             q = self._queues.setdefault(bucket, [])
-            q.append(_Pending(payload, fut, time.monotonic()))
+            q.append(_Pending(payload, fut))
             if len(q) >= self.max_batch:
                 flush_now = True
             elif bucket not in self._timers:
-
-                def _fire(b=bucket):
-                    task = asyncio.ensure_future(self._flush(b))
-                    self._flush_tasks.add(task)
-                    task.add_done_callback(self._flush_tasks.discard)
-
-                self._timers[bucket] = loop.call_later(self.max_delay, _fire)
+                self._timers[bucket] = loop.call_later(
+                    self.max_delay, self._spawn_flush, bucket
+                )
         if flush_now:
-            await self._flush(bucket)
+            # detached task, NOT awaited in this submitter: a cancelled
+            # submitter (client disconnect) mid-run_batch would raise
+            # CancelledError past _flush's `except Exception` and orphan
+            # every sibling future in the batch forever
+            self._spawn_flush(bucket)
         return await fut
 
     async def _flush(self, bucket: Hashable) -> None:

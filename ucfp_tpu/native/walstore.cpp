@@ -17,6 +17,7 @@
 // C ABI for ctypes; every function returns 0 on success, negative errno
 // style on failure.
 
+#include <array>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -32,23 +33,27 @@ namespace {
 
 constexpr uint32_t kMagic = 0x55434650;  // "UCFP"
 
-uint32_t crc32_table[256];
-bool crc_init_done = false;
-
-void crc_init() {
-  if (crc_init_done) return;
-  for (uint32_t i = 0; i < 256; i++) {
-    uint32_t c = i;
-    for (int j = 0; j < 8; j++) c = (c & 1) ? (0xEDB88320u ^ (c >> 1)) : (c >> 1);
-    crc32_table[i] = c;
-  }
-  crc_init_done = true;
+// C++11 magic static: thread-safe one-time init (ctypes releases the
+// GIL around calls, so two stores' first appends can race a hand-rolled
+// init flag and CRC frames with a half-built table)
+const uint32_t* crc_table() {
+  static const auto table = [] {
+    std::array<uint32_t, 256> t{};
+    for (uint32_t i = 0; i < 256; i++) {
+      uint32_t c = i;
+      for (int j = 0; j < 8; j++)
+        c = (c & 1) ? (0xEDB88320u ^ (c >> 1)) : (c >> 1);
+      t[i] = c;
+    }
+    return t;
+  }();
+  return table.data();
 }
 
 uint32_t crc32(const uint8_t* data, size_t len) {
-  crc_init();
+  const uint32_t* tbl = crc_table();
   uint32_t c = 0xFFFFFFFFu;
-  for (size_t i = 0; i < len; i++) c = crc32_table[(c ^ data[i]) & 0xFF] ^ (c >> 8);
+  for (size_t i = 0; i < len; i++) c = tbl[(c ^ data[i]) & 0xFF] ^ (c >> 8);
   return c ^ 0xFFFFFFFFu;
 }
 
@@ -56,7 +61,31 @@ struct Store {
   int fd = -1;
   std::string path;
   std::vector<uint8_t> pending;  // buffered frames awaiting commit
+  bool failed = false;  // sticky after fsync failure: data may be lost
 };
+
+// Byte offset of the last frame boundary that parses cleanly — the
+// truncation point for torn tails.
+off_t last_good_offset(int fd) {
+  off_t good = 0;
+  off_t pos = 0;
+  std::vector<uint8_t> buf;
+  for (;;) {
+    uint32_t header[3];
+    ssize_t n = ::pread(fd, header, sizeof(header), pos);
+    if (n != (ssize_t)sizeof(header)) break;
+    if (header[0] != kMagic) break;
+    uint32_t len = header[1];
+    if (len > (1u << 30)) break;
+    buf.resize(len);
+    if (::pread(fd, buf.data(), len, pos + sizeof(header)) != (ssize_t)len)
+      break;
+    if (crc32(buf.data(), len) != header[2]) break;
+    pos += sizeof(header) + len;
+    good = pos;
+  }
+  return good;
+}
 
 }  // namespace
 
@@ -70,6 +99,21 @@ void* ucfp_wal_open(const char* path) {
   if (s->fd < 0) {
     delete s;
     return nullptr;
+  }
+  // truncate any crash-torn tail NOW: with O_APPEND, frames written
+  // after garbage bytes would be permanently invisible to replay
+  // (replay stops at the first bad frame)
+  struct stat st{};
+  if (::fstat(s->fd, &st) == 0 && st.st_size > 0) {
+    off_t good = last_good_offset(s->fd);
+    if (good < st.st_size) {
+      if (::ftruncate(s->fd, good) != 0) {
+        ::close(s->fd);
+        delete s;
+        return nullptr;
+      }
+      ::fsync(s->fd);
+    }
   }
   return s;
 }
@@ -90,15 +134,30 @@ int ucfp_wal_append(void* h, const uint8_t* data, uint32_t len) {
 int ucfp_wal_commit(void* h) {
   Store* s = static_cast<Store*>(h);
   if (!s || s->fd < 0) return -1;
+  if (s->failed) return -5;  // fsync once failed: durability unknowable
   if (s->pending.empty()) return 0;
+  off_t start = ::lseek(s->fd, 0, SEEK_END);
   size_t off = 0;
   while (off < s->pending.size()) {
     ssize_t n = ::write(s->fd, s->pending.data() + off, s->pending.size() - off);
-    if (n < 0) return -2;
+    if (n < 0) {
+      // roll the file back to the pre-commit boundary and KEEP pending:
+      // a retry then rewrites the whole batch cleanly instead of
+      // appending it after a torn prefix
+      if (start >= 0) ::ftruncate(s->fd, start);
+      return -2;
+    }
     off += static_cast<size_t>(n);
   }
+  if (::fsync(s->fd) != 0) {
+    // after a failed fsync the kernel may mark dirty pages clean, so
+    // the written bytes must be considered lost — poison the store so
+    // every later commit fails loudly instead of "succeeding" without
+    // durability (pending is cleared ONLY after a successful fsync)
+    s->failed = true;
+    return -3;
+  }
   s->pending.clear();
-  if (::fsync(s->fd) != 0) return -3;
   return 0;
 }
 

@@ -27,26 +27,25 @@ class EmbeddingReranker(Reranker):
         qn = float(np.linalg.norm(q))
         if qn == 0.0:
             return hits
-        scored: list[tuple[int, Hit]] = []
-        rescored = []
+        unscored: list[Hit] = []  # hits with no usable embedding keep
+        rescored = []             # their fused score, sorted after
         for h in hits:
             try:
                 row = self.index.get_record(query.tenant_id, h.record_id)
             except Exception:
-                scored.append((1, h))
+                unscored.append(h)
                 continue
             emb = row.get("embedding")
             if emb is None or len(emb) != len(q):
-                scored.append((1, h))
+                unscored.append(h)
                 continue
             e = np.asarray(emb, np.float32)
             en = float(np.linalg.norm(e))
             if en == 0.0:
-                scored.append((1, h))
+                unscored.append(h)
                 continue
             h.score = float(q @ e / (qn * en))
             h.source = HitSource.FUSED
             rescored.append(h)
         rescored.sort(key=lambda h: (-h.score, h.record_id))
-        tail = [h for _, h in scored]
-        return rescored + tail
+        return rescored + unscored
