@@ -285,6 +285,16 @@ class UcfpAsync:
 
     # -- records ----------------------------------------------------------------
 
+    async def list_records(
+        self, *, tenant_id: Optional[int] = None, offset: int = 0,
+        limit: int = 50,
+    ) -> dict:
+        tid = self.tenant_id if tenant_id is None else tenant_id
+        return await self._request(
+            "GET", f"/v1/records/{tid}",
+            params={"offset": str(offset), "limit": str(limit)},
+        )
+
     async def get_record(
         self, record_id: int, *, tenant_id: Optional[int] = None,
         include: Optional[str] = None,

@@ -304,6 +304,18 @@ class Ucfp:
 
     # -- records ----------------------------------------------------------------
 
+    def list_records(
+        self, *, tenant_id: Optional[int] = None, offset: int = 0,
+        limit: int = 50,
+    ) -> dict:
+        """GET /v1/records/{tenant}: paginated insertion-order listing
+        -> {"records": [...], "total", "offset", "limit"}."""
+        tid = self.tenant_id if tenant_id is None else tenant_id
+        return self._request(
+            "GET", f"/v1/records/{tid}",
+            params={"offset": str(offset), "limit": str(limit)},
+        )
+
     def get_record(
         self, record_id: int, *, tenant_id: Optional[int] = None,
         include: Optional[str] = None,

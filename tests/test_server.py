@@ -478,3 +478,47 @@ class TestErrors:
         app, _ = make_app(tmp_path)
         body = jbody(call(app, "POST", "/v1/ingest/text/0/1", b"\xff"))
         assert set(body) == {"error", "message"}
+
+
+class TestRecordListing:
+    """GET /v1/records/{tenant} — paginated insertion-order listing
+    (extension; the reference keeps its records list client-side)."""
+
+    def _seed(self, app, n=7, tenant=3):
+        for i in range(n):
+            assert call(app, "POST", f"/v1/ingest/text/{tenant}/{100 + i}",
+                        f"listing document {i} words".encode()).status == 201
+
+    def test_pagination(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        self._seed(app)
+        resp = call(app, "GET", "/v1/records/3", query="offset=0&limit=3")
+        body = jbody(resp)
+        assert body["total"] == 7
+        assert [r["record_id"] for r in body["records"]] == [100, 101, 102]
+        resp = call(app, "GET", "/v1/records/3", query="offset=5&limit=3")
+        body = jbody(resp)
+        assert [r["record_id"] for r in body["records"]] == [105, 106]
+        assert body["records"][0]["algorithm"].startswith("minhash")
+
+    def test_delete_and_survives_reopen(self, tmp_path):
+        app, state = make_app(tmp_path)
+        self._seed(app, n=3)
+        call(app, "DELETE", "/v1/records/3/101")
+        body = jbody(call(app, "GET", "/v1/records/3"))
+        assert [r["record_id"] for r in body["records"]] == [100, 102]
+        state.index.close()
+        # replay rebuilds the listing table
+        app2, _ = make_app(tmp_path)
+        body = jbody(call(app2, "GET", "/v1/records/3"))
+        assert [r["record_id"] for r in body["records"]] == [100, 102]
+
+    def test_tenant_guard(self, tmp_path):
+        keys = parse_keys_file("""
+[keys.a]
+token = "ka"
+tenant_id = 1
+""")
+        app, _ = make_app(tmp_path, api_keys=StaticMapKey(keys))
+        assert call(app, "GET", "/v1/records/2", token="ka").status == 403
+        assert call(app, "GET", "/v1/records/1", token="ka").status == 200

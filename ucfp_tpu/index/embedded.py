@@ -351,6 +351,8 @@ class EmbeddedBackend(IndexBackend):
         self.knn_quant = (knn_quant or os.environ.get("UCFP_KNN_QUANT", "none")).lower()
         self._planes: dict[int, object] = {}  # dim -> device planes
         self._tag_codes: dict[str, int] = {}  # algorithm/model_id interning
+        # tenant -> insertion-ordered record ids (listing pagination)
+        self._tenant_rows: dict[int, dict[int, None]] = {}
         self.data_dir = data_dir
         os.makedirs(data_dir, exist_ok=True)
         self._wal_path = os.path.join(data_dir, "ucfp.wal")
@@ -468,6 +470,10 @@ class EmbeddedBackend(IndexBackend):
             raise ValueError("embedding must be a flat finite float vector")
         packed = np.asarray(knn_ops.pack_bits_to_u32(rec.fingerprint), np.uint32)
         old = self._records.get(key)
+        if old is None:
+            # insertion-ordered per-tenant id table for O(offset+limit)
+            # listing (dict preserves order; delete is O(1))
+            self._tenant_rows.setdefault(rec.tenant_id, {})[rec.record_id] = None
         self._records[key] = {
             "modality": rec.modality.value,
             "algorithm": rec.algorithm,
@@ -543,6 +549,9 @@ class EmbeddedBackend(IndexBackend):
         key = (tenant_id, rid)
         old = self._records.pop(key, None)
         if old is not None:
+            t = self._tenant_rows.get(tenant_id)
+            if t is not None:
+                t.pop(rid, None)
             if old["embedding"] is not None:
                 c = self._vec.get((tenant_id, len(old["embedding"])))
                 if c:
@@ -1566,6 +1575,30 @@ class EmbeddedBackend(IndexBackend):
             has_embedding=row["embedding"] is not None,
             model_id=row["model_id"],
         )
+
+    def list_records(self, tenant_id: int, offset: int = 0,
+                     limit: int = 50) -> tuple[list[dict], int]:
+        """Paginated per-tenant listing in INSERTION order (an extension;
+        the reference web records page keeps its list client-side).
+        -> ([{record_id, modality, algorithm, fingerprint_bytes,
+        has_embedding}], total). O(offset + limit), not O(catalog)."""
+        import itertools
+
+        with self._lock:
+            rows = self._tenant_rows.get(tenant_id, {})
+            total = len(rows)
+            ids = list(itertools.islice(rows.keys(), offset, offset + limit))
+            out = []
+            for rid in ids:
+                row = self._records[(tenant_id, rid)]
+                out.append({
+                    "record_id": rid,
+                    "modality": row["modality"],
+                    "algorithm": row["algorithm"],
+                    "fingerprint_bytes": len(row["fingerprint"]),
+                    "has_embedding": row["embedding"] is not None,
+                })
+        return out, total
 
     def get_record(self, tenant_id: int, record_id: int) -> dict:
         row = self._records.get((tenant_id, record_id))

@@ -105,6 +105,7 @@ def build_server(
     # protected (mod.rs:104-193)
     r.add("PUT", "/v1/records", h.upsert_records)
     r.add("POST", "/v1/records", h.upsert_records)
+    r.add("GET", "/v1/records/{tenant_id}", h.list_records)
     r.add("GET", "/v1/records/{tenant_id}/{record_id}", h.describe_record)
     r.add("DELETE", "/v1/records/{tenant_id}/{record_id}", h.delete_record)
     r.add("POST", "/v1/query", h.query)

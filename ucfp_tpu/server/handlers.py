@@ -355,6 +355,23 @@ class Handlers:
         await self.index.upsert(recs)
         return Response.json({"upserted": len(recs)})
 
+    async def list_records(self, req: Request) -> Response:
+        """GET /v1/records/{tenant_id}?offset=&limit= — paginated listing
+        in insertion order (extension; the reference keeps its records
+        list client-side in localStorage)."""
+        try:
+            tid = int(req.params["tenant_id"])
+        except (KeyError, ValueError):
+            raise HttpError(400, "bad_path", "tenant_id must be an integer")
+        tenant_guard(_ctx(req), tid)
+        offset = max(0, req.qp_int("offset", 0))
+        limit = min(max(1, req.qp_int("limit", 50)), 1000)
+        rows, total = self.index.list_records(tid, offset, limit)
+        return Response.json({
+            "records": rows, "total": total,
+            "offset": offset, "limit": limit,
+        })
+
     async def describe_record(self, req: Request) -> Response:
         tid, rid = _path_ids(req)
         tenant_guard(_ctx(req), tid)

@@ -122,6 +122,7 @@ PAGE = r"""<!doctype html>
    <label>record id <input id="r-id" size="10"></label>
    <button class="go" onclick="describeRec()">Describe</button>
    <button class="go" style="background:#da3633" onclick="deleteRec()">Delete</button>
+   <button class="go" onclick="listRecs(0)">List</button>
   </div>
   <div id="r-out"></div>
  </section>
@@ -781,6 +782,20 @@ async function listKeys(){
 async function revokeKey(id){
  try{ await api('/v1/admin/keys/'+encodeURIComponent(id),{method:'DELETE'}); listKeys(); }
  catch(e){ $('k-out').innerHTML=`<div class="hex">error: ${e.message}</div>`; }
+}
+async function listRecs(offset){
+ const out=$('r-out');
+ try{
+  const r=await api(`/v1/records/${ten()}?offset=${offset}&limit=25`);
+  out.innerHTML=`<div class="kv"><b>${r.total}</b> records (showing ${r.records.length} from ${r.offset})</div>`
+   + r.records.map(x=>`<div class="row">${kv(x,['record_id','modality','algorithm','fingerprint_bytes','has_embedding'])}</div>`).join('');
+  if(r.offset + r.records.length < r.total){
+   const more=document.createElement('button');
+   more.className='go'; more.textContent='next page';
+   more.addEventListener('click', ()=>listRecs(r.offset + r.records.length));
+   out.appendChild(more);
+  }
+ }catch(e){out.innerHTML=`<div class="hex">error: ${e.message}</div>`;}
 }
 async function deleteRec(){
  const out=$('r-out');
