@@ -95,3 +95,32 @@ class TestNdjsonRowFuzz:
                "algorithm": "a", "fingerprint": "0aff", "config_hash": 3}
         rec = _record_from_row(json.loads(json.dumps(row)))
         assert rec.fingerprint == bytes.fromhex("0aff")
+
+
+class TestRowCacheTagInvariant:
+    """The filter tags must mirror the row motions (swap-with-last)
+    exactly — a drifted tag would filter the WRONG record."""
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(
+        st.tuples(st.booleans(), st.integers(0, 30), st.integers(0, 3)),
+        min_size=1, max_size=120,
+    ))
+    def test_tags_track_rows_through_random_churn(self, ops):
+        from ucfp_tpu.index.embedded import _RowCache
+
+        cache = _RowCache(width=4, dtype=np.float32, track_tags=True)
+        expect = {}  # rid -> (vec0, tag)
+        for is_upsert, rid, tagv in ops:
+            if is_upsert:
+                vec = np.full(4, float(rid * 31 + tagv), np.float32)
+                cache.upsert(rid, vec, tag=(tagv, tagv + 100))
+                expect[rid] = (vec[0], tagv)
+            else:
+                cache.remove(rid)
+                expect.pop(rid, None)
+        assert cache.n == len(expect)
+        for rid, (v0, tagv) in expect.items():
+            row = cache.rows[rid]
+            assert cache.data[row][0] == v0
+            assert tuple(cache.tags[row]) == (tagv, tagv + 100)

@@ -9,7 +9,11 @@ Wire invariants kept identical to the reference:
   * Record identity is ``(tenant_id: u32, record_id: u64)``.
   * ``fingerprint`` is raw bytes whose layout is algorithm-defined.
   * ``embedding`` is an optional dense f32 vector used by cosine k-NN.
-  * ``config_hash`` refuses cross-config comparisons (src/core/mod.rs:43-55).
+  * ``config_hash`` marks records for cross-config comparability:
+    ``Record.compatible_with`` is the library-level guard. Like the
+    reference (whose knn scan also never consults it), the query paths
+    do NOT enforce it — use the query ``filter`` on algorithm/model_id
+    to scope comparisons (src/core/mod.rs:43-55).
   * ``format_version`` gates resume compatibility.
 """
 
@@ -154,3 +158,7 @@ class Query:
             self.modality = Modality.parse(self.modality)
         if self.k < 1:
             self.k = 1
+        if self.rrf_k < 0:
+            # rrf_k = -1 would divide by zero at rank 1 in the fusion;
+            # other negatives silently invert the ranking
+            raise ValueError("rrf_k must be >= 0")

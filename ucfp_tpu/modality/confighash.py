@@ -11,8 +11,20 @@ from __future__ import annotations
 import xxhash
 
 
+_SCALARS = (str, int, float, bool, type(None))
+
+
 def config_hash64(algorithm: str, **knobs) -> int:
     parts = [algorithm]
     for k in sorted(knobs):
-        parts.append(f"{k}={knobs[k]!r}")
+        v = knobs[k]
+        if not isinstance(v, _SCALARS):
+            # repr() of sets/dicts varies with insertion order and
+            # PYTHONHASHSEED — an unordered knob would silently produce
+            # a different hash per process, making every restart refuse
+            # its own prior records. Pin the contract to scalars.
+            raise TypeError(
+                f"config knob {k!r} must be a scalar, got {type(v).__name__}"
+            )
+        parts.append(f"{k}={v!r}")
     return xxhash.xxh3_64_intdigest("\x1f".join(parts).encode("utf-8"))

@@ -227,18 +227,27 @@ def fingerprint_semantic(
     Stands in for the reference's CLIP ONNX LocalProvider
     (image.rs:210-241); the encoder lives in ucfp_tpu.models.encoders.
     """
+    from ..core import UnsupportedError
     from ..models import IMAGE_MODEL_ID as SEMANTIC_MODEL_ID
     from ..models import hf_local, image_encode
 
     pre = pre or PreprocessConfig()
     rgb = decode_rgb(data, pre)
-    if model_id is None and hf_local.available("image"):
-        # real local weights (UCFP_MODEL_DIR/image) take precedence
-        # over the seeded stand-in encoder
-        emb, model_id = hf_local.image_embed(rgb)
+    if hf_local.available("image"):
+        # real local weights (UCFP_MODEL_DIR/image) are THE encoder
+        emb, actual = hf_local.image_embed(rgb)
     else:
         x = semantic_features(rgb)[None]
         emb = image_encode(x)[0]
+        actual = SEMANTIC_MODEL_ID
+    if model_id is not None and model_id != actual:
+        # stamping a caller-supplied id onto another encoder's output
+        # would forge comparability across different models — exactly
+        # the cross-config comparison config_hash exists to prevent
+        raise UnsupportedError(
+            f"model {model_id!r} is not loaded (active encoder: {actual})"
+        )
+    model_id = actual
     return Record(
         tenant_id=tenant_id,
         record_id=record_id,

@@ -41,20 +41,34 @@ def _image_params():
     return w1, w2
 
 
-def image_encode(x_flat: np.ndarray) -> np.ndarray:
-    """[B, 3072] f32 in [0,1] -> [B, 512] L2-normalized f32."""
+@functools.lru_cache(maxsize=1)
+def _image_forward():
+    """Jitted MLP forward (the module contract: encoders run under jit —
+    unfused eager dispatch on the batcher hot path costs 5+ launches)."""
     import jax
     import jax.numpy as jnp
 
-    w1, w2 = _image_params()
-    h = jnp.tanh(
-        jnp.dot(jnp.asarray(x_flat), w1, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
-    )
-    e = jnp.dot(h, w2, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
-    e = e / jnp.maximum(jnp.linalg.norm(e, axis=1, keepdims=True), 1e-9)
-    return np.asarray(e, dtype=np.float32)
+    @jax.jit
+    def fwd(x):
+        w1, w2 = _image_params()
+        h = jnp.tanh(
+            jnp.dot(x, w1, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+        )
+        e = jnp.dot(h, w2, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+        return e / jnp.maximum(
+            jnp.linalg.norm(e, axis=1, keepdims=True), 1e-9
+        )
+
+    return fwd
+
+
+def image_encode(x_flat: np.ndarray) -> np.ndarray:
+    """[B, 3072] f32 in [0,1] -> [B, 512] L2-normalized f32."""
+    import jax.numpy as jnp
+
+    return np.asarray(_image_forward()(jnp.asarray(x_flat)), dtype=np.float32)
 
 
 @functools.lru_cache(maxsize=1)
@@ -69,21 +83,35 @@ def _audio_params():
     return w1, w2
 
 
-def audio_logmel_encode(windows: "object") -> np.ndarray:
-    """[n_win, 96*64] log-mel windows (jax or numpy) -> [n_win, 128]
-    L2-normalized f32."""
+@functools.lru_cache(maxsize=1)
+def _audio_forward():
     import jax
     import jax.numpy as jnp
 
-    w1, w2 = _audio_params()
-    h = jnp.tanh(
-        jnp.dot(jnp.asarray(windows), w1, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+    @jax.jit
+    def fwd(x):
+        w1, w2 = _audio_params()
+        h = jnp.tanh(
+            jnp.dot(x, w1, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+        )
+        e = jnp.dot(h, w2, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+        return e / jnp.maximum(
+            jnp.linalg.norm(e, axis=1, keepdims=True), 1e-9
+        )
+
+    return fwd
+
+
+def audio_logmel_encode(windows: "object") -> np.ndarray:
+    """[n_win, 96*64] log-mel windows (jax or numpy) -> [n_win, 128]
+    L2-normalized f32."""
+    import jax.numpy as jnp
+
+    return np.asarray(
+        _audio_forward()(jnp.asarray(windows)), dtype=np.float32
     )
-    e = jnp.dot(h, w2, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
-    e = e / jnp.maximum(jnp.linalg.norm(e, axis=1, keepdims=True), 1e-9)
-    return np.asarray(e, dtype=np.float32)
 
 
 def text_hash_embed(tokens: list[str]) -> np.ndarray:

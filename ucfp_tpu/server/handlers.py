@@ -894,11 +894,21 @@ class Handlers:
                     )
                     rec = imod.semantic_record(emb, tid, rid, model_id=mid)
                 else:
+                    from ..models import IMAGE_MODEL_ID
+
+                    want = req.query.get("model_id")
+                    if want is not None and want != IMAGE_MODEL_ID:
+                        # stamping a requested model's id onto the
+                        # stand-in encoder's output would forge
+                        # comparability across different models
+                        raise HttpError(
+                            501, "unsupported",
+                            f"model {want!r} is not loaded "
+                            f"(active encoder: {IMAGE_MODEL_ID})",
+                        )
                     feats = await asyncio.to_thread(imod.semantic_features, rgb)
                     emb = await self.image_batcher.submit(("semantic",), feats)
-                    rec = imod.semantic_record(
-                        emb, tid, rid, model_id=req.query.get("model_id")
-                    )
+                    rec = imod.semantic_record(emb, tid, rid)
             else:
                 raise HttpError(
                     400, "bad_algorithm", f"unknown image algorithm {algorithm!r}"

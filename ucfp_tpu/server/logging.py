@@ -32,7 +32,11 @@ class JsonLogger:
             "msg": msg,
             **fields,
         }
-        self.stream.write(json.dumps(rec, separators=(",", ":")) + "\n")
+        # default=repr: a log call in the request path must never raise
+        # on a non-JSON-serializable field (bytes, exceptions, Paths)
+        self.stream.write(
+            json.dumps(rec, separators=(",", ":"), default=repr) + "\n"
+        )
         self.stream.flush()
 
     def info(self, msg: str, **fields) -> None:

@@ -83,8 +83,6 @@ def build_manifest() -> dict:
                 {"id": "lsh", "algorithm": "minhash-lsh-h128",
                  "label": "Banded LSH",
                  "tunables": [
-                     _tunable("bands", "Bands", "LSH bands", "int", 20, 4, 64, 1),
-                     _tunable("rows", "Rows", "rows per band", "int", 6, 1, 16, 1),
                      *_text_common(),
                  ]},
                 {"id": "tlsh", "algorithm": "tlsh-128-1", "label": "TLSH",
