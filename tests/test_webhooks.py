@@ -1,0 +1,168 @@
+"""Webhook-backed auth / rate-limit / usage against a real local HTTP
+endpoint (the reference's UCFP_KEY_LOOKUP_URL / UCFP_RATELIMIT_URL /
+UCFP_USAGE_WEBHOOK_URL composition, bin/ucfp.rs:106-205)."""
+
+import asyncio
+import json
+import threading
+
+import pytest
+
+from ucfp_tpu.server.auth import WebhookKeyLookup
+from ucfp_tpu.server.ratelimit import WebhookRateLimiter
+from ucfp_tpu.server.usage import UsageEvent, UsageOp, WebhookUsageSink
+from ucfp_tpu.server.webhooks import (
+    key_lookup_fetch,
+    ratelimit_fetch,
+    usage_post,
+)
+
+
+class WebhookEndpoint:
+    """Tiny HTTP/1.1 responder: records request bodies, replies from a
+    per-path handler."""
+
+    def __init__(self):
+        self.requests: list[tuple[str, dict]] = []
+        self.handlers = {}  # path -> (status, dict-or-None)
+        self._loop = None
+        self._started = threading.Event()
+        self.port = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+        assert self._started.wait(10)
+
+    def _run(self):
+        self._loop = asyncio.new_event_loop()
+        asyncio.set_event_loop(self._loop)
+
+        async def client(reader, writer):
+            try:
+                head = await reader.readuntil(b"\r\n\r\n")
+                lines = head.decode().split("\r\n")
+                path = lines[0].split(" ")[1]
+                clen = 0
+                for ln in lines[1:]:
+                    if ln.lower().startswith("content-length:"):
+                        clen = int(ln.split(":")[1])
+                body = json.loads(await reader.readexactly(clen)) if clen else {}
+                self.requests.append((path, body))
+                status, payload = self.handlers.get(path, (404, None))
+                out = json.dumps(payload).encode() if payload is not None else b""
+                writer.write(
+                    f"HTTP/1.1 {status} X\r\ncontent-length: {len(out)}\r\n"
+                    f"connection: close\r\n\r\n".encode() + out
+                )
+                await writer.drain()
+            finally:
+                writer.close()
+
+        async def boot():
+            srv = await asyncio.start_server(client, "127.0.0.1", 0)
+            self.port = srv.sockets[0].getsockname()[1]
+            self._started.set()
+
+        self._loop.run_until_complete(boot())
+        self._loop.run_forever()
+
+    def url(self, path):
+        return f"http://127.0.0.1:{self.port}{path}"
+
+    def stop(self):
+        self._loop.call_soon_threadsafe(self._loop.stop)
+        self._thread.join(timeout=5)
+
+
+@pytest.fixture()
+def endpoint():
+    ep = WebhookEndpoint()
+    yield ep
+    ep.stop()
+
+
+def run(coro):
+    return asyncio.run(coro)
+
+
+class TestKeyLookupWebhook:
+    def test_known_token_resolves_context(self, endpoint):
+        endpoint.handlers["/keys"] = (200, {
+            "tenant_id": 7, "key_id": "wk", "scopes": ["ingest"],
+            "rate_limit_per_min": 10, "daily_quota": 100,
+        })
+        lk = WebhookKeyLookup(key_lookup_fetch(endpoint.url("/keys")))
+        ctx = run(lk.lookup("tok-1"))
+        assert ctx.tenant_id == 7 and ctx.key_id == "wk"
+        assert ctx.scopes == ("ingest",)
+        assert endpoint.requests[-1] == ("/keys", {"token": "tok-1"})
+        # TTL cache: second lookup answers without a second webhook call
+        run(lk.lookup("tok-1"))
+        assert len(endpoint.requests) == 1
+
+    def test_unknown_token_and_down_endpoint_fail_closed(self, endpoint):
+        lk = WebhookKeyLookup(key_lookup_fetch(endpoint.url("/nope")))
+        assert run(lk.lookup("x")) is None  # 404 -> unknown
+        dead = WebhookKeyLookup(
+            key_lookup_fetch("http://127.0.0.1:9/keys")  # refused port
+        )
+        assert run(dead.lookup("x")) is None  # unreachable -> unknown
+
+
+class TestRateLimitWebhook:
+    def test_deny_and_allow(self, endpoint):
+        endpoint.handlers["/rl"] = (200, {
+            "allowed": False, "retry_after_ms": 1500, "limit": 10,
+        })
+        rl = WebhookRateLimiter(ratelimit_fetch(endpoint.url("/rl")))
+        d = run(rl.check(3, "bulk"))
+        assert not d.allowed and d.retry_after_ms == 1500 and d.limit == 10
+        assert endpoint.requests[-1] == (
+            "/rl", {"tenant_id": 3, "rate_class": "bulk"}
+        )
+
+    def test_down_endpoint_fails_open(self):
+        rl = WebhookRateLimiter(ratelimit_fetch("http://127.0.0.1:9/rl"))
+        d = run(rl.check(3))
+        assert d.allowed  # limiter outage must not take the API down
+
+
+class TestUsageWebhook:
+    def test_events_posted_in_batches(self, endpoint):
+        endpoint.handlers["/usage"] = (200, {})
+
+        async def go():
+            sink = WebhookUsageSink(usage_post(endpoint.url("/usage")))
+            for i in range(3):
+                await sink.record(UsageEvent(
+                    tenant_id=1, key_id="k", op=UsageOp.QUERY, bytes_in=i,
+                    units=1, elapsed_ms=1.0, status=200, ts=i,
+                ))
+            await sink.close()
+
+        run(go())
+        paths = [p for p, _ in endpoint.requests]
+        assert all(p == "/usage" for p in paths) and paths
+        events = [e for _, b in endpoint.requests for e in b["events"]]
+        assert len(events) == 3
+        # the UsageOp enum serializes (default=str)
+        assert all("query" in str(e["op"]).lower() for e in events)
+
+
+class TestEnvWiring:
+    def test_state_from_env_composes_webhooks(self, tmp_path, monkeypatch):
+        from ucfp_tpu.server.app import state_from_env
+        from ucfp_tpu.server.keystore import CompositeKeyLookup
+
+        monkeypatch.setenv("UCFP_KEY_LOOKUP_URL", "http://127.0.0.1:9/k")
+        monkeypatch.setenv("UCFP_RATELIMIT_URL", "http://127.0.0.1:9/r")
+        monkeypatch.setenv("UCFP_USAGE_WEBHOOK_URL", "http://127.0.0.1:9/u")
+        monkeypatch.setenv("UCFP_SHARD", "off")
+        state = state_from_env(data_dir=str(tmp_path))
+        assert isinstance(state.api_keys, CompositeKeyLookup)
+        assert any(
+            type(lk).__name__ == "WebhookKeyLookup"
+            for lk in state.api_keys.lookups
+        )
+        assert type(state.rate_limit).__name__ == "WebhookRateLimiter"
+        assert type(state.usage).__name__ == "WebhookUsageSink"
+        state.index.close()

@@ -344,23 +344,52 @@ def state_from_env(
     """Env-driven composition with the reference's precedence and
     refuse-if-no-auth rule (bin/ucfp.rs:106-205)."""
     data_dir = data_dir or os.environ.get("UCFP_DATA_DIR", "./ucfp-data")
+    # auth precedence: UCFP_KEY_LOOKUP_URL > UCFP_KEYS_FILE > UCFP_TOKEN,
+    # else refuse (bin/ucfp.rs:106-148)
+    key_url = os.environ.get("UCFP_KEY_LOOKUP_URL")
     keys_file = keys_file or os.environ.get("UCFP_KEYS_FILE")
     token = token or os.environ.get("UCFP_TOKEN")
-    if keys_file:
-        api_keys: ApiKeyLookup = StaticMapKey.from_file(keys_file)
+    if key_url:
+        from .auth import WebhookKeyLookup
+        from .webhooks import key_lookup_fetch
+
+        api_keys: ApiKeyLookup = WebhookKeyLookup(key_lookup_fetch(key_url))
+    elif keys_file:
+        api_keys = StaticMapKey.from_file(keys_file)
     elif token:
         api_keys = StaticSingleKey(token)
     else:
         raise SystemExit(
-            "refusing to start without auth: set UCFP_KEYS_FILE or UCFP_TOKEN"
+            "refusing to start without auth: set UCFP_KEY_LOOKUP_URL, "
+            "UCFP_KEYS_FILE or UCFP_TOKEN"
         )
+    # rate limiting: webhook | in-memory token bucket (bin/ucfp.rs:151-174)
+    rate_url = os.environ.get("UCFP_RATELIMIT_URL")
     rate = rate if rate is not None else float(os.environ.get("UCFP_RATELIMIT_RPS", "100"))
     burst = burst if burst is not None else float(os.environ.get("UCFP_RATELIMIT_BURST", "200"))
-    rate_limit: TenantRateLimiter = (
-        NoopRateLimiter() if rate <= 0 else InMemoryTokenBucket(rate, burst)
-    )
+    if rate_url:
+        from .ratelimit import WebhookRateLimiter
+        from .webhooks import ratelimit_fetch
+
+        rate_limit: TenantRateLimiter = WebhookRateLimiter(
+            ratelimit_fetch(rate_url)
+        )
+    else:
+        rate_limit = (
+            NoopRateLimiter() if rate <= 0 else InMemoryTokenBucket(rate, burst)
+        )
+    # usage: webhook | NDJSON log | noop (bin/ucfp.rs:177-205)
+    usage_url = os.environ.get("UCFP_USAGE_WEBHOOK_URL")
     usage_log = usage_log or os.environ.get("UCFP_USAGE_LOG_PATH")
-    usage: UsageSink = LogUsageSink(usage_log) if usage_log else NoopUsageSink()
+    if usage_url:
+        from .usage import WebhookUsageSink
+        from .webhooks import usage_post
+
+        usage: UsageSink = WebhookUsageSink(usage_post(usage_url))
+    elif usage_log:
+        usage = LogUsageSink(usage_log)
+    else:
+        usage = NoopUsageSink()
     # issued keys live beside the index; the static service bearer and
     # issued tenant keys compose (first match wins)
     from .keystore import CompositeKeyLookup, PersistentKeyStore
