@@ -146,7 +146,7 @@ class TestConcurrency:
         hits = run(b.knn(0, vec(2019), 1))
         import os
 
-        if os.environ.get("UCFP_KNN_QUANT") == "int8":
+        if os.environ.get("UCFP_KNN_QUANT") in ("int8", "sketch"):
             # adjacent 0.001-rad directions quantize to the same int8
             # vector (step ~1/127 = 0.008 rad); ties resolve to the
             # lowest id, so accept the quantization neighbourhood

@@ -20,6 +20,13 @@ def _rec(rid, emb=None, fp=b"\x00" * 8, tenant=1, algo="imgfprint-phash-v1"):
     )
 
 
+@pytest.fixture(autouse=True)
+def _mesh_on(monkeypatch):
+    # these tests EXERCISE the mesh: a UCFP_SHARD=off sweep must not
+    # turn them into contradiction failures
+    monkeypatch.setenv("UCFP_SHARD", "auto")
+
+
 def _mk(tmp_path, name, **kw):
     return EmbeddedBackend(str(tmp_path / name), **kw)
 
