@@ -522,3 +522,17 @@ tenant_id = 1
         app, _ = make_app(tmp_path, api_keys=StaticMapKey(keys))
         assert call(app, "GET", "/v1/records/2", token="ka").status == 403
         assert call(app, "GET", "/v1/records/1", token="ka").status == 200
+
+
+class TestWarmup:
+    def test_warmup_compiles_all_kernel_families(self):
+        from ucfp_tpu.server import warmup
+
+        t = warmup.start_background_warmup()
+        t.join(timeout=300)
+        assert not t.is_alive()
+        # and the kernels are actually warm: a follow-up call is quick
+        from ucfp_tpu.modality import text as tmod
+
+        rec = tmod.fingerprint_minhash("post warmup text", 0, 1)
+        assert rec.fingerprint

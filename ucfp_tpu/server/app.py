@@ -413,6 +413,12 @@ async def run(bind: str, state: ServerState, native_http: bool | None = None) ->
     host, _, port = bind.rpartition(":")
     host = host or "127.0.0.1"
     server = build_server(state)
+    if os.environ.get("UCFP_WARMUP", "1") != "0":
+        # pre-compile the hot kernels off-thread so the first real
+        # request doesn't eat a multi-second jit compile and 408
+        from .warmup import start_background_warmup
+
+        start_background_warmup()
     if native_http is None:
         native_http = os.environ.get("UCFP_HTTP", "").lower() == "native"
     if native_http:

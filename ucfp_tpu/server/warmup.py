@@ -1,0 +1,80 @@
+"""Boot-time kernel warmup: pre-compile the hot device kernels.
+
+First jit compiles take seconds (tens of seconds through a remote
+runtime) — without warmup the first production request of each shape
+class eats the compile and times out at the default 10 s request
+budget (the documented 408 case). This runs tiny synthetic payloads
+through each modality's fingerprint path and the ANN kernels in a
+background thread right after boot, so the compile cache is hot before
+traffic arrives. Enabled by default in the launcher; UCFP_WARMUP=0
+disables (tests construct servers directly and never run it).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+
+from .logging import logger
+
+
+def _work() -> None:
+    t0 = time.monotonic()
+    done = []
+    try:
+        import numpy as np
+
+        # text: minhash device signature path
+        from ..modality import text as tmod
+
+        tmod.fingerprint_minhash("warmup quick brown fox sample text", 0, 0)
+        done.append("text")
+
+        # image: the batched multihash + single-hash kernels at the
+        # playground's canonical small shape
+        from ..modality import image as imod
+        from ..ops import imagehash
+
+        rgb = np.zeros((1, 64, 64, 3), np.uint8)
+        imagehash.multihash_kernel(rgb, 64, 64)
+        imagehash.single_hash_kernel(rgb, 64, 64, "phash")
+        done.append("image")
+
+        # audio: the integer STFT + peak + pairing pipeline at two
+        # durations — the padded-length buckets compile per shape class,
+        # so covering 1 s and 4 s clips warms the common buckets
+        from ..modality import audio as amod
+
+        for secs in (1, 4):
+            t = np.arange(8000 * secs, dtype=np.float32) / 8000.0
+            x = (0.25 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+            amod.fingerprint_wang(x, 8000, 0, 0)
+        done.append("audio")
+
+        # ANN: cosine + Hamming top-k over a tiny padded matrix (the
+        # capacity-doubling scheme reuses this compile for 1024-row
+        # caches; larger capacities still compile on first growth)
+        import jax.numpy as jnp
+
+        from ..ops import knn as knn_ops
+
+        m = np.zeros((1024, 64), np.float32)
+        m[0, 0] = 1.0
+        valid = jnp.arange(1024) < 1
+        knn_ops.cosine_topk(jnp.asarray(m[:1]), jnp.asarray(m), valid, 1)
+        h = jnp.zeros((1024, 2), jnp.uint32)
+        knn_ops.hamming_topk(h[:1], h, valid, 1)
+        done.append("ann")
+    except Exception as e:  # warmup must never take the server down
+        logger().warn("warmup error", err=f"{type(e).__name__}: {e}",
+                      completed=",".join(done))
+        return
+    logger().info("warmup complete", secs=round(time.monotonic() - t0, 1),
+                  kernels=",".join(done))
+
+
+def start_background_warmup() -> threading.Thread:
+    """Fire-and-forget warmup thread (daemon: never blocks shutdown)."""
+    t = threading.Thread(target=_work, name="ucfp-warmup", daemon=True)
+    t.start()
+    return t
