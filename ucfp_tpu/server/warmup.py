@@ -65,6 +65,26 @@ def _work() -> None:
         h = jnp.zeros((1024, 2), jnp.uint32)
         knn_ops.hamming_topk(h[:1], h, valid, 1)
         done.append("ann")
+
+        # quantized serving paths, when configured
+        import os
+
+        quant = os.environ.get("UCFP_KNN_QUANT", "none").lower()
+        if quant in ("int8", "sketch"):
+            q8, rn = knn_ops.quantize_rows_int8(m)
+            knn_ops.cosine_topk_int8(
+                jnp.asarray(m[:1]), jnp.asarray(q8), jnp.asarray(rn),
+                valid, 1,
+            )
+            if quant == "sketch":
+                planes = jnp.asarray(knn_ops.sketch_planes(64))
+                sk = knn_ops.build_sketch_chunked(jnp.asarray(q8), planes)
+                knn_ops.cosine_sketch_topk(
+                    jnp.asarray(m[0]), planes, jnp.asarray(q8),
+                    jnp.asarray(rn), sk, valid, 1,
+                    knn_ops.sketch_candidates(1024, 1),
+                )
+            done.append(quant)
     except Exception as e:  # warmup must never take the server down
         logger().warn("warmup error", err=f"{type(e).__name__}: {e}",
                       completed=",".join(done))
