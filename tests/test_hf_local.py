@@ -99,7 +99,7 @@ class TestImageLocalModel:
         emb = np.asarray(rec.embedding, np.float32)
         assert emb.shape == (32,)
         np.testing.assert_allclose(np.linalg.norm(emb), 1.0, rtol=1e-5)
-        assert rec.model_id != "ucfp-image-embed-512-v1"
+        assert rec.model_id != "ucfp-image-embed-512-v2"
         # config_hash binds the model id: stand-in and local-weights
         # records refuse to compare
         rec_stand = None
@@ -121,3 +121,19 @@ class TestAvailability:
         monkeypatch.setenv("UCFP_MODEL_DIR", str(tmp_path / "m"))
         assert hf_local.available("text")
         assert hf_local._model_id(str(d)) == "local:text"
+
+
+class TestModelIdGuardWithLocalWeights:
+    def test_mismatched_model_id_rejected_on_hf_path(
+        self, tiny_image_model, monkeypatch
+    ):
+        from ucfp_tpu.core import UnsupportedError
+        from ucfp_tpu.modality import image as imod
+
+        from test_imagehash import synthetic_png
+
+        monkeypatch.setenv("UCFP_MODEL_DIR", str(tiny_image_model))
+        with pytest.raises(UnsupportedError):
+            imod.fingerprint_semantic(
+                synthetic_png(64, 64), 0, 1, model_id="clip-vit-b32"
+            )

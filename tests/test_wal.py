@@ -209,3 +209,27 @@ class TestTornTailTruncation:
         w.close()
         assert ev1 in events and ev2 in events
         assert len(events) == 2
+
+
+class TestJsonWalTornTail:
+    def test_appends_after_torn_tail_survive_restart(self, tmp_path):
+        """Same blackhole as the native engine: the JSON log must
+        truncate a crash-torn tail at open, or post-crash appends land
+        after (or ONTO) the partial line and vanish from replay."""
+        from ucfp_tpu.index.wal import JsonWal
+
+        path = str(tmp_path / "w.wal")
+        ev1 = {"op": "delete", "tenant_id": 1, "record_ids": [1]}
+        ev2 = {"op": "delete", "tenant_id": 2, "record_ids": [2]}
+        w = JsonWal(path)
+        w.append_events([ev1])
+        w.close()
+        with open(path, "ab") as f:
+            f.write(b'{"op":"dele')  # torn line, no newline
+        w = JsonWal(path)
+        w.append_events([ev2])
+        w.close()
+        w = JsonWal(path)
+        events = list(w.replay())
+        w.close()
+        assert ev1 in events and ev2 in events and len(events) == 2

@@ -166,3 +166,26 @@ class TestEnvWiring:
         assert type(state.rate_limit).__name__ == "WebhookRateLimiter"
         assert type(state.usage).__name__ == "WebhookUsageSink"
         state.index.close()
+
+
+class TestTransportFailureNotCached:
+    def test_blip_does_not_poison_ttl_cache(self, endpoint):
+        """A transient transport failure must fail closed for that
+        request only — never be cached as an authoritative 60 s miss."""
+        calls = {"n": 0}
+
+        async def flaky(token):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise OSError("connection reset")
+            from ucfp_tpu.server.auth import ApiKeyContext
+
+            return ApiKeyContext(tenant_id=5, key_id="ok")
+
+        lk = WebhookKeyLookup(flaky)
+        assert run(lk.lookup("tok")) is None   # blip: closed, uncached
+        ctx = run(lk.lookup("tok"))            # next attempt recovers
+        assert ctx is not None and ctx.tenant_id == 5
+        # and the recovery IS cached
+        run(lk.lookup("tok"))
+        assert calls["n"] == 2

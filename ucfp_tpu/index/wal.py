@@ -200,7 +200,36 @@ class JsonWal:
 
     def __init__(self, path: str):
         self._path = path
+        self._truncate_torn_tail()
         self._f = open(path, "ab")
+
+    def _truncate_torn_tail(self) -> None:
+        """Drop a crash-torn tail BEFORE appending: new lines written
+        after a partial line would corrupt it and then be invisible to
+        replay (which stops at the first bad line) — the same silent
+        blackhole the native engine truncates at open."""
+        if not os.path.exists(self._path) or os.path.getsize(self._path) == 0:
+            return
+        good = 0
+        with open(self._path, "rb") as f:
+            while True:
+                line = f.readline()
+                if not line:
+                    break
+                if not line.endswith(b"\n"):
+                    break  # torn tail
+                stripped = line.strip()
+                if stripped:
+                    try:
+                        self._from_json(json.loads(stripped))
+                    except (json.JSONDecodeError, KeyError, ValueError):
+                        break
+                good = f.tell()
+        if good < os.path.getsize(self._path):
+            with open(self._path, "rb+") as f:
+                f.truncate(good)
+                f.flush()
+                os.fsync(f.fileno())
 
     @staticmethod
     def _to_json(ev: dict) -> dict:

@@ -16,8 +16,8 @@ import math
 
 import numpy as np
 
-IMAGE_MODEL_ID = "ucfp-image-embed-512-v1"
-AUDIO_MODEL_ID = "ucfp-audio-logmel-mlp-v1"
+IMAGE_MODEL_ID = "ucfp-image-embed-512-v2"  # v2: jitted forward (fused f32 order)
+AUDIO_MODEL_ID = "ucfp-audio-logmel-mlp-v2"  # v2: jitted forward (fused f32 order)
 TEXT_MODEL_ID = "ucfp-hash-embed-384-v1"
 
 IMAGE_DIM = 512

@@ -143,8 +143,10 @@ int ucfp_wal_commit(void* h) {
     if (n < 0) {
       // roll the file back to the pre-commit boundary and KEEP pending:
       // a retry then rewrites the whole batch cleanly instead of
-      // appending it after a torn prefix
-      if (start >= 0) ::ftruncate(s->fd, start);
+      // appending it after a torn prefix. If the rollback itself fails
+      // the file may hold a torn prefix — poison the store so a retried
+      // commit cannot append after it and report success.
+      if (start < 0 || ::ftruncate(s->fd, start) != 0) s->failed = true;
       return -2;
     }
     off += static_cast<size_t>(n);

@@ -174,7 +174,15 @@ class WebhookKeyLookup(ApiKeyLookup):
         hit = self._cache.get(token)
         if hit is not None and now - hit[0] < self.TTL_SECS:
             return hit[1]
-        ctx = await self._fetch(token)
+        try:
+            ctx = await self._fetch(token)
+        except Exception:
+            # transport failure: fail closed for THIS request, but don't
+            # cache it as an authoritative miss — a 5 s blip would lock a
+            # valid token out for the whole TTL. A stale cached value (up
+            # to TTL old) was already served above, giving the
+            # reference's degrade-to-staleness behavior.
+            return None
         if len(self._cache) >= self.MAX_CACHE:
             self._cache.clear()  # clear-on-overflow, like the reference
         self._cache[token] = (now, ctx)

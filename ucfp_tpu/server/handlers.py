@@ -892,6 +892,13 @@ class Handlers:
                     emb, mid = await asyncio.to_thread(
                         hf_local.image_embed, rgb
                     )
+                    want = req.query.get("model_id")
+                    if want is not None and want != mid:
+                        raise HttpError(
+                            501, "unsupported",
+                            f"model {want!r} is not loaded "
+                            f"(active encoder: {mid})",
+                        )
                     rec = imod.semantic_record(emb, tid, rid, model_id=mid)
                 else:
                     from ..models import IMAGE_MODEL_ID

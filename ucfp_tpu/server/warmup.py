@@ -32,7 +32,6 @@ def _work() -> None:
 
         # image: the batched multihash + single-hash kernels at the
         # playground's canonical small shape
-        from ..modality import image as imod
         from ..ops import imagehash
 
         rgb = np.zeros((1, 64, 64, 3), np.uint8)
@@ -51,40 +50,50 @@ def _work() -> None:
             amod.fingerprint_wang(x, 8000, 0, 0)
         done.append("audio")
 
-        # ANN: cosine + Hamming top-k over a tiny padded matrix (the
-        # capacity-doubling scheme reuses this compile for 1024-row
-        # caches; larger capacities still compile on first growth)
+        # ANN at SERVING shapes: the jit cache keys on (dim, k), so
+        # warming toy shapes would leave the first real /v1/query cold.
+        # k=10 is the request default (serving uses kk = min(k, n), so
+        # catalogs of >= 10 rows hit this exact compile); dims cover the
+        # built-in encoders (audio 128, text 384, image 512) plus 64
+        # and the 768 BASELINE shape. UCFP_WARMUP_DIMS overrides.
+        import os
+
         import jax.numpy as jnp
 
         from ..ops import knn as knn_ops
 
-        m = np.zeros((1024, 64), np.float32)
-        m[0, 0] = 1.0
-        valid = jnp.arange(1024) < 1
-        knn_ops.cosine_topk(jnp.asarray(m[:1]), jnp.asarray(m), valid, 1)
-        h = jnp.zeros((1024, 2), jnp.uint32)
-        knn_ops.hamming_topk(h[:1], h, valid, 1)
-        done.append("ann")
-
-        # quantized serving paths, when configured
-        import os
-
+        dims = [
+            int(d) for d in os.environ.get(
+                "UCFP_WARMUP_DIMS", "64,128,384,512,768"
+            ).split(",") if d.strip()
+        ]
+        k = 10
+        valid = jnp.arange(1024) < 16
         quant = os.environ.get("UCFP_KNN_QUANT", "none").lower()
-        if quant in ("int8", "sketch"):
-            q8, rn = knn_ops.quantize_rows_int8(m)
-            knn_ops.cosine_topk_int8(
-                jnp.asarray(m[:1]), jnp.asarray(q8), jnp.asarray(rn),
-                valid, 1,
-            )
-            if quant == "sketch":
-                planes = jnp.asarray(knn_ops.sketch_planes(64))
-                sk = knn_ops.build_sketch_chunked(jnp.asarray(q8), planes)
-                knn_ops.cosine_sketch_topk(
-                    jnp.asarray(m[0]), planes, jnp.asarray(q8),
-                    jnp.asarray(rn), sk, valid, 1,
-                    knn_ops.sketch_candidates(1024, 1),
+        for d in dims:
+            m = np.zeros((1024, d), np.float32)
+            m[:16, 0] = 1.0
+            if quant in ("int8", "sketch"):
+                q8, rn = knn_ops.quantize_rows_int8(m)
+                knn_ops.cosine_topk_int8(
+                    jnp.asarray(m[:1]), jnp.asarray(q8), jnp.asarray(rn),
+                    valid, k,
                 )
-            done.append(quant)
+                if quant == "sketch":
+                    planes = jnp.asarray(knn_ops.sketch_planes(d))
+                    sk = knn_ops.build_sketch_chunked(jnp.asarray(q8), planes)
+                    knn_ops.cosine_sketch_topk(
+                        jnp.asarray(m[0]), planes, jnp.asarray(q8),
+                        jnp.asarray(rn), sk, valid, k,
+                        knn_ops.sketch_candidates(1024, k),
+                    )
+            else:
+                knn_ops.cosine_topk(
+                    jnp.asarray(m[:1]), jnp.asarray(m), valid, k
+                )
+        h = jnp.zeros((1024, 2), jnp.uint32)
+        knn_ops.hamming_topk(h[:1], h, valid, k)
+        done.append("ann" if quant == "none" else f"ann-{quant}")
     except Exception as e:  # warmup must never take the server down
         logger().warn("warmup error", err=f"{type(e).__name__}: {e}",
                       completed=",".join(done))

@@ -68,8 +68,11 @@ def key_lookup_fetch(url: str):
         try:
             status, body = await _post_json(url, {"token": token})
         except Exception as e:
+            # transport failure: fail closed for THIS request but do
+            # NOT let the TTL cache treat it as an authoritative miss —
+            # a 5 s blip would otherwise lock the token out for 60 s
             logger().warn("key webhook unreachable", url=url, err=str(e))
-            return None  # fail closed
+            raise
         if status != 200 or not isinstance(body, dict):
             return None
         try:
