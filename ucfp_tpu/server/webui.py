@@ -111,6 +111,7 @@ PAGE = r"""<!doctype html>
    <label>terms <input id="q-terms" size="24" placeholder="keyword search"></label>
    <label>vector <input id="q-vector" size="24" placeholder="0.1, -0.3, … (hybrid when both)"></label>
    <label>k <input id="q-k" size="3" value="10"></label>
+   <label>filter algorithm <input id="q-filter-algo" size="16" placeholder="e.g. minhash-h128"></label>
    <label><input type="checkbox" id="q-explain" checked> explain</label>
    <button class="go" onclick="runQuery()">Search</button>
   </div>
@@ -652,6 +653,8 @@ async function runQuery(){
               terms:$('q-terms').value.split(/\s+/).filter(x=>x)};
   const vtxt=$('q-vector').value.trim();
   if(vtxt) body.vector = vtxt.split(/[\s,]+/).filter(x=>x).map(Number);
+  const falg=$('q-filter-algo').value.trim();
+  if(falg) body.filter = {algorithm: falg};
   const res=await api('/v1/query?explain='+($('q-explain').checked?1:0),
     {method:'POST',body:JSON.stringify(body)});
   if(!res.hits.length){ out.innerHTML='<div class="kv">no hits</div>'; return; }
