@@ -152,3 +152,25 @@ class TestWebuiHardening:
         # would fingerprint the wrapper, diverging from the Text tab
         assert "body: line}" in PAGE
         assert "JSON.stringify({text: line})" not in PAGE
+
+
+class TestDocsRouteCoverage:
+    def test_every_route_appears_in_docs(self):
+        """Route/doc drift guard: every route registered in app.py must
+        be mentioned somewhere in docs/ (the docs are served at /docs,
+        so an undocumented route is a user-visible gap)."""
+        import pathlib
+        import re
+
+        root = pathlib.Path(__file__).resolve().parent.parent
+        app_src = (root / "ucfp_tpu" / "server" / "app.py").read_text()
+        routes = set(re.findall(r'r\.add\("[A-Z]+", "([^"]+)"', app_src))
+        def norm(text):
+            text = re.sub(r"\{[a-z_]+\}", "*", text)
+            return re.sub(r"/\*(/|$)", r"/*\1", text)
+
+        docs = norm("\n".join(
+            p.read_text() for p in (root / "docs").glob("*.md")
+        ))
+        missing = [r for r in routes if norm(r) not in docs]
+        assert not missing, f"routes not documented: {missing}"
