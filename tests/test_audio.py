@@ -408,3 +408,35 @@ class TestStreamingFinalizeTail:
         assert len(recs) == 1
         tail = s.finalize()
         assert len(tail) == 1 and tail[0].record_id == 101
+
+
+class TestPanakoStreaming:
+    def test_streaming_panako_segments(self):
+        """algorithm="panako" streams tempo-invariant triplets (beyond
+        the reference, whose streaming is Wang-only); segment content
+        matches the one-shot panako fingerprint of the same window."""
+        from ucfp_tpu.modality.audio import (
+            StreamingWangSession,
+            fingerprint_panako,
+        )
+
+        s = StreamingWangSession(0, 500, 8000, segment_secs=2.0,
+                                 algorithm="panako")
+        n = s.segment + s.halo
+        t = np.arange(n) / 8000.0
+        x = (0.5 * np.sin(2 * np.pi * 440 * t)
+             + 0.3 * np.sin(2 * np.pi * 1400 * t)
+             * (np.sin(2 * np.pi * 1.1 * t) > 0)).astype(np.float32)
+        recs = s.push(x)
+        assert len(recs) == 1
+        assert recs[0].algorithm == "audiofp-panako-v1"
+        assert recs[0].record_id == 500
+        one_shot = fingerprint_panako(x[:n], 8000, 0, 999)
+        assert recs[0].fingerprint == one_shot.fingerprint
+
+    def test_streaming_rejects_unknown_algorithm(self):
+        from ucfp_tpu.core import ModalityError
+        from ucfp_tpu.modality.audio import StreamingWangSession
+
+        with pytest.raises(ModalityError):
+            StreamingWangSession(0, 1, 8000, algorithm="haitsma")

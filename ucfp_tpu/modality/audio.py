@@ -350,6 +350,10 @@ class StreamingWangSession:
     (the halo the SURVEY's sequence-parallel analog calls for). Segment
     N is stored as record_id = base record_id + N (metadata "segment=N"),
     so callers should leave id headroom between streamed records.
+
+    algorithm="panako" streams tempo-invariant triplets instead (beyond
+    the reference, whose streaming is Wang-only) — live recognition of
+    pitch/tempo-shifted audio.
     """
 
     def __init__(
@@ -359,16 +363,27 @@ class StreamingWangSession:
         sample_rate: int,
         cfg: WangConfig | None = None,
         segment_secs: float = 10.0,
+        algorithm: str = "wang",
     ):
         if sample_rate != CANONICAL_SR:
             raise ModalityError(
                 f"streaming wang requires exactly {CANONICAL_SR} Hz, got {sample_rate}"
             )
+        if algorithm not in ("wang", "panako"):
+            raise ModalityError(
+                f"streaming supports wang|panako, got {algorithm!r}"
+            )
+        self.algorithm = algorithm
         self.tenant_id = tenant_id
         self.record_id = record_id
-        self.cfg = cfg or WangConfig()
+        if cfg is None:
+            cfg = WangConfig() if algorithm == "wang" else None
+        self.cfg = cfg
+        # panako's wider default zone needs the matching halo
+        zone_t = (cfg.target_zone_t if cfg is not None
+                  else PanakoConfig().target_zone_t)
         self.segment = int(segment_secs * CANONICAL_SR)
-        self.halo = (self.cfg.target_zone_t + 4) * 256  # zone frames * hop
+        self.halo = (zone_t + 4) * 256  # zone frames * hop
         self._buf = np.zeros(0, np.float32)
         self._seg_index = 0
         self._closed = False
@@ -403,10 +418,13 @@ class StreamingWangSession:
         # each segment gets its own record identity (base id + index) —
         # re-using one id would make every upsert overwrite the previous
         # segment's landmarks
-        rec = fingerprint_wang(
-            seg, CANONICAL_SR, self.tenant_id,
-            self.record_id + self._seg_index, self.cfg,
-        )
+        rid = self.record_id + self._seg_index
+        if self.algorithm == "panako":
+            rec = fingerprint_panako(seg, CANONICAL_SR, self.tenant_id, rid,
+                                     self.cfg)
+        else:
+            rec = fingerprint_wang(seg, CANONICAL_SR, self.tenant_id, rid,
+                                   self.cfg)
         rec.metadata = f"segment={self._seg_index}".encode()
         self._seg_index += 1
         return rec

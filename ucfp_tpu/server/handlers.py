@@ -1138,10 +1138,16 @@ class Handlers:
                     for r in recs
                 )
 
+        algorithm = req.query.get("algorithm", "wang")
+        if algorithm not in ("wang", "panako"):
+            raise HttpError(400, "bad_algorithm",
+                            f"streaming supports wang|panako, got {algorithm!r}")
+        _algo_gate(algorithm)
         try:
             session = amod.StreamingWangSession(
                 tid, rid, sample_rate,
                 segment_secs=req.qp_float("segment_secs", 10.0),
+                algorithm=algorithm,
             )
             chunks = self._body_chunks(req)
             ct = req.headers.get("content-type", "")
@@ -1176,7 +1182,10 @@ class Handlers:
             await store(session.finalize())
         except UcfpError as e:
             raise _err(e)
-        _tag_usage(req, "audio", "audiofp-wang-v1")
+        _tag_usage(
+            req, "audio",
+            "audiofp-panako-v1" if algorithm == "panako" else "audiofp-wang-v1",
+        )
         return Response.json(
             {"segments": len(meta), "records": meta}, status=201
         )
