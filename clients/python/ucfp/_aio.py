@@ -268,12 +268,15 @@ class UcfpAsync:
         record_id: Optional[int] = None,
         tenant_id: Optional[int] = None,
         segment_secs: Optional[float] = None,
+        algorithm: Optional[str] = None,
     ) -> StreamIngest:
         tid = self.tenant_id if tenant_id is None else tenant_id
         rid = record_id if record_id is not None else c.new_record_id()
         params = {"sample_rate": str(sample_rate)}
         if segment_secs is not None:
             params["segment_secs"] = str(segment_secs)
+        if algorithm is not None:  # wang (default) | panako
+            params["algorithm"] = algorithm
         body = b"".join([chunk async for chunk in _aiter(chunks)])
         out = await self._request(
             "POST", f"/v1/ingest/audio/{tid}/{rid}/stream",

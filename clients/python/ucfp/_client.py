@@ -284,6 +284,7 @@ class Ucfp:
         record_id: Optional[int] = None,
         tenant_id: Optional[int] = None,
         segment_secs: Optional[float] = None,
+        algorithm: Optional[str] = None,
     ) -> StreamIngest:
         """Stream raw f32-LE PCM chunks through the Wang streaming
         session (POST /v1/ingest/audio/{tid}/{rid}/stream); each
@@ -293,6 +294,8 @@ class Ucfp:
         params = {"sample_rate": str(sample_rate)}
         if segment_secs is not None:
             params["segment_secs"] = str(segment_secs)
+        if algorithm is not None:  # wang (default) | panako
+            params["algorithm"] = algorithm
         body = b"".join(chunks)
         out = self._request(
             "POST", f"/v1/ingest/audio/{tid}/{rid}/stream",
