@@ -345,3 +345,18 @@ class TestShardedSketch:
         got = asyncio.run(be.knn(1, [float(x) for x in new], 1))
         assert got[0].record_id == 901
         be.close()
+
+
+class TestMultiSliceSketch:
+    def test_2d_mesh_sketch_serving(self, tmp_path, monkeypatch):
+        """Sketch prefilter over the (slice, ICI) 2-D mesh: per-shard
+        pools + hierarchical two-stage merge."""
+        monkeypatch.setenv("UCFP_MESH_SHAPE", "2x4")
+        be = _mk(tmp_path, "sk2d", knn_quant="sketch")
+        assert be._mesh_axes == ("s", "d")
+        embs = _ingest_vectors(be, n=64, d=16, seed=13)
+        hits = asyncio.run(be.knn(1, [float(x) for x in embs[29]], 5))
+        assert hits[0].record_id == 29 and hits[0].score > 0.99
+        dev = be._vec[(1, 16)].device
+        assert len(dev) == 4  # (q8, rn, sketch, valid)
+        be.close()
