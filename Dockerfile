@@ -11,6 +11,8 @@ RUN pip install --no-cache-dir "jax[cpu]" flax optax numpy pillow xxhash
 WORKDIR /app
 COPY ucfp_tpu/ ucfp_tpu/
 COPY scripts/ scripts/
+COPY docs/ docs/
+COPY clients/ clients/
 
 ENV UCFP_BIND=0.0.0.0:8080 \
     UCFP_DATA_DIR=/data \

@@ -33,9 +33,10 @@ def _timed(fn, n_iters: int) -> float:
     """Seconds per iteration via the (t(N)-t(1))/(N-1) calibration.
 
     Tunnel jitter can inflate the 1-iteration baseline past the N-
-    iteration run, collapsing the estimate to ~0; take the median of up
-    to three positive measurement pairs and fall back to the raw t(N)/N
-    upper bound if every pair came out negative.
+    iteration run, collapsing the estimate to ~0; the FIRST clean
+    (positive) measurement pair wins, retrying up to three times only
+    when a pair comes out negative, with the raw t(N)/N upper bound as
+    the last resort.
     """
     fn(1)  # compile both variants + warm
     fn(n_iters)
@@ -520,7 +521,11 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
     sigma = {0.99: 10.5, 0.7: 75.0, 0.5: 128.0}
     kq = jax.random.split(jax.random.PRNGKey(9), 8)
     for t in range(8):
-        q = jax.random.normal(kq[t], (d,), jnp.float32) * 40.0
+        # independent subkeys per draw: reusing kq[t] would make every
+        # noise vector IDENTICAL to the query direction (degenerate
+        # 1-direction ensemble instead of the claimed noise model)
+        k_q, k_row, *k_noise = jax.random.split(kq[t], 2 + len(sigma))
+        q = jax.random.normal(k_q, (d,), jnp.float32) * 40.0
         _, ie = pallas_scan.cosine_int8_topk_hybrid(
             jnp.clip(jnp.round(q), -127, 127).astype(jnp.int8), m8, rn, k
         )
@@ -529,10 +534,10 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
         )
         rec_hits += len(set(ie.tolist()) & set(isk.tolist()))
         rec_total += k
-        row = int(jax.random.randint(kq[t], (), 0, n))
-        for cos_t, sg in sigma.items():
+        row = int(jax.random.randint(k_row, (), 0, n))
+        for kn, (cos_t, sg) in zip(k_noise, sigma.items()):
             qp = m8[row].astype(jnp.float32) + \
-                jax.random.normal(kq[t], (d,), jnp.float32) * sg
+                jax.random.normal(kn, (d,), jnp.float32) * sg
             _, ipl = knn_ops.cosine_sketch_topk(
                 qp, planes, m8, rn, sketch, valid, k, cand
             )
@@ -573,6 +578,11 @@ def _prefer_direct_tpu():
         jax.devices()
     except Exception:
         try:
+            # the failed in-process init poisoned the backend cache —
+            # clear it or the fallback fails too and no JSON line prints
+            import jax.extend.backend
+
+            jax.extend.backend.clear_backends()
             jax.config.update("jax_platforms", None)
             jax.devices()
         except Exception:

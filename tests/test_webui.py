@@ -174,3 +174,16 @@ class TestDocsRouteCoverage:
         ))
         missing = [r for r in routes if norm(r) not in docs]
         assert not missing, f"routes not documented: {missing}"
+
+
+class TestDocsRenderWrappedBullets:
+    def test_wrapped_bullet_merges_into_li(self):
+        from ucfp_tpu.server.docsite import render_markdown
+
+        out = render_markdown(
+            "- first line of a bullet\n  that wraps onto a second line\n"
+            "- another bullet\n"
+        )
+        assert out.count("<li>") == 2
+        assert "<p>" not in out  # continuation merged, never a stray <p>
+        assert "that wraps onto a second line</li>" in out

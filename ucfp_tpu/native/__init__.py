@@ -28,17 +28,26 @@ def _outname(base: str) -> str:
 
 
 def _build(src: str, out: str) -> bool:
+    # compile to a temp path and rename: an interrupted/timed-out or
+    # concurrent g++ must never leave a corrupt .so with a fresh mtime
+    # (it would be loaded forever and silently disable the native path)
+    tmp = f"{out}.{os.getpid()}.tmp"
     try:
         subprocess.run(
             ["g++", "-O2", "-std=c++17", "-pthread", "-fPIC", "-shared"]
-            + _sanitize_flags() + ["-o", out, src],
+            + _sanitize_flags() + ["-o", tmp, src],
             check=True,
             capture_output=True,
             timeout=120,
         )
+        os.replace(tmp, out)
         return True
     except (subprocess.CalledProcessError, FileNotFoundError, OSError,
             subprocess.TimeoutExpired):
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 

@@ -188,6 +188,11 @@ def render_markdown(md: str) -> str:
         elif not raw.strip():
             flush_para()
             close_list()
+        elif in_list:
+            # wrapped continuation of the previous bullet: merge into
+            # its <li> — flushing it as a <p> inside the open list would
+            # split every multi-line bullet
+            out[-1] = out[-1][:-5] + " " + _inline(line.strip()) + "</li>"
         else:
             para.append(line)
         i += 1
@@ -227,6 +232,9 @@ def index_html() -> str:
     return _shell("Documentation", f"<h1>Documentation</h1><div class=\"toc\">{items}</div>")
 
 
+_TITLES = dict(_ORDER)
+
+
 def page_html(name: str) -> Optional[str]:
     """Rendered page, or None when the name is invalid or absent."""
     if not _NAME_RE.match(name):
@@ -234,5 +242,4 @@ def page_html(name: str) -> Optional[str]:
     path = DOCS_DIR / f"{name}.md"
     if not path.is_file():
         return None
-    titles = dict(list_pages())
-    return _shell(titles.get(name, name), render_markdown(path.read_text()))
+    return _shell(_TITLES.get(name, name), render_markdown(path.read_text()))
