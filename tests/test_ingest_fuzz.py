@@ -124,3 +124,45 @@ class TestRowCacheTagInvariant:
             row = cache.rows[rid]
             assert cache.data[row][0] == v0
             assert tuple(cache.tags[row]) == (tagv, tagv + 100)
+
+
+class TestWalCodecRoundTrip:
+    """The binary WAL codec is the storage wire format (CLAUDE.md
+    invariant: both engines stay replay-compatible) — every encodable
+    event must decode back identically."""
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        st.integers(0, 2**32 - 1),
+        st.integers(0, 2**63 - 1),
+        st.sampled_from(["text", "image", "audio"]),
+        st.text(max_size=24).filter(lambda s: s),
+        st.binary(max_size=64),
+        st.one_of(st.none(), st.lists(
+            st.floats(-1e6, 1e6, allow_nan=False, width=32), max_size=8)),
+        st.one_of(st.none(), st.text(max_size=16).filter(lambda s: s)),
+        st.binary(max_size=32),
+        st.one_of(st.none(), st.text(max_size=48)),
+    )
+    def test_upsert_roundtrip(self, tid, rid, mod, alg, fp, emb, model,
+                              meta, text):
+        from ucfp_tpu.index import wal as walmod
+
+        ev = {"op": "upsert", "tenant_id": tid, "record_id": rid,
+              "modality": mod, "algorithm": alg, "fingerprint": fp,
+              "format_version": 1, "config_hash": rid % (2**63),
+              "embedding": emb, "model_id": model, "metadata": meta,
+              "text": text}
+        back = walmod.decode_event(walmod.encode_event(ev))
+        for k in ("op", "tenant_id", "record_id", "modality", "algorithm",
+                  "fingerprint", "model_id", "metadata", "text"):
+            assert back[k] == ev[k], k
+        if emb is None:
+            assert back["embedding"] is None
+        else:
+            assert back["embedding"] == pytest.approx(emb, abs=1e-3)
+        # and the JSON engine round-trips the same event
+        j = walmod.JsonWal._from_json(
+            json.loads(json.dumps(walmod.JsonWal._to_json(ev)))
+        )
+        assert j["fingerprint"] == fp and j["metadata"] == meta
