@@ -1,6 +1,9 @@
 """Dashboard page: served at /, carries the reference chart component
 set (web/src/lib/components/charts/), structurally sound JS."""
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
 from ucfp_tpu.server.webui import PAGE
 
 from test_server import call, make_app
@@ -174,6 +177,35 @@ class TestDocsRouteCoverage:
         ))
         missing = [r for r in routes if norm(r) not in docs]
         assert not missing, f"routes not documented: {missing}"
+
+
+class TestDocsiteRendererFuzz:
+    """Property fuzz of the markdown renderer: for ANY input it must
+    not raise, must never emit a tag it did not generate itself (all
+    input HTML escaped), and must never leak a \\x00 placeholder."""
+
+    _OWN_TAGS = __import__("re").compile(
+        r"</?(?:p|ul|ol|li|h[1-4]|pre|code|strong|em|table|thead|tbody"
+        r"|tr|th|td|blockquote|hr)>|<a href=\"[^\"]*\">|</a>"
+    )
+
+    @given(st.text(alphabet="#*-|>`[]()\"'&<>\x00 .1abc\n", max_size=400))
+    @settings(max_examples=200, deadline=None)
+    def test_arbitrary_input_safe(self, md):
+        from ucfp_tpu.server.docsite import render_markdown
+
+        out = render_markdown(md)
+        assert "\x00" not in out
+        stripped = self._OWN_TAGS.sub("", out)
+        assert "<" not in stripped, stripped
+
+    def test_nul_placeholder_input_no_crash(self):
+        from ucfp_tpu.server.docsite import render_markdown
+
+        # regression: \x0099\x00 used to hit spans[99] -> IndexError
+        out = render_markdown("\x0099\x00 and `code` \x000\x00")
+        assert "<code>code</code>" in out
+        assert "\x00" not in out
 
 
 class TestDocsRenderWrappedBullets:

@@ -92,6 +92,9 @@ def _inline(text: str) -> str:
 
 def render_markdown(md: str) -> str:
     """Markdown → HTML for the subset the doc pages use."""
+    # NUL bytes collide with _inline's code-span placeholder scheme
+    # (\x00N\x00) and are never legitimate markdown
+    md = md.replace("\x00", "")
     out: list[str] = []
     lines = md.split("\n")
     i = 0
