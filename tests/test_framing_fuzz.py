@@ -139,3 +139,60 @@ def test_multipart_splitter_roundtrip(parts, cuts):
         return b"".join(out)
 
     assert asyncio.run(go()) == b"".join(parts)
+
+
+# -- malformed-input safety: garbage must fail CLEANLY, never hang ----------
+# (bounded scripted input guarantees termination; the property is that the
+# only exceptions escaping are the documented contract types)
+
+
+_FRAMINGISH = st.one_of(
+    st.binary(min_size=0, max_size=2048),
+    # biased toward bytes the framing state machines actually consume
+    st.text(alphabet="0123456789abcdefABCDEF;:=\r\n -BNDRY_x",
+            max_size=2048).map(lambda s: s.encode()),
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(garbage=_FRAMINGISH)
+def test_bodystream_chunked_garbage_fails_cleanly(garbage):
+    stream = BodyStream(_ScriptedReader(garbage), chunked=True)
+
+    async def go():
+        total = 0
+        while not stream.done:
+            d = await stream.read(512)
+            total += len(d)
+            if not d and stream.done:
+                break
+        return total
+
+    try:
+        asyncio.run(go())
+    except (ValueError, asyncio.IncompleteReadError):
+        pass  # the documented bad-framing / truncated-body outcomes
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    garbage=_FRAMINGISH,
+    cut=st.integers(1, 300),
+)
+def test_multipart_garbage_fails_cleanly(garbage, cut):
+    from ucfp_tpu.server.http import HttpError
+
+    frags = [garbage[i:i + cut] for i in range(0, len(garbage), cut)]
+
+    async def chunks():
+        for f in frags:
+            yield f
+
+    async def go():
+        async for _ in Handlers._multipart_chunks(chunks(), b"BNDRY"):
+            pass
+
+    try:
+        asyncio.run(go())
+    except HttpError as e:
+        assert e.status == 400  # bad_multipart is the only failure mode
