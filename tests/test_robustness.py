@@ -199,3 +199,52 @@ class TestMinhashProperty:
             est = textsig.minhash_similarity(sig1, sig2)
             # 128 slots -> stderr ~ sqrt(j(1-j)/128) <= 0.045
             assert abs(est - true_j) < 0.15
+
+
+class TestAdviceRegressions:
+    """Regression coverage for the round-2 advisor findings."""
+
+    def test_stale_bm25_hit_skipped_not_404(self, tmp_path):
+        """A record deleted between the BM25 scan and the metadata filter
+        pass is dropped from the results, not surfaced as RecordNotFound."""
+        b = EmbeddedBackend(str(tmp_path))
+
+        async def go():
+            await b.upsert([
+                Record(0, 1, Modality.TEXT, "minhash-h128", b"\x01",
+                       text="shared corpus words"),
+                Record(0, 2, Modality.TEXT, "simhash-b64-tf", b"\x02",
+                       text="shared corpus words"),
+            ])
+
+            class RacyIndex:
+                """Delegates to the real backend but deletes record 2
+                after BM25 returns, before the filter's metadata pass."""
+
+                def __getattr__(self, name):
+                    return getattr(b, name)
+
+                async def bm25(self, tenant_id, terms, k):
+                    hits = await b.bm25(tenant_id, terms, k)
+                    await b.delete(tenant_id, 2)
+                    return hits
+
+            m = Matcher(RacyIndex())
+            q = Query(tenant_id=0, modality=Modality.TEXT, k=10,
+                      terms=["corpus"],
+                      filter={"algorithm": "minhash-h128"})
+            return await m.search(q)
+
+        hits = run(go())
+        assert [h.record_id for h in hits] == [1]
+
+    def test_scope_prefix_anchored_to_segments(self):
+        from ucfp_tpu.server.auth import required_scope
+
+        assert required_scope("/v1/records/0/1") == "records"
+        assert required_scope("/v1/records") == "records"
+        # a sibling route sharing the string prefix must NOT inherit it
+        assert required_scope("/v1/recordsets/0") is None
+        assert required_scope("/v1/inputsfoo") is None
+        assert required_scope("/v1/inputs/0") == "ingest"
+        assert required_scope("/v1/ingest/text/0/1") == "ingest"

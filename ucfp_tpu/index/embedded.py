@@ -1115,10 +1115,12 @@ class EmbeddedBackend(IndexBackend):
             # does not cover the whole catalog (under a mesh each shard
             # keeps its own pool, so the aggregate only grows — this
             # marker stays conservative)
+            # the single-query sketch path always rides cosine_sketch_topk,
+            # never the fused partial-reduce — when the candidate pool
+            # covers every row the scan is exhaustive and exact
             return cache.n > knn_ops.sketch_candidates(
                 cache.data.shape[0], k
-            ) or (self._mesh is None
-                  and self._fused_pool_ok(cache.data.shape[0], cache.n, k))
+            )
         if self._mesh is not None:
             return False
         return self._fused_pool_ok(cache.data.shape[0], cache.n, k)
@@ -1158,15 +1160,22 @@ class EmbeddedBackend(IndexBackend):
 
             validate_filter(filter)  # bad shapes surface even on empty
             return []
-        flt_mask = (
-            self._vector_filter_mask(cache, filter)
-            if filter is not None else True
-        )
-        if flt_mask is None:
-            return []  # filter names a value no record carries
+        if filter is not None:
+            from .backend import validate_filter
+
+            validate_filter(filter)  # surface bad shapes on the caller path
 
         def work():
             with self._lock:
+                # filter mask computed under the SAME lock as the device
+                # snapshot: a concurrent capacity-doubling upsert would
+                # otherwise leave mask length != device valid length
+                flt_mask = (
+                    self._vector_filter_mask(cache, filter)
+                    if filter is not None else True
+                )
+                if flt_mask is None:
+                    return []  # filter names a value no record carries
                 dev = self._device_vec(cache)
                 if flt_mask is not True:
                     # AND the filter rows into the validity mask: every
@@ -1294,18 +1303,24 @@ class EmbeddedBackend(IndexBackend):
         cache = self._vec.get((tenant_id, dim))
         if cache is None or cache.n == 0:
             return [[] for _ in queries]
-        flt_mask = (
-            self._vector_filter_mask(cache, filter)
-            if filter is not None else True
-        )
-        if flt_mask is None:
-            return [[] for _ in queries]
+        if filter is not None:
+            from .backend import validate_filter
+
+            validate_filter(filter)
 
         def work():
             import jax
             import jax.numpy as jnp
 
             with self._lock:
+                # same-lock filter mask: see knn() — keeps mask length and
+                # tag reads consistent with the device cache snapshot
+                flt_mask = (
+                    self._vector_filter_mask(cache, filter)
+                    if filter is not None else True
+                )
+                if flt_mask is None:
+                    return [[] for _ in queries]
                 dev = self._device_vec(cache)
                 if flt_mask is not True:
                     dev = (*dev[:-1], dev[-1] & self._put_rowvec(flt_mask))

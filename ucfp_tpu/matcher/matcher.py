@@ -34,9 +34,18 @@ class Matcher:
             return hits
         alg = q.filter.get("algorithm")
         mid = q.filter.get("model_id")
+        from ..core import RecordNotFound
+
         kept = []
         for h in hits:
-            m = await self.index.get_record_metadata(q.tenant_id, h.record_id)
+            try:
+                m = await self.index.get_record_metadata(
+                    q.tenant_id, h.record_id
+                )
+            except RecordNotFound:
+                # record deleted between the BM25 scan and this filter
+                # pass: drop the stale hit rather than failing the query
+                continue
             if alg is not None and m.algorithm != alg:
                 continue
             if mid is not None and m.model_id != mid:

@@ -54,9 +54,13 @@ SCOPE_ROUTES: tuple[tuple[str, str], ...] = (
 
 def required_scope(path: str) -> Optional[str]:
     """The scope a protected route needs, or None for unscoped routes
-    (e.g. /v1/auth/whoami)."""
+    (e.g. /v1/auth/whoami). Prefixes match on path-segment boundaries —
+    a future /v1/recordsets must not silently inherit the records scope."""
     for prefix, scope in SCOPE_ROUTES:
-        if path.startswith(prefix):
+        if prefix.endswith("/"):
+            if path.startswith(prefix) or path == prefix[:-1]:
+                return scope
+        elif path == prefix or path.startswith(prefix + "/"):
             return scope
     return None
 
