@@ -226,7 +226,7 @@ class TestAdviceRegressions:
 
                 async def bm25(self, tenant_id, terms, k):
                     hits = await b.bm25(tenant_id, terms, k)
-                    await b.delete(tenant_id, 2)
+                    await b.delete(tenant_id, [2])
                     return hits
 
             m = Matcher(RacyIndex())
