@@ -99,8 +99,9 @@ class TestNativeWal:
 
 class TestWalFirstSemantics:
     def test_failed_wal_append_applies_nothing(self, tmp_path):
-        """WAL-first: if the durable append raises, no in-memory mutation
-        happens — queries never serve phantom records."""
+        """WAL-first at the append stage: if buffering the event fails
+        (encode error, closed log), no in-memory mutation happens —
+        queries never serve phantom records."""
         import asyncio
 
         from ucfp_tpu.core import Modality, Record
@@ -111,8 +112,14 @@ class TestWalFirstSemantics:
                                      embedding=[1.0, 0.0], text="kept")]))
 
         class FailingWal:
+            def append_buffered(self, events):
+                raise OSError("disk full")
+
             def append_events(self, events):
                 raise OSError("disk full")
+
+            async def wait_durable(self, seq):
+                pass
 
             def flush(self):
                 pass
@@ -134,6 +141,125 @@ class TestWalFirstSemantics:
         with pytest.raises(OSError):
             asyncio.run(b.delete(0, [1]))
         assert [h.record_id for h in asyncio.run(b.bm25(0, ["kept"], 5))] == [1]
+
+    def test_fsync_failure_surfaces_to_caller(self, tmp_path):
+        """A failed group fsync raises on the awaiting caller — the write
+        is never ack'd. (True durability loss needs a crash; in-process
+        the OS page cache keeps the bytes, so only the error contract is
+        testable here.)"""
+        import asyncio
+
+        from ucfp_tpu.core import Modality, Record
+        from ucfp_tpu.index.embedded import EmbeddedBackend
+
+        b = EmbeddedBackend(str(tmp_path / "db"))
+        inner = b._wal._inner
+
+        orig_flush = inner.flush
+        inner.flush = lambda: (_ for _ in ()).throw(OSError("fsync EIO"))
+        try:
+            with pytest.raises(OSError):
+                asyncio.run(b.upsert([
+                    Record(0, 9, Modality.TEXT, "a", b"\x09", text="lost")
+                ]))
+            # a follow-up durability wait also surfaces the failure
+            with pytest.raises(OSError):
+                asyncio.run(b.flush())
+        finally:
+            inner.flush = orig_flush
+        # once fsync recovers, the restored buffer drains and the log heals
+        asyncio.run(b.flush())
+        b.close()
+
+
+class TestGroupCommit:
+    def _wal(self, tmp_path, engine="json"):
+        inner = (walmod.JsonWal(str(tmp_path / "g.wal")) if engine == "json"
+                 else walmod.open_wal(str(tmp_path / "g.wal"), engine))
+        return walmod.GroupCommitWal(inner)
+
+    def _ev(self, rid):
+        return {"op": "upsert", "tenant_id": 0, "record_id": rid,
+                "modality": "text", "algorithm": "a", "config_hash": 0,
+                "format_version": 1, "fingerprint": bytes([rid % 251]),
+                "embedding": None, "model_id": None, "metadata": b"",
+                "text": None}
+
+    @pytest.mark.parametrize("engine", ["json", "native"])
+    def test_concurrent_appenders_all_durable(self, tmp_path, engine):
+        import threading
+
+        w = self._wal(tmp_path, engine)
+        n_threads, per = 8, 25
+        errs = []
+
+        def writer(base):
+            try:
+                for i in range(per):
+                    w.append_events([self._ev(base + i)])
+            except BaseException as e:  # noqa: BLE001
+                errs.append(e)
+
+        ts = [threading.Thread(target=writer, args=(t * 1000,))
+              for t in range(n_threads)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errs
+        w.close()
+        w2 = walmod.open_wal(str(tmp_path / "g.wal"), "auto")
+        rids = sorted(ev["record_id"] for ev in w2.replay())
+        assert rids == sorted(t * 1000 + i for t in range(n_threads)
+                              for i in range(per))
+        w2.close()
+
+    def test_async_wait_durable(self, tmp_path):
+        import asyncio
+
+        w = self._wal(tmp_path)
+
+        async def go():
+            seqs = [w.append_buffered([self._ev(i)]) for i in range(10)]
+            await asyncio.gather(*(w.wait_durable(s) for s in seqs))
+
+        asyncio.run(go())
+        w.close()
+        w2 = walmod.JsonWal(str(tmp_path / "g.wal"))
+        assert len(list(w2.replay())) == 10
+        w2.close()
+
+    def test_flush_covers_buffered(self, tmp_path):
+        w = self._wal(tmp_path)
+        w.append_buffered([self._ev(1), self._ev(2)])
+        w.flush()
+        # durable now even though nobody waited on the original ticket
+        w2 = walmod.JsonWal(str(tmp_path / "g.wal"))
+        assert [e["record_id"] for e in w2.replay()] == [1, 2]
+        w2.close()
+        w.close()
+
+    def test_rewrite_satisfies_buffered_waiters(self, tmp_path):
+        w = self._wal(tmp_path)
+        w.append_events([self._ev(1)])
+        seq = w.append_buffered([self._ev(2)])
+        # rewrite with a snapshot that already contains rid 2's effect
+        w.rewrite([self._ev(1), self._ev(2)])
+        w.sync_until(seq)  # must not hang: rewrite committed it
+        w.close()
+        w2 = walmod.JsonWal(str(tmp_path / "g.wal"))
+        assert sorted(e["record_id"] for e in w2.replay()) == [1, 2]
+        w2.close()
+
+    def test_encode_failure_fails_fast(self, tmp_path):
+        w = self._wal(tmp_path)
+        bad = self._ev(1)
+        bad["fingerprint"] = None  # not bytes: encode must fail
+        with pytest.raises(Exception):
+            w.append_buffered([bad])
+        # the log stays healthy for later appends
+        w.append_events([self._ev(5)])
+        w.close()
 
 
 class TestBackendIntegration:

@@ -402,8 +402,15 @@ class EmbeddedBackend(IndexBackend):
         # invariant lives in exactly one place
         if os.path.exists(self._wal_path) and os.path.getsize(self._wal_path) > 0:
             wal_engine = "auto"
-        self._wal = (JsonWal(self._wal_path) if wal_engine == "json"
-                     else open_wal(self._wal_path, wal_engine))
+        from .wal import GroupCommitWal
+
+        # group commit: concurrent requests' appends share one fsync —
+        # see GroupCommitWal. The event-dict protocol and on-disk format
+        # are unchanged; only durability scheduling moves.
+        self._wal = GroupCommitWal(
+            JsonWal(self._wal_path) if wal_engine == "json"
+            else open_wal(self._wal_path, wal_engine)
+        )
         self._replay()
         self._wal_floor = self._wal_size()
 
@@ -453,6 +460,7 @@ class EmbeddedBackend(IndexBackend):
         )
 
     def _wal_write(self, events: list[dict]) -> None:
+        """Synchronous append + durability (non-hot callers/tests)."""
         if self._wal is None:
             return
         self._wal.append_events(events)
@@ -909,31 +917,43 @@ class EmbeddedBackend(IndexBackend):
             )
 
     async def upsert(self, records: list[Record]) -> None:
-        def work():
+        def apply():
             for rec in records:
                 self._validate_record(rec)
             with self._lock:
-                # WAL first: if the durable append fails, nothing is
-                # applied — otherwise queries would serve phantom records
-                # that vanish on restart
-                self._wal_write([_record_event(r) for r in records])
+                # buffered WAL append and memory apply share ONE critical
+                # section, so replay order always equals apply order; the
+                # shared fsync happens after the lock drops (group commit)
+                ticket = (self._wal.append_buffered(
+                    [_record_event(r) for r in records]
+                ) if self._wal is not None else None)
                 for rec in records:
                     self._apply_upsert(rec, wal=False)
-            self.maybe_autocompact()
+            return ticket
 
-        await asyncio.to_thread(work)
+        ticket = await asyncio.to_thread(apply)
+        if ticket is not None:
+            # durability before ack; if the group fsync fails this raises
+            # (500) — the in-memory rows only outlive the error until the
+            # poisoned WAL stops the server, mirroring a lost-ack write
+            await self._wal.wait_durable(ticket)
+        self.maybe_autocompact()
 
     async def delete(self, tenant_id: int, record_ids: list[int]) -> None:
-        def work():
+        def apply():
             with self._lock:
-                self._wal_write(
-                    [{"op": "delete", "tenant_id": tenant_id, "record_ids": record_ids}]
-                )
+                ticket = (self._wal.append_buffered(
+                    [{"op": "delete", "tenant_id": tenant_id,
+                      "record_ids": record_ids}]
+                ) if self._wal is not None else None)
                 for rid in record_ids:
                     self._apply_delete(tenant_id, rid, wal=False)
-            self.maybe_autocompact()
+            return ticket
 
-        await asyncio.to_thread(work)
+        ticket = await asyncio.to_thread(apply)
+        if ticket is not None:
+            await self._wal.wait_durable(ticket)
+        self.maybe_autocompact()
 
     def _shardings(self):
         """(matrix, row-vector) NamedShardings, or (None, None) single-chip."""
@@ -1566,12 +1586,10 @@ class EmbeddedBackend(IndexBackend):
         return await asyncio.to_thread(work)
 
     async def flush(self) -> None:
-        def work():
-            with self._lock:
-                if self._wal is not None:
-                    self._wal.flush()
-
-        await asyncio.to_thread(work)
+        # GroupCommitWal serializes engine access internally, so no
+        # backend lock: a flush round must not stall writers
+        if self._wal is not None:
+            await self._wal.wait_durable(self._wal.append_buffered([]))
 
     async def get_record_metadata(
         self, tenant_id: int, record_id: int
