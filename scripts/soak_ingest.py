@@ -1,0 +1,238 @@
+"""End-to-end HTTP ingest soak: HTTP -> decode -> device batch hash ->
+WAL-durable store, measured as images/s.
+
+This measures the number VERDICT r2 asked for: not the bare hash kernel
+(bench.py's phash imgs/s) but the full serving path with durability —
+the reference amortizes one fsync per upsert txn
+(src/index/embedded/mod.rs:157-227); here concurrent requests share
+fsyncs via the group-commit WAL (ucfp_tpu/index/wal.py:GroupCommitWal).
+
+Usage:
+  python scripts/soak_ingest.py [--seconds 10] [--conns 32]
+      [--algorithm phash] [--native] [--cpu]
+
+Importable: run_soak(...) returns {"requests", "seconds", "req_per_sec",
+"errors"} and is what bench.py calls for ingest_http_imgs_per_sec.
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import io
+import os
+import sys
+import tempfile
+import time
+
+
+def _bmp_bytes(w: int = 64, h: int = 64) -> bytes:
+    """Small BMP test card (cheap decode: the soak measures the serving
+    path, not PNG inflate)."""
+    import numpy as np
+    from PIL import Image
+
+    x = np.linspace(0, 255, w, dtype=np.uint8)
+    y = np.linspace(0, 255, h, dtype=np.uint8)
+    img = np.stack(
+        [
+            np.tile(x, (h, 1)),
+            np.tile(y[:, None], (1, w)),
+            np.full((h, w), 128, np.uint8),
+        ],
+        axis=2,
+    )
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="BMP")
+    return buf.getvalue()
+
+
+def _batch_body(img: bytes, rids: list[int]) -> bytes:
+    import struct
+
+    out = bytearray()
+    for rid in rids:
+        out += struct.pack("<QI", rid, len(img))
+        out += img
+    return bytes(out)
+
+
+async def _client(host: str, port: int, token: str, body: bytes,
+                  algorithm: str, tenant: int, base_rid: int,
+                  stop_at: float, counts: dict, batch: int = 1) -> None:
+    reader, writer = await asyncio.open_connection(host, port)
+    rid = base_rid
+    try:
+        while time.perf_counter() < stop_at:
+            rid += batch
+            if batch > 1:
+                payload = _batch_body(body, list(range(rid - batch, rid)))
+                path = f"/v1/ingest/image/batch/{tenant}?algorithm={algorithm}"
+                ctype = "application/x-ucfp-image-batch"
+            else:
+                payload = body
+                path = f"/v1/ingest/image/{tenant}/{rid}?algorithm={algorithm}"
+                ctype = "image/bmp"
+            head = (
+                f"POST {path} HTTP/1.1\r\nhost: {host}\r\n"
+                f"authorization: Bearer {token}\r\n"
+                f"content-type: {ctype}\r\n"
+                f"content-length: {len(payload)}\r\n\r\n"
+            ).encode()
+            writer.write(head + payload)
+            await writer.drain()
+            # read one response (headers + content-length body)
+            hdr = await reader.readuntil(b"\r\n\r\n")
+            clen = 0
+            for line in hdr.split(b"\r\n"):
+                if line.lower().startswith(b"content-length:"):
+                    clen = int(line.split(b":", 1)[1])
+            if clen:
+                await reader.readexactly(clen)
+            status = int(hdr.split(b" ", 2)[1])
+            if status == 201:
+                counts["ok"] += batch
+            else:
+                counts["err"] += batch
+    except (asyncio.IncompleteReadError, ConnectionError):
+        counts["drop"] += 1
+    finally:
+        writer.close()
+        try:
+            await writer.wait_closed()
+        except Exception:
+            pass
+
+
+async def _soak(state, host: str, port: int, token: str, seconds: float,
+                conns: int, algorithm: str, native: bool,
+                batch: int = 1) -> dict:
+    from ucfp_tpu.server.app import build_server
+
+    server = build_server(state, timeout_secs=120.0)
+    if native:
+        from ucfp_tpu.server.nativehttp import NativeHttpBridge
+
+        bridge = NativeHttpBridge(server, host, port)
+        port = bridge.port
+        serve_task = asyncio.create_task(bridge.serve_forever())
+    else:
+        srv = await server.serve(host, port)
+        port = srv.sockets[0].getsockname()[1]
+        serve_task = asyncio.create_task(srv.serve_forever())
+    await asyncio.sleep(0.2)
+
+    body = _bmp_bytes()
+    # warm the device kernel path until it answers fast twice in a row
+    # (first jit compile must not pollute the measured window)
+    warm = dict(ok=0, err=0, drop=0)
+    for _ in range(20):
+        t = time.perf_counter()
+        await _client(host, port, token, body, algorithm, 0, 10_000_000,
+                      time.perf_counter() + 0.05, warm, batch)
+        if time.perf_counter() - t < 0.2 and warm["ok"] > 2:
+            break
+    counts = dict(ok=0, err=0, drop=0)
+    t0 = time.perf_counter()
+    stop_at = t0 + seconds
+    await asyncio.gather(*(
+        _client(host, port, token, body, algorithm, 0, (i + 1) * 10_000_000,
+                stop_at, counts, batch)
+        for i in range(conns)
+    ))
+    dt = time.perf_counter() - t0
+    serve_task.cancel()
+    try:
+        await serve_task
+    except (asyncio.CancelledError, Exception):
+        pass
+    return {
+        "requests": counts["ok"],  # = images ingested (batch-weighted)
+        "errors": counts["err"] + counts["drop"],
+        "seconds": round(dt, 3),
+        "req_per_sec": round(counts["ok"] / dt, 1),
+        "batch": batch,
+    }
+
+
+def run_soak(seconds: float = 10.0, conns: int = 32,
+             algorithm: str = "phash", native: bool = False,
+             data_dir: str | None = None, batch: int = 1) -> dict:
+    """In-process soak; returns the measured dict."""
+    from ucfp_tpu.index.embedded import EmbeddedBackend
+    from ucfp_tpu.server.app import ServerState
+    from ucfp_tpu.server.auth import StaticSingleKey
+    from ucfp_tpu.server.inputs_cache import InputsCache
+    from ucfp_tpu.server.ratelimit import NoopRateLimiter
+    from ucfp_tpu.server.usage import NoopUsageSink
+
+    d = data_dir or tempfile.mkdtemp(prefix="ucfp-soak-")
+    token = "soak-token"
+    state = ServerState(
+        index=EmbeddedBackend(d),
+        api_keys=StaticSingleKey(token),
+        rate_limit=NoopRateLimiter(),
+        usage=NoopUsageSink(),
+        inputs=InputsCache(),
+    )
+    try:
+        return asyncio.run(
+            _soak(state, "127.0.0.1", 0, token, seconds, conns, algorithm,
+                  native, batch)
+        )
+    finally:
+        state.index.close()
+
+
+async def _client_only(connect: str, token: str, seconds: float, conns: int,
+                       algorithm: str) -> dict:
+    host, _, port = connect.rpartition(":")
+    body = _bmp_bytes()
+    counts = dict(ok=0, err=0, drop=0)
+    t0 = time.perf_counter()
+    await asyncio.gather(*(
+        _client(host, int(port), token, body, algorithm, 0,
+                (os.getpid() * 100 + i + 1) * 10_000_000, t0 + seconds, counts)
+        for i in range(conns)
+    ))
+    dt = time.perf_counter() - t0
+    return {"requests": counts["ok"], "errors": counts["err"] + counts["drop"],
+            "seconds": round(dt, 3), "req_per_sec": round(counts["ok"] / dt, 1)}
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--seconds", type=float, default=10.0)
+    p.add_argument("--conns", type=int, default=32)
+    p.add_argument("--algorithm", default="phash")
+    p.add_argument("--native", action="store_true")
+    p.add_argument("--batch", type=int, default=1,
+                   help="images per request via the batch route")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (leave the chip alone)")
+    p.add_argument("--connect", default=None,
+                   help="client-only mode: hammer an already-running "
+                        "server at host:port (token via UCFP_TOKEN)")
+    args = p.parse_args()
+    import json
+
+    if args.connect:
+        out = asyncio.run(_client_only(
+            args.connect, os.environ.get("UCFP_TOKEN", "soak-token"),
+            args.seconds, args.conns, args.algorithm))
+        json.dump(out, sys.stdout)
+        print()
+        return
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    out = run_soak(args.seconds, args.conns, args.algorithm, args.native,
+                   batch=args.batch)
+    json.dump(out, sys.stdout)
+    print()
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    main()

@@ -337,6 +337,71 @@ class TestIngestImage:
         assert resp.status == 400
 
 
+class TestIngestImageBatch:
+    """Batched image ingest: one device batch + one WAL commit."""
+
+    @staticmethod
+    def _frames(pairs):
+        import struct
+
+        out = bytearray()
+        for rid, img in pairs:
+            out += struct.pack("<QI", rid, len(img))
+            out += img
+        return bytes(out)
+
+    def test_batch_matches_single_route(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        imgs = [(10, synthetic_png(64, 64)), (11, synthetic_png(32, 32)),
+                (12, synthetic_png(64, 64))]
+        body = jbody(call(app, "POST", "/v1/ingest/image/batch/0",
+                          self._frames(imgs), query="algorithm=phash"))
+        assert body["count"] == 3
+        by_rid = {r["record_id"]: r for r in body["records"]}
+        for rid, img in imgs:
+            single = jbody(call(app, "POST", f"/v1/ingest/image/0/{100 + rid}",
+                                img, query="algorithm=phash"))
+            assert by_rid[rid]["fingerprint_hex"] == single["fingerprint_hex"]
+
+    def test_batch_multi_and_describe(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        body = jbody(call(app, "POST", "/v1/ingest/image/batch/0",
+                          self._frames([(1, synthetic_png(64, 64))])))
+        assert body["algorithm"] == "imgfprint-multi-v1"
+        assert body["records"][0]["fingerprint_bytes"] == 536
+        # stored durably: describe finds it
+        meta = jbody(call(app, "GET", "/v1/records/0/1"))
+        assert meta["algorithm"] == "imgfprint-multi-v1"
+
+    def test_truncated_frame_400(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        good = self._frames([(1, synthetic_png(32, 32))])
+        assert call(app, "POST", "/v1/ingest/image/batch/0",
+                    good[:-5], query="algorithm=phash").status == 400
+        assert call(app, "POST", "/v1/ingest/image/batch/0",
+                    good[:6], query="algorithm=phash").status == 400
+        assert call(app, "POST", "/v1/ingest/image/batch/0",
+                    b"", query="algorithm=phash").status == 400
+
+    def test_semantic_not_batched_400(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        resp = call(app, "POST", "/v1/ingest/image/batch/0",
+                    self._frames([(1, synthetic_png(32, 32))]),
+                    query="algorithm=semantic")
+        assert resp.status == 400
+
+    def test_tenant_guard_403(self, tmp_path):
+        class TenantOneKey(ApiKeyLookup):
+            async def lookup(self, token):
+                return (ApiKeyContext(tenant_id=1, key_id="k1")
+                        if token == TOKEN else None)
+
+        app, _ = make_app(tmp_path, api_keys=TenantOneKey())
+        resp = call(app, "POST", "/v1/ingest/image/batch/2",
+                    self._frames([(1, synthetic_png(32, 32))]))
+        assert resp.status == 403
+
+
 class TestIngestAudio:
     def test_wang(self, tmp_path):
         app, _ = make_app(tmp_path)

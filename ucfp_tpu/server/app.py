@@ -114,6 +114,10 @@ def build_server(
         "POST", "/v1/ingest/text/{tenant_id}/{record_id}/stream",
         h.ingest_text_stream, streaming=True,
     )
+    # batched image ingest (TPU-first extension: one device batch + one
+    # WAL group commit for up to 1024 images). Registered BEFORE the
+    # per-record route so "batch" is not captured as a tenant id.
+    r.add("POST", "/v1/ingest/image/batch/{tenant_id}", h.ingest_image_batch)
     r.add("POST", "/v1/ingest/image/{tenant_id}/{record_id}", h.ingest_image)
     r.add("POST", "/v1/ingest/image/{tenant_id}/{record_id}/semantic",
           h.ingest_image_semantic)

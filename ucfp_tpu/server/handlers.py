@@ -926,6 +926,99 @@ class Handlers:
         await self.index.upsert([rec])
         return _ingest_response(rec, req.qp_bool("return_embedding"))
 
+    async def ingest_image_batch(self, req: Request) -> Response:
+        """Many images, one request, one device batch, one WAL commit —
+        the TPU-first ingest seam (SURVEY §7: cross-request batching is
+        the biggest architectural change vs the reference's
+        request-at-a-time model; extension route, no reference analog).
+
+        Body framing: repeated [u64 LE record_id][u32 LE length][bytes].
+        Query: ?algorithm=multi|phash|dhash|ahash (+ preprocess knobs).
+        Response: {count, algorithm, records: [{record_id,
+        fingerprint_hex, fingerprint_bytes}]}.
+        """
+        import asyncio
+        import struct
+
+        tid = int(req.params["tenant_id"])
+        tenant_guard(_ctx(req), tid)
+        algorithm = req.query.get("algorithm", "multi")
+        _algo_gate(algorithm)
+        if algorithm not in ("multi", "phash", "dhash", "ahash"):
+            raise HttpError(
+                400, "bad_algorithm",
+                f"batch ingest supports perceptual hashes, not {algorithm!r}",
+            )
+        pre = self._image_pre(req)
+        raw = req.body
+        frames: list[tuple[int, bytes]] = []
+        off = 0
+        while off < len(raw):
+            if off + 12 > len(raw):
+                raise HttpError(400, "bad_body", "truncated batch frame header")
+            rid, ln = struct.unpack_from("<QI", raw, off)
+            off += 12
+            if off + ln > len(raw):
+                raise HttpError(400, "bad_body", "truncated batch frame body")
+            frames.append((rid, raw[off:off + ln]))
+            off += ln
+        if not frames:
+            raise HttpError(400, "bad_body", "empty batch")
+        if len(frames) > 1024:
+            raise HttpError(400, "bad_body", "batch exceeds 1024 images")
+        algo_tag = (imod.ALGORITHM_MULTI if algorithm == "multi"
+                    else imod._SINGLE_ALGOS[algorithm])
+
+        def work():
+            from ..ops import imagehash
+
+            rgbs = [imod.decode_rgb(b, pre) for _, b in frames]
+            groups: dict[tuple[int, int], list[int]] = {}
+            for i, rgb in enumerate(rgbs):
+                groups.setdefault(rgb.shape[:2], []).append(i)
+            fps: list[bytes] = [b""] * len(frames)
+            for (h, w), idxs in groups.items():
+                batch = np.stack([rgbs[i] for i in idxs])
+                if algorithm == "multi":
+                    out = imod.jax_device_get(
+                        imagehash.multihash_kernel(batch, h, w))
+                    for j, i in enumerate(idxs):
+                        fps[i] = imagehash.serialize_multihash(out, j)
+                else:
+                    out = imod.jax_device_get(
+                        imagehash.single_hash_kernel(batch, h, w, algorithm))
+                    for j, i in enumerate(idxs):
+                        fps[i] = bytes(out[j])
+            return fps
+
+        try:
+            fps = await asyncio.to_thread(work)
+        except UcfpError as e:
+            raise _err(e)
+        cfg = pre.config_hash()
+        recs = [
+            Record(tenant_id=tid, record_id=rid, modality=Modality.IMAGE,
+                   algorithm=algo_tag, fingerprint=fp, config_hash=cfg)
+            for (rid, _), fp in zip(frames, fps)
+        ]
+        _tag_usage(req, "image", algo_tag)
+        await self.index.upsert(recs)
+        return Response.json(
+            {
+                "count": len(recs),
+                "algorithm": algo_tag,
+                "records": [
+                    {
+                        "record_id": r.record_id,
+                        "fingerprint_hex": r.fingerprint.hex(),
+                        "fingerprint_bytes": len(r.fingerprint),
+                    }
+                    for r in recs
+                ],
+            },
+            status=201,
+        )
+
     # -- ingest: audio ---------------------------------------------------------------
 
     async def ingest_audio(self, req: Request) -> Response:
