@@ -8,6 +8,7 @@ from .errors import (
     IngestError,
     IoError,
     ModalityError,
+    ProviderError,
     RecordNotFound,
     RerankError,
     UcfpError,
@@ -35,6 +36,7 @@ __all__ = [
     "TermHit",
     "UcfpError",
     "ModalityError",
+    "ProviderError",
     "IncompatibleError",
     "IndexError_",
     "IngestError",

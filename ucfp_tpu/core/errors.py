@@ -73,6 +73,16 @@ class ForbiddenError(UcfpError):
     code = "forbidden"
 
 
+class ProviderError(UcfpError):
+    """A remote embedding provider (OpenAI/Voyage/Cohere) failed or
+    answered garbage — surfaced as 502 Bad Gateway (extension variant:
+    the reference folds provider failures into Modality/400 because its
+    SDK stringifies them; a gateway failure is not a client error)."""
+
+    http_status = 502
+    code = "provider"
+
+
 ALL_ERRORS = [
     ModalityError,
     IncompatibleError,
@@ -83,4 +93,5 @@ ALL_ERRORS = [
     RecordNotFound,
     UnsupportedError,
     ForbiddenError,
+    ProviderError,
 ]

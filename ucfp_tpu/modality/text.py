@@ -381,6 +381,13 @@ def _local_embed(canon: str) -> tuple[np.ndarray, str]:
         raise ModalityError(str(e))
 
 
+_PROVIDER_ALGOS = {
+    "openai": ALGORITHM_SEMANTIC_OPENAI,
+    "voyage": ALGORITHM_SEMANTIC_VOYAGE,
+    "cohere": ALGORITHM_SEMANTIC_COHERE,
+}
+
+
 def fingerprint_semantic(
     text: str,
     tenant_id: int,
@@ -388,18 +395,29 @@ def fingerprint_semantic(
     provider: str = "local",
     opts: TextOpts | None = None,
     provider_key: str | None = None,
+    model: str | None = None,
 ) -> Record:
-    """Semantic embedding record: embedding slot + f32-LE fingerprint bytes."""
+    """Semantic embedding record: embedding slot + f32-LE fingerprint
+    bytes. provider "local" runs the on-host encoder; openai / voyage /
+    cohere call the hosted embedding APIs with the caller's key
+    (reference: text.rs:500-606 — model_id/api_key required per arm,
+    handlers.rs:440-510), wire codecs in modality/providers.py."""
     opts = opts or TextOpts()
     canon = _prepare(text, opts)
     if provider == "local":
         emb, model_id = _local_embed(canon)
         algorithm = ALGORITHM_SEMANTIC_LOCAL
-    elif provider in ("openai", "voyage", "cohere"):
-        raise UnsupportedError(
-            f"semantic provider {provider!r} requires network egress, "
-            "disabled in this build"
-        )
+    elif provider in _PROVIDER_ALGOS:
+        from . import providers as prov
+
+        if not provider_key:
+            raise ModalityError(
+                f"semantic-{provider} requires `api_key` "
+                "(X-Provider-Key header or api_key param)"
+            )
+        want = model or prov.DEFAULT_MODEL[provider]
+        emb, model_id = prov.embed(provider, canon, want, provider_key)
+        algorithm = _PROVIDER_ALGOS[provider]
     else:
         raise ModalityError(f"unknown semantic provider {provider!r}")
     return Record(

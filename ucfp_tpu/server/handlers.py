@@ -767,10 +767,11 @@ class Handlers:
                 # our extension (keys in URLs leak into logs)
                 pkey = (req.headers.get("x-provider-key")
                         or req.query.get("api_key"))
+                model = req.query.get("model_id")
                 rec = await asyncio.to_thread(
                     lambda: tmod.fingerprint_semantic(
                         text, tid, rid, provider=provider, opts=opts,
-                        provider_key=pkey,
+                        provider_key=pkey, model=model,
                     )
                 )
             else:
