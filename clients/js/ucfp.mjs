@@ -99,14 +99,14 @@ export class UcfpClient {
     this.retry = { attempts: 3, base: 250, ...(opts.retry ?? {}) };
   }
 
-  async #request(method, path, { params, body, json, recordId } = {}) {
+  async #request(method, path, { params, body, json, recordId, extraHeaders } = {}) {
     const url = new URL(this.baseUrl + path);
     if (params) {
       for (const [k, v] of Object.entries(params)) {
         if (v !== undefined && v !== null) url.searchParams.set(k, String(v));
       }
     }
-    const headers = {};
+    const headers = { ...(extraHeaders || {}) };
     if (this.apiKey) headers.authorization = `Bearer ${this.apiKey}`;
     let payload = body;
     if (json !== undefined) {
@@ -232,9 +232,12 @@ export class UcfpClient {
     return fingerprintOf(out);
   }
 
-  /** Watermark detection — no record persisted. */
+  /** Watermark detection — no record persisted. `opts.key` is the
+   *  per-tenant embedding secret (sent as X-Watermark-Key, never in
+   *  the URL). */
   async audioWatermark(samples, opts) {
     if (!opts?.sampleRate) throw new Error('sampleRate is required');
+    if (!opts?.key) throw new Error('key is required (per-tenant watermark secret)');
     const tid = opts.tenantId ?? this.tenantId;
     const rid = newRecordId();
     const params = new URLSearchParams({ sample_rate: String(opts.sampleRate) });
@@ -243,7 +246,8 @@ export class UcfpClient {
       ? new Uint8Array(samples.buffer, samples.byteOffset, samples.byteLength)
       : samples;
     const out = await this.#request('POST',
-      `/v1/ingest/audio/${tid}/${rid}/watermark?${params}`, { body });
+      `/v1/ingest/audio/${tid}/${rid}/watermark?${params}`,
+      { body, extraHeaders: { 'x-watermark-key': opts.key } });
     return { detected: out.detected, payload: out.payload, confidence: out.confidence };
   }
 

@@ -263,17 +263,22 @@ class Ucfp:
         self,
         audio: c.AudioSource,
         *,
+        key: str,
         sample_rate: Optional[int] = None,
         threshold: Optional[float] = None,
         tenant_id: Optional[int] = None,
     ) -> WatermarkReport:
+        """Detect a spread-spectrum watermark. `key` is the per-tenant
+        secret the mark was embedded with — sent as the X-Watermark-Key
+        header, never in the URL."""
         tid = self.tenant_id if tenant_id is None else tenant_id
         tunables = {"threshold": threshold} if threshold is not None else None
         path, params, body = c.audio_request(
             tid, None, audio, "watermark",
             sample_rate=sample_rate, tunables=tunables,
         )
-        out = self._request("POST", path, params=params, content=body)
+        out = self._request("POST", path, params=params, content=body,
+                            headers={"x-watermark-key": key})
         return _parse_watermark(out)
 
     def audio_stream(

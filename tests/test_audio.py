@@ -271,21 +271,41 @@ class TestNeural:
 
 
 class TestWatermark:
+    CFG = amod.WatermarkConfig(key="tenant-7-secret")
+
     def test_embed_detect_roundtrip(self):
         x = sine(secs=5.0)
-        marked = amod.embed_watermark(x, 8000, payload=0xBEEF)
-        rep = amod.detect_watermark(marked, 8000)
+        marked = amod.embed_watermark(x, 8000, payload=0xBEEF, cfg=self.CFG)
+        rep = amod.detect_watermark(marked, 8000, self.CFG)
         assert rep.detected
         assert rep.payload == 0xBEEF
         assert rep.confidence > 0.5
 
+    def test_wrong_key_not_detected(self):
+        """The PN key is the secret: detection with any other key sees
+        only noise — the mark cannot be read, stripped, or forged
+        without it."""
+        x = sine(secs=5.0)
+        marked = amod.embed_watermark(x, 8000, payload=0xBEEF, cfg=self.CFG)
+        rep = amod.detect_watermark(
+            marked, 8000, amod.WatermarkConfig(key="other-tenant")
+        )
+        assert not rep.detected
+        assert rep.payload is None
+
+    def test_empty_key_rejected(self):
+        with pytest.raises(ModalityError):
+            amod.detect_watermark(
+                sine(secs=5.0), 8000, amod.WatermarkConfig(key="")
+            )
+
     def test_unmarked_not_detected(self):
-        rep = amod.detect_watermark(sine(secs=5.0), 8000)
+        rep = amod.detect_watermark(sine(secs=5.0), 8000, self.CFG)
         assert not rep.detected
         assert rep.payload is None
 
     def test_short_input(self):
-        rep = amod.detect_watermark(sine(secs=0.1), 8000)
+        rep = amod.detect_watermark(sine(secs=0.1), 8000, self.CFG)
         assert not rep.detected and rep.confidence == 0.0
 
 

@@ -250,7 +250,8 @@ class TestAudio:
     def test_watermark_report(self, client):
         t = np.arange(8000) / 8000.0
         x = (0.5 * np.sin(2 * np.pi * 440 * t)).astype("<f4")
-        rep = client.audio_watermark(x.tobytes(), sample_rate=8000, tenant_id=7)
+        rep = client.audio_watermark(x.tobytes(), key="tenant-7-wm-secret",
+                                     sample_rate=8000, tenant_id=7)
         assert isinstance(rep.detected, bool)
         assert 0.0 <= rep.confidence <= 1.0
 

@@ -137,3 +137,64 @@ class TestModelIdGuardWithLocalWeights:
             imod.fingerprint_semantic(
                 synthetic_png(64, 64), 0, 1, model_id="clip-vit-b32"
             )
+
+
+@pytest.fixture()
+def tiny_audio_model(tmp_path):
+    from transformers import Wav2Vec2Config, Wav2Vec2FeatureExtractor, Wav2Vec2Model
+
+    d = tmp_path / "models" / "audio"
+    d.mkdir(parents=True)
+    import torch
+
+    torch.manual_seed(0)
+    cfg = Wav2Vec2Config(
+        hidden_size=32, num_hidden_layers=1, num_attention_heads=2,
+        intermediate_size=64, conv_dim=(16, 16), conv_stride=(5, 2),
+        conv_kernel=(10, 3), num_feat_extract_layers=2,
+        num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+    )
+    Wav2Vec2Model(cfg).save_pretrained(d)
+    Wav2Vec2FeatureExtractor(sampling_rate=16000).save_pretrained(d)
+    return tmp_path / "models"
+
+
+class TestAudioLocalModel:
+    def test_fingerprint_neural_uses_local_weights(
+        self, tiny_audio_model, monkeypatch
+    ):
+        import numpy as np
+
+        monkeypatch.setenv("UCFP_MODEL_DIR", str(tiny_audio_model))
+        from ucfp_tpu.modality import audio as amod
+
+        t = np.arange(3 * 8000) / 8000.0
+        x = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+        rec = amod.fingerprint_neural(x, 8000, 0, 1)
+        # real model id, not the stand-in tag
+        assert rec.model_id != amod.NEURAL_MODEL_ID
+        emb = np.asarray(rec.embedding, np.float32)
+        assert emb.shape == (32,)  # the tiny model's hidden size
+        np.testing.assert_allclose(np.linalg.norm(emb), 1.0, rtol=1e-4)
+        # multiple windows packed into the fingerprint (3 s at 2 s win /
+        # 1 s hop after resample to 16 kHz -> 2 windows)
+        assert len(rec.fingerprint) == 2 * 32 * 4
+        # config_hash must differ from the stand-in's (refuses compares)
+        rec_sa = None
+        monkeypatch.delenv("UCFP_MODEL_DIR")
+        hf_local.reset_cache()
+        rec_sa = amod.fingerprint_neural(x, 8000, 0, 2)
+        assert rec_sa.config_hash != rec.config_hash
+        assert rec_sa.model_id == amod.NEURAL_MODEL_ID
+
+    def test_deterministic(self, tiny_audio_model, monkeypatch):
+        import numpy as np
+
+        monkeypatch.setenv("UCFP_MODEL_DIR", str(tiny_audio_model))
+        from ucfp_tpu.modality import audio as amod
+
+        t = np.arange(2 * 8000) / 8000.0
+        x = (0.4 * np.sin(2 * np.pi * 700 * t)).astype(np.float32)
+        r1 = amod.fingerprint_neural(x, 8000, 0, 1)
+        r2 = amod.fingerprint_neural(x, 8000, 0, 2)
+        assert r1.fingerprint == r2.fingerprint

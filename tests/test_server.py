@@ -273,12 +273,15 @@ class TestIngestText:
                           query="algorithm=semantic&return_embedding=1"))
         assert body["has_embedding"] and len(body["embedding"]) == 384
 
-    def test_semantic_external_gated_501(self, tmp_path):
+    def test_semantic_external_requires_key_400(self, tmp_path):
+        # remote providers are implemented (tests/test_providers.py runs
+        # them against stub servers); without a key the request is a
+        # client error, not a 501 stub
         app, _ = make_app(tmp_path)
         resp = call(app, "POST", "/v1/ingest/text/0/4", b"text",
                     query="algorithm=semantic&provider=openai")
-        assert resp.status == 501
-        assert jbody(resp)["error"] == "unsupported"
+        assert resp.status == 400
+        assert jbody(resp)["error"] == "modality"
 
     def test_tunables_validated_against_manifest(self, tmp_path):
         app, _ = make_app(tmp_path)
@@ -431,8 +434,15 @@ class TestIngestAudio:
     def test_watermark_report(self, tmp_path):
         app, _ = make_app(tmp_path)
         body = jbody(call(app, "POST", "/v1/ingest/audio/0/5", sine_bytes(secs=5.0),
-                          query="sample_rate=8000&algorithm=watermark"))
+                          query="sample_rate=8000&algorithm=watermark",
+                          headers={"x-watermark-key": "tenant-secret"}))
         assert body["detected"] is False and "confidence" in body
+
+    def test_watermark_requires_key(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        resp = call(app, "POST", "/v1/ingest/audio/0/5", sine_bytes(secs=5.0),
+                    query="sample_rate=8000&algorithm=watermark")
+        assert resp.status == 400
 
     def test_stream_segments(self, tmp_path):
         app, _ = make_app(tmp_path)

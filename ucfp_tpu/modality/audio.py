@@ -230,25 +230,40 @@ def fingerprint_neural(
     samples: np.ndarray, sample_rate: int, tenant_id: int, record_id: int
 ) -> Record:
     """Per-window embeddings packed into the fingerprint; the first window
-    is lifted to the embedding slot (audio.rs:268-321)."""
+    is lifted to the embedding slot (audio.rs:268-321).
+
+    With UCFP_MODEL_DIR/audio mounted, a real HF waveform encoder
+    (wav2vec2/HuBERT/AST class) replaces the seeded stand-in — records
+    then carry the real model_id and a config_hash bound to it, exactly
+    like the text/image local-weights paths."""
     x = _check_input(samples, sample_rate)
-    emb = _neural_embed_windows(x, sample_rate)
-    return Record(
-        tenant_id=tenant_id,
-        record_id=record_id,
-        modality=Modality.AUDIO,
-        algorithm=ALGORITHM_NEURAL,
-        fingerprint=emb.astype("<f4").tobytes(),
-        embedding=[float(v) for v in emb[0]],
-        model_id=NEURAL_MODEL_ID,
-        config_hash=config_hash64(
+    from ..models import hf_local
+
+    if hf_local.available("audio"):
+        emb, model_id = hf_local.audio_embed(x, sample_rate)
+        cfg = config_hash64(
+            ALGORITHM_NEURAL, model_id=model_id, dim=int(emb.shape[1]),
+            win_secs=2.0, hop_secs=1.0, sample_rate=sample_rate,
+        )
+    else:
+        emb, model_id = _neural_embed_windows(x, sample_rate), NEURAL_MODEL_ID
+        cfg = config_hash64(
             ALGORITHM_NEURAL, model_id=NEURAL_MODEL_ID, dim=NEURAL_DIM,
             win=_NEURAL_WIN, hop=_NEURAL_HOP, mels=_NEURAL_MELS,
             # the mel bank spans 0..sr/2 and frames last hop/sr seconds,
             # so embeddings from different rates are NOT comparable —
             # the config hash must refuse the comparison
             sample_rate=sample_rate,
-        ),
+        )
+    return Record(
+        tenant_id=tenant_id,
+        record_id=record_id,
+        modality=Modality.AUDIO,
+        algorithm=ALGORITHM_NEURAL,
+        fingerprint=np.asarray(emb).astype("<f4").tobytes(),
+        embedding=[float(v) for v in emb[0]],
+        model_id=model_id,
+        config_hash=cfg,
     )
 
 
@@ -259,8 +274,21 @@ def fingerprint_neural(
 
 @dataclass(frozen=True)
 class WatermarkConfig:
+    """key is the REQUIRED per-tenant secret: the PN sequence is seeded
+    from BLAKE2b(key), so embedding, detection, stripping, and forging
+    all require knowing it.
+
+    Threat model: this spread-spectrum pair resists a *keyless*
+    adversary — without the key the mark is (empirically) inaudible
+    pseudo-noise at -26 dB that cannot be detected, removed without
+    audible damage, or forged. It does NOT resist a key-holder (who can
+    do all three) or an adversary who can difference the original and
+    marked audio. The reference wraps AudioSeal (audio.rs:333-400),
+    whose learned detector additionally survives re-encoding; this is
+    the honest classical stand-in with the same report shape."""
+
+    key: str  # per-tenant secret; never logged, never stored in records
     threshold: float = 0.5  # detection threshold (dto.rs:320-323)
-    seed: int = 0x5EED
     # 0.05 keeps the per-chip matched-filter SNR ~6x above typical host
     # audio leakage (host dot-product sigma ~ amp*sqrt(chip_len))
     strength: float = 0.05
@@ -278,19 +306,24 @@ class WatermarkReport:
 
 
 def _pn_sequence(cfg: WatermarkConfig, n: int) -> np.ndarray:
-    rng = np.random.default_rng(cfg.seed)
+    import hashlib
+
+    if not cfg.key:
+        raise ModalityError("watermark requires a non-empty key")
+    digest = hashlib.blake2b(cfg.key.encode(), digest_size=32).digest()
+    rng = np.random.default_rng(list(digest))
     return rng.choice(np.array([-1.0, 1.0], np.float32), size=n)
 
 
 def embed_watermark(
     samples: np.ndarray, sample_rate: int, payload: int,
-    cfg: WatermarkConfig | None = None,
+    cfg: WatermarkConfig,
 ) -> np.ndarray:
     """ucfp-native spread-spectrum watermark: each payload bit modulates a
-    PN chip sequence added at `strength` amplitude. The companion of
-    detect_watermark — a self-consistent pair standing in for the
-    reference's AudioSeal model (which cannot be reproduced offline)."""
-    cfg = cfg or WatermarkConfig()
+    keyed PN chip sequence added at `strength` amplitude. The companion
+    of detect_watermark — a self-consistent pair standing in for the
+    reference's AudioSeal model (which cannot be reproduced offline).
+    See WatermarkConfig for the key requirement and threat model."""
     if not (0 <= payload < (1 << cfg.payload_bits)):
         raise ModalityError(
             f"payload must fit {cfg.payload_bits} bits, got {payload:#x}"
@@ -310,10 +343,11 @@ def embed_watermark(
 
 
 def detect_watermark(
-    samples: np.ndarray, sample_rate: int, cfg: WatermarkConfig | None = None
+    samples: np.ndarray, sample_rate: int, cfg: WatermarkConfig
 ) -> WatermarkReport:
-    """Correlation detector; confidence = mean |normalized correlation|."""
-    cfg = cfg or WatermarkConfig()
+    """Correlation detector; confidence = mean |normalized correlation|.
+    Detection REQUIRES the embedding key (cfg.key) — the wrong key
+    correlates to noise and reports not-detected."""
     x = _check_input(samples, sample_rate)
     need = cfg.payload_bits * cfg.chip_len
     if len(x) < need:

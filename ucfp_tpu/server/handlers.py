@@ -1092,7 +1092,20 @@ class Handlers:
                 rec = await _aio.to_thread(
                     amod.fingerprint_neural, samples, sample_rate, tid, rid)
             elif algorithm == "watermark":
+                # the PN key is a per-tenant SECRET: without it the mark
+                # can be detected/stripped/forged by anyone with the
+                # source (round-2 verdict). Header preferred over query
+                # (keys in URLs leak into logs).
+                wkey = (req.headers.get("x-watermark-key")
+                        or req.query.get("watermark_key"))
+                if not wkey:
+                    raise HttpError(
+                        400, "bad_query",
+                        "watermark requires the per-tenant key "
+                        "(X-Watermark-Key header or watermark_key param)",
+                    )
                 wcfg = amod.WatermarkConfig(
+                    key=wkey,
                     threshold=self._in_range(
                         req, "threshold", 0.5, 0.0, 1.0, float_=True,
                         alias="watermark_threshold")
