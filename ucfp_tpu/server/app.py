@@ -425,15 +425,56 @@ async def run(bind: str, state: ServerState, native_http: bool | None = None) ->
         start_background_warmup()
     if native_http is None:
         native_http = os.environ.get("UCFP_HTTP", "").lower() == "native"
+
+    # SIGTERM/SIGINT graceful drain (docker stop contract; reference
+    # bin/ucfp.rs:279-284): stop accepting, finish in-flight requests
+    # inside UCFP_DRAIN_SECS, close the index (WAL flushed) — exit 0.
+    import signal
+
+    stop = asyncio.Event()
+    loop = asyncio.get_running_loop()
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            loop.add_signal_handler(sig, stop.set)
+        except (NotImplementedError, RuntimeError):  # pragma: no cover
+            pass
+    drain_secs = float(os.environ.get("UCFP_DRAIN_SECS", "10"))
+    from .logging import logger
+
     if native_http:
         from .nativehttp import NativeHttpBridge
 
         bridge = NativeHttpBridge(server, host, int(port))
-        from .logging import logger
-
         logger().info("serving", front="native-epoll", port=bridge.port)
-        await bridge.serve_forever()
-        return
-    srv = await server.serve(host, int(port))
-    async with srv:
-        await srv.serve_forever()
+        serve_task = asyncio.create_task(bridge.serve_forever())
+        await stop.wait()
+        logger().info("draining", deadline_s=drain_secs)
+        # pause keeps the native server alive so in-flight handlers can
+        # still respond; stop() frees it after the drain
+        await asyncio.to_thread(bridge.pause)
+        ok = await server.drain(drain_secs)
+        bridge.stop()
+        serve_task.cancel()
+        try:
+            await serve_task
+        except (asyncio.CancelledError, Exception):
+            pass
+    else:
+        srv = await server.serve(host, int(port))
+        logger().info("serving", front="asyncio", port=int(port))
+        serve_task = asyncio.create_task(srv.serve_forever())
+        await stop.wait()
+        logger().info("draining", deadline_s=drain_secs)
+        srv.close()  # stop accepting; existing connections continue
+        await srv.wait_closed()
+        ok = await server.drain(drain_secs)
+        serve_task.cancel()
+        try:
+            await serve_task
+        except (asyncio.CancelledError, Exception):
+            pass
+    try:
+        state.index.close()
+    except Exception as e:  # pragma: no cover - close must not flip exit 0
+        logger().warn("index_close_failed", error=str(e))
+    logger().info("stopped", drained=ok)

@@ -328,6 +328,46 @@ class HttpServer:
         self.metrics = Metrics()
         self._sem = asyncio.Semaphore(concurrency)
         self._server: Optional[asyncio.AbstractServer] = None
+        # graceful drain (SIGTERM): when draining, responses close their
+        # connections and drain() waits for in-flight requests
+        self.draining = False
+        self._inflight = 0
+        self._idle: Optional[asyncio.Event] = None
+        self._conns: set[asyncio.StreamWriter] = set()
+
+    def _begin_request(self) -> None:
+        self._inflight += 1
+        if self._idle is None:
+            self._idle = asyncio.Event()
+        self._idle.clear()
+
+    def _end_request(self) -> None:
+        self._inflight -= 1
+        if self._inflight == 0 and self._idle is not None:
+            self._idle.set()
+
+    async def drain(self, timeout: float = 10.0) -> bool:
+        """Stop keep-alive reuse, wait for in-flight requests (both the
+        asyncio front and the native bridge route through
+        handle_request), then close lingering idle connections. Returns
+        True when everything finished inside the deadline (the docker
+        stop contract: no mid-request 500s, reference bin/ucfp.rs:279-284
+        graceful shutdown)."""
+        self.draining = True
+        ok = True
+        if self._inflight > 0:
+            if self._idle is None:
+                self._idle = asyncio.Event()
+            try:
+                await asyncio.wait_for(self._idle.wait(), timeout)
+            except asyncio.TimeoutError:
+                ok = False
+        for w in list(self._conns):
+            try:
+                w.close()
+            except Exception:
+                pass
+        return ok
 
     async def handle_request(self, req: Request) -> tuple[Response, str]:
         """Route + middleware + metrics. Returns (response, path_label)."""
@@ -335,6 +375,7 @@ class HttpServer:
         # unmatched requests share one label — recording raw paths would
         # let a pre-auth scanner grow the metrics maps without bound
         path_label = "<unmatched>"
+        self._begin_request()  # drain() waits on this (both HTTP fronts)
         try:
             handler, params, pattern, protected, streaming = self.router.match(
                 req.method, req.path
@@ -368,6 +409,10 @@ class HttpServer:
                 resp = HttpError(
                     500, "internal", f"{type(e).__name__}: {e}"
                 ).to_response()
+        except BaseException:  # cancellation during shutdown
+            self._end_request()
+            raise
+        self._end_request()
         elapsed = time.monotonic() - start
         self.metrics.observe(req.method, path_label, resp.status, elapsed)
         if path_label != "/metrics":
@@ -406,6 +451,7 @@ class HttpServer:
     async def _client(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter):
         peer = writer.get_extra_info("peername")
         remote = peer[0] if isinstance(peer, tuple) and peer else ""
+        self._conns.add(writer)
         try:
             while True:
                 try:
@@ -478,7 +524,7 @@ class HttpServer:
                         ))
                         await writer.drain()
                         return
-                    keep = framing_ok and (
+                    keep = framing_ok and not self.draining and (
                         headers.get("connection", "keep-alive").lower() != "close"
                     )
                     writer.write(_serialize(resp, keep))
@@ -544,12 +590,15 @@ class HttpServer:
                 req = Request(method, path, query, headers, body,
                               remote_addr=remote)
                 resp, _ = await self.handle_request(req)
-                keep = headers.get("connection", "keep-alive").lower() != "close"
+                keep = not self.draining and (
+                    headers.get("connection", "keep-alive").lower() != "close"
+                )
                 writer.write(_serialize(resp, keep))
                 await writer.drain()
                 if not keep:
                     return
         finally:
+            self._conns.discard(writer)
             try:
                 writer.close()
                 await writer.wait_closed()

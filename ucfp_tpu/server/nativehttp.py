@@ -32,6 +32,7 @@ class NativeHttpBridge:
             raise OSError(f"native HTTP front failed to bind {host}:{port}")
         self.port = self.lib.ucfp_http_port(self._h)
         self._stop = threading.Event()
+        self._paused = False
         self._thread: threading.Thread | None = None
         # guards the native handle: _respond from late handler tasks must
         # not race ucfp_http_stop freeing the Server
@@ -87,7 +88,7 @@ class NativeHttpBridge:
 
     def _pull_loop(self, loop: asyncio.AbstractEventLoop) -> None:
         raw = UcfpHttpReq()
-        while not self._stop.is_set():
+        while not self._stop.is_set() and not self._paused:
             rc = self.lib.ucfp_http_next(self._h, 200, ctypes.byref(raw))
             if rc <= 0:
                 if rc < 0:
@@ -118,6 +119,15 @@ class NativeHttpBridge:
                 await asyncio.sleep(0.5)
         finally:
             self.stop()
+
+    def pause(self) -> None:
+        """Stop pulling new requests WITHOUT freeing the native server:
+        in-flight handler coroutines can still _respond through it.
+        Part of graceful drain (pause -> server.drain -> stop)."""
+        self._paused = True
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
 
     def stop(self) -> None:
         if not self._stop.is_set():
