@@ -473,12 +473,13 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
                       max(iters // 2, 2)) * 1000.0
 
     # -- sketch prefilter path (UCFP_KNN_QUANT=sketch) -----------------
-    # 256-bit SimHash per row: the single-query scan reads 320 MB of
-    # sketches + ~1.5 MB of gathered candidates instead of the 7.5 GB
-    # int8 matrix — the sub-10x attack on the HBM-bound single-query
-    # floor. Also measures candidate recall against the exact int8
-    # ranking (random queries = worst case; planted near-duplicates =
-    # the product workload).
+    # 512-bit SimHash per row, ASYMMETRIC 4-level scoring + calibrated
+    # threshold selection + exact int8 rescore of the pool (default
+    # 4.5% of rows): the single-query scan reads 640 MB of sketches +
+    # ~350 MB of gathered candidates instead of the 7.5 GB int8 matrix.
+    # Also measures recall@10 against the exact int8 ranking (random
+    # queries = worst case; planted near-duplicates = the product
+    # workload).
     from ucfp_tpu.ops import knn as knn_ops
 
     planes = jnp.asarray(knn_ops.sketch_planes(d))
@@ -544,6 +545,28 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
             planted[cos_t] += int(row in ipl.tolist())
     return (single_ms, batch_ms / qbatch, sketch_ms,
             rec_hits / rec_total, {c: v / 8.0 for c, v in planted.items()})
+
+
+def bench_parity() -> tuple[bool, list]:
+    """Driver-captured CPU<->TPU bit-identity: recompute the conformance
+    corpus ON THIS DEVICE and diff against the goldens committed from
+    the CPU run (tests/goldens/conformance.json; the exact-integer
+    contract — float encoder families are excluded by design, see
+    test_conformance.FLOAT_KEYS). Returns (parity_ok, first mismatches)."""
+    import pathlib
+    import sys
+
+    here = pathlib.Path(__file__).resolve().parent
+    sys.path.insert(0, str(here / "tests"))
+    import test_conformance as tc
+
+    golden = json.loads(tc.GOLDEN.read_text())
+    got = tc.build_corpus(skip_float=True)
+    mismatches = sorted(
+        k for k in golden
+        if not k.startswith(tc.FLOAT_KEYS) and got.get(k) != golden[k]
+    )
+    return not mismatches, mismatches[:5]
 
 
 def _prefer_direct_tpu():
@@ -635,7 +658,30 @@ def _run_all():
             extra[key] = round(rate, 3)
         return round(single_ms, 3)
 
+    def _parity():
+        ok, mismatches = bench_parity()
+        if not ok:
+            extra["parity_first_mismatches"] = mismatches
+        return ok
+
+    def _ingest_http():
+        """End-to-end HTTP -> decode -> device hash batch -> WAL-durable
+        store, images/s (the serving-path number the kernel-only
+        phash_ips cannot claim). Uses the batch ingest route: one device
+        batch + one group fsync per request."""
+        import pathlib
+        import sys
+
+        sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent / "scripts"))
+        from soak_ingest import run_soak
+
+        out = run_soak(seconds=6.0, conns=8, algorithm="phash", batch=64)
+        extra["ingest_http_errors"] = out["errors"]
+        return out["req_per_sec"]
+
     for name, fn in [
+        ("parity_ok", _parity),
+        ("ingest_http_imgs_per_sec", _ingest_http),
         ("multihash_images_per_sec", lambda: round(bench_multihash(), 1)),
         ("audio_wang_xrt", lambda: round(bench_audio_xrt(), 1)),
         # the BASELINE target shape (10M x 768): single-query is

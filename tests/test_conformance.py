@@ -56,7 +56,14 @@ def d(fp: bytes) -> str:
     return xxhash.xxh3_64_hexdigest(fp)
 
 
-def build_corpus() -> dict:
+FLOAT_KEYS = ("text/semantic/", "image/semantic/", "audio/neural/")
+
+
+def build_corpus(skip_float: bool = False) -> dict:
+    """skip_float: omit the float-encoder families (semantic/neural) —
+    they are NOT part of the CPU<->TPU bit-identity contract (the exact
+    integer paths are; PARITY.md). bench.py uses this to prove on-chip
+    parity against the goldens committed from the CPU run."""
     out = {}
     # -- text ----------------------------------------------------------------
     out["text/minhash/pangram"] = d(
@@ -88,9 +95,10 @@ def build_corpus() -> dict:
     )
     out["text/tlsh/long"] = d(tmod.fingerprint_tlsh(LONG_TEXT, 0, 1).fingerprint)
     out["text/lsh/pangram"] = d(tmod.fingerprint_lsh(PANGRAM, 0, 1).fingerprint)
-    out["text/semantic/long"] = d(
-        tmod.fingerprint_semantic(LONG_TEXT, 0, 1).fingerprint
-    )
+    if not skip_float:
+        out["text/semantic/long"] = d(
+            tmod.fingerprint_semantic(LONG_TEXT, 0, 1).fingerprint
+        )
     # -- image ---------------------------------------------------------------
     for seed, w, h in ((10, 64, 64), (11, 100, 37), (12, 256, 256)):
         png = fixed_png(seed, w, h)
@@ -101,9 +109,10 @@ def build_corpus() -> dict:
             out[f"image/{algo}/{w}x{h}"] = d(
                 imod.fingerprint_single(png, algo, 0, 1).fingerprint
             )
-    out["image/semantic/64x64"] = d(
-        imod.fingerprint_semantic(fixed_png(10, 64, 64), 0, 1).fingerprint
-    )
+    if not skip_float:
+        out["image/semantic/64x64"] = d(
+            imod.fingerprint_semantic(fixed_png(10, 64, 64), 0, 1).fingerprint
+        )
     # -- audio ---------------------------------------------------------------
     x = fixed_audio()
     out["audio/wang/8k"] = d(amod.fingerprint_wang(x, 8000, 0, 1).fingerprint)
@@ -116,7 +125,10 @@ def build_corpus() -> dict:
     out["audio/haitsma/8k"] = d(
         amod.fingerprint_haitsma(x, 8000, 0, 1).fingerprint
     )
-    out["audio/neural/8k"] = d(amod.fingerprint_neural(x, 8000, 0, 1).fingerprint)
+    if not skip_float:
+        out["audio/neural/8k"] = d(
+            amod.fingerprint_neural(x, 8000, 0, 1).fingerprint
+        )
     # -- variant sweeps (strengthen the lock) ---------------------------------
     out["text/minhash/nfc-nofold"] = d(
         tmod.fingerprint_minhash(
