@@ -547,6 +547,56 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
             rec_hits / rec_total, {c: v / 8.0 for c, v in planted.items()})
 
 
+def bench_audio_match(n_records=10_000, per=100, queries=15) -> float:
+    """Landmark offset-vote match p50 (ms) at 10^6 postings across 10^4
+    records — the host-side audio retrieval path (consolidated-numpy
+    postings + vectorized voting, index/embedded.py:_LandmarkIndex).
+    Proves host headroom an order of magnitude past the test suite's
+    scale case (tests/test_audio_match.py::TestScale)."""
+    import asyncio
+    import tempfile
+
+    from ucfp_tpu.core import Modality, Record
+    from ucfp_tpu.index.embedded import EmbeddedBackend
+
+    rng = np.random.default_rng(7)
+    b = EmbeddedBackend(tempfile.mkdtemp(prefix="ucfp-amatch-"))
+
+    async def go():
+        keep = {}
+        batch = []
+        for rid in range(1, n_records + 1):
+            h = rng.integers(0, 1 << 30, size=per, dtype=np.uint32)
+            t = np.sort(rng.integers(0, 2000, size=per)).astype(np.uint32)
+            pairs = np.stack([h, t], axis=1)
+            if rid % 997 == 0:
+                keep[rid] = pairs
+            batch.append(Record(0, rid, Modality.AUDIO, "audiofp-wang-v1",
+                                pairs.astype("<u4").tobytes()))
+            if len(batch) >= 1000:
+                await b.upsert(batch)
+                batch = []
+        if batch:
+            await b.upsert(batch)
+        lat = []
+        rids = sorted(keep)
+        for i in range(queries):
+            rid = rids[i % len(rids)]
+            qp = keep[rid].copy()
+            qp[:, 1] += 137
+            fp = qp.astype("<u4").tobytes()
+            t0 = time.perf_counter()
+            hits = await b.knn_audio(0, "audiofp-wang-v1", fp, 3)
+            lat.append(time.perf_counter() - t0)
+            assert hits and hits[0].record_id == rid
+        return sorted(lat)[len(lat) // 2] * 1000.0
+
+    try:
+        return asyncio.run(go())
+    finally:
+        b.close()
+
+
 def bench_parity() -> tuple[bool, list]:
     """Driver-captured CPU<->TPU bit-identity: recompute the conformance
     corpus ON THIS DEVICE and diff against the goldens committed from
@@ -694,6 +744,8 @@ def _run_all():
          lambda: round(bench_cosine_int8_10m_hybrid(iters=16), 3)),
         ("query_cosine_int8_mxu_p50_ms_10m_x64",
          lambda: round(bench_cosine_int8_10m_mxu(iters=16), 3)),
+        ("audio_match_p50_ms_1m_landmarks",
+         lambda: round(bench_audio_match(), 3)),
     ] + ([
         ("query_cosine_p50_ms_1m_x64", lambda: round(bench_query_p50(), 3)),
         ("query_cosine_int8_p50_ms_10m_x64",

