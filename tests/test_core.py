@@ -58,6 +58,9 @@ def test_error_http_mapping():
         "record_not_found": 404,
         "unsupported": 501,
         "forbidden": 403,
+        # extension variant: remote embedding provider failure (the
+        # reference folds these into Modality/400; see errors.py)
+        "provider": 502,
     }
     got = {e.code: e.http_status for e in ALL_ERRORS}
     assert got == want

@@ -642,11 +642,16 @@ class TestRouteParity:
         sr = 8000
         x = np.zeros(sr, "<f4")
         r = call(app, "POST", "/v1/ingest/audio/1/1/watermark", x.tobytes(),
-                 query="sample_rate=8000&watermark_threshold=0.9")
+                 query="sample_rate=8000&watermark_threshold=0.9",
+                 headers={"x-watermark-key": "tenant-1-secret"})
         assert r.status == 200
         b = jbody(r)
         assert set(b) >= {"detected", "payload", "confidence"}
         assert b["detected"] is False  # silence carries no watermark
+        # the key is REQUIRED (round-3 keyed watermark)
+        r2 = call(app, "POST", "/v1/ingest/audio/1/1/watermark", x.tobytes(),
+                  query="sample_rate=8000")
+        assert r2.status == 400
 
     def test_inspect_text_algorithm_selector(self, tmp_path):
         app, _ = make_app(tmp_path)
