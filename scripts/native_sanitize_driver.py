@@ -152,8 +152,160 @@ def drive_httpfront() -> None:
     print("httpfront ok")
 
 
+def _ev(rid: int) -> dict:
+    return {
+        "op": "upsert", "tenant_id": rid % 5, "record_id": rid,
+        "modality": "text", "algorithm": "raw",
+        "fingerprint": bytes([rid % 251, (rid >> 8) % 251]),
+        "embedding": None, "model_id": None, "metadata": b"",
+        "text": None, "config_hash": 0, "format_version": 1,
+    }
+
+
+def drive_wal_concurrent() -> None:
+    """Group-commit under contention: N appender threads + the dedicated
+    sync thread + a concurrent rewrite (quiesce) — the exact thread
+    topology production runs (GroupCommitWal over the native engine)."""
+    from ucfp_tpu.index.wal import GroupCommitWal, open_wal
+
+    d = tempfile.mkdtemp()
+    path = os.path.join(d, "gc.wal")
+    w = GroupCommitWal(open_wal(path, "native"))
+    errs: list = []
+    n_threads, per = 8, 100
+
+    def writer(base):
+        try:
+            for i in range(per):
+                w.append_events([_ev(base + i)])
+        except BaseException as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [threading.Thread(target=writer, args=(t * 1000,))
+          for t in range(n_threads)]
+    for t in ts:
+        t.start()
+    # rewrite concurrently with live appenders: quiesce must serialize
+    for _ in range(3):
+        w.flush()
+        w.rewrite([_ev(i) for i in range(10)])
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    w.flush()
+    w.close()
+    w2 = open_wal(path, "native")
+    n = len(list(w2.replay()))
+    w2.close()
+    assert n >= 10, n  # snapshot + everything appended after the last rewrite
+    print("wal concurrent ok")
+
+
+def drive_bm25_locked_concurrent() -> None:
+    """The backend serializes every BM25 engine call under one lock;
+    TSAN validates that discipline leaves no C++ race (mirrors
+    index/embedded.py's self._lock usage)."""
+    from ucfp_tpu.index.bm25 import make_engine
+
+    eng = make_engine(prefer_native=True)
+    lock = threading.Lock()
+    errs: list = []
+
+    def worker(tid):
+        try:
+            rng = random.Random(tid)
+            words = ["fox", "dog", "alpha", "beta", "lock", "race"]
+            for i in range(200):
+                op = rng.randrange(3)
+                with lock:
+                    if op == 0:
+                        eng.upsert_one(
+                            tid, i, " ".join(rng.choices(words, k=12)))
+                    elif op == 1:
+                        eng.search(tid, ["fox", "race"], 10)
+                    else:
+                        eng.clear_one(tid, rng.randrange(200))
+        except BaseException as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [threading.Thread(target=worker, args=(t,)) for t in range(6)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    print("bm25 locked-concurrent ok")
+
+
+def drive_httpfront_concurrent() -> None:
+    """Epoll thread + TWO responder threads + four client threads — the
+    GIL-released ctypes windows the round-2 verdict called out."""
+    from ucfp_tpu.native import UcfpHttpReq, load_httpfront
+
+    lib = load_httpfront()
+    assert lib is not None
+    h = lib.ucfp_http_start(b"127.0.0.1", 0, 1 << 20)
+    assert h
+    port = lib.ucfp_http_port(h)
+    stop = threading.Event()
+
+    def responder():
+        raw = UcfpHttpReq()
+        while not stop.is_set():
+            rc = lib.ucfp_http_next(h, 50, ctypes.byref(raw))
+            if rc <= 0:
+                continue
+            body = b'{"ok":true}'
+            lib.ucfp_http_respond(
+                h, raw.id, 200, b"OK", b"application/json",
+                body, len(body), 0,
+            )
+            lib.ucfp_http_free_req(ctypes.byref(raw))
+
+    resp_threads = [threading.Thread(target=responder, daemon=True)
+                    for _ in range(2)]
+    for t in resp_threads:
+        t.start()
+    errs: list = []
+
+    def client(n):
+        try:
+            for i in range(40):
+                s = socket.create_connection(("127.0.0.1", port), timeout=10)
+                payload = b"y" * ((n * 131 + i * 37) % 700)
+                s.sendall(
+                    b"POST /v1/x HTTP/1.1\r\nHost: a\r\nContent-Length: "
+                    + str(len(payload)).encode()
+                    + b"\r\nConnection: close\r\n\r\n" + payload)
+                data = b""
+                while b"}" not in data:
+                    chunk = s.recv(4096)
+                    if not chunk:
+                        break
+                    data += chunk
+                assert b"200 OK" in data, data[:80]
+                s.close()
+        except BaseException as e:  # noqa: BLE001
+            errs.append(e)
+
+    cts = [threading.Thread(target=client, args=(n,)) for n in range(4)]
+    for t in cts:
+        t.start()
+    for t in cts:
+        t.join()
+    assert not errs, errs
+    stop.set()
+    for t in resp_threads:
+        t.join(timeout=5)
+    lib.ucfp_http_stop(h)
+    print("httpfront concurrent ok")
+
+
 if __name__ == "__main__":
     drive_wal()
     drive_bm25()
     drive_httpfront()
+    drive_wal_concurrent()
+    drive_bm25_locked_concurrent()
+    drive_httpfront_concurrent()
     print("SANITIZE_DRIVER_OK")

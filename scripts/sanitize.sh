@@ -7,13 +7,15 @@
 #
 #   scripts/sanitize.sh            # address,undefined (default)
 #   scripts/sanitize.sh address    # ASan only
+#   scripts/sanitize.sh thread     # TSAN: concurrent WAL group-commit,
+#                                  # lock-disciplined BM25, epoll front
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
 SAN="${1:-address,undefined}"
-PRELOAD="$(g++ -print-file-name=libasan.so)"
 case "$SAN" in
-  *address*) ;;
+  *thread*) PRELOAD="$(g++ -print-file-name=libtsan.so)" ;;
+  *address*) PRELOAD="$(g++ -print-file-name=libasan.so)" ;;
   *) PRELOAD="$(g++ -print-file-name=libubsan.so)" ;;
 esac
 
@@ -21,6 +23,7 @@ esac
 # interned objects report as leaks; we are after the C++ modules' bugs
 export ASAN_OPTIONS="detect_leaks=0:halt_on_error=1"
 export UBSAN_OPTIONS="halt_on_error=1:print_stacktrace=1"
+export TSAN_OPTIONS="halt_on_error=1:second_deadlock_stack=1"
 export UCFP_NATIVE_SANITIZE="$SAN"
 
 LD_PRELOAD="$PRELOAD" python scripts/native_sanitize_driver.py

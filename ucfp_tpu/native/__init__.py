@@ -21,9 +21,12 @@ def _sanitize_flags() -> list[str]:
 
 def _outname(base: str) -> str:
     """Sanitized builds get their own artifact so they never clobber the
-    production .so."""
-    if os.environ.get("UCFP_NATIVE_SANITIZE", "").strip():
-        return base.replace(".so", ".san.so")
+    production .so — and each sanitizer MODE gets its own (an ASan
+    .san.so loaded under a TSAN preload aborts at startup)."""
+    san = os.environ.get("UCFP_NATIVE_SANITIZE", "").strip()
+    if san:
+        slug = san.replace(",", "-").replace("=", "")
+        return base.replace(".so", f".{slug}.san.so")
     return base
 
 
