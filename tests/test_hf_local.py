@@ -198,3 +198,23 @@ class TestAudioLocalModel:
         r1 = amod.fingerprint_neural(x, 8000, 0, 1)
         r2 = amod.fingerprint_neural(x, 8000, 0, 2)
         assert r1.fingerprint == r2.fingerprint
+
+
+class TestInfoAdvertisesEncoders:
+    def test_info_standin_and_local(self, tiny_text_model, monkeypatch):
+        import asyncio
+
+        from test_server import call, jbody, make_app
+
+        def info(tmpdir):
+            app, _ = make_app(tmpdir)
+            return jbody(call(app, "GET", "/v1/info", token=None))
+
+        import tempfile, pathlib
+        body = info(pathlib.Path(tempfile.mkdtemp()))
+        assert body["encoders"]["text"]["mode"] == "stand-in"
+        assert body["encoders"]["audio"]["mode"] == "stand-in"
+        monkeypatch.setenv("UCFP_MODEL_DIR", str(tiny_text_model))
+        body = info(pathlib.Path(tempfile.mkdtemp()))
+        assert body["encoders"]["text"]["mode"] == "local-weights"
+        assert body["encoders"]["image"]["mode"] == "stand-in"
