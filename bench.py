@@ -667,6 +667,20 @@ def main():
     import os
 
     _prefer_direct_tpu()
+    # persistent compilation cache: tunnel-runtime compiles run minutes
+    # per kernel (the asym-sketch program measured 570 s); caching under
+    # the repo survives across driver rounds so re-runs start hot
+    try:
+        import pathlib
+
+        import jax
+
+        cache = pathlib.Path(__file__).resolve().parent / ".jax_cache"
+        cache.mkdir(exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
     profile_dir = os.environ.get("UCFP_PROFILE_DIR")
     ctx = contextlib.nullcontext()
     if profile_dir:
@@ -692,7 +706,10 @@ def _run_all():
     full = os.environ.get("UCFP_BENCH_FULL") == "1"
     # hard wall: remote-tunnel compiles can take minutes each; whatever
     # doesn't fit the budget is skipped so the JSON line always prints
-    budget_s = float(os.environ.get("UCFP_BENCH_BUDGET_S", "420"))
+    # 900 s: the asym-sketch kernel alone can cost ~10 min of remote
+    # compile on a COLD tunnel runtime (cached for later runs via
+    # .jax_cache); direct-TPU runs finish far inside the budget
+    budget_s = float(os.environ.get("UCFP_BENCH_BUDGET_S", "900"))
     t_start = time.perf_counter()
     def _pair_768():
         (single_ms, per_q_ms, sketch_ms, recall10, planted) = (
@@ -732,12 +749,12 @@ def _run_all():
     for name, fn in [
         ("parity_ok", _parity),
         ("ingest_http_imgs_per_sec", _ingest_http),
+        # the BASELINE target shape (10M x 768) runs EARLY: the sketch
+        # recall + p50 pair is the round-3 headline directive and its
+        # kernel carries the largest compile cost
+        ("query_cosine_int8_p50_ms_10m_x768", _pair_768),
         ("multihash_images_per_sec", lambda: round(bench_multihash(), 1)),
         ("audio_wang_xrt", lambda: round(bench_audio_xrt(), 1)),
-        # the BASELINE target shape (10M x 768): single-query is
-        # HBM-bound (~9 ms floor on one chip); the batched number is the
-        # serving metric and lands sub-ms per query
-        ("query_cosine_int8_p50_ms_10m_x768", _pair_768),
         ("query_hamming_fused_p50_ms_10m_x64bit",
          lambda: round(bench_hamming_10m_fused(iters=32), 3)),
         ("query_cosine_int8_hybrid_p50_ms_10m_x64",
