@@ -337,19 +337,25 @@ def cosine_sketch_topk(
         cidx = jnp.arange(c, dtype=jnp.int32)
         return _rescore_exact(q8, row_norm, ok, cidx,
                               jnp.ones((c,), bool), query, k)
-    qsign, masks, wts, cnt, sigma = sketch_query_plan(query, planes)
+    qsign, masks, wts, cnt, _sigma = sketch_query_plan(query, planes)
     score = jnp.where(ok, asym_sketch_scores(sketch, qsign, masks, wts, cnt),
                       NEG_INF)
     # buffer cap: 1.3x headroom over the expected survivor count, lane
-    # aligned; overflow beyond the cap is dropped (survivor-count std is
-    # ~sqrt(pool) — a 30% excursion is a >100-sigma event)
+    # aligned; overflow beyond the cap is dropped (sample-quantile tau
+    # keeps E[survivors] = pool with a few-percent estimation error)
     cap = -(-int(pool * 1.3) // 1024) * 1024
     cap = min(cap, c)
-    from jax.scipy.special import ndtri
-
-    n_valid = jnp.maximum(jnp.sum(ok.astype(jnp.int32)), 1)
-    frac = jnp.clip(pool / n_valid.astype(jnp.float32), 1e-9, 0.5)
-    tau = ndtri(1.0 - frac) * sigma
+    # EMPIRICAL threshold: the analytic N(0, sigma) model under-counts
+    # the tail ~1.7x — query and row sign-bits both align with the plane
+    # Gram matrix (p_j . p_k), inflating Var by ~(2/pi)^2 * bits/dim
+    # (+39% measured at 512 bits / 768 dims). A strided 64k-row score
+    # sample's (1 - pool/C) quantile calibrates tau against the REAL
+    # distribution; invalid rows score -inf and are accounted by using
+    # the full-capacity quantile position (valid rows are compact, so
+    # padding is at most half of C and the target quantile always lands
+    # in the finite region).
+    stride = max(1, c // 65536)
+    tau = jnp.quantile(score[::stride], 1.0 - pool / c)
     mask = score > tau
     pos = jnp.cumsum(mask.astype(jnp.int32)) - 1  # [C]
     write = jnp.where(mask & (pos < cap), pos, cap + 7)  # OOB -> dropped
