@@ -160,6 +160,17 @@ class Handlers:
 
             algo = bucket[0]
             rgbs = np.stack(payloads)
+            # pad the batch dim to the next power of two: XLA compiles
+            # one kernel per shape, and deadline batches arrive in every
+            # size from 1 to max_batch — O(log max_batch) shapes instead
+            # of O(max_batch) keeps recompiles (minutes each on remote
+            # runtimes) bounded and serving latency stable
+            n = len(payloads)
+            cap = 1 << (n - 1).bit_length() if n > 1 else 1
+            if cap != n:
+                rgbs = np.concatenate(
+                    [rgbs, np.repeat(rgbs[-1:], cap - n, axis=0)], axis=0
+                )
 
             def work():
                 from ..ops import imagehash
@@ -999,6 +1010,14 @@ class Handlers:
             fps: list[bytes] = [b""] * len(frames)
             for (h, w), idxs in groups.items():
                 batch = np.stack([rgbs[i] for i in idxs])
+                # power-of-two batch padding: same recompile-bounding
+                # rationale as the deadline batcher above
+                cap = 1 << (len(idxs) - 1).bit_length() if len(idxs) > 1 else 1
+                if cap != len(idxs):
+                    batch = np.concatenate(
+                        [batch, np.repeat(batch[-1:], cap - len(idxs), axis=0)],
+                        axis=0,
+                    )
                 if algorithm == "multi":
                     out = imod.jax_device_get(
                         imagehash.multihash_kernel(batch, h, w))
