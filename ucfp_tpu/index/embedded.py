@@ -1135,12 +1135,11 @@ class EmbeddedBackend(IndexBackend):
             # does not cover the whole catalog (under a mesh each shard
             # keeps its own pool, so the aggregate only grows — this
             # marker stays conservative)
-            # the single-query sketch path always rides cosine_sketch_topk,
-            # never the fused partial-reduce — when the candidate pool
-            # covers every row the scan is exhaustive and exact
-            return cache.n > knn_ops.sketch_candidates(
-                cache.data.shape[0], k
-            )
+            # mirrors cosine_sketch_topk's dispatch exactly: the kernel
+            # rescores EVERY row (exact) when pool * 2 >= capacity, and
+            # capacity <= 2n makes pool >= n impossible below that line
+            cap = cache.data.shape[0]
+            return knn_ops.sketch_pool(cap, k) * 2 < cap
         if self._mesh is not None:
             return False
         return self._fused_pool_ok(cache.data.shape[0], cache.n, k)
