@@ -326,13 +326,24 @@ class TestSketchPrefilter:
                                                         monkeypatch):
         monkeypatch.setenv("UCFP_SHARD", "off")
         rng = np.random.default_rng(4)
-        n = 3000  # capacity 4096 -> pool 2048 < n
+        # capacity 8192 -> pool 2048, pool*2 < capacity: the kernel
+        # thresholds instead of rescoring exhaustively -> approximate.
+        # (At capacity 4096 the pool covers half the rows and the kernel
+        # rescores everything exactly — correctly NOT marked.)
+        n = 5000
         vecs = rng.normal(size=(n, 16)).astype(np.float32)
         b = EmbeddedBackend(str(tmp_path), knn_quant="sketch")
         run(b.upsert([Record(0, i, Modality.TEXT, "e", b"x",
                              embedding=[float(x) for x in vecs[i]])
                       for i in range(n)]))
         assert b.knn_is_approximate(0, 16, 10)
+        # half-full capacity-4096 cache: exhaustive rescore, exact
+        b2 = EmbeddedBackend(str(tmp_path / "b2"), knn_quant="sketch")
+        run(b2.upsert([Record(0, i, Modality.TEXT, "e", b"x",
+                              embedding=[float(x) for x in vecs[i]])
+                       for i in range(3000)]))
+        assert not b2.knn_is_approximate(0, 16, 10)
+        b2.close()
         q = vecs[1234] + 0.03 * rng.normal(size=16).astype(np.float32)
         hits = run(b.knn(0, [float(x) for x in q], 10))
         assert hits[0].record_id == 1234
