@@ -32,11 +32,12 @@ import numpy as np
 def _timed(fn, n_iters: int) -> float:
     """Seconds per iteration via the (t(N)-t(1))/(N-1) calibration.
 
-    Tunnel jitter can inflate the 1-iteration baseline past the N-
-    iteration run, collapsing the estimate to ~0; the FIRST clean
-    (positive) measurement pair wins, retrying up to three times only
-    when a pair comes out negative, with the raw t(N)/N upper bound as
-    the last resort.
+    Tunnel dispatch jitter is the same order as a short device loop, so
+    a single pair can be wildly off in EITHER direction (round 1 vs 2's
+    phantom multihash 'regression' was this — first-positive-pair
+    estimates of the identical kernel moved 684k -> 563k, and a
+    contended run once printed 4.2M). Take the MEDIAN of three pairs
+    (positives only), with the raw t(N)/N upper bound as the fallback.
     """
     fn(1)  # compile both variants + warm
     fn(n_iters)
@@ -52,14 +53,14 @@ def _timed(fn, n_iters: int) -> float:
         delta = (t2 - t1) - (t1 - t0)
         if delta > 0:
             estimates.append(delta / (n_iters - 1))
-        if estimates:
-            break  # first clean pair wins; retries only on jitter
     if estimates:
-        return estimates[0]
+        return sorted(estimates)[len(estimates) // 2]
     return max(fallback, 1e-9)
 
 
-def bench_phash(batch=512, iters=64):
+def bench_phash(batch=512, iters=256):
+    # 256 iters ~= 170 ms of device time per loop call: an order of
+    # magnitude above tunnel jitter, so the calibration pairs converge
     import jax
     import jax.numpy as jnp
 
@@ -90,7 +91,7 @@ def bench_phash(batch=512, iters=64):
     return batch / per_iter
 
 
-def bench_multihash(batch=256, iters=32):
+def bench_multihash(batch=256, iters=256):
     import jax
     import jax.numpy as jnp
 
