@@ -474,13 +474,14 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
                       max(iters // 2, 2)) * 1000.0
 
     # -- sketch prefilter path (UCFP_KNN_QUANT=sketch) -----------------
-    # 512-bit SimHash per row, ASYMMETRIC 4-level scoring + calibrated
-    # threshold selection + exact int8 rescore of the pool (default
-    # 4.5% of rows): the single-query scan reads 640 MB of sketches +
-    # ~350 MB of gathered candidates instead of the 7.5 GB int8 matrix.
-    # Also measures recall@10 against the exact int8 ranking (random
-    # queries = worst case; planted near-duplicates = the product
-    # workload).
+    # 512-bit SimHash per row, ASYMMETRIC 4-level scoring + segmented
+    # approx selection + exact int8 rescore of the pool. The pool
+    # fraction is the recall knob, so the bench reports the TRADEOFF:
+    # the default "quality" pool (4.5% of rows) and a "fast" pool
+    # (0.66%), each with p50 and random-query recall@10 vs the exact
+    # int8 ranking (random queries = worst case; planted
+    # near-duplicates = the product workload, measured at the fast
+    # pool where they are hardest).
     from ucfp_tpu.ops import knn as knn_ops
 
     planes = jnp.asarray(knn_ops.sketch_planes(d))
@@ -488,13 +489,14 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
         knn_ops.build_sketch_chunked(m8, planes, chunk=tile * 8)
     )
     valid = jnp.ones(n, bool)
-    cand = knn_ops.sketch_candidates(n, k)
+    cand = knn_ops.sketch_pool(n, k)  # default (quality) pool
+    cand_fast = knn_ops.sketch_pool(n, k, 0.0066)
 
-    @functools.partial(jax.jit, static_argnums=(6,))
-    def loop_sketch(q, pl, m, rnv, sk, vd, it):
+    @functools.partial(jax.jit, static_argnums=(6, 7))
+    def loop_sketch(q, pl, m, rnv, sk, vd, it, pool):
         def body(_i, carry):
             _vals, idx = knn_ops.cosine_sketch_topk(
-                carry, pl, m, rnv, sk, vd, k, cand
+                carry, pl, m, rnv, sk, vd, k, pool
             )
             return jnp.clip(
                 carry + m[idx[0]].astype(jnp.float32) / 127.0, -127.0, 127.0
@@ -505,7 +507,15 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
 
     qf = q_single.astype(jnp.float32)
     sketch_ms = _timed(
-        lambda it: float(loop_sketch(qf, planes, m8, rn, sketch, valid, it)),
+        lambda it: float(
+            loop_sketch(qf, planes, m8, rn, sketch, valid, it, cand)
+        ),
+        iters,
+    ) * 1000.0
+    sketch_fast_ms = _timed(
+        lambda it: float(
+            loop_sketch(qf, planes, m8, rn, sketch, valid, it, cand_fast)
+        ),
         iters,
     ) * 1000.0
 
@@ -517,6 +527,7 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
     #  * planted similar rows (the fingerprinting workload): a noisy
     #    copy of a stored row at cosine ~0.99/0.7/0.5 must surface
     rec_hits = rec_total = 0
+    rec_hits_fast = 0
     planted = {0.99: 0, 0.7: 0, 0.5: 0}
     # per-dim noise sigma for a target cosine vs uniform-int8 rows
     # (row rms ~73.9/dim): tan(theta) = sigma/73.9
@@ -531,21 +542,29 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
         _, ie = pallas_scan.cosine_int8_topk_hybrid(
             jnp.clip(jnp.round(q), -127, 127).astype(jnp.int8), m8, rn, k
         )
+        exact_set = set(ie.tolist())
         _, isk = knn_ops.cosine_sketch_topk(
             q, planes, m8, rn, sketch, valid, k, cand
         )
-        rec_hits += len(set(ie.tolist()) & set(isk.tolist()))
+        rec_hits += len(exact_set & set(isk.tolist()))
+        _, isk_f = knn_ops.cosine_sketch_topk(
+            q, planes, m8, rn, sketch, valid, k, cand_fast
+        )
+        rec_hits_fast += len(exact_set & set(isk_f.tolist()))
         rec_total += k
         row = int(jax.random.randint(k_row, (), 0, n))
         for kn, (cos_t, sg) in zip(k_noise, sigma.items()):
             qp = m8[row].astype(jnp.float32) + \
                 jax.random.normal(kn, (d,), jnp.float32) * sg
+            # planted at the FAST pool: the hardest setting must still
+            # surface the near-duplicate
             _, ipl = knn_ops.cosine_sketch_topk(
-                qp, planes, m8, rn, sketch, valid, k, cand
+                qp, planes, m8, rn, sketch, valid, k, cand_fast
             )
             planted[cos_t] += int(row in ipl.tolist())
-    return (single_ms, batch_ms / qbatch, sketch_ms,
-            rec_hits / rec_total, {c: v / 8.0 for c, v in planted.items()})
+    return (single_ms, batch_ms / qbatch, sketch_ms, sketch_fast_ms,
+            rec_hits / rec_total, rec_hits_fast / rec_total,
+            {c: v / 8.0 for c, v in planted.items()})
 
 
 def bench_audio_match(n_records=10_000, per=100, queries=15) -> float:
@@ -713,14 +732,15 @@ def _run_all():
     budget_s = float(os.environ.get("UCFP_BENCH_BUDGET_S", "900"))
     t_start = time.perf_counter()
     def _pair_768():
-        (single_ms, per_q_ms, sketch_ms, recall10, planted) = (
-            bench_cosine_int8_10m_768()
-        )
+        (single_ms, per_q_ms, sketch_ms, sketch_fast_ms, recall10,
+         recall10_fast, planted) = bench_cosine_int8_10m_768()
         extra["query_cosine_int8_batch32_ms_per_query_10m_x768"] = round(
             per_q_ms, 4
         )
         extra["query_cosine_sketch_p50_ms_10m_x768"] = round(sketch_ms, 3)
         extra["sketch_recall10_random_10m_x768"] = round(recall10, 3)
+        extra["sketch_fast_p50_ms_10m_x768"] = round(sketch_fast_ms, 3)
+        extra["sketch_fast_recall10_random"] = round(recall10_fast, 3)
         for cos_t, rate in planted.items():
             key = f"sketch_top1_planted_cos{str(cos_t).replace('0.', '')}"
             extra[key] = round(rate, 3)

@@ -266,20 +266,23 @@ def asym_sketch_scores(sketch, qsign, masks, wts, cnt):
     """[C] f32 asymmetric sketch scores (higher = closer): per level l,
     score_l = w_l * (n_l - 2 * disagree_l), realized as L masked
     popcounts per 32-bit word — the level weights stay query-side, so
-    rows keep their 1-bit/plane storage."""
-    c = sketch.shape[0]
-    dis = [jnp.zeros((c,), jnp.int32) for _ in range(SKETCH_LEVELS)]
-    for w in range(SKETCH_WORDS):
-        x = jnp.bitwise_xor(sketch[:, w], qsign[w])
-        for li in range(SKETCH_LEVELS):
-            dis[li] = dis[li] + jax.lax.population_count(
-                jnp.bitwise_and(x, masks[li, w])
-            ).astype(jnp.int32)
-    score = jnp.zeros((c,), jnp.float32)
+    rows keep their 1-bit/plane storage.
+
+    Whole-array formulation (no per-word Python loop): a word-sliced
+    accumulation chain lowered to one strided pass over the row-major
+    sketch PER (word, level) — 64 reads of the 640 MB array, measured
+    29 ms at 10M. Operating on [C, W] with axis-1 reductions keeps the
+    whole computation inside one fused read."""
+    x = jnp.bitwise_xor(sketch, qsign[None, :])  # [C, W]
+    score = jnp.zeros((sketch.shape[0],), jnp.float32)
     for li in range(SKETCH_LEVELS):
-        score = score + wts[li] * (
-            cnt[li] - 2.0 * dis[li].astype(jnp.float32)
+        dis = jnp.sum(
+            jax.lax.population_count(
+                jnp.bitwise_and(x, masks[li][None, :])
+            ).astype(jnp.int32),
+            axis=1,
         )
+        score = score + wts[li] * (cnt[li] - 2.0 * dis.astype(jnp.float32))
     return score
 
 
@@ -340,31 +343,33 @@ def cosine_sketch_topk(
     qsign, masks, wts, cnt, _sigma = sketch_query_plan(query, planes)
     score = jnp.where(ok, asym_sketch_scores(sketch, qsign, masks, wts, cnt),
                       NEG_INF)
-    # buffer cap: 1.3x headroom over the expected survivor count, lane
-    # aligned; overflow beyond the cap is dropped (sample-quantile tau
-    # keeps E[survivors] = pool with a few-percent estimation error)
-    cap = -(-int(pool * 1.3) // 1024) * 1024
-    cap = min(cap, c)
-    # EMPIRICAL threshold: the analytic N(0, sigma) model under-counts
-    # the tail ~1.7x — query and row sign-bits both align with the plane
-    # Gram matrix (p_j . p_k), inflating Var by ~(2/pi)^2 * bits/dim
-    # (+39% measured at 512 bits / 768 dims). A strided 64k-row score
-    # sample's (1 - pool/C) quantile calibrates tau against the REAL
-    # distribution; invalid rows score -inf and are accounted by using
-    # the full-capacity quantile position (valid rows are compact, so
-    # padding is at most half of C and the target quantile always lands
-    # in the finite region).
-    stride = max(1, c // 65536)
-    tau = jnp.quantile(score[::stride], 1.0 - pool / c)
-    mask = score > tau
-    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1  # [C]
-    write = jnp.where(mask & (pos < cap), pos, cap + 7)  # OOB -> dropped
-    buf = jnp.zeros((cap,), jnp.int32).at[write].set(
-        jnp.arange(c, dtype=jnp.int32), mode="drop"
-    )
-    count = jnp.minimum(pos[-1] + 1, cap)
-    slot_ok = jnp.arange(cap, dtype=jnp.int32) < count
-    return _rescore_exact(q8, row_norm, ok, buf, slot_ok, query, k)
+    # SEGMENTED selection: view the scores as [nseg, 2048] and keep a
+    # per-segment quota with one batched approx_max_k. The global
+    # threshold + cumsum + scatter compaction this replaces measured
+    # ~70 ms at 10M (TPU scatter over 10M update elements); segmented
+    # selection is within noise of the bare scan. quota * nseg ~=
+    # 1.3 * pool, so a true global-top-pool row is dropped only when its
+    # segment drew > quota of the global pool (Poisson mean pool/nseg;
+    # at 1.3x headroom that is a >3-sigma event per segment).
+    seg = 2048
+    pad = (-c) % seg
+    if pad:
+        score = jnp.concatenate(
+            [score, jnp.full((pad,), NEG_INF, score.dtype)]
+        )
+    nseg = (c + pad) // seg
+    quota = min(seg, max(8, -(-int(pool * 1.3) // nseg)))
+    _sv, si = jax.lax.approx_max_k(
+        score.reshape(nseg, seg), quota, recall_target=0.99
+    )  # [nseg, quota]
+    gidx = (
+        si + (jnp.arange(nseg, dtype=jnp.int32) * seg)[:, None]
+    ).reshape(-1)
+    # padding rows score -inf but can still fill a tail segment's quota:
+    # clamp for the gather and let the ok-mask in the rescore drop them
+    slot_ok = gidx < c
+    gidx = jnp.minimum(gidx, c - 1)
+    return _rescore_exact(q8, row_norm, ok, gidx, slot_ok, query, k)
 
 
 def sketch_pool(n: int, k: int, frac: float | None = None) -> int:
