@@ -486,7 +486,9 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
 
     planes = jnp.asarray(knn_ops.sketch_planes(d))
     sketch = jax.block_until_ready(
-        knn_ops.build_sketch_chunked(m8, planes, chunk=tile * 8)
+        knn_ops.tile_sketch(
+            knn_ops.build_sketch_chunked(m8, planes, chunk=tile * 8)
+        )
     )
     valid = jnp.ones(n, bool)
     cand = knn_ops.sketch_pool(n, k)  # default (quality) pool

@@ -983,6 +983,20 @@ class EmbeddedBackend(IndexBackend):
         _, vs = self._shardings()
         return jax.device_put(arr, vs) if vs is not None else jnp.asarray(arr)
 
+    def _put_tiled(self, arr):
+        """Placement for the lane-tiled sketch [C/128, 16, 128]: sharded
+        on the tile-row axis (row blocks of 128 align with any
+        power-of-two shard split)."""
+        if self._mesh is None:
+            return arr
+        import jax
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        return jax.device_put(
+            arr, NamedSharding(self._mesh, P(self._mesh_axes, None, None))
+        )
+
     def _device_valid(self, cap: int, n: int):
         if self._mesh is not None:
             return self._put_rowvec(np.arange(cap) < n)
@@ -1026,14 +1040,15 @@ class EmbeddedBackend(IndexBackend):
                     if self._mesh is not None:
                         # one sharded matmul: XLA keeps the row sharding
                         # through dot+pack, so each chip sketches only
-                        # its own rows; re-pin to the matrix sharding
-                        import jax
-
-                        sk = knn_ops.sketch_rows_int8(q8m, planes)
-                        sk = jax.device_put(sk, q8m.sharding)
+                        # its own rows; re-pin the lane-tiled layout
+                        sk = knn_ops.tile_sketch(
+                            knn_ops.sketch_rows_int8(q8m, planes)
+                        )
                     else:
-                        sk = knn_ops.build_sketch_chunked(q8m, planes)
-                    parts.append(sk)
+                        sk = knn_ops.tile_sketch(
+                            knn_ops.build_sketch_chunked(q8m, planes)
+                        )
+                    parts.append(self._put_tiled(sk))
                 parts.append(self._device_valid(cap, cache.n))
                 cache.device = tuple(parts)
             else:
@@ -1057,10 +1072,17 @@ class EmbeddedBackend(IndexBackend):
                 if sketch_on:
                     sk_rows = knn_ops.sketch_rows_int8(
                         q8u_dev, self._sketch_planes(cache.data.shape[1])
-                    )
-                    parts.append(
-                        self._scatter_rows(cache.device[2], ridx, sk_rows)
-                    )
+                    ).astype(jnp.int32)  # [n, 16]
+                    # lane-tiled scatter: row i lives at
+                    # [i // 128, :, i % 128]
+                    tiled = cache.device[2]
+                    r_i = ridx // knn_ops.SKETCH_LANES
+                    l_i = ridx % knn_ops.SKETCH_LANES
+                    w_i = jnp.arange(knn_ops.SKETCH_WORDS)
+                    upd = tiled.at[
+                        r_i[:, None], w_i[None, :], l_i[:, None]
+                    ].set(sk_rows)
+                    parts.append(self._put_tiled(upd))
                 parts.append(self._device_valid(cap, cache.n))
                 cache.device = tuple(parts)
             else:

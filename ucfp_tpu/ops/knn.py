@@ -286,6 +286,74 @@ def asym_sketch_scores(sketch, qsign, masks, wts, cnt):
     return score
 
 
+SKETCH_LANES = 128
+SKETCH_TILE_R = 256  # grid step covers SKETCH_TILE_R * 128 catalog rows
+
+
+@jax.jit
+def tile_sketch(packed: jax.Array) -> jax.Array:
+    """[C, 16] u32 row-major -> [C/128, 16, 128] i32 lane-tiled (flat
+    row r*128+lane). The Mosaic-friendly layout: the word axis rides
+    sublanes, rows ride lanes, and one HBM->VMEM tile copy feeds all 64
+    masked popcounts — the row-major layout costs one strided pass over
+    the whole array per (word, level) in the XLA lowering (measured
+    29 ms vs ~1 ms at 10M x 512 bits)."""
+    c = packed.shape[0]
+    return (
+        packed.astype(jnp.int32)
+        .reshape(c // SKETCH_LANES, SKETCH_LANES, SKETCH_WORDS)
+        .swapaxes(1, 2)
+    )
+
+
+def _asym_scan_kernel(q_ref, m_ref, w_ref, db_ref, out_ref):
+    tile = db_ref[:]  # [Rt, W, 128] i32
+    x = jax.lax.bitwise_xor(tile, q_ref[:])  # qsign [1, W, 1] broadcasts
+    acc = jnp.zeros((tile.shape[0], SKETCH_LANES), jnp.float32)
+    for li in range(SKETCH_LEVELS):
+        d = jnp.sum(
+            jax.lax.population_count(
+                jnp.bitwise_and(x, m_ref[li : li + 1])
+            ),
+            axis=1,
+        )  # [Rt, 128]
+        acc = acc + w_ref[li, 0:1, 0:1][0] * d.astype(jnp.float32)
+    out_ref[:, :] = acc
+
+
+def asym_sketch_scores_tiled(sk_tiled, qsign, masks, wts, cnt):
+    """[C] f32 asymmetric scores from the lane-tiled sketch — one fused
+    pallas pass (read 64 B/row once, all masked popcounts in VMEM)."""
+    r, w, lanes = sk_tiled.shape
+    rt = min(SKETCH_TILE_R, r)  # both powers of two -> rt divides r
+    q3 = qsign.astype(jnp.int32).reshape(1, w, 1)
+    m3 = masks.astype(jnp.int32).reshape(SKETCH_LEVELS, w, 1)
+    w3 = wts.astype(jnp.float32).reshape(SKETCH_LEVELS, 1, 1)
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    wsum = pl.pallas_call(
+        _asym_scan_kernel,
+        grid=(r // rt,),
+        interpret=jax.default_backend() == "cpu",
+        in_specs=[
+            pl.BlockSpec((1, w, 1), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SKETCH_LEVELS, w, 1), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SKETCH_LEVELS, 1, 1), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, w, lanes), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rt, lanes), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r, lanes), jnp.float32),
+    )(q3, m3, w3, sk_tiled)
+    const = jnp.sum(wts * cnt)
+    return const - 2.0 * wsum.reshape(-1)
+
+
 def _quantize_query(query):
     qa = jnp.max(jnp.abs(query))
     qs = jnp.where(qa == 0.0, 1.0, qa / 127.0)
@@ -341,8 +409,12 @@ def cosine_sketch_topk(
         return _rescore_exact(q8, row_norm, ok, cidx,
                               jnp.ones((c,), bool), query, k)
     qsign, masks, wts, cnt, _sigma = sketch_query_plan(query, planes)
-    score = jnp.where(ok, asym_sketch_scores(sketch, qsign, masks, wts, cnt),
-                      NEG_INF)
+    raw = (
+        asym_sketch_scores_tiled(sketch, qsign, masks, wts, cnt)
+        if sketch.ndim == 3  # lane-tiled [C/128, 16, 128] (pallas scan)
+        else asym_sketch_scores(sketch, qsign, masks, wts, cnt)
+    )
+    score = jnp.where(ok, raw, NEG_INF)
     # SEGMENTED selection: view the scores as [nseg, 2048] and keep a
     # per-segment quota with one batched approx_max_k. The global
     # threshold + cumsum + scatter compaction this replaces measured

@@ -234,10 +234,12 @@ def _sharded_cosine_sketch_impl(query, planes, db8, row_norm, sketch, valid,
             vals, gidx = _merge_axis(vals, gidx, ax, k)
         return vals[0], gidx[0]
 
+    sk_spec = (P(axes, None, None) if sketch.ndim == 3  # lane-tiled
+               else P(axes, None))
     return jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(), P(axes, None), P(axes), P(axes, None), P(axes)),
+        in_specs=(P(), P(), P(axes, None), P(axes), sk_spec, P(axes)),
         out_specs=(P(), P()),
         check_vma=False,
     )(query, planes, db8, row_norm, sketch, valid)
