@@ -81,11 +81,13 @@ def _work() -> None:
                 )
                 if quant == "sketch":
                     planes = jnp.asarray(knn_ops.sketch_planes(d))
-                    sk = knn_ops.build_sketch_chunked(jnp.asarray(q8), planes)
+                    sk = knn_ops.tile_sketch(
+                        knn_ops.build_sketch_chunked(jnp.asarray(q8), planes)
+                    )
                     knn_ops.cosine_sketch_topk(
                         jnp.asarray(m[0]), planes, jnp.asarray(q8),
                         jnp.asarray(rn), sk, valid, k,
-                        knn_ops.sketch_candidates(1024, k),
+                        knn_ops.sketch_pool(1024, k),
                     )
             else:
                 knn_ops.cosine_topk(
