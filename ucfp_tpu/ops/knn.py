@@ -360,10 +360,14 @@ def _quantize_query(query):
     return jnp.clip(jnp.round(query / qs), -127, 127).astype(jnp.int8)
 
 
-def _rescore_exact(q8, row_norm, ok, cidx, slot_ok, query, k):
+def _rescore_exact(q8, row_norm, ok, cidx, slot_ok, query, k,
+                   sorted_unique: bool = True):
     """Exact int8 cosine over gathered candidate rows; top-k via a
-    64-wide approx pool + exact ordering."""
-    rows = jnp.take(q8, cidx, axis=0)  # [P, D] gather
+    64-wide approx pool + exact ordering. sorted_unique unlocks the
+    fast gather lowering — an unsorted data-dependent gather of 500k
+    rows measured ~20 ms vs 1.2 ms sorted (near bandwidth)."""
+    rows = jnp.take(q8, cidx, axis=0, indices_are_sorted=sorted_unique,
+                    unique_indices=sorted_unique)  # [P, D] gather
     qq = _quantize_query(query)
     dots = jax.lax.dot_general(
         qq[None, :], rows, (((1,), (1,)), ((), ())),
@@ -434,14 +438,20 @@ def cosine_sketch_topk(
     _sv, si = jax.lax.approx_max_k(
         score.reshape(nseg, seg), quota, recall_target=0.99
     )  # [nseg, quota]
+    # sort within each segment: segments are ascending blocks, so the
+    # flattened index list becomes globally sorted + unique — the fast
+    # gather lowering (see _rescore_exact)
+    si = jnp.sort(si, axis=-1)
     gidx = (
         si + (jnp.arange(nseg, dtype=jnp.int32) * seg)[:, None]
     ).reshape(-1)
     # padding rows score -inf but can still fill a tail segment's quota:
     # clamp for the gather and let the ok-mask in the rescore drop them
+    # (clamping can duplicate c-1, so the unique flag is pad-gated)
     slot_ok = gidx < c
     gidx = jnp.minimum(gidx, c - 1)
-    return _rescore_exact(q8, row_norm, ok, gidx, slot_ok, query, k)
+    return _rescore_exact(q8, row_norm, ok, gidx, slot_ok, query, k,
+                          sorted_unique=(pad == 0))
 
 
 def sketch_pool(n: int, k: int, frac: float | None = None) -> int:
