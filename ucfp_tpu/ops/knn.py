@@ -377,13 +377,34 @@ def _rescore_exact(q8, row_norm, ok, cidx, slot_ok, query, k,
     rn = jnp.take(row_norm, cidx)
     denom = jnp.maximum(qn, 1e-9) * jnp.maximum(rn, 1e-9)
     scores = jnp.where(slot_ok & jnp.take(ok, cidx), dots / denom, NEG_INF)
-    wide = min(max(4 * k, 64), scores.shape[0])
-    if scores.shape[0] > 4096:
-        sw, pw = jax.lax.approx_max_k(scores, wide, recall_target=0.99)
-    else:
-        sw, pw = jax.lax.top_k(scores, wide)
-    s, p = jax.lax.top_k(sw, min(k, wide))
-    return s, jnp.take(jnp.take(cidx, pw), p)
+    s, p = _exact_topk_flat(scores, k)
+    return s, jnp.take(cidx, p)
+
+
+def _exact_topk_flat(scores, k):
+    """EXACT top-k over a flat [P] score vector without a P-wide sort:
+    batched 2048-segment top-k + a tiny cross-segment merge. (A flat
+    approx_max_k at recall_target 0.99 over ~600k scores measured
+    ~13 ms — this is ~0.2 ms and exact.)"""
+    p_len = scores.shape[0]
+    seg = 2048
+    if p_len <= seg:
+        return jax.lax.top_k(scores, min(k, p_len))
+    pad = (-p_len) % seg
+    if pad:
+        scores = jnp.concatenate(
+            [scores, jnp.full((pad,), NEG_INF, scores.dtype)]
+        )
+    rows = scores.reshape(-1, seg)
+    kk = min(k, seg)
+    sv, si = jax.lax.top_k(rows, kk)  # [nrows, kk]
+    base = (jnp.arange(rows.shape[0], dtype=jnp.int32) * seg)[:, None]
+    flat_v = sv.reshape(-1)
+    flat_i = (si + base).reshape(-1)
+    v2, p2 = jax.lax.top_k(flat_v, min(k, flat_v.shape[0]))
+    # padding slots are NEG_INF and only surface when fewer than k real
+    # candidates exist; clamp so the index stays in range
+    return v2, jnp.minimum(jnp.take(flat_i, p2), p_len - 1)
 
 
 @functools.partial(jax.jit, static_argnums=(6, 7))
