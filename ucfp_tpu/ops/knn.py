@@ -168,15 +168,14 @@ def cosine_topk_int8(
 # chip at 10M x 768, the exact-top-10 rank-92% quantile drops from 2.6M
 # rows (256-bit symmetric) to ~410k rows (512-bit asym-L4).
 #
-# Selection is a calibrated threshold + scatter compaction (the bulk
-# score distribution is N(0, sigma) with sigma known exactly from the
-# query's level weights), then the exact int8 dot re-scores only the
-# surviving pool. Pool sizing is the recall knob: the default 4.5% of
-# rows gives recall@10 ~= 0.92 against the exact int8 ranking on
-# RANDOM queries (the worst case — planted near-duplicates, the
-# product workload, are found at any pool size); UCFP_SKETCH_POOL_FRAC
-# trades latency for recall. Responses on this path are marked
-# approximate whenever the pool does not cover the catalog.
+# Selection keeps a per-2048-row-segment quota (one batched
+# approx_max_k — a global threshold + cumsum/scatter compaction costs
+# ~70 ms in TPU scatter at 10M), then the exact int8 dot re-scores the
+# surviving pool through a sorted-unique gather. Pool sizing is the
+# recall knob (UCFP_SKETCH_POOL_FRAC; see DEFAULT_POOL_FRAC table) —
+# planted near-duplicates, the product workload, are found at any pool
+# size. Responses on this path are marked approximate whenever the
+# pool does not cover the catalog.
 
 SKETCH_BITS = 512
 SKETCH_WORDS = SKETCH_BITS // 32
@@ -425,11 +424,12 @@ def cosine_sketch_topk(
     """Asymmetric-sketch-prefilter cosine top-k. Returns ([k] scores,
     [k] idx); scores are exact int8 cosines of the rescored pool.
 
-    Selection: the bulk of sketch scores is N(0, sigma) with sigma known
-    from the query plan, so the pool is taken by a calibrated threshold
-    (E[survivors] = pool / headroom) + cumsum scatter compaction — no
-    huge top-k over 10M scores. Recall is the pool's coverage of the
-    exact top-k's sketch ranks (see DEFAULT_POOL_FRAC table)."""
+    sketch accepts the lane-tiled [C/128, 16, 128] layout (pallas scan;
+    the serving caches use it) or packed [C, 16] (XLA fallback). Recall
+    is the pool's coverage of the exact top-k's sketch ranks (see
+    DEFAULT_POOL_FRAC table); the pipeline is scan -> segmented
+    per-2048-row quota selection -> sorted-unique gather -> exact int8
+    rescore -> exact segmented top-k."""
     c = q8.shape[0]
     ok = valid & (row_norm > 0.0)
     if pool * 2 >= c:
