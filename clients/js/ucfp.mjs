@@ -204,6 +204,30 @@ export class UcfpClient {
     return fingerprintOf(out);
   }
 
+  /** High-throughput batch ingest (<=1024 images, one device batch +
+   *  one WAL group commit server-side). images = [[recordId,
+   *  Uint8Array], ...]. Returns the per-image record list. */
+  async imageBatch(images, opts = {}) {
+    if (!images.length) return [];
+    if (images.length > 1024) throw new Error('batch exceeds 1024 images');
+    const tid = opts.tenantId ?? this.tenantId;
+    const params = new URLSearchParams({ algorithm: opts.algorithm ?? 'multi' });
+    let total = 0;
+    for (const [, img] of images) total += 12 + img.byteLength;
+    const body = new Uint8Array(total);
+    const dv = new DataView(body.buffer);
+    let off = 0;
+    for (const [rid, img] of images) {
+      dv.setBigUint64(off, BigInt(rid), true);
+      dv.setUint32(off + 8, img.byteLength, true);
+      body.set(img, off + 12);
+      off += 12 + img.byteLength;
+    }
+    const out = await this.#request('POST',
+      `/v1/ingest/image/batch/${tid}?${params}`, { body });
+    return out.records;
+  }
+
   // -- audio ----------------------------------------------------------------
 
   /**

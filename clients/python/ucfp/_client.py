@@ -237,6 +237,42 @@ class Ucfp:
         out = self._request("POST", path, params=params, content=body)
         return _parse_fingerprint(out)
 
+    def image_batch(
+        self,
+        images: "list[tuple[int, c.ImageSource]]",
+        *,
+        algorithm: str = "multi",
+        tenant_id: Optional[int] = None,
+        preprocess: Optional[dict] = None,
+    ) -> "list[dict]":
+        """High-throughput batch ingest (up to 1024 images per request):
+        one device hash batch + one WAL group commit server-side.
+        images = [(record_id, bytes-or-Path), ...]. Returns the per-image
+        record list [{record_id, fingerprint_hex, fingerprint_bytes}]."""
+        import struct
+        from pathlib import Path
+
+        if not images:
+            return []
+        if len(images) > 1024:
+            raise ValueError("batch exceeds 1024 images")
+        tid = self.tenant_id if tenant_id is None else tenant_id
+        params: dict = {"algorithm": algorithm}
+        if preprocess:
+            for key in ("max_input_bytes", "max_dimension", "min_dimension"):
+                if key in preprocess:
+                    params[key] = str(int(preprocess[key]))
+        body = bytearray()
+        for rid, img in images:
+            data = img.read_bytes() if isinstance(img, Path) else bytes(img)
+            body += struct.pack("<QI", rid, len(data))
+            body += data
+        out = self._request(
+            "POST", f"/v1/ingest/image/batch/{tid}", params=params,
+            content=bytes(body),
+        )
+        return out["records"]
+
     # -- audio ------------------------------------------------------------------
 
     def audio(

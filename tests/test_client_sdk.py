@@ -224,6 +224,21 @@ class TestImage:
         with pytest.raises(ValueError):
             client.image(b"x", preprocess={"bogus": 1})
 
+    def test_image_batch(self, client):
+        from test_imagehash import synthetic_png
+
+        imgs = [(901, synthetic_png(64, 64)), (902, synthetic_png(32, 32))]
+        recs = client.image_batch(imgs, algorithm="phash", tenant_id=7)
+        assert [r["record_id"] for r in recs] == [901, 902]
+        # matches the single-image route byte for byte
+        single = client.image(synthetic_png(64, 64), algorithm="phash",
+                              record_id=903, tenant_id=7)
+        assert recs[0]["fingerprint_hex"] == single.fingerprint_hex
+
+    def test_image_batch_size_cap_local(self, client):
+        with pytest.raises(ValueError):
+            client.image_batch([(i, b"x") for i in range(1025)])
+
 
 class TestAudio:
     def test_raw_f32(self, client):
