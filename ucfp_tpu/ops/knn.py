@@ -460,8 +460,11 @@ def cosine_sketch_topk(
         )
     nseg = (c + pad) // seg
     quota = min(seg, max(8, -(-int(pool * 1.3) // nseg)))
+    # selection recall_target applies at the QUOTA boundary; the exact
+    # top-k rows sit far above it, so the default 0.95 loses ~nothing
+    # while compiling to a cheaper reduction than 0.99
     _sv, si = jax.lax.approx_max_k(
-        score.reshape(nseg, seg), quota, recall_target=0.99
+        score.reshape(nseg, seg), quota
     )  # [nseg, quota]
     # sort within each segment: segments are ascending blocks, so the
     # flattened index list becomes globally sorted + unique — the fast
