@@ -377,9 +377,15 @@ def _rescore_exact(q8, row_norm, ok, cidx, slot_ok, query, k,
         preferred_element_type=jnp.int32,
     )[0].astype(jnp.float32)  # [P]
     qn = jnp.linalg.norm(qq.astype(jnp.float32))
-    rn = jnp.take(row_norm, cidx)
+    # EVERY gather needs the sorted/unique hints — one unflagged 845k
+    # take of row_norm measured ~20 ms (the slow lowering) while the
+    # flagged 650 MB row gather ran at bandwidth
+    rn = jnp.take(row_norm, cidx, indices_are_sorted=sorted_unique,
+                  unique_indices=sorted_unique)
     denom = jnp.maximum(qn, 1e-9) * jnp.maximum(rn, 1e-9)
-    scores = jnp.where(slot_ok & jnp.take(ok, cidx), dots / denom, NEG_INF)
+    okc = jnp.take(ok, cidx, indices_are_sorted=sorted_unique,
+                   unique_indices=sorted_unique)
+    scores = jnp.where(slot_ok & okc, dots / denom, NEG_INF)
     s, p = _exact_topk_flat(scores, k)
     return s, jnp.take(cidx, p)
 
