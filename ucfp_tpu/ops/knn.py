@@ -363,12 +363,17 @@ def _quantize_query(query):
     return jnp.clip(jnp.round(query / qs), -127, 127).astype(jnp.int8)
 
 
-def _rescore_exact(q8, row_norm, ok, cidx, slot_ok, query, k,
+def _rescore_exact(q8, n_valid, cidx, slot_ok, query, k,
                    sorted_unique: bool = True):
-    """Exact int8 cosine over gathered candidate rows; top-k via a
-    64-wide approx pool + exact ordering. sorted_unique unlocks the
-    fast gather lowering — an unsorted data-dependent gather of 500k
-    rows measured ~20 ms vs 1.2 ms sorted (near bandwidth)."""
+    """Exact int8 cosine over gathered candidate rows; top-k via an
+    exact segmented reduction.
+
+    ONE gather only: TPU gather cost is ~10 ns per INDEX regardless of
+    row size (849k-row gather = 8 ms; a scalar take of row_norm costs
+    the same 8 ms!), so the row norms are recomputed FROM the gathered
+    int8 rows (pure VPU work on resident data) and validity comes from
+    row compactness (gidx < n_valid) + the recomputed norm — never from
+    gathered side arrays."""
     rows = jnp.take(q8, cidx, axis=0, indices_are_sorted=sorted_unique,
                     unique_indices=sorted_unique)  # [P, D] gather
     qq = _quantize_query(query)
@@ -377,15 +382,11 @@ def _rescore_exact(q8, row_norm, ok, cidx, slot_ok, query, k,
         preferred_element_type=jnp.int32,
     )[0].astype(jnp.float32)  # [P]
     qn = jnp.linalg.norm(qq.astype(jnp.float32))
-    # EVERY gather needs the sorted/unique hints — one unflagged 845k
-    # take of row_norm measured ~20 ms (the slow lowering) while the
-    # flagged 650 MB row gather ran at bandwidth
-    rn = jnp.take(row_norm, cidx, indices_are_sorted=sorted_unique,
-                  unique_indices=sorted_unique)
+    rows32 = rows.astype(jnp.int32)
+    rn = jnp.sqrt(jnp.sum(rows32 * rows32, axis=1).astype(jnp.float32))
     denom = jnp.maximum(qn, 1e-9) * jnp.maximum(rn, 1e-9)
-    okc = jnp.take(ok, cidx, indices_are_sorted=sorted_unique,
-                   unique_indices=sorted_unique)
-    scores = jnp.where(slot_ok & okc, dots / denom, NEG_INF)
+    okc = slot_ok & (cidx < n_valid) & (rn > 0.0)
+    scores = jnp.where(okc, dots / denom, NEG_INF)
     s, p = _exact_topk_flat(scores, k)
     return s, jnp.take(cidx, p)
 
@@ -438,10 +439,15 @@ def cosine_sketch_topk(
     rescore -> exact segmented top-k."""
     c = q8.shape[0]
     ok = valid & (row_norm > 0.0)
+    # valid rows are a compact prefix (the serving caches' contract:
+    # _device_valid = arange < n), so candidate validity in the rescore
+    # reduces to an index compare — gathering a validity/norm side array
+    # costs as much as gathering the rows themselves (~10 ns/index)
+    n_valid = jnp.sum(valid.astype(jnp.int32))
     if pool * 2 >= c:
         # pool covers (most of) the catalog: exhaustive exact rescore
         cidx = jnp.arange(c, dtype=jnp.int32)
-        return _rescore_exact(q8, row_norm, ok, cidx,
+        return _rescore_exact(q8, n_valid, cidx,
                               jnp.ones((c,), bool), query, k)
     qsign, masks, wts, cnt, _sigma = sketch_query_plan(query, planes)
     raw = (
@@ -484,7 +490,7 @@ def cosine_sketch_topk(
     # (clamping can duplicate c-1, so the unique flag is pad-gated)
     slot_ok = gidx < c
     gidx = jnp.minimum(gidx, c - 1)
-    return _rescore_exact(q8, row_norm, ok, gidx, slot_ok, query, k,
+    return _rescore_exact(q8, n_valid, gidx, slot_ok, query, k,
                           sorted_unique=(pad == 0))
 
 
