@@ -180,12 +180,19 @@ def cosine_topk_int8(
 SKETCH_BITS = 512
 SKETCH_WORDS = SKETCH_BITS // 32
 SKETCH_LEVELS = 4
-# pool fraction -> random-query recall@10 at 10M x 768 (measured on
-# chip, exact-int8 ground truth):
-#   0.0066 -> 0.59   0.045 -> 0.88   0.065 -> ~0.92 (default)
+# pool fraction -> (random-query recall@10, single-query p50) at
+# 10M x 768, measured on one v5e through the tunnel runtime
+# (exact-int8 ground truth):
+#   0.0066 -> (0.59, ~3.2 ms)    0.02 -> (~0.85, ~6 ms)
+#   0.065  -> (0.91, ~14 ms)  <- default: meets the recall>=0.9 bar
 # planted near-duplicates (the product workload) are 1.0 at every
-# setting. Latency scales with the pool (segmented selection + sorted
-# gather + exact rescore); see BASELINE.md for the physics.
+# setting. The latency budget is gather-bound (~10 ns per candidate
+# row, an XLA/TPU gather constant) + selection (~16 us per quota unit)
+# + the 1 ms pallas sketch scan. Note the crossover: at recall >= 0.9
+# the EXACT int8 scan (10.4 ms) is the better single-query choice on
+# one chip — the sketch path's niche is the 3-7 ms mid-recall regime,
+# near-duplicate lookups, and the sharded mesh (per-chip pool and scan
+# divide by the shard count). Exact batch-32 serving is 0.61 ms/query.
 DEFAULT_POOL_FRAC = 0.065
 
 
