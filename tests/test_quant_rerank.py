@@ -354,3 +354,40 @@ class TestSketchPrefilter:
         # batch runs the EXACT int8 scan, so it must not be labeled
         # approximate just because the sketch pool is smaller than n
         assert not b.knn_is_approximate(0, 16, 20, batch=True)
+
+
+class TestTiledSketchScorer:
+    def test_tiled_pallas_matches_packed_xla(self):
+        """The lane-tiled pallas scan and the whole-array XLA scorer are
+        the same function: identical scores for identical inputs (the
+        serving caches use the tiled layout; the packed path is the
+        small-cache/CPU fallback)."""
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(11)
+        n, d = 512, 48
+        g = rng.normal(size=(n, d)).astype(np.float32)
+        q8 = np.clip(np.round(g * 127 / np.abs(g).max(axis=1, keepdims=True)),
+                     -127, 127).astype(np.int8)
+        planes = jnp.asarray(knn_ops.sketch_planes(d))
+        packed = knn_ops.build_sketch_chunked(jnp.asarray(q8), planes)
+        tiled = knn_ops.tile_sketch(packed)
+        qv = jnp.asarray(rng.normal(size=d).astype(np.float32))
+        qsign, masks, wts, cnt, _ = knn_ops.sketch_query_plan(qv, planes)
+        s_xla = np.asarray(
+            knn_ops.asym_sketch_scores(packed, qsign, masks, wts, cnt))
+        s_tiled = np.asarray(
+            knn_ops.asym_sketch_scores_tiled(tiled, qsign, masks, wts, cnt))
+        np.testing.assert_allclose(s_tiled, s_xla, rtol=1e-5, atol=1e-3)
+
+    def test_tile_roundtrip_layout(self):
+        """flat row r*128+lane mapping."""
+        import jax.numpy as jnp
+
+        packed = jnp.arange(256 * 16, dtype=jnp.uint32).reshape(256, 16)
+        tiled = knn_ops.tile_sketch(packed)
+        assert tiled.shape == (2, 16, 128)
+        # row 130 = tile 1, lane 2
+        np.testing.assert_array_equal(
+            np.asarray(tiled)[1, :, 2], np.asarray(packed)[130].astype(np.int32)
+        )
