@@ -155,6 +155,22 @@ def build_corpus(skip_float: bool = False) -> dict:
     out["text/tlsh/pangram-x4"] = d(
         tmod.fingerprint_tlsh(PANGRAM * 4, 0, 1).fingerprint
     )
+    # UAX#29 word-boundary lock: apostrophes stay inside words, numeric
+    # grouping holds, hyphens break (round-3 tokenizer upgrade)
+    out["text/minhash/uax29"] = d(
+        tmod.fingerprint_minhash(
+            "don't e-mail rock 'n' roll 1,234.56 items can't-do "
+            "naïve café-au-lait O'Brien's 3.14159", 0, 1,
+            tmod.TextOpts(k=2),
+        ).fingerprint
+    )
+    out["text/minhash/grapheme-emoji"] = d(
+        tmod.fingerprint_minhash(
+            "family \U0001F468‍\U0001F469‍\U0001F467 flag "
+            "\U0001F1FA\U0001F1F8 thumbs \U0001F44D\U0001F3FD done",
+            0, 1, tmod.TextOpts(tokenizer="grapheme", k=3),
+        ).fingerprint
+    )
     out["text/minhash/html-preprocess"] = d(
         tmod.fingerprint_minhash(
             f"<html><body><p>{LONG_TEXT}</p></body></html>", 0, 1,
