@@ -249,7 +249,7 @@ class TestBatchedFingerprintQuery:
 
 
 class TestSketchPrefilter:
-    """UCFP_KNN_QUANT=sketch: 256-bit SimHash prefilter + approx_max_k
+    """UCFP_KNN_QUANT=sketch: asymmetric SimHash prefilter + segmented
     candidates + exact int8 rescore (ops/knn.py sketch section)."""
 
     def test_kernel_matches_int8_when_pool_covers(self):
@@ -384,9 +384,10 @@ class TestTiledSketchScorer:
         """flat row r*128+lane mapping."""
         import jax.numpy as jnp
 
-        packed = jnp.arange(256 * 16, dtype=jnp.uint32).reshape(256, 16)
+        w = knn_ops.SKETCH_WORDS
+        packed = jnp.arange(256 * w, dtype=jnp.uint32).reshape(256, w)
         tiled = knn_ops.tile_sketch(packed)
-        assert tiled.shape == (2, 16, 128)
+        assert tiled.shape == (2, knn_ops.SKETCH_WORDS, 128)
         # row 130 = tile 1, lane 2
         np.testing.assert_array_equal(
             np.asarray(tiled)[1, :, 2], np.asarray(packed)[130].astype(np.int32)

@@ -312,7 +312,9 @@ class TestShardedSketch:
         # sharded sketch cache is the 4-tuple (q8, rn, sketch, valid)
         dev = be._vec[(1, 16)].device
         assert len(dev) == 4
-        assert dev[2].shape[1] == 16  # 512 bits packed
+        from ucfp_tpu.ops import knn as knn_ops
+
+        assert dev[2].shape[1] == knn_ops.SKETCH_WORDS
         be.close()
 
     def test_sharded_sketch_matches_int8_small(self, tmp_path):
