@@ -159,14 +159,15 @@ def cosine_topk_int8(
 # -- SimHash sketch prefilter + exact int8 rescore ---------------------------
 #
 # The single-query 10M x 768 int8 GEMV is HBM-bound at ~9.2 ms on one
-# v5e chip (7.5 GB scanned at 819 GB/s). A 512-bit SimHash sketch per
-# row cuts the scanned bytes 12x (640 MB) and an ASYMMETRIC 4-level
+# v5e chip (7.5 GB scanned at 819 GB/s). A 768-bit SimHash sketch per
+# row cuts the scanned bytes 8x (960 MB) and an ASYMMETRIC 4-level
 # estimator ranks every row by approximate angle: the query keeps its
 # continuous projection magnitudes (quantized to 4 weight levels,
 # realized as 4 masked popcounts per word), which is worth ~1.57x
 # effective bits over symmetric Hamming at small angles — measured on
 # chip at 10M x 768, the exact-top-10 rank-92% quantile drops from 2.6M
-# rows (256-bit symmetric) to ~410k rows (512-bit asym-L4).
+# rows (256-bit symmetric) through ~410k (512-bit asym-L4) to ~300k
+# (768-bit asym-L4).
 #
 # Selection keeps a per-2048-row-segment quota (one batched
 # approx_max_k — a global threshold + cumsum/scatter compaction costs
