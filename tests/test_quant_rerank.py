@@ -392,3 +392,31 @@ class TestTiledSketchScorer:
         np.testing.assert_array_equal(
             np.asarray(tiled)[1, :, 2], np.asarray(packed)[130].astype(np.int32)
         )
+
+
+class TestRecallTier:
+    def test_tier_ladder_and_validation(self, tmp_path, monkeypatch):
+        import json
+
+        from test_server import call, jbody, make_app
+
+        monkeypatch.setenv("UCFP_KNN_QUANT", "sketch")
+        monkeypatch.setenv("UCFP_SHARD", "off")
+        app, state = make_app(tmp_path)
+        rng = np.random.default_rng(2)
+        vecs = rng.normal(size=(5000, 16)).astype(np.float32)
+        run(state.index.upsert([
+            Record(0, i, Modality.TEXT, "e", b"x",
+                   embedding=[float(x) for x in vecs[i]])
+            for i in range(5000)
+        ]))
+        q = [float(x) for x in vecs[777]]
+        for tier in ("fast", "balanced", "high"):
+            body = jbody(call(app, "POST", "/v1/query", json.dumps(
+                {"tenant_id": 0, "modality": "text", "k": 3, "vector": q,
+                 "recall_tier": tier}).encode()))
+            assert body["hits"][0]["record_id"] == 777, tier
+        resp = call(app, "POST", "/v1/query", json.dumps(
+            {"tenant_id": 0, "modality": "text", "k": 3, "vector": q,
+             "recall_tier": "0.5"}).encode())
+        assert resp.status == 400

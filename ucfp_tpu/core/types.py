@@ -151,6 +151,10 @@ class Query:
     filter: Optional[dict] = None
     rrf_k: int = 60
     explain: bool = False
+    # per-request sketch pool override (extension): None = the backend
+    # default. Serving exposes only a fixed tier ladder so distinct
+    # values cannot force unbounded kernel recompiles.
+    pool_frac: Optional[float] = None
 
     def __post_init__(self) -> None:
         _check_u32("tenant_id", self.tenant_id)

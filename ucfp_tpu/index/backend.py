@@ -46,7 +46,11 @@ class IndexBackend(abc.ABC):
         query: list[float],
         k: int,
         filter: Optional[bytes] = None,
-    ) -> list[Hit]: ...
+        pool_frac: Optional[float] = None,
+    ) -> list[Hit]:
+        """pool_frac: optional per-request sketch rescore-pool override
+        (extension; ignored by backends without a sketch path)."""
+        ...
 
     @abc.abstractmethod
     async def bm25(self, tenant_id: int, terms: list[str], k: int) -> list[Hit]: ...

@@ -1140,7 +1140,8 @@ class EmbeddedBackend(IndexBackend):
         return cap % tile == 0 and min(k, n) <= min(16, n_candidates)
 
     def knn_is_approximate(self, tenant_id: int, dim: int, k: int,
-                           batch: bool = False) -> bool:
+                           batch: bool = False,
+                           pool_frac: "float | None" = None) -> bool:
         """True when a (dim, k) vector query rides an approximate path —
         the fused partial-reduce candidates (near-exact for k <= 16,
         exact top-1; collision odds in ops/pallas_scan.py) or the sketch
@@ -1161,7 +1162,7 @@ class EmbeddedBackend(IndexBackend):
             # rescores EVERY row (exact) when pool * 2 >= capacity, and
             # capacity <= 2n makes pool >= n impossible below that line
             cap = cache.data.shape[0]
-            return knn_ops.sketch_pool(cap, k) * 2 < cap
+            return knn_ops.sketch_pool(cap, k, pool_frac) * 2 < cap
         if self._mesh is not None:
             return False
         return self._fused_pool_ok(cache.data.shape[0], cache.n, k)
@@ -1182,6 +1183,7 @@ class EmbeddedBackend(IndexBackend):
         query: list[float],
         k: int,
         filter: Optional[bytes] = None,
+        pool_frac: Optional[float] = None,
     ) -> list[Hit]:
         """Cosine top-k, semantics matching mod.rs:268-360: empty query or
         k=0 or zero-norm query -> empty; only vectors of matching dim.
@@ -1189,7 +1191,11 @@ class EmbeddedBackend(IndexBackend):
         filter: optional {"algorithm": str, "model_id": str} — rows are
         masked on DEVICE (exact filtered top-k, not post-filtering), a
         capability beyond the reference's unimplemented filter contract.
-        Unsupported shapes still surface UnsupportedError."""
+        Unsupported shapes still surface UnsupportedError.
+
+        pool_frac: per-request sketch rescore-pool override (sketch mode
+        only). Callers must quantize to a small ladder — each distinct
+        value compiles its own kernel."""
         if not query or k == 0:
             return []
         q = np.asarray(query, np.float32)
@@ -1233,7 +1239,7 @@ class EmbeddedBackend(IndexBackend):
                     import jax.numpy as jnp
 
                     q8m, row_norm, sketch, valid = dev
-                    cand = knn_ops.sketch_candidates(q8m.shape[0], kk)
+                    cand = knn_ops.sketch_pool(q8m.shape[0], kk, pool_frac)
                     s1, i1 = sharded_knn.sharded_cosine_sketch_topk(
                         jnp.asarray(q), self._sketch_planes(len(query)),
                         q8m, row_norm, sketch, valid, kk, cand,
@@ -1256,7 +1262,7 @@ class EmbeddedBackend(IndexBackend):
                 import jax.numpy as jnp
 
                 q8m, row_norm, sketch, valid = dev
-                cand = knn_ops.sketch_candidates(q8m.shape[0], kk)
+                cand = knn_ops.sketch_pool(q8m.shape[0], kk, pool_frac)
                 s1, i1 = knn_ops.cosine_sketch_topk(
                     jnp.asarray(q), self._sketch_planes(len(query)),
                     q8m, row_norm, sketch, valid, kk, cand,

@@ -65,7 +65,8 @@ class Matcher:
         has_terms = bool(q.terms)
         if has_vec and has_terms:
             knn_task = asyncio.create_task(
-                self.index.knn(q.tenant_id, q.vector, q.k, q.filter)
+                self.index.knn(q.tenant_id, q.vector, q.k, q.filter,
+                               pool_frac=q.pool_frac)
             )
             try:
                 if q.explain:
@@ -103,7 +104,8 @@ class Matcher:
                     if th is not None:
                         h.term_hits = th
         elif has_vec:
-            fused = await self.index.knn(q.tenant_id, q.vector, q.k, q.filter)
+            fused = await self.index.knn(q.tenant_id, q.vector, q.k, q.filter,
+                                         pool_frac=q.pool_frac)
         elif has_terms:
             if q.explain:
                 pairs = await self.index.bm25_explain(q.tenant_id, q.terms, q.k)

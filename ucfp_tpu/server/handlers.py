@@ -492,6 +492,18 @@ class Handlers:
                 raise _err(e)
         _tag_usage(req, modality.value, body.get("algorithm"))
         explain = req.qp_bool("explain")
+        # per-request sketch recall tier (extension; sketch mode only).
+        # A fixed ladder, NOT a free float: each distinct pool size
+        # compiles its own kernel, so arbitrary values would let one
+        # client force unbounded recompiles.
+        RECALL_TIERS = {"fast": 0.0066, "balanced": 0.021, "high": None}
+        tier = body.get("recall_tier")
+        if tier is not None and tier not in RECALL_TIERS:
+            raise HttpError(
+                400, "bad_query",
+                f"recall_tier must be one of {sorted(RECALL_TIERS)}",
+            )
+        pool_frac = RECALL_TIERS.get(tier) if tier else None
         vector = self._valid_vector(body.get("vector"), "vector")
         terms = body.get("terms") or []
         if not isinstance(terms, list) or not all(
@@ -629,9 +641,10 @@ class Handlers:
                 rrf_k=rrf_k,
                 explain=explain,
                 filter=flt,
+                pool_frac=pool_frac,
             )
             if vector and self.index.knn_is_approximate(
-                tenant_id, len(vector), k
+                tenant_id, len(vector), k, pool_frac=pool_frac
             ):
                 req.extensions["approximate"] = True
             if req.query.get("rerank") == "embedding":
