@@ -188,8 +188,7 @@ SKETCH_LEVELS = 4
 # tunnel runtime (exact-int8 ground truth):
 #   0.0066 -> (0.78, ~3.7 ms)
 #   0.035  -> (0.90, ~13 ms)
-#   0.042  -> default: covers the measured rank-q92 (304k rows) with
-#             ~38% margin -> expected recall ~0.92, p50 ~14 ms
+#   0.042  -> (0.975 measured on fresh db+query seeds, ~14 ms) default
 # planted near-duplicates (the product workload) are 1.0 at every
 # setting. The latency budget is gather-bound (~10 ns per candidate
 # row, an XLA/TPU gather constant) + selection (~16 us per quota unit)
