@@ -186,19 +186,25 @@ SKETCH_LEVELS = 4
 # pool fraction -> (random-query recall@10, single-query p50) at
 # 10M x 768 with the 768-bit sketch, measured on one v5e through the
 # tunnel runtime (exact-int8 ground truth):
-#   0.0066 -> (0.78, ~3.7 ms)
-#   0.035  -> (0.90, ~13 ms)
-#   0.042  -> (0.975 measured on fresh db+query seeds, ~14 ms) default
+#   0.0066 -> (0.89, ~4.9 ms)  (the quota floor inflates small pools)
+#   0.042  -> (0.975, ~8.3 ms)  default
 # planted near-duplicates (the product workload) are 1.0 at every
 # setting. The latency budget is gather-bound (~10 ns per candidate
 # row, an XLA/TPU gather constant) + selection (~16 us per quota unit)
-# + the ~1.4 ms pallas sketch scan. Note the crossover: at recall
-# >= 0.9 the EXACT int8 scan (10.4 ms) is a comparable single-query
-# choice on one chip — the sketch path's edge is the 3-7 ms
-# mid-recall regime (0.78 recall at a third of the exact latency),
-# near-duplicate lookups, and the sharded mesh (per-chip pool and scan
-# divide by the shard count). Exact batch-32 serving is 0.61 ms/query.
+# + the ~1.4 ms pallas sketch scan. At the final SEG=512 selection
+# the default tier (0.975 recall, 8.3 ms) BEATS the 10.4 ms exact scan
+# at near-equal quality; the fast tier gives 0.89 at 4.9 ms; planted
+# near-duplicate lookups are 1.0 everywhere; the sharded mesh divides
+# per-chip pool and scan by the shard count. Exact batch-32 serving is
+# 0.61 ms/query.
 DEFAULT_POOL_FRAC = 0.042
+# selection segment width, swept on chip at 10M x 768 (quality tier):
+#   2048 -> 14.2 ms   1024 -> 10.4 ms   512 -> 8.3 ms (recall 0.975)
+#   256  -> pathological compile time (rejected)
+# approx_max_k cost scales with the per-segment quota, so narrower
+# segments cut selection; the quota floor (8) keeps per-segment Poisson
+# headroom, which also inflates small pools' effective size slightly.
+SKETCH_SEG = 512
 
 
 def sketch_planes(dim: int, seed: int = 0x5EED):
@@ -475,8 +481,8 @@ def cosine_sketch_topk(
     # selection is within noise of the bare scan. quota * nseg ~=
     # 1.3 * pool, so a true global-top-pool row is dropped only when its
     # segment drew > quota of the global pool (Poisson mean pool/nseg;
-    # at 1.3x headroom that is a >3-sigma event per segment).
-    seg = 2048
+    # at 1.3x headroom that is a low-probability per-segment event).
+    seg = SKETCH_SEG
     pad = (-c) % seg
     if pad:
         score = jnp.concatenate(
