@@ -420,3 +420,49 @@ class TestRecallTier:
             {"tenant_id": 0, "modality": "text", "k": 3, "vector": q,
              "recall_tier": "0.5"}).encode())
         assert resp.status == 400
+
+
+class TestSketchFilter:
+    def test_filtered_sketch_query_honors_filter(self, tmp_path, monkeypatch):
+        """Round-3 review repro: device-side filters fold into `valid`,
+        making validity non-prefix — the sketch rescore must derive
+        per-candidate validity from the masked scores, not an index
+        compare (which returned 5/5 filter-VIOLATING hits)."""
+        monkeypatch.setenv("UCFP_SHARD", "off")
+        rng = np.random.default_rng(9)
+        n = 200
+        vecs = rng.normal(size=(n, 16)).astype(np.float32)
+        b = EmbeddedBackend(str(tmp_path), knn_quant="sketch")
+        recs = []
+        for i in range(n):
+            algo = "special" if i >= 190 else "common"
+            recs.append(Record(0, i, Modality.TEXT, algo, b"x",
+                               embedding=[float(x) for x in vecs[i]]))
+        run(b.upsert(recs))
+        hits = run(b.knn(0, [float(x) for x in vecs[5]], 5,
+                         filter={"algorithm": "special"}))
+        assert hits, "filtered query returned nothing"
+        meta = {h.record_id for h in hits}
+        assert all(rid >= 190 for rid in meta), meta
+
+    def test_filtered_sketch_query_large_segmented(self, tmp_path,
+                                                   monkeypatch):
+        """Same contract through the SEGMENTED branch (pool*2 < cap)."""
+        monkeypatch.setenv("UCFP_SHARD", "off")
+        rng = np.random.default_rng(10)
+        n = 5000  # cap 8192, pool 2048 -> segmented path
+        vecs = rng.normal(size=(n, 16)).astype(np.float32)
+        b = EmbeddedBackend(str(tmp_path), knn_quant="sketch")
+        recs = []
+        for i in range(n):
+            algo = "special" if i % 7 == 0 else "common"
+            recs.append(Record(0, i, Modality.TEXT, algo, b"x",
+                               embedding=[float(x) for x in vecs[i]]))
+        run(b.upsert(recs))
+        # query AT a special record: must come back top-1 and every hit
+        # must carry the filtered algorithm
+        target = 7 * 33
+        hits = run(b.knn(0, [float(x) for x in vecs[target]], 5,
+                         filter={"algorithm": "special"}))
+        assert hits and hits[0].record_id == target
+        assert all(h.record_id % 7 == 0 for h in hits)

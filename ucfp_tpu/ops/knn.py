@@ -381,7 +381,7 @@ def _quantize_query(query):
     return jnp.clip(jnp.round(query / qs), -127, 127).astype(jnp.int8)
 
 
-def _rescore_exact(q8, n_valid, cidx, slot_ok, query, k,
+def _rescore_exact(q8, cidx, slot_ok, query, k,
                    sorted_unique: bool = True):
     """Exact int8 cosine over gathered candidate rows; top-k via an
     exact segmented reduction.
@@ -389,9 +389,10 @@ def _rescore_exact(q8, n_valid, cidx, slot_ok, query, k,
     ONE gather only: TPU gather cost is ~10 ns per INDEX regardless of
     row size (849k-row gather = 8 ms; a scalar take of row_norm costs
     the same 8 ms!), so the row norms are recomputed FROM the gathered
-    int8 rows (pure VPU work on resident data) and validity comes from
-    row compactness (gidx < n_valid) + the recomputed norm — never from
-    gathered side arrays."""
+    int8 rows (pure VPU work on resident data) and per-slot validity
+    arrives precomputed in slot_ok (derived WITHOUT gathers: from the
+    selection's own -inf values, which encode the full valid/filter
+    mask) — never from gathered side arrays."""
     rows = jnp.take(q8, cidx, axis=0, indices_are_sorted=sorted_unique,
                     unique_indices=sorted_unique)  # [P, D] gather
     qq = _quantize_query(query)
@@ -403,7 +404,7 @@ def _rescore_exact(q8, n_valid, cidx, slot_ok, query, k,
     rows32 = rows.astype(jnp.int32)
     rn = jnp.sqrt(jnp.sum(rows32 * rows32, axis=1).astype(jnp.float32))
     denom = jnp.maximum(qn, 1e-9) * jnp.maximum(rn, 1e-9)
-    okc = slot_ok & (cidx < n_valid) & (rn > 0.0)
+    okc = slot_ok & (rn > 0.0)
     scores = jnp.where(okc, dots / denom, NEG_INF)
     s, p = _exact_topk_flat(scores, k)
     return s, jnp.take(cidx, p)
@@ -456,17 +457,16 @@ def cosine_sketch_topk(
     per-2048-row quota selection -> sorted-unique gather -> exact int8
     rescore -> exact segmented top-k."""
     c = q8.shape[0]
+    # ok carries BOTH validity and any device-side query filter the
+    # caller folded into `valid` — per-candidate checks must come from
+    # it (via the selection's -inf encoding), NEVER from an index
+    # compare against a valid-count (filters make validity non-prefix)
     ok = valid & (row_norm > 0.0)
-    # valid rows are a compact prefix (the serving caches' contract:
-    # _device_valid = arange < n), so candidate validity in the rescore
-    # reduces to an index compare — gathering a validity/norm side array
-    # costs as much as gathering the rows themselves (~10 ns/index)
-    n_valid = jnp.sum(valid.astype(jnp.int32))
     if pool * 2 >= c:
-        # pool covers (most of) the catalog: exhaustive exact rescore
+        # pool covers (most of) the catalog: exhaustive exact rescore;
+        # identity indexing means ok itself is the per-slot mask
         cidx = jnp.arange(c, dtype=jnp.int32)
-        return _rescore_exact(q8, n_valid, cidx,
-                              jnp.ones((c,), bool), query, k)
+        return _rescore_exact(q8, cidx, ok, query, k)
     qsign, masks, wts, cnt, _sigma = sketch_query_plan(query, planes)
     raw = (
         asym_sketch_scores_tiled(sketch, qsign, masks, wts, cnt)
@@ -496,19 +496,24 @@ def cosine_sketch_topk(
     _sv, si = jax.lax.approx_max_k(
         score.reshape(nseg, seg), quota
     )  # [nseg, quota]
+    # slots whose selected VALUE is -inf are masked rows (invalid,
+    # filtered out, or padding) that only got picked because their
+    # segment ran out of live rows — carry that bit per slot
+    sel_ok = _sv > NEG_INF  # [nseg, quota]
     # sort within each segment: segments are ascending blocks, so the
     # flattened index list becomes globally sorted + unique — the fast
-    # gather lowering (see _rescore_exact)
-    si = jnp.sort(si, axis=-1)
+    # gather lowering (see _rescore_exact). argsort so sel_ok rides
+    # along with its index.
+    order = jnp.argsort(si, axis=-1)
+    si = jnp.take_along_axis(si, order, axis=-1)
+    sel_ok = jnp.take_along_axis(sel_ok, order, axis=-1)
     gidx = (
         si + (jnp.arange(nseg, dtype=jnp.int32) * seg)[:, None]
     ).reshape(-1)
-    # padding rows score -inf but can still fill a tail segment's quota:
-    # clamp for the gather and let the ok-mask in the rescore drop them
-    # (clamping can duplicate c-1, so the unique flag is pad-gated)
-    slot_ok = gidx < c
+    slot_ok = sel_ok.reshape(-1) & (gidx < c)
+    # clamping can duplicate c-1, so the unique flag is pad-gated
     gidx = jnp.minimum(gidx, c - 1)
-    return _rescore_exact(q8, n_valid, gidx, slot_ok, query, k,
+    return _rescore_exact(q8, gidx, slot_ok, query, k,
                           sorted_unique=(pad == 0))
 
 
