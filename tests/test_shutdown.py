@@ -187,3 +187,33 @@ class TestSigtermIntegration:
             if proc.poll() is None:
                 proc.kill()
                 proc.wait(timeout=10)
+
+
+class TestDrainOrdering:
+    def test_drain_before_wait_closed_with_idle_keepalive(self):
+        """Round-3 review repro: on Python >= 3.12.1 wait_closed() blocks
+        until every connection handler exits, so an idle keep-alive
+        connection parked SIGTERM shutdown forever when wait_closed ran
+        before drain. Production order (close -> drain -> wait_closed)
+        must complete promptly."""
+        async def go():
+            r = Router()
+
+            async def ping(req):
+                return Response.json({"ok": True})
+
+            r.add("GET", "/ping", ping, protected=False)
+            server = HttpServer(r)
+            srv = await server.serve("127.0.0.1", 0)
+            port = srv.sockets[0].getsockname()[1]
+            reader, writer = await asyncio.open_connection("127.0.0.1", port)
+            writer.write(b"GET /ping HTTP/1.1\r\nhost: x\r\n\r\n")
+            await writer.drain()
+            await reader.readuntil(b"\r\n\r\n")
+            await reader.readexactly(11)
+            # idle keep-alive parked; production shutdown order:
+            srv.close()
+            assert await server.drain(2.0) is True
+            await asyncio.wait_for(srv.wait_closed(), timeout=5.0)
+
+        run(go())

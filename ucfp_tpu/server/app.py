@@ -466,8 +466,15 @@ async def run(bind: str, state: ServerState, native_http: bool | None = None) ->
         await stop.wait()
         logger().info("draining", deadline_s=drain_secs)
         srv.close()  # stop accepting; existing connections continue
-        await srv.wait_closed()
+        # drain BEFORE wait_closed: on Python >= 3.12.1 wait_closed()
+        # blocks until every connection handler exits, and an idle
+        # keep-alive client would park it forever — drain() is what
+        # finishes in-flight requests and closes idle connections
         ok = await server.drain(drain_secs)
+        try:
+            await asyncio.wait_for(srv.wait_closed(), timeout=5.0)
+        except asyncio.TimeoutError:  # pragma: no cover - defensive
+            pass
         serve_task.cancel()
         try:
             await serve_task
