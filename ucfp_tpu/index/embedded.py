@@ -917,6 +917,8 @@ class EmbeddedBackend(IndexBackend):
             )
 
     async def upsert(self, records: list[Record]) -> None:
+        wal = self._wal  # snapshot: close() may null the attr mid-await
+
         def apply():
             for rec in records:
                 self._validate_record(rec)
@@ -924,9 +926,9 @@ class EmbeddedBackend(IndexBackend):
                 # buffered WAL append and memory apply share ONE critical
                 # section, so replay order always equals apply order; the
                 # shared fsync happens after the lock drops (group commit)
-                ticket = (self._wal.append_buffered(
+                ticket = (wal.append_buffered(
                     [_record_event(r) for r in records]
-                ) if self._wal is not None else None)
+                ) if wal is not None else None)
                 for rec in records:
                     self._apply_upsert(rec, wal=False)
             return ticket
@@ -936,24 +938,26 @@ class EmbeddedBackend(IndexBackend):
             # durability before ack; if the group fsync fails this raises
             # (500) — the in-memory rows only outlive the error until the
             # poisoned WAL stops the server, mirroring a lost-ack write
-            await self._wal.wait_durable(ticket)
-        self.maybe_autocompact()
+            await wal.wait_durable(ticket)
+        await self._maybe_autocompact_async()
 
     async def delete(self, tenant_id: int, record_ids: list[int]) -> None:
+        wal = self._wal
+
         def apply():
             with self._lock:
-                ticket = (self._wal.append_buffered(
+                ticket = (wal.append_buffered(
                     [{"op": "delete", "tenant_id": tenant_id,
                       "record_ids": record_ids}]
-                ) if self._wal is not None else None)
+                ) if wal is not None else None)
                 for rid in record_ids:
                     self._apply_delete(tenant_id, rid, wal=False)
             return ticket
 
         ticket = await asyncio.to_thread(apply)
         if ticket is not None:
-            await self._wal.wait_durable(ticket)
-        self.maybe_autocompact()
+            await wal.wait_durable(ticket)
+        await self._maybe_autocompact_async()
 
     def _shardings(self):
         """(matrix, row-vector) NamedShardings, or (None, None) single-chip."""
@@ -1615,8 +1619,9 @@ class EmbeddedBackend(IndexBackend):
     async def flush(self) -> None:
         # GroupCommitWal serializes engine access internally, so no
         # backend lock: a flush round must not stall writers
-        if self._wal is not None:
-            await self._wal.wait_durable(self._wal.append_buffered([]))
+        wal = self._wal  # snapshot vs concurrent close()
+        if wal is not None:
+            await wal.wait_durable(wal.append_buffered([]))
 
     async def get_record_metadata(
         self, tenant_id: int, record_id: int
@@ -1689,17 +1694,28 @@ class EmbeddedBackend(IndexBackend):
         except OSError:
             return 0
 
-    def maybe_autocompact(self) -> bool:
-        """Opt-in log-growth bound (UCFP_AUTOCOMPACT_MB): compact when
-        the WAL exceeds the threshold AND has doubled since the last
-        snapshot — churn-heavy deployments otherwise replay every
-        superseded event on restart. Returns True when it compacted."""
+    async def _maybe_autocompact_async(self) -> None:
+        """Event-loop-safe autocompact: the cheap threshold check runs
+        inline; the compaction itself (backend lock + full WAL rewrite +
+        fsyncs, ~0.3 s per 100k records) runs in a worker thread so it
+        never freezes concurrent requests."""
+        if self._autocompact_due():
+            await asyncio.to_thread(self.maybe_autocompact)
+
+    def _autocompact_due(self) -> bool:
         thresh_mb = float(os.environ.get("UCFP_AUTOCOMPACT_MB", "0") or 0)
         if thresh_mb <= 0:
             return False
         size = self._wal_size()
         floor = getattr(self, "_wal_floor", 0)
-        if size > thresh_mb * 1024 * 1024 and size > 2 * max(floor, 1):
+        return size > thresh_mb * 1024 * 1024 and size > 2 * max(floor, 1)
+
+    def maybe_autocompact(self) -> bool:
+        """Opt-in log-growth bound (UCFP_AUTOCOMPACT_MB): compact when
+        the WAL exceeds the threshold AND has doubled since the last
+        snapshot — churn-heavy deployments otherwise replay every
+        superseded event on restart. Returns True when it compacted."""
+        if self._autocompact_due():
             self.compact()
             return True
         return False
