@@ -359,3 +359,59 @@ class TestJsonWalTornTail:
         events = list(w.replay())
         w.close()
         assert ev1 in events and ev2 in events and len(events) == 2
+
+
+class TestJsonWalPartialWriteRollback:
+    def test_partial_write_rolled_back(self, tmp_path):
+        """A mid-batch write failure must truncate back to the pre-write
+        offset — otherwise the group-commit retry appends after a torn
+        fragment and replay silently drops every later event."""
+        w = walmod.JsonWal(str(tmp_path / "p.wal"))
+        w.append_events([{"op": "delete", "tenant_id": 0, "record_ids": [1]}])
+
+        real_f = w._f
+
+        class PartialFile:
+            def __getattr__(self, name):
+                return getattr(real_f, name)
+
+            def write(self, data):
+                real_f.write(data[: len(data) // 2])  # torn mid-line
+                raise OSError("ENOSPC")
+
+        w._f = PartialFile()
+        with pytest.raises(OSError):
+            w.append_encoded_nosync([w.encode(
+                {"op": "delete", "tenant_id": 0, "record_ids": [2]}
+            )])
+        w._f = real_f
+        # retry after recovery: the log must stay parseable end to end
+        w.append_events([{"op": "delete", "tenant_id": 0, "record_ids": [3]}])
+        w.close()
+        w2 = walmod.JsonWal(str(tmp_path / "p.wal"))
+        rids = [ev["record_ids"][0] for ev in w2.replay()]
+        assert rids == [1, 3]
+        w2.close()
+
+    def test_rewrite_failure_reattaches_handle(self, tmp_path, monkeypatch):
+        """A failed rewrite must leave a LIVE append handle on the
+        original log (a closed handle fails every retry round forever)."""
+        w = walmod.JsonWal(str(tmp_path / "r.wal"))
+        w.append_events([{"op": "delete", "tenant_id": 0, "record_ids": [1]}])
+
+        real_replace = os.replace
+
+        def boom(src, dst):
+            raise OSError("EIO")
+
+        monkeypatch.setattr(os, "replace", boom)
+        with pytest.raises(OSError):
+            w.rewrite([{"op": "delete", "tenant_id": 0, "record_ids": [9]}])
+        monkeypatch.setattr(os, "replace", real_replace)
+        # the handle must be usable again
+        w.append_events([{"op": "delete", "tenant_id": 0, "record_ids": [2]}])
+        w.close()
+        w2 = walmod.JsonWal(str(tmp_path / "r.wal"))
+        rids = [ev["record_ids"][0] for ev in w2.replay()]
+        assert rids == [1, 2]
+        w2.close()

@@ -273,9 +273,24 @@ class JsonWal:
         return json.dumps(self._to_json(ev), separators=(",", ":")).encode() + b"\n"
 
     def append_encoded_nosync(self, blobs: list[bytes]) -> None:
-        """Write pre-encoded lines without the fsync."""
-        self._f.write(b"".join(blobs))
-        self._f.flush()
+        """Write pre-encoded lines without the fsync. A partial write
+        (ENOSPC mid-batch) is ROLLED BACK by truncating to the pre-write
+        offset: the group-commit retry would otherwise append the batch
+        again after a torn fragment, producing one malformed line
+        mid-file — and replay stops at the first bad line, silently
+        dropping every LATER fsync-acked event."""
+        pos = self._f.tell()
+        try:
+            self._f.write(b"".join(blobs))
+            self._f.flush()
+        except BaseException:
+            try:
+                self._f.seek(pos)
+                self._f.truncate(pos)
+            except OSError:
+                pass  # rollback best-effort; replay's torn-tail guard
+                # still covers an EOF fragment
+            raise
 
     def append_nosync(self, events: list[dict]) -> None:
         """Write lines without the fsync; durable only after flush()."""
@@ -311,17 +326,25 @@ class JsonWal:
             f.flush()
             os.fsync(f.fileno())
         self._f.close()
-        os.replace(tmp, self._path)
-        # journal the rename itself (the native engine's ucfp_wal_replace
-        # fsyncs the directory too) or a crash can resurrect the
-        # pre-compaction log
-        dfd = os.open(os.path.dirname(os.path.abspath(self._path)) or ".",
-                      os.O_RDONLY)
         try:
-            os.fsync(dfd)
+            os.replace(tmp, self._path)
+            # journal the rename itself (the native engine's
+            # ucfp_wal_replace fsyncs the directory too) or a crash can
+            # resurrect the pre-compaction log
+            dfd = os.open(
+                os.path.dirname(os.path.abspath(self._path)) or ".",
+                os.O_RDONLY,
+            )
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
         finally:
-            os.close(dfd)
-        self._f = open(self._path, "ab")
+            # ALWAYS reattach an append handle — callers (GroupCommitWal
+            # retry rounds) assume the engine still points at a live log
+            # after a failed rewrite; a closed handle would fail every
+            # subsequent round forever
+            self._f = open(self._path, "ab")
 
     def flush(self) -> None:
         self._f.flush()
