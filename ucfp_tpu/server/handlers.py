@@ -75,6 +75,34 @@ def tenant_guard(ctx: ApiKeyContext, tenant_id: int) -> None:
         )
 
 
+def _pad_pow2(batch: np.ndarray, n: int) -> np.ndarray:
+    """Pad the batch dim to the next power of two: XLA compiles one
+    kernel per shape, and batches arrive in every size — O(log max)
+    shapes instead of O(max) keeps recompiles (minutes each on remote
+    runtimes) bounded and serving latency stable."""
+    cap = 1 << (n - 1).bit_length() if n > 1 else 1
+    if cap != n:
+        batch = np.concatenate(
+            [batch, np.repeat(batch[-1:], cap - n, axis=0)], axis=0
+        )
+    return batch
+
+
+def _hash_image_group(algo: str, batch: np.ndarray, h: int, w: int,
+                      count: int) -> list[bytes]:
+    """One device hash launch for `count` same-shape images (padded to a
+    power-of-two batch). THE single implementation behind both the
+    deadline batcher and the bulk ingest route."""
+    from ..ops import imagehash
+
+    batch = _pad_pow2(batch, count)
+    if algo == "multi":
+        out = imod.jax_device_get(imagehash.multihash_kernel(batch, h, w))
+        return [imagehash.serialize_multihash(out, i) for i in range(count)]
+    out = imod.jax_device_get(imagehash.single_hash_kernel(batch, h, w, algo))
+    return [bytes(out[i]) for i in range(count)]
+
+
 def _err(e: UcfpError) -> HttpError:
     return HttpError(e.http_status, e.code, e.message)
 
@@ -156,40 +184,20 @@ class Handlers:
         async def _run_image_batch(bucket, payloads):
             import asyncio
 
-            import numpy as np
-
             algo = bucket[0]
             rgbs = np.stack(payloads)
-            # pad the batch dim to the next power of two: XLA compiles
-            # one kernel per shape, and deadline batches arrive in every
-            # size from 1 to max_batch — O(log max_batch) shapes instead
-            # of O(max_batch) keeps recompiles (minutes each on remote
-            # runtimes) bounded and serving latency stable
             n = len(payloads)
-            cap = 1 << (n - 1).bit_length() if n > 1 else 1
-            if cap != n:
-                rgbs = np.concatenate(
-                    [rgbs, np.repeat(rgbs[-1:], cap - n, axis=0)], axis=0
-                )
 
             def work():
-                from ..ops import imagehash
-
                 if algo == "semantic":
                     # payloads are prepared [3072] encoder features — one
                     # bucket regardless of source image shape
                     from ..models import image_encode
 
-                    embs = image_encode(rgbs)
-                    return [embs[i] for i in range(len(payloads))]
+                    embs = image_encode(_pad_pow2(rgbs, n))
+                    return [embs[i] for i in range(n)]
                 _, h, w = bucket
-                if algo == "multi":
-                    out = imod.jax_device_get(imagehash.multihash_kernel(rgbs, h, w))
-                    return [imagehash.serialize_multihash(out, i) for i in range(len(payloads))]
-                out = imod.jax_device_get(
-                    imagehash.single_hash_kernel(rgbs, h, w, algo)
-                )
-                return [bytes(out[i]) for i in range(len(payloads))]
+                return _hash_image_group(algo, rgbs, h, w, n)
 
             return await asyncio.to_thread(work)
 
@@ -1014,8 +1022,6 @@ class Handlers:
                     else imod._SINGLE_ALGOS[algorithm])
 
         def work():
-            from ..ops import imagehash
-
             rgbs = [imod.decode_rgb(b, pre) for _, b in frames]
             groups: dict[tuple[int, int], list[int]] = {}
             for i, rgb in enumerate(rgbs):
@@ -1023,24 +1029,9 @@ class Handlers:
             fps: list[bytes] = [b""] * len(frames)
             for (h, w), idxs in groups.items():
                 batch = np.stack([rgbs[i] for i in idxs])
-                # power-of-two batch padding: same recompile-bounding
-                # rationale as the deadline batcher above
-                cap = 1 << (len(idxs) - 1).bit_length() if len(idxs) > 1 else 1
-                if cap != len(idxs):
-                    batch = np.concatenate(
-                        [batch, np.repeat(batch[-1:], cap - len(idxs), axis=0)],
-                        axis=0,
-                    )
-                if algorithm == "multi":
-                    out = imod.jax_device_get(
-                        imagehash.multihash_kernel(batch, h, w))
-                    for j, i in enumerate(idxs):
-                        fps[i] = imagehash.serialize_multihash(out, j)
-                else:
-                    out = imod.jax_device_get(
-                        imagehash.single_hash_kernel(batch, h, w, algorithm))
-                    for j, i in enumerate(idxs):
-                        fps[i] = bytes(out[j])
+                hashed = _hash_image_group(algorithm, batch, h, w, len(idxs))
+                for j, i in enumerate(idxs):
+                    fps[i] = hashed[j]
             return fps
 
         try:
