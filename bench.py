@@ -474,14 +474,14 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
                       max(iters // 2, 2)) * 1000.0
 
     # -- sketch prefilter path (UCFP_KNN_QUANT=sketch) -----------------
-    # 512-bit SimHash per row, ASYMMETRIC 4-level scoring + segmented
-    # approx selection + exact int8 rescore of the pool. The pool
-    # fraction is the recall knob, so the bench reports the TRADEOFF:
-    # the default "quality" pool (4.5% of rows) and a "fast" pool
-    # (0.66%), each with p50 and random-query recall@10 vs the exact
-    # int8 ranking (random queries = worst case; planted
-    # near-duplicates = the product workload, measured at the fast
-    # pool where they are hardest).
+    # 768-bit SimHash per row (lane-tiled pallas scan), ASYMMETRIC
+    # 4-level scoring + segmented quota selection + one sorted gather +
+    # exact int8 rescore. The pool fraction is the recall knob, so the
+    # bench reports the TRADEOFF: the default "quality" pool (4.2% of
+    # rows) and a "fast" pool (0.66%), each with p50 and random-query
+    # recall@10 vs the exact int8 ranking (random queries = worst case;
+    # planted near-duplicates = the product workload, measured at the
+    # fast pool where they are hardest).
     from ucfp_tpu.ops import knn as knn_ops
 
     planes = jnp.asarray(knn_ops.sketch_planes(d))

@@ -208,7 +208,8 @@ SKETCH_SEG = 512
 
 
 def sketch_planes(dim: int, seed: int = 0x5EED):
-    """Deterministic Rademacher (+-1) hyperplane matrix [dim, 512].
+    """Deterministic Rademacher (+-1) hyperplane matrix
+    [dim, SKETCH_BITS].
 
     Host-side and seeded by (seed, dim) only, so cache rebuilds and
     process restarts reproduce identical sketches."""
@@ -313,7 +314,7 @@ SKETCH_TILE_R = 256  # grid step covers SKETCH_TILE_R * 128 catalog rows
 
 @jax.jit
 def tile_sketch(packed: jax.Array) -> jax.Array:
-    """[C, 16] u32 row-major -> [C/128, 16, 128] i32 lane-tiled (flat
+    """[C, W] u32 row-major -> [C/128, W, 128] i32 lane-tiled (flat
     row r*128+lane). The Mosaic-friendly layout: the word axis rides
     sublanes, rows ride lanes, and one HBM->VMEM tile copy feeds all 64
     masked popcounts — the row-major layout costs one strided pass over
@@ -439,10 +440,10 @@ def _exact_topk_flat(scores, k):
 @functools.partial(jax.jit, static_argnums=(6, 7))
 def cosine_sketch_topk(
     query: jax.Array,  # [D] f32
-    planes: jax.Array,  # [D, 512] f32
+    planes: jax.Array,  # [D, SKETCH_BITS] f32
     q8: jax.Array,  # [C, D] int8
     row_norm: jax.Array,  # [C] f32
-    sketch: jax.Array,  # [C, 16] uint32
+    sketch: jax.Array,  # [C, W] u32 packed OR [C/128, W, 128] i32 tiled
     valid: jax.Array,  # [C] bool
     k: int,
     pool: int,
@@ -450,8 +451,8 @@ def cosine_sketch_topk(
     """Asymmetric-sketch-prefilter cosine top-k. Returns ([k] scores,
     [k] idx); scores are exact int8 cosines of the rescored pool.
 
-    sketch accepts the lane-tiled [C/128, 16, 128] layout (pallas scan;
-    the serving caches use it) or packed [C, 16] (XLA fallback). Recall
+    sketch accepts the lane-tiled [C/128, W, 128] layout (pallas scan;
+    the serving caches use it) or packed [C, W] (XLA fallback). Recall
     is the pool's coverage of the exact top-k's sketch ranks (see
     DEFAULT_POOL_FRAC table); the pipeline is scan -> segmented
     per-2048-row quota selection -> sorted-unique gather -> exact int8
@@ -470,7 +471,7 @@ def cosine_sketch_topk(
     qsign, masks, wts, cnt, _sigma = sketch_query_plan(query, planes)
     raw = (
         asym_sketch_scores_tiled(sketch, qsign, masks, wts, cnt)
-        if sketch.ndim == 3  # lane-tiled [C/128, 16, 128] (pallas scan)
+        if sketch.ndim == 3  # lane-tiled (pallas scan)
         else asym_sketch_scores(sketch, qsign, masks, wts, cnt)
     )
     score = jnp.where(ok, raw, NEG_INF)
