@@ -689,20 +689,11 @@ def main():
     import os
 
     _prefer_direct_tpu()
-    # persistent compilation cache: tunnel-runtime compiles run minutes
-    # per kernel (the asym-sketch program measured 570 s); caching under
-    # the repo survives across driver rounds so re-runs start hot
-    try:
-        import pathlib
-
-        import jax
-
-        cache = pathlib.Path(__file__).resolve().parent / ".jax_cache"
-        cache.mkdir(exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", str(cache))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
+    # NOTE: a persistent jax compilation cache was tried here and
+    # REMOVED — under the tunneled runtime a bench run with the cache
+    # enabled stalled with no output for 30+ minutes (cache lookup /
+    # serialization interacting badly with the remote backend), and on
+    # the direct chip compiles are cheap enough not to need it.
     profile_dir = os.environ.get("UCFP_PROFILE_DIR")
     ctx = contextlib.nullcontext()
     if profile_dir:
