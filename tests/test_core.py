@@ -46,6 +46,26 @@ def test_query_k_clamped_to_one():
     assert q.k == 1
 
 
+def test_query_pool_frac_quantized_to_tier_ladder():
+    """pool_frac snaps to POOL_FRAC_TIERS at the CORE type: each
+    distinct pool size compiles its own kernel, so the recompile bound
+    must hold for embedded/SDK callers, not just the HTTP handler
+    (advisor r3 finding)."""
+    import pytest
+
+    from ucfp_tpu.core import POOL_FRAC_TIERS
+
+    assert Query(0, Modality.TEXT).pool_frac is None
+    for t in POOL_FRAC_TIERS:
+        assert Query(0, Modality.TEXT, pool_frac=t).pool_frac == t
+    # arbitrary values snap to the nearest tier
+    assert Query(0, Modality.TEXT, pool_frac=0.01).pool_frac == POOL_FRAC_TIERS[0]
+    assert Query(0, Modality.TEXT, pool_frac=0.9).pool_frac == POOL_FRAC_TIERS[-1]
+    for bad in (0.0, -0.1, float("nan")):
+        with pytest.raises(ValueError):
+            Query(0, Modality.TEXT, pool_frac=bad)
+
+
 def test_error_http_mapping():
     # Same taxonomy as reference src/error.rs:9-61.
     want = {

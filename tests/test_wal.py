@@ -261,6 +261,103 @@ class TestGroupCommit:
         w.append_events([self._ev(5)])
         w.close()
 
+    def test_wait_durable_after_close_raises(self, tmp_path):
+        """A waiter arriving after close() must fail fast, never park on
+        a dead writer thread (advisor r3 finding)."""
+        import asyncio
+
+        w = self._wal(tmp_path)
+        seq = w.append_buffered([self._ev(1)])
+        w.sync_until(seq)
+        w.close()
+        with pytest.raises(OSError):
+            # ticket beyond anything committed, registered post-close
+            asyncio.run(w.wait_durable(seq + 10))
+
+    def test_close_fails_parked_waiters(self, tmp_path):
+        """close() with a failing fsync must reject (not strand) waiters
+        whose events never became durable."""
+        import asyncio
+        import threading
+
+        w = self._wal(tmp_path)
+        w.flush()
+        w._inner.flush = lambda: (_ for _ in ()).throw(OSError("EIO"))
+
+        async def wait(seq):
+            await w.wait_durable(seq)
+
+        seq = w.append_buffered([self._ev(2)])
+        result = {}
+
+        def waiter():
+            try:
+                asyncio.run(wait(seq))
+                result["r"] = "ok"
+            except BaseException as e:  # noqa: BLE001
+                result["r"] = e
+
+        t = threading.Thread(target=waiter)
+        t.start()
+        import time
+
+        time.sleep(0.15)  # let at least one fsync round fail
+        w.close()
+        t.join(timeout=5.0)
+        assert not t.is_alive(), "waiter stranded after close"
+        assert isinstance(result.get("r"), OSError)
+
+
+class TestDurabilityGate:
+    def test_degraded_wal_refuses_new_ingest(self, tmp_path):
+        """While the WAL cannot fsync, NEW writes are refused with 503
+        (IngestError) and never applied to memory — bounding the
+        served-but-not-durable divergence window to the writes already
+        in flight at first failure (advisor r3 medium finding)."""
+        import asyncio
+        import time
+
+        from ucfp_tpu.core import IngestError, Modality, Record
+        from ucfp_tpu.index.embedded import EmbeddedBackend
+
+        b = EmbeddedBackend(str(tmp_path / "db"))
+        inner = b._wal._inner
+        orig_flush = inner.flush
+        inner.flush = lambda: (_ for _ in ()).throw(OSError("fsync ENOSPC"))
+        try:
+            # the in-flight write at failure time: applied, lost-ack (500)
+            with pytest.raises(OSError):
+                asyncio.run(b.upsert([
+                    Record(0, 1, Modality.TEXT, "a", b"\x01", text="inflight")
+                ]))
+            # wait until the failed round marks the WAL degraded
+            deadline = time.monotonic() + 5.0
+            while not b._wal.degraded and time.monotonic() < deadline:
+                time.sleep(0.01)
+            assert b._wal.degraded
+            # a NEW write is refused up front and NOT applied to memory
+            with pytest.raises(IngestError):
+                asyncio.run(b.upsert([
+                    Record(0, 2, Modality.TEXT, "a", b"\x02", text="refused")
+                ]))
+            assert (0, 2) not in b._records
+            with pytest.raises(IngestError):
+                asyncio.run(b.delete(0, [1]))
+            # healthz's flush-ping fails too, so orchestrators see it
+            with pytest.raises(OSError):
+                asyncio.run(b.flush())
+        finally:
+            inner.flush = orig_flush
+        # once fsync recovers the retry round drains the buffer, the
+        # gate lifts, and ingest resumes
+        asyncio.run(b.flush())
+        assert not b._wal.degraded
+        asyncio.run(b.upsert([
+            Record(0, 3, Modality.TEXT, "a", b"\x03", text="recovered")
+        ]))
+        assert (0, 3) in b._records
+        b.close()
+
 
 class TestBackendIntegration:
     def test_native_store_survives_restart(self, tmp_path):

@@ -139,6 +139,28 @@ class Hit:
     term_hits: Optional[list[TermHit]] = None
 
 
+# The sketch rescore-pool ladder. Every entry point that accepts a
+# per-request pool override (HTTP recall_tier, Query.pool_frac, direct
+# EmbeddedBackend.knn calls) quantizes to THESE values: each distinct
+# pool size compiles its own XLA kernel (minutes apiece through the
+# tunnel runtime), so a free float would let any embedded/SDK caller
+# force unbounded recompiles — the invariant must hold at the core
+# type, not just at the HTTP layer. Values are re-tuned against
+# driver-captured benchmarks (see ops/knn.py DEFAULT_POOL_FRAC).
+POOL_FRAC_TIERS: tuple[float, ...] = (0.0066, 0.021, 0.042)
+
+
+def quantize_pool_frac(frac: "Optional[float]") -> "Optional[float]":
+    """Snap an arbitrary pool fraction onto POOL_FRAC_TIERS (nearest
+    tier). None passes through (backend default)."""
+    if frac is None:
+        return None
+    f = float(frac)
+    if not (f > 0.0):  # rejects <=0 and NaN in one test
+        raise ValueError("pool_frac must be a positive fraction")
+    return min(POOL_FRAC_TIERS, key=lambda t: abs(t - f))
+
+
 @dataclass
 class Query:
     """Hybrid retrieval request (src/core/mod.rs:153-189)."""
@@ -152,8 +174,9 @@ class Query:
     rrf_k: int = 60
     explain: bool = False
     # per-request sketch pool override (extension): None = the backend
-    # default. Serving exposes only a fixed tier ladder so distinct
-    # values cannot force unbounded kernel recompiles.
+    # default. Quantized to POOL_FRAC_TIERS in __post_init__ so distinct
+    # values cannot force unbounded kernel recompiles — enforced here at
+    # the core type, for every caller, not just the HTTP handler.
     pool_frac: Optional[float] = None
 
     def __post_init__(self) -> None:
@@ -166,3 +189,4 @@ class Query:
             # rrf_k = -1 would divide by zero at rank 1 in the fusion;
             # other negatives silently invert the ranking
             raise ValueError("rrf_k must be >= 0")
+        self.pool_frac = quantize_pool_frac(self.pool_frac)

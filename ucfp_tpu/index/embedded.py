@@ -37,6 +37,7 @@ from ..core import (
     Hit,
     HitSource,
     IndexError_,
+    IngestError,
     Modality,
     Record,
     RecordNotFound,
@@ -922,6 +923,7 @@ class EmbeddedBackend(IndexBackend):
         def apply():
             for rec in records:
                 self._validate_record(rec)
+            self._check_durability(wal)
             with self._lock:
                 # buffered WAL append and memory apply share ONE critical
                 # section, so replay order always equals apply order; the
@@ -935,16 +937,34 @@ class EmbeddedBackend(IndexBackend):
 
         ticket = await asyncio.to_thread(apply)
         if ticket is not None:
-            # durability before ack; if the group fsync fails this raises
-            # (500) — the in-memory rows only outlive the error until the
-            # poisoned WAL stops the server, mirroring a lost-ack write
+            # Durability before ack: a failed group fsync raises here
+            # (500 / lost-ack). The rows WERE applied to memory and stay
+            # queryable — their events sit in the WAL retry buffer, so a
+            # later successful round makes them durable (replay is
+            # upsert-idempotent). While the WAL stays degraded,
+            # _check_durability refuses NEW writes with 503 and /healthz
+            # fails (flush raises), bounding the non-durable divergence
+            # window to the writes already in flight at first failure.
             await wal.wait_durable(ticket)
         await self._maybe_autocompact_async()
+
+    @staticmethod
+    def _check_durability(wal) -> None:
+        """Ingest admission gate: refuse new writes while the WAL cannot
+        commit (persistent fsync failure, e.g. ENOSPC). Without this,
+        memory-applied rows would accumulate unboundedly ahead of a log
+        that never fsyncs — served but lost on restart."""
+        if wal is not None and getattr(wal, "degraded", False):
+            raise IngestError(
+                "write-ahead log durability failure: ingest refused until "
+                "a WAL fsync round succeeds (check disk space/health)"
+            )
 
     async def delete(self, tenant_id: int, record_ids: list[int]) -> None:
         wal = self._wal
 
         def apply():
+            self._check_durability(wal)
             with self._lock:
                 ticket = (wal.append_buffered(
                     [{"op": "delete", "tenant_id": tenant_id,
@@ -988,7 +1008,8 @@ class EmbeddedBackend(IndexBackend):
         return jax.device_put(arr, vs) if vs is not None else jnp.asarray(arr)
 
     def _put_tiled(self, arr):
-        """Placement for the lane-tiled sketch [C/128, 16, 128]: sharded
+        """Placement for the lane-tiled sketch [C/128, SKETCH_WORDS, 128]
+        (SKETCH_WORDS = SKETCH_BITS/32, 24 at the 768-bit width): sharded
         on the tile-row axis (row blocks of 128 align with any
         power-of-two shard split)."""
         if self._mesh is None:
@@ -1076,7 +1097,7 @@ class EmbeddedBackend(IndexBackend):
                 if sketch_on:
                     sk_rows = knn_ops.sketch_rows_int8(
                         q8u_dev, self._sketch_planes(cache.data.shape[1])
-                    ).astype(jnp.int32)  # [n, 16]
+                    ).astype(jnp.int32)  # [n, SKETCH_WORDS]
                     # lane-tiled scatter: row i lives at
                     # [i // 128, :, i % 128]
                     tiled = cache.device[2]
@@ -1198,10 +1219,14 @@ class EmbeddedBackend(IndexBackend):
         Unsupported shapes still surface UnsupportedError.
 
         pool_frac: per-request sketch rescore-pool override (sketch mode
-        only). Callers must quantize to a small ladder — each distinct
-        value compiles its own kernel."""
+        only). Quantized to core.POOL_FRAC_TIERS here — each distinct
+        value compiles its own kernel, so the ladder must hold for
+        direct backend callers, not just Query/HTTP."""
         if not query or k == 0:
             return []
+        from ..core import quantize_pool_frac
+
+        pool_frac = quantize_pool_frac(pool_frac)
         q = np.asarray(query, np.float32)
         if float(np.linalg.norm(q)) == 0.0:
             return []

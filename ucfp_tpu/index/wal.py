@@ -437,11 +437,26 @@ class GroupCommitWal:
         with self._cv:
             if self._committed >= seq:
                 return
+            if self._stopped and not self._writer.is_alive():
+                # the writer already exited (close() raced this waiter);
+                # a future registered now would never be resolved
+                raise OSError("wal closed")
             if self._round_err is not None and not self._buf and not self._in_round:
                 raise self._round_err
             fut: concurrent.futures.Future = concurrent.futures.Future()
             self._futures.append((seq, fut))
         await asyncio.wrap_future(fut)
+
+    @property
+    def degraded(self) -> bool:
+        """True while the last durability round FAILED and its events sit
+        un-fsync'd in the retry buffer. Callers use this as an ingest
+        admission gate: new writes are refused (503) instead of being
+        applied to memory ahead of a WAL that cannot commit, which bounds
+        the served-but-not-durable divergence window to the requests that
+        were already in flight when fsync first failed."""
+        with self._cv:
+            return self._round_err is not None
 
     # -- writer thread -----------------------------------------------------
 
@@ -556,6 +571,12 @@ class GroupCommitWal:
             self._cv.notify_all()
         if self._writer is not threading.current_thread():
             self._writer.join(timeout=10.0)
+        with self._cv:
+            # fail any waiter the writer's exit path missed (a future
+            # registered between stop and the join) — _stopped makes
+            # this reject everything uncommitted, so nothing can park
+            # on a dead writer forever
+            self._resolve_futures_locked()
         self._inner.close()
 
 

@@ -503,8 +503,16 @@ class Handlers:
         # per-request sketch recall tier (extension; sketch mode only).
         # A fixed ladder, NOT a free float: each distinct pool size
         # compiles its own kernel, so arbitrary values would let one
-        # client force unbounded recompiles.
-        RECALL_TIERS = {"fast": 0.0066, "balanced": 0.021, "high": None}
+        # client force unbounded recompiles. The tier fractions are the
+        # core ladder (core.POOL_FRAC_TIERS) — Query.__post_init__
+        # re-quantizes, so these stay aligned by construction.
+        from ..core import POOL_FRAC_TIERS
+
+        RECALL_TIERS = {
+            "fast": POOL_FRAC_TIERS[0],
+            "balanced": POOL_FRAC_TIERS[1],
+            "high": None,
+        }
         tier = body.get("recall_tier")
         if tier is not None and tier not in RECALL_TIERS:
             raise HttpError(
