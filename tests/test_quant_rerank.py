@@ -296,6 +296,10 @@ class TestSketchPrefilter:
 
     def test_backend_sketch_mode(self, tmp_path, monkeypatch):
         monkeypatch.setenv("UCFP_SHARD", "off")
+        # force the sketch kernel: at this scale the cost model would
+        # (correctly) route to the exact scan, but this test exercises
+        # the sketch path itself
+        monkeypatch.setenv("UCFP_SKETCH_COST_MODEL", "0")
         rng = np.random.default_rng(3)
         vecs = rng.normal(size=(300, 24)).astype(np.float32)
         vec = lambda i: [float(x) for x in vecs[i]]
@@ -325,6 +329,7 @@ class TestSketchPrefilter:
     def test_backend_sketch_large_is_marked_approximate(self, tmp_path,
                                                         monkeypatch):
         monkeypatch.setenv("UCFP_SHARD", "off")
+        monkeypatch.setenv("UCFP_SKETCH_COST_MODEL", "0")
         rng = np.random.default_rng(4)
         # capacity 8192 -> pool 2048, pool*2 < capacity: the kernel
         # thresholds instead of rescoring exhaustively -> approximate.
@@ -402,6 +407,7 @@ class TestRecallTier:
 
         monkeypatch.setenv("UCFP_KNN_QUANT", "sketch")
         monkeypatch.setenv("UCFP_SHARD", "off")
+        monkeypatch.setenv("UCFP_SKETCH_COST_MODEL", "0")
         app, state = make_app(tmp_path)
         rng = np.random.default_rng(2)
         vecs = rng.normal(size=(5000, 16)).astype(np.float32)
@@ -429,6 +435,7 @@ class TestSketchFilter:
         per-candidate validity from the masked scores, not an index
         compare (which returned 5/5 filter-VIOLATING hits)."""
         monkeypatch.setenv("UCFP_SHARD", "off")
+        monkeypatch.setenv("UCFP_SKETCH_COST_MODEL", "0")
         rng = np.random.default_rng(9)
         n = 200
         vecs = rng.normal(size=(n, 16)).astype(np.float32)
@@ -449,6 +456,7 @@ class TestSketchFilter:
                                                    monkeypatch):
         """Same contract through the SEGMENTED branch (pool*2 < cap)."""
         monkeypatch.setenv("UCFP_SHARD", "off")
+        monkeypatch.setenv("UCFP_SKETCH_COST_MODEL", "0")
         rng = np.random.default_rng(10)
         n = 5000  # cap 8192, pool 2048 -> segmented path
         vecs = rng.normal(size=(n, 16)).astype(np.float32)
@@ -466,3 +474,72 @@ class TestSketchFilter:
                          filter={"algorithm": "special"}))
         assert hits and hits[0].record_id == target
         assert all(h.record_id % 7 == 0 for h in hits)
+
+
+class TestSketchCostModel:
+    """Round-4 directive: sketch serving must never be worse than exact.
+    The dispatch models sketch-pipeline vs exhaustive-int8-scan cost at
+    the current (capacity, pool) and serves the exact path when it wins
+    (ops/knn.py sketch_beats_exact; reference latency-graduation bar:
+    docs/ARCHITECTURE.md:44-53)."""
+
+    def test_model_prefers_sketch_only_at_scale(self):
+        pool = knn_ops.sketch_pool(10_000_000, 10)
+        # 10M x 768: exact streams 7.7 GB (~9.5 ms), sketch ~6.5 ms
+        assert knn_ops.sketch_beats_exact(10_000_000, 768, pool)
+        # 1M x 768: exact is ~1.1 ms — sketch overhead cannot win
+        assert not knn_ops.sketch_beats_exact(
+            1_000_000, 768, knn_ops.sketch_pool(1_000_000, 10))
+        # small catalogs: pool covers the catalog, exact strictly cheaper
+        assert not knn_ops.sketch_beats_exact(
+            8192, 768, knn_ops.sketch_pool(8192, 10))
+        # narrow rows: the sketch (96 B) is WIDER than a 64-d int8 row
+        assert not knn_ops.sketch_beats_exact(
+            10_000_000, 64, knn_ops.sketch_pool(10_000_000, 10))
+
+    def test_model_constants_env_overridable(self, monkeypatch):
+        pool = knn_ops.sketch_pool(10_000_000, 10)
+        assert knn_ops.sketch_beats_exact(10_000_000, 768, pool)
+        # an operator measuring a slow gather (contended runtime) can
+        # recalibrate without a code change
+        monkeypatch.setenv("UCFP_COST_GATHER_NS", "50")
+        assert not knn_ops.sketch_beats_exact(10_000_000, 768, pool)
+
+    def test_dispatch_serves_exact_when_model_says_so(self, tmp_path,
+                                                      monkeypatch):
+        """At a scale where the model prefers exact, sketch mode must
+        (a) not invoke the sketch kernel, (b) return the exact int8
+        ranking, (c) not mark the response approximate."""
+        monkeypatch.setenv("UCFP_SHARD", "off")
+        calls = {"sketch": 0}
+        orig = knn_ops.cosine_sketch_topk
+
+        def spy(*a, **kw):
+            calls["sketch"] += 1
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(knn_ops, "cosine_sketch_topk", spy)
+        rng = np.random.default_rng(6)
+        n = 5000
+        vecs = rng.normal(size=(n, 16)).astype(np.float32)
+        recs = [Record(0, i, Modality.TEXT, "e", b"x",
+                       embedding=[float(x) for x in vecs[i]])
+                for i in range(n)]
+        bs = EmbeddedBackend(str(tmp_path / "s"), knn_quant="sketch")
+        b8 = EmbeddedBackend(str(tmp_path / "i"), knn_quant="int8")
+        run(bs.upsert(recs))
+        run(b8.upsert(recs))
+        q = [float(x) for x in vecs[777]]
+        hs = run(bs.knn(0, q, 5))
+        assert calls["sketch"] == 0, "sketch kernel ran despite cost model"
+        h8 = run(b8.knn(0, q, 5))
+        assert [(h.record_id, round(h.score, 6)) for h in hs] == \
+               [(h.record_id, round(h.score, 6)) for h in h8]
+        assert not bs.knn_is_approximate(0, 16, 5)
+        # the same query with the model disabled rides the sketch kernel
+        monkeypatch.setenv("UCFP_SKETCH_COST_MODEL", "0")
+        hs2 = run(bs.knn(0, q, 5))
+        assert calls["sketch"] == 1
+        assert hs2[0].record_id == 777
+        bs.close()
+        b8.close()

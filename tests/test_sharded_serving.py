@@ -302,7 +302,10 @@ class TestShardedSketch:
     """UCFP_KNN_QUANT=sketch under the mesh: each shard runs the sketch
     prefilter + exact int8 rescore over its rows, two-stage merge."""
 
-    def test_sharded_sketch_single_query(self, tmp_path):
+    def test_sharded_sketch_single_query(self, tmp_path, monkeypatch):
+        # force the sketch kernel: at test scale the serving cost model
+        # would (correctly) route to the exact sharded scan
+        monkeypatch.setenv("UCFP_SKETCH_COST_MODEL", "0")
         be = _mk(tmp_path, "sk", knn_quant="sketch")
         assert be._mesh is not None
         embs = _ingest_vectors(be, n=64, d=16, seed=7)
@@ -317,9 +320,10 @@ class TestShardedSketch:
         assert dev[2].shape[1] == knn_ops.SKETCH_WORDS
         be.close()
 
-    def test_sharded_sketch_matches_int8_small(self, tmp_path):
+    def test_sharded_sketch_matches_int8_small(self, tmp_path, monkeypatch):
         # pool covers every shard's rows -> results identical to the
         # sharded int8 scan
+        monkeypatch.setenv("UCFP_SKETCH_COST_MODEL", "0")
         bs = _mk(tmp_path, "s2", knn_quant="sketch")
         b8 = _mk(tmp_path, "i2", knn_quant="int8")
         embs = _ingest_vectors(bs, n=48, d=12, seed=3)
@@ -333,7 +337,8 @@ class TestShardedSketch:
                [(h.record_id, round(h.score, 5)) for h in h8]
         bs.close(); b8.close()
 
-    def test_sharded_sketch_batch_and_update(self, tmp_path):
+    def test_sharded_sketch_batch_and_update(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("UCFP_SKETCH_COST_MODEL", "0")
         be = _mk(tmp_path, "s3", knn_quant="sketch")
         embs = _ingest_vectors(be, n=40, d=16, seed=9)
         res = asyncio.run(be.knn_batch(
@@ -354,6 +359,7 @@ class TestMultiSliceSketch:
         """Sketch prefilter over the (slice, ICI) 2-D mesh: per-shard
         pools + hierarchical two-stage merge."""
         monkeypatch.setenv("UCFP_MESH_SHAPE", "2x4")
+        monkeypatch.setenv("UCFP_SKETCH_COST_MODEL", "0")
         be = _mk(tmp_path, "sk2d", knn_quant="sketch")
         assert be._mesh_axes == ("s", "d")
         embs = _ingest_vectors(be, n=64, d=16, seed=13)

@@ -1164,6 +1164,53 @@ class EmbeddedBackend(IndexBackend):
         n_candidates = (cap // tile) * pallas_scan.LANES
         return cap % tile == 0 and min(k, n) <= min(16, n_candidates)
 
+    def _n_shards(self) -> int:
+        return int(self._mesh.devices.size) if self._mesh is not None else 1
+
+    def _sketch_worth_it(self, q8m_cap: int, dim: int, k: int,
+                         pool_frac: "float | None") -> bool:
+        """Cost-model gate for the sketch prefilter: serve it only when
+        the modeled sketch pipeline beats the exhaustive int8 scan at
+        this (capacity, pool). Under a mesh both capacity and pool
+        divide by the shard count (sharded_knn.py per-shard pool), so
+        the model runs on per-shard values — mirroring what each chip
+        actually executes."""
+        cand = knn_ops.sketch_pool(q8m_cap, k, pool_frac)
+        nsh = self._n_shards()
+        cap_l = max(1, q8m_cap // nsh)
+        # per-shard pool mirrors _sharded_cosine_sketch_impl's floor
+        cand_l = min(cap_l, max(512, 16 * k, -(-cand * cap_l // q8m_cap))) \
+            if nsh > 1 else cand
+        return knn_ops.sketch_beats_exact(cap_l, dim, cand_l)
+
+    def _int8_single_topk(self, q, q8m, row_norm, valid, kk: int, n: int):
+        """Exact single-query int8 cosine top-k (single chip): the fused
+        GEMV + pallas partial-reduce when shapes allow (near-exact for
+        k <= 16, exact top-1 — the exact kernel's lax.top_k over the
+        full row count costs ~7x more at 10M), else the exact kernel."""
+        from ..ops import pallas_scan
+
+        if self._fused_pool_ok(q8m.shape[0], n, kk):
+            import jax
+            import jax.numpy as jnp
+
+            qa = float(np.abs(q).max())
+            qs = 1.0 if qa == 0.0 else qa / 127.0
+            qq = jnp.asarray(
+                np.clip(np.round(q / qs), -127, 127).astype(np.int8)
+            )
+            dots = jax.lax.dot_general(
+                qq[None, :], q8m, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )[0].astype(jnp.float32)
+            qn = float(np.linalg.norm(np.asarray(qq, np.float32)))
+            denom = max(qn, 1e-9) * jnp.maximum(row_norm, 1e-9)
+            ok = valid & (row_norm > 0.0)
+            sc = jnp.where(ok, dots / denom, -jnp.inf)
+            s1, i1 = pallas_scan.scores_topk_fused(sc, kk)
+            return s1[None, :], i1[None, :]
+        return knn_ops.cosine_topk_int8(q[None], q8m, row_norm, valid, kk)
+
     def knn_is_approximate(self, tenant_id: int, dim: int, k: int,
                            batch: bool = False,
                            pool_frac: "float | None" = None) -> bool:
@@ -1179,15 +1226,22 @@ class EmbeddedBackend(IndexBackend):
         if cache is None or cache.n == 0 or cache.data is None:
             return False
         if self._sketch_on() and not batch:
-            # candidate recall bounds result quality whenever the pool
-            # does not cover the whole catalog (under a mesh each shard
-            # keeps its own pool, so the aggregate only grows — this
-            # marker stays conservative)
-            # mirrors cosine_sketch_topk's dispatch exactly: the kernel
-            # rescores EVERY row (exact) when pool * 2 >= capacity, and
-            # capacity <= 2n makes pool >= n impossible below that line
             cap = cache.data.shape[0]
-            return knn_ops.sketch_pool(cap, k, pool_frac) * 2 < cap
+            if not self._sketch_worth_it(cap, dim, k, pool_frac):
+                # the cost model routed this query to the EXACT int8
+                # path (sketch must never serve slower than exact) —
+                # fall through to that path's own marker below
+                pass
+            else:
+                # candidate recall bounds result quality whenever the
+                # pool does not cover the whole catalog (under a mesh
+                # each shard keeps its own pool, so the aggregate only
+                # grows — this marker stays conservative)
+                # mirrors cosine_sketch_topk's dispatch exactly: the
+                # kernel rescores EVERY row (exact) when pool * 2 >=
+                # capacity, and capacity <= 2n makes pool >= n
+                # impossible below that line
+                return knn_ops.sketch_pool(cap, k, pool_frac) * 2 < cap
         if self._mesh is not None:
             return False
         return self._fused_pool_ok(cache.data.shape[0], cache.n, k)
@@ -1264,7 +1318,10 @@ class EmbeddedBackend(IndexBackend):
                 # per-chip top-k + all_gather merge (sharded_knn.py)
                 from ..parallel import sharded_knn
 
-                if self.knn_quant == "sketch":
+                if self.knn_quant == "sketch" and self._sketch_worth_it(
+                    q8m_cap=dev[0].shape[0], dim=len(query), k=kk,
+                    pool_frac=pool_frac,
+                ):
                     import jax.numpy as jnp
 
                     q8m, row_norm, sketch, valid = dev
@@ -1275,8 +1332,11 @@ class EmbeddedBackend(IndexBackend):
                         self._mesh, self._mesh_axes,
                     )
                     scores, idx = s1[None, :], i1[None, :]
-                elif self.knn_quant == "int8":
-                    q8m, row_norm, valid = dev
+                elif self.knn_quant in ("int8", "sketch"):
+                    # exact sharded int8 scan — also the sketch-mode
+                    # fallback when the cost model says exact wins
+                    # (sketch must never serve slower than exact)
+                    q8m, row_norm, valid = dev[0], dev[1], dev[-1]
                     scores, idx = sharded_knn.sharded_cosine_int8_batch_topk(
                         q[None], q8m, row_norm, valid, kk, self._mesh,
                         self._mesh_axes,
@@ -1287,7 +1347,10 @@ class EmbeddedBackend(IndexBackend):
                         q[None], matrix, valid, kk, self._mesh,
                         self._mesh_axes,
                     )
-            elif self._sketch_on():
+            elif self._sketch_on() and self._sketch_worth_it(
+                q8m_cap=dev[0].shape[0], dim=len(query), k=kk,
+                pool_frac=pool_frac,
+            ):
                 import jax.numpy as jnp
 
                 q8m, row_norm, sketch, valid = dev
@@ -1297,37 +1360,13 @@ class EmbeddedBackend(IndexBackend):
                     q8m, row_norm, sketch, valid, kk, cand,
                 )
                 scores, idx = s1[None, :], i1[None, :]
-            elif self.knn_quant == "int8":
-                q8m, row_norm, valid = dev
-                from ..ops import pallas_scan
-
-                if self._fused_pool_ok(q8m.shape[0], cache.n, kk):
-                    # same fused GEMV + pallas partial-reduce path as
-                    # knn_batch (near-exact for k <= 16, exact top-1);
-                    # the exact kernel's lax.top_k over the full row
-                    # count costs ~7x more at 10M
-                    import jax
-                    import jax.numpy as jnp
-
-                    qa = float(np.abs(q).max())
-                    qs = 1.0 if qa == 0.0 else qa / 127.0
-                    qq = jnp.asarray(
-                        np.clip(np.round(q / qs), -127, 127).astype(np.int8)
-                    )
-                    dots = jax.lax.dot_general(
-                        qq[None, :], q8m, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.int32,
-                    )[0].astype(jnp.float32)
-                    qn = float(np.linalg.norm(np.asarray(qq, np.float32)))
-                    denom = max(qn, 1e-9) * jnp.maximum(row_norm, 1e-9)
-                    ok = valid & (row_norm > 0.0)
-                    sc = jnp.where(ok, dots / denom, -jnp.inf)
-                    s1, i1 = pallas_scan.scores_topk_fused(sc, kk)
-                    scores, idx = s1[None, :], i1[None, :]
-                else:
-                    scores, idx = knn_ops.cosine_topk_int8(
-                        q[None], q8m, row_norm, valid, kk
-                    )
+            elif self.knn_quant in ("int8", "sketch"):
+                # exact int8 scan — also the sketch-mode fallback when
+                # the cost model says exact wins at this capacity/pool
+                q8m, row_norm, valid = dev[0], dev[1], dev[-1]
+                scores, idx = self._int8_single_topk(
+                    q, q8m, row_norm, valid, kk, cache.n
+                )
             else:
                 matrix, valid = dev
                 if self._fused_pool_ok(matrix.shape[0], cache.n, kk):

@@ -518,6 +518,78 @@ def cosine_sketch_topk(
                           sorted_unique=(pad == 0))
 
 
+# -- sketch-vs-exact dispatch cost model -------------------------------------
+#
+# The sketch prefilter is only worth serving when its modeled latency
+# beats the exhaustive int8 scan at the SAME capacity — otherwise a user
+# who turns on UCFP_KNN_QUANT=sketch would get marked-approximate
+# answers SLOWER than exact (round-3 driver capture showed exactly this
+# under a contended runtime). The serving dispatch
+# (index/embedded.py knn) evaluates this model per (capacity, pool) and
+# falls back to the exact int8 scan when the model says exact wins.
+#
+# Terms (all measured on one v5e, round 3/4; see BENCH_r04):
+#   exact  = cap*dim bytes streamed at HBM rate
+#   sketch = cap*SKETCH_BITS/8 bytes streamed (pallas scan)
+#          + segmented selection (~select_us per quota unit)
+#          + pool gather+rescore (~gather_ns PER CANDIDATE ROW — the
+#            TPU gather constant; layout/batching do not move it)
+# Constants are env-overridable (UCFP_COST_HBM_GBPS, UCFP_COST_GATHER_NS,
+# UCFP_COST_SELECT_US, UCFP_COST_BASE_MS) so operators can recalibrate
+# for their own chips without a code change; UCFP_SKETCH_COST_MODEL=0
+# disables the fallback entirely (bench/debug).
+
+_COST_DEFAULTS = {
+    "hbm_gbps": 819.0,   # v5e HBM stream bandwidth
+    "gather_ns": 10.0,   # per candidate row, data-dependent gather
+    "select_us": 16.0,   # approx_max_k cost per per-segment quota unit
+    "base_ms": 0.35,     # query plan + fixed small kernels + dispatch
+}
+
+
+def _cost_const(name: str) -> float:
+    import os
+
+    return float(
+        os.environ.get(f"UCFP_COST_{name.upper()}", "")
+        or _COST_DEFAULTS[name]
+    )
+
+
+def exact_scan_model_ms(cap: int, dim: int) -> float:
+    """Modeled p50 of the exhaustive single-query int8 scan: it streams
+    the whole [cap, dim] int8 matrix once (HBM-bound)."""
+    return cap * dim / (_cost_const("hbm_gbps") * 1e6) + 0.2
+
+
+def sketch_model_ms(cap: int, dim: int, pool: int) -> float:
+    """Modeled p50 of the sketch-prefilter pipeline at (cap, pool)."""
+    scan = cap * (SKETCH_BITS // 8) / (_cost_const("hbm_gbps") * 1e6)
+    nseg = -(-cap // SKETCH_SEG)
+    quota = min(SKETCH_SEG, max(8, -(-int(pool * 1.3) // nseg)))
+    select = quota * _cost_const("select_us") / 1e3
+    gather = pool * _cost_const("gather_ns") / 1e6
+    rescore = pool * dim / (_cost_const("hbm_gbps") * 1e6)
+    return scan + select + gather + rescore + _cost_const("base_ms")
+
+
+def sketch_beats_exact(cap: int, dim: int, pool: int) -> bool:
+    """Serving dispatch predicate: True when the sketch pipeline is
+    modeled FASTER than the exhaustive int8 scan at this capacity.
+    When False the backend serves the exact path (unmarked) — sketch
+    mode must never be slower than exact."""
+    import os
+
+    if os.environ.get("UCFP_SKETCH_COST_MODEL", "1") == "0":
+        return True
+    if pool * 2 >= cap:
+        # the kernel itself degenerates to an exhaustive exact rescore
+        # (cosine_sketch_topk's own fallback) — exact scan is strictly
+        # cheaper than sketch-scan-plus-exhaustive-rescore
+        return False
+    return sketch_model_ms(cap, dim, pool) < exact_scan_model_ms(cap, dim)
+
+
 def sketch_pool(n: int, k: int, frac: float | None = None) -> int:
     """Rescore-pool size (the recall knob): max(2048, 64k, frac*n),
     capped at n. frac defaults to UCFP_SKETCH_POOL_FRAC or

@@ -19,6 +19,16 @@ def main() -> None:
 
     import os
 
+    # UCFP_JAX_PLATFORM=cpu runs host-only (no accelerator claimed).
+    # A plain JAX_PLATFORMS env var is NOT enough on hosts whose TPU
+    # plugin injects itself ahead of env vars — the config update after
+    # import is the reliable override.
+    plat = os.environ.get("UCFP_JAX_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
     bind = args.bind or os.environ.get("UCFP_BIND", "127.0.0.1:8080")
     # on-demand kernel tracing (SURVEY §5: JAX profiler + Perfetto are
     # the TPU equivalent of the reference's tracing stack): point
