@@ -71,6 +71,75 @@ class TestTokenize:
         assert len(rec.fingerprint) == 1032
 
 
+DICT_DIR = str(
+    __import__("pathlib").Path(__file__).parent / "fixtures" / "cjk_dict"
+)
+
+
+class TestCjkDictionary:
+    """UCFP_CJK_DICT: user-mounted lexicon upgrades the dictionary-free
+    Han-bigram default to min-cost Viterbi segmentation (the reference's
+    Lindera/KoDic morphology seam, src/modality/text.rs:30-33), and its
+    content hash re-versions config_hash like UCFP_MODEL_DIR does for
+    encoders."""
+
+    def test_dictionary_changes_tokens(self, monkeypatch):
+        text = "東京大学の学生"
+        base = tmod.tokenize(text, "cjk")
+        monkeypatch.setenv("UCFP_CJK_DICT", DICT_DIR)
+        toks = tmod.tokenize(text, "cjk")
+        assert toks != base
+        # the compound is cheaper than 東京+大学 (explicit cost 0.5)
+        assert "東京大学" in toks
+        assert "学生" in toks
+
+    def test_viterbi_prefers_known_words(self, monkeypatch):
+        monkeypatch.setenv("UCFP_CJK_DICT", DICT_DIR)
+        assert tmod.tokenize("日本語", "cjk") == ["日本語"]
+        # unknown chars degrade to singles around known words
+        toks = tmod.tokenize("中文分词真好", "cjk")
+        assert toks[:2] == ["中文", "分词"]
+        assert toks[2:] == ["真", "好"]
+
+    def test_mixed_script_with_dictionary(self, monkeypatch):
+        monkeypatch.setenv("UCFP_CJK_DICT", DICT_DIR)
+        toks = tmod.tokenize("I study 日本語 and 한국어!", "cjk")
+        assert "日本語" in toks and "한국어" in toks
+        assert "study" in toks and "I" in toks
+        # kanji+kana crossing scripts segments as one run: the verb
+        # 食べる (kanji + okurigana) must survive intact
+        assert "食べる" in tmod.tokenize("毎日食べる", "cjk")
+
+    def test_config_hash_versions_with_dictionary(self, monkeypatch):
+        text = "東京大学の学生"
+        opts = tmod.TextOpts(tokenizer="cjk")
+        base = tmod.fingerprint_minhash(text, 0, 1, opts)
+        monkeypatch.setenv("UCFP_CJK_DICT", DICT_DIR)
+        with_dict = tmod.fingerprint_minhash(text, 0, 1, opts)
+        assert with_dict.config_hash != base.config_hash
+        assert with_dict.fingerprint != base.fingerprint
+        # word tokenizer records are untouched by the dictionary
+        w0 = tmod.fingerprint_minhash("plain text", 0, 1)
+        monkeypatch.delenv("UCFP_CJK_DICT")
+        assert tmod.fingerprint_minhash(
+            "plain text", 0, 1).config_hash == w0.config_hash
+
+    def test_bad_dictionary_surfaces_modality_error(self, monkeypatch,
+                                                    tmp_path):
+        import pytest
+
+        from ucfp_tpu.core import ModalityError
+
+        monkeypatch.setenv("UCFP_CJK_DICT", str(tmp_path / "missing"))
+        with pytest.raises(ModalityError):
+            tmod.tokenize("東京", "cjk")
+        empty = tmp_path / "empty"
+        empty.mkdir()
+        monkeypatch.setenv("UCFP_CJK_DICT", str(empty))
+        with pytest.raises(ModalityError):
+            tmod.tokenize("東京", "cjk")
+
+
 class TestMinHash:
     def test_wire_layout(self):
         rec = tmod.fingerprint_minhash(PANGRAM, 0, 1)

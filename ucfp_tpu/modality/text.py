@@ -174,20 +174,153 @@ def _is_hangul(ch: str) -> bool:
     return 0xAC00 <= cp <= 0xD7AF or 0x1100 <= cp <= 0x11FF
 
 
+# -- pluggable CJK dictionary segmentation ----------------------------------
+#
+# The reference's txtfp segments Japanese/Korean with Lindera/KoDic
+# morphological dictionaries (src/modality/text.rs:30-33) — multi-MB
+# artifacts not vendorable here. The UCFP_CJK_DICT escape hatch mirrors
+# the UCFP_MODEL_DIR pattern that upgrades encoders: point it at a
+# directory of lexicon files (*.txt / *.tsv, one `word[<TAB>cost]` per
+# line, '#' comments) and CJK runs are segmented by min-cost Viterbi
+# over the lexicon (longest-match falls out of the cost structure:
+# covering a run with fewer, longer dictionary words is cheaper).
+# Without a dictionary the dictionary-FREE default stays: Han bigrams +
+# whole kana/hangul runs (a bigram postings index retrieves any
+# dictionary segmentation of the same text). The dictionary's content
+# hash is folded into config_hash (see _opts_config_hash), so records
+# cut with different lexicons refuse comparison instead of silently
+# mismatching.
+
+_UNKNOWN_CHAR_COST = 2.0  # per char not covered by any lexicon word
+_DEFAULT_WORD_COST = 1.0  # per lexicon word without an explicit cost
+
+_cjk_dict_cache: dict = {}
+
+
+def _load_cjk_dict(dict_dir: str):
+    """Parse every *.txt / *.tsv lexicon under dict_dir. Returns
+    (words: {str: cost}, max_word_len, spec: 'dict-<hash16>'), cached
+    per directory path for the process lifetime."""
+    cached = _cjk_dict_cache.get(dict_dir)
+    if cached is not None:
+        return cached
+    import hashlib
+    import os
+
+    words: dict[str, float] = {}
+    try:
+        names = sorted(
+            f for f in os.listdir(dict_dir)
+            if f.endswith((".txt", ".tsv"))
+        )
+    except OSError as e:
+        raise ModalityError(f"UCFP_CJK_DICT unreadable: {e}") from e
+    for name in names:
+        with open(os.path.join(dict_dir, name), encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                parts = line.split("\t")
+                w = parts[0]
+                if not w:
+                    continue
+                try:
+                    cost = float(parts[1]) if len(parts) > 1 \
+                        else _DEFAULT_WORD_COST
+                except ValueError as e:
+                    raise ModalityError(
+                        f"bad cost in {name}: {line!r}"
+                    ) from e
+                words[w] = cost
+    if not words:
+        raise ModalityError(f"UCFP_CJK_DICT has no lexicon entries: {dict_dir}")
+    h = hashlib.sha256()
+    for w in sorted(words):
+        h.update(f"{w}\t{words[w]}\n".encode())
+    out = (words, max(len(w) for w in words),
+           f"dict-{h.hexdigest()[:16]}")
+    _cjk_dict_cache[dict_dir] = out
+    return out
+
+
+def _active_cjk_dict():
+    """The (words, maxlen, spec) for UCFP_CJK_DICT, or None."""
+    import os
+
+    d = os.environ.get("UCFP_CJK_DICT")
+    return _load_cjk_dict(d) if d else None
+
+
+def cjk_dict_spec() -> str:
+    """Config-hash component for the active CJK lexicon ('' without
+    one) — mounting/changing a dictionary re-versions every cjk-token
+    fingerprint, like UCFP_MODEL_DIR does for encoder fingerprints."""
+    active = _active_cjk_dict()
+    return active[2] if active else ""
+
+
+def _viterbi_segment(run: str, words: dict, maxlen: int) -> list[str]:
+    """Min-cost segmentation of a CJK run: lexicon words cost their
+    dictionary cost, uncovered chars cost _UNKNOWN_CHAR_COST each —
+    so known words (the longer the better) dominate, and unknown
+    spans degrade to single-char tokens."""
+    n = len(run)
+    inf = float("inf")
+    best = [inf] * (n + 1)
+    back = [0] * (n + 1)
+    best[0] = 0.0
+    for i in range(n):
+        bi = best[i]
+        if bi == inf:
+            continue
+        # unknown single char (always available: keeps dp connected)
+        c1 = bi + words.get(run[i], _UNKNOWN_CHAR_COST)
+        if c1 < best[i + 1]:
+            best[i + 1], back[i + 1] = c1, i
+        for ln in range(2, min(maxlen, n - i) + 1):
+            cost = words.get(run[i : i + ln])
+            if cost is not None and bi + cost < best[i + ln]:
+                best[i + ln], back[i + ln] = bi + cost, i
+    toks: list[str] = []
+    j = n
+    while j > 0:
+        i = back[j]
+        toks.append(run[i:j])
+        j = i
+    toks.reverse()
+    return toks
+
+
+def _is_cjk(ch: str) -> bool:
+    return _is_han(ch) or _is_kana(ch) or _is_hangul(ch)
+
+
 def tokenize_cjk(text: str) -> list[str]:
-    """Script-aware CJK tokenization (documented divergence from the
-    reference's Lindera/KoDic dictionary morphology, which needs
-    multi-MB dictionaries unavailable in this build): Han runs emit
-    character BIGRAMS (the standard dictionary-free CJK indexing
-    scheme — a bigram postings index retrieves any dictionary
-    segmentation of the same text), kana and hangul runs emit whole
-    script runs, everything else goes through the word tokenizer."""
+    """Script-aware CJK tokenization. With UCFP_CJK_DICT mounted, every
+    contiguous CJK run (Han + kana + hangul together — real morphology
+    crosses script boundaries, e.g. kanji+okurigana verbs) is segmented
+    by min-cost Viterbi over the user lexicon. Without a dictionary
+    (the default; documented divergence from the reference's
+    Lindera/KoDic morphology): Han runs emit character BIGRAMS (the
+    standard dictionary-free CJK indexing scheme — a bigram postings
+    index retrieves any dictionary segmentation of the same text), kana
+    and hangul runs emit whole script runs, everything else goes
+    through the word tokenizer."""
+    active = _active_cjk_dict()
     out: list[str] = []
     i = 0
     n = len(text)
     while i < n:
         ch = text[i]
-        if _is_han(ch):
+        if active is not None and _is_cjk(ch):
+            j = i
+            while j < n and _is_cjk(text[j]):
+                j += 1
+            words, maxlen, _spec = active
+            out.extend(_viterbi_segment(text[i:j], words, maxlen))
+            i = j
+        elif _is_han(ch):
             j = i
             while j < n and _is_han(text[j]):
                 j += 1
@@ -237,13 +370,21 @@ def shingles_of(tokens: list[str], k: int) -> list[str]:
 
 
 def _opts_config_hash(algorithm: str, opts: TextOpts) -> int:
+    tok_spec = f"{opts.tokenizer}:{TOKENIZER_SPEC}"
+    if opts.tokenizer == "cjk":
+        # the lexicon changes the token stream, so its content hash
+        # versions the fingerprint; '' (no dict) keeps existing
+        # Han-bigram hashes stable
+        dict_spec = cjk_dict_spec()
+        if dict_spec:
+            tok_spec = f"{tok_spec}:{dict_spec}"
     return config_hash64(
         algorithm,
         k=opts.k,
         h=opts.h,
         # spec-versioned: a tokenizer behavior change (e.g. the round-3
         # UAX#29 upgrade) must version every fingerprint it can affect
-        tokenizer=f"{opts.tokenizer}:{TOKENIZER_SPEC}",
+        tokenizer=tok_spec,
         normalization=opts.normalization,
         case_fold=opts.case_fold,
         strip_bidi=opts.strip_bidi,
