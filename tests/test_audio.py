@@ -309,6 +309,120 @@ class TestWatermark:
         assert not rep.detected and rep.confidence == 0.0
 
 
+def program_audio(secs=5.2, seed=0, rms=0.3):
+    """Program-like test audio: low-passed noise at a given rms (what
+    the spread-spectrum mark actually has to survive on — a pure tone
+    is both easier for correlation and unrepresentative)."""
+    rng = np.random.default_rng(seed)
+    n = int(8000 * secs)
+    x = rng.normal(size=n + 64).astype(np.float32)
+    kern = np.hanning(33).astype(np.float32)
+    x = np.convolve(x, kern / kern.sum(), mode="same")[:n]
+    return (x / (np.sqrt(np.mean(x * x)) + 1e-12) * rms).astype(np.float32)
+
+
+class TestWatermarkRobustness:
+    """The attack envelope (docs/api-reference.md): graded additive
+    noise, linear gain, time shift, linear resample, clipping — each
+    must keep the RIGHT key detecting (payload intact) and the WRONG
+    key blind. Reference capability: AudioSeal's channel-robust
+    detector (audio.rs:333-400); this is the classical equivalent via
+    z-score decode + keyed-pilot sync/rate search."""
+
+    CFG = amod.WatermarkConfig(key="tenant-7-secret")
+    PAYLOAD = 0xC0DE
+
+    def _marked(self, seed=1):
+        x = program_audio(seed=seed)
+        return amod.embed_watermark(x, 8000, payload=self.PAYLOAD,
+                                    cfg=self.CFG)
+
+    def _assert_detected(self, y, note):
+        rep = amod.detect_watermark(y, 8000, self.CFG)
+        assert rep.detected, f"{note}: confidence={rep.confidence:.3f}"
+        assert rep.payload == self.PAYLOAD, note
+        return rep
+
+    def test_additive_noise_graded_snr(self):
+        marked = self._marked()
+        rng = np.random.default_rng(9)
+        sig_rms = float(np.sqrt(np.mean(marked**2)))
+        for snr_db in (20.0, 10.0, 0.0):
+            noise_rms = sig_rms / (10.0 ** (snr_db / 20.0))
+            noisy = marked + rng.normal(
+                size=len(marked)).astype(np.float32) * noise_rms
+            self._assert_detected(noisy, f"snr={snr_db}dB")
+
+    def test_amplitude_scale(self):
+        marked = self._marked()
+        for gain in (0.25, 2.0):
+            self._assert_detected(marked * gain, f"gain={gain}")
+
+    def test_time_shift(self):
+        marked = self._marked()
+        rng = np.random.default_rng(11)
+        for shift in (137, 1000, 3500):
+            pad = rng.normal(size=shift).astype(np.float32) * 0.1
+            self._assert_detected(
+                np.concatenate([pad, marked]), f"shift={shift}")
+
+    def test_linear_resample(self):
+        marked = self._marked()
+        for f in (1.03, 0.97, 1.011):
+            # attacker time-stretch: y[i] = x(i / f)
+            pos = np.arange(int(len(marked) * f), dtype=np.float64) / f
+            pos = pos[pos <= len(marked) - 1]
+            y = np.interp(pos, np.arange(len(marked), dtype=np.float64),
+                          marked).astype(np.float32)
+            self._assert_detected(y, f"resample={f}")
+
+    def test_resample_plus_shift(self):
+        marked = self._marked()
+        f = 1.02
+        pos = np.arange(int(len(marked) * f), dtype=np.float64) / f
+        pos = pos[pos <= len(marked) - 1]
+        y = np.interp(pos, np.arange(len(marked), dtype=np.float64),
+                      marked).astype(np.float32)
+        pad = np.zeros(500, np.float32)
+        self._assert_detected(np.concatenate([pad, y]),
+                              "resample 1.02 + shift 500")
+
+    def test_clipping(self):
+        marked = self._marked()
+        lim = 0.6 * float(np.abs(marked).max())
+        self._assert_detected(np.clip(marked, -lim, lim), "clip 60%")
+
+    def test_wrong_key_blind_under_attack(self):
+        marked = self._marked()
+        shifted = np.concatenate([np.zeros(1000, np.float32), marked])
+        rep = amod.detect_watermark(
+            shifted, 8000, amod.WatermarkConfig(key="not-the-key"))
+        assert not rep.detected and rep.payload is None
+
+    def test_unmarked_program_audio_not_detected(self):
+        rep = amod.detect_watermark(program_audio(seed=5), 8000, self.CFG)
+        assert not rep.detected
+
+    def test_shift_needs_sync(self):
+        """Why the pilot exists: with sync off, a shifted mark is
+        invisible (PN decorrelates at one sample) — the envelope's
+        shift/resample rows are properties of the sync search."""
+        marked = self._marked()
+        shifted = np.concatenate([np.zeros(1000, np.float32), marked])
+        cfg_nosync = amod.WatermarkConfig(key="tenant-7-secret", sync=False)
+        assert not amod.detect_watermark(shifted, 8000, cfg_nosync).detected
+        assert amod.detect_watermark(marked, 8000, cfg_nosync).detected
+
+    def test_pre_pilot_marks_still_detect(self):
+        """Back-compat: marks embedded WITHOUT the pilot (older builds /
+        sync=False) must detect under the default detector at lag 0."""
+        x = program_audio(seed=3)
+        cfg_old = amod.WatermarkConfig(key="tenant-7-secret", sync=False)
+        marked = amod.embed_watermark(x, 8000, payload=0x1234, cfg=cfg_old)
+        rep = amod.detect_watermark(marked, 8000, self.CFG)
+        assert rep.detected and rep.payload == 0x1234
+
+
 class TestStreaming:
     def test_requires_8k(self):
         with pytest.raises(ModalityError):

@@ -285,7 +285,27 @@ class WatermarkConfig:
     do all three) or an adversary who can difference the original and
     marked audio. The reference wraps AudioSeal (audio.rs:333-400),
     whose learned detector additionally survives re-encoding; this is
-    the honest classical stand-in with the same report shape."""
+    the honest classical stand-in with the same report shape.
+
+    Channel-robustness design (tested in tests/test_audio.py, attack
+    envelope documented in docs/api-reference.md):
+      * amplitude scale / additive noise — detection is a per-bit
+        z-score (correlation over the segment's own norm), so gain
+        changes cancel and noise only shrinks the z proportionally to
+        the SNR; survives 0 dB additive noise and any linear gain.
+      * time shift — a keyed PILOT PN (independent of the payload PN)
+        rides with the mark; detection cross-correlates the pilot's
+        head block over a lag window (FFT matched filter) and decodes
+        at the found offset; survives shifts up to max_shift samples.
+      * linear resample — a rate search (coarse grid over
+        ±rate_search_pct, refined by the lag slope between the pilot's
+        head and tail blocks) undoes the time-base change before
+        decoding; survives ~±4% linear resampling.
+      * clipping — PN chips are sign-coded, so moderate peak clipping
+        only trims correlation magnitude.
+    Marks embedded by older builds (no pilot) still detect at lag 0;
+    this build's marks decode under the old detector too (the pilot is
+    just more keyed noise at the same strength)."""
 
     key: str  # per-tenant secret; never logged, never stored in records
     threshold: float = 0.5  # detection threshold (dto.rs:320-323)
@@ -294,6 +314,13 @@ class WatermarkConfig:
     strength: float = 0.05
     payload_bits: int = 16
     chip_len: int = 2048  # samples per payload bit
+    # sync/pilot channel (set sync=False to skip the search and decode
+    # at lag 0 — cheaper, old-mark behavior)
+    sync: bool = True
+    pilot_gain: float = 0.7  # pilot amplitude = strength * pilot_gain
+    max_shift: int = 4096  # lag search window (samples)
+    rate_search_pct: float = 4.0  # resample search half-range (%)
+    rate_step: float = 5e-4  # coarse rate grid step
 
 
 @dataclass
@@ -305,14 +332,29 @@ class WatermarkReport:
     confidence: float
 
 
-def _pn_sequence(cfg: WatermarkConfig, n: int) -> np.ndarray:
+def _keyed_pn(key: str, label: str, n: int) -> np.ndarray:
     import hashlib
 
-    if not cfg.key:
+    if not key:
         raise ModalityError("watermark requires a non-empty key")
-    digest = hashlib.blake2b(cfg.key.encode(), digest_size=32).digest()
+    digest = hashlib.blake2b(
+        f"{key}|{label}".encode() if label else key.encode(),
+        digest_size=32,
+    ).digest()
     rng = np.random.default_rng(list(digest))
     return rng.choice(np.array([-1.0, 1.0], np.float32), size=n)
+
+
+def _pn_sequence(cfg: WatermarkConfig, n: int) -> np.ndarray:
+    # label-free: byte-identical to the pre-pilot builds' payload PN,
+    # so marks embedded by them keep detecting
+    return _keyed_pn(cfg.key, "", n)
+
+
+def _pilot_sequence(cfg: WatermarkConfig, n: int) -> np.ndarray:
+    """Payload-independent sync PN (distinct keyed stream): enables
+    shift/rate estimation without knowing the payload bits."""
+    return _keyed_pn(cfg.key, "sync", n)
 
 
 def embed_watermark(
@@ -339,32 +381,171 @@ def embed_watermark(
         bit = 1.0 if (payload >> b) & 1 else -1.0
         sl = slice(b * cfg.chip_len, (b + 1) * cfg.chip_len)
         x[sl] += cfg.strength * bit * pn[sl]
+    if cfg.sync:
+        # payload-independent pilot rides the same span: the detector's
+        # shift/rate search matched-filters against it
+        x[:need] += cfg.strength * cfg.pilot_gain * _pilot_sequence(cfg, need)
     return x
+
+
+# detection z-score that maps to confidence 1.0: a clean -26 dB mark on
+# typical program audio correlates at ~7 sigma per bit, so 6 sigma is
+# "definitely present" while wrong-key/unmarked audio sits at |z|~0.8
+_Z_FULL_CONFIDENCE = 6.0
+
+
+def _decode_bits(seg: np.ndarray, pn: np.ndarray,
+                 cfg: WatermarkConfig) -> tuple[int, float]:
+    """Per-bit correlation decode with scale-invariant z-scores: under
+    no-mark, dot(seg, pn_chip) ~ N(0, ||seg_chip||) (PN chips are unit
+    variance), so z = |dot| / ||seg_chip|| is a detection statistic
+    that survives any linear gain and degrades smoothly with noise."""
+    payload = 0
+    zs = []
+    for b in range(cfg.payload_bits):
+        sl = slice(b * cfg.chip_len, (b + 1) * cfg.chip_len)
+        chunk = seg[sl]
+        c = float(np.dot(chunk, pn[sl]))
+        sigma = float(np.linalg.norm(chunk))
+        z = abs(c) / sigma if sigma > 0 else 0.0
+        zs.append(min(z / _Z_FULL_CONFIDENCE, 1.0))
+        if c > 0:
+            payload |= 1 << b
+    return payload, float(np.mean(zs))
+
+
+def _resample_by(x: np.ndarray, rate: float) -> np.ndarray:
+    """Linear resample evaluating x at stride `rate` (rate > 1 shrinks
+    the signal: undoes an attacker's slow-down, and vice versa)."""
+    if rate == 1.0:
+        return x
+    pos = np.arange(int(len(x) / rate), dtype=np.float64) * rate
+    pos = pos[pos <= len(x) - 1]
+    return np.interp(pos, np.arange(len(x), dtype=np.float64), x).astype(
+        np.float32
+    )
+
+
+def _xcorr_peak(sig: np.ndarray, template: np.ndarray,
+                max_lag: int) -> tuple[int, float]:
+    """FFT matched filter: best (lag, z) of `template` inside `sig`
+    over lag in [0, max_lag]; z normalizes each candidate window by its
+    own energy (scale-invariant, same statistic as _decode_bits)."""
+    n = len(template)
+    m = min(len(sig), max_lag + n)
+    if m < n:
+        return 0, 0.0
+    sigw = sig[:m]
+    size = 1 << int(np.ceil(np.log2(m + n)))
+    corr = np.fft.irfft(
+        np.fft.rfft(sigw, size) * np.conj(np.fft.rfft(template, size)), size
+    )[: m - n + 1]
+    # sliding window energy via cumsum
+    c2 = np.concatenate([[0.0], np.cumsum(sigw.astype(np.float64) ** 2)])
+    energy = c2[n:] - c2[: m - n + 1]
+    z = np.abs(corr) / np.sqrt(np.maximum(energy, 1e-12))
+    lag = int(np.argmax(z))
+    return lag, float(z[lag])
+
+
+def _sync_candidates(x: np.ndarray, cfg: WatermarkConfig,
+                     need: int, top: int = 5) -> list:
+    """Candidate (rate, lag) alignments from the pilot PN.
+
+    Coarse pass: grid over ±rate_search_pct; at each candidate rate the
+    pilot's HEAD block (one chip_len) is matched-filtered over the lag
+    window. A head block only correlates when the residual rate error
+    keeps intra-block drift under ~1 sample (chip_len * step/2 ≈ 0.5),
+    which pins the coarse step. The TRUE rate can still lose the peak
+    contest to a grid neighbor — a shift that lands on a fractional lag
+    after resampling halves the interpolated PN's correlation — so the
+    top N candidates are all returned and the DECODER arbitrates by
+    final per-bit confidence (false candidates decode to noise ~0.13
+    and are harmless). The z gate is a cheap sanity floor, not the
+    detector."""
+    pilot = _pilot_sequence(cfg, need)
+    head = pilot[: cfg.chip_len]
+    span = cfg.rate_search_pct / 100.0
+    n_steps = max(1, int(round(span / cfg.rate_step)))
+    rates = 1.0 + np.arange(-n_steps, n_steps + 1) * cfg.rate_step
+    scored = []
+    for r in rates:
+        xr = _resample_by(x, float(r))
+        lag, z = _xcorr_peak(xr, head, cfg.max_shift)
+        if z >= 3.0:
+            scored.append((z, float(r), lag))
+    scored.sort(reverse=True)
+    return scored[:top]
+
+
+def _decode_at(x: np.ndarray, pn: np.ndarray, cfg: WatermarkConfig,
+               rate: float, lag: int) -> tuple[int, float]:
+    """Decode at a candidate (rate, lag) with residual-drift tracking:
+    the pilot's TAIL block measured at this rate gives the remaining
+    lag-vs-position slope (grid residual + fractional-phase effects),
+    and each bit's chip block is re-anchored along that slope — so
+    within-bit drift stays sub-sample without a second resample at a
+    refined rate."""
+    need = cfg.payload_bits * cfg.chip_len
+    xr = _resample_by(x, rate)
+    # measure residual slope from the pilot tail
+    pilot = _pilot_sequence(cfg, need)
+    tail_pos = need - cfg.chip_len
+    slope = 0.0
+    start = lag + tail_pos - cfg.chip_len
+    if 0 <= start < len(xr):
+        lag_rel, z_b = _xcorr_peak(xr[start:], pilot[tail_pos:need],
+                                   2 * cfg.chip_len)
+        if z_b >= 3.0:
+            slope = (lag_rel - cfg.chip_len) / tail_pos
+    best = (0, 0.0)
+    for dl in (0, -1, 1):
+        payload = 0
+        zs = []
+        ok = True
+        for b in range(cfg.payload_bits):
+            pos = b * cfg.chip_len
+            s = lag + dl + pos + int(round(slope * pos))
+            chunk = xr[s : s + cfg.chip_len]
+            if len(chunk) < cfg.chip_len:
+                ok = False
+                break
+            c = float(np.dot(chunk, pn[pos : pos + cfg.chip_len]))
+            sigma = float(np.linalg.norm(chunk))
+            z = abs(c) / sigma if sigma > 0 else 0.0
+            zs.append(min(z / _Z_FULL_CONFIDENCE, 1.0))
+            if c > 0:
+                payload |= 1 << b
+        if ok and zs:
+            conf = float(np.mean(zs))
+            if conf > best[1]:
+                best = (payload, conf)
+    return best
 
 
 def detect_watermark(
     samples: np.ndarray, sample_rate: int, cfg: WatermarkConfig
 ) -> WatermarkReport:
-    """Correlation detector; confidence = mean |normalized correlation|.
-    Detection REQUIRES the embedding key (cfg.key) — the wrong key
-    correlates to noise and reports not-detected."""
+    """Correlation detector; confidence = mean per-bit z-score capped at
+    1.0 (6 sigma). Detection REQUIRES the embedding key (cfg.key) — the
+    wrong key correlates to noise and reports not-detected. With
+    cfg.sync (default) the keyed pilot proposes shift + resample-rate
+    alignments (see WatermarkConfig threat model / attack envelope) and
+    the best per-bit decode wins; the lag-0 decode always runs too, so
+    pre-pilot marks still detect."""
     x = _check_input(samples, sample_rate)
     need = cfg.payload_bits * cfg.chip_len
     if len(x) < need:
         return WatermarkReport(detected=False, payload=None, confidence=0.0)
     pn = _pn_sequence(cfg, need)
-    payload = 0
-    corrs = []
-    for b in range(cfg.payload_bits):
-        sl = slice(b * cfg.chip_len, (b + 1) * cfg.chip_len)
-        seg = x[sl]
-        c = float(np.dot(seg, pn[sl]))
-        # expected |c| at strength alpha: alpha * chip_len
-        norm = cfg.strength * cfg.chip_len
-        corrs.append(min(abs(c) / norm, 1.0) if norm > 0 else 0.0)
-        if c > 0:
-            payload |= 1 << b
-    confidence = float(np.mean(corrs))
+    payload, confidence = _decode_bits(x[:need], pn, cfg)
+    if cfg.sync:
+        for _z, rate, lag in _sync_candidates(x, cfg, need):
+            p2, c2 = _decode_at(x, pn, cfg, rate, lag)
+            if c2 > confidence:
+                payload, confidence = p2, c2
+            if confidence >= 0.9:
+                break  # unambiguous; skip the remaining candidates
     detected = confidence >= cfg.threshold
     return WatermarkReport(
         detected=detected, payload=payload if detected else None, confidence=confidence
