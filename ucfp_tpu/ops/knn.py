@@ -387,23 +387,30 @@ def _rescore_exact(q8, cidx, slot_ok, query, k,
     """Exact int8 cosine over gathered candidate rows; top-k via an
     exact segmented reduction.
 
-    ONE gather only: TPU gather cost is ~10 ns per INDEX regardless of
-    row size (849k-row gather = 8 ms; a scalar take of row_norm costs
-    the same 8 ms!), so the row norms are recomputed FROM the gathered
-    int8 rows (pure VPU work on resident data) and per-slot validity
-    arrives precomputed in slot_ok (derived WITHOUT gathers: from the
-    selection's own -inf values, which encode the full valid/filter
-    mask) — never from gathered side arrays."""
+    ONE gather only: TPU gather cost is ~13 ns per INDEX regardless of
+    row size or the sorted/unique flags (849k-row gather = 8 ms; a
+    scalar take of row_norm costs the same 8 ms, and gathering norms
+    instead of recomputing measured +3.6 ms at 10M), so the row norms
+    are recomputed FROM the gathered rows (pure VPU work on resident
+    data) and per-slot validity arrives precomputed in slot_ok
+    (derived WITHOUT gathers: from the selection's own -inf values,
+    which encode the full valid/filter mask).
+
+    The gathered rows convert to f32 ONCE and both the dot and the
+    norms ride that copy: int8 magnitudes keep every sum below 2^24
+    (768 * 127^2 = 12.4M), so f32 accumulation is bit-exact integer
+    arithmetic — same scores as the int32 path, measured ~0.2 ms
+    cheaper at a 420k pool."""
     rows = jnp.take(q8, cidx, axis=0, indices_are_sorted=sorted_unique,
-                    unique_indices=sorted_unique)  # [P, D] gather
-    qq = _quantize_query(query)
+                    unique_indices=sorted_unique
+                    ).astype(jnp.float32)  # [P, D] gather
+    qq = _quantize_query(query).astype(jnp.float32)
     dots = jax.lax.dot_general(
         qq[None, :], rows, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )[0].astype(jnp.float32)  # [P]
-    qn = jnp.linalg.norm(qq.astype(jnp.float32))
-    rows32 = rows.astype(jnp.int32)
-    rn = jnp.sqrt(jnp.sum(rows32 * rows32, axis=1).astype(jnp.float32))
+        preferred_element_type=jnp.float32,
+    )[0]  # [P]
+    qn = jnp.linalg.norm(qq)
+    rn = jnp.sqrt(jnp.sum(rows * rows, axis=1))
     denom = jnp.maximum(qn, 1e-9) * jnp.maximum(rn, 1e-9)
     okc = slot_ok & (rn > 0.0)
     scores = jnp.where(okc, dots / denom, NEG_INF)
@@ -499,23 +506,21 @@ def cosine_sketch_topk(
     )  # [nseg, quota]
     # slots whose selected VALUE is -inf are masked rows (invalid,
     # filtered out, or padding) that only got picked because their
-    # segment ran out of live rows — carry that bit per slot
+    # segment ran out of live rows — carry that bit per slot. The
+    # candidates stay in approx_max_k's value order: a per-segment
+    # index argsort + take_along_axis pair measured +14 ms at 10M in
+    # composition (XLA relayout around the reorder), while the gather
+    # constant is ~the same for sorted and unsorted indices — so the
+    # reorder buys nothing and is skipped (round-4 kernel profile).
     sel_ok = _sv > NEG_INF  # [nseg, quota]
-    # sort within each segment: segments are ascending blocks, so the
-    # flattened index list becomes globally sorted + unique — the fast
-    # gather lowering (see _rescore_exact). argsort so sel_ok rides
-    # along with its index.
-    order = jnp.argsort(si, axis=-1)
-    si = jnp.take_along_axis(si, order, axis=-1)
-    sel_ok = jnp.take_along_axis(sel_ok, order, axis=-1)
     gidx = (
         si + (jnp.arange(nseg, dtype=jnp.int32) * seg)[:, None]
     ).reshape(-1)
     slot_ok = sel_ok.reshape(-1) & (gidx < c)
-    # clamping can duplicate c-1, so the unique flag is pad-gated
+    # clamping can duplicate c-1, harmless under slot_ok
     gidx = jnp.minimum(gidx, c - 1)
     return _rescore_exact(q8, gidx, slot_ok, query, k,
-                          sorted_unique=(pad == 0))
+                          sorted_unique=False)
 
 
 # -- sketch-vs-exact dispatch cost model -------------------------------------
