@@ -168,6 +168,81 @@ class TestEnvWiring:
         state.index.close()
 
 
+class TestDemoChallenge:
+    """Anonymous-abuse challenge on /v1/demo/fingerprint (reference
+    web/src/lib/server/turnstile.ts: anonymous ingest requires a CAPTCHA
+    token on top of the IP limit). Default off; webhook-verified when
+    UCFP_DEMO_CHALLENGE_URL is set; FAIL CLOSED on verifier outage."""
+
+    def _app(self, tmp_path, challenge):
+        from ucfp_tpu.index.embedded import EmbeddedBackend
+        from ucfp_tpu.server.app import ServerState, build_server
+        from ucfp_tpu.server.auth import StaticSingleKey
+        from ucfp_tpu.server.inputs_cache import InputsCache
+        from ucfp_tpu.server.ratelimit import NoopRateLimiter
+        from ucfp_tpu.server.usage import NoopUsageSink
+
+        state = ServerState(
+            index=EmbeddedBackend(str(tmp_path / "db")),
+            api_keys=StaticSingleKey("t"),
+            rate_limit=NoopRateLimiter(),
+            usage=NoopUsageSink(),
+            inputs=InputsCache(),
+            challenge=challenge,
+        )
+        return build_server(state, timeout_secs=120.0), state
+
+    def test_enforced_and_stub_verified(self, endpoint, tmp_path):
+        from ucfp_tpu.server.webhooks import challenge_verify_fetch
+
+        from test_server import call
+
+        endpoint.handlers["/siteverify"] = (200, {"success": True})
+        app, _ = self._app(tmp_path, challenge_verify_fetch(
+            endpoint.url("/siteverify"), "sec"))
+        # no token -> 403 before any compute
+        r = call(app, "POST", "/v1/demo/fingerprint", b"hello", token=None)
+        assert r.status == 403 and b"challenge_required" in r.body
+        # token rides either header name; siteverify wire shape preserved
+        r = call(app, "POST", "/v1/demo/fingerprint", b"hello world",
+                 token=None, headers={"x-challenge-token": "tok-1"})
+        assert r.status == 200
+        assert endpoint.requests[-1] == ("/siteverify", {
+            "secret": "sec", "response": "tok-1", "remoteip": ""})
+        r = call(app, "POST", "/v1/demo/fingerprint", b"hello world",
+                 token=None, headers={"cf-turnstile-response": "tok-2"})
+        assert r.status == 200
+        # verifier says no -> 403
+        endpoint.handlers["/siteverify"] = (200, {"success": False})
+        r = call(app, "POST", "/v1/demo/fingerprint", b"hello",
+                 token=None, headers={"x-challenge-token": "bad"})
+        assert r.status == 403 and b"challenge_failed" in r.body
+
+    def test_verifier_outage_fails_closed(self, tmp_path):
+        from ucfp_tpu.server.webhooks import challenge_verify_fetch
+
+        from test_server import call
+
+        app, _ = self._app(tmp_path, challenge_verify_fetch(
+            "http://127.0.0.1:9/siteverify"))
+        r = call(app, "POST", "/v1/demo/fingerprint", b"hello",
+                 token=None, headers={"x-challenge-token": "tok"})
+        assert r.status == 403 and b"challenge_failed" in r.body
+
+    def test_env_wiring_and_default_off(self, tmp_path, monkeypatch):
+        from ucfp_tpu.server.app import state_from_env
+
+        monkeypatch.setenv("UCFP_SHARD", "off")
+        monkeypatch.setenv("UCFP_TOKEN", "t")
+        s = state_from_env(data_dir=str(tmp_path / "a"))
+        assert s.challenge is None  # default off (self-hosted divergence)
+        s.index.close()
+        monkeypatch.setenv("UCFP_DEMO_CHALLENGE_URL", "http://127.0.0.1:9/v")
+        s = state_from_env(data_dir=str(tmp_path / "b"))
+        assert s.challenge is not None
+        s.index.close()
+
+
 class TestTransportFailureNotCached:
     def test_blip_does_not_poison_ttl_cache(self, endpoint):
         """A transient transport failure must fail closed for that

@@ -46,6 +46,10 @@ class ServerState:
     inputs: InputsCache
     keystore: object = None  # Optional[PersistentKeyStore]
     accounts: object = None  # Optional[AccountStore]
+    # optional anonymous-abuse challenge for /v1/demo/fingerprint:
+    # async (token, remoteip) -> bool (Turnstile-compatible webhook,
+    # reference web/src/lib/server/turnstile.ts). None = no challenge.
+    challenge: object = None
 
 
 # strong refs for in-flight usage tasks (see middleware comment)
@@ -191,6 +195,24 @@ def build_server(
                 # reference demo limit: 60/min/IP (ratelimit.ts:10-80)
                 if demo_rpm <= 0:
                     raise HttpError(404, "not_found", "demo is disabled")
+                if state.challenge is not None:
+                    # anonymous-abuse challenge (reference turnstile.ts:
+                    # anonymous ingest requires a CAPTCHA token + the IP
+                    # limit). Token rides a header; the Turnstile client
+                    # field name is accepted as an alias.
+                    tok = (req.headers.get("x-challenge-token")
+                           or req.headers.get("cf-turnstile-response", ""))
+                    if not tok:
+                        raise HttpError(
+                            403, "challenge_required",
+                            "demo requires a challenge token "
+                            "(x-challenge-token header)",
+                        )
+                    if not await state.challenge(tok, req.remote_addr):
+                        raise HttpError(
+                            403, "challenge_failed",
+                            "challenge verification failed",
+                        )
                 d = key_quota.check(f"demo:{req.remote_addr}", demo_rpm)
                 if not d.allowed:
                     raise HttpError(
@@ -402,6 +424,16 @@ def state_from_env(
     from .accounts import AccountStore
 
     accounts = AccountStore(os.path.join(data_dir, "accounts.json"))
+    # anonymous demo challenge: webhook verifier, default off
+    # (self-hosted divergence note in docs/api-reference.md)
+    challenge_url = os.environ.get("UCFP_DEMO_CHALLENGE_URL")
+    challenge = None
+    if challenge_url:
+        from .webhooks import challenge_verify_fetch
+
+        challenge = challenge_verify_fetch(
+            challenge_url, os.environ.get("UCFP_DEMO_CHALLENGE_SECRET", "")
+        )
     return ServerState(
         index=EmbeddedBackend(data_dir),
         api_keys=CompositeKeyLookup(api_keys, keystore),
@@ -410,6 +442,7 @@ def state_from_env(
         inputs=InputsCache(),
         keystore=keystore,
         accounts=accounts,
+        challenge=challenge,
     )
 
 

@@ -131,3 +131,26 @@ def usage_post(url: str):
             raise RuntimeError(f"usage webhook answered {status}")
 
     return post
+
+
+def challenge_verify_fetch(url: str, secret: str = ""):
+    """Verifier for the anonymous demo route's abuse challenge
+    (reference web/src/lib/server/turnstile.ts): POSTs the Cloudflare
+    siteverify wire shape {"secret", "response", "remoteip"} and
+    accepts on 200 + {"success": true}. FAIL CLOSED — an unreachable
+    or erroring verifier rejects the request: the challenge exists to
+    stop abuse, so an outage must not open the anonymous route."""
+
+    async def verify(token: str, remoteip: str) -> bool:
+        try:
+            status, body = await _post_json(
+                url,
+                {"secret": secret, "response": token, "remoteip": remoteip},
+            )
+        except Exception as e:
+            logger().warn("challenge webhook unreachable", url=url, err=str(e))
+            return False
+        return status == 200 and isinstance(body, dict) \
+            and bool(body.get("success"))
+
+    return verify
