@@ -180,27 +180,30 @@ def cosine_topk_int8(
 
 SKETCH_BITS = 768  # 96 B/row: the extra 32 B over 512-bit pays for a
 # ~2.3x smaller rescore pool at equal recall — the pool gather is the
-# latency wall (~10 ns/row), so fewer candidates beat fewer sketch bytes
+# latency wall (~13 ns/row), so fewer candidates beat fewer sketch bytes
 SKETCH_WORDS = SKETCH_BITS // 32
 SKETCH_LEVELS = 4
-# pool fraction -> (random-query recall@10, single-query p50) at
-# 10M x 768 with the 768-bit sketch, measured on one v5e through the
-# tunnel runtime (exact-int8 ground truth):
-#   0.0066 -> (0.89, ~4.9 ms)  (the quota floor inflates small pools)
-#   0.042  -> (0.975, ~8.3 ms)  default
-# planted near-duplicates (the product workload) are 1.0 at every
-# setting. The latency budget is gather-bound (~10 ns per candidate
-# row, an XLA/TPU gather constant) + selection (~16 us per quota unit)
-# + the ~1.4 ms pallas sketch scan. At the final SEG=512 selection
-# the default tier (0.975 recall, 8.3 ms) BEATS the 10.4 ms exact scan
-# at near-equal quality; the fast tier gives 0.89 at 4.9 ms; planted
-# near-duplicate lookups are 1.0 everywhere; the sharded mesh divides
-# per-chip pool and scan by the shard count. Exact batch-32 serving is
-# 0.61 ms/query.
+# pool fraction -> (random-query recall@10 +- 95% CI over 104 queries,
+# single-query p50 [min, max] over 3 runs) at 10M x 768 with the
+# 768-bit sketch, round-4 driver-shaped capture on one v5e through the
+# tunnel runtime (exact-int8 ground truth; bench.py emits the same
+# keys, so every number here is reproducible from BENCH_r04):
+#   0.0066 -> (0.87 +- 0.02, 5.1 ms in [4.6, 5.7])   "fast"
+#   0.042  -> (0.97 +- 0.01, 9.9 ms in [9.6, 9.9])   default
+# vs the exhaustive int8 scan at 10.4 ms in [10.4, 10.9] — the default
+# tier beats exact at near-equal quality; planted near-duplicates (the
+# product workload) are 1.0 at every setting. The latency budget is
+# gather-bound (~13 ns per candidate row, an XLA/TPU gather constant)
+# + selection (~16 us per quota unit) + the ~1.6 ms pallas sketch scan
+# + ~2.4 ms of XLA composition overhead (see _COST_DEFAULTS). The
+# sharded mesh divides per-chip pool and scan by the shard count
+# (measured per-shard at 10M/8 rows: 1.19 ms sketch / 1.95 ms exact).
+# Exact batch-32 serving is 0.62 ms/query.
 DEFAULT_POOL_FRAC = 0.042
-# selection segment width, swept on chip at 10M x 768 (quality tier):
-#   2048 -> 14.2 ms   1024 -> 10.4 ms   512 -> 8.3 ms (recall 0.975)
-#   256  -> pathological compile time (rejected)
+# selection segment width, swept on chip at 10M x 768 (quality tier,
+# round-3 sweep — relative ordering, absolute numbers predate the
+# round-4 reorder removal): 2048 -> 14.2 ms, 1024 -> 10.4 ms,
+# 512 -> best; 256 -> pathological compile time (rejected).
 # approx_max_k cost scales with the per-segment quota, so narrower
 # segments cut selection; the quota floor (8) keeps per-segment Poisson
 # headroom, which also inflates small pools' effective size slightly.
@@ -546,9 +549,13 @@ def cosine_sketch_topk(
 
 _COST_DEFAULTS = {
     "hbm_gbps": 819.0,   # v5e HBM stream bandwidth
-    "gather_ns": 10.0,   # per candidate row, data-dependent gather
+    "gather_ns": 13.0,   # per candidate row, data-dependent gather
     "select_us": 16.0,   # approx_max_k cost per per-segment quota unit
-    "base_ms": 0.35,     # query plan + fixed small kernels + dispatch
+    "base_ms": 2.4,      # query plan + small kernels + XLA composition
+    #                      overhead of the full fused program (fitted so
+    #                      the model reproduces the round-4 chip capture:
+    #                      modeled 9.87/4.6 ms vs measured 9.86/5.1 ms
+    #                      at the default/fast tiers, 10M x 768)
 }
 
 
@@ -563,8 +570,11 @@ def _cost_const(name: str) -> float:
 
 def exact_scan_model_ms(cap: int, dim: int) -> float:
     """Modeled p50 of the exhaustive single-query int8 scan: it streams
-    the whole [cap, dim] int8 matrix once (HBM-bound)."""
-    return cap * dim / (_cost_const("hbm_gbps") * 1e6) + 0.2
+    the whole [cap, dim] int8 matrix once (HBM-bound). The +1.0 ms
+    constant is the measured gap between the stream time and the end-to-
+    end kernel (round-4 capture: modeled 10.38 vs measured 10.39 ms at
+    10M x 768)."""
+    return cap * dim / (_cost_const("hbm_gbps") * 1e6) + 1.0
 
 
 def sketch_model_ms(cap: int, dim: int, pool: int) -> float:

@@ -198,9 +198,10 @@ def _sharded_cosine_int8_impl(q8, db8, row_norm, valid, k: int, mesh: Mesh):
 
 def sharded_cosine_int8_topk(q8, db8, row_norm, valid, k: int, mesh: Mesh):
     """int8 row-sharded scan: the 10M x 768 catalog is 7.5 GB at int8
-    (f32 would be 30 GB), so a v5e-8 holds ~1 GB/chip and each chip
-    streams its shard well inside the sub-ms budget (0.48 ms measured
-    for a FULL 10M scan on one chip — an eighth of that per shard).
+    (f32 would be 30 GB), so a v5e-8 holds ~1 GB/chip; the per-shard
+    scan measured 1.95 ms at 10M/8 x 768 on one chip (round 4 — the
+    0.94 GB stream is ~1.2 ms, the rest is fixed dispatch overhead).
+    At 10M x 64 the FULL one-chip scan is 0.48 ms.
     q8 [D] int8 (pre-quantized, scores are dot/|row| — divide by |q8|
     outside), db8 [C, D] int8 row-sharded, row_norm/valid [C]."""
     return _sharded_cosine_int8_impl(q8, db8, row_norm, valid, k, mesh)
@@ -250,12 +251,17 @@ def sharded_cosine_sketch_topk(query, planes, db8, row_norm, sketch, valid,
                                axes: tuple = (AXIS,)):
     """Sharded sketch-prefilter cosine: query [D] f32 replicated,
     db8/sketch row-sharded over `axes`. Each chip scans only its own
-    sketch shard (640 MB / n at 10M x 768) and rescores its
+    sketch shard (960 MB / n at 10M x 768) and rescores its
     proportional share of the pool (cand * rows_local / rows_total) —
-    per-chip HBM traffic, and with it single-query latency, divides by
-    the mesh size. This is how the BASELINE "sub-ms @ 10M on v5e-8"
-    shape is met at recall >= 0.9: ~120 MB/chip on 8 chips vs ~960 MB
-    single-chip. Returns ([k] scores, [k] global idx)."""
+    per-chip HBM BANDWIDTH divides by the mesh size; per-dispatch fixed
+    overhead does not. Round-4 shard-scale measurement (BENCH_r04): one
+    chip serves a 10M/8 = 1.25M-row shard in 1.19 ms (exact shard scan
+    1.95 ms), + ~0.1 ms modeled k-row all-gather merge → a v5e-8
+    derives to ~1.3 ms at recall >= 0.9 (~2.0 ms exact) for the
+    BASELINE 10M x 768 shape. Sub-ms single-query remains out of reach
+    at 8 chips (the ~1 ms fixed per-dispatch cost dominates the 0.15 ms
+    bandwidth share); the batched path is sub-ms/query on ONE chip.
+    Returns ([k] scores, [k] global idx)."""
     return _sharded_cosine_sketch_impl(query, planes, db8, row_norm, sketch,
                                        valid, k, cand, mesh, tuple(axes))
 
