@@ -852,17 +852,23 @@ def _run_all():
         return ok
 
     def _ingest_http():
-        """End-to-end HTTP -> decode -> device hash batch -> WAL-durable
-        store, images/s (the serving-path number the kernel-only
-        phash_ips cannot claim). Uses the batch ingest route: one device
-        batch + one group fsync per request."""
+        """End-to-end HTTP -> decode -> host luma -> device hash batch ->
+        WAL-durable store, images/s (the serving-path number the
+        kernel-only phash_ips cannot claim). EXACTLY the documented soak
+        configuration (CLAUDE.md: scripts/soak_ingest.py --conns 8
+        --batch 128 --quiet) so the driver-captured number and the
+        soak command reproduce each other. batch=128 is the tuned device
+        batch through the tunnel runtime (the padded 256-image shape
+        hits a pathological transfer path; 64 under-amortizes
+        dispatch); quiet skips per-record hex in the response."""
         import pathlib
         import sys
 
         sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent / "scripts"))
         from soak_ingest import run_soak
 
-        out = run_soak(seconds=6.0, conns=8, algorithm="phash", batch=64)
+        out = run_soak(seconds=6.0, conns=8, algorithm="phash", batch=128,
+                       quiet=True)
         extra["ingest_http_errors"] = out["errors"]
         return out["req_per_sec"]
 

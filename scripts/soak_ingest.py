@@ -59,7 +59,8 @@ def _batch_body(img: bytes, rids: list[int]) -> bytes:
 
 async def _client(host: str, port: int, token: str, body: bytes,
                   algorithm: str, tenant: int, base_rid: int,
-                  stop_at: float, counts: dict, batch: int = 1) -> None:
+                  stop_at: float, counts: dict, batch: int = 1,
+                  quiet: bool = False) -> None:
     reader, writer = await asyncio.open_connection(host, port)
     rid = base_rid
     try:
@@ -67,7 +68,9 @@ async def _client(host: str, port: int, token: str, body: bytes,
             rid += batch
             if batch > 1:
                 payload = _batch_body(body, list(range(rid - batch, rid)))
-                path = f"/v1/ingest/image/batch/{tenant}?algorithm={algorithm}"
+                path = (f"/v1/ingest/image/batch/{tenant}"
+                        f"?algorithm={algorithm}"
+                        + ("&quiet=1" if quiet else ""))
                 ctype = "application/x-ucfp-image-batch"
             else:
                 payload = body
@@ -106,7 +109,7 @@ async def _client(host: str, port: int, token: str, body: bytes,
 
 async def _soak(state, host: str, port: int, token: str, seconds: float,
                 conns: int, algorithm: str, native: bool,
-                batch: int = 1) -> dict:
+                batch: int = 1, quiet: bool = False) -> dict:
     from ucfp_tpu.server.app import build_server
 
     server = build_server(state, timeout_secs=120.0)
@@ -129,7 +132,7 @@ async def _soak(state, host: str, port: int, token: str, seconds: float,
     for _ in range(20):
         t = time.perf_counter()
         await _client(host, port, token, body, algorithm, 0, 10_000_000,
-                      time.perf_counter() + 0.05, warm, batch)
+                      time.perf_counter() + 0.05, warm, batch, quiet)
         if time.perf_counter() - t < 0.2 and warm["ok"] > 2:
             break
     counts = dict(ok=0, err=0, drop=0)
@@ -137,7 +140,7 @@ async def _soak(state, host: str, port: int, token: str, seconds: float,
     stop_at = t0 + seconds
     await asyncio.gather(*(
         _client(host, port, token, body, algorithm, 0, (i + 1) * 10_000_000,
-                stop_at, counts, batch)
+                stop_at, counts, batch, quiet)
         for i in range(conns)
     ))
     dt = time.perf_counter() - t0
@@ -157,7 +160,8 @@ async def _soak(state, host: str, port: int, token: str, seconds: float,
 
 def run_soak(seconds: float = 10.0, conns: int = 32,
              algorithm: str = "phash", native: bool = False,
-             data_dir: str | None = None, batch: int = 1) -> dict:
+             data_dir: str | None = None, batch: int = 1,
+             quiet: bool = False) -> dict:
     """In-process soak; returns the measured dict."""
     from ucfp_tpu.index.embedded import EmbeddedBackend
     from ucfp_tpu.server.app import ServerState
@@ -178,7 +182,7 @@ def run_soak(seconds: float = 10.0, conns: int = 32,
     try:
         return asyncio.run(
             _soak(state, "127.0.0.1", 0, token, seconds, conns, algorithm,
-                  native, batch)
+                  native, batch, quiet)
         )
     finally:
         state.index.close()
@@ -208,6 +212,9 @@ def main() -> None:
     p.add_argument("--native", action="store_true")
     p.add_argument("--batch", type=int, default=1,
                    help="images per request via the batch route")
+    p.add_argument("--quiet", action="store_true",
+                   help="?quiet=1 batch responses (count only, no "
+                        "per-record fingerprint hex)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (leave the chip alone)")
     p.add_argument("--connect", default=None,
@@ -228,7 +235,7 @@ def main() -> None:
 
         jax.config.update("jax_platforms", "cpu")
     out = run_soak(args.seconds, args.conns, args.algorithm, args.native,
-                   batch=args.batch)
+                   batch=args.batch, quiet=args.quiet)
     json.dump(out, sys.stdout)
     print()
 

@@ -156,6 +156,102 @@ class TestRobustness:
         assert self.hamming(h1, h2) >= 16
 
 
+class TestGrayKernelParity:
+    """The host-luma (*_kernel_gray) entries must emit byte-identical
+    hashes to the RGB kernels: same integer formula, different side of
+    the transfer (the ingest path ships 1 byte/pixel through them)."""
+
+    def test_gray_matches_rgb_kernels(self):
+        from ucfp_tpu.ops import imagehash as ih
+
+        rgb = np.stack([rand_rgb(64, 64, seed=s) for s in range(4)])
+        gray = ih.np_luma_u8(rgb)
+        # host luma == device luma (exact integer contract)
+        import jax
+
+        dev_gray = jax.device_get(ih.luma_u8(rgb))
+        assert np.array_equal(gray.astype(np.int64), dev_gray.astype(np.int64))
+        for algo in ("phash", "dhash", "ahash"):
+            a = jax.device_get(ih.single_hash_kernel(rgb, 64, 64, algo))
+            b = jax.device_get(ih.single_hash_kernel_gray(gray, 64, 64, algo))
+            assert np.array_equal(a, b), algo
+        ma = jax.device_get(ih.multihash_kernel(rgb, 64, 64))
+        mb = jax.device_get(ih.multihash_kernel_gray(gray, 64, 64))
+        for i in range(rgb.shape[0]):
+            assert ih.serialize_multihash(ma, i) == ih.serialize_multihash(mb, i)
+
+
+class TestFastBmpDecode:
+    """The numpy 24bpp-BMP fast path must be BYTE-IDENTICAL to PIL's
+    decode (the exact-int hash contract starts at the pixels) and fall
+    back to PIL for every other flavor."""
+
+    @pytest.mark.parametrize("h,w", [(64, 64), (33, 47), (37, 128), (32, 33)])
+    def test_matches_pil_bytes(self, h, w):
+        from PIL import Image
+
+        rgb = rand_rgb(h, w, seed=h * 100 + w)
+        buf = io.BytesIO()
+        Image.fromarray(rgb).save(buf, format="BMP")
+        data = buf.getvalue()
+        fast = img_mod._fast_bmp_rgb(data)
+        assert fast is not None  # PIL writes BI_RGB 24bpp: fast path taken
+        ref = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        assert np.array_equal(fast, ref)
+        # and the public decode returns the same array
+        assert np.array_equal(
+            img_mod.decode_rgb(data, img_mod.PreprocessConfig()), ref
+        )
+
+    def test_top_down_bmp(self):
+        """Negative height = top-down row order; flip handling must
+        still match PIL."""
+        import struct
+
+        from PIL import Image
+
+        rgb = rand_rgb(40, 40, seed=3)
+        buf = io.BytesIO()
+        Image.fromarray(rgb).save(buf, format="BMP")
+        data = bytearray(buf.getvalue())
+        h = struct.unpack_from("<i", data, 22)[0]
+        struct.pack_into("<i", data, 22, -h)
+        off = struct.unpack_from("<I", data, 10)[0]
+        stride = (40 * 3 + 3) // 4 * 4
+        rows = [bytes(data[off + i * stride: off + (i + 1) * stride])
+                for i in range(h)]
+        data[off:] = b"".join(reversed(rows))
+        ref = np.asarray(Image.open(io.BytesIO(bytes(data))).convert("RGB"))
+        assert np.array_equal(img_mod._fast_bmp_rgb(bytes(data)), ref)
+
+    def test_non_24bpp_falls_back(self):
+        # PNG obviously isn't a BMP; a 32bpp/paletted BMP also declines
+        assert img_mod._fast_bmp_rgb(synthetic_png(64, 64)) is None
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(rand_rgb(40, 40)).convert("P").save(buf, format="BMP")
+        assert img_mod._fast_bmp_rgb(buf.getvalue()) is None
+        # but decode_rgb still decodes it via PIL
+        assert img_mod.decode_rgb(
+            buf.getvalue(), img_mod.PreprocessConfig()
+        ).shape == (40, 40, 3)
+
+    def test_preprocess_limits_still_enforced(self):
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(rand_rgb(16, 16)).save(buf, format="BMP")
+        with pytest.raises(ModalityError):
+            img_mod.decode_rgb(buf.getvalue(), img_mod.PreprocessConfig())
+        # oversize dims take the PIL pre-shrink path (identical output)
+        big = io.BytesIO()
+        Image.fromarray(rand_rgb(128, 96)).save(big, format="BMP")
+        pre = img_mod.PreprocessConfig(max_dimension=64)
+        out = img_mod.decode_rgb(big.getvalue(), pre)
+        assert max(out.shape[:2]) == 64
+
+
 class TestPreprocess:
     def test_too_small_rejected(self):
         with pytest.raises(ModalityError):

@@ -202,14 +202,8 @@ def block_means(gray64: jax.Array) -> jax.Array:
     return (sums >> 4).astype(jnp.uint8).reshape(gray64.shape[0], 256)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def multihash_kernel(rgb: jax.Array, in_h: int, in_w: int) -> dict:
-    """Full multi-hash bundle for a batch of same-shape RGB images.
-
-    Returns device arrays; the host layer serializes them into the
-    536-byte MultiHashV1 wire layout (see serialize_multihash).
-    """
-    gray = luma_u8(rgb)  # [B, H, W] int32
+def _multihash_from_gray(gray: jax.Array, in_h: int, in_w: int) -> dict:
+    """Shared bundle body over int32 luma [B, H, W]."""
     wh32 = jnp.asarray(resize_matrix_q(in_h, 32))
     ww32 = jnp.asarray(resize_matrix_q(in_w, 32))
     wh8 = jnp.asarray(resize_matrix_q(in_h, 8))
@@ -232,10 +226,29 @@ def multihash_kernel(rgb: jax.Array, in_h: int, in_w: int) -> dict:
     }
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
-def single_hash_kernel(rgb: jax.Array, in_h: int, in_w: int, algo: str) -> jax.Array:
-    """One 64-bit hash for a batch: algo in {phash, dhash, ahash} -> [B,8] u8."""
-    gray = luma_u8(rgb)
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def multihash_kernel(rgb: jax.Array, in_h: int, in_w: int) -> dict:
+    """Full multi-hash bundle for a batch of same-shape RGB images.
+
+    Returns device arrays; the host layer serializes them into the
+    536-byte MultiHashV1 wire layout (see serialize_multihash).
+    """
+    return _multihash_from_gray(luma_u8(rgb), in_h, in_w)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def multihash_kernel_gray(gray_u8: jax.Array, in_h: int, in_w: int) -> dict:
+    """Bundle from HOST-computed BT.601 luma [B, H, W] uint8.
+
+    The luma formula is pure integer math, so host numpy and device
+    produce identical bytes (np_luma == luma_u8, locked by the oracle
+    parity tests) — and shipping one gray plane instead of RGB cuts
+    host->device ingest traffic 3x (the serving-path wall through a
+    tunneled runtime; see bench.py ingest notes)."""
+    return _multihash_from_gray(gray_u8.astype(jnp.int32), in_h, in_w)
+
+
+def _single_from_gray(gray: jax.Array, in_h: int, in_w: int, algo: str) -> jax.Array:
     if algo == "phash":
         g = resize_exact(
             gray,
@@ -258,6 +271,20 @@ def single_hash_kernel(rgb: jax.Array, in_h: int, in_w: int, algo: str) -> jax.A
         )
         return _pack_bits_u8(ahash_bits(g))
     raise ValueError(f"unknown algorithm {algo!r}")
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def single_hash_kernel(rgb: jax.Array, in_h: int, in_w: int, algo: str) -> jax.Array:
+    """One 64-bit hash for a batch: algo in {phash, dhash, ahash} -> [B,8] u8."""
+    return _single_from_gray(luma_u8(rgb), in_h, in_w, algo)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def single_hash_kernel_gray(gray_u8: jax.Array, in_h: int, in_w: int,
+                            algo: str) -> jax.Array:
+    """Single hash from HOST-computed luma [B, H, W] uint8 (see
+    multihash_kernel_gray for the exactness + traffic rationale)."""
+    return _single_from_gray(gray_u8.astype(jnp.int32), in_h, in_w, algo)
 
 
 # ---------------------------------------------------------------------------
@@ -403,6 +430,18 @@ def np_luma(rgb: np.ndarray) -> np.ndarray:
     g = rgb[..., 1].astype(np.int64)
     b = rgb[..., 2].astype(np.int64)
     return ((299 * r + 587 * g + 114 * b + 500) // 1000).astype(np.int64)
+
+
+def np_luma_u8(rgb: np.ndarray) -> np.ndarray:
+    """Vectorized host luma for the serving path: [..., 3] u8 -> u8.
+
+    Same integer formula as np_luma / the device luma_u8 (the result is
+    in [0, 255] by construction), int32 intermediates for speed; feeds
+    the *_kernel_gray entries so ingest ships 1 byte/pixel."""
+    r = rgb[..., 0].astype(np.int32)
+    g = rgb[..., 1].astype(np.int32)
+    b = rgb[..., 2].astype(np.int32)
+    return ((299 * r + 587 * g + 114 * b + 500) // 1000).astype(np.uint8)
 
 
 def np_resize(gray: np.ndarray, h: int, w: int) -> np.ndarray:

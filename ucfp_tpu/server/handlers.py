@@ -92,14 +92,21 @@ def _hash_image_group(algo: str, batch: np.ndarray, h: int, w: int,
                       count: int) -> list[bytes]:
     """One device hash launch for `count` same-shape images (padded to a
     power-of-two batch). THE single implementation behind both the
-    deadline batcher and the bulk ingest route."""
+    deadline batcher and the bulk ingest route.
+
+    The BT.601 luma runs on the HOST (np_luma_u8 — the same integer
+    formula as the device stage, oracle-locked) so only 1 byte/pixel
+    crosses host->device: ingest is transfer-bound on tunneled runtimes
+    (~55 MB/s of fresh bytes measured), and gray cuts the wire 3x."""
     from ..ops import imagehash
 
-    batch = _pad_pow2(batch, count)
+    gray = imagehash.np_luma_u8(_pad_pow2(batch, count))
     if algo == "multi":
-        out = imod.jax_device_get(imagehash.multihash_kernel(batch, h, w))
+        out = imod.jax_device_get(imagehash.multihash_kernel_gray(gray, h, w))
         return [imagehash.serialize_multihash(out, i) for i in range(count)]
-    out = imod.jax_device_get(imagehash.single_hash_kernel(batch, h, w, algo))
+    out = imod.jax_device_get(
+        imagehash.single_hash_kernel_gray(gray, h, w, algo)
+    )
     return [bytes(out[i]) for i in range(count)]
 
 
@@ -1054,6 +1061,13 @@ class Handlers:
         ]
         _tag_usage(req, "image", algo_tag)
         await self.index.upsert(recs)
+        if req.query.get("quiet") == "1":
+            # high-rate pipelines that don't read the fingerprints back
+            # skip the per-record hex/json cost (~6.6 us/image of the
+            # 1-core budget at 536-B bundles)
+            return Response.json(
+                {"count": len(recs), "algorithm": algo_tag}, status=201
+            )
         return Response.json(
             {
                 "count": len(recs),

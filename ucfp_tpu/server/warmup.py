@@ -34,9 +34,9 @@ def _work() -> None:
         # playground's canonical small shape
         from ..ops import imagehash
 
-        rgb = np.zeros((1, 64, 64, 3), np.uint8)
-        imagehash.multihash_kernel(rgb, 64, 64)
-        imagehash.single_hash_kernel(rgb, 64, 64, "phash")
+        gray = np.zeros((1, 64, 64), np.uint8)
+        imagehash.multihash_kernel_gray(gray, 64, 64)
+        imagehash.single_hash_kernel_gray(gray, 64, 64, "phash")
         done.append("image")
 
         # audio: the integer STFT + peak + pairing pipeline at two
