@@ -188,16 +188,16 @@ SKETCH_LEVELS = 4
 # 768-bit sketch, round-4 driver-shaped capture on one v5e through the
 # tunnel runtime (exact-int8 ground truth; bench.py emits the same
 # keys, so every number here is reproducible from BENCH_r04):
-#   0.0066 -> (0.87 +- 0.02, 5.1 ms in [4.6, 5.7])   "fast"
-#   0.042  -> (0.97 +- 0.01, 9.9 ms in [9.6, 9.9])   default
-# vs the exhaustive int8 scan at 10.4 ms in [10.4, 10.9] — the default
-# tier beats exact at near-equal quality; planted near-duplicates (the
+#   0.0066 -> (0.87 +- 0.02, 4.6-5.1 ms spanning [4.4, 5.7])  "fast"
+#   0.042  -> (0.97 +- 0.01, 9.9-10.1 ms spanning [9.6, 10.2]) default
+# vs the exhaustive int8 scan at 10.4-10.6 ms spanning [10.4, 10.9] —
+# the default tier beats exact in every paired run at near-equal quality; planted near-duplicates (the
 # product workload) are 1.0 at every setting. The latency budget is
 # gather-bound (~13 ns per candidate row, an XLA/TPU gather constant)
 # + selection (~16 us per quota unit) + the ~1.6 ms pallas sketch scan
 # + ~2.4 ms of XLA composition overhead (see _COST_DEFAULTS). The
 # sharded mesh divides per-chip pool and scan by the shard count
-# (measured per-shard at 10M/8 rows: 1.19 ms sketch / 1.95 ms exact).
+# (measured per-shard at 10M/8 rows: 1.0-1.2 ms sketch / 1.6-2.0 exact).
 # Exact batch-32 serving is 0.62 ms/query.
 DEFAULT_POOL_FRAC = 0.042
 # selection segment width, swept on chip at 10M x 768 (quality tier,

@@ -199,7 +199,7 @@ def _sharded_cosine_int8_impl(q8, db8, row_norm, valid, k: int, mesh: Mesh):
 def sharded_cosine_int8_topk(q8, db8, row_norm, valid, k: int, mesh: Mesh):
     """int8 row-sharded scan: the 10M x 768 catalog is 7.5 GB at int8
     (f32 would be 30 GB), so a v5e-8 holds ~1 GB/chip; the per-shard
-    scan measured 1.95 ms at 10M/8 x 768 on one chip (round 4 — the
+    scan measured 1.6-2.0 ms at 10M/8 x 768 on one chip (round 4 — the
     0.94 GB stream is ~1.2 ms, the rest is fixed dispatch overhead).
     At 10M x 64 the FULL one-chip scan is 0.48 ms.
     q8 [D] int8 (pre-quantized, scores are dot/|row| — divide by |q8|
@@ -255,10 +255,10 @@ def sharded_cosine_sketch_topk(query, planes, db8, row_norm, sketch, valid,
     proportional share of the pool (cand * rows_local / rows_total) —
     per-chip HBM BANDWIDTH divides by the mesh size; per-dispatch fixed
     overhead does not. Round-4 shard-scale measurement (BENCH_r04): one
-    chip serves a 10M/8 = 1.25M-row shard in 1.19 ms (exact shard scan
-    1.95 ms), + ~0.1 ms modeled k-row all-gather merge → a v5e-8
-    derives to ~1.3 ms at recall >= 0.9 (~2.0 ms exact) for the
-    BASELINE 10M x 768 shape. Sub-ms single-query remains out of reach
+    chip serves a 10M/8 = 1.25M-row shard in 1.0-1.2 ms (exact shard
+    scan 1.6-2.0 ms), + ~0.1 ms modeled k-row all-gather merge → a
+    v5e-8 derives to ~1.1-1.3 ms at recall >= 0.9 (~1.7-2.0 ms exact)
+    for the BASELINE 10M x 768 shape. Sub-ms single-query remains out of reach
     at 8 chips (the ~1 ms fixed per-dispatch cost dominates the 0.15 ms
     bandwidth share); the batched path is sub-ms/query on ONE chip.
     Returns ([k] scores, [k] global idx)."""
