@@ -858,9 +858,9 @@ def _run_all():
         configuration (CLAUDE.md: scripts/soak_ingest.py --conns 8
         --batch 128 --quiet) so the driver-captured number and the
         soak command reproduce each other. batch=128 is the tuned device
-        batch through the tunnel runtime (the padded 256-image shape
-        hits a pathological transfer path; 64 under-amortizes
-        dispatch); quiet skips per-record hex in the response."""
+        batch through the tunnel runtime (256-image batches degrade
+        badly under concurrent load; 64 under-amortizes the ~30-60 ms
+        per-dispatch round trip); quiet skips per-record hex."""
         import pathlib
         import sys
 

@@ -243,8 +243,8 @@ def multihash_kernel_gray(gray_u8: jax.Array, in_h: int, in_w: int) -> dict:
     The luma formula is pure integer math, so host numpy and device
     produce identical bytes (np_luma == luma_u8, locked by the oracle
     parity tests) — and shipping one gray plane instead of RGB cuts
-    host->device ingest traffic 3x (the serving-path wall through a
-    tunneled runtime; see bench.py ingest notes)."""
+    host->device ingest traffic 3x (tunneled runtimes charge per-dispatch
+    round trips that scale with payload; see bench.py ingest notes)."""
     return _multihash_from_gray(gray_u8.astype(jnp.int32), in_h, in_w)
 
 
