@@ -110,6 +110,7 @@ export interface QueryOptions {
   explain?: boolean;
   multihash?: Record<string, number>;
   filter?: { algorithm?: string; modelId?: never; model_id?: string };
+  recallTier?: 'fast' | 'balanced' | 'high' | 'exact';
   tenantId?: number;
 }
 

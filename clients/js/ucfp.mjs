@@ -309,7 +309,8 @@ export class UcfpClient {
    * @param {string} modality 'text' | 'image' | 'audio'
    * @param {{k?: number, vector?: number[], terms?: string[],
    *          fingerprintHex?: string, algorithm?: string, rrfK?: number,
-   *          explain?: boolean, multihash?: object, tenantId?: number}} opts
+   *          explain?: boolean, multihash?: object, tenantId?: number,
+   *          recallTier?: 'fast'|'balanced'|'high'|'exact'}} opts
    */
   async query(modality, opts = {}) {
     const tid = opts.tenantId ?? this.tenantId;
@@ -324,6 +325,7 @@ export class UcfpClient {
     if (opts.rrfK !== undefined) body.rrf_k = opts.rrfK;
     if (opts.multihash) body.multihash = opts.multihash;
     if (opts.filter) body.filter = opts.filter;
+    if (opts.recallTier) body.recall_tier = opts.recallTier;
     const path = opts.explain ? '/v1/query?explain=1' : '/v1/query';
     const out = await this.#request('POST', path, { json: body });
     return {

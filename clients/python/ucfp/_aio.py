@@ -341,12 +341,13 @@ class UcfpAsync:
         rerank: Optional[str] = None,
         multihash: Optional[dict] = None,
         filter: Optional[dict] = None,
+        recall_tier: Optional[str] = None,
     ) -> QueryResult:
         tid = self.tenant_id if tenant_id is None else tenant_id
         body = c.query_body(
             tid, modality, k=k, vector=vector, terms=terms,
             fingerprint=fingerprint, algorithm=algorithm, rrf_k=rrf_k,
-            multihash=multihash, filter=filter,
+            multihash=multihash, filter=filter, recall_tier=recall_tier,
         )
         params: dict[str, str] = {}
         if explain:

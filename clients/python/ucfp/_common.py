@@ -230,10 +230,13 @@ def query_body(
     rrf_k: int = 60,
     multihash: Optional[dict] = None,
     filter: Optional[dict] = None,
+    recall_tier: Optional[str] = None,
 ) -> dict:
     body: dict[str, Any] = {"tenant_id": tenant_id, "modality": modality, "k": k}
     if filter is not None:
         body["filter"] = filter
+    if recall_tier is not None:
+        body["recall_tier"] = recall_tier
     if rrf_k != 60:
         body["rrf_k"] = rrf_k
     if vector is not None:

@@ -168,6 +168,15 @@ class TestText:
         got = {h.record_id for h in res.hits}
         assert {200, 201} <= got and 202 not in got
         assert res.hits[0].term_hits  # explain populated
+        # recall_tier rides through the SDK; "exact" is valid in every
+        # quant mode and an unknown tier surfaces the server's 400
+        res = client.query("text", terms=["alpha"], k=5, tenant_id=7,
+                           recall_tier="exact")
+        assert any(h.record_id == 200 for h in res.hits)
+        with pytest.raises(UcfpError) as ei:
+            client.query("text", terms=["alpha"], k=5, tenant_id=7,
+                         recall_tier="warp")
+        assert ei.value.status == 400
 
     def test_get_record_include_fingerprint(self, client):
         fp = client.text("include fingerprint document", record_id=150,

@@ -66,6 +66,18 @@ def test_query_pool_frac_quantized_to_tier_ladder():
             Query(0, Modality.TEXT, pool_frac=bad)
 
 
+def test_query_exact_flag():
+    """exact=True opts out of every approximate path; combining it with
+    a pool override (which tunes the approximate prefilter) is a
+    contradiction and must fail loudly, not pick a winner silently."""
+    import pytest
+
+    assert Query(0, Modality.TEXT, exact=True).exact is True
+    assert Query(0, Modality.TEXT).exact is False
+    with pytest.raises(ValueError):
+        Query(0, Modality.TEXT, exact=True, pool_frac=0.02)
+
+
 def test_error_http_mapping():
     # Same taxonomy as reference src/error.rs:9-61.
     want = {

@@ -427,6 +427,81 @@ class TestRecallTier:
              "recall_tier": "0.5"}).encode())
         assert resp.status == 400
 
+    def test_exact_tier_skips_every_approximate_path(self, tmp_path,
+                                                     monkeypatch):
+        """recall_tier="exact" must serve the exhaustive kernel — no
+        sketch prefilter, no fused partial-reduce — and never carry the
+        approximate marker, even at capacities where the default sketch
+        dispatch is approximate."""
+        import json
+
+        from test_server import call, jbody, make_app
+
+        monkeypatch.setenv("UCFP_KNN_QUANT", "sketch")
+        monkeypatch.setenv("UCFP_SHARD", "off")
+        monkeypatch.setenv("UCFP_SKETCH_COST_MODEL", "0")
+        app, state = make_app(tmp_path)
+        rng = np.random.default_rng(3)
+        # capacity 8192 -> pool*2 < capacity: default dispatch is the
+        # approximate sketch prefilter (marked)
+        vecs = rng.normal(size=(5000, 16)).astype(np.float32)
+        run(state.index.upsert([
+            Record(0, i, Modality.TEXT, "e", b"x",
+                   embedding=[float(x) for x in vecs[i]])
+            for i in range(5000)
+        ]))
+        q = [float(x) for x in vecs[777]]
+        base = jbody(call(app, "POST", "/v1/query", json.dumps(
+            {"tenant_id": 0, "modality": "text", "k": 3, "vector": q}
+        ).encode()))
+        assert base.get("approximate") is True  # sketch default: marked
+        # the sketch kernel must not run at all under the exact tier
+        import ucfp_tpu.ops.knn as knn_mod
+
+        def boom(*a, **kw):  # pragma: no cover - failure path
+            raise AssertionError("sketch kernel ran under recall_tier=exact")
+
+        monkeypatch.setattr(knn_mod, "cosine_sketch_topk", boom)
+        body = jbody(call(app, "POST", "/v1/query", json.dumps(
+            {"tenant_id": 0, "modality": "text", "k": 3, "vector": q,
+             "recall_tier": "exact"}).encode()))
+        assert "approximate" not in body
+        assert body["hits"][0]["record_id"] == 777
+        # batched vectors under the exact tier: exact int8 GEMM, unmarked
+        bb = jbody(call(app, "POST", "/v1/query", json.dumps(
+            {"tenant_id": 0, "modality": "text", "k": 3, "vectors": [q],
+             "recall_tier": "exact"}).encode()))
+        assert "approximate" not in bb
+        assert bb["results"][0]["hits"][0]["record_id"] == 777
+
+    def test_backend_exact_flag_dispatch(self, tmp_path, monkeypatch):
+        """EmbeddedBackend.knn(exact=True): marker False, sketch kernel
+        skipped, results identical to the exhaustive int8 scan."""
+        monkeypatch.setenv("UCFP_SHARD", "off")
+        monkeypatch.setenv("UCFP_SKETCH_COST_MODEL", "0")
+        rng = np.random.default_rng(12)
+        n = 5000
+        vecs = rng.normal(size=(n, 16)).astype(np.float32)
+        b = EmbeddedBackend(str(tmp_path), knn_quant="sketch")
+        run(b.upsert([Record(0, i, Modality.TEXT, "e", b"x",
+                             embedding=[float(x) for x in vecs[i]])
+                      for i in range(n)]))
+        assert b.knn_is_approximate(0, 16, 10)
+        assert not b.knn_is_approximate(0, 16, 10, exact=True)
+        q = [float(x) for x in vecs[1234]]
+        import ucfp_tpu.ops.knn as knn_mod
+
+        def boom(*a, **kw):  # pragma: no cover - failure path
+            raise AssertionError("sketch kernel ran under exact=True")
+
+        monkeypatch.setattr(knn_mod, "cosine_sketch_topk", boom)
+        hits = run(b.knn(0, q, 5, exact=True))
+        assert hits[0].record_id == 1234
+        # identical to the exhaustive kernel called directly
+        ref = run(b.knn_batch(0, [q], 5, exact=True))[0]
+        assert [h.record_id for h in hits] == [h.record_id for h in ref]
+        b.close()
+
 
 class TestSketchFilter:
     def test_filtered_sketch_query_honors_filter(self, tmp_path, monkeypatch):

@@ -178,6 +178,11 @@ class Query:
     # values cannot force unbounded kernel recompiles — enforced here at
     # the core type, for every caller, not just the HTTP handler.
     pool_frac: Optional[float] = None
+    # force the fully-exact vector scan (extension): skips the sketch
+    # prefilter AND the fused partial-reduce candidate path, so the
+    # response is never marked approximate. Costs the exhaustive-kernel
+    # latency regardless of UCFP_KNN_QUANT.
+    exact: bool = False
 
     def __post_init__(self) -> None:
         _check_u32("tenant_id", self.tenant_id)
@@ -189,4 +194,8 @@ class Query:
             # rrf_k = -1 would divide by zero at rank 1 in the fusion;
             # other negatives silently invert the ranking
             raise ValueError("rrf_k must be >= 0")
+        if self.exact and self.pool_frac is not None:
+            # a pool override tunes the approximate prefilter; asking for
+            # both is a contradiction, not a preference order
+            raise ValueError("exact=True conflicts with pool_frac")
         self.pool_frac = quantize_pool_frac(self.pool_frac)

@@ -47,9 +47,13 @@ class IndexBackend(abc.ABC):
         k: int,
         filter: Optional[bytes] = None,
         pool_frac: Optional[float] = None,
+        exact: bool = False,
     ) -> list[Hit]:
         """pool_frac: optional per-request sketch rescore-pool override
-        (extension; ignored by backends without a sketch path)."""
+        (extension; ignored by backends without a sketch path).
+        exact: force the fully-exact scan — no sketch prefilter, no
+        fused partial-reduce (extension; a backend whose only path is
+        exact may ignore it)."""
         ...
 
     @abc.abstractmethod

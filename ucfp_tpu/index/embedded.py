@@ -1183,14 +1183,16 @@ class EmbeddedBackend(IndexBackend):
             if nsh > 1 else cand
         return knn_ops.sketch_beats_exact(cap_l, dim, cand_l)
 
-    def _int8_single_topk(self, q, q8m, row_norm, valid, kk: int, n: int):
+    def _int8_single_topk(self, q, q8m, row_norm, valid, kk: int, n: int,
+                          exact: bool = False):
         """Exact single-query int8 cosine top-k (single chip): the fused
         GEMV + pallas partial-reduce when shapes allow (near-exact for
         k <= 16, exact top-1 — the exact kernel's lax.top_k over the
-        full row count costs ~7x more at 10M), else the exact kernel."""
+        full row count costs ~7x more at 10M), else the exact kernel.
+        exact=True forces the exhaustive kernel unconditionally."""
         from ..ops import pallas_scan
 
-        if self._fused_pool_ok(q8m.shape[0], n, kk):
+        if not exact and self._fused_pool_ok(q8m.shape[0], n, kk):
             import jax
             import jax.numpy as jnp
 
@@ -1213,7 +1215,8 @@ class EmbeddedBackend(IndexBackend):
 
     def knn_is_approximate(self, tenant_id: int, dim: int, k: int,
                            batch: bool = False,
-                           pool_frac: "float | None" = None) -> bool:
+                           pool_frac: "float | None" = None,
+                           exact: bool = False) -> bool:
         """True when a (dim, k) vector query rides an approximate path —
         the fused partial-reduce candidates (near-exact for k <= 16,
         exact top-1; collision odds in ops/pallas_scan.py) or the sketch
@@ -1222,6 +1225,10 @@ class EmbeddedBackend(IndexBackend):
         mirrors knn_batch's dispatch: batched queries never use the
         sketch prefilter (the int8 GEMM is exact up to the fused
         candidate reduce), so sketch-pool bounds don't apply there."""
+        if exact:
+            # the exact flag pins the dispatch to the exhaustive kernels
+            # on every path below — nothing approximate can serve it
+            return False
         cache = self._vec.get((tenant_id, dim))
         if cache is None or cache.n == 0 or cache.data is None:
             return False
@@ -1263,9 +1270,14 @@ class EmbeddedBackend(IndexBackend):
         k: int,
         filter: Optional[bytes] = None,
         pool_frac: Optional[float] = None,
+        exact: bool = False,
     ) -> list[Hit]:
         """Cosine top-k, semantics matching mod.rs:268-360: empty query or
         k=0 or zero-norm query -> empty; only vectors of matching dim.
+
+        exact: force the fully-exact scan — skips the sketch prefilter
+        and the fused partial-reduce, serving the exhaustive kernel for
+        the active quant mode (never marked approximate).
 
         filter: optional {"algorithm": str, "model_id": str} — rows are
         masked on DEVICE (exact filtered top-k, not post-filtering), a
@@ -1318,7 +1330,8 @@ class EmbeddedBackend(IndexBackend):
                 # per-chip top-k + all_gather merge (sharded_knn.py)
                 from ..parallel import sharded_knn
 
-                if self.knn_quant == "sketch" and self._sketch_worth_it(
+                if self.knn_quant == "sketch" and not exact \
+                        and self._sketch_worth_it(
                     q8m_cap=dev[0].shape[0], dim=len(query), k=kk,
                     pool_frac=pool_frac,
                 ):
@@ -1347,7 +1360,7 @@ class EmbeddedBackend(IndexBackend):
                         q[None], matrix, valid, kk, self._mesh,
                         self._mesh_axes,
                     )
-            elif self._sketch_on() and self._sketch_worth_it(
+            elif self._sketch_on() and not exact and self._sketch_worth_it(
                 q8m_cap=dev[0].shape[0], dim=len(query), k=kk,
                 pool_frac=pool_frac,
             ):
@@ -1365,11 +1378,12 @@ class EmbeddedBackend(IndexBackend):
                 # the cost model says exact wins at this capacity/pool
                 q8m, row_norm, valid = dev[0], dev[1], dev[-1]
                 scores, idx = self._int8_single_topk(
-                    q, q8m, row_norm, valid, kk, cache.n
+                    q, q8m, row_norm, valid, kk, cache.n, exact=exact
                 )
             else:
                 matrix, valid = dev
-                if self._fused_pool_ok(matrix.shape[0], cache.n, kk):
+                if not exact and self._fused_pool_ok(
+                        matrix.shape[0], cache.n, kk):
                     scores, idx = knn_ops.cosine_topk_fused(
                         q[None], matrix, valid, kk)
                 else:
@@ -1392,7 +1406,7 @@ class EmbeddedBackend(IndexBackend):
 
     async def knn_batch(
         self, tenant_id: int, queries: list[list[float]], k: int,
-        filter: Optional[dict] = None,
+        filter: Optional[dict] = None, exact: bool = False,
     ) -> list[list[Hit]]:
         """Batched cosine top-k: all queries share ONE device matmul —
         the MXU runs a real GEMM instead of Q GEMVs (a single 10M x 64
@@ -1466,7 +1480,7 @@ class EmbeddedBackend(IndexBackend):
                 q8m, row_norm, valid = dev[0], dev[1], dev[-1]
                 # fused partial-reduce: only when the candidate pool covers
                 # k with headroom (near-exact for small k; see docstring)
-                if self._fused_pool_ok(q8m.shape[0], cache.n, kk):
+                if not exact and self._fused_pool_ok(q8m.shape[0], cache.n, kk):
                     # the measured sub-ms path: one MXU GEMM over all
                     # queries + one 2D-grid pallas partial-reduce
                     qa = jnp.max(jnp.abs(jnp.asarray(qm)), axis=1, keepdims=True)
@@ -1488,7 +1502,8 @@ class EmbeddedBackend(IndexBackend):
                     )
             else:
                 matrix, valid = dev
-                if self._fused_pool_ok(matrix.shape[0], cache.n, kk):
+                if not exact and self._fused_pool_ok(
+                        matrix.shape[0], cache.n, kk):
                     scores, idx = knn_ops.cosine_topk_fused(
                         qm, matrix, valid, kk)
                 else:

@@ -66,7 +66,7 @@ class Matcher:
         if has_vec and has_terms:
             knn_task = asyncio.create_task(
                 self.index.knn(q.tenant_id, q.vector, q.k, q.filter,
-                               pool_frac=q.pool_frac)
+                               pool_frac=q.pool_frac, exact=q.exact)
             )
             try:
                 if q.explain:
@@ -105,7 +105,7 @@ class Matcher:
                         h.term_hits = th
         elif has_vec:
             fused = await self.index.knn(q.tenant_id, q.vector, q.k, q.filter,
-                                         pool_frac=q.pool_frac)
+                                         pool_frac=q.pool_frac, exact=q.exact)
         elif has_terms:
             if q.explain:
                 pairs = await self.index.bm25_explain(q.tenant_id, q.terms, q.k)

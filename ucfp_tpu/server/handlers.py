@@ -520,6 +520,10 @@ class Handlers:
             "fast": POOL_FRAC_TIERS[0],
             "balanced": POOL_FRAC_TIERS[1],
             "high": None,
+            # "exact" opts out of approximation entirely: no sketch
+            # prefilter, no fused partial-reduce — the exhaustive scan,
+            # never marked approximate (costs its full latency)
+            "exact": None,
         }
         tier = body.get("recall_tier")
         if tier is not None and tier not in RECALL_TIERS:
@@ -528,6 +532,7 @@ class Handlers:
                 f"recall_tier must be one of {sorted(RECALL_TIERS)}",
             )
         pool_frac = RECALL_TIERS.get(tier) if tier else None
+        exact = tier == "exact"
         vector = self._valid_vector(body.get("vector"), "vector")
         terms = body.get("terms") or []
         if not isinstance(terms, list) or not all(
@@ -558,7 +563,7 @@ class Handlers:
                 )
             try:
                 results = await self.index.knn_batch(
-                    tenant_id, vectors, k, filter=flt
+                    tenant_id, vectors, k, filter=flt, exact=exact
                 )
             except UcfpError as e:
                 raise _err(e)
@@ -569,7 +574,7 @@ class Handlers:
                 ]
             }
             if vectors and self.index.knn_is_approximate(
-                tenant_id, len(vectors[0]), k, batch=True
+                tenant_id, len(vectors[0]), k, batch=True, exact=exact
             ):
                 # fused partial-reduce candidate semantics (near-exact
                 # for k <= 16) — marked, never silent
@@ -666,9 +671,10 @@ class Handlers:
                 explain=explain,
                 filter=flt,
                 pool_frac=pool_frac,
+                exact=exact,
             )
             if vector and self.index.knn_is_approximate(
-                tenant_id, len(vector), k, pool_frac=pool_frac
+                tenant_id, len(vector), k, pool_frac=pool_frac, exact=exact
             ):
                 req.extensions["approximate"] = True
             if req.query.get("rerank") == "embedding":
