@@ -1,0 +1,183 @@
+"""Packed-int4 prefilter: kernel exactness, pipeline recall, dispatch.
+
+The int4 path (ops/pallas_int4.py + ops/knn.py cosine_int4_topk) is the
+round-4 approximate serving tier: half the exact scan's HBM bytes with
+a near-exact ordering. These tests pin (a) the nibble pack/unpack
+algebra bit-exactly against a numpy reference, (b) pipeline recall vs
+the exact int8 scan, (c) validity/filter masking, and (d) the serving
+cost-model dispatch.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ucfp_tpu.ops import knn as knn_ops
+from ucfp_tpu.ops import pallas_int4
+
+
+def _rows(rng, n, d):
+    return rng.normal(size=(n, d)).astype(np.float32)
+
+
+def _quant8(rows):
+    q8, norm = knn_ops.quantize_rows_int8(rows)
+    return jnp.asarray(q8), jnp.asarray(norm)
+
+
+class TestPackAndKernel:
+    def test_pack_unpack_bit_exact(self):
+        """packed nibbles recover the exact int4 values: hi via the
+        in-place AND (-16 = 0xF0 keeps 16*hi, no borrow because the low
+        nibble is biased non-negative), lo via AND 15 minus the bias."""
+        rng = np.random.default_rng(0)
+        q8, _ = _quant8(_rows(rng, 256, 32))
+        packed_t, inv_n4 = knn_ops.pack_int4_cols(q8)
+        packed = np.asarray(packed_t).T  # [C, D/2]
+        hi = np.asarray(packed).astype(np.int8) >> 4  # arithmetic in np
+        lo = (np.asarray(packed) & 15).astype(np.int32) - 8
+        # independent reference quantization
+        f = np.asarray(q8, np.float32)
+        absmax = np.abs(f).max(axis=1, keepdims=True)
+        scale = np.where(absmax == 0, 1.0, absmax / 7.0)
+        q4 = np.clip(np.round(f / scale), -7, 7).astype(np.int32)
+        np.testing.assert_array_equal(hi, q4[:, :16])
+        np.testing.assert_array_equal(lo, q4[:, 16:])
+        n4 = np.sqrt((q4.astype(np.float32) ** 2).sum(1))
+        np.testing.assert_allclose(
+            np.asarray(inv_n4), np.where(n4 > 0, 1.0 / n4, 0.0), rtol=1e-6
+        )
+
+    def test_kernel_dots_match_reference(self):
+        """int4_dots == numpy unpacked-int4 dot, bit-exact, for every
+        weight row of the batch-8 block."""
+        rng = np.random.default_rng(1)
+        c, d = 512, 64
+        dp = d // 2
+        q8, _ = _quant8(_rows(rng, c, d))
+        packed_t, _ = knn_ops.pack_int4_cols(q8)
+        qs = rng.integers(-127, 128, size=(pallas_int4.SUB, d)).astype(np.int8)
+        wh = jnp.asarray(qs[:, :dp])
+        wl = jnp.asarray(qs[:, dp:])
+        out = np.asarray(
+            pallas_int4.int4_dots(packed_t, wh, wl, 128, pallas_int4.SUB)
+        )
+        packed = np.asarray(packed_t).T.astype(np.int8)
+        hi = (packed >> 4).astype(np.int32)
+        lo_b = (packed & 15).astype(np.int32)  # biased
+        for m in range(pallas_int4.SUB):
+            ref = hi @ qs[m, :dp].astype(np.int32) + lo_b @ qs[m, dp:].astype(
+                np.int32
+            )
+            np.testing.assert_array_equal(out[m], ref)
+        # single-query extraction matches row 0
+        one = np.asarray(pallas_int4.int4_dots(packed_t, wh, wl, 128, 1))
+        np.testing.assert_array_equal(one, out[0])
+
+    def test_rpt_divisor_required(self):
+        rng = np.random.default_rng(2)
+        q8, _ = _quant8(_rows(rng, 256, 32))
+        packed_t, _ = knn_ops.pack_int4_cols(q8)
+        wh = jnp.zeros((pallas_int4.SUB, 16), jnp.int8)
+        with pytest.raises(ValueError):
+            pallas_int4.int4_dots(packed_t, wh, wh, 192)
+
+
+class TestPipeline:
+    def test_topk_matches_exact_int8(self):
+        """At these sizes the pool covers enough that int4-prefiltered
+        top-10 should equal the exact int8 top-10 on random data."""
+        rng = np.random.default_rng(3)
+        c, d, k = 4096, 64, 10
+        rows = _rows(rng, c, d)
+        q8, norm = _quant8(rows)
+        packed_t, inv_n4 = knn_ops.pack_int4_cols(q8)
+        valid = jnp.ones((c,), bool)
+        q = rng.normal(size=d).astype(np.float32)
+        s_ref, i_ref = knn_ops.cosine_topk_int8(
+            jnp.asarray(q)[None], q8, norm, valid, k
+        )
+        s4, i4 = knn_ops.cosine_int4_topk(
+            jnp.asarray(q), q8, norm, packed_t, inv_n4, valid, k, 512
+        )
+        assert set(np.asarray(i4).tolist()) == set(np.asarray(i_ref)[0].tolist())
+        np.testing.assert_allclose(
+            np.sort(np.asarray(s4)), np.sort(np.asarray(s_ref)[0]), rtol=1e-5
+        )
+
+    def test_planted_near_duplicate_found(self):
+        rng = np.random.default_rng(4)
+        c, d = 8192, 32
+        rows = _rows(rng, c, d)
+        q = rows[777] + 0.02 * rng.normal(size=d).astype(np.float32)
+        q8, norm = _quant8(rows)
+        packed_t, inv_n4 = knn_ops.pack_int4_cols(q8)
+        s, i = knn_ops.cosine_int4_topk(
+            jnp.asarray(q), q8, norm, packed_t, inv_n4,
+            jnp.ones((c,), bool), 5, knn_ops.int4_pool(c, 5),
+        )
+        assert int(np.asarray(i)[0]) == 777
+
+    def test_validity_and_filter_mask(self):
+        """Masked rows must never surface, even when they dominate the
+        int4 ordering — the mask rides `valid` through the -inf encoding
+        like the sketch path."""
+        rng = np.random.default_rng(5)
+        c, d = 2048, 32
+        rows = _rows(rng, c, d)
+        q = rows[100].copy()
+        rows[101] = rows[100]  # a masked twin that would win unmasked
+        q8, norm = _quant8(rows)
+        packed_t, inv_n4 = knn_ops.pack_int4_cols(q8)
+        valid = np.ones(c, bool)
+        valid[101] = False
+        valid[c // 2:] = False  # non-prefix masking too
+        s, i = knn_ops.cosine_int4_topk(
+            jnp.asarray(q), q8, norm, packed_t, inv_n4,
+            jnp.asarray(valid), 10, 256,
+        )
+        got = np.asarray(i)[np.isfinite(np.asarray(s))]
+        assert 101 not in got.tolist()
+        assert all(g < c // 2 for g in got.tolist())
+        assert int(got[0]) == 100
+
+    def test_small_cap_exhaustive_fallback(self):
+        """pool*2 >= capacity degrades to the exhaustive exact rescore
+        (identical to the exact kernel)."""
+        rng = np.random.default_rng(6)
+        c, d, k = 256, 32, 5
+        rows = _rows(rng, c, d)
+        q8, norm = _quant8(rows)
+        packed_t, inv_n4 = knn_ops.pack_int4_cols(q8)
+        valid = jnp.ones((c,), bool)
+        q = rng.normal(size=d).astype(np.float32)
+        s_ref, i_ref = knn_ops.cosine_topk_int8(
+            jnp.asarray(q)[None], q8, norm, valid, k
+        )
+        s, i = knn_ops.cosine_int4_topk(
+            jnp.asarray(q), q8, norm, packed_t, inv_n4, valid, k,
+            knn_ops.int4_pool(c, k),
+        )
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref)[0])
+
+
+class TestDispatchModel:
+    def test_supported_shapes(self):
+        assert knn_ops.int4_supported(1 << 20, 768)
+        assert not knn_ops.int4_supported(1 << 20, 767)  # odd dim
+        assert not knn_ops.int4_supported(100, 768)  # not 128-multiple
+
+    def test_beats_exact_at_scale_not_small(self, monkeypatch):
+        monkeypatch.delenv("UCFP_SKETCH_COST_MODEL", raising=False)
+        pool = knn_ops.int4_pool(10_000_000, 10)
+        assert knn_ops.int4_beats_exact(1 << 23, 768, pool)
+        # tiny cap: pool covers it; exact wins
+        assert not knn_ops.int4_beats_exact(2048, 768,
+                                            knn_ops.int4_pool(2048, 10))
+
+    def test_model_orders_sane(self):
+        # int4 models strictly below exact at 10M x 768
+        assert (knn_ops.int4_model_ms(1 << 23, 768, 2048)
+                < knn_ops.exact_scan_model_ms(1 << 23, 768))

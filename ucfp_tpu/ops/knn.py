@@ -526,6 +526,133 @@ def cosine_sketch_topk(
                           sorted_unique=False)
 
 
+# -- packed-int4 prefilter + exact int8 rescore ------------------------------
+#
+# UCFP_KNN_QUANT=int4: the round-4 successor to the sketch prefilter
+# for single-query serving. Each int8 row is re-quantized to int4 and
+# nibble-packed column-major ([D/2, C] int8, ops/pallas_int4.py), so
+# the prefilter scan streams HALF the exact scan's bytes at the HBM
+# roofline (measured 746 GB/s packed at 2.5M x 768 — 2.2x the exact
+# int8 GEMV over the same rows). Unlike the sketch (whose 768-bit
+# estimator needs a ~420k-row rescore pool for recall 0.9, paying the
+# ~13 ns/row gather constant), the int4 ordering is nearly exact: the
+# exact top-10's worst int4 rank measured <= 30 at 2M x 768 (32 random
+# queries), so a 2k-row pool reaches recall ~1.0 and the gather cost
+# vanishes. One tier: there is no pool/recall knob worth exposing.
+#
+# Pipeline: packed scan (pallas) -> partial-reduce candidate selection
+# (pallas scores_topk_fused) -> top-pool -> sorted gather + exact int8
+# rescore -> exact top-k. Candidate-loss bound: a true top-k row is
+# dropped only when a higher-int4-scored row shares its (tile, lane)
+# selection cell — P <= rank/(C/256/128 cells) ~ 0.04% per item at 10M.
+
+INT4_MIN_POOL = 2048
+
+
+def int4_pool(n: int, k: int) -> int:
+    """Rescore-pool size for the int4 prefilter. Fixed small: int4 rank
+    error is bounded by quantization noise, not sketch-bit starvation,
+    so the pool does not scale with the catalog."""
+    return min(n, max(INT4_MIN_POOL, 64 * k))
+
+
+def int4_supported(cap: int, dim: int) -> bool:
+    """Kernel shape constraints: even dim (nibble pairing) and a
+    128-multiple capacity (pallas tile divisor)."""
+    return dim % 2 == 0 and cap >= 128 and cap % 128 == 0
+
+
+@jax.jit
+def pack_int4_cols(q8m: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """[C, D] int8 rows -> (packed_t [D/2, C] int8, inv_n4 [C] f32).
+
+    Per-row symmetric int4 re-quantization (scale = absmax/7; the scale
+    cancels in cosine, exactly as the int8 path's does). Packing: dim j
+    rides byte j's HIGH nibble (two's complement) and dim j+D/2 its LOW
+    nibble BIASED +8 — the bias makes the in-kernel unpack a pure
+    bitwise AND (see ops/pallas_int4.py for the Mosaic legalization
+    story). inv_n4 is 1/|int4 row| with 0 for zero rows, so the score
+    fixup is a multiply, not a guarded divide."""
+    f = q8m.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(f), axis=1, keepdims=True)
+    scale = jnp.where(absmax == 0.0, 1.0, absmax / 7.0)
+    q4 = jnp.clip(jnp.round(f / scale), -7, 7).astype(jnp.int32)
+    dp = q8m.shape[1] // 2
+    hi = q4[:, :dp]
+    lo = q4[:, dp:] + 8
+    packed_t = ((hi << 4) | lo).astype(jnp.int8).T  # [Dp, C]
+    n4 = jnp.sqrt(jnp.sum(q4.astype(jnp.float32) ** 2, axis=1))
+    inv_n4 = jnp.where(n4 > 0.0, 1.0 / jnp.maximum(n4, 1e-9), 0.0)
+    return packed_t, inv_n4
+
+
+@functools.partial(jax.jit, static_argnums=(6, 7))
+def cosine_int4_topk(
+    query: jax.Array,  # [D] f32
+    q8: jax.Array,  # [C, D] int8 (the exact-rescore matrix)
+    row_norm: jax.Array,  # [C] f32 (|int8 row|)
+    packed_t: jax.Array,  # [D/2, C] int8 (pack_int4_cols)
+    inv_n4: jax.Array,  # [C] f32
+    valid: jax.Array,  # [C] bool (validity AND any device-side filter)
+    k: int,
+    pool: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Packed-int4-prefilter cosine top-k. Returns ([k] scores, [k] idx);
+    scores are exact int8 cosines of the rescored pool (same contract
+    as cosine_sketch_topk)."""
+    from . import pallas_int4, pallas_scan
+
+    c, d = q8.shape
+    ok = valid & (row_norm > 0.0)
+    if pool * 2 >= c:
+        # pool covers (most of) the catalog: exhaustive exact rescore
+        cidx = jnp.arange(c, dtype=jnp.int32)
+        return _rescore_exact(q8, cidx, ok, query, k)
+    qq = _quantize_query(query)
+    dp = d // 2
+    wh = jnp.zeros((pallas_int4.SUB, dp), jnp.int8).at[0].set(qq[:dp])
+    wl = jnp.zeros((pallas_int4.SUB, dp), jnp.int8).at[0].set(qq[dp:])
+    dots = pallas_int4.int4_dots(packed_t, wh, wl, pallas_int4.pick_rpt(c))
+    corr = 8 * jnp.sum(qq[dp:].astype(jnp.int32))
+    s4 = jnp.where(ok, (dots - corr).astype(jnp.float32) * inv_n4, NEG_INF)
+    tile_rows = pallas_scan.ROWS_PER_TILE * pallas_scan.LANES
+    n_cand = (c // tile_rows) * pallas_scan.LANES
+    if c % tile_rows == 0 and n_cand >= 2 * pool:
+        # streaming per-(tile, lane) partial reduce, then top-pool over
+        # the ~C/256 candidates (the big-catalog path)
+        vals, gidx = pallas_scan.scores_topk_fused(s4, pool)
+    else:
+        # small/odd capacities (where the cost model prefers exact
+        # anyway): exact segmented top-pool
+        vals, gidx = _exact_topk_flat(s4, pool)
+    slot_ok = vals > NEG_INF
+    return _rescore_exact(q8, gidx, slot_ok, query, k, sorted_unique=False)
+
+
+def int4_model_ms(cap: int, dim: int, pool: int) -> float:
+    """Modeled p50 of the int4-prefilter pipeline at (cap, pool)."""
+    scan = cap * (dim // 2) / (_cost_const("hbm_gbps") * 1e6)
+    dots_io = cap * 4 * 2 / (_cost_const("hbm_gbps") * 1e6)  # i32 out+read
+    select = 0.3  # partial reduce + top-pool, ~flat in cap
+    gather = pool * _cost_const("gather_ns") / 1e6
+    rescore = pool * dim / (_cost_const("hbm_gbps") * 1e6)
+    return scan + dots_io + select + gather + rescore + _cost_const("base_ms")
+
+
+def int4_beats_exact(cap: int, dim: int, pool: int) -> bool:
+    """Serving dispatch predicate for UCFP_KNN_QUANT=int4 — same
+    never-slower-than-exact contract as sketch_beats_exact."""
+    import os
+
+    if not int4_supported(cap, dim):
+        return False
+    if os.environ.get("UCFP_SKETCH_COST_MODEL", "1") == "0":
+        return True
+    if pool * 2 >= cap:
+        return False
+    return int4_model_ms(cap, dim, pool) < exact_scan_model_ms(cap, dim)
+
+
 # -- sketch-vs-exact dispatch cost model -------------------------------------
 #
 # The sketch prefilter is only worth serving when its modeled latency
