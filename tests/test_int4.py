@@ -163,6 +163,129 @@ class TestPipeline:
         np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref)[0])
 
 
+class TestBackendInt4Mode:
+    """UCFP_KNN_QUANT=int4 through EmbeddedBackend: cache build,
+    incremental scatter, dispatch, markers, and shape fallbacks."""
+
+    def _recs(self, vecs):
+        from ucfp_tpu.core import Modality, Record
+
+        return [
+            Record(0, i, Modality.TEXT, "e", b"x",
+                   embedding=[float(x) for x in vecs[i]])
+            for i in range(len(vecs))
+        ]
+
+    def test_backend_matches_int8_and_scatter(self, tmp_path, monkeypatch):
+        import asyncio
+
+        from ucfp_tpu.core import Modality, Record
+        from ucfp_tpu.index.embedded import EmbeddedBackend
+
+        run = asyncio.run
+        monkeypatch.setenv("UCFP_SHARD", "off")
+        # force the prefilter kernel (the cost model would correctly
+        # route these tiny catalogs to exact)
+        monkeypatch.setenv("UCFP_SKETCH_COST_MODEL", "0")
+        rng = np.random.default_rng(7)
+        vecs = rng.normal(size=(300, 24)).astype(np.float32)
+        b4 = EmbeddedBackend(str(tmp_path / "q4"), knn_quant="int4")
+        b8 = EmbeddedBackend(str(tmp_path / "q8"), knn_quant="int8")
+        run(b4.upsert(self._recs(vecs)))
+        run(b8.upsert(self._recs(vecs)))
+        q = [float(x) for x in vecs[42]]
+        h4 = run(b4.knn(0, q, 5))
+        h8 = run(b8.knn(0, q, 5))
+        assert [(h.record_id, round(h.score, 6)) for h in h4] == \
+               [(h.record_id, round(h.score, 6)) for h in h8]
+        assert h4[0].record_id == 42
+        # pool covers the catalog here -> NOT approximate
+        assert not b4.knn_is_approximate(0, 24, 5)
+        # incremental update rides the packed column-scatter path
+        new = rng.normal(size=24).astype(np.float32)
+        run(b4.upsert([Record(0, 7777, Modality.TEXT, "e", b"x",
+                              embedding=[float(x) for x in new])]))
+        got = run(b4.knn(0, [float(x) for x in new], 1))
+        assert got[0].record_id == 7777
+        # batch path rides the exact int8 GEMM (marker stays False)
+        res = run(b4.knn_batch(0, [q], 3))
+        assert res[0][0].record_id == 42
+        assert not b4.knn_is_approximate(0, 24, 3, batch=True)
+        b4.close()
+        b8.close()
+
+    def test_backend_large_marker_and_exact_tier(self, tmp_path,
+                                                 monkeypatch):
+        import asyncio
+
+        from ucfp_tpu.index.embedded import EmbeddedBackend
+
+        run = asyncio.run
+        monkeypatch.setenv("UCFP_SHARD", "off")
+        monkeypatch.setenv("UCFP_SKETCH_COST_MODEL", "0")
+        rng = np.random.default_rng(8)
+        # capacity 8192 (power-of-two growth) -> pool 2048,
+        # pool*2 < cap: thresholded selection -> marked approximate
+        n = 5000
+        vecs = rng.normal(size=(n, 16)).astype(np.float32)
+        b = EmbeddedBackend(str(tmp_path), knn_quant="int4")
+        run(b.upsert(self._recs(vecs)))
+        assert b.knn_is_approximate(0, 16, 10)
+        q = vecs[1234] + 0.03 * rng.normal(size=16).astype(np.float32)
+        hits = run(b.knn(0, [float(x) for x in q], 10))
+        assert hits[0].record_id == 1234
+        # per-request exact tier opts out of the prefilter entirely
+        ex = run(b.knn(0, [float(x) for x in q], 10, exact=True))
+        assert ex[0].record_id == 1234
+        assert not b.knn_is_approximate(0, 16, 10, exact=True)
+        b.close()
+
+    def test_backend_odd_dim_serves_exact(self, tmp_path, monkeypatch):
+        """Odd dims can't nibble-pair: the cache omits the packed parts
+        and queries ride the exact int8 scan without crashing."""
+        import asyncio
+
+        from ucfp_tpu.index.embedded import EmbeddedBackend
+
+        run = asyncio.run
+        monkeypatch.setenv("UCFP_SHARD", "off")
+        monkeypatch.setenv("UCFP_SKETCH_COST_MODEL", "0")
+        rng = np.random.default_rng(9)
+        vecs = rng.normal(size=(200, 17)).astype(np.float32)
+        b = EmbeddedBackend(str(tmp_path), knn_quant="int4")
+        run(b.upsert(self._recs(vecs)))
+        hits = run(b.knn(0, [float(x) for x in vecs[33]], 3))
+        assert hits[0].record_id == 33
+        assert not b.knn_is_approximate(0, 17, 3)
+        # incremental path too
+        run(b.upsert(self._recs(vecs[:10])))
+        hits = run(b.knn(0, [float(x) for x in vecs[5]], 3))
+        assert hits[0].record_id == 5
+        b.close()
+
+    def test_backend_mesh_serves_exact_sharded(self, tmp_path,
+                                               monkeypatch):
+        """Under a mesh the int4 single-query path is not wired — the
+        dispatch rides the exact sharded int8 scan and the marker must
+        agree (never claim approximate for an exact answer)."""
+        import asyncio
+
+        from ucfp_tpu.index.embedded import EmbeddedBackend
+
+        run = asyncio.run
+        monkeypatch.setenv("UCFP_SHARD", "auto")
+        monkeypatch.setenv("UCFP_SKETCH_COST_MODEL", "0")
+        rng = np.random.default_rng(10)
+        vecs = rng.normal(size=(400, 16)).astype(np.float32)
+        b = EmbeddedBackend(str(tmp_path), knn_quant="int4")
+        run(b.upsert(self._recs(vecs)))
+        assert b._mesh is not None
+        hits = run(b.knn(0, [float(x) for x in vecs[77]], 5))
+        assert hits[0].record_id == 77
+        assert not b.knn_is_approximate(0, 16, 5)
+        b.close()
+
+
 class TestDispatchModel:
     def test_supported_shapes(self):
         assert knn_ops.int4_supported(1 << 20, 768)

@@ -345,10 +345,13 @@ class EmbeddedBackend(IndexBackend):
         # knn_quant: None/"none" = exact f32 cosine (reference semantics);
         # "int8" = per-row symmetric quantized scan (4x bandwidth, the
         # sub-ms @10M representation; scores are cosines of the quantized
-        # rows); "sketch" = int8 PLUS a 256-bit SimHash sketch prefilter
-        # for single-vector queries (24x less HBM scanned, approx_max_k
-        # candidate pool, exact int8 rescore — responses marked
-        # approximate). Also settable via UCFP_KNN_QUANT.
+        # rows); "sketch" = int8 PLUS a 768-bit SimHash sketch prefilter
+        # for single-vector queries (8x less HBM scanned, pool-selected
+        # candidates, exact int8 rescore — responses marked approximate);
+        # "int4" = int8 PLUS a nibble-packed int4 prefilter (2x less HBM
+        # than the exact scan at near-exact ordering, tiny rescore pool —
+        # the recommended approximate tier, ops/pallas_int4.py). Also
+        # settable via UCFP_KNN_QUANT.
         self.knn_quant = (knn_quant or os.environ.get("UCFP_KNN_QUANT", "none")).lower()
         self._planes: dict[int, object] = {}  # dim -> device planes
         self._tag_codes: dict[str, int] = {}  # algorithm/model_id interning
@@ -1053,13 +1056,22 @@ class EmbeddedBackend(IndexBackend):
         import jax.numpy as jnp
 
         cap = cache.data.shape[0]
-        quant = self.knn_quant in ("int8", "sketch")
+        quant = self.knn_quant in ("int8", "sketch", "int4")
         sketch_on = self._sketch_on()
+        # odd dims can't nibble-pair: the cache simply omits the packed
+        # parts and the dispatch (gated on int4_supported) serves exact
+        int4_on = self._int4_on() and cache.data.shape[1] % 2 == 0
         if cache.dirty or cache.device is None:
             if quant:
                 q8, row_norm = knn_ops.quantize_rows_int8(cache.data)
                 q8m = self._put_matrix(q8)
                 parts = [q8m, self._put_rowvec(row_norm)]
+                if int4_on:
+                    # packed columns ([D/2, cap] int8) + 1/|int4 row|;
+                    # one device pass over the already-resident q8m
+                    packed_t, inv_n4 = knn_ops.pack_int4_cols(q8m)
+                    parts.append(self._put_packed(packed_t))
+                    parts.append(self._put_rowvec(inv_n4))
                 if sketch_on:
                     planes = self._sketch_planes(cache.data.shape[1])
                     if self._mesh is not None:
@@ -1094,6 +1106,21 @@ class EmbeddedBackend(IndexBackend):
                     self._scatter_rows(m, ridx, q8u_dev),
                     self._scatter_rows(rn, ridx, jnp.asarray(rnu)),
                 ]
+                if int4_on:
+                    # column scatter into the packed [D/2, cap] layout
+                    # (row i of the catalog is COLUMN i) + inv-norm rows
+                    pk, inv = knn_ops.pack_int4_cols(q8u_dev)
+                    packed = cache.device[2].at[:, ridx].set(pk)
+                    if self._mesh is not None:
+                        import jax
+
+                        packed = jax.device_put(
+                            packed, cache.device[2].sharding
+                        )
+                    parts.append(packed)
+                    parts.append(
+                        self._scatter_rows(cache.device[3], ridx, inv)
+                    )
                 if sketch_on:
                     sk_rows = knn_ops.sketch_rows_int8(
                         q8u_dev, self._sketch_planes(cache.data.shape[1])
@@ -1121,6 +1148,31 @@ class EmbeddedBackend(IndexBackend):
 
     def _sketch_on(self) -> bool:
         return self.knn_quant == "sketch"
+
+    def _int4_on(self) -> bool:
+        return self.knn_quant == "int4"
+
+    def _put_packed(self, arr):
+        """Placement for the packed-int4 [D/2, cap] columns: catalog
+        rows ride the LANE axis, so under a mesh the shard split is on
+        axis 1 (power-of-two capacities divide evenly)."""
+        if self._mesh is None:
+            return arr
+        import jax
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        return jax.device_put(
+            arr, NamedSharding(self._mesh, P(None, self._mesh_axes))
+        )
+
+    def _int4_worth_it(self, cap: int, dim: int, k: int) -> bool:
+        """Cost-model gate for the int4 prefilter, per-shard like
+        _sketch_worth_it: serve it only when the modeled pipeline beats
+        the exhaustive int8 scan at this capacity."""
+        nsh = self._n_shards()
+        cap_l = max(1, cap // nsh)
+        return knn_ops.int4_beats_exact(cap_l, dim, knn_ops.int4_pool(cap_l, k))
 
     def _sketch_planes(self, dim: int):
         import jax.numpy as jnp
@@ -1249,6 +1301,17 @@ class EmbeddedBackend(IndexBackend):
                 # capacity, and capacity <= 2n makes pool >= n
                 # impossible below that line
                 return knn_ops.sketch_pool(cap, k, pool_frac) * 2 < cap
+        if self._int4_on() and not batch and self._mesh is None:
+            # under a mesh the int4 single-query path is not wired —
+            # dispatch rides the exact sharded int8 scan, so nothing
+            # approximate serves (the mesh check below returns False)
+            cap = cache.data.shape[0]
+            if self._int4_worth_it(cap, dim, k):
+                # same pool semantics as the sketch marker: the kernel
+                # rescores everything (exact) when pool * 2 >= capacity
+                return knn_ops.int4_pool(cap, k) * 2 < cap
+            # cost model routed to the exact path; fall through to its
+            # marker below
         if self._mesh is not None:
             return False
         return self._fused_pool_ok(cache.data.shape[0], cache.n, k)
@@ -1345,10 +1408,10 @@ class EmbeddedBackend(IndexBackend):
                         self._mesh, self._mesh_axes,
                     )
                     scores, idx = s1[None, :], i1[None, :]
-                elif self.knn_quant in ("int8", "sketch"):
-                    # exact sharded int8 scan — also the sketch-mode
+                elif self.knn_quant in ("int8", "sketch", "int4"):
+                    # exact sharded int8 scan — also the sketch/int4
                     # fallback when the cost model says exact wins
-                    # (sketch must never serve slower than exact)
+                    # (approximate tiers never serve slower than exact)
                     q8m, row_norm, valid = dev[0], dev[1], dev[-1]
                     scores, idx = sharded_knn.sharded_cosine_int8_batch_topk(
                         q[None], q8m, row_norm, valid, kk, self._mesh,
@@ -1373,9 +1436,20 @@ class EmbeddedBackend(IndexBackend):
                     q8m, row_norm, sketch, valid, kk, cand,
                 )
                 scores, idx = s1[None, :], i1[None, :]
-            elif self.knn_quant in ("int8", "sketch"):
-                # exact int8 scan — also the sketch-mode fallback when
-                # the cost model says exact wins at this capacity/pool
+            elif self._int4_on() and not exact and self._int4_worth_it(
+                dev[0].shape[0], len(query), kk
+            ):
+                import jax.numpy as jnp
+
+                q8m, row_norm, packed_t, inv_n4, valid = dev
+                s1, i1 = knn_ops.cosine_int4_topk(
+                    jnp.asarray(q), q8m, row_norm, packed_t, inv_n4,
+                    valid, kk, knn_ops.int4_pool(q8m.shape[0], kk),
+                )
+                scores, idx = s1[None, :], i1[None, :]
+            elif self.knn_quant in ("int8", "sketch", "int4"):
+                # exact int8 scan — also the sketch/int4-mode fallback
+                # when the cost model says exact wins at this capacity
                 q8m, row_norm, valid = dev[0], dev[1], dev[-1]
                 scores, idx = self._int8_single_topk(
                     q, q8m, row_norm, valid, kk, cache.n, exact=exact
@@ -1458,9 +1532,9 @@ class EmbeddedBackend(IndexBackend):
             if self._mesh is not None:
                 from ..parallel import sharded_knn
 
-                if self.knn_quant in ("int8", "sketch"):
+                if self.knn_quant in ("int8", "sketch", "int4"):
                     # batched queries amortize the sharded scan; the
-                    # sketch cache's int8 matrix serves the GEMM directly
+                    # prefilter caches' int8 matrix serves the GEMM
                     q8m, row_norm, valid = dev[0], dev[1], dev[-1]
                     scores, idx = sharded_knn.sharded_cosine_int8_batch_topk(
                         qm, q8m, row_norm, valid, kk, self._mesh,
@@ -1471,10 +1545,10 @@ class EmbeddedBackend(IndexBackend):
                     scores, idx = sharded_knn.sharded_cosine_topk(
                         qm, matrix, valid, kk, self._mesh, self._mesh_axes,
                     )
-            elif self.knn_quant in ("int8", "sketch"):
+            elif self.knn_quant in ("int8", "sketch", "int4"):
                 # batched queries amortize the HBM scan across the whole
-                # GEMM, so the sketch prefilter buys nothing here — ride
-                # the int8 path (the sketch cache is a superset of it)
+                # GEMM, so the prefilters buy little here — ride the
+                # int8 path (the sketch/int4 caches are supersets of it)
                 from ..ops import pallas_scan
 
                 q8m, row_norm, valid = dev[0], dev[1], dev[-1]

@@ -73,12 +73,21 @@ def _work() -> None:
         for d in dims:
             m = np.zeros((1024, d), np.float32)
             m[:16, 0] = 1.0
-            if quant in ("int8", "sketch"):
+            if quant in ("int8", "sketch", "int4"):
                 q8, rn = knn_ops.quantize_rows_int8(m)
                 knn_ops.cosine_topk_int8(
                     jnp.asarray(m[:1]), jnp.asarray(q8), jnp.asarray(rn),
                     valid, k,
                 )
+                if quant == "int4" and d % 2 == 0:
+                    packed_t, inv_n4 = knn_ops.pack_int4_cols(
+                        jnp.asarray(q8)
+                    )
+                    knn_ops.cosine_int4_topk(
+                        jnp.asarray(m[0]), jnp.asarray(q8),
+                        jnp.asarray(rn), packed_t, inv_n4, valid, k,
+                        knn_ops.int4_pool(1024, k),
+                    )
                 if quant == "sketch":
                     planes = jnp.asarray(knn_ops.sketch_planes(d))
                     sk = knn_ops.tile_sketch(
