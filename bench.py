@@ -526,6 +526,47 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
 
     qf = q_single.astype(jnp.float32)
 
+    # -- packed-int4 prefilter path (UCFP_KNN_QUANT=int4) --------------
+    # nibble-packed [D/2, C] columns: half the exact scan's HBM bytes
+    # with near-exact int4 ordering + a fixed 2048-row exact rescore
+    # pool (ops/knn.py int4 section). One tier — no recall knob.
+    packed_t, inv_n4 = (
+        jax.block_until_ready(a)
+        for a in knn_ops.pack_int4_cols_chunked(m8, chunk=tile)
+    )
+    pool_i4 = knn_ops.int4_pool(n, k)
+
+    @functools.partial(jax.jit, static_argnums=(7, 8))
+    def loop_int4(q, m, rnv, pk, inv, vd, _pl, it, pool):
+        def body(_i, carry):
+            _vals, idx = knn_ops.cosine_int4_topk(
+                carry, m, rnv, pk, inv, vd, k, pool
+            )
+            return jnp.clip(
+                carry + m[idx[0]].astype(jnp.float32) / 127.0, -127.0, 127.0
+            )
+
+        out = jax.lax.fori_loop(0, it, body, q)
+        return jnp.sum(out)
+
+    def t_int4(m=None, rnv=None, pk=None, inv=None, vd=None, pool=None):
+        return _timed(
+            lambda it: float(
+                loop_int4(
+                    qf,
+                    m if m is not None else m8,
+                    rnv if rnv is not None else rn,
+                    pk if pk is not None else packed_t,
+                    inv if inv is not None else inv_n4,
+                    vd if vd is not None else valid,
+                    None,
+                    it,
+                    pool if pool is not None else pool_i4,
+                )
+            ),
+            iters,
+        ) * 1000.0
+
     def t_exact():
         return _timed(
             lambda it: int(loop_single(q_single, m8, rn, it)), iters
@@ -564,18 +605,29 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
             hits += len(es & set(isk.tolist()))
         return hits
 
-    times: dict = {"exact": [], "sketch": [], "fast": []}
+    def int4_hits(exact_sets):
+        hits = 0
+        for i, es in enumerate(exact_sets):
+            _s, ii = knn_ops.cosine_int4_topk(
+                queries[i], m8, rn, packed_t, inv_n4, valid, k, pool_i4
+            )
+            hits += len(es & set(ii.tolist()))
+        return hits
+
+    times: dict = {"exact": [], "sketch": [], "fast": [], "int4": []}
     exact_sets = None
-    hits_q = hits_f = 0
+    hits_q = hits_f = hits_i4 = 0
     for r in range(rounds):
         times["exact"].append(t_exact())
         times["sketch"].append(t_sketch(cand))
         times["fast"].append(t_sketch(cand_fast))
+        times["int4"].append(t_int4())
         # interleave the (device-heavy) recall batches between rounds
         if r == 0:
             exact_sets = ground_truth()
         elif r == 1:
             hits_q = sketch_hits(exact_sets, cand)
+            hits_i4 = int4_hits(exact_sets)
         elif r == 2:
             hits_f = sketch_hits(exact_sets, cand_fast)
 
@@ -621,8 +673,13 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
             ),
             iters,
         ) * 1000.0
+        shard_int4_ms = t_int4(
+            m=m8_s, rnv=rn_s, pk=packed_t[:, :shard_n],
+            inv=inv_n4[:shard_n], vd=vd_s,
+            pool=knn_ops.int4_pool(shard_n, k),
+        )
     else:  # catalog too small to slice a tile-aligned shard (smoke runs)
-        shard_exact_ms = shard_sketch_ms = float("nan")
+        shard_exact_ms = shard_sketch_ms = shard_int4_ms = float("nan")
     merge_model_ms = 0.1
 
     def _stats(xs):
@@ -634,6 +691,7 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
 
     n_trials = recall_q * k
     rq, rf = hits_q / n_trials, hits_f / n_trials
+    ri4 = hits_i4 / n_trials
 
     def _ci95(p):
         return round(1.96 * (p * (1.0 - p) / n_trials) ** 0.5, 3)
@@ -653,6 +711,10 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
         "query_cosine_sketch_range_ms": st["sketch"]["range"],
         "sketch_fast_p50_ms_10m_x768": st["fast"]["p50"],
         "sketch_fast_range_ms": st["fast"]["range"],
+        "query_cosine_int4_p50_ms_10m_x768": st["int4"]["p50"],
+        "query_cosine_int4_range_ms": st["int4"]["range"],
+        "int4_recall10_random_10m_x768": round(ri4, 3),
+        "int4_recall10_ci95": _ci95(ri4),
         "sketch_timing_unstable": unstable,
         "sketch_recall10_random_10m_x768": round(rq, 3),
         "sketch_recall10_ci95": _ci95(rq),
@@ -666,12 +728,16 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
         },
         "query_sharded_per_shard_exact_p50_ms": round(shard_exact_ms, 3),
         "query_sharded_per_shard_p50_ms": round(shard_sketch_ms, 3),
+        "query_sharded_per_shard_int4_p50_ms": round(shard_int4_ms, 3),
         "query_sharded_merge_model_ms": merge_model_ms,
         "query_v5e8_derived_exact_ms": round(
             shard_exact_ms + merge_model_ms, 3
         ),
         "query_v5e8_derived_sketch_ms": round(
             shard_sketch_ms + merge_model_ms, 3
+        ),
+        "query_v5e8_derived_int4_ms": round(
+            shard_int4_ms + merge_model_ms, 3
         ),
         "sharded_rows_per_shard": shard_n,
     }

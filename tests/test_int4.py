@@ -76,6 +76,16 @@ class TestPackAndKernel:
         one = np.asarray(pallas_int4.int4_dots(packed_t, wh, wl, 128, 1))
         np.testing.assert_array_equal(one, out[0])
 
+    def test_chunked_pack_bit_identical(self):
+        """pack_int4_cols_chunked == pack_int4_cols, including a
+        non-chunk-multiple tail."""
+        rng = np.random.default_rng(11)
+        q8, _ = _quant8(_rows(rng, 640, 32))
+        ref_p, ref_i = knn_ops.pack_int4_cols(q8)
+        got_p, got_i = knn_ops.pack_int4_cols_chunked(q8, chunk=256)
+        np.testing.assert_array_equal(np.asarray(got_p), np.asarray(ref_p))
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_i))
+
     def test_rpt_divisor_required(self):
         rng = np.random.default_rng(2)
         q8, _ = _quant8(_rows(rng, 256, 32))

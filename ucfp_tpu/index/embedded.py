@@ -1068,8 +1068,10 @@ class EmbeddedBackend(IndexBackend):
                 parts = [q8m, self._put_rowvec(row_norm)]
                 if int4_on:
                     # packed columns ([D/2, cap] int8) + 1/|int4 row|;
-                    # one device pass over the already-resident q8m
-                    packed_t, inv_n4 = knn_ops.pack_int4_cols(q8m)
+                    # chunked pack over the already-resident q8m (the
+                    # one-shot pack stages a full f32 copy — OOM at
+                    # multi-GB capacities)
+                    packed_t, inv_n4 = knn_ops.pack_int4_cols_chunked(q8m)
                     parts.append(self._put_packed(packed_t))
                     parts.append(self._put_rowvec(inv_n4))
                 if sketch_on:

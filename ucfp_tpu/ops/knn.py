@@ -573,6 +573,10 @@ def pack_int4_cols(q8m: jax.Array) -> tuple[jax.Array, jax.Array]:
     bitwise AND (see ops/pallas_int4.py for the Mosaic legalization
     story). inv_n4 is 1/|int4 row| with 0 for zero rows, so the score
     fixup is a multiply, not a guarded divide."""
+    return _pack_int4_rows(q8m)
+
+
+def _pack_int4_rows(q8m):
     f = q8m.astype(jnp.float32)
     absmax = jnp.max(jnp.abs(f), axis=1, keepdims=True)
     scale = jnp.where(absmax == 0.0, 1.0, absmax / 7.0)
@@ -584,6 +588,47 @@ def pack_int4_cols(q8m: jax.Array) -> tuple[jax.Array, jax.Array]:
     n4 = jnp.sqrt(jnp.sum(q4.astype(jnp.float32) ** 2, axis=1))
     inv_n4 = jnp.where(n4 > 0.0, 1.0 / jnp.maximum(n4, 1e-9), 0.0)
     return packed_t, inv_n4
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _pack_int4_map(q8m, chunk):
+    # fori_loop + dynamic_update_slice on the carry: XLA keeps the
+    # output buffers in place, so peak memory is output + ONE chunk's
+    # transients (a lax.map + transpose reassembly would stage the
+    # packed columns twice — 7.5 GB transient at 10M x 768)
+    n, d = q8m.shape
+    out_p = jnp.zeros((d // 2, n), jnp.int8)
+    out_i = jnp.zeros((n,), jnp.float32)
+
+    def body(g, carry):
+        op, oi = carry
+        blk = jax.lax.dynamic_slice(q8m, (g * chunk, 0), (chunk, d))
+        pk, inv = _pack_int4_rows(blk)
+        return (
+            jax.lax.dynamic_update_slice(op, pk, (0, g * chunk)),
+            jax.lax.dynamic_update_slice(oi, inv, (g * chunk,)),
+        )
+
+    return jax.lax.fori_loop(0, n // chunk, body, (out_p, out_i))
+
+
+def pack_int4_cols_chunked(q8m, chunk: int = 1 << 18):
+    """Memory-safe pack_int4_cols for multi-GB catalogs: the one-shot
+    pack stages a full f32 copy of the matrix (~4x the int8 bytes —
+    OOM beside a resident 7.5 GB catalog), so this maps the identical
+    per-row math over `chunk`-row blocks (lax.map keeps one block's
+    intermediates live) and reassembles the [D/2, C] columns. Row-wise
+    math means the result is bit-identical to the one-shot pack."""
+    n = q8m.shape[0]
+    if n <= chunk:
+        return pack_int4_cols(q8m)
+    m = (n // chunk) * chunk
+    pk, inv = _pack_int4_map(q8m[:m], chunk)
+    if m < n:  # sub-chunk tail: the one-shot pack is safe at this size
+        pk_t, inv_t = pack_int4_cols(q8m[m:])
+        pk = jnp.concatenate([pk, pk_t], axis=1)
+        inv = jnp.concatenate([inv, inv_t])
+    return pk, inv
 
 
 @functools.partial(jax.jit, static_argnums=(6, 7))
