@@ -273,11 +273,38 @@ class TestBackendInt4Mode:
         assert hits[0].record_id == 5
         b.close()
 
-    def test_backend_mesh_serves_exact_sharded(self, tmp_path,
+    def test_backend_mesh_cost_model_falls_back_to_exact_sharded(
+            self, tmp_path, monkeypatch):
+        """With the real cost model, a tiny catalog routes to the exact
+        sharded int8 scan (prefilter never serves slower than exact)
+        and the marker must agree (never claim approximate for an
+        exact answer)."""
+        import asyncio
+
+        from ucfp_tpu.index.embedded import EmbeddedBackend
+
+        run = asyncio.run
+        monkeypatch.setenv("UCFP_SHARD", "auto")
+        monkeypatch.delenv("UCFP_SKETCH_COST_MODEL", raising=False)
+        rng = np.random.default_rng(10)
+        vecs = rng.normal(size=(400, 16)).astype(np.float32)
+        b = EmbeddedBackend(str(tmp_path), knn_quant="int4")
+        run(b.upsert(self._recs(vecs)))
+        assert b._mesh is not None
+        cap = b._vec[(0, 16)].data.shape[0]
+        # the fixed pool covers each 128-row shard -> exact wins
+        assert not b._int4_worth_it(cap, 16, 5)
+        hits = run(b.knn(0, [float(x) for x in vecs[77]], 5))
+        assert hits[0].record_id == 77
+        assert not b.knn_is_approximate(0, 16, 5)
+        b.close()
+
+    def test_backend_sharded_int4_matches_int8(self, tmp_path,
                                                monkeypatch):
-        """Under a mesh the int4 single-query path is not wired — the
-        dispatch rides the exact sharded int8 scan and the marker must
-        agree (never claim approximate for an exact answer)."""
+        """Per-shard capacity >= 128: the SHARDED int4 prefilter serves
+        (column-sharded packed scan + per-shard pool + two-stage merge)
+        and, with the pool covering each shard, matches the exact int8
+        ranking bit-for-bit."""
         import asyncio
 
         from ucfp_tpu.index.embedded import EmbeddedBackend
@@ -285,15 +312,32 @@ class TestBackendInt4Mode:
         run = asyncio.run
         monkeypatch.setenv("UCFP_SHARD", "auto")
         monkeypatch.setenv("UCFP_SKETCH_COST_MODEL", "0")
-        rng = np.random.default_rng(10)
-        vecs = rng.normal(size=(400, 16)).astype(np.float32)
-        b = EmbeddedBackend(str(tmp_path), knn_quant="int4")
-        run(b.upsert(self._recs(vecs)))
-        assert b._mesh is not None
-        hits = run(b.knn(0, [float(x) for x in vecs[77]], 5))
-        assert hits[0].record_id == 77
-        assert not b.knn_is_approximate(0, 16, 5)
-        b.close()
+        rng = np.random.default_rng(11)
+        n = 1100  # capacity 2048 -> >= 128 rows/shard on <= 16 devices
+        vecs = rng.normal(size=(n, 16)).astype(np.float32)
+        b4 = EmbeddedBackend(str(tmp_path / "q4"), knn_quant="int4")
+        b8 = EmbeddedBackend(str(tmp_path / "q8"), knn_quant="int8")
+        run(b4.upsert(self._recs(vecs)))
+        run(b8.upsert(self._recs(vecs)))
+        assert b4._mesh is not None
+        cap = b4._vec[(0, 16)].data.shape[0]
+        assert b4._int4_worth_it(cap, 16, 5)
+        q = [float(x) for x in vecs[321]]
+        h4 = run(b4.knn(0, q, 5))
+        h8 = run(b8.knn(0, q, 5))
+        assert [(h.record_id, round(h.score, 6)) for h in h4] == \
+               [(h.record_id, round(h.score, 6)) for h in h8]
+        assert h4[0].record_id == 321
+        # incremental scatter through the column-sharded packed cache
+        new = rng.normal(size=16).astype(np.float32)
+        from ucfp_tpu.core import Modality, Record
+
+        run(b4.upsert([Record(0, 9999, Modality.TEXT, "e", b"x",
+                              embedding=[float(x) for x in new])]))
+        got = run(b4.knn(0, [float(x) for x in new], 1))
+        assert got[0].record_id == 9999
+        b4.close()
+        b8.close()
 
 
 class TestDispatchModel:

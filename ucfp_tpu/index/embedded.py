@@ -1303,14 +1303,14 @@ class EmbeddedBackend(IndexBackend):
                 # capacity, and capacity <= 2n makes pool >= n
                 # impossible below that line
                 return knn_ops.sketch_pool(cap, k, pool_frac) * 2 < cap
-        if self._int4_on() and not batch and self._mesh is None:
-            # under a mesh the int4 single-query path is not wired —
-            # dispatch rides the exact sharded int8 scan, so nothing
-            # approximate serves (the mesh check below returns False)
+        if self._int4_on() and not batch:
             cap = cache.data.shape[0]
             if self._int4_worth_it(cap, dim, k):
                 # same pool semantics as the sketch marker: the kernel
-                # rescores everything (exact) when pool * 2 >= capacity
+                # rescores everything (exact) when pool * 2 >= capacity.
+                # Under a mesh each shard keeps its own FULL fixed pool,
+                # so the aggregate pool only grows — conservative, like
+                # the sketch marker above.
                 return knn_ops.int4_pool(cap, k) * 2 < cap
             # cost model routed to the exact path; fall through to its
             # marker below
@@ -1408,6 +1408,17 @@ class EmbeddedBackend(IndexBackend):
                         jnp.asarray(q), self._sketch_planes(len(query)),
                         q8m, row_norm, sketch, valid, kk, cand,
                         self._mesh, self._mesh_axes,
+                    )
+                    scores, idx = s1[None, :], i1[None, :]
+                elif self._int4_on() and not exact and self._int4_worth_it(
+                    dev[0].shape[0], len(query), kk
+                ):
+                    import jax.numpy as jnp
+
+                    q8m, row_norm, packed_t, inv_n4, valid = dev
+                    s1, i1 = sharded_knn.sharded_cosine_int4_topk(
+                        jnp.asarray(q), q8m, row_norm, packed_t, inv_n4,
+                        valid, kk, self._mesh, self._mesh_axes,
                     )
                     scores, idx = s1[None, :], i1[None, :]
                 elif self.knn_quant in ("int8", "sketch", "int4"):

@@ -266,6 +266,52 @@ def sharded_cosine_sketch_topk(query, planes, db8, row_norm, sketch, valid,
                                        valid, k, cand, mesh, tuple(axes))
 
 
+def _sharded_cosine_int4_impl(query, db8, row_norm, packed_t, inv_n4,
+                              valid, k: int, mesh: Mesh,
+                              axes: tuple = (AXIS,)):
+    from ..ops import knn as knn_ops
+
+    def local(q, m, rn, pk, inv, v):
+        # each shard runs the packed-int4 prefilter + exact rescore over
+        # its own rows. The pool is FIXED-size (int4 rank error is
+        # quantization noise, not bit starvation), so each shard keeps
+        # its own full pool — per-shard recall only improves vs the
+        # single-chip path while the scanned bytes divide by the mesh.
+        k_local = min(k, m.shape[0])
+        pool_local = knn_ops.int4_pool(m.shape[0], k)
+        vals, idx = knn_ops.cosine_int4_topk(
+            q, m, rn, pk, inv, v, k_local, pool_local
+        )
+        gidx = idx + _flat_shard_index(axes) * m.shape[0]
+        vals, gidx = vals[None, :], gidx[None, :]
+        for ax in reversed(axes):
+            vals, gidx = _merge_axis(vals, gidx, ax, k)
+        return vals[0], gidx[0]
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axes, None), P(axes), P(None, axes), P(axes),
+                  P(axes)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(query, db8, row_norm, packed_t, inv_n4, valid)
+
+
+def sharded_cosine_int4_topk(query, db8, row_norm, packed_t, inv_n4,
+                             valid, k: int, mesh: Mesh,
+                             axes: tuple = (AXIS,)):
+    """Sharded packed-int4 prefilter cosine: query [D] f32 replicated;
+    db8 [C, D] row-sharded; packed_t [D/2, C] COLUMN-sharded over the
+    same axes (catalog rows ride the lane axis of the packed layout,
+    so the shard split lands on axis 1 — index/embedded.py
+    _put_packed). Each chip streams half its int8 shard bytes, rescores
+    its own fixed pool exactly, then the standard two-stage top-k
+    merge. Returns ([k] scores, [k] global idx)."""
+    return _sharded_cosine_int4_impl(query, db8, row_norm, packed_t,
+                                     inv_n4, valid, k, mesh, tuple(axes))
+
+
 @functools.partial(jax.jit, static_argnums=(4, 5, 6))
 def _sharded_cosine_int8_batch_impl(query, db8, row_norm, valid, k: int,
                                     mesh: Mesh, axes: tuple = (AXIS,)):
