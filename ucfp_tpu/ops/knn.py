@@ -545,6 +545,12 @@ def cosine_sketch_topk(
 # rescore -> exact top-k. Candidate-loss bound: a true top-k row is
 # dropped only when a higher-int4-scored row shares its (tile, lane)
 # selection cell — P <= rank/(C/256/128 cells) ~ 0.04% per item at 10M.
+#
+# Measured at 10M x 768 on one v5e (BENCH_r04 capture, 3 spread runs,
+# 104-query recall CI): 6.3 ms in [6.0, 6.7] at recall@10 1.000±0.000
+# vs the 10.48 ms exact int8 scan — 1.66x faster at measured-perfect
+# recall. Per-shard at 10M/8 = 1.25M rows: 0.80 ms -> derived v5e-8
+# ~0.90 ms incl. the modeled 0.1 ms merge (sub-ms @10M single query).
 
 INT4_MIN_POOL = 2048
 
@@ -675,13 +681,21 @@ def cosine_int4_topk(
 
 
 def int4_model_ms(cap: int, dim: int, pool: int) -> float:
-    """Modeled p50 of the int4-prefilter pipeline at (cap, pool)."""
-    scan = cap * (dim // 2) / (_cost_const("hbm_gbps") * 1e6)
-    dots_io = cap * 4 * 2 / (_cost_const("hbm_gbps") * 1e6)  # i32 out+read
-    select = 0.3  # partial reduce + top-pool, ~flat in cap
+    """Modeled p50 of the int4-prefilter pipeline at (cap, pool).
+
+    Refit to the round-4 BENCH_r04 capture pair — measured 6.3 ms at
+    10M x 768 and 0.80 ms at the 1.25M-row shard: the packed scan +
+    [C] i32 dots write/read + selection land at an effective
+    ~640 GB/s over cap*(dim/2 + 8) bytes (the whole-pipeline rate, a
+    bit under the kernel's 746 GB/s scan-only rate), plus a small
+    ~0.25 ms flat term (top-pool + rescore composition). The fit
+    deliberately OVERestimates at shard scale (1.05 modeled vs 0.80
+    measured) so the dispatch stays conservative — int4 never serves
+    where exact might win."""
+    stream = cap * (dim // 2 + 8) / (640.0 * 1e6)
     gather = pool * _cost_const("gather_ns") / 1e6
     rescore = pool * dim / (_cost_const("hbm_gbps") * 1e6)
-    return scan + dots_io + select + gather + rescore + _cost_const("base_ms")
+    return stream + gather + rescore + 0.25
 
 
 def int4_beats_exact(cap: int, dim: int, pool: int) -> bool:
