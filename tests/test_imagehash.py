@@ -224,6 +224,67 @@ class TestFastBmpDecode:
         ref = np.asarray(Image.open(io.BytesIO(bytes(data))).convert("RGB"))
         assert np.array_equal(img_mod._fast_bmp_rgb(bytes(data)), ref)
 
+    @pytest.mark.parametrize("h,w", [(64, 64), (33, 47), (32, 33)])
+    def test_decode_gray_bit_identical(self, h, w):
+        """decode_gray == np_luma_u8(decode_rgb(...)) byte-for-byte on
+        the fast-BMP path (luma computed straight off the strided BGR
+        view) AND on the PIL fallback (PNG)."""
+        from PIL import Image
+
+        from ucfp_tpu.ops import imagehash as ih
+
+        pre = img_mod.PreprocessConfig()
+        rgb = rand_rgb(h, w, seed=h * 7 + w)
+        buf = io.BytesIO()
+        Image.fromarray(rgb).save(buf, format="BMP")
+        bmp = buf.getvalue()
+        ref = ih.np_luma_u8(img_mod.decode_rgb(bmp, pre))
+        got = img_mod.decode_gray(bmp, pre)
+        assert got.dtype == np.uint8 and got.shape == (h, w)
+        assert np.array_equal(got, ref)
+        # PIL fallback path (PNG) — exact same composition
+        png = synthetic_png(max(h, 64), max(w, 64))
+        assert np.array_equal(
+            img_mod.decode_gray(png, pre),
+            ih.np_luma_u8(img_mod.decode_rgb(png, pre)),
+        )
+
+    def test_decode_gray_top_down_bmp(self):
+        import struct
+
+        from PIL import Image
+
+        from ucfp_tpu.ops import imagehash as ih
+
+        rgb = rand_rgb(40, 40, seed=9)
+        buf = io.BytesIO()
+        Image.fromarray(rgb).save(buf, format="BMP")
+        data = bytearray(buf.getvalue())
+        h = struct.unpack_from("<i", data, 22)[0]
+        struct.pack_into("<i", data, 22, -h)
+        off = struct.unpack_from("<I", data, 10)[0]
+        stride = (40 * 3 + 3) // 4 * 4
+        rows = [bytes(data[off + i * stride: off + (i + 1) * stride])
+                for i in range(h)]
+        data[off:] = b"".join(reversed(rows))
+        pre = img_mod.PreprocessConfig()
+        assert np.array_equal(
+            img_mod.decode_gray(bytes(data), pre),
+            ih.np_luma_u8(img_mod.decode_rgb(bytes(data), pre)),
+        )
+
+    def test_decode_gray_enforces_limits(self):
+        """Out-of-bounds dims fall through to decode_rgb's error/shrink
+        handling, identical to the RGB path."""
+        from PIL import Image
+
+        pre = img_mod.PreprocessConfig(min_dimension=64)
+        rgb = rand_rgb(40, 40, seed=4)
+        buf = io.BytesIO()
+        Image.fromarray(rgb).save(buf, format="BMP")
+        with pytest.raises(Exception):
+            img_mod.decode_gray(buf.getvalue(), pre)
+
     def test_non_24bpp_falls_back(self):
         # PNG obviously isn't a BMP; a 32bpp/paletted BMP also declines
         assert img_mod._fast_bmp_rgb(synthetic_png(64, 64)) is None

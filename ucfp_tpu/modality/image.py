@@ -50,16 +50,13 @@ class PreprocessConfig:
         )
 
 
-def _fast_bmp_rgb(data: bytes):
-    """Zero-copy numpy decode for plain 24-bit uncompressed BMPs (the
-    dominant high-rate ingest format: cameras/pipelines that pre-decode
-    upstream send raw BMP to skip double compression). PIL's generic
-    path costs ~68 us/image on this host; the header parse + strided
-    view is ~4 us, which moves the 1-core ingest decode ceiling from
-    ~15k to ~240k imgs/s. Output is byte-identical to PIL's (tested);
-    returns None for anything but BI_RGB 24bpp so every other BMP
-    flavor (palette, RLE, 16/32bpp, v4/v5 alpha) falls through to PIL.
-    """
+def _fast_bmp_view(data: bytes):
+    """Header parse + strided view for plain 24-bit uncompressed BMPs.
+
+    Returns (bgr_view [rows, w, 3] in STORED row order, bottom_up) or
+    None for anything but BI_RGB 24bpp, so every other BMP flavor
+    (palette, RLE, 16/32bpp, v4/v5 alpha) falls through to PIL. The
+    view aliases `data` — callers copy before returning it."""
     import struct
 
     if len(data) < 54 or data[:2] != b"BM":
@@ -79,7 +76,21 @@ def _fast_bmp_rgb(data: bytes):
         return None
     a = np.frombuffer(data, np.uint8, stride * rows, off)
     a = a.reshape(rows, stride)[:, : w * 3].reshape(rows, w, 3)
-    if h > 0:  # bottom-up storage (the common case)
+    return a, h > 0  # bottom-up storage is the common case
+
+
+def _fast_bmp_rgb(data: bytes):
+    """Zero-copy numpy decode for plain 24-bit uncompressed BMPs (the
+    dominant high-rate ingest format: cameras/pipelines that pre-decode
+    upstream send raw BMP to skip double compression). PIL's generic
+    path costs ~68 us/image on this host; the header parse + strided
+    view is ~4 us, which moves the 1-core ingest decode ceiling from
+    ~15k to ~240k imgs/s. Output is byte-identical to PIL's (tested)."""
+    fv = _fast_bmp_view(data)
+    if fv is None:
+        return None
+    a, bottom_up = fv
+    if bottom_up:
         a = a[::-1]
     return np.ascontiguousarray(a[..., ::-1])  # BGR -> RGB
 
@@ -136,6 +147,37 @@ def decode_rgb(data: bytes, pre: PreprocessConfig) -> np.ndarray:
         )
         arr = np.asarray(shrunk, dtype=np.uint8)
     return arr
+
+
+def decode_gray(data: bytes, pre: PreprocessConfig) -> np.ndarray:
+    """Decode image bytes straight to BT.601 luma [H, W] uint8.
+
+    The high-rate ingest path only ever feeds the *_kernel_gray device
+    entries, so materializing RGB per image is pure overhead: for fast
+    BMPs this computes the EXACT np_luma_u8 integer formula directly on
+    the strided BGR view (no flip/swap/contiguous copies — the round-4
+    profile showed those per-image copies were ~15% of the 1-core soak
+    budget) and flips rows afterwards on the 1-byte/pixel result.
+    Bit-identical to np_luma_u8(decode_rgb(data, pre)) by construction
+    (same weights, channels read from their BGR positions); everything
+    that isn't a fast-path BMP falls back to exactly that composition,
+    including all preprocess limit errors and the oversize pre-shrink.
+    """
+    if len(data) <= pre.max_input_bytes:
+        fv = _fast_bmp_view(data)
+        if fv is not None:
+            a, bottom_up = fv
+            h, w = a.shape[:2]
+            if min(h, w) >= pre.min_dimension and max(h, w) <= pre.max_dimension:
+                # stored order is BGR: weights indexed accordingly
+                r = a[..., 2].astype(np.int32)
+                g = a[..., 1].astype(np.int32)
+                b = a[..., 0].astype(np.int32)
+                out = ((299 * r + 587 * g + 114 * b + 500) // 1000).astype(
+                    np.uint8
+                )
+                return out[::-1] if bottom_up else out
+    return imagehash.np_luma_u8(decode_rgb(data, pre))
 
 
 def _multi_outputs(rgbs: np.ndarray) -> dict:

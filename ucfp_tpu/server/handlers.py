@@ -88,20 +88,23 @@ def _pad_pow2(batch: np.ndarray, n: int) -> np.ndarray:
     return batch
 
 
-def _hash_image_group(algo: str, batch: np.ndarray, h: int, w: int,
+def _hash_image_group(algo: str, gray: np.ndarray, h: int, w: int,
                       count: int) -> list[bytes]:
-    """One device hash launch for `count` same-shape images (padded to a
-    power-of-two batch). THE single implementation behind both the
-    deadline batcher and the bulk ingest route.
+    """One device hash launch for `count` same-shape LUMA images [N, H, W]
+    u8 (padded to a power-of-two batch). THE single implementation
+    behind both the deadline batcher and the bulk ingest route.
 
-    The BT.601 luma runs on the HOST (np_luma_u8 — the same integer
-    formula as the device stage, oracle-locked) so only 1 byte/pixel
-    crosses host->device: tunneled runtimes charge a ~30-60 ms round
-    trip per dispatch and smaller payloads dispatch measurably faster
-    (gray cut the wire 3x, +28% end to end at batch 64)."""
+    The BT.601 luma runs on the HOST (decode_gray — the same integer
+    formula as the device stage, oracle-locked, computed straight off
+    the decode view) so only 1 byte/pixel crosses host->device:
+    tunneled runtimes charge a ~30-60 ms round trip per dispatch and
+    smaller payloads dispatch measurably faster (gray cut the wire 3x,
+    +28% end to end at batch 64), and the host never materializes RGB
+    on this path (round-4 profile: the per-image flip/swap/contiguous
+    copies were ~15% of the 1-core soak budget)."""
     from ..ops import imagehash
 
-    gray = imagehash.np_luma_u8(_pad_pow2(batch, count))
+    gray = _pad_pow2(gray, count)
     if algo == "multi":
         out = imod.jax_device_get(imagehash.multihash_kernel_gray(gray, h, w))
         return [imagehash.serialize_multihash(out, i) for i in range(count)]
@@ -193,19 +196,19 @@ class Handlers:
             import asyncio
 
             algo = bucket[0]
-            rgbs = np.stack(payloads)
+            # hash buckets carry [H, W] u8 luma payloads; the semantic
+            # bucket carries prepared [3072] encoder features
+            stacked = np.stack(payloads)
             n = len(payloads)
 
             def work():
                 if algo == "semantic":
-                    # payloads are prepared [3072] encoder features — one
-                    # bucket regardless of source image shape
                     from ..models import image_encode
 
-                    embs = image_encode(_pad_pow2(rgbs, n))
+                    embs = image_encode(_pad_pow2(stacked, n))
                     return [embs[i] for i in range(n)]
                 _, h, w = bucket
-                return _hash_image_group(algo, rgbs, h, w, n)
+                return _hash_image_group(algo, stacked, h, w, n)
 
             return await asyncio.to_thread(work)
 
@@ -272,11 +275,11 @@ class Handlers:
         try:
             if ct.startswith("image/"):
                 _algo_gate("multi")
-                rgb = await asyncio.to_thread(
-                    imod.decode_rgb, raw, imod.PreprocessConfig()
+                gray = await asyncio.to_thread(
+                    imod.decode_gray, raw, imod.PreprocessConfig()
                 )
-                h, w = rgb.shape[:2]
-                fp = await self.image_batcher.submit(("multi", h, w), rgb)
+                h, w = gray.shape
+                fp = await self.image_batcher.submit(("multi", h, w), gray)
                 rec = Record(
                     tenant_id=0, record_id=0, modality=Modality.IMAGE,
                     algorithm=imod.ALGORITHM_MULTI, fingerprint=fp,
@@ -939,9 +942,9 @@ class Handlers:
             if algorithm in ("multi", "phash", "dhash", "ahash"):
                 # decode off the event loop: PIL decode of a large image
                 # would stall every other request
-                rgb = await asyncio.to_thread(imod.decode_rgb, raw, pre)
-                h, w = rgb.shape[:2]
-                fp = await self.image_batcher.submit((algorithm, h, w), rgb)
+                gray = await asyncio.to_thread(imod.decode_gray, raw, pre)
+                h, w = gray.shape
+                fp = await self.image_batcher.submit((algorithm, h, w), gray)
                 algo_tag = (
                     imod.ALGORITHM_MULTI
                     if algorithm == "multi"
@@ -1044,13 +1047,13 @@ class Handlers:
                     else imod._SINGLE_ALGOS[algorithm])
 
         def work():
-            rgbs = [imod.decode_rgb(b, pre) for _, b in frames]
+            grays = [imod.decode_gray(b, pre) for _, b in frames]
             groups: dict[tuple[int, int], list[int]] = {}
-            for i, rgb in enumerate(rgbs):
-                groups.setdefault(rgb.shape[:2], []).append(i)
+            for i, g in enumerate(grays):
+                groups.setdefault(g.shape, []).append(i)
             fps: list[bytes] = [b""] * len(frames)
             for (h, w), idxs in groups.items():
-                batch = np.stack([rgbs[i] for i in idxs])
+                batch = np.stack([grays[i] for i in idxs])
                 hashed = _hash_image_group(algorithm, batch, h, w, len(idxs))
                 for j, i in enumerate(idxs):
                     fps[i] = hashed[j]
