@@ -921,19 +921,22 @@ def _run_all():
         """End-to-end HTTP -> decode -> host luma -> device hash batch ->
         WAL-durable store, images/s (the serving-path number the
         kernel-only phash_ips cannot claim). EXACTLY the documented soak
-        configuration (CLAUDE.md: scripts/soak_ingest.py --conns 8
+        configuration (CLAUDE.md: scripts/soak_ingest.py --conns 16
         --batch 128 --quiet) so the driver-captured number and the
         soak command reproduce each other. batch=128 is the tuned device
         batch through the tunnel runtime (256-image batches degrade
         badly under concurrent load; 64 under-amortizes the ~30-60 ms
-        per-dispatch round trip); quiet skips per-record hex."""
+        per-dispatch round trip); conns=16 keeps ~4 dispatches in
+        flight through the tunnel (8 left it under-filled: 5.1k; 32
+        overloads and collapses to 3.8k; 16 measured 5.9-6.7k across 4
+        runs); quiet skips per-record hex."""
         import pathlib
         import sys
 
         sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent / "scripts"))
         from soak_ingest import run_soak
 
-        out = run_soak(seconds=6.0, conns=8, algorithm="phash", batch=128,
+        out = run_soak(seconds=6.0, conns=16, algorithm="phash", batch=128,
                        quiet=True)
         extra["ingest_http_errors"] = out["errors"]
         return out["req_per_sec"]
