@@ -553,8 +553,13 @@ class EmbeddedBackend(IndexBackend):
             sc = self._haitsma.setdefault(rec.tenant_id, _StreamCache())
             sc.upsert(rec.record_id,
                       np.frombuffer(rec.fingerprint, dtype="<u4"))
-        # BM25 — same logical txn (bm25.rs:333-401; no text clears the doc)
-        self._bm25.upsert_one(rec.tenant_id, rec.record_id, rec.text)
+        # BM25 — same logical txn (bm25.rs:333-401; no text clears the
+        # doc). Textless records that never had text skip the engine
+        # entirely (clear-of-absent is a no-op, and the ctypes hop per
+        # image record measured on the 1-core ingest profile)
+        if rec.text is not None or (old is not None
+                                    and old["text"] is not None):
+            self._bm25.upsert_one(rec.tenant_id, rec.record_id, rec.text)
 
 
     def _apply_delete(self, tenant_id: int, rid: int, wal: bool) -> None:

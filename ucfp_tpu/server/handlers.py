@@ -1028,7 +1028,12 @@ class Handlers:
             )
         pre = self._image_pre(req)
         raw = req.body
-        frames: list[tuple[int, bytes]] = []
+        # zero-copy frame views: slicing bytes copies each ~12 KB image
+        # out of the body (1.5 MB/request at batch 128, measured on the
+        # 1-core ingest profile); memoryview slices alias `raw`, which
+        # outlives the decode below
+        mv = memoryview(raw)
+        frames: list[tuple[int, memoryview]] = []
         off = 0
         while off < len(raw):
             if off + 12 > len(raw):
@@ -1037,7 +1042,7 @@ class Handlers:
             off += 12
             if off + ln > len(raw):
                 raise HttpError(400, "bad_body", "truncated batch frame body")
-            frames.append((rid, raw[off:off + ln]))
+            frames.append((rid, mv[off:off + ln]))
             off += ln
         if not frames:
             raise HttpError(400, "bad_body", "empty batch")
