@@ -536,8 +536,8 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
     )
     pool_i4 = knn_ops.int4_pool(n, k)
 
-    @functools.partial(jax.jit, static_argnums=(7, 8))
-    def loop_int4(q, m, rnv, pk, inv, vd, _pl, it, pool):
+    @functools.partial(jax.jit, static_argnums=(6, 7))
+    def loop_int4(q, m, rnv, pk, inv, vd, it, pool):
         def body(_i, carry):
             _vals, idx = knn_ops.cosine_int4_topk(
                 carry, m, rnv, pk, inv, vd, k, pool
@@ -559,7 +559,6 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
                     pk if pk is not None else packed_t,
                     inv if inv is not None else inv_n4,
                     vd if vd is not None else valid,
-                    None,
                     it,
                     pool if pool is not None else pool_i4,
                 )

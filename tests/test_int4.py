@@ -211,7 +211,11 @@ class TestBackendInt4Mode:
         assert h4[0].record_id == 42
         # pool covers the catalog here -> NOT approximate
         assert not b4.knn_is_approximate(0, 24, 5)
-        # incremental update rides the packed column-scatter path
+        # at cap 1024 the packed cache is the zero-width placeholder
+        # (every pool covers the catalog, the kernel's exhaustive
+        # branch never reads it — no pack compute or +50% HBM)
+        assert b4._vec[(0, 24)].device[2].shape[1] == 0
+        # incremental update rides the placeholder-skip scatter path
         new = rng.normal(size=24).astype(np.float32)
         run(b4.upsert([Record(0, 7777, Modality.TEXT, "e", b"x",
                               embedding=[float(x) for x in new])]))
@@ -244,6 +248,18 @@ class TestBackendInt4Mode:
         q = vecs[1234] + 0.03 * rng.normal(size=16).astype(np.float32)
         hits = run(b.knn(0, [float(x) for x in q], 10))
         assert hits[0].record_id == 1234
+        # above 2*INT4_MIN_POOL the packed cache is real (synced by
+        # the query above)
+        cap = b._vec[(0, 16)].data.shape[0]
+        assert b._vec[(0, 16)].device[2].shape == (8, cap)
+        # incremental update rides the REAL packed column-scatter path
+        from ucfp_tpu.core import Modality, Record
+
+        nv = rng.normal(size=16).astype(np.float32)
+        run(b.upsert([Record(0, 77777, Modality.TEXT, "e", b"x",
+                             embedding=[float(x) for x in nv])]))
+        got = run(b.knn(0, [float(x) for x in nv], 1))
+        assert got[0].record_id == 77777
         # per-request exact tier opts out of the prefilter entirely
         ex = run(b.knn(0, [float(x) for x in q], 10, exact=True))
         assert ex[0].record_id == 1234
@@ -299,12 +315,53 @@ class TestBackendInt4Mode:
         assert not b.knn_is_approximate(0, 16, 5)
         b.close()
 
+    def test_backend_mesh_exhaustive_shards_not_marked_approximate(
+            self, tmp_path, monkeypatch):
+        """Mesh + cost model off + capacity where every shard's pool
+        covers its whole shard: the sharded kernel rescores each shard
+        exhaustively (the merged answer is exact), so the marker must
+        be False — it mirrors the PER-SHARD pool math, not the global
+        capacity (round-4 review finding)."""
+        import asyncio
+
+        from ucfp_tpu.index.embedded import EmbeddedBackend
+
+        run = asyncio.run
+        monkeypatch.setenv("UCFP_SHARD", "auto")
+        monkeypatch.setenv("UCFP_SKETCH_COST_MODEL", "0")
+        rng = np.random.default_rng(12)
+        n = 5000  # capacity 8192 -> 1024/shard on 8 devices
+        vecs = rng.normal(size=(n, 16)).astype(np.float32)
+        b = EmbeddedBackend(str(tmp_path), knn_quant="int4")
+        run(b.upsert(self._recs(vecs)))
+        assert b._mesh is not None
+        cap = b._vec[(0, 16)].data.shape[0]
+        assert b._int4_worth_it(cap, 16, 10)  # the int4 path serves...
+        # ...but every shard's fixed pool covers its local rows
+        from ucfp_tpu.ops import knn as ko
+
+        cap_l = cap // b._n_shards()
+        assert ko.int4_pool(cap_l, 10) * 2 >= cap_l
+        assert not b.knn_is_approximate(0, 16, 10)
+        # and the served answer is indeed exact
+        b8 = EmbeddedBackend(str(tmp_path / "b8"), knn_quant="int8")
+        run(b8.upsert(self._recs(vecs)))
+        q = [float(x) for x in vecs[2222]]
+        h4 = run(b.knn(0, q, 10))
+        h8 = run(b8.knn(0, q, 10))
+        assert [(h.record_id, round(h.score, 6)) for h in h4] == \
+               [(h.record_id, round(h.score, 6)) for h in h8]
+        b.close()
+        b8.close()
+
     def test_backend_sharded_int4_matches_int8(self, tmp_path,
                                                monkeypatch):
-        """Per-shard capacity >= 128: the SHARDED int4 prefilter serves
-        (column-sharded packed scan + per-shard pool + two-stage merge)
-        and, with the pool covering each shard, matches the exact int8
-        ranking bit-for-bit."""
+        """Per-shard capacity >= 128: the SHARDED int4 path serves
+        (placeholder packed cache at this sub-threshold capacity, so
+        each shard's exhaustive rescore runs under the shard_map + the
+        two-stage merge) and matches the exact int8 ranking
+        bit-for-bit. The real packed scan at thresholding scale is
+        covered by dryrun_multichip and the kernel tests."""
         import asyncio
 
         from ucfp_tpu.index.embedded import EmbeddedBackend

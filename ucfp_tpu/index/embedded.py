@@ -1072,13 +1072,29 @@ class EmbeddedBackend(IndexBackend):
                 q8m = self._put_matrix(q8)
                 parts = [q8m, self._put_rowvec(row_norm)]
                 if int4_on:
-                    # packed columns ([D/2, cap] int8) + 1/|int4 row|;
-                    # chunked pack over the already-resident q8m (the
-                    # one-shot pack stages a full f32 copy — OOM at
-                    # multi-GB capacities)
-                    packed_t, inv_n4 = knn_ops.pack_int4_cols_chunked(q8m)
-                    parts.append(self._put_packed(packed_t))
-                    parts.append(self._put_rowvec(inv_n4))
+                    if cap > 2 * knn_ops.INT4_MIN_POOL:
+                        # packed columns ([D/2, cap] int8) + 1/|int4
+                        # row|; chunked pack over the already-resident
+                        # q8m (the one-shot pack stages a full f32
+                        # copy — OOM at multi-GB capacities)
+                        packed_t, inv_n4 = knn_ops.pack_int4_cols_chunked(
+                            q8m
+                        )
+                        parts.append(self._put_packed(packed_t))
+                        parts.append(self._put_rowvec(inv_n4))
+                    else:
+                        # below 2*INT4_MIN_POOL every k gives
+                        # pool*2 >= cap, so the kernel's exhaustive
+                        # branch never reads the packed columns —
+                        # zero-width placeholders keep the 5-tuple
+                        # layout stable without pack compute, device
+                        # transfer, or the +50% HBM copy (growth past
+                        # the threshold triggers a full rebuild)
+                        parts.append(
+                            jnp.zeros((cache.data.shape[1] // 2, 0),
+                                      jnp.int8)
+                        )
+                        parts.append(jnp.zeros((0,), jnp.float32))
                 if sketch_on:
                     planes = self._sketch_planes(cache.data.shape[1])
                     if self._mesh is not None:
@@ -1114,20 +1130,25 @@ class EmbeddedBackend(IndexBackend):
                     self._scatter_rows(rn, ridx, jnp.asarray(rnu)),
                 ]
                 if int4_on:
-                    # column scatter into the packed [D/2, cap] layout
-                    # (row i of the catalog is COLUMN i) + inv-norm rows
-                    pk, inv = knn_ops.pack_int4_cols(q8u_dev)
-                    packed = cache.device[2].at[:, ridx].set(pk)
-                    if self._mesh is not None:
-                        import jax
+                    if cache.device[2].shape[1]:
+                        # column scatter into the packed [D/2, cap]
+                        # layout (row i of the catalog is COLUMN i) +
+                        # inv-norm rows
+                        pk, inv = knn_ops.pack_int4_cols(q8u_dev)
+                        packed = cache.device[2].at[:, ridx].set(pk)
+                        if self._mesh is not None:
+                            import jax
 
-                        packed = jax.device_put(
-                            packed, cache.device[2].sharding
+                            packed = jax.device_put(
+                                packed, cache.device[2].sharding
+                            )
+                        parts.append(packed)
+                        parts.append(
+                            self._scatter_rows(cache.device[3], ridx, inv)
                         )
-                    parts.append(packed)
-                    parts.append(
-                        self._scatter_rows(cache.device[3], ridx, inv)
-                    )
+                    else:  # zero-width placeholders: nothing to update
+                        parts.append(cache.device[2])
+                        parts.append(cache.device[3])
                 if sketch_on:
                     sk_rows = knn_ops.sketch_rows_int8(
                         q8u_dev, self._sketch_planes(cache.data.shape[1])
@@ -1311,12 +1332,14 @@ class EmbeddedBackend(IndexBackend):
         if self._int4_on() and not batch:
             cap = cache.data.shape[0]
             if self._int4_worth_it(cap, dim, k):
-                # same pool semantics as the sketch marker: the kernel
-                # rescores everything (exact) when pool * 2 >= capacity.
-                # Under a mesh each shard keeps its own FULL fixed pool,
-                # so the aggregate pool only grows — conservative, like
-                # the sketch marker above.
-                return knn_ops.int4_pool(cap, k) * 2 < cap
+                # mirrors the kernel's own dispatch PER SHARD: each
+                # shard keeps a full fixed pool and rescores its whole
+                # shard exhaustively (exact) when pool * 2 >= its local
+                # capacity — so the merged answer is only approximate
+                # when the per-shard pools actually threshold
+                nsh = self._n_shards()
+                cap_l = max(1, cap // nsh)
+                return knn_ops.int4_pool(cap_l, k) * 2 < cap_l
             # cost model routed to the exact path; fall through to its
             # marker below
         if self._mesh is not None:

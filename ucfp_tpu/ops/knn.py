@@ -621,10 +621,12 @@ def _pack_int4_map(q8m, chunk):
 def pack_int4_cols_chunked(q8m, chunk: int = 1 << 18):
     """Memory-safe pack_int4_cols for multi-GB catalogs: the one-shot
     pack stages a full f32 copy of the matrix (~4x the int8 bytes —
-    OOM beside a resident 7.5 GB catalog), so this maps the identical
-    per-row math over `chunk`-row blocks (lax.map keeps one block's
-    intermediates live) and reassembles the [D/2, C] columns. Row-wise
-    math means the result is bit-identical to the one-shot pack."""
+    OOM beside a resident 7.5 GB catalog), so this runs the identical
+    per-row math over `chunk`-row blocks inside a fori_loop that
+    dynamic_update_slices each block's columns into the output in
+    place (see _pack_int4_map: a lax.map + transpose reassembly would
+    stage the packed columns twice). Row-wise math means the result is
+    bit-identical to the one-shot pack."""
     n = q8m.shape[0]
     if n <= chunk:
         return pack_int4_cols(q8m)
@@ -688,14 +690,16 @@ def int4_model_ms(cap: int, dim: int, pool: int) -> float:
     [C] i32 dots write/read + selection land at an effective
     ~640 GB/s over cap*(dim/2 + 8) bytes (the whole-pipeline rate, a
     bit under the kernel's 746 GB/s scan-only rate), plus a small
-    ~0.25 ms flat term (top-pool + rescore composition). The fit
+    ~0.25 ms flat term (top-pool + rescore composition). Both fitted
+    constants honor the UCFP_COST_* recalibration contract
+    (UCFP_COST_INT4_GBPS / UCFP_COST_INT4_FLAT_MS). The fit
     deliberately OVERestimates at shard scale (1.05 modeled vs 0.80
     measured) so the dispatch stays conservative — int4 never serves
     where exact might win."""
-    stream = cap * (dim // 2 + 8) / (640.0 * 1e6)
+    stream = cap * (dim // 2 + 8) / (_cost_const("int4_gbps") * 1e6)
     gather = pool * _cost_const("gather_ns") / 1e6
     rescore = pool * dim / (_cost_const("hbm_gbps") * 1e6)
-    return stream + gather + rescore + 0.25
+    return stream + gather + rescore + _cost_const("int4_flat_ms")
 
 
 def int4_beats_exact(cap: int, dim: int, pool: int) -> bool:
@@ -729,14 +733,19 @@ def int4_beats_exact(cap: int, dim: int, pool: int) -> bool:
 #          + pool gather+rescore (~gather_ns PER CANDIDATE ROW — the
 #            TPU gather constant; layout/batching do not move it)
 # Constants are env-overridable (UCFP_COST_HBM_GBPS, UCFP_COST_GATHER_NS,
-# UCFP_COST_SELECT_US, UCFP_COST_BASE_MS) so operators can recalibrate
-# for their own chips without a code change; UCFP_SKETCH_COST_MODEL=0
-# disables the fallback entirely (bench/debug).
+# UCFP_COST_SELECT_US, UCFP_COST_BASE_MS, UCFP_COST_INT4_GBPS,
+# UCFP_COST_INT4_FLAT_MS) so operators can recalibrate for their own
+# chips without a code change; UCFP_SKETCH_COST_MODEL=0 disables the
+# fallback entirely (bench/debug).
 
 _COST_DEFAULTS = {
     "hbm_gbps": 819.0,   # v5e HBM stream bandwidth
     "gather_ns": 13.0,   # per candidate row, data-dependent gather
     "select_us": 16.0,   # approx_max_k cost per per-segment quota unit
+    "int4_gbps": 640.0,  # int4 pipeline effective stream rate (scan +
+    #                      dots IO + selection; fitted to the BENCH_r04
+    #                      pair 6.3 ms @ 10M / 0.80 ms @ 1.25M x 768)
+    "int4_flat_ms": 0.25,  # int4 top-pool + rescore composition
     "base_ms": 2.4,      # query plan + small kernels + XLA composition
     #                      overhead of the full fused program (fitted so
     #                      the model reproduces the round-4 chip capture:

@@ -268,6 +268,7 @@ def sharded_cosine_sketch_topk(query, planes, db8, row_norm, sketch, valid,
                                        valid, k, cand, mesh, tuple(axes))
 
 
+@functools.partial(jax.jit, static_argnums=(6, 7, 8))
 def _sharded_cosine_int4_impl(query, db8, row_norm, packed_t, inv_n4,
                               valid, k: int, mesh: Mesh,
                               axes: tuple = (AXIS,)):

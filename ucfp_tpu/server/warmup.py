@@ -80,13 +80,25 @@ def _work() -> None:
                     valid, k,
                 )
                 if quant == "int4" and d % 2 == 0:
+                    # cap 8192, NOT the 1024 above: at 1024 the pool
+                    # covers the catalog and cosine_int4_topk
+                    # short-circuits into the exhaustive branch — the
+                    # pallas prefilter kernel would never compile, and
+                    # the first cost-model-routed int4 query (cap 8192
+                    # is the smallest servable capacity) would eat the
+                    # full first-jit wall the warmup exists to hide
+                    c4 = 4 * knn_ops.INT4_MIN_POOL
+                    m4 = np.zeros((c4, d), np.float32)
+                    m4[:16, 0] = 1.0
+                    q84, rn4 = knn_ops.quantize_rows_int8(m4)
                     packed_t, inv_n4 = knn_ops.pack_int4_cols(
-                        jnp.asarray(q8)
+                        jnp.asarray(q84)
                     )
                     knn_ops.cosine_int4_topk(
-                        jnp.asarray(m[0]), jnp.asarray(q8),
-                        jnp.asarray(rn), packed_t, inv_n4, valid, k,
-                        knn_ops.int4_pool(1024, k),
+                        jnp.asarray(m4[0]), jnp.asarray(q84),
+                        jnp.asarray(rn4), packed_t, inv_n4,
+                        jnp.zeros((c4,), bool).at[:16].set(True), k,
+                        knn_ops.int4_pool(c4, k),
                     )
                 if quant == "sketch":
                     planes = jnp.asarray(knn_ops.sketch_planes(d))
