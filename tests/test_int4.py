@@ -415,3 +415,19 @@ class TestDispatchModel:
         # int4 models strictly below exact at 10M x 768
         assert (knn_ops.int4_model_ms(1 << 23, 768, 2048)
                 < knn_ops.exact_scan_model_ms(1 << 23, 768))
+
+    def test_model_honors_recalibration_env(self, monkeypatch):
+        """UCFP_COST_INT4_GBPS / UCFP_COST_INT4_FLAT_MS recalibrate the
+        int4 model like the other UCFP_COST_* knobs (operators on
+        non-v5e chips must be able to keep the never-slower-than-exact
+        contract without a code change)."""
+        base = knn_ops.int4_model_ms(1 << 23, 768, 2048)
+        monkeypatch.setenv("UCFP_COST_INT4_GBPS", "64.0")  # 10x slower
+        slow = knn_ops.int4_model_ms(1 << 23, 768, 2048)
+        assert slow > 5 * base
+        monkeypatch.delenv("UCFP_COST_INT4_GBPS")
+        monkeypatch.setenv("UCFP_COST_INT4_FLAT_MS", "50.0")
+        assert knn_ops.int4_model_ms(1 << 23, 768, 2048) > base + 40
+        # a slow enough chip flips the dispatch to exact
+        monkeypatch.setenv("UCFP_COST_INT4_FLAT_MS", "1e6")
+        assert not knn_ops.int4_beats_exact(1 << 23, 768, 2048)
