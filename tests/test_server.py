@@ -81,6 +81,8 @@ class TestPublic:
         body = jbody(call(app, "GET", "/v1/info", token=None))
         assert body["name"] == "ucfp-tpu"
         assert set(body["modalities"]) == {"text", "image", "audio"}
+        # the active vector-serving tier is advertised (none = exact)
+        assert body["knn_quant"] == "none"
 
     def test_algorithms_manifest(self, tmp_path):
         app, _ = make_app(tmp_path)

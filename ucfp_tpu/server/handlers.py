@@ -254,6 +254,11 @@ class Handlers:
                 "uptime_secs": int(time.time() - self.started),
                 "modalities": ["text", "image", "audio"],
                 "encoders": encoders,
+                # which vector-serving tier this deployment runs
+                # (docs/DEPLOY.md UCFP_KNN_QUANT): clients planning
+                # recall_tier usage can see whether approximate paths
+                # exist at all ("none"/"int8" = always exact)
+                "knn_quant": getattr(self.index, "knn_quant", "none"),
             }
         )
 
