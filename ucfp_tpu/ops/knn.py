@@ -549,8 +549,9 @@ def cosine_sketch_topk(
 # Measured at 10M x 768 on one v5e (BENCH_r04 capture, 3 spread runs,
 # 104-query recall CI): 6.3 ms in [6.0, 6.7] at recall@10 1.000±0.000
 # vs the 10.48 ms exact int8 scan — 1.66x faster at measured-perfect
-# recall. Per-shard at 10M/8 = 1.25M rows: 0.80 ms -> derived v5e-8
-# ~0.90 ms incl. the modeled 0.1 ms merge (sub-ms @10M single query).
+# recall. Per-shard at 10M/8 = 1.25M rows: 0.58-0.80 ms -> derived
+# v5e-8 ~0.7-0.9 ms incl. the modeled 0.1 ms merge (sub-ms @10M
+# single query).
 
 INT4_MIN_POOL = 2048
 
