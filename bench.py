@@ -537,10 +537,13 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
     pool_i4 = knn_ops.int4_pool(n, k)
 
     @functools.partial(jax.jit, static_argnums=(6, 7))
-    def loop_int4(q, m, rnv, pk, inv, vd, it, pool):
+    def loop_int4(q, m, rnv, pk, inv, nv, it, pool):
+        # nv = prefix-validity scalar -> the FUSED masked-scores kernel,
+        # exactly the unfiltered serving path (ops/pallas_int4.py)
         def body(_i, carry):
             _vals, idx = knn_ops.cosine_int4_topk(
-                carry, m, rnv, pk, inv, vd, k, pool
+                carry, m, rnv, pk, inv, valid[:m.shape[0]], k, pool,
+                n_valid=nv,
             )
             return jnp.clip(
                 carry + m[idx[0]].astype(jnp.float32) / 127.0, -127.0, 127.0
@@ -549,7 +552,7 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
         out = jax.lax.fori_loop(0, it, body, q)
         return jnp.sum(out)
 
-    def t_int4(m=None, rnv=None, pk=None, inv=None, vd=None, pool=None):
+    def t_int4(m=None, rnv=None, pk=None, inv=None, nv=None, pool=None):
         return _timed(
             lambda it: float(
                 loop_int4(
@@ -558,7 +561,7 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
                     rnv if rnv is not None else rn,
                     pk if pk is not None else packed_t,
                     inv if inv is not None else inv_n4,
-                    vd if vd is not None else valid,
+                    nv if nv is not None else jnp.int32(n),
                     it,
                     pool if pool is not None else pool_i4,
                 )
@@ -608,7 +611,8 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
         hits = 0
         for i, es in enumerate(exact_sets):
             _s, ii = knn_ops.cosine_int4_topk(
-                queries[i], m8, rn, packed_t, inv_n4, valid, k, pool_i4
+                queries[i], m8, rn, packed_t, inv_n4, valid, k, pool_i4,
+                n_valid=jnp.int32(n),  # the fused serving path
             )
             hits += len(es & set(ii.tolist()))
         return hits
@@ -674,7 +678,7 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
         ) * 1000.0
         shard_int4_ms = t_int4(
             m=m8_s, rnv=rn_s, pk=packed_t[:, :shard_n],
-            inv=inv_n4[:shard_n], vd=vd_s,
+            inv=inv_n4[:shard_n], nv=jnp.int32(shard_n),
             pool=knn_ops.int4_pool(shard_n, k),
         )
     else:  # catalog too small to slice a tile-aligned shard (smoke runs)

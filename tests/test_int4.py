@@ -153,6 +153,63 @@ class TestPipeline:
         assert all(g < c // 2 for g in got.tolist())
         assert int(got[0]) == 100
 
+    def test_fused_masked_scores_matches_unfused(self):
+        """int4_masked_scores (fused dots+mask kernel, prefix validity)
+        must equal the unfused dots + XLA mask composition bit-for-bit,
+        including the prefix boundary and zero rows."""
+        rng = np.random.default_rng(13)
+        c, d = 1024, 64
+        rows = _rows(rng, c, d)
+        rows[7] = 0.0  # zero row -> inv == 0 -> -inf either way
+        q8, norm = _quant8(rows)
+        packed_t, inv_n4 = knn_ops.pack_int4_cols(q8)
+        n = 900  # prefix validity boundary
+        q = rng.normal(size=d).astype(np.float32)
+        qq = knn_ops._quantize_query(jnp.asarray(q))
+        dp = d // 2
+        wh = jnp.zeros((pallas_int4.SUB, dp), jnp.int8).at[0].set(qq[:dp])
+        wl = jnp.zeros((pallas_int4.SUB, dp), jnp.int8).at[0].set(qq[dp:])
+        corr = 8 * jnp.sum(qq[dp:].astype(jnp.int32))
+        fused = np.asarray(pallas_int4.int4_masked_scores(
+            packed_t, wh, wl, inv_n4, pallas_int4.pick_rpt(c), corr,
+            jnp.int32(n),
+        ))
+        dots = knn_ops.jnp.asarray(
+            pallas_int4.int4_dots(packed_t, wh, wl, pallas_int4.pick_rpt(c))
+        )
+        ok = (np.arange(c) < n) & (np.asarray(inv_n4) > 0.0)
+        ref = np.where(
+            ok,
+            (np.asarray(dots) - int(corr)).astype(np.float32)
+            * np.asarray(inv_n4),
+            -np.inf,
+        )
+        np.testing.assert_array_equal(fused, ref)
+
+    def test_topk_fused_path_matches_unfused(self):
+        """cosine_int4_topk with n_valid (fused kernel) returns the
+        same results as the valid-array path when valid is the prefix."""
+        rng = np.random.default_rng(14)
+        c, d, k = 8192, 32, 10
+        rows = _rows(rng, c, d)
+        q8, norm = _quant8(rows)
+        packed_t, inv_n4 = knn_ops.pack_int4_cols(q8)
+        n = 8000
+        valid = jnp.arange(c) < n
+        q = jnp.asarray(rows[123] + 0.05 * rng.normal(size=d).astype(np.float32))
+        pool = 512
+        s_ref, i_ref = knn_ops.cosine_int4_topk(
+            q, q8, norm, packed_t, inv_n4, valid, k, pool
+        )
+        s_f, i_f = knn_ops.cosine_int4_topk(
+            q, q8, norm, packed_t, inv_n4, valid, k, pool,
+            n_valid=jnp.int32(n),
+        )
+        np.testing.assert_array_equal(np.asarray(i_f), np.asarray(i_ref))
+        np.testing.assert_allclose(np.asarray(s_f), np.asarray(s_ref),
+                                   rtol=1e-6)
+        assert int(np.asarray(i_f)[0]) == 123
+
     def test_small_cap_exhaustive_fallback(self):
         """pool*2 >= capacity degrades to the exhaustive exact rescore
         (identical to the exact kernel)."""

@@ -1447,6 +1447,9 @@ class EmbeddedBackend(IndexBackend):
                     s1, i1 = sharded_knn.sharded_cosine_int4_topk(
                         jnp.asarray(q), q8m, row_norm, packed_t, inv_n4,
                         valid, kk, self._mesh, self._mesh_axes,
+                        # unfiltered queries assert prefix validity ->
+                        # every shard runs the fused kernel
+                        n_valid=(cache.n if flt_mask is True else None),
                     )
                     scores, idx = s1[None, :], i1[None, :]
                 elif self.knn_quant in ("int8", "sketch", "int4"):
@@ -1483,9 +1486,13 @@ class EmbeddedBackend(IndexBackend):
                 import jax.numpy as jnp
 
                 q8m, row_norm, packed_t, inv_n4, valid = dev
+                # unfiltered queries assert prefix validity, unlocking
+                # the fused masked-scores kernel (no separate mask pass)
+                npre = (jnp.int32(cache.n) if flt_mask is True else None)
                 s1, i1 = knn_ops.cosine_int4_topk(
                     jnp.asarray(q), q8m, row_norm, packed_t, inv_n4,
                     valid, kk, knn_ops.int4_pool(q8m.shape[0], kk),
+                    n_valid=npre,
                 )
                 scores, idx = s1[None, :], i1[None, :]
             elif self.knn_quant in ("int8", "sketch", "int4"):

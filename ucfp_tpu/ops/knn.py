@@ -650,25 +650,46 @@ def cosine_int4_topk(
     valid: jax.Array,  # [C] bool (validity AND any device-side filter)
     k: int,
     pool: int,
+    n_valid: jax.Array | None = None,  # prefix length when valid IS the
+    #                                    row-prefix rule (no filters) —
+    #                                    enables the fused kernel
 ) -> tuple[jax.Array, jax.Array]:
     """Packed-int4-prefilter cosine top-k. Returns ([k] scores, [k] idx);
     scores are exact int8 cosines of the rescored pool (same contract
-    as cosine_sketch_topk)."""
+    as cosine_sketch_topk).
+
+    When `n_valid` is given the caller asserts `valid == arange < n` —
+    the scores come from the FUSED pallas kernel (dots + correction +
+    inv-norm + prefix mask in one pass with a tight f32 output;
+    pallas_int4.int4_masked_scores) instead of int4_dots + a separate
+    XLA mask pass. Measured at 10M x 768: 6.3 -> ~5.3 ms."""
     from . import pallas_int4, pallas_scan
 
     c, d = q8.shape
-    ok = valid & (row_norm > 0.0)
     if pool * 2 >= c:
         # pool covers (most of) the catalog: exhaustive exact rescore
+        ok = valid & (row_norm > 0.0)
         cidx = jnp.arange(c, dtype=jnp.int32)
         return _rescore_exact(q8, cidx, ok, query, k)
     qq = _quantize_query(query)
     dp = d // 2
     wh = jnp.zeros((pallas_int4.SUB, dp), jnp.int8).at[0].set(qq[:dp])
     wl = jnp.zeros((pallas_int4.SUB, dp), jnp.int8).at[0].set(qq[dp:])
-    dots = pallas_int4.int4_dots(packed_t, wh, wl, pallas_int4.pick_rpt(c))
     corr = 8 * jnp.sum(qq[dp:].astype(jnp.int32))
-    s4 = jnp.where(ok, (dots - corr).astype(jnp.float32) * inv_n4, NEG_INF)
+    if n_valid is not None:
+        # the fused kernel masks via the prefix scalar + inv == 0; the
+        # `valid` array is not read on this path at all
+        s4 = pallas_int4.int4_masked_scores(
+            packed_t, wh, wl, inv_n4, pallas_int4.pick_rpt(c), corr,
+            n_valid,
+        )
+    else:
+        ok = valid & (row_norm > 0.0)
+        dots = pallas_int4.int4_dots(
+            packed_t, wh, wl, pallas_int4.pick_rpt(c)
+        )
+        s4 = jnp.where(ok, (dots - corr).astype(jnp.float32) * inv_n4,
+                       NEG_INF)
     tile_rows = pallas_scan.ROWS_PER_TILE * pallas_scan.LANES
     n_cand = (c // tile_rows) * pallas_scan.LANES
     if c % tile_rows == 0 and n_cand >= 2 * pool:
@@ -686,16 +707,15 @@ def cosine_int4_topk(
 def int4_model_ms(cap: int, dim: int, pool: int) -> float:
     """Modeled p50 of the int4-prefilter pipeline at (cap, pool).
 
-    Refit to the round-4 BENCH_r04 capture pair — measured 6.3 ms at
-    10M x 768 and 0.80 ms at the 1.25M-row shard: the packed scan +
-    [C] i32 dots write/read + selection land at an effective
-    ~640 GB/s over cap*(dim/2 + 8) bytes (the whole-pipeline rate, a
-    bit under the kernel's 746 GB/s scan-only rate), plus a small
-    ~0.25 ms flat term (top-pool + rescore composition). Both fitted
-    constants honor the UCFP_COST_* recalibration contract
-    (UCFP_COST_INT4_GBPS / UCFP_COST_INT4_FLAT_MS). The fit
-    deliberately OVERestimates at shard scale (1.05 modeled vs 0.80
-    measured) so the dispatch stays conservative — int4 never serves
+    Refit to the FUSED-kernel capture pair — measured 5.27 ms at
+    10M x 768 and 0.72 ms at the 1.25M-row shard: the masked-scores
+    kernel + selection land at an effective ~730 GB/s over
+    cap*(dim/2 + 8) bytes plus a small ~0.15 ms flat term (top-pool +
+    rescore composition). Both fitted constants honor the UCFP_COST_*
+    recalibration contract (UCFP_COST_INT4_GBPS /
+    UCFP_COST_INT4_FLAT_MS). The fit deliberately OVERestimates
+    (5.52 modeled vs 5.27 measured at 10M; 0.85 vs 0.72 at shard
+    scale) so the dispatch stays conservative — int4 never serves
     where exact might win."""
     stream = cap * (dim // 2 + 8) / (_cost_const("int4_gbps") * 1e6)
     gather = pool * _cost_const("gather_ns") / 1e6
@@ -743,10 +763,12 @@ _COST_DEFAULTS = {
     "hbm_gbps": 819.0,   # v5e HBM stream bandwidth
     "gather_ns": 13.0,   # per candidate row, data-dependent gather
     "select_us": 16.0,   # approx_max_k cost per per-segment quota unit
-    "int4_gbps": 640.0,  # int4 pipeline effective stream rate (scan +
-    #                      dots IO + selection; fitted to the BENCH_r04
-    #                      pair 6.3 ms @ 10M / 0.80 ms @ 1.25M x 768)
-    "int4_flat_ms": 0.25,  # int4 top-pool + rescore composition
+    "int4_gbps": 730.0,  # int4 FUSED pipeline effective stream rate
+    #                      (masked-scores kernel + selection; fitted
+    #                      conservatively to the fused capture pair
+    #                      5.27 ms @ 10M / 0.72 ms @ 1.25M x 768 —
+    #                      raw slope is ~754 GB/s)
+    "int4_flat_ms": 0.15,  # int4 top-pool + rescore composition
     "base_ms": 2.4,      # query plan + small kernels + XLA composition
     #                      overhead of the full fused program (fitted so
     #                      the model reproduces the round-4 chip capture:

@@ -109,6 +109,84 @@ def int4_dots(packed_t: jax.Array, wh: jax.Array, wl: jax.Array,
     return jnp.moveaxis(out[:, :nq, :], 1, 0).reshape(nq, c)
 
 
+def _int4_scores_kernel(p_ref, wh_ref, wl_ref, inv_ref, sc_ref, out_ref):
+    """Fused dots + correction + inv-norm + validity -> masked f32
+    scores, single query. Emits a TIGHT [1, rpt] f32 row per tile: the
+    plain int4_dots writes a SUB-padded [grid, SUB, rpt] i32 block
+    (8x the useful bytes — 320 MB at 10M rows) and the mask ran as a
+    separate XLA pass over [C]; fusing both here cut the measured 10M
+    pipeline from 6.3 to ~5.3 ms. Validity is the row-prefix rule
+    (row < n, n in SMEM) — zero extra memory stream; zero-norm rows
+    carry inv == 0 and mask themselves."""
+    tile = p_ref[:]                   # [Dp, R] int8 packed
+    lo = tile & 15
+    hi16 = tile & -16
+    dh = jax.lax.dot_general(
+        wh_ref[:], hi16, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    dl = jax.lax.dot_general(
+        wl_ref[:], lo, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    dots = (dh >> 4) + dl             # [SUB, R]; row 0 is the query
+    corr = sc_ref[0, 0]               # 8 * sum(ql)
+    n = sc_ref[0, 1]                  # catalog prefix length
+    rpt = tile.shape[1]
+    row0 = dots[0:1, :] - corr        # [1, R] i32
+    inv = inv_ref[:]                  # [1, R] f32 (0 for zero rows)
+    gidx = pl.program_id(0) * rpt + jax.lax.broadcasted_iota(
+        jnp.int32, (1, rpt), 1
+    )
+    ok = (gidx < n) & (inv > 0.0)
+    out_ref[:] = jnp.where(
+        ok, row0.astype(jnp.float32) * inv, -jnp.inf
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def int4_masked_scores(packed_t: jax.Array, wh: jax.Array, wl: jax.Array,
+                       inv_n4: jax.Array, rpt: int, corr: jax.Array,
+                       n_valid: jax.Array) -> jax.Array:
+    """Single-query fused prefilter scores: packed_t [D/2, C] int8,
+    wh/wl [SUB, D/2] int8 (row 0 = the query), inv_n4 [C] f32, corr
+    scalar i32 (= 8 * sum(wl[0])), n_valid scalar i32 (prefix validity)
+    -> [C] f32 masked int4 cosine scores (-inf outside the prefix /
+    zero rows). The unfused int4_dots stays for the multi-query batch
+    and filtered paths."""
+    dp, c = packed_t.shape
+    if c % rpt:
+        raise ValueError(f"int4_masked_scores requires C % {rpt} == 0")
+    grid = c // rpt
+    scalars = jnp.stack(
+        [jnp.asarray(corr, jnp.int32), jnp.asarray(n_valid, jnp.int32)]
+    )[None, :]  # [1, 2] SMEM
+    out = pl.pallas_call(
+        _int4_scores_kernel,
+        grid=(grid,),
+        interpret=jax.default_backend() == "cpu",
+        in_specs=[
+            pl.BlockSpec((dp, rpt), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, dp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, dp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rpt), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        # [1, C] with (1, rpt) blocks: Mosaic requires the block's
+        # sublane dim be 8-divisible OR equal to the array's — a
+        # [grid, rpt] layout with (1, rpt) blocks fails that check
+        out_specs=pl.BlockSpec((1, rpt), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, c), jnp.float32),
+    )(packed_t, wh, wl, inv_n4[None, :], scalars)
+    return out.reshape(c)
+
+
 def pick_rpt(c: int) -> int:
     """Largest supported tile width dividing the capacity (capacities
     are powers of two, so this only falls through for tiny caches)."""

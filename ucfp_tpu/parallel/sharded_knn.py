@@ -271,10 +271,11 @@ def sharded_cosine_sketch_topk(query, planes, db8, row_norm, sketch, valid,
 @functools.partial(jax.jit, static_argnums=(6, 7, 8))
 def _sharded_cosine_int4_impl(query, db8, row_norm, packed_t, inv_n4,
                               valid, k: int, mesh: Mesh,
-                              axes: tuple = (AXIS,)):
+                              axes: tuple = (AXIS,),
+                              n_valid=None):
     from ..ops import knn as knn_ops
 
-    def local(q, m, rn, pk, inv, v):
+    def local(q, m, rn, pk, inv, v, *nv):
         # each shard runs the packed-int4 prefilter + exact rescore over
         # its own rows. The pool is FIXED-size (int4 rank error is
         # quantization noise, not bit starvation), so each shard keeps
@@ -282,28 +283,46 @@ def _sharded_cosine_int4_impl(query, db8, row_norm, packed_t, inv_n4,
         # single-chip path while the scanned bytes divide by the mesh.
         k_local = min(k, m.shape[0])
         pool_local = knn_ops.int4_pool(m.shape[0], k)
-        vals, idx = knn_ops.cosine_int4_topk(
-            q, m, rn, pk, inv, v, k_local, pool_local
-        )
+        if nv:
+            # global prefix validity maps to a per-shard prefix (rows
+            # are contiguous blocks), unlocking the fused kernel on
+            # every shard
+            n_local = jnp.clip(
+                nv[0] - _flat_shard_index(axes) * m.shape[0],
+                0, m.shape[0],
+            ).astype(jnp.int32)
+            vals, idx = knn_ops.cosine_int4_topk(
+                q, m, rn, pk, inv, v, k_local, pool_local,
+                n_valid=n_local,
+            )
+        else:
+            vals, idx = knn_ops.cosine_int4_topk(
+                q, m, rn, pk, inv, v, k_local, pool_local
+            )
         gidx = idx + _flat_shard_index(axes) * m.shape[0]
         vals, gidx = vals[None, :], gidx[None, :]
         for ax in reversed(axes):
             vals, gidx = _merge_axis(vals, gidx, ax, k)
         return vals[0], gidx[0]
 
+    args = (query, db8, row_norm, packed_t, inv_n4, valid)
+    in_specs = [P(), P(axes, None), P(axes), P(None, axes), P(axes),
+                P(axes)]
+    if n_valid is not None:
+        args = args + (jnp.asarray(n_valid, jnp.int32),)
+        in_specs.append(P())
     return jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(axes, None), P(axes), P(None, axes), P(axes),
-                  P(axes)),
+        in_specs=tuple(in_specs),
         out_specs=(P(), P()),
         check_vma=False,
-    )(query, db8, row_norm, packed_t, inv_n4, valid)
+    )(*args)
 
 
 def sharded_cosine_int4_topk(query, db8, row_norm, packed_t, inv_n4,
                              valid, k: int, mesh: Mesh,
-                             axes: tuple = (AXIS,)):
+                             axes: tuple = (AXIS,), n_valid=None):
     """Sharded packed-int4 prefilter cosine: query [D] f32 replicated;
     db8 [C, D] row-sharded; packed_t [D/2, C] COLUMN-sharded over the
     same axes (catalog rows ride the lane axis of the packed layout,
@@ -317,7 +336,8 @@ def sharded_cosine_int4_topk(query, db8, row_norm, packed_t, inv_n4,
     sub-ms @10M single-query target as shard-scale arithmetic.
     Returns ([k] scores, [k] global idx)."""
     return _sharded_cosine_int4_impl(query, db8, row_norm, packed_t,
-                                     inv_n4, valid, k, mesh, tuple(axes))
+                                     inv_n4, valid, k, mesh, tuple(axes),
+                                     n_valid)
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5, 6))

@@ -99,6 +99,7 @@ def _work() -> None:
                         jnp.asarray(rn4), packed_t, inv_n4,
                         jnp.zeros((c4,), bool).at[:16].set(True), k,
                         knn_ops.int4_pool(c4, k),
+                        n_valid=jnp.int32(16),  # the serving (fused) variant
                     )
                 if quant == "sketch":
                     planes = jnp.asarray(knn_ops.sketch_planes(d))
