@@ -546,12 +546,12 @@ def cosine_sketch_topk(
 # dropped only when a higher-int4-scored row shares its (tile, lane)
 # selection cell — P <= rank/(C/256/128 cells) ~ 0.04% per item at 10M.
 #
-# Measured at 10M x 768 on one v5e (BENCH_r04 capture, 3 spread runs,
-# 104-query recall CI): 6.3 ms in [6.0, 6.7] at recall@10 1.000±0.000
-# vs the 10.48 ms exact int8 scan — 1.66x faster at measured-perfect
-# recall. Per-shard at 10M/8 = 1.25M rows: 0.58-0.80 ms -> derived
-# v5e-8 ~0.7-0.9 ms incl. the modeled 0.1 ms merge (sub-ms @10M
-# single query).
+# Measured at 10M x 768 on one v5e (BENCH_r04 fused captures, 3
+# spread runs, 104-query recall CI): 5.27-5.30 ms in [5.2, 5.4] at
+# recall@10 1.000±0.000 vs the 10.4-10.7 ms exact int8 scan — ~2x
+# faster at measured-perfect recall. Per-shard at 10M/8 = 1.25M rows:
+# 0.69-0.72 ms -> derived v5e-8 ~0.8 ms incl. the modeled 0.1 ms
+# merge (sub-ms @10M single query).
 
 INT4_MIN_POOL = 2048
 

@@ -260,7 +260,7 @@ def sharded_cosine_sketch_topk(query, planes, db8, row_norm, sketch, valid,
     v5e-8 derives to ~1.1-1.3 ms at recall >= 0.9 (~1.7-2.0 ms exact)
     for the BASELINE 10M x 768 shape. The sketch pipeline's gather +
     composition overhead keeps it ABOVE sub-ms at 8 chips; the leaner
-    packed-int4 path below (0.58-0.80 ms/shard measured, ~0.7-0.9 ms derived
+    packed-int4 path below (0.69-0.72 ms/shard measured, ~0.8 ms derived
     v5e-8 at measured-recall ~1.0) is the sharded tier that reaches the
     sub-ms @10M single-query target. Returns ([k] scores, [k] global
     idx)."""
@@ -330,9 +330,10 @@ def sharded_cosine_int4_topk(query, db8, row_norm, packed_t, inv_n4,
     _put_packed). Each chip streams half its int8 shard bytes, rescores
     its own fixed pool exactly, then the standard two-stage top-k
     merge. Round-4 shard-scale measurement (BENCH_r04): one chip serves
-    a 10M/8 = 1,245,184-row shard in 0.58-0.80 ms across captures
-    (query_sharded_per_shard_int4_p50_ms), + ~0.1 ms modeled merge →
-    v5e-8 derives to ~0.7-0.9 ms at measured-recall ~1.0 — the BASELINE
+    a 10M/8 = 1,245,184-row shard in 0.69-0.72 ms across fused
+    captures (query_sharded_per_shard_int4_p50_ms), + ~0.1 ms modeled
+    merge → v5e-8 derives to ~0.8 ms at measured-recall ~1.0 — the
+    BASELINE
     sub-ms @10M single-query target as shard-scale arithmetic.
     Returns ([k] scores, [k] global idx)."""
     return _sharded_cosine_int4_impl(query, db8, row_norm, packed_t,
