@@ -66,6 +66,30 @@ class TestScoresTopkFused:
             np.testing.assert_array_equal(np.asarray(bi[row]), np.asarray(si))
             np.testing.assert_array_equal(np.asarray(bv[row]), np.asarray(sv))
 
+    def test_dots_norm_fused_matches_composition(self):
+        """dots_norm_topk_fused == f32 convert + prefix mask + divide +
+        scores_topk_fused, bit-for-bit, incl. the prefix boundary, the
+        1/|q| scale, and zero-norm rows."""
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(11)
+        c, k = TILE * 2, 8
+        dots = rng.integers(-(2**20), 2**20, size=c).astype(np.int32)
+        rn = np.abs(rng.normal(size=c)).astype(np.float32) * 100.0
+        rn[17] = 0.0  # zero-norm row masks itself
+        n = c - 777
+        inv_q = np.float32(1.0 / 53.0)
+        fv, fi = pallas_scan.dots_norm_topk_fused(
+            jnp.asarray(dots), jnp.asarray(rn), jnp.int32(n),
+            jnp.float32(inv_q), k,
+        )
+        ok = (np.arange(c) < n) & (rn > 0.0)
+        sc = np.where(ok, dots.astype(np.float32) / np.maximum(rn, 1e-9)
+                      * inv_q, -np.inf)
+        rv, ri = pallas_scan.scores_topk_fused(jnp.asarray(sc), k)
+        np.testing.assert_array_equal(np.asarray(fi), np.asarray(ri))
+        np.testing.assert_array_equal(np.asarray(fv), np.asarray(rv))
+
     def test_hybrid_cosine(self):
         rng = np.random.default_rng(7)
         c, d, k = TILE, 64, 8

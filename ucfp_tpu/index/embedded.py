@@ -1264,12 +1264,16 @@ class EmbeddedBackend(IndexBackend):
         return knn_ops.sketch_beats_exact(cap_l, dim, cand_l)
 
     def _int8_single_topk(self, q, q8m, row_norm, valid, kk: int, n: int,
-                          exact: bool = False):
+                          exact: bool = False,
+                          n_prefix: "int | None" = None):
         """Exact single-query int8 cosine top-k (single chip): the fused
         GEMV + pallas partial-reduce when shapes allow (near-exact for
         k <= 16, exact top-1 — the exact kernel's lax.top_k over the
         full row count costs ~7x more at 10M), else the exact kernel.
-        exact=True forces the exhaustive kernel unconditionally."""
+        exact=True forces the exhaustive kernel unconditionally.
+        n_prefix asserts `valid == arange < n_prefix` (no filters) —
+        enabling the fused normalize kernel straight off the GEMV
+        output (no [C] f32 mask/divide pass)."""
         from ..ops import pallas_scan
 
         if not exact and self._fused_pool_ok(q8m.shape[0], n, kk):
@@ -1281,14 +1285,20 @@ class EmbeddedBackend(IndexBackend):
             qq = jnp.asarray(
                 np.clip(np.round(q / qs), -127, 127).astype(np.int8)
             )
+            qn = float(np.linalg.norm(np.asarray(qq, np.float32)))
             dots = jax.lax.dot_general(
                 qq[None, :], q8m, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
-            )[0].astype(jnp.float32)
-            qn = float(np.linalg.norm(np.asarray(qq, np.float32)))
+            )[0]
+            if n_prefix is not None:
+                s1, i1 = pallas_scan.dots_norm_topk_fused(
+                    dots, row_norm, jnp.int32(n_prefix),
+                    jnp.float32(1.0 / max(qn, 1e-9)), kk,
+                )
+                return s1[None, :], i1[None, :]
             denom = max(qn, 1e-9) * jnp.maximum(row_norm, 1e-9)
             ok = valid & (row_norm > 0.0)
-            sc = jnp.where(ok, dots / denom, -jnp.inf)
+            sc = jnp.where(ok, dots.astype(jnp.float32) / denom, -jnp.inf)
             s1, i1 = pallas_scan.scores_topk_fused(sc, kk)
             return s1[None, :], i1[None, :]
         return knn_ops.cosine_topk_int8(q[None], q8m, row_norm, valid, kk)
@@ -1500,7 +1510,8 @@ class EmbeddedBackend(IndexBackend):
                 # when the cost model says exact wins at this capacity
                 q8m, row_norm, valid = dev[0], dev[1], dev[-1]
                 scores, idx = self._int8_single_topk(
-                    q, q8m, row_norm, valid, kk, cache.n, exact=exact
+                    q, q8m, row_norm, valid, kk, cache.n, exact=exact,
+                    n_prefix=(cache.n if flt_mask is True else None),
                 )
             else:
                 matrix, valid = dev

@@ -201,6 +201,85 @@ def _scores_kernel(largest: bool, s_ref, val_ref, idx_ref):
     idx_ref[0, 1:SUB, :] = jnp.zeros((SUB - 1, LANES), jnp.int32)
 
 
+def _dots_norm_kernel(d_ref, rn_ref, n_ref, q_ref, val_ref, idx_ref):
+    """Fused i32-dots -> cosine normalize -> prefix validity -> per-lane
+    partial reduce: replaces the GEMV-output's separate f32
+    convert/mask/divide XLA pass plus a scores_topk_fused launch (three
+    [C]-sized materializations) with one streaming pass. Scalars ride
+    two SMEM refs (Mosaic rejects scalar bitcasts, so no i32 packing)."""
+    dots = d_ref[:].astype(jnp.float32)   # [R, 128]
+    rn = rn_ref[:]                        # [R, 128]
+    n = n_ref[0, 0]                       # prefix validity length (i32)
+    inv_q = q_ref[0, 0]                   # 1/|q| (f32; 1.0 = dot/|row|)
+    r = dots.shape[0]
+    base_row = pl.program_id(0) * ROWS_PER_TILE
+    rows = base_row + jax.lax.broadcasted_iota(jnp.int32, (r, LANES), 0)
+    lanes2 = jax.lax.broadcasted_iota(jnp.int32, (r, LANES), 1)
+    gidx_e = rows * LANES + lanes2
+    ok = (gidx_e < n) & (rn > 0.0)
+    scores = jnp.where(ok, dots / jnp.maximum(rn, 1e-9) * inv_q, -jnp.inf)
+    best, row = _lane_argbest(scores, largest=True)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    gidx = (base_row + row) * LANES + lanes
+    val_ref[0, 0:1, :] = best
+    val_ref[0, 1:SUB, :] = jnp.full((SUB - 1, LANES), -jnp.inf, jnp.float32)
+    idx_ref[0, 0:1, :] = gidx
+    idx_ref[0, 1:SUB, :] = jnp.zeros((SUB - 1, LANES), jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def dots_norm_topk_fused(dots: jax.Array, row_norm: jax.Array,
+                         n_valid: jax.Array, inv_qnorm: jax.Array,
+                         k: int):
+    """Partial-reduce cosine top-k straight off the MXU GEMV output:
+    dots [C] i32, row_norm [C] f32, n_valid scalar i32 (prefix
+    validity: rows >= n score -inf), inv_qnorm scalar f32 (the 1/|q|
+    factor; pass 1.0 for dot/|row| ranking) -> ([k] f32, [k] i32).
+    Same candidate semantics as scores_topk_fused; zero-norm rows
+    self-mask."""
+    c = dots.shape[0]
+    if c % (ROWS_PER_TILE * LANES):
+        raise ValueError(
+            f"dots_norm_topk_fused requires C % {ROWS_PER_TILE * LANES}"
+            f" == 0, got {c}"
+        )
+    r_total = c // LANES
+    grid = r_total // ROWS_PER_TILE
+    d2 = dots.reshape(r_total, LANES)
+    rn2 = row_norm.reshape(r_total, LANES)
+    n_s = jnp.asarray(n_valid, jnp.int32).reshape(1, 1)
+    q_s = jnp.asarray(inv_qnorm, jnp.float32).reshape(1, 1)
+    val_t, idx_t = pl.pallas_call(
+        _dots_norm_kernel,
+        grid=(grid,),
+        interpret=jax.default_backend() == "cpu",
+        in_specs=[
+            pl.BlockSpec((ROWS_PER_TILE, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROWS_PER_TILE, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, SUB, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUB, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((grid, SUB, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((grid, SUB, LANES), jnp.int32),
+        ],
+    )(d2, rn2, n_s, q_s)
+    flat_v = val_t[:, 0, :].reshape(-1)
+    flat_i = idx_t[:, 0, :].reshape(-1)
+    vals, pos = jax.lax.top_k(flat_v, k)
+    return vals, flat_i[pos]
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def scores_topk_fused(scores: jax.Array, k: int, largest: bool = True):
     """Partial-reduce top-k over a precomputed score vector.
@@ -313,15 +392,19 @@ def cosine_int8_topk_hybrid(
     row_norm: jax.Array,  # [C] f32
     k: int,
 ):
-    """MXU matmul (XLA) + pallas partial-reduce top-k. The fastest 10M
-    cosine path: the all-pallas variant pays a 60% penalty doing the
-    dot products on the VPU (measured 4.9 ms vs 3.0 ms XLA vs this)."""
+    """MXU matmul (XLA) + fused normalize/partial-reduce top-k. The
+    fastest 10M cosine path: the all-pallas variant pays a 60% penalty
+    doing the dot products on the VPU (measured 4.9 ms vs 3.0 ms XLA vs
+    this), and the fused normalize kernel replaces the separate f32
+    convert/divide pass + scores_topk_fused launch (three [C]-sized
+    materializations) with one streaming pass over the GEMV output."""
     dots = jax.lax.dot_general(
         q8.reshape(1, -1), db8, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
-    )[0].astype(jnp.float32)
-    scores = dots / jnp.maximum(row_norm, 1e-9)
-    return scores_topk_fused(scores, k, largest=True)
+    )[0]
+    return dots_norm_topk_fused(
+        dots, row_norm, jnp.int32(db8.shape[0]), jnp.float32(1.0), k
+    )
 
 
 def _cosine_i8_kernel(q_ref, db_ref, rn_ref, val_ref, idx_ref):
