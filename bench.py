@@ -539,11 +539,14 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
     @functools.partial(jax.jit, static_argnums=(6, 7))
     def loop_int4(q, m, rnv, pk, inv, nv, it, pool):
         # nv = prefix-validity scalar -> the FUSED masked-scores kernel,
-        # exactly the unfiltered serving path (ops/pallas_int4.py)
+        # exactly the unfiltered serving path (ops/pallas_int4.py). The
+        # `valid` arg is built in-trace (never read on the fused path;
+        # closing over the real [n] array would bake a trace constant)
+        vd = jnp.ones((m.shape[0],), bool)
+
         def body(_i, carry):
             _vals, idx = knn_ops.cosine_int4_topk(
-                carry, m, rnv, pk, inv, valid[:m.shape[0]], k, pool,
-                n_valid=nv,
+                carry, m, rnv, pk, inv, vd, k, pool, n_valid=nv,
             )
             return jnp.clip(
                 carry + m[idx[0]].astype(jnp.float32) / 127.0, -127.0, 127.0

@@ -454,6 +454,49 @@ class TestBackendInt4Mode:
         b8.close()
 
 
+class TestShardedFusedPrefix:
+    def test_sharded_n_valid_matches_valid_array(self):
+        """The per-shard prefix clip (n_local = clip(n - shard*cap_l))
+        at THRESHOLDING scale: every shard runs the fused kernel with a
+        genuinely sub-capacity pool, including a shard the prefix ends
+        inside and fully-invalid shards, and must match the valid-array
+        path and the exact int8 ranking."""
+        import jax
+        import jax.numpy as jnp
+
+        from ucfp_tpu.parallel import sharded_knn
+
+        devs = jax.devices()
+        if len(devs) < 8:
+            pytest.skip("needs the 8-virtual-device mesh")
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.array(devs[:8]), ("d",))
+        rng = np.random.default_rng(15)
+        c, d, k = 65536, 16, 10  # 8192 rows/shard > 2 * INT4_MIN_POOL
+        rows = rng.normal(size=(c, d)).astype(np.float32)
+        q8, norm = knn_ops.quantize_rows_int8(rows)
+        q8 = jnp.asarray(q8)
+        norm = jnp.asarray(norm)
+        packed_t, inv_n4 = knn_ops.pack_int4_cols_chunked(q8, chunk=8192)
+        n = 5 * 8192 + 1234  # prefix ends INSIDE shard 5; shards 6-7 empty
+        valid = jnp.arange(c) < n
+        q = jnp.asarray(rows[777] + 0.03 * rng.normal(size=d).astype(np.float32))
+        s_v, i_v = sharded_knn.sharded_cosine_int4_topk(
+            q, q8, norm, packed_t, inv_n4, valid, k, mesh, ("d",)
+        )
+        s_n, i_n = sharded_knn.sharded_cosine_int4_topk(
+            q, q8, norm, packed_t, inv_n4, valid, k, mesh, ("d",),
+            n_valid=n,
+        )
+        np.testing.assert_array_equal(np.asarray(i_n), np.asarray(i_v))
+        np.testing.assert_allclose(np.asarray(s_n), np.asarray(s_v),
+                                   rtol=1e-6)
+        assert int(np.asarray(i_n)[0]) == 777
+        # nothing beyond the prefix ever surfaces
+        assert all(int(i) < n for i in np.asarray(i_n))
+
+
 class TestDispatchModel:
     def test_supported_shapes(self):
         assert knn_ops.int4_supported(1 << 20, 768)

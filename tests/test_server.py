@@ -76,12 +76,14 @@ class TestPublic:
         resp = call(app, "GET", "/healthz", token=None)
         assert resp.status == 200 and jbody(resp)["status"] == "ok"
 
-    def test_info(self, tmp_path):
+    def test_info(self, tmp_path, monkeypatch):
+        # ambient UCFP_KNN_QUANT (e.g. a bench shell) must not leak in
+        monkeypatch.delenv("UCFP_KNN_QUANT", raising=False)
         app, _ = make_app(tmp_path)
         body = jbody(call(app, "GET", "/v1/info", token=None))
         assert body["name"] == "ucfp-tpu"
         assert set(body["modalities"]) == {"text", "image", "audio"}
-        # the active vector-serving tier is advertised (none = exact)
+        # the active vector-serving tier is advertised
         assert body["knn_quant"] == "none"
 
     def test_algorithms_manifest(self, tmp_path):

@@ -1194,13 +1194,17 @@ class EmbeddedBackend(IndexBackend):
             arr, NamedSharding(self._mesh, P(None, self._mesh_axes))
         )
 
-    def _int4_worth_it(self, cap: int, dim: int, k: int) -> bool:
+    def _int4_worth_it(self, cap: int, dim: int, k: int,
+                       fused: bool = True) -> bool:
         """Cost-model gate for the int4 prefilter, per-shard like
         _sketch_worth_it: serve it only when the modeled pipeline beats
-        the exhaustive int8 scan at this capacity."""
+        the exhaustive int8 scan at this capacity. fused=False models
+        the slower filtered (valid-array) path."""
         nsh = self._n_shards()
         cap_l = max(1, cap // nsh)
-        return knn_ops.int4_beats_exact(cap_l, dim, knn_ops.int4_pool(cap_l, k))
+        return knn_ops.int4_beats_exact(
+            cap_l, dim, knn_ops.int4_pool(cap_l, k), fused=fused
+        )
 
     def _sketch_planes(self, dim: int):
         import jax.numpy as jnp
@@ -1427,7 +1431,12 @@ class EmbeddedBackend(IndexBackend):
                     # downstream kernel already honors `valid`
                     dev = (*dev[:-1], dev[-1] & self._put_rowvec(flt_mask))
                 rids = list(cache.rids)
-            kk = min(k, cache.n)
+                # prefix length captured UNDER the lock, consistent with
+                # the dev/rids snapshot: a concurrent delete swaps rows
+                # and decrements n, so reading cache.n after release
+                # could mask a live row / unmask a deleted one
+                n_snap = cache.n
+            kk = min(k, n_snap)
             if self._mesh is not None:
                 # ICI-sharded serving: each chip scans its row shard,
                 # per-chip top-k + all_gather merge (sharded_knn.py)
@@ -1449,7 +1458,8 @@ class EmbeddedBackend(IndexBackend):
                     )
                     scores, idx = s1[None, :], i1[None, :]
                 elif self._int4_on() and not exact and self._int4_worth_it(
-                    dev[0].shape[0], len(query), kk
+                    dev[0].shape[0], len(query), kk,
+                    fused=flt_mask is True,
                 ):
                     import jax.numpy as jnp
 
@@ -1459,7 +1469,7 @@ class EmbeddedBackend(IndexBackend):
                         valid, kk, self._mesh, self._mesh_axes,
                         # unfiltered queries assert prefix validity ->
                         # every shard runs the fused kernel
-                        n_valid=(cache.n if flt_mask is True else None),
+                        n_valid=(n_snap if flt_mask is True else None),
                     )
                     scores, idx = s1[None, :], i1[None, :]
                 elif self.knn_quant in ("int8", "sketch", "int4"):
@@ -1491,14 +1501,15 @@ class EmbeddedBackend(IndexBackend):
                 )
                 scores, idx = s1[None, :], i1[None, :]
             elif self._int4_on() and not exact and self._int4_worth_it(
-                dev[0].shape[0], len(query), kk
+                dev[0].shape[0], len(query), kk,
+                fused=flt_mask is True,
             ):
                 import jax.numpy as jnp
 
                 q8m, row_norm, packed_t, inv_n4, valid = dev
                 # unfiltered queries assert prefix validity, unlocking
                 # the fused masked-scores kernel (no separate mask pass)
-                npre = (jnp.int32(cache.n) if flt_mask is True else None)
+                npre = (jnp.int32(n_snap) if flt_mask is True else None)
                 s1, i1 = knn_ops.cosine_int4_topk(
                     jnp.asarray(q), q8m, row_norm, packed_t, inv_n4,
                     valid, kk, knn_ops.int4_pool(q8m.shape[0], kk),
@@ -1510,13 +1521,13 @@ class EmbeddedBackend(IndexBackend):
                 # when the cost model says exact wins at this capacity
                 q8m, row_norm, valid = dev[0], dev[1], dev[-1]
                 scores, idx = self._int8_single_topk(
-                    q, q8m, row_norm, valid, kk, cache.n, exact=exact,
-                    n_prefix=(cache.n if flt_mask is True else None),
+                    q, q8m, row_norm, valid, kk, n_snap, exact=exact,
+                    n_prefix=(n_snap if flt_mask is True else None),
                 )
             else:
                 matrix, valid = dev
                 if not exact and self._fused_pool_ok(
-                        matrix.shape[0], cache.n, kk):
+                        matrix.shape[0], n_snap, kk):
                     scores, idx = knn_ops.cosine_topk_fused(
                         q[None], matrix, valid, kk)
                 else:

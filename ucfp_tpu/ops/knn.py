@@ -723,9 +723,13 @@ def int4_model_ms(cap: int, dim: int, pool: int) -> float:
     return stream + gather + rescore + _cost_const("int4_flat_ms")
 
 
-def int4_beats_exact(cap: int, dim: int, pool: int) -> bool:
+def int4_beats_exact(cap: int, dim: int, pool: int,
+                     fused: bool = True) -> bool:
     """Serving dispatch predicate for UCFP_KNN_QUANT=int4 — same
-    never-slower-than-exact contract as sketch_beats_exact."""
+    never-slower-than-exact contract as sketch_beats_exact. fused=False
+    models the slower unfused path (filtered queries: int4_dots + XLA
+    mask pass, measured ~6.3 vs 5.3 ms at 10M) so the conservative-fit
+    contract holds for filtered traffic too."""
     import os
 
     if not int4_supported(cap, dim):
@@ -734,7 +738,11 @@ def int4_beats_exact(cap: int, dim: int, pool: int) -> bool:
         return True
     if pool * 2 >= cap:
         return False
-    return int4_model_ms(cap, dim, pool) < exact_scan_model_ms(cap, dim)
+    est = int4_model_ms(cap, dim, pool)
+    if not fused:
+        # unfused/fused measured ratio at 10M: 6.32 / 5.27
+        est *= 1.2
+    return est < exact_scan_model_ms(cap, dim)
 
 
 # -- sketch-vs-exact dispatch cost model -------------------------------------

@@ -52,7 +52,10 @@ SUB = 8          # output sublane floor == query-batch capacity
 ROWS_PER_TILE = 4096  # measured fastest (746 GB/s); 2048 within 15%
 
 
-def _int4_kernel(p_ref, wh_ref, wl_ref, out_ref):
+def _unpack_dots(p_ref, wh_ref, wl_ref):
+    """THE nibble-unpack + dual-dot body shared by both kernels (the
+    Mosaic-constrained math must not fork): [SUB, R] i32 dots,
+    UNCORRECTED (true int4 dot = out - 8 * sum(wl row))."""
     tile = p_ref[:]                   # [Dp, R] int8 packed
     lo = tile & 15                    # biased low nibble, [1, 15]
     hi16 = tile & -16                 # high nibble in place = 16 * hi
@@ -65,7 +68,11 @@ def _int4_kernel(p_ref, wh_ref, wl_ref, out_ref):
         preferred_element_type=jnp.int32,
     )                                 # [SUB, R] = (lo + 8) . ql
     # dh is exactly divisible by 16; shift the small output, not the tile
-    out_ref[0, :, :] = (dh >> 4) + dl
+    return (dh >> 4) + dl
+
+
+def _int4_kernel(p_ref, wh_ref, wl_ref, out_ref):
+    out_ref[0, :, :] = _unpack_dots(p_ref, wh_ref, wl_ref)
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4))
@@ -118,21 +125,10 @@ def _int4_scores_kernel(p_ref, wh_ref, wl_ref, inv_ref, sc_ref, out_ref):
     pipeline from 6.3 to ~5.3 ms. Validity is the row-prefix rule
     (row < n, n in SMEM) — zero extra memory stream; zero-norm rows
     carry inv == 0 and mask themselves."""
-    tile = p_ref[:]                   # [Dp, R] int8 packed
-    lo = tile & 15
-    hi16 = tile & -16
-    dh = jax.lax.dot_general(
-        wh_ref[:], hi16, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    dl = jax.lax.dot_general(
-        wl_ref[:], lo, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    dots = (dh >> 4) + dl             # [SUB, R]; row 0 is the query
+    dots = _unpack_dots(p_ref, wh_ref, wl_ref)  # [SUB, R]; row 0 = query
     corr = sc_ref[0, 0]               # 8 * sum(ql)
     n = sc_ref[0, 1]                  # catalog prefix length
-    rpt = tile.shape[1]
+    rpt = dots.shape[1]
     row0 = dots[0:1, :] - corr        # [1, R] i32
     inv = inv_ref[:]                  # [1, R] f32 (0 for zero rows)
     gidx = pl.program_id(0) * rpt + jax.lax.broadcasted_iota(

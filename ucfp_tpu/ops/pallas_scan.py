@@ -56,6 +56,19 @@ def _lane_argbest(score2d: jax.Array, largest: bool):
     return best, first
 
 
+def _emit_f32_best(val_ref, idx_ref, scores, largest: bool, base_row):
+    """Shared per-tile candidate emit for the f32 score kernels: lane
+    argbest -> global indices -> (1, SUB, 128) padded output blocks."""
+    best, row = _lane_argbest(scores, largest=largest)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    gidx = (base_row + row) * LANES + lanes
+    fill = -jnp.inf if largest else jnp.inf
+    val_ref[0, 0:1, :] = best
+    val_ref[0, 1:SUB, :] = jnp.full((SUB - 1, LANES), fill, jnp.float32)
+    idx_ref[0, 0:1, :] = gidx
+    idx_ref[0, 1:SUB, :] = jnp.zeros((SUB - 1, LANES), jnp.int32)
+
+
 def _hamming_kernel(q_ref, db_ref, dist_ref, idx_ref):
     tile = db_ref[:]  # [R, W, 128] int32
     q = q_ref[:]  # [1, W, 1]
@@ -190,15 +203,8 @@ def hamming_topk_fused_batched(
 
 def _scores_kernel(largest: bool, s_ref, val_ref, idx_ref):
     scores = s_ref[:]  # [R, 128] f32
-    best, row = _lane_argbest(scores, largest=largest)
     base_row = pl.program_id(0) * ROWS_PER_TILE
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-    gidx = (base_row + row) * LANES + lanes
-    fill = -jnp.inf if largest else jnp.inf
-    val_ref[0, 0:1, :] = best
-    val_ref[0, 1:SUB, :] = jnp.full((SUB - 1, LANES), fill, jnp.float32)
-    idx_ref[0, 0:1, :] = gidx
-    idx_ref[0, 1:SUB, :] = jnp.zeros((SUB - 1, LANES), jnp.int32)
+    _emit_f32_best(val_ref, idx_ref, scores, largest, base_row)
 
 
 def _dots_norm_kernel(d_ref, rn_ref, n_ref, q_ref, val_ref, idx_ref):
@@ -218,13 +224,7 @@ def _dots_norm_kernel(d_ref, rn_ref, n_ref, q_ref, val_ref, idx_ref):
     gidx_e = rows * LANES + lanes2
     ok = (gidx_e < n) & (rn > 0.0)
     scores = jnp.where(ok, dots / jnp.maximum(rn, 1e-9) * inv_q, -jnp.inf)
-    best, row = _lane_argbest(scores, largest=True)
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-    gidx = (base_row + row) * LANES + lanes
-    val_ref[0, 0:1, :] = best
-    val_ref[0, 1:SUB, :] = jnp.full((SUB - 1, LANES), -jnp.inf, jnp.float32)
-    idx_ref[0, 0:1, :] = gidx
-    idx_ref[0, 1:SUB, :] = jnp.zeros((SUB - 1, LANES), jnp.int32)
+    _emit_f32_best(val_ref, idx_ref, scores, True, base_row)
 
 
 @functools.partial(jax.jit, static_argnums=(4,))

@@ -255,9 +255,10 @@ class Handlers:
                 "modalities": ["text", "image", "audio"],
                 "encoders": encoders,
                 # which vector-serving tier this deployment runs
-                # (docs/DEPLOY.md UCFP_KNN_QUANT): clients planning
-                # recall_tier usage can see whether approximate paths
-                # exist at all ("none"/"int8" = always exact)
+                # (docs/DEPLOY.md UCFP_KNN_QUANT). Note every mode can
+                # serve `approximate: true` on the fused small-k
+                # candidate path — the tier only selects the prefilter
+                # family (int4/sketch) and catalog representation
                 "knn_quant": getattr(self.index, "knn_quant", "none"),
             }
         )

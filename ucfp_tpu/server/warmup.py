@@ -94,12 +94,22 @@ def _work() -> None:
                     packed_t, inv_n4 = knn_ops.pack_int4_cols(
                         jnp.asarray(q84)
                     )
+                    v4 = jnp.zeros((c4,), bool).at[:16].set(True)
+                    # BOTH serving variants: fused (unfiltered queries,
+                    # n_valid prefix) AND unfused (filtered queries fold
+                    # the filter into `valid` — a separate jit entry and
+                    # pallas kernel that would otherwise eat its first
+                    # compile at request time)
                     knn_ops.cosine_int4_topk(
                         jnp.asarray(m4[0]), jnp.asarray(q84),
-                        jnp.asarray(rn4), packed_t, inv_n4,
-                        jnp.zeros((c4,), bool).at[:16].set(True), k,
+                        jnp.asarray(rn4), packed_t, inv_n4, v4, k,
                         knn_ops.int4_pool(c4, k),
-                        n_valid=jnp.int32(16),  # the serving (fused) variant
+                        n_valid=jnp.int32(16),
+                    )
+                    knn_ops.cosine_int4_topk(
+                        jnp.asarray(m4[0]), jnp.asarray(q84),
+                        jnp.asarray(rn4), packed_t, inv_n4, v4, k,
+                        knn_ops.int4_pool(c4, k),
                     )
                 if quant == "sketch":
                     planes = jnp.asarray(knn_ops.sketch_planes(d))
