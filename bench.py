@@ -821,15 +821,22 @@ def bench_parity() -> tuple[bool, list]:
     return not mismatches, mismatches[:5]
 
 
+#: filled by _prefer_direct_tpu, copied into the bench JSON `extra` so a
+#: degraded (non-chip) capture is impossible to mistake for chip numbers
+_PLATFORM_NOTE: dict = {}
+
+
 def _prefer_direct_tpu():
     """Prefer a direct local TPU over the tunneled runtime when one is
     free. The tunnel acks dispatch early and compiles remotely (minutes
     per kernel, flaky on large pallas programs); the direct chip
     compiles locally in seconds and reports honest wall-clock. Probe in
     a subprocess first — a failed in-process init poisons jax's backend
-    cache — and still fall back if the chip is grabbed between probe
-    and use. UCFP_BENCH_PLATFORM=<name> forces a platform and skips the
-    probe."""
+    cache. If the direct chip is absent, watchdog-probe the default
+    (tunnel) platform too: a downed axon link HANGS device discovery
+    indefinitely, and a hung bench emits no JSON line at all — better
+    to fall back to CPU with an explicit degraded marker in the output.
+    UCFP_BENCH_PLATFORM=<name> forces a platform and skips every probe."""
     import os
     import subprocess
     import sys
@@ -847,21 +854,44 @@ def _prefer_direct_tpu():
              "jax.devices()"],
             capture_output=True, timeout=90,
         )
-        if probe.returncode != 0:
+        if probe.returncode == 0:
+            jax.config.update("jax_platforms", "tpu")
+            jax.devices()
             return
-        jax.config.update("jax_platforms", "tpu")
-        jax.devices()
     except Exception:
         try:
-            # the failed in-process init poisoned the backend cache —
-            # clear it or the fallback fails too and no JSON line prints
+            # a failed in-process init poisons jax's backend cache —
+            # clear it so the fallback paths below can still init
             import jax.extend.backend
 
             jax.extend.backend.clear_backends()
             jax.config.update("jax_platforms", None)
-            jax.devices()
         except Exception:
             pass
+    # No direct chip: probe the default platform (the axon tunnel on
+    # this host) with a hard timeout. Discovery over a healthy tunnel is
+    # seconds — no compiles involved — so 240 s distinguishes "slow" from
+    # "down" with a wide margin.
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, timeout=240,
+        )
+        if probe.returncode == 0:
+            return  # default (tunnel) platform is alive
+        reason = "device platform init failed"
+    except subprocess.TimeoutExpired:
+        reason = "device platform init timed out (tunnel down?)"
+    except Exception as e:  # pragma: no cover - probe launch failure
+        reason = f"device platform probe failed: {type(e).__name__}"
+    jax.config.update("jax_platforms", "cpu")
+    _PLATFORM_NOTE.update({
+        "platform_degraded": "cpu",
+        "platform_degraded_reason":
+            reason + "; values are NOT chip numbers",
+    })
+    print(f"bench: {reason}; falling back to CPU (degraded run)",
+          file=sys.stderr)
 
 
 def main():
@@ -898,6 +928,7 @@ def _run_all():
         else 0.0
     )
     extra = {}
+    extra.update(_PLATFORM_NOTE)
     # Each secondary metric costs two jit compiles through the device
     # tunnel (~1-2 min each); the default set is trimmed to fit the
     # driver's window. UCFP_BENCH_FULL=1 adds the comparison kernels

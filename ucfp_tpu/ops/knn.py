@@ -26,7 +26,12 @@ import functools
 import jax
 import jax.numpy as jnp
 
-NEG_INF = jnp.float32(-jnp.inf)
+# Plain Python float, NOT jnp.float32(...): a module-scope jnp scalar
+# would initialise the default backend at import time — which hangs the
+# whole process when the default platform is an unreachable tunnel and
+# defeats any later jax.config.update("jax_platforms", ...) override.
+# Inside jit, the weak-typed float binds as f32 exactly like before.
+NEG_INF = float("-inf")
 
 
 @functools.partial(jax.jit, static_argnums=(3,))

@@ -2,6 +2,20 @@
 
 import argparse
 import asyncio
+import os
+
+# UCFP_JAX_PLATFORM=cpu runs host-only (no accelerator claimed). Applied
+# BEFORE importing the app: package imports are kept backend-free, but
+# the platform override must win even if a future import regresses into
+# touching the default backend (which can hang on an unreachable tunnel
+# platform). A plain JAX_PLATFORMS env var is NOT enough on hosts whose
+# TPU plugin injects itself ahead of env vars — the config update after
+# `import jax` is the reliable override.
+_plat = os.environ.get("UCFP_JAX_PLATFORM")
+if _plat:
+    import jax
+
+    jax.config.update("jax_platforms", _plat)
 
 from .app import run, state_from_env
 
@@ -16,18 +30,6 @@ def main() -> None:
     p.add_argument("--native-http", action="store_true",
                    help="serve through the C++ epoll front (env UCFP_HTTP=native)")
     args = p.parse_args()
-
-    import os
-
-    # UCFP_JAX_PLATFORM=cpu runs host-only (no accelerator claimed).
-    # A plain JAX_PLATFORMS env var is NOT enough on hosts whose TPU
-    # plugin injects itself ahead of env vars — the config update after
-    # import is the reliable override.
-    plat = os.environ.get("UCFP_JAX_PLATFORM")
-    if plat:
-        import jax
-
-        jax.config.update("jax_platforms", plat)
 
     bind = args.bind or os.environ.get("UCFP_BIND", "127.0.0.1:8080")
     # on-demand kernel tracing (SURVEY §5: JAX profiler + Perfetto are
