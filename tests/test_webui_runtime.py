@@ -17,8 +17,6 @@ test — exactly the renderer-regression class that used to ship dark.
 """
 
 import asyncio
-import json
-import struct
 import urllib.parse
 
 import numpy as np
@@ -346,6 +344,51 @@ class TestAudioTab:
         assert "fingerprint byte histogram" in html_text
         _no_failures(b)
 
+    def test_run_audio_haitsma_renders_subfingerprint_grid(self, served):
+        b, _ = served
+        b.set_value("aud-algo", "haitsma")
+        b.call("renderTunables", "audio", "aud-algo", "aud-tunables")
+        b.call("runAudio")
+        out = b.by_id("aud-out")
+        assert "Haitsma sub-fingerprints" in out.serialize_inner()
+        # 64 frames x 32 bits = 2048 grid cells
+        grids = [c for c in b.canvases(out) if c.count("fillRect") == 2048]
+        assert grids, "haitsma 32-bit frame grid missing"
+        b.set_value("aud-algo", "wang")
+        b.call("renderTunables", "audio", "aud-algo", "aud-tunables")
+        _no_failures(b)
+
+    def test_watermark_without_key_renders_actionable_error(self, served):
+        b, _ = served
+        b.set_value("aud-algo", "watermark")
+        b.call("renderTunables", "audio", "aud-algo", "aud-tunables")
+        b.set_value("aud-wmkey", "")
+        b.call("runAudio")
+        html_text = b.by_id("aud-out").serialize_inner()
+        assert "error:" in html_text
+        assert "watermark requires the per-tenant key" in html_text
+        _no_failures(b)
+
+    def test_watermark_with_key_renders_report(self, served):
+        # the regression this session's runtime harness caught: the page
+        # had no way to send X-Watermark-Key, so the watermark option
+        # could never succeed from the dashboard
+        b, _ = served
+        b.set_value("aud-algo", "watermark")
+        b.call("renderTunables", "audio", "aud-algo", "aud-tunables")
+        b.set_value("aud-wmkey", "tenant-secret-1")
+        b.call("runAudio")
+        html_text = b.by_id("aud-out").serialize_inner()
+        assert "error:" not in html_text
+        # report kv row (no Record for watermark: detected + confidence)
+        assert "detected" in html_text and "confidence" in html_text
+        # an unmarked sine must not read as marked
+        assert "detected <b>false</b>" in html_text
+        b.set_value("aud-algo", "wang")
+        b.set_value("aud-wmkey", "")
+        b.call("renderTunables", "audio", "aud-algo", "aud-tunables")
+        _no_failures(b)
+
 
 # -- records / bulk / usage / keys ---------------------------------------------
 
@@ -366,6 +409,24 @@ class TestRecordsTab:
         b.set_value("r-id", rid)
         b.call("describeRec")
         assert "modality" in out.serialize_inner()
+        _no_failures(b)
+
+    def test_pagination_next_page_button(self, served):
+        b, _ = served
+        # push tenant 0 over one page (25) of records
+        lines = "\n".join(f"pagination filler document {i}"
+                          for i in range(30))
+        b.set_value("bulk-input", lines)
+        b.set_value("bulk-start", "6000")
+        b.call("runBulk")
+        b.call("listRecs", 0.0)
+        out = b.by_id("r-out")
+        assert "showing 25 from 0" in out.serialize_inner()
+        nexts = [el for el in out.query_all("button")
+                 if el.text_content() == "next page"]
+        assert nexts, "next page button missing"
+        b.click(nexts[0])
+        assert "from 25" in out.serialize_inner()
         _no_failures(b)
 
     def test_bulk_ingest_reports_rate(self, served):

@@ -98,6 +98,8 @@ PAGE = r"""<!doctype html>
   <div class="row">
    <label>algorithm <select id="aud-algo"></select></label>
    <input type="file" id="aud-file" accept="audio/*">
+   <label>watermark key <input id="aud-wmkey" type="password" size="10"
+     placeholder="per-tenant secret"></label>
    <button class="go" onclick="runAudio()">Fingerprint</button>
    <span class="kv">decoded to mono f32 in-browser (WebAudio), like the
    reference demo</span>
@@ -604,10 +606,17 @@ async function runAudio(){
  const algo=$('aud-algo').value;
  try{
   const tq = tunableQuery('audio','aud-algo');
-  const ins = await api(`/v1/pipeline/inspect/audio?sample_rate=8000&algorithm=${algo}&tenant_id=${ten()}${tq}`,
-    {method:'POST', body});
+  // the PN watermark key is a per-tenant SECRET and rides a header,
+  // never the query string (keys in URLs leak into logs)
+  const wkey = $('aud-wmkey').value.trim();
+  const headers = (algo==='watermark' && wkey) ? {'X-Watermark-Key': wkey} : {};
+  // watermark has no inspect stages (detection-only); show the shared
+  // DSP stages (envelope/spectrograms/constellation) via the default
+  const insAlgo = algo==='watermark' ? 'wang' : algo;
+  const ins = await api(`/v1/pipeline/inspect/audio?sample_rate=8000&algorithm=${insAlgo}&tenant_id=${ten()}${tq}`,
+    {method:'POST', body, headers});
   const fp = await api(`/v1/ingest/audio/${ten()}/${RID++}?sample_rate=8000&algorithm=${algo}${tq}`,
-    {method:'POST', body});
+    {method:'POST', body, headers});
   out.innerHTML = `<div class="row">${kv(ins,['duration_secs','total_peaks','total_landmarks'])}</div>`
    + `<div class="row">
       <span><div class="kv">linear spectrogram</div>
