@@ -470,13 +470,17 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
 
     @functools.partial(jax.jit, static_argnums=(3,))
     def loop_batch(q, m, rnv, it):
+        # the exact batched SERVING path: one MXU GEMM + the fused
+        # normalize/select kernel (no [Q, C] f32 mask/divide bounce)
         def body(_i, carry):
             dots = jax.lax.dot_general(
                 carry, m, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
-            ).astype(jnp.float32)  # [Q, C] one MXU GEMM for the batch
-            sc = dots / jnp.maximum(rnv, 1e-9)[None, :]
-            _vals, idx = pallas_scan.scores_topk_fused_batched(sc, k)
+            )  # [Q, C] one MXU GEMM for the batch
+            _vals, idx = pallas_scan.dots_norm_topk_fused_batched(
+                dots, rnv, jnp.int32(m.shape[0]),
+                jnp.ones((q.shape[0],), jnp.float32), k,
+            )
             return jnp.clip(
                 carry.astype(jnp.int32)
                 + m[idx[0, 0]].astype(jnp.int32)[None, :] // 127,
@@ -486,7 +490,8 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
         out = jax.lax.fori_loop(0, it, body, q)
         return jnp.sum(out.astype(jnp.int32))
 
-    batch_ms = _timed(lambda it: int(loop_batch(q_batch, m8, rn, it)),
+    def t_batch():
+        return _timed(lambda it: int(loop_batch(q_batch, m8, rn, it)),
                       max(iters // 2, 2)) * 1000.0
 
     # -- sketch prefilter path (UCFP_KNN_QUANT=sketch) -----------------
@@ -572,6 +577,31 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
             iters,
         ) * 1000.0
 
+    # batched int4: one packed scan serves the whole 32-query block
+    # (UCFP_KNN_QUANT=int4 knn_batch serving path)
+    pool_i4b = knn_ops.int4_batch_pool(n, k)
+    qbf = q_batch.astype(jnp.float32)
+
+    @functools.partial(jax.jit, static_argnums=(5,))
+    def loop_i4_batch(q, m, rnv, pk, inv, it):
+        def body(_i, carry):
+            _vals, idx = knn_ops.cosine_int4_topk_batched(
+                carry, m, rnv, pk, inv, jnp.int32(n), k, pool_i4b,
+            )
+            return jnp.clip(
+                carry + m[idx[0, 0]].astype(jnp.float32)[None, :] / 127.0,
+                -127.0, 127.0,
+            )
+
+        out = jax.lax.fori_loop(0, it, body, q)
+        return jnp.sum(out)
+
+    def t_i4_batch():
+        return _timed(
+            lambda it: float(loop_i4_batch(qbf, m8, rn, packed_t, inv_n4, it)),
+            max(iters // 2, 2),
+        ) * 1000.0
+
     def t_exact():
         return _timed(
             lambda it: int(loop_single(q_single, m8, rn, it)), iters
@@ -620,14 +650,30 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
             hits += len(es & set(ii.tolist()))
         return hits
 
-    times: dict = {"exact": [], "sketch": [], "fast": [], "int4": []}
+    def int4_batch_hits(exact_sets):
+        # the BATCHED serving path at its own (smaller) pool, in the
+        # same 26-query chunks as the ground truth
+        hits = 0
+        for i in range(0, recall_q, gt_chunk):
+            _s, ib = knn_ops.cosine_int4_topk_batched(
+                queries[i : i + gt_chunk], m8, rn, packed_t, inv_n4,
+                jnp.int32(n), k, pool_i4b,
+            )
+            for j, row in enumerate(np.asarray(ib)):
+                hits += len(exact_sets[i + j] & set(row.tolist()))
+        return hits
+
+    times: dict = {"exact": [], "sketch": [], "fast": [], "int4": [],
+                   "batch": [], "int4b": []}
     exact_sets = None
-    hits_q = hits_f = hits_i4 = 0
+    hits_q = hits_f = hits_i4 = hits_i4b = 0
     for r in range(rounds):
         times["exact"].append(t_exact())
         times["sketch"].append(t_sketch(cand))
         times["fast"].append(t_sketch(cand_fast))
         times["int4"].append(t_int4())
+        times["batch"].append(t_batch())
+        times["int4b"].append(t_i4_batch())
         # interleave the (device-heavy) recall batches between rounds
         if r == 0:
             exact_sets = ground_truth()
@@ -636,6 +682,7 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
             hits_i4 = int4_hits(exact_sets)
         elif r == 2:
             hits_f = sketch_hits(exact_sets, cand_fast)
+            hits_i4b = int4_batch_hits(exact_sets)
 
     # planted near-duplicates (the product workload): a noisy copy of a
     # stored row at cosine ~0.99/0.7/0.5 must surface — measured at the
@@ -698,6 +745,7 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
     n_trials = recall_q * k
     rq, rf = hits_q / n_trials, hits_f / n_trials
     ri4 = hits_i4 / n_trials
+    ri4b = hits_i4b / n_trials
 
     def _ci95(p):
         return round(1.96 * (p * (1.0 - p) / n_trials) ** 0.5, 3)
@@ -711,8 +759,19 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
         "query_cosine_int8_p50_ms_10m_x768": st["exact"]["p50"],
         "query_cosine_int8_range_ms": st["exact"]["range"],
         "query_cosine_int8_batch32_ms_per_query_10m_x768": round(
-            batch_ms / qbatch, 4
+            st["batch"]["p50"] / qbatch, 4
         ),
+        "query_cosine_int8_batch32_range_ms_per_query": [
+            round(x / qbatch, 4) for x in st["batch"]["range"]
+        ],
+        "query_cosine_int4_batch32_ms_per_query_10m_x768": round(
+            st["int4b"]["p50"] / qbatch, 4
+        ),
+        "query_cosine_int4_batch32_range_ms_per_query": [
+            round(x / qbatch, 4) for x in st["int4b"]["range"]
+        ],
+        "int4_batch_recall10_random_10m_x768": round(ri4b, 3),
+        "int4_batch_recall10_ci95": _ci95(ri4b),
         "query_cosine_sketch_p50_ms_10m_x768": st["sketch"]["p50"],
         "query_cosine_sketch_range_ms": st["sketch"]["range"],
         "sketch_fast_p50_ms_10m_x768": st["fast"]["p50"],

@@ -210,6 +210,129 @@ class TestPipeline:
                                    rtol=1e-6)
         assert int(np.asarray(i_f)[0]) == 123
 
+    def test_batched_masked_scores_match_single(self):
+        """int4_masked_scores_batched row m == int4_masked_scores for
+        query m, bit-for-bit, including padding weight rows and the
+        prefix boundary."""
+        rng = np.random.default_rng(20)
+        c, d, nq = 1024, 64, 5  # nq pads to the 8-row sublane floor
+        rows = _rows(rng, c, d)
+        rows[3] = 0.0  # zero row -> inv == 0 -> -inf
+        q8, _ = _quant8(rows)
+        packed_t, inv_n4 = knn_ops.pack_int4_cols(q8)
+        n = 900
+        dp = d // 2
+        qs = rng.integers(-127, 128, size=(nq, d)).astype(np.int8)
+        qb = 8
+        wh = jnp.zeros((qb, dp), jnp.int8).at[:nq].set(qs[:, :dp])
+        wl = jnp.zeros((qb, dp), jnp.int8).at[:nq].set(qs[:, dp:])
+        corrs = 8 * jnp.sum(wl.astype(jnp.int32), axis=1)
+        rpt = pallas_int4.pick_rpt(c)
+        got = np.asarray(pallas_int4.int4_masked_scores_batched(
+            packed_t, wh, wl, corrs, inv_n4, rpt, jnp.int32(n)
+        ))
+        for m in range(nq):
+            wh1 = jnp.zeros((pallas_int4.SUB, dp), jnp.int8).at[0].set(
+                qs[m, :dp])
+            wl1 = jnp.zeros((pallas_int4.SUB, dp), jnp.int8).at[0].set(
+                qs[m, dp:])
+            ref = np.asarray(pallas_int4.int4_masked_scores(
+                packed_t, wh1, wl1, inv_n4, rpt,
+                8 * jnp.sum(wl1[0].astype(jnp.int32)), jnp.int32(n),
+            ))
+            np.testing.assert_array_equal(got[m], ref)
+
+    def test_batched_topk_matches_exact_int8(self):
+        """cosine_int4_topk_batched == the exact batched GEMM per row at
+        sizes where the pool thresholds, including the prefix boundary
+        and a planted near-duplicate."""
+        rng = np.random.default_rng(21)
+        c, d, k, nq = 4096, 64, 10, 6
+        rows = _rows(rng, c, d)
+        q8, norm = _quant8(rows)
+        packed_t, inv_n4 = knn_ops.pack_int4_cols(q8)
+        n = 3500
+        qm = _rows(rng, nq, d)
+        qm[2] = rows[123] + 0.02 * rng.normal(size=d).astype(np.float32)
+        pool = 512  # pool*2 < c: the prefilter genuinely thresholds
+        s4, i4 = knn_ops.cosine_int4_topk_batched(
+            jnp.asarray(qm), q8, norm, packed_t, inv_n4, n, k, pool
+        )
+        s_ref, i_ref = knn_ops.cosine_topk_int8(
+            jnp.asarray(qm), q8, norm, jnp.arange(c) < n, k
+        )
+        for m in range(nq):
+            assert set(np.asarray(i4)[m].tolist()) == \
+                set(np.asarray(i_ref)[m].tolist()), f"row {m}"
+        np.testing.assert_allclose(
+            np.sort(np.asarray(s4), axis=1),
+            np.sort(np.asarray(s_ref), axis=1), rtol=1e-5,
+        )
+        assert int(np.asarray(i4)[2, 0]) == 123
+        assert (np.asarray(i4) < n).all()
+
+    def test_batched_bf16_scores_and_fused_selection(self):
+        """The production batched composition at a tile-aligned
+        capacity: bf16 masked scores + the fused batched partial-reduce
+        + approx pool selection still recovers the exact top-k (pool
+        margin absorbs bf16 rounding and the ~5% approx boundary
+        loss)."""
+        rng = np.random.default_rng(24)
+        c, d, k, nq = 32768, 16, 5, 4  # c % (256*128) == 0: fused path
+        rows = _rows(rng, c, d)
+        q8, norm = _quant8(rows)
+        packed_t, inv_n4 = knn_ops.pack_int4_cols(q8)
+        qm = _rows(rng, nq, d)
+        qm[1] = rows[31000] + 0.02 * rng.normal(size=d).astype(np.float32)
+        pool = knn_ops.int4_batch_pool(c, k)
+        assert pool * 2 < c  # genuinely thresholds
+        s4, i4 = knn_ops.cosine_int4_topk_batched(
+            jnp.asarray(qm), q8, norm, packed_t, inv_n4, c, k, pool
+        )
+        s_ref, i_ref = knn_ops.cosine_topk_int8(
+            jnp.asarray(qm), q8, norm, jnp.ones((c,), bool), k
+        )
+        for m in range(nq):
+            assert set(np.asarray(i4)[m].tolist()) == \
+                set(np.asarray(i_ref)[m].tolist()), f"row {m}"
+        assert int(np.asarray(i4)[1, 0]) == 31000
+        # bf16 emit is a faithful rounding of the f32 masked scores
+        qq = knn_ops._quantize_query_rows(jnp.asarray(qm))
+        dp = d // 2
+        wh = jnp.zeros((8, dp), jnp.int8).at[:nq].set(qq[:, :dp])
+        wl = jnp.zeros((8, dp), jnp.int8).at[:nq].set(qq[:, dp:])
+        corrs = 8 * jnp.sum(wl.astype(jnp.int32), axis=1)
+        rpt = pallas_int4.pick_rpt(c)
+        sb = np.asarray(pallas_int4.int4_masked_scores_batched(
+            packed_t, wh, wl, corrs, inv_n4, rpt, jnp.int32(c),
+            out_dtype=jnp.bfloat16,
+        ))
+        sf = np.asarray(pallas_int4.int4_masked_scores_batched(
+            packed_t, wh, wl, corrs, inv_n4, rpt, jnp.int32(c),
+        ))
+        assert sb.dtype == jnp.bfloat16
+        assert np.isneginf(sb[:nq]).sum() == 0  # full prefix: all finite
+        np.testing.assert_array_equal(
+            sb[:nq], sf[:nq].astype(jnp.bfloat16))
+
+    def test_batched_exhaustive_fallback(self):
+        """pool*2 >= capacity: the batched path degrades to the exact
+        GEMM (identical results, placeholder packed cache untouched)."""
+        rng = np.random.default_rng(22)
+        c, d, k = 256, 32, 5
+        rows = _rows(rng, c, d)
+        q8, norm = _quant8(rows)
+        qm = jnp.asarray(_rows(rng, 3, d))
+        placeholder = jnp.zeros((d // 2, 0), jnp.int8)
+        s, i = knn_ops.cosine_int4_topk_batched(
+            qm, q8, norm, placeholder, jnp.zeros((0,), jnp.float32),
+            c, k, knn_ops.int4_pool(c, k),
+        )
+        s_ref, i_ref = knn_ops.cosine_topk_int8(
+            qm, q8, norm, jnp.ones((c,), bool), k
+        )
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
     def test_small_cap_exhaustive_fallback(self):
         """pool*2 >= capacity degrades to the exhaustive exact rescore
         (identical to the exact kernel)."""
@@ -322,6 +445,51 @@ class TestBackendInt4Mode:
         assert ex[0].record_id == 1234
         assert not b.knn_is_approximate(0, 16, 10, exact=True)
         b.close()
+
+    def test_backend_batched_int4_dispatch(self, tmp_path, monkeypatch):
+        """UCFP_KNN_QUANT=int4 + forced cost model at a thresholding
+        capacity: knn_batch rides the batched packed scan (marked
+        approximate), matches the int8 backend's exact batched ranking
+        on random data, and a FILTERED batch stays on the exact GEMM."""
+        import asyncio
+
+        from ucfp_tpu.index.embedded import EmbeddedBackend
+
+        run = asyncio.run
+        monkeypatch.setenv("UCFP_SHARD", "off")
+        monkeypatch.setenv("UCFP_SKETCH_COST_MODEL", "0")
+        rng = np.random.default_rng(23)
+        n = 5000  # capacity 8192 -> pool 2048 genuinely thresholds
+        vecs = rng.normal(size=(n, 16)).astype(np.float32)
+        b4 = EmbeddedBackend(str(tmp_path / "q4"), knn_quant="int4")
+        b8 = EmbeddedBackend(str(tmp_path / "q8"), knn_quant="int8")
+        run(b4.upsert(self._recs(vecs)))
+        run(b8.upsert(self._recs(vecs)))
+        cap = b4._vec[(0, 16)].data.shape[0]
+        assert b4._int4_batch_worth_it(cap, 16, 5, 3)
+        qs = [[float(x) for x in vecs[i] + 0.02 * rng.normal(size=16)]
+              for i in (7, 4321, 2222)]
+        h4 = run(b4.knn_batch(0, qs, 5))
+        h8 = run(b8.knn_batch(0, qs, 5))
+        for row4, row8, want in zip(h4, h8, (7, 4321, 2222)):
+            assert [(h.record_id, round(h.score, 6)) for h in row4] == \
+                   [(h.record_id, round(h.score, 6)) for h in row8]
+            assert row4[0].record_id == want
+        assert b4.knn_is_approximate(0, 16, 5, batch=True, batch_q=3)
+        # filtered batches ride the exact GEMM (the fused prefix kernel
+        # can't encode a non-prefix mask)
+        assert not b4.knn_is_approximate(0, 16, 5, batch=True, batch_q=3,
+                                         filtered=True) or \
+            b4._fused_pool_ok(cap, n, 5)
+        hf = run(b4.knn_batch(0, qs, 5, filter={"algorithm": "e"}))
+        assert hf[0][0].record_id == 7
+        # per-request exact tier opts out entirely
+        he = run(b4.knn_batch(0, qs, 5, exact=True))
+        assert he[0][0].record_id == 7
+        assert not b4.knn_is_approximate(0, 16, 5, batch=True, batch_q=3,
+                                         exact=True)
+        b4.close()
+        b8.close()
 
     def test_backend_odd_dim_serves_exact(self, tmp_path, monkeypatch):
         """Odd dims can't nibble-pair: the cache omits the packed parts
@@ -497,6 +665,96 @@ class TestShardedFusedPrefix:
         assert all(int(i) < n for i in np.asarray(i_n))
 
 
+class TestShardedBatched:
+    def test_sharded_batched_matches_exact(self):
+        """sharded_cosine_int4_batch_topk at thresholding per-shard
+        scale: every shard runs the batched fused kernel with a
+        genuinely sub-capacity pool (incl. a shard the prefix ends
+        inside and fully-invalid shards) and the merged top-k matches
+        the exact int8 ranking per query."""
+        import jax
+        import jax.numpy as jnp
+
+        from ucfp_tpu.parallel import sharded_knn
+
+        devs = jax.devices()
+        if len(devs) < 8:
+            pytest.skip("needs the 8-virtual-device mesh")
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.array(devs[:8]), ("d",))
+        rng = np.random.default_rng(30)
+        c, d, k, nq = 65536, 16, 10, 3  # 8192 rows/shard >> 2 * pool
+        rows = rng.normal(size=(c, d)).astype(np.float32)
+        q8, norm = knn_ops.quantize_rows_int8(rows)
+        q8 = jnp.asarray(q8)
+        norm = jnp.asarray(norm)
+        packed_t, inv_n4 = knn_ops.pack_int4_cols_chunked(q8, chunk=8192)
+        n = 5 * 8192 + 1234  # prefix ends INSIDE shard 5; shards 6-7 empty
+        qm = rng.normal(size=(nq, d)).astype(np.float32)
+        qm[1] = rows[777] + 0.03 * rng.normal(size=d).astype(np.float32)
+        s_b, i_b = sharded_knn.sharded_cosine_int4_batch_topk(
+            jnp.asarray(qm), q8, norm, packed_t, inv_n4, n, k, mesh,
+            ("d",),
+        )
+        s_ref, i_ref = knn_ops.cosine_topk_int8(
+            jnp.asarray(qm), q8, norm, jnp.arange(c) < n, k
+        )
+        for m in range(nq):
+            assert set(np.asarray(i_b)[m].tolist()) == \
+                set(np.asarray(i_ref)[m].tolist()), f"row {m}"
+        assert int(np.asarray(i_b)[1, 0]) == 777
+        assert (np.asarray(i_b) < n).all()
+
+    def test_backend_mesh_batched_dispatch(self, tmp_path, monkeypatch):
+        """Mesh + forced cost model at a capacity above the placeholder
+        threshold: knn_batch rides the sharded batched packed scan and
+        matches the int8 backend; the marker mirrors the per-shard
+        batch-pool math."""
+        import asyncio
+
+        from ucfp_tpu.index.embedded import EmbeddedBackend
+
+        run = asyncio.run
+        monkeypatch.setenv("UCFP_SHARD", "auto")
+        monkeypatch.setenv("UCFP_SKETCH_COST_MODEL", "0")
+        rng = np.random.default_rng(31)
+        n = 5000  # capacity 8192: real packed cache, 1024 rows/shard
+        vecs = rng.normal(size=(n, 16)).astype(np.float32)
+        b4 = EmbeddedBackend(str(tmp_path / "q4"), knn_quant="int4")
+        b8 = EmbeddedBackend(str(tmp_path / "q8"), knn_quant="int8")
+        run(b4.upsert(self._recs(vecs)))
+        run(b8.upsert(self._recs(vecs)))
+        assert b4._mesh is not None
+        cap = b4._vec[(0, 16)].data.shape[0]
+        assert b4._int4_batch_worth_it(cap, 16, 5, 2)
+        qs = [[float(x) for x in vecs[i] + 0.02 * rng.normal(size=16)]
+              for i in (7, 4321)]
+        h4 = run(b4.knn_batch(0, qs, 5))
+        h8 = run(b8.knn_batch(0, qs, 5))
+        for row4, row8, want in zip(h4, h8, (7, 4321)):
+            assert [(h.record_id, round(h.score, 6)) for h in row4] == \
+                   [(h.record_id, round(h.score, 6)) for h in row8]
+            assert row4[0].record_id == want
+        # per-shard pool (512) covers each 1024-row shard? 512*2 >= 1024
+        # -> every shard rescores exhaustively -> NOT approximate
+        cap_l = cap // b4._n_shards()
+        expect = knn_ops.int4_batch_pool(cap_l, 5) * 2 < cap_l
+        assert b4.knn_is_approximate(0, 16, 5, batch=True,
+                                     batch_q=2) == expect
+        b4.close()
+        b8.close()
+
+    def _recs(self, vecs):
+        from ucfp_tpu.core import Modality, Record
+
+        return [
+            Record(0, i, Modality.TEXT, "e", b"x",
+                   embedding=[float(x) for x in vecs[i]])
+            for i in range(len(vecs))
+        ]
+
+
 class TestDispatchModel:
     def test_supported_shapes(self):
         assert knn_ops.int4_supported(1 << 20, 768)
@@ -515,6 +773,22 @@ class TestDispatchModel:
         # int4 models strictly below exact at 10M x 768
         assert (knn_ops.int4_model_ms(1 << 23, 768, 2048)
                 < knn_ops.exact_scan_model_ms(1 << 23, 768))
+
+    def test_batch_model_orders_sane(self, monkeypatch):
+        monkeypatch.delenv("UCFP_SKETCH_COST_MODEL", raising=False)
+        # 10M x 768, batch 32: one packed scan + bounce beats GEMM+bounce
+        pool = knn_ops.int4_pool(1 << 23, 10)
+        assert knn_ops.int4_batch_beats_exact(1 << 23, 768, 32, pool)
+        assert (knn_ops.int4_batch_model_ms(1 << 23, 768, 32, pool)
+                < knn_ops.exact_batch_model_ms(1 << 23, 768, 32))
+        # tiny cap: pool covers it; exact wins
+        assert not knn_ops.int4_batch_beats_exact(
+            2048, 768, 32, knn_ops.int4_pool(2048, 10))
+        # odd dim unsupported
+        assert not knn_ops.int4_batch_beats_exact(1 << 23, 767, 32, pool)
+        # recalibration knob flips the dispatch
+        monkeypatch.setenv("UCFP_COST_INT4B_FLAT_MS", "1e6")
+        assert not knn_ops.int4_batch_beats_exact(1 << 23, 768, 32, pool)
 
     def test_model_honors_recalibration_env(self, monkeypatch):
         """UCFP_COST_INT4_GBPS / UCFP_COST_INT4_FLAT_MS recalibrate the

@@ -66,6 +66,57 @@ class TestScoresTopkFused:
             np.testing.assert_array_equal(np.asarray(bi[row]), np.asarray(si))
             np.testing.assert_array_equal(np.asarray(bv[row]), np.asarray(sv))
 
+    def test_batched_padding_and_blocks(self):
+        """Every q regime of the 8-query-block selection: q < QSEL (no
+        padding, block height q), q == QSEL, and q % QSEL != 0 (padded
+        with fill rows that must never leak into real rows), in both
+        largest/smallest modes."""
+        rng = np.random.default_rng(12)
+        c, k = TILE, 6
+        for q, largest in ((1, True), (3, False), (8, True), (11, True),
+                           (11, False)):
+            scores = rng.normal(size=(q, c)).astype(np.float32)
+            bv, bi = pallas_scan.scores_topk_fused_batched(
+                scores, k, largest=largest)
+            assert bv.shape == (q, k)
+            for row in range(q):
+                sv, si = pallas_scan.scores_topk_fused(
+                    scores[row], k, largest=largest)
+                np.testing.assert_array_equal(np.asarray(bi[row]),
+                                              np.asarray(si))
+                np.testing.assert_array_equal(np.asarray(bv[row]),
+                                              np.asarray(sv))
+
+    def test_dots_norm_batched_matches_single(self):
+        """dots_norm_topk_fused_batched row m == dots_norm_topk_fused
+        for query m, bit-for-bit, incl. per-query 1/|q| scales, the
+        prefix boundary, zero-norm rows, and q-padding."""
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(13)
+        c, k = TILE, 8
+        rn = np.abs(rng.normal(size=c)).astype(np.float32) * 100.0
+        rn[5] = 0.0
+        n = c - 333
+        for q in (1, 5, 8, 9):
+            dots = rng.integers(-(2**20), 2**20, size=(q, c)).astype(
+                np.int32)
+            inv_q = (1.0 / np.abs(rng.normal(size=q) * 50.0 + 10.0)
+                     ).astype(np.float32)
+            bv, bi = pallas_scan.dots_norm_topk_fused_batched(
+                jnp.asarray(dots), jnp.asarray(rn), jnp.int32(n),
+                jnp.asarray(inv_q), k,
+            )
+            for m in range(q):
+                sv, si = pallas_scan.dots_norm_topk_fused(
+                    jnp.asarray(dots[m]), jnp.asarray(rn), jnp.int32(n),
+                    jnp.float32(inv_q[m]), k,
+                )
+                np.testing.assert_array_equal(np.asarray(bi[m]),
+                                              np.asarray(si))
+                np.testing.assert_array_equal(np.asarray(bv[m]),
+                                              np.asarray(sv))
+
     def test_dots_norm_fused_matches_composition(self):
         """dots_norm_topk_fused == f32 convert + prefix mask + divide +
         scores_topk_fused, bit-for-bit, incl. the prefix boundary, the

@@ -1206,6 +1206,23 @@ class EmbeddedBackend(IndexBackend):
             cap_l, dim, knn_ops.int4_pool(cap_l, k), fused=fused
         )
 
+    def _int4_batch_worth_it(self, cap: int, dim: int, k: int,
+                             q: int) -> bool:
+        """Dispatch gate for the BATCHED int4 prefilter, per-shard like
+        _int4_worth_it: the packed cache must be real (capacities at or
+        below the placeholder threshold keep a zero-width packed cache —
+        the batch pool is smaller than the single-query pool, so the
+        kernel's own exhaustive short-circuit does NOT cover the whole
+        placeholder range) and the batched cost model must say the
+        packed scan beats the exact GEMM at the per-shard capacity."""
+        if cap <= 2 * knn_ops.INT4_MIN_POOL:
+            return False  # zero-width placeholder packed cache
+        nsh = self._n_shards()
+        cap_l = max(1, cap // nsh)
+        return knn_ops.int4_batch_beats_exact(
+            cap_l, dim, q, knn_ops.int4_batch_pool(cap_l, k)
+        )
+
     def _sketch_planes(self, dim: int):
         import jax.numpy as jnp
 
@@ -1310,15 +1327,19 @@ class EmbeddedBackend(IndexBackend):
     def knn_is_approximate(self, tenant_id: int, dim: int, k: int,
                            batch: bool = False,
                            pool_frac: "float | None" = None,
-                           exact: bool = False) -> bool:
+                           exact: bool = False,
+                           batch_q: int = 1,
+                           filtered: bool = False) -> bool:
         """True when a (dim, k) vector query rides an approximate path —
         the fused partial-reduce candidates (near-exact for k <= 16,
-        exact top-1; collision odds in ops/pallas_scan.py) or the sketch
+        exact top-1; collision odds in ops/pallas_scan.py) or a
         prefilter pool. Lets the serving layer mark responses instead of
         silently changing semantics under UCFP_KNN_QUANT. `batch=True`
         mirrors knn_batch's dispatch: batched queries never use the
         sketch prefilter (the int8 GEMM is exact up to the fused
-        candidate reduce), so sketch-pool bounds don't apply there."""
+        candidate reduce); under int4 mode an UNFILTERED batch of
+        `batch_q` queries rides the batched packed scan when the cost
+        model prefers it (`filtered` batches stay on the exact GEMM)."""
         if exact:
             # the exact flag pins the dispatch to the exhaustive kernels
             # on every path below — nothing approximate can serve it
@@ -1343,6 +1364,15 @@ class EmbeddedBackend(IndexBackend):
                 # capacity, and capacity <= 2n makes pool >= n
                 # impossible below that line
                 return knn_ops.sketch_pool(cap, k, pool_frac) * 2 < cap
+        if self._int4_on() and batch and not filtered \
+                and self._int4_batch_worth_it(
+                    cache.data.shape[0], dim, k, batch_q):
+            # mirrors knn_batch's packed-scan branch PER SHARD: each
+            # shard keeps its own batch pool and rescores its whole
+            # shard exactly when the pool covers it
+            cap = cache.data.shape[0]
+            cap_l = max(1, cap // self._n_shards())
+            return knn_ops.int4_batch_pool(cap_l, k) * 2 < cap_l
         if self._int4_on() and not batch:
             cap = cache.data.shape[0]
             if self._int4_worth_it(cap, dim, k):
@@ -1598,11 +1628,27 @@ class EmbeddedBackend(IndexBackend):
                 if flt_mask is not True:
                     dev = (*dev[:-1], dev[-1] & self._put_rowvec(flt_mask))
                 rids = list(cache.rids)
-            kk = min(k, cache.n)
+                # prefix length captured UNDER the lock (see knn): the
+                # batched int4 path feeds it to the fused prefix-masked
+                # kernel, so a post-lock read would race deletes
+                n_snap = cache.n
+            kk = min(k, n_snap)
             if self._mesh is not None:
                 from ..parallel import sharded_knn
 
-                if self.knn_quant in ("int8", "sketch", "int4"):
+                if (self._int4_on() and not exact and flt_mask is True
+                        and self._int4_batch_worth_it(
+                            dev[0].shape[0], dim, kk, qm.shape[0])):
+                    # sharded batched int4: each shard streams HALF its
+                    # int8 bytes once for the whole block (unfiltered
+                    # only — the fused kernel masks via the per-shard
+                    # prefix rule)
+                    q8m, row_norm, packed_t, inv_n4, _valid = dev
+                    scores, idx = sharded_knn.sharded_cosine_int4_batch_topk(
+                        jnp.asarray(qm), q8m, row_norm, packed_t, inv_n4,
+                        n_snap, kk, self._mesh, self._mesh_axes,
+                    )
+                elif self.knn_quant in ("int8", "sketch", "int4"):
                     # batched queries amortize the sharded scan; the
                     # prefilter caches' int8 matrix serves the GEMM
                     q8m, row_norm, valid = dev[0], dev[1], dev[-1]
@@ -1615,16 +1661,31 @@ class EmbeddedBackend(IndexBackend):
                     scores, idx = sharded_knn.sharded_cosine_topk(
                         qm, matrix, valid, kk, self._mesh, self._mesh_axes,
                     )
+            elif (self._int4_on() and not exact and flt_mask is True
+                  and self._int4_batch_worth_it(
+                      dev[0].shape[0], dim, kk, qm.shape[0])):
+                # batched int4 prefilter: ONE packed scan (half the
+                # exact GEMM's catalog bytes) serves the whole query
+                # block, per-query pools rescore exactly. Unfiltered
+                # only — the fused kernel masks via the prefix rule;
+                # filtered batches ride the exact GEMM below.
+                q8m, row_norm, packed_t, inv_n4, _valid = dev
+                scores, idx = knn_ops.cosine_int4_topk_batched(
+                    jnp.asarray(qm), q8m, row_norm, packed_t, inv_n4,
+                    n_snap, kk, knn_ops.int4_batch_pool(q8m.shape[0], kk),
+                )
             elif self.knn_quant in ("int8", "sketch", "int4"):
                 # batched queries amortize the HBM scan across the whole
-                # GEMM, so the prefilters buy little here — ride the
-                # int8 path (the sketch/int4 caches are supersets of it)
+                # GEMM, so the sketch prefilter buys little here — ride
+                # the int8 path (the prefilter caches are supersets of
+                # it); int4 batches that pass the cost model take the
+                # packed-scan branch above
                 from ..ops import pallas_scan
 
                 q8m, row_norm, valid = dev[0], dev[1], dev[-1]
                 # fused partial-reduce: only when the candidate pool covers
                 # k with headroom (near-exact for small k; see docstring)
-                if not exact and self._fused_pool_ok(q8m.shape[0], cache.n, kk):
+                if not exact and self._fused_pool_ok(q8m.shape[0], n_snap, kk):
                     # the measured sub-ms path: one MXU GEMM over all
                     # queries + one 2D-grid pallas partial-reduce
                     qa = jnp.max(jnp.abs(jnp.asarray(qm)), axis=1, keepdims=True)
@@ -1633,13 +1694,24 @@ class EmbeddedBackend(IndexBackend):
                     dots = jax.lax.dot_general(
                         qq, q8m, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.int32,
-                    ).astype(jnp.float32)
-                    qn = jnp.linalg.norm(qq.astype(jnp.float32), axis=1,
-                                         keepdims=True)
-                    denom = qn * jnp.maximum(row_norm, 1e-9)[None, :]
-                    ok = valid[None, :] & (row_norm[None, :] > 0.0)
-                    sc = jnp.where(ok, dots / denom, -jnp.inf)
-                    scores, idx = pallas_scan.scores_topk_fused_batched(sc, kk)
+                    )
+                    qn = jnp.linalg.norm(qq.astype(jnp.float32), axis=1)
+                    inv_q = jnp.where(qn > 0.0, 1.0 / jnp.maximum(qn, 1e-9),
+                                      0.0)
+                    if flt_mask is True:
+                        # unfiltered: validity is the prefix rule — the
+                        # fused normalize kernel masks in-stream (no
+                        # [Q, C] f32 convert/mask/divide bounce)
+                        scores, idx = pallas_scan.dots_norm_topk_fused_batched(
+                            dots, row_norm, jnp.int32(n_snap), inv_q, kk)
+                    else:
+                        denom = jnp.maximum(qn, 1e-9)[:, None] * jnp.maximum(
+                            row_norm, 1e-9)[None, :]
+                        ok = valid[None, :] & (row_norm[None, :] > 0.0)
+                        sc = jnp.where(ok, dots.astype(jnp.float32) / denom,
+                                       -jnp.inf)
+                        scores, idx = pallas_scan.scores_topk_fused_batched(
+                            sc, kk)
                 else:
                     scores, idx = knn_ops.cosine_topk_int8(
                         qm, q8m, row_norm, valid, kk
@@ -1647,7 +1719,7 @@ class EmbeddedBackend(IndexBackend):
             else:
                 matrix, valid = dev
                 if not exact and self._fused_pool_ok(
-                        matrix.shape[0], cache.n, kk):
+                        matrix.shape[0], n_snap, kk):
                     scores, idx = knn_ops.cosine_topk_fused(
                         qm, matrix, valid, kk)
                 else:

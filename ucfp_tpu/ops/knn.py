@@ -193,9 +193,9 @@ SKETCH_LEVELS = 4
 # 768-bit sketch, round-4 driver-shaped capture on one v5e through the
 # tunnel runtime (exact-int8 ground truth; bench.py emits the same
 # keys, so every number here is reproducible from BENCH_r04):
-#   0.0066 -> (0.87 +- 0.02, 4.6-5.1 ms spanning [4.4, 5.7])  "fast"
+#   0.0066 -> (0.87 +- 0.02, 4.6-5.1 ms spanning [4.0, 5.7])  "fast"
 #   0.042  -> (0.97 +- 0.01, 9.9-10.1 ms spanning [9.6, 10.2]) default
-# vs the exhaustive int8 scan at 10.4-10.6 ms spanning [10.4, 10.9] —
+# vs the exhaustive int8 scan at 10.3-10.7 ms spanning [9.5, 11.4] —
 # the default tier beats exact in every paired run at near-equal quality; planted near-duplicates (the
 # product workload) are 1.0 at every setting. The latency budget is
 # gather-bound (~13 ns per candidate row, an XLA/TPU gather constant)
@@ -552,13 +552,25 @@ def cosine_sketch_topk(
 # selection cell — P <= rank/(C/256/128 cells) ~ 0.04% per item at 10M.
 #
 # Measured at 10M x 768 on one v5e (BENCH_r04 fused captures, 3
-# spread runs, 104-query recall CI): 5.27-5.30 ms in [5.2, 5.4] at
-# recall@10 1.000±0.000 vs the 10.4-10.7 ms exact int8 scan — ~2x
-# faster at measured-perfect recall. Per-shard at 10M/8 = 1.25M rows:
-# 0.69-0.72 ms -> derived v5e-8 ~0.8 ms incl. the modeled 0.1 ms
-# merge (sub-ms @10M single query).
+# spread runs, 104-query recall CI): medians 5.27-5.52 ms in
+# [5.2, 6.1] at recall@10 1.000±0.000 vs the 10.3-10.7 ms exact int8
+# scan — ~2x faster at measured-perfect recall. Per-shard at
+# 10M/8 = 1.25M rows: 0.69-1.05 ms across captures -> derived v5e-8
+# 0.8-1.15 ms incl. the modeled 0.1 ms merge (sub-ms in the faster
+# captures; dispatch overhead dominates the spread at ~1 ms scale).
+#
+# BATCHED (cosine_int4_topk_batched, knn_batch serving): one packed
+# scan serves a whole query block (the [QB, D/2] MXU weight rows are
+# free — the scan is HBM-bound), masked scores bounce as bf16 (half
+# the f32 bytes), selection rides the 8-query-block partial-reduce +
+# approx_max_k pool pick (a pool-width top_k measured ~5 ms of pure
+# selection at Q=32), and each query's pool rescores exactly.
+# Measured at 10M x 768 Q=32: 10.0-14.9 ms total = 0.31-0.47 ms/query
+# at recall@10 1.0 vs the exact batched GEMM's 18.2-18.5 ms — the
+# fastest measured serving configuration at the BASELINE shape.
 
 INT4_MIN_POOL = 2048
+INT4_BATCH_QB = 64  # batched-scan weight-block height (VMEM-bounded)
 
 
 def int4_pool(n: int, k: int) -> int:
@@ -566,6 +578,17 @@ def int4_pool(n: int, k: int) -> int:
     error is bounded by quantization noise, not sketch-bit starvation,
     so the pool does not scale with the catalog."""
     return min(n, max(INT4_MIN_POOL, 64 * k))
+
+
+def int4_batch_pool(n: int, k: int) -> int:
+    """Rescore-pool size for the BATCHED int4 prefilter: smaller than
+    the single-query 2048 floor because the per-query pool costs scale
+    with Q (gather + per-row top-k), while the rank-error margin does
+    not — the exact top-10's worst int4 rank measured <= 30 (2M x 768,
+    32 queries) and batched recall@10 measured 1.0 at pools 256 and 512
+    at 10M x 768. 512 keeps a ~16x margin over the measured worst
+    rank."""
+    return min(n, max(512, 64 * k))
 
 
 def int4_supported(cap: int, dim: int) -> bool:
@@ -709,6 +732,133 @@ def cosine_int4_topk(
     return _rescore_exact(q8, gidx, slot_ok, query, k, sorted_unique=False)
 
 
+def _quantize_query_rows(qm):
+    """Per-row symmetric int8 quantization of a [Q, D] query block —
+    the batched twin of _quantize_query (same scale rule per row)."""
+    qa = jnp.max(jnp.abs(qm), axis=1, keepdims=True)
+    qs = jnp.where(qa == 0.0, 1.0, qa / 127.0)
+    return jnp.clip(jnp.round(qm / qs), -127, 127).astype(jnp.int8)
+
+
+def _exact_topk_rows(scores, k):
+    """EXACT per-row top-k over [Q, P] without a P-wide sort per row:
+    the batched twin of _exact_topk_flat (per-2048-segment top-k + a
+    tiny cross-segment merge, all batched over Q)."""
+    q, p_len = scores.shape
+    seg = 2048
+    if p_len <= seg:
+        return jax.lax.top_k(scores, min(k, p_len))
+    pad = (-p_len) % seg
+    if pad:
+        scores = jnp.concatenate(
+            [scores, jnp.full((q, pad), NEG_INF, scores.dtype)], axis=1
+        )
+    rows = scores.reshape(q, -1, seg)
+    kk = min(k, seg)
+    sv, si = jax.lax.top_k(rows, kk)  # [Q, nseg, kk]
+    base = (jnp.arange(rows.shape[1], dtype=jnp.int32) * seg)[None, :, None]
+    flat_v = sv.reshape(q, -1)
+    flat_i = (si + base).reshape(q, -1)
+    v2, p2 = jax.lax.top_k(flat_v, min(k, flat_v.shape[1]))
+    # padding slots are NEG_INF and only surface when fewer than k real
+    # candidates exist; clamp so the index stays in range
+    return v2, jnp.minimum(
+        jnp.take_along_axis(flat_i, p2, axis=1), p_len - 1
+    )
+
+
+def _rescore_exact_batched(q8, cidx, slot_ok, qq_f32, k):
+    """Exact int8 cosine over per-query gathered candidate rows.
+    cidx/slot_ok [Q, P]; qq_f32 [Q, D] (the already-quantized queries as
+    f32). Same one-gather / recomputed-norms / f32-exact-integer rules
+    as _rescore_exact. Returns ([Q, k] scores, [Q, k] catalog idx)."""
+    q, p = cidx.shape
+    rows = jnp.take(q8, cidx.reshape(-1), axis=0).astype(
+        jnp.float32
+    ).reshape(q, p, -1)  # [Q, P, D] gather
+    dots = jnp.einsum("qd,qpd->qp", qq_f32, rows)
+    qn = jnp.linalg.norm(qq_f32, axis=1, keepdims=True)  # [Q, 1]
+    rn = jnp.sqrt(jnp.sum(rows * rows, axis=2))  # [Q, P]
+    denom = jnp.maximum(qn, 1e-9) * jnp.maximum(rn, 1e-9)
+    okc = slot_ok & (rn > 0.0)
+    scores = jnp.where(okc, dots / denom, NEG_INF)
+    s, pos = jax.lax.top_k(scores, min(k, p))
+    return s, jnp.take_along_axis(cidx, pos, axis=1)
+
+
+@functools.partial(jax.jit, static_argnums=(6, 7))
+def cosine_int4_topk_batched(
+    queries: jax.Array,  # [Q, D] f32
+    q8: jax.Array,  # [C, D] int8 (the exact-rescore matrix)
+    row_norm: jax.Array,  # [C] f32 (|int8 row|) — zero rows gate via it
+    packed_t: jax.Array,  # [D/2, C] int8 (pack_int4_cols)
+    inv_n4: jax.Array,  # [C] f32
+    n_valid,  # int: prefix validity length (valid == arange < n)
+    k: int,
+    pool: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Batched packed-int4-prefilter cosine top-k: ONE packed scan
+    serves the whole query block (the [QB, D/2] MXU weight block costs
+    the same as a single row — the scan is HBM-bound), then per-query
+    partial-reduce selection + one batched exact rescore. Returns
+    ([Q, k] scores, [Q, k] idx) — exact int8 cosines of each query's
+    rescored pool, same contract as cosine_int4_topk per row.
+
+    PREFIX-VALIDITY ONLY (unfiltered serving): validity must be
+    `arange < n_valid`. Filtered batches stay on the exact GEMM path
+    (index/embedded.py knn_batch). Q pads to a multiple of 8 (the
+    sublane floor); padding rows cost nothing extra — the scan streams
+    the same bytes — and are sliced off before return."""
+    from . import pallas_int4, pallas_scan
+
+    c, d = q8.shape
+    nq = queries.shape[0]
+    qq = _quantize_query_rows(queries)  # [Q, D] i8
+    qf = qq.astype(jnp.float32)
+    nv = jnp.asarray(n_valid, jnp.int32)
+    if pool * 2 >= c:
+        # pool covers (most of) the catalog: the exhaustive exact GEMM
+        # is strictly cheaper than scan + near-full rescore
+        return cosine_topk_int8(
+            queries, q8, row_norm,
+            jnp.arange(c, dtype=jnp.int32) < nv, k,
+        )
+    dp = d // 2
+    rpt = pallas_int4.pick_rpt(c)
+    # chunk the weight block at 64 rows: [qb, rpt] i32 dots + [qb, rpt]
+    # f32 scores must fit VMEM beside the packed tile, and 64 rows
+    # already amortize the scan to ~1/64 of a query's bytes
+    chunks = []
+    for lo in range(0, nq, INT4_BATCH_QB):
+        blk = qq[lo:lo + INT4_BATCH_QB]
+        bn = blk.shape[0]
+        qb = -(-bn // pallas_int4.SUB) * pallas_int4.SUB
+        wh = jnp.zeros((qb, dp), jnp.int8).at[:bn].set(blk[:, :dp])
+        wl = jnp.zeros((qb, dp), jnp.int8).at[:bn].set(blk[:, dp:])
+        corrs = 8 * jnp.sum(wl.astype(jnp.int32), axis=1)  # [QB]
+        # bf16 scores: half the [QB, C] bounce bytes; the 0.4% relative
+        # rounding sits far inside the pool's 16x rank-error margin and
+        # the rescore is exact regardless
+        chunks.append(pallas_int4.int4_masked_scores_batched(
+            packed_t, wh, wl, corrs, inv_n4, rpt, nv,
+            out_dtype=jnp.bfloat16,
+        )[:bn])
+    s4 = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks)
+    tile_rows = pallas_scan.ROWS_PER_TILE * pallas_scan.LANES
+    n_cand = (c // tile_rows) * pallas_scan.LANES
+    if c % tile_rows == 0 and n_cand >= 2 * pool:
+        # per-(tile, lane) partial reduce, batched over Q; approx pool
+        # selection (a top_k at pool width measured ~5 ms of the
+        # pipeline at Q=32 — approx_max_k's ~5% boundary loss is free
+        # at the pool's rank margin)
+        vals, gidx = pallas_scan.scores_topk_fused_batched(
+            s4, pool, approx=True)
+    else:
+        vals, gidx = _exact_topk_rows(s4.astype(jnp.float32), pool)
+    slot_ok = vals.astype(jnp.float32) > NEG_INF
+    return _rescore_exact_batched(q8, gidx, slot_ok, qf, k)
+
+
 def int4_model_ms(cap: int, dim: int, pool: int) -> float:
     """Modeled p50 of the int4-prefilter pipeline at (cap, pool).
 
@@ -726,6 +876,52 @@ def int4_model_ms(cap: int, dim: int, pool: int) -> float:
     gather = pool * _cost_const("gather_ns") / 1e6
     rescore = pool * dim / (_cost_const("hbm_gbps") * 1e6)
     return stream + gather + rescore + _cost_const("int4_flat_ms")
+
+
+def exact_batch_model_ms(cap: int, dim: int, q: int) -> float:
+    """Modeled p50 of the exhaustive batched int8 GEMM path for q
+    queries: one [q, dim] x [dim, cap] MXU GEMM streams the catalog
+    once, then the [q, cap] f32 scores bounce through HBM (written by
+    the GEMM, read by the batched partial-reduce)."""
+    hbm = _cost_const("hbm_gbps") * 1e6
+    return (cap * dim + 8.0 * cap * q) / hbm + 1.0
+
+
+def int4_batch_model_ms(cap: int, dim: int, q: int, pool: int) -> float:
+    """Modeled p50 of the BATCHED int4-prefilter pipeline: one packed
+    scan (cap * dim/2 bytes) serves the whole padded query block, the
+    masked [qb, cap] bf16 scores bounce through HBM into the batched
+    partial-reduce, then each query gathers + rescores its own pool.
+    Constants honor the UCFP_COST_* recalibration contract
+    (UCFP_COST_INT4B_GBPS / UCFP_COST_INT4B_FLAT_MS); fitted
+    conservatively to the round-4 capture (measured 10.0-10.4 ms at
+    10M x 768 Q=32, modeled 10.5; the exact-GEMM model underestimates
+    its own measured 18-19 ms, which only raises int4's bar)."""
+    qb = -(-max(1, q) // 8) * 8
+    bw = _cost_const("int4b_gbps") * 1e6
+    # the packed scan re-streams the catalog once per 64-query chunk
+    stream = cap * (dim // 2) / bw * -(-qb // INT4_BATCH_QB)
+    bounce = 2 * 2.0 * cap * qb / bw  # [qb, C] bf16 written + read
+    gather = q * pool * _cost_const("gather_ns") / 1e6
+    rescore = q * pool * dim / (_cost_const("hbm_gbps") * 1e6)
+    return stream + bounce + gather + rescore + _cost_const("int4b_flat_ms")
+
+
+def int4_batch_beats_exact(cap: int, dim: int, q: int, pool: int) -> bool:
+    """Dispatch predicate for the batched int4 prefilter — the same
+    never-slower-than-exact contract as the single-query tiers, against
+    the batched exact GEMM model."""
+    import os
+
+    if not int4_supported(cap, dim):
+        return False
+    if os.environ.get("UCFP_SKETCH_COST_MODEL", "1") == "0":
+        return True
+    if pool * 2 >= cap:
+        return False
+    return int4_batch_model_ms(cap, dim, q, pool) < exact_batch_model_ms(
+        cap, dim, q
+    )
 
 
 def int4_beats_exact(cap: int, dim: int, pool: int,
@@ -776,6 +972,12 @@ _COST_DEFAULTS = {
     "hbm_gbps": 819.0,   # v5e HBM stream bandwidth
     "gather_ns": 13.0,   # per candidate row, data-dependent gather
     "select_us": 16.0,   # approx_max_k cost per per-segment quota unit
+    "int4b_gbps": 600.0,  # BATCHED int4 pipeline effective stream rate
+    #                       (fitted conservatively to the round-4 chip
+    #                       capture: 10.0-10.4 ms at 10M x 768 Q=32 —
+    #                       modeled 10.5 — so the dispatch never
+    #                       prefers int4 where exact might win)
+    "int4b_flat_ms": 1.5,  # batched selection + rescore composition
     "int4_gbps": 730.0,  # int4 FUSED pipeline effective stream rate
     #                      (masked-scores kernel + selection; fitted
     #                      conservatively to the fused capture pair

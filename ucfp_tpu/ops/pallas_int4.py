@@ -183,6 +183,85 @@ def int4_masked_scores(packed_t: jax.Array, wh: jax.Array, wl: jax.Array,
     return out.reshape(c)
 
 
+def _int4_batched_kernel(out_dtype, p_ref, wh_ref, wl_ref, corr_ref,
+                         inv_ref, sc_ref, out_ref):
+    """Batched fused prefilter scores: one packed-catalog scan serves
+    every query row in the weight block (M=8 and M=64 MXU weight rows
+    cost the same at these shapes — the scan is HBM-bound), emitting a
+    tight [QB, rpt] f32 block per tile. The batched analog of
+    _int4_scores_kernel: correction + inv-norm + prefix validity fuse
+    here so no [QB, C] i32 dots array ever hits HBM — only the masked
+    f32 scores, which feed scores_topk_fused_batched directly in the
+    layout it expects. corr rides VMEM as [QB, 1] (per-query vector
+    math; SMEM holds only the shared prefix scalar)."""
+    dots = _unpack_dots(p_ref, wh_ref, wl_ref)  # [QB, R] i32
+    n = sc_ref[0, 0]                  # catalog prefix length
+    rpt = dots.shape[1]
+    inv = inv_ref[:]                  # [1, R] f32 (0 for zero rows)
+    gidx = pl.program_id(0) * rpt + jax.lax.broadcasted_iota(
+        jnp.int32, (1, rpt), 1
+    )
+    ok = (gidx < n) & (inv > 0.0)     # [1, R] broadcasts over QB
+    sc = (dots - corr_ref[:]).astype(jnp.float32) * inv
+    out_ref[:] = jnp.where(ok, sc, -jnp.inf).astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(5, 7))
+def int4_masked_scores_batched(
+    packed_t: jax.Array,  # [D/2, C] int8
+    wh: jax.Array,  # [QB, D/2] int8 (row m = query m's high-half dims)
+    wl: jax.Array,  # [QB, D/2] int8 (low-half dims)
+    corrs: jax.Array,  # [QB] int32 (= 8 * sum(wl[m]))
+    inv_n4: jax.Array,  # [C] f32
+    rpt: int,
+    n_valid: jax.Array,  # scalar i32 prefix validity
+    out_dtype=jnp.float32,
+) -> jax.Array:
+    """Batched masked prefilter scores -> [QB, C] (-inf outside the
+    prefix / zero rows / padding query rows score garbage the caller
+    slices off). QB must be a sublane multiple (8); the scan streams the
+    packed catalog ONCE for the whole block.
+
+    out_dtype=bf16 halves the score bounce's HBM bytes (the [QB, C]
+    write + the selection's read — measured ~1.1 ms cheaper per stage
+    at 10M x 768, Q=32). bf16's 8-bit mantissa rounds scores ~0.4%
+    relative, well inside the int4 rank-error margin the rescore pool
+    absorbs; selection -inf masking is exact in any float dtype."""
+    dp, c = packed_t.shape
+    qb = wh.shape[0]
+    if c % rpt:
+        raise ValueError(f"int4_masked_scores_batched requires C % {rpt} == 0")
+    if qb % SUB or wh.shape != (qb, dp) or wl.shape != (qb, dp):
+        raise ValueError(
+            f"weights must be [8k, {dp}], got {wh.shape}/{wl.shape}"
+        )
+    grid = c // rpt
+    out = pl.pallas_call(
+        functools.partial(_int4_batched_kernel, out_dtype),
+        grid=(grid,),
+        interpret=jax.default_backend() == "cpu",
+        in_specs=[
+            pl.BlockSpec((dp, rpt), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qb, dp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qb, dp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qb, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rpt), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((qb, rpt), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((qb, c), out_dtype),
+    )(packed_t, wh, wl, corrs.astype(jnp.int32).reshape(qb, 1),
+      inv_n4[None, :], jnp.asarray(n_valid, jnp.int32).reshape(1, 1))
+    return out
+
+
 def pick_rpt(c: int) -> int:
     """Largest supported tile width dividing the capacity (capacities
     are powers of two, so this only falls through for tiny caches)."""

@@ -326,58 +326,205 @@ def scores_topk_fused(scores: jax.Array, k: int, largest: bool = True):
     return vals, flat_i[pos]
 
 
-def _scores_kernel_batched(largest: bool, s_ref, val_ref, idx_ref):
-    scores = s_ref[0]  # [R, 128] f32 (this query's tile)
-    best, row = _lane_argbest(scores, largest=largest)
+QSEL = 8  # query rows per batched-selection grid step
+
+
+def _qblock_argbest(scores3, largest: bool, base_row):
+    """[G, R, 128] -> (best [G, 128], global idx [G, 128]): the
+    per-lane argbest of _lane_argbest vectorized over a leading
+    query-block dim."""
+    g, r, l = scores3.shape
+    if largest:
+        best = jnp.max(scores3, axis=1)
+    else:
+        best = jnp.min(scores3, axis=1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (g, r, l), 1)
+    hit = scores3 == best[:, None, :]
+    first = jnp.min(jnp.where(hit, rows, jnp.int32(r)), axis=1)  # [G, L]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (g, l), 1)
+    return best, (base_row + first) * LANES + lanes
+
+
+def _scores_kernel_batched(qsel: int, largest: bool, s_ref, val_ref,
+                           idx_ref):
+    # [QSEL, R, 128]: one grid step reduces a whole query BLOCK's tile —
+    # per-query (1, R, 128) blocks measured ~8 ms of pure grid-step
+    # overhead at Q=32 over 10M rows (9760 steps x 128 KB); 8-query
+    # blocks cut the step count 8x and the same selection costs ~2 ms
+    scores = s_ref[:]
+    out_dtype = scores.dtype
+    if scores.dtype == jnp.bfloat16:
+        # VMEM-local upcast: Mosaic rejects the bf16 compare-broadcast
+        # in the argbest ("invalid relayout" on the 3D i1 mask); the
+        # HBM stream stays bf16 — only the in-register math widens
+        scores = scores.astype(jnp.float32)
     base_row = pl.program_id(1) * ROWS_PER_TILE
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-    gidx = (base_row + row) * LANES + lanes
-    fill = -jnp.inf if largest else jnp.inf
-    val_ref[0, 0, 0:1, :] = best
-    val_ref[0, 0, 1:SUB, :] = jnp.full((SUB - 1, LANES), fill, jnp.float32)
-    idx_ref[0, 0, 0:1, :] = gidx
-    idx_ref[0, 0, 1:SUB, :] = jnp.zeros((SUB - 1, LANES), jnp.int32)
+    best, gidx = _qblock_argbest(scores, largest, base_row)
+    val_ref[0, 0] = best.astype(out_dtype)
+    idx_ref[0, 0] = gidx
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def scores_topk_fused_batched(scores: jax.Array, k: int, largest: bool = True):
+def _dots_norm_kernel_batched(d_ref, rn_ref, n_ref, q_ref, val_ref,
+                              idx_ref):
+    """Batched twin of _dots_norm_kernel: [QSEL, R, 128] i32 GEMM dots
+    + shared row norms + prefix validity + per-query 1/|q| -> per-lane
+    argbest, one query block per grid step (no [Q, C] f32 normalize
+    pass ever hits HBM)."""
+    dots = d_ref[:].astype(jnp.float32)   # [QSEL, R, 128]
+    rn = rn_ref[:]                        # [R, 128] shared across queries
+    n = n_ref[0, 0]                       # prefix validity length (i32)
+    inv_q = q_ref[:][:, 0]                # [QSEL] f32 per-query 1/|q|
+    g, r, l = dots.shape
+    base_row = pl.program_id(1) * ROWS_PER_TILE
+    rows = base_row + jax.lax.broadcasted_iota(jnp.int32, (r, l), 0)
+    lanes2 = jax.lax.broadcasted_iota(jnp.int32, (r, l), 1)
+    ok = ((rows * LANES + lanes2) < n) & (rn > 0.0)  # [R, L]
+    scores = jnp.where(
+        ok[None], dots / jnp.maximum(rn, 1e-9)[None]
+        * inv_q[:, None, None], -jnp.inf,
+    )
+    best, gidx = _qblock_argbest(scores, True, base_row)
+    val_ref[0, 0] = best
+    idx_ref[0, 0] = gidx
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def dots_norm_topk_fused_batched(dots: jax.Array, row_norm: jax.Array,
+                                 n_valid: jax.Array, inv_qnorm: jax.Array,
+                                 k: int):
+    """Batched partial-reduce cosine top-k straight off the MXU GEMM
+    output: dots [Q, C] i32, row_norm [C] f32, n_valid scalar i32
+    (prefix validity), inv_qnorm [Q] f32 -> ([Q, k] f32, [Q, k] i32).
+    Replaces the separate [Q, C] f32 convert/mask/divide XLA pass +
+    scores_topk_fused_batched launch (a 2x [Q, C] HBM bounce at 10M)
+    with one streaming pass; same candidate semantics. Zero-norm rows
+    self-mask; padded query rows are sliced off before the final
+    top-k."""
+    q, c = dots.shape
+    if c % (ROWS_PER_TILE * LANES):
+        raise ValueError(
+            f"dots_norm_topk_fused_batched requires C % "
+            f"{ROWS_PER_TILE * LANES} == 0, got {c}"
+        )
+    qsel = QSEL if q >= QSEL else q
+    qpad = -(-q // qsel) * qsel
+    d3 = dots if qpad == q else jnp.concatenate(
+        [dots, jnp.zeros((qpad - q, c), dots.dtype)]
+    )
+    iq = inv_qnorm.astype(jnp.float32)
+    if qpad != q:
+        iq = jnp.concatenate([iq, jnp.zeros((qpad - q,), jnp.float32)])
+    r_total = c // LANES
+    grid_t = r_total // ROWS_PER_TILE
+    d3 = d3.reshape(qpad, r_total, LANES)
+    rn2 = row_norm.reshape(r_total, LANES)
+    n_s = jnp.asarray(n_valid, jnp.int32).reshape(1, 1)
+    val_t, idx_t = pl.pallas_call(
+        _dots_norm_kernel_batched,
+        grid=(qpad // qsel, grid_t),
+        interpret=jax.default_backend() == "cpu",
+        in_specs=[
+            pl.BlockSpec((qsel, ROWS_PER_TILE, LANES),
+                         lambda qi, i: (qi, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROWS_PER_TILE, LANES), lambda qi, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda qi, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((qsel, 1), lambda qi, i: (qi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, qsel, LANES), lambda qi, i: (qi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, qsel, LANES), lambda qi, i: (qi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((qpad // qsel, grid_t, qsel, LANES),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((qpad // qsel, grid_t, qsel, LANES),
+                                 jnp.int32),
+        ],
+    )(d3, rn2, n_s, iq.reshape(qpad, 1))
+    flat_v = jnp.moveaxis(val_t, 2, 1).reshape(qpad, -1)[:q]
+    flat_i = jnp.moveaxis(idx_t, 2, 1).reshape(qpad, -1)[:q]
+    vals, pos = jax.lax.top_k(flat_v, k)
+    return vals, jnp.take_along_axis(flat_i, pos, axis=1)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def scores_topk_fused_batched(scores: jax.Array, k: int,
+                              largest: bool = True,
+                              approx: bool = False):
     """Batched partial-reduce top-k: scores [Q, C] -> ([Q, k], [Q, k]).
 
-    One pallas launch over a (Q, tiles) grid — the batched companion of
-    scores_topk_fused for multi-query serving (knn_batch): all queries'
-    candidates reduce in one kernel instead of Q separate launches.
-    """
+    One pallas launch over a (Q/QSEL, tiles) grid — the batched
+    companion of scores_topk_fused for multi-query serving (knn_batch):
+    all queries' candidates reduce in one kernel instead of Q separate
+    launches, QSEL query rows per grid step. Q pads to the block height
+    with -inf rows (skipped when Q < QSEL: the block height drops to Q
+    instead, so single-query callers pay no padding traffic).
+
+    Accepts bf16 scores (returned values keep the input dtype; prefilter
+    callers only use them for -inf slot masking before an exact
+    rescore). approx=True selects the final k per query with
+    lax.approx_max_k instead of top_k — the large-k pool selection of
+    the batched int4 prefilter measured ~5 ms of pure top_k at
+    (Q=32, 39k candidates, k=640) where approx_max_k at its default
+    0.95 recall target costs a fraction; only valid with largest=True,
+    and callers must tolerate ~5% pool-boundary loss (the int4 rescore
+    pool carries a 16x rank-error margin)."""
     q, c = scores.shape
+    if approx and not largest:
+        raise ValueError("approx selection supports largest=True only")
     if c % (ROWS_PER_TILE * LANES):
         raise ValueError(
             f"scores_topk_fused_batched requires C % {ROWS_PER_TILE * LANES}"
             f" == 0, got {c}"
         )
+    qsel = QSEL if q >= QSEL else q
+    qpad = -(-q // qsel) * qsel
+    fill = -jnp.inf if largest else jnp.inf
+    s3 = scores if qpad == q else jnp.concatenate(
+        [scores, jnp.full((qpad - q, c), fill, scores.dtype)]
+    )
     r_total = c // LANES
     grid_t = r_total // ROWS_PER_TILE
-    s3 = scores.reshape(q, r_total, LANES)
+    s3 = s3.reshape(qpad, r_total, LANES)
     val_t, idx_t = pl.pallas_call(
-        functools.partial(_scores_kernel_batched, largest),
-        grid=(q, grid_t),
+        functools.partial(_scores_kernel_batched, qsel, largest),
+        grid=(qpad // qsel, grid_t),
         interpret=jax.default_backend() == "cpu",
         in_specs=[
-            pl.BlockSpec((1, ROWS_PER_TILE, LANES), lambda qi, i: (qi, i, 0),
+            pl.BlockSpec((qsel, ROWS_PER_TILE, LANES),
+                         lambda qi, i: (qi, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, SUB, LANES), lambda qi, i: (qi, i, 0, 0),
+            # block (1, 1, qsel, LANES): the last two dims equal the
+            # array's, satisfying the Mosaic sublane-divisibility rule
+            # (a [qpad, grid_t, LANES] layout with (qsel, 1, LANES)
+            # blocks fails it — same constraint as int4_masked_scores)
+            pl.BlockSpec((1, 1, qsel, LANES), lambda qi, i: (qi, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, SUB, LANES), lambda qi, i: (qi, i, 0, 0),
+            pl.BlockSpec((1, 1, qsel, LANES), lambda qi, i: (qi, i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((q, grid_t, SUB, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((q, grid_t, SUB, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((qpad // qsel, grid_t, qsel, LANES),
+                                 scores.dtype),
+            jax.ShapeDtypeStruct((qpad // qsel, grid_t, qsel, LANES),
+                                 jnp.int32),
         ],
     )(s3)
-    flat_v = val_t[:, :, 0, :].reshape(q, -1)
-    flat_i = idx_t[:, :, 0, :].reshape(q, -1)
-    if largest:
+    # [G, T, qsel, L] -> per-query rows [qpad, T*L]
+    flat_v = jnp.moveaxis(val_t, 2, 1).reshape(qpad, -1)[:q]
+    flat_i = jnp.moveaxis(idx_t, 2, 1).reshape(qpad, -1)[:q]
+    if approx:
+        vals, pos = jax.lax.approx_max_k(flat_v.astype(jnp.float32), k)
+        vals = vals.astype(scores.dtype)
+    elif largest:
         vals, pos = jax.lax.top_k(flat_v, k)
     else:
         neg, pos = jax.lax.top_k(-flat_v, k)

@@ -257,13 +257,13 @@ def sharded_cosine_sketch_topk(query, planes, db8, row_norm, sketch, valid,
     overhead does not. Round-4 shard-scale measurement (BENCH_r04): one
     chip serves a 10M/8 = 1.25M-row shard in 1.0-1.2 ms (exact shard
     scan 1.6-2.0 ms), + ~0.1 ms modeled k-row all-gather merge → a
-    v5e-8 derives to ~1.1-1.3 ms at recall >= 0.9 (~1.7-2.0 ms exact)
+    v5e-8 derives to ~1.1-1.4 ms at recall >= 0.9 (~1.6-2.1 ms exact)
     for the BASELINE 10M x 768 shape. The sketch pipeline's gather +
     composition overhead keeps it ABOVE sub-ms at 8 chips; the leaner
-    packed-int4 path below (0.69-0.72 ms/shard measured, ~0.8 ms derived
-    v5e-8 at measured-recall ~1.0) is the sharded tier that reaches the
-    sub-ms @10M single-query target. Returns ([k] scores, [k] global
-    idx)."""
+    packed-int4 path below (0.69-1.05 ms/shard across captures,
+    0.8-1.15 ms derived v5e-8 at measured-recall ~1.0) is the sharded
+    tier closest to the sub-ms @10M single-query target. Returns
+    ([k] scores, [k] global idx)."""
     return _sharded_cosine_sketch_impl(query, planes, db8, row_norm, sketch,
                                        valid, k, cand, mesh, tuple(axes))
 
@@ -330,15 +330,67 @@ def sharded_cosine_int4_topk(query, db8, row_norm, packed_t, inv_n4,
     _put_packed). Each chip streams half its int8 shard bytes, rescores
     its own fixed pool exactly, then the standard two-stage top-k
     merge. Round-4 shard-scale measurement (BENCH_r04): one chip serves
-    a 10M/8 = 1,245,184-row shard in 0.69-0.72 ms across fused
-    captures (query_sharded_per_shard_int4_p50_ms), + ~0.1 ms modeled
-    merge → v5e-8 derives to ~0.8 ms at measured-recall ~1.0 — the
-    BASELINE
-    sub-ms @10M single-query target as shard-scale arithmetic.
-    Returns ([k] scores, [k] global idx)."""
+    a 10M/8 = 1,245,184-row shard in 0.69-1.05 ms across fused
+    captures (query_sharded_per_shard_int4_p50_ms — dispatch overhead
+    dominates the spread at ~1 ms scale), + ~0.1 ms modeled merge →
+    v5e-8 derives to 0.8-1.15 ms at measured-recall ~1.0: sub-ms in
+    the faster captures, at the edge of the BASELINE sub-ms @10M
+    single-query target overall. Returns ([k] scores, [k] global
+    idx)."""
     return _sharded_cosine_int4_impl(query, db8, row_norm, packed_t,
                                      inv_n4, valid, k, mesh, tuple(axes),
                                      n_valid)
+
+
+@functools.partial(jax.jit, static_argnums=(6, 7, 8))
+def _sharded_cosine_int4_batch_impl(query, db8, row_norm, packed_t,
+                                    inv_n4, n_valid, k: int, mesh: Mesh,
+                                    axes: tuple = (AXIS,)):
+    from ..ops import knn as knn_ops
+
+    def local(q, m, rn, pk, inv, nv):
+        # each shard runs ONE packed scan for the whole query block +
+        # per-query exact rescore of its own (batch-sized) pool. The
+        # global prefix maps to a per-shard prefix exactly as in the
+        # single-query impl (rows are contiguous blocks).
+        k_local = min(k, m.shape[0])
+        pool_local = knn_ops.int4_batch_pool(m.shape[0], k)
+        n_local = jnp.clip(
+            nv - _flat_shard_index(axes) * m.shape[0], 0, m.shape[0]
+        ).astype(jnp.int32)
+        vals, idx = knn_ops.cosine_int4_topk_batched(
+            q, m, rn, pk, inv, n_local, k_local, pool_local
+        )
+        gidx = idx + _flat_shard_index(axes) * m.shape[0]
+        for ax in reversed(axes):
+            vals, gidx = _merge_axis(vals, gidx, ax, k)
+        return vals, gidx
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axes, None), P(axes), P(None, axes), P(axes),
+                  P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(query, db8, row_norm, packed_t, inv_n4,
+      jnp.asarray(n_valid, jnp.int32))
+
+
+def sharded_cosine_int4_batch_topk(query, db8, row_norm, packed_t,
+                                   inv_n4, n_valid, k: int, mesh: Mesh,
+                                   axes: tuple = (AXIS,)):
+    """Batched sharded packed-int4 prefilter: query [Q, D] f32
+    replicated, db8 row-sharded, packed_t column-sharded (as in
+    sharded_cosine_int4_topk). PREFIX-VALIDITY ONLY (unfiltered
+    serving): validity must be `arange < n_valid` globally — filtered
+    batches ride the exact sharded GEMM. Each chip streams HALF its
+    int8 shard bytes once for the whole block; the standard two-stage
+    merge crosses k candidates per shard. Returns ([Q, k] scores,
+    [Q, k] global idx)."""
+    return _sharded_cosine_int4_batch_impl(query, db8, row_norm, packed_t,
+                                           inv_n4, n_valid, k, mesh,
+                                           tuple(axes))
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5, 6))

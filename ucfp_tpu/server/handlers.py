@@ -583,7 +583,8 @@ class Handlers:
                 ]
             }
             if vectors and self.index.knn_is_approximate(
-                tenant_id, len(vectors[0]), k, batch=True, exact=exact
+                tenant_id, len(vectors[0]), k, batch=True, exact=exact,
+                batch_q=len(vectors), filtered=flt is not None,
             ):
                 # fused partial-reduce candidate semantics (near-exact
                 # for k <= 16) — marked, never silent

@@ -111,6 +111,16 @@ def _work() -> None:
                         jnp.asarray(rn4), packed_t, inv_n4, v4, k,
                         knn_ops.int4_pool(c4, k),
                     )
+                    # batched packed scan (unfiltered vector batches):
+                    # the pallas kernel compiles per 8-row weight
+                    # bucket — warming one small batch covers the
+                    # qb=8 bucket; other batch sizes trace the outer
+                    # jit on demand exactly like the exact GEMM path
+                    knn_ops.cosine_int4_topk_batched(
+                        jnp.asarray(m4[:2]), jnp.asarray(q84),
+                        jnp.asarray(rn4), packed_t, inv_n4, 16, k,
+                        knn_ops.int4_batch_pool(c4, k),
+                    )
                 if quant == "sketch":
                     planes = jnp.asarray(knn_ops.sketch_planes(d))
                     sk = knn_ops.tile_sketch(
