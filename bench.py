@@ -491,8 +491,10 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
         return jnp.sum(out.astype(jnp.int32))
 
     def t_batch():
+        # full `iters`: at ~10-20 ms/iter a 4-iteration loop's
+        # calibration delta is only ~2x the tunnel jitter
         return _timed(lambda it: int(loop_batch(q_batch, m8, rn, it)),
-                      max(iters // 2, 2)) * 1000.0
+                      iters) * 1000.0
 
     # -- sketch prefilter path (UCFP_KNN_QUANT=sketch) -----------------
     # 768-bit SimHash per row (lane-tiled pallas scan), ASYMMETRIC
@@ -560,9 +562,10 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
         out = jax.lax.fori_loop(0, it, body, q)
         return jnp.sum(out)
 
-    def t_int4(m=None, rnv=None, pk=None, inv=None, nv=None, pool=None):
+    def t_int4(m=None, rnv=None, pk=None, inv=None, nv=None, pool=None,
+               it=None):
         return _timed(
-            lambda it: float(
+            lambda nit: float(
                 loop_int4(
                     qf,
                     m if m is not None else m8,
@@ -570,11 +573,11 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
                     pk if pk is not None else packed_t,
                     inv if inv is not None else inv_n4,
                     nv if nv is not None else jnp.int32(n),
-                    it,
+                    nit,
                     pool if pool is not None else pool_i4,
                 )
             ),
-            iters,
+            it if it is not None else iters,
         ) * 1000.0
 
     # batched int4: one packed scan serves the whole 32-query block
@@ -599,7 +602,7 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
     def t_i4_batch():
         return _timed(
             lambda it: float(loop_i4_batch(qbf, m8, rn, packed_t, inv_n4, it)),
-            max(iters // 2, 2),
+            iters,
         ) * 1000.0
 
     def t_exact():
@@ -717,19 +720,28 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
         sk_s = sketch[: shard_n // knn_ops.SKETCH_LANES]
         vd_s = jnp.ones(shard_n, bool)
         cand_s = knn_ops.sketch_pool(shard_n, k)
+        # 8x the iterations of the full-catalog loops: per-shard
+        # pipelines run ~0.3-1.5 ms/iter, so an 8-iteration loop's
+        # (t(N)-t(1)) delta is the same order as tunnel dispatch jitter
+        # and the calibration can print physically impossible numbers
+        # (a rehearsal once captured 0.28 ms for a 0.48 GB stream =
+        # 1.7 TB/s > HBM peak). 64 iters puts ~20-90 ms of device time
+        # in the loop — an order of magnitude above the jitter.
+        iters_shard = iters * 8
         shard_exact_ms = _timed(
-            lambda it: int(loop_single(q_single, m8_s, rn_s, it)), iters
+            lambda it: int(loop_single(q_single, m8_s, rn_s, it)),
+            iters_shard,
         ) * 1000.0
         shard_sketch_ms = _timed(
             lambda it: float(
                 loop_sketch(qf, planes, m8_s, rn_s, sk_s, vd_s, it, cand_s)
             ),
-            iters,
+            iters_shard,
         ) * 1000.0
         shard_int4_ms = t_int4(
             m=m8_s, rnv=rn_s, pk=packed_t[:, :shard_n],
             inv=inv_n4[:shard_n], nv=jnp.int32(shard_n),
-            pool=knn_ops.int4_pool(shard_n, k),
+            pool=knn_ops.int4_pool(shard_n, k), it=iters_shard,
         )
     else:  # catalog too small to slice a tile-aligned shard (smoke runs)
         shard_exact_ms = shard_sketch_ms = shard_int4_ms = float("nan")

@@ -278,7 +278,11 @@ class TestPipeline:
         margin absorbs bf16 rounding and the ~5% approx boundary
         loss)."""
         rng = np.random.default_rng(24)
-        c, d, k, nq = 32768, 16, 5, 4  # c % (256*128) == 0: fused path
+        # c large enough that n_cand = (c // 32768) * 128 >= 2 * pool
+        # (pool = 640 -> c >= 327680): anything smaller silently falls
+        # back to _exact_topk_rows and the production approx+bf16
+        # selection branch goes untested
+        c, d, k, nq = 524288, 16, 5, 4
         rows = _rows(rng, c, d)
         q8, norm = _quant8(rows)
         packed_t, inv_n4 = knn_ops.pack_int4_cols(q8)
@@ -314,6 +318,30 @@ class TestPipeline:
         assert np.isneginf(sb[:nq]).sum() == 0  # full prefix: all finite
         np.testing.assert_array_equal(
             sb[:nq], sf[:nq].astype(jnp.bfloat16))
+
+    def test_batched_chunking_over_64_queries(self):
+        """Query blocks above INT4_BATCH_QB split into multiple packed
+        scans; results must be identical per row across the chunk
+        boundary (row 63 vs 64) and match the exact ranking."""
+        rng = np.random.default_rng(25)
+        c, d, k, nq = 2048, 32, 5, 70
+        rows = _rows(rng, c, d)
+        q8, norm = _quant8(rows)
+        packed_t, inv_n4 = knn_ops.pack_int4_cols(q8)
+        qm = _rows(rng, nq, d)
+        qm[63] = rows[100] + 0.02 * rng.normal(size=d).astype(np.float32)
+        qm[64] = rows[200] + 0.02 * rng.normal(size=d).astype(np.float32)
+        s, i = knn_ops.cosine_int4_topk_batched(
+            jnp.asarray(qm), q8, norm, packed_t, inv_n4, c, k, 256
+        )
+        s_ref, i_ref = knn_ops.cosine_topk_int8(
+            jnp.asarray(qm), q8, norm, jnp.ones((c,), bool), k
+        )
+        assert int(np.asarray(i)[63, 0]) == 100
+        assert int(np.asarray(i)[64, 0]) == 200
+        for m in range(nq):
+            assert set(np.asarray(i)[m].tolist()) == \
+                set(np.asarray(i_ref)[m].tolist()), f"row {m}"
 
     def test_batched_exhaustive_fallback(self):
         """pool*2 >= capacity: the batched path degrades to the exact

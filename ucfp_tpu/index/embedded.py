@@ -1364,15 +1364,19 @@ class EmbeddedBackend(IndexBackend):
                 # capacity, and capacity <= 2n makes pool >= n
                 # impossible below that line
                 return knn_ops.sketch_pool(cap, k, pool_frac) * 2 < cap
+        # mirror knn_batch's dispatch exactly: it gates on
+        # kk = min(k, n), not the raw request k — after deletes shrink
+        # n below k the two can straddle the cost-model boundary
+        kk_b = min(k, cache.n)
         if self._int4_on() and batch and not filtered \
                 and self._int4_batch_worth_it(
-                    cache.data.shape[0], dim, k, batch_q):
+                    cache.data.shape[0], dim, kk_b, batch_q):
             # mirrors knn_batch's packed-scan branch PER SHARD: each
             # shard keeps its own batch pool and rescores its whole
             # shard exactly when the pool covers it
             cap = cache.data.shape[0]
             cap_l = max(1, cap // self._n_shards())
-            return knn_ops.int4_batch_pool(cap_l, k) * 2 < cap_l
+            return knn_ops.int4_batch_pool(cap_l, kk_b) * 2 < cap_l
         if self._int4_on() and not batch:
             cap = cache.data.shape[0]
             if self._int4_worth_it(cap, dim, k):
@@ -1688,9 +1692,10 @@ class EmbeddedBackend(IndexBackend):
                 if not exact and self._fused_pool_ok(q8m.shape[0], n_snap, kk):
                     # the measured sub-ms path: one MXU GEMM over all
                     # queries + one 2D-grid pallas partial-reduce
-                    qa = jnp.max(jnp.abs(jnp.asarray(qm)), axis=1, keepdims=True)
-                    qs = jnp.where(qa == 0.0, 1.0, qa / 127.0)
-                    qq = jnp.clip(jnp.round(qm / qs), -127, 127).astype(jnp.int8)
+                    # the one shared quantization rule — the int4 batch
+                    # tier's exactness-vs-int8 contract depends on both
+                    # paths quantizing identically
+                    qq = knn_ops._quantize_query_rows(jnp.asarray(qm))
                     dots = jax.lax.dot_general(
                         qq, q8m, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.int32,

@@ -552,12 +552,13 @@ def cosine_sketch_topk(
 # selection cell — P <= rank/(C/256/128 cells) ~ 0.04% per item at 10M.
 #
 # Measured at 10M x 768 on one v5e (BENCH_r04 fused captures, 3
-# spread runs, 104-query recall CI): medians 5.27-5.52 ms in
-# [5.2, 6.1] at recall@10 1.000±0.000 vs the 10.3-10.7 ms exact int8
+# spread runs, 104-query recall CI): medians 5.1-5.5 ms in
+# [4.6, 6.1] at recall@10 1.000±0.000 vs the 10.3-10.7 ms exact int8
 # scan — ~2x faster at measured-perfect recall. Per-shard at
-# 10M/8 = 1.25M rows: 0.69-1.05 ms across captures -> derived v5e-8
-# 0.8-1.15 ms incl. the modeled 0.1 ms merge (sub-ms in the faster
-# captures; dispatch overhead dominates the spread at ~1 ms scale).
+# 10M/8 = 1.25M rows: 0.69-0.72 ms (64-iter device-loop calibration;
+# shorter loops at this scale are tunnel-jitter-dominated) -> derived
+# v5e-8 ~0.8 ms incl. the modeled 0.1 ms merge (sub-ms @10M single
+# query as shard-scale arithmetic).
 #
 # BATCHED (cosine_int4_topk_batched, knn_batch serving): one packed
 # scan serves a whole query block (the [QB, D/2] MXU weight rows are
@@ -565,8 +566,9 @@ def cosine_sketch_topk(
 # the f32 bytes), selection rides the 8-query-block partial-reduce +
 # approx_max_k pool pick (a pool-width top_k measured ~5 ms of pure
 # selection at Q=32), and each query's pool rescores exactly.
-# Measured at 10M x 768 Q=32: 10.0-14.9 ms total = 0.31-0.47 ms/query
-# at recall@10 1.0 vs the exact batched GEMM's 18.2-18.5 ms — the
+# Measured at 10M x 768 Q=32: 0.28-0.35 ms/query at recall@10
+# 1.000±0.000 across captures (the tight 64-iter capture:
+# 0.318-0.319) vs the exact batched GEMM's 0.52-0.62 ms/query — the
 # fastest measured serving configuration at the BASELINE shape.
 
 INT4_MIN_POOL = 2048
