@@ -28,6 +28,28 @@ class TestHammingFused:
                     & set(np.asarray(ref_i[0]).tolist()))
         assert inter >= k - 1  # per-lane collisions are rare
 
+    def test_batched_padding_regimes(self):
+        """The 8-query-block batched Hamming scan across every q
+        regime (q < QSEL, q == QSEL, q % QSEL != 0): per-row results
+        must match the exact XLA kernel's top-1 and mask invalid
+        rows."""
+        rng = np.random.default_rng(3)
+        c, w, k = TILE, 2, 4
+        db = rng.integers(0, 2**32, size=(c, w), dtype=np.uint32)
+        valid = np.ones(c, bool)
+        valid[c // 2:] = False
+        for q in (1, 3, 8, 11):
+            planted = [rng.integers(0, c // 2) for _ in range(q)]
+            qs = np.stack([db[p] for p in planted])
+            d, i = pallas_scan.hamming_topk_fused_batched(
+                qs, db, valid, k)
+            assert d.shape == (q, k)
+            for row in range(q):
+                assert int(np.asarray(d)[row, 0]) == 0
+                assert int(np.asarray(i)[row, 0]) == planted[row]
+                # nothing from the invalid half ever surfaces
+                assert all(int(x) < c // 2 for x in np.asarray(i)[row])
+
     def test_single_tile(self):
         rng = np.random.default_rng(1)
         c, w = TILE, 2

@@ -506,6 +506,31 @@ class TestRecordsAndQuery:
         assert body["hits"][0]["record_id"] == 1
         assert body["hits"][0]["score"] == pytest.approx(1.0)
 
+    def test_hash_query_accepts_friendly_alias(self, tmp_path):
+        """The ingest routes take ?algorithm=phash, so the fingerprint
+        query paths must canonicalize the same friendly ids — the store
+        keys its Hamming caches on the canonical tag, and an unmapped
+        alias silently returned zero hits."""
+        app, _ = make_app(tmp_path)
+        png = synthetic_png(64, 64)
+        b1 = jbody(call(app, "POST", "/v1/ingest/image/0/1", png,
+                        query="algorithm=phash"))
+        # single
+        body = jbody(call(app, "POST", "/v1/query",
+                          json.dumps({"tenant_id": 0, "modality": "image",
+                                      "k": 3,
+                                      "fingerprint_hex": b1["fingerprint_hex"],
+                                      "algorithm": "phash"}).encode()))
+        assert body["hits"][0]["record_id"] == 1
+        # batched
+        body = jbody(call(app, "POST", "/v1/query",
+                          json.dumps({"tenant_id": 0, "modality": "image",
+                                      "k": 3,
+                                      "fingerprints_hex":
+                                          [b1["fingerprint_hex"]],
+                                      "algorithm": "phash"}).encode()))
+        assert body["results"][0]["hits"][0]["record_id"] == 1
+
 
 class TestInputsCacheRoutes:
     def test_put_ingest_delete(self, tmp_path):

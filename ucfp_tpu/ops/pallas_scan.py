@@ -127,35 +127,46 @@ def hamming_topk_fused(query: jax.Array, db: jax.Array, k: int):
     return -neg, flat_i[pos]
 
 
-def _hamming_kernel_batched(q_ref, db_ref, v_ref, dist_ref, idx_ref):
-    tile = db_ref[:]  # [R, W, 128] int32 (shared across queries)
-    q = q_ref[0]  # [1, W, 1] — this grid row's query
-    x = jax.lax.bitwise_xor(tile, q)
-    d = jnp.sum(jax.lax.population_count(x), axis=1)  # [R, 128]
-    d = jnp.where(v_ref[:] != 0, d, jnp.int32(2**30))
-    best, row = _lane_argbest(d, largest=False)
-    base_row = pl.program_id(1) * ROWS_PER_TILE
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-    gidx = (base_row + row) * LANES + lanes
-    dist_ref[0, 0, 0:1, :] = best
-    dist_ref[0, 0, 1:SUB, :] = jnp.full((SUB - 1, LANES), 2**31 - 1, jnp.int32)
-    idx_ref[0, 0, 0:1, :] = gidx
-    idx_ref[0, 0, 1:SUB, :] = jnp.zeros((SUB - 1, LANES), jnp.int32)
+def _hamming_kernel_batched(qsel: int, rt: int, q_ref, db_ref, v_ref,
+                            dist_ref, idx_ref):
+    # [qsel, W] queries vs a shared [R, W, 128] tile: one grid step
+    # serves a whole query BLOCK, so the catalog tile is fetched once
+    # per qsel queries instead of once per query, and the step count
+    # drops qsel-fold (per-query (1, ...) blocks pay the same grid-step
+    # overhead class the scores kernel measured at ~8 ms for Q=32 over
+    # 10M rows). The per-word Python loop keeps every op on 3D arrays.
+    r = db_ref.shape[0]
+    d = jnp.zeros((qsel, r, LANES), jnp.int32)
+    for wi in range(db_ref.shape[1]):
+        # static per-word REF slices: integer-indexing a traced 3D
+        # value mid-axis lowers to a gather, which Mosaic rejects
+        # ("Only 2D gather is supported"); ref slicing stays a load
+        tw = db_ref[:, wi, :]          # [R, 128] int32
+        qw = q_ref[:, wi:wi + 1]       # [qsel, 1] int32
+        x = jax.lax.bitwise_xor(tw[None], qw[:, :, None])  # [qsel, R, 128]
+        d = d + jax.lax.population_count(x)
+    d = jnp.where(v_ref[:][None] != 0, d, jnp.int32(2**30))
+    base_row = pl.program_id(1) * rt
+    best, gidx = _qblock_argbest(d, False, base_row)
+    dist_ref[0, 0] = best
+    idx_ref[0, 0] = gidx
 
 
 @functools.partial(jax.jit, static_argnums=(3,))
 def hamming_topk_fused_batched(
     queries: jax.Array,  # [Q, W] uint32
-    db: jax.Array,  # [C, W] uint32, C % (ROWS_PER_TILE*128) == 0
+    db: jax.Array,  # [C, W] uint32, C % (ROWS_PER_TILE*LANES) == 0
     valid: jax.Array,  # [C] bool (padding rows masked inside the kernel)
     k: int,
 ):
     """Batched masked fused Hamming scan: one pallas launch over a
-    (Q, tiles) grid streams the packed catalog once for the whole batch
-    and never materializes [Q, C, W] (the serving-path requirement —
-    VERDICT: 256 queries x 10M rows x W words would be tens of GB).
-    Same per-(tile, lane) partial-reduce candidate semantics as
-    hamming_topk_fused. Returns ([Q, k] dist, [Q, k] idx), smallest first.
+    (Q/QSEL, tiles) grid streams the packed catalog once per QSEL-query
+    block and never materializes [Q, C, W] (the serving-path
+    requirement — 256 queries x 10M rows x W words would be tens of
+    GB). Same per-(tile, lane) partial-reduce candidate semantics as
+    hamming_topk_fused. Q pads to the block height with all-ones
+    queries (sliced off; Q < QSEL drops the block height instead).
+    Returns ([Q, k] dist, [Q, k] idx), smallest first.
     """
     c, w = db.shape
     qn = queries.shape[0]
@@ -164,39 +175,51 @@ def hamming_topk_fused_batched(
             f"hamming_topk_fused_batched requires C % {ROWS_PER_TILE * LANES}"
             f" == 0, got {c}"
         )
+    qsel = QSEL if qn >= QSEL else qn
+    qpad = -(-qn // qsel) * qsel
+    q2 = queries.astype(jnp.int32)
+    if qpad != qn:
+        q2 = jnp.concatenate(
+            [q2, jnp.zeros((qpad - qn, w), jnp.int32)]
+        )
     r_total = c // LANES
-    grid_t = r_total // ROWS_PER_TILE
+    # half the single-query tile height: the query-block dimension
+    # multiplies every [qsel, R, 128] intermediate, and 256-row tiles
+    # measured 80 KB past the 16 MB scoped-vmem limit at W=2
+    rt = ROWS_PER_TILE // 2
+    grid_t = r_total // rt
     db3 = db.astype(jnp.int32).reshape(r_total, LANES, w).swapaxes(1, 2)
     v2 = valid.astype(jnp.int32).reshape(r_total, LANES)
-    q3 = queries.astype(jnp.int32).reshape(qn, 1, w, 1)
     dist_t, idx_t = pl.pallas_call(
-        _hamming_kernel_batched,
-        grid=(qn, grid_t),
+        functools.partial(_hamming_kernel_batched, qsel, rt),
+        grid=(qpad // qsel, grid_t),
         interpret=jax.default_backend() == "cpu",
         in_specs=[
-            pl.BlockSpec((1, 1, w, 1), lambda qi, i: (qi, 0, 0, 0),
+            pl.BlockSpec((qsel, w), lambda qi, i: (qi, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (ROWS_PER_TILE, w, LANES),
+                (rt, w, LANES),
                 lambda qi, i: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((ROWS_PER_TILE, LANES), lambda qi, i: (i, 0),
+            pl.BlockSpec((rt, LANES), lambda qi, i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, SUB, LANES), lambda qi, i: (qi, i, 0, 0),
+            pl.BlockSpec((1, 1, qsel, LANES), lambda qi, i: (qi, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, SUB, LANES), lambda qi, i: (qi, i, 0, 0),
+            pl.BlockSpec((1, 1, qsel, LANES), lambda qi, i: (qi, i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((qn, grid_t, SUB, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((qn, grid_t, SUB, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((qpad // qsel, grid_t, qsel, LANES),
+                                 jnp.int32),
+            jax.ShapeDtypeStruct((qpad // qsel, grid_t, qsel, LANES),
+                                 jnp.int32),
         ],
-    )(q3, db3, v2)
-    flat_d = dist_t[:, :, 0, :].reshape(qn, -1)
-    flat_i = idx_t[:, :, 0, :].reshape(qn, -1)
+    )(q2, db3, v2)
+    flat_d = jnp.moveaxis(dist_t, 2, 1).reshape(qpad, -1)[:qn]
+    flat_i = jnp.moveaxis(idx_t, 2, 1).reshape(qpad, -1)[:qn]
     neg, pos = jax.lax.top_k(-flat_d, k)
     return -neg, jnp.take_along_axis(flat_i, pos, axis=1)
 

@@ -62,6 +62,23 @@ SERVICE_TENANT = 0
 MAX_QUERY_BATCH = 256
 MAX_QUERY_K = 10_000
 
+# The ingest routes accept friendly algorithm ids (?algorithm=phash)
+# but records are stored under canonical tags (imgfprint-phash-v1) —
+# fingerprint queries canonicalize the same aliases so a user who
+# ingested with ?algorithm=phash doesn't get silently-empty hits for
+# {"algorithm": "phash"} (the store keys its Hamming caches on the
+# canonical tag).
+FP_QUERY_ALGO_ALIASES = {
+    "phash": "imgfprint-phash-v1",
+    "dhash": "imgfprint-dhash-v1",
+    "ahash": "imgfprint-ahash-v1",
+    "multi": "imgfprint-multi-v1",
+    "wang": "audiofp-wang-v1",
+    "panako": "audiofp-panako-v1",
+    "haitsma": "audiofp-haitsma-v1",
+    "lsh": "minhash-lsh-h128",
+}
+
 
 def _ctx(req: Request) -> ApiKeyContext:
     return req.extensions["api_key"]
@@ -605,6 +622,7 @@ class Handlers:
                 raise HttpError(
                     400, "bad_query", "fingerprints_hex queries require algorithm"
                 )
+            algorithm = FP_QUERY_ALGO_ALIASES.get(algorithm, algorithm)
             if not isinstance(fps_hex, list) or not all(
                 isinstance(s, str) for s in fps_hex
             ):
@@ -648,6 +666,7 @@ class Handlers:
                 raise HttpError(
                     400, "bad_query", "fingerprint_hex queries require algorithm"
                 )
+            algorithm = FP_QUERY_ALGO_ALIASES.get(algorithm, algorithm)
             try:
                 fp = bytes.fromhex(fp_hex)
             except ValueError:
