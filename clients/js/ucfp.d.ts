@@ -165,6 +165,26 @@ export declare class UcfpClient {
   ): Promise<RecordMeta>;
   deleteRecord(recordId: number, opts?: { tenantId?: number }): Promise<void>;
   query(modality: string, opts?: QueryOptions): Promise<QueryResult>;
+  queryBatch(
+    modality: string,
+    opts?: BatchQueryOptions
+  ): Promise<BatchQueryResult>;
+}
+
+export interface BatchQueryOptions {
+  k?: number;
+  vectors?: number[][];
+  fingerprintsHex?: string[];
+  algorithm?: string;
+  multihash?: Record<string, number>;
+  tenantId?: number;
+  filter?: { algorithm?: string; model_id?: string };
+  recallTier?: 'fast' | 'balanced' | 'high' | 'exact';
+}
+
+export interface BatchQueryResult {
+  results: { hits: Hit[] }[];
+  approximate: boolean;
 }
 
 export default UcfpClient;

@@ -333,6 +333,43 @@ export class UcfpClient {
       approximate: out.approximate ?? false,
     };
   }
+
+  /**
+   * Batched similarity query: every vector (or fingerprint) shares ONE
+   * device dispatch on the server — the highest-throughput query path
+   * (at most 256 per batch). Pass exactly one of vectors / fingerprintsHex
+   * (the latter requires algorithm; friendly ids like 'phash' work).
+   *
+   * @param {string} modality 'text' | 'image' | 'audio'
+   * @param {{k?: number, vectors?: number[][], fingerprintsHex?: string[],
+   *          algorithm?: string, multihash?: object, tenantId?: number,
+   *          filter?: object,
+   *          recallTier?: 'fast'|'balanced'|'high'|'exact'}} opts
+   * @returns {Promise<{results: {hits: object[]}[], approximate: boolean}>}
+   */
+  async queryBatch(modality, opts = {}) {
+    const tid = opts.tenantId ?? this.tenantId;
+    if (!!opts.vectors === !!opts.fingerprintsHex) {
+      throw new Error('pass exactly one of vectors or fingerprintsHex');
+    }
+    const body = { tenant_id: tid, modality, k: opts.k ?? 10 };
+    if (opts.vectors) body.vectors = opts.vectors;
+    if (opts.fingerprintsHex) {
+      if (!opts.algorithm) throw new Error('fingerprint queries require algorithm');
+      body.fingerprints_hex = opts.fingerprintsHex;
+    }
+    if (opts.algorithm) body.algorithm = opts.algorithm;
+    if (opts.multihash) body.multihash = opts.multihash;
+    if (opts.filter) body.filter = opts.filter;
+    if (opts.recallTier) body.recall_tier = opts.recallTier;
+    const out = await this.#request('POST', '/v1/query', { json: body });
+    return {
+      results: (out.results ?? []).map((r) => ({
+        hits: (r.hits ?? []).map(hitOf),
+      })),
+      approximate: out.approximate ?? false,
+    };
+  }
 }
 
 export default UcfpClient;

@@ -20,6 +20,7 @@ from ._types import (
     Fingerprint,
     Hit,
     ImageFingerprint,
+    BatchQueryResult,
     QueryResult,
     RecordMeta,
     StreamIngest,
@@ -44,6 +45,7 @@ __all__ = [
     "Hit",
     "TermHit",
     "QueryResult",
+    "BatchQueryResult",
     "StreamIngest",
     "BulkResult",
     "BulkSource",

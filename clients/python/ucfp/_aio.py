@@ -12,6 +12,7 @@ from typing import Any, AsyncIterator, Iterable, Optional, Union
 
 from . import _common as c
 from ._types import (
+    BatchQueryResult,
     Fingerprint,
     QueryResult,
     RecordMeta,
@@ -20,6 +21,7 @@ from ._types import (
     WatermarkReport,
     _parse_fingerprint,
     _parse_query,
+    _parse_query_batch,
     _parse_record_meta,
     _parse_watermark,
 )
@@ -358,6 +360,29 @@ class UcfpAsync:
             "POST", "/v1/query", params=params or None, json_body=body
         )
         return _parse_query(out)
+
+    async def query_batch(
+        self,
+        modality: str,
+        *,
+        k: int = 10,
+        vectors: Optional[list[list[float]]] = None,
+        fingerprints: Optional[list[Union[bytes, str]]] = None,
+        algorithm: Optional[str] = None,
+        tenant_id: Optional[int] = None,
+        multihash: Optional[dict] = None,
+        filter: Optional[dict] = None,
+        recall_tier: Optional[str] = None,
+    ) -> BatchQueryResult:
+        """Batched similarity query — see Ucfp.query_batch."""
+        tid = self.tenant_id if tenant_id is None else tenant_id
+        body = c.query_batch_body(
+            tid, modality, k=k, vectors=vectors, fingerprints=fingerprints,
+            algorithm=algorithm, multihash=multihash, filter=filter,
+            recall_tier=recall_tier,
+        )
+        out = await self._request("POST", "/v1/query", json_body=body)
+        return _parse_query_batch(out)
 
     # -- pipeline inspection ------------------------------------------------------
 

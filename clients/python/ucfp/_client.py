@@ -16,6 +16,7 @@ from typing import Any, Iterable, Iterator, Optional, Union
 
 from . import _common as c
 from ._types import (
+    BatchQueryResult,
     Fingerprint,
     QueryResult,
     RecordMeta,
@@ -24,6 +25,7 @@ from ._types import (
     WatermarkReport,
     _parse_fingerprint,
     _parse_query,
+    _parse_query_batch,
     _parse_record_meta,
     _parse_watermark,
 )
@@ -423,6 +425,33 @@ class Ucfp:
             "POST", "/v1/query", params=params or None, json_body=body
         )
         return _parse_query(out)
+
+    def query_batch(
+        self,
+        modality: str,
+        *,
+        k: int = 10,
+        vectors: Optional[list[list[float]]] = None,
+        fingerprints: Optional[list[Union[bytes, str]]] = None,
+        algorithm: Optional[str] = None,
+        tenant_id: Optional[int] = None,
+        multihash: Optional[dict] = None,
+        filter: Optional[dict] = None,
+        recall_tier: Optional[str] = None,
+    ) -> BatchQueryResult:
+        """Batched similarity query: every vector (or fingerprint)
+        shares ONE device dispatch on the server — the highest-
+        throughput query path (at most 256 per batch). Pass exactly one
+        of vectors= / fingerprints= (the latter requires algorithm;
+        friendly ids like "phash" are accepted)."""
+        tid = self.tenant_id if tenant_id is None else tenant_id
+        body = c.query_batch_body(
+            tid, modality, k=k, vectors=vectors, fingerprints=fingerprints,
+            algorithm=algorithm, multihash=multihash, filter=filter,
+            recall_tier=recall_tier,
+        )
+        out = self._request("POST", "/v1/query", json_body=body)
+        return _parse_query_batch(out)
 
     # -- pipeline inspection ------------------------------------------------------
 

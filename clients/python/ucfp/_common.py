@@ -256,6 +256,45 @@ def query_body(
     return body
 
 
+def query_batch_body(
+    tenant_id: int,
+    modality: str,
+    *,
+    k: int = 10,
+    vectors: Optional[list[list[float]]] = None,
+    fingerprints: Optional[list[Union[bytes, str]]] = None,
+    algorithm: Optional[str] = None,
+    multihash: Optional[dict] = None,
+    filter: Optional[dict] = None,
+    recall_tier: Optional[str] = None,
+) -> dict:
+    """Batched /v1/query body: exactly one of `vectors` (shared device
+    GEMM / packed prefilter scan) or `fingerprints` (shared
+    XOR+popcount dispatch; requires `algorithm`)."""
+    if (vectors is None) == (fingerprints is None):
+        raise ValueError(
+            "pass exactly one of vectors= or fingerprints=")
+    body: dict[str, Any] = {"tenant_id": tenant_id, "modality": modality,
+                            "k": k}
+    if filter is not None:
+        body["filter"] = filter
+    if recall_tier is not None:
+        body["recall_tier"] = recall_tier
+    if vectors is not None:
+        body["vectors"] = [list(v) for v in vectors]
+    else:
+        if algorithm is None:
+            raise ValueError("fingerprint queries require algorithm")
+        body["fingerprints_hex"] = [
+            f if isinstance(f, str) else f.hex() for f in fingerprints
+        ]
+    if algorithm is not None:
+        body["algorithm"] = algorithm
+    if multihash is not None:
+        body["multihash"] = multihash
+    return body
+
+
 def ndjson_chunks(chunks: Iterable[str]) -> bytes:
     """NDJSON body for the /stream text route: one {"chunk": ...} per
     line (handlers.ingest_text_stream)."""

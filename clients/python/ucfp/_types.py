@@ -143,6 +143,18 @@ class QueryResult:
 
 
 @dataclass
+class BatchQueryResult:
+    """Per-query hit lists from a batched /v1/query (`vectors` or
+    `fingerprints_hex`): results[i] corresponds to input i. On the
+    server every batch shares one device dispatch — under
+    UCFP_KNN_QUANT=int4 this is the fastest serving configuration
+    (one packed catalog scan per query block)."""
+
+    results: list[list[Hit]]
+    approximate: bool = False
+
+
+@dataclass
 class StreamIngest:
     """Audio stream ingest summary: one record per completed segment."""
 
@@ -208,6 +220,16 @@ def _parse_hit(h: dict) -> Hit:
 def _parse_query(body: dict) -> QueryResult:
     return QueryResult(
         hits=[_parse_hit(h) for h in body.get("hits", [])],
+        approximate=bool(body.get("approximate", False)),
+    )
+
+
+def _parse_query_batch(body: dict) -> BatchQueryResult:
+    return BatchQueryResult(
+        results=[
+            [_parse_hit(h) for h in r.get("hits", [])]
+            for r in body.get("results", [])
+        ],
         approximate=bool(body.get("approximate", False)),
     )
 

@@ -248,6 +248,43 @@ class TestImage:
         with pytest.raises(ValueError):
             client.image_batch([(i, b"x") for i in range(1025)])
 
+    def test_query_batch_fingerprints(self, client):
+        from test_imagehash import synthetic_png
+
+        # sizes unused elsewhere in this module: synthetic_png is
+        # deterministic, so reusing 64x64 would tie with earlier
+        # records' fingerprints and lose the top slot on record-id order
+        a = client.image(synthetic_png(56, 56), algorithm="phash",
+                         record_id=910, tenant_id=7)
+        b = client.image(synthetic_png(40, 40), algorithm="phash",
+                         record_id=911, tenant_id=7)
+        # friendly alias + bytes/hex mix, one shared device dispatch
+        res = client.query_batch(
+            "image", fingerprints=[b.fingerprint, a.fingerprint_hex],
+            algorithm="phash", k=3, tenant_id=7,
+        )
+        assert res.results[0][0].record_id == 911
+        assert res.results[1][0].record_id == 910
+
+    def test_query_batch_vectors_and_validation(self, client):
+        for rid, vec in ((920, [1.0, 0.0, 0.0]), (921, [0.0, 1.0, 0.0])):
+            client.text(f"vec doc {rid}", record_id=rid, tenant_id=7,
+                        algorithm="semantic")
+        # embeddings come from the seeded encoder; query each record's
+        # own embedding back
+        e920 = client.get_record(920, tenant_id=7, include="embedding")
+        e921 = client.get_record(921, tenant_id=7, include="embedding")
+        res = client.query_batch(
+            "text", vectors=[e921.embedding, e920.embedding], k=2,
+            tenant_id=7,
+        )
+        assert res.results[0][0].record_id == 921
+        assert res.results[1][0].record_id == 920
+        with pytest.raises(ValueError):
+            client.query_batch("text")  # neither vectors nor fingerprints
+        with pytest.raises(ValueError):
+            client.query_batch("image", fingerprints=[b"\x00" * 8])  # no algo
+
 
 class TestAudio:
     def test_raw_f32(self, client):
