@@ -693,6 +693,67 @@ class TestShardedFusedPrefix:
         assert all(int(i) < n for i in np.asarray(i_n))
 
 
+class TestConcurrentDeletes:
+    def test_batched_int4_never_surfaces_prior_deletes(self, tmp_path,
+                                                       monkeypatch):
+        """The prefix-validity contract on the BATCH path: n is
+        snapshotted under the cache lock with the device arrays, so a
+        record whose delete COMPLETED before a batched query began must
+        never surface (swap-with-last keeps rows dense; a stale n would
+        mask a live row or surface a deleted one)."""
+        import asyncio
+
+        from ucfp_tpu.index.embedded import EmbeddedBackend
+
+        monkeypatch.setenv("UCFP_SHARD", "off")
+        monkeypatch.setenv("UCFP_SKETCH_COST_MODEL", "0")
+        rng = np.random.default_rng(40)
+        n = 5000  # capacity 8192: real packed cache, pools threshold
+        vecs = rng.normal(size=(n, 16)).astype(np.float32)
+        b = EmbeddedBackend(str(tmp_path), knn_quant="int4")
+
+        from ucfp_tpu.core import Modality, Record
+
+        recs = [Record(0, i, Modality.TEXT, "e", b"x",
+                       embedding=[float(x) for x in vecs[i]])
+                for i in range(n)]
+        asyncio.run(b.upsert(recs))
+        cap = b._vec[(0, 16)].data.shape[0]
+        assert b._int4_batch_worth_it(cap, 16, 10, 4)
+        doomed = rng.permutation(n)[:1500].tolist()
+        qs = [[float(x) for x in vecs[i] + 0.05 * rng.normal(size=16)]
+              for i in (10, 2000, 4999, 777)]
+        deleted: set[int] = set()
+
+        async def go():
+            async def deleter():
+                for lo in range(0, len(doomed), 50):
+                    chunk = doomed[lo:lo + 50]
+                    await b.delete(0, chunk)
+                    deleted.update(chunk)
+                    await asyncio.sleep(0)
+
+            async def querier():
+                for _ in range(25):
+                    pre = set(deleted)  # completed before this query
+                    res = await b.knn_batch(0, qs, 10)
+                    for row in res:
+                        for h in row:
+                            assert h.record_id not in pre, \
+                                f"deleted record {h.record_id} surfaced"
+                    await asyncio.sleep(0)
+
+            await asyncio.gather(deleter(), querier())
+
+        asyncio.run(go())
+        # end state: the survivors still answer correctly
+        alive = next(i for i in (10, 2000, 4999, 777) if i not in deleted)
+        res = asyncio.run(b.knn_batch(
+            0, [[float(x) for x in vecs[alive]]], 3))
+        assert res[0][0].record_id == alive
+        b.close()
+
+
 class TestShardedBatched:
     def test_sharded_batched_matches_exact(self):
         """sharded_cosine_int4_batch_topk at thresholding per-shard

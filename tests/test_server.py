@@ -506,6 +506,115 @@ class TestRecordsAndQuery:
         assert body["hits"][0]["record_id"] == 1
         assert body["hits"][0]["score"] == pytest.approx(1.0)
 
+    def test_batched_fingerprints_route_specialized_matchers(self, tmp_path):
+        """Batched fingerprints_hex must use the SAME per-algorithm
+        matcher as the single-fingerprint path: raw Hamming is the
+        wrong metric for LSH slot agreement and landmark offset voting
+        (a batch must not silently change match semantics)."""
+        app, _ = make_app(tmp_path)
+        # LSH: ingest two docs, batch-query both stored fingerprints
+        call(app, "POST", "/v1/ingest/text/0/11",
+             b"the quick brown fox jumps over the lazy dog",
+             query="algorithm=lsh")
+        call(app, "POST", "/v1/ingest/text/0/12",
+             b"entirely different content about bread baking recipes",
+             query="algorithm=lsh")
+        fp11 = jbody(call(app, "GET",
+                          "/v1/records/0/11", query="include=fingerprint"))
+        fp12 = jbody(call(app, "GET",
+                          "/v1/records/0/12", query="include=fingerprint"))
+        batch = jbody(call(app, "POST", "/v1/query",
+                           json.dumps({"tenant_id": 0, "modality": "text",
+                                       "k": 2, "algorithm": "lsh",
+                                       "fingerprints_hex":
+                                           [fp11["fingerprint_hex"],
+                                            fp12["fingerprint_hex"]]}
+                                      ).encode()))
+        for i, (fph, want) in enumerate(
+                ((fp11, 11), (fp12, 12))):
+            single = jbody(call(app, "POST", "/v1/query",
+                                json.dumps({"tenant_id": 0,
+                                            "modality": "text", "k": 2,
+                                            "algorithm": "minhash-lsh-h128",
+                                            "fingerprint_hex":
+                                                fph["fingerprint_hex"]}
+                                           ).encode()))
+            got = [(h["record_id"], round(h["score"], 6))
+                   for h in batch["results"][i]["hits"]]
+            ref = [(h["record_id"], round(h["score"], 6))
+                   for h in single["hits"]]
+            assert got == ref and got[0][0] == want
+        # wang: the batched route must run offset voting, not Hamming
+        call(app, "POST", "/v1/ingest/audio/0/21", sine_bytes(),
+             query="sample_rate=8000&algorithm=wang")
+        fpa = jbody(call(app, "GET", "/v1/records/0/21",
+                         query="include=fingerprint"))
+        batch = jbody(call(app, "POST", "/v1/query",
+                           json.dumps({"tenant_id": 0, "modality": "audio",
+                                       "k": 1, "algorithm": "wang",
+                                       "fingerprints_hex":
+                                           [fpa["fingerprint_hex"]]}
+                                      ).encode()))
+        assert batch["results"][0]["hits"][0]["record_id"] == 21
+        assert batch["results"][0]["hits"][0]["score"] > 0.9  # vote frac
+
+    def test_vector_filter_accepts_friendly_alias(self, tmp_path):
+        """{"filter": {"algorithm": "semantic"-style friendly id}} must
+        canonicalize like the fingerprint queries — records carry
+        canonical tags, so an unmapped alias silently matched zero
+        rows."""
+        app, _ = make_app(tmp_path)
+        call(app, "POST", "/v1/ingest/text/0/31", b"filter alias target",
+             query="algorithm=semantic")
+        rec = jbody(call(app, "GET", "/v1/records/0/31",
+                         query="include=embedding"))
+        body = jbody(call(app, "POST", "/v1/query",
+                          json.dumps({"tenant_id": 0, "modality": "text",
+                                      "k": 3,
+                                      "vector": rec["embedding"],
+                                      "filter": {"algorithm":
+                                                 rec["algorithm"]}}
+                                     ).encode()))
+        assert body["hits"][0]["record_id"] == 31
+        # the friendly "semantic" id resolves per modality (text ->
+        # embedding-local)
+        body = jbody(call(app, "POST", "/v1/query",
+                          json.dumps({"tenant_id": 0, "modality": "text",
+                                      "k": 3,
+                                      "vector": rec["embedding"],
+                                      "filter": {"algorithm": "semantic"}}
+                                     ).encode()))
+        assert body["hits"][0]["record_id"] == 31
+        # an image-friendly alias through the filter path: no image
+        # records -> zero hits, but canonicalization must not 400
+        body = jbody(call(app, "POST", "/v1/query",
+                          json.dumps({"tenant_id": 0, "modality": "text",
+                                      "k": 3,
+                                      "vector": rec["embedding"],
+                                      "filter": {"algorithm": "phash"}}
+                                     ).encode()))
+        assert body["hits"] == []
+
+    def test_minhash_alias_and_wide_fingerprint_marker(self, tmp_path):
+        """The default text algorithm's friendly id (minhash) must
+        canonicalize too, and wide fingerprints (W=258 words) must
+        never be marked approximate — they ride the exact XLA kernel
+        (the fused kernel's VMEM tile budget caps W at 16)."""
+        app, state = make_app(tmp_path)
+        call(app, "POST", "/v1/ingest/text/0/41", b"minhash alias body")
+        fp = jbody(call(app, "GET", "/v1/records/0/41",
+                        query="include=fingerprint"))
+        assert fp["algorithm"] == "minhash-h128"
+        body = jbody(call(app, "POST", "/v1/query",
+                          json.dumps({"tenant_id": 0, "modality": "text",
+                                      "k": 2, "algorithm": "minhash",
+                                      "fingerprint_hex":
+                                          fp["fingerprint_hex"]}
+                                     ).encode()))
+        assert body["hits"][0]["record_id"] == 41
+        assert not state.index.fingerprint_is_approximate(
+            0, "minhash-h128", 2)
+
     def test_hash_query_accepts_friendly_alias(self, tmp_path):
         """The ingest routes take ?algorithm=phash, so the fingerprint
         query paths must canonicalize the same friendly ids — the store

@@ -1397,10 +1397,16 @@ class EmbeddedBackend(IndexBackend):
     def fingerprint_is_approximate(self, tenant_id: int, algorithm: str,
                                    k: int) -> bool:
         """Same marker for the fused Hamming serving path."""
+        from ..ops import pallas_scan
+
         if self._mesh is not None:
             return False
         cache = self._ham.get((tenant_id, algorithm))
         if cache is None or cache.n == 0 or cache.data is None:
+            return False
+        # mirrors knn_fingerprint_batch's dispatch: wide fingerprints
+        # (W > the fused kernel's VMEM budget) serve the exact kernel
+        if cache.width > pallas_scan.MAX_FUSED_HAMMING_WORDS:
             return False
         return self._fused_pool_ok(cache.data.shape[0], cache.n, k)
 
@@ -1800,11 +1806,16 @@ class EmbeddedBackend(IndexBackend):
             else:
                 from ..ops import pallas_scan
 
-                if self._fused_pool_ok(matrix.shape[0], cache.n, kk):
+                if (self._fused_pool_ok(matrix.shape[0], cache.n, kk)
+                        and cache.width
+                        <= pallas_scan.MAX_FUSED_HAMMING_WORDS):
                     # big-catalog path: stream tiles through VMEM, never
                     # materialize [Q, C, W] (per-(tile,lane) partial
                     # reduce — near-exact for k <= 16, exact top-1; the
-                    # collision bound is documented in ops/pallas_scan.py)
+                    # collision bound is documented in ops/pallas_scan.py).
+                    # Wide fingerprints (minhash signatures, W > 16)
+                    # exceed the kernel's VMEM tile budget and ride the
+                    # exact XLA kernel instead
                     dist, idx = pallas_scan.hamming_topk_fused_batched(
                         qm, matrix, valid, kk
                     )

@@ -41,6 +41,13 @@ LANES = 128
 SUB = 8  # output sublane padding floor
 ROWS_PER_TILE = 256  # hamming tile covers ROWS_PER_TILE * 128 db rows
 ROWS_PER_TILE_C = 128  # int8-cosine tile (int32 intermediates are 4x)
+# fused-Hamming width ceiling (u32 words): the [R, W, 128] i32 VMEM
+# tile scales linearly with W (W=16 -> 2 MB at R=256; minhash-h128's
+# W=258 would be 33 MB, over the 16 MB scoped-vmem limit), and the
+# batched kernel's per-word unroll scales the Mosaic program size with
+# W. Wider fingerprints ride the exact XLA kernels (one fused 3D
+# xor+popcount over a [Q, C] intermediate).
+MAX_FUSED_HAMMING_WORDS = 16
 
 
 def _lane_argbest(score2d: jax.Array, largest: bool):
@@ -164,9 +171,9 @@ def hamming_topk_fused_batched(
     block and never materializes [Q, C, W] (the serving-path
     requirement — 256 queries x 10M rows x W words would be tens of
     GB). Same per-(tile, lane) partial-reduce candidate semantics as
-    hamming_topk_fused. Q pads to the block height with all-ones
-    queries (sliced off; Q < QSEL drops the block height instead).
-    Returns ([Q, k] dist, [Q, k] idx), smallest first.
+    hamming_topk_fused. Q pads to the block height with all-zero
+    queries (results sliced off; Q < QSEL drops the block height
+    instead). Returns ([Q, k] dist, [Q, k] idx), smallest first.
     """
     c, w = db.shape
     qn = queries.shape[0]

@@ -64,19 +64,26 @@ MAX_QUERY_K = 10_000
 
 # The ingest routes accept friendly algorithm ids (?algorithm=phash)
 # but records are stored under canonical tags (imgfprint-phash-v1) —
-# fingerprint queries canonicalize the same aliases so a user who
-# ingested with ?algorithm=phash doesn't get silently-empty hits for
-# {"algorithm": "phash"} (the store keys its Hamming caches on the
-# canonical tag).
+# fingerprint queries and filters canonicalize the same aliases so a
+# user who ingested with ?algorithm=phash doesn't get silently-empty
+# hits for {"algorithm": "phash"} (the store keys its caches on the
+# canonical tag). Built from the modality modules' tag constants so a
+# format-version bump cannot silently strand the map. Tunable-dependent
+# tags map to the ingest defaults (minhash with h=64 stores
+# minhash-h64 — pass such tags canonically).
 FP_QUERY_ALGO_ALIASES = {
-    "phash": "imgfprint-phash-v1",
-    "dhash": "imgfprint-dhash-v1",
-    "ahash": "imgfprint-ahash-v1",
-    "multi": "imgfprint-multi-v1",
-    "wang": "audiofp-wang-v1",
-    "panako": "audiofp-panako-v1",
-    "haitsma": "audiofp-haitsma-v1",
-    "lsh": "minhash-lsh-h128",
+    "phash": imod.ALGORITHM_PHASH,
+    "dhash": imod.ALGORITHM_DHASH,
+    "ahash": imod.ALGORITHM_AHASH,
+    "multi": imod.ALGORITHM_MULTI,
+    "wang": amod.ALGORITHM_WANG,
+    "panako": amod.ALGORITHM_PANAKO,
+    "haitsma": amod.ALGORITHM_HAITSMA,
+    "lsh": tmod.ALGORITHM_LSH,
+    "minhash": tmod.ALGORITHM_MINHASH_128,
+    "simhash-tf": tmod.ALGORITHM_SIMHASH_TF,
+    "simhash-idf": tmod.ALGORITHM_SIMHASH_IDF,
+    "tlsh": tmod.ALGORITHM_TLSH,
 }
 
 
@@ -532,6 +539,21 @@ class Handlers:
                 validate_filter(flt)
             except UcfpError as e:
                 raise _err(e)
+            # canonicalize friendly algorithm ids here too: records
+            # carry canonical tags, so {"filter": {"algorithm":
+            # "phash"}} would otherwise silently match nothing.
+            # "semantic" is modality-dependent (text -> embedding-local,
+            # image -> embedding-image-local; the LOCAL provider default
+            # — remote-provider records filter by their canonical
+            # embedding-<provider> tags)
+            if isinstance(flt.get("algorithm"), str):
+                alg_f = FP_QUERY_ALGO_ALIASES.get(flt["algorithm"])
+                if flt["algorithm"] == "semantic":
+                    alg_f = (imod.ALGORITHM_SEMANTIC
+                             if modality == Modality.IMAGE
+                             else tmod.ALGORITHM_SEMANTIC_LOCAL)
+                if alg_f is not None:
+                    flt = {**flt, "algorithm": alg_f}
         _tag_usage(req, modality.value, body.get("algorithm"))
         explain = req.qp_bool("explain")
         # per-request sketch recall tier (extension; sketch mode only).
@@ -638,10 +660,28 @@ class Handlers:
                 fps = [bytes.fromhex(s) for s in fps_hex]
             except ValueError:
                 raise HttpError(400, "bad_query", "fingerprints_hex entry is not hex")
+            # same per-algorithm routing as the single-fingerprint path
+            # below: raw Hamming is the WRONG metric for LSH slot
+            # agreement, landmark offset voting, and sliding-BER — a
+            # batch must not silently change match semantics
             if algorithm == imod.ALGORITHM_MULTI:
                 results = await self.index.knn_multihash(
                     tenant_id, fps, k, self._multihash_weights(body)
                 )
+                approx = False
+            elif algorithm == tmod.ALGORITHM_LSH:
+                results = [await self.index.knn_lsh(tenant_id, fp, k)
+                           for fp in fps]
+                approx = False
+            elif algorithm in (amod.ALGORITHM_WANG, amod.ALGORITHM_PANAKO):
+                results = [
+                    await self.index.knn_audio(tenant_id, algorithm, fp, k)
+                    for fp in fps
+                ]
+                approx = False
+            elif algorithm == amod.ALGORITHM_HAITSMA:
+                results = [await self.index.knn_haitsma(tenant_id, fp, k)
+                           for fp in fps]
                 approx = False
             else:
                 approx = self.index.fingerprint_is_approximate(
