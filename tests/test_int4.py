@@ -693,6 +693,77 @@ class TestShardedFusedPrefix:
         assert all(int(i) < n for i in np.asarray(i_n))
 
 
+class TestQueryMicroBatching:
+    def _recs(self, vecs):
+        from ucfp_tpu.core import Modality, Record
+
+        return [
+            Record(0, i, Modality.TEXT, "e", b"x",
+                   embedding=[float(x) for x in vecs[i]])
+            for i in range(len(vecs))
+        ]
+
+    def test_coalesces_and_matches_unbatched(self, tmp_path, monkeypatch):
+        """UCFP_QUERY_BATCH_MS > 0: concurrent plain knn() calls share
+        one knn_batch dispatch per (tenant, dim, k) bucket, with
+        results identical to the unbatched backend; filtered / exact /
+        pool_frac queries bypass the batcher; zero-norm queries still
+        return []."""
+        import asyncio
+
+        from ucfp_tpu.index.embedded import EmbeddedBackend
+
+        monkeypatch.setenv("UCFP_SHARD", "off")
+        monkeypatch.setenv("UCFP_QUERY_BATCH_MS", "25")
+        rng = np.random.default_rng(50)
+        vecs = rng.normal(size=(300, 16)).astype(np.float32)
+        b = EmbeddedBackend(str(tmp_path / "b"), knn_quant="int8")
+        monkeypatch.delenv("UCFP_QUERY_BATCH_MS")
+        ref = EmbeddedBackend(str(tmp_path / "ref"), knn_quant="int8")
+        asyncio.run(b.upsert(self._recs(vecs)))
+        asyncio.run(ref.upsert(self._recs(vecs)))
+        assert b._qbatch_ms == 25.0 and ref._qbatch_ms == 0.0
+
+        batch_sizes = []
+        orig = b.knn_batch
+
+        async def counting(tenant_id, queries, k, **kw):
+            batch_sizes.append(len(queries))
+            return await orig(tenant_id, queries, k, **kw)
+
+        b.knn_batch = counting
+
+        qs = [[float(x) for x in vecs[i] + 0.02 * rng.normal(size=16)]
+              for i in (3, 77, 150, 299, 8, 42)]
+        qs.append([0.0] * 16)  # zero-norm -> []
+
+        async def go():
+            return await asyncio.gather(
+                *[b.knn(0, q, 5) for q in qs]
+            )
+
+        got = asyncio.run(go())
+        assert got[-1] == []
+        for q, hits in zip(qs[:-1], got[:-1]):
+            ref_hits = asyncio.run(ref.knn(0, q, 5))
+            assert [(h.record_id, round(h.score, 6)) for h in hits] == \
+                   [(h.record_id, round(h.score, 6)) for h in ref_hits]
+        # all 7 queries shared ONE bucket flush (same tenant/dim/k)
+        assert batch_sizes == [7]
+        # ineligible queries bypass the batcher entirely
+        batch_sizes.clear()
+        ex = asyncio.run(b.knn(0, qs[0], 5, exact=True))
+        assert ex[0].record_id == 3 and batch_sizes == []
+        flt = asyncio.run(b.knn(0, qs[0], 5, filter={"algorithm": "e"}))
+        assert flt[0].record_id == 3 and batch_sizes == []
+        # a later loop (fresh asyncio.run) rebuilds the loop-bound
+        # batcher instead of tripping over dead-loop primitives
+        again = asyncio.run(b.knn(0, qs[1], 5))
+        assert again[0].record_id == 77
+        b.close()
+        ref.close()
+
+
 class TestConcurrentDeletes:
     def test_batched_int4_never_surfaces_prior_deletes(self, tmp_path,
                                                        monkeypatch):

@@ -394,6 +394,21 @@ class EmbeddedBackend(IndexBackend):
                 from ..parallel.mesh import data_mesh
 
                 self._mesh = data_mesh(1 << (n.bit_length() - 1))
+        # Query micro-batching (opt-in, UCFP_QUERY_BATCH_MS > 0):
+        # concurrent single-vector queries coalesce into ONE batched
+        # device dispatch per (tenant, dim, k) inside the deadline
+        # window — a single-query scan at 10M x 768 costs 5-10 ms while
+        # the batched path costs ~0.3-0.6 ms/query, so under concurrent
+        # load coalescing multiplies serving throughput. Only
+        # plain queries coalesce (no filter / exact / pool_frac);
+        # per-mode semantics are same-or-better than the single path
+        # (batch paths are exact or recall-1.0 int4) and the
+        # approximate marker stays conservative.
+        self._qbatch_ms = float(
+            os.environ.get("UCFP_QUERY_BATCH_MS", "0") or 0
+        )
+        self._qbatcher = None
+        self._qbatcher_loop = None
         self._lsh: dict[int, dict[tuple[int, int], set[int]]] = {}  # tenant -> band buckets
         # (tenant, algorithm) -> columnar postings: wang and panako
         # hashes share the u32 space, so one per-tenant index would let
@@ -1437,6 +1452,14 @@ class EmbeddedBackend(IndexBackend):
         direct backend callers, not just Query/HTTP."""
         if not query or k == 0:
             return []
+        if (self._qbatch_ms > 0 and filter is None and not exact
+                and pool_frac is None):
+            # opt-in micro-batching: coalesce concurrent plain queries
+            # into one batched dispatch (see __init__; zero-norm /
+            # empty-cache semantics are identical through knn_batch)
+            return await self._submit_query_batched(
+                tenant_id, list(query), k
+            )
         from ..core import quantize_pool_frac
 
         pool_frac = quantize_pool_frac(pool_frac)
@@ -1587,6 +1610,31 @@ class EmbeddedBackend(IndexBackend):
             ]
 
         return await asyncio.to_thread(work)
+
+    async def _submit_query_batched(self, tenant_id: int,
+                                    query: list, k: int) -> list[Hit]:
+        """Enqueue one plain vector query on the deadline batcher;
+        resolves to its own hit list once the (tenant, dim, k) bucket
+        flushes through knn_batch. The batcher holds loop-bound asyncio
+        primitives, so it is rebuilt whenever the running loop changes
+        (servers run one loop; tests run many)."""
+        import asyncio as _aio
+
+        loop = _aio.get_running_loop()
+        if self._qbatcher is None or self._qbatcher_loop is not loop:
+            from ..ingest.batcher import DeadlineBatcher
+
+            async def run(bucket, payloads):
+                t, _dim, kk = bucket
+                return await self.knn_batch(t, payloads, kk)
+
+            self._qbatcher = DeadlineBatcher(
+                run, max_batch=64, max_delay_ms=self._qbatch_ms
+            )
+            self._qbatcher_loop = loop
+        return await self._qbatcher.submit(
+            (tenant_id, len(query), k), query
+        )
 
     async def knn_batch(
         self, tenant_id: int, queries: list[list[float]], k: int,
