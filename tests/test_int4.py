@@ -748,8 +748,10 @@ class TestQueryMicroBatching:
             ref_hits = asyncio.run(ref.knn(0, q, 5))
             assert [(h.record_id, round(h.score, 6)) for h in hits] == \
                    [(h.record_id, round(h.score, 6)) for h in ref_hits]
-        # all 7 queries shared ONE bucket flush (same tenant/dim/k)
-        assert batch_sizes == [7]
+        # all 7 queries shared ONE bucket flush (same tenant/dim/k),
+        # padded to the power-of-two size bucket (recompile bound:
+        # 7 size buckets per (dim, k), not 64)
+        assert batch_sizes == [8]
         # ineligible queries bypass the batcher entirely
         batch_sizes.clear()
         ex = asyncio.run(b.knn(0, qs[0], 5, exact=True))

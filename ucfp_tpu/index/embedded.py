@@ -1625,8 +1625,19 @@ class EmbeddedBackend(IndexBackend):
             from ..ingest.batcher import DeadlineBatcher
 
             async def run(bucket, payloads):
+                # pad the coalesced batch to a power-of-two size bucket:
+                # XLA traces one program per distinct Q, and a deadline
+                # batcher produces arbitrary sizes — unpadded, a busy
+                # server would compile up to 64 variants per (dim, k)
+                # (minutes each through a remote runtime). Seven buckets
+                # bound it; the catalog scan dominates the cost, so the
+                # padding rows are nearly free.
                 t, _dim, kk = bucket
-                return await self.knn_batch(t, payloads, kk)
+                n = len(payloads)
+                qb = 1 << (n - 1).bit_length() if n > 1 else 1
+                padded = payloads + [payloads[0]] * (qb - n)
+                res = await self.knn_batch(t, padded, kk)
+                return res[:n]
 
             self._qbatcher = DeadlineBatcher(
                 run, max_batch=64, max_delay_ms=self._qbatch_ms
