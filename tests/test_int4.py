@@ -765,6 +765,47 @@ class TestQueryMicroBatching:
         b.close()
         ref.close()
 
+    def test_fingerprint_queries_coalesce(self, tmp_path, monkeypatch):
+        """knn_fingerprint shares the same micro-batching machinery:
+        concurrent single Hamming queries coalesce per
+        (tenant, algorithm, k) with pow2-padded dispatches and results
+        identical to the unbatched path."""
+        import asyncio
+
+        from ucfp_tpu.core import Modality, Record
+        from ucfp_tpu.index.embedded import EmbeddedBackend
+
+        monkeypatch.setenv("UCFP_SHARD", "off")
+        monkeypatch.setenv("UCFP_QUERY_BATCH_MS", "25")
+        rng = np.random.default_rng(51)
+        fps = [rng.bytes(8) for _ in range(50)]
+        b = EmbeddedBackend(str(tmp_path / "b"))
+        recs = [Record(0, i, Modality.IMAGE, "imgfprint-phash-v1", fps[i])
+                for i in range(50)]
+        asyncio.run(b.upsert(recs))
+
+        sizes = []
+        orig = b.knn_fingerprint_batch
+
+        async def counting(tenant_id, algorithm, fps_, k, **kw):
+            sizes.append(len(fps_))
+            return await orig(tenant_id, algorithm, fps_, k, **kw)
+
+        b.knn_fingerprint_batch = counting
+
+        async def go():
+            return await asyncio.gather(*[
+                b.knn_fingerprint(0, "imgfprint-phash-v1", fps[i], 3)
+                for i in (4, 17, 33)
+            ])
+
+        got = asyncio.run(go())
+        for want, hits in zip((4, 17, 33), got):
+            assert hits[0].record_id == want
+            assert hits[0].score == 1.0
+        assert sizes == [4]  # 3 queries padded to the pow2 bucket
+        b.close()
+
 
 class TestConcurrentDeletes:
     def test_batched_int4_never_surfaces_prior_deletes(self, tmp_path,

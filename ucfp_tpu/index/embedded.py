@@ -409,6 +409,8 @@ class EmbeddedBackend(IndexBackend):
         )
         self._qbatcher = None
         self._qbatcher_loop = None
+        self._fpbatcher = None
+        self._fpbatcher_loop = None
         self._lsh: dict[int, dict[tuple[int, int], set[int]]] = {}  # tenant -> band buckets
         # (tenant, algorithm) -> columnar postings: wang and panako
         # hashes share the u32 space, so one per-tenant index would let
@@ -1825,9 +1827,41 @@ class EmbeddedBackend(IndexBackend):
         """
         if k == 0 or not fingerprint:
             return []
+        if self._qbatch_ms > 0:
+            # same opt-in micro-batching as plain vector queries: one
+            # XOR+popcount dispatch per (tenant, algorithm, k) bucket
+            return await self._submit_fp_batched(
+                tenant_id, algorithm, fingerprint, k
+            )
         res = await self.knn_fingerprint_batch(tenant_id, algorithm,
                                                [fingerprint], k)
         return res[0]
+
+    async def _submit_fp_batched(self, tenant_id: int, algorithm: str,
+                                 fingerprint: bytes, k: int) -> list[Hit]:
+        """Fingerprint twin of _submit_query_batched; the 4-tuple
+        bucket key can never collide with the vector path's 3-tuple."""
+        import asyncio as _aio
+
+        loop = _aio.get_running_loop()
+        if self._fpbatcher is None or self._fpbatcher_loop is not loop:
+            from ..ingest.batcher import DeadlineBatcher
+
+            async def run(bucket, payloads):
+                _m, t, alg, kk = bucket
+                n = len(payloads)
+                qb = 1 << (n - 1).bit_length() if n > 1 else 1
+                padded = payloads + [payloads[0]] * (qb - n)
+                res = await self.knn_fingerprint_batch(t, alg, padded, kk)
+                return res[:n]
+
+            self._fpbatcher = DeadlineBatcher(
+                run, max_batch=64, max_delay_ms=self._qbatch_ms
+            )
+            self._fpbatcher_loop = loop
+        return await self._fpbatcher.submit(
+            ("fp", tenant_id, algorithm, k), fingerprint
+        )
 
     async def knn_fingerprint_batch(
         self, tenant_id: int, algorithm: str, fingerprints: list[bytes], k: int
