@@ -765,6 +765,75 @@ class TestQueryMicroBatching:
         b.close()
         ref.close()
 
+    def test_multithreaded_direct_callers(self, tmp_path, monkeypatch):
+        """Direct backend callers may run their own event loops on
+        separate threads: each loop gets its own DeadlineBatcher from
+        the registry (a shared instance would await a Lock bound to a
+        foreign loop / set futures cross-thread)."""
+        import asyncio
+        import threading
+
+        from ucfp_tpu.index.embedded import EmbeddedBackend
+
+        monkeypatch.setenv("UCFP_SHARD", "off")
+        monkeypatch.setenv("UCFP_QUERY_BATCH_MS", "10")
+        rng = np.random.default_rng(52)
+        vecs = rng.normal(size=(200, 16)).astype(np.float32)
+        b = EmbeddedBackend(str(tmp_path), knn_quant="int8")
+        asyncio.run(b.upsert(self._recs(vecs)))
+        errs: list = []
+
+        def worker(rows):
+            try:
+                async def go():
+                    return await asyncio.gather(*[
+                        b.knn(0, [float(x) for x in vecs[r]], 3)
+                        for r in rows
+                    ])
+
+                for r, hits in zip(rows, asyncio.run(go())):
+                    assert hits[0].record_id == r, (r, hits[:1])
+            except Exception as e:  # pragma: no cover - failure detail
+                errs.append(e)
+
+        threads = [
+            threading.Thread(target=worker,
+                             args=([i, i + 50, i + 100],))
+            for i in range(4)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs, errs
+        b.close()
+
+    def test_marker_conservative_under_batching(self, tmp_path,
+                                                monkeypatch):
+        """With micro-batching on, a single query may be served by the
+        batched packed scan even when the SINGLE-path cost model says
+        exact — the marker must stay conservative and flag it."""
+        import asyncio
+
+        from ucfp_tpu.index.embedded import EmbeddedBackend
+
+        monkeypatch.setenv("UCFP_SHARD", "off")
+        monkeypatch.setenv("UCFP_SKETCH_COST_MODEL", "0")
+        monkeypatch.setenv("UCFP_QUERY_BATCH_MS", "5")
+        rng = np.random.default_rng(53)
+        vecs = rng.normal(size=(5000, 16)).astype(np.float32)
+        b = EmbeddedBackend(str(tmp_path), knn_quant="int4")
+        asyncio.run(b.upsert(self._recs(vecs)))
+        # force the SINGLE-path dispatch model to exact; the batch path
+        # (forced on by the cost-model override) can still serve the
+        # coalesced query approximately
+        monkeypatch.setattr(EmbeddedBackend, "_int4_worth_it",
+                            lambda self, *a, **kw: False)
+        assert b.knn_is_approximate(0, 16, 5)
+        b._qbatch_ms = 0.0  # batching off: single path rules again
+        assert not b.knn_is_approximate(0, 16, 5)
+        b.close()
+
     def test_fingerprint_queries_coalesce(self, tmp_path, monkeypatch):
         """knn_fingerprint shares the same micro-batching machinery:
         concurrent single Hamming queries coalesce per

@@ -407,10 +407,8 @@ class EmbeddedBackend(IndexBackend):
         self._qbatch_ms = float(
             os.environ.get("UCFP_QUERY_BATCH_MS", "0") or 0
         )
-        self._qbatcher = None
-        self._qbatcher_loop = None
-        self._fpbatcher = None
-        self._fpbatcher_loop = None
+        # kind ("vec"/"fp") -> {event loop -> DeadlineBatcher}
+        self._batchers: dict[str, dict] = {}
         self._lsh: dict[int, dict[tuple[int, int], set[int]]] = {}  # tenant -> band buckets
         # (tenant, algorithm) -> columnar postings: wang and panako
         # hashes share the u32 space, so one per-tenant index would let
@@ -1394,6 +1392,18 @@ class EmbeddedBackend(IndexBackend):
             cap = cache.data.shape[0]
             cap_l = max(1, cap // self._n_shards())
             return knn_ops.int4_batch_pool(cap_l, kk_b) * 2 < cap_l
+        if (not batch and not exact and self._qbatch_ms > 0
+                and pool_frac is None and self._int4_on()):
+            # query micro-batching may coalesce this single query onto
+            # the batched packed scan, whose dispatch depends on the
+            # runtime batch size the marker cannot know — stay
+            # conservative with the worst-case (full) batch
+            kk_s = min(k, cache.n)
+            if self._int4_batch_worth_it(cache.data.shape[0], dim,
+                                         kk_s, 64):
+                cap_l = max(1, cache.data.shape[0] // self._n_shards())
+                if knn_ops.int4_batch_pool(cap_l, kk_s) * 2 < cap_l:
+                    return True
         if self._int4_on() and not batch:
             cap = cache.data.shape[0]
             if self._int4_worth_it(cap, dim, k):
@@ -1454,14 +1464,6 @@ class EmbeddedBackend(IndexBackend):
         direct backend callers, not just Query/HTTP."""
         if not query or k == 0:
             return []
-        if (self._qbatch_ms > 0 and filter is None and not exact
-                and pool_frac is None):
-            # opt-in micro-batching: coalesce concurrent plain queries
-            # into one batched dispatch (see __init__; zero-norm /
-            # empty-cache semantics are identical through knn_batch)
-            return await self._submit_query_batched(
-                tenant_id, list(query), k
-            )
         from ..core import quantize_pool_frac
 
         pool_frac = quantize_pool_frac(pool_frac)
@@ -1478,6 +1480,15 @@ class EmbeddedBackend(IndexBackend):
             from .backend import validate_filter
 
             validate_filter(filter)  # surface bad shapes on the caller path
+        if (self._qbatch_ms > 0 and filter is None and not exact
+                and pool_frac is None):
+            # opt-in micro-batching: coalesce concurrent plain queries
+            # into one batched dispatch (see __init__). Gated AFTER the
+            # cheap host early-outs so degenerate queries (zero-norm,
+            # empty cache) never pay the batching window
+            return await self._submit_query_batched(
+                tenant_id, list(query), k
+            )
 
         def work():
             with self._lock:
@@ -1613,41 +1624,56 @@ class EmbeddedBackend(IndexBackend):
 
         return await asyncio.to_thread(work)
 
+    def _deadline_batcher(self, kind: str, run):
+        """Per-event-loop DeadlineBatcher registry. The batcher holds
+        loop-bound asyncio primitives, so each running loop gets its
+        own instance (servers run one loop; tests and multi-threaded
+        direct callers run many — a shared instance would await a Lock
+        bound to a foreign loop or set futures cross-thread). The
+        registry swap happens under the backend's threading lock;
+        closed loops' entries are pruned opportunistically."""
+        import asyncio as _aio
+
+        loop = _aio.get_running_loop()
+        with self._lock:
+            reg = self._batchers.setdefault(kind, {})
+            b = reg.get(loop)
+            if b is None:
+                for dead in [lp for lp in reg if lp.is_closed()]:
+                    del reg[dead]
+                from ..ingest.batcher import DeadlineBatcher
+
+                b = DeadlineBatcher(
+                    run, max_batch=64, max_delay_ms=self._qbatch_ms
+                )
+                reg[loop] = b
+        return b
+
+    @staticmethod
+    def _pad_pow2_list(payloads: list) -> list:
+        """Pad a coalesced batch to a power-of-two size: XLA traces one
+        program per distinct Q, and a deadline batcher produces
+        arbitrary sizes — unpadded, a busy server would compile up to
+        64 variants per bucket (minutes each through a remote runtime).
+        Seven size buckets bound it; the catalog scan dominates the
+        cost, so padding rows (a repeat of the first payload, results
+        sliced off by the caller) are nearly free."""
+        n = len(payloads)
+        qb = 1 << (n - 1).bit_length() if n > 1 else 1
+        return payloads + [payloads[0]] * (qb - n)
+
+    async def _run_vec_bucket(self, bucket, payloads):
+        t, _dim, kk = bucket
+        res = await self.knn_batch(t, self._pad_pow2_list(payloads), kk)
+        return res[: len(payloads)]
+
     async def _submit_query_batched(self, tenant_id: int,
                                     query: list, k: int) -> list[Hit]:
         """Enqueue one plain vector query on the deadline batcher;
         resolves to its own hit list once the (tenant, dim, k) bucket
-        flushes through knn_batch. The batcher holds loop-bound asyncio
-        primitives, so it is rebuilt whenever the running loop changes
-        (servers run one loop; tests run many)."""
-        import asyncio as _aio
-
-        loop = _aio.get_running_loop()
-        if self._qbatcher is None or self._qbatcher_loop is not loop:
-            from ..ingest.batcher import DeadlineBatcher
-
-            async def run(bucket, payloads):
-                # pad the coalesced batch to a power-of-two size bucket:
-                # XLA traces one program per distinct Q, and a deadline
-                # batcher produces arbitrary sizes — unpadded, a busy
-                # server would compile up to 64 variants per (dim, k)
-                # (minutes each through a remote runtime). Seven buckets
-                # bound it; the catalog scan dominates the cost, so the
-                # padding rows are nearly free.
-                t, _dim, kk = bucket
-                n = len(payloads)
-                qb = 1 << (n - 1).bit_length() if n > 1 else 1
-                padded = payloads + [payloads[0]] * (qb - n)
-                res = await self.knn_batch(t, padded, kk)
-                return res[:n]
-
-            self._qbatcher = DeadlineBatcher(
-                run, max_batch=64, max_delay_ms=self._qbatch_ms
-            )
-            self._qbatcher_loop = loop
-        return await self._qbatcher.submit(
-            (tenant_id, len(query), k), query
-        )
+        flushes through knn_batch."""
+        b = self._deadline_batcher("vec", self._run_vec_bucket)
+        return await b.submit((tenant_id, len(query), k), query)
 
     async def knn_batch(
         self, tenant_id: int, queries: list[list[float]], k: int,
@@ -1837,31 +1863,19 @@ class EmbeddedBackend(IndexBackend):
                                                [fingerprint], k)
         return res[0]
 
+    async def _run_fp_bucket(self, bucket, payloads):
+        t, alg, kk = bucket
+        res = await self.knn_fingerprint_batch(
+            t, alg, self._pad_pow2_list(payloads), kk
+        )
+        return res[: len(payloads)]
+
     async def _submit_fp_batched(self, tenant_id: int, algorithm: str,
                                  fingerprint: bytes, k: int) -> list[Hit]:
-        """Fingerprint twin of _submit_query_batched; the 4-tuple
-        bucket key can never collide with the vector path's 3-tuple."""
-        import asyncio as _aio
-
-        loop = _aio.get_running_loop()
-        if self._fpbatcher is None or self._fpbatcher_loop is not loop:
-            from ..ingest.batcher import DeadlineBatcher
-
-            async def run(bucket, payloads):
-                _m, t, alg, kk = bucket
-                n = len(payloads)
-                qb = 1 << (n - 1).bit_length() if n > 1 else 1
-                padded = payloads + [payloads[0]] * (qb - n)
-                res = await self.knn_fingerprint_batch(t, alg, padded, kk)
-                return res[:n]
-
-            self._fpbatcher = DeadlineBatcher(
-                run, max_batch=64, max_delay_ms=self._qbatch_ms
-            )
-            self._fpbatcher_loop = loop
-        return await self._fpbatcher.submit(
-            ("fp", tenant_id, algorithm, k), fingerprint
-        )
+        """Fingerprint twin of _submit_query_batched (separate batcher
+        registry kind, so bucket keys cannot collide)."""
+        b = self._deadline_batcher("fp", self._run_fp_bucket)
+        return await b.submit((tenant_id, algorithm, k), fingerprint)
 
     async def knn_fingerprint_batch(
         self, tenant_id: int, algorithm: str, fingerprints: list[bytes], k: int
