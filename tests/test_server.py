@@ -85,6 +85,12 @@ class TestPublic:
         assert set(body["modalities"]) == {"text", "image", "audio"}
         # the active vector-serving tier is advertised
         assert body["knn_quant"] == "none"
+        assert body["query_batch_ms"] == 0.0
+        # ...and a configured micro-batching window shows up
+        monkeypatch.setenv("UCFP_QUERY_BATCH_MS", "7.5")
+        app2, _ = make_app(tmp_path / "b")
+        body2 = jbody(call(app2, "GET", "/v1/info", token=None))
+        assert body2["query_batch_ms"] == 7.5
 
     def test_algorithms_manifest(self, tmp_path):
         app, _ = make_app(tmp_path)

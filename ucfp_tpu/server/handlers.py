@@ -284,6 +284,10 @@ class Handlers:
                 # candidate path — the tier only selects the prefilter
                 # family (int4/sketch) and catalog representation
                 "knn_quant": getattr(self.index, "knn_quant", "none"),
+                # query micro-batching deadline in ms (0 = off;
+                # docs/DEPLOY.md UCFP_QUERY_BATCH_MS) — operators can
+                # confirm the serving configuration without shell access
+                "query_batch_ms": getattr(self.index, "_qbatch_ms", 0.0),
             }
         )
 
