@@ -204,6 +204,20 @@ class TestText:
                             record_id=301, tenant_id=7)
         assert fp.fingerprint_hex == whole.fingerprint_hex
 
+    def test_text_batch(self, client):
+        recs = client.text_batch(
+            [(601, "alpha batch doc one"), (602, "beta batch doc two")],
+            tenant_id=7,
+        )
+        assert [r["record_id"] for r in recs] == [601, 602]
+        single = client.text("alpha batch doc one", record_id=603,
+                             tenant_id=7)
+        assert recs[0]["fingerprint_hex"] == single.fingerprint_hex
+        with pytest.raises(UcfpError):  # per-line errors surface
+            client.text_batch([(604, "")], tenant_id=7)
+        with pytest.raises(ValueError):
+            client.text_batch([(i, "x") for i in range(1025)])
+
     def test_text_stream_iterates(self, client):
         fps = list(client.text_stream(
             ["doc one body", "doc two body"], tenant_id=7))

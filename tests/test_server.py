@@ -512,6 +512,50 @@ class TestRecordsAndQuery:
         assert body["hits"][0]["record_id"] == 1
         assert body["hits"][0]["score"] == pytest.approx(1.0)
 
+    def test_text_batch_route(self, tmp_path):
+        """NDJSON batch text ingest: one WAL commit, fingerprints
+        byte-identical to the single route, per-line error capture
+        (bad rows must not sink the valid remainder)."""
+        app, _ = make_app(tmp_path)
+        lines = "\n".join(
+            json.dumps({"record_id": i, "text": f"doc {i} quick brown fox"})
+            for i in (1, 2, 3)
+        )
+        body = jbody(call(app, "POST", "/v1/ingest/text/batch/0",
+                          lines.encode()))
+        assert body["count"] == 3
+        assert body["algorithm"] == "minhash-h128"
+        single = jbody(call(app, "POST", "/v1/ingest/text/0/9",
+                            b"doc 1 quick brown fox"))
+        assert body["records"][0]["fingerprint_hex"] == \
+            single["fingerprint_hex"]
+        # durable + queryable
+        got = jbody(call(app, "GET", "/v1/records/0/2"))
+        assert got["algorithm"] == "minhash-h128"
+        # per-line errors: empty doc + non-JSON line captured, valid
+        # row still ingests
+        mixed = "\n".join([
+            json.dumps({"record_id": 10, "text": ""}),
+            json.dumps({"record_id": 11, "text": "good document body"}),
+            "not json at all",
+        ])
+        b2 = jbody(call(app, "POST", "/v1/ingest/text/batch/0",
+                        mixed.encode()))
+        assert b2["count"] == 1
+        assert len(b2["errors"]) == 2
+        assert jbody(call(app, "GET", "/v1/records/0/11"))[
+            "fingerprint_bytes"] == 1032
+        # quiet mode skips per-record hex; lsh batch rides the band
+        # buckets exactly like the single route
+        llines = json.dumps({"record_id": 20, "text": "lsh batch body"})
+        b3 = jbody(call(app, "POST", "/v1/ingest/text/batch/0",
+                        llines.encode(), query="algorithm=lsh&quiet=1"))
+        assert b3 == {"count": 1, "algorithm": "minhash-lsh-h128"}
+        # unsupported family -> 400
+        resp = call(app, "POST", "/v1/ingest/text/batch/0",
+                    llines.encode(), query="algorithm=semantic")
+        assert resp.status == 400
+
     def test_batched_fingerprints_route_specialized_matchers(self, tmp_path):
         """Batched fingerprints_hex must use the SAME per-algorithm
         matcher as the single-fingerprint path: raw Hamming is the

@@ -113,6 +113,10 @@ def build_server(
     r.add("GET", "/v1/records/{tenant_id}/{record_id}", h.describe_record)
     r.add("DELETE", "/v1/records/{tenant_id}/{record_id}", h.delete_record)
     r.add("POST", "/v1/query", h.query)
+    # literal-segment routes register BEFORE their parameterized
+    # shadows: the router matches in registration order, so
+    # /ingest/text/batch/0 must not bind tenant_id="batch"
+    r.add("POST", "/v1/ingest/text/batch/{tenant_id}", h.ingest_text_batch)
     r.add("POST", "/v1/ingest/text/{tenant_id}/{record_id}", h.ingest_text)
     r.add(
         "POST", "/v1/ingest/text/{tenant_id}/{record_id}/stream",

@@ -1073,6 +1073,103 @@ class Handlers:
         await self.index.upsert([rec])
         return _ingest_response(rec, req.qp_bool("return_embedding"))
 
+    async def ingest_text_batch(self, req: Request) -> Response:
+        """Many text documents, one request, one WAL group commit — the
+        text twin of the image batch route (extension, no reference
+        analog). Text hashing is host-side, so the win is amortized
+        HTTP framing + ONE durable commit for the whole batch instead
+        of a commit per document.
+
+        Body: NDJSON lines `{"record_id": N, "text": "..."}`.
+        Query: ?algorithm=minhash|simhash-tf|simhash-idf|lsh|tlsh
+        (+ the single route's tokenizer/canonicalizer tunables);
+        ?quiet=1 skips per-record hex. Per-line failures are captured
+        in `errors` (by line number) and the valid remainder ingests —
+        batch callers shouldn't lose 1023 documents to one empty one.
+        """
+        import asyncio
+        import json as _json
+
+        tid = int(req.params["tenant_id"])
+        tenant_guard(_ctx(req), tid)
+        algorithm = req.query.get("algorithm", "minhash")
+        _algo_gate(algorithm)
+        if algorithm not in ("minhash", "simhash-tf", "simhash-idf",
+                             "lsh", "tlsh"):
+            raise HttpError(
+                400, "bad_algorithm",
+                f"batch text ingest supports the hash families, "
+                f"not {algorithm!r}",
+            )
+        opts = self._text_opts(req)
+        try:
+            body = req.body.decode("utf-8")
+        except UnicodeDecodeError:
+            raise HttpError(400, "bad_utf8", "body is not valid UTF-8")
+        rows: list[tuple[int, int, str]] = []  # (line_no, rid, text)
+        errors: list[dict] = []
+        for ln_no, line in enumerate(body.splitlines(), 1):
+            if not line.strip():
+                continue
+            try:
+                obj = _json.loads(line)
+                rid = int(obj["record_id"])
+                text = obj["text"]
+                if not isinstance(text, str):
+                    raise TypeError("text must be a string")
+            except (ValueError, KeyError, TypeError) as e:
+                errors.append({"line": ln_no, "error": f"bad row: {e}"})
+                continue
+            rows.append((ln_no, rid, text))
+        if not rows and not errors:
+            raise HttpError(400, "bad_body", "empty batch")
+        if len(rows) > 1024:
+            raise HttpError(400, "bad_body", "batch exceeds 1024 documents")
+
+        fns = {
+            "minhash": tmod.fingerprint_minhash,
+            "simhash-tf": tmod.fingerprint_simhash,
+            "lsh": tmod.fingerprint_lsh,
+            "tlsh": tmod.fingerprint_tlsh,
+        }
+
+        def work():
+            recs: list[Record] = []
+            for ln_no, rid, text in rows:
+                try:
+                    if algorithm == "simhash-idf":
+                        # per-document corpus IDF, as the single route
+                        terms = tmod.terms_of(text, opts)
+                        idf = self.index.bm25_idf_map(tid, terms)
+                        recs.append(tmod.fingerprint_simhash(
+                            text, tid, rid, opts, idf))
+                    else:
+                        recs.append(fns[algorithm](text, tid, rid, opts))
+                except UcfpError as e:
+                    errors.append({"line": ln_no, "record_id": rid,
+                                   "error": str(e)})
+            return recs
+
+        recs = await asyncio.to_thread(work)
+        if recs:
+            _tag_usage(req, "text", recs[0].algorithm)
+            await self.index.upsert(recs)  # one WAL group commit
+        out: dict = {"count": len(recs)}
+        if recs:
+            out["algorithm"] = recs[0].algorithm
+        if errors:
+            out["errors"] = errors
+        if req.query.get("quiet") != "1":
+            out["records"] = [
+                {
+                    "record_id": r.record_id,
+                    "fingerprint_hex": r.fingerprint.hex(),
+                    "fingerprint_bytes": len(r.fingerprint),
+                }
+                for r in recs
+            ]
+        return Response.json(out, status=201 if recs else 400)
+
     async def ingest_image_batch(self, req: Request) -> Response:
         """Many images, one request, one device batch, one WAL commit —
         the TPU-first ingest seam (SURVEY §7: cross-request batching is
