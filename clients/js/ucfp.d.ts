@@ -165,6 +165,10 @@ export declare class UcfpClient {
   ): Promise<RecordMeta>;
   deleteRecord(recordId: number, opts?: { tenantId?: number }): Promise<void>;
   query(modality: string, opts?: QueryOptions): Promise<QueryResult>;
+  textBatch(
+    docs: [number, string][],
+    opts?: { algorithm?: string; tenantId?: number }
+  ): Promise<Record<string, unknown>[]>;
   queryBatch(
     modality: string,
     opts?: BatchQueryOptions

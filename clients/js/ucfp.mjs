@@ -228,6 +228,29 @@ export class UcfpClient {
     return out.records;
   }
 
+  /**
+   * Batch text ingest: one WAL commit per request (up to 1024 docs).
+   * docs = [[recordId, text], ...]. Rejects on per-line server errors.
+   * @param {[number, string][]} docs
+   * @param {{algorithm?: string, tenantId?: number}} opts
+   */
+  async textBatch(docs, opts = {}) {
+    if (!docs.length) return [];
+    if (docs.length > 1024) throw new Error('batch exceeds 1024 documents');
+    const tid = opts.tenantId ?? this.tenantId;
+    const params = new URLSearchParams({ algorithm: opts.algorithm ?? 'minhash' });
+    const body = docs
+      .map(([rid, text]) => JSON.stringify({ record_id: rid, text }) + '\n')
+      .join('');
+    const out = await this.#request('POST',
+      `/v1/ingest/text/batch/${tid}?${params}`,
+      { body, extraHeaders: { 'content-type': 'application/x-ndjson' } });
+    if (out.errors?.length) {
+      throw new Error(`batch errors: ${JSON.stringify(out.errors).slice(0, 512)}`);
+    }
+    return out.records ?? [];
+  }
+
   // -- audio ----------------------------------------------------------------
 
   /**
