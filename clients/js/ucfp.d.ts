@@ -168,7 +168,10 @@ export declare class UcfpClient {
   textBatch(
     docs: [number, string][],
     opts?: { algorithm?: string; tenantId?: number }
-  ): Promise<Record<string, unknown>[]>;
+  ): Promise<{
+    records: Record<string, unknown>[];
+    errors: Record<string, unknown>[];
+  }>;
   queryBatch(
     modality: string,
     opts?: BatchQueryOptions

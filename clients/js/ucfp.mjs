@@ -230,12 +230,16 @@ export class UcfpClient {
 
   /**
    * Batch text ingest: one WAL commit per request (up to 1024 docs).
-   * docs = [[recordId, text], ...]. Rejects on per-line server errors.
+   * docs = [[recordId, text], ...]. Returns BOTH the durably committed
+   * records and the per-line failures — partial success commits the
+   * valid remainder, so throwing would discard the committed list. An
+   * all-rows-failed batch (400) rejects with UcfpError as usual.
    * @param {[number, string][]} docs
    * @param {{algorithm?: string, tenantId?: number}} opts
+   * @returns {Promise<{records: object[], errors: object[]}>}
    */
   async textBatch(docs, opts = {}) {
-    if (!docs.length) return [];
+    if (!docs.length) return { records: [], errors: [] };
     if (docs.length > 1024) throw new Error('batch exceeds 1024 documents');
     const tid = opts.tenantId ?? this.tenantId;
     const params = new URLSearchParams({ algorithm: opts.algorithm ?? 'minhash' });
@@ -245,10 +249,7 @@ export class UcfpClient {
     const out = await this.#request('POST',
       `/v1/ingest/text/batch/${tid}?${params}`,
       { body, extraHeaders: { 'content-type': 'application/x-ndjson' } });
-    if (out.errors?.length) {
-      throw new Error(`batch errors: ${JSON.stringify(out.errors).slice(0, 512)}`);
-    }
-    return out.records ?? [];
+    return { records: out.records ?? [], errors: out.errors ?? [] };
   }
 
   // -- audio ----------------------------------------------------------------

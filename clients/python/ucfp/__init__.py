@@ -20,6 +20,7 @@ from ._types import (
     Fingerprint,
     Hit,
     ImageFingerprint,
+    BatchIngest,
     BatchQueryResult,
     QueryResult,
     RecordMeta,
@@ -46,6 +47,7 @@ __all__ = [
     "TermHit",
     "QueryResult",
     "BatchQueryResult",
+    "BatchIngest",
     "StreamIngest",
     "BulkResult",
     "BulkSource",

@@ -16,6 +16,7 @@ from typing import Any, Iterable, Iterator, Optional, Union
 
 from . import _common as c
 from ._types import (
+    BatchIngest,
     BatchQueryResult,
     Fingerprint,
     QueryResult,
@@ -281,14 +282,16 @@ class Ucfp:
         *,
         algorithm: str = "minhash",
         tenant_id: Optional[int] = None,
-    ) -> "list[dict]":
+    ) -> "BatchIngest":
         """High-throughput batch text ingest (up to 1024 documents per
         request): one WAL group commit server-side. docs =
-        [(record_id, text), ...]. Returns the per-document record list;
-        per-line server-side failures raise UcfpError with the error
-        rows in the message (all-or-nothing locally would hide them)."""
+        [(record_id, text), ...]. Returns a BatchIngest with BOTH the
+        durably-committed records and the per-line failures — partial
+        success commits the valid remainder, and throwing would discard
+        the record of what succeeded. An all-rows-failed batch (400)
+        raises UcfpError like any other error response."""
         if not docs:
-            return []
+            return BatchIngest(records=[], errors=[])
         if len(docs) > 1024:
             raise ValueError("batch exceeds 1024 documents")
         tid = self.tenant_id if tenant_id is None else tenant_id
@@ -300,12 +303,8 @@ class Ucfp:
             "POST", f"/v1/ingest/text/batch/{tid}",
             params={"algorithm": algorithm}, content=body,
         )
-        if out.get("errors"):
-            raise UcfpError(
-                status=400, code="batch_errors",
-                message=json.dumps(out["errors"])[:512],
-            )
-        return out.get("records", [])
+        return BatchIngest(records=out.get("records", []),
+                           errors=out.get("errors", []))
 
     # -- audio ------------------------------------------------------------------
 

@@ -155,6 +155,17 @@ class BatchQueryResult:
 
 
 @dataclass
+class BatchIngest:
+    """Batch text ingest result: `records` were durably committed
+    (one WAL group commit), `errors` carries the per-line failures by
+    line number — partial success is normal batch behavior, so the
+    client returns both instead of throwing away the committed list."""
+
+    records: list[dict]
+    errors: list[dict]
+
+
+@dataclass
 class StreamIngest:
     """Audio stream ingest summary: one record per completed segment."""
 

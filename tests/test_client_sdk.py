@@ -205,16 +205,26 @@ class TestText:
         assert fp.fingerprint_hex == whole.fingerprint_hex
 
     def test_text_batch(self, client):
-        recs = client.text_batch(
+        out = client.text_batch(
             [(601, "alpha batch doc one"), (602, "beta batch doc two")],
             tenant_id=7,
         )
-        assert [r["record_id"] for r in recs] == [601, 602]
+        assert [r["record_id"] for r in out.records] == [601, 602]
+        assert out.errors == []
         single = client.text("alpha batch doc one", record_id=603,
                              tenant_id=7)
-        assert recs[0]["fingerprint_hex"] == single.fingerprint_hex
-        with pytest.raises(UcfpError):  # per-line errors surface
-            client.text_batch([(604, "")], tenant_id=7)
+        assert out.records[0]["fingerprint_hex"] == single.fingerprint_hex
+        # partial success commits the valid rows AND returns the errors
+        mixed = client.text_batch([(604, ""), (605, "good doc body")],
+                                  tenant_id=7)
+        assert [r["record_id"] for r in mixed.records] == [605]
+        assert len(mixed.errors) == 1 and mixed.errors[0]["line"] == 1
+        assert client.get_record(605, tenant_id=7).algorithm == \
+            "minhash-h128"
+        # all rows failed -> 400 with the envelope fields
+        with pytest.raises(UcfpError) as ei:
+            client.text_batch([(606, "")], tenant_id=7)
+        assert ei.value.status == 400 and ei.value.code == "batch_failed"
         with pytest.raises(ValueError):
             client.text_batch([(i, "x") for i in range(1025)])
 

@@ -555,6 +555,35 @@ class TestRecordsAndQuery:
         resp = call(app, "POST", "/v1/ingest/text/batch/0",
                     llines.encode(), query="algorithm=semantic")
         assert resp.status == 400
+        # U+2028 is a legal raw char inside JSON strings: the parser
+        # must split on \n only, never str.splitlines()
+        u = json.dumps({"record_id": 30,
+                        "text": "line separator inside"},
+                       ensure_ascii=False)
+        b4 = jbody(call(app, "POST", "/v1/ingest/text/batch/0",
+                        u.encode("utf-8")))
+        assert b4["count"] == 1 and "errors" not in b4
+        # out-of-u64-range record_id is a per-line error, not a 500
+        # that loses the valid sibling
+        rng_bad = "\n".join([
+            json.dumps({"record_id": -1, "text": "negative id doc"}),
+            json.dumps({"record_id": 31, "text": "valid sibling doc"}),
+        ])
+        b5 = jbody(call(app, "POST", "/v1/ingest/text/batch/0",
+                        rng_bad.encode()))
+        assert b5["count"] == 1 and len(b5["errors"]) == 1
+        # all-rows-failed keeps the error envelope fields
+        b6r = call(app, "POST", "/v1/ingest/text/batch/0",
+                   b"not json")
+        assert b6r.status == 400
+        b6 = jbody(b6r)
+        assert b6["error"] == "batch_failed" and b6["errors"]
+        # non-integer tenant segments answer 400 bad_path, not 500
+        for path in ("/v1/ingest/text/batch/abc",
+                     "/v1/ingest/image/batch/abc"):
+            r = call(app, "POST", path, b"x")
+            assert r.status == 400, path
+            assert jbody(r)["error"] == "bad_path"
 
     def test_batched_fingerprints_route_specialized_matchers(self, tmp_path):
         """Batched fingerprints_hex must use the SAME per-algorithm

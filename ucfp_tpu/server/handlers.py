@@ -158,6 +158,19 @@ def _path_ids(req: Request) -> tuple[int, int]:
         raise HttpError(400, "bad_path", "tenant_id/record_id must be integers")
 
 
+def _path_tenant(req: Request) -> int:
+    """Tenant-only path guard for the batch routes: a non-integer (or
+    out-of-u32-range) segment must answer 400 bad_path, not surface as
+    a ValueError/struct.error 500 deep in the WAL encode."""
+    try:
+        tid = int(req.params["tenant_id"])
+    except (KeyError, ValueError):
+        raise HttpError(400, "bad_path", "tenant_id must be an integer")
+    if not (0 <= tid < 2**32):
+        raise HttpError(400, "bad_path", "tenant_id must fit u32")
+    return tid
+
+
 def _algo_gate(algorithm_id: str) -> None:
     """Per-algorithm disable switch: the reference gates every algorithm
     behind a cargo feature and answers 501 naming the missing flag
@@ -1088,9 +1101,8 @@ class Handlers:
         batch callers shouldn't lose 1023 documents to one empty one.
         """
         import asyncio
-        import json as _json
 
-        tid = int(req.params["tenant_id"])
+        tid = _path_tenant(req)
         tenant_guard(_ctx(req), tid)
         algorithm = req.query.get("algorithm", "minhash")
         _algo_gate(algorithm)
@@ -1108,12 +1120,17 @@ class Handlers:
             raise HttpError(400, "bad_utf8", "body is not valid UTF-8")
         rows: list[tuple[int, int, str]] = []  # (line_no, rid, text)
         errors: list[dict] = []
-        for ln_no, line in enumerate(body.splitlines(), 1):
+        # split on "\n" ONLY (like the sibling stream route): U+2028 /
+        # U+2029 / U+0085 are legal raw characters inside JSON strings
+        # and str.splitlines() would cut a valid row in half
+        for ln_no, line in enumerate(body.split("\n"), 1):
             if not line.strip():
                 continue
             try:
-                obj = _json.loads(line)
+                obj = json.loads(line)
                 rid = int(obj["record_id"])
+                if not (0 <= rid < 2**64):
+                    raise ValueError("record_id must fit u64")
                 text = obj["text"]
                 if not isinstance(text, str):
                     raise TypeError("text must be a string")
@@ -1168,6 +1185,12 @@ class Handlers:
                 }
                 for r in recs
             ]
+        if not recs:
+            # every row failed: keep the documented error envelope
+            # fields alongside the structured per-line list (SDKs read
+            # error/message on non-2xx)
+            out["error"] = "batch_failed"
+            out["message"] = f"all {len(errors)} rows failed"
         return Response.json(out, status=201 if recs else 400)
 
     async def ingest_image_batch(self, req: Request) -> Response:
@@ -1184,7 +1207,7 @@ class Handlers:
         import asyncio
         import struct
 
-        tid = int(req.params["tenant_id"])
+        tid = _path_tenant(req)
         tenant_guard(_ctx(req), tid)
         algorithm = req.query.get("algorithm", "multi")
         _algo_gate(algorithm)
