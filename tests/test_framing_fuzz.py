@@ -196,3 +196,82 @@ def test_multipart_garbage_fails_cleanly(garbage, cut):
         asyncio.run(go())
     except HttpError as e:
         assert e.status == 400  # bad_multipart is the only failure mode
+
+
+# -- batch text NDJSON parser ------------------------------------------------
+
+_NDJSONISH = st.one_of(
+    st.binary(max_size=400),
+    st.text(max_size=300).map(lambda s: s.encode("utf-8", "replace")),
+    st.lists(
+        st.one_of(
+            st.builds(
+                lambda rid, txt: __import__("json").dumps(
+                    {"record_id": rid, "text": txt}, ensure_ascii=False
+                ),
+                st.integers(min_value=-(2**70), max_value=2**70),
+                st.text(max_size=60),
+            ),
+            st.text(max_size=40),  # garbage lines interleaved
+        ),
+        max_size=6,
+    ).map(lambda rows: "\n".join(rows).encode("utf-8", "replace")),
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(body=_NDJSONISH)
+def test_text_batch_garbage_never_500s(body, tmp_path_factory):
+    """Arbitrary bytes against the batch text route answer 201 (valid
+    rows committed, bad rows in `errors`) or a clean 4xx — never an
+    unhandled exception. Mirrors the framing-fuzz contract of the other
+    body parsers."""
+    import json as _j
+
+    from ucfp_tpu.server.http import HttpError, Request
+
+    app = _fuzz_app(tmp_path_factory)
+    req = Request(
+        "POST", "/v1/ingest/text/batch/0", {},
+        {"authorization": "Bearer fuzz-token",
+         "content-length": str(len(body))},
+        body,
+    )
+
+    async def go():
+        resp, _ = await app.handle_request(req)
+        return resp
+
+    resp = asyncio.run(go())
+    assert resp.status in (201, 400), (resp.status, resp.body[:120])
+    out = _j.loads(resp.body)
+    if resp.status == 400:
+        assert "error" in out
+    else:
+        assert out["count"] >= 1
+
+
+_FUZZ_APP = {}
+
+
+def _fuzz_app(tmp_path_factory):
+    # one app for the whole fuzz run: per-example backend construction
+    # would dominate the runtime
+    if "app" not in _FUZZ_APP:
+        from ucfp_tpu.index.embedded import EmbeddedBackend
+        from ucfp_tpu.server.app import ServerState, build_server
+        from ucfp_tpu.server.auth import StaticSingleKey
+        from ucfp_tpu.server.inputs_cache import InputsCache
+        from ucfp_tpu.server.ratelimit import NoopRateLimiter
+        from ucfp_tpu.server.usage import NoopUsageSink
+
+        d = tmp_path_factory.mktemp("batchfuzz")
+        state = ServerState(
+            index=EmbeddedBackend(str(d / "db")),
+            api_keys=StaticSingleKey("fuzz-token"),
+            rate_limit=NoopRateLimiter(),
+            usage=NoopUsageSink(),
+            inputs=InputsCache(),
+        )
+        _FUZZ_APP["app"] = build_server(state, timeout_secs=120.0)
+    return _FUZZ_APP["app"]
