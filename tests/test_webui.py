@@ -148,13 +148,16 @@ class TestWebuiHardening:
         # kv() — the generic renderer — escapes its values
         assert "esc(obj[k])" in PAGE
 
-    def test_bulk_sends_raw_line(self):
+    def test_bulk_rides_batch_route_with_raw_text_field(self):
         from ucfp_tpu.server.webui import PAGE
 
-        # ingest_text fingerprints the RAW body: wrapping lines in JSON
-        # would fingerprint the wrapper, diverging from the Text tab
-        assert "body: line}" in PAGE
-        assert "JSON.stringify({text: line})" not in PAGE
+        # the bulk tab posts NDJSON rows to the batch route (one WAL
+        # commit per chunk); the server extracts the `text` field and
+        # fingerprints ONLY it, so results stay byte-identical to the
+        # Text tab (tests/test_server.py pins that server contract).
+        # The line must ride the `text` field untransformed.
+        assert "/v1/ingest/text/batch/" in PAGE
+        assert "JSON.stringify({record_id: rid++, text: l})" in PAGE
 
 
 class TestDocsRouteCoverage:
