@@ -752,6 +752,9 @@ class TestQueryMicroBatching:
         # padded to the power-of-two size bucket (recompile bound:
         # 7 size buckets per (dim, k), not 64)
         assert batch_sizes == [8]
+        # coalescing stats count pre-padding items (6, not 7: the
+        # zero-norm query early-outs on the host before the batcher)
+        assert b._qbatch_flushes == 1 and b._qbatch_items == 6
         # ineligible queries bypass the batcher entirely
         batch_sizes.clear()
         ex = asyncio.run(b.knn(0, qs[0], 5, exact=True))

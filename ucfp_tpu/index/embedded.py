@@ -409,6 +409,10 @@ class EmbeddedBackend(IndexBackend):
         )
         # kind ("vec"/"fp") -> {event loop -> DeadlineBatcher}
         self._batchers: dict[str, dict] = {}
+        # coalescing observability (served via /v1/info): flushes and
+        # total queries through the micro-batchers since boot
+        self._qbatch_flushes = 0
+        self._qbatch_items = 0
         self._lsh: dict[int, dict[tuple[int, int], set[int]]] = {}  # tenant -> band buckets
         # (tenant, algorithm) -> columnar postings: wang and panako
         # hashes share the u32 space, so one per-tenant index would let
@@ -1664,6 +1668,8 @@ class EmbeddedBackend(IndexBackend):
 
     async def _run_vec_bucket(self, bucket, payloads):
         t, _dim, kk = bucket
+        self._qbatch_flushes += 1
+        self._qbatch_items += len(payloads)
         res = await self.knn_batch(t, self._pad_pow2_list(payloads), kk)
         return res[: len(payloads)]
 
@@ -1865,6 +1871,8 @@ class EmbeddedBackend(IndexBackend):
 
     async def _run_fp_bucket(self, bucket, payloads):
         t, alg, kk = bucket
+        self._qbatch_flushes += 1
+        self._qbatch_items += len(payloads)
         res = await self.knn_fingerprint_batch(
             t, alg, self._pad_pow2_list(payloads), kk
         )

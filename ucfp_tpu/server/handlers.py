@@ -301,6 +301,12 @@ class Handlers:
                 # docs/DEPLOY.md UCFP_QUERY_BATCH_MS) — operators can
                 # confirm the serving configuration without shell access
                 "query_batch_ms": getattr(self.index, "_qbatch_ms", 0.0),
+                # coalescing effectiveness since boot: flushes and the
+                # total queries they carried (items/flushes = avg batch)
+                "query_batch_flushes": getattr(
+                    self.index, "_qbatch_flushes", 0),
+                "query_batch_items": getattr(
+                    self.index, "_qbatch_items", 0),
             }
         )
 
