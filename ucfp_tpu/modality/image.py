@@ -180,6 +180,51 @@ def decode_gray(data: bytes, pre: PreprocessConfig) -> np.ndarray:
     return imagehash.np_luma_u8(decode_rgb(data, pre))
 
 
+def decode_gray_batch(raw: bytes, max_n: int, pre: PreprocessConfig):
+    """Whole-batch native decode for the image batch route framing
+    ([u64 rid][u32 len][bytes]*, server/handlers.py:ingest_image_batch).
+
+    Returns (code, rids, gray):
+      code 0  — rids is a list[int] and gray is uint8 [n, h, w] luma,
+                byte-identical to per-image decode_gray (tested);
+      code 1  — fall back to the per-image Python path (native module
+                unavailable, mixed shapes, non-BMP frames, or any frame
+                outside the preprocess limits — the Python path owns the
+                exact error behavior for those);
+      code -1 / -2 / -3 — truncated frame header / truncated frame body
+                / more than max_n frames (framing errors the handler
+                maps to the same 400s the Python parse raises).
+    """
+    import ctypes
+
+    from .. import native
+
+    lib = native.load_imgbatch()
+    if lib is None or not raw:
+        return 1, None, None
+    n = ctypes.c_int()
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    code = lib.ucfp_imgbatch_probe(
+        raw, len(raw), max_n, pre.min_dimension, pre.max_dimension,
+        pre.max_input_bytes, ctypes.byref(n), ctypes.byref(h),
+        ctypes.byref(w),
+    )
+    if code != 0:
+        return code, None, None
+    rids = np.empty(n.value, np.uint64)
+    gray = np.empty((n.value, h.value, w.value), np.uint8)
+    got = lib.ucfp_imgbatch_fill(
+        raw, len(raw),
+        rids.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        gray.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n.value, h.value, w.value,
+    )
+    if got != n.value:  # pragma: no cover - probe/fill see the same bytes
+        return 1, None, None
+    return 0, rids.tolist(), gray
+
+
 def _multi_outputs(rgbs: np.ndarray) -> dict:
     """Run the batched multi-hash kernel on same-shape RGB uint8 [B,H,W,3].
 

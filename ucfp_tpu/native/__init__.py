@@ -141,6 +141,38 @@ def load_bm25():
 
 
 @functools.lru_cache(maxsize=1)
+def load_imgbatch():
+    """Load (building if needed) the native batch-image decoder, or None
+    — the handler falls back to the per-image Python decode path."""
+    src = os.path.join(_DIR, "imgbatch.cpp")
+    out = os.path.join(_DIR, _outname("libucfpimgbatch.so"))
+    if not os.path.exists(out) or os.path.getmtime(out) < os.path.getmtime(src):
+        if not _build(src, out):
+            return None
+    try:
+        lib = ctypes.CDLL(out)
+    except OSError:
+        return None
+    # body rides as c_char_p: ctypes passes the bytes object's internal
+    # pointer zero-copy (a POINTER(c_uint8) argtype would force a copy
+    # of the ~1.5 MB batch body per request)
+    lib.ucfp_imgbatch_probe.restype = ctypes.c_int
+    lib.ucfp_imgbatch_probe.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_longlong,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.ucfp_imgbatch_fill.restype = ctypes.c_int
+    lib.ucfp_imgbatch_fill.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
+    return lib
+
+
+@functools.lru_cache(maxsize=1)
 def load_walstore():
     """Load (building if needed) the native WAL library, or None when the
     toolchain is unavailable — callers fall back to the pure-Python WAL."""

@@ -1224,30 +1224,47 @@ class Handlers:
             )
         pre = self._image_pre(req)
         raw = req.body
-        # zero-copy frame views: slicing bytes copies each ~12 KB image
-        # out of the body (1.5 MB/request at batch 128, measured on the
-        # 1-core ingest profile); memoryview slices alias `raw`, which
-        # outlives the decode below
-        mv = memoryview(raw)
-        frames: list[tuple[int, memoryview]] = []
-        off = 0
-        while off < len(raw):
-            if off + 12 > len(raw):
-                raise HttpError(400, "bad_body", "truncated batch frame header")
-            rid, ln = struct.unpack_from("<QI", raw, off)
-            off += 12
-            if off + ln > len(raw):
-                raise HttpError(400, "bad_body", "truncated batch frame body")
-            frames.append((rid, mv[off:off + ln]))
-            off += ln
-        if not frames:
-            raise HttpError(400, "bad_body", "empty batch")
-        if len(frames) > 1024:
-            raise HttpError(400, "bad_body", "batch exceeds 1024 images")
         algo_tag = (imod.ALGORITHM_MULTI if algorithm == "multi"
                     else imod._SINGLE_ALGOS[algorithm])
 
         def work():
+            # whole-batch native decode first: one C call parses the
+            # framing and emits the luma planes for uniform fast-path
+            # BMP batches (native/imgbatch.cpp — the per-image Python
+            # decode measured ~40 us/image of the 1-core soak budget)
+            code, rids, gray = imod.decode_gray_batch(raw, 1024, pre)
+            if code == -1:
+                raise HttpError(400, "bad_body", "truncated batch frame header")
+            if code == -2:
+                raise HttpError(400, "bad_body", "truncated batch frame body")
+            if code == -3:
+                raise HttpError(400, "bad_body", "batch exceeds 1024 images")
+            if code == 0:
+                n, h, w = gray.shape
+                return rids, _hash_image_group(algorithm, gray, h, w, n)
+
+            # Python fallback: mixed shapes / non-BMP formats / frames
+            # outside the preprocess limits (exact per-image errors).
+            # memoryview slices alias `raw` — slicing bytes would copy
+            # each ~12 KB image out of the 1.5 MB body.
+            mv = memoryview(raw)
+            frames: list[tuple[int, memoryview]] = []
+            off = 0
+            while off < len(raw):
+                if off + 12 > len(raw):
+                    raise HttpError(
+                        400, "bad_body", "truncated batch frame header")
+                rid, ln = struct.unpack_from("<QI", raw, off)
+                off += 12
+                if off + ln > len(raw):
+                    raise HttpError(
+                        400, "bad_body", "truncated batch frame body")
+                frames.append((rid, mv[off:off + ln]))
+                off += ln
+            if not frames:
+                raise HttpError(400, "bad_body", "empty batch")
+            if len(frames) > 1024:
+                raise HttpError(400, "bad_body", "batch exceeds 1024 images")
             grays = [imod.decode_gray(b, pre) for _, b in frames]
             groups: dict[tuple[int, int], list[int]] = {}
             for i, g in enumerate(grays):
@@ -1258,17 +1275,17 @@ class Handlers:
                 hashed = _hash_image_group(algorithm, batch, h, w, len(idxs))
                 for j, i in enumerate(idxs):
                     fps[i] = hashed[j]
-            return fps
+            return [rid for rid, _ in frames], fps
 
         try:
-            fps = await asyncio.to_thread(work)
+            rids, fps = await asyncio.to_thread(work)
         except UcfpError as e:
             raise _err(e)
         cfg = pre.config_hash()
         recs = [
             Record(tenant_id=tid, record_id=rid, modality=Modality.IMAGE,
                    algorithm=algo_tag, fingerprint=fp, config_hash=cfg)
-            for (rid, _), fp in zip(frames, fps)
+            for rid, fp in zip(rids, fps)
         ]
         _tag_usage(req, "image", algo_tag)
         await self.index.upsert(recs)
