@@ -310,6 +310,95 @@ class TestEmbeddedBackend:
 # ---------------------------------------------------------------------------
 
 
+class TestBatchedApply:
+    """The vectorized batch apply (_apply_upsert_batch) must be
+    indistinguishable from the per-record path — same stored metadata,
+    same fingerprint knn, same delete/re-upsert behavior afterwards."""
+
+    @staticmethod
+    def _img_recs(tid, rids, algo="phash-v1", width=8):
+        return [
+            Record(tenant_id=tid, record_id=r, modality=Modality.IMAGE,
+                   algorithm=algo,
+                   fingerprint=r.to_bytes(width, "little"),
+                   config_hash=42, metadata=b"m%d" % r)
+            for r in rids
+        ]
+
+    def test_equivalent_to_per_record(self, tmp_path):
+        fast = EmbeddedBackend(str(tmp_path / "fast"))
+        slow = EmbeddedBackend(str(tmp_path / "slow"))
+        recs = self._img_recs(0, list(range(1, 40)))
+        run(fast.upsert(recs))  # one batch: vectorized path
+        for r in recs:  # singles: per-record path
+            run(slow.upsert([r]))
+        q = (7).to_bytes(8, "little")
+        hf = run(fast.knn_fingerprint(0, "phash-v1", q, 5))
+        hs = run(slow.knn_fingerprint(0, "phash-v1", q, 5))
+        assert [(h.record_id, h.score) for h in hf] == \
+               [(h.record_id, h.score) for h in hs]
+        mf = run(fast.get_record_metadata(0, 3))
+        ms = run(slow.get_record_metadata(0, 3))
+        assert mf == ms
+
+    def test_delete_and_reupsert_after_batch(self, tmp_path):
+        b = EmbeddedBackend(str(tmp_path))
+        recs = self._img_recs(0, list(range(1, 20)))
+        run(b.upsert(recs))
+        run(b.delete(0, [5, 19]))  # swap-with-last over bulk rows
+        q = (5).to_bytes(8, "little")
+        hits = run(b.knn_fingerprint(0, "phash-v1", q, 3))
+        assert 5 not in [h.record_id for h in hits]
+        # re-upsert an existing rid: batch path must decline (not new)
+        # and the per-record path must replace in place
+        run(b.upsert(self._img_recs(0, [7, 8])))
+        hits = run(b.knn_fingerprint(0, "phash-v1",
+                                     (7).to_bytes(8, "little"), 1))
+        assert hits[0].record_id == 7 and hits[0].score == 1.0
+
+    def test_mixed_batch_falls_back(self, tmp_path):
+        """Mixed algorithms / embeddings / duplicate rids inside one
+        batch take the per-record path and still land correctly."""
+        b = EmbeddedBackend(str(tmp_path))
+        mixed = self._img_recs(0, [1, 2]) + [
+            rec(0, 3, emb=[1.0, 0.0]),
+            Record(tenant_id=0, record_id=4, modality=Modality.IMAGE,
+                   algorithm="dhash-v1", fingerprint=b"\x01" * 8),
+        ]
+        run(b.upsert(mixed))
+        assert run(b.get_record_metadata(0, 4)).algorithm == "dhash-v1"
+        assert [h.record_id for h in run(b.knn(0, [1.0, 0.0], 1))] == [3]
+        dup = self._img_recs(0, [9, 9])  # last write wins, per-record
+        dup[1] = Record(tenant_id=0, record_id=9, modality=Modality.IMAGE,
+                        algorithm="phash-v1", fingerprint=b"\xff" * 8)
+        run(b.upsert(dup))
+        assert run(b.get_record_metadata(0, 9)).fingerprint_bytes == 8
+
+    def test_batch_survives_restart(self, tmp_path):
+        b = EmbeddedBackend(str(tmp_path))
+        run(b.upsert(self._img_recs(2, [1, 2, 3])))
+        b.close()
+        b2 = EmbeddedBackend(str(tmp_path))
+        q = (2).to_bytes(8, "little")
+        hits = run(b2.knn_fingerprint(2, "phash-v1", q, 1))
+        assert hits[0].record_id == 2 and hits[0].score == 1.0
+
+    def test_upsert_many_grows_capacity(self, tmp_path):
+        from ucfp_tpu.index.embedded import _RowCache
+
+        c = _RowCache(width=2, dtype=np.uint32)
+        c.upsert(9999, np.array([1, 2], np.uint32))
+        c.upsert_many(list(range(2000)),
+                      np.tile(np.array([3, 4], np.uint32), (2000, 1)))
+        assert c.n == 2001
+        assert c.data.shape[0] >= 2001
+        assert c.rows[1999] == 2000
+        assert list(c.data[c.rows[9999]]) == [1, 2]
+        assert list(c.data[c.rows[1500]]) == [3, 4]
+        # growth invalidates incremental sync: full re-upload flagged
+        assert c.dirty
+
+
 def hit(rid, score, source=HitSource.VECTOR):
     return Hit(record_id=rid, score=score, source=source)
 

@@ -42,6 +42,34 @@ class TestCodec:
         ev = {"op": "delete", "tenant_id": 3, "record_ids": [1, 2, 2**63]}
         assert walmod.decode_event(walmod.encode_event(ev)) == ev
 
+    def test_fast_path_bytes_identical_to_generic(self):
+        """The single-struct.pack fast path for fingerprint-only events
+        must emit byte-for-byte what the generic builder emits — the WAL
+        frame layout is the storage wire format both engines replay."""
+        import struct
+
+        ev = upsert_ev()  # no embedding/model/text: takes the fast path
+        got = walmod.encode_event(ev)
+        # reference encoding: the generic field-by-field build
+        alg = ev["algorithm"].encode()
+        fp = ev["fingerprint"]
+        meta = ev["metadata"]
+        ref = bytearray()
+        ref += struct.pack("<BIQBIQB", walmod.OP_UPSERT, ev["tenant_id"],
+                           ev["record_id"], 1, ev["format_version"],
+                           ev["config_hash"], 0)
+        ref += struct.pack("<H", len(alg)) + alg
+        ref += struct.pack("<I", len(fp)) + fp
+        ref += struct.pack("<I", len(meta)) + meta
+        assert got == bytes(ref)
+        assert walmod.decode_event(got) == ev
+
+    def test_fast_path_accepts_bytearray_fingerprint(self):
+        ev = upsert_ev()
+        ev["fingerprint"] = bytearray(range(8))
+        back = walmod.decode_event(walmod.encode_event(ev))
+        assert back["fingerprint"] == bytes(range(8))
+
 
 class TestNativeWal:
     def test_toolchain_available(self):

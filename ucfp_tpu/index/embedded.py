@@ -155,6 +155,50 @@ class _RowCache:
             self._note(self.n)
             self.n += 1
 
+    def upsert_many(self, rids: list[int], mat: np.ndarray) -> None:
+        """Bulk append of all-NEW rids (callers gate on novelty): one
+        slice assignment instead of per-row copies — the per-record
+        upsert() measured ~19 us/record of the 1-core ingest budget at
+        batch 128. Equivalent to upsert() called per row, including the
+        pending/dirty device-sync bookkeeping."""
+        m = len(rids)
+        if m == 0:
+            return
+        grew = False
+        if self.data is None:
+            cap = 1024
+            while cap < m:
+                cap *= 2
+            self.data = np.zeros((cap, self.width), self.dtype)
+            if self.track_tags:
+                self.tags = np.zeros((cap, 2), np.int32)
+            grew = True
+        elif self.n + m > self.data.shape[0]:
+            cap = self.data.shape[0]
+            while cap < self.n + m:
+                cap *= 2
+            grown = np.zeros((cap, self.width), self.dtype)
+            grown[: self.n] = self.data[: self.n]
+            self.data = grown
+            if self.track_tags:
+                gt = np.zeros((cap, 2), np.int32)
+                gt[: self.n] = self.tags[: self.n]
+                self.tags = gt
+            grew = True
+        self.data[self.n: self.n + m] = mat
+        row = self.n
+        for rid in rids:
+            self.rows[rid] = row
+            row += 1
+        self.rids.extend(rids)
+        self.n += m
+        if (grew or self.dirty or self.pending is None
+                or len(self.pending) + m > self.MAX_PENDING):
+            self.dirty = True
+            self.pending = None
+        else:
+            self.pending.extend(range(self.n - m, self.n))
+
     def remove(self, rid: int) -> None:
         row = self.rows.pop(rid, None)
         if row is None:
@@ -580,6 +624,58 @@ class EmbeddedBackend(IndexBackend):
                                     and old["text"] is not None):
             self._bm25.upsert_one(rec.tenant_id, rec.record_id, rec.text)
 
+    def _apply_upsert_batch(self, recs: list[Record]) -> bool:
+        """Vectorized apply for the high-rate ingest shape: one batch of
+        all-NEW fingerprint-only records sharing (tenant, algorithm) and
+        fingerprint width. Returns False — mutating NOTHING — when any
+        record doesn't fit, and the caller runs the per-record path.
+        Packing + row insert collapse to one np.frombuffer and one slice
+        assignment (the per-record _apply_upsert measured ~19 us/record
+        of the 1-core ingest budget at batch 128).
+        """
+        first = recs[0]
+        t = first.tenant_id
+        alg = first.algorithm
+        flen = len(first.fingerprint)
+        if (alg == LSH_ALGORITHM or alg in AUDIO_LANDMARK_ALGOS
+                or alg == HAITSMA_ALGORITHM or flen == 0 or flen % 4 != 0):
+            return False
+        seen: set[int] = set()
+        for r in recs:
+            if (r.tenant_id != t or r.algorithm != alg
+                    or r.embedding is not None or r.text is not None
+                    or len(r.fingerprint) != flen
+                    or r.record_id in seen
+                    or (t, r.record_id) in self._records):
+                return False
+            seen.add(r.record_id)
+        hcache = self._ham.get((t, alg))
+        if hcache is None:
+            hcache = _HamCache(words=flen // 4)
+            self._ham[(t, alg)] = hcache
+        elif hcache.width != flen // 4:
+            return False
+        # all gates passed: nothing below can fail half-way
+        packed = np.frombuffer(
+            b"".join(bytes(r.fingerprint) for r in recs), "<u4"
+        ).reshape(len(recs), flen // 4)
+        trows = self._tenant_rows.setdefault(t, {})
+        records = self._records
+        for r in recs:
+            trows[r.record_id] = None
+            records[(t, r.record_id)] = {
+                "modality": r.modality.value,
+                "algorithm": alg,
+                "config_hash": r.config_hash,
+                "format_version": r.format_version,
+                "fingerprint": r.fingerprint,
+                "embedding": None,
+                "model_id": r.model_id,
+                "metadata": r.metadata,
+                "text": None,
+            }
+        hcache.upsert_many([r.record_id for r in recs], packed)
+        return True
 
     def _apply_delete(self, tenant_id: int, rid: int, wal: bool) -> None:
         key = (tenant_id, rid)
@@ -958,8 +1054,9 @@ class EmbeddedBackend(IndexBackend):
                 ticket = (wal.append_buffered(
                     [_record_event(r) for r in records]
                 ) if wal is not None else None)
-                for rec in records:
-                    self._apply_upsert(rec, wal=False)
+                if len(records) < 2 or not self._apply_upsert_batch(records):
+                    for rec in records:
+                        self._apply_upsert(rec, wal=False)
             return ticket
 
         ticket = await asyncio.to_thread(apply)

@@ -38,6 +38,24 @@ def encode_event(ev: dict) -> bytes:
     model = (ev.get("model_id") or "").encode()
     meta: bytes = ev.get("metadata", b"")
     text = ev.get("text")
+    if emb is None and not model and text is None:
+        # fingerprint-only records (the high-rate image ingest shape)
+        # collapse to ONE struct.pack — the six-pack bytearray build
+        # below measured ~8 us/record on the 1-core ingest profile.
+        # Byte-identical output (tested in test_wal.py).
+        return struct.pack(
+            f"<BIQBIQBH{len(alg)}sI{len(fp)}sI{len(meta)}s",
+            OP_UPSERT,
+            ev["tenant_id"],
+            ev["record_id"],
+            _MOD_TO_U8[ev["modality"]],
+            ev.get("format_version", 1),
+            ev.get("config_hash", 0),
+            0,
+            len(alg), alg,
+            len(fp), bytes(fp),
+            len(meta), meta,
+        )
     flags = (1 if emb is not None else 0) | (2 if model else 0) | (
         4 if text is not None else 0
     )

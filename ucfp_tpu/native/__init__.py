@@ -34,24 +34,33 @@ def _build(src: str, out: str) -> bool:
     # compile to a temp path and rename: an interrupted/timed-out or
     # concurrent g++ must never leave a corrupt .so with a fresh mtime
     # (it would be loaded forever and silently disable the native path)
+    #
+    # -O3 -march=x86-64-v3 (AVX2) first — the same CPU baseline the
+    # reference pins (/root/reference/.cargo/config.toml:15-19); it
+    # vectorizes the imgbatch luma loop 3x vs -O2. Non-x86 toolchains
+    # reject the flag, so retry generic -O2 before giving up.
     tmp = f"{out}.{os.getpid()}.tmp"
-    try:
-        subprocess.run(
-            ["g++", "-O2", "-std=c++17", "-pthread", "-fPIC", "-shared"]
-            + _sanitize_flags() + ["-o", tmp, src],
-            check=True,
-            capture_output=True,
-            timeout=120,
-        )
-        os.replace(tmp, out)
-        return True
-    except (subprocess.CalledProcessError, FileNotFoundError, OSError,
-            subprocess.TimeoutExpired):
+    # -ffp-contract=off: FMA contraction (enabled by the AVX2 baseline)
+    # perturbs the native BM25 scores in the last ulp vs the Python
+    # engine — the two must stay float-identical (tests pin equality)
+    for opt in (["-O3", "-march=x86-64-v3", "-ffp-contract=off"], ["-O2"]):
         try:
-            os.unlink(tmp)
-        except OSError:
-            pass
-        return False
+            subprocess.run(
+                ["g++", *opt, "-std=c++17", "-pthread", "-fPIC", "-shared"]
+                + _sanitize_flags() + ["-o", tmp, src],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+            os.replace(tmp, out)
+            return True
+        except (subprocess.CalledProcessError, FileNotFoundError, OSError,
+                subprocess.TimeoutExpired):
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+    return False
 
 
 class UcfpHttpReq(ctypes.Structure):
