@@ -1030,21 +1030,23 @@ def _run_all():
         WAL-durable store, images/s (the serving-path number the
         kernel-only phash_ips cannot claim). EXACTLY the documented soak
         configuration (CLAUDE.md: scripts/soak_ingest.py --conns 16
-        --batch 128 --quiet) so the driver-captured number and the
-        soak command reproduce each other. batch=128 is the tuned device
-        batch through the tunnel runtime (256-image batches degrade
-        badly under concurrent load; 64 under-amortizes the ~30-60 ms
-        per-dispatch round trip); conns=16 keeps ~4 dispatches in
-        flight through the tunnel (8 left it under-filled: 5.1k; 32
-        overloads and collapses to 3.8k; 16 measured 5.9-6.7k across 4
-        runs); quiet skips per-record hex."""
+        --batch 1024 --quiet) so the driver-captured number and the
+        soak command reproduce each other. batch=1024 (the route max)
+        became the optimum once the whole-batch native decode +
+        vectorized store path (round-4 second half) cut the host cost
+        per image — the larger dispatch amortizes the tunnel's
+        ~30-60 ms per-kernel round trip (at the old host cost, 256-image
+        batches degraded under concurrent load; measured at the new
+        path: 128 -> 5.0-6.0k, 512 -> 8.4k, 1024 -> 13.4-16.1k).
+        conns=16 keeps the tunnel filled (8 -> 10.9k, 4 -> 11.8k,
+        24 -> 9.6k overloads); quiet skips per-record hex."""
         import pathlib
         import sys
 
         sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent / "scripts"))
         from soak_ingest import run_soak
 
-        out = run_soak(seconds=6.0, conns=16, algorithm="phash", batch=128,
+        out = run_soak(seconds=6.0, conns=16, algorithm="phash", batch=1024,
                        quiet=True)
         extra["ingest_http_errors"] = out["errors"]
         return out["req_per_sec"]
