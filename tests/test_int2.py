@@ -1,0 +1,350 @@
+"""Packed-int2 prefilter: pack algebra, kernel exactness, pipeline
+recall, serving dispatch.
+
+The int2 path (ops/pallas_int2.py + ops/knn.py cosine_int2_topk) is the
+lowest-byte approximate tier: QUARTER the exact scan's HBM bytes with a
+quantization-bounded ordering error (measured worst pool ~1k at both
+500k and 2M x 768), rescored exactly from a fixed 8k pool. These tests
+pin (a) the 2-bit pack/unpack algebra bit-exactly against a numpy
+reference, (b) pipeline recall vs the exact int8 scan, (c) masking on
+both the fused-prefix and filtered paths, and (d) the backend dispatch
++ markers under UCFP_KNN_QUANT=int2.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ucfp_tpu.ops import knn as knn_ops
+from ucfp_tpu.ops import pallas_int2
+
+
+def _rows(rng, n, d):
+    return rng.normal(size=(n, d)).astype(np.float32)
+
+
+def _quant8(rows):
+    q8, norm = knn_ops.quantize_rows_int8(rows)
+    return jnp.asarray(q8), jnp.asarray(norm)
+
+
+def _ref_int2(q8):
+    """Independent numpy reference of the pack's quantization: v in
+    [-2, 1], effective level v + 0.5, Lloyd-style scale."""
+    f = np.asarray(q8, np.float32)
+    s = 0.9957 * f.std(axis=1, keepdims=True)
+    s = np.where(s == 0.0, 1.0, s)
+    v = np.clip(np.round(f / s - 0.5), -2, 1).astype(np.int32)
+    deq = v.astype(np.float32) + 0.5
+    n2 = np.linalg.norm(deq, axis=1)
+    nz = np.abs(f).max(axis=1) > 0
+    inv = np.where(nz, 1.0 / np.maximum(n2, 1e-9), 0.0)
+    return v, deq, inv
+
+
+class TestPackAndKernel:
+    def test_pack_unpack_bit_exact(self):
+        """The four packed fields recover the exact stored values: the
+        top field via in-place AND (-64 keeps 64*a in two's complement),
+        the lower three via AND minus the +2 bias."""
+        rng = np.random.default_rng(0)
+        q8, _ = _quant8(_rows(rng, 256, 32))
+        packed_t, inv_n2 = knn_ops.pack_int2_cols(q8)
+        v, _deq, ref_inv = _ref_int2(q8)
+        p = np.asarray(packed_t).T.astype(np.int8)  # [C, D/4]
+        dq = 8  # 32 // 4
+        a = (p.astype(np.int8) >> 6).astype(np.int32)  # arithmetic shift
+        b = ((p >> 4) & 3).astype(np.int32) - 2
+        c = ((p >> 2) & 3).astype(np.int32) - 2
+        d = (p & 3).astype(np.int32) - 2
+        np.testing.assert_array_equal(a, v[:, :dq])
+        np.testing.assert_array_equal(b, v[:, dq:2 * dq])
+        np.testing.assert_array_equal(c, v[:, 2 * dq:3 * dq])
+        np.testing.assert_array_equal(d, v[:, 3 * dq:])
+        np.testing.assert_allclose(np.asarray(inv_n2), ref_inv, rtol=1e-6)
+
+    def test_zero_row_inv_is_zero(self):
+        """An all-zero int8 row dequantizes to the all-+0.5 direction —
+        the pack must force inv to 0 so the kernels mask it out (the
+        int4 path's norm-is-zero rule does not hold for int2)."""
+        q8 = jnp.zeros((8, 16), jnp.int8)
+        _, inv = knn_ops.pack_int2_cols(q8)
+        assert np.all(np.asarray(inv) == 0.0)
+
+    def test_kernel_scores_match_reference(self):
+        """int2_masked_scores == numpy dequantized dot * inv, exactly
+        (integer dots + one f32 correction — no accumulation
+        reordering)."""
+        rng = np.random.default_rng(1)
+        c, d = 512, 64
+        q8, _ = _quant8(_rows(rng, c, d))
+        packed_t, inv = knn_ops.pack_int2_cols(q8)
+        _v, deq, ref_inv = _ref_int2(q8)
+        q = rng.normal(size=(d,)).astype(np.float32)
+        qq = np.asarray(knn_ops._quantize_query(jnp.asarray(q)))
+        wa, wb, wc, wd, corr = knn_ops._int2_query_parts(
+            jnp.asarray(qq), d // 4)
+        got = np.asarray(pallas_int2.int2_masked_scores(
+            packed_t, wa, wb, wc, wd, pallas_int2.pick_rpt(c), corr,
+            inv, jnp.asarray(c, jnp.int32)))
+        ref = (deq @ qq.astype(np.float32)) * ref_inv
+        np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+    def test_prefix_mask(self):
+        rng = np.random.default_rng(2)
+        c, d = 256, 16
+        q8, _ = _quant8(_rows(rng, c, d))
+        packed_t, inv = knn_ops.pack_int2_cols(q8)
+        q = rng.normal(size=(d,)).astype(np.float32)
+        qq = np.asarray(knn_ops._quantize_query(jnp.asarray(q)))
+        wa, wb, wc, wd, corr = knn_ops._int2_query_parts(
+            jnp.asarray(qq), d // 4)
+        got = np.asarray(pallas_int2.int2_masked_scores(
+            packed_t, wa, wb, wc, wd, pallas_int2.pick_rpt(c), corr,
+            inv, jnp.asarray(100, jnp.int32)))
+        assert np.all(np.isfinite(got[:100]))
+        assert np.all(got[100:] == -np.inf)
+
+    def test_batched_scores_match_single(self):
+        rng = np.random.default_rng(3)
+        c, d, qb = 384, 32, 8
+        q8, _ = _quant8(_rows(rng, c, d))
+        packed_t, inv = knn_ops.pack_int2_cols(q8)
+        qs = rng.normal(size=(qb, d)).astype(np.float32)
+        qqs = np.asarray(knn_ops._quantize_query_rows(jnp.asarray(qs)))
+        dq = d // 4
+        wa = jnp.asarray(qqs[:, :dq])
+        wb = jnp.asarray(qqs[:, dq:2 * dq])
+        wc = jnp.asarray(qqs[:, 2 * dq:3 * dq])
+        wd = jnp.asarray(qqs[:, 3 * dq:])
+        qi = qqs.astype(np.int64)
+        corrs = jnp.asarray(
+            2.0 * qi[:, dq:].sum(1) - 0.5 * qi.sum(1), jnp.float32)
+        got = np.asarray(pallas_int2.int2_masked_scores_batched(
+            packed_t, wa, wb, wc, wd, corrs, inv,
+            pallas_int2.pick_rpt(c), jnp.asarray(c, jnp.int32)))
+        for m in range(qb):
+            wa1, wb1, wc1, wd1, corr1 = knn_ops._int2_query_parts(
+                jnp.asarray(qqs[m]), dq)
+            one = np.asarray(pallas_int2.int2_masked_scores(
+                packed_t, wa1, wb1, wc1, wd1, pallas_int2.pick_rpt(c),
+                corr1, inv, jnp.asarray(c, jnp.int32)))
+            np.testing.assert_allclose(got[m], one, rtol=1e-6)
+
+    def test_chunked_pack_bit_identical(self):
+        rng = np.random.default_rng(4)
+        q8, _ = _quant8(_rows(rng, 1024 + 200, 16))
+        p1, i1 = knn_ops.pack_int2_cols(q8)
+        p2, i2 = knn_ops.pack_int2_cols_chunked(q8, chunk=256)
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+class TestPipeline:
+    def test_topk_matches_exact_int8(self):
+        """End-to-end recall 1.0 vs the exact int8 scan at a capacity
+        where the pool (8k) is well below the catalog."""
+        rng = np.random.default_rng(5)
+        c, d, k = 65536, 64, 10
+        rows = _rows(rng, c, d)
+        q8, norm = _quant8(rows)
+        packed_t, inv = knn_ops.pack_int2_cols(q8)
+        q = rng.normal(size=(d,)).astype(np.float32)
+        valid = jnp.ones((c,), bool)
+        sc, idx = knn_ops.cosine_int2_topk(
+            jnp.asarray(q), q8, norm, packed_t, inv, valid, k,
+            knn_ops.int2_pool(c, k), n_valid=jnp.asarray(c, jnp.int32))
+        qq = np.asarray(knn_ops._quantize_query(jnp.asarray(q)))
+        exact = (np.asarray(q8, np.float32) @ qq.astype(np.float32)) \
+            / np.asarray(norm)
+        top = set(np.argsort(-exact)[:k].tolist())
+        assert len(top & set(np.asarray(idx).tolist())) == k
+
+    def test_planted_near_duplicate_found(self):
+        rng = np.random.default_rng(6)
+        c, d = 32768, 32
+        rows = _rows(rng, c, d)
+        target = rng.normal(size=(d,)).astype(np.float32)
+        rows[1234] = target + 0.01 * rng.normal(size=d).astype(np.float32)
+        q8, norm = _quant8(rows)
+        packed_t, inv = knn_ops.pack_int2_cols(q8)
+        sc, idx = knn_ops.cosine_int2_topk(
+            jnp.asarray(target), q8, norm, packed_t, inv,
+            jnp.ones((c,), bool), 1, knn_ops.int2_pool(c, 1),
+            n_valid=jnp.asarray(c, jnp.int32))
+        assert int(np.asarray(idx)[0]) == 1234
+
+    def test_validity_and_filter_mask(self):
+        """Filtered path (n_valid=None): masked rows never surface even
+        when they dominate the int2 ordering."""
+        rng = np.random.default_rng(7)
+        c, d, k = 32768, 32, 5
+        rows = _rows(rng, c, d)
+        q = rng.normal(size=(d,)).astype(np.float32)
+        rows[:64] = q  # perfect matches, all masked below
+        q8, norm = _quant8(rows)
+        packed_t, inv = knn_ops.pack_int2_cols(q8)
+        valid = jnp.asarray(np.arange(c) >= 64)
+        sc, idx = knn_ops.cosine_int2_topk(
+            jnp.asarray(q), q8, norm, packed_t, inv, valid, k,
+            knn_ops.int2_pool(c, k))
+        assert np.all(np.asarray(idx) >= 64)
+
+    def test_small_cap_exhaustive_fallback(self):
+        """pool*2 >= cap short-circuits into the exhaustive exact
+        rescore — identical to the int8 scan, no pallas kernel."""
+        rng = np.random.default_rng(8)
+        c, d, k = 2048, 16, 5
+        rows = _rows(rng, c, d)
+        q8, norm = _quant8(rows)
+        packed_t, inv = knn_ops.pack_int2_cols(q8)
+        q = rng.normal(size=(d,)).astype(np.float32)
+        sc, idx = knn_ops.cosine_int2_topk(
+            jnp.asarray(q), q8, norm, packed_t, inv,
+            jnp.ones((c,), bool), k, knn_ops.int2_pool(c, k),
+            n_valid=jnp.asarray(c, jnp.int32))
+        s8, i8 = knn_ops.cosine_topk_int8(
+            jnp.asarray(q)[None], q8, norm, jnp.ones((c,), bool), k)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(i8[0]))
+
+
+class TestCostModel:
+    def test_beats_exact_at_scale_not_small(self):
+        assert knn_ops.int2_beats_exact(
+            1 << 23, 768, knn_ops.int2_pool(1 << 23, 10))
+        assert not knn_ops.int2_beats_exact(
+            16384, 768, knn_ops.int2_pool(16384, 10))
+
+    def test_supported_shapes(self):
+        assert knn_ops.int2_supported(1024, 768)
+        assert not knn_ops.int2_supported(1024, 766)  # dim % 4 != 0
+        assert not knn_ops.int2_supported(100, 768)   # cap % 128
+
+
+class TestBackendInt2Mode:
+    """UCFP_KNN_QUANT=int2 through EmbeddedBackend."""
+
+    def _recs(self, vecs):
+        from ucfp_tpu.core import Modality, Record
+
+        return [
+            Record(0, i, Modality.TEXT, "e", b"x",
+                   embedding=[float(x) for x in vecs[i]])
+            for i in range(len(vecs))
+        ]
+
+    def test_backend_matches_int8_and_scatter(self, tmp_path, monkeypatch):
+        import asyncio
+
+        from ucfp_tpu.core import Modality, Record
+        from ucfp_tpu.index.embedded import EmbeddedBackend
+
+        run = asyncio.run
+        monkeypatch.setenv("UCFP_SHARD", "off")
+        monkeypatch.setenv("UCFP_SKETCH_COST_MODEL", "0")
+        rng = np.random.default_rng(9)
+        vecs = rng.normal(size=(300, 24)).astype(np.float32)
+        b2 = EmbeddedBackend(str(tmp_path / "q2"), knn_quant="int2")
+        b8 = EmbeddedBackend(str(tmp_path / "q8"), knn_quant="int8")
+        run(b2.upsert(self._recs(vecs)))
+        run(b8.upsert(self._recs(vecs)))
+        q = [float(x) for x in vecs[42]]
+        h2 = run(b2.knn(0, q, 5))
+        h8 = run(b8.knn(0, q, 5))
+        assert [(h.record_id, round(h.score, 6)) for h in h2] == \
+               [(h.record_id, round(h.score, 6)) for h in h8]
+        # pool covers the catalog here -> NOT approximate
+        assert not b2.knn_is_approximate(0, 24, 5)
+        # zero-width placeholder packed cache below 2*INT2_MIN_POOL
+        assert b2._vec[(0, 24)].device[2].shape[1] == 0
+        new = rng.normal(size=24).astype(np.float32)
+        run(b2.upsert([Record(0, 7777, Modality.TEXT, "e", b"x",
+                              embedding=[float(x) for x in new])]))
+        got = run(b2.knn(0, [float(x) for x in new], 1))
+        assert got[0].record_id == 7777
+        # batch path rides the exact int8 GEMM (no batched int2 tier)
+        res = run(b2.knn_batch(0, [q], 3))
+        assert res[0][0].record_id == 42
+        b2.close()
+        b8.close()
+
+    def test_backend_real_packed_cache_dispatch(self, tmp_path,
+                                                monkeypatch):
+        """Above 2*INT2_MIN_POOL the packed cache is real; force the
+        dispatch (cost model off) and verify results + marker."""
+        import asyncio
+
+        from ucfp_tpu.index.embedded import EmbeddedBackend
+
+        run = asyncio.run
+        monkeypatch.setenv("UCFP_SHARD", "off")
+        monkeypatch.setenv("UCFP_SKETCH_COST_MODEL", "0")
+        rng = np.random.default_rng(10)
+        n, d = 2 * knn_ops.INT2_MIN_POOL + 100, 16
+        vecs = rng.normal(size=(n, d)).astype(np.float32)
+        b2 = EmbeddedBackend(str(tmp_path / "big2"), knn_quant="int2")
+        run(b2.upsert(self._recs(vecs)))
+        cache = b2._vec[(0, d)]
+        assert cache.device is None or True  # built lazily on query
+        q = [float(x) for x in vecs[777]]
+        h2 = run(b2.knn(0, q, 3))
+        assert h2[0].record_id == 777
+        # real packed columns now resident: [D/4, cap]
+        assert b2._vec[(0, d)].device[2].shape == (d // 4,
+                                                   cache.data.shape[0])
+        # cap 32768: pool 8192*2 < 32768 -> marked approximate
+        assert b2.knn_is_approximate(0, d, 3)
+        # filtered query rides the unfused mask path, still correct
+        hf = run(b2.knn(0, q, 3, filter={"algorithm": "e"}))
+        assert hf[0].record_id == 777
+        # exact=True is never approximate and matches
+        he = run(b2.knn(0, q, 3, exact=True))
+        assert he[0].record_id == 777
+        b2.close()
+
+    def test_backend_odd_dim_serves_exact(self, tmp_path, monkeypatch):
+        import asyncio
+
+        from ucfp_tpu.index.embedded import EmbeddedBackend
+
+        run = asyncio.run
+        monkeypatch.setenv("UCFP_SHARD", "off")
+        monkeypatch.setenv("UCFP_SKETCH_COST_MODEL", "0")
+        rng = np.random.default_rng(11)
+        vecs = rng.normal(size=(200, 18)).astype(np.float32)  # 18 % 4 != 0
+        b2 = EmbeddedBackend(str(tmp_path / "odd"), knn_quant="int2")
+        run(b2.upsert(self._recs(vecs)))
+        q = [float(x) for x in vecs[5]]
+        assert run(b2.knn(0, q, 1))[0].record_id == 5
+        # cache omits the packed parts entirely (3-tuple: q8, norm, valid)
+        assert len(b2._vec[(0, 18)].device) == 3
+        assert not b2.knn_is_approximate(0, 18, 1)
+        b2.close()
+
+    def test_backend_sharded_int2_matches_int8(self, tmp_path,
+                                               monkeypatch):
+        """8-virtual-device mesh: the sharded int2 path returns the
+        exact int8 answer (pool per shard covers these small shards ->
+        per-shard exhaustive, merged exactly)."""
+        import asyncio
+
+        from ucfp_tpu.index.embedded import EmbeddedBackend
+
+        run = asyncio.run
+        monkeypatch.setenv("UCFP_SHARD", "auto")
+        monkeypatch.setenv("UCFP_SKETCH_COST_MODEL", "0")
+        rng = np.random.default_rng(12)
+        vecs = rng.normal(size=(1024, 16)).astype(np.float32)
+        b2 = EmbeddedBackend(str(tmp_path / "mesh2"), knn_quant="int2")
+        b8 = EmbeddedBackend(str(tmp_path / "mesh8"), knn_quant="int8")
+        run(b2.upsert(self._recs(vecs)))
+        run(b8.upsert(self._recs(vecs)))
+        q = [float(x) for x in vecs[100]]
+        h2 = run(b2.knn(0, q, 5))
+        h8 = run(b8.knn(0, q, 5))
+        assert [(h.record_id, round(h.score, 5)) for h in h2] == \
+               [(h.record_id, round(h.score, 5)) for h in h8]
+        b2.close()
+        b8.close()

@@ -394,7 +394,10 @@ class EmbeddedBackend(IndexBackend):
         # candidates, exact int8 rescore — responses marked approximate);
         # "int4" = int8 PLUS a nibble-packed int4 prefilter (2x less HBM
         # than the exact scan at near-exact ordering, tiny rescore pool —
-        # the recommended approximate tier, ops/pallas_int4.py). Also
+        # the recommended approximate tier, ops/pallas_int4.py);
+        # "int2" = int8 PLUS a 2-bit packed prefilter (4x less HBM than
+        # exact; fixed 8k rescore pool, ops/pallas_int2.py — the fastest
+        # single-query tier; batched queries ride the exact GEMM). Also
         # settable via UCFP_KNN_QUANT.
         self.knn_quant = (knn_quant or os.environ.get("UCFP_KNN_QUANT", "none")).lower()
         self._planes: dict[int, object] = {}  # dim -> device planes
@@ -1177,38 +1180,46 @@ class EmbeddedBackend(IndexBackend):
         import jax.numpy as jnp
 
         cap = cache.data.shape[0]
-        quant = self.knn_quant in ("int8", "sketch", "int4")
+        quant = self.knn_quant in ("int8", "sketch", "int4", "int2")
         sketch_on = self._sketch_on()
-        # odd dims can't nibble-pair: the cache simply omits the packed
-        # parts and the dispatch (gated on int4_supported) serves exact
+        # odd dims can't nibble-pair (and int2 needs dim % 4): the cache
+        # simply omits the packed parts and the dispatch (gated on
+        # int4_supported / int2_supported) serves exact
         int4_on = self._int4_on() and cache.data.shape[1] % 2 == 0
+        int2_on = self._int2_on() and cache.data.shape[1] % 4 == 0
+        packed_on = int4_on or int2_on
+        pack_full = (knn_ops.pack_int2_cols_chunked if int2_on
+                     else knn_ops.pack_int4_cols_chunked)
+        pack_rows = (knn_ops.pack_int2_cols if int2_on
+                     else knn_ops.pack_int4_cols)
+        packed_min_cap = 2 * (knn_ops.INT2_MIN_POOL if int2_on
+                              else knn_ops.INT4_MIN_POOL)
+        packed_den = 4 if int2_on else 2
         if cache.dirty or cache.device is None:
             if quant:
                 q8, row_norm = knn_ops.quantize_rows_int8(cache.data)
                 q8m = self._put_matrix(q8)
                 parts = [q8m, self._put_rowvec(row_norm)]
-                if int4_on:
-                    if cap > 2 * knn_ops.INT4_MIN_POOL:
-                        # packed columns ([D/2, cap] int8) + 1/|int4
-                        # row|; chunked pack over the already-resident
-                        # q8m (the one-shot pack stages a full f32
-                        # copy — OOM at multi-GB capacities)
-                        packed_t, inv_n4 = knn_ops.pack_int4_cols_chunked(
-                            q8m
-                        )
+                if packed_on:
+                    if cap > packed_min_cap:
+                        # packed columns ([D/2 or D/4, cap] int8) +
+                        # 1/|packed row|; chunked pack over the already-
+                        # resident q8m (the one-shot pack stages a full
+                        # f32 copy — OOM at multi-GB capacities)
+                        packed_t, inv_np = pack_full(q8m)
                         parts.append(self._put_packed(packed_t))
-                        parts.append(self._put_rowvec(inv_n4))
+                        parts.append(self._put_rowvec(inv_np))
                     else:
-                        # below 2*INT4_MIN_POOL every k gives
-                        # pool*2 >= cap, so the kernel's exhaustive
-                        # branch never reads the packed columns —
-                        # zero-width placeholders keep the 5-tuple
-                        # layout stable without pack compute, device
-                        # transfer, or the +50% HBM copy (growth past
-                        # the threshold triggers a full rebuild)
+                        # below 2*MIN_POOL every k gives pool*2 >= cap,
+                        # so the kernel's exhaustive branch never reads
+                        # the packed columns — zero-width placeholders
+                        # keep the 5-tuple layout stable without pack
+                        # compute, device transfer, or the +50%/+25% HBM
+                        # copy (growth past the threshold triggers a
+                        # full rebuild)
                         parts.append(
-                            jnp.zeros((cache.data.shape[1] // 2, 0),
-                                      jnp.int8)
+                            jnp.zeros((cache.data.shape[1] // packed_den,
+                                       0), jnp.int8)
                         )
                         parts.append(jnp.zeros((0,), jnp.float32))
                 if sketch_on:
@@ -1245,12 +1256,12 @@ class EmbeddedBackend(IndexBackend):
                     self._scatter_rows(m, ridx, q8u_dev),
                     self._scatter_rows(rn, ridx, jnp.asarray(rnu)),
                 ]
-                if int4_on:
+                if packed_on:
                     if cache.device[2].shape[1]:
-                        # column scatter into the packed [D/2, cap]
+                        # column scatter into the packed [D/2|D/4, cap]
                         # layout (row i of the catalog is COLUMN i) +
                         # inv-norm rows
-                        pk, inv = knn_ops.pack_int4_cols(q8u_dev)
+                        pk, inv = pack_rows(q8u_dev)
                         packed = cache.device[2].at[:, ridx].set(pk)
                         if self._mesh is not None:
                             import jax
@@ -1296,6 +1307,9 @@ class EmbeddedBackend(IndexBackend):
     def _int4_on(self) -> bool:
         return self.knn_quant == "int4"
 
+    def _int2_on(self) -> bool:
+        return self.knn_quant == "int2"
+
     def _put_packed(self, arr):
         """Placement for the packed-int4 [D/2, cap] columns: catalog
         rows ride the LANE axis, so under a mesh the shard split is on
@@ -1320,6 +1334,16 @@ class EmbeddedBackend(IndexBackend):
         cap_l = max(1, cap // nsh)
         return knn_ops.int4_beats_exact(
             cap_l, dim, knn_ops.int4_pool(cap_l, k), fused=fused
+        )
+
+    def _int2_worth_it(self, cap: int, dim: int, k: int,
+                       fused: bool = True) -> bool:
+        """Cost-model gate for the int2 prefilter (per-shard, like
+        _int4_worth_it)."""
+        nsh = self._n_shards()
+        cap_l = max(1, cap // nsh)
+        return knn_ops.int2_beats_exact(
+            cap_l, dim, knn_ops.int2_pool(cap_l, k), fused=fused
         )
 
     def _int4_batch_worth_it(self, cap: int, dim: int, k: int,
@@ -1518,6 +1542,13 @@ class EmbeddedBackend(IndexBackend):
                 return knn_ops.int4_pool(cap_l, k) * 2 < cap_l
             # cost model routed to the exact path; fall through to its
             # marker below
+        if self._int2_on() and not batch:
+            cap = cache.data.shape[0]
+            if self._int2_worth_it(cap, dim, k):
+                # same per-shard threshold rule as the int4 marker
+                nsh = self._n_shards()
+                cap_l = max(1, cap // nsh)
+                return knn_ops.int2_pool(cap_l, k) * 2 < cap_l
         if self._mesh is not None:
             return False
         return self._fused_pool_ok(cache.data.shape[0], cache.n, k)
@@ -1649,8 +1680,21 @@ class EmbeddedBackend(IndexBackend):
                         n_valid=(n_snap if flt_mask is True else None),
                     )
                     scores, idx = s1[None, :], i1[None, :]
-                elif self.knn_quant in ("int8", "sketch", "int4"):
-                    # exact sharded int8 scan — also the sketch/int4
+                elif self._int2_on() and not exact and self._int2_worth_it(
+                    dev[0].shape[0], len(query), kk,
+                    fused=flt_mask is True,
+                ):
+                    import jax.numpy as jnp
+
+                    q8m, row_norm, packed_t, inv_n2, valid = dev
+                    s1, i1 = sharded_knn.sharded_cosine_int2_topk(
+                        jnp.asarray(q), q8m, row_norm, packed_t, inv_n2,
+                        valid, kk, self._mesh, self._mesh_axes,
+                        n_valid=(n_snap if flt_mask is True else None),
+                    )
+                    scores, idx = s1[None, :], i1[None, :]
+                elif self.knn_quant in ("int8", "sketch", "int4", "int2"):
+                    # exact sharded int8 scan — also the sketch/int4/int2
                     # fallback when the cost model says exact wins
                     # (approximate tiers never serve slower than exact)
                     q8m, row_norm, valid = dev[0], dev[1], dev[-1]
@@ -1693,8 +1737,22 @@ class EmbeddedBackend(IndexBackend):
                     n_valid=npre,
                 )
                 scores, idx = s1[None, :], i1[None, :]
-            elif self.knn_quant in ("int8", "sketch", "int4"):
-                # exact int8 scan — also the sketch/int4-mode fallback
+            elif self._int2_on() and not exact and self._int2_worth_it(
+                dev[0].shape[0], len(query), kk,
+                fused=flt_mask is True,
+            ):
+                import jax.numpy as jnp
+
+                q8m, row_norm, packed_t, inv_n2, valid = dev
+                npre = (jnp.int32(n_snap) if flt_mask is True else None)
+                s1, i1 = knn_ops.cosine_int2_topk(
+                    jnp.asarray(q), q8m, row_norm, packed_t, inv_n2,
+                    valid, kk, knn_ops.int2_pool(q8m.shape[0], kk),
+                    n_valid=npre,
+                )
+                scores, idx = s1[None, :], i1[None, :]
+            elif self.knn_quant in ("int8", "sketch", "int4", "int2"):
+                # exact int8 scan — also the sketch/int4/int2 fallback
                 # when the cost model says exact wins at this capacity
                 q8m, row_norm, valid = dev[0], dev[1], dev[-1]
                 scores, idx = self._int8_single_topk(
@@ -1848,7 +1906,7 @@ class EmbeddedBackend(IndexBackend):
                         jnp.asarray(qm), q8m, row_norm, packed_t, inv_n4,
                         n_snap, kk, self._mesh, self._mesh_axes,
                     )
-                elif self.knn_quant in ("int8", "sketch", "int4"):
+                elif self.knn_quant in ("int8", "sketch", "int4", "int2"):
                     # batched queries amortize the sharded scan; the
                     # prefilter caches' int8 matrix serves the GEMM
                     q8m, row_norm, valid = dev[0], dev[1], dev[-1]
@@ -1874,7 +1932,7 @@ class EmbeddedBackend(IndexBackend):
                     jnp.asarray(qm), q8m, row_norm, packed_t, inv_n4,
                     n_snap, kk, knn_ops.int4_batch_pool(q8m.shape[0], kk),
                 )
-            elif self.knn_quant in ("int8", "sketch", "int4"):
+            elif self.knn_quant in ("int8", "sketch", "int4", "int2"):
                 # batched queries amortize the HBM scan across the whole
                 # GEMM, so the sketch prefilter buys little here — ride
                 # the int8 path (the prefilter caches are supersets of

@@ -734,6 +734,187 @@ def cosine_int4_topk(
     return _rescore_exact(q8, gidx, slot_ok, query, k, sorted_unique=False)
 
 
+# -- packed-int2 prefilter + exact int8 rescore ------------------------------
+#
+# UCFP_KNN_QUANT=int2: the lowest-byte prefilter tier. Four dims per
+# byte ([D/4, C] int8 columns, ops/pallas_int2.py) stream QUARTER the
+# exact scan's bytes (1.875 GB at 10M x 768, ~2.3 ms floor on one
+# v5e). The 2-bit code stores v in [-2, 1] per dim and dequantizes as
+# (v + 0.5) * s — four symmetric levels +-0.5s, +-1.5s with a
+# Lloyd-style per-row scale s ~= 0.9957 * row std (the optimal uniform
+# 4-level quantizer for Gaussian data). Ordering quality (measured,
+# random normal rows, exact-int8 top-10 coverage, 16 queries each):
+# worst pool 1,025 / median 167 at 500k x 768 and worst 976 /
+# median 205 at 2M x 768 — the rank error is bounded by quantization
+# noise, NOT catalog competition (same scale-free behavior as int4's
+# <= 30 ranks, one order coarser), so a fixed 8k pool carries ~8x
+# margin over the measured worst at any capacity and the gather cost
+# (~13 ns/row) stays ~0.1 ms. Pipeline: fused masked-scores pallas
+# scan -> segmented per-quota selection (the sketch tier's — the int4
+# per-cell partial reduce would drop rank-1e3 rows to cell collisions)
+# -> exact int8 rescore; same never-slower-than-exact cost-model
+# dispatch contract.
+
+INT2_MIN_POOL = 8192
+
+
+def int2_pool(n: int, k: int) -> int:
+    """Rescore-pool size for the int2 prefilter: fixed like int4's (the
+    rank error is quantization-bounded — measured worst ~1.0k at BOTH
+    500k and 2M x 768 — not catalog-scaled), 8192 keeps ~8x margin."""
+    return min(n, max(INT2_MIN_POOL, 64 * k))
+
+
+def int2_supported(cap: int, dim: int) -> bool:
+    """Kernel shape constraints: dim divisible by 4 (four fields per
+    byte) and a 128-multiple capacity (pallas tile divisor)."""
+    return dim % 4 == 0 and cap >= 128 and cap % 128 == 0
+
+
+@jax.jit
+def pack_int2_cols(q8m: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """[C, D] int8 rows -> (packed_t [D/4, C] int8, inv_n2 [C] f32).
+
+    Per-row Lloyd-style 2-bit quantization (see the section comment).
+    Packing: dim j rides byte j's bits 6-7 as the SIGNED field (two's
+    complement in place, so the in-kernel `byte & -64` is exactly 64*a),
+    dims j+D/4 / j+D/2 / j+3D/4 ride bits 4-5 / 2-3 / 0-1 BIASED +2 —
+    pure-AND unpack (ops/pallas_int2.py for the Mosaic story). inv_n2
+    is 1/|dequantized row| with 0 forced for all-zero int8 rows (the
+    dequantized code is never the zero vector, so the zero-row mask
+    cannot ride the norm as the int4 path's does)."""
+    return _pack_int2_rows(q8m)
+
+
+def _pack_int2_rows(q8m):
+    f = q8m.astype(jnp.float32)
+    s = 0.9957 * jnp.std(f, axis=1, keepdims=True)
+    s = jnp.where(s == 0.0, 1.0, s)
+    v = jnp.clip(jnp.round(f / s - 0.5), -2, 1).astype(jnp.int32)
+    dq = q8m.shape[1] // 4
+    a = v[:, :dq]
+    b = v[:, dq:2 * dq] + 2
+    c = v[:, 2 * dq:3 * dq] + 2
+    d = v[:, 3 * dq:] + 2
+    byte = ((a & 3) << 6) | (b << 4) | (c << 2) | d
+    packed_t = byte.astype(jnp.int8).T  # [D/4, C]
+    deq = v.astype(jnp.float32) + 0.5
+    n2 = jnp.sqrt(jnp.sum(deq * deq, axis=1))
+    nz = jnp.max(jnp.abs(f), axis=1) > 0.0
+    inv_n2 = jnp.where(nz, 1.0 / jnp.maximum(n2, 1e-9), 0.0)
+    return packed_t, inv_n2
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _pack_int2_map(q8m, chunk):
+    # identical in-place assembly strategy to _pack_int4_map
+    n, d = q8m.shape
+    out_p = jnp.zeros((d // 4, n), jnp.int8)
+    out_i = jnp.zeros((n,), jnp.float32)
+
+    def body(g, carry):
+        op, oi = carry
+        blk = jax.lax.dynamic_slice(q8m, (g * chunk, 0), (chunk, d))
+        pk, inv = _pack_int2_rows(blk)
+        return (
+            jax.lax.dynamic_update_slice(op, pk, (0, g * chunk)),
+            jax.lax.dynamic_update_slice(oi, inv, (g * chunk,)),
+        )
+
+    return jax.lax.fori_loop(0, n // chunk, body, (out_p, out_i))
+
+
+def pack_int2_cols_chunked(q8m, chunk: int = 1 << 18):
+    """Memory-safe pack_int2_cols for multi-GB catalogs (the int4
+    chunked pack's strategy; row-wise math makes it bit-identical to
+    the one-shot pack)."""
+    n = q8m.shape[0]
+    if n <= chunk:
+        return pack_int2_cols(q8m)
+    m = (n // chunk) * chunk
+    pk, inv = _pack_int2_map(q8m[:m], chunk)
+    if m < n:
+        pk_t, inv_t = pack_int2_cols(q8m[m:])
+        pk = jnp.concatenate([pk, pk_t], axis=1)
+        inv = jnp.concatenate([inv, inv_t])
+    return pk, inv
+
+
+def _int2_query_parts(qq, dq):
+    """Split an int8 query into the four [SUB, D/4] weight blocks plus
+    the f32 correction scalar (2*(Σwb+Σwc+Σwd) - 0.5*Σw_all — the +2
+    field biases and the +0.5 dequant offset, see pallas_int2)."""
+    from . import pallas_int2
+
+    def blk(seg):
+        return jnp.zeros((pallas_int2.SUB, dq), jnp.int8).at[0].set(seg)
+
+    wa = blk(qq[:dq])
+    wb = blk(qq[dq:2 * dq])
+    wc = blk(qq[2 * dq:3 * dq])
+    wd = blk(qq[3 * dq:])
+    qi = qq.astype(jnp.int32)
+    corr = (2 * jnp.sum(qi[dq:]) ).astype(jnp.float32) - 0.5 * jnp.sum(
+        qi
+    ).astype(jnp.float32)
+    return wa, wb, wc, wd, corr
+
+
+def cosine_int2_topk(
+    query: jax.Array,  # [D] f32
+    q8: jax.Array,  # [C, D] int8 (the exact-rescore matrix)
+    row_norm: jax.Array,  # [C] f32 (|int8 row|)
+    packed_t: jax.Array,  # [D/4, C] int8 (pack_int2_cols)
+    inv_n2: jax.Array,  # [C] f32
+    valid: jax.Array,  # [C] bool (validity AND any device-side filter)
+    k: int,
+    pool: int,
+    n_valid: jax.Array | None = None,  # prefix length when valid IS the
+    #                                    row-prefix rule (no filters)
+) -> tuple[jax.Array, jax.Array]:
+    """Packed-int2-prefilter cosine top-k. Returns ([k] scores, [k]
+    idx); scores are exact int8 cosines of the rescored pool (same
+    contract as cosine_int4_topk). With `n_valid` the prefix mask fuses
+    into the pallas scan; filtered queries pass n_valid=None and the
+    filter mask runs as one XLA pass over the [C] f32 scores."""
+    from . import pallas_int2
+
+    c, d = q8.shape
+    if pool * 2 >= c:
+        ok = valid & (row_norm > 0.0)
+        cidx = jnp.arange(c, dtype=jnp.int32)
+        return _rescore_exact(q8, cidx, ok, query, k)
+    qq = _quantize_query(query)
+    wa, wb, wc, wd, corr = _int2_query_parts(qq, d // 4)
+    s2 = pallas_int2.int2_masked_scores(
+        packed_t, wa, wb, wc, wd, pallas_int2.pick_rpt(c), corr, inv_n2,
+        n_valid if n_valid is not None else jnp.asarray(c, jnp.int32),
+    )
+    if n_valid is None:
+        ok = valid & (row_norm > 0.0)
+        s2 = jnp.where(ok, s2, NEG_INF)
+    # SEGMENTED per-quota selection (the sketch tier's): int2 pools run
+    # thousands of rows, where the int4 path's per-(tile, lane) partial
+    # reduce (one survivor per 256 rows) would drop true top-k rows to
+    # cell collisions — a rank-r row dies with P ~= r/C * 256, fine for
+    # int4's r <= 30 but ruinous at int2's r ~ 1e3-1e4. The per-segment
+    # quota keeps pool*1.3 candidates spread evenly instead.
+    seg = SKETCH_SEG
+    pad = (-c) % seg
+    if pad:
+        s2 = jnp.concatenate([s2, jnp.full((pad,), NEG_INF, s2.dtype)])
+    nseg = (c + pad) // seg
+    quota = min(seg, max(8, -(-int(pool * 1.3) // nseg)))
+    _sv, si = jax.lax.approx_max_k(s2.reshape(nseg, seg), quota)
+    sel_ok = _sv > NEG_INF
+    gidx = (
+        si + (jnp.arange(nseg, dtype=jnp.int32) * seg)[:, None]
+    ).reshape(-1)
+    slot_ok = sel_ok.reshape(-1) & (gidx < c)
+    gidx = jnp.minimum(gidx, c - 1)
+    return _rescore_exact(q8, gidx, slot_ok, query, k, sorted_unique=False)
+
+
 def _quantize_query_rows(qm):
     """Per-row symmetric int8 quantization of a [Q, D] query block —
     the batched twin of _quantize_query (same scale rule per row)."""
@@ -926,6 +1107,43 @@ def int4_batch_beats_exact(cap: int, dim: int, q: int, pool: int) -> bool:
     )
 
 
+def int2_model_ms(cap: int, dim: int, pool: int) -> float:
+    """Modeled p50 of the int2-prefilter pipeline at (cap, pool): the
+    packed scan streams cap*(dim/4 + 8) bytes (tile + inv-norm), the
+    segmented selection costs ~select_us per quota unit, the pool pays
+    the gather constant + an exact rescore. Constants honor the
+    UCFP_COST_* recalibration contract (UCFP_COST_INT2_GBPS /
+    UCFP_COST_INT2_FLAT_MS); the int4-fitted stream rate is the prior
+    until the chip capture refits it."""
+    stream = cap * (dim // 4 + 8) / (_cost_const("int2_gbps") * 1e6)
+    nseg = -(-cap // SKETCH_SEG)
+    quota = min(SKETCH_SEG, max(8, -(-int(pool * 1.3) // nseg)))
+    select = quota * _cost_const("select_us") / 1e3
+    gather = pool * _cost_const("gather_ns") / 1e6
+    rescore = pool * dim / (_cost_const("hbm_gbps") * 1e6)
+    return stream + select + gather + rescore + _cost_const("int2_flat_ms")
+
+
+def int2_beats_exact(cap: int, dim: int, pool: int,
+                     fused: bool = True) -> bool:
+    """Serving dispatch predicate for UCFP_KNN_QUANT=int2 — the same
+    never-slower-than-exact contract as int4_beats_exact. fused=False
+    models the filtered path's extra XLA mask pass over the [C] f32
+    scores."""
+    import os
+
+    if not int2_supported(cap, dim):
+        return False
+    if os.environ.get("UCFP_SKETCH_COST_MODEL", "1") == "0":
+        return True
+    if pool * 2 >= cap:
+        return False
+    est = int2_model_ms(cap, dim, pool)
+    if not fused:
+        est += 2 * 4.0 * cap / (_cost_const("hbm_gbps") * 1e6)
+    return est < exact_scan_model_ms(cap, dim)
+
+
 def int4_beats_exact(cap: int, dim: int, pool: int,
                      fused: bool = True) -> bool:
     """Serving dispatch predicate for UCFP_KNN_QUANT=int4 — same
@@ -986,6 +1204,11 @@ _COST_DEFAULTS = {
     #                      5.27 ms @ 10M / 0.72 ms @ 1.25M x 768 —
     #                      raw slope is ~754 GB/s)
     "int4_flat_ms": 0.15,  # int4 top-pool + rescore composition
+    "int2_gbps": 730.0,  # int2 pipeline effective stream rate — the
+    #                      int4-fitted prior until a chip capture refits
+    "int2_flat_ms": 0.3,  # int2 selection + rescore composition (the
+    #                      segmented approx_max_k costs more than the
+    #                      int4 partial-reduce; conservative prior)
     "base_ms": 2.4,      # query plan + small kernels + XLA composition
     #                      overhead of the full fused program (fitted so
     #                      the model reproduces the round-4 chip capture:

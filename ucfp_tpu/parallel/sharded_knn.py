@@ -268,21 +268,25 @@ def sharded_cosine_sketch_topk(query, planes, db8, row_norm, sketch, valid,
                                        valid, k, cand, mesh, tuple(axes))
 
 
-@functools.partial(jax.jit, static_argnums=(6, 7, 8))
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 10))
 def _sharded_cosine_int4_impl(query, db8, row_norm, packed_t, inv_n4,
                               valid, k: int, mesh: Mesh,
                               axes: tuple = (AXIS,),
-                              n_valid=None):
+                              n_valid=None, kind: str = "int4"):
     from ..ops import knn as knn_ops
 
+    topk_fn = (knn_ops.cosine_int2_topk if kind == "int2"
+               else knn_ops.cosine_int4_topk)
+    pool_fn = knn_ops.int2_pool if kind == "int2" else knn_ops.int4_pool
+
     def local(q, m, rn, pk, inv, v, *nv):
-        # each shard runs the packed-int4 prefilter + exact rescore over
-        # its own rows. The pool is FIXED-size (int4 rank error is
+        # each shard runs the packed prefilter + exact rescore over
+        # its own rows. The pool is FIXED-size (int4/int2 rank error is
         # quantization noise, not bit starvation), so each shard keeps
         # its own full pool — per-shard recall only improves vs the
         # single-chip path while the scanned bytes divide by the mesh.
         k_local = min(k, m.shape[0])
-        pool_local = knn_ops.int4_pool(m.shape[0], k)
+        pool_local = pool_fn(m.shape[0], k)
         if nv:
             # global prefix validity maps to a per-shard prefix (rows
             # are contiguous blocks), unlocking the fused kernel on
@@ -291,12 +295,12 @@ def _sharded_cosine_int4_impl(query, db8, row_norm, packed_t, inv_n4,
                 nv[0] - _flat_shard_index(axes) * m.shape[0],
                 0, m.shape[0],
             ).astype(jnp.int32)
-            vals, idx = knn_ops.cosine_int4_topk(
+            vals, idx = topk_fn(
                 q, m, rn, pk, inv, v, k_local, pool_local,
                 n_valid=n_local,
             )
         else:
-            vals, idx = knn_ops.cosine_int4_topk(
+            vals, idx = topk_fn(
                 q, m, rn, pk, inv, v, k_local, pool_local
             )
         gidx = idx + _flat_shard_index(axes) * m.shape[0]
@@ -340,6 +344,18 @@ def sharded_cosine_int4_topk(query, db8, row_norm, packed_t, inv_n4,
     return _sharded_cosine_int4_impl(query, db8, row_norm, packed_t,
                                      inv_n4, valid, k, mesh, tuple(axes),
                                      n_valid)
+
+
+def sharded_cosine_int2_topk(query, db8, row_norm, packed_t, inv_n2,
+                             valid, k: int, mesh: Mesh,
+                             axes: tuple = (AXIS,), n_valid=None):
+    """Sharded packed-int2 prefilter cosine: the int4 impl with the
+    quarter-byte scan + its fixed 8k pool per shard (ops/knn.py
+    cosine_int2_topk). packed_t [D/4, C] COLUMN-sharded like the int4
+    columns (_put_packed). Returns ([k] scores, [k] global idx)."""
+    return _sharded_cosine_int4_impl(query, db8, row_norm, packed_t,
+                                     inv_n2, valid, k, mesh, tuple(axes),
+                                     n_valid, kind="int2")
 
 
 @functools.partial(jax.jit, static_argnums=(6, 7, 8))

@@ -73,7 +73,7 @@ def _work() -> None:
         for d in dims:
             m = np.zeros((1024, d), np.float32)
             m[:16, 0] = 1.0
-            if quant in ("int8", "sketch", "int4"):
+            if quant in ("int8", "sketch", "int4", "int2"):
                 q8, rn = knn_ops.quantize_rows_int8(m)
                 knn_ops.cosine_topk_int8(
                     jnp.asarray(m[:1]), jnp.asarray(q8), jnp.asarray(rn),
@@ -120,6 +120,30 @@ def _work() -> None:
                         jnp.asarray(m4[:2]), jnp.asarray(q84),
                         jnp.asarray(rn4), packed_t, inv_n4, 16, k,
                         knn_ops.int4_batch_pool(c4, k),
+                    )
+                if quant == "int2" and d % 4 == 0:
+                    # same pre-compile story as int4: the smallest
+                    # servable int2 capacity is 2*INT2_MIN_POOL, and
+                    # both the fused (prefix) and filtered variants are
+                    # separate jit entries
+                    c2 = 4 * knn_ops.INT2_MIN_POOL
+                    m2 = np.zeros((c2, d), np.float32)
+                    m2[:16, 0] = 1.0
+                    q82, rn2 = knn_ops.quantize_rows_int8(m2)
+                    packed2, inv_n2 = knn_ops.pack_int2_cols(
+                        jnp.asarray(q82)
+                    )
+                    v2 = jnp.zeros((c2,), bool).at[:16].set(True)
+                    knn_ops.cosine_int2_topk(
+                        jnp.asarray(m2[0]), jnp.asarray(q82),
+                        jnp.asarray(rn2), packed2, inv_n2, v2, k,
+                        knn_ops.int2_pool(c2, k),
+                        n_valid=jnp.int32(16),
+                    )
+                    knn_ops.cosine_int2_topk(
+                        jnp.asarray(m2[0]), jnp.asarray(q82),
+                        jnp.asarray(rn2), packed2, inv_n2, v2, k,
+                        knn_ops.int2_pool(c2, k),
                     )
                 if quant == "sketch":
                     planes = jnp.asarray(knn_ops.sketch_planes(d))
