@@ -747,6 +747,82 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
         shard_exact_ms = shard_sketch_ms = shard_int4_ms = float("nan")
     merge_model_ms = 0.1
 
+    # -- packed-int2 prefilter tier (UCFP_KNN_QUANT=int2), own phase ----
+    # A 16 GB v5e cannot hold int8 + int4 + sketch + int2 at once
+    # (7.15 + 3.6 + 0.9 + 1.8 GB plus the ~1 GB recall transients), so
+    # the int2 tier runs after the int4/sketch arrays are dropped. Its
+    # three timing rounds interleave with the (device-heavy) recall
+    # measurement for the same contention-spread reason as the main
+    # loop; the shared `unstable` flag covers its spread too.
+    del packed_t, inv_n4, sketch
+    if shard_n:
+        del sk_s
+    packed2_t, inv_n2 = (
+        jax.block_until_ready(a)
+        for a in knn_ops.pack_int2_cols_chunked(m8, chunk=tile)
+    )
+    pool_i2 = knn_ops.int2_pool(n, k)
+
+    @functools.partial(jax.jit, static_argnums=(6, 7))
+    def loop_int2(q, m, rnv, pk, inv, nv, it, pool):
+        # same fused-path shape as loop_int4: nv = prefix-validity
+        # scalar, `valid` built in-trace (never read on the fused path)
+        vd = jnp.ones((m.shape[0],), bool)
+
+        def body(_i, carry):
+            _vals, idx = knn_ops.cosine_int2_topk(
+                carry, m, rnv, pk, inv, vd, k, pool, n_valid=nv,
+            )
+            return jnp.clip(
+                carry + m[idx[0]].astype(jnp.float32) / 127.0, -127.0, 127.0
+            )
+
+        out = jax.lax.fori_loop(0, it, body, q)
+        return jnp.sum(out)
+
+    def t_int2(m=None, rnv=None, pk=None, inv=None, nv=None, pool=None,
+               it=None):
+        return _timed(
+            lambda nit: float(
+                loop_int2(
+                    qf,
+                    m if m is not None else m8,
+                    rnv if rnv is not None else rn,
+                    pk if pk is not None else packed2_t,
+                    inv if inv is not None else inv_n2,
+                    nv if nv is not None else jnp.int32(n),
+                    nit,
+                    pool if pool is not None else pool_i2,
+                )
+            ),
+            it if it is not None else iters,
+        ) * 1000.0
+
+    def int2_hits(exact_sets):
+        hits = 0
+        for i, es in enumerate(exact_sets):
+            _s, ii = knn_ops.cosine_int2_topk(
+                queries[i], m8, rn, packed2_t, inv_n2, valid, k, pool_i2,
+                n_valid=jnp.int32(n),  # the fused serving path
+            )
+            hits += len(es & set(ii.tolist()))
+        return hits
+
+    times["int2"] = []
+    hits_i2 = 0
+    for r in range(rounds):
+        times["int2"].append(t_int2())
+        if r == 0 and exact_sets is not None:
+            hits_i2 = int2_hits(exact_sets)
+    if shard_n:
+        shard_int2_ms = t_int2(
+            m=m8_s, rnv=rn_s, pk=packed2_t[:, :shard_n],
+            inv=inv_n2[:shard_n], nv=jnp.int32(shard_n),
+            pool=knn_ops.int2_pool(shard_n, k), it=iters_shard,
+        )
+    else:
+        shard_int2_ms = float("nan")
+
     def _stats(xs):
         xs = sorted(xs)
         return {
@@ -758,6 +834,7 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
     rq, rf = hits_q / n_trials, hits_f / n_trials
     ri4 = hits_i4 / n_trials
     ri4b = hits_i4b / n_trials
+    ri2 = hits_i2 / n_trials
 
     def _ci95(p):
         return round(1.96 * (p * (1.0 - p) / n_trials) ** 0.5, 3)
@@ -792,6 +869,10 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
         "query_cosine_int4_range_ms": st["int4"]["range"],
         "int4_recall10_random_10m_x768": round(ri4, 3),
         "int4_recall10_ci95": _ci95(ri4),
+        "query_cosine_int2_p50_ms_10m_x768": st["int2"]["p50"],
+        "query_cosine_int2_range_ms": st["int2"]["range"],
+        "int2_recall10_random_10m_x768": round(ri2, 3),
+        "int2_recall10_ci95": _ci95(ri2),
         "sketch_timing_unstable": unstable,
         "sketch_recall10_random_10m_x768": round(rq, 3),
         "sketch_recall10_ci95": _ci95(rq),
@@ -806,6 +887,7 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
         "query_sharded_per_shard_exact_p50_ms": round(shard_exact_ms, 3),
         "query_sharded_per_shard_p50_ms": round(shard_sketch_ms, 3),
         "query_sharded_per_shard_int4_p50_ms": round(shard_int4_ms, 3),
+        "query_sharded_per_shard_int2_p50_ms": round(shard_int2_ms, 3),
         "query_sharded_merge_model_ms": merge_model_ms,
         "query_v5e8_derived_exact_ms": round(
             shard_exact_ms + merge_model_ms, 3
@@ -815,6 +897,9 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
         ),
         "query_v5e8_derived_int4_ms": round(
             shard_int4_ms + merge_model_ms, 3
+        ),
+        "query_v5e8_derived_int2_ms": round(
+            shard_int2_ms + merge_model_ms, 3
         ),
         "sharded_rows_per_shard": shard_n,
     }
@@ -1046,10 +1131,21 @@ def _run_all():
         sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent / "scripts"))
         from soak_ingest import run_soak
 
-        out = run_soak(seconds=6.0, conns=16, algorithm="phash", batch=1024,
-                       quiet=True)
-        extra["ingest_http_errors"] = out["errors"]
-        return out["req_per_sec"]
+        # median of 3 windows: a single 6 s window is exposed to tunnel
+        # congestion transients — one rehearsal captured 4.4k imgs/s
+        # where three standalone runs minutes later gave 10.4-15.5k
+        # (per-batch elapsed 480-980 ms vs the ~76 ms steady state).
+        # The range + instability flag make a congested capture visible
+        # instead of masquerading as a regression.
+        runs = [run_soak(seconds=4.0, conns=16, algorithm="phash",
+                         batch=1024, quiet=True) for _ in range(3)]
+        rates = sorted(r["req_per_sec"] for r in runs)
+        extra["ingest_http_errors"] = sum(r["errors"] for r in runs)
+        extra["ingest_http_range_imgs_per_sec"] = [rates[0], rates[-1]]
+        extra["ingest_http_unstable"] = bool(
+            rates[0] > 0 and rates[-1] / rates[0] > 2.0
+        )
+        return rates[1]
 
     # UCFP_BENCH_ONLY=<substr>[,<substr>...] runs only matching metrics
     # (builder-side selective runs; the driver never sets it)

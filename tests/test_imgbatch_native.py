@@ -162,3 +162,53 @@ class TestRouteIntegration:
         body = jbody(call(app, "POST", "/v1/ingest/image/batch/0",
                           frames([(1, bmp_bytes(rand_rgb(64, 64)))])))
         assert body["records"][0]["fingerprint_bytes"] == 536
+
+
+class TestHostResize:
+    """Host-side exact tent resize (ucfp_imgbatch_resize +
+    resize_gray_batch): the ingest hot path ships the ALREADY-RESIZED
+    plane, so these pin (a) native == numpy == per-image oracle and
+    (b) hashing the pre-resized plane == hashing the full plane (the
+    device kernel's resize is the identity at the target shape)."""
+
+    SHAPES = [((64, 64), (32, 32)), ((64, 64), (8, 9)),
+              ((100, 77), (32, 32)), ((32, 32), (32, 32)),
+              ((16, 24), (32, 32)), ((256, 199), (8, 8))]
+
+    @pytest.mark.parametrize("inshape,outshape", SHAPES)
+    def test_exact_vs_oracle(self, inshape, outshape):
+        from ucfp_tpu.ops import imagehash as ih
+
+        rng = np.random.default_rng(11)
+        g = rng.integers(0, 256, (4, *inshape), dtype=np.uint8)
+        got = img_mod.resize_gray_batch(g, *outshape)
+        assert got.dtype == np.uint8 and got.shape == (4, *outshape)
+        for i in range(4):
+            want = ih.np_resize(g[i].astype(np.int64), *outshape)
+            np.testing.assert_array_equal(got[i], want.astype(np.uint8))
+
+    @pytest.mark.parametrize("algo", ["phash", "dhash", "ahash"])
+    def test_preresized_hash_identical(self, algo):
+        import jax.numpy as jnp
+
+        from ucfp_tpu.ops import imagehash as ih
+
+        rng = np.random.default_rng(12)
+        g = rng.integers(0, 256, (3, 64, 64), dtype=np.uint8)
+        full = np.asarray(ih.single_hash_kernel_gray(
+            jnp.asarray(g), 64, 64, algo))
+        th, tw = img_mod.SINGLE_HASH_INPUT[algo]
+        pre = img_mod.resize_gray_batch(g, th, tw)
+        small = np.asarray(ih.single_hash_kernel_gray(
+            jnp.asarray(pre), th, tw, algo))
+        np.testing.assert_array_equal(full, small)
+
+    def test_noncontiguous_input(self):
+        from ucfp_tpu.ops import imagehash as ih
+
+        rng = np.random.default_rng(13)
+        g = rng.integers(0, 256, (4, 64, 128), dtype=np.uint8)[:, :, ::2]
+        got = img_mod.resize_gray_batch(g, 32, 32)
+        want = ih.np_resize(np.ascontiguousarray(g[0]).astype(np.int64),
+                            32, 32)
+        np.testing.assert_array_equal(got[0], want.astype(np.uint8))

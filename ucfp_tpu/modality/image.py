@@ -225,6 +225,52 @@ def decode_gray_batch(raw: bytes, max_n: int, pre: PreprocessConfig):
     return 0, rids.tolist(), gray
 
 
+#: per-algorithm resized luma shape (rows, cols) — what the device
+#: kernel's own first stage produces; shipping it pre-resized is
+#: byte-identical (the kernel's resize is the identity at equal size)
+SINGLE_HASH_INPUT = {"phash": (32, 32), "dhash": (8, 9), "ahash": (8, 8)}
+
+
+def resize_gray_batch(gray: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    """Host-side exact fixed-point tent resize over a luma batch.
+
+    [n, H, W] uint8 -> [n, oh, ow] uint8, byte-identical to the device
+    resize_exact stage (same Q15 matrices, same per-stage rounding —
+    native/imgbatch.cpp ucfp_imgbatch_resize, numpy fallback below).
+    Used by the ingest hot path to ship the ALREADY-RESIZED plane to
+    the device: at 64x64 inputs the single-hash wire bytes drop 4x
+    (64x at camera sizes), which is the tunnel-bandwidth exposure the
+    ingest soak measures (bench.py _ingest_http)."""
+    import ctypes
+
+    from .. import native
+
+    n, ih, iw = gray.shape
+    wh = imagehash.resize_matrix_q(ih, oh)
+    ww = imagehash.resize_matrix_q(iw, ow)
+    lib = native.load_imgbatch()
+    if lib is not None and n:
+        if not gray.flags.c_contiguous:
+            gray = np.ascontiguousarray(gray)
+        out = np.empty((n, oh, ow), np.uint8)
+        rc = lib.ucfp_imgbatch_resize(
+            gray.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            n, ih, iw,
+            wh.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), oh,
+            ww.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), ow,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        if rc == 0:
+            return out
+    # numpy fallback: the identical two-stage integer matmul
+    t = (np.einsum("oh,bhw->bow", wh.astype(np.int64),
+                   gray.astype(np.int64))
+         + imagehash.RESIZE_ROUND) >> imagehash.RESIZE_SHIFT
+    o = (np.einsum("bow,pw->bop", t, ww.astype(np.int64))
+         + imagehash.RESIZE_ROUND) >> imagehash.RESIZE_SHIFT
+    return o.astype(np.uint8)
+
+
 def _multi_outputs(rgbs: np.ndarray) -> dict:
     """Run the batched multi-hash kernel on same-shape RGB uint8 [B,H,W,3].
 

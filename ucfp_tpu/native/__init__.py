@@ -178,6 +178,13 @@ def load_imgbatch():
         ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
     ]
+    lib.ucfp_imgbatch_resize.restype = ctypes.c_int
+    lib.ucfp_imgbatch_resize.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
     return lib
 
 

@@ -167,4 +167,82 @@ int ucfp_imgbatch_fill(const uint8_t* body, size_t body_len, uint64_t* rids,
   return n;
 }
 
+// Fixed-point separable tent resize over a batch of luma planes —
+// the exact integer mirror of ops/imagehash.py np_resize/resize_exact:
+// two matmul stages against the Q15 weight matrices (built by Python's
+// resize_matrix_q and passed in), each stage rounding (acc + 16384)
+// >> 15. Row sums are exactly 2^15 and pixels <= 255, so every
+// accumulator stays below 255 * 2^15 < 2^31 — int32-safe, and the
+// result is byte-identical to the device resize (the single-hash
+// kernels then apply an identity resize; tested in
+// tests/test_imgbatch_native.py). Shipping the resized plane instead
+// of the full luma cuts host->device ingest bytes ~4x at 64x64 inputs
+// (more at camera sizes), which is the tunnel-bandwidth exposure the
+// ingest soak measured (see bench.py _ingest_http).
+//
+// Weight rows are tent filters: only a short contiguous span is
+// non-zero (<= 2*radius + 2 taps), so each stage walks a precomputed
+// [lo, hi) span instead of the full row.
+extern "C" int ucfp_imgbatch_resize(const uint8_t* gray, int n, int in_h,
+                                    int in_w, const int32_t* wh, int oh,
+                                    const int32_t* ww, int ow,
+                                    uint8_t* out) {
+  if (n <= 0 || in_h <= 0 || in_w <= 0 || oh <= 0 || ow <= 0) return -1;
+  // per-output-row non-zero spans of both weight matrices
+  int* spans = new int[2 * (oh + ow)];
+  int* wh_lo = spans;
+  int* wh_hi = spans + oh;
+  int* ww_lo = spans + 2 * oh;
+  int* ww_hi = spans + 2 * oh + ow;
+  for (int o = 0; o < oh; ++o) {
+    int lo = 0, hi = in_h;
+    const int32_t* row = wh + static_cast<size_t>(o) * in_h;
+    while (lo < hi && row[lo] == 0) ++lo;
+    while (hi > lo && row[hi - 1] == 0) --hi;
+    wh_lo[o] = lo;
+    wh_hi[o] = hi;
+  }
+  for (int p = 0; p < ow; ++p) {
+    int lo = 0, hi = in_w;
+    const int32_t* row = ww + static_cast<size_t>(p) * in_w;
+    while (lo < hi && row[lo] == 0) ++lo;
+    while (hi > lo && row[hi - 1] == 0) --hi;
+    ww_lo[p] = lo;
+    ww_hi[p] = hi;
+  }
+  int32_t* t = new int32_t[static_cast<size_t>(oh) * in_w];
+  for (int i = 0; i < n; ++i) {
+    const uint8_t* img = gray + static_cast<size_t>(i) * in_h * in_w;
+    // stage 1: rows — t[o][w] = ((sum_h wh[o][h] * g[h][w]) + R) >> 15
+    for (int o = 0; o < oh; ++o) {
+      const int32_t* wrow = wh + static_cast<size_t>(o) * in_h;
+      int32_t* trow = t + static_cast<size_t>(o) * in_w;
+      for (int w = 0; w < in_w; ++w) trow[w] = 16384;
+      for (int h = wh_lo[o]; h < wh_hi[o]; ++h) {
+        const int32_t wv = wrow[h];
+        if (wv == 0) continue;
+        const uint8_t* grow = img + static_cast<size_t>(h) * in_w;
+        for (int w = 0; w < in_w; ++w)
+          trow[w] += wv * static_cast<int32_t>(grow[w]);
+      }
+      for (int w = 0; w < in_w; ++w) trow[w] >>= 15;
+    }
+    // stage 2: cols — out[o][p] = ((sum_w t[o][w] * ww[p][w]) + R) >> 15
+    uint8_t* dst = out + static_cast<size_t>(i) * oh * ow;
+    for (int o = 0; o < oh; ++o) {
+      const int32_t* trow = t + static_cast<size_t>(o) * in_w;
+      for (int p = 0; p < ow; ++p) {
+        const int32_t* wrow = ww + static_cast<size_t>(p) * in_w;
+        int32_t acc = 16384;
+        for (int w = ww_lo[p]; w < ww_hi[p]; ++w) acc += trow[w] * wrow[w];
+        dst[static_cast<size_t>(o) * ow + p] =
+            static_cast<uint8_t>(acc >> 15);
+      }
+    }
+  }
+  delete[] t;
+  delete[] spans;
+  return 0;
+}
+
 }  // extern "C"

@@ -128,6 +128,19 @@ def _hash_image_group(algo: str, gray: np.ndarray, h: int, w: int,
     copies were ~15% of the 1-core soak budget)."""
     from ..ops import imagehash
 
+    if algo != "multi" and (h, w) != imod.SINGLE_HASH_INPUT[algo]:
+        # host-side EXACT fixed-point resize (native AVX2 / numpy, the
+        # same Q15 math as the device stage — byte-identical, and the
+        # kernel's own resize is the identity at the target shape):
+        # ship [N, 32, 32] / [N, 8, 9] / [N, 8, 8] instead of the full
+        # luma plane — 4x fewer wire bytes at 64x64 inputs, 64x at
+        # camera sizes; tunneled runtimes charge for payload (the
+        # ingest soak measured 480-980 ms/batch under tunnel congestion
+        # at 4.2 MB batches vs ~76 ms steady state)
+        th, tw = imod.SINGLE_HASH_INPUT[algo]
+        gray = imod.resize_gray_batch(gray, th, tw)
+        h, w = th, tw
+
     gray = _pad_pow2(gray, count)
     if algo == "multi":
         out = imod.jax_device_get(imagehash.multihash_kernel_gray(gray, h, w))
