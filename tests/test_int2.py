@@ -264,7 +264,8 @@ class TestBackendInt2Mode:
                               embedding=[float(x) for x in new])]))
         got = run(b2.knn(0, [float(x) for x in new], 1))
         assert got[0].record_id == 7777
-        # batch path rides the exact int8 GEMM (no batched int2 tier)
+        # batch path rides the exact int8 GEMM here (placeholder packed
+        # cache below 2*INT2_MIN_POOL gates the batched int2 tier off)
         res = run(b2.knn_batch(0, [q], 3))
         assert res[0][0].record_id == 42
         b2.close()
@@ -346,5 +347,147 @@ class TestBackendInt2Mode:
         h8 = run(b8.knn(0, q, 5))
         assert [(h.record_id, round(h.score, 5)) for h in h2] == \
                [(h.record_id, round(h.score, 5)) for h in h8]
+        b2.close()
+        b8.close()
+
+
+class TestBatched:
+    """cosine_int2_topk_batched — ONE quarter-byte packed scan per
+    64-query block, segmented-quota selection + per-row stage-2 shrink
+    + batched exact rescore (the int4 batched contract at half its
+    scan bytes)."""
+
+    def test_batched_topk_matches_exact_int8(self):
+        """Matches the exact batched GEMM per row where the pool
+        genuinely thresholds, including the prefix boundary and a
+        planted near-duplicate."""
+        rng = np.random.default_rng(31)
+        c, d, k, nq = 65536, 64, 10, 6
+        rows = _rows(rng, c, d)
+        q8, norm = _quant8(rows)
+        packed_t, inv = knn_ops.pack_int2_cols(q8)
+        n = 60000
+        qm = _rows(rng, nq, d)
+        qm[2] = rows[123] + 0.02 * rng.normal(size=d).astype(np.float32)
+        pool = knn_ops.int2_batch_pool(c, k)
+        assert pool * 2 < c  # genuinely thresholds
+        s2, i2 = knn_ops.cosine_int2_topk_batched(
+            jnp.asarray(qm), q8, norm, packed_t, inv, n, k, pool
+        )
+        s_ref, i_ref = knn_ops.cosine_topk_int8(
+            jnp.asarray(qm), q8, norm, jnp.arange(c) < n, k
+        )
+        for m in range(nq):
+            assert set(np.asarray(i2)[m].tolist()) == \
+                set(np.asarray(i_ref)[m].tolist()), f"row {m}"
+        np.testing.assert_allclose(
+            np.sort(np.asarray(s2), axis=1),
+            np.sort(np.asarray(s_ref), axis=1), rtol=1e-5,
+        )
+        assert int(np.asarray(i2)[2, 0]) == 123
+        assert (np.asarray(i2) < n).all()
+
+    def test_batched_chunking_over_64_queries(self):
+        """Blocks above 64 queries split into multiple packed scans;
+        rows across the chunk boundary must match the exact ranking."""
+        rng = np.random.default_rng(32)
+        c, d, k, nq = 16384, 32, 5, 70
+        rows = _rows(rng, c, d)
+        q8, norm = _quant8(rows)
+        packed_t, inv = knn_ops.pack_int2_cols(q8)
+        qm = np.stack([
+            rows[i * 200] + 0.02 * rng.normal(size=d).astype(np.float32)
+            for i in range(nq)
+        ])
+        pool = knn_ops.int2_batch_pool(c, k)
+        assert pool * 2 < c
+        s2, i2 = knn_ops.cosine_int2_topk_batched(
+            jnp.asarray(qm), q8, norm, packed_t, inv, c, k, pool
+        )
+        for m in range(nq):
+            assert int(np.asarray(i2)[m, 0]) == m * 200, f"row {m}"
+
+    def test_batched_exhaustive_fallback(self):
+        """pool*2 >= cap short-circuits into the exact batched GEMM."""
+        rng = np.random.default_rng(33)
+        c, d, k = 2048, 16, 5
+        rows = _rows(rng, c, d)
+        q8, norm = _quant8(rows)
+        packed_t, inv = knn_ops.pack_int2_cols(q8)
+        qm = _rows(rng, 3, d)
+        s2, i2 = knn_ops.cosine_int2_topk_batched(
+            jnp.asarray(qm), q8, norm, packed_t, inv, c, k,
+            knn_ops.int2_batch_pool(c, k)
+        )
+        s_ref, i_ref = knn_ops.cosine_topk_int8(
+            jnp.asarray(qm), q8, norm, jnp.ones((c,), bool), k
+        )
+        np.testing.assert_array_equal(np.asarray(i2), np.asarray(i_ref))
+
+    def test_backend_batched_int2_dispatch(self, tmp_path, monkeypatch):
+        """UCFP_KNN_QUANT=int2 with a real packed cache: knn_batch rides
+        the batched packed scan (marked approximate), matches the int8
+        backend's exact batched ranking, and filtered / exact batches
+        stay on the exact GEMM."""
+        import asyncio
+
+        from ucfp_tpu.index.embedded import EmbeddedBackend
+
+        run = asyncio.run
+        monkeypatch.setenv("UCFP_SHARD", "off")
+        monkeypatch.setenv("UCFP_SKETCH_COST_MODEL", "0")
+        rng = np.random.default_rng(34)
+        n, d = 2 * knn_ops.INT2_MIN_POOL + 100, 16  # capacity 32768
+        vecs = rng.normal(size=(n, d)).astype(np.float32)
+        b2 = EmbeddedBackend(str(tmp_path / "q2"), knn_quant="int2")
+        b8 = EmbeddedBackend(str(tmp_path / "q8"), knn_quant="int8")
+        run(b2.upsert(self._recs(vecs)))
+        run(b8.upsert(self._recs(vecs)))
+        cap = b2._vec[(0, d)].data.shape[0]
+        assert b2._int2_batch_worth_it(cap, d, 5, 3)
+        qs = [[float(x) for x in vecs[i] + 0.02 * rng.normal(size=d)]
+              for i in (7, 9321, 16222)]
+        h2 = run(b2.knn_batch(0, qs, 5))
+        h8 = run(b8.knn_batch(0, qs, 5))
+        for row2, row8, want in zip(h2, h8, (7, 9321, 16222)):
+            assert [(h.record_id, round(h.score, 6)) for h in row2] == \
+                   [(h.record_id, round(h.score, 6)) for h in row8]
+            assert row2[0].record_id == want
+        assert b2.knn_is_approximate(0, d, 5, batch=True, batch_q=3)
+        hf = run(b2.knn_batch(0, qs, 5, filter={"algorithm": "e"}))
+        assert hf[0][0].record_id == 7
+        he = run(b2.knn_batch(0, qs, 5, exact=True))
+        assert he[0][0].record_id == 7
+        assert not b2.knn_is_approximate(0, d, 5, batch=True, batch_q=3,
+                                         exact=True)
+        b2.close()
+        b8.close()
+
+    _recs = TestBackendInt2Mode._recs
+
+    def test_backend_sharded_batched_int2(self, tmp_path, monkeypatch):
+        """8-virtual-device mesh + forced dispatch: the sharded batched
+        int2 path returns the exact answer (per-shard pools cover these
+        small shards -> per-shard exhaustive, merged exactly)."""
+        import asyncio
+
+        from ucfp_tpu.index.embedded import EmbeddedBackend
+
+        run = asyncio.run
+        monkeypatch.setenv("UCFP_SHARD", "auto")
+        monkeypatch.setenv("UCFP_SKETCH_COST_MODEL", "0")
+        rng = np.random.default_rng(35)
+        n, d = 2 * knn_ops.INT2_MIN_POOL + 100, 16
+        vecs = rng.normal(size=(n, d)).astype(np.float32)
+        b2 = EmbeddedBackend(str(tmp_path / "mesh2"), knn_quant="int2")
+        b8 = EmbeddedBackend(str(tmp_path / "mesh8"), knn_quant="int8")
+        run(b2.upsert(self._recs(vecs)))
+        run(b8.upsert(self._recs(vecs)))
+        qs = [[float(x) for x in vecs[i]] for i in (100, 9000)]
+        h2 = run(b2.knn_batch(0, qs, 5))
+        h8 = run(b8.knn_batch(0, qs, 5))
+        for row2, row8 in zip(h2, h8):
+            assert [(h.record_id, round(h.score, 5)) for h in row2] == \
+                   [(h.record_id, round(h.score, 5)) for h in row8]
         b2.close()
         b8.close()

@@ -1363,6 +1363,19 @@ class EmbeddedBackend(IndexBackend):
             cap_l, dim, q, knn_ops.int4_batch_pool(cap_l, k)
         )
 
+    def _int2_batch_worth_it(self, cap: int, dim: int, k: int,
+                             q: int) -> bool:
+        """Dispatch gate for the BATCHED int2 prefilter — the int4
+        batch gate with the quarter-byte models and the int2 cache's
+        own placeholder threshold."""
+        if cap <= 2 * knn_ops.INT2_MIN_POOL:
+            return False  # zero-width placeholder packed cache
+        nsh = self._n_shards()
+        cap_l = max(1, cap // nsh)
+        return knn_ops.int2_batch_beats_exact(
+            cap_l, dim, q, knn_ops.int2_batch_pool(cap_l, k)
+        )
+
     def _sketch_planes(self, dim: int):
         import jax.numpy as jnp
 
@@ -1517,6 +1530,13 @@ class EmbeddedBackend(IndexBackend):
             cap = cache.data.shape[0]
             cap_l = max(1, cap // self._n_shards())
             return knn_ops.int4_batch_pool(cap_l, kk_b) * 2 < cap_l
+        if self._int2_on() and batch and not filtered \
+                and self._int2_batch_worth_it(
+                    cache.data.shape[0], dim, kk_b, batch_q):
+            # same per-shard batch-pool rule for the int2 packed scan
+            cap = cache.data.shape[0]
+            cap_l = max(1, cap // self._n_shards())
+            return knn_ops.int2_batch_pool(cap_l, kk_b) * 2 < cap_l
         if (not batch and not exact and self._qbatch_ms > 0
                 and pool_frac is None and self._int4_on()):
             # query micro-batching may coalesce this single query onto
@@ -1528,6 +1548,15 @@ class EmbeddedBackend(IndexBackend):
                                          kk_s, 64):
                 cap_l = max(1, cache.data.shape[0] // self._n_shards())
                 if knn_ops.int4_batch_pool(cap_l, kk_s) * 2 < cap_l:
+                    return True
+        if (not batch and not exact and self._qbatch_ms > 0
+                and pool_frac is None and self._int2_on()):
+            # int2 twin of the micro-batching worst-case rule above
+            kk_s = min(k, cache.n)
+            if self._int2_batch_worth_it(cache.data.shape[0], dim,
+                                         kk_s, 64):
+                cap_l = max(1, cache.data.shape[0] // self._n_shards())
+                if knn_ops.int2_batch_pool(cap_l, kk_s) * 2 < cap_l:
                     return True
         if self._int4_on() and not batch:
             cap = cache.data.shape[0]
@@ -1906,6 +1935,16 @@ class EmbeddedBackend(IndexBackend):
                         jnp.asarray(qm), q8m, row_norm, packed_t, inv_n4,
                         n_snap, kk, self._mesh, self._mesh_axes,
                     )
+                elif (self._int2_on() and not exact and flt_mask is True
+                        and self._int2_batch_worth_it(
+                            dev[0].shape[0], dim, kk, qm.shape[0])):
+                    # sharded batched int2: quarter the int8 bytes per
+                    # shard for the whole block (unfiltered only)
+                    q8m, row_norm, packed_t, inv_n2, _valid = dev
+                    scores, idx = sharded_knn.sharded_cosine_int2_batch_topk(
+                        jnp.asarray(qm), q8m, row_norm, packed_t, inv_n2,
+                        n_snap, kk, self._mesh, self._mesh_axes,
+                    )
                 elif self.knn_quant in ("int8", "sketch", "int4", "int2"):
                     # batched queries amortize the sharded scan; the
                     # prefilter caches' int8 matrix serves the GEMM
@@ -1931,6 +1970,19 @@ class EmbeddedBackend(IndexBackend):
                 scores, idx = knn_ops.cosine_int4_topk_batched(
                     jnp.asarray(qm), q8m, row_norm, packed_t, inv_n4,
                     n_snap, kk, knn_ops.int4_batch_pool(q8m.shape[0], kk),
+                )
+            elif (self._int2_on() and not exact and flt_mask is True
+                  and self._int2_batch_worth_it(
+                      dev[0].shape[0], dim, kk, qm.shape[0])):
+                # batched int2 prefilter: ONE quarter-byte packed scan
+                # serves the whole query block (half the batched int4
+                # path's catalog bytes), segmented-quota selection +
+                # per-query stage-2 shrink + exact rescore. Unfiltered
+                # only — the fused kernel masks via the prefix rule.
+                q8m, row_norm, packed_t, inv_n2, _valid = dev
+                scores, idx = knn_ops.cosine_int2_topk_batched(
+                    jnp.asarray(qm), q8m, row_norm, packed_t, inv_n2,
+                    n_snap, kk, knn_ops.int2_batch_pool(q8m.shape[0], kk),
                 )
             elif self.knn_quant in ("int8", "sketch", "int4", "int2"):
                 # batched queries amortize the HBM scan across the whole

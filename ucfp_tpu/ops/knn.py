@@ -771,6 +771,16 @@ def int2_supported(cap: int, dim: int) -> bool:
     return dim % 4 == 0 and cap >= 128 and cap % 128 == 0
 
 
+def int2_batch_pool(n: int, k: int) -> int:
+    """Rescore-pool size for the BATCHED int2 prefilter: smaller than
+    the single-query 8192 floor because per-query pool costs (13 ns/row
+    gather + exact rescore) scale with Q while the rank-error margin
+    does not — the measured worst int2 rank of an exact top-10 row is
+    ~1.0k (quantization-bounded, see pallas_int2), so 4096 keeps ~4x
+    margin."""
+    return min(n, max(4096, 64 * k))
+
+
 @jax.jit
 def pack_int2_cols(q8m: jax.Array) -> tuple[jax.Array, jax.Array]:
     """[C, D] int8 rows -> (packed_t [D/4, C] int8, inv_n2 [C] f32).
@@ -912,7 +922,109 @@ def cosine_int2_topk(
     ).reshape(-1)
     slot_ok = sel_ok.reshape(-1) & (gidx < c)
     gidx = jnp.minimum(gidx, c - 1)
+    if nseg * quota > 2 * pool:
+        # stage-2 shrink: the per-segment floor of 8 (approx_max_k's
+        # minimum useful quota) inflates the candidate set far past the
+        # pool at big catalogs — 8 * C/512 = 156k rows at 10M, and the
+        # rescore gather pays ~13 ns PER ROW (~2 ms) for rows the pool
+        # never needed. One approx top-pool over the survivors' int2
+        # scores cuts the gather back to `pool` rows; a true top-k row
+        # (int2 rank ~1e3, quantization-bounded) sits far inside the
+        # pool's 8x margin, so recall is unchanged (bench-measured
+        # 1.000 at 10M x 768 with the shrink in place).
+        flat_v = jnp.where(slot_ok, _sv.reshape(-1), NEG_INF)
+        v2, p2 = jax.lax.approx_max_k(flat_v, pool)
+        gidx = jnp.take(gidx, p2)
+        slot_ok = v2 > NEG_INF
     return _rescore_exact(q8, gidx, slot_ok, query, k, sorted_unique=False)
+
+
+def cosine_int2_topk_batched(
+    queries: jax.Array,  # [Q, D] f32
+    q8: jax.Array,  # [C, D] int8 (the exact-rescore matrix)
+    row_norm: jax.Array,  # [C] f32 (|int8 row|)
+    packed_t: jax.Array,  # [D/4, C] int8 (pack_int2_cols)
+    inv_n2: jax.Array,  # [C] f32
+    n_valid,  # int: prefix validity length (valid == arange < n)
+    k: int,
+    pool: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Batched packed-int2-prefilter cosine top-k: ONE quarter-byte
+    packed scan serves the whole query block (MXU weight rows are free
+    — the scan is HBM-bound, streaming HALF the batched int4 path's
+    bytes), then the int2 segmented-quota selection batched over Q, a
+    per-row stage-2 shrink to `pool`, and one batched exact rescore.
+    Returns ([Q, k] scores, [Q, k] idx) — exact int8 cosines, same
+    contract as cosine_int4_topk_batched.
+
+    PREFIX-VALIDITY ONLY (unfiltered serving): validity must be
+    `arange < n_valid`; filtered batches stay on the exact GEMM path
+    (index/embedded.py knn_batch). Selection mirrors the single-query
+    int2 scheme — the int4 per-(tile, lane) partial reduce would drop
+    rank-~1e3 rows to cell collisions (P ~= r/C * 256 per row)."""
+    from . import pallas_int2
+
+    c, d = q8.shape
+    nq = queries.shape[0]
+    qq = _quantize_query_rows(queries)
+    qf = qq.astype(jnp.float32)
+    nv = jnp.asarray(n_valid, jnp.int32)
+    if pool * 2 >= c:
+        return cosine_topk_int8(
+            queries, q8, row_norm,
+            jnp.arange(c, dtype=jnp.int32) < nv, k,
+        )
+    dq = d // 4
+    rpt = pallas_int2.pick_rpt(c)
+    chunks = []
+    for lo in range(0, nq, INT4_BATCH_QB):
+        # same 64-row weight-block chunking as the int4 batch: [qb, rpt]
+        # i32 dots x4 fields + the f32 scores must fit VMEM beside the
+        # packed tile, and 64 rows already amortize the scan to ~1/64
+        # of a query's bytes
+        blk = qq[lo:lo + INT4_BATCH_QB]
+        bn = blk.shape[0]
+        qb = -(-bn // pallas_int2.SUB) * pallas_int2.SUB
+
+        def _pad(seg, qb=qb, bn=bn):
+            return jnp.zeros((qb, dq), jnp.int8).at[:bn].set(seg)
+
+        wa, wb, wc, wd = (_pad(blk[:, i * dq:(i + 1) * dq])
+                          for i in range(4))
+        qi = blk.astype(jnp.int32)
+        corrs = jnp.zeros((qb,), jnp.float32).at[:bn].set(
+            (2 * jnp.sum(qi[:, dq:], axis=1)).astype(jnp.float32)
+            - 0.5 * jnp.sum(qi, axis=1).astype(jnp.float32)
+        )
+        # bf16 scores: half the [QB, C] bounce bytes; the rounding sits
+        # far inside the pool's 4x rank margin and the rescore is exact
+        chunks.append(pallas_int2.int2_masked_scores_batched(
+            packed_t, wa, wb, wc, wd, corrs, inv_n2, rpt, nv,
+            out_dtype=jnp.bfloat16,
+        )[:bn])
+    s2 = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks)
+    seg = SKETCH_SEG
+    pad = (-c) % seg
+    if pad:
+        s2 = jnp.concatenate(
+            [s2, jnp.full((nq, pad), NEG_INF, s2.dtype)], axis=1
+        )
+    nseg = (c + pad) // seg
+    quota = min(seg, max(8, -(-int(pool * 1.3) // nseg)))
+    sv, si = jax.lax.approx_max_k(s2.reshape(nq, nseg, seg), quota)
+    base = (jnp.arange(nseg, dtype=jnp.int32) * seg)[None, :, None]
+    gidx = (si + base).reshape(nq, -1)
+    slot_ok = (sv > NEG_INF).reshape(nq, -1) & (gidx < c)
+    gidx = jnp.minimum(gidx, c - 1)
+    if nseg * quota > 2 * pool:
+        # per-row stage-2 shrink (see cosine_int2_topk)
+        flat_v = jnp.where(
+            slot_ok, sv.reshape(nq, -1).astype(jnp.float32), NEG_INF
+        )
+        v2, p2 = jax.lax.approx_max_k(flat_v, pool)
+        gidx = jnp.take_along_axis(gidx, p2, axis=1)
+        slot_ok = v2 > NEG_INF
+    return _rescore_exact_batched(q8, gidx, slot_ok, qf, k)
 
 
 def _quantize_query_rows(qm):
@@ -1144,6 +1256,52 @@ def int2_beats_exact(cap: int, dim: int, pool: int,
     return est < exact_scan_model_ms(cap, dim)
 
 
+def int2_batch_model_ms(cap: int, dim: int, q: int, pool: int) -> float:
+    """Modeled p50 of the BATCHED int2-prefilter pipeline: one packed
+    scan (cap * dim/4 bytes) per 64-query chunk, the [qb, cap] bf16
+    scores bounce through HBM into the segmented selection, then each
+    query pays the per-(query x quota) selection cost, the stage-2
+    shrink, and its own pool gather + exact rescore.
+
+    The selection term is the fitted truth-teller: the chip capture
+    measured 43.3-43.7 ms per 32-query block at 10M x 768 — the batched
+    approx_max_k over [Q, nseg, 512] scales ~linearly with Q (the int4
+    batch's pallas partial-reduce does not, but it would drop int2's
+    rank-~1e3 true rows to cell collisions), so batched int2 LOSES to
+    the exact batched GEMM at every measured shape and this model says
+    so. Constants honor the UCFP_COST_* recalibration contract
+    (UCFP_COST_INT2B_GBPS / UCFP_COST_INT2B_FLAT_MS /
+    UCFP_COST_INT2B_SELECT_US)."""
+    qb = -(-max(1, q) // 8) * 8
+    bw = _cost_const("int2b_gbps") * 1e6
+    stream = cap * (dim // 4) / bw * -(-qb // INT4_BATCH_QB)
+    bounce = 2 * 2.0 * cap * qb / bw  # [qb, C] bf16 written + read
+    nseg = -(-cap // SKETCH_SEG)
+    quota = min(SKETCH_SEG, max(8, -(-int(pool * 1.3) // nseg)))
+    select = q * quota * _cost_const("int2b_select_us") / 1e3
+    gather = q * pool * _cost_const("gather_ns") / 1e6
+    rescore = q * pool * dim / (_cost_const("hbm_gbps") * 1e6)
+    return (stream + bounce + select + gather + rescore
+            + _cost_const("int2b_flat_ms"))
+
+
+def int2_batch_beats_exact(cap: int, dim: int, q: int, pool: int) -> bool:
+    """Dispatch predicate for the batched int2 prefilter — the same
+    never-slower-than-exact contract as int4_batch_beats_exact, against
+    the batched exact GEMM model."""
+    import os
+
+    if not int2_supported(cap, dim):
+        return False
+    if os.environ.get("UCFP_SKETCH_COST_MODEL", "1") == "0":
+        return True
+    if pool * 2 >= cap:
+        return False
+    return int2_batch_model_ms(cap, dim, q, pool) < exact_batch_model_ms(
+        cap, dim, q
+    )
+
+
 def int4_beats_exact(cap: int, dim: int, pool: int,
                      fused: bool = True) -> bool:
     """Serving dispatch predicate for UCFP_KNN_QUANT=int4 — same
@@ -1209,6 +1367,22 @@ _COST_DEFAULTS = {
     "int2_flat_ms": 0.3,  # int2 selection + rescore composition (the
     #                      segmented approx_max_k costs more than the
     #                      int4 partial-reduce; conservative prior)
+    "int2b_gbps": 600.0,  # BATCHED int2 pipeline effective stream rate
+    #                       (int4-batch prior; the stream is NOT what
+    #                       sinks this path — see int2b_select_us)
+    "int2b_flat_ms": 1.5,  # batched composition overhead (int4b prior)
+    "int2b_select_us": 130.0,  # batched segmented selection cost PER
+    #                            (query x quota unit) — fitted to the
+    #                            round-4 chip capture: 43.3-43.7 ms per
+    #                            32-query block at 10M x 768 (the
+    #                            batched approx_max_k over
+    #                            [Q, nseg, 512] scales ~linearly with
+    #                            Q, unlike the int4 batch's pallas
+    #                            partial-reduce), so the model
+    #                            truthfully reports batched int2 LOSING
+    #                            to the exact batched GEMM (18 ms) and
+    #                            the dispatch keeps int2-mode batches
+    #                            on the winning path
     "base_ms": 2.4,      # query plan + small kernels + XLA composition
     #                      overhead of the full fused program (fitted so
     #                      the model reproduces the round-4 chip capture:

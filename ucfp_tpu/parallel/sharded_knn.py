@@ -358,11 +358,17 @@ def sharded_cosine_int2_topk(query, db8, row_norm, packed_t, inv_n2,
                                      n_valid, kind="int2")
 
 
-@functools.partial(jax.jit, static_argnums=(6, 7, 8))
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9))
 def _sharded_cosine_int4_batch_impl(query, db8, row_norm, packed_t,
                                     inv_n4, n_valid, k: int, mesh: Mesh,
-                                    axes: tuple = (AXIS,)):
+                                    axes: tuple = (AXIS,),
+                                    kind: str = "int4"):
     from ..ops import knn as knn_ops
+
+    batched = (knn_ops.cosine_int2_topk_batched if kind == "int2"
+               else knn_ops.cosine_int4_topk_batched)
+    batch_pool = (knn_ops.int2_batch_pool if kind == "int2"
+                  else knn_ops.int4_batch_pool)
 
     def local(q, m, rn, pk, inv, nv):
         # each shard runs ONE packed scan for the whole query block +
@@ -370,11 +376,11 @@ def _sharded_cosine_int4_batch_impl(query, db8, row_norm, packed_t,
         # global prefix maps to a per-shard prefix exactly as in the
         # single-query impl (rows are contiguous blocks).
         k_local = min(k, m.shape[0])
-        pool_local = knn_ops.int4_batch_pool(m.shape[0], k)
+        pool_local = batch_pool(m.shape[0], k)
         n_local = jnp.clip(
             nv - _flat_shard_index(axes) * m.shape[0], 0, m.shape[0]
         ).astype(jnp.int32)
-        vals, idx = knn_ops.cosine_int4_topk_batched(
+        vals, idx = batched(
             q, m, rn, pk, inv, n_local, k_local, pool_local
         )
         gidx = idx + _flat_shard_index(axes) * m.shape[0]
@@ -407,6 +413,19 @@ def sharded_cosine_int4_batch_topk(query, db8, row_norm, packed_t,
     return _sharded_cosine_int4_batch_impl(query, db8, row_norm, packed_t,
                                            inv_n4, n_valid, k, mesh,
                                            tuple(axes))
+
+
+def sharded_cosine_int2_batch_topk(query, db8, row_norm, packed_t,
+                                   inv_n2, n_valid, k: int, mesh: Mesh,
+                                   axes: tuple = (AXIS,)):
+    """Batched sharded packed-int2 prefilter: the int4 batch impl with
+    the quarter-byte scan + segmented-quota selection per shard
+    (ops/knn.py cosine_int2_topk_batched). packed_t [D/4, C]
+    COLUMN-sharded like the int4 columns. PREFIX-VALIDITY ONLY.
+    Returns ([Q, k] scores, [Q, k] global idx)."""
+    return _sharded_cosine_int4_batch_impl(query, db8, row_norm, packed_t,
+                                           inv_n2, n_valid, k, mesh,
+                                           tuple(axes), kind="int2")
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5, 6))

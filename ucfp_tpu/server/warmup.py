@@ -145,6 +145,12 @@ def _work() -> None:
                         jnp.asarray(rn2), packed2, inv_n2, v2, k,
                         knn_ops.int2_pool(c2, k),
                     )
+                    # batched packed scan, qb=8 bucket (like int4's)
+                    knn_ops.cosine_int2_topk_batched(
+                        jnp.asarray(m2[:2]), jnp.asarray(q82),
+                        jnp.asarray(rn2), packed2, inv_n2, 16, k,
+                        knn_ops.int2_batch_pool(c2, k),
+                    )
                 if quant == "sketch":
                     planes = jnp.asarray(knn_ops.sketch_planes(d))
                     sk = knn_ops.tile_sketch(
