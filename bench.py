@@ -814,7 +814,13 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
         times["int2"].append(t_int2())
         if r == 0 and exact_sets is not None:
             hits_i2 = int2_hits(exact_sets)
-    if shard_n:
+    import os
+
+    if shard_n and os.environ.get("UCFP_BENCH_FULL") == "1":
+        # the per-shard int2 number costs a second remote compile and
+        # the v5e-8 story rests on int4 (int2 measured slightly worse:
+        # 0.75 vs 0.71 ms/shard) — full runs re-capture it, the default
+        # driver set skips it
         shard_int2_ms = t_int2(
             m=m8_s, rnv=rn_s, pk=packed2_t[:, :shard_n],
             inv=inv_n2[:shard_n], nv=jnp.int32(shard_n),
@@ -887,7 +893,12 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
         "query_sharded_per_shard_exact_p50_ms": round(shard_exact_ms, 3),
         "query_sharded_per_shard_p50_ms": round(shard_sketch_ms, 3),
         "query_sharded_per_shard_int4_p50_ms": round(shard_int4_ms, 3),
-        "query_sharded_per_shard_int2_p50_ms": round(shard_int2_ms, 3),
+        # int2 shard keys appear only under UCFP_BENCH_FULL=1 (NaN is
+        # not valid strict JSON, and the default set skips the metric)
+        **({"query_sharded_per_shard_int2_p50_ms": round(shard_int2_ms, 3),
+            "query_v5e8_derived_int2_ms": round(
+                shard_int2_ms + merge_model_ms, 3)}
+           if shard_int2_ms == shard_int2_ms else {}),
         "query_sharded_merge_model_ms": merge_model_ms,
         "query_v5e8_derived_exact_ms": round(
             shard_exact_ms + merge_model_ms, 3
@@ -897,9 +908,6 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
         ),
         "query_v5e8_derived_int4_ms": round(
             shard_int4_ms + merge_model_ms, 3
-        ),
-        "query_v5e8_derived_int2_ms": round(
-            shard_int2_ms + merge_model_ms, 3
         ),
         "sharded_rows_per_shard": shard_n,
     }
@@ -1092,11 +1100,14 @@ def _run_all():
     # README.md / ROUND_NOTES.md.
     full = os.environ.get("UCFP_BENCH_FULL") == "1"
     # hard wall: remote-tunnel compiles can take minutes each; whatever
-    # doesn't fit the budget is skipped so the JSON line always prints
-    # 900 s: the asym-sketch kernel alone can cost ~10 min of remote
-    # compile on a COLD tunnel runtime (cached for later runs via
-    # .jax_cache); direct-TPU runs finish far inside the budget
-    budget_s = float(os.environ.get("UCFP_BENCH_BUDGET_S", "900"))
+    # doesn't fit the budget is skipped so the JSON line always prints.
+    # 1800 s: the asym-sketch kernel alone can cost ~10 min of remote
+    # compile on a COLD tunnel runtime, and the 10M x 768 bench now
+    # carries four tiers (exact/sketch/int4/int2) — a 900 s budget
+    # measured tight enough that the int2 phase could push _pair_768
+    # past it and silently skip every later metric; direct-TPU runs
+    # finish far inside either budget
+    budget_s = float(os.environ.get("UCFP_BENCH_BUDGET_S", "1800"))
     t_start = time.perf_counter()
     def _pair_768():
         out = bench_cosine_int8_10m_768()
