@@ -301,10 +301,83 @@ def drive_httpfront_concurrent() -> None:
     print("httpfront concurrent ok")
 
 
+def drive_imgbatch() -> None:
+    """Batch image decode + exact resize: probe/fill over well-formed,
+    truncated, top-down, and odd-stride frame streams, then the
+    two-stage fixed-point resize (down, up, identity) — all raw-pointer
+    loops in imgbatch.cpp. Weights are built inline (any int32 rows
+    summing to 2^15 exercise the same code paths; exact parity vs the
+    device resize is pinned jax-side in tests/test_imgbatch_native.py)."""
+    import struct
+
+    from ucfp_tpu.native import load_imgbatch
+
+    lib = load_imgbatch()
+    assert lib is not None
+
+    def bmp(w, h, top_down=False, seed=1):
+        stride = (w * 3 + 3) // 4 * 4
+        rnd = random.Random(seed)
+        px = bytes(rnd.randrange(256) for _ in range(stride * h))
+        hdr = struct.pack("<2sIHHI", b"BM", 54 + len(px), 0, 0, 54)
+        info = struct.pack("<IiiHHIIiiII", 40, w, -h if top_down else h,
+                           1, 24, 0, len(px), 2835, 2835, 0, 0)
+        return hdr + info + px
+
+    def frames(pairs):
+        out = bytearray()
+        for rid, img in pairs:
+            out += struct.pack("<QI", rid, len(img)) + img
+        return bytes(out)
+
+    for w, h, td in ((64, 64, False), (33, 17, True), (31, 9, False)):
+        body = frames([(i, bmp(w, h, td, seed=i)) for i in range(5)])
+        n = ctypes.c_int()
+        hh = ctypes.c_int()
+        ww = ctypes.c_int()
+        rc = lib.ucfp_imgbatch_probe(body, len(body), 1024, 1, 8192,
+                                     50 << 20, ctypes.byref(n),
+                                     ctypes.byref(hh), ctypes.byref(ww))
+        assert rc == 0 and n.value == 5, (rc, n.value)
+        rids = (ctypes.c_uint64 * 5)()
+        gray = (ctypes.c_uint8 * (5 * h * w))()
+        got = lib.ucfp_imgbatch_fill(body, len(body), rids, gray, 5, h, w)
+        assert got == 5
+        # resize: down, up, and identity — rows sum to exactly 2^15
+        for oh, ow in ((max(1, h // 2), max(1, w // 2)), (h * 2, w * 2),
+                       (h, w)):
+            def wmat(n_in, n_out):
+                m = (ctypes.c_int32 * (n_out * n_in))()
+                for o in range(n_out):
+                    j = min(n_in - 1, (o * n_in) // n_out)
+                    m[o * n_in + j] = 32768
+                return m
+
+            out = (ctypes.c_uint8 * (5 * oh * ow))()
+            rc = lib.ucfp_imgbatch_resize(
+                gray, 5, h, w, wmat(h, oh), oh, wmat(w, ow), ow, out)
+            assert rc == 0
+    # framing errors must return codes, never read past the buffer
+    trunc = frames([(1, bmp(16, 16))])[:-7]
+    n = ctypes.c_int()
+    hh = ctypes.c_int()
+    ww = ctypes.c_int()
+    rc = lib.ucfp_imgbatch_probe(trunc, len(trunc), 1024, 1, 8192,
+                                 50 << 20, ctypes.byref(n),
+                                 ctypes.byref(hh), ctypes.byref(ww))
+    assert rc == -2, rc
+    rc = lib.ucfp_imgbatch_probe(trunc[:5], 5, 1024, 1, 8192, 50 << 20,
+                                 ctypes.byref(n), ctypes.byref(hh),
+                                 ctypes.byref(ww))
+    assert rc == -1, rc
+    print("imgbatch ok")
+
+
 if __name__ == "__main__":
     drive_wal()
     drive_bm25()
     drive_httpfront()
+    drive_imgbatch()
     drive_wal_concurrent()
     drive_bm25_locked_concurrent()
     drive_httpfront_concurrent()
