@@ -212,3 +212,44 @@ class TestHostResize:
         want = ih.np_resize(np.ascontiguousarray(g[0]).astype(np.int64),
                             32, 32)
         np.testing.assert_array_equal(got[0], want.astype(np.uint8))
+
+
+class TestMultiPrePlanes:
+    """Camera-size multi bundles ship four host-resized planes
+    (multihash_kernel_pre) instead of the full luma; the bundle must be
+    byte-identical to the single-plane kernel."""
+
+    @pytest.mark.parametrize("shape", [(256, 199), (128, 128), (104, 104)])
+    def test_pre_kernel_identical(self, shape):
+        import jax.numpy as jnp
+
+        from ucfp_tpu.ops import imagehash as ih
+
+        rng = np.random.default_rng(21)
+        g = rng.integers(0, 256, (3, *shape), dtype=np.uint8)
+        assert shape[0] * shape[1] > img_mod.MULTI_PRE_THRESHOLD
+        full = ih.multihash_kernel_gray(jnp.asarray(g), *shape)
+        pre = ih.multihash_kernel_pre(
+            *(jnp.asarray(p) for p in img_mod.multi_pre_planes(g)))
+        for i in range(3):
+            assert ih.serialize_multihash(
+                {k: np.asarray(v) for k, v in full.items()}, i
+            ) == ih.serialize_multihash(
+                {k: np.asarray(v) for k, v in pre.items()}, i
+            ), shape
+
+    def test_small_inputs_stay_on_full_plane(self):
+        # 64x64 full plane (4096 B) is smaller than the packed planes
+        # (5256 B): the dispatch threshold must keep it on the old entry
+        assert 64 * 64 <= img_mod.MULTI_PRE_THRESHOLD
+
+    def test_route_multi_large_image(self, tmp_path):
+        from tests.test_server import call, jbody, make_app
+
+        app, _ = make_app(tmp_path)
+        big = bmp_bytes(rand_rgb(128, 128, seed=9))
+        body = jbody(call(app, "POST", "/v1/ingest/image/0/1", big))
+        assert body["fingerprint_bytes"] == 536
+        # same bytes as the library-level record (shared exact pipeline)
+        rec = img_mod.fingerprint_multi(big, 0, 1)
+        assert body["fingerprint_hex"] == rec.fingerprint.hex()

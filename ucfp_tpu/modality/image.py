@@ -271,15 +271,36 @@ def resize_gray_batch(gray: np.ndarray, oh: int, ow: int) -> np.ndarray:
     return o.astype(np.uint8)
 
 
+#: the four planes the multi bundle derives from (see
+#: ops/imagehash._multihash_from_gray); total 5,256 B/image — shipping
+#: them pre-resized beats the full luma plane above this pixel count
+MULTI_PRE_PLANES = ((32, 32), (8, 9), (8, 8), (64, 64))
+MULTI_PRE_THRESHOLD = 2 * sum(h * w for h, w in MULTI_PRE_PLANES)
+
+
+def multi_pre_planes(gray: np.ndarray) -> tuple:
+    """Host-side exact resize of a luma batch to the multi bundle's
+    four planes (g32, g9x8, g8, g64) — the inputs of
+    ops.imagehash.multihash_kernel_pre."""
+    return tuple(
+        resize_gray_batch(gray, h, w) for h, w in MULTI_PRE_PLANES
+    )
+
+
 def _multi_outputs(rgbs: np.ndarray) -> dict:
     """Run the batched multi-hash kernel on same-shape RGB uint8 [B,H,W,3].
 
     Luma runs on the host (identical integer math, oracle-locked) so
-    the device transfer is 1 byte/pixel — see np_luma_u8."""
+    the device transfer is 1 byte/pixel — see np_luma_u8. Camera-size
+    inputs also pre-resize to the bundle's four planes on the host
+    (exact) and ship those instead — see multihash_kernel_pre."""
     b, h, w, _ = rgbs.shape
-    return jax_device_get(
-        imagehash.multihash_kernel_gray(imagehash.np_luma_u8(rgbs), h, w)
-    )
+    gray = imagehash.np_luma_u8(rgbs)
+    if h * w > MULTI_PRE_THRESHOLD:
+        return jax_device_get(
+            imagehash.multihash_kernel_pre(*multi_pre_planes(gray))
+        )
+    return jax_device_get(imagehash.multihash_kernel_gray(gray, h, w))
 
 
 def jax_device_get(tree):
@@ -329,10 +350,14 @@ def fingerprint_single(
     pre = pre or PreprocessConfig()
     rgb = decode_rgb(data, pre)
     h, w = rgb.shape[:2]
+    g = imagehash.np_luma_u8(rgb[None])
+    if (h, w) != SINGLE_HASH_INPUT[algorithm]:
+        # host-side exact resize: ship the kernel's own first-stage
+        # output instead of the full luma (see _hash_image_group)
+        h, w = SINGLE_HASH_INPUT[algorithm]
+        g = resize_gray_batch(g, h, w)
     out = jax_device_get(
-        imagehash.single_hash_kernel_gray(
-            imagehash.np_luma_u8(rgb[None]), h, w, algorithm
-        )
+        imagehash.single_hash_kernel_gray(g, h, w, algorithm)
     )
     return Record(
         tenant_id=tenant_id,

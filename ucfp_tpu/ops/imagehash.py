@@ -248,6 +248,26 @@ def multihash_kernel_gray(gray_u8: jax.Array, in_h: int, in_w: int) -> dict:
     return _multihash_from_gray(gray_u8.astype(jnp.int32), in_h, in_w)
 
 
+@jax.jit
+def multihash_kernel_pre(g32: jax.Array, g9x8: jax.Array, g8: jax.Array,
+                         g64: jax.Array) -> dict:
+    """Bundle from HOST-pre-resized planes: [B,32,32] / [B,8,9] /
+    [B,8,8] / [B,64,64] uint8 (modality.image.multi_pre_planes — the
+    exact fixed-point tent, byte-identical to the device resize, so
+    this kernel skips its resize stage entirely). At camera sizes the
+    four planes are ~12x fewer host->device bytes than the full luma
+    plane (5,256 B vs 65,536 B at 256x256); below ~103x103 the full
+    plane is already smaller and multihash_kernel_gray stays the entry
+    (server/handlers.py picks per batch)."""
+    return {
+        "phash": _pack_bits_u8(phash_bits(g32.astype(jnp.int32))),
+        "dhash": _pack_bits_u8(dhash_bits(g9x8.astype(jnp.int32))),
+        "ahash": _pack_bits_u8(ahash_bits(g8.astype(jnp.int32))),
+        "hist": global_hist64(g32.astype(jnp.int32)),
+        "block": block_means(g64.astype(jnp.int32)),
+    }
+
+
 def _single_from_gray(gray: jax.Array, in_h: int, in_w: int, algo: str) -> jax.Array:
     if algo == "phash":
         g = resize_exact(

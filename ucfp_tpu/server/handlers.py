@@ -143,7 +143,16 @@ def _hash_image_group(algo: str, gray: np.ndarray, h: int, w: int,
 
     gray = _pad_pow2(gray, count)
     if algo == "multi":
-        out = imod.jax_device_get(imagehash.multihash_kernel_gray(gray, h, w))
+        if h * w > imod.MULTI_PRE_THRESHOLD:
+            # camera-size inputs: host-resize to the bundle's four
+            # planes (exact, same Q15 math) and ship 5,256 B/image
+            # instead of the full luma — ~12x fewer wire bytes at
+            # 256x256; small inputs keep the single-plane entry
+            out = imod.jax_device_get(imagehash.multihash_kernel_pre(
+                *imod.multi_pre_planes(gray)))
+        else:
+            out = imod.jax_device_get(
+                imagehash.multihash_kernel_gray(gray, h, w))
         return [imagehash.serialize_multihash(out, i) for i in range(count)]
     out = imod.jax_device_get(
         imagehash.single_hash_kernel_gray(gray, h, w, algo)
