@@ -808,12 +808,57 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
             hits += len(es & set(ii.tolist()))
         return hits
 
+    pool_i2b = knn_ops.int2_batch_pool(n, k)
+
+    def int2_batch_hits(exact_sets):
+        # the batched serving path at its own pool (the 4096 floor sits
+        # AT the measured worst-rank boundary — this is the measurement
+        # that backs it; int2_batch_pool docstring cites this key)
+        hits = 0
+        for i in range(0, recall_q, gt_chunk):
+            _s, ib = knn_ops.cosine_int2_topk_batched(
+                queries[i : i + gt_chunk], m8, rn, packed2_t, inv_n2,
+                jnp.int32(n), k, pool_i2b,
+            )
+            for j, row in enumerate(np.asarray(ib)):
+                hits += len(exact_sets[i + j] & set(row.tolist()))
+        return hits
+
+    # small-Q batched int2: the only batch regime where the cost model
+    # dispatches it (the segmented selection scales ~linearly with Q —
+    # at Q=32 it measured 1.36 ms/query, losing to the exact GEMM's
+    # 0.57; at Q=2 the model says the quarter-byte scan wins)
+    q2f = q_batch[:2].astype(jnp.float32)
+
+    @functools.partial(jax.jit, static_argnums=(5,))
+    def loop_i2_batch2(q, m, rnv, pk, inv, it):
+        def body(_i, carry):
+            _vals, idx = knn_ops.cosine_int2_topk_batched(
+                carry, m, rnv, pk, inv, jnp.int32(n), k, pool_i2b,
+            )
+            return jnp.clip(
+                carry + m[idx[0, 0]].astype(jnp.float32)[None, :] / 127.0,
+                -127.0, 127.0,
+            )
+
+        out = jax.lax.fori_loop(0, it, body, q)
+        return jnp.sum(out)
+
     times["int2"] = []
-    hits_i2 = 0
+    times["int2b2"] = []
+    hits_i2 = hits_i2b = 0
     for r in range(rounds):
         times["int2"].append(t_int2())
+        times["int2b2"].append(_timed(
+            lambda it: float(
+                loop_i2_batch2(q2f, m8, rn, packed2_t, inv_n2, it)
+            ),
+            iters,
+        ) * 1000.0)
         if r == 0 and exact_sets is not None:
             hits_i2 = int2_hits(exact_sets)
+        elif r == 1 and exact_sets is not None:
+            hits_i2b = int2_batch_hits(exact_sets)
     import os
 
     if shard_n and os.environ.get("UCFP_BENCH_FULL") == "1":
@@ -841,6 +886,7 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
     ri4 = hits_i4 / n_trials
     ri4b = hits_i4b / n_trials
     ri2 = hits_i2 / n_trials
+    ri2b = hits_i2b / n_trials
 
     def _ci95(p):
         return round(1.96 * (p * (1.0 - p) / n_trials) ** 0.5, 3)
@@ -879,6 +925,14 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
         "query_cosine_int2_range_ms": st["int2"]["range"],
         "int2_recall10_random_10m_x768": round(ri2, 3),
         "int2_recall10_ci95": _ci95(ri2),
+        "query_cosine_int2_batch2_ms_per_query_10m_x768": round(
+            st["int2b2"]["p50"] / 2, 4
+        ),
+        "query_cosine_int2_batch2_range_ms_per_query": [
+            round(x / 2, 4) for x in st["int2b2"]["range"]
+        ],
+        "int2_batch_recall10_random_10m_x768": round(ri2b, 3),
+        "int2_batch_recall10_ci95": _ci95(ri2b),
         "sketch_timing_unstable": unstable,
         "sketch_recall10_random_10m_x768": round(rq, 3),
         "sketch_recall10_ci95": _ci95(rq),

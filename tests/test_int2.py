@@ -491,3 +491,76 @@ class TestBatched:
                    [(h.record_id, round(h.score, 5)) for h in row8]
         b2.close()
         b8.close()
+
+
+class TestStage2Shrink:
+    """The stage-2 pool shrink (active when the per-segment quota floor
+    inflates candidates past 2x the pool — every big-catalog serving
+    shape) reindexes gidx/slot_ok; these tests force it at test scale
+    with a small explicit pool and planted near-duplicates."""
+
+    def test_single_query_shrink_recovers_planted(self):
+        rng = np.random.default_rng(41)
+        c, d, k, pool = 65536, 32, 5, 256
+        nseg = c // 512
+        assert nseg * 8 > 2 * pool  # the shrink branch is ACTIVE
+        rows = _rows(rng, c, d)
+        targets = [123, 40000, 65535]
+        q = rng.normal(size=(d,)).astype(np.float32)
+        for t in targets:
+            rows[t] = q + 0.01 * rng.normal(size=d).astype(np.float32)
+        q8, norm = _quant8(rows)
+        packed_t, inv = knn_ops.pack_int2_cols(q8)
+        sc, idx = knn_ops.cosine_int2_topk(
+            jnp.asarray(q), q8, norm, packed_t, inv,
+            jnp.ones((c,), bool), k, pool,
+            n_valid=jnp.asarray(c, jnp.int32))
+        got = set(np.asarray(idx)[:3].tolist())
+        assert got == set(targets), got
+
+    def test_batched_shrink_recovers_planted(self):
+        rng = np.random.default_rng(42)
+        c, d, k, pool, nq = 65536, 32, 3, 256, 4
+        assert (c // 512) * 8 > 2 * pool
+        rows = _rows(rng, c, d)
+        qm = _rows(rng, nq, d)
+        want = [77, 30000, 50000, 65000]
+        for m, t in enumerate(want):
+            rows[t] = qm[m] + 0.01 * rng.normal(size=d).astype(np.float32)
+        q8, norm = _quant8(rows)
+        packed_t, inv = knn_ops.pack_int2_cols(q8)
+        s2, i2 = knn_ops.cosine_int2_topk_batched(
+            jnp.asarray(qm), q8, norm, packed_t, inv, c, k, pool)
+        for m, t in enumerate(want):
+            assert int(np.asarray(i2)[m, 0]) == t, m
+
+    def test_backend_sharded_batched_int2_thresholds(self, tmp_path,
+                                                     monkeypatch):
+        """Shrunk batch-pool floor: per-shard pools genuinely threshold
+        (pool*2 < rows/shard), so the batched pallas kernel runs under
+        shard_map instead of the exhaustive short-circuit."""
+        import asyncio
+
+        from ucfp_tpu.index.embedded import EmbeddedBackend
+
+        run = asyncio.run
+        monkeypatch.setenv("UCFP_SHARD", "auto")
+        monkeypatch.setenv("UCFP_SKETCH_COST_MODEL", "0")
+        monkeypatch.setattr(knn_ops, "INT2_BATCH_MIN_POOL", 128)
+        rng = np.random.default_rng(43)
+        n, d = 2 * knn_ops.INT2_MIN_POOL + 100, 32
+        vecs = rng.normal(size=(n, d)).astype(np.float32)
+        b2 = EmbeddedBackend(str(tmp_path / "mesh2t"), knn_quant="int2")
+        run(b2.upsert(self._recs(vecs)))
+        cap = b2._vec[(0, d)].data.shape[0]
+        cap_l = cap // 8
+        assert knn_ops.int2_batch_pool(cap_l, 3) * 2 < cap_l
+        qs = [[float(x) for x in vecs[i] + 0.01 * rng.normal(size=d)]
+              for i in (11, 9000, 16000)]
+        h2 = run(b2.knn_batch(0, qs, 3))
+        for row, want in zip(h2, (11, 9000, 16000)):
+            assert row[0].record_id == want
+        assert b2.knn_is_approximate(0, d, 3, batch=True, batch_q=3)
+        b2.close()
+
+    _recs = TestBackendInt2Mode._recs

@@ -771,14 +771,23 @@ def int2_supported(cap: int, dim: int) -> bool:
     return dim % 4 == 0 and cap >= 128 and cap % 128 == 0
 
 
+INT2_BATCH_MIN_POOL = 4096
+
+
 def int2_batch_pool(n: int, k: int) -> int:
     """Rescore-pool size for the BATCHED int2 prefilter: smaller than
     the single-query 8192 floor because per-query pool costs (13 ns/row
     gather + exact rescore) scale with Q while the rank-error margin
-    does not — the measured worst int2 rank of an exact top-10 row is
-    ~1.0k (quantization-bounded, see pallas_int2), so 4096 keeps ~4x
+    does not. Margin evidence: the worst int2 rank of an exact top-10
+    row measured ~1k at 500k x 768 and ~2-4k at 2M x 768 (pallas_int2
+    header) — the 4096 floor sits AT that boundary, so it is backed by
+    direct measurement of this batched path: recall@10 1.000 over
+    104 random queries at 10M x 768 (bench.py int2_batch_hits,
+    `int2_batch_recall10_random_10m_x768`), where random queries are
+    the worst case. The tier is also cost-model-gated to small Q
+    (int2_batch_beats_exact), which caps how much rides on the
     margin."""
-    return min(n, max(4096, 64 * k))
+    return min(n, max(INT2_BATCH_MIN_POOL, 64 * k))
 
 
 @jax.jit
@@ -939,6 +948,7 @@ def cosine_int2_topk(
     return _rescore_exact(q8, gidx, slot_ok, query, k, sorted_unique=False)
 
 
+@functools.partial(jax.jit, static_argnums=(6, 7))
 def cosine_int2_topk_batched(
     queries: jax.Array,  # [Q, D] f32
     q8: jax.Array,  # [C, D] int8 (the exact-rescore matrix)

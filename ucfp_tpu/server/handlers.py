@@ -141,19 +141,24 @@ def _hash_image_group(algo: str, gray: np.ndarray, h: int, w: int,
         gray = imod.resize_gray_batch(gray, th, tw)
         h, w = th, tw
 
-    gray = _pad_pow2(gray, count)
     if algo == "multi":
         if h * w > imod.MULTI_PRE_THRESHOLD:
             # camera-size inputs: host-resize to the bundle's four
             # planes (exact, same Q15 math) and ship 5,256 B/image
             # instead of the full luma — ~12x fewer wire bytes at
-            # 256x256; small inputs keep the single-plane entry
-            out = imod.jax_device_get(imagehash.multihash_kernel_pre(
-                *imod.multi_pre_planes(gray)))
-        else:
+            # 256x256; small inputs keep the single-plane entry.
+            # Resize the REAL rows first, then pad the small planes:
+            # padding before would run the 4 native resizes over up to
+            # 2x duplicated rows
+            planes = [_pad_pow2(p, count)
+                      for p in imod.multi_pre_planes(gray)]
             out = imod.jax_device_get(
-                imagehash.multihash_kernel_gray(gray, h, w))
+                imagehash.multihash_kernel_pre(*planes))
+        else:
+            out = imod.jax_device_get(imagehash.multihash_kernel_gray(
+                _pad_pow2(gray, count), h, w))
         return [imagehash.serialize_multihash(out, i) for i in range(count)]
+    gray = _pad_pow2(gray, count)
     out = imod.jax_device_get(
         imagehash.single_hash_kernel_gray(gray, h, w, algo)
     )
