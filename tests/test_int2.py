@@ -564,3 +564,28 @@ class TestStage2Shrink:
         b2.close()
 
     _recs = TestBackendInt2Mode._recs
+
+
+class TestQAwareBatchDispatch:
+    """The batched int2 cost model is Q-aware by measurement: the
+    segmented selection scales ~linearly with Q (fitted
+    UCFP_COST_INT2B_SELECT_US), so the packed scan wins only at small
+    Q. Chip captures at 10M x 768: Q=2 3.67 ms/query vs ~5.3 exact;
+    Q=32 1.36 vs 0.57 (exact wins). These pin the model's boundary so
+    a constants regression can't silently flip the dispatch."""
+
+    def test_small_q_dispatches_large_q_does_not(self):
+        n = 10_010_624
+        pool = knn_ops.int2_batch_pool(n, 10)
+        assert knn_ops.int2_batch_beats_exact(n, 768, 2, pool)
+        assert not knn_ops.int2_batch_beats_exact(n, 768, 32, pool)
+
+    def test_model_tracks_chip_captures(self):
+        """The fitted model must stay within 2x of both captures — a
+        loose leash, but it catches order-of-magnitude drift."""
+        n = 10_010_624
+        pool = knn_ops.int2_batch_pool(n, 10)
+        m32 = knn_ops.int2_batch_model_ms(n, 768, 32, pool)
+        assert 0.5 * 43.5 <= m32 <= 2 * 43.5, m32  # measured 43.3-43.7
+        m2 = knn_ops.int2_batch_model_ms(n, 768, 2, pool)
+        assert 0.5 * 7.35 <= m2 <= 2 * 7.35, m2  # measured 7.33-7.43
