@@ -175,3 +175,78 @@ class TestSessionExpiry:
         # the 4-session cap forced a clear; only the newest survives
         assert st.resolve(tokens[-1]) is not None
         assert st.resolve(first["token"]) is None
+
+
+class TestReservedTenants:
+    """Signup tenant assignment must skip ids that API keys already name
+    (keys file / service bearer / issued keys): a collision would put two
+    principals in one data namespace (query/delete each other's rows)."""
+
+    def test_signup_skips_reserved_ids(self, tmp_path):
+        reserved = {1, 2, 7}
+        st = AccountStore(str(tmp_path / "a.json"),
+                          reserved_tenants=lambda: tuple(reserved))
+        assert st.signup("a@x.co", "password!")["tenant_id"] == 8
+        # live closure: a key issued AFTER boot reserves its id too
+        reserved.add(11)
+        assert st.signup("b@x.co", "password!")["tenant_id"] == 12
+
+    def test_known_tenant_ids_across_lookups(self, tmp_path):
+        from ucfp_tpu.server.auth import (
+            StaticMapKey,
+            StaticSingleKey,
+            WebhookKeyLookup,
+            parse_keys_file,
+        )
+        from ucfp_tpu.server.keystore import CompositeKeyLookup
+
+        single = StaticSingleKey("t", tenant_id=3)
+        mapped = StaticMapKey(
+            parse_keys_file('[keys.a]\ntoken = "x"\ntenant_id = 4\n')
+        )
+        ks = PersistentKeyStore(str(tmp_path / "k.json"))
+        ks.issue(tenant_id=9)
+        comp = CompositeKeyLookup(single, mapped, ks)
+        assert set(comp.known_tenant_ids()) == {3, 4, 9}
+
+        async def never(tok):
+            return None
+
+        # webhook lookups can't enumerate: they reserve nothing
+        assert WebhookKeyLookup(never).known_tenant_ids() == ()
+
+    def test_state_from_env_wires_reservation(self, tmp_path, monkeypatch):
+        from ucfp_tpu.server.app import state_from_env
+
+        monkeypatch.setenv("UCFP_TOKEN", "t")
+        monkeypatch.setenv("UCFP_SHARD", "off")
+        state = state_from_env(data_dir=str(tmp_path))
+        try:
+            state.keystore.issue(tenant_id=5)
+            s = state.accounts.signup("u@x.co", "password!")
+            assert s["tenant_id"] == 6  # not 1: ids 0 (bearer) + 5 taken
+        finally:
+            state.index.close()
+
+
+class TestSnapshotDurability:
+    def test_logout_persists_across_restart(self, tmp_path):
+        p = str(tmp_path / "a.json")
+        st = AccountStore(p)
+        s = st.signup("a@b.co", "password!")
+        assert st.logout(s["token"])
+        st2 = AccountStore(p)
+        assert st2.resolve(s["token"]) is None
+
+    def test_stale_snapshot_write_cannot_regress_file(self, tmp_path):
+        """Disk writes happen outside the store lock; the version counter
+        must keep a delayed older snapshot from clobbering a newer one."""
+        p = str(tmp_path / "a.json")
+        st = AccountStore(p)
+        st.signup("a@b.co", "password!")
+        with st._lock:
+            old = st._snapshot_locked()
+        st.signup("b@b.co", "password!")  # newer snapshot reaches disk
+        st._write_snapshot(old)  # the delayed stale write is a no-op
+        st2 = AccountStore(p)
+        assert st2.login("b@b.co", "password!") is not None

@@ -316,6 +316,35 @@ class TestAsyncioFrontFraming:
         data = self._roundtrip(tmp_path, payload)
         assert b"400 Bad Request" in data
 
+    def test_streaming_route_bad_content_length_400(self, tmp_path):
+        """The streaming branch shares ONE content-length parser with the
+        buffered branch — malformed values get the same 400 there."""
+        payload = (
+            b"POST /v1/ingest/audio/1/9/stream?sample_rate=8000 HTTP/1.1\r\n"
+            b"Host: x\r\nAuthorization: Bearer " + TOKEN.encode() + b"\r\n"
+            b"Content-Length: 12abc\r\n\r\n"
+        )
+        data = self._roundtrip(tmp_path, payload)
+        assert b"400 Bad Request" in data
+        assert b"bad_content_length" in data
+
+    def test_streaming_early_response_stalled_body_408(self, tmp_path,
+                                                       monkeypatch):
+        """When the response is decided BEFORE the body is consumed (401
+        from auth middleware on a streaming route), draining the unsent
+        remainder must run under the read timeout: a client that stalls
+        mid-body gets a 408 and the socket back, instead of pinning the
+        connection + task on an unbounded read forever."""
+        monkeypatch.setenv("UCFP_READ_TIMEOUT_SECS", "0.5")
+        payload = (
+            b"POST /v1/ingest/audio/1/9/stream?sample_rate=8000 HTTP/1.1\r\n"
+            b"Host: x\r\n"  # no Authorization: middleware answers early
+            b"Content-Length: 1000000\r\n\r\n"
+            b"partial-body-then-silence"
+        )
+        data = self._roundtrip(tmp_path, payload)
+        assert b"408" in data and b"timeout" in data
+
 
 class TestDemoFingerprint:
     """Anonymous compute-only demo path (reference /api/fingerprint

@@ -264,3 +264,49 @@ class TestTransportFailureNotCached:
         # and the recovery IS cached
         run(lk.lookup("tok"))
         assert calls["n"] == 2
+
+
+class TestStaleServeOnOutage:
+    def test_expired_cache_served_while_endpoint_down(self):
+        """Outage longer than the TTL: availability for already-seen keys
+        beats freshness — serve the last-known answer, refresh on the
+        first successful fetch. Unknown tokens still fail closed."""
+        from ucfp_tpu.server.auth import ApiKeyContext
+
+        clock = {"t": 0.0}
+        calls = {"n": 0}
+
+        async def fetch(token):
+            calls["n"] += 1
+            if calls["n"] > 1:
+                raise OSError("endpoint down")
+            return ApiKeyContext(tenant_id=5, key_id="k")
+
+        lk = WebhookKeyLookup(fetch, clock=lambda: clock["t"])
+        assert run(lk.lookup("tok")).tenant_id == 5
+        clock["t"] = WebhookKeyLookup.TTL_SECS * 2  # cache expired, ep down
+        ctx = run(lk.lookup("tok"))
+        assert ctx is not None and ctx.tenant_id == 5  # stale, not lockout
+        assert run(lk.lookup("never-seen")) is None  # still fails closed
+
+
+class TestServerErrorsAreTransient:
+    def test_5xx_and_429_not_cached_as_miss(self, endpoint):
+        """Only 2xx/4xx webhook answers are authoritative: a 503/429 blip
+        must not lock a valid token out for the whole 60 s TTL."""
+        for blip in (503, 429):
+            endpoint.requests.clear()
+            endpoint.handlers["/keys"] = (blip, {})
+            lk = WebhookKeyLookup(key_lookup_fetch(endpoint.url("/keys")))
+            assert run(lk.lookup("tok")) is None  # closed for THIS request
+            endpoint.handlers["/keys"] = (200, {"tenant_id": 7})
+            ctx = run(lk.lookup("tok"))  # immediate recovery, no 60 s wait
+            assert ctx is not None and ctx.tenant_id == 7
+            assert len(endpoint.requests) == 2
+
+    def test_default_key_id_is_per_tenant(self, endpoint):
+        """A shared literal default would meter every tenant's per-key
+        minute/day budget in ONE FixedWindowLimiter bucket."""
+        endpoint.handlers["/keys"] = (200, {"tenant_id": 7})
+        lk = WebhookKeyLookup(key_lookup_fetch(endpoint.url("/keys")))
+        assert run(lk.lookup("a")).key_id == "webhook-t7"

@@ -41,9 +41,21 @@ def _hash_password(password: str, salt: bytes) -> str:
 
 
 class AccountStore:
-    def __init__(self, path: str):
+    def __init__(self, path: str, reserved_tenants=None):
         self.path = path
         self._lock = threading.Lock()
+        # disk writes happen OUTSIDE self._lock (resolve() takes it
+        # synchronously on the event loop — an fsync under it would
+        # stall every in-flight request): mutations snapshot the JSON
+        # under the lock, then write under _io_lock with a version
+        # counter so two racing saves can't regress the file
+        self._io_lock = threading.Lock()
+        self._version = 0
+        self._written = 0
+        #: optional callable returning tenant ids assigned OUTSIDE this
+        #: store (issued API keys, keys files) — signup must not hand a
+        #: new user a tenant id that already names someone else's data
+        self._reserved = reserved_tenants
         self._users: dict[str, dict] = {}  # email -> row
         self._sessions: dict[str, dict] = {}  # sha256(token) -> row
         if os.path.exists(path):
@@ -55,16 +67,34 @@ class AccountStore:
             except (json.JSONDecodeError, OSError):
                 pass
 
-    def _save(self) -> None:
-        tmp = self.path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"users": self._users, "sessions": self._sessions}, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self.path)
+    def _snapshot_locked(self) -> tuple[int, str]:
+        """Serialize the store under self._lock; the caller writes the
+        blob to disk AFTER dropping the lock (_write_snapshot)."""
+        self._version += 1
+        return self._version, json.dumps(
+            {"users": self._users, "sessions": self._sessions}
+        )
+
+    def _write_snapshot(self, snap: tuple[int, str]) -> None:
+        version, blob = snap
+        with self._io_lock:
+            if version <= self._written:
+                return  # a newer snapshot already reached disk
+            tmp = self.path + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(blob)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, self.path)
+            self._written = version
 
     def _next_tenant_id(self) -> int:
         used = [row["tenant_id"] for row in self._users.values()]
+        if self._reserved is not None:
+            # tenants named by issued API keys / keys files: a signup
+            # colliding with one would share that tenant's data
+            # namespace (query/list/delete each other's records)
+            used.extend(self._reserved())
         return max(used, default=0) + 1
 
     # -- users ---------------------------------------------------------------
@@ -92,7 +122,10 @@ class AccountStore:
                 "tenant_id": self._next_tenant_id(),
                 "created": int(time.time()),
             }
-            return self._new_session_locked(email)
+            sess = self._new_session_locked(email)
+            snap = self._snapshot_locked()
+        self._write_snapshot(snap)
+        return sess
 
     def login(self, email: str, password: str) -> Optional[dict]:
         """Constant-time verify; returns a fresh session or None."""
@@ -111,7 +144,10 @@ class AccountStore:
                 got, row["pw"]
             ):
                 return None
-            return self._new_session_locked(email)
+            sess = self._new_session_locked(email)
+            snap = self._snapshot_locked()
+        self._write_snapshot(snap)
+        return sess
 
     # -- sessions ------------------------------------------------------------
 
@@ -133,7 +169,6 @@ class AccountStore:
             "tenant_id": self._users[email]["tenant_id"],
             "expires": int(time.time()) + SESSION_TTL_SECS,
         }
-        self._save()
         return {
             "token": token,
             "email": email,
@@ -159,7 +194,8 @@ class AccountStore:
     def logout(self, token: str) -> bool:
         h = hashlib.sha256(token.encode()).hexdigest()
         with self._lock:
-            if self._sessions.pop(h, None) is not None:
-                self._save()
-                return True
-            return False
+            if self._sessions.pop(h, None) is None:
+                return False
+            snap = self._snapshot_locked()
+        self._write_snapshot(snap)
+        return True

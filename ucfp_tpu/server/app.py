@@ -427,7 +427,15 @@ def state_from_env(
     keystore = PersistentKeyStore(os.path.join(data_dir, "keys.json"))
     from .accounts import AccountStore
 
-    accounts = AccountStore(os.path.join(data_dir, "accounts.json"))
+    composite = CompositeKeyLookup(api_keys, keystore)
+    # signup tenant assignment must skip ids that API keys already name
+    # (keys file / service bearer / issued keys) — a collision would put
+    # two principals in one data namespace. Live closure: a key issued
+    # after boot is reserved too.
+    accounts = AccountStore(
+        os.path.join(data_dir, "accounts.json"),
+        reserved_tenants=composite.known_tenant_ids,
+    )
     # anonymous demo challenge: webhook verifier, default off
     # (self-hosted divergence note in docs/api-reference.md)
     challenge_url = os.environ.get("UCFP_DEMO_CHALLENGE_URL")
@@ -440,7 +448,7 @@ def state_from_env(
         )
     return ServerState(
         index=EmbeddedBackend(data_dir),
-        api_keys=CompositeKeyLookup(api_keys, keystore),
+        api_keys=composite,
         rate_limit=rate_limit,
         usage=usage,
         inputs=InputsCache(),

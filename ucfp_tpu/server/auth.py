@@ -36,6 +36,15 @@ class ApiKeyLookup(abc.ABC):
     async def lookup(self, token: str) -> Optional[ApiKeyContext]:
         """Return the key's context, or None for an unknown token."""
 
+    def known_tenant_ids(self) -> tuple[int, ...]:
+        """Tenant ids this lookup can authenticate, where enumerable.
+        Dashboard signup reserves these so a new account never lands on
+        a tenant id that an API key already names (tenant-isolation:
+        the colliding pair could query/delete each other's records).
+        Webhook lookups can't enumerate — they return () and the
+        operator owns id assignment there."""
+        return ()
+
 
 # Scope names → the route families they unlock. A key with EMPTY scopes
 # is unrestricted (the reference default: apikey.rs:101 builds contexts
@@ -95,6 +104,9 @@ class StaticSingleKey(ApiKeyLookup):
         if hmac.compare_digest(token.encode(), self._token):
             return self._ctx
         return None
+
+    def known_tenant_ids(self) -> tuple[int, ...]:
+        return (self._ctx.tenant_id,)
 
 
 def parse_keys_file(content: str) -> dict[str, ApiKeyContext]:
@@ -157,6 +169,9 @@ class StaticMapKey(ApiKeyLookup):
                 found = ctx
         return found
 
+    def known_tenant_ids(self) -> tuple[int, ...]:
+        return tuple(ctx.tenant_id for ctx in self._keys.values())
+
 
 class WebhookKeyLookup(ApiKeyLookup):
     """Remote key lookup with TTL cache (apikey.rs:317-418).
@@ -181,11 +196,16 @@ class WebhookKeyLookup(ApiKeyLookup):
         try:
             ctx = await self._fetch(token)
         except Exception:
-            # transport failure: fail closed for THIS request, but don't
-            # cache it as an authoritative miss — a 5 s blip would lock a
-            # valid token out for the whole TTL. A stale cached value (up
-            # to TTL old) was already served above, giving the
-            # reference's degrade-to-staleness behavior.
+            # transport/5xx failure: never cache it as an authoritative
+            # miss (a 5 s blip would lock a valid token out for the
+            # whole TTL). Degrade to STALENESS, not to lockout: serve
+            # the last-known answer however old it is — during an
+            # outage longer than the 60 s TTL, availability for
+            # already-seen keys beats freshness (the entry refreshes on
+            # the first successful fetch). Unknown tokens still fail
+            # closed.
+            if hit is not None:
+                return hit[1]
             return None
         if len(self._cache) >= self.MAX_CACHE:
             self._cache.clear()  # clear-on-overflow, like the reference

@@ -497,11 +497,8 @@ class HttpServer:
                     if te == "chunked":
                         stream = BodyStream(reader, chunked=True)
                     else:
-                        try:
-                            clen = int(headers.get("content-length", "0") or "0")
-                            if clen < 0:
-                                raise ValueError
-                        except ValueError:
+                        clen = _parse_content_length(headers)
+                        if clen is None:
                             writer.write(_raw_response(
                                 400, b'{"error":"bad_content_length"}'
                             ))
@@ -516,7 +513,21 @@ class HttpServer:
                     req.extensions["body_stream"] = stream
                     try:
                         resp, _ = await self.handle_request(req)
-                        framing_ok = await stream.drain()
+                        # drain under the read timeout: an early response
+                        # (401/400 before the handler consumed the body)
+                        # otherwise leaves an unbounded readexactly on a
+                        # client-controlled stream — N stalled bodies
+                        # would pin N sockets + tasks forever (every
+                        # other read path is already wait_for-wrapped)
+                        framing_ok = await asyncio.wait_for(
+                            stream.drain(), self.read_timeout_secs
+                        )
+                    except asyncio.TimeoutError:
+                        writer.write(_raw_response(
+                            408, b'{"error":"timeout"}'
+                        ))
+                        await writer.drain()
+                        return
                     except (ValueError, asyncio.IncompleteReadError,
                             ConnectionResetError):
                         writer.write(_raw_response(
@@ -556,11 +567,8 @@ class HttpServer:
                         await writer.drain()
                         return
                 else:
-                    try:
-                        clen = int(headers.get("content-length", "0") or "0")
-                        if clen < 0:
-                            raise ValueError
-                    except ValueError:
+                    clen = _parse_content_length(headers)
+                    if clen is None:
                         writer.write(_raw_response(400, b'{"error":"bad_content_length"}'))
                         await writer.drain()
                         return
@@ -623,6 +631,17 @@ def _serialize(resp: Response, keep_alive: bool) -> bytes:
     for k, v in resp.headers.items():
         head.append(f"{k}: {v}")
     return ("\r\n".join(head) + "\r\n\r\n").encode() + resp.body
+
+
+def _parse_content_length(headers) -> "int | None":
+    """Content-Length -> non-negative int, None on malformed values.
+    ONE parser for the streaming and buffered branches so hardening
+    (e.g. rejecting comma-joined duplicates) can't silently diverge."""
+    try:
+        clen = int(headers.get("content-length", "0") or "0")
+    except ValueError:
+        return None
+    return clen if clen >= 0 else None
 
 
 def _raw_response(status: int, body: bytes) -> bytes:

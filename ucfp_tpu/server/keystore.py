@@ -136,6 +136,10 @@ class PersistentKeyStore(ApiKeyLookup):
             daily_quota=row.get("daily_quota", self.DEFAULT_DAILY),
         )
 
+    def known_tenant_ids(self) -> tuple[int, ...]:
+        with self._lock:
+            return tuple(row["tenant_id"] for row in self._keys.values())
+
 
 class CompositeKeyLookup(ApiKeyLookup):
     """First match wins across several lookups (service bearer + issued)."""
@@ -149,3 +153,9 @@ class CompositeKeyLookup(ApiKeyLookup):
             if ctx is not None:
                 return ctx
         return None
+
+    def known_tenant_ids(self) -> tuple[int, ...]:
+        out: list[int] = []
+        for lk in self.lookups:
+            out.extend(lk.known_tenant_ids())
+        return tuple(out)

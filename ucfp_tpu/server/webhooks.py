@@ -73,12 +73,24 @@ def key_lookup_fetch(url: str):
             # a 5 s blip would otherwise lock the token out for 60 s
             logger().warn("key webhook unreachable", url=url, err=str(e))
             raise
+        if status >= 500 or status == 429:
+            # server-side failure is TRANSIENT, like a transport error:
+            # raising keeps the TTL cache from storing a 503 blip as an
+            # authoritative 60 s miss (only 2xx/4xx are authoritative)
+            logger().warn("key webhook server error", url=url,
+                          status=status)
+            raise RuntimeError(f"key webhook answered {status}")
         if status != 200 or not isinstance(body, dict):
             return None
         try:
+            tenant_id = int(body["tenant_id"])
             return ApiKeyContext(
-                tenant_id=int(body["tenant_id"]),
-                key_id=str(body.get("key_id", "webhook")),
+                tenant_id=tenant_id,
+                # per-tenant default: a shared literal "webhook" would
+                # meter every tenant's per-key minute/day budget in ONE
+                # FixedWindowLimiter bucket (app.py keys it by
+                # f"key:{ctx.key_id}")
+                key_id=str(body.get("key_id", f"webhook-t{tenant_id}")),
                 scopes=tuple(body.get("scopes", ())),
                 rate_class=str(body.get("rate_class", "default")),
                 rate_limit_per_min=int(body.get("rate_limit_per_min", 0)),
