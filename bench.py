@@ -1212,12 +1212,34 @@ def _run_all():
         )
         return rates[1]
 
+    def _text_minhash():
+        """Host-side text fingerprint throughput on the reference's own
+        bench workload (benches/end_to_end.rs:24-42: a ~5.6 KiB pangram
+        document per iteration). Tunnel-insensitive: the whole path is
+        host CPU (canonicalize + native UAX#29-ASCII tokenize + fused
+        shingle-XXH3-minhash, native/textsig.cpp). Reference claims
+        sub-millisecond text fingerprints (REPORT.md:41); this records
+        the measured ms/doc beside docs/s."""
+        from ucfp_tpu.modality.text import fingerprint_minhash
+
+        pangram = "The quick brown fox jumps over the lazy dog. "
+        doc = (pangram * (5734 // len(pangram) + 1))[:5734]
+        fingerprint_minhash(doc, 1, 1)  # warm (builds the .so if stale)
+        n = 200
+        t0 = time.perf_counter()
+        for i in range(n):
+            fingerprint_minhash(doc, 1, i)
+        per = (time.perf_counter() - t0) / n
+        extra["text_minhash_ms_per_doc_5k6"] = round(per * 1e3, 4)
+        return round(1.0 / per, 1)
+
     # UCFP_BENCH_ONLY=<substr>[,<substr>...] runs only matching metrics
     # (builder-side selective runs; the driver never sets it)
     only = [s for s in os.environ.get("UCFP_BENCH_ONLY", "").split(",") if s]
     for name, fn in [
         ("parity_ok", _parity),
         ("ingest_http_imgs_per_sec", _ingest_http),
+        ("text_minhash_docs_per_sec", _text_minhash),
         # the BASELINE target shape (10M x 768) runs EARLY: the sketch
         # recall + p50 pair is the round-3 headline directive and its
         # kernel carries the largest compile cost

@@ -373,11 +373,65 @@ def drive_imgbatch() -> None:
     print("imgbatch ok")
 
 
+def drive_textsig() -> None:
+    """Exercises the ASCII tokenizer (incl. boundary lookarounds at the
+    buffer edges), the fused shingle-hash-minhash kernel across short/
+    long/empty docs, and the mix+min reduction."""
+    import ctypes
+    import random
+
+    import numpy as np
+
+    from ucfp_tpu.native import load_textsig
+
+    lib = load_textsig()
+    assert lib is not None, "textsig failed to build"
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+
+    rng = random.Random(42)
+    alpha = "abcdef aeiou' 0123,;.:_\t\r\n-\"!\x00\x7f"
+    keys = np.arange(1, 129, dtype=np.uint64)
+    sig = np.empty(128, dtype=np.uint64)
+    docs = [
+        b"", b"'", b"'a", b"a'", b"...", b"_",
+        b"the quick brown fox jumps over the lazy dog" * 40,
+        bytes([0x7F, 0x27, 0x61]),
+    ] + [
+        "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 300))).encode()
+        for _ in range(200)
+    ]
+    for raw in docs:
+        cap = len(raw) + 1
+        spans = np.empty(2 * cap, dtype=np.int64)
+        n = lib.ucfp_text_tokens(raw, len(raw),
+                                 spans.ctypes.data_as(i64p), cap)
+        assert n >= 0
+        rc = lib.ucfp_text_minhash_sig(
+            raw, len(raw), 5, keys.ctypes.data_as(u64p), 128,
+            sig.ctypes.data_as(u64p))
+        assert rc >= 0
+    # non-ASCII refusal
+    assert lib.ucfp_text_tokens(b"caf\xc3\xa9", 5,
+                                spans.ctypes.data_as(i64p), 6) == -1
+    # capacity exhaustion reports -2, never writes past cap
+    small = np.empty(2, dtype=np.int64)
+    assert lib.ucfp_text_tokens(b"a b c", 5,
+                                small.ctypes.data_as(i64p), 1) == -2
+    base = np.arange(1000, dtype=np.uint64)
+    out = np.empty(128, dtype=np.uint64)
+    lib.ucfp_minhash_mix_min(base.ctypes.data_as(u64p), 1000,
+                             keys.ctypes.data_as(u64p), 128,
+                             out.ctypes.data_as(u64p))
+    print("textsig ok")
+
+
 if __name__ == "__main__":
     drive_wal()
     drive_bm25()
     drive_httpfront()
     drive_imgbatch()
+    drive_textsig()
     drive_wal_concurrent()
     drive_bm25_locked_concurrent()
     drive_httpfront_concurrent()

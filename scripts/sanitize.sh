@@ -1,6 +1,7 @@
 #!/usr/bin/env bash
-# ASan/UBSan run over the four native C++ modules (WAL engine, BM25,
-# epoll HTTP front, batch image decode/resize) — the race/memory-safety check the reference gets
+# ASan/UBSan run over the five native C++ modules (WAL engine, BM25,
+# epoll HTTP front, batch image decode/resize, text tokenize/minhash)
+# — the race/memory-safety check the reference gets
 # from Rust itself (SURVEY §5). Builds sanitized .san.so artifacts
 # beside the production ones and drives them through a jax-free driver
 # (XLA's runtime is not sanitizer-clean and would drown our reports).

@@ -1,0 +1,218 @@
+"""Native text-signature hot path (native/textsig.cpp): the ASCII
+UAX#29 tokenizer, the fused shingle-XXH3-minhash kernel, and the
+mix+min reduction must be byte-identical to the regex/numpy pipeline
+they replace. Reference workload: benches/end_to_end.rs:24-42 (5.6 KiB
+doc); reference claims sub-ms text fingerprints (REPORT.md:41)."""
+
+import random
+
+import numpy as np
+import pytest
+import regex
+
+from ucfp_tpu.modality import text as T
+from ucfp_tpu.modality.text import TextOpts, fingerprint_minhash
+from ucfp_tpu.native import load_textsig
+from ucfp_tpu.ops import textsig
+
+pytestmark = pytest.mark.skipif(
+    load_textsig() is None, reason="native textsig unavailable"
+)
+
+_SPLIT = regex.compile(r"(?w)\b")
+_HAS_W = regex.compile(r"\w", regex.UNICODE)
+
+
+def tokenize_slow(s: str) -> list[str]:
+    """The regex-engine ground truth (tokenize_words minus the native
+    shortcut)."""
+    return [x for x in _SPLIT.split(s) if x and _HAS_W.search(x)]
+
+
+def minhash_sig_slow(shingles, h=128) -> np.ndarray:
+    import xxhash
+
+    if not shingles:
+        return np.full(h, np.iinfo(np.uint64).max, dtype=np.uint64)
+    base = np.array(
+        [xxhash.xxh3_64_intdigest(s.encode()) for s in shingles],
+        dtype=np.uint64,
+    )
+    return textsig._mix_min_numpy(base, h)
+
+
+# alphabet weighted toward the interesting boundary machinery: letters,
+# digits, the four mid-joiners, quotes, underscore, whitespace/newlines,
+# plus arbitrary punctuation and control bytes
+_ALPHA = (
+    "abcdefghij" * 4 + "aeiou" * 3 + "XYZ" + "0123456789" * 3
+    + "'''" + "...,,;;::__" + "  \t\r\n" + '"-!#$%&()*+/<=>?@[\\]^`{|}~'
+    + "\x00\x01\x07\x0b\x0c\x7f"
+)
+
+
+def _random_ascii(rng: random.Random, n: int) -> str:
+    return "".join(rng.choice(_ALPHA) for _ in range(n))
+
+
+class TestTokenizerEquality:
+    DIRECTED = [
+        "", " ", "...", "''", "'", "_", "_._", "_'a", "'a", "'z", "'1",
+        "''a", "d''a", "can''t", "don't", "a'b'c", "l'objectif", "'e'e",
+        "'quoted'", "x 'a", "1'a", "1'2", "a'1", "a'", "'a1", "'_",
+        "1,234.56", "a.b.c", "a..b", "a.:b", "x:y", "x;y", "3;4",
+        "1;2;3", "a;b;c", "a.1", "1.a", "a,b", "1,a", "x-y", "a_.b",
+        "_1_", "a__b", "abc123def", "1a2", "0xff", "e.g. i.e.",
+        "3.", ".3", "a:", ":a", "a\r\nb", "a\tb", "a\nb", "a\rb",
+        "tab\there", "a . b", "CRLF\r\n\r\nend", "A.B", "A'E", "'E",
+        "the quick brown fox jumps over the lazy dog",
+    ]
+
+    def test_directed_cases(self):
+        for c in self.DIRECTED:
+            assert textsig.tokenize_ascii_fast(c) == tokenize_slow(c), repr(c)
+
+    def test_fuzz_token_streams(self):
+        rng = random.Random(0xC0FFEE)
+        for trial in range(3000):
+            s = _random_ascii(rng, rng.randrange(0, 64))
+            fast = textsig.tokenize_ascii_fast(s)
+            slow = tokenize_slow(s)
+            assert fast == slow, f"trial {trial}: {s!r} {fast} != {slow}"
+
+    def test_fuzz_longer_documents(self):
+        rng = random.Random(1234)
+        for trial in range(100):
+            s = _random_ascii(rng, rng.randrange(200, 2000))
+            assert textsig.tokenize_ascii_fast(s) == tokenize_slow(s), (
+                f"trial {trial}"
+            )
+
+    def test_all_single_and_pair_bytes(self):
+        """Exhaustive 1- and 2-byte printable+control coverage."""
+        chars = [chr(i) for i in range(0x00, 0x80)]
+        for a in chars:
+            assert textsig.tokenize_ascii_fast(a) == tokenize_slow(a), repr(a)
+        rng = random.Random(7)
+        sample = rng.sample([a + b for a in chars for b in chars], 4000)
+        for s in sample:
+            assert textsig.tokenize_ascii_fast(s) == tokenize_slow(s), repr(s)
+
+    def test_non_ascii_returns_none(self):
+        assert textsig.tokenize_ascii_fast("héllo") is None
+        # tokenize_words still answers through the regex path
+        assert T.tokenize_words("héllo wörld") == tokenize_slow("héllo wörld")
+
+
+class TestFusedSignatureEquality:
+    def test_fuzz_signatures(self):
+        rng = random.Random(99)
+        for trial in range(300):
+            s = _random_ascii(rng, rng.randrange(1, 400))
+            toks = tokenize_slow(s)
+            k = rng.choice([2, 3, 5, 8])
+            h = rng.choice([16, 64, 128])
+            fast = textsig.text_minhash_fast(s, k, h)
+            assert fast is not None
+            sig, nsh = fast
+            if not toks:
+                assert nsh == 0
+                continue
+            sh = T.shingles_of(toks, k)
+            assert nsh == len(sh), f"trial {trial}: {s!r}"
+            assert np.array_equal(sig, minhash_sig_slow(sh, h)), (
+                f"trial {trial}: {s!r}"
+            )
+
+    def test_record_identical_to_forced_fallback(self, monkeypatch):
+        docs = [
+            "The quick brown fox jumps over the lazy dog. " * 30,
+            "pack my box with five dozen liquor jugs",
+            "short",
+            "numbers 1,234.56 and can't-stop hyphen-ation _under_score_",
+        ]
+        fast = [fingerprint_minhash(d, 1, i) for i, d in enumerate(docs)]
+        monkeypatch.setattr(textsig, "text_minhash_fast", lambda *a: None)
+        monkeypatch.setattr(textsig, "tokenize_ascii_fast", lambda *a: None)
+        slow = [fingerprint_minhash(d, 1, i) for i, d in enumerate(docs)]
+        for f, s in zip(fast, slow):
+            assert f.fingerprint == s.fingerprint
+            assert f.config_hash == s.config_hash
+            assert f.text == s.text
+
+    def test_no_tokens_error_matches(self):
+        from ucfp_tpu.core import ModalityError
+
+        with pytest.raises(ModalityError, match="no tokens"):
+            fingerprint_minhash("... !!! ...", 1, 1)
+
+    def test_non_word_tokenizer_unaffected(self):
+        a = fingerprint_minhash("abc def ghi jkl", 1, 1,
+                                TextOpts(tokenizer="char"))
+        assert a.fingerprint  # char tokenizer keeps the slow path
+
+
+class TestMixMinEquality:
+    def test_fuzz_mix_min(self):
+        rng = np.random.default_rng(5)
+        for _ in range(50):
+            s = int(rng.integers(1, 3000))
+            h = int(rng.choice([16, 120, 128, 1024]))
+            base = rng.integers(0, 2**64, size=s, dtype=np.uint64)
+            lib = load_textsig()
+            import ctypes
+
+            out = np.empty(h, dtype=np.uint64)
+            u64p = ctypes.POINTER(ctypes.c_uint64)
+            lib.ucfp_minhash_mix_min(
+                base.ctypes.data_as(u64p), s,
+                textsig.slot_keys(h).ctypes.data_as(u64p), h,
+                out.ctypes.data_as(u64p),
+            )
+            assert np.array_equal(out, textsig._mix_min_numpy(base, h))
+
+    def test_xxh3_matches_python_module(self):
+        """The vendored xxhash header and the Python module must agree —
+        covered indirectly by the signature fuzz, pinned directly here
+        via a 1-shingle document whose hash IS the signature input."""
+        import xxhash
+
+        sig, nsh = textsig.text_minhash_fast("lonely", 5, 8)
+        assert nsh == 1
+        base = np.uint64(xxhash.xxh3_64_intdigest(b"lonely"))
+        assert np.array_equal(
+            sig, textsig._mix_min_numpy(np.array([base]), 8)
+        )
+
+
+class TestCanonicalizeAsciiFastPath:
+    def test_ascii_equals_slow_canonicalization(self):
+        """The ASCII shortcut must equal the full pipeline (NFKC is the
+        identity on ASCII; no bidi/Cf/confusable chars below U+0080)."""
+        import unicodedata
+
+        rng = random.Random(3)
+        for _ in range(500):
+            s = _random_ascii(rng, rng.randrange(0, 80))
+            for fold in (True, False):
+                for norm in ("nfc", "nfkc", "nfd", "nfkd", "none"):
+                    opts = TextOpts(case_fold=fold, normalization=norm,
+                                    apply_confusable=True)
+                    got = T.canonicalize(s, opts)
+                    want = s
+                    if norm != "none":
+                        want = unicodedata.normalize(norm.upper(), want)
+                    if fold:
+                        want = want.casefold()
+                    want = "".join(
+                        ch for ch in want
+                        if unicodedata.category(ch) != "Cf"
+                    ).translate(T._CONFUSABLES)
+                    assert got == want, repr(s)
+
+    def test_non_ascii_still_normalized(self):
+        opts = TextOpts()
+        # NFKC folds the ligature and width forms; strip removes Cf
+        assert T.canonicalize("ﬁn​Ａ", opts) == "fina"
+        got = T.canonicalize("Straße", opts)
+        assert got == "strasse"

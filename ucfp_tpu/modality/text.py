@@ -95,10 +95,16 @@ class TextOpts:
 def canonicalize(text: str, opts: TextOpts) -> str:
     # the reference canonicalizer accepts nfc/nfkc/nfd/nfkd/none
     # (dto.rs:405-408)
-    if opts.normalization in ("nfc", "nfkc", "nfd", "nfkd"):
-        text = unicodedata.normalize(opts.normalization.upper(), text)
-    elif opts.normalization != "none":
+    if opts.normalization not in ("nfc", "nfkc", "nfd", "nfkd", "none"):
         raise ModalityError(f"unknown normalization {opts.normalization!r}")
+    if text.isascii():
+        # every stage below is the identity on ASCII except case folding
+        # (all four normalization forms fix ASCII; no bidi controls, no
+        # Cf characters, no confusable-map keys exist below U+0080) —
+        # and the per-char strip loop costs ~0.8 ms on a 5.6 KiB doc
+        return text.casefold() if opts.case_fold else text
+    if opts.normalization != "none":
+        text = unicodedata.normalize(opts.normalization.upper(), text)
     if opts.case_fold:
         text = text.casefold()
     if opts.strip_bidi or opts.strip_format:
@@ -140,7 +146,15 @@ _GRAPHEME_RE = _regex.compile(r"\X")
 def tokenize_words(text: str) -> list[str]:
     """UAX#29 default word segmentation, keeping only segments that
     contain a word character (letters/marks/digits/underscore) — the
-    token stream the reference's WordTokenizer produces."""
+    token stream the reference's WordTokenizer produces.
+
+    ASCII inputs take the native scanner (same rules incl. the regex
+    engine's WB5a apostrophe-vowel elision; byte-equality fuzz-pinned
+    in tests/test_textsig_native.py), ~20x the regex engine's speed."""
+    if text.isascii():
+        toks = textsig.tokenize_ascii_fast(text)
+        if toks is not None:
+            return toks
     return [
         seg
         for seg in _WORD_BOUNDARY_RE.split(text)
@@ -423,11 +437,23 @@ def fingerprint_minhash(
 ) -> Record:
     opts = opts or TextOpts()
     canon = _prepare(text, opts)
-    toks = tokenize(canon, opts.tokenizer)
-    if not toks:
-        raise ModalityError("no tokens after canonicalization")
-    sh = shingles_of(toks, opts.k)
-    sig = textsig.minhash_signature(sh, opts.h)
+    sig = None
+    if opts.tokenizer == "word" and canon.isascii():
+        # fused native path: tokenize -> shingle -> hash -> mix/min in
+        # one C++ pass, no token/shingle materialization (5.3 ms ->
+        # ~0.25 ms on the reference's 5.6 KiB bench doc). Byte-identical
+        # to the fallback below (fuzz + goldens).
+        fast = textsig.text_minhash_fast(canon, opts.k, opts.h)
+        if fast is not None:
+            sig, nsh = fast
+            if nsh == 0:
+                raise ModalityError("no tokens after canonicalization")
+    if sig is None:
+        toks = tokenize(canon, opts.tokenizer)
+        if not toks:
+            raise ModalityError("no tokens after canonicalization")
+        sh = shingles_of(toks, opts.k)
+        sig = textsig.minhash_signature(sh, opts.h)
     algorithm = f"minhash-h{opts.h}" if opts.h != 128 else ALGORITHM_MINHASH_128
     return Record(
         tenant_id=tenant_id,

@@ -30,7 +30,7 @@ def _outname(base: str) -> str:
     return base
 
 
-def _build(src: str, out: str) -> bool:
+def _build(src: str, out: str, extra_flags: tuple[str, ...] = ()) -> bool:
     # compile to a temp path and rename: an interrupted/timed-out or
     # concurrent g++ must never leave a corrupt .so with a fresh mtime
     # (it would be loaded forever and silently disable the native path)
@@ -47,7 +47,7 @@ def _build(src: str, out: str) -> bool:
         try:
             subprocess.run(
                 ["g++", *opt, "-std=c++17", "-pthread", "-fPIC", "-shared"]
-                + _sanitize_flags() + ["-o", tmp, src],
+                + list(extra_flags) + _sanitize_flags() + ["-o", tmp, src],
                 check=True,
                 capture_output=True,
                 timeout=120,
@@ -184,6 +184,55 @@ def load_imgbatch():
         ctypes.c_int, ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8),
+    ]
+    return lib
+
+
+def _xxhash_include_dir():
+    """pyarrow vendors the xxhash 0.8 header (XXH3) — the only extra
+    include textsig.cpp needs. None when pyarrow is absent; the loader
+    then returns None and callers keep the pure-Python path."""
+    try:
+        import pyarrow
+    except ImportError:
+        return None
+    inc = os.path.join(os.path.dirname(pyarrow.__file__), "include")
+    hdr = os.path.join(inc, "arrow", "vendored", "xxhash", "xxhash.h")
+    return inc if os.path.exists(hdr) else None
+
+
+@functools.lru_cache(maxsize=1)
+def load_textsig():
+    """Load (building if needed) the native text-signature hot path
+    (ASCII UAX#29 tokenize + shingle XXH3 + minhash mix/min), or None —
+    callers fall back to the regex/numpy pipeline."""
+    inc = _xxhash_include_dir()
+    if inc is None:
+        return None
+    src = os.path.join(_DIR, "textsig.cpp")
+    out = os.path.join(_DIR, _outname("libucfptextsig.so"))
+    if not os.path.exists(out) or os.path.getmtime(out) < os.path.getmtime(src):
+        if not _build(src, out, extra_flags=(f"-I{inc}",)):
+            return None
+    try:
+        lib = ctypes.CDLL(out)
+    except OSError:
+        return None
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.ucfp_text_tokens.restype = ctypes.c_int64
+    # text rides as c_char_p: zero-copy pointer to the bytes object
+    lib.ucfp_text_tokens.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, i64p, ctypes.c_int64
+    ]
+    lib.ucfp_minhash_mix_min.restype = None
+    lib.ucfp_minhash_mix_min.argtypes = [
+        u64p, ctypes.c_int64, u64p, ctypes.c_int32, u64p
+    ]
+    lib.ucfp_text_minhash_sig.restype = ctypes.c_int64
+    lib.ucfp_text_minhash_sig.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
+        u64p, ctypes.c_int32, u64p
     ]
     return lib
 

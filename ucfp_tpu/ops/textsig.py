@@ -62,14 +62,35 @@ def _mix64_arr(x: np.ndarray) -> np.ndarray:
         return z ^ (z >> np.uint64(31))
 
 
+_slot_keys_cache: dict = {}
+
+
 def slot_keys(h: int) -> np.ndarray:
-    """Per-slot xor keys: splitmix64 of GOLDEN*(i+1)."""
-    with np.errstate(over="ignore"):
-        seeds = GOLDEN * np.arange(1, h + 1, dtype=np.uint64)
-    return _splitmix64_arr(seeds)
+    """Per-slot xor keys: splitmix64 of GOLDEN*(i+1). Cached: the hot
+    paths hand the same array to the native kernels on every call."""
+    keys = _slot_keys_cache.get(h)
+    if keys is None:
+        with np.errstate(over="ignore"):
+            seeds = GOLDEN * np.arange(1, h + 1, dtype=np.uint64)
+        keys = _splitmix64_arr(seeds)
+        keys.setflags(write=False)
+        _slot_keys_cache[h] = keys
+    return keys
 
 
 MINHASH_SCHEMA = 1
+
+
+def _native_textsig():
+    from ..native import load_textsig
+
+    return load_textsig()
+
+
+def _mix_min_numpy(base: np.ndarray, h: int) -> np.ndarray:
+    keys = slot_keys(h)
+    v = _mix64_arr(base[:, None] ^ keys[None, :])  # [S, h]
+    return v.min(axis=0)
 
 
 def minhash_signature(shingles: list[str], h: int = 128) -> np.ndarray:
@@ -80,9 +101,78 @@ def minhash_signature(shingles: list[str], h: int = 128) -> np.ndarray:
         [xxhash.xxh3_64_intdigest(s.encode("utf-8")) for s in shingles],
         dtype=np.uint64,
     )
-    keys = slot_keys(h)
-    v = _mix64_arr(base[:, None] ^ keys[None, :])  # [S, h]
-    return v.min(axis=0)
+    lib = _native_textsig()
+    if lib is not None:
+        # single-pass C++ mix+min: the numpy broadcast builds multi-MB
+        # [S, h] temporaries (2 ms/doc at S~1.1k); bit-equality with
+        # _mix_min_numpy is pinned by tests/test_textsig_native.py
+        import ctypes
+
+        base = np.ascontiguousarray(base)
+        out = np.empty(h, dtype=np.uint64)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        lib.ucfp_minhash_mix_min(
+            base.ctypes.data_as(u64p), base.size,
+            slot_keys(h).ctypes.data_as(u64p), h,
+            out.ctypes.data_as(u64p),
+        )
+        return out
+    return _mix_min_numpy(base, h)
+
+
+def text_minhash_fast(canon: str, k: int, h: int):
+    """Fused native minhash for canonicalized ASCII text under the
+    `word` tokenizer: UAX#29-ASCII tokenize -> k-shingle -> XXH3 ->
+    mix/min in one C++ pass (no token/shingle materialization).
+
+    Returns (sig[h] uint64, n_shingles) — n_shingles 0 means no tokens
+    (caller raises its usual error) — or None when the native module is
+    unavailable or the text turns out non-ASCII (caller falls back to
+    the regex/numpy pipeline). Byte-identical to that pipeline; fuzzed
+    in tests/test_textsig_native.py against random ASCII documents."""
+    lib = _native_textsig()
+    if lib is None:
+        return None
+    import ctypes
+
+    try:
+        raw = canon.encode("ascii")
+    except UnicodeEncodeError:
+        return None
+    out = np.empty(h, dtype=np.uint64)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    n = lib.ucfp_text_minhash_sig(
+        raw, len(raw), k,
+        slot_keys(h).ctypes.data_as(u64p), h,
+        out.ctypes.data_as(u64p),
+    )
+    if n < 0:
+        return None
+    return out, int(n)
+
+
+def tokenize_ascii_fast(canon: str):
+    """Native UAX#29-ASCII word tokenization. Returns the token list
+    (byte-identical to modality.text.tokenize_words, fuzz-pinned) or
+    None when unavailable / non-ASCII."""
+    lib = _native_textsig()
+    if lib is None:
+        return None
+    import ctypes
+
+    try:
+        raw = canon.encode("ascii")
+    except UnicodeEncodeError:
+        return None
+    cap = len(raw) + 1
+    spans = np.empty(2 * cap, dtype=np.int64)
+    n = lib.ucfp_text_tokens(
+        raw, len(raw),
+        spans.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), cap,
+    )
+    if n < 0:
+        return None
+    return [canon[spans[2 * i]:spans[2 * i + 1]] for i in range(n)]
 
 
 def serialize_minhash(sig: np.ndarray) -> bytes:
