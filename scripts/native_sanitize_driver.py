@@ -423,6 +423,16 @@ def drive_textsig() -> None:
     lib.ucfp_minhash_mix_min(base.ctypes.data_as(u64p), 1000,
                              keys.ctypes.data_as(u64p), 128,
                              out.ctypes.data_as(u64p))
+    # TLSH: random, low-variation (-2), short (-1), boundary lengths
+    from ucfp_tpu.ops.textsig import _PEARSON_BYTES
+
+    hexout = ctypes.create_string_buffer(70)
+    for nn in (50, 51, 655, 656, 3199, 3200, 5000):
+        blob = bytes(rng.randrange(256) for _ in range(nn))
+        assert lib.ucfp_tlsh_128_1(blob, nn, 50, _PEARSON_BYTES, hexout) == 0
+    assert lib.ucfp_tlsh_128_1(b"\x00" * 200, 200, 50, _PEARSON_BYTES,
+                               hexout) == -2
+    assert lib.ucfp_tlsh_128_1(b"short", 5, 50, _PEARSON_BYTES, hexout) == -1
     print("textsig ok")
 
 

@@ -234,6 +234,11 @@ def load_textsig():
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
         u64p, ctypes.c_int32, u64p
     ]
+    lib.ucfp_tlsh_128_1.restype = ctypes.c_int
+    lib.ucfp_tlsh_128_1.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_char_p, ctypes.c_char_p
+    ]
     return lib
 
 

@@ -42,6 +42,8 @@
 // XXH3 comes from pyarrow's vendored xxhash (0.8.3) header, inlined;
 // equality with the Python `xxhash` module is asserted in tests.
 
+#include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <string>
@@ -206,6 +208,107 @@ int64_t ucfp_text_minhash_sig(const uint8_t* text, int64_t len, int32_t k,
   }
   delete[] spans;
   return nsh;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// TLSH 128/1 (Oliver et al. 2013, published algorithm): the Python
+// implementation in ops/textsig.py is the semantic source of truth —
+// this is a byte-identical port (fuzz-pinned) of its per-byte loop,
+// which costs ~6.5 ms/doc in CPython. The Pearson permutation table is
+// passed in from Python so the published constant lives in ONE place.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+inline uint8_t b_mapping(const uint8_t* p, uint8_t salt, uint8_t i,
+                         uint8_t j, uint8_t k) {
+  uint8_t t = p[salt];
+  t = p[t ^ i];
+  t = p[t ^ j];
+  return p[t ^ k];
+}
+
+// Logarithmic length bucket (TLSH l_capturing). Double math mirrors
+// Python's math.log / float division exactly (same libm, no FMA:
+// builds use -ffp-contract=off).
+inline int l_capturing(int64_t length) {
+  if (length <= 0) return 0;
+  double x;
+  if (length <= 656) {
+    x = std::log((double)length) / std::log(1.5);
+  } else if (length <= 3199) {
+    x = std::log((double)length) / std::log(1.3) - 8.72777;
+  } else {
+    x = std::log((double)length) / std::log(1.1) - 62.5472;
+  }
+  int v = (int)x;  // trunc, like Python int()
+  if (v < 0) v = 0;
+  if (v > 255) v = 255;
+  return v;
+}
+
+inline uint8_t swap_nibbles(uint8_t b) {
+  return (uint8_t)(((b & 0x0F) << 4) | ((b & 0xF0) >> 4));
+}
+
+}  // namespace
+
+extern "C" {
+
+// TLSH 128-bucket / 1-byte-checksum digest. Writes 70 lowercase hex
+// chars (NOT NUL-terminated) to out. Returns 0 ok, -1 input shorter
+// than min_len, -2 insufficient variation (q3 == 0).
+int ucfp_tlsh_128_1(const uint8_t* data, int64_t n, int64_t min_len,
+                    const uint8_t* pearson, char* out) {
+  if (n < min_len) return -1;
+  uint32_t buckets[256];
+  std::memset(buckets, 0, sizeof(buckets));
+  uint8_t checksum = 0;
+  for (int64_t i = 4; i < n; ++i) {
+    const uint8_t b0 = data[i], b1 = data[i - 1], b2 = data[i - 2],
+                  b3 = data[i - 3], b4 = data[i - 4];
+    checksum = b_mapping(pearson, 0, b0, b1, checksum);
+    ++buckets[b_mapping(pearson, 2, b0, b1, b2)];
+    ++buckets[b_mapping(pearson, 3, b0, b1, b3)];
+    ++buckets[b_mapping(pearson, 5, b0, b2, b3)];
+    ++buckets[b_mapping(pearson, 7, b0, b2, b4)];
+    ++buckets[b_mapping(pearson, 11, b0, b1, b4)];
+    ++buckets[b_mapping(pearson, 13, b0, b3, b4)];
+  }
+  // quartiles over the first 128 buckets
+  uint32_t sorted_b[128];
+  std::memcpy(sorted_b, buckets, sizeof(sorted_b));
+  std::sort(sorted_b, sorted_b + 128);
+  const uint32_t q1 = sorted_b[31], q2 = sorted_b[63], q3 = sorted_b[95];
+  if (q3 == 0) return -2;
+  const int lvalue = l_capturing(n);
+  const uint32_t q1ratio = (uint32_t)(((uint64_t)q1 * 100 / q3) % 16);
+  const uint32_t q2ratio = (uint32_t)(((uint64_t)q2 * 100 / q3) % 16);
+  uint8_t digest[35];
+  digest[0] = swap_nibbles(checksum);
+  digest[1] = swap_nibbles((uint8_t)lvalue);
+  digest[2] = swap_nibbles((uint8_t)((q1ratio << 4) | q2ratio));
+  for (int i = 0; i < 32; ++i) {
+    uint8_t sextet = 0;
+    for (int j = 0; j < 4; ++j) {
+      const uint32_t k = buckets[(31 - i) * 4 + j];
+      uint8_t code;
+      if (k <= q1) code = 0;
+      else if (k <= q2) code = 1;
+      else if (k <= q3) code = 2;
+      else code = 3;
+      sextet |= (uint8_t)(code << (j * 2));
+    }
+    digest[3 + i] = sextet;
+  }
+  static const char* hexd = "0123456789abcdef";
+  for (int i = 0; i < 35; ++i) {
+    out[2 * i] = hexd[digest[i] >> 4];
+    out[2 * i + 1] = hexd[digest[i] & 0x0F];
+  }
+  return 0;
 }
 
 }  // extern "C"

