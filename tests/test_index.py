@@ -150,7 +150,8 @@ class TestKnnKernels:
 
     def test_pack_bits(self):
         words = knn_ops.pack_bits_to_u32(b"\x01\x00\x00\x00\xff")
-        assert words == [1, 0xFF]
+        assert words.dtype == np.uint32
+        assert words.tolist() == [1, 0xFF]
 
 
 # ---------------------------------------------------------------------------

@@ -25,6 +25,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Plain Python float, NOT jnp.float32(...): a module-scope jnp scalar
 # would initialise the default backend at import time — which hangs the
@@ -1466,8 +1467,12 @@ def sketch_candidates(cap: int, k: int) -> int:
     return sketch_pool(cap, k)
 
 
-def pack_bits_to_u32(fp: bytes) -> list[int]:
-    """Fingerprint bytes -> little-endian uint32 words (zero-padded)."""
+def pack_bits_to_u32(fp: bytes) -> np.ndarray:
+    """Fingerprint bytes -> little-endian uint32 words (zero-padded).
+    One frombuffer view (plus a copy only when padding) — the previous
+    per-word int.from_bytes loop cost ~0.17 ms per 1032-byte minhash
+    record on the batch ingest path."""
     pad = (-len(fp)) % 4
-    data = fp + b"\x00" * pad
-    return [int.from_bytes(data[i : i + 4], "little") for i in range(0, len(data), 4)]
+    if pad:
+        fp = fp + b"\x00" * pad
+    return np.frombuffer(fp, dtype="<u4")
