@@ -433,6 +433,13 @@ def drive_textsig() -> None:
     assert lib.ucfp_tlsh_128_1(b"\x00" * 200, 200, 50, _PEARSON_BYTES,
                                hexout) == -2
     assert lib.ucfp_tlsh_128_1(b"short", 5, 50, _PEARSON_BYTES, hexout) == -1
+    # simhash TF over the same doc corpus
+    sh = ctypes.c_uint64(0)
+    for raw in docs:
+        assert lib.ucfp_text_simhash64_tf(raw, len(raw),
+                                          ctypes.byref(sh)) >= 0
+    assert lib.ucfp_text_simhash64_tf(b"caf\xc3\xa9", 5,
+                                      ctypes.byref(sh)) == -1
     print("textsig ok")
 
 

@@ -282,3 +282,49 @@ class TestTlshNative:
             textsig.tlsh_128_1(b"short")
         with pytest.raises(ValueError, match="variation"):
             textsig.tlsh_128_1(b"\x00" * 200)
+
+
+class TestSimhashNative:
+    def test_fuzz_vs_python(self):
+        from collections import Counter
+
+        rng = random.Random(21)
+        for trial in range(400):
+            s = _random_ascii(rng, rng.randrange(1, 300))
+            toks = tokenize_slow(s)
+            fast = textsig.text_simhash_tf_fast(s)
+            assert fast is not None
+            h, has = fast
+            assert has == bool(toks), repr(s)
+            if not toks:
+                continue
+            tf = Counter(toks)
+            terms = list(tf.keys())
+            want = textsig.simhash64(terms, [float(tf[t]) for t in terms])
+            assert h == want, f"trial {trial}: {s!r}"
+
+    def test_record_identical_to_forced_fallback(self, monkeypatch):
+        from ucfp_tpu.modality.text import fingerprint_simhash
+
+        docs = ["the the the quick fox fox", "a b a b a", "don't stop 1,234"]
+        fast = [fingerprint_simhash(d, 1, i) for i, d in enumerate(docs)]
+        monkeypatch.setattr(textsig, "text_simhash_tf_fast", lambda *a: None)
+        slow = [fingerprint_simhash(d, 1, i) for i, d in enumerate(docs)]
+        for f, s in zip(fast, slow):
+            assert f.fingerprint == s.fingerprint
+            assert f.algorithm == s.algorithm
+
+    def test_idf_paths_unchanged(self):
+        from ucfp_tpu.modality.text import fingerprint_simhash
+
+        doc = "alpha beta beta gamma"
+        # weighted IDF must NOT ride the TF fast path
+        r_idf = fingerprint_simhash(doc, 1, 1, idf={"beta": 9.0})
+        assert r_idf.algorithm == "simhash-b64-idf"
+        r_tf = fingerprint_simhash(doc, 1, 2)
+        assert r_tf.algorithm == "simhash-b64-tf"
+        # empty-corpus IDF fallback: TF weights, IDF tag (first-document
+        # behavior) — rides the fast path with the same tag
+        r_fb = fingerprint_simhash(doc, 1, 3, idf={})
+        assert r_fb.algorithm == "simhash-b64-idf"
+        assert r_fb.fingerprint == r_tf.fingerprint

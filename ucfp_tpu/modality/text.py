@@ -480,20 +480,31 @@ def fingerprint_simhash(
     """
     opts = opts or TextOpts()
     canon = _prepare(text, opts)
-    toks = tokenize(canon, opts.tokenizer)
-    if not toks:
-        raise ModalityError("no tokens after canonicalization")
-    from collections import Counter
+    h = None
+    if not idf and opts.tokenizer == "word" and canon.isascii():
+        # pure-TF weights (idf None, or the empty-corpus IDF fallback):
+        # the fused native path hashes per token OCCURRENCE — identical
+        # to the unique-term/tf form (textsig.cpp has the argument)
+        fast = textsig.text_simhash_tf_fast(canon)
+        if fast is not None:
+            h, has_tokens = fast
+            if not has_tokens:
+                raise ModalityError("no tokens after canonicalization")
+    if h is None:
+        toks = tokenize(canon, opts.tokenizer)
+        if not toks:
+            raise ModalityError("no tokens after canonicalization")
+        from collections import Counter
 
-    tf = Counter(toks)
-    terms = list(tf.keys())
-    if idf:
-        weights = [tf[t] * idf.get(t, 1.0) for t in terms]
-        algorithm = ALGORITHM_SIMHASH_IDF
-    else:
-        weights = [float(tf[t]) for t in terms]
-        algorithm = ALGORITHM_SIMHASH_IDF if idf is not None else ALGORITHM_SIMHASH_TF
-    h = textsig.simhash64(terms, weights)
+        tf = Counter(toks)
+        terms = list(tf.keys())
+        if idf:
+            weights = [tf[t] * idf.get(t, 1.0) for t in terms]
+        else:
+            weights = [float(tf[t]) for t in terms]
+        h = textsig.simhash64(terms, weights)
+    algorithm = (ALGORITHM_SIMHASH_IDF if idf is not None
+                 else ALGORITHM_SIMHASH_TF)
     return Record(
         tenant_id=tenant_id,
         record_id=record_id,

@@ -239,6 +239,10 @@ def load_textsig():
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_char_p, ctypes.c_char_p
     ]
+    lib.ucfp_text_simhash64_tf.restype = ctypes.c_int
+    lib.ucfp_text_simhash64_tf.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, u64p
+    ]
     return lib
 
 

@@ -210,6 +210,38 @@ int64_t ucfp_text_minhash_sig(const uint8_t* text, int64_t len, int32_t k,
   return nsh;
 }
 
+// TF-weighted 64-bit SimHash over the ASCII tokenizer's token stream.
+// Byte-identical to ops/textsig.simhash64(terms, tf-weights): summing
+// +/-tf per UNIQUE term equals summing +/-1 per OCCURRENCE, and the
+// Python float accumulation is exact for integral weights, so int64
+// accumulators match it bit for bit. Returns 1 ok (*out set), 0 no
+// tokens, -1 non-ASCII byte (caller falls back).
+int ucfp_text_simhash64_tf(const uint8_t* text, int64_t len, uint64_t* out) {
+  int64_t acc[64] = {0};
+  bool any = false;
+  for (int64_t i = 0; i < len;) {
+    uint8_t c = text[i];
+    if (c >= 0x80) return -1;
+    bool starts = is_word(c) ||
+                  (c == '\'' && i + 1 < len && is_vowel(text[i + 1]));
+    if (!starts) {
+      ++i;
+      continue;
+    }
+    const int64_t end = scan_token(text, len, i);
+    const uint64_t h = XXH3_64bits(text + i, (size_t)(end - i));
+    for (int b = 0; b < 64; ++b) acc[b] += ((h >> b) & 1) ? 1 : -1;
+    any = true;
+    i = end;
+  }
+  if (!any) return 0;
+  uint64_t sig = 0;
+  for (int b = 0; b < 64; ++b)
+    if (acc[b] > 0) sig |= (uint64_t)1 << b;
+  *out = sig;
+  return 1;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

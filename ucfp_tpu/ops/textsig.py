@@ -151,6 +151,28 @@ def text_minhash_fast(canon: str, k: int, h: int):
     return out, int(n)
 
 
+def text_simhash_tf_fast(canon: str):
+    """Fused native TF SimHash for canonicalized ASCII text under the
+    `word` tokenizer. Returns (hash:int, has_tokens:bool) or None when
+    unavailable / non-ASCII. Byte-identical to
+    simhash64(terms, tf-weights) — see textsig.cpp for the equivalence
+    argument; fuzz-pinned in tests/test_textsig_native.py."""
+    lib = _native_textsig()
+    if lib is None:
+        return None
+    import ctypes
+
+    try:
+        raw = canon.encode("ascii")
+    except UnicodeEncodeError:
+        return None
+    out = ctypes.c_uint64(0)
+    rc = lib.ucfp_text_simhash64_tf(raw, len(raw), ctypes.byref(out))
+    if rc < 0:
+        return None
+    return int(out.value), rc == 1
+
+
 def tokenize_ascii_fast(canon: str):
     """Native UAX#29-ASCII word tokenization. Returns the token list
     (byte-identical to modality.text.tokenize_words, fuzz-pinned) or
