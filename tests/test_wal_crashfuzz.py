@@ -160,3 +160,50 @@ class TestBitFlipNative:
             frame = next(i for i, b in enumerate(bounds) if off < b)
             assert len(got) <= frame, f"flip at {off}.{bit}"
             assert got == want[: len(got)], f"flip at {off}.{bit}"
+
+
+class TestStoreLevelCrashRecovery:
+    def test_truncate_reopen_continue_cycles(self, tmp_path):
+        """End-to-end crash model at the BACKEND layer: ingest, cut the
+        log at a random offset (kill -9), reopen, assert the store
+        serves an exact record prefix AND keeps accepting writes — then
+        crash it again. Three cycles; both engines."""
+        import asyncio
+
+        from ucfp_tpu.core import Modality, Record
+        from ucfp_tpu.index.embedded import EmbeddedBackend
+
+        for engine in ("native", "json"):
+            if engine == "native" and load_walstore() is None:
+                continue
+            d = str(tmp_path / f"db-{engine}")
+            wal_path = os.path.join(d, "ucfp.wal")
+            rng = random.Random(3)
+            committed = []  # record ids whose append returned (durable)
+            next_id = 0
+            b = EmbeddedBackend(d, wal_engine=engine)
+            for cycle in range(3):
+                for _ in range(8):
+                    rid = next_id
+                    next_id += 1
+                    asyncio.run(b.upsert([Record(
+                        0, rid, Modality.TEXT, "raw",
+                        bytes([rid % 256] * 8), text=f"doc {rid} words",
+                    )]))
+                    committed.append(rid)
+                b.close()
+                blob = open(wal_path, "rb").read()
+                # crash: keep a random prefix of the log
+                t = rng.randrange(len(blob) + 1)
+                with open(wal_path, "wb") as f:
+                    f.write(blob[:t])
+                b = EmbeddedBackend(d, wal_engine=engine)
+                rows, _total = b.list_records(0, limit=1000)
+                got = sorted(r["record_id"] for r in rows)
+                # exact prefix of the durable ids — never a hole, never
+                # a phantom
+                assert got == committed[: len(got)], (engine, cycle, t, got)
+                committed = got[:]  # survivors are the new truth
+        if not committed:
+            raise AssertionError("fuzz never kept any records")
+        b.close()
