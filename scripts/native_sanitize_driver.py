@@ -411,9 +411,11 @@ def drive_textsig() -> None:
             raw, len(raw), 5, keys.ctypes.data_as(u64p), 128,
             sig.ctypes.data_as(u64p))
         assert rc >= 0
-    # non-ASCII refusal
+    # non-ASCII refusal (fresh buffer sized to the declared cap — the
+    # loop's trailing `spans` can be as small as one pair)
+    probe = np.empty(2 * 6, dtype=np.int64)
     assert lib.ucfp_text_tokens(b"caf\xc3\xa9", 5,
-                                spans.ctypes.data_as(i64p), 6) == -1
+                                probe.ctypes.data_as(i64p), 6) == -1
     # capacity exhaustion reports -2, never writes past cap
     small = np.empty(2, dtype=np.int64)
     assert lib.ucfp_text_tokens(b"a b c", 5,

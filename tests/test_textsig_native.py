@@ -219,54 +219,29 @@ class TestCanonicalizeAsciiFastPath:
 
 
 class TestTlshNative:
-    def test_fuzz_vs_python(self):
-        """Native TLSH must be byte-identical to the Python reference
-        implementation over random inputs, including low-variation and
-        boundary-length cases (the l_capturing base switches at 656 and
-        3199)."""
+    def test_fuzz_vs_python(self, monkeypatch):
+        """Native TLSH must be byte-identical to the REAL Python
+        fallback (tlsh_128_1 with the native module disabled — not a
+        copy that could go stale) over random inputs, including
+        low-variation and boundary-length cases (the l_capturing base
+        switches at 656 and 3199)."""
         rng = random.Random(11)
 
         def py_tlsh(data: bytes) -> str:
-            # the pure-Python body, bypassing the native shortcut
-            n = len(data)
-            buckets = [0] * 256
-            checksum = 0
-            for i in range(4, n):
-                b0, b1, b2, b3, b4 = (data[i], data[i - 1], data[i - 2],
-                                      data[i - 3], data[i - 4])
-                checksum = textsig._b_mapping(0, b0, b1, checksum)
-                buckets[textsig._b_mapping(2, b0, b1, b2)] += 1
-                buckets[textsig._b_mapping(3, b0, b1, b3)] += 1
-                buckets[textsig._b_mapping(5, b0, b2, b3)] += 1
-                buckets[textsig._b_mapping(7, b0, b2, b4)] += 1
-                buckets[textsig._b_mapping(11, b0, b1, b4)] += 1
-                buckets[textsig._b_mapping(13, b0, b3, b4)] += 1
-            bl = buckets[:128]
-            s = sorted(bl)
-            q1, q2, q3 = s[31], s[63], s[95]
-            if q3 == 0:
-                raise ValueError("insufficient variation")
-            lvalue = textsig._l_capturing(n)
-            q1r, q2r = (q1 * 100 // q3) % 16, (q2 * 100 // q3) % 16
-            body = bytearray(32)
-            for i in range(32):
-                sx = 0
-                for j in range(4):
-                    kk = bl[(31 - i) * 4 + j]
-                    code = 0 if kk <= q1 else 1 if kk <= q2 else \
-                        2 if kk <= q3 else 3
-                    sx |= code << (j * 2)
-                body[i] = sx
-            hdr = bytes([textsig._swap_nibbles(checksum),
-                         textsig._swap_nibbles(lvalue),
-                         textsig._swap_nibbles((q1r << 4) | q2r)])
-            return (hdr + bytes(body)).hex()
+            orig = textsig._native_textsig
+            monkeypatch.setattr(textsig, "_native_textsig", lambda: None)
+            try:
+                return textsig.tlsh_128_1(data)
+            finally:
+                monkeypatch.setattr(textsig, "_native_textsig", orig)
 
         lengths = ([50, 51, 100, 655, 656, 657, 3198, 3199, 3200, 5000]
                    + [rng.randrange(50, 4000) for _ in range(60)])
         for n in lengths:
             data = bytes(rng.randrange(256) for _ in range(n))
-            assert textsig.tlsh_128_1(data) == py_tlsh(data), n
+            native = textsig.tlsh_128_1(data)
+            assert len(native) == 70
+            assert native == py_tlsh(data), n
         # embedded NULs must not truncate the ctypes pass-through: the
         # same bytes with the NULs replaced must give a DIFFERENT digest
         rng2 = random.Random(13)

@@ -179,7 +179,9 @@ int64_t ucfp_text_minhash_sig(const uint8_t* text, int64_t len, int32_t k,
   // heap-allocate defensively for big docs.
   std::string scratch;
   scratch.reserve(256);
-  const int64_t max_tokens = len + 1;  // tokens are non-overlapping
+  // tokens are non-overlapping and at least one char wide with at
+  // least one separator between them, so (len+1)/2 bounds the count
+  const int64_t max_tokens = len / 2 + 1;
   int64_t* spans = new int64_t[2 * (size_t)max_tokens];
   int64_t t = ucfp_text_tokens(text, len, spans, max_tokens);
   if (t < 0) {

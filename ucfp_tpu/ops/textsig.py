@@ -186,7 +186,8 @@ def tokenize_ascii_fast(canon: str):
         raw = canon.encode("ascii")
     except UnicodeEncodeError:
         return None
-    cap = len(raw) + 1
+    # non-overlapping tokens, >=1 char each + a separator: (n+1)/2 bound
+    cap = len(raw) // 2 + 1
     spans = np.empty(2 * cap, dtype=np.int64)
     n = lib.ucfp_text_tokens(
         raw, len(raw),
@@ -318,7 +319,9 @@ def tlsh_128_1(data: bytes) -> str:
             return out.raw.decode("ascii")
         if rc == -2:
             raise ValueError("TLSH: insufficient variation in input")
-        raise ValueError(f"TLSH requires >= {TLSH_MIN_LEN} bytes, got {n}")
+        # -1 (too short) is unreachable — length was validated above —
+        # so any other code is an ABI/logic mismatch, not a user error
+        raise RuntimeError(f"native TLSH returned rc={rc}")
     buckets = [0] * 256
     checksum = 0
     for i in range(4, n):
