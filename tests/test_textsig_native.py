@@ -303,3 +303,44 @@ class TestSimhashNative:
         r_fb = fingerprint_simhash(doc, 1, 3, idf={})
         assert r_fb.algorithm == "simhash-b64-idf"
         assert r_fb.fingerprint == r_tf.fingerprint
+
+
+class TestStripTableEquality:
+    def test_translate_matches_per_char_loop(self):
+        """The memoizing Cf-delete table must equal the old per-char
+        unicodedata loop for every strip_bidi/strip_format combination,
+        across a plane-spanning sample (incl. every bidi control, Cf
+        chars like SOFT HYPHEN/ZWJ/ZWNJ, and non-Cf lookalikes)."""
+        import unicodedata
+
+        sample = (
+            "plain ascii"
+            + "".join(sorted(T._BIDI_CONTROLS))
+            + "­​‌‍﻿⁠۝\U000e0001"
+            + " 　  "  # spaces/separators: NOT Cf
+            + "héllo wörld Straße ﬁn ① 中文テキスト한국어"
+            + "".join(chr(c) for c in range(0x2000, 0x2070))
+        )
+        rng = random.Random(9)
+        docs = ["".join(rng.choice(sample) for _ in range(120))
+                for _ in range(200)] + [sample]
+        for s in docs:
+            for bidi in (True, False):
+                for fmt in (True, False):
+                    opts = TextOpts(strip_bidi=bidi, strip_format=fmt,
+                                    normalization="none", case_fold=False)
+                    got = T.canonicalize(s, opts)
+                    want = "".join(
+                        ch for ch in s
+                        if not (bidi and ch in T._BIDI_CONTROLS)
+                        and not (fmt and unicodedata.category(ch) == "Cf")
+                    )
+                    assert got == want, (bidi, fmt, repr(s[:40]))
+
+    def test_bidi_controls_are_all_cf(self):
+        """The table reduction (strip_format subsumes strip_bidi) relies
+        on every bidi control being category Cf — pin it."""
+        import unicodedata
+
+        for c in T._BIDI_CONTROLS:
+            assert unicodedata.category(c) == "Cf", hex(ord(c))

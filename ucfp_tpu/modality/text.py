@@ -66,6 +66,25 @@ _BIDI_CONTROLS = {
     "⁩",  # PDI
 }
 
+class _CfDeleteTable(dict):
+    """Memoizing str.translate table that deletes Cf (format) chars.
+
+    str.translate consults the mapping per character; on a miss,
+    __missing__ classifies the codepoint ONCE with unicodedata (the
+    exact test the old per-char loop ran) and caches None (delete) or
+    the codepoint itself (keep) — so steady-state translation is
+    C-speed dict hits instead of a Python loop per character."""
+
+    def __missing__(self, cp: int):
+        val = None if unicodedata.category(chr(cp)) == "Cf" else cp
+        self[cp] = val
+        return val
+
+
+_CF_DELETE_TABLE = _CfDeleteTable()
+# strip_bidi without strip_format: delete exactly the 12 bidi controls
+_BIDI_DELETE_TABLE = {ord(c): None for c in _BIDI_CONTROLS}
+
 # Small built-in confusable map (UTS#39-inspired subset: common Cyrillic /
 # Greek homoglyphs of Latin letters). Off by default like the reference.
 _CONFUSABLES = str.maketrans(
@@ -107,15 +126,15 @@ def canonicalize(text: str, opts: TextOpts) -> str:
         text = unicodedata.normalize(opts.normalization.upper(), text)
     if opts.case_fold:
         text = text.casefold()
-    if opts.strip_bidi or opts.strip_format:
-        out = []
-        for ch in text:
-            if opts.strip_bidi and ch in _BIDI_CONTROLS:
-                continue
-            if opts.strip_format and unicodedata.category(ch) == "Cf":
-                continue
-            out.append(ch)
-        text = "".join(out)
+    # deletion set: (bidi controls if strip_bidi) ∪ (Cf if strip_format)
+    # — every bidi control IS Cf, so strip_format subsumes strip_bidi.
+    # str.translate with the memoizing table replaces the ~0.8 ms/5.6KiB
+    # per-char category loop; identical semantics (same unicodedata
+    # category test, property-tested in test_textsig_native.py).
+    if opts.strip_format:
+        text = text.translate(_CF_DELETE_TABLE)
+    elif opts.strip_bidi:
+        text = text.translate(_BIDI_DELETE_TABLE)
     if opts.apply_confusable:
         text = text.translate(_CONFUSABLES)
     return text
