@@ -556,9 +556,9 @@ def cosine_sketch_topk(
 # spread runs, 104-query recall CI): medians 4.5-5.5 ms in
 # [4.4, 6.1] at recall@10 1.000±0.000 vs the 10.3-10.7 ms exact int8
 # scan — ~2x faster at measured-perfect recall. Per-shard at
-# 10M/8 = 1.25M rows: 0.65-0.72 ms (64-iter device-loop calibration;
+# 10M/8 = 1.25M rows: 0.65-0.77 ms (64-iter device-loop calibration;
 # shorter loops at this scale are tunnel-jitter-dominated) -> derived
-# v5e-8 ~0.8 ms incl. the modeled 0.1 ms merge (sub-ms @10M single
+# v5e-8 ~0.8-0.9 ms incl. the modeled 0.1 ms merge (sub-ms @10M single
 # query as shard-scale arithmetic).
 #
 # BATCHED (cosine_int4_topk_batched, knn_batch serving): one packed
