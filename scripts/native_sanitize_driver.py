@@ -442,6 +442,51 @@ def drive_textsig() -> None:
                                           ctypes.byref(sh)) >= 0
     assert lib.ucfp_text_simhash64_tf(b"caf\xc3\xa9", 5,
                                       ctypes.byref(sh)) == -1
+
+    # full-Unicode scanner: multilingual docs, malformed UTF-8 (refusal
+    # without reads past the buffer), truncated multi-byte tails, cap
+    # exhaustion, and the fused u8 signature kernels over the same set
+    uni_docs = [
+        "café l'objectif l’école".encode(),
+        "中文漢字 日本語テスト ひらがな カタカナ".encode(),
+        "עברית א'ב א\"א א׳".encode(),
+        "\U0001f1eb\U0001f1f7\U0001f1e9\U0001f1ea a‍\U0001f600 "
+        "\U0001f44d\U0001f3fd".encode(),
+        "á̈ ‌c ­ soft".encode(),
+        ("mixte ASCII et accents: déjà vu, naïve, cœur. " * 30).encode(),
+        b"", b"'", "’a".encode(), "\U0001f1eb".encode(),
+    ] + [
+        "".join(rng.choice(alpha + "éà中カא🇫́‍")
+                for _ in range(rng.randrange(0, 200))).encode("utf-8")
+        for _ in range(200)
+    ]
+    for raw in uni_docs:
+        cap = len(raw) // 2 + 1
+        spans = np.empty(2 * max(cap, 1), dtype=np.int64)
+        n = lib.ucfp_text_tokens_u8(raw, len(raw),
+                                    spans.ctypes.data_as(i64p), cap)
+        assert n >= 0, raw
+        rc = lib.ucfp_text_minhash_sig_u8(
+            raw, len(raw), 5, keys.ctypes.data_as(u64p), 128,
+            sig.ctypes.data_as(u64p))
+        assert rc >= 0
+        assert lib.ucfp_text_simhash64_tf_u8(raw, len(raw),
+                                             ctypes.byref(sh)) >= 0
+    bad_utf8 = [
+        b"\xc3", b"a\xc3", b"\xe4\xb8", b"\xf0\x9f\x87", b"\x80",
+        b"\xff\xfe", b"a\xc0\xaf", b"\xf8\x88\x80\x80\x80",
+        "é".encode()[:1] + b"zz",
+    ]
+    for raw in bad_utf8:
+        assert lib.ucfp_text_tokens_u8(raw, len(raw),
+                                       probe.ctypes.data_as(i64p), 6) == -1
+        assert lib.ucfp_text_minhash_sig_u8(
+            raw, len(raw), 5, keys.ctypes.data_as(u64p), 128,
+            sig.ctypes.data_as(u64p)) == -1
+        assert lib.ucfp_text_simhash64_tf_u8(raw, len(raw),
+                                             ctypes.byref(sh)) == -1
+    assert lib.ucfp_text_tokens_u8("中 a 中".encode(), 9,
+                                   small.ctypes.data_as(i64p), 1) == -2
     print("textsig ok")
 
 

@@ -344,3 +344,223 @@ class TestStripTableEquality:
 
         for c in T._BIDI_CONTROLS:
             assert unicodedata.category(c) == "Cf", hex(ord(c))
+
+
+class TestUnicodeTokenizerEquality:
+    """The full-Unicode native scanner (ucfp_text_tokens_u8 over the
+    wb_table.h generated from the regex engine) must match (?w)\\b on
+    EVERY script. The probes that pinned the engine's rule variant —
+    raw WB6/12 lookahead, raw WB7/11 left element, sot-leading
+    Extend/Format attachment, odd-RI break suppression, the 41-vowel
+    apostrophe bind set — live here as directed cases."""
+
+    DIRECTED = [
+        "can't stop", "l'objectif", "l’objectif", "l'zebra",
+        "l'école", "'a", "'z", "'1", "'é", "'İstanbul",
+        "’a", "’é", "1'a", "1'2", "1’2", "a'",
+        "'''", "a''b", "a'’b", "'́a", "́a", "‌c",
+        "̈!gcd", "1,234.5", "中文abc",
+        "日本語テスト",
+        "カタカナ", "ひらがな",
+        "한국어 텍스트",
+        "עברית א'ב א\"א",
+        "א׳א", "а'б", "'а",
+        "a‍\U0001f600", "\U0001f1eb\U0001f1f7\U0001f1e9\U0001f1ea",
+        "\U0001f1eba", "a\U0001f1eb", "\U0001f1eb1",
+        "\U0001f1eb\U0001f1f7a", "\U0001f1eb́\U0001f1f7a",
+        "\U0001f1eb'a", "\U0001f1eb\r", "\U0001f1eb中",
+        "\U0001f600a", "a\U0001f600", "\U0001f1eb\U0001f600",
+        "a­b", "áb", "áb", "  　 ", "a\rb\nc\r\nd",
+        "ห​น", "กขค thai",
+        "क्‍ष", "ﬁnancial ﷺ",
+        "Ωμέγα",
+        "العربية نص",
+        "bf‌:Z", "ëf’­X", "a한Бj'́c",
+        "üôéeöë’­X",
+        "עç한‌'ë",
+        "êאûî국́́ù\U0001f3fd:ßÆ",
+        "", "x", "\U0001f1eb", "中",
+    ]
+
+    POOLS = [
+        "abcdefghijXYZ0123456789_'’.,:;-!? \t\n\r",
+        "àâçéèêëîïô"
+        "öùûüÿÆŒß",
+        "中文漢字日本語ひらが"
+        "なカタカナ한국어",
+        "עבריתא׳\"'",
+        "\U0001f1eb\U0001f1f7\U0001f1e9\U0001f1ea\U0001f600"
+        "\U0001f44d\U0001f3fd‍",
+        "́̈‌‍​­‪",
+        "αβγδωΑΩ "
+        "абвгд АБВ",
+        "'\"’",
+    ]
+
+    def test_directed_cases(self):
+        for c in self.DIRECTED:
+            assert textsig.tokenize_u8_fast(c) == tokenize_slow(c), repr(c)
+
+    def test_fuzz_mixed_scripts(self):
+        rng = random.Random(0xBEEF)
+        for trial in range(4000):
+            npool = rng.randint(1, 5)
+            s = "".join(
+                rng.choice(
+                    self.POOLS[rng.randrange(npool)]
+                    if rng.random() < 0.7
+                    else rng.choice(self.POOLS)
+                )
+                for _ in range(rng.randrange(0, 40))
+            )
+            fast = textsig.tokenize_u8_fast(s)
+            slow = tokenize_slow(s)
+            assert fast == slow, f"trial {trial}: {s!r} {fast} != {slow}"
+
+    # one representative per Word_Break class + the tailoring specials
+    SPECIAL = [
+        "'", "’", '"', "×", "\U0001f1eb", "\U0001f1f7", "a",
+        "e", "z", "1", "ـ", "א", "カ", "_", ",", ".",
+        ":", " ", "\r", "\n", " ", "‍", "́", "­",
+        "中", "\U0001f600", "É", "é",
+    ]
+
+    def test_exhaustive_class_pairs(self):
+        for a in self.SPECIAL:
+            for b in self.SPECIAL:
+                s = a + b
+                assert textsig.tokenize_u8_fast(s) == tokenize_slow(s), repr(s)
+
+    def test_class_triples_sampled(self):
+        rng = random.Random(31337)
+        for _ in range(4000):
+            s = "".join(rng.choice(self.SPECIAL) for _ in range(3))
+            assert textsig.tokenize_u8_fast(s) == tokenize_slow(s), repr(s)
+
+    def test_lone_surrogate_falls_back(self):
+        s = "a\ud800b"
+        assert textsig.tokenize_u8_fast(s) is None  # cannot UTF-8 encode
+        # tokenize_words still answers through the regex path
+        assert T.tokenize_words(s) == tokenize_slow(s)
+
+    def test_wb_table_matches_engine_version(self):
+        """A `regex` upgrade must regenerate wb_table.h (the table IS
+        the engine's property data). scripts/gen_wb_table.py rebuilds
+        it; the differential fuzz above would catch semantic drift, this
+        catches it at the source."""
+        import os
+
+        import ucfp_tpu.native as native
+
+        hdr = os.path.join(os.path.dirname(native.__file__), "wb_table.h")
+        with open(hdr) as f:
+            head = f.read(512)
+        assert f"regex {regex.__version__}" in head, (
+            "wb_table.h generated from a different regex version — "
+            "re-run scripts/gen_wb_table.py"
+        )
+
+
+class TestUnicodeFusedSignatures:
+    def test_fuzz_minhash_u8(self):
+        rng = random.Random(4242)
+        pools = TestUnicodeTokenizerEquality.POOLS
+        for trial in range(600):
+            s = "".join(
+                rng.choice(rng.choice(pools))
+                for _ in range(rng.randrange(0, 60))
+            )
+            k = rng.choice([2, 3, 5])
+            fast = textsig.text_minhash_u8_fast(s, k, 32)
+            assert fast is not None
+            sig, nsh = fast
+            toks = tokenize_slow(s)
+            sh = T.shingles_of(toks, k)
+            assert nsh == len(sh), repr(s)
+            if sh:
+                assert np.array_equal(sig, minhash_sig_slow(sh, 32)), repr(s)
+
+    def test_fuzz_simhash_u8(self):
+        rng = random.Random(777)
+        pools = TestUnicodeTokenizerEquality.POOLS
+        for trial in range(600):
+            s = "".join(
+                rng.choice(rng.choice(pools))
+                for _ in range(rng.randrange(0, 50))
+            )
+            got = textsig.text_simhash_tf_u8_fast(s)
+            assert got is not None
+            hv, has = got
+            toks = tokenize_slow(s)
+            assert has == bool(toks), repr(s)
+            if toks:
+                terms = sorted(set(toks))
+                want = textsig.simhash64(
+                    terms, [float(toks.count(t)) for t in terms]
+                )
+                assert hv == want, repr(s)
+
+    def test_record_identical_to_forced_fallback(self, monkeypatch):
+        doc = (
+            "Voilà l'objectif qu'il préférait — "
+            "déjà vu, café, naïve, "
+            "中文混入 textes français. "
+        ) * 8
+        fast = fingerprint_minhash(doc, 1, 1)
+        monkeypatch.setattr(textsig, "text_minhash_u8_fast", lambda *a: None)
+        monkeypatch.setattr(textsig, "tokenize_u8_fast", lambda *a: None)
+        slow = fingerprint_minhash(doc, 1, 1)
+        assert fast.fingerprint == slow.fingerprint
+        assert fast.config_hash == slow.config_hash
+
+    def test_simhash_record_identical_to_forced_fallback(self, monkeypatch):
+        from ucfp_tpu.modality.text import fingerprint_simhash
+
+        doc = "café résumé naïve 中文 " * 20
+        fast = fingerprint_simhash(doc, 1, 1)
+        monkeypatch.setattr(
+            textsig, "text_simhash_tf_u8_fast", lambda *a: None
+        )
+        monkeypatch.setattr(textsig, "tokenize_u8_fast", lambda *a: None)
+        slow = fingerprint_simhash(doc, 1, 1)
+        assert fast.fingerprint == slow.fingerprint
+
+
+class TestCfPrefilterEquality:
+    def test_regex_cf_set_identical_to_unicodedata(self):
+        """canonicalize skips the Cf-delete translate when a compiled
+        \\p{Cf} search finds nothing — sound only if the regex engine's
+        Cf set equals unicodedata's. Pin equality BOTH ways (a missing
+        char would silently survive stripping; an extra would force a
+        harmless but wasteful translate)."""
+        import unicodedata
+
+        cps = [cp for cp in range(0x110000) if not 0xD800 <= cp <= 0xDFFF]
+        s = "".join(map(chr, cps))
+        re_cf = set()
+        for m in regex.finditer(r"\p{Cf}+", s):
+            re_cf.update(cps[p] for p in range(m.start(), m.end()))
+        ud_cf = {
+            cp for cp in cps if unicodedata.category(chr(cp)) == "Cf"
+        }
+        assert re_cf == ud_cf
+
+    def test_strip_format_with_cf_present(self):
+        from ucfp_tpu.modality.text import TextOpts, canonicalize
+
+        s = "abc​def­ghi‎中"  # ZWSP is Cf? no — 200b is Zs-ish
+        out = canonicalize(s, TextOpts())
+        import unicodedata
+
+        # every Cf char is gone, everything else survives (casefolded)
+        assert all(unicodedata.category(c) != "Cf" for c in out)
+        assert "abc" in out and "中" in out
+
+    def test_strip_bidi_only(self):
+        from ucfp_tpu.modality.text import TextOpts, canonicalize
+
+        opts = TextOpts(strip_format=False, strip_bidi=True)
+        s = "a‪b‬c é"
+        out = canonicalize(s, opts)
+        assert "‪" not in out and "‬" not in out
+        assert out == "abc é"

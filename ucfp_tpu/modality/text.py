@@ -131,10 +131,19 @@ def canonicalize(text: str, opts: TextOpts) -> str:
     # str.translate with the memoizing table replaces the ~0.8 ms/5.6KiB
     # per-char category loop; identical semantics (same unicodedata
     # category test, property-tested in test_textsig_native.py).
+    # presence prefilter: str.translate(dict) pays a per-char dict hit
+    # (~0.32 ms on a 5.6 KiB doc) even when nothing is deleted; a
+    # compiled \p{Cf} search costs ~0.04 ms, and the regex engine's Cf
+    # set is IDENTICAL to unicodedata's (property-pinned both ways in
+    # test_textsig_native.py), so a no-match skip is semantics-free —
+    # when a match exists, the exact unicodedata-backed table still
+    # does the deletion.
     if opts.strip_format:
-        text = text.translate(_CF_DELETE_TABLE)
+        if _CF_SEARCH_RE.search(text) is not None:
+            text = text.translate(_CF_DELETE_TABLE)
     elif opts.strip_bidi:
-        text = text.translate(_BIDI_DELETE_TABLE)
+        if _BIDI_SEARCH_RE.search(text) is not None:
+            text = text.translate(_BIDI_DELETE_TABLE)
     if opts.apply_confusable:
         text = text.translate(_CONFUSABLES)
     return text
@@ -160,6 +169,10 @@ TOKENIZER_SPEC = "uax29-v1"
 _WORD_BOUNDARY_RE = _regex.compile(r"(?w)\b")
 _HAS_WORD_CHAR_RE = _regex.compile(r"\w", _regex.UNICODE)
 _GRAPHEME_RE = _regex.compile(r"\X")
+# canonicalize prefilters (bound at call time; canonicalize is defined
+# above this import but never called before module init completes)
+_CF_SEARCH_RE = _regex.compile(r"\p{Cf}")
+_BIDI_SEARCH_RE = _regex.compile("[" + "".join(sorted(_BIDI_CONTROLS)) + "]")
 
 
 def tokenize_words(text: str) -> list[str]:
@@ -167,13 +180,18 @@ def tokenize_words(text: str) -> list[str]:
     contain a word character (letters/marks/digits/underscore) — the
     token stream the reference's WordTokenizer produces.
 
-    ASCII inputs take the native scanner (same rules incl. the regex
-    engine's WB5a apostrophe-vowel elision; byte-equality fuzz-pinned
-    in tests/test_textsig_native.py), ~20x the regex engine's speed."""
+    ASCII inputs take the native ASCII scanner; everything else takes
+    the native full-Unicode scanner (wb_table.h is GENERATED from the
+    regex engine's own property tables, and the rule machine is
+    differential-fuzzed against (?w)\b — byte-equality pinned in
+    tests/test_textsig_native.py). The regex engine remains the
+    semantic source of truth and the fallback."""
     if text.isascii():
         toks = textsig.tokenize_ascii_fast(text)
-        if toks is not None:
-            return toks
+    else:
+        toks = textsig.tokenize_u8_fast(text)
+    if toks is not None:
+        return toks
     return [
         seg
         for seg in _WORD_BOUNDARY_RE.split(text)
@@ -457,12 +475,16 @@ def fingerprint_minhash(
     opts = opts or TextOpts()
     canon = _prepare(text, opts)
     sig = None
-    if opts.tokenizer == "word" and canon.isascii():
+    if opts.tokenizer == "word":
         # fused native path: tokenize -> shingle -> hash -> mix/min in
         # one C++ pass, no token/shingle materialization (5.3 ms ->
-        # ~0.25 ms on the reference's 5.6 KiB bench doc). Byte-identical
-        # to the fallback below (fuzz + goldens).
-        fast = textsig.text_minhash_fast(canon, opts.k, opts.h)
+        # ~0.25 ms on the reference's 5.6 KiB bench doc; the _u8 variant
+        # covers non-ASCII text with the wb_table.h full-Unicode UAX#29
+        # scanner, 3.1 -> 0.25 ms). Byte-identical to the fallback below
+        # (fuzz + goldens).
+        fast = (textsig.text_minhash_fast(canon, opts.k, opts.h)
+                if canon.isascii()
+                else textsig.text_minhash_u8_fast(canon, opts.k, opts.h))
         if fast is not None:
             sig, nsh = fast
             if nsh == 0:
@@ -500,11 +522,12 @@ def fingerprint_simhash(
     opts = opts or TextOpts()
     canon = _prepare(text, opts)
     h = None
-    if not idf and opts.tokenizer == "word" and canon.isascii():
+    if not idf and opts.tokenizer == "word":
         # pure-TF weights (idf None, or the empty-corpus IDF fallback):
         # the fused native path hashes per token OCCURRENCE — identical
         # to the unique-term/tf form (textsig.cpp has the argument)
-        fast = textsig.text_simhash_tf_fast(canon)
+        fast = (textsig.text_simhash_tf_fast(canon) if canon.isascii()
+                else textsig.text_simhash_tf_u8_fast(canon))
         if fast is not None:
             h, has_tokens = fast
             if not has_tokens:

@@ -243,6 +243,21 @@ def load_textsig():
     lib.ucfp_text_simhash64_tf.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, u64p
     ]
+    # full-Unicode (UTF-8) UAX#29 variants — wb_table.h generated from
+    # the regex engine by scripts/gen_wb_table.py
+    lib.ucfp_text_tokens_u8.restype = ctypes.c_int64
+    lib.ucfp_text_tokens_u8.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, i64p, ctypes.c_int64
+    ]
+    lib.ucfp_text_minhash_sig_u8.restype = ctypes.c_int64
+    lib.ucfp_text_minhash_sig_u8.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
+        u64p, ctypes.c_int32, u64p
+    ]
+    lib.ucfp_text_simhash64_tf_u8.restype = ctypes.c_int
+    lib.ucfp_text_simhash64_tf_u8.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, u64p
+    ]
     return lib
 
 

@@ -346,3 +346,338 @@ int ucfp_tlsh_128_1(const uint8_t* data, int64_t n, int64_t min_len,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Full-Unicode UAX#29 word segmentation (UTF-8 input).
+//
+// The ASCII scanner above covers pure-ASCII documents; this section
+// extends the native path to EVERY input, replacing the `regex`
+// engine's (?w)\b split (~1.8 ms on a 5.6 KiB doc) for the non-ASCII
+// pipeline. The per-codepoint Word_Break classes, Extended_Pictographic
+// and \w flags, and the engine's apostrophe vowel-bind set come from
+// wb_table.h, GENERATED from the regex engine itself
+// (scripts/gen_wb_table.py) so the two paths share one property source.
+//
+// Rule machine (probed against regex 2026.7.19; every rule below is
+// pinned by the differential fuzz in tests/test_textsig_native.py):
+//   WB3   CR x LF                      (raw adjacency)
+//   WB3a  (Newline|CR|LF) ÷
+//   WB3b  ÷ (Newline|CR|LF)
+//   WB3c  ZWJ x ExtPict                (raw adjacency)
+//   WB3d  WSegSpace x WSegSpace        (raw adjacency)
+//   WB4   X (Extend|Format|ZWJ)* -> X  (base-skipping below)
+//   WB5-13b per UAX#29 over base classes with lookahead WB6/7b/12
+//   WB15/16 as the engine implements them: a base char that is a
+//         Regional_Indicator whose RAW consecutive-RI run has ODD
+//         length suppresses the break to ANY next char (newlines
+//         excepted via WB3a/3b) — probed: "🇫a" holds, "🇫🇷a" breaks,
+//         an Extend between RIs restarts the raw run count.
+//   WB5a-style elision tailoring: a base char U+0027/U+2019 binds onto
+//         exactly the 41 vowel-bind codepoints ("'a" holds, "'z"
+//         breaks; the set is probed into the table, not assumed).
+// A token is a maximal no-break span containing >= 1 \w char.
+// ---------------------------------------------------------------------------
+
+#include "wb_table.h"
+
+namespace {
+
+constexpr uint8_t kNoBase = 0xFF;
+
+inline bool u8_is_ahl(uint8_t c) {
+  return c == wbtab::kALetter || c == wbtab::kHebrewLetter;
+}
+inline bool u8_is_mid_letterish(uint8_t c) {
+  return c == wbtab::kMidLetter || c == wbtab::kMidNumLet ||
+         c == wbtab::kSingleQuote;
+}
+inline bool u8_is_mid_numish(uint8_t c) {
+  return c == wbtab::kMidNum || c == wbtab::kMidNumLet ||
+         c == wbtab::kSingleQuote;
+}
+inline bool u8_is_efz(uint8_t c) {
+  return c == wbtab::kExtend || c == wbtab::kFormat || c == wbtab::kZWJ;
+}
+inline bool u8_is_newline(uint8_t c) {
+  return c == wbtab::kCR || c == wbtab::kLF || c == wbtab::kNewline;
+}
+
+// Decode one codepoint at t[i]; advances i. Returns 0xFFFFFFFF on a
+// malformed sequence (callers bail out to the Python fallback — input
+// normally arrives from Python str.encode('utf-8') and is valid).
+inline uint32_t u8_next(const uint8_t* t, int64_t len, int64_t& i) {
+  const uint8_t b0 = t[i];
+  if (b0 < 0x80) {
+    ++i;
+    return b0;
+  }
+  int n;
+  uint32_t cp;
+  if ((b0 & 0xE0) == 0xC0) {
+    n = 1;
+    cp = b0 & 0x1F;
+  } else if ((b0 & 0xF0) == 0xE0) {
+    n = 2;
+    cp = b0 & 0x0F;
+  } else if ((b0 & 0xF8) == 0xF0) {
+    n = 3;
+    cp = b0 & 0x07;
+  } else {
+    return 0xFFFFFFFFu;
+  }
+  if (i + n >= len) return 0xFFFFFFFFu;  // missing continuation bytes
+  for (int j = 1; j <= n; ++j) {
+    const uint8_t b = t[i + j];
+    if ((b & 0xC0) != 0x80) return 0xFFFFFFFFu;
+    cp = (cp << 6) | (b & 0x3F);
+  }
+  // reject overlong encodings, surrogates, and out-of-range values —
+  // CPython's str.encode never emits them, but the sanitizer driver
+  // feeds raw garbage and the refusal contract (-1 -> regex fallback)
+  // must hold for any byte stream
+  if (n == 1 && cp < 0x80) return 0xFFFFFFFFu;
+  if (n == 2 && (cp < 0x800 || (cp >= 0xD800 && cp <= 0xDFFF)))
+    return 0xFFFFFFFFu;
+  if (n == 3 && (cp < 0x10000 || cp > 0x10FFFF)) return 0xFFFFFFFFu;
+  i += n + 1;
+  return cp;
+}
+
+// Class of the codepoint immediately after byte offset j — the
+// engine's WB6/7b/12 lookahead is RAW (a Format/Extend char between
+// the mid and the following letter DEFEATS the rule: probed,
+// "ë’‌X" breaks at ë÷’ where spec-style skipping would hold).
+// kNoBase at end of text / malformed tail.
+inline uint8_t u8_lookahead_raw(const uint8_t* t, int64_t len, int64_t j) {
+  if (j >= len) return kNoBase;
+  const uint32_t cp = u8_next(t, len, j);
+  if (cp == 0xFFFFFFFFu) return kNoBase;
+  return wbtab::lookup(cp) & wbtab::kClassMask;
+}
+
+struct U8SegState {
+  // raw previous codepoint
+  uint32_t prev_cp = 0;
+  uint8_t prev_cls = kNoBase;
+  // WB4 base chain: last non-EFZ codepoint, plus the RAW class of the
+  // char immediately before it (the engine's WB7/7c/11 left element is
+  // raw-adjacent to the mid, NOT base-skipped: probed, "bf‌:Z"
+  // breaks at :÷Z while "n't" holds)
+  uint32_t base_cp = 0;
+  uint8_t base_cls = kNoBase;
+  uint8_t pre_base_raw_cls = kNoBase;
+  // raw consecutive-RI run length ending at the base char
+  int base_ri_run = 0;
+  // raw RI run ending at the previous raw char (feeds base_ri_run)
+  int raw_ri_run = 0;
+};
+
+// Decide the boundary BEFORE the codepoint `cp` (byte offset `after`
+// pointing just past cp). st describes everything to the left.
+inline bool u8_is_break(const U8SegState& st, uint32_t cp, uint8_t props,
+                        const uint8_t* t, int64_t len, int64_t after) {
+  const uint8_t nc = props & wbtab::kClassMask;
+  const uint8_t pc = st.prev_cls;  // caller never asks at sot
+  // WB3
+  if (pc == wbtab::kCR && nc == wbtab::kLF) return false;
+  // WB3a / WB3b
+  if (u8_is_newline(pc)) return true;
+  if (u8_is_newline(nc)) return true;
+  // WB3c (raw)
+  if (pc == wbtab::kZWJ && (props & wbtab::kExtPict)) return false;
+  // WB3d (raw)
+  if (pc == wbtab::kWSegSpace && nc == wbtab::kWSegSpace) return false;
+  // WB4
+  if (u8_is_efz(nc)) return false;
+  const uint8_t bc = st.base_cls;
+  // sot-leading Extend/Format/ZWJ attach to the first non-EFZ char
+  // whatever it is (probed: "‌c" and "̈!" are single segments)
+  if (bc == kNoBase) return false;
+  const uint8_t pb = st.pre_base_raw_cls;
+  // WB5
+  if (u8_is_ahl(bc) && u8_is_ahl(nc)) return false;
+  // WB6 (raw lookahead)
+  if (u8_is_ahl(bc) && u8_is_mid_letterish(nc) &&
+      u8_is_ahl(u8_lookahead_raw(t, len, after)))
+    return false;
+  // WB7 (raw left element)
+  if (pb != kNoBase && u8_is_ahl(pb) && u8_is_mid_letterish(bc) &&
+      u8_is_ahl(nc))
+    return false;
+  // WB7a
+  if (bc == wbtab::kHebrewLetter && nc == wbtab::kSingleQuote) return false;
+  // WB7b (raw lookahead)
+  if (bc == wbtab::kHebrewLetter && nc == wbtab::kDoubleQuote &&
+      u8_lookahead_raw(t, len, after) == wbtab::kHebrewLetter)
+    return false;
+  // WB7c (raw left element)
+  if (pb == wbtab::kHebrewLetter && bc == wbtab::kDoubleQuote &&
+      nc == wbtab::kHebrewLetter)
+    return false;
+  // WB8/9/10
+  if (bc == wbtab::kNumeric && nc == wbtab::kNumeric) return false;
+  if (u8_is_ahl(bc) && nc == wbtab::kNumeric) return false;
+  if (bc == wbtab::kNumeric && u8_is_ahl(nc)) return false;
+  // WB11 (raw left element)
+  if (pb == wbtab::kNumeric && u8_is_mid_numish(bc) && nc == wbtab::kNumeric)
+    return false;
+  // WB12 (raw lookahead)
+  if (bc == wbtab::kNumeric && u8_is_mid_numish(nc) &&
+      u8_lookahead_raw(t, len, after) == wbtab::kNumeric)
+    return false;
+  // WB13
+  if (bc == wbtab::kKatakana && nc == wbtab::kKatakana) return false;
+  // WB13a
+  if ((u8_is_ahl(bc) || bc == wbtab::kNumeric || bc == wbtab::kKatakana ||
+       bc == wbtab::kExtendNumLet) &&
+      nc == wbtab::kExtendNumLet)
+    return false;
+  // WB13b
+  if (bc == wbtab::kExtendNumLet &&
+      (u8_is_ahl(nc) || nc == wbtab::kNumeric || nc == wbtab::kKatakana))
+    return false;
+  // engine WB15/16: odd raw-RI run at the base suppresses the break
+  if (bc == wbtab::kRegionalIndicator && (st.base_ri_run & 1)) return false;
+  // elision tailoring: apostrophe base binds onto a vowel-bind char
+  if ((st.base_cp == 0x27 || st.base_cp == 0x2019) &&
+      (props & wbtab::kVBind))
+    return false;
+  return true;
+}
+
+inline void u8_advance(U8SegState& st, uint32_t cp, uint8_t props) {
+  const uint8_t cls = props & wbtab::kClassMask;
+  st.raw_ri_run =
+      (cls == wbtab::kRegionalIndicator) ? st.raw_ri_run + 1 : 0;
+  if (!u8_is_efz(cls)) {
+    st.pre_base_raw_cls = st.prev_cls;
+    st.base_cls = cls;
+    st.base_cp = cp;
+    st.base_ri_run = st.raw_ri_run;
+  }
+  st.prev_cls = cls;
+  st.prev_cp = cp;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Tokenize UTF-8 text into [start, end) BYTE-span pairs (full-Unicode
+// UAX#29 word segmentation + the \w keep-filter). Returns the token
+// count, -1 on a malformed UTF-8 sequence (caller falls back to the
+// regex path), or -2 if cap (in span pairs) is exceeded.
+int64_t ucfp_text_tokens_u8(const uint8_t* text, int64_t len,
+                            int64_t* spans, int64_t cap) {
+  int64_t n = 0;
+  U8SegState st;
+  int64_t seg_start = 0;
+  bool seg_word = false;
+  int64_t i = 0;
+  bool first = true;
+  while (i < len) {
+    const int64_t at = i;
+    const uint32_t cp = u8_next(text, len, i);
+    if (cp == 0xFFFFFFFFu) return -1;
+    const uint8_t props = wbtab::lookup(cp);
+    if (!first && u8_is_break(st, cp, props, text, len, i)) {
+      if (seg_word) {
+        if (n >= cap) return -2;
+        spans[2 * n] = seg_start;
+        spans[2 * n + 1] = at;
+        ++n;
+      }
+      seg_start = at;
+      seg_word = false;
+    }
+    first = false;
+    if (props & wbtab::kWordFlag) seg_word = true;
+    u8_advance(st, cp, props);
+  }
+  if (!first && seg_word) {
+    if (n >= cap) return -2;
+    spans[2 * n] = seg_start;
+    spans[2 * n + 1] = len;
+    ++n;
+  }
+  return n;
+}
+
+// Fused full-Unicode minhash: UAX#29 tokenize -> k-shingle (tokens
+// joined by single spaces; fewer than k tokens yields ONE shingle) ->
+// XXH3-64 -> streaming mix+min into out_sig[h]. Returns the shingle
+// count (0 = no tokens), -1 on malformed UTF-8 (caller falls back).
+// Byte-identical to the Python pipeline by the same argument as the
+// ASCII path: tokens are byte ranges of the SAME UTF-8 encoding the
+// Python path hashes, and the join separator is ASCII space.
+int64_t ucfp_text_minhash_sig_u8(const uint8_t* text, int64_t len,
+                                 int32_t k, const uint64_t* keys, int32_t h,
+                                 uint64_t* out_sig) {
+  for (int32_t j = 0; j < h; ++j) out_sig[j] = UINT64_MAX;
+  // adjacent 1-byte tokens cannot touch (two ASCII word chars never
+  // break), so len/2+1 span pairs bound the count (see tokens_u8 cap
+  // note in ops/textsig.py)
+  const int64_t max_tokens = len / 2 + 1;
+  int64_t* spans = new int64_t[2 * (size_t)max_tokens];
+  const int64_t t = ucfp_text_tokens_u8(text, len, spans, max_tokens);
+  if (t < 0) {
+    delete[] spans;
+    return -1;
+  }
+  if (t == 0) {
+    delete[] spans;
+    return 0;
+  }
+  std::string scratch;
+  scratch.reserve(256);
+  const int64_t nsh = t < k ? 1 : t - k + 1;
+  const int64_t width = t < k ? t : k;
+  for (int64_t s0 = 0; s0 < nsh; ++s0) {
+    scratch.clear();
+    for (int64_t j = 0; j < width; ++j) {
+      if (j) scratch.push_back(' ');
+      const int64_t a = spans[2 * (s0 + j)], b = spans[2 * (s0 + j) + 1];
+      scratch.append(reinterpret_cast<const char*>(text) + a,
+                     (size_t)(b - a));
+    }
+    const uint64_t base = XXH3_64bits(scratch.data(), scratch.size());
+    for (int32_t j = 0; j < h; ++j) {
+      const uint64_t v = mix64(base ^ keys[j]);
+      if (v < out_sig[j]) out_sig[j] = v;
+    }
+  }
+  delete[] spans;
+  return nsh;
+}
+
+// Fused full-Unicode TF SimHash (same +/-1-per-occurrence equivalence
+// as the ASCII variant). Returns 1 ok, 0 no tokens, -1 malformed UTF-8.
+int ucfp_text_simhash64_tf_u8(const uint8_t* text, int64_t len,
+                              uint64_t* out) {
+  const int64_t max_tokens = len / 2 + 1;
+  int64_t* spans = new int64_t[2 * (size_t)max_tokens];
+  const int64_t t = ucfp_text_tokens_u8(text, len, spans, max_tokens);
+  if (t < 0) {
+    delete[] spans;
+    return -1;
+  }
+  if (t == 0) {
+    delete[] spans;
+    return 0;
+  }
+  int64_t acc[64] = {0};
+  for (int64_t i = 0; i < t; ++i) {
+    const int64_t a = spans[2 * i], b = spans[2 * i + 1];
+    const uint64_t hh = XXH3_64bits(text + a, (size_t)(b - a));
+    for (int bbit = 0; bbit < 64; ++bbit)
+      acc[bbit] += ((hh >> bbit) & 1) ? 1 : -1;
+  }
+  delete[] spans;
+  uint64_t sig = 0;
+  for (int bbit = 0; bbit < 64; ++bbit)
+    if (acc[bbit] > 0) sig |= (uint64_t)1 << bbit;
+  *out = sig;
+  return 1;
+}
+
+}  // extern "C"

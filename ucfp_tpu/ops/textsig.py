@@ -198,6 +198,86 @@ def tokenize_ascii_fast(canon: str):
     return [canon[spans[2 * i]:spans[2 * i + 1]] for i in range(n)]
 
 
+def _encode_u8(canon: str):
+    """UTF-8 bytes for the native full-Unicode path, or None when the
+    string holds lone surrogates (only reachable via surrogatepass
+    callers; the regex path handles those)."""
+    try:
+        return canon.encode("utf-8")
+    except UnicodeEncodeError:
+        return None
+
+
+def tokenize_u8_fast(canon: str):
+    """Native full-Unicode UAX#29 word tokenization (wb_table.h is
+    generated from the regex engine; rule machine in textsig.cpp).
+    Returns the token list — byte-identical to the regex path, fuzzed
+    in tests/test_textsig_native.py — or None when unavailable."""
+    lib = _native_textsig()
+    if lib is None:
+        return None
+    import ctypes
+
+    raw = _encode_u8(canon)
+    if raw is None:
+        return None
+    # adjacent 1-byte tokens cannot touch (two ASCII word chars never
+    # break between themselves), so every extra token costs >= 2 bytes:
+    # len/2+1 span pairs bound the count; -2 (cap) falls back to regex
+    cap = len(raw) // 2 + 1
+    spans = np.empty(2 * cap, dtype=np.int64)
+    n = lib.ucfp_text_tokens_u8(
+        raw, len(raw),
+        spans.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), cap,
+    )
+    if n < 0:
+        return None
+    return [raw[spans[2 * i]:spans[2 * i + 1]].decode("utf-8")
+            for i in range(n)]
+
+
+def text_minhash_u8_fast(canon: str, k: int, h: int):
+    """Fused native minhash for canonicalized text of ANY script under
+    the `word` tokenizer (the non-ASCII counterpart of
+    text_minhash_fast; same return contract, same byte-identity fuzz)."""
+    lib = _native_textsig()
+    if lib is None:
+        return None
+    import ctypes
+
+    raw = _encode_u8(canon)
+    if raw is None:
+        return None
+    out = np.empty(h, dtype=np.uint64)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    n = lib.ucfp_text_minhash_sig_u8(
+        raw, len(raw), k,
+        slot_keys(h).ctypes.data_as(u64p), h,
+        out.ctypes.data_as(u64p),
+    )
+    if n < 0:
+        return None
+    return out, int(n)
+
+
+def text_simhash_tf_u8_fast(canon: str):
+    """Fused native TF SimHash for text of ANY script (the non-ASCII
+    counterpart of text_simhash_tf_fast; same contract)."""
+    lib = _native_textsig()
+    if lib is None:
+        return None
+    import ctypes
+
+    raw = _encode_u8(canon)
+    if raw is None:
+        return None
+    out = ctypes.c_uint64(0)
+    rc = lib.ucfp_text_simhash64_tf_u8(raw, len(raw), ctypes.byref(out))
+    if rc < 0:
+        return None
+    return int(out.value), rc == 1
+
+
 def serialize_minhash(sig: np.ndarray) -> bytes:
     """u16 schema + 6 pad + h x u64 LE."""
     return struct.pack("<H6x", MINHASH_SCHEMA) + sig.astype("<u8").tobytes()
