@@ -21,6 +21,16 @@ and packs them into a two-level page table:
   byte per codepoint: bits 0-4 wb class, bit 5 ExtPict, bit 6 \\w,
   bit 7 vowel-bind.
 
+A second table serves the grapheme scanner (the engine's \\X):
+
+  * Grapheme_Cluster_Break  \\p{gcb=<class>}  (14 classes incl. Other)
+  * Extended_Pictographic   (rule GB11)
+  * str.isspace()           from CPython itself (the grapheme
+                            tokenizer's keep-filter drops
+                            all-whitespace clusters)
+
+  byte per codepoint: bits 0-3 gcb class, bit 4 ExtPict, bit 5 isspace.
+
 Re-run after a `regex` package upgrade; the emitted header carries the
 engine version it was generated from, and tests/test_textsig_native.py
 fuzzes native-vs-regex equality so a stale table fails loudly.
@@ -61,6 +71,26 @@ F_EXTPICT = 0x20
 F_WORD = 0x40
 F_VBIND = 0x80
 
+GCB_CLASSES = [
+    "Other",
+    "CR",
+    "LF",
+    "Control",
+    "Extend",
+    "ZWJ",
+    "Regional_Indicator",
+    "Prepend",
+    "SpacingMark",
+    "L",
+    "V",
+    "T",
+    "LV",
+    "LVT",
+]
+
+G_EXTPICT = 0x10
+G_SPACE = 0x20
+
 MAX_CP = 0x110000
 
 
@@ -70,7 +100,8 @@ def _all_cp_string() -> tuple[str, list[int]]:
     return "".join(map(chr, cps)), cps
 
 
-def _mark(pattern: str, s: str, cps: list[int], table, bit_or_cls, is_flag):
+def _mark(pattern: str, s: str, cps: list[int], table, bit_or_cls, is_flag,
+          cls_mask=0x1F):
     pat = regex.compile(pattern)
     for m in pat.finditer(s):
         for pos in range(m.start(), m.end()):
@@ -78,10 +109,10 @@ def _mark(pattern: str, s: str, cps: list[int], table, bit_or_cls, is_flag):
             if is_flag:
                 table[cp] |= bit_or_cls
             else:
-                if table[cp] & 0x1F:
+                if table[cp] & cls_mask:
                     raise SystemExit(
-                        f"cp U+{cp:04X} matches two wb classes "
-                        f"({CLASSES[table[cp] & 0x1F]} and via {pattern})"
+                        f"cp U+{cp:04X} matches two classes "
+                        f"(id {table[cp] & cls_mask} and via {pattern})"
                     )
                 table[cp] |= bit_or_cls
 
@@ -112,7 +143,24 @@ def build_table() -> bytearray:
     return table
 
 
-def emit(table: bytearray, out_path: str) -> None:
+def build_gcb_table() -> bytearray:
+    s, cps = _all_cp_string()
+    table = bytearray(MAX_CP)
+    for idx, cls in enumerate(GCB_CLASSES):
+        if cls == "Other":
+            continue
+        _mark(rf"\p{{gcb={cls}}}+", s, cps, table, idx, is_flag=False,
+              cls_mask=0x0F)
+    _mark(r"\p{Extended_Pictographic}+", s, cps, table, G_EXTPICT, True)
+    for cp in range(MAX_CP):
+        if 0xD800 <= cp <= 0xDFFF:
+            continue
+        if chr(cp).isspace():
+            table[cp] |= G_SPACE
+    return table
+
+
+def _emit_pages(a, table: bytearray, prefix: str) -> None:
     npages = MAX_CP // 256
     pages: dict[bytes, int] = {}
     index = []
@@ -122,38 +170,15 @@ def emit(table: bytearray, out_path: str) -> None:
             pages[pg] = len(pages)
         index.append(pages[pg])
     uniq = sorted(pages.items(), key=lambda kv: kv[1])
-    print(
-        f"{len(uniq)} unique pages, header ~{len(uniq) * 256 + npages * 2} B",
-        file=sys.stderr,
-    )
-
-    lines = []
-    a = lines.append
-    a("// GENERATED by scripts/gen_wb_table.py — do not edit.")
-    a(f"// source engine: regex {regex.__version__}")
-    a("// byte layout: bits 0-4 Word_Break class, bit 5 ExtPict,")
-    a("//              bit 6 \\w, bit 7 apostrophe vowel-bind")
-    a("#pragma once")
-    a("#include <cstdint>")
-    a("")
-    a("namespace wbtab {")
-    a("")
-    for idx, cls in enumerate(CLASSES):
-        a(f"constexpr uint8_t k{cls.replace('_', '')} = {idx};")
-    a(f"constexpr uint8_t kClassMask = 0x1F;")
-    a(f"constexpr uint8_t kExtPict = 0x{F_EXTPICT:02X};")
-    a(f"constexpr uint8_t kWordFlag = 0x{F_WORD:02X};")
-    a(f"constexpr uint8_t kVBind = 0x{F_VBIND:02X};")
-    a("")
-    a(f"inline constexpr uint8_t kPages[{len(uniq)}][256] = {{")
+    print(f"{prefix}: {len(uniq)} unique pages", file=sys.stderr)
+    a(f"inline constexpr uint8_t {prefix}Pages[{len(uniq)}][256] = {{")
     for pg, _ in uniq:
-        body = ",".join(str(b) for b in pg)
-        a("  {" + body + "},")
+        a("  {" + ",".join(str(b) for b in pg) + "},")
     a("};")
     a("")
-    a(f"inline constexpr uint16_t kPageIdx[{npages}] = {{")
+    a(f"inline constexpr uint16_t {prefix}PageIdx[{npages}] = {{")
     row = []
-    for i, pi in enumerate(index):
+    for pi in index:
         row.append(str(pi))
         if len(row) == 32:
             a("  " + ",".join(row) + ",")
@@ -162,9 +187,45 @@ def emit(table: bytearray, out_path: str) -> None:
         a("  " + ",".join(row) + ",")
     a("};")
     a("")
+
+
+def emit(wb: bytearray, gcb: bytearray, out_path: str) -> None:
+    lines = []
+    a = lines.append
+    a("// GENERATED by scripts/gen_wb_table.py — do not edit.")
+    a(f"// source engine: regex {regex.__version__}")
+    a("// kPages layout: bits 0-4 Word_Break class, bit 5 ExtPict,")
+    a("//                bit 6 \\w, bit 7 apostrophe vowel-bind")
+    a("// kGcbPages layout: bits 0-3 Grapheme_Cluster_Break class,")
+    a("//                   bit 4 ExtPict, bit 5 str.isspace()")
+    a("#pragma once")
+    a("#include <cstdint>")
+    a("")
+    a("namespace wbtab {")
+    a("")
+    for idx, cls in enumerate(CLASSES):
+        a(f"constexpr uint8_t k{cls.replace('_', '')} = {idx};")
+    a("constexpr uint8_t kClassMask = 0x1F;")
+    a(f"constexpr uint8_t kExtPict = 0x{F_EXTPICT:02X};")
+    a(f"constexpr uint8_t kWordFlag = 0x{F_WORD:02X};")
+    a(f"constexpr uint8_t kVBind = 0x{F_VBIND:02X};")
+    a("")
+    for idx, cls in enumerate(GCB_CLASSES):
+        a(f"constexpr uint8_t kGcb{cls.replace('_', '')} = {idx};")
+    a("constexpr uint8_t kGcbClassMask = 0x0F;")
+    a(f"constexpr uint8_t kGcbExtPict = 0x{G_EXTPICT:02X};")
+    a(f"constexpr uint8_t kGcbSpace = 0x{G_SPACE:02X};")
+    a("")
+    _emit_pages(a, wb, "k")
+    _emit_pages(a, gcb, "kGcb")
     a("inline uint8_t lookup(uint32_t cp) {")
     a(f"  if (cp >= 0x{MAX_CP:X}u) return 0;")
     a("  return kPages[kPageIdx[cp >> 8]][cp & 0xFF];")
+    a("}")
+    a("")
+    a("inline uint8_t gcb_lookup(uint32_t cp) {")
+    a(f"  if (cp >= 0x{MAX_CP:X}u) return 0;")
+    a("  return kGcbPages[kGcbPageIdx[cp >> 8]][cp & 0xFF];")
     a("}")
     a("")
     a("}  // namespace wbtab")
@@ -175,5 +236,5 @@ def emit(table: bytearray, out_path: str) -> None:
 
 if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "ucfp_tpu/native/wb_table.h"
-    emit(build_table(), out)
+    emit(build_table(), build_gcb_table(), out)
     print(f"wrote {out}", file=sys.stderr)

@@ -487,6 +487,30 @@ def drive_textsig() -> None:
                                              ctypes.byref(sh)) == -1
     assert lib.ucfp_text_tokens_u8("中 a 中".encode(), 9,
                                    small.ctypes.data_as(i64p), 1) == -2
+    # grapheme scanner: same corpus + hangul jamo / ZWJ / tag-sequence
+    # shapes, malformed refusal, cap exhaustion, fused gr minhash
+    gr_docs = uni_docs + [
+        "각각ᆨᅡ ؀ः \x0b é́".encode(),
+        "\U0001f469‍\U0001f469‍\U0001f467"
+        "\U0001f3f4\U000e0067\U000e0062\U000e007f".encode(),
+    ]
+    for raw in gr_docs:
+        cap = max(len(raw), 1)
+        spans = np.empty(2 * cap, dtype=np.int64)
+        for skip in (0, 1):
+            assert lib.ucfp_text_graphemes_u8(
+                raw, len(raw), skip, spans.ctypes.data_as(i64p), cap) >= 0
+        assert lib.ucfp_text_minhash_sig_gr(
+            raw, len(raw), 5, keys.ctypes.data_as(u64p), 128,
+            sig.ctypes.data_as(u64p)) >= 0
+    for raw in bad_utf8:
+        assert lib.ucfp_text_graphemes_u8(
+            raw, len(raw), 1, probe.ctypes.data_as(i64p), 6) == -1
+        assert lib.ucfp_text_minhash_sig_gr(
+            raw, len(raw), 5, keys.ctypes.data_as(u64p), 128,
+            sig.ctypes.data_as(u64p)) == -1
+    assert lib.ucfp_text_graphemes_u8(b"abc", 3, 0,
+                                      small.ctypes.data_as(i64p), 1) == -2
     print("textsig ok")
 
 

@@ -564,3 +564,80 @@ class TestCfPrefilterEquality:
         out = canonicalize(s, opts)
         assert "‪" not in out and "‬" not in out
         assert out == "abc é"
+
+
+class TestGraphemeScanner:
+    """Native GB-rule scanner vs the regex engine's \\X (no engine
+    quirks observed — probed: hangul jamo composition, RI pairs,
+    GB11 ZWJ-emoji sequences, tag-sequence flags, prepend)."""
+
+    DIRECTED = [
+        "áb", "\r\n", "a\rb", "각", "각ᆨ", "각ᅡ",
+        "\U0001f1eb\U0001f1f7\U0001f1e9\U0001f1ea",
+        "\U0001f1eb\U0001f1f7\U0001f1e9",
+        "\U0001f469‍\U0001f469‍\U0001f467",
+        "\U0001f600́‍\U0001f600", "a‍\U0001f600",
+        "\U0001f600‍a", "ःa", "aः", "؀a", "؀\r",
+        "́a", "‍a", "\x0ba", "é́",
+        "\U0001f3f4\U000e0067\U000e0062\U000e007f",
+        "؀؀a", "\U0001f1eb́\U0001f1f7",
+        "", "x", " ", "  　 ",
+    ]
+
+    def test_directed_cases(self):
+        for c in self.DIRECTED:
+            assert textsig.tokenize_graphemes_fast(c) == regex.findall(
+                r"\X", c
+            ), repr(c)
+
+    def test_fuzz_mixed_scripts(self):
+        rng = random.Random(0x6CB)
+        pools = TestUnicodeTokenizerEquality.POOLS + [
+            "각각ᆨᅡ؀ः\x0b",
+            "\U0001f3f4\U000e0067\U000e0062\U000e007f",
+        ]
+        for trial in range(4000):
+            s = "".join(
+                rng.choice(rng.choice(pools))
+                for _ in range(rng.randrange(0, 30))
+            )
+            assert textsig.tokenize_graphemes_fast(s) == regex.findall(
+                r"\X", s
+            ), repr(s)
+
+    def test_skip_spaces_matches_isspace_filter(self):
+        rng = random.Random(42)
+        pools = TestUnicodeTokenizerEquality.POOLS
+        for trial in range(800):
+            s = "".join(
+                rng.choice(rng.choice(pools))
+                for _ in range(rng.randrange(0, 30))
+            )
+            got = textsig.tokenize_graphemes_fast(s, skip_spaces=True)
+            want = [g for g in regex.findall(r"\X", s) if not g.isspace()]
+            assert got == want, repr(s)
+
+    def test_fused_grapheme_minhash(self):
+        rng = random.Random(17)
+        pools = TestUnicodeTokenizerEquality.POOLS
+        for trial in range(400):
+            s = "".join(
+                rng.choice(rng.choice(pools))
+                for _ in range(rng.randrange(0, 40))
+            )
+            k = rng.choice([2, 3, 5])
+            sig, nsh = textsig.text_minhash_gr_fast(s, k, 32)
+            toks = [g for g in regex.findall(r"\X", s) if not g.isspace()]
+            sh = T.shingles_of(toks, k)
+            assert nsh == len(sh), repr(s)
+            if sh:
+                assert np.array_equal(sig, minhash_sig_slow(sh, 32)), repr(s)
+
+    def test_grapheme_record_identical_to_forced_fallback(self, monkeypatch):
+        opts = TextOpts(tokenizer="grapheme")
+        doc = "café 中文 👩‍👩‍👧 déjà vu naïve " * 10
+        fast = fingerprint_minhash(doc, 1, 1, opts)
+        monkeypatch.setattr(textsig, "text_minhash_gr_fast", lambda *a: None)
+        slow = fingerprint_minhash(doc, 1, 1, opts)
+        assert fast.fingerprint == slow.fingerprint
+        assert fast.config_hash == slow.config_hash

@@ -201,7 +201,12 @@ def tokenize_words(text: str) -> list[str]:
 
 def tokenize_graphemes(text: str) -> list[str]:
     """UAX#29 extended grapheme clusters (combining sequences, flags,
-    emoji ZWJ/modifier sequences stay single tokens)."""
+    emoji ZWJ/modifier sequences stay single tokens).
+
+    regex's \\X stays the list-materializing path (its C findall beats
+    a ctypes span walk at ~5k clusters/doc); the native GB scanner
+    (byte-identical, fuzz-pinned) serves the FUSED grapheme minhash in
+    fingerprint_minhash, where no token list is built at all."""
     return _GRAPHEME_RE.findall(text)
 
 
@@ -485,6 +490,12 @@ def fingerprint_minhash(
         fast = (textsig.text_minhash_fast(canon, opts.k, opts.h)
                 if canon.isascii()
                 else textsig.text_minhash_u8_fast(canon, opts.k, opts.h))
+        if fast is not None:
+            sig, nsh = fast
+            if nsh == 0:
+                raise ModalityError("no tokens after canonicalization")
+    elif opts.tokenizer == "grapheme":
+        fast = textsig.text_minhash_gr_fast(canon, opts.k, opts.h)
         if fast is not None:
             sig, nsh = fast
             if nsh == 0:

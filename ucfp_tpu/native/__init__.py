@@ -258,6 +258,15 @@ def load_textsig():
     lib.ucfp_text_simhash64_tf_u8.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, u64p
     ]
+    lib.ucfp_text_graphemes_u8.restype = ctypes.c_int64
+    lib.ucfp_text_graphemes_u8.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, i64p, ctypes.c_int64
+    ]
+    lib.ucfp_text_minhash_sig_gr.restype = ctypes.c_int64
+    lib.ucfp_text_minhash_sig_gr.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
+        u64p, ctypes.c_int32, u64p
+    ]
     return lib
 
 

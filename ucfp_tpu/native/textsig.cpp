@@ -681,3 +681,154 @@ int ucfp_text_simhash64_tf_u8(const uint8_t* text, int64_t len,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Extended grapheme clusters (the regex engine's \X): UAX#29 GB1-GB999
+// over the generated kGcbPages table. Probed against regex 2026.7.19 —
+// unlike the word scanner, \X shows NO deviations from the spec (no
+// sot-Extend attachment: a leading combining mark is its own cluster).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct GcbState {
+  uint8_t prev_cls = 0xFF;           // raw class of previous char
+  bool prev_extpict_zwj = false;     // ExtPict Extend* ZWJ just ended
+  bool extpict_chain = false;        // ExtPict Extend* still open
+  int ri_run = 0;                    // raw consecutive-RI run
+};
+
+inline bool gcb_is_break(const GcbState& st, uint8_t props) {
+  using namespace wbtab;
+  const uint8_t nc = props & kGcbClassMask;
+  const uint8_t pc = st.prev_cls;
+  if (pc == kGcbCR && nc == kGcbLF) return false;               // GB3
+  if (pc == kGcbControl || pc == kGcbCR || pc == kGcbLF) return true;
+  if (nc == kGcbControl || nc == kGcbCR || nc == kGcbLF) return true;
+  if (pc == kGcbL &&
+      (nc == kGcbL || nc == kGcbV || nc == kGcbLV || nc == kGcbLVT))
+    return false;                                               // GB6
+  if ((pc == kGcbLV || pc == kGcbV) && (nc == kGcbV || nc == kGcbT))
+    return false;                                               // GB7
+  if ((pc == kGcbLVT || pc == kGcbT) && nc == kGcbT) return false;  // GB8
+  if (nc == kGcbExtend || nc == kGcbZWJ) return false;          // GB9
+  if (nc == kGcbSpacingMark) return false;                      // GB9a
+  if (pc == kGcbPrepend) return false;                          // GB9b
+  if (pc == kGcbZWJ && st.prev_extpict_zwj && (props & kGcbExtPict))
+    return false;                                               // GB11
+  if (pc == kGcbRegionalIndicator && nc == kGcbRegionalIndicator &&
+      (st.ri_run & 1))
+    return false;                                               // GB12/13
+  return true;
+}
+
+inline void gcb_advance(GcbState& st, uint8_t props) {
+  using namespace wbtab;
+  const uint8_t cls = props & kGcbClassMask;
+  st.ri_run = (cls == kGcbRegionalIndicator) ? st.ri_run + 1 : 0;
+  if (props & kGcbExtPict) {
+    st.extpict_chain = true;
+    st.prev_extpict_zwj = false;
+  } else if (cls == kGcbExtend && st.extpict_chain) {
+    // chain stays open across Extend*
+    st.prev_extpict_zwj = false;
+  } else if (cls == kGcbZWJ && st.extpict_chain) {
+    st.prev_extpict_zwj = true;
+    st.extpict_chain = false;
+  } else {
+    st.extpict_chain = false;
+    st.prev_extpict_zwj = false;
+  }
+  st.prev_cls = cls;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Segment UTF-8 text into extended grapheme clusters as [start, end)
+// BYTE-span pairs. skip_spaces != 0 drops clusters whose chars ALL
+// have the isspace flag (the grapheme tokenizer's keep-filter,
+// matching Python str.isspace on the cluster). Returns the cluster
+// count, -1 on malformed UTF-8, -2 if cap (span pairs) is exceeded.
+int64_t ucfp_text_graphemes_u8(const uint8_t* text, int64_t len,
+                               int skip_spaces, int64_t* spans,
+                               int64_t cap) {
+  int64_t n = 0;
+  GcbState st;
+  int64_t seg_start = 0;
+  bool seg_nonspace = false;
+  bool first = true;
+  int64_t i = 0;
+  while (i < len) {
+    const int64_t at = i;
+    const uint32_t cp = u8_next(text, len, i);
+    if (cp == 0xFFFFFFFFu) return -1;
+    const uint8_t props = wbtab::gcb_lookup(cp);
+    if (!first && gcb_is_break(st, props)) {
+      if (seg_nonspace || !skip_spaces) {
+        if (n >= cap) return -2;
+        spans[2 * n] = seg_start;
+        spans[2 * n + 1] = at;
+        ++n;
+      }
+      seg_start = at;
+      seg_nonspace = false;
+    }
+    first = false;
+    if (!(props & wbtab::kGcbSpace)) seg_nonspace = true;
+    gcb_advance(st, props);
+  }
+  if (!first && (seg_nonspace || !skip_spaces)) {
+    if (n >= cap) return -2;
+    spans[2 * n] = seg_start;
+    spans[2 * n + 1] = len;
+    ++n;
+  }
+  return n;
+}
+
+// Fused grapheme-tokenized minhash (tokenizer="grapheme"): cluster ->
+// k-shingle (space-joined) -> XXH3 -> mix+min. Same return contract as
+// ucfp_text_minhash_sig_u8. Clusters that are entirely whitespace are
+// dropped first (the tokenize() keep-filter).
+int64_t ucfp_text_minhash_sig_gr(const uint8_t* text, int64_t len,
+                                 int32_t k, const uint64_t* keys,
+                                 int32_t h, uint64_t* out_sig) {
+  for (int32_t j = 0; j < h; ++j) out_sig[j] = UINT64_MAX;
+  // every cluster is >= 1 byte: len span pairs always suffice
+  const int64_t max_tokens = len > 0 ? len : 1;
+  int64_t* spans = new int64_t[2 * (size_t)max_tokens];
+  const int64_t t =
+      ucfp_text_graphemes_u8(text, len, 1, spans, max_tokens);
+  if (t < 0) {
+    delete[] spans;
+    return -1;
+  }
+  if (t == 0) {
+    delete[] spans;
+    return 0;
+  }
+  std::string scratch;
+  scratch.reserve(256);
+  const int64_t nsh = t < k ? 1 : t - k + 1;
+  const int64_t width = t < k ? t : k;
+  for (int64_t s0 = 0; s0 < nsh; ++s0) {
+    scratch.clear();
+    for (int64_t j = 0; j < width; ++j) {
+      if (j) scratch.push_back(' ');
+      const int64_t a = spans[2 * (s0 + j)], b = spans[2 * (s0 + j) + 1];
+      scratch.append(reinterpret_cast<const char*>(text) + a,
+                     (size_t)(b - a));
+    }
+    const uint64_t base = XXH3_64bits(scratch.data(), scratch.size());
+    for (int32_t j = 0; j < h; ++j) {
+      const uint64_t v = mix64(base ^ keys[j]);
+      if (v < out_sig[j]) out_sig[j] = v;
+    }
+  }
+  delete[] spans;
+  return nsh;
+}
+
+}  // extern "C"

@@ -278,6 +278,55 @@ def text_simhash_tf_u8_fast(canon: str):
     return int(out.value), rc == 1
 
 
+def tokenize_graphemes_fast(canon: str, skip_spaces: bool = False):
+    """Native extended-grapheme-cluster segmentation (the regex
+    engine's \\X; UAX#29 GB rules over the generated kGcbPages table).
+    skip_spaces drops all-whitespace clusters (the tokenize()
+    keep-filter). Returns the cluster list or None when unavailable."""
+    lib = _native_textsig()
+    if lib is None:
+        return None
+    import ctypes
+
+    raw = _encode_u8(canon)
+    if raw is None:
+        return None
+    cap = max(len(raw), 1)  # every cluster is >= 1 byte
+    spans = np.empty(2 * cap, dtype=np.int64)
+    n = lib.ucfp_text_graphemes_u8(
+        raw, len(raw), 1 if skip_spaces else 0,
+        spans.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), cap,
+    )
+    if n < 0:
+        return None
+    return [raw[spans[2 * i]:spans[2 * i + 1]].decode("utf-8")
+            for i in range(n)]
+
+
+def text_minhash_gr_fast(canon: str, k: int, h: int):
+    """Fused native minhash for the `grapheme` tokenizer (non-space
+    clusters -> k-shingles -> XXH3 -> mix/min; same return contract as
+    text_minhash_u8_fast)."""
+    lib = _native_textsig()
+    if lib is None:
+        return None
+    import ctypes
+
+    raw = _encode_u8(canon)
+    if raw is None:
+        return None
+    out = np.empty(h, dtype=np.uint64)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    n = lib.ucfp_text_minhash_sig_gr(
+        raw, len(raw), k,
+        slot_keys(h).ctypes.data_as(u64p), h,
+        out.ctypes.data_as(u64p),
+    )
+    if n < 0:
+        return None
+    return out, int(n)
+
+
 def serialize_minhash(sig: np.ndarray) -> bytes:
     """u16 schema + 6 pad + h x u64 LE."""
     return struct.pack("<H6x", MINHASH_SCHEMA) + sig.astype("<u8").tobytes()
