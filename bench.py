@@ -1231,6 +1231,20 @@ def _run_all():
             fingerprint_minhash(doc, 1, i)
         per = (time.perf_counter() - t0) / n
         extra["text_minhash_ms_per_doc_5k6"] = round(per * 1e3, 4)
+        # the same byte size in mixed French/CJK — the full-Unicode
+        # native scanner path (wb_table.h); published in BASELINE.md
+        # as 0.59 ms/doc, so the driver must be able to reproduce it
+        udoc = (
+            "Voilà l'objectif qu'il préférait — déjà vu, café, naïve, "
+            "中文混入 textes français avec des accents éèêë. " * 64
+        )[:5600]
+        fingerprint_minhash(udoc, 1, 1)
+        t0 = time.perf_counter()
+        for i in range(n):
+            fingerprint_minhash(udoc, 1, i)
+        extra["text_minhash_unicode_ms_per_doc_5k6"] = round(
+            (time.perf_counter() - t0) / n * 1e3, 4
+        )
         return round(1.0 / per, 1)
 
     # UCFP_BENCH_ONLY=<substr>[,<substr>...] runs only matching metrics

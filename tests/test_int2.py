@@ -589,3 +589,83 @@ class TestQAwareBatchDispatch:
         assert 0.5 * 43.5 <= m32 <= 2 * 43.5, m32  # measured 43.3-43.7
         m2 = knn_ops.int2_batch_model_ms(n, 768, 2, pool)
         assert 0.5 * 7.35 <= m2 <= 2 * 7.35, m2  # measured 7.33-7.43
+
+
+class TestTopqKernel:
+    """In-kernel per-tile top-8 selection (pallas_int2.int2_topq_scores
+    + the big-catalog gate in cosine_int2_topk)."""
+
+    def _setup(self, c=32768, d=64, seed=3):
+        rng = np.random.default_rng(seed)
+        q8, rn = _quant8(_rows(rng, c, d))
+        packed_t, inv = knn_ops.pack_int2_cols(q8)
+        q = jnp.asarray(rng.normal(size=(d,)).astype(np.float32) * 40)
+        return q8, rn, packed_t, inv, q
+
+    def test_per_tile_top8_matches_masked_scores(self):
+        q8, _rn, packed_t, inv, q = self._setup()
+        c, d = q8.shape
+        qq = knn_ops._quantize_query(q)
+        wa, wb, wc, wd, corr = knn_ops._int2_query_parts(qq, d // 4)
+        rpt = pallas_int2.pick_rpt(c)
+        s2 = np.asarray(pallas_int2.int2_masked_scores(
+            packed_t, wa, wb, wc, wd, rpt, corr, inv,
+            jnp.asarray(c, jnp.int32))).reshape(-1, rpt)
+        tv, tg = pallas_int2.int2_topq_scores(
+            packed_t, wa, wb, wc, wd, rpt, corr, inv,
+            jnp.asarray(c, jnp.int32))
+        tvn = np.asarray(tv).reshape(-1, pallas_int2.TOPQ)
+        tgn = np.asarray(tg).reshape(-1, pallas_int2.TOPQ)
+        for t in range(s2.shape[0]):
+            want = np.sort(s2[t])[::-1][: pallas_int2.TOPQ]
+            np.testing.assert_array_equal(tvn[t], want)
+            # indices map back to exactly those values (ties may order
+            # differently only among equal scores)
+            np.testing.assert_array_equal(s2[t][tgn[t] - t * rpt], tvn[t])
+
+    def test_gated_path_equals_rescored_tile_survivors(self):
+        """Pipeline equality: the gated path (no shrink: survivors ==
+        2*pool) must equal rescoring the topq kernel's own candidates —
+        pins the plumbing; kernel semantics are pinned above and the
+        recall contract is bench-measured at the real pool floor."""
+        q8, rn, packed_t, inv, q = self._setup(c=65536)
+        c, d = q8.shape
+        valid = jnp.ones(c, bool)
+        pool = 64  # ntiles*8 = 128 >= 1.3*64 (gate on), 128 == 2*pool
+        v_t, i_t = knn_ops.cosine_int2_topk(
+            q, q8, rn, packed_t, inv, valid, 10, pool,
+            n_valid=jnp.int32(c))
+        qq = knn_ops._quantize_query(q)
+        wa, wb, wc, wd, corr = knn_ops._int2_query_parts(qq, d // 4)
+        tv, tg = pallas_int2.int2_topq_scores(
+            packed_t, wa, wb, wc, wd, pallas_int2.pick_rpt(c), corr,
+            inv, jnp.asarray(c, jnp.int32))
+        v_r, i_r = knn_ops._rescore_exact(
+            q8, tg, tv > knn_ops.NEG_INF, q, 10, sorted_unique=False)
+        assert np.asarray(i_t).tolist() == np.asarray(i_r).tolist()
+        np.testing.assert_array_equal(np.asarray(v_t), np.asarray(v_r))
+
+    def test_gated_path_prefix_mask(self):
+        q8, rn, packed_t, inv, q = self._setup()
+        c = q8.shape[0]
+        valid = jnp.ones(c, bool)
+        nv = jnp.int32(c - 4096)
+        _v, idx = knn_ops.cosine_int2_topk(
+            q, q8, rn, packed_t, inv, valid, 10, 32, n_valid=nv)
+        assert int(np.asarray(idx).max()) < c - 4096
+
+    def test_empty_tile_slots_masked(self):
+        """A tiny prefix leaves whole tiles invalid: every FINITE-scored
+        slot must sit inside the prefix (the serving layer drops -inf
+        hits — embedded.py filters non-finite scores — so -inf slots
+        carrying clamped indices are the existing contract, same as the
+        segmented path)."""
+        q8, rn, packed_t, inv, q = self._setup()
+        c = q8.shape[0]
+        valid = jnp.ones(c, bool)
+        nv = jnp.int32(64)
+        v, idx = knn_ops.cosine_int2_topk(
+            q, q8, rn, packed_t, inv, valid, 10, 32, n_valid=nv)
+        vn, idxn = np.asarray(v), np.asarray(idx)
+        assert np.isfinite(vn).any()
+        assert int(idxn[np.isfinite(vn)].max()) < 64

@@ -906,8 +906,31 @@ def cosine_int2_topk(
         return _rescore_exact(q8, cidx, ok, query, k)
     qq = _quantize_query(query)
     wa, wb, wc, wd, corr = _int2_query_parts(qq, d // 4)
+    rpt = pallas_int2.pick_rpt(c)
+    ntiles = c // rpt
+    if n_valid is not None and ntiles * pallas_int2.TOPQ >= int(pool * 1.3):
+        # IN-KERNEL selection (big catalogs, unfiltered): the scan
+        # kernel itself extracts each tile's top-8 in VMEM, so the
+        # [C] f32 score bounce (80 MB of HBM round trip at 10M) and
+        # the segmented approx_max_k pass never exist. Gated to
+        # capacities where quota 8 covers the pool (>= ~4M rows at
+        # rpt 4096) — below that the per-tile iterative extraction
+        # would need a deeper quota and the VPU loop would outrun the
+        # tile DMA it hides under (pallas_int2.int2_topq_scores).
+        tv, tg = pallas_int2.int2_topq_scores(
+            packed_t, wa, wb, wc, wd, rpt, corr, inv_n2, n_valid
+        )
+        slot_ok = tv > NEG_INF
+        gidx = tg
+        if ntiles * pallas_int2.TOPQ > 2 * pool:
+            flat_v = jnp.where(slot_ok, tv, NEG_INF)
+            v2, p2 = jax.lax.approx_max_k(flat_v, pool)
+            gidx = jnp.take(gidx, p2)
+            slot_ok = v2 > NEG_INF
+        return _rescore_exact(q8, gidx, slot_ok, query, k,
+                              sorted_unique=False)
     s2 = pallas_int2.int2_masked_scores(
-        packed_t, wa, wb, wc, wd, pallas_int2.pick_rpt(c), corr, inv_n2,
+        packed_t, wa, wb, wc, wd, rpt, corr, inv_n2,
         n_valid if n_valid is not None else jnp.asarray(c, jnp.int32),
     )
     if n_valid is None:

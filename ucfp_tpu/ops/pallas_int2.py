@@ -205,6 +205,96 @@ def int2_masked_scores_batched(
     return out
 
 
+TOPQ = 8  # per-tile survivors (see int2_topq_scores)
+
+
+def _int2_topq_kernel(p_ref, wa_ref, wb_ref, wc_ref, wd_ref,
+                      corr_ref, inv_ref, sc_ref, out_ref):
+    """Fused dots + correction + inv-norm + prefix validity + PER-TILE
+    top-TOPQ extraction. Emits ONE [1, 128] f32 row per tile: lanes
+    0-7 the descending top scores, lanes 8-15 their LOCAL row indices
+    (exact as f32: < 2^24). The [1, C] f32 score bounce (80 MB of HBM
+    round trip at 10M) and the segmented approx_max_k pass disappear —
+    selection runs on VMEM data and hides under the tile DMA.
+
+    Statistical contract (replaces the 512-row segment quota): a
+    globally rank-r row is dropped only if >= TOPQ better rows land in
+    its 4096-row tile; competitors spread uniformly, so for the
+    quantization-bounded ranks the exact top-10 occupies (~1e3, see
+    the module header) the Poisson tail P(>= 8 | lambda = r/ntiles) is
+    < 1e-7 — far inside the pool's 8x margin, and bench-measured
+    recall 1.000 at 10M x 768 backs it."""
+    dots = _unpack_dots2(p_ref, wa_ref, wb_ref, wc_ref, wd_ref)
+    corr = corr_ref[0, 0]
+    n = sc_ref[0, 0]
+    rpt = dots.shape[1]
+    row0 = dots[0:1, :].astype(jnp.float32) - corr
+    inv = inv_ref[:]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, rpt), 1)
+    gidx = pl.program_id(0) * rpt + lane
+    ok = (gidx < n) & (inv > 0.0)
+    s = jnp.where(ok, row0 * inv, -jnp.inf)
+    out_lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    acc = jnp.zeros((1, 128), jnp.float32)
+    for t in range(TOPQ):
+        m = jnp.max(s)                               # scalar f32
+        hit = jnp.min(jnp.where(s == m, lane, rpt))  # scalar i32 argmax
+        s = jnp.where(lane == hit, -jnp.inf, s)
+        acc = jnp.where(out_lane == t, m, acc)
+        acc = jnp.where(out_lane == TOPQ + t, hit.astype(jnp.float32), acc)
+    out_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnums=(5,))
+def int2_topq_scores(packed_t: jax.Array, wa: jax.Array, wb: jax.Array,
+                     wc: jax.Array, wd: jax.Array, rpt: int,
+                     corr: jax.Array, inv_n2: jax.Array,
+                     n_valid: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Single-query scan with IN-KERNEL per-tile top-TOPQ selection.
+    Returns ([ntiles*TOPQ] f32 descending-per-tile scores,
+    [ntiles*TOPQ] i32 GLOBAL row indices); -inf score = empty slot.
+    Same masking semantics as int2_masked_scores."""
+    dq, c = packed_t.shape
+    if c % rpt:
+        raise ValueError(f"int2_topq_scores requires C % {rpt} == 0")
+    for w in (wa, wb, wc, wd):
+        if w.shape != (SUB, dq):
+            raise ValueError(f"weights must be [{SUB}, {dq}], got {w.shape}")
+    grid = c // rpt
+    wspec = pl.BlockSpec((SUB, dq), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _int2_topq_kernel,
+        grid=(grid,),
+        interpret=jax.default_backend() == "cpu",
+        in_specs=[
+            pl.BlockSpec((dq, rpt), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            wspec, wspec, wspec, wspec,
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rpt), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((grid, 128), jnp.float32),
+    )(packed_t, wa, wb, wc, wd,
+      jnp.asarray(corr, jnp.float32).reshape(1, 1),
+      inv_n2[None, :],
+      jnp.asarray(n_valid, jnp.int32).reshape(1, 1))
+    vals = out[:, :TOPQ].reshape(-1)
+    local = out[:, TOPQ:2 * TOPQ].astype(jnp.int32).reshape(-1)
+    base = (jnp.arange(grid, dtype=jnp.int32) * rpt)[:, None]
+    gidx = (local.reshape(grid, TOPQ) + base).reshape(-1)
+    # empty slots carry local == rpt (the argmax miss sentinel); clamp
+    # so the gather stays in range, validity rides vals > -inf
+    gidx = jnp.minimum(gidx, c - 1)
+    return vals, gidx
+
+
 def pick_rpt(c: int) -> int:
     """Largest supported tile width dividing the capacity (capacities
     are powers of two, so this only falls through for tiny caches)."""
