@@ -172,6 +172,19 @@ export declare class UcfpClient {
     records: Record<string, unknown>[];
     errors: Record<string, unknown>[];
   }>;
+  imageBatch(
+    images: [number, Uint8Array][],
+    opts?: { algorithm?: string; tenantId?: number }
+  ): Promise<Record<string, unknown>[]>;
+  audioBatch(
+    clips: [number, Float32Array | Uint8Array][],
+    opts: {
+      sampleRate: number;
+      algorithm?: string;
+      tenantId?: number;
+      tunables?: Record<string, number | boolean>;
+    }
+  ): Promise<Record<string, unknown>[]>;
   queryBatch(
     modality: string,
     opts?: BatchQueryOptions

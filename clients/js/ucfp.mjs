@@ -228,6 +228,45 @@ export class UcfpClient {
     return out.records;
   }
 
+  /** High-throughput batch audio ingest (<=256 clips, one shared
+   *  sampleRate; equal-length clips ride one vmapped device dispatch
+   *  per stage server-side, one WAL commit). clips = [[recordId,
+   *  Float32Array-or-Uint8Array-f32le], ...]; algorithm
+   *  wang|panako|haitsma. Returns the per-clip record list. */
+  async audioBatch(clips, opts = {}) {
+    if (!clips.length) return [];
+    if (clips.length > 256) throw new Error('batch exceeds 256 clips');
+    if (!opts.sampleRate) throw new Error('sampleRate is required');
+    const tid = opts.tenantId ?? this.tenantId;
+    const params = new URLSearchParams({
+      sample_rate: String(opts.sampleRate),
+      algorithm: opts.algorithm ?? 'wang',
+    });
+    for (const [k, v] of Object.entries(opts.tunables ?? {})) {
+      params.set(k, String(v));
+    }
+    const raw = clips.map(([rid, clip]) => [
+      rid,
+      clip instanceof Float32Array
+        ? new Uint8Array(clip.buffer, clip.byteOffset, clip.byteLength)
+        : clip,
+    ]);
+    let total = 0;
+    for (const [, pcm] of raw) total += 12 + pcm.byteLength;
+    const body = new Uint8Array(total);
+    const dv = new DataView(body.buffer);
+    let off = 0;
+    for (const [rid, pcm] of raw) {
+      dv.setBigUint64(off, BigInt(rid), true);
+      dv.setUint32(off + 8, pcm.byteLength, true);
+      body.set(pcm, off + 12);
+      off += 12 + pcm.byteLength;
+    }
+    const out = await this.#request('POST',
+      `/v1/ingest/audio/batch/${tid}?${params}`, { body });
+    return out.records;
+  }
+
   /**
    * Batch text ingest: one WAL commit per request (up to 1024 docs).
    * docs = [[recordId, text], ...]. Returns BOTH the durably committed

@@ -276,6 +276,45 @@ class Ucfp:
         )
         return out["records"]
 
+    def audio_batch(
+        self,
+        clips: "list[tuple[int, 'c.AudioSource']]",
+        *,
+        sample_rate: int,
+        algorithm: str = "wang",
+        tenant_id: Optional[int] = None,
+        tunables: Optional[dict] = None,
+    ) -> "list[dict]":
+        """High-throughput batch audio ingest (up to 256 clips per
+        request, one shared sample_rate): equal-length clips ride one
+        vmapped device dispatch per stage server-side, and the batch
+        commits in one WAL round. clips = [(record_id, f32-PCM bytes or
+        numpy array), ...]; algorithm wang|panako|haitsma. Records are
+        bit-identical to the single route's. Returns the record list
+        [{record_id, fingerprint_hex, fingerprint_bytes}]."""
+        import struct
+
+        if not clips:
+            return []
+        if len(clips) > 256:
+            raise ValueError("batch exceeds 256 clips")
+        tid = self.tenant_id if tenant_id is None else tenant_id
+        params: dict = {
+            "sample_rate": str(int(sample_rate)), "algorithm": algorithm
+        }
+        for key, val in (tunables or {}).items():
+            params[key] = str(val)
+        body = bytearray()
+        for rid, clip in clips:
+            data, _sr = c.audio_payload(clip, sample_rate)
+            body += struct.pack("<QI", rid, len(data))
+            body += data
+        out = self._request(
+            "POST", f"/v1/ingest/audio/batch/{tid}", params=params,
+            content=bytes(body),
+        )
+        return out["records"]
+
     def text_batch(
         self,
         docs: "list[tuple[int, str]]",

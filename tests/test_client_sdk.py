@@ -272,6 +272,26 @@ class TestImage:
         with pytest.raises(ValueError):
             client.image_batch([(i, b"x") for i in range(1025)])
 
+    def test_audio_batch(self, client):
+        import numpy as np
+
+        t = np.arange(8000, dtype=np.float32) / 8000.0
+        a = np.sin(2 * np.pi * 440.0 * t).astype(np.float32)
+        b = np.sin(2 * np.pi * 660.0 * t).astype(np.float32)
+        recs = client.audio_batch(
+            [(911, a), (912, b)], sample_rate=8000, algorithm="wang",
+            tenant_id=7,
+        )
+        assert [r["record_id"] for r in recs] == [911, 912]
+        single = client.audio(a, sample_rate=8000, algorithm="wang",
+                              record_id=913, tenant_id=7)
+        assert recs[0]["fingerprint_hex"] == single.fingerprint_hex
+
+    def test_audio_batch_size_cap_local(self, client):
+        with pytest.raises(ValueError):
+            client.audio_batch([(i, b"\x00" * 4) for i in range(257)],
+                               sample_rate=8000)
+
     def test_query_batch_fingerprints(self, client):
         from test_imagehash import synthetic_png
 

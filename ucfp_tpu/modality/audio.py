@@ -192,6 +192,139 @@ def fingerprint_haitsma(
     )
 
 
+def _next_pow2_b(n: int) -> int:
+    b = 1
+    while b < n:
+        b <<= 1
+    return b
+
+
+def fingerprint_audio_batch(
+    algorithm: str,
+    clips: list[np.ndarray],
+    sample_rate: int,
+    tenant_id: int,
+    record_ids: list[int],
+    cfg=None,
+) -> list[Record]:
+    """Batched classical audio fingerprints: group equal-length clips
+    and run ONE vmapped device dispatch per pipeline stage per group
+    (the DP ingest seam — SURVEY §2.4; the per-clip path pays 2-3
+    device round trips PER CLIP). Rows are bit-identical to the
+    single-clip functions (vmap applies the same per-example math;
+    pinned by tests/test_audio_batch.py). Length grouping preserves
+    exactness — zero-padding a clip would add STFT frames and change
+    its hashes, so unequal lengths are never padded together; the batch
+    dim is padded to a power of two by repeating row 0 (bounds
+    recompiles at O(log B) per distinct length) and the padding rows
+    are dropped.
+
+    algorithm: wang | panako | haitsma. Validation and Record layout
+    match the corresponding single-clip function exactly."""
+    if algorithm == "wang":
+        cfg = cfg or WangConfig()
+    elif algorithm == "panako":
+        cfg = cfg or PanakoConfig()
+        if sample_rate != CANONICAL_SR:
+            raise ModalityError(
+                f"panako requires {CANONICAL_SR} Hz input, got {sample_rate}"
+            )
+    elif algorithm == "haitsma":
+        cfg = cfg or HaitsmaConfig()
+    else:
+        raise ModalityError(
+            f"batch ingest supports wang|panako|haitsma, not {algorithm!r}"
+        )
+
+    # host-side prepare (validate + resample), exactly the single path's
+    prepared: list[np.ndarray] = []
+    for samples in clips:
+        x = _check_input(samples, sample_rate)
+        if algorithm == "haitsma":
+            x = dsp.resample_linear(
+                np.asarray(x, np.float32), sample_rate, haitsma_ops.HAITSMA_SR
+            )
+        elif sample_rate != CANONICAL_SR:
+            x = dsp.resample_linear(x, sample_rate, CANONICAL_SR)
+        if algorithm in ("wang", "panako") and len(x) < 1024:
+            raise ModalityError(
+                f"audio too short for {algorithm} after resampling to "
+                f"{CANONICAL_SR} Hz ({len(x)} samples; need >= 1024)"
+            )
+        prepared.append(x)
+
+    groups: dict[int, list[int]] = {}
+    for i, x in enumerate(prepared):
+        groups.setdefault(len(x), []).append(i)
+
+    pairs: list[tuple[np.ndarray, np.ndarray] | np.ndarray] = [None] * len(
+        prepared
+    )
+    for _ln, idxs in groups.items():
+        stack = np.stack([prepared[i] for i in idxs])
+        b = stack.shape[0]
+        bp = _next_pow2_b(b)
+        if bp > b:
+            stack = np.concatenate(
+                [stack, np.broadcast_to(stack[0], (bp - b,) + stack.shape[1:])]
+            )
+        if algorithm == "wang":
+            out = constellation.extract_landmarks_batch(
+                stack, CANONICAL_SR, cfg
+            )
+        elif algorithm == "panako":
+            out = constellation.extract_panako_batch(
+                stack, CANONICAL_SR, cfg
+            )
+        else:
+            out = haitsma_ops.fingerprint_frames_batch(stack, cfg)
+        for j, i in enumerate(idxs):
+            pairs[i] = out[j]
+
+    recs = []
+    for i, rid in enumerate(record_ids):
+        if algorithm == "haitsma":
+            frames = pairs[i]
+            recs.append(Record(
+                tenant_id=tenant_id,
+                record_id=rid,
+                modality=Modality.AUDIO,
+                algorithm=ALGORITHM_HAITSMA,
+                fingerprint=frames.astype("<u4").tobytes(),
+                config_hash=config_hash64(
+                    ALGORITHM_HAITSMA, fmin=cfg.fmin, fmax=cfg.fmax
+                ),
+            ))
+            continue
+        hashes, aux = pairs[i]
+        buf = np.empty((len(hashes), 2), dtype="<u4")
+        buf[:, 0] = hashes
+        buf[:, 1] = aux
+        if algorithm == "wang":
+            algo_tag, chash = ALGORITHM_WANG, _wang_cfg_hash(
+                cfg, ALGORITHM_WANG
+            )
+        else:
+            algo_tag = ALGORITHM_PANAKO
+            chash = config_hash64(
+                ALGORITHM_PANAKO,
+                fan_out=cfg.fan_out,
+                target_zone_t=cfg.target_zone_t,
+                target_zone_f=cfg.target_zone_f,
+                peaks_per_sec=cfg.peaks_per_sec,
+                min_anchor_mag_db=cfg.min_anchor_mag_db,
+            )
+        recs.append(Record(
+            tenant_id=tenant_id,
+            record_id=rid,
+            modality=Modality.AUDIO,
+            algorithm=algo_tag,
+            fingerprint=buf.tobytes(),
+            config_hash=chash,
+        ))
+    return recs
+
+
 # ---------------------------------------------------------------------------
 # Neural log-mel embedder (device model with fixed seeded weights)
 # ---------------------------------------------------------------------------

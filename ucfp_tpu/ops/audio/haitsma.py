@@ -93,6 +93,27 @@ def fingerprint_frames(samples: np.ndarray, sr: int, cfg: HaitsmaConfig) -> np.n
         return np.asarray(haitsma_words(jnp.asarray(x), cfg.fmin, cfg.fmax))
 
 
+def fingerprint_frames_batch(stack_5k: np.ndarray,
+                             cfg: HaitsmaConfig) -> list[np.ndarray]:
+    """Batched fingerprint_frames over ALREADY-5 kHz equal-length clips
+    ([B, T] f32): one vmapped device dispatch for the group. Each row
+    is bit-identical to the single-clip path (integer pipeline; pinned
+    in tests/test_audio_batch.py). Short clips (T < FRAME + HOP) yield
+    empty frame arrays like the single path, with no device call."""
+    import jax
+
+    from jax import enable_x64
+
+    b, t = stack_5k.shape
+    if t < FRAME + HOP:
+        return [np.zeros(0, np.uint32) for _ in range(b)]
+    with enable_x64():
+        words = np.asarray(jax.vmap(
+            lambda x: haitsma_words(x, cfg.fmin, cfg.fmax)
+        )(jnp.asarray(stack_5k, jnp.float32)))
+    return [words[i] for i in range(b)]
+
+
 def _next_pow2(n: int) -> int:
     c = 64
     while c < n:

@@ -278,13 +278,18 @@ def int2_topq_scores(packed_t: jax.Array, wa: jax.Array, wb: jax.Array,
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, 128), lambda i: (i, 0),
+        # [1, grid*128] with (1, 128) blocks: Mosaic requires the block
+        # sublane dim be 8-divisible OR equal to the array's — a
+        # [grid, 128] layout fails the rule, the flat row satisfies it
+        # (same trick as the [1, C] masked-scores output)
+        out_specs=pl.BlockSpec((1, 128), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((grid, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((1, grid * 128), jnp.float32),
     )(packed_t, wa, wb, wc, wd,
       jnp.asarray(corr, jnp.float32).reshape(1, 1),
       inv_n2[None, :],
       jnp.asarray(n_valid, jnp.int32).reshape(1, 1))
+    out = out.reshape(grid, 128)
     vals = out[:, :TOPQ].reshape(-1)
     local = out[:, TOPQ:2 * TOPQ].astype(jnp.int32).reshape(-1)
     base = (jnp.arange(grid, dtype=jnp.int32) * rpt)[:, None]

@@ -131,6 +131,10 @@ def build_server(
           h.ingest_image_semantic)
     r.add("POST", "/v1/ingest/text/{tenant_id}/{record_id}/preprocess/{kind}",
           h.ingest_text_preprocess)
+    # registered before the parameterized route: the router matches in
+    # order and "batch" must not bind as a tenant id (the image/text
+    # batch routes follow the same rule)
+    r.add("POST", "/v1/ingest/audio/batch/{tenant_id}", h.ingest_audio_batch)
     r.add("POST", "/v1/ingest/audio/{tenant_id}/{record_id}", h.ingest_audio)
     r.add(
         "POST",

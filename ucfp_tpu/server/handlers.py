@@ -1341,6 +1341,128 @@ class Handlers:
 
     # -- ingest: audio ---------------------------------------------------------------
 
+    async def ingest_audio_batch(self, req: Request) -> Response:
+        """Many clips, one request, one vmapped device batch per
+        equal-length group, one WAL commit (the audio twin of the image
+        batch route; extension, no reference analog).
+
+        Body framing: repeated [u64 LE record_id][u32 LE length][f32-LE
+        PCM bytes]. Query: ?sample_rate= (required, shared) and
+        ?algorithm=wang|panako|haitsma (+ the same tunables as the
+        single route). Records are bit-identical to the single route's
+        (length grouping, never cross-clip padding)."""
+        import asyncio
+        import struct
+
+        tid = _path_tenant(req)
+        tenant_guard(_ctx(req), tid)
+        sample_rate = req.qp_int("sample_rate", None)
+        if sample_rate is None:
+            raise HttpError(400, "bad_query", "sample_rate is required")
+        algorithm = req.query.get("algorithm", "wang")
+        _algo_gate(algorithm)
+        if algorithm not in ("wang", "panako", "haitsma"):
+            raise HttpError(
+                400, "bad_algorithm",
+                f"batch ingest supports wang|panako|haitsma, "
+                f"not {algorithm!r}",
+            )
+        cfg = self._audio_batch_cfg(req, algorithm)
+        raw = req.body
+        mv = memoryview(raw)
+        rids: list[int] = []
+        clips: list[np.ndarray] = []
+        off = 0
+        while off < len(raw):
+            if off + 12 > len(raw):
+                raise HttpError(400, "bad_body",
+                                "truncated batch frame header")
+            rid, ln = struct.unpack_from("<QI", raw, off)
+            off += 12
+            if off + ln > len(raw):
+                raise HttpError(400, "bad_body",
+                                "truncated batch frame body")
+            if ln == 0 or ln % 4 != 0:
+                raise HttpError(
+                    400, "bad_body",
+                    "clip length must be a non-zero multiple of 4 (f32 LE)",
+                )
+            rids.append(rid)
+            clips.append(np.frombuffer(mv[off:off + ln], dtype="<f4")
+                         .astype(np.float32))
+            off += ln
+        if not rids:
+            raise HttpError(400, "bad_body", "empty batch")
+        if len(rids) > 256:
+            raise HttpError(400, "bad_body", "batch exceeds 256 clips")
+
+        try:
+            recs = await asyncio.to_thread(
+                amod.fingerprint_audio_batch,
+                algorithm, clips, sample_rate, tid, rids, cfg,
+            )
+        except UcfpError as e:
+            raise _err(e)
+        _tag_usage(req, "audio", recs[0].algorithm)
+        await self.index.upsert(recs)
+        if req.query.get("quiet") == "1":
+            return Response.json(
+                {"count": len(recs), "algorithm": recs[0].algorithm},
+                status=201,
+            )
+        return Response.json(
+            {
+                "count": len(recs),
+                "algorithm": recs[0].algorithm,
+                "records": [
+                    {
+                        "record_id": r.record_id,
+                        "fingerprint_hex": r.fingerprint.hex(),
+                        "fingerprint_bytes": len(r.fingerprint),
+                    }
+                    for r in recs
+                ],
+            },
+            status=201,
+        )
+
+    def _audio_batch_cfg(self, req: Request, algorithm: str):
+        """The single audio route's tunable parsing, shared."""
+        if algorithm == "wang":
+            return WangConfig(
+                fan_out=self._in_range(req, "fan_out", 10, 1, 32),
+                target_zone_t=self._in_range(req, "target_zone_t", 63, 1, 256),
+                target_zone_f=self._in_range(req, "target_zone_f", 64, 1, 256),
+                peaks_per_sec=self._in_range(req, "peaks_per_sec", 30, 1, 120),
+                min_anchor_mag_db=self._in_range(
+                    req, "min_anchor_mag_db", -50.0, -120.0, 0.0, float_=True
+                ),
+                local_floor=req.qp_bool("local_floor", False),
+            )
+        if algorithm == "panako":
+            return PanakoConfig(
+                fan_out=self._in_range(req, "fan_out", 5, 1, 32,
+                                       alias="panako_fan_out"),
+                target_zone_t=self._in_range(
+                    req, "target_zone_t", 96, 1, 256,
+                    alias="panako_target_zone_t"),
+                target_zone_f=self._in_range(
+                    req, "target_zone_f", 96, 1, 256,
+                    alias="panako_target_zone_f"),
+                peaks_per_sec=self._in_range(
+                    req, "peaks_per_sec", 30, 1, 120,
+                    alias="panako_peaks_per_sec"),
+                min_anchor_mag_db=self._in_range(
+                    req, "min_anchor_mag_db", -50.0, -120.0, 0.0,
+                    float_=True, alias="panako_min_anchor_mag_db"),
+            )
+        return HaitsmaConfig(
+            fmin=self._in_range(req, "fmin", 300.0, 50.0, 2000.0,
+                                float_=True, alias="haitsma_fmin"),
+            fmax=self._in_range(req, "fmax", 2000.0, 500.0, 2500.0,
+                                float_=True, alias="haitsma_fmax"),
+        )
+
     async def ingest_audio(self, req: Request) -> Response:
         tid, rid = _path_ids(req)
         tenant_guard(_ctx(req), tid)
