@@ -63,25 +63,28 @@ def main(n_rows=10_000_000, k=10, iters=16):
     quota = min(seg, max(8, -(-int(pool * 1.3) // nseg)))
     print(f"rpt={rpt} seg={seg} nseg={nseg} quota={quota}", file=sys.stderr)
 
-    def scan_scores(q):
+    # arrays ride as ARGUMENTS: closing over them captures multi-GB
+    # compile-time constants (the CLAUDE.md timing-loop trap — the
+    # first run lowered a 9.6 GB program and broke the remote compile)
+    def scan_scores(q, pk, inv):
         qq = knn_ops._quantize_query(q)
         wa, wb, wc, wd, corr = knn_ops._int2_query_parts(qq, d // 4)
         return pallas_int2.int2_masked_scores(
-            packed2_t, wa, wb, wc, wd, rpt, corr, inv_n2, nv
+            pk, wa, wb, wc, wd, rpt, corr, inv, nv
         )
 
-    @functools.partial(jax.jit, static_argnums=(1,))
-    def loop_scan(q, it):
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def loop_scan(q, pk, inv, it):
         def body(_i, carry):
-            s2 = scan_scores(carry)
+            s2 = scan_scores(carry, pk, inv)
             return jnp.clip(carry + s2[0] * 1e-6, -127.0, 127.0)
 
         return jnp.sum(jax.lax.fori_loop(0, it, body, q))
 
-    @functools.partial(jax.jit, static_argnums=(1, 2))
-    def loop_sel(q, it, with_shrink):
+    @functools.partial(jax.jit, static_argnums=(3, 4))
+    def loop_sel(q, pk, inv, it, with_shrink):
         def body(_i, carry):
-            s2 = scan_scores(carry)
+            s2 = scan_scores(carry, pk, inv)
             _sv, si = jax.lax.approx_max_k(s2.reshape(nseg, seg), quota)
             gidx = (
                 si + (jnp.arange(nseg, dtype=jnp.int32) * seg)[:, None]
@@ -96,16 +99,16 @@ def main(n_rows=10_000_000, k=10, iters=16):
 
         return jnp.sum(jax.lax.fori_loop(0, it, body, q))
 
-    @functools.partial(jax.jit, static_argnums=(1,))
-    def loop_full(q, it):
-        vd = jnp.ones((n,), bool)
+    @functools.partial(jax.jit, static_argnums=(6,))
+    def loop_full(q, m, rnv, pk, inv, nvs, it):
+        vd = jnp.ones((m.shape[0],), bool)
 
         def body(_i, carry):
             _vals, idx = knn_ops.cosine_int2_topk(
-                carry, m8, rn, packed2_t, inv_n2, vd, k, pool, n_valid=nv
+                carry, m, rnv, pk, inv, vd, k, pool, n_valid=nvs
             )
             return jnp.clip(
-                carry + m8[idx[0]].astype(jnp.float32) / 127.0,
+                carry + m[idx[0]].astype(jnp.float32) / 127.0,
                 -127.0, 127.0,
             )
 
@@ -113,13 +116,16 @@ def main(n_rows=10_000_000, k=10, iters=16):
 
     out = {}
     out["scan"] = bench._timed(
-        lambda it: float(loop_scan(qf, it)), iters) * 1e3
+        lambda it: float(loop_scan(qf, packed2_t, inv_n2, it)), iters) * 1e3
     out["sel"] = bench._timed(
-        lambda it: float(loop_sel(qf, it, False)), iters) * 1e3
+        lambda it: float(loop_sel(qf, packed2_t, inv_n2, it, False)),
+        iters) * 1e3
     out["shrink"] = bench._timed(
-        lambda it: float(loop_sel(qf, it, True)), iters) * 1e3
+        lambda it: float(loop_sel(qf, packed2_t, inv_n2, it, True)),
+        iters) * 1e3
     out["full"] = bench._timed(
-        lambda it: float(loop_full(qf, it)), iters) * 1e3
+        lambda it: float(loop_full(qf, m8, rn, packed2_t, inv_n2, nv, it)),
+        iters) * 1e3
     for kk, v in out.items():
         print(f"{kk:8s} {v:7.3f} ms")
     print(f"sel-scan    {out['sel']-out['scan']:7.3f} ms")

@@ -48,23 +48,32 @@ def main(n_rows=10_000_000, k=10, iters=8):
     nv = jnp.int32(n)
     print(f"n={n} pool={pool}", flush=True)
 
-    @functools.partial(jax.jit, static_argnums=(1,))
-    def loop_full(q, it):
-        vd = jnp.ones((n,), bool)
+    # arrays ride as ARGUMENTS: closing over them captures multi-GB
+    # compile-time constants (the CLAUDE.md timing-loop trap — the
+    # first attempt lowered a 9.63 GB program and broke the tunnel's
+    # remote-compile pipe)
+    @functools.partial(jax.jit, static_argnums=(6,))
+    def loop_full(q, m, rnv, pk, inv, nvs, it):
+        vd = jnp.ones((m.shape[0],), bool)
 
         def body(_i, carry):
             _vals, idx = knn_ops.cosine_int2_topk(
-                carry, m8, rn, packed2_t, inv_n2, vd, k, pool, n_valid=nv
+                carry, m, rnv, pk, inv, vd, k, pool, n_valid=nvs
             )
             return jnp.clip(
-                carry + m8[idx[0]].astype(jnp.float32) / 127.0,
+                carry + m[idx[0]].astype(jnp.float32) / 127.0,
                 -127.0, 127.0,
             )
 
         return jnp.sum(jax.lax.fori_loop(0, it, body, q))
 
     for r in range(3):
-        ms = bench._timed(lambda it: float(loop_full(qf, it)), iters) * 1e3
+        ms = bench._timed(
+            lambda it: float(
+                loop_full(qf, m8, rn, packed2_t, inv_n2, nv, it)
+            ),
+            iters,
+        ) * 1e3
         print(f"round {r}: int2-topq full pipeline {ms:.3f} ms", flush=True)
 
 

@@ -22,6 +22,7 @@ ICI-sharded version with the cross-chip top-k merge.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -907,22 +908,28 @@ def cosine_int2_topk(
     qq = _quantize_query(query)
     wa, wb, wc, wd, corr = _int2_query_parts(qq, d // 4)
     rpt = pallas_int2.pick_rpt(c)
-    ntiles = c // rpt
-    if n_valid is not None and ntiles * pallas_int2.TOPQ >= int(pool * 1.3):
-        # IN-KERNEL selection (big catalogs, unfiltered): the scan
-        # kernel itself extracts each tile's top-8 in VMEM, so the
-        # [C] f32 score bounce (80 MB of HBM round trip at 10M) and
-        # the segmented approx_max_k pass never exist. Gated to
-        # capacities where quota 8 covers the pool (>= ~4M rows at
-        # rpt 4096) — below that the per-tile iterative extraction
-        # would need a deeper quota and the VPU loop would outrun the
-        # tile DMA it hides under (pallas_int2.int2_topq_scores).
+    nseg_512 = c // pallas_int2.TOPQ_SEG
+    if (os.environ.get("UCFP_INT2_TOPQ") == "1"
+            and n_valid is not None and rpt % pallas_int2.TOPQ_SEG == 0
+            and nseg_512 * pallas_int2.TOPQ >= int(pool * 1.3)):
+        # EXPERIMENTAL in-kernel selection (unfiltered), off by
+        # default: the scan kernel extracts each 512-row segment's
+        # EXACT top-8 in VMEM, eliminating the [C] f32 score bounce
+        # and the segmented approx_max_k pass. MEASURED SLOWER on
+        # v5e (round 4 session 8): the on-chip decomposition puts the
+        # whole XLA selection at only +1.2 ms over the 3.4 ms
+        # compute-bound scan, while Mosaic lowers the in-kernel
+        # iterative extraction to ~+6 ms of serialized VPU work (both
+        # the [1, rpt] whole-tile and the [rpt/512, 512]
+        # sublane-parallel formulations). Kept behind UCFP_INT2_TOPQ=1
+        # as the measured record; the segmented path below is the
+        # production dispatch.
         tv, tg = pallas_int2.int2_topq_scores(
             packed_t, wa, wb, wc, wd, rpt, corr, inv_n2, n_valid
         )
         slot_ok = tv > NEG_INF
         gidx = tg
-        if ntiles * pallas_int2.TOPQ > 2 * pool:
+        if nseg_512 * pallas_int2.TOPQ > 2 * pool:
             flat_v = jnp.where(slot_ok, tv, NEG_INF)
             v2, p2 = jax.lax.approx_max_k(flat_v, pool)
             gidx = jnp.take(gidx, p2)

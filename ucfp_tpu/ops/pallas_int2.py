@@ -205,41 +205,48 @@ def int2_masked_scores_batched(
     return out
 
 
-TOPQ = 8  # per-tile survivors (see int2_topq_scores)
+TOPQ = 8       # per-segment survivors (see int2_topq_scores)
+TOPQ_SEG = 512  # in-kernel selection segment width (rows)
 
 
 def _int2_topq_kernel(p_ref, wa_ref, wb_ref, wc_ref, wd_ref,
                       corr_ref, inv_ref, sc_ref, out_ref):
-    """Fused dots + correction + inv-norm + prefix validity + PER-TILE
-    top-TOPQ extraction. Emits ONE [1, 128] f32 row per tile: lanes
-    0-7 the descending top scores, lanes 8-15 their LOCAL row indices
+    """Fused dots + correction + inv-norm + prefix validity + IN-KERNEL
+    per-512-row-segment top-TOPQ extraction. Each tile's [1, rpt]
+    masked scores reshape to [rpt/512, 512] (segment-major — the SAME
+    512-row segments the XLA approx_max_k path uses) and TOPQ
+    iterations of a sublane-parallel max/argmax/mask extract every
+    segment's top-8 at once. Emits [rpt/512, 128] per tile: lanes 0-7
+    the descending top scores, lanes 8-15 their IN-SEGMENT indices
     (exact as f32: < 2^24). The [1, C] f32 score bounce (80 MB of HBM
     round trip at 10M) and the segmented approx_max_k pass disappear —
     selection runs on VMEM data and hides under the tile DMA.
 
-    Statistical contract (replaces the 512-row segment quota): a
-    globally rank-r row is dropped only if >= TOPQ better rows land in
-    its 4096-row tile; competitors spread uniformly, so for the
-    quantization-bounded ranks the exact top-10 occupies (~1e3, see
-    the module header) the Poisson tail P(>= 8 | lambda = r/ntiles) is
-    < 1e-7 — far inside the pool's 8x margin, and bench-measured
-    recall 1.000 at 10M x 768 backs it."""
+    (A first design extracted a per-TILE top-8 on the [1, rpt] layout:
+    whole-array reductions on one sublane serialized the VPU and
+    measured 11 ms at 10M — WORSE than the 4.9 ms XLA path. The
+    segment-major reshape restores sublane parallelism: 8 iterations
+    over [8, 512] are ~4 vreg-wide ops each.)"""
     dots = _unpack_dots2(p_ref, wa_ref, wb_ref, wc_ref, wd_ref)
     corr = corr_ref[0, 0]
     n = sc_ref[0, 0]
     rpt = dots.shape[1]
+    nseg = rpt // TOPQ_SEG
     row0 = dots[0:1, :].astype(jnp.float32) - corr
     inv = inv_ref[:]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, rpt), 1)
     gidx = pl.program_id(0) * rpt + lane
     ok = (gidx < n) & (inv > 0.0)
-    s = jnp.where(ok, row0 * inv, -jnp.inf)
-    out_lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    acc = jnp.zeros((1, 128), jnp.float32)
+    s = jnp.where(ok, row0 * inv, -jnp.inf).reshape(nseg, TOPQ_SEG)
+    lane512 = jax.lax.broadcasted_iota(jnp.int32, (nseg, TOPQ_SEG), 1)
+    out_lane = jax.lax.broadcasted_iota(jnp.int32, (nseg, 128), 1)
+    acc = jnp.zeros((nseg, 128), jnp.float32)
     for t in range(TOPQ):
-        m = jnp.max(s)                               # scalar f32
-        hit = jnp.min(jnp.where(s == m, lane, rpt))  # scalar i32 argmax
-        s = jnp.where(lane == hit, -jnp.inf, s)
+        m = jnp.max(s, axis=1, keepdims=True)               # [S, 1]
+        hit = jnp.min(
+            jnp.where(s == m, lane512, TOPQ_SEG), axis=1, keepdims=True
+        )                                                   # [S, 1]
+        s = jnp.where(lane512 == hit, -jnp.inf, s)
         acc = jnp.where(out_lane == t, m, acc)
         acc = jnp.where(out_lane == TOPQ + t, hit.astype(jnp.float32), acc)
     out_ref[:] = acc
@@ -250,17 +257,22 @@ def int2_topq_scores(packed_t: jax.Array, wa: jax.Array, wb: jax.Array,
                      wc: jax.Array, wd: jax.Array, rpt: int,
                      corr: jax.Array, inv_n2: jax.Array,
                      n_valid: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Single-query scan with IN-KERNEL per-tile top-TOPQ selection.
-    Returns ([ntiles*TOPQ] f32 descending-per-tile scores,
-    [ntiles*TOPQ] i32 GLOBAL row indices); -inf score = empty slot.
-    Same masking semantics as int2_masked_scores."""
+    """Single-query scan with IN-KERNEL per-512-row-segment top-TOPQ
+    selection (same candidate set as the XLA segmented approx_max_k at
+    quota 8 — exact per-segment top-8, not approximate). Returns
+    ([C/512*TOPQ] f32 scores, [C/512*TOPQ] i32 GLOBAL row indices);
+    -inf score = empty slot. Same masking semantics as
+    int2_masked_scores. Requires rpt % 512 == 0."""
     dq, c = packed_t.shape
-    if c % rpt:
-        raise ValueError(f"int2_topq_scores requires C % {rpt} == 0")
+    if c % rpt or rpt % TOPQ_SEG:
+        raise ValueError(
+            f"int2_topq_scores requires C % {rpt} == 0 and rpt % 512 == 0"
+        )
     for w in (wa, wb, wc, wd):
         if w.shape != (SUB, dq):
             raise ValueError(f"weights must be [{SUB}, {dq}], got {w.shape}")
     grid = c // rpt
+    sseg = rpt // TOPQ_SEG  # segments per tile
     wspec = pl.BlockSpec((SUB, dq), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -278,23 +290,22 @@ def int2_topq_scores(packed_t: jax.Array, wa: jax.Array, wb: jax.Array,
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        # [1, grid*128] with (1, 128) blocks: Mosaic requires the block
-        # sublane dim be 8-divisible OR equal to the array's — a
-        # [grid, 128] layout fails the rule, the flat row satisfies it
-        # (same trick as the [1, C] masked-scores output)
-        out_specs=pl.BlockSpec((1, 128), lambda i: (0, i),
+        # (sseg, 128) blocks: sublane dim 8-divisible (rpt/512 is 8 at
+        # the 4096 tile; 512-tile caches give 1, which equals the
+        # array dim only when grid == 1 — pick_rpt shapes keep sseg 8)
+        out_specs=pl.BlockSpec((sseg, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, grid * 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((grid * sseg, 128), jnp.float32),
     )(packed_t, wa, wb, wc, wd,
       jnp.asarray(corr, jnp.float32).reshape(1, 1),
       inv_n2[None, :],
       jnp.asarray(n_valid, jnp.int32).reshape(1, 1))
-    out = out.reshape(grid, 128)
+    nseg = grid * sseg
     vals = out[:, :TOPQ].reshape(-1)
     local = out[:, TOPQ:2 * TOPQ].astype(jnp.int32).reshape(-1)
-    base = (jnp.arange(grid, dtype=jnp.int32) * rpt)[:, None]
-    gidx = (local.reshape(grid, TOPQ) + base).reshape(-1)
-    # empty slots carry local == rpt (the argmax miss sentinel); clamp
+    base = (jnp.arange(nseg, dtype=jnp.int32) * TOPQ_SEG)[:, None]
+    gidx = (local.reshape(nseg, TOPQ) + base).reshape(-1)
+    # empty slots carry local == 512 (the argmax miss sentinel); clamp
     # so the gather stays in range, validity rides vals > -inf
     gidx = jnp.minimum(gidx, c - 1)
     return vals, gidx
