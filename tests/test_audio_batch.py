@@ -69,6 +69,16 @@ class TestBatchBitIdentity:
             amod.fingerprint_audio_batch(
                 "wang", [np.zeros(100, np.float32)], 8000, 0, [1])
 
+    def test_panako_short_clip_accepted_like_single(self):
+        """The minimum-length gate is wang-only: fingerprint_panako
+        accepts sub-1024 clips (centered STFT pads them), so the batch
+        must too — a review pass caught the batch 400ing whole batches
+        the single route accepts."""
+        clip = _tone(500 / 8000, 8000, 440.0, 9)[:500]
+        ref = amod.fingerprint_panako(clip, 8000, 0, 1)
+        recs = amod.fingerprint_audio_batch("panako", [clip], 8000, 0, [1])
+        assert recs[0].fingerprint == ref.fingerprint
+
     def test_haitsma_short_clip_empty_frames(self):
         # < FRAME + HOP samples after the 5 kHz resample -> empty
         # fingerprint, same as the single path

@@ -106,24 +106,11 @@ def _wang_cfg_hash(cfg: WangConfig, algorithm: str) -> int:
     )
 
 
-def fingerprint_wang(
-    samples: np.ndarray,
-    sample_rate: int,
-    tenant_id: int,
-    record_id: int,
-    cfg: WangConfig | None = None,
-) -> Record:
-    cfg = cfg or WangConfig()
-    x = _check_input(samples, sample_rate)
-    if sample_rate != CANONICAL_SR:
-        x = dsp.resample_linear(x, sample_rate, CANONICAL_SR)
-    if len(x) < 1024:  # one STFT frame at the canonical rate
-        raise ModalityError(
-            f"audio too short for wang after resampling to {CANONICAL_SR} Hz "
-            f"({len(x)} samples; need >= 1024)"
-        )
-    hashes, t1 = constellation.extract_landmarks(x, CANONICAL_SR, cfg)
-    # (hash u32, t1 u32) LE pairs, cast straight to bytes
+def _wang_record(tenant_id: int, record_id: int, hashes, t1,
+                 cfg: WangConfig) -> Record:
+    """(hash u32, t1 u32) LE pairs, cast straight to bytes — the ONE
+    place the wang wire layout + config_hash live (single and batch
+    paths both assemble here, so the hash field list cannot drift)."""
     buf = np.empty((len(hashes), 2), dtype="<u4")
     buf[:, 0] = hashes
     buf[:, 1] = t1
@@ -137,20 +124,8 @@ def fingerprint_wang(
     )
 
 
-def fingerprint_panako(
-    samples: np.ndarray,
-    sample_rate: int,
-    tenant_id: int,
-    record_id: int,
-    cfg: PanakoConfig | None = None,
-) -> Record:
-    cfg = cfg or PanakoConfig()
-    x = _check_input(samples, sample_rate)
-    if sample_rate != CANONICAL_SR:
-        raise ModalityError(
-            f"panako requires {CANONICAL_SR} Hz input, got {sample_rate}"
-        )
-    hashes, aux = constellation.extract_panako(x, CANONICAL_SR, cfg)
+def _panako_record(tenant_id: int, record_id: int, hashes, aux,
+                   cfg: PanakoConfig) -> Record:
     buf = np.empty((len(hashes), 2), dtype="<u4")
     buf[:, 0] = hashes
     buf[:, 1] = aux
@@ -171,6 +146,57 @@ def fingerprint_panako(
     )
 
 
+def _haitsma_record(tenant_id: int, record_id: int, frames,
+                    cfg: HaitsmaConfig) -> Record:
+    return Record(
+        tenant_id=tenant_id,
+        record_id=record_id,
+        modality=Modality.AUDIO,
+        algorithm=ALGORITHM_HAITSMA,
+        fingerprint=frames.astype("<u4").tobytes(),
+        config_hash=config_hash64(
+            ALGORITHM_HAITSMA, fmin=cfg.fmin, fmax=cfg.fmax
+        ),
+    )
+
+
+def fingerprint_wang(
+    samples: np.ndarray,
+    sample_rate: int,
+    tenant_id: int,
+    record_id: int,
+    cfg: WangConfig | None = None,
+) -> Record:
+    cfg = cfg or WangConfig()
+    x = _check_input(samples, sample_rate)
+    if sample_rate != CANONICAL_SR:
+        x = dsp.resample_linear(x, sample_rate, CANONICAL_SR)
+    if len(x) < 1024:  # one STFT frame at the canonical rate
+        raise ModalityError(
+            f"audio too short for wang after resampling to {CANONICAL_SR} Hz "
+            f"({len(x)} samples; need >= 1024)"
+        )
+    hashes, t1 = constellation.extract_landmarks(x, CANONICAL_SR, cfg)
+    return _wang_record(tenant_id, record_id, hashes, t1, cfg)
+
+
+def fingerprint_panako(
+    samples: np.ndarray,
+    sample_rate: int,
+    tenant_id: int,
+    record_id: int,
+    cfg: PanakoConfig | None = None,
+) -> Record:
+    cfg = cfg or PanakoConfig()
+    x = _check_input(samples, sample_rate)
+    if sample_rate != CANONICAL_SR:
+        raise ModalityError(
+            f"panako requires {CANONICAL_SR} Hz input, got {sample_rate}"
+        )
+    hashes, aux = constellation.extract_panako(x, CANONICAL_SR, cfg)
+    return _panako_record(tenant_id, record_id, hashes, aux, cfg)
+
+
 def fingerprint_haitsma(
     samples: np.ndarray,
     sample_rate: int,
@@ -182,14 +208,7 @@ def fingerprint_haitsma(
     cfg = cfg or HaitsmaConfig()
     x = _check_input(samples, sample_rate)
     frames = haitsma_ops.fingerprint_frames(x, sample_rate, cfg)
-    return Record(
-        tenant_id=tenant_id,
-        record_id=record_id,
-        modality=Modality.AUDIO,
-        algorithm=ALGORITHM_HAITSMA,
-        fingerprint=frames.astype("<u4").tobytes(),
-        config_hash=config_hash64(ALGORITHM_HAITSMA, fmin=cfg.fmin, fmax=cfg.fmax),
-    )
+    return _haitsma_record(tenant_id, record_id, frames, cfg)
 
 
 def _next_pow2_b(n: int) -> int:
@@ -246,9 +265,14 @@ def fingerprint_audio_batch(
             )
         elif sample_rate != CANONICAL_SR:
             x = dsp.resample_linear(x, sample_rate, CANONICAL_SR)
-        if algorithm in ("wang", "panako") and len(x) < 1024:
+        # the minimum-length gate is WANG-ONLY, exactly like the single
+        # path: fingerprint_panako accepts sub-1024 clips (centered
+        # STFT pads them) and haitsma yields empty frames below
+        # FRAME + HOP — a batch must not reject what the single route
+        # accepts
+        if algorithm == "wang" and len(x) < 1024:
             raise ModalityError(
-                f"audio too short for {algorithm} after resampling to "
+                f"audio too short for wang after resampling to "
                 f"{CANONICAL_SR} Hz ({len(x)} samples; need >= 1024)"
             )
         prepared.append(x)
@@ -284,44 +308,13 @@ def fingerprint_audio_batch(
     recs = []
     for i, rid in enumerate(record_ids):
         if algorithm == "haitsma":
-            frames = pairs[i]
-            recs.append(Record(
-                tenant_id=tenant_id,
-                record_id=rid,
-                modality=Modality.AUDIO,
-                algorithm=ALGORITHM_HAITSMA,
-                fingerprint=frames.astype("<u4").tobytes(),
-                config_hash=config_hash64(
-                    ALGORITHM_HAITSMA, fmin=cfg.fmin, fmax=cfg.fmax
-                ),
-            ))
-            continue
-        hashes, aux = pairs[i]
-        buf = np.empty((len(hashes), 2), dtype="<u4")
-        buf[:, 0] = hashes
-        buf[:, 1] = aux
-        if algorithm == "wang":
-            algo_tag, chash = ALGORITHM_WANG, _wang_cfg_hash(
-                cfg, ALGORITHM_WANG
-            )
+            recs.append(_haitsma_record(tenant_id, rid, pairs[i], cfg))
+        elif algorithm == "wang":
+            hashes, t1 = pairs[i]
+            recs.append(_wang_record(tenant_id, rid, hashes, t1, cfg))
         else:
-            algo_tag = ALGORITHM_PANAKO
-            chash = config_hash64(
-                ALGORITHM_PANAKO,
-                fan_out=cfg.fan_out,
-                target_zone_t=cfg.target_zone_t,
-                target_zone_f=cfg.target_zone_f,
-                peaks_per_sec=cfg.peaks_per_sec,
-                min_anchor_mag_db=cfg.min_anchor_mag_db,
-            )
-        recs.append(Record(
-            tenant_id=tenant_id,
-            record_id=rid,
-            modality=Modality.AUDIO,
-            algorithm=algo_tag,
-            fingerprint=buf.tobytes(),
-            config_hash=chash,
-        ))
+            hashes, aux = pairs[i]
+            recs.append(_panako_record(tenant_id, rid, hashes, aux, cfg))
     return recs
 
 

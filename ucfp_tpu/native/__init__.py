@@ -211,8 +211,16 @@ def load_textsig():
         return None
     src = os.path.join(_DIR, "textsig.cpp")
     out = os.path.join(_DIR, _outname("libucfptextsig.so"))
-    if not os.path.exists(out) or os.path.getmtime(out) < os.path.getmtime(src):
-        if not _build(src, out, extra_flags=(f"-I{inc}",)):
+    # the rebuild trigger covers the GENERATED property table too:
+    # re-running scripts/gen_wb_table.py (the documented regex-upgrade
+    # workflow) rewrites wb_table.h without touching textsig.cpp, and a
+    # stale .so would keep tokenizing with the OLD engine's tables
+    hdr = os.path.join(_DIR, "wb_table.h")
+    if not os.path.exists(hdr):  # deleted table: no native text path
+        return None
+    newest_src = max(os.path.getmtime(src), os.path.getmtime(hdr))
+    if not os.path.exists(out) or os.path.getmtime(out) < newest_src:
+        if not _build(src, out, extra_flags=(f"-I{inc}", f"-I{_DIR}")):
             return None
     try:
         lib = ctypes.CDLL(out)

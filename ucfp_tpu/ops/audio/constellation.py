@@ -334,50 +334,15 @@ def extract_panako(
     return np.asarray(h)[ok], np.asarray(aux)[ok]
 
 
-def extract_landmarks_batch(
-    stack: np.ndarray,  # [B, T] f32 — equal-length clips
-    sr: int,
-    cfg: WangConfig,
-    n_fft: int = 1024,
-    hop: int = 256,
-) -> list[tuple[np.ndarray, np.ndarray]]:
-    """Batched extract_landmarks: ONE device dispatch per stage for the
+def _extract_batch(stack, sr, cfg, pair_fn, n_fft, hop):
+    """Shared batched pipeline: ONE device dispatch per stage for the
     whole clip group instead of per clip (the DP ingest seam, SURVEY
     §2.4). vmap applies the identical per-example math — the integer
     spectrogram stays exact and the f32 selection compares the same
     values — so each row is BIT-IDENTICAL to the single-clip path
-    (pinned by tests/test_audio_batch.py)."""
-    from jax import enable_x64, vmap
-
-    with enable_x64():
-        power = vmap(
-            lambda x: dsp.stft_power_int(x, n_fft, hop, True)
-        )(jnp.asarray(stack, jnp.float32)).astype(jnp.float32)
-    slab = max(1, sr // hop)
-    t, f, valid = vmap(
-        lambda p: pick_peaks(
-            p, slab, cfg.peaks_per_sec, cfg.min_anchor_mag_db,
-            getattr(cfg, "local_floor", False),
-        )
-    )(power)
-    h, t1, ok = vmap(
-        lambda tt, ff, vv: wang_pairs(
-            tt, ff, vv, cfg.fan_out, cfg.target_zone_t, cfg.target_zone_f
-        )
-    )(t, f, valid)
-    h, t1, ok = np.asarray(h), np.asarray(t1), np.asarray(ok)
-    return [(h[b][ok[b]], t1[b][ok[b]]) for b in range(stack.shape[0])]
-
-
-def extract_panako_batch(
-    stack: np.ndarray,
-    sr: int,
-    cfg: PanakoConfig,
-    n_fft: int = 1024,
-    hop: int = 256,
-) -> list[tuple[np.ndarray, np.ndarray]]:
-    """Batched extract_panako (same contract as
-    extract_landmarks_batch)."""
+    (pinned by tests/test_audio_batch.py). pair_fn is wang_pairs or
+    panako_triplets; both singles share the same first two stages, so
+    this is the ONE place the batched stage sequence lives."""
     from jax import enable_x64, vmap
 
     with enable_x64():
@@ -392,12 +357,34 @@ def extract_panako_batch(
         )
     )(power)
     h, aux, ok = vmap(
-        lambda tt, ff, vv: panako_triplets(
-            tt, ff, vv, cfg.fan_out, cfg.target_zone_t, cfg.target_zone_f,
+        lambda tt, ff, vv: pair_fn(
+            tt, ff, vv, cfg.fan_out, cfg.target_zone_t, cfg.target_zone_f
         )
     )(t, f, valid)
     h, aux, ok = np.asarray(h), np.asarray(aux), np.asarray(ok)
     return [(h[b][ok[b]], aux[b][ok[b]]) for b in range(stack.shape[0])]
+
+
+def extract_landmarks_batch(
+    stack: np.ndarray,  # [B, T] f32 — equal-length clips
+    sr: int,
+    cfg: WangConfig,
+    n_fft: int = 1024,
+    hop: int = 256,
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Batched extract_landmarks (see _extract_batch)."""
+    return _extract_batch(stack, sr, cfg, wang_pairs, n_fft, hop)
+
+
+def extract_panako_batch(
+    stack: np.ndarray,
+    sr: int,
+    cfg: PanakoConfig,
+    n_fft: int = 1024,
+    hop: int = 256,
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Batched extract_panako (see _extract_batch)."""
+    return _extract_batch(stack, sr, cfg, panako_triplets, n_fft, hop)
 
 
 def peaks_for_inspect(

@@ -305,9 +305,10 @@ def int2_topq_scores(packed_t: jax.Array, wa: jax.Array, wb: jax.Array,
     local = out[:, TOPQ:2 * TOPQ].astype(jnp.int32).reshape(-1)
     base = (jnp.arange(nseg, dtype=jnp.int32) * TOPQ_SEG)[:, None]
     gidx = (local.reshape(nseg, TOPQ) + base).reshape(-1)
-    # empty slots carry local == 512 (the argmax miss sentinel); clamp
-    # so the gather stays in range, validity rides vals > -inf
-    gidx = jnp.minimum(gidx, c - 1)
+    # fully-masked segments still emit a real lane index (max(-inf
+    # array) == -inf matches every element, so the argmax min picks
+    # lane 0, never the 512 miss sentinel) — emptiness is signalled by
+    # vals == -inf alone; indices are always in range by construction
     return vals, gidx
 
 

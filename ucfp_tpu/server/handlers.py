@@ -1367,7 +1367,7 @@ class Handlers:
                 f"batch ingest supports wang|panako|haitsma, "
                 f"not {algorithm!r}",
             )
-        cfg = self._audio_batch_cfg(req, algorithm)
+        cfg = self._audio_cfg(req, algorithm)
         raw = req.body
         mv = memoryview(raw)
         rids: list[int] = []
@@ -1426,8 +1426,12 @@ class Handlers:
             status=201,
         )
 
-    def _audio_batch_cfg(self, req: Request, algorithm: str):
-        """The single audio route's tunable parsing, shared."""
+    def _audio_cfg(self, req: Request, algorithm: str):
+        """Classical-audio tunable parsing — the ONE place the names,
+        defaults, ranges, and aliases live. Both the single route and
+        the batch route call it, so a knob change cannot give the two
+        routes divergent cfg values (and thus divergent config_hash,
+        which would split the catalog into mutually-refusing sets)."""
         if algorithm == "wang":
             return WangConfig(
                 fan_out=self._in_range(req, "fan_out", 10, 1, 32),
@@ -1479,54 +1483,23 @@ class Handlers:
 
         try:
             if algorithm == "wang":
-                cfg = WangConfig(
-                    fan_out=self._in_range(req, "fan_out", 10, 1, 32),
-                    target_zone_t=self._in_range(req, "target_zone_t", 63, 1, 256),
-                    target_zone_f=self._in_range(req, "target_zone_f", 64, 1, 256),
-                    peaks_per_sec=self._in_range(req, "peaks_per_sec", 30, 1, 120),
-                    min_anchor_mag_db=self._in_range(
-                        req, "min_anchor_mag_db", -50.0, -120.0, 0.0, float_=True
-                    ),
-                    local_floor=req.qp_bool("local_floor", False),
-                )
                 import asyncio as _aio
 
                 rec = await _aio.to_thread(
-                    amod.fingerprint_wang, samples, sample_rate, tid, rid, cfg)
+                    amod.fingerprint_wang, samples, sample_rate, tid, rid,
+                    self._audio_cfg(req, "wang"))
             elif algorithm == "panako":
-                cfg = PanakoConfig(
-                    fan_out=self._in_range(req, "fan_out", 5, 1, 32,
-                                           alias="panako_fan_out"),
-                    target_zone_t=self._in_range(
-                        req, "target_zone_t", 96, 1, 256,
-                        alias="panako_target_zone_t"),
-                    target_zone_f=self._in_range(
-                        req, "target_zone_f", 96, 1, 256,
-                        alias="panako_target_zone_f"),
-                    peaks_per_sec=self._in_range(
-                        req, "peaks_per_sec", 30, 1, 120,
-                        alias="panako_peaks_per_sec"),
-                    min_anchor_mag_db=self._in_range(
-                        req, "min_anchor_mag_db", -50.0, -120.0, 0.0,
-                        float_=True, alias="panako_min_anchor_mag_db"),
-                )
                 import asyncio as _aio
 
                 rec = await _aio.to_thread(
                     amod.fingerprint_panako, samples, sample_rate, tid, rid,
-                    cfg)
+                    self._audio_cfg(req, "panako"))
             elif algorithm == "haitsma":
-                cfg = HaitsmaConfig(
-                    fmin=self._in_range(req, "fmin", 300.0, 50.0, 2000.0,
-                                        float_=True, alias="haitsma_fmin"),
-                    fmax=self._in_range(req, "fmax", 2000.0, 500.0, 2500.0,
-                                        float_=True, alias="haitsma_fmax"),
-                )
                 import asyncio as _aio
 
                 rec = await _aio.to_thread(
                     amod.fingerprint_haitsma, samples, sample_rate, tid, rid,
-                    cfg)
+                    self._audio_cfg(req, "haitsma"))
             elif algorithm == "neural":
                 import asyncio as _aio
 
