@@ -599,9 +599,20 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
         out = jax.lax.fori_loop(0, it, body, q)
         return jnp.sum(out)
 
-    def t_i4_batch():
+    # Q=64: the batched sweet spot — one packed scan serves the whole
+    # 64-row chunk (INT4_BATCH_QB), so the scan amortizes 2x further
+    # than Q=32 while the per-query bf16 bounce bytes stay constant.
+    # Q=128 regresses (session-9 sweep, scripts/int4_batch_q_sweep.py:
+    # 0.318 / 0.241 / 0.303 ms/query at Q=32/64/128 — the second scan
+    # chunk plus Q-scaling selection eat the amortization).
+    qb64f = jax.random.randint(
+        jax.random.PRNGKey(5), (64, d), -127, 128, dtype=jnp.int8
+    ).astype(jnp.float32)
+
+    def t_i4_batch(qv=None):
+        qv = qbf if qv is None else qv
         return _timed(
-            lambda it: float(loop_i4_batch(qbf, m8, rn, packed_t, inv_n4, it)),
+            lambda it: float(loop_i4_batch(qv, m8, rn, packed_t, inv_n4, it)),
             iters,
         ) * 1000.0
 
@@ -667,7 +678,7 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
         return hits
 
     times: dict = {"exact": [], "sketch": [], "fast": [], "int4": [],
-                   "batch": [], "int4b": []}
+                   "batch": [], "int4b": [], "int4b64": []}
     exact_sets = None
     hits_q = hits_f = hits_i4 = hits_i4b = 0
     for r in range(rounds):
@@ -677,6 +688,7 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
         times["int4"].append(t_int4())
         times["batch"].append(t_batch())
         times["int4b"].append(t_i4_batch())
+        times["int4b64"].append(t_i4_batch(qb64f))
         # interleave the (device-heavy) recall batches between rounds
         if r == 0:
             exact_sets = ground_truth()
@@ -910,6 +922,15 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
         ),
         "query_cosine_int4_batch32_range_ms_per_query": [
             round(x / qbatch, 4) for x in st["int4b"]["range"]
+        ],
+        # Q=64 rides the identical per-query selection + pool (recall is
+        # Q-independent — each query's pool is picked from its own score
+        # row), so int4_batch_recall10_random_10m_x768 covers it too
+        "query_cosine_int4_batch64_ms_per_query_10m_x768": round(
+            st["int4b64"]["p50"] / 64, 4
+        ),
+        "query_cosine_int4_batch64_range_ms_per_query": [
+            round(x / 64, 4) for x in st["int4b64"]["range"]
         ],
         "int4_batch_recall10_random_10m_x768": round(ri4b, 3),
         "int4_batch_recall10_ci95": _ci95(ri4b),

@@ -571,7 +571,12 @@ def cosine_sketch_topk(
 # Measured at 10M x 768 Q=32: 0.28-0.35 ms/query at recall@10
 # 1.000±0.000 across captures (the tight 64-iter capture:
 # 0.318-0.319) vs the exact batched GEMM's 0.52-0.62 ms/query — the
-# fastest measured serving configuration at the BASELINE shape.
+# fastest measured serving configuration at the BASELINE shape. The
+# per-Q sweep (scripts/int4_batch_q_sweep.py, session 9) puts the
+# sweet spot AT the 64-row chunk: int4 0.318/0.241/0.303 and exact
+# 0.569/0.402 ms/query at Q=32/64/128 — one INT4_BATCH_QB chunk
+# amortizes the scan fully, while Q=128 re-streams the catalog for a
+# second chunk and pays Q-scaling selection on top.
 
 INT4_MIN_POOL = 2048
 INT4_BATCH_QB = 64  # batched-scan weight-block height (VMEM-bounded)
