@@ -1231,6 +1231,12 @@ def _run_all():
         extra["ingest_http_unstable"] = bool(
             rates[0] > 0 and rates[-1] / rates[0] > 2.0
         )
+        # warmup_degraded = a run hit the soak's wall-clock warmup
+        # deadline (observed: one remote compile took 480+ s through a
+        # congested tunnel window) — the captured rate is compile-bound,
+        # not the serving path's.
+        if any(r.get("warmup_degraded") for r in runs):
+            extra["ingest_http_degraded"] = True
         return rates[1]
 
     def _text_minhash():

@@ -146,12 +146,32 @@ async def _soak(state, host: str, port: int, token: str, seconds: float,
 
     body = _bmp_bytes()
     # warm the device kernel path until it answers fast twice in a row
-    # (first jit compile must not pollute the measured window)
+    # (first jit compile must not pollute the measured window). The whole
+    # warmup is bounded by a wall-clock deadline: through a degraded
+    # tunnel window one remote compile was observed taking 480+ s, and
+    # with the server's 120 s request timeout this loop could otherwise
+    # run 20 x 120 s and starve everything scheduled after the soak
+    # (bench.py's per-metric budget only checks BETWEEN metrics). On
+    # deadline the measured window still runs — it yields an honest slow
+    # number — and warmup_degraded marks the capture as compile-bound.
     warm = dict(ok=0, err=0, drop=0)
+    warm_deadline = time.perf_counter() + float(
+        os.environ.get("UCFP_SOAK_WARMUP_S", "300"))
+    warm_degraded = False
     for _ in range(20):
         t = time.perf_counter()
-        await _client(host, port, token, body, algorithm, 0, 10_000_000,
-                      time.perf_counter() + 0.05, warm, batch, quiet)
+        if t >= warm_deadline:
+            warm_degraded = True
+            break
+        try:
+            await asyncio.wait_for(
+                _client(host, port, token, body, algorithm, 0, 10_000_000,
+                        time.perf_counter() + 0.05, warm, batch, quiet),
+                timeout=max(1.0, warm_deadline - t),
+            )
+        except asyncio.TimeoutError:
+            warm_degraded = True
+            break
         if time.perf_counter() - t < 0.2 and warm["ok"] > 2:
             break
     counts = dict(ok=0, err=0, drop=0)
@@ -174,6 +194,7 @@ async def _soak(state, host: str, port: int, token: str, seconds: float,
         "seconds": round(dt, 3),
         "req_per_sec": round(counts["ok"] / dt, 1),
         "batch": batch,
+        "warmup_degraded": warm_degraded,
     }
 
 

@@ -1,0 +1,46 @@
+"""Contracts of the ingest-soak harness (scripts/soak_ingest.py).
+
+bench.py's driver-facing ingest_http_imgs_per_sec metric is exactly
+run_soak(); these tests pin the harness behavior the published numbers
+depend on:
+
+* the measured window really ingests (rates > 0, zero errors on a
+  healthy backend), and
+* the warmup wall-clock deadline trips the warmup_degraded marker
+  instead of letting a stuck first compile starve the whole bench
+  (observed through a congested tunnel window: one remote compile took
+  480+ s against the server's 120 s request timeout x 20 warmup
+  attempts).
+"""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent / "scripts"))
+
+
+def test_run_soak_measures_and_reports_clean_warmup():
+    from soak_ingest import run_soak
+
+    r = run_soak(seconds=0.5, conns=2, algorithm="phash", batch=32,
+                 quiet=True)
+    assert r["errors"] == 0
+    assert r["requests"] > 0
+    assert r["req_per_sec"] > 0
+    assert r["warmup_degraded"] is False
+
+
+def test_run_soak_warmup_deadline_sets_degraded_marker(monkeypatch):
+    from soak_ingest import run_soak
+
+    # A zero-second deadline is already expired when the warmup loop
+    # starts: the loop must bail immediately (not run 20 x 120 s) and
+    # the capture must carry the degraded marker. The measured window
+    # still runs and still ingests.
+    monkeypatch.setenv("UCFP_SOAK_WARMUP_S", "0")
+    r = run_soak(seconds=0.5, conns=2, algorithm="phash", batch=32,
+                 quiet=True)
+    assert r["warmup_degraded"] is True
+    assert r["requests"] > 0
