@@ -1237,6 +1237,29 @@ def _run_all():
         # not the serving path's.
         if any(r.get("warmup_degraded") for r in runs):
             extra["ingest_http_degraded"] = True
+        # Same soak through the C++ epoll front (--native / --native-http
+        # in production): the asyncio StreamReader's bytearray churn on
+        # 12 MB request bodies measured ~30% of the single core under
+        # cProfile; the native front frames in C++ and hands one
+        # contiguous body to the handler (measured +20-25% on the
+        # CPU-bound side). Secondary capture — a failure here must not
+        # sink the primary metric.
+        try:
+            nruns = [run_soak(seconds=4.0, conns=16, algorithm="phash",
+                              batch=1024, quiet=True, native=True)
+                     for _ in range(3)]
+            nrates = sorted(r["req_per_sec"] for r in nruns)
+            extra["ingest_http_native_imgs_per_sec"] = nrates[1]
+            extra["ingest_http_native_range_imgs_per_sec"] = [
+                nrates[0], nrates[-1]]
+            extra["ingest_http_native_unstable"] = bool(
+                nrates[0] > 0 and nrates[-1] / nrates[0] > 2.0
+            )
+            if any(r.get("warmup_degraded") for r in nruns):
+                extra["ingest_http_native_degraded"] = True
+        except Exception as e:
+            extra["ingest_http_native_imgs_per_sec"] = (
+                f"error: {type(e).__name__}: {e}")
         return rates[1]
 
     def _text_minhash():
