@@ -70,6 +70,85 @@ class TestCodec:
         back = walmod.decode_event(walmod.encode_event(ev))
         assert back["fingerprint"] == bytes(range(8))
 
+    def test_batch_encoder_identical_to_per_event(self):
+        """encode_events_batch == [encode_event(e)] byte-for-byte on
+        every shape: the vectorized fast path (uniform fingerprint-only
+        runs, the batch-ingest shape) and every fallback trigger."""
+        import random
+
+        rng = random.Random(0xBA7C4)
+        uniform = [
+            dict(upsert_ev(rid), fingerprint=bytes(
+                rng.randrange(256) for _ in range(8)))
+            for rid in range(1, 64)
+        ]
+        assert walmod.encode_events_batch(uniform) == [
+            walmod.encode_event(e) for e in uniform
+        ]
+        # every fallback trigger, mixed into otherwise-uniform batches
+        variants = [
+            dict(upsert_ev(99), embedding=[1.0], model_id="m1"),
+            dict(upsert_ev(99), text="t"),
+            dict(upsert_ev(99), metadata=b"\x07"),
+            dict(upsert_ev(99), algorithm="other-alg"),
+            dict(upsert_ev(99), config_hash=42),
+            dict(upsert_ev(99), format_version=2),
+            dict(upsert_ev(99), tenant_id=8),
+            dict(upsert_ev(99), modality="audio"),
+            dict(upsert_ev(99), fingerprint=bytes(16)),
+            {"op": "delete", "tenant_id": 7, "record_ids": [1]},
+        ]
+        for v in variants:
+            batch = uniform[:5] + [v] + uniform[5:10]
+            assert walmod.encode_events_batch(batch) == [
+                walmod.encode_event(e) for e in batch
+            ], f"fallback mismatch for variant {v}"
+        # sub-threshold batches, empty + bytearray fingerprints,
+        # non-ASCII algorithm (encoded length != len(str))
+        small = uniform[:3]
+        assert walmod.encode_events_batch(small) == [
+            walmod.encode_event(e) for e in small
+        ]
+        oddball = [
+            dict(upsert_ev(rid), algorithm="ålg-v1",
+                 fingerprint=bytearray(b"") if rid % 2 else b"")
+            for rid in range(1, 12)
+        ]
+        assert walmod.encode_events_batch(oddball) == [
+            walmod.encode_event(e) for e in oddball
+        ]
+
+    def test_batch_encoder_random_fuzz(self):
+        """Random event soups: batch output equals per-event output
+        regardless of composition."""
+        import random
+
+        rng = random.Random(1234)
+        algs = ["a", "imgfprint-phash-v1", "x" * 40]
+        for _ in range(60):
+            batch = []
+            for i in range(rng.randrange(1, 24)):
+                ev = upsert_ev(rng.randrange(2**48))
+                ev["fingerprint"] = bytes(
+                    rng.randrange(256)
+                    for _ in range(rng.choice([0, 8, 8, 8, 64]))
+                )
+                ev["algorithm"] = rng.choice(algs)
+                if rng.random() < 0.15:
+                    ev["embedding"] = [0.5] * 4
+                    ev["model_id"] = "m"
+                if rng.random() < 0.1:
+                    ev["text"] = "tt"
+                if rng.random() < 0.1:
+                    ev["metadata"] = bytes(rng.randrange(256) for _ in range(3))
+                if rng.random() < 0.05:
+                    ev = {"op": "delete", "tenant_id": 7,
+                          "record_ids": [rng.randrange(2**32)]}
+                batch.append(ev)
+            assert walmod.encode_events_batch(batch) == [
+                walmod.encode_event(e) for e in batch
+            ]
+
 
 class TestNativeWal:
     def test_toolchain_available(self):
@@ -86,6 +165,30 @@ class TestNativeWal:
         evs = list(w2.replay())
         assert [e["op"] for e in evs] == ["upsert", "upsert", "delete"]
         assert evs[1]["embedding"] == [1.0]
+        w2.close()
+
+    def test_append_many_file_identical_to_per_blob(self, tmp_path):
+        """The one-ctypes-call batch append (ucfp_wal_append_many) must
+        produce a byte-identical log to per-blob ucfp_wal_append calls —
+        same framing, same CRCs, same replay."""
+        blobs = [walmod.encode_event(upsert_ev(r)) for r in range(1, 40)]
+        pa, pb = str(tmp_path / "a.wal"), str(tmp_path / "b.wal")
+        wa = walmod.open_wal(pa, "native")
+        for b in blobs:  # single-blob calls take the per-blob path
+            wa.append_encoded_nosync([b])
+        wa.flush()
+        wa.close()
+        wb = walmod.open_wal(pb, "native")
+        wb.append_encoded_nosync(blobs)  # multi-blob: one append_many
+        wb.flush()
+        wb.close()
+        with open(pa, "rb") as f:
+            da = f.read()
+        with open(pb, "rb") as f:
+            db = f.read()
+        assert da == db and len(da) > 0
+        w2 = walmod.open_wal(pb, "native")
+        assert [e["record_id"] for e in w2.replay()] == list(range(1, 40))
         w2.close()
 
     def test_torn_tail_dropped(self, tmp_path):

@@ -297,6 +297,11 @@ def load_walstore():
     lib.ucfp_wal_append.argtypes = [
         ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint32
     ]
+    lib.ucfp_wal_append_many.restype = ctypes.c_int
+    lib.ucfp_wal_append_many.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_uint32,
+    ]
     lib.ucfp_wal_commit.restype = ctypes.c_int
     lib.ucfp_wal_commit.argtypes = [ctypes.c_void_p]
     lib.ucfp_wal_close.restype = ctypes.c_int

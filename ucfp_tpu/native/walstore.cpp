@@ -129,6 +129,29 @@ int ucfp_wal_append(void* h, const uint8_t* data, uint32_t len) {
   return 0;
 }
 
+// Buffer `count` frames from one concatenated payload buffer (frame i
+// spans lens[i] bytes). Byte-identical to `count` ucfp_wal_append
+// calls — this exists so the group-commit writer pays ONE ctypes
+// crossing per round instead of one per record (~1.4 us each on the
+// 1-core ingest profile at 45k records/window).
+int ucfp_wal_append_many(void* h, const uint8_t* data,
+                         const uint32_t* lens, uint32_t count) {
+  Store* s = static_cast<Store*>(h);
+  if (!s || s->fd < 0) return -1;
+  size_t total = 0;
+  for (uint32_t i = 0; i < count; i++) total += 12u + (size_t)lens[i];
+  s->pending.reserve(s->pending.size() + total);
+  const uint8_t* p = data;
+  for (uint32_t i = 0; i < count; i++) {
+    uint32_t header[3] = {kMagic, lens[i], crc32(p, lens[i])};
+    const uint8_t* hb = reinterpret_cast<const uint8_t*>(header);
+    s->pending.insert(s->pending.end(), hb, hb + sizeof(header));
+    s->pending.insert(s->pending.end(), p, p + lens[i]);
+    p += lens[i];
+  }
+  return 0;
+}
+
 // Write buffered frames and fsync — one durability point per batch,
 // matching the reference's one-commit-per-txn.
 int ucfp_wal_commit(void* h) {
