@@ -1,6 +1,6 @@
 """Per-query cost of the batched serving paths vs batch size Q.
 
-The published batched numbers are Q=32 (0.28-0.35 ms/query int4, 0.52-0.62
+The published batched numbers are Q=32 (0.26-0.35 ms/query int4, 0.52-0.62
 exact). The packed scan re-streams the catalog once per 64-query chunk and
 the [Q, C] score bounce is per-query-constant, so per-query cost should
 keep dropping toward the bounce+selection floor as Q grows:

@@ -195,9 +195,9 @@ SKETCH_LEVELS = 4
 # 768-bit sketch, round-4 driver-shaped capture on one v5e through the
 # tunnel runtime (exact-int8 ground truth; bench.py emits the same
 # keys, so every number here is reproducible from BENCH_r04):
-#   0.0066 -> (0.87 +- 0.02, 4.6-5.1 ms spanning [4.0, 5.7])  "fast"
-#   0.042  -> (0.97 +- 0.01, 9.9-10.1 ms spanning [9.6, 10.2]) default
-# vs the exhaustive int8 scan at 10.3-10.7 ms spanning [9.5, 11.4] —
+#   0.0066 -> (0.87 +- 0.02, medians 4.0-5.1 ms spanning [2.4, 5.7])  "fast"
+#   0.042  -> (0.97 +- 0.01, medians 9.5-10.7 ms spanning [9.4, 11.6]) default
+# vs the exhaustive int8 scan at medians 9.8-11.6 spanning [9.5, 11.7] —
 # the default tier beats exact in every paired run at near-equal quality; planted near-duplicates (the
 # product workload) are 1.0 at every setting. The latency budget is
 # gather-bound (~13 ns per candidate row, an XLA/TPU gather constant)
@@ -554,13 +554,16 @@ def cosine_sketch_topk(
 # selection cell — P <= rank/(C/256/128 cells) ~ 0.04% per item at 10M.
 #
 # Measured at 10M x 768 on one v5e (BENCH_r04 fused captures, 3
-# spread runs, 104-query recall CI): medians 4.5-5.5 ms in
-# [4.4, 6.1] at recall@10 1.000±0.000 vs the 10.3-10.7 ms exact int8
-# scan — ~2x faster at measured-perfect recall. Per-shard at
-# 10M/8 = 1.25M rows: 0.65-0.77 ms (64-iter device-loop calibration;
+# spread runs, 104-query recall CI): medians 4.5-7.5 ms in
+# [4.4, 7.5] at recall@10 1.000±0.000 (typical sessions 4.5-5.5; one
+# volatile session inflated the single-query family ~40% while the
+# batched tiers stayed in range — published spans are the union) vs
+# the 9.8-11.6 ms exact int8
+# scan — ~1.5-2x faster at measured-perfect recall. Per-shard at
+# 10M/8 = 1.25M rows: 0.65-0.88 ms (64-iter device-loop calibration;
 # shorter loops at this scale are tunnel-jitter-dominated) -> derived
-# v5e-8 ~0.8-0.9 ms incl. the modeled 0.1 ms merge (sub-ms @10M single
-# query as shard-scale arithmetic).
+# v5e-8 ~0.75-0.98 ms incl. the modeled 0.1 ms merge (sub-ms @10M
+# single query as shard-scale arithmetic; typical sessions ~0.8).
 #
 # BATCHED (cosine_int4_topk_batched, knn_batch serving): one packed
 # scan serves a whole query block (the [QB, D/2] MXU weight rows are
@@ -568,9 +571,9 @@ def cosine_sketch_topk(
 # the f32 bytes), selection rides the 8-query-block partial-reduce +
 # approx_max_k pool pick (a pool-width top_k measured ~5 ms of pure
 # selection at Q=32), and each query's pool rescores exactly.
-# Measured at 10M x 768 Q=32: 0.28-0.35 ms/query at recall@10
-# 1.000±0.000 across captures (the tight 64-iter capture:
-# 0.318-0.319) vs the exact batched GEMM's 0.52-0.62 ms/query — the
+# Measured at 10M x 768 Q=32: 0.26-0.35 ms/query at recall@10
+# 1.000±0.000 across captures vs the exact batched GEMM's
+# 0.52-0.62 ms/query — the
 # fastest measured serving configuration at the BASELINE shape. The
 # per-Q sweep (scripts/int4_batch_q_sweep.py, session 9) puts the
 # sweet spot AT the 64-row chunk: int4 0.318/0.241/0.303 and exact

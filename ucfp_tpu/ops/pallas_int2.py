@@ -1,7 +1,8 @@
 """Pallas packed-int2 prefilter scan: QUARTER the exact scan's HBM bytes.
 
 The round-4 int4 prefilter (ops/pallas_int4.py) halved the streamed
-bytes and served 10M x 768 single queries in ~4.5-5.5 ms at recall ~1.0
+bytes and served 10M x 768 single queries in ~4.5-5.5 ms (typical
+sessions; published union 4.5-7.5) at recall ~1.0
 — essentially AT the HBM roofline for 3.75 GB. The remaining lever is
 fewer bytes per row: packing four dims per byte (2 bits each) streams
 1.875 GB at 10M x 768 (~2.3 ms floor on one v5e), and the int2 ordering

@@ -260,7 +260,7 @@ def sharded_cosine_sketch_topk(query, planes, db8, row_norm, sketch, valid,
     v5e-8 derives to ~1.1-1.4 ms at recall >= 0.9 (~1.6-2.1 ms exact)
     for the BASELINE 10M x 768 shape. The sketch pipeline's gather +
     composition overhead keeps it ABOVE sub-ms at 8 chips; the leaner
-    packed-int4 path below (0.65-0.77 ms/shard measured, ~0.8-0.9 ms
+    packed-int4 path below (0.65-0.88 ms/shard measured, ~0.75-0.98 ms
     derived v5e-8 at measured-recall ~1.0) is the sharded tier that
     reaches the sub-ms @10M single-query target. Returns
     ([k] scores, [k] global idx)."""
@@ -334,10 +334,10 @@ def sharded_cosine_int4_topk(query, db8, row_norm, packed_t, inv_n4,
     _put_packed). Each chip streams half its int8 shard bytes, rescores
     its own fixed pool exactly, then the standard two-stage top-k
     merge. Round-4 shard-scale measurement (BENCH_r04): one chip serves
-    a 10M/8 = 1,245,184-row shard in 0.65-0.77 ms across fused
+    a 10M/8 = 1,245,184-row shard in 0.65-0.88 ms across fused
     captures (query_sharded_per_shard_int4_p50_ms, 64-iter device-loop
     calibration — shorter loops at this scale are jitter-dominated),
-    + ~0.1 ms modeled merge → v5e-8 derives to ~0.8-0.9 ms at
+    + ~0.1 ms modeled merge → v5e-8 derives to ~0.75-0.98 ms at
     measured-recall ~1.0 — the BASELINE sub-ms @10M single-query
     target as shard-scale arithmetic. Returns ([k] scores, [k] global
     idx)."""
