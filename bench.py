@@ -118,10 +118,24 @@ def bench_multihash(batch=256, iters=256):
     return batch / per_iter
 
 
-def bench_audio_xrt(secs=60.0, iters=16):
-    """Wang constellation extraction real-time factor (x real time)."""
+def bench_audio_xrt(secs=60.0, iters=64):
+    """Wang constellation extraction real-time factor (x real time).
+
+    Measures the PRODUCTION pipeline — the bit-exact integer
+    spectrogram (dsp.stft_power_int, what extract_landmarks serves) →
+    peak picking → pairing — not the float inspect-path STFT.
+    Round-4 session-10 rewrite: the STFT framing and the [P, W]
+    successor windows were gather-formulated (x[idx] over 1.9M indices,
+    t[succ_c] over 3x[1800, 256]) and paid the ~10 ns/element TPU
+    gather constant — 23 ms of the 24 ms clip. Static shifted slices
+    (dsp._frame_rows, constellation._successor_window) are
+    bit-identical (parity_ok re-verified on-chip) and took the 60 s
+    clip to ~0.4 ms: xRT ~2.5k → ~150k. iters=64: at ~0.4 ms/iter the
+    8-iter calibration would be tunnel-jitter-dominated (the shard-
+    scale lesson)."""
     import jax
     import jax.numpy as jnp
+    from jax import enable_x64
 
     from ucfp_tpu.ops.audio import constellation, dsp
 
@@ -137,7 +151,9 @@ def bench_audio_xrt(secs=60.0, iters=16):
     @functools.partial(jax.jit, static_argnums=(1,))
     def loop(samples, n):
         def body(_i, carry):
-            power = dsp.stft_power(carry, 1024, 256, True)
+            power = dsp.stft_power_int(carry, 1024, 256, True).astype(
+                jnp.float32
+            )
             slab = sr // 256
             tt, ff, vv = constellation.pick_peaks(
                 power, slab, cfg.peaks_per_sec, cfg.min_anchor_mag_db
@@ -153,7 +169,8 @@ def bench_audio_xrt(secs=60.0, iters=16):
         return jnp.sum(out[:8])
 
     def run(n):
-        return float(loop(xd, n))
+        with enable_x64():  # the int64 spectrogram needs x64 tracing
+            return float(loop(xd, n))
 
     per_iter = _timed(run, iters)
     return secs / per_iter

@@ -35,6 +35,73 @@ class TestDsp:
         ref = np.abs(np.fft.rfft(f0)) ** 2
         np.testing.assert_allclose(power[0], ref, rtol=1e-3, atol=1e-3)
 
+    def test_frame_rows_slice_path_equals_gather(self):
+        """The hop-divides-n_fft framing (shifted reshapes, no gather)
+        must produce the identical frame matrix to the gather
+        formulation — the frames feed bit-exact integer matmuls."""
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(7)
+        for n, n_fft, hop in [
+            (5000, 1024, 256), (2048, 2048, 64), (1500, 256, 128),
+            (1024, 1024, 256), (3000, 512, 100),  # 100 does not divide
+        ]:
+            x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+            t = (n - n_fft) // hop + 1
+            got = dsp._frame_rows(x, n_fft, hop, t)
+            idx = np.arange(t)[:, None] * hop + np.arange(n_fft)[None, :]
+            ref = np.asarray(x)[idx]
+            assert got.shape == (t, n_fft)
+            np.testing.assert_array_equal(np.asarray(got), ref)
+
+    def test_successor_window_equals_gather(self):
+        """_successor_window (static shifted slices) must equal the
+        clamped-gather formulation a[min(i+j, p-1)] exactly."""
+        rng = np.random.default_rng(11)
+        for p, w in [(8, 3), (50, 30), (128, 127), (300, 256), (2, 1)]:
+            a = rng.integers(0, 1000, p).astype(np.int32)
+            got = np.asarray(constellation._successor_window(a, w))
+            idx = np.minimum(
+                np.arange(p)[:, None] + np.arange(1, w + 1)[None, :], p - 1
+            )
+            np.testing.assert_array_equal(got, a[idx])
+            b = rng.random(p) > 0.5  # bool operand (the validity mask)
+            np.testing.assert_array_equal(
+                np.asarray(constellation._successor_window(b, w)), b[idx]
+            )
+
+    def test_wang_pairs_matches_gather_reference(self):
+        """wang_pairs after the gather-free rewrite must be
+        bit-identical to the original gather formulation."""
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(13)
+        p = 240
+        t = jnp.asarray(np.sort(rng.integers(0, 2000, p)).astype(np.int32))
+        f = jnp.asarray(rng.integers(0, 513, p).astype(np.int32))
+        valid = jnp.asarray(rng.random(p) > 0.2)
+        fan_out, zone_t, zone_f = 10, 63, 64
+        h, t1, ok = constellation.wang_pairs(t, f, valid, fan_out, zone_t, zone_f)
+        # reference: the pre-rewrite gather formulation
+        w = min(constellation.PAIR_WINDOW, p - 1)
+        tn, fn, vn = np.asarray(t), np.asarray(f), np.asarray(valid)
+        succ = np.arange(p)[:, None] + np.arange(1, w + 1)[None, :]
+        in_range = succ < p
+        sc = np.minimum(succ, p - 1)
+        dt = tn[sc] - tn[:, None]
+        df = np.abs(fn[sc] - fn[:, None])
+        ok_ref = (in_range & vn[:, None] & vn[sc] & (dt > 0)
+                  & (dt <= zone_t) & (df <= zone_f))
+        rank = np.cumsum(ok_ref.astype(np.int32), axis=1) - 1
+        ok_ref &= rank < fan_out
+        h_ref = ((fn[:, None].astype(np.uint32) << 22)
+                 | (fn[sc].astype(np.uint32) << 12) | dt.astype(np.uint32))
+        np.testing.assert_array_equal(np.asarray(ok), ok_ref)
+        np.testing.assert_array_equal(np.asarray(h), h_ref)
+        np.testing.assert_array_equal(
+            np.asarray(t1), np.broadcast_to(tn[:, None].astype(np.uint32), h_ref.shape)
+        )
+
     def test_stft_peak_at_tone_bin(self):
         import jax.numpy as jnp
 

@@ -147,6 +147,21 @@ def pick_peaks(
     return t_flat[order], f_flat[order], valid[order]
 
 
+def _successor_window(a: jax.Array, w: int) -> jax.Array:
+    """[P, W] matrix whose column j-1 holds a[min(i+j, p-1)] — the
+    forward-successor window — built from W static shifted slices of an
+    edge-padded copy instead of a [P, W] gather. The gather form
+    (`a[jnp.minimum(idx[:, None] + arange(1, w+1), p-1)]`) lowers to a
+    ~P*W-element TPU gather at ~10 ns/element (the same gather constant
+    that bounds the knn rescore pool) and measured ~3 ms per [1800, 256]
+    operand at the 60 s Wang shape; the slice form is pure data
+    movement. Values are identical by construction: slice j of the
+    edge-padded vector is a[min(i+j, p-1)] exactly."""
+    p = a.shape[0]
+    ap = jnp.concatenate([a, jnp.broadcast_to(a[p - 1 :], (w,))])
+    return jnp.stack([ap[j : j + p] for j in range(1, w + 1)], axis=1)
+
+
 @functools.partial(jax.jit, static_argnums=(3, 4, 5))
 def wang_pairs(
     t: jax.Array, f: jax.Array, valid: jax.Array,
@@ -163,13 +178,15 @@ def wang_pairs(
     idx = jnp.arange(p, dtype=jnp.int32)
     succ = idx[:, None] + jnp.arange(1, w + 1, dtype=jnp.int32)[None, :]  # [P, W]
     in_range = succ < p
-    succ_c = jnp.minimum(succ, p - 1)
-    dt = t[succ_c] - t[:, None]
-    df = jnp.abs(f[succ_c] - f[:, None])
+    t_s = _successor_window(t, w)
+    f_s = _successor_window(f, w)
+    v_s = _successor_window(valid, w)
+    dt = t_s - t[:, None]
+    df = jnp.abs(f_s - f[:, None])
     ok = (
         in_range
         & valid[:, None]
-        & valid[succ_c]
+        & v_s
         & (dt > 0)
         & (dt <= zone_t)
         & (df <= zone_f)
@@ -179,7 +196,7 @@ def wang_pairs(
     ok = ok & (rank < fan_out)
     h = (
         (f[:, None].astype(jnp.uint32) << 22)
-        | (f[succ_c].astype(jnp.uint32) << 12)
+        | (f_s.astype(jnp.uint32) << 12)
         | dt.astype(jnp.uint32)
     )
     return h, jnp.broadcast_to(t[:, None].astype(jnp.uint32), h.shape), ok
@@ -232,11 +249,13 @@ def panako_triplets(
     idx = jnp.arange(p, dtype=jnp.int32)
     succ = idx[:, None] + jnp.arange(1, w + 1, dtype=jnp.int32)[None, :]
     in_range = succ < p
-    succ_c = jnp.minimum(succ, p - 1)
-    dt = t[succ_c] - t[:, None]
-    df = jnp.abs(f[succ_c] - f[:, None])
+    t_s = _successor_window(t, w)
+    f_s = _successor_window(f, w)
+    v_s = _successor_window(valid, w)
+    dt = t_s - t[:, None]
+    df = jnp.abs(f_s - f[:, None])
     ok = (
-        in_range & valid[:, None] & valid[succ_c]
+        in_range & valid[:, None] & v_s
         & (dt > 0) & (dt <= zone_t) & (df <= zone_f)
     )
     rank = jnp.cumsum(ok.astype(jnp.int32), axis=1) - 1
@@ -246,10 +265,11 @@ def panako_triplets(
     # order valid targets to the front via argsort on (!ok, w-index)
     sort_key = jnp.where(ok, jnp.arange(w, dtype=jnp.int32)[None, :], jnp.int32(w + 1))
     order = jnp.argsort(sort_key, axis=1)[:, : fan_out + 1]  # [P, fan_out+1]
-    g = jnp.take_along_axis(succ_c, order, axis=1)
     gv = jnp.take_along_axis(ok, order, axis=1)
-    t2 = t[g]
-    f2 = f[g]
+    # t[g] == take_along_axis(t_s, order): t_s[i, j] IS t[succ_c[i, j]],
+    # so the row-local take replaces the flat [P, fan_out+1] gather
+    t2 = jnp.take_along_axis(t_s, order, axis=1)
+    f2 = jnp.take_along_axis(f_s, order, axis=1)
     # all target pairs (i1 < i2) among the fan_out+1 gathered targets
     i1, i2 = np.triu_indices(fan_out + 1, k=1)
     i1 = jnp.asarray(i1, jnp.int32)

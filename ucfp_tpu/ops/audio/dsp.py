@@ -49,6 +49,25 @@ def num_frames(n_samples: int, n_fft: int, hop: int, center: bool) -> int:
     return max(0, (n_samples - n_fft) // hop + 1)
 
 
+def _frame_rows(x: jax.Array, n_fft: int, hop: int, t: int) -> jax.Array:
+    """[T, n_fft] frame matrix, frames[i] = x[i*hop : i*hop + n_fft].
+
+    When hop divides n_fft (every fingerprint config: 1024/256 Wang,
+    2048/64 Haitsma), built from n_fft//hop shifted [T, hop] reshapes
+    concatenated along axis 1 — pure slicing/data movement. The gather
+    formulation (`x[arange(t)[:, None]*hop + arange(n_fft)]`) pays the
+    ~10 ns/element TPU gather constant — ~13 ms for the 60 s Wang
+    spectrogram's 1.9M-element index, vs ~0.1 ms for the DFT matmuls it
+    feeds — and is kept only for hop-indivisible configs. Values are
+    identical either way (bit-exact contract)."""
+    if n_fft % hop == 0 and t > 0:
+        r = n_fft // hop
+        segs = [x[j * hop : (j + t) * hop].reshape(t, hop) for j in range(r)]
+        return jnp.concatenate(segs, axis=1)
+    idx = jnp.arange(t)[:, None] * hop + jnp.arange(n_fft)[None, :]
+    return x[idx]
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
 def stft_power(
     samples: jax.Array, n_fft: int = 1024, hop: int = 256, center: bool = True
@@ -59,8 +78,7 @@ def stft_power(
         pad = n_fft // 2
         x = jnp.pad(x, (pad, pad), mode="reflect")
     t = (x.shape[0] - n_fft) // hop + 1
-    idx = jnp.arange(t)[:, None] * hop + jnp.arange(n_fft)[None, :]
-    frames = x[idx] * jnp.asarray(hann_periodic(n_fft))[None, :]
+    frames = _frame_rows(x, n_fft, hop, t) * jnp.asarray(hann_periodic(n_fft))[None, :]
     c, s = dft_matrices(n_fft)
     kwargs = dict(
         preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
@@ -136,8 +154,7 @@ def stft_power_int(
         pad = n_fft // 2
         xq = jnp.pad(xq, (pad, pad), mode="reflect")
     t = (xq.shape[0] - n_fft) // hop + 1
-    idx = jnp.arange(t)[:, None] * hop + jnp.arange(n_fft)[None, :]
-    frames = xq[idx]  # [T, n_fft] int32
+    frames = _frame_rows(xq, n_fft, hop, t)  # [T, n_fft] int32
     fh = jnp.floor_divide(frames, 128).astype(jnp.int8)
     fl = (frames - 128 * jnp.floor_divide(frames, 128)).astype(jnp.int8)
     ch, cl, sh, sl = (jnp.asarray(a) for a in dft_basis_int_limbs(n_fft))
