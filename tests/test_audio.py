@@ -102,6 +102,62 @@ class TestDsp:
             np.asarray(t1), np.broadcast_to(tn[:, None].astype(np.uint32), h_ref.shape)
         )
 
+    def test_panako_triplets_matches_argsort_reference(self):
+        """panako_triplets' top_k target selection (and the gather-free
+        successor windows) must reproduce the original
+        argsort-and-gather formulation exactly — including the
+        tie order among invalid lanes (top_k and stable argsort both
+        prefer lower indices)."""
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(17)
+        p = 240
+        tn = np.sort(rng.integers(0, 2000, p)).astype(np.int32)
+        fn = rng.integers(0, 513, p).astype(np.int32)
+        vn = rng.random(p) > 0.2
+        fan_out, zone_t, zone_f = 5, 96, 96
+        h, aux, ok = constellation.panako_triplets(
+            jnp.asarray(tn), jnp.asarray(fn), jnp.asarray(vn),
+            fan_out, zone_t, zone_f,
+        )
+        # reference: the pre-rewrite formulation (clamped gather +
+        # full argsort + flat t[g] gather)
+        w = min(constellation.PAIR_WINDOW, p - 1)
+        succ = np.arange(p)[:, None] + np.arange(1, w + 1)[None, :]
+        in_range = succ < p
+        sc = np.minimum(succ, p - 1)
+        dt = tn[sc] - tn[:, None]
+        df = np.abs(fn[sc] - fn[:, None])
+        ok_ref = (in_range & vn[:, None] & vn[sc] & (dt > 0)
+                  & (dt <= zone_t) & (df <= zone_f))
+        rank = np.cumsum(ok_ref.astype(np.int32), axis=1) - 1
+        ok_ref &= rank < fan_out + 1
+        sort_key = np.where(ok_ref, np.arange(w)[None, :], w + 1)
+        order = np.argsort(sort_key, axis=1, kind="stable")[:, : fan_out + 1]
+        g = np.take_along_axis(sc, order, axis=1)
+        gv = np.take_along_axis(ok_ref, order, axis=1)
+        t2, f2 = tn[g], fn[g]
+        i1, i2 = np.triu_indices(fan_out + 1, k=1)
+        pair_ok_ref = gv[:, i1] & gv[:, i2]
+        np.testing.assert_array_equal(np.asarray(ok), pair_ok_ref)
+        # hash equality on the VALID lanes (the wire contract: the host
+        # packs h[ok]); recompute the reference hash fields
+        t2a, t3a = t2[:, i1], t2[:, i2]
+        f2a, f3a = f2[:, i1], f2[:, i2]
+        denom = np.maximum(t3a - tn[:, None], 1)
+        ratio = np.clip(
+            (15 * (t2a - tn[:, None]) + denom // 2) // denom, 0, 15
+        ).astype(np.uint32)
+        bt = constellation._band_table_np(7.8125)
+        lb1, lb2, lb3 = bt[fn[:, None]], bt[f2a], bt[f3a]
+        db12 = np.clip(lb2 - lb1 + 128, 0, 255).astype(np.uint32)
+        db23 = np.clip(lb3 - lb2 + 128, 0, 255).astype(np.uint32)
+        b1c = np.clip(lb1 >> 3, 0, 255).astype(np.uint32)
+        h_ref = (db12 << 24) | (db23 << 16) | (ratio << 12) | (b1c << 4)
+        np.testing.assert_array_equal(
+            np.asarray(h)[pair_ok_ref], h_ref[pair_ok_ref]
+        )
+
     def test_stft_peak_at_tone_bin(self):
         import jax.numpy as jnp
 

@@ -261,10 +261,14 @@ def panako_triplets(
     rank = jnp.cumsum(ok.astype(jnp.int32), axis=1) - 1
     ok = ok & (rank < fan_out + 1)  # need fan_out consecutive pairs
 
-    # gather, per anchor, the first (fan_out+1) valid targets' (t, f)
-    # order valid targets to the front via argsort on (!ok, w-index)
+    # select, per anchor, the first (fan_out+1) valid targets: top_k on
+    # the NEGATED key — lax.top_k prefers lower indices on ties exactly
+    # like stable argsort, so the selection (valid-first in w order,
+    # then invalid in w order) is identical to the previous full
+    # argsort(sort_key)[:, :fan_out+1] while sorting only k=fan_out+1
+    # of the W=256 lanes (the argsort was ~2 ms of the 2.6 ms clip)
     sort_key = jnp.where(ok, jnp.arange(w, dtype=jnp.int32)[None, :], jnp.int32(w + 1))
-    order = jnp.argsort(sort_key, axis=1)[:, : fan_out + 1]  # [P, fan_out+1]
+    _, order = jax.lax.top_k(-sort_key, fan_out + 1)  # [P, fan_out+1]
     gv = jnp.take_along_axis(ok, order, axis=1)
     # t[g] == take_along_axis(t_s, order): t_s[i, j] IS t[succ_c[i, j]],
     # so the row-local take replaces the flat [P, fan_out+1] gather
