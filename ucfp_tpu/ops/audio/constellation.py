@@ -261,25 +261,33 @@ def panako_triplets(
     rank = jnp.cumsum(ok.astype(jnp.int32), axis=1) - 1
     ok = ok & (rank < fan_out + 1)  # need fan_out consecutive pairs
 
-    # select, per anchor, the first (fan_out+1) valid targets: top_k on
-    # the NEGATED key — lax.top_k prefers lower indices on ties exactly
-    # like stable argsort, so the selection (valid-first in w order,
-    # then invalid in w order) is identical to the previous full
-    # argsort(sort_key)[:, :fan_out+1] while sorting only k=fan_out+1
-    # of the W=256 lanes (the argsort was ~2 ms of the 2.6 ms clip)
-    sort_key = jnp.where(ok, jnp.arange(w, dtype=jnp.int32)[None, :], jnp.int32(w + 1))
-    _, order = jax.lax.top_k(-sort_key, fan_out + 1)  # [P, fan_out+1]
-    gv = jnp.take_along_axis(ok, order, axis=1)
-    # t[g] == take_along_axis(t_s, order): t_s[i, j] IS t[succ_c[i, j]],
-    # so the row-local take replaces the flat [P, fan_out+1] gather
-    t2 = jnp.take_along_axis(t_s, order, axis=1)
-    f2 = jnp.take_along_axis(f_s, order, axis=1)
-    # all target pairs (i1 < i2) among the fan_out+1 gathered targets
+    # select, per anchor, the first (fan_out+1) valid targets. The rank
+    # cumsum already assigns each selected lane its output slot, so a
+    # one-hot masked reduction does the selection with NO sort and NO
+    # gather — the earlier top_k/argsort + take_along_axis formulation
+    # measured 2.4 ms of the 2.6 ms clip at [1800, 256] (sort cost +
+    # the TPU gather constant); the [P, W, S] masked sums are ~3M
+    # multiply-adds. Slots beyond the valid-target count read 0 instead
+    # of a clamped duplicate — pair_ok masks them, and the wire
+    # contract packs h[pair_ok] only (pinned in test_audio.py against
+    # the argsort reference).
+    slots = jnp.arange(fan_out + 1, dtype=jnp.int32)
+    sel = ok[:, :, None] & (rank[:, :, None] == slots[None, None, :])
+    seli = sel.astype(jnp.int32)  # [P, W, S]
+    gv = jnp.any(sel, axis=1)  # [P, S]
+    t2 = jnp.sum(t_s[:, :, None] * seli, axis=1)  # [P, S]
+    f2 = jnp.sum(f_s[:, :, None] * seli, axis=1)
+    # band lookup ONCE per peak ([P]-sized table gather), then selected
+    # through the same masked reduction — the previous per-pair lookups
+    # were [P, 15] gathers
+    lbf = _log_band(f, bin_hz)  # [P]
+    lb_s = _successor_window(lbf, w)  # [P, W]
+    lb2s = jnp.sum(lb_s[:, :, None] * seli, axis=1)  # [P, S]
+    # all target pairs (i1 < i2) among the fan_out+1 selected targets
     i1, i2 = np.triu_indices(fan_out + 1, k=1)
     i1 = jnp.asarray(i1, jnp.int32)
     i2 = jnp.asarray(i2, jnp.int32)
     t2a, t3a = t2[:, i1], t2[:, i2]
-    f2a, f3a = f2[:, i1], f2[:, i2]
     pair_ok = gv[:, i1] & gv[:, i2]
     denom = jnp.maximum(t3a - t[:, None], 1)
     # rounded (not floored) 4-bit ratio: +/-1-frame jitter on small dt
@@ -287,9 +295,9 @@ def panako_triplets(
     ratio = jnp.clip(
         (15 * (t2a - t[:, None]) + denom // 2) // denom, 0, 15
     ).astype(jnp.uint32)
-    lb1 = _log_band(f[:, None], bin_hz)
-    lb2 = _log_band(f2a, bin_hz)
-    lb3 = _log_band(f3a, bin_hz)
+    lb1 = lbf[:, None]
+    lb2 = lb2s[:, i1]
+    lb3 = lb2s[:, i2]
     db12 = jnp.clip(lb2 - lb1 + 128, 0, 255).astype(jnp.uint32)
     db23 = jnp.clip(lb3 - lb2 + 128, 0, 255).astype(jnp.uint32)
     b1coarse = jnp.clip(lb1 >> 3, 0, 255).astype(jnp.uint32)
