@@ -118,7 +118,7 @@ def bench_multihash(batch=256, iters=256):
     return batch / per_iter
 
 
-def bench_audio_xrt(secs=60.0, iters=64):
+def bench_audio_xrt(secs=60.0, iters=128):
     """Wang constellation extraction real-time factor (x real time).
 
     Measures the PRODUCTION pipeline — the bit-exact integer
@@ -130,9 +130,10 @@ def bench_audio_xrt(secs=60.0, iters=64):
     gather constant — 23 ms of the 24 ms clip. Static shifted slices
     (dsp._frame_rows, constellation._successor_window) are
     bit-identical (parity_ok re-verified on-chip) and took the 60 s
-    clip to ~0.4 ms: xRT ~2.5k → ~150k. iters=64: at ~0.4 ms/iter the
-    8-iter calibration would be tunnel-jitter-dominated (the shard-
-    scale lesson)."""
+    clip to ~0.4 ms: xRT ~2.5k → ~150k. iters=128: at ~0.4 ms/iter the
+    loop must put ~50 ms on-device so the ~30-60 ms dispatch jitter
+    cannot dominate the (t(N)-t(1))/(N-1) estimate (the shard-scale
+    lesson)."""
     import jax
     import jax.numpy as jnp
     from jax import enable_x64
@@ -176,11 +177,13 @@ def bench_audio_xrt(secs=60.0, iters=64):
     return secs / per_iter
 
 
-def bench_audio_xrt_panako_haitsma(secs=60.0, iters=32):
+def bench_audio_xrt_panako_haitsma(secs=60.0, iters_p=128, iters_h=32):
     """Panako and Haitsma extraction xRT (production integer pipelines)
     — the remaining published audio throughput claims, captured by the
     driver instead of quoted from ad-hoc scripts. Returns
-    (panako_xrt, haitsma_xrt)."""
+    (panako_xrt, haitsma_xrt). Loop sizing per the jitter rule:
+    Panako ~0.42 ms/iter x 128 ≈ 54 ms, Haitsma ~1.7 ms/iter x 32 ≈
+    54 ms — both above the ~30-60 ms dispatch-jitter band."""
     import jax
     import jax.numpy as jnp
     from jax import enable_x64
@@ -240,7 +243,7 @@ def bench_audio_xrt_panako_haitsma(secs=60.0, iters=32):
         with enable_x64():
             return float(loop_haitsma(x5d, n))
 
-    return secs / _timed(run_p, iters), secs / _timed(run_h, iters)
+    return secs / _timed(run_p, iters_p), secs / _timed(run_h, iters_h)
 
 
 def bench_query_p50(n=1_000_000, d=64, k=10, iters=64):

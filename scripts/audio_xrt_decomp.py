@@ -9,26 +9,12 @@ compile, see CLAUDE.md). Run: python scripts/audio_xrt_decomp.py
 import functools
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-
-def _timed(run, iters):
-    run(1)
-    run(iters)
-    pairs = []
-    for _ in range(3):
-        t1 = time.perf_counter()
-        run(1)
-        t2 = time.perf_counter()
-        run(iters)
-        t3 = time.perf_counter()
-        pairs.append(((t3 - t2) - (t2 - t1)) / (iters - 1))
-    pairs.sort()
-    return pairs[1]
+from bench import _timed  # the jitter-guarded device-loop calibration
 
 
 def main():
@@ -120,7 +106,7 @@ def main():
 
         return jnp.sum(jax.lax.fori_loop(0, n, body, samples)[:8])
 
-    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     for name, fn in [("stft", loop_stft), ("peaks", loop_peaks),
                      ("pairs", loop_pairs), ("full", loop_full)]:
         per = _timed(lambda n, f=fn: float(f(xd, n)), iters)

@@ -210,6 +210,7 @@ def run_soak(seconds: float = 10.0, conns: int = 32,
     from ucfp_tpu.server.ratelimit import NoopRateLimiter
     from ucfp_tpu.server.usage import NoopUsageSink
 
+    created = data_dir is None
     d = data_dir or tempfile.mkdtemp(prefix="ucfp-soak-")
     token = "soak-token"
     state = ServerState(
@@ -226,6 +227,12 @@ def run_soak(seconds: float = 10.0, conns: int = 32,
         )
     finally:
         state.index.close()
+        if created:
+            # every bench run invokes 6 soaks; a leaked WAL+store dir
+            # per soak accumulates on the long-lived host
+            import shutil
+
+            shutil.rmtree(d, ignore_errors=True)
 
 
 async def _client_only(connect: str, token: str, seconds: float, conns: int,

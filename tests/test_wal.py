@@ -118,6 +118,28 @@ class TestCodec:
             walmod.encode_event(e) for e in oddball
         ]
 
+    def test_batch_encoder_never_truncates_bad_record_ids(self):
+        """A float/negative/huge record_id must behave exactly like the
+        per-event encoder (raise), never silently truncate into a
+        durably-logged wrong id (np.array(..., '<u8') would floor 3.7
+        to 3 — memory and replay would diverge forever)."""
+        base = [upsert_ev(r) for r in range(1, 9)]
+        for bad in (3.7, -1, 2**64, True):
+            batch = base[:4] + [dict(upsert_ev(99), record_id=bad)] + base[4:]
+            try:
+                ref = [walmod.encode_event(e) for e in batch]
+                ref_exc = None
+            except Exception as e:
+                ref, ref_exc = None, type(e)
+            try:
+                got = walmod.encode_events_batch(batch)
+                got_exc = None
+            except Exception as e:
+                got, got_exc = None, type(e)
+            assert got_exc == ref_exc, (bad, got_exc, ref_exc)
+            if ref is not None:
+                assert got == ref, bad
+
     def test_batch_encoder_random_fuzz(self):
         """Random event soups: batch output equals per-event output
         regardless of composition."""

@@ -119,6 +119,7 @@ def encode_events_batch(events: list[dict]) -> list[bytes]:
     get = dict.get
     for ev in events:
         fp = get(ev, "fingerprint")
+        rid = get(ev, "record_id")
         if (
             get(ev, "op") != "upsert"
             or get(ev, "embedding") is not None
@@ -132,9 +133,16 @@ def encode_events_batch(events: list[dict]) -> list[bytes]:
             or get(ev, "metadata", b"") != meta
             or type(fp) is not bytes and not isinstance(fp, bytearray)
             or len(fp) != flen
+            # record_id must be a genuine in-range int: np.array(...,
+            # '<u8') would silently TRUNCATE a float (durably logging
+            # the wrong id — memory and replay diverge) and raise a
+            # different exception type for negatives than struct.pack;
+            # the per-event path preserves the exact pre-batch behavior
+            or type(rid) is not int
+            or not 0 <= rid < 2**64
         ):
             return [encode_event(ev) for ev in events]
-        rids.append(ev["record_id"])
+        rids.append(rid)
         fps.append(fp)
     import numpy as np
 
