@@ -54,6 +54,48 @@ class TestDsp:
             assert got.shape == (t, n_fft)
             np.testing.assert_array_equal(np.asarray(got), ref)
 
+    def test_stft_power_int_shift14_matches_generic_recombine(self):
+        """The int32 recombine fast path (shift=14, the Haitsma config)
+        must be bit-identical to the generic int64
+        (hh<<14 + mid<<7 + ll) >> shift recombine — verified against a
+        numpy int64 reference over random signed samples."""
+        import jax.numpy as jnp
+        from jax import enable_x64
+
+        from ucfp_tpu.ops.audio.dsp import (
+            BASIS_Q, SAMPLE_Q, dft_basis_int_limbs,
+        )
+
+        rng = np.random.default_rng(23)
+        n_fft, hop = 512, 128
+        x = rng.uniform(-1.2, 1.2, 4000).astype(np.float32)
+        with enable_x64():
+            got = np.asarray(
+                dsp.stft_power_int(jnp.asarray(x), n_fft, hop, False, 14)
+            )
+        # numpy int64 reference: the generic recombine, limb by limb
+        xq = np.round(np.clip(x, -1.0, 1.0) * SAMPLE_Q).astype(np.int64)
+        t = (len(xq) - n_fft) // hop + 1
+        idx = np.arange(t)[:, None] * hop + np.arange(n_fft)[None, :]
+        frames = xq[idx]
+        fh = np.floor_divide(frames, 128)
+        fl = frames - 128 * fh
+        ch, cl, sh, sl = (
+            a.astype(np.int64) for a in dft_basis_int_limbs(n_fft)
+        )
+
+        def combine(bh, bl):
+            hh = fh @ bh
+            mid = fh @ bl + fl @ bh
+            ll = fl @ bl
+            return ((hh << 14) + (mid << 7) + ll) >> 14
+
+        re = combine(ch, cl)
+        im = combine(sh, sl)
+        ref = re * re + im * im
+        assert got.dtype == np.int64
+        np.testing.assert_array_equal(got, ref)
+
     def test_successor_window_equals_gather(self):
         """_successor_window (static shifted slices) must equal the
         clamped-gather formulation a[min(i+j, p-1)] exactly."""

@@ -135,6 +135,18 @@ def dft_basis_int_limbs(n_fft: int):
     return ch, cl, sh, sl
 
 
+@functools.lru_cache(maxsize=None)
+def dft_basis_int_combined(n_fft: int):
+    """[n_fft, 4K] int8: the four limb bases side by side
+    ([ch | cl | sh | sl]) so the spectrogram runs TWO MXU dots (one per
+    frame limb) instead of eight — each frame-limb matrix is read once,
+    and the wider N dimension tiles the MXU better than four separate
+    [.., K=n_fft/2+1] outputs (K is odd: 1025 at n_fft 2048).
+    Bit-exact: integer dot columns accumulate independently, so
+    concatenating RHS columns changes nothing per column."""
+    return np.concatenate(dft_basis_int_limbs(n_fft), axis=1)
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def stft_power_int(
     samples: jax.Array, n_fft: int = 1024, hop: int = 256, center: bool = True,
@@ -157,22 +169,57 @@ def stft_power_int(
     frames = _frame_rows(xq, n_fft, hop, t)  # [T, n_fft] int32
     fh = jnp.floor_divide(frames, 128).astype(jnp.int8)
     fl = (frames - 128 * jnp.floor_divide(frames, 128)).astype(jnp.int8)
-    ch, cl, sh, sl = (jnp.asarray(a) for a in dft_basis_int_limbs(n_fft))
+    k = n_fft // 2 + 1
+    bcomb = jnp.asarray(dft_basis_int_combined(n_fft))  # [n_fft, 4K]
 
     def i8dot(a, b):
         return jax.lax.dot_general(
             a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
         )
 
-    def combine(bh, bl):
-        hh = i8dot(fh, bh).astype(jnp.int64)
-        mid = (i8dot(fh, bl) + i8dot(fl, bh)).astype(jnp.int64)
-        ll = i8dot(fl, bl).astype(jnp.int64)
-        full = (hh << 14) + (mid << 7) + ll
+    # TWO dots instead of eight (see dft_basis_int_combined); slices of
+    # the [T, 4K] outputs are the eight per-limb dot results, bit-exact
+    hq = i8dot(fh, bcomb)  # [fh@ch | fh@cl | fh@sh | fh@sl]
+    lq = i8dot(fl, bcomb)  # [fl@ch | fl@cl | fl@sh | fl@sl]
+    # re limbs: hh = fh@ch, mid = fh@cl + fl@ch, ll = fl@cl
+    re_hh, re_mid, re_ll = (
+        hq[:, :k], hq[:, k : 2 * k] + lq[:, :k], lq[:, k : 2 * k]
+    )
+    # im limbs: hh = fh@sh, mid = fh@sl + fl@sh, ll = fl@sl
+    im_hh, im_mid, im_ll = (
+        hq[:, 2 * k : 3 * k],
+        hq[:, 3 * k :] + lq[:, 2 * k : 3 * k],
+        lq[:, 3 * k :],
+    )
+
+    if shift == 14:
+        # int32-exact recombine (the Haitsma path; int64 elementwise ops
+        # lower to multi-op i32 sequences on TPU): with r = mid*2^7 + ll
+        # and ll >= 0 (both low limbs are in [0, 127]), the floor-shift
+        # identity
+        #   full >> 14 == hh + ((mid + (ll >> 7)) >> 7)
+        # holds exactly for ANY sign of hh/mid (remainder bound:
+        # (A & 127)*2^7 + (ll & 127) < 2^14). Ranges fit int32:
+        # |hh| <= n_fft*128^2 = 2^25, |mid| <= 2^26, ll >> 7 <= 2^18.
+        # Only the final squares widen to int64. Bit-identical to the
+        # generic path (pinned in test_audio.py).
+        def combine32(hh, mid, ll):
+            return hh + ((mid + (ll >> 7)) >> 7)
+
+        re = combine32(re_hh, re_mid, re_ll).astype(jnp.int64)
+        im = combine32(im_hh, im_mid, im_ll).astype(jnp.int64)
+        return re * re + im * im
+
+    def combine(hh, mid, ll):
+        full = (
+            (hh.astype(jnp.int64) << 14)
+            + (mid.astype(jnp.int64) << 7)
+            + ll.astype(jnp.int64)
+        )
         return full >> shift  # canonical truncation (see docstring)
 
-    re = combine(ch, cl)
-    im = combine(sh, sl)
+    re = combine(re_hh, re_mid, re_ll)
+    im = combine(im_hh, im_mid, im_ll)
     return re * re + im * im  # int64; <= 2^61 at n_fft 1024 / shift 8
 
 

@@ -54,6 +54,26 @@ def band_matrix(fmin: float, fmax: float) -> np.ndarray:
     return m
 
 
+@functools.lru_cache(maxsize=None)
+def band_ranges(fmin: float, fmax: float) -> tuple:
+    """Each log-spaced band is a CONTIGUOUS bin interval [k0, k1)
+    (band_matrix selects `edges[b] <= freq < edges[b+1]` over
+    monotonically increasing bin frequencies) — precomputed on host so
+    the device band-energy stage is static slices, not masked
+    full-row passes."""
+    m = band_matrix(fmin, fmax)  # [K, N_BANDS]
+    out = []
+    for b in range(N_BANDS):
+        nz = np.nonzero(m[:, b])[0]
+        if len(nz) == 0:
+            out.append((0, 0))
+            continue
+        k0, k1 = int(nz[0]), int(nz[-1]) + 1
+        assert len(nz) == k1 - k0, "haitsma band must be contiguous"
+        out.append((k0, k1))
+    return tuple(out)
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def haitsma_words(samples: jax.Array, fmin: float, fmax: float) -> jax.Array:
     """5 kHz mono f32 -> [T-1] uint32 sub-fingerprints.
@@ -66,12 +86,18 @@ def haitsma_words(samples: jax.Array, fmin: float, fmax: float) -> jax.Array:
     """
     power = dsp.stft_power_int(samples, FRAME, HOP, center=False,
                                shift=14)  # [T, K] int64
-    bank = band_matrix(fmin, fmax)  # [K, 33] 0/1
-    masks = jnp.asarray(bank.T != 0.0)  # [33, K] bool
+    # one static [T, k0:k1] slice-sum per band: the bands partition a
+    # contiguous bin range, so together these touch each needed column
+    # ONCE — the previous per-band `where(mask, power, 0).sum(axis=1)`
+    # read the ENTIRE 38 MB int64 row 33 times (~1.25 GB of HBM
+    # traffic, the dominant cost of the 60 s clip). Identical int64
+    # sums: the mask selected exactly these columns.
+    t_dim = power.shape[0]
     e = jnp.stack(
         [
-            jnp.sum(jnp.where(masks[b], power, jnp.int64(0)), axis=1)
-            for b in range(N_BANDS)
+            (power[:, k0:k1].sum(axis=1) if k1 > k0
+             else jnp.zeros(t_dim, power.dtype))
+            for (k0, k1) in band_ranges(fmin, fmax)
         ],
         axis=1,
     )  # [T, 33] int64 (exact: <= 2^51 * K < 2^62)
