@@ -62,18 +62,11 @@ class TestDsp:
         import jax.numpy as jnp
         from jax import enable_x64
 
-        from ucfp_tpu.ops.audio.dsp import (
-            BASIS_Q, SAMPLE_Q, dft_basis_int_limbs,
-        )
+        from ucfp_tpu.ops.audio.dsp import SAMPLE_Q, dft_basis_int_limbs
 
         rng = np.random.default_rng(23)
         n_fft, hop = 512, 128
         x = rng.uniform(-1.2, 1.2, 4000).astype(np.float32)
-        with enable_x64():
-            got = np.asarray(
-                dsp.stft_power_int(jnp.asarray(x), n_fft, hop, False, 14)
-            )
-        # numpy int64 reference: the generic recombine, limb by limb
         xq = np.round(np.clip(x, -1.0, 1.0) * SAMPLE_Q).astype(np.int64)
         t = (len(xq) - n_fft) // hop + 1
         idx = np.arange(t)[:, None] * hop + np.arange(n_fft)[None, :]
@@ -83,18 +76,24 @@ class TestDsp:
         ch, cl, sh, sl = (
             a.astype(np.int64) for a in dft_basis_int_limbs(n_fft)
         )
+        for shift in (14, 15):  # 15 exercises the composed extra shift
+            with enable_x64():
+                got = np.asarray(
+                    dsp.stft_power_int(jnp.asarray(x), n_fft, hop, False,
+                                       shift)
+                )
 
-        def combine(bh, bl):
-            hh = fh @ bh
-            mid = fh @ bl + fl @ bh
-            ll = fl @ bl
-            return ((hh << 14) + (mid << 7) + ll) >> 14
+            def combine(bh, bl):
+                hh = fh @ bh
+                mid = fh @ bl + fl @ bh
+                ll = fl @ bl
+                return ((hh << 14) + (mid << 7) + ll) >> shift
 
-        re = combine(ch, cl)
-        im = combine(sh, sl)
-        ref = re * re + im * im
-        assert got.dtype == np.int64
-        np.testing.assert_array_equal(got, ref)
+            re = combine(ch, cl)
+            im = combine(sh, sl)
+            ref = re * re + im * im
+            assert got.dtype == np.int64
+            np.testing.assert_array_equal(got, ref)
 
     def test_successor_window_equals_gather(self):
         """_successor_window (static shifted slices) must equal the

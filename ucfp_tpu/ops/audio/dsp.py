@@ -192,19 +192,22 @@ def stft_power_int(
         lq[:, 3 * k :],
     )
 
-    if shift == 14:
+    if shift >= 14:
         # int32-exact recombine (the Haitsma path; int64 elementwise ops
         # lower to multi-op i32 sequences on TPU): with r = mid*2^7 + ll
         # and ll >= 0 (both low limbs are in [0, 127]), the floor-shift
         # identity
         #   full >> 14 == hh + ((mid + (ll >> 7)) >> 7)
         # holds exactly for ANY sign of hh/mid (remainder bound:
-        # (A & 127)*2^7 + (ll & 127) < 2^14). Ranges fit int32:
-        # |hh| <= n_fft*128^2 = 2^25, |mid| <= 2^26, ll >> 7 <= 2^18.
-        # Only the final squares widen to int64. Bit-identical to the
+        # (A & 127)*2^7 + (ll & 127) < 2^14), and arithmetic shifts
+        # compose, so full >> s = (full >> 14) >> (s - 14) for s >= 14.
+        # Ranges fit int32 for any n_fft the int32 i8dot accumulator
+        # already requires (n_fft < 2^16): |hh| <= n_fft*128^2,
+        # |mid| <= 2*n_fft*128^2, ll >> 7 <= n_fft*128^2 / 2^7. Only
+        # the final squares widen to int64. Bit-identical to the
         # generic path (pinned in test_audio.py).
         def combine32(hh, mid, ll):
-            return hh + ((mid + (ll >> 7)) >> 7)
+            return (hh + ((mid + (ll >> 7)) >> 7)) >> (shift - 14)
 
         re = combine32(re_hh, re_mid, re_ll).astype(jnp.int64)
         im = combine32(im_hh, im_mid, im_ll).astype(jnp.int64)
