@@ -464,3 +464,123 @@ class TestMatcher:
     def test_empty_query(self, tmp_path):
         b = EmbeddedBackend(str(tmp_path))
         assert run(Matcher(b).search(Query(0, Modality.TEXT, k=5))) == []
+
+
+class TestDeferredRidMapping:
+    """The query paths defer index->rid mapping to after the kernel
+    (no O(catalog) rid-list copy under the lock); the cache's move
+    generation must make that mapping exact under racing deletes."""
+
+    def test_rowcache_gen_bumps_only_on_moves(self):
+        from ucfp_tpu.index.embedded import _RowCache
+
+        c = _RowCache(width=4)
+        g0 = c.gen
+        c.upsert(1, np.ones(4, np.float32))
+        c.upsert(2, np.ones(4, np.float32))
+        c.upsert(1, np.zeros(4, np.float32))  # in-place update
+        c.upsert_many([3, 4], np.ones((2, 4), np.float32))
+        assert c.gen == g0  # appends/in-place updates never move rows
+        c.remove(1)
+        assert c.gen == g0 + 1
+        c.remove(99)  # absent rid: nothing moved
+        assert c.gen == g0 + 1
+
+    def test_knn_rids_exact_under_racing_deletes(self, tmp_path):
+        """Plant near-orthogonal vectors so each query's top-1 rid is
+        deterministic; race deletes of OTHER rids. A wrong deferred
+        mapping (reading a moved rid slot) would surface a different
+        record id for the top-1 hit."""
+        import asyncio
+
+        d = 32
+        n = 400
+        b = EmbeddedBackend(str(tmp_path))
+        vecs = np.zeros((n, d), np.float32)
+        for i in range(n):
+            vecs[i, i % d] = 1.0
+            vecs[i, (i * 7 + 1) % d] = 0.25 + (i % 13) / 64.0
+        run(b.upsert([rec(0, i, emb=[float(x) for x in vecs[i]])
+                      for i in range(n)]))
+        keep = [3, 57, 123, 399]
+        doomed = [i for i in range(n) if i not in keep]
+
+        async def go():
+            async def deleter():
+                for lo in range(0, len(doomed), 16):
+                    await b.delete(0, doomed[lo:lo + 16])
+                    await asyncio.sleep(0)
+
+            async def querier():
+                for _ in range(40):
+                    for i in keep:
+                        hits = await b.knn(
+                            0, [float(x) for x in vecs[i]], 1
+                        )
+                        assert hits and hits[0].record_id == i, \
+                            f"query {i} mapped to {hits[0].record_id if hits else None}"
+                    await asyncio.sleep(0)
+
+            await asyncio.gather(deleter(), querier())
+
+        run(go())
+        b.close()
+
+    def test_fingerprint_batch_rids_exact_under_racing_deletes(self, tmp_path):
+        import asyncio
+
+        b = EmbeddedBackend(str(tmp_path))
+        n = 300
+        fps = [bytes([(i >> 8) & 0xFF, i & 0xFF] * 4) for i in range(n)]
+        run(b.upsert([rec(0, i, fp=fps[i]) for i in range(n)]))
+        keep = [1, 111, 299]
+        doomed = [i for i in range(n) if i not in keep]
+
+        async def go():
+            async def deleter():
+                for lo in range(0, len(doomed), 24):
+                    await b.delete(0, doomed[lo:lo + 24])
+                    await asyncio.sleep(0)
+
+            async def querier():
+                for _ in range(30):
+                    res = await b.knn_fingerprint_batch(
+                        0, "test-v1", [fps[i] for i in keep], 1
+                    )
+                    for want, row in zip(keep, res):
+                        assert row and row[0].record_id == want
+                    await asyncio.sleep(0)
+
+            await asyncio.gather(deleter(), querier())
+
+        run(go())
+        b.close()
+
+    def test_all_invalid_fingerprint_batch_short_circuits(self, tmp_path):
+        b = EmbeddedBackend(str(tmp_path))
+        run(b.upsert([rec(0, 1, fp=b"\x01" * 8)]))
+        res = run(b.knn_fingerprint_batch(
+            0, "test-v1", [b"", b"\x01" * 3], 5))
+        assert res == [[], []]
+        b.close()
+
+
+class TestMarkerKkInvariance:
+    def test_marker_gates_on_effective_k(self, tmp_path, monkeypatch):
+        """knn_is_approximate must depend on kk = min(k, n) exactly like
+        the dispatch: after deletes shrink n below the request k, a
+        request with huge k must get the SAME marker as k = n (the
+        dispatch serves the same path for both)."""
+        monkeypatch.setenv("UCFP_SHARD", "off")
+        for quant in ("int4", "int2", "sketch"):
+            b = EmbeddedBackend(str(tmp_path) + quant, knn_quant=quant)
+            rng = np.random.default_rng(7)
+            run(b.upsert([
+                rec(0, i, emb=[float(x) for x in rng.normal(size=16)])
+                for i in range(600)
+            ]))
+            n = b._vec[(0, 16)].n
+            for k in (n + 1, 5 * n, 10):
+                assert b.knn_is_approximate(0, 16, k) == \
+                    b.knn_is_approximate(0, 16, min(k, n)), (quant, k)
+            b.close()

@@ -45,7 +45,7 @@ class IndexBackend(abc.ABC):
         tenant_id: int,
         query: list[float],
         k: int,
-        filter: Optional[bytes] = None,
+        filter: Optional[dict] = None,
         pool_frac: Optional[float] = None,
         exact: bool = False,
     ) -> list[Hit]:

@@ -109,6 +109,12 @@ class _RowCache:
     # needed (growth / first build). Bounded so a huge backlog falls back
     # to one bulk transfer instead of thousands of scattered updates.
     pending: list | None = None
+    # bumped whenever a row CHANGES POSITION (remove's swap-with-last —
+    # appends and in-place updates never move rows < n). Queries map
+    # kernel indices back to rids AFTER the kernel by re-checking gen
+    # instead of copying the whole rid list under the lock: list(rids)
+    # measured 118 ms at 10M rows — 20x the device scan — per query.
+    gen: int = 0
 
     MAX_PENDING = 256
 
@@ -203,6 +209,7 @@ class _RowCache:
         row = self.rows.pop(rid, None)
         if row is None:
             return
+        self.gen += 1  # rows move: invalidate deferred rid mappings
         # swap-with-last keeps the matrix dense
         last = self.n - 1
         if row != last:
@@ -235,6 +242,7 @@ class _StreamCache:
     n: int = 0
     dirty: bool = True
     device: tuple | None = None
+    gen: int = 0  # bumped on row moves (see _RowCache.gen)
 
     def upsert(self, rid: int, frames: np.ndarray) -> None:
         t = len(frames)
@@ -274,6 +282,7 @@ class _StreamCache:
         row = self.rows.pop(rid, None)
         if row is None:
             return
+        self.gen += 1  # rows move: invalidate deferred rid mappings
         last = self.n - 1
         if row != last:
             self.data[row] = self.data[last]
@@ -834,7 +843,7 @@ class EmbeddedBackend(IndexBackend):
             code = self._tag_codes.get(v)
             if code is None:
                 return None  # value never ingested: nothing matches
-            mask &= cache.tags[:, 0 if col == 0 else 1] == code
+            mask &= cache.tags[:, col] == code
         return mask
 
     # -- audio landmark matching (offset voting) ---------------------------------
@@ -933,7 +942,7 @@ class EmbeddedBackend(IndexBackend):
         at bits 12-15; +/-5% tempo stretch moves landmarks across one
         quantization boundary — the hash's other fields are
         pitch/tempo-invariant log-band differences), and (b) bin vote
-        offsets by 16 frames, since a stretched query's t_db - t_q
+        offsets by 8 frames, since a stretched query's t_db - t_q
         drifts linearly instead of staying constant (Panako's published
         design matches on coarse offset agreement for the same reason).
         """
@@ -1500,9 +1509,16 @@ class EmbeddedBackend(IndexBackend):
         cache = self._vec.get((tenant_id, dim))
         if cache is None or cache.n == 0 or cache.data is None:
             return False
+        # every branch below gates on kk = min(k, n), NOT the raw
+        # request k: knn()/knn_batch() dispatch on kk, and after deletes
+        # shrink n below k the two would otherwise straddle the
+        # cost-model boundary — an approximate pooled answer would be
+        # served UNMARKED (the batch path fixed this first; the
+        # single-query branches had the same straddle)
+        kk = min(k, cache.n)
         if self._sketch_on() and not batch:
             cap = cache.data.shape[0]
-            if not self._sketch_worth_it(cap, dim, k, pool_frac):
+            if not self._sketch_worth_it(cap, dim, kk, pool_frac):
                 # the cost model routed this query to the EXACT int8
                 # path (sketch must never serve slower than exact) —
                 # fall through to that path's own marker below
@@ -1516,11 +1532,8 @@ class EmbeddedBackend(IndexBackend):
                 # kernel rescores EVERY row (exact) when pool * 2 >=
                 # capacity, and capacity <= 2n makes pool >= n
                 # impossible below that line
-                return knn_ops.sketch_pool(cap, k, pool_frac) * 2 < cap
-        # mirror knn_batch's dispatch exactly: it gates on
-        # kk = min(k, n), not the raw request k — after deletes shrink
-        # n below k the two can straddle the cost-model boundary
-        kk_b = min(k, cache.n)
+                return knn_ops.sketch_pool(cap, kk, pool_frac) * 2 < cap
+        kk_b = kk
         if self._int4_on() and batch and not filtered \
                 and self._int4_batch_worth_it(
                     cache.data.shape[0], dim, kk_b, batch_q):
@@ -1543,7 +1556,7 @@ class EmbeddedBackend(IndexBackend):
             # the batched packed scan, whose dispatch depends on the
             # runtime batch size the marker cannot know — stay
             # conservative with the worst-case (full) batch
-            kk_s = min(k, cache.n)
+            kk_s = kk
             if self._int4_batch_worth_it(cache.data.shape[0], dim,
                                          kk_s, 64):
                 cap_l = max(1, cache.data.shape[0] // self._n_shards())
@@ -1552,7 +1565,7 @@ class EmbeddedBackend(IndexBackend):
         if (not batch and not exact and self._qbatch_ms > 0
                 and pool_frac is None and self._int2_on()):
             # int2 twin of the micro-batching worst-case rule above
-            kk_s = min(k, cache.n)
+            kk_s = kk
             if self._int2_batch_worth_it(cache.data.shape[0], dim,
                                          kk_s, 64):
                 cap_l = max(1, cache.data.shape[0] // self._n_shards())
@@ -1560,7 +1573,7 @@ class EmbeddedBackend(IndexBackend):
                     return True
         if self._int4_on() and not batch:
             cap = cache.data.shape[0]
-            if self._int4_worth_it(cap, dim, k):
+            if self._int4_worth_it(cap, dim, kk):
                 # mirrors the kernel's own dispatch PER SHARD: each
                 # shard keeps a full fixed pool and rescores its whole
                 # shard exhaustively (exact) when pool * 2 >= its local
@@ -1568,19 +1581,19 @@ class EmbeddedBackend(IndexBackend):
                 # when the per-shard pools actually threshold
                 nsh = self._n_shards()
                 cap_l = max(1, cap // nsh)
-                return knn_ops.int4_pool(cap_l, k) * 2 < cap_l
+                return knn_ops.int4_pool(cap_l, kk) * 2 < cap_l
             # cost model routed to the exact path; fall through to its
             # marker below
         if self._int2_on() and not batch:
             cap = cache.data.shape[0]
-            if self._int2_worth_it(cap, dim, k):
+            if self._int2_worth_it(cap, dim, kk):
                 # same per-shard threshold rule as the int4 marker
                 nsh = self._n_shards()
                 cap_l = max(1, cap // nsh)
-                return knn_ops.int2_pool(cap_l, k) * 2 < cap_l
+                return knn_ops.int2_pool(cap_l, kk) * 2 < cap_l
         if self._mesh is not None:
             return False
-        return self._fused_pool_ok(cache.data.shape[0], cache.n, k)
+        return self._fused_pool_ok(cache.data.shape[0], cache.n, kk)
 
     def fingerprint_is_approximate(self, tenant_id: int, algorithm: str,
                                    k: int) -> bool:
@@ -1596,14 +1609,15 @@ class EmbeddedBackend(IndexBackend):
         # (W > the fused kernel's VMEM budget) serve the exact kernel
         if cache.width > pallas_scan.MAX_FUSED_HAMMING_WORDS:
             return False
-        return self._fused_pool_ok(cache.data.shape[0], cache.n, k)
+        return self._fused_pool_ok(cache.data.shape[0], cache.n,
+                                   min(k, cache.n))
 
     async def knn(
         self,
         tenant_id: int,
         query: list[float],
         k: int,
-        filter: Optional[bytes] = None,
+        filter: Optional[dict] = None,
         pool_frac: Optional[float] = None,
         exact: bool = False,
     ) -> list[Hit]:
@@ -1651,7 +1665,7 @@ class EmbeddedBackend(IndexBackend):
                 tenant_id, list(query), k
             )
 
-        def work():
+        def work(_attempt=0, _last=2):
             with self._lock:
                 # filter mask computed under the SAME lock as the device
                 # snapshot: a concurrent capacity-doubling upsert would
@@ -1667,9 +1681,17 @@ class EmbeddedBackend(IndexBackend):
                     # AND the filter rows into the validity mask: every
                     # downstream kernel already honors `valid`
                     dev = (*dev[:-1], dev[-1] & self._put_rowvec(flt_mask))
-                rids = list(cache.rids)
+                # rid mapping is DEFERRED: copying the rid list here cost
+                # O(catalog) under the writer lock (118 ms at 10M rows —
+                # 20x the device scan). Instead snapshot the move
+                # generation and resolve the <=k hit indices after the
+                # kernel; a concurrent delete bumps gen and the query
+                # retries (final attempt keeps the old full-copy
+                # semantics so progress is guaranteed).
+                gen_snap = cache.gen
+                rids_copy = list(cache.rids) if _attempt == _last else None
                 # prefix length captured UNDER the lock, consistent with
-                # the dev/rids snapshot: a concurrent delete swaps rows
+                # the dev snapshot: a concurrent delete swaps rows
                 # and decrements n, so reading cache.n after release
                 # could mask a live row / unmask a deleted one
                 n_snap = cache.n
@@ -1798,11 +1820,24 @@ class EmbeddedBackend(IndexBackend):
                     scores, idx = knn_ops.cosine_topk(q[None], matrix, valid, kk)
             scores = np.asarray(scores[0])
             idx = np.asarray(idx[0])
-            out = []
-            for s, i in zip(scores, idx):
-                if not np.isfinite(s):
-                    continue
-                out.append((rids[int(i)], float(s)))
+            if rids_copy is not None:
+                out = [(rids_copy[int(i)], float(s))
+                       for s, i in zip(scores, idx) if np.isfinite(s)]
+            else:
+                with self._lock:
+                    moved = cache.gen != gen_snap
+                    if not moved:
+                        # gen unchanged => no row moved and the rid
+                        # list only grew, so every kernel index
+                        # (< n_snap) still names its snapshot-time
+                        # record
+                        out = [(cache.rids[int(i)], float(s))
+                               for s, i in zip(scores, idx)
+                               if np.isfinite(s)]
+                if moved:
+                    # a delete moved rows mid-query: fresh snapshot
+                    # (recurse OUTSIDE the lock — it is not reentrant)
+                    return work(_attempt + 1)
             # descending score, ties by ascending record id
             out.sort(key=lambda t: (-t[1], t[0]))
             return [
@@ -1852,8 +1887,9 @@ class EmbeddedBackend(IndexBackend):
 
     async def _run_vec_bucket(self, bucket, payloads):
         t, _dim, kk = bucket
-        self._qbatch_flushes += 1
-        self._qbatch_items += len(payloads)
+        with self._lock:  # multiple event-loop threads flush concurrently
+            self._qbatch_flushes += 1
+            self._qbatch_items += len(payloads)
         res = await self.knn_batch(t, self._pad_pow2_list(payloads), kk)
         return res[: len(payloads)]
 
@@ -1898,7 +1934,7 @@ class EmbeddedBackend(IndexBackend):
 
             validate_filter(filter)
 
-        def work():
+        def work(_attempt=0, _last=2):
             import jax
             import jax.numpy as jnp
 
@@ -1914,7 +1950,10 @@ class EmbeddedBackend(IndexBackend):
                 dev = self._device_vec(cache)
                 if flt_mask is not True:
                     dev = (*dev[:-1], dev[-1] & self._put_rowvec(flt_mask))
-                rids = list(cache.rids)
+                # deferred rid mapping (see knn): snapshot the move
+                # generation instead of copying the O(catalog) rid list
+                gen_snap = cache.gen
+                rids_copy = list(cache.rids) if _attempt == _last else None
                 # prefix length captured UNDER the lock (see knn): the
                 # batched int4 path feeds it to the fused prefix-masked
                 # kernel, so a post-lock read would race deletes
@@ -2037,6 +2076,25 @@ class EmbeddedBackend(IndexBackend):
                     scores, idx = knn_ops.cosine_topk(qm, matrix, valid, kk)
             scores = np.asarray(scores)
             idx = np.asarray(idx)
+            if rids_copy is not None:
+                rids = rids_copy
+            else:
+                with self._lock:
+                    moved = cache.gen != gen_snap
+                    if not moved:
+                        # <= Q*k lookups resolved under the lock
+                        # (finite scores only — kernels may emit
+                        # placeholder indices on -inf rows); gen
+                        # unchanged => finite indices (< n_snap) still
+                        # name their snapshot-time records
+                        rids = {
+                            int(i): cache.rids[int(i)]
+                            for s, i in zip(scores.reshape(-1),
+                                            idx.reshape(-1))
+                            if np.isfinite(s)
+                        }
+                if moved:  # delete moved rows: retry OUTSIDE the lock
+                    return work(_attempt + 1)
             out: list[list[Hit]] = []
             for row in range(qm.shape[0]):
                 if float(np.linalg.norm(qm[row])) == 0.0:
@@ -2078,8 +2136,9 @@ class EmbeddedBackend(IndexBackend):
 
     async def _run_fp_bucket(self, bucket, payloads):
         t, alg, kk = bucket
-        self._qbatch_flushes += 1
-        self._qbatch_items += len(payloads)
+        with self._lock:  # multiple event-loop threads flush concurrently
+            self._qbatch_flushes += 1
+            self._qbatch_items += len(payloads)
         res = await self.knn_fingerprint_batch(
             t, alg, self._pad_pow2_list(payloads), kk
         )
@@ -2112,13 +2171,22 @@ class EmbeddedBackend(IndexBackend):
             ok = bool(fp) and len(p) == cache.width
             packs.append(p if ok else np.zeros(cache.width, np.uint32))
             ok_rows.append(ok)
+        if not any(ok_rows):
+            # every row is width-mismatched/empty: skip the whole-catalog
+            # device scan whose results would all be discarded
+            return [[] for _ in fingerprints]
         qm = np.stack(packs)
 
-        def work():
+        def work(_attempt=0, _last=2):
             with self._lock:
                 matrix, valid = self._device_ham(cache)
-                rids = list(cache.rids)
-            kk = min(k, cache.n)
+                # deferred rid mapping + n under the lock (see knn):
+                # the rid-list copy was O(catalog) per query, and a
+                # post-lock cache.n read races deletes
+                gen_snap = cache.gen
+                rids_copy = list(cache.rids) if _attempt == _last else None
+                n_snap = cache.n
+            kk = min(k, n_snap)
             if self._mesh is not None:
                 from ..parallel import sharded_knn
 
@@ -2128,7 +2196,7 @@ class EmbeddedBackend(IndexBackend):
             else:
                 from ..ops import pallas_scan
 
-                if (self._fused_pool_ok(matrix.shape[0], cache.n, kk)
+                if (self._fused_pool_ok(matrix.shape[0], n_snap, kk)
                         and cache.width
                         <= pallas_scan.MAX_FUSED_HAMMING_WORDS):
                     # big-catalog path: stream tiles through VMEM, never
@@ -2145,6 +2213,20 @@ class EmbeddedBackend(IndexBackend):
                     dist, idx = knn_ops.hamming_topk(qm, matrix, valid, kk)
             dist = np.asarray(dist)
             idx = np.asarray(idx)
+            if rids_copy is not None:
+                rids = rids_copy
+            else:
+                with self._lock:
+                    moved = cache.gen != gen_snap
+                    if not moved:
+                        rids = {
+                            int(i): cache.rids[int(i)]
+                            for d, i in zip(dist.reshape(-1),
+                                            idx.reshape(-1))
+                            if d < 2**30
+                        }
+                if moved:  # delete moved rows: retry OUTSIDE the lock
+                    return work(_attempt + 1)
             bits = cache.width * 32
             res: list[list[Hit]] = []
             for row in range(qm.shape[0]):
@@ -2192,21 +2274,40 @@ class EmbeddedBackend(IndexBackend):
                 if ok else np.zeros(ih.MULTIHASH_WORDS, np.uint32)
             )
             ok_rows.append(ok)
+        if not any(ok_rows):
+            return [[] for _ in fingerprints]
         qm = np.stack(packs)
         params = ih.multihash_params(weights)
 
-        def work():
+        def work(_attempt=0, _last=2):
             import jax.numpy as jnp
 
             with self._lock:
                 matrix, valid = self._device_ham(cache)
-                rids = list(cache.rids)
-            kk = min(k, cache.n)
+                # deferred rid mapping + n under the lock (see knn)
+                gen_snap = cache.gen
+                rids_copy = list(cache.rids) if _attempt == _last else None
+                n_snap = cache.n
+            kk = min(k, n_snap)
             scores, idx = ih.multihash_weighted_topk(
                 jnp.asarray(qm), matrix, valid, jnp.asarray(params), kk
             )
             scores = np.asarray(scores)
             idx = np.asarray(idx)
+            if rids_copy is not None:
+                rids = rids_copy
+            else:
+                with self._lock:
+                    moved = cache.gen != gen_snap
+                    if not moved:
+                        rids = {
+                            int(i): cache.rids[int(i)]
+                            for s, i in zip(scores.reshape(-1),
+                                            idx.reshape(-1))
+                            if np.isfinite(s)
+                        }
+                if moved:  # delete moved rows: retry OUTSIDE the lock
+                    return work(_attempt + 1)
             res: list[list[Hit]] = []
             for row in range(qm.shape[0]):
                 if not ok_rows[row]:
