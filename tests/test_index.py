@@ -584,3 +584,108 @@ class TestMarkerKkInvariance:
                 assert b.knn_is_approximate(0, 16, k) == \
                     b.knn_is_approximate(0, 16, min(k, n)), (quant, k)
             b.close()
+
+
+class TestColumnarFpBatch:
+    """upsert_fingerprint_batch (columnar fast path) must be
+    indistinguishable from upsert() of the corresponding Records:
+    identical catalog rows, query results, WAL replay — and identical
+    fallback semantics for every non-qualifying batch."""
+
+    def _fps(self, n, flen=8, seed=3):
+        rng = np.random.default_rng(seed)
+        return [rng.integers(0, 256, flen, np.uint8).tobytes()
+                for _ in range(n)]
+
+    def test_equivalent_state_and_replay(self, tmp_path):
+        fps = self._fps(32)
+        rids = list(range(100, 132))
+        a = EmbeddedBackend(str(tmp_path / "columnar"))
+        run(a.upsert_fingerprint_batch(
+            0, "img-v1", rids, fps, modality=Modality.IMAGE,
+            config_hash=77))
+        b = EmbeddedBackend(str(tmp_path / "records"))
+        run(b.upsert([
+            Record(tenant_id=0, record_id=rid, modality=Modality.IMAGE,
+                   algorithm="img-v1", fingerprint=fp, config_hash=77)
+            for rid, fp in zip(rids, fps)
+        ]))
+        for be in (a, b):
+            m = run(be.get_record_metadata(0, 100))
+            assert m.algorithm == "img-v1" and m.config_hash == 77
+            assert m.modality == Modality.IMAGE
+            hits = run(be.knn_fingerprint(0, "img-v1", fps[5], 1))
+            assert hits[0].record_id == 105
+        a.close(), b.close()
+        # replay: reopen the columnar store, verify identical state
+        a2 = EmbeddedBackend(str(tmp_path / "columnar"))
+        hits = run(a2.knn_fingerprint(0, "img-v1", fps[31], 1))
+        assert hits[0].record_id == 131
+        assert run(a2.get_record_metadata(0, 117)).fingerprint_bytes == 8
+        a2.close()
+
+    def test_update_of_existing_rid_falls_back(self, tmp_path):
+        """A batch containing an already-present rid must UPDATE it
+        (Record-path semantics), not dup or error."""
+        be = EmbeddedBackend(str(tmp_path))
+        fps = self._fps(4)
+        run(be.upsert_fingerprint_batch(0, "img-v1", [1, 2, 3, 4], fps))
+        new = self._fps(2, seed=9)
+        run(be.upsert_fingerprint_batch(0, "img-v1", [2, 99], new))
+        hits = run(be.knn_fingerprint(0, "img-v1", new[0], 1))
+        assert hits[0].record_id == 2 and hits[0].score == 1.0
+        # old fingerprint for rid 2 no longer matches exactly
+        cache = be._ham[(0, "img-v1")]
+        assert cache.n == 5
+        be.close()
+
+    def test_dup_rid_in_batch_falls_back(self, tmp_path):
+        be = EmbeddedBackend(str(tmp_path))
+        fps = self._fps(3)
+        run(be.upsert_fingerprint_batch(0, "img-v1", [7, 7, 8], fps))
+        # last-write-wins like sequential Record upserts
+        hits = run(be.knn_fingerprint(0, "img-v1", fps[1], 1))
+        assert hits[0].record_id == 7 and hits[0].score == 1.0
+        assert be._ham[(0, "img-v1")].n == 2
+        be.close()
+
+    def test_mixed_width_falls_back_to_record_errors(self, tmp_path):
+        be = EmbeddedBackend(str(tmp_path))
+        # widths differ -> per-record path, which accepts both widths
+        run(be.upsert_fingerprint_batch(
+            0, "img-v1", [1, 2], [b"\x01" * 8, b"\x02" * 16]))
+        assert run(be.get_record_metadata(0, 2)).fingerprint_bytes == 16
+        be.close()
+
+    def test_validation_mirrors_record_path(self, tmp_path):
+        be = EmbeddedBackend(str(tmp_path))
+        with pytest.raises(ValueError):
+            run(be.upsert_fingerprint_batch(
+                2**32, "img-v1", [1], [b"\x01" * 4]))  # tenant out of u32
+        with pytest.raises(ValueError):
+            run(be.upsert_fingerprint_batch(
+                0, "img-v1", [2**64, 5], [b"\x01" * 4, b"\x02" * 4]))
+        with pytest.raises(ValueError):
+            run(be.upsert_fingerprint_batch(
+                0, "img-v1", [1], [b"\x01" * 4], config_hash=-1))
+        be.close()
+
+    def test_trait_default_matches_override(self, tmp_path):
+        """The IndexBackend default implementation (Record expansion)
+        must produce the same observable state as the columnar
+        override."""
+        from ucfp_tpu.index.backend import IndexBackend
+
+        be = EmbeddedBackend(str(tmp_path))
+        fps = self._fps(6)
+        run(IndexBackend.upsert_fingerprint_batch(
+            be, 1, "img-v1", [10, 11, 12], fps[:3],
+            modality=Modality.IMAGE, config_hash=5))
+        run(be.upsert_fingerprint_batch(
+            1, "img-v1", [13, 14, 15], fps[3:],
+            modality=Modality.IMAGE, config_hash=5))
+        for rid, fp in zip(range(10, 16), fps):
+            hits = run(be.knn_fingerprint(1, "img-v1", fp, 1))
+            assert hits[0].record_id == rid and hits[0].score == 1.0
+            assert run(be.get_record_metadata(1, rid)).config_hash == 5
+        be.close()

@@ -665,3 +665,96 @@ class TestJsonWalPartialWriteRollback:
         rids = [ev["record_ids"][0] for ev in w2.replay()]
         assert rids == [1, 2]
         w2.close()
+
+
+class TestFpRunEncoder:
+    """encode_fp_run / append_buffered_run: the array-direct WAL path
+    for uniform fingerprint-only runs must be byte-identical to the
+    per-event dict protocol (the storage wire format) on every engine."""
+
+    def _run_args(self, rng, n=40, flen=12, alg="imgfprint-phash-v1"):
+        rids = [rng.randrange(2**64) for _ in range(n)]
+        fps = [bytes(rng.randrange(256) for _ in range(flen))
+               for _ in range(n)]
+        return rids, fps, alg
+
+    def test_fp_run_identical_to_per_event_fuzz(self):
+        import random
+
+        rng = random.Random(0xF9B)
+        for flen in (0, 4, 8, 64, 536):
+            for alg in ("a", "imgfprint-multi-v1", "ålg-v1"):
+                rids, fps, alg = self._run_args(rng, 17, flen, alg)
+                got = walmod.encode_fp_run(
+                    7, "image", rids, fps, algorithm=alg,
+                    config_hash=123456789, format_version=1,
+                    metadata=b"\x01\x02")
+                want = [walmod.encode_event({
+                    "op": "upsert", "tenant_id": 7, "record_id": rid,
+                    "modality": "image", "format_version": 1,
+                    "config_hash": 123456789, "algorithm": alg,
+                    "fingerprint": fp, "metadata": b"\x01\x02",
+                    "embedding": None, "model_id": None, "text": None,
+                }) for rid, fp in zip(rids, fps)]
+                assert got == want, (flen, alg)
+
+    def test_fp_run_rejects_bad_inputs(self):
+        ok = walmod.encode_fp_run(0, "image", [1], [b"\x00" * 4],
+                                  algorithm="a")
+        assert len(ok) == 1
+        with pytest.raises(ValueError):
+            walmod.encode_fp_run(0, "image", [1.5], [b"\x00" * 4],
+                                 algorithm="a")  # float rid would truncate
+        with pytest.raises(ValueError):
+            walmod.encode_fp_run(0, "image", [2**64], [b"\x00" * 4],
+                                 algorithm="a")
+        with pytest.raises(ValueError):
+            walmod.encode_fp_run(0, "image", [1, 2],
+                                 [b"\x00" * 4, b"\x00" * 8],
+                                 algorithm="a")  # non-uniform width
+        with pytest.raises(ValueError):
+            walmod.encode_fp_run(0, "image", [1], ["notbytes"],
+                                 algorithm="a")
+        assert walmod.encode_fp_run(0, "image", [], [], algorithm="a") == []
+
+    @pytest.mark.parametrize("engine", ["json", "native"])
+    def test_append_buffered_run_replay_identity(self, tmp_path, engine):
+        """A run appended via append_buffered_run must replay exactly
+        like the same records appended as per-record dicts — on the
+        native engine (array-direct encode) AND the JSON engine (dict
+        fallback)."""
+        import random
+
+        rng = random.Random(0x5EED)
+        rids, fps, alg = self._run_args(rng, 25, 8)
+
+        def mk(path):
+            inner = (walmod.JsonWal(path) if engine == "json"
+                     else walmod.open_wal(path, engine))
+            return walmod.GroupCommitWal(inner)
+
+        wa = mk(str(tmp_path / "run.wal"))
+        t = wa.append_buffered_run(3, "image", rids, fps, algorithm=alg,
+                                   config_hash=5, format_version=1)
+        wa.sync_until(t)
+        wa.close()
+
+        wb = mk(str(tmp_path / "dict.wal"))
+        t = wb.append_buffered([{
+            "op": "upsert", "tenant_id": 3, "record_id": rid,
+            "modality": "image", "format_version": 1, "config_hash": 5,
+            "algorithm": alg, "fingerprint": fp, "metadata": b"",
+            "embedding": None, "model_id": None, "text": None,
+        } for rid, fp in zip(rids, fps)])
+        wb.sync_until(t)
+        wb.close()
+
+        ia = (walmod.JsonWal(str(tmp_path / "run.wal")) if engine == "json"
+              else walmod.open_wal(str(tmp_path / "run.wal"), engine))
+        ib = (walmod.JsonWal(str(tmp_path / "dict.wal")) if engine == "json"
+              else walmod.open_wal(str(tmp_path / "dict.wal"), engine))
+        ra, rb = list(ia.replay()), list(ib.replay())
+        ia.close(), ib.close()
+        assert ra == rb
+        assert [ev["record_id"] for ev in ra] == rids
+        assert [bytes(ev["fingerprint"]) for ev in ra] == fps

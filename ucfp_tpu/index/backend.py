@@ -36,6 +36,31 @@ class IndexBackend(abc.ABC):
     @abc.abstractmethod
     async def upsert(self, records: list) -> None: ...
 
+    async def upsert_fingerprint_batch(
+        self,
+        tenant_id: int,
+        algorithm: str,
+        record_ids: list[int],
+        fingerprints: list[bytes],
+        *,
+        modality=None,
+        config_hash: int = 0,
+        format_version: int = 1,
+    ) -> None:
+        """Uniform fingerprint-only batch upsert. Semantically identical
+        to upsert() of the corresponding Records; backends may override
+        with a columnar fast path (EmbeddedBackend does)."""
+        from ..core import Modality, Record
+
+        if modality is None:
+            modality = Modality.IMAGE
+        await self.upsert([
+            Record(tenant_id=tenant_id, record_id=rid, modality=modality,
+                   algorithm=algorithm, fingerprint=fp,
+                   config_hash=config_hash, format_version=format_version)
+            for rid, fp in zip(record_ids, fingerprints)
+        ])
+
     @abc.abstractmethod
     async def delete(self, tenant_id: int, record_ids: list[int]) -> None: ...
 

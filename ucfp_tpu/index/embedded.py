@@ -1084,6 +1084,127 @@ class EmbeddedBackend(IndexBackend):
             await wal.wait_durable(ticket)
         await self._maybe_autocompact_async()
 
+    async def upsert_fingerprint_batch(
+        self,
+        tenant_id: int,
+        algorithm: str,
+        record_ids: list[int],
+        fingerprints: list[bytes],
+        *,
+        modality=None,
+        config_hash: int = 0,
+        format_version: int = 1,
+    ) -> None:
+        """Columnar fast path for the uniform batch-ingest shape: one
+        WAL run append (array-direct encode, wal.encode_fp_run) + one
+        vectorized store apply, with no per-record Record objects or
+        event dicts (those measured ~25% of the 1-core batch-ingest
+        host budget). Equivalent to upsert() of the corresponding
+        Records — identical WAL bytes, catalog rows, and cache state —
+        and FALLS BACK to that path whenever the batch doesn't qualify
+        (mixed widths, dup/present rids, special algorithms), so the
+        semantics including per-record errors never fork."""
+        from ..core import Modality
+        from ..core.types import _check_u32, _check_u64
+
+        if modality is None:
+            modality = Modality.IMAGE
+        n = len(record_ids)
+        if n != len(fingerprints):
+            raise ValueError("record_ids and fingerprints length mismatch")
+        if n == 0:
+            return
+        # range checks mirror Record.__post_init__ so library callers
+        # get the same ValueError family the Record path raises
+        _check_u32("tenant_id", tenant_id)
+        _check_u64("config_hash", config_hash)
+        wal = self._wal
+        flen = len(fingerprints[0]) if isinstance(
+            fingerprints[0], (bytes, bytearray)) else -1
+        qualifies = (
+            n >= 2 and flen > 0 and flen % 4 == 0
+            and algorithm != LSH_ALGORITHM
+            and algorithm not in AUDIO_LANDMARK_ALGOS
+            and algorithm != HAITSMA_ALGORITHM
+            and all(type(fp) is bytes and len(fp) == flen
+                    for fp in fingerprints)
+            and all(type(r) is int and 0 <= r <= 2**64 - 1
+                    for r in record_ids)
+        )
+
+        def apply():
+            self._check_durability(wal)
+            with self._lock:
+                # novelty gates under the SAME lock as the apply
+                hcache = self._ham.get((tenant_id, algorithm))
+                if hcache is not None and hcache.width != flen // 4:
+                    return None  # width clash: per-record path errors
+                seen: set[int] = set()
+                for rid in record_ids:
+                    if (rid in seen
+                            or (tenant_id, rid) in self._records):
+                        return None  # dup/update: per-record semantics
+                    seen.add(rid)
+                ticket = (wal.append_buffered_run(
+                    tenant_id, modality.value, record_ids, fingerprints,
+                    algorithm=algorithm, config_hash=config_hash,
+                    format_version=format_version,
+                ) if wal is not None else None)
+                self._apply_fp_rows(
+                    tenant_id, algorithm, record_ids, fingerprints, flen,
+                    modality.value, config_hash, format_version,
+                )
+                return (ticket,)
+
+        done = None
+        if qualifies:
+            done = await asyncio.to_thread(apply)
+        if done is None:
+            # slow path: exact legacy semantics (validation errors,
+            # upserts of existing rids, mixed batches)
+            await self.upsert([
+                Record(tenant_id=tenant_id, record_id=rid,
+                       modality=modality, algorithm=algorithm,
+                       fingerprint=fp, config_hash=config_hash,
+                       format_version=format_version)
+                for rid, fp in zip(record_ids, fingerprints)
+            ])
+            return
+        (ticket,) = done
+        if ticket is not None:
+            await wal.wait_durable(ticket)
+        await self._maybe_autocompact_async()
+
+    def _apply_fp_rows(self, t: int, alg: str, rids: list[int],
+                       fps: list[bytes], flen: int, mod_value: str,
+                       cfg: int, fmt: int) -> None:
+        """Store apply for a gated uniform fingerprint run (see
+        upsert_fingerprint_batch; caller holds the lock and has
+        verified novelty + width fit). Row content matches
+        _apply_upsert_batch's exactly."""
+        hcache = self._ham.get((t, alg))
+        if hcache is None:
+            hcache = _HamCache(words=flen // 4)
+            self._ham[(t, alg)] = hcache
+        packed = np.frombuffer(b"".join(fps), "<u4").reshape(
+            len(fps), flen // 4)
+        trows = self._tenant_rows.setdefault(t, {})
+        records = self._records
+        for rid, fp in zip(rids, fps):
+            trows[rid] = None
+            records[(t, rid)] = {
+                "modality": mod_value,
+                "algorithm": alg,
+                "config_hash": cfg,
+                "format_version": fmt,
+                "fingerprint": fp,
+                "embedding": None,
+                "model_id": None,
+                "metadata": b"",
+                "text": None,
+            }
+        hcache.upsert_many(rids, packed)
+
     @staticmethod
     def _check_durability(wal) -> None:
         """Ingest admission gate: refuse new writes while the WAL cannot
