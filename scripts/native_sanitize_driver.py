@@ -43,6 +43,15 @@ def drive_wal() -> None:
     w2 = open_wal(path, "native")
     got = list(w2.replay())
     assert len(got) == 300, len(got)
+    # bulk concat replay (ucfp_wal_replay_concat): same frames, one
+    # C crossing — exercise the malloc'd buffer path under ASan
+    from ucfp_tpu.index.wal import fp_run_events
+
+    flat = []
+    for kind, payload in w2.replay_groups():
+        flat.extend(fp_run_events(payload) if kind == "fp_run"
+                    else payload)
+    assert len(flat) == 300, len(flat)
     # torn tail: truncate mid-frame, replay must drop the tail only
     size = os.path.getsize(path)
     with open(path, "r+b") as f:
@@ -51,6 +60,11 @@ def drive_wal() -> None:
     w3 = open_wal(path, "native")
     got2 = list(w3.replay())
     assert 0 < len(got2) < 300
+    flat2 = []
+    for kind, payload in w3.replay_groups():
+        flat2.extend(fp_run_events(payload) if kind == "fp_run"
+                     else payload)
+    assert len(flat2) == len(got2)
     w3.rewrite(evs[:42])
     w3.append_events(evs[42:50])
     w3.close()

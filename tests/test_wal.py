@@ -758,3 +758,208 @@ class TestFpRunEncoder:
         assert ra == rb
         assert [ev["record_id"] for ev in ra] == rids
         assert [bytes(ev["fingerprint"]) for ev in ra] == fps
+
+
+def _norm_ev(ev):
+    return {k: (bytes(v) if isinstance(v, (bytes, bytearray)) else v)
+            for k, v in ev.items()}
+
+
+def _flatten_groups(groups):
+    flat = []
+    runs = 0
+    for kind, payload in groups:
+        if kind == "fp_run":
+            runs += 1
+            flat.extend(walmod.fp_run_events(payload))
+        else:
+            flat.extend(payload)
+    return flat, runs
+
+
+class TestReplayGroups:
+    """Bulk grouped replay (iter_frame_groups / NativeWal.replay_groups):
+    the concatenation of the yielded groups must equal the per-frame
+    decode_event stream EXACTLY — the columnar restart path is a decode
+    optimization, never a semantics fork."""
+
+    def _frames_to_arrays(self, frames):
+        import numpy as np
+
+        data = np.frombuffer(b"".join(frames), np.uint8)
+        offs = np.zeros(len(frames) + 1, np.uint64)
+        off = 0
+        for i, f in enumerate(frames):
+            off += len(f)
+            offs[i + 1] = off
+        return data, offs
+
+    def _assert_identity(self, events):
+        frames = [walmod.encode_event(e) for e in events]
+        data, offs = self._frames_to_arrays(frames)
+        flat, runs = _flatten_groups(walmod.iter_frame_groups(data, offs))
+        want = [walmod.decode_event(f) for f in frames]
+        assert len(flat) == len(want)
+        for a, b in zip(flat, want):
+            assert _norm_ev(a) == _norm_ev(b)
+        return runs
+
+    def test_uniform_run_decodes_columnar(self):
+        events = [upsert_ev(i) for i in range(64)]
+        runs = self._assert_identity(events)
+        assert runs == 1
+
+    def test_short_run_stays_per_event(self):
+        # below _MIN_RUN the vectorized template validation costs more
+        # than it saves — but the OUTPUT must be identical either way
+        events = [upsert_ev(i) for i in range(walmod._MIN_RUN - 1)]
+        runs = self._assert_identity(events)
+        assert runs == 0
+
+    def test_adjacent_same_length_templates_split(self):
+        """Two runs with identical frame lengths differing only in one
+        header field (tenant) must split into two runs — the length/op
+        boundary scan alone cannot see this; template equality must."""
+        a = [dict(upsert_ev(i), tenant_id=7) for i in range(16)]
+        b = [dict(upsert_ev(100 + i), tenant_id=8) for i in range(16)]
+        frames = [walmod.encode_event(e) for e in a + b]
+        data, offs = self._frames_to_arrays(frames)
+        flat, runs = _flatten_groups(walmod.iter_frame_groups(data, offs))
+        assert runs == 2
+        assert [e["tenant_id"] for e in flat] == [7] * 16 + [8] * 16
+
+    def test_random_soup_fuzz(self):
+        """Random mixed streams: uniform runs, deletes, embeddings,
+        text, metadata variance, zero-length fingerprints, mixed
+        algorithms/widths — grouped decode equals per-frame decode."""
+        import random
+
+        rng = random.Random(0x9E0)
+        algs = ["a", "imgfprint-phash-v1", "x" * 40]
+        for trial in range(30):
+            events = []
+            while len(events) < rng.randrange(2, 120):
+                kind = rng.random()
+                if kind < 0.5:
+                    # a run of uniform fingerprint-only upserts
+                    alg = rng.choice(algs)
+                    flen = rng.choice([0, 4, 8, 8, 64])
+                    t = rng.randrange(3)
+                    meta = rng.choice([b"", b"\x01\x02"])
+                    for _ in range(rng.randrange(1, 40)):
+                        ev = upsert_ev(rng.randrange(2**64))
+                        ev["algorithm"] = alg
+                        ev["tenant_id"] = t
+                        ev["metadata"] = meta
+                        ev["fingerprint"] = bytes(
+                            rng.randrange(256) for _ in range(flen))
+                        events.append(ev)
+                elif kind < 0.7:
+                    ev = upsert_ev(rng.randrange(2**32))
+                    if rng.random() < 0.5:
+                        ev["embedding"] = [0.5] * 4
+                        ev["model_id"] = "m"
+                    else:
+                        ev["text"] = "tt"
+                    events.append(ev)
+                else:
+                    events.append({"op": "delete", "tenant_id": 7,
+                                   "record_ids": [rng.randrange(2**32)]})
+            self._assert_identity(events)
+
+    def test_native_replay_groups_matches_replay(self, tmp_path):
+        """File-level: NativeWal.replay_groups over a real log equals
+        replay(), including the torn-tail rule."""
+        import random
+
+        rng = random.Random(3)
+        events = [upsert_ev(i) for i in range(50)]
+        events.append({"op": "delete", "tenant_id": 7, "record_ids": [3]})
+        events += [dict(upsert_ev(100 + i), algorithm="other",
+                        fingerprint=bytes(rng.randrange(256)
+                                          for _ in range(16)))
+                   for i in range(20)]
+        p = str(tmp_path / "g.wal")
+        w = walmod.open_wal(p, "native")
+        w.append_events(events)
+        w.close()
+        # torn tail: truncate the last frame mid-payload
+        size = os.path.getsize(p)
+        with open(p, "r+b") as f:
+            f.truncate(size - 5)
+        r1 = walmod.open_wal(p, "native")
+        flat, runs = _flatten_groups(r1.replay_groups())
+        r1.close()
+        r2 = walmod.open_wal(p, "native")
+        per = list(r2.replay())
+        r2.close()
+        assert runs >= 1
+        assert len(flat) == len(per) == len(events) - 1
+        for a, b in zip(flat, per):
+            assert _norm_ev(a) == _norm_ev(b)
+
+    def test_native_replay_groups_empty_and_missing(self, tmp_path):
+        p = str(tmp_path / "none.wal")
+        w = walmod.open_wal(p, "native")
+        assert list(w.replay_groups()) == []
+        w.close()
+
+    def _state(self, b):
+        """Comparable snapshot of an EmbeddedBackend's full in-memory
+        state: catalog rows, tenant ordering, and hamming cache rows."""
+        recs = {k: dict(v, fingerprint=bytes(v["fingerprint"]),
+                        metadata=bytes(v["metadata"]))
+                for k, v in b._records.items()}
+        ham = {
+            key: {rid: h.data[row].tobytes()
+                  for rid, row in h.rows.items()}
+            for key, h in b._ham.items()
+        }
+        order = {t: list(rows) for t, rows in b._tenant_rows.items()}
+        return recs, ham, order
+
+    def test_restart_columnar_equals_per_event(self, tmp_path, monkeypatch):
+        """The store reopened through the columnar fp-run replay must be
+        state-identical to the per-event replay of the same log —
+        including update runs (same rids twice: the gate must fall back
+        to per-event semantics), metadata, deletes, and text rows."""
+        import asyncio
+
+        from ucfp_tpu.core import Modality, Record
+        from ucfp_tpu.index.embedded import EmbeddedBackend
+
+        d = str(tmp_path / "db")
+        b = EmbeddedBackend(d, wal_engine="native")
+
+        async def build():
+            rids = list(range(1, 65))
+            fps = [bytes([i] * 8) for i in rids]
+            await b.upsert_fingerprint_batch(
+                5, "imgfprint-phash-v1", rids, fps,
+                modality=Modality.IMAGE, config_hash=9)
+            # update run: SAME rids, new fingerprints — replay must not
+            # treat the second run as fresh rows
+            fps2 = [bytes([255 - i] * 8) for i in rids]
+            await b.upsert_fingerprint_batch(
+                5, "imgfprint-phash-v1", rids, fps2,
+                modality=Modality.IMAGE, config_hash=9)
+            await b.upsert([Record(5, 1000, Modality.TEXT, "a", b"\x01",
+                                   text="hello world")])
+            await b.delete(5, [3, 7])
+
+        asyncio.run(build())
+        want = self._state(b)
+        b.close()
+
+        b_cols = EmbeddedBackend(d)
+        got_cols = self._state(b_cols)
+        b_cols.close()
+
+        # force the per-event fallback and reopen the same log
+        monkeypatch.setattr(walmod.GroupCommitWal, "replay_groups",
+                            lambda self: None)
+        b_per = EmbeddedBackend(d)
+        got_per = self._state(b_per)
+        b_per.close()
+
+        assert got_cols == got_per == want

@@ -274,6 +274,184 @@ def decode_event(data: bytes) -> dict:
     }
 
 
+def _fp_run_layout(tmpl: dict, frame_len: int) -> tuple[int, int] | None:
+    """(fp_off, flen) of a fingerprint-only frame template, or None when
+    the frame isn't the collapsed fp-only layout (optional fields
+    present, or the field lengths don't tile the frame exactly)."""
+    if (
+        tmpl.get("embedding") is not None
+        or tmpl.get("model_id")
+        or tmpl.get("text") is not None
+    ):
+        return None
+    alen = len(tmpl["algorithm"].encode())
+    flen = len(tmpl["fingerprint"])
+    mlen = len(tmpl["metadata"])
+    fp_off = 33 + alen  # <B op><I tid><Q rid><B mod><I fmt><Q cfg><B 0><H alen>alg<I flen>
+    if frame_len != fp_off + flen + 4 + mlen:
+        return None  # layout drift or trailing fields: per-frame path
+    return fp_off, flen
+
+
+def _fp_run_cols(arr, tmpl: dict, fp_off: int, flen: int) -> dict:
+    """Extract the two varying columns (record_id, fingerprint) of a
+    VERIFIED-uniform fp-only frame block into one run dict."""
+    import numpy as np
+
+    rids = np.ascontiguousarray(arr[:, 5:13]).view("<u8").ravel().tolist()
+    fp_block = np.ascontiguousarray(arr[:, fp_off : fp_off + flen]).tobytes()
+    return {
+        "tenant_id": tmpl["tenant_id"],
+        "modality": tmpl["modality"],
+        "format_version": tmpl["format_version"],
+        "config_hash": tmpl["config_hash"],
+        "algorithm": tmpl["algorithm"],
+        "metadata": tmpl["metadata"],
+        "record_ids": rids,
+        "fp_block": fp_block,
+        "flen": flen,
+    }
+
+
+def _try_decode_fp_run(arr) -> dict | None:
+    """Vectorized decode of a frame block as ONE uniform fingerprint-only
+    upsert run — the exact inverse of _fill_fp_frames. `arr` is a
+    [n, frame_len] u8 matrix of equal-length OP_UPSERT frames. Returns
+    the run columns when every frame matches frame 0 on every byte
+    outside the two varying fields (record_id at [5:13], fingerprint at
+    its length-derived offset), else None. Equality with per-frame
+    decode_event is the contract (fuzz-pinned in test_wal.py)."""
+    import numpy as np
+
+    n, frame_len = arr.shape
+    tmpl = decode_event(arr[0].tobytes())
+    layout = _fp_run_layout(tmpl, frame_len)
+    if layout is None:
+        return None
+    fp_off, flen = layout
+    col_ok = np.ones(frame_len, bool)
+    col_ok[5:13] = False
+    col_ok[fp_off : fp_off + flen] = False
+    if (arr[:, col_ok] != arr[0, col_ok]).any():
+        return None
+    return _fp_run_cols(arr, tmpl, fp_off, flen)
+
+
+def fp_run_events(run: dict) -> Iterator[dict]:
+    """Expand a decoded run back to its per-event dicts (the fallback
+    seam when a run cannot be applied columnar — dup/present record ids,
+    special algorithms). Identical to decoding each frame."""
+    flen = run["flen"]
+    block = run["fp_block"]
+    for i, rid in enumerate(run["record_ids"]):
+        yield {
+            "op": "upsert",
+            "tenant_id": run["tenant_id"],
+            "record_id": rid,
+            "modality": run["modality"],
+            "format_version": run["format_version"],
+            "config_hash": run["config_hash"],
+            "algorithm": run["algorithm"],
+            "fingerprint": block[i * flen : (i + 1) * flen],
+            "embedding": None,
+            "model_id": None,
+            "metadata": run["metadata"],
+            "text": None,
+        }
+
+
+# runs shorter than this go straight to per-frame decode: the vectorized
+# template validation has fixed setup cost (a decode + two masked
+# comparisons) that only pays for itself on genuine runs
+_MIN_RUN = 8
+# bound the [n, frame_len] reshape working set (~256k frames of a
+# 128-byte frame is a 32 MB view — the template comparison copies only
+# the non-varying columns)
+_MAX_RUN = 262144
+
+
+def iter_frame_groups(data, offs) -> Iterator[tuple[str, object]]:
+    """Group a replay's raw frames into ("fp_run", run) | ("events",
+    [dict, ...]) items, preserving order. `data` is the concatenated
+    payload buffer (np.uint8), `offs` the (n+1) frame offsets. Uniform
+    fingerprint-only upsert runs — the batch-ingest / compaction shape —
+    decode as columns in one vectorized pass; everything else decodes
+    per frame. The concatenation of the yielded groups equals
+    [decode_event(f) for f in frames] exactly (fuzz-pinned)."""
+    import numpy as np
+
+    n = len(offs) - 1
+    if n <= 0:
+        return
+    lens = np.diff(offs)
+    first = data[offs[:-1]]  # op byte of each frame
+    # candidate boundaries: frame length or op byte changes. Frames of
+    # equal length may still mix tenants/algorithms — _split refines by
+    # template equality and validates each sub-run with its own layout.
+    brk = np.flatnonzero((lens[1:] != lens[:-1]) | (first[1:] != first[:-1]))
+    starts = np.concatenate([[0], brk + 1, [n]])
+    for gi in range(len(starts) - 1):
+        s, e = int(starts[gi]), int(starts[gi + 1])
+        if int(first[s]) != OP_UPSERT or e - s < _MIN_RUN:
+            yield (
+                "events",
+                [
+                    decode_event(data[offs[i] : offs[i + 1]].tobytes())
+                    for i in range(s, e)
+                ],
+            )
+            continue
+        frame_len = int(lens[s])
+        for cs in range(s, e, _MAX_RUN):
+            ce = min(cs + _MAX_RUN, e)
+            block = data[offs[cs] : offs[cs] + (ce - cs) * frame_len]
+            yield from _split_fp_runs(block.reshape(ce - cs, frame_len))
+
+
+def _split_fp_runs(arr) -> Iterator[tuple[str, object]]:
+    """Split an equal-length OP_UPSERT frame block into template-uniform
+    sub-runs and vectorized-decode each; sub-runs that fail their own
+    layout validation fall back to per-frame decode. The boundary scan
+    uses frame 0's field layout as a heuristic only — correctness rests
+    on each sub-run being validated against its OWN first frame: when
+    the sub-run's layout equals the scan's masked layout, the scan
+    already proved byte-uniformity outside the varying fields (the
+    alen/flen length fields are unmasked, so a layout change always
+    splits); otherwise _try_decode_fp_run re-compares in full."""
+    import numpy as np
+
+    n, frame_len = arr.shape
+    ev0 = decode_event(arr[0].tobytes())
+    alen0 = len(ev0["algorithm"].encode())
+    flen0 = len(ev0.get("fingerprint") or b"")
+    col_ok = np.ones(frame_len, bool)
+    col_ok[5:13] = False
+    fp_off0 = 33 + alen0
+    if fp_off0 + flen0 <= frame_len:
+        col_ok[fp_off0 : fp_off0 + flen0] = False
+    tcols = arr[:, col_ok]
+    diff = (tcols[1:] != tcols[:-1]).any(axis=1)
+    starts = np.concatenate([[0], np.flatnonzero(diff) + 1, [n]])
+    for gi in range(len(starts) - 1):
+        s, e = int(starts[gi]), int(starts[gi + 1])
+        run = None
+        if e - s >= _MIN_RUN:
+            tmpl = decode_event(arr[s].tobytes())
+            layout = _fp_run_layout(tmpl, frame_len)
+            if layout == (fp_off0, flen0):
+                # same layout the scan masked: uniformity is proven
+                run = _fp_run_cols(arr[s:e], tmpl, fp_off0, flen0)
+            elif layout is not None:
+                run = _try_decode_fp_run(arr[s:e])
+        if run is not None:
+            yield ("fp_run", run)
+        else:
+            yield (
+                "events",
+                [decode_event(arr[i].tobytes()) for i in range(s, e)],
+            )
+
+
 class NativeWal:
     """C++ walstore-backed log."""
 
@@ -339,6 +517,37 @@ class NativeWal:
         cfunc = self._lib._replay_cb_type(cb)
         self._lib.ucfp_wal_replay(self._path.encode(), cfunc, None)
         return iter(events)
+
+    def replay_groups(self) -> Iterator[tuple[str, object]]:
+        """Replay as run-grouped items (see iter_frame_groups) — the
+        restart-scale path: ONE C call hands back every validated frame
+        in a concatenated buffer, uniform fingerprint-only runs decode
+        as columns, and nothing crosses ctypes per record."""
+        import ctypes
+
+        import numpy as np
+
+        data_p = ctypes.POINTER(ctypes.c_uint8)()
+        offs_p = ctypes.POINTER(ctypes.c_uint64)()
+        n = self._lib.ucfp_wal_replay_concat(
+            self._path.encode(), ctypes.byref(data_p), ctypes.byref(offs_p)
+        )
+        if n < 0:
+            raise MemoryError("wal bulk replay allocation failed")
+        if n == 0:
+            return
+        try:
+            # string_at is ONE memcpy into Python-owned bytes;
+            # np.frombuffer over it is zero-copy (as_array().copy()
+            # walked the ctypes buffer element-wise: 0.4 s at 50 MB)
+            offs = np.frombuffer(
+                ctypes.string_at(offs_p, (n + 1) * 8), "<u8")
+            data = np.frombuffer(
+                ctypes.string_at(data_p, int(offs[-1])), np.uint8)
+        finally:
+            self._lib.ucfp_wal_buf_free(data_p)
+            self._lib.ucfp_wal_buf_free(offs_p)
+        yield from iter_frame_groups(data, offs)
 
     def rewrite(self, events: Iterable[dict]) -> None:
         """Compaction: write a snapshot log and atomically replace.
@@ -733,6 +942,12 @@ class GroupCommitWal:
 
     def replay(self) -> Iterator[dict]:
         return self._inner.replay()
+
+    def replay_groups(self) -> Iterator[tuple[str, object]] | None:
+        """Run-grouped replay when the engine supports it, else None —
+        callers fall back to the per-event replay()."""
+        fn = getattr(self._inner, "replay_groups", None)
+        return fn() if fn is not None else None
 
     def _quiesce(self):
         """Pause the writer thread with the buffer drained-or-parked;

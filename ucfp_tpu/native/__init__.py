@@ -313,4 +313,12 @@ def load_walstore():
     lib._replay_cb_type = CB
     lib.ucfp_wal_replay.restype = ctypes.c_long
     lib.ucfp_wal_replay.argtypes = [ctypes.c_char_p, CB, ctypes.c_void_p]
+    lib.ucfp_wal_replay_concat.restype = ctypes.c_long
+    lib.ucfp_wal_replay_concat.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint64)),
+    ]
+    lib.ucfp_wal_buf_free.restype = None
+    lib.ucfp_wal_buf_free.argtypes = [ctypes.c_void_p]
     return lib

@@ -212,6 +212,61 @@ long ucfp_wal_replay(const char* path, ucfp_wal_cb cb, void* ctx) {
   return count;
 }
 
+// Bulk replay: parse and CRC-validate every complete frame, returning
+// ONE malloc'd buffer of the concatenated payloads plus (count+1) u64
+// offsets into it (frame i spans [offs[i], offs[i+1])). Semantically
+// identical to ucfp_wal_replay (same torn-tail rule) — this exists so
+// restart-scale replay crosses the C ABI once instead of once per
+// record (the per-frame ctypes callback + string_at measured ~5.5 us
+// of the ~10 us/record replay budget at 200k records). The caller owns
+// both buffers and must release each with ucfp_wal_buf_free. Returns
+// the frame count, 0 for a missing/empty log, or -12 on allocation
+// failure (outputs are null).
+long ucfp_wal_replay_concat(const char* path, uint8_t** data_out,
+                            uint64_t** offs_out) {
+  *data_out = nullptr;
+  *offs_out = nullptr;
+  FILE* f = ::fopen(path, "rb");
+  if (!f) return 0;
+  std::vector<uint8_t> data;
+  std::vector<uint64_t> offs;
+  offs.push_back(0);
+  for (;;) {
+    uint32_t header[3];
+    if (::fread(header, 1, sizeof(header), f) != sizeof(header)) break;
+    if (header[0] != kMagic) break;
+    uint32_t len = header[1];
+    if (len > (1u << 30)) break;
+    size_t base = data.size();
+    data.resize(base + len);
+    if (::fread(data.data() + base, 1, len, f) != len) {
+      data.resize(base);
+      break;
+    }
+    if (crc32(data.data() + base, len) != header[2]) {
+      data.resize(base);
+      break;
+    }
+    offs.push_back(data.size());
+  }
+  ::fclose(f);
+  long count = (long)offs.size() - 1;
+  uint8_t* db = (uint8_t*)std::malloc(data.empty() ? 1 : data.size());
+  uint64_t* ob = (uint64_t*)std::malloc(offs.size() * sizeof(uint64_t));
+  if (!db || !ob) {
+    std::free(db);
+    std::free(ob);
+    return -12;
+  }
+  if (!data.empty()) std::memcpy(db, data.data(), data.size());
+  std::memcpy(ob, offs.data(), offs.size() * sizeof(uint64_t));
+  *data_out = db;
+  *offs_out = ob;
+  return count;
+}
+
+void ucfp_wal_buf_free(void* p) { std::free(p); }
+
 // Atomically replace the log with the frames buffered since open — used
 // by compaction: open a fresh store at path.tmp, append the snapshot,
 // then rename over the old log.
