@@ -67,9 +67,18 @@ def drive_wal() -> None:
     assert len(flat2) == len(got2)
     w3.rewrite(evs[:42])
     w3.append_events(evs[42:50])
+    # fixed-length block append (ucfp_wal_append_fixed): the compaction
+    # fast path — exercise header/CRC framing per block frame under ASan
+    from ucfp_tpu.index.wal import encode_fp_run_block
+
+    block, frame_len, cnt = encode_fp_run_block(
+        3, "image", [1000 + i for i in range(20)],
+        [bytes([i] * 16) for i in range(20)], algorithm="raw")
+    w3.append_block_nosync(block, frame_len, cnt)
+    w3.flush()
     w3.close()
     w4 = open_wal(path, "native")
-    assert len(list(w4.replay())) == 50
+    assert len(list(w4.replay())) == 70
     w4.close()
     print("wal ok")
 

@@ -963,3 +963,106 @@ class TestReplayGroups:
         b_per.close()
 
         assert got_cols == got_per == want
+
+
+class TestColumnarCompaction:
+    """compact() on the native engine emits array-direct run frames
+    (rewrite_encoded). The compacted log must be BYTE-IDENTICAL to the
+    per-event dict path's output — compaction changes cost, never bytes."""
+
+    def _build(self, d, engine):
+        import asyncio
+
+        from ucfp_tpu.core import Modality, Record
+        from ucfp_tpu.index.embedded import EmbeddedBackend
+
+        b = EmbeddedBackend(d, wal_engine=engine)
+
+        async def fill():
+            rids = list(range(1, 40))
+            fps = [bytes([i] * 8) for i in rids]
+            await b.upsert_fingerprint_batch(
+                5, "imgfprint-phash-v1", rids, fps,
+                modality=Modality.IMAGE, config_hash=9)
+            # churn: updates + deletes so compaction actually drops rows
+            await b.upsert_fingerprint_batch(
+                5, "imgfprint-phash-v1", rids[:10],
+                [bytes([200 + i]) * 8 for i in range(10)],
+                modality=Modality.IMAGE, config_hash=9)
+            await b.delete(5, [2, 4])
+            await b.upsert([
+                Record(5, 500, Modality.TEXT, "a", b"\x01",
+                       text="hello world"),
+                Record(6, 1, Modality.TEXT, "b", b"\x02",
+                       embedding=[1.0, 0.0], model_id="m"),
+                Record(5, 501, Modality.IMAGE, "imgfprint-phash-v1",
+                       b"\x07" * 8, config_hash=9,
+                       metadata=b"\xaa"),  # meta differs: breaks the run
+            ])
+
+        asyncio.run(fill())
+        return b
+
+    def test_native_compacted_log_byte_identical_to_dict_path(
+            self, tmp_path):
+        from ucfp_tpu.index.embedded import EmbeddedBackend, _upsert_event
+
+        d = str(tmp_path / "db")
+        b = self._build(d, "native")
+        # expected log: the per-event dict path's bytes, in sorted order
+        want = b"".join(
+            walmod.encode_event(_upsert_event(tid, rid, row))
+            for (tid, rid), row in sorted(b._records.items()))
+        before = os.path.getsize(os.path.join(d, "ucfp.wal"))
+        b.compact()
+        after = os.path.getsize(os.path.join(d, "ucfp.wal"))
+        assert after < before
+        # strip the per-frame headers: replay and re-encode
+        r = walmod.open_wal(os.path.join(d, "ucfp.wal"), "native")
+        got = b"".join(walmod.encode_event(ev) for ev in r.replay())
+        r.close()
+        assert got == want
+        state = TestReplayGroups._state(TestReplayGroups(), b)
+        b.close()
+        b2 = EmbeddedBackend(d)
+        assert TestReplayGroups._state(TestReplayGroups(), b2) == state
+        b2.close()
+
+    def test_json_engine_compaction_still_works(self, tmp_path):
+        from ucfp_tpu.index.embedded import EmbeddedBackend
+
+        d = str(tmp_path / "db")
+        b = self._build(d, "json")
+        state = TestReplayGroups._state(TestReplayGroups(), b)
+        b.compact()
+        b.close()
+        b2 = EmbeddedBackend(d)
+        assert TestReplayGroups._state(TestReplayGroups(), b2) == state
+        b2.close()
+
+    def test_rewrite_encoded_failure_restores_buffer(self, tmp_path,
+                                                     monkeypatch):
+        """A failed encoded rewrite must restore the group-commit buffer
+        (same contract as the dict path) so nothing buffered is lost."""
+        p = str(tmp_path / "e.wal")
+        w = walmod.GroupCommitWal(walmod.open_wal(p, "native"))
+        t = w.append_buffered([{"op": "delete", "tenant_id": 0,
+                                "record_ids": [1]}])
+        w.sync_until(t)
+        w.append_buffered([{"op": "delete", "tenant_id": 0,
+                            "record_ids": [2]}])  # parked in the buffer
+
+        def boom(self, blobs):
+            raise OSError("EIO")
+
+        monkeypatch.setattr(walmod.NativeWal, "rewrite_encoded", boom)
+        with pytest.raises(OSError):
+            w.rewrite_encoded([walmod.encode_event(
+                {"op": "delete", "tenant_id": 0, "record_ids": [9]})])
+        monkeypatch.undo()
+        w.flush()
+        w.close()
+        r = walmod.open_wal(p, "native")
+        rids = [ev["record_ids"][0] for ev in r.replay()]
+        r.close()
+        assert rids == [1, 2]

@@ -147,12 +147,13 @@ def encode_events_batch(events: list[dict]) -> list[bytes]:
     return _fill_fp_frames(first, alg, rids, fps, n, flen)
 
 
-def _fill_fp_frames(first: dict, alg: str, rids: list, fps: list,
-                    n: int, flen: int) -> list[bytes]:
+def _fill_fp_block(first: dict, alg: str, rids: list, fps: list,
+                   n: int, flen: int) -> tuple[bytes, int]:
     """One row-matrix fill for a uniform fingerprint-only run: encode the
     first event as the template frame, then overwrite the two varying
-    columns (record_id, fingerprint). Byte-identity with the per-event
-    encoder is the contract (fuzz-pinned in test_wal.py)."""
+    columns (record_id, fingerprint). Returns the concatenated frames +
+    the fixed frame length. Byte-identity with the per-event encoder is
+    the contract (fuzz-pinned in test_wal.py)."""
     import numpy as np
 
     template = encode_event(first)
@@ -168,7 +169,12 @@ def _fill_fp_frames(first: dict, alg: str, rids: list, fps: list,
         arr[:, fp_off : fp_off + flen] = np.frombuffer(
             b"".join(fps), np.uint8
         ).reshape(n, flen)
-    big = arr.tobytes()
+    return arr.tobytes(), frame_len
+
+
+def _fill_fp_frames(first: dict, alg: str, rids: list, fps: list,
+                    n: int, flen: int) -> list[bytes]:
+    big, frame_len = _fill_fp_block(first, alg, rids, fps, n, flen)
     return [big[i * frame_len : (i + 1) * frame_len] for i in range(n)]
 
 
@@ -189,6 +195,17 @@ def encode_fp_run(tenant_id: int, modality: str, record_ids,
         raise ValueError("record_ids and fingerprints length mismatch")
     if n == 0:
         return []
+    flen = _check_fp_run(record_ids, fingerprints)
+    first = _fp_run_first(tenant_id, modality, record_ids[0],
+                          fingerprints[0], algorithm, config_hash,
+                          format_version, metadata)
+    return _fill_fp_frames(first, algorithm, list(record_ids),
+                           fingerprints, n, flen)
+
+
+def _check_fp_run(record_ids, fingerprints) -> int:
+    """Uniform-run input validation shared by the run encoders; returns
+    the fingerprint width."""
     fp0 = fingerprints[0]
     if type(fp0) is not bytes and not isinstance(fp0, bytearray):
         raise ValueError("fingerprints must be bytes")
@@ -203,10 +220,15 @@ def encode_fp_run(tenant_id: int, modality: str, record_ids,
         # as encode_events_batch
         if type(rid) is not int or not 0 <= rid < 2**64:
             raise ValueError(f"record_id out of u64 range: {rid!r}")
-    first = {
+    return flen
+
+
+def _fp_run_first(tenant_id, modality, rid0, fp0, algorithm,
+                  config_hash, format_version, metadata) -> dict:
+    return {
         "op": "upsert",
         "tenant_id": tenant_id,
-        "record_id": record_ids[0],
+        "record_id": rid0,
         "modality": modality,
         "format_version": format_version,
         "config_hash": config_hash,
@@ -217,8 +239,33 @@ def encode_fp_run(tenant_id: int, modality: str, record_ids,
         "model_id": None,
         "text": None,
     }
-    return _fill_fp_frames(first, algorithm, list(record_ids),
-                           fingerprints, n, flen)
+
+
+def encode_fp_run_block(tenant_id: int, modality: str, record_ids,
+                        fingerprints, *, algorithm: str,
+                        config_hash: int = 0, format_version: int = 1,
+                        metadata: bytes = b"",
+                        validate: bool = True) -> tuple[bytes, int, int]:
+    """encode_fp_run without the per-frame slicing: returns
+    (concatenated_frames, frame_len, count) for engines that can append
+    a fixed-length frame block in one call (NativeWal.rewrite_encoded).
+    `validate=False` skips the per-item input checks for callers whose
+    inputs are already store-validated (compaction snapshots — every
+    row passed Record validation at ingest); the emitted bytes are
+    identical either way."""
+    n = len(record_ids)
+    if n != len(fingerprints):
+        raise ValueError("record_ids and fingerprints length mismatch")
+    if n == 0:
+        return b"", 0, 0
+    flen = (_check_fp_run(record_ids, fingerprints) if validate
+            else len(fingerprints[0]))
+    first = _fp_run_first(tenant_id, modality, record_ids[0],
+                          fingerprints[0], algorithm, config_hash,
+                          format_version, metadata)
+    block, frame_len = _fill_fp_block(first, algorithm, list(record_ids),
+                                      fingerprints, n, flen)
+    return block, frame_len, n
 
 
 def decode_event(data: bytes) -> dict:
@@ -496,6 +543,18 @@ class NativeWal:
             if rc != 0:
                 raise OSError(f"wal append failed: {rc}")
 
+    def append_block_nosync(self, block: bytes, frame_len: int,
+                            count: int) -> None:
+        """Buffer `count` fixed-length frames from one concatenated
+        buffer (encode_fp_run_block's shape); durable only after
+        flush(). Byte-identical to appending each frame."""
+        if count == 0:
+            return
+        rc = self._lib.ucfp_wal_append_fixed(
+            self._h, block, frame_len, count)
+        if rc != 0:
+            raise OSError(f"wal append failed: {rc}")
+
     def append_nosync(self, events: list[dict]) -> None:
         """Buffer frames in the engine; durable only after flush()."""
         self.append_encoded_nosync([self.encode(ev) for ev in events])
@@ -556,6 +615,19 @@ class NativeWal:
         .tmp target and reattaches to the ORIGINAL log — the object must
         never be left appending to the tmp file (those events would be
         invisible to the next replay)."""
+        self.rewrite_encoded(self.encode(ev) for ev in events)
+
+    # frames buffered per append chunk during rewrite_encoded: bounds
+    # the b"".join working set without paying a C crossing per frame
+    _REWRITE_CHUNK = 65536
+
+    def rewrite_encoded(self, blobs) -> None:
+        """rewrite() over pre-encoded frames — the compaction fast path
+        (the store emits array-direct run frames, no per-record event
+        dicts). Items are single frames (bytes) or fixed-length frame
+        blocks ((concatenated_frames, frame_len, count) tuples, the
+        encode_fp_run_block shape). Same failure-safety contract as
+        rewrite()."""
         tmp = self._path + ".tmp"
         if os.path.exists(tmp):
             os.unlink(tmp)
@@ -568,7 +640,21 @@ class NativeWal:
         self._h = nh
         self._path = tmp
         try:
-            self.append_events(list(events))
+            chunk: list[bytes] = []
+            for item in blobs:
+                if type(item) is tuple:
+                    if chunk:
+                        self.append_encoded_nosync(chunk)
+                        chunk = []
+                    self.append_block_nosync(*item)
+                    continue
+                chunk.append(item)
+                if len(chunk) >= self._REWRITE_CHUNK:
+                    self.append_encoded_nosync(chunk)
+                    chunk = []
+            if chunk:
+                self.append_encoded_nosync(chunk)
+            self.flush()
             rc = self._lib.ucfp_wal_replace(self._h, old_path.encode())
             if rc != 0:
                 raise OSError(f"wal replace failed: {rc}")
@@ -968,14 +1054,28 @@ class GroupCommitWal:
         that snapshot already includes any buffered-but-unsynced events
         (they are applied to memory before their fsync), so the buffer is
         dropped and its waiters are satisfied by the rewrite's own fsync."""
+        self._rewrite_with(lambda: self._inner.rewrite(events))
+
+    def rewrite_encoded(self, blobs: Iterable[bytes]) -> bool:
+        """Compaction over pre-encoded frames when the engine supports it
+        (native). Returns False when it doesn't (JSON re-encodes from
+        dicts) — the caller falls back to rewrite(events). Same buffer
+        semantics as rewrite()."""
+        fn = getattr(self._inner, "rewrite_encoded", None)
+        if fn is None:
+            return False
+        self._rewrite_with(lambda: fn(blobs))
+        return True
+
+    def _rewrite_with(self, do_rewrite) -> None:
         self._quiesce()
         try:
             dropped, self._buf = self._buf, []
             target = self._queued
             try:
-                self._inner.rewrite(events)
+                do_rewrite()
             except BaseException:
-                # inner.rewrite reattached to the ORIGINAL log on failure;
+                # inner rewrite reattached to the ORIGINAL log on failure;
                 # restore the buffer so a later round appends it there
                 self._buf[:0] = dropped
                 raise

@@ -313,6 +313,13 @@ def load_walstore():
     lib._replay_cb_type = CB
     lib.ucfp_wal_replay.restype = ctypes.c_long
     lib.ucfp_wal_replay.argtypes = [ctypes.c_char_p, CB, ctypes.c_void_p]
+    lib.ucfp_wal_append_fixed.restype = ctypes.c_int
+    lib.ucfp_wal_append_fixed.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p,
+        ctypes.c_uint32,
+        ctypes.c_uint64,
+    ]
     lib.ucfp_wal_replay_concat.restype = ctypes.c_long
     lib.ucfp_wal_replay_concat.argtypes = [
         ctypes.c_char_p,

@@ -152,6 +152,27 @@ int ucfp_wal_append_many(void* h, const uint8_t* data,
   return 0;
 }
 
+// Buffer `count` frames of ONE fixed length from a concatenated
+// payload (frame i spans [i*frame_len, (i+1)*frame_len)). Byte-identical
+// to `count` ucfp_wal_append calls — the compaction path emits uniform
+// run frames and this skips both the per-frame Python slicing and the
+// lens array.
+int ucfp_wal_append_fixed(void* h, const uint8_t* data, uint32_t frame_len,
+                          uint64_t count) {
+  Store* s = static_cast<Store*>(h);
+  if (!s || s->fd < 0) return -1;
+  s->pending.reserve(s->pending.size() + count * (12u + (size_t)frame_len));
+  const uint8_t* p = data;
+  for (uint64_t i = 0; i < count; i++) {
+    uint32_t header[3] = {kMagic, frame_len, crc32(p, frame_len)};
+    const uint8_t* hb = reinterpret_cast<const uint8_t*>(header);
+    s->pending.insert(s->pending.end(), hb, hb + sizeof(header));
+    s->pending.insert(s->pending.end(), p, p + frame_len);
+    p += frame_len;
+  }
+  return 0;
+}
+
 // Write buffered frames and fsync — one durability point per batch,
 // matching the reference's one-commit-per-txn.
 int ucfp_wal_commit(void* h) {
