@@ -1066,3 +1066,116 @@ class TestColumnarCompaction:
         rids = [ev["record_ids"][0] for ev in r.replay()]
         r.close()
         assert rids == [1, 2]
+
+
+class TestTwoPhaseCompaction:
+    """compact() holds the store lock only for the snapshot; the file
+    write runs outside it. Events buffered AFTER the snapshot mark must
+    land in the NEW log; events before it are covered by the snapshot."""
+
+    def test_post_mark_appends_land_in_new_log(self, tmp_path):
+        p = str(tmp_path / "t.wal")
+        w = walmod.GroupCommitWal(walmod.open_wal(p, "native"))
+        t = w.append_buffered([{"op": "delete", "tenant_id": 0,
+                                "record_ids": [1]}])
+        w.sync_until(t)
+        ctx = w.begin_rewrite()
+        w.mark_rewrite(ctx)
+        # buffered after the mark: NOT covered by the snapshot
+        t2 = w.append_buffered([{"op": "delete", "tenant_id": 0,
+                                 "record_ids": [2]}])
+        w.commit_rewrite(ctx, events=[
+            {"op": "delete", "tenant_id": 0, "record_ids": [99]}])
+        w.sync_until(t2)  # resumed writer drains it to the NEW log
+        w.close()
+        r = walmod.open_wal(p, "native")
+        rids = [ev["record_ids"][0] for ev in r.replay()]
+        r.close()
+        assert rids == [99, 2]
+
+    def test_concurrent_ingest_during_compact_survives_restart(
+            self, tmp_path, monkeypatch):
+        """Ingest issued WHILE the compaction file-write is in flight
+        must apply (no store-lock stall) and be durable in the new log."""
+        import asyncio
+        import threading
+
+        from ucfp_tpu.core import Modality
+        from ucfp_tpu.index.embedded import EmbeddedBackend
+
+        d = str(tmp_path / "db")
+        b = EmbeddedBackend(d, wal_engine="native")
+        rids = list(range(1, 33))
+        fps = [bytes([i] * 8) for i in rids]
+        asyncio.run(b.upsert_fingerprint_batch(
+            5, "imgfprint-phash-v1", rids, fps, modality=Modality.IMAGE))
+
+        gate = threading.Event()
+        entered = threading.Event()
+        real = walmod.NativeWal.rewrite_encoded
+
+        def slow(self, blobs):
+            entered.set()
+            assert gate.wait(timeout=30)
+            return real(self, blobs)
+
+        monkeypatch.setattr(walmod.NativeWal, "rewrite_encoded", slow)
+        compact_t = threading.Thread(target=b.compact)
+        compact_t.start()
+        assert entered.wait(timeout=30)
+        # compaction file-write is parked: this ingest must still apply
+        # to memory promptly (store lock free) and then ack durability
+        # once the writer drains to the new log
+        applied = threading.Event()
+
+        def ingest():
+            async def go():
+                await b.upsert_fingerprint_batch(
+                    5, "imgfprint-phash-v1", [100 + i for i in range(16)],
+                    [bytes([200 + i] * 8) for i in range(16)],
+                    modality=Modality.IMAGE)
+            asyncio.run(go())
+            applied.set()
+
+        ingest_t = threading.Thread(target=ingest)
+        ingest_t.start()
+        # memory apply must not wait for the rewrite
+        deadline = 10.0
+        import time as _time
+        t0 = _time.monotonic()
+        while (5, 100) not in b._records:
+            assert _time.monotonic() - t0 < deadline, \
+                "memory apply stalled behind the compaction file write"
+            _time.sleep(0.01)
+        assert not applied.is_set()  # durability ack still parked
+        gate.set()
+        compact_t.join(timeout=30)
+        ingest_t.join(timeout=30)
+        assert applied.is_set()
+        assert len(b._records) == 48
+        b.close()
+        b2 = EmbeddedBackend(d)
+        assert len(b2._records) == 48
+        assert (5, 100) in b2._records and (5, 1) in b2._records
+        b2.close()
+
+    def test_abort_rewrite_resumes_writer(self, tmp_path, monkeypatch):
+        p = str(tmp_path / "a.wal")
+        w = walmod.GroupCommitWal(walmod.open_wal(p, "native"))
+
+        def boom(self, blobs):
+            raise OSError("EIO")
+
+        monkeypatch.setattr(walmod.NativeWal, "rewrite_encoded", boom)
+        with pytest.raises(OSError):
+            w.rewrite_encoded([walmod.encode_event(
+                {"op": "delete", "tenant_id": 0, "record_ids": [9]})])
+        monkeypatch.undo()
+        # the writer must be resumed: a normal append completes
+        t = w.append_buffered([{"op": "delete", "tenant_id": 0,
+                                "record_ids": [3]}])
+        w.sync_until(t)
+        w.close()
+        r = walmod.open_wal(p, "native")
+        assert [ev["record_ids"][0] for ev in r.replay()] == [3]
+        r.close()

@@ -2611,34 +2611,58 @@ class EmbeddedBackend(IndexBackend):
 
     def compact(self) -> None:
         """Rewrite the WAL as a snapshot of current state (checkpoint).
-        Holds the write lock for the rewrite, so writers stall briefly.
-        On the native engine the snapshot is emitted as array-direct
-        run frames (byte-identical to the per-event encode, so the
-        compacted log is unchanged — only the encode cost drops) and
-        the resulting uniform runs make the NEXT replay columnar too."""
-        with self._lock:
-            enc = getattr(self._wal, "rewrite_encoded", None)
-            done = enc(self._snapshot_frames()) if enc is not None else False
-            if not done:
-                events = [
-                    _upsert_event(tid, rid, row)
-                    for (tid, rid), row in sorted(self._records.items())
-                ]
-                self._wal.rewrite(events)
-            self._wal_floor = self._wal_size()
 
-    def _snapshot_frames(self) -> Iterator:
-        """Encoded WAL frames of the current state in sorted (tenant,
-        record) order — single frames (bytes) for rows with optional
-        fields, fixed-length frame blocks ((bytes, frame_len, count))
-        for maximal uniform fingerprint-only runs, the shape
-        NativeWal.rewrite_encoded appends in one C call. The framed
-        bytes are identical to [encode_event(_upsert_event(...))] in
-        the same order (encode_fp_run_block's contract), so this
-        changes the snapshot's cost, never its bytes."""
+        Two-phase: the store lock is held only to pin the snapshot
+        (sorted row REFS — rows are replaced, never mutated, so the
+        refs stay stable) and take the WAL buffer watermark; the encode
+        + file write + fsync run OUTSIDE the lock, so queries and
+        memory applies proceed during the rewrite (durability acks for
+        concurrent ingest wait until the swap, then drain to the new
+        log). On the native engine the snapshot is emitted as
+        array-direct run frames (byte-identical to the per-event
+        encode, so the compacted log is unchanged — only the encode
+        cost drops) and the resulting uniform runs make the NEXT
+        replay columnar too."""
+        wal = self._wal
+        begin = getattr(wal, "begin_rewrite", None)
+        if begin is None:
+            # bare engine (tests wiring a raw NativeWal/JsonWal): keep
+            # the single-phase path under the lock
+            with self._lock:
+                items = sorted(self._records.items())
+                wal.rewrite(_upsert_event(tid, rid, row)
+                            for (tid, rid), row in items)
+                self._wal_floor = self._wal_size()
+            return
+        ctx = begin()
+        try:
+            with self._lock:
+                wal.mark_rewrite(ctx)
+                items = sorted(self._records.items())
+            if wal.supports_encoded_rewrite:
+                wal.commit_rewrite(ctx, blobs=self._snapshot_frames(items))
+            else:
+                wal.commit_rewrite(ctx, events=[
+                    _upsert_event(tid, rid, row)
+                    for (tid, rid), row in items
+                ])
+        except BaseException:
+            wal.abort_rewrite(ctx)
+            raise
+        self._wal_floor = self._wal_size()
+
+    def _snapshot_frames(self, items: list) -> Iterator:
+        """Encoded WAL frames of a pinned state snapshot (sorted
+        ((tenant, rid), row) items) — single frames (bytes) for rows
+        with optional fields, fixed-length frame blocks
+        ((bytes, frame_len, count)) for maximal uniform
+        fingerprint-only runs, the shape NativeWal.rewrite_encoded
+        appends in one C call. The framed bytes are identical to
+        [encode_event(_upsert_event(...))] in the same order
+        (encode_fp_run_block's contract), so this changes the
+        snapshot's cost, never its bytes."""
         from .wal import encode_event, encode_fp_run_block
 
-        items = sorted(self._records.items())
         n = len(items)
         i = 0
         while i < n:

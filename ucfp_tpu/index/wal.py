@@ -965,9 +965,14 @@ class GroupCommitWal:
     def _run(self) -> None:
         while True:
             with self._cv:
-                while (not self._stopped
-                       and (self._paused
-                            or (not self._buf and self._committed >= self._queued))):
+                # park while paused EVEN IF stopped: a two-phase rewrite
+                # owns the inner engine until commit/abort resumes us —
+                # appending mid-swap would write to a log about to be
+                # replaced (close() rejoins after the rewrite resolves)
+                while (self._paused
+                       or (not self._stopped
+                           and not self._buf
+                           and self._committed >= self._queued)):
                     self._cv.wait()
                 if self._stopped and (
                     (not self._buf and self._committed >= self._queued)
@@ -1035,55 +1040,107 @@ class GroupCommitWal:
         fn = getattr(self._inner, "replay_groups", None)
         return fn() if fn is not None else None
 
-    def _quiesce(self):
-        """Pause the writer thread with the buffer drained-or-parked;
-        returns the context lock held. Caller must _resume()."""
-        self._cv.acquire()
-        self._paused = True
-        while self._in_round:
-            self._cv.wait()
-        return self
-
-    def _resume(self) -> None:
-        self._paused = False
-        self._cv.notify_all()
-        self._cv.release()
-
     def rewrite(self, events: Iterable[dict]) -> None:
         """Compaction. The caller snapshots state under the backend lock;
         that snapshot already includes any buffered-but-unsynced events
         (they are applied to memory before their fsync), so the buffer is
         dropped and its waiters are satisfied by the rewrite's own fsync."""
-        self._rewrite_with(lambda: self._inner.rewrite(events))
+        ctx = self.begin_rewrite()
+        self.mark_rewrite(ctx)
+        try:
+            self.commit_rewrite(ctx, events=events)
+        except BaseException:
+            self.abort_rewrite(ctx)
+            raise
 
-    def rewrite_encoded(self, blobs: Iterable[bytes]) -> bool:
+    def rewrite_encoded(self, blobs) -> bool:
         """Compaction over pre-encoded frames when the engine supports it
         (native). Returns False when it doesn't (JSON re-encodes from
         dicts) — the caller falls back to rewrite(events). Same buffer
         semantics as rewrite()."""
-        fn = getattr(self._inner, "rewrite_encoded", None)
-        if fn is None:
+        if not self.supports_encoded_rewrite:
             return False
-        self._rewrite_with(lambda: fn(blobs))
+        ctx = self.begin_rewrite()
+        self.mark_rewrite(ctx)
+        try:
+            self.commit_rewrite(ctx, blobs=blobs)
+        except BaseException:
+            self.abort_rewrite(ctx)
+            raise
         return True
 
-    def _rewrite_with(self, do_rewrite) -> None:
-        self._quiesce()
+    @property
+    def supports_encoded_rewrite(self) -> bool:
+        return getattr(self._inner, "rewrite_encoded", None) is not None
+
+    # -- two-phase compaction ------------------------------------------------
+    #
+    # The store's compact() stalls queries only for the in-memory state
+    # snapshot, not the file write:
+    #
+    #   ctx = wal.begin_rewrite()          # park the writer thread
+    #   with store_lock:
+    #       wal.mark_rewrite(ctx)          # buffer watermark = snapshot
+    #       items = snapshot(state)        # immutable row refs
+    #   wal.commit_rewrite(ctx, blobs=...) # encode + write OUTSIDE the lock
+    #
+    # Correctness rests on two invariants the store upholds: (1) every
+    # buffered append shares one critical section with its memory apply
+    # (so at mark time the snapshot contains exactly the events below
+    # the watermark), and (2) catalog rows are replaced, never mutated,
+    # so refs snapshotted under the lock stay stable while encoding.
+    # Appends issued during the file write keep buffering (their memory
+    # applies proceed, durability acks wait); on commit they are
+    # retained and the resumed writer drains them to the NEW log.
+
+    def begin_rewrite(self) -> dict:
+        """Phase 1: park the writer thread so the inner engine belongs
+        to the rewriter. Appenders keep buffering; durability waits
+        until commit/abort."""
+        with self._cv:
+            self._paused = True
+            while self._in_round:
+                self._cv.wait()
+        return {"watermark": None, "target": None}
+
+    def mark_rewrite(self, ctx: dict) -> None:
+        """Phase 2, called under the store lock while snapshotting:
+        everything buffered so far is covered by the snapshot (dropped
+        on commit); later appends are retained."""
+        with self._cv:
+            ctx["watermark"] = len(self._buf)
+            ctx["target"] = self._queued
+
+    def commit_rewrite(self, ctx: dict, *, blobs=None, events=None) -> None:
+        """Phase 3: rewrite the inner log to the snapshot and atomically
+        swap, then drop the covered buffer prefix and resolve its
+        waiters (the rewrite's own fsync is their durability). On
+        failure the inner engine reattached to the ORIGINAL log and the
+        buffer is untouched — nothing is dropped before the swap
+        succeeds, so no path loses events."""
         try:
-            dropped, self._buf = self._buf, []
-            target = self._queued
-            try:
-                do_rewrite()
-            except BaseException:
-                # inner rewrite reattached to the ORIGINAL log on failure;
-                # restore the buffer so a later round appends it there
-                self._buf[:0] = dropped
-                raise
-            self._committed = max(self._committed, target)
+            if blobs is not None:
+                self._inner.rewrite_encoded(blobs)
+            else:
+                self._inner.rewrite(events)
+        except BaseException:
+            self.abort_rewrite(ctx)
+            raise
+        with self._cv:
+            del self._buf[: ctx["watermark"]]
+            self._committed = max(self._committed, ctx["target"])
             self._round_err = None
             self._resolve_futures_locked()
-        finally:
-            self._resume()
+            self._paused = False
+            self._cv.notify_all()
+
+    def abort_rewrite(self, ctx: dict) -> None:
+        """Unpark the writer after a failed/abandoned rewrite. Safe to
+        call after commit_rewrite already resumed (idempotent)."""
+        with self._cv:
+            if self._paused:
+                self._paused = False
+                self._cv.notify_all()
 
     def close(self) -> None:
         import threading
