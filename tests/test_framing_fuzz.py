@@ -275,3 +275,61 @@ def _fuzz_app(tmp_path_factory):
         )
         _FUZZ_APP["app"] = build_server(state, timeout_secs=120.0)
     return _FUZZ_APP["app"]
+
+
+class _FragmentingReader:
+    """StreamReader stand-in whose read(n) returns at most the next
+    scripted fragment — exercising every partial-read interleaving of
+    HttpServer._read_body_exact."""
+
+    def __init__(self, data: bytes, sizes: list[int]):
+        self._data = data
+        self._pos = 0
+        self._sizes = list(sizes)
+        self._i = 0
+
+    async def read(self, n: int) -> bytes:
+        if self._pos >= len(self._data):
+            return b""
+        frag = self._sizes[self._i % len(self._sizes)] if self._sizes else n
+        self._i += 1
+        take = min(n, max(1, frag), len(self._data) - self._pos)
+        out = self._data[self._pos:self._pos + take]
+        self._pos += take
+        return out
+
+    async def readexactly(self, n: int) -> bytes:
+        if self._pos + n > len(self._data):
+            raise asyncio.IncompleteReadError(self._data[self._pos:], n)
+        out = self._data[self._pos:self._pos + n]
+        self._pos += n
+        return out
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    size=st.integers(0, 1 << 19),
+    sizes=st.lists(st.integers(1, 1 << 17), min_size=1, max_size=8),
+)
+def test_read_body_exact_reassembles(size, sizes):
+    """_read_body_exact(clen) == the exact body bytes for every
+    fragmentation, above and below the slice threshold."""
+    from ucfp_tpu.server.http import HttpServer
+
+    payload = bytes(i & 0xFF for i in range(size))
+    srv = HttpServer.__new__(HttpServer)  # only _read_body_exact needed
+    r = _FragmentingReader(payload, sizes)
+    got = asyncio.run(srv._read_body_exact(r, len(payload)))
+    assert got == payload
+
+
+def test_read_body_exact_eof_raises():
+    from ucfp_tpu.server.http import HttpServer
+
+    srv = HttpServer.__new__(HttpServer)
+    r = _FragmentingReader(b"x" * 1000, [300])
+    try:
+        asyncio.run(srv._read_body_exact(r, (1 << 18) + 5000))
+        raise AssertionError("expected IncompleteReadError")
+    except asyncio.IncompleteReadError as e:
+        assert e.partial == b"x" * 1000

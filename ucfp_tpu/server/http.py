@@ -429,6 +429,29 @@ class HttpServer:
             )
         return resp, path_label
 
+    # bounded-slice body reads above this size: readexactly(12 MB) grows
+    # the StreamReader's internal bytearray by ~256 KB recv chunks, and
+    # bytearray growth re-copies the accumulated prefix (~10 ms of
+    # memcpy per 12 MB batch body — measured ~24% of the 1-core ingest
+    # soak). Slice reads keep the reader's buffer O(slice) and join once.
+    _BODY_SLICE = 1 << 18
+
+    async def _read_body_exact(self, reader: asyncio.StreamReader,
+                               clen: int) -> bytes:
+        """readexactly(clen) without the large-buffer growth churn.
+        Same failure contract: asyncio.IncompleteReadError on EOF."""
+        if clen <= self._BODY_SLICE:
+            return await reader.readexactly(clen)
+        chunks: list[bytes] = []
+        remaining = clen
+        while remaining:
+            c = await reader.read(min(self._BODY_SLICE, remaining))
+            if not c:
+                raise asyncio.IncompleteReadError(b"".join(chunks), clen)
+            chunks.append(c)
+            remaining -= len(c)
+        return b"".join(chunks)
+
     async def _read_chunked(self, reader: asyncio.StreamReader) -> Optional[bytes]:
         """Buffered chunked-body read for non-streaming routes: the SAME
         decoder as streaming routes (BodyStream), plus the body limit.
@@ -581,7 +604,8 @@ class HttpServer:
                     try:
                         body = (
                             await asyncio.wait_for(
-                                reader.readexactly(clen), self.read_timeout_secs
+                                self._read_body_exact(reader, clen),
+                                self.read_timeout_secs,
                             )
                             if clen else b""
                         )
