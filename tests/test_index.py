@@ -689,3 +689,140 @@ class TestColumnarFpBatch:
             assert hits[0].record_id == rid and hits[0].score == 1.0
             assert run(be.get_record_metadata(1, rid)).config_hash == 5
         be.close()
+
+
+class TestColumnarEmbBatch:
+    """upsert_embedding_batch (array-direct bulk vector load) must be
+    indistinguishable from upsert() of the corresponding Records:
+    identical WAL bytes, catalog rows, query results, filter tags, and
+    restart state — and identical fallback semantics for every
+    non-qualifying batch."""
+
+    def _mat(self, n, d=6, seed=11):
+        rng = np.random.default_rng(seed)
+        return rng.normal(size=(n, d)).astype(np.float32)
+
+    def test_equivalent_state_wal_bytes_and_replay(self, tmp_path):
+        import os
+
+        mat = self._mat(24)
+        rids = list(range(200, 224))
+        fps = [bytes([i] * 8) for i in range(24)]
+        a = EmbeddedBackend(str(tmp_path / "bulk"))
+        run(a.upsert_embedding_batch(
+            0, "emb-v1", rids, mat, fingerprints=fps,
+            modality=Modality.TEXT, model_id="mm", config_hash=9))
+        b = EmbeddedBackend(str(tmp_path / "records"))
+        run(b.upsert([
+            Record(tenant_id=0, record_id=rid, modality=Modality.TEXT,
+                   algorithm="emb-v1", fingerprint=fp, config_hash=9,
+                   embedding=mat[i].tolist(), model_id="mm")
+            for i, (rid, fp) in enumerate(zip(rids, fps))
+        ]))
+        # the WAL bytes are identical: the run encoder is a constructor
+        # for the same wire format, not a new one
+        wa = open(os.path.join(str(tmp_path / "bulk"), "ucfp.wal"), "rb").read()
+        wb = open(os.path.join(str(tmp_path / "records"), "ucfp.wal"), "rb").read()
+        assert wa == wb
+        for be in (a, b):
+            m = run(be.get_record_metadata(0, 205))
+            assert m.has_embedding and m.model_id == "mm"
+            hits = run(be.knn(0, mat[5].tolist(), 1))
+            assert hits[0].record_id == 205
+            hits = run(be.knn(0, mat[5].tolist(), 1,
+                              filter={"algorithm": "emb-v1",
+                                      "model_id": "mm"}))
+            assert hits[0].record_id == 205
+            assert run(be.knn(0, mat[5].tolist(), 1,
+                              filter={"algorithm": "emb-v1",
+                                      "model_id": "nope"})) == []
+            hf = run(be.knn_fingerprint(0, "emb-v1", fps[3], 1))
+            assert hf[0].record_id == 203 and hf[0].score == 1.0
+        a.close(), b.close()
+        # reopen rides the columnar emb-run replay; state must match
+        a2 = EmbeddedBackend(str(tmp_path / "bulk"))
+        assert run(a2.knn(0, mat[17].tolist(), 1))[0].record_id == 217
+        assert run(a2.knn(0, mat[17].tolist(), 1,
+                          filter={"algorithm": "emb-v1",
+                                  "model_id": "mm"}))[0].record_id == 217
+        got = a2.get_record(0, 212)
+        assert np.asarray(got["embedding"], np.float32).tolist() == \
+            mat[12].tolist()
+        assert got["model_id"] == "mm" and bytes(got["fingerprint"]) == fps[12]
+        a2.close()
+
+    def test_derived_fingerprints_are_f32_rows(self, tmp_path):
+        """fingerprints=None derives each row's f32-LE bytes — the
+        representation fingerprint_semantic() records carry."""
+        mat = self._mat(8, d=4)
+        be = EmbeddedBackend(str(tmp_path))
+        run(be.upsert_embedding_batch(1, "emb-v1", list(range(8)), mat))
+        row = be.get_record(1, 3)
+        assert bytes(row["fingerprint"]) == mat[3].tobytes()
+        be.close()
+
+    def test_update_of_existing_rid_falls_back(self, tmp_path):
+        be = EmbeddedBackend(str(tmp_path))
+        mat = self._mat(4)
+        run(be.upsert_embedding_batch(0, "emb-v1", [1, 2, 3, 4], mat))
+        new = self._mat(2, seed=5)
+        run(be.upsert_embedding_batch(0, "emb-v1", [2, 99], new))
+        hits = run(be.knn(0, new[0].tolist(), 1))
+        assert hits[0].record_id == 2
+        assert be._vec[(0, 6)].n == 5
+        be.close()
+
+    def test_special_algorithm_falls_back(self, tmp_path):
+        from ucfp_tpu.index.embedded import HAITSMA_ALGORITHM
+
+        be = EmbeddedBackend(str(tmp_path))
+        mat = self._mat(3, d=2)
+        fps = [bytes(range(4))] * 3  # 4-byte streams: haitsma-cacheable
+        run(be.upsert_embedding_batch(
+            0, HAITSMA_ALGORITHM, [1, 2, 3], mat, fingerprints=fps))
+        # per-record semantics: the haitsma stream cache is populated
+        assert be._haitsma[0].n == 3
+        assert run(be.knn(0, mat[1].tolist(), 1))[0].record_id == 2
+        be.close()
+
+    def test_nonfinite_raises_and_applies_nothing(self, tmp_path):
+        be = EmbeddedBackend(str(tmp_path))
+        mat = self._mat(3)
+        mat[1, 2] = np.nan
+        with pytest.raises(ValueError):
+            run(be.upsert_embedding_batch(0, "emb-v1", [1, 2, 3], mat))
+        for rid in (1, 2, 3):
+            with pytest.raises(RecordNotFound):
+                be.get_record(0, rid)
+        be.close()
+
+    def test_generic_upsert_batch_equals_per_record(self, tmp_path,
+                                                    monkeypatch):
+        """upsert() of a uniform embedding batch (vectorized validate +
+        apply) must produce exactly the per-record path's state."""
+        fast = EmbeddedBackend(str(tmp_path / "fast"))
+        slow = EmbeddedBackend(str(tmp_path / "slow"))
+        monkeypatch.setattr(
+            type(slow), "_apply_upsert_batch",
+            lambda self, recs, emb_mat=None: False)
+        mat = self._mat(16, d=5)
+        recs = [
+            Record(tenant_id=2, record_id=i, modality=Modality.TEXT,
+                   algorithm="emb-v1", fingerprint=b"\x05" * 4,
+                   embedding=mat[i].tolist(), model_id="m")
+            for i in range(16)
+        ]
+        run(fast.upsert(list(recs)))
+        run(slow.upsert(list(recs)))
+        for rid in (0, 7, 15):
+            ra, rb = fast.get_record(2, rid), slow.get_record(2, rid)
+            assert np.array_equal(ra["embedding"], rb["embedding"])
+            assert {k: v for k, v in ra.items() if k != "embedding"} == \
+                {k: v for k, v in rb.items() if k != "embedding"}
+        ha = run(fast.knn(2, mat[7].tolist(), 3,
+                          filter={"algorithm": "emb-v1", "model_id": "m"}))
+        hb = run(slow.knn(2, mat[7].tolist(), 3,
+                          filter={"algorithm": "emb-v1", "model_id": "m"}))
+        assert [(h.record_id, h.score) for h in ha] == \
+            [(h.record_id, h.score) for h in hb]
+        fast.close(), slow.close()

@@ -760,6 +760,193 @@ class TestFpRunEncoder:
         assert [bytes(ev["fingerprint"]) for ev in ra] == fps
 
 
+class TestEmbRunEncoder:
+    """encode_emb_run / encode_emb_run_block / append_buffered_emb_run:
+    the array-direct WAL path for uniform embedding runs must be
+    byte-identical to the per-event dict protocol on every engine."""
+
+    def _run_args(self, rng, n=20, flen=8, d=12):
+        import numpy as np
+
+        rids = [rng.randrange(2**64) for _ in range(n)]
+        fps = [bytes(rng.randrange(256) for _ in range(flen))
+               for _ in range(n)]
+        mat = np.array(
+            [[rng.uniform(-10, 10) for _ in range(d)] for _ in range(n)],
+            np.float32,
+        )
+        return rids, fps, mat
+
+    def _events(self, rids, fps, mat, *, alg, model, meta=b"\x01",
+                tenant=7, cfg=42):
+        return [{
+            "op": "upsert", "tenant_id": tenant, "record_id": rid,
+            "modality": "image", "format_version": 1,
+            "config_hash": cfg, "algorithm": alg,
+            "fingerprint": fp, "metadata": meta,
+            "embedding": mat[i].tolist(), "model_id": model,
+            "text": None,
+        } for i, (rid, fp) in enumerate(zip(rids, fps))]
+
+    def test_emb_run_identical_to_per_event_fuzz(self):
+        import random
+
+        rng = random.Random(0xE3B)
+        for d in (1, 4, 384, 768):
+            for model in (None, "model-x"):
+                for flen in (0, 8, 4 * d):
+                    rids, fps, mat = self._run_args(rng, 11, flen, d)
+                    got = walmod.encode_emb_run(
+                        7, "image", rids, fps, mat, algorithm="alg-v1",
+                        model_id=model, config_hash=42,
+                        format_version=1, metadata=b"\x01")
+                    want = [walmod.encode_event(e) for e in self._events(
+                        rids, fps, mat, alg="alg-v1", model=model)]
+                    assert got == want, (d, model, flen)
+                    blk, fl, cnt = walmod.encode_emb_run_block(
+                        7, "image", rids, fps, list(mat),
+                        algorithm="alg-v1", model_id=model,
+                        config_hash=42, format_version=1,
+                        metadata=b"\x01")
+                    assert blk == b"".join(want) and cnt == len(want)
+                    assert fl == len(want[0])
+
+    def test_batch_encoder_rounds_doubles_like_struct(self):
+        """encode_events_batch's numpy f32 cast must round raw Python
+        doubles exactly like struct.pack '<f' — including subnormals,
+        inf/nan, and negative zero."""
+        import math
+        import random
+
+        rng = random.Random(0xD0B)
+        vals = [0.1, -0.0, 1e-45, 3.4e38, math.inf, -math.inf,
+                math.nan, 2**-149, 1/3, 1e-310, 6.1e-5]
+        events = []
+        for i in range(22):
+            emb = [rng.uniform(-1e38, 1e38) for _ in range(6)]
+            emb[0] = vals[i % len(vals)]  # exact corner values too
+            events.append({
+                "op": "upsert", "tenant_id": 1, "record_id": i,
+                "modality": "text", "format_version": 1,
+                "config_hash": 0, "algorithm": "a",
+                "fingerprint": b"\x00" * 4, "metadata": b"",
+                "embedding": emb, "model_id": None, "text": None,
+            })
+        assert walmod.encode_events_batch(events) == [
+            walmod.encode_event(e) for e in events
+        ]
+
+    def test_batch_encoder_finite_overflow_raises_like_struct(self):
+        """A FINITE double that overflows f32 (1e39) raises
+        OverflowError on the per-event encoder — the batch path must
+        fall back and raise the same error, never silently log inf."""
+        events = [{
+            "op": "upsert", "tenant_id": 1, "record_id": i,
+            "modality": "text", "format_version": 1,
+            "config_hash": 0, "algorithm": "a",
+            "fingerprint": b"\x00" * 4, "metadata": b"",
+            "embedding": [1.0, 1e39 if i == 5 else 2.0],
+            "model_id": None, "text": None,
+        } for i in range(8)]
+        with pytest.raises(OverflowError):
+            walmod.encode_events_batch(events)
+
+    def test_batch_encoder_mixed_models_fall_back(self):
+        rids = list(range(8))
+        events = self._events(
+            rids, [b"\x00" * 8] * 8,
+            __import__("numpy").ones((8, 4), "float32"),
+            alg="a", model="m")
+        events[3] = dict(events[3], model_id="other")
+        got = walmod.encode_events_batch(events)
+        assert got == [walmod.encode_event(e) for e in events]
+
+    def test_emb_run_rejects_bad_inputs(self):
+        import numpy as np
+
+        ok = walmod.encode_emb_run(0, "image", [1, 2],
+                                   [b"\x00" * 4] * 2,
+                                   np.ones((2, 3), np.float32),
+                                   algorithm="a")
+        assert len(ok) == 2
+        with pytest.raises(ValueError):
+            walmod.encode_emb_run(0, "image", [1], [b"\x00" * 4],
+                                  np.ones((2, 3), np.float32),
+                                  algorithm="a")  # n mismatch
+        with pytest.raises(ValueError):
+            walmod.encode_emb_run(0, "image", [1], [b"\x00" * 4],
+                                  np.ones((1, 0), np.float32),
+                                  algorithm="a")  # empty dim
+        with pytest.raises(ValueError):
+            walmod.encode_emb_run(0, "image", [1.5], [b"\x00" * 4],
+                                  np.ones((1, 3), np.float32),
+                                  algorithm="a")  # float rid
+
+    @pytest.mark.parametrize("engine", ["json", "native"])
+    def test_append_buffered_emb_run_replay_identity(self, tmp_path,
+                                                     engine):
+        """An embedding run appended via append_buffered_emb_run must
+        replay exactly like the same records appended as per-record
+        dicts — native (array-direct) AND JSON (dict fallback)."""
+        import random
+
+        rng = random.Random(0x5EE2)
+        rids, fps, mat = self._run_args(rng, 15, 8, 5)
+
+        def mk(path):
+            inner = (walmod.JsonWal(path) if engine == "json"
+                     else walmod.open_wal(path, engine))
+            return walmod.GroupCommitWal(inner)
+
+        wa = mk(str(tmp_path / "run.wal"))
+        t = wa.append_buffered_emb_run(
+            3, "image", rids, fps, mat, algorithm="alg-v1",
+            model_id="mm", config_hash=5, format_version=1)
+        wa.sync_until(t)
+        wa.close()
+
+        wb = mk(str(tmp_path / "dict.wal"))
+        t = wb.append_buffered(self._events(
+            rids, fps, mat, alg="alg-v1", model="mm", meta=b"",
+            tenant=3, cfg=5))
+        wb.sync_until(t)
+        wb.close()
+
+        ia = (walmod.JsonWal(str(tmp_path / "run.wal")) if engine == "json"
+              else walmod.open_wal(str(tmp_path / "run.wal"), engine))
+        ib = (walmod.JsonWal(str(tmp_path / "dict.wal")) if engine == "json"
+              else walmod.open_wal(str(tmp_path / "dict.wal"), engine))
+        ra, rb = list(ia.replay()), list(ib.replay())
+        ia.close(), ib.close()
+        assert len(ra) == len(rb) == 15
+        for a, b in zip(ra, rb):
+            assert _norm_ev(a) == _norm_ev(b)
+        assert [ev["record_id"] for ev in ra] == rids
+        assert [list(ev["embedding"]) for ev in ra] == mat.tolist()
+
+    def test_emb_run_groups_columnar(self):
+        """A uniform embedding run through iter_frame_groups decodes as
+        ONE emb_run; per-frame equality is the _assert_identity
+        contract below (extended soup fuzz)."""
+        import numpy as np
+
+        rids = list(range(32))
+        mat = np.arange(32 * 4, dtype=np.float32).reshape(32, 4) * 0.25
+        events = self._events(rids, [b"\xab" * 8] * 32, mat,
+                              alg="alg-v1", model="m2")
+        frames = [walmod.encode_event(e) for e in events]
+        helper = TestReplayGroups()
+        data, offs = helper._frames_to_arrays(frames)
+        items = list(walmod.iter_frame_groups(data, offs))
+        assert [k for k, _ in items] == ["emb_run"]
+        run = items[0][1]
+        assert run["record_ids"] == rids and run["model_id"] == "m2"
+        assert run["emb_mat"].tolist() == mat.tolist()
+        flat, runs = _flatten_groups(iter(items))
+        for a, b in zip(flat, (walmod.decode_event(f) for f in frames)):
+            assert _norm_ev(a) == _norm_ev(b)
+
+
 def _norm_ev(ev):
     return {k: (bytes(v) if isinstance(v, (bytes, bytearray)) else v)
             for k, v in ev.items()}
@@ -772,6 +959,9 @@ def _flatten_groups(groups):
         if kind == "fp_run":
             runs += 1
             flat.extend(walmod.fp_run_events(payload))
+        elif kind == "emb_run":
+            runs += 1
+            flat.extend(walmod.emb_run_events(payload))
         else:
             flat.extend(payload)
     return flat, runs
@@ -854,6 +1044,21 @@ class TestReplayGroups:
                         ev["fingerprint"] = bytes(
                             rng.randrange(256) for _ in range(flen))
                         events.append(ev)
+                elif kind < 0.6:
+                    # a run of uniform embedding upserts (varying
+                    # floats + fingerprints; shared template)
+                    alg = rng.choice(algs)
+                    d = rng.choice([1, 3, 16])
+                    model = rng.choice([None, "m", "model-long"])
+                    t = rng.randrange(3)
+                    for _ in range(rng.randrange(1, 24)):
+                        ev = upsert_ev(rng.randrange(2**64))
+                        ev["algorithm"] = alg
+                        ev["tenant_id"] = t
+                        ev["embedding"] = [rng.uniform(-9, 9)
+                                           for _ in range(d)]
+                        ev["model_id"] = model
+                        events.append(ev)
                 elif kind < 0.7:
                     ev = upsert_ev(rng.randrange(2**32))
                     if rng.random() < 0.5:
@@ -908,7 +1113,11 @@ class TestReplayGroups:
         """Comparable snapshot of an EmbeddedBackend's full in-memory
         state: catalog rows, tenant ordering, and hamming cache rows."""
         recs = {k: dict(v, fingerprint=bytes(v["fingerprint"]),
-                        metadata=bytes(v["metadata"]))
+                        metadata=bytes(v["metadata"]),
+                        # stored as np.float32 rows: normalize for ==
+                        embedding=(None if v["embedding"] is None
+                                   else tuple(float(x)
+                                              for x in v["embedding"])))
                 for k, v in b._records.items()}
         ham = {
             key: {rid: h.data[row].tobytes()
@@ -999,6 +1208,12 @@ class TestColumnarCompaction:
                        b"\x07" * 8, config_hash=9,
                        metadata=b"\xaa"),  # meta differs: breaks the run
             ])
+            # a genuine embedding run (snapshot emits encode_emb_run_block)
+            await b.upsert_embedding_batch(
+                7, "emb-v1", list(range(20, 32)),
+                [[0.25 * i, -1.5, 3.0 + i] for i in range(12)],
+                fingerprints=[bytes([i] * 4) for i in range(12)],
+                modality=Modality.TEXT, model_id="mx", config_hash=3)
 
         asyncio.run(fill())
         return b

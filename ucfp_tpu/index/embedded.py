@@ -161,12 +161,15 @@ class _RowCache:
             self._note(self.n)
             self.n += 1
 
-    def upsert_many(self, rids: list[int], mat: np.ndarray) -> None:
+    def upsert_many(self, rids: list[int], mat: np.ndarray,
+                    tag: tuple[int, int] | None = None) -> None:
         """Bulk append of all-NEW rids (callers gate on novelty): one
         slice assignment instead of per-row copies — the per-record
         upsert() measured ~19 us/record of the 1-core ingest budget at
         batch 128. Equivalent to upsert() called per row, including the
-        pending/dirty device-sync bookkeeping."""
+        pending/dirty device-sync bookkeeping. `tag` (uniform across the
+        batch — bulk callers gate on that) fills the filter-tag rows the
+        way per-row upsert(tag=...) does."""
         m = len(rids)
         if m == 0:
             return
@@ -192,6 +195,8 @@ class _RowCache:
                 self.tags = gt
             grew = True
         self.data[self.n: self.n + m] = mat
+        if self.track_tags and tag is not None:
+            self.tags[self.n: self.n + m] = tag
         row = self.n
         for rid in rids:
             self.rows[rid] = row
@@ -511,6 +516,8 @@ class EmbeddedBackend(IndexBackend):
         for kind, payload in groups:
             if kind == "fp_run":
                 skipped += self._replay_fp_run(payload)
+            elif kind == "emb_run":
+                skipped += self._replay_emb_run(payload)
             else:
                 for ev in payload:
                     skipped += self._replay_event(ev)
@@ -595,6 +602,64 @@ class EmbeddedBackend(IndexBackend):
             skipped += self._replay_event(ev)
         return skipped
 
+    def _replay_emb_run(self, run: dict) -> int:
+        """Columnar apply of one uniform embedding upsert run (the bulk
+        vector-load / compaction shape). Gated on exactly what
+        _apply_emb_rows handles — all-new unique rids, plain Hamming
+        algorithm, width fit, finite floats — anything else expands
+        back to per-event replay, so semantics never fork. Returns the
+        skip count."""
+        from .wal import emb_run_events
+
+        t = run["tenant_id"]
+        alg = run["algorithm"]
+        flen = run["flen"]
+        rids = run["record_ids"]
+        gate = (
+            flen > 0 and flen % 4 == 0
+            and alg != LSH_ALGORITHM
+            and alg not in AUDIO_LANDMARK_ALGOS
+            and alg != HAITSMA_ALGORITHM
+        )
+        if gate:
+            hcache = self._ham.get((t, alg))
+            gate = hcache is None or hcache.width == flen // 4
+        if gate:
+            records = self._records
+            seen: set[int] = set()
+            for rid in rids:
+                if rid in seen or (t, rid) in records:
+                    gate = False  # dup/update: per-event semantics
+                    break
+                seen.add(rid)
+        mat = None
+        if gate:
+            mat = run["emb_mat"]
+            # non-finite rows must get the per-event skip accounting
+            gate = bool(np.all(np.isfinite(mat)))
+        if gate:
+            try:
+                block = run["fp_block"]
+                fps = [
+                    block[i * flen : (i + 1) * flen]
+                    for i in range(len(rids))
+                ]
+                self._apply_emb_rows(
+                    t, alg, rids, fps, flen, run["modality"],
+                    run["config_hash"], run["format_version"],
+                    meta=run["metadata"], model_id=run["model_id"],
+                    emb_mat=mat, fp_block=block,
+                )
+                return 0
+            except Exception:  # noqa: BLE001 - replay must finish
+                # fall through: per-event re-apply is idempotent (see
+                # _replay_fp_run)
+                pass
+        skipped = 0
+        for ev in emb_run_events(run):
+            skipped += self._replay_event(ev)
+        return skipped
+
     @staticmethod
     def _rec_from_wal(ev: dict) -> Record:
         return Record(
@@ -634,13 +699,19 @@ class EmbeddedBackend(IndexBackend):
             # insertion-ordered per-tenant id table for O(offset+limit)
             # listing (dict preserves order; delete is O(1))
             self._tenant_rows.setdefault(rec.tenant_id, {})[rec.record_id] = None
+        # embeddings are stored as np.float32 rows (the reference's
+        # Vec<f32> and the device caches are f32 too) — ~25x less RAM
+        # than per-element Python float lists at 768-d, and the WAL
+        # round-trip is f32 anyway so restart never changed values.
+        # Consumers that serialize to JSON convert at the edge
+        # (handlers._describe_includes, JsonWal._to_json).
         self._records[key] = {
             "modality": rec.modality.value,
             "algorithm": rec.algorithm,
             "config_hash": rec.config_hash,
             "format_version": rec.format_version,
             "fingerprint": rec.fingerprint,
-            "embedding": rec.embedding,
+            "embedding": emb_arr,
             "model_id": rec.model_id,
             "metadata": rec.metadata,
             "text": rec.text,
@@ -709,14 +780,18 @@ class EmbeddedBackend(IndexBackend):
                                     and old["text"] is not None):
             self._bm25.upsert_one(rec.tenant_id, rec.record_id, rec.text)
 
-    def _apply_upsert_batch(self, recs: list[Record]) -> bool:
+    def _apply_upsert_batch(self, recs: list[Record],
+                            emb_mat: np.ndarray | None = None) -> bool:
         """Vectorized apply for the high-rate ingest shape: one batch of
         all-NEW fingerprint-only records sharing (tenant, algorithm) and
         fingerprint width. Returns False — mutating NOTHING — when any
         record doesn't fit, and the caller runs the per-record path.
         Packing + row insert collapse to one np.frombuffer and one slice
         assignment (the per-record _apply_upsert measured ~19 us/record
-        of the 1-core ingest budget at batch 128).
+        of the 1-core ingest budget at batch 128). `emb_mat`, when
+        given, is the batch's _validate_records matrix (finite [n, d]
+        f32, row i = recs[i].embedding) for the embedding branch to
+        reuse.
         """
         first = recs[0]
         t = first.tenant_id
@@ -725,6 +800,9 @@ class EmbeddedBackend(IndexBackend):
         if (alg == LSH_ALGORITHM or alg in AUDIO_LANDMARK_ALGOS
                 or alg == HAITSMA_ALGORITHM or flen == 0 or flen % 4 != 0):
             return False
+        if first.embedding is not None:
+            return self._apply_upsert_batch_emb(recs, t, alg, flen,
+                                                mat=emb_mat)
         seen: set[int] = set()
         for r in recs:
             if (r.tenant_id != t or r.algorithm != alg
@@ -760,6 +838,76 @@ class EmbeddedBackend(IndexBackend):
                 "text": None,
             }
         hcache.upsert_many([r.record_id for r in recs], packed)
+        return True
+
+    def _apply_upsert_batch_emb(self, recs: list[Record], t: int,
+                                alg: str, flen: int,
+                                mat: np.ndarray | None = None) -> bool:
+        """Vectorized apply for the bulk vector-load shape: one batch of
+        all-NEW embedding records sharing (tenant, algorithm, model_id,
+        dim) and fingerprint width. Same contract as
+        _apply_upsert_batch: returns False — mutating NOTHING — when
+        any record doesn't fit (incl. ragged/non-finite embeddings,
+        which the per-record path then rejects with its canonical
+        errors). The per-record _apply_upsert measured ~0.18 ms/record
+        on a 768-d bulk load; this path is one np.asarray + two bulk
+        cache appends."""
+        first = recs[0]
+        model = first.model_id
+        seen: set[int] = set()
+        for r in recs:
+            if (r.tenant_id != t or r.algorithm != alg
+                    or r.embedding is None or r.text is not None
+                    or r.model_id != model
+                    or len(r.fingerprint) != flen
+                    or r.record_id in seen
+                    or (t, r.record_id) in self._records):
+                return False
+            seen.add(r.record_id)
+        if mat is None:
+            try:
+                mat = np.asarray([r.embedding for r in recs], np.float32)
+            except (TypeError, ValueError):
+                return False
+            if (mat.ndim != 2 or mat.shape[0] != len(recs)
+                    or not np.all(np.isfinite(mat))):
+                # ragged dims are legal per-record (each lands in its
+                # own (tenant, dim) cache); non-finite must raise the
+                # canonical per-record ValueError — both fall back
+                return False
+        dim = mat.shape[1]
+        hcache = self._ham.get((t, alg))
+        if hcache is None:
+            hcache = _HamCache(words=flen // 4)
+            self._ham[(t, alg)] = hcache
+        elif hcache.width != flen // 4:
+            return False
+        # all gates passed: nothing below can fail half-way
+        packed = np.frombuffer(
+            b"".join(bytes(r.fingerprint) for r in recs), "<u4"
+        ).reshape(len(recs), flen // 4)
+        trows = self._tenant_rows.setdefault(t, {})
+        records = self._records
+        for i, r in enumerate(recs):
+            trows[r.record_id] = None
+            records[(t, r.record_id)] = {
+                "modality": r.modality.value,
+                "algorithm": alg,
+                "config_hash": r.config_hash,
+                "format_version": r.format_version,
+                "fingerprint": r.fingerprint,
+                "embedding": mat[i],  # f32 row view (see _apply_upsert)
+                "model_id": model,
+                "metadata": r.metadata,
+                "text": None,
+            }
+        rids = [r.record_id for r in recs]
+        cache = self._vec.setdefault((t, dim), _VecCache(dim))
+        cache.upsert_many(
+            rids, mat,
+            tag=(self._tag_code(alg), self._tag_code(model)),
+        )
+        hcache.upsert_many(rids, packed)
         return True
 
     def _apply_delete(self, tenant_id: int, rid: int, wal: bool) -> None:
@@ -1105,6 +1253,39 @@ class EmbeddedBackend(IndexBackend):
 
     # -- IndexBackend -----------------------------------------------------------
 
+    def _validate_records(self, records: list[Record]) -> "np.ndarray | None":
+        """Per-record validation with a vectorized embedding pre-pass:
+        a uniform all-embedding batch validates as ONE matrix
+        conversion (the per-record np.asarray measured ~60% of the
+        1-core bulk vector-load budget at 768-d) and the validated
+        [n, d] f32 matrix is returned for the batched apply to reuse.
+        Any batch the pre-pass can't prove (mixed/absent embeddings,
+        ragged dims, non-finite values) falls back to the per-record
+        checks — the same exception family, raised BEFORE the WAL
+        append either way."""
+        mat = None
+        if len(records) >= 2 and all(
+                r.embedding is not None for r in records):
+            try:
+                m = np.asarray([r.embedding for r in records], np.float32)
+            except (TypeError, ValueError):
+                m = None
+            if (m is not None and m.ndim == 2
+                    and m.shape[0] == len(records)
+                    and np.all(np.isfinite(m))):
+                mat = m
+        if mat is not None:
+            for rec in records:
+                if not isinstance(rec.fingerprint, (bytes, bytearray)):
+                    raise ValueError(
+                        f"record {rec.tenant_id}/{rec.record_id}: "
+                        f"fingerprint must be bytes"
+                    )
+            return mat
+        for rec in records:
+            self._validate_record(rec)
+        return None
+
     @staticmethod
     def _validate_record(rec: Record) -> None:
         """Reject malformed records BEFORE the WAL append for every
@@ -1129,8 +1310,7 @@ class EmbeddedBackend(IndexBackend):
         wal = self._wal  # snapshot: close() may null the attr mid-await
 
         def apply():
-            for rec in records:
-                self._validate_record(rec)
+            emb_mat = self._validate_records(records)
             self._check_durability(wal)
             with self._lock:
                 # buffered WAL append and memory apply share ONE critical
@@ -1139,7 +1319,8 @@ class EmbeddedBackend(IndexBackend):
                 ticket = (wal.append_buffered(
                     [_record_event(r) for r in records]
                 ) if wal is not None else None)
-                if len(records) < 2 or not self._apply_upsert_batch(records):
+                if len(records) < 2 or not self._apply_upsert_batch(
+                        records, emb_mat=emb_mat):
                     for rec in records:
                         self._apply_upsert(rec, wal=False)
             return ticket
@@ -1248,6 +1429,118 @@ class EmbeddedBackend(IndexBackend):
             await wal.wait_durable(ticket)
         await self._maybe_autocompact_async()
 
+    async def upsert_embedding_batch(
+        self,
+        tenant_id: int,
+        algorithm: str,
+        record_ids: list[int],
+        embeddings,
+        *,
+        fingerprints: list[bytes] | None = None,
+        modality=None,
+        model_id: str | None = None,
+        config_hash: int = 0,
+        format_version: int = 1,
+    ) -> None:
+        """Columnar fast path for bulk vector loads: one WAL run append
+        (array-direct encode, wal.encode_emb_run — the [n, d] f32
+        matrix never becomes per-record float lists) + one vectorized
+        store apply. `fingerprints=None` derives each row's f32-LE
+        bytes, the representation fingerprint_semantic() records carry
+        (modality/text.py). Equivalent to upsert() of the corresponding
+        Records — identical WAL bytes, catalog rows, and cache state —
+        and FALLS BACK to that path whenever the batch doesn't qualify
+        (dup/present rids, special algorithms, width clash), so the
+        semantics including per-record errors never fork. Measured
+        ~9 us/record at 768-d vs ~346 us through generic upsert() on
+        the 1-core host."""
+        from ..core import Modality
+        from ..core.types import _check_u32, _check_u64
+
+        if modality is None:
+            modality = Modality.IMAGE
+        n = len(record_ids)
+        mat = np.asarray(embeddings, np.float32)
+        if mat.ndim != 2 or mat.shape[0] != n:
+            raise ValueError(
+                f"embeddings must be an [n={n}, d] matrix, got {mat.shape}"
+            )
+        if not np.all(np.isfinite(mat)):
+            raise ValueError("embeddings must be finite")
+        if n == 0:
+            return
+        if fingerprints is None:
+            step = 4 * mat.shape[1]
+            block = mat.astype("<f4", copy=False).tobytes()
+            fingerprints = [
+                block[i * step : (i + 1) * step] for i in range(n)
+            ]
+        if n != len(fingerprints):
+            raise ValueError("record_ids and fingerprints length mismatch")
+        _check_u32("tenant_id", tenant_id)
+        _check_u64("config_hash", config_hash)
+        wal = self._wal
+        flen = len(fingerprints[0]) if isinstance(
+            fingerprints[0], (bytes, bytearray)) else -1
+        qualifies = (
+            n >= 2 and flen > 0 and flen % 4 == 0
+            and mat.shape[1] > 0
+            and algorithm != LSH_ALGORITHM
+            and algorithm not in AUDIO_LANDMARK_ALGOS
+            and algorithm != HAITSMA_ALGORITHM
+            and all(type(fp) is bytes and len(fp) == flen
+                    for fp in fingerprints)
+            and all(type(r) is int and 0 <= r <= 2**64 - 1
+                    for r in record_ids)
+        )
+
+        def apply():
+            self._check_durability(wal)
+            with self._lock:
+                # novelty gates under the SAME lock as the apply
+                hcache = self._ham.get((tenant_id, algorithm))
+                if hcache is not None and hcache.width != flen // 4:
+                    return None  # width clash: per-record path errors
+                seen: set[int] = set()
+                for rid in record_ids:
+                    if (rid in seen
+                            or (tenant_id, rid) in self._records):
+                        return None  # dup/update: per-record semantics
+                    seen.add(rid)
+                ticket = (wal.append_buffered_emb_run(
+                    tenant_id, modality.value, record_ids, fingerprints,
+                    mat, algorithm=algorithm, model_id=model_id,
+                    config_hash=config_hash,
+                    format_version=format_version,
+                ) if wal is not None else None)
+                self._apply_emb_rows(
+                    tenant_id, algorithm, record_ids, fingerprints, flen,
+                    modality.value, config_hash, format_version,
+                    model_id=model_id, emb_mat=mat,
+                )
+                return (ticket,)
+
+        done = None
+        if qualifies:
+            done = await asyncio.to_thread(apply)
+        if done is None:
+            # slow path: exact legacy semantics (validation errors,
+            # upserts of existing rids, special algorithms)
+            await self.upsert([
+                Record(tenant_id=tenant_id, record_id=rid,
+                       modality=modality, algorithm=algorithm,
+                       fingerprint=bytes(fp), config_hash=config_hash,
+                       format_version=format_version,
+                       embedding=mat[i].tolist(), model_id=model_id)
+                for i, (rid, fp) in enumerate(
+                    zip(record_ids, fingerprints))
+            ])
+            return
+        (ticket,) = done
+        if ticket is not None:
+            await wal.wait_durable(ticket)
+        await self._maybe_autocompact_async()
+
     def _apply_fp_rows(self, t: int, alg: str, rids: list[int],
                        fps: list[bytes], flen: int, mod_value: str,
                        cfg: int, fmt: int, *, meta: bytes = b"",
@@ -1281,6 +1574,48 @@ class EmbeddedBackend(IndexBackend):
                 "metadata": meta,
                 "text": None,
             }
+        hcache.upsert_many(rids, packed)
+
+    def _apply_emb_rows(self, t: int, alg: str, rids: list[int],
+                        fps: list[bytes], flen: int, mod_value: str,
+                        cfg: int, fmt: int, *, meta: bytes = b"",
+                        model_id: str | None = None,
+                        emb_mat: np.ndarray = None,
+                        fp_block: bytes | None = None) -> None:
+        """_apply_fp_rows for a uniform embedding run (see
+        _replay_emb_run; caller holds the lock — or owns the store
+        single-threaded during replay — and has verified novelty, width
+        fit, and finite floats). Row content matches
+        _apply_upsert_batch_emb's exactly (embeddings stored as f32
+        rows, see _apply_upsert)."""
+        hcache = self._ham.get((t, alg))
+        if hcache is None:
+            hcache = _HamCache(words=flen // 4)
+            self._ham[(t, alg)] = hcache
+        packed = np.frombuffer(
+            b"".join(fps) if fp_block is None else fp_block, "<u4"
+        ).reshape(len(fps), flen // 4)
+        trows = self._tenant_rows.setdefault(t, {})
+        records = self._records
+        for rid, fp, emb in zip(rids, fps, emb_mat):
+            trows[rid] = None
+            records[(t, rid)] = {
+                "modality": mod_value,
+                "algorithm": alg,
+                "config_hash": cfg,
+                "format_version": fmt,
+                "fingerprint": fp,
+                "embedding": emb,
+                "model_id": model_id,
+                "metadata": meta,
+                "text": None,
+            }
+        cache = self._vec.setdefault(
+            (t, emb_mat.shape[1]), _VecCache(emb_mat.shape[1]))
+        cache.upsert_many(
+            rids, emb_mat,
+            tag=(self._tag_code(alg), self._tag_code(model_id)),
+        )
         hcache.upsert_many(rids, packed)
 
     @staticmethod
@@ -2661,16 +2996,56 @@ class EmbeddedBackend(IndexBackend):
         [encode_event(_upsert_event(...))] in the same order
         (encode_fp_run_block's contract), so this changes the
         snapshot's cost, never its bytes."""
-        from .wal import encode_event, encode_fp_run_block
+        from .wal import (encode_emb_run_block, encode_event,
+                          encode_fp_run_block)
 
         n = len(items)
         i = 0
         while i < n:
             (tid, rid), row = items[i]
-            if (row["embedding"] is not None or row["model_id"]
-                    or row["text"] is not None):
+            if (row["text"] is not None
+                    or (row["embedding"] is None and row["model_id"])
+                    or (row["embedding"] is not None
+                        and len(row["embedding"]) == 0)):
+                # text rows, model-without-embedding, and degenerate
+                # empty embeddings stay per-frame
                 yield encode_event(_upsert_event(tid, rid, row))
                 i += 1
+                continue
+            if row["embedding"] is not None:
+                mod0 = row["modality"]
+                alg0 = row["algorithm"]
+                cfg0 = row["config_hash"]
+                fmt0 = row["format_version"]
+                meta0 = row["metadata"]
+                model0 = row["model_id"]
+                flen0 = len(row["fingerprint"])
+                elen0 = len(row["embedding"])
+                j = i + 1
+                while j < n:
+                    (t2, _), r2 = items[j]
+                    e2 = r2["embedding"]
+                    if (t2 != tid
+                            or e2 is None or len(e2) != elen0
+                            or r2["model_id"] != model0
+                            or r2["text"] is not None
+                            or r2["algorithm"] != alg0
+                            or r2["modality"] != mod0
+                            or r2["config_hash"] != cfg0
+                            or r2["format_version"] != fmt0
+                            or r2["metadata"] != meta0
+                            or len(r2["fingerprint"]) != flen0):
+                        break
+                    j += 1
+                yield encode_emb_run_block(
+                    tid, mod0,
+                    [items[k][0][1] for k in range(i, j)],
+                    [items[k][1]["fingerprint"] for k in range(i, j)],
+                    [items[k][1]["embedding"] for k in range(i, j)],
+                    algorithm=alg0, model_id=model0, config_hash=cfg0,
+                    format_version=fmt0, metadata=meta0,
+                )
+                i = j
                 continue
             mod0 = row["modality"]
             alg0 = row["algorithm"]

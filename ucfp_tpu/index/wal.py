@@ -104,6 +104,14 @@ def encode_events_batch(events: list[dict]) -> list[bytes]:
     fp0 = first.get("fingerprint")
     if not isinstance(fp0, (bytes, bytearray)):
         return [encode_event(ev) for ev in events]
+    if first.get("embedding") is not None:
+        # uniform embedding runs (the bulk vector-load shape) vectorize
+        # too — record_id, fingerprint, and the float block vary; all
+        # other fields (incl. model_id) must match the first event
+        out = _encode_emb_batch(events, first, n, flen=len(fp0))
+        if out is not None:
+            return out
+        return [encode_event(ev) for ev in events]
     flen = len(fp0)
     tenant = first.get("tenant_id")
     mod = first.get("modality")
@@ -175,6 +183,107 @@ def _fill_fp_block(first: dict, alg: str, rids: list, fps: list,
 def _fill_fp_frames(first: dict, alg: str, rids: list, fps: list,
                     n: int, flen: int) -> list[bytes]:
     big, frame_len = _fill_fp_block(first, alg, rids, fps, n, flen)
+    return [big[i * frame_len : (i + 1) * frame_len] for i in range(n)]
+
+
+def _encode_emb_batch(events: list[dict], first: dict, n: int,
+                      flen: int) -> list[bytes] | None:
+    """Vectorized encode of a uniform embedding upsert run (same
+    tenant/modality/format/config/algorithm/model_id/metadata, no text,
+    equal fingerprint width and embedding dim) — record_id, fingerprint
+    bytes, and the float block are the only varying fields. Returns
+    None when the batch isn't uniform (or any value can't convert the
+    numpy way), and the caller runs the per-event encoder — which
+    preserves the exact pre-batch error behavior for malformed values.
+    Byte-identical to [encode_event(e) for e in events] by contract
+    (fuzz-pinned in test_wal.py): struct.pack '<f' and a numpy '<f4'
+    cast are the same C double->float conversion."""
+    emb0 = first.get("embedding")
+    if type(emb0) is not list and type(emb0) is not tuple:
+        return None
+    elen = len(emb0)
+    tenant = first.get("tenant_id")
+    mod = first.get("modality")
+    fmt = first.get("format_version", 1)
+    cfg = first.get("config_hash", 0)
+    alg = first.get("algorithm")
+    meta = first.get("metadata", b"")
+    model = first.get("model_id")
+    rids: list[int] = []
+    fps: list[bytes] = []
+    embs: list = []
+    get = dict.get
+    for ev in events:
+        fp = get(ev, "fingerprint")
+        rid = get(ev, "record_id")
+        emb = get(ev, "embedding")
+        if (
+            get(ev, "op") != "upsert"
+            or (type(emb) is not list and type(emb) is not tuple)
+            or len(emb) != elen
+            or get(ev, "model_id") != model
+            or get(ev, "text") is not None
+            or get(ev, "tenant_id") != tenant
+            or get(ev, "modality") != mod
+            or get(ev, "format_version", 1) != fmt
+            or get(ev, "config_hash", 0) != cfg
+            or get(ev, "algorithm") != alg
+            or get(ev, "metadata", b"") != meta
+            or type(fp) is not bytes and not isinstance(fp, bytearray)
+            or len(fp) != flen
+            or type(rid) is not int
+            or not 0 <= rid < 2**64
+        ):
+            return None
+        rids.append(rid)
+        fps.append(fp)
+        embs.append(emb)
+    try:
+        return _fill_emb_frames(first, alg, rids, fps, embs, n, flen, elen)
+    except (TypeError, ValueError, FloatingPointError):
+        # non-numeric element / finite-double f32 overflow etc: the
+        # per-event encoder raises the canonical struct error (or
+        # succeeds on __float__-able values)
+        return None
+
+
+def _fill_emb_block(first: dict, alg: str, rids: list, fps: list,
+                    embs: list, n: int, flen: int,
+                    elen: int) -> tuple[bytes, int]:
+    """Row-matrix fill for a uniform embedding run: template frame +
+    three varying column blocks (record_id, fingerprint, f32 floats)."""
+    import numpy as np
+
+    template = encode_event(first)
+    frame_len = len(template)
+    arr = np.empty((n, frame_len), np.uint8)
+    arr[:] = np.frombuffer(template, np.uint8)
+    arr[:, 5:13] = np.array(rids, dtype="<u8").view(np.uint8).reshape(n, 8)
+    fp_off = 27 + 2 + len(alg.encode()) + 4
+    if flen:
+        arr[:, fp_off : fp_off + flen] = np.frombuffer(
+            b"".join(fps), np.uint8
+        ).reshape(n, flen)
+    if elen:
+        # over='raise': a FINITE double that overflows f32 must not
+        # silently log inf — struct.pack '<f' raises OverflowError
+        # there, so the batch path re-raises and the caller falls back
+        # to the per-event encoder (which raises canonically). Genuine
+        # inf/nan inputs cast exactly and don't trip this.
+        with np.errstate(over="raise"):
+            mat = np.asarray(embs, dtype="<f4")
+        if mat.shape != (n, elen):
+            raise ValueError("ragged embedding run")
+        emb_off = fp_off + flen + 4
+        arr[:, emb_off : emb_off + 4 * elen] = mat.view(np.uint8)
+    return arr.tobytes(), frame_len
+
+
+def _fill_emb_frames(first: dict, alg: str, rids: list, fps: list,
+                     embs: list, n: int, flen: int,
+                     elen: int) -> list[bytes]:
+    big, frame_len = _fill_emb_block(first, alg, rids, fps, embs, n,
+                                     flen, elen)
     return [big[i * frame_len : (i + 1) * frame_len] for i in range(n)]
 
 
@@ -268,6 +377,82 @@ def encode_fp_run_block(tenant_id: int, modality: str, record_ids,
     return block, frame_len, n
 
 
+def encode_emb_run(tenant_id: int, modality: str, record_ids,
+                   fingerprints, emb_mat, *, algorithm: str,
+                   model_id: str | None = None, config_hash: int = 0,
+                   format_version: int = 1,
+                   metadata: bytes = b"") -> list[bytes]:
+    """Array-direct encoder for a uniform embedding upsert run — the
+    bulk vector-load WAL path without per-record event dicts or float
+    lists (`emb_mat` is the [n, d] f32 matrix itself). Byte-identical
+    to [encode_event({...}) per row] by contract (fuzz-pinned in
+    test_wal.py); the dict protocol stays the wire format — this is a
+    constructor for it, not a new format."""
+    import numpy as np
+
+    n = len(record_ids)
+    if n != len(fingerprints):
+        raise ValueError("record_ids and fingerprints length mismatch")
+    if n == 0:
+        return []
+    mat = np.asarray(emb_mat, dtype="<f4")
+    if mat.ndim != 2 or mat.shape[0] != n or mat.shape[1] == 0:
+        raise ValueError("emb_mat must be a non-empty [n, d] matrix")
+    flen = _check_fp_run(record_ids, fingerprints)
+    first = {
+        "op": "upsert",
+        "tenant_id": tenant_id,
+        "record_id": record_ids[0],
+        "modality": modality,
+        "format_version": format_version,
+        "config_hash": config_hash,
+        "algorithm": algorithm,
+        "fingerprint": bytes(fingerprints[0]),
+        "metadata": metadata,
+        "embedding": mat[0],
+        "model_id": model_id,
+        "text": None,
+    }
+    return _fill_emb_frames(first, algorithm, list(record_ids),
+                            fingerprints, mat, n, flen, mat.shape[1])
+
+
+def encode_emb_run_block(tenant_id: int, modality: str, record_ids,
+                         fingerprints, embeddings, *, algorithm: str,
+                         model_id: str | None = None,
+                         config_hash: int = 0, format_version: int = 1,
+                         metadata: bytes = b"") -> tuple[bytes, int, int]:
+    """encode_fp_run_block for a uniform embedding run — compaction
+    snapshots of bulk-loaded vector catalogs. The caller guarantees
+    store-validated uniform inputs (equal fingerprint width and
+    embedding dim, shared model_id); the emitted bytes are identical to
+    [encode_event(...) per row] in the same order (fuzz-pinned in
+    test_wal.py)."""
+    n = len(record_ids)
+    if n == 0:
+        return b"", 0, 0
+    flen = len(fingerprints[0])
+    elen = len(embeddings[0])
+    first = {
+        "op": "upsert",
+        "tenant_id": tenant_id,
+        "record_id": record_ids[0],
+        "modality": modality,
+        "format_version": format_version,
+        "config_hash": config_hash,
+        "algorithm": algorithm,
+        "fingerprint": bytes(fingerprints[0]),
+        "metadata": metadata,
+        "embedding": list(embeddings[0]),
+        "model_id": model_id,
+        "text": None,
+    }
+    block, frame_len = _fill_emb_block(first, algorithm, list(record_ids),
+                                       fingerprints, embeddings, n, flen,
+                                       elen)
+    return block, frame_len, n
+
+
 def decode_event(data: bytes) -> dict:
     op = data[0]
     if op == OP_DELETE:
@@ -340,6 +525,34 @@ def _fp_run_layout(tmpl: dict, frame_len: int) -> tuple[int, int] | None:
     return fp_off, flen
 
 
+def _run_layout(tmpl: dict, frame_len: int) -> tuple[int, int, int] | None:
+    """(fp_off, flen, elen) of a run-decodable upsert frame template:
+    elen == 0 is the fingerprint-only layout, elen > 0 an embedding
+    frame (model_id allowed — it is template-uniform, not varying).
+    None when the frame can't run-decode (text present, or the field
+    lengths don't tile the frame exactly)."""
+    if tmpl.get("text") is not None:
+        return None
+    emb = tmpl.get("embedding")
+    if emb is None:
+        lay = _fp_run_layout(tmpl, frame_len)
+        return None if lay is None else (lay[0], lay[1], 0)
+    alen = len(tmpl["algorithm"].encode())
+    flen = len(tmpl["fingerprint"])
+    elen = len(emb)
+    if elen == 0:
+        # a zero-length embedding frame would alias the fp-only tuple
+        # (elen 0 marks fp-only downstream): degenerate, per-frame path
+        return None
+    mlen = len(tmpl["metadata"])
+    model = tmpl.get("model_id")
+    modlen = 2 + len(model.encode()) if model else 0
+    fp_off = 33 + alen
+    if frame_len != fp_off + flen + 4 + 4 * elen + modlen + 4 + mlen:
+        return None
+    return fp_off, flen, elen
+
+
 def _fp_run_cols(arr, tmpl: dict, fp_off: int, flen: int) -> dict:
     """Extract the two varying columns (record_id, fingerprint) of a
     VERIFIED-uniform fp-only frame block into one run dict."""
@@ -360,28 +573,53 @@ def _fp_run_cols(arr, tmpl: dict, fp_off: int, flen: int) -> dict:
     }
 
 
-def _try_decode_fp_run(arr) -> dict | None:
-    """Vectorized decode of a frame block as ONE uniform fingerprint-only
-    upsert run — the exact inverse of _fill_fp_frames. `arr` is a
+def _emb_run_cols(arr, tmpl: dict, fp_off: int, flen: int,
+                  elen: int) -> dict:
+    """Extract the three varying columns (record_id, fingerprint, f32
+    block) of a VERIFIED-uniform embedding frame block into one run
+    dict."""
+    import numpy as np
+
+    run = _fp_run_cols(arr, tmpl, fp_off, flen)
+    emb_off = fp_off + flen + 4
+    run["model_id"] = tmpl.get("model_id")
+    run["elen"] = elen
+    # ONE copy (strided frame columns -> contiguous), viewed as the
+    # [n, elen] f32 matrix the columnar apply uploads directly
+    run["emb_mat"] = np.ascontiguousarray(
+        arr[:, emb_off : emb_off + 4 * elen]
+    ).view("<f4")
+    return run
+
+
+def _try_decode_run(arr) -> tuple[str, dict] | None:
+    """Vectorized decode of a frame block as ONE uniform upsert run —
+    the exact inverse of _fill_fp_frames / _fill_emb_frames. `arr` is a
     [n, frame_len] u8 matrix of equal-length OP_UPSERT frames. Returns
-    the run columns when every frame matches frame 0 on every byte
-    outside the two varying fields (record_id at [5:13], fingerprint at
-    its length-derived offset), else None. Equality with per-frame
-    decode_event is the contract (fuzz-pinned in test_wal.py)."""
+    ("fp_run"|"emb_run", run columns) when every frame matches frame 0
+    on every byte outside the varying fields (record_id at [5:13],
+    fingerprint, and the embedding float block at their length-derived
+    offsets), else None. Equality with per-frame decode_event is the
+    contract (fuzz-pinned in test_wal.py)."""
     import numpy as np
 
     n, frame_len = arr.shape
     tmpl = decode_event(arr[0].tobytes())
-    layout = _fp_run_layout(tmpl, frame_len)
+    layout = _run_layout(tmpl, frame_len)
     if layout is None:
         return None
-    fp_off, flen = layout
+    fp_off, flen, elen = layout
     col_ok = np.ones(frame_len, bool)
     col_ok[5:13] = False
     col_ok[fp_off : fp_off + flen] = False
+    if elen:
+        emb_off = fp_off + flen + 4
+        col_ok[emb_off : emb_off + 4 * elen] = False
     if (arr[:, col_ok] != arr[0, col_ok]).any():
         return None
-    return _fp_run_cols(arr, tmpl, fp_off, flen)
+    if elen:
+        return "emb_run", _emb_run_cols(arr, tmpl, fp_off, flen, elen)
+    return "fp_run", _fp_run_cols(arr, tmpl, fp_off, flen)
 
 
 def fp_run_events(run: dict) -> Iterator[dict]:
@@ -407,6 +645,30 @@ def fp_run_events(run: dict) -> Iterator[dict]:
         }
 
 
+def emb_run_events(run: dict) -> Iterator[dict]:
+    """fp_run_events for an embedding run: each event regains its float
+    list (np f32 -> Python float is the same exact widening struct
+    '<f' unpack performs)."""
+    flen = run["flen"]
+    block = run["fp_block"]
+    mat = run["emb_mat"]
+    for i, rid in enumerate(run["record_ids"]):
+        yield {
+            "op": "upsert",
+            "tenant_id": run["tenant_id"],
+            "record_id": rid,
+            "modality": run["modality"],
+            "format_version": run["format_version"],
+            "config_hash": run["config_hash"],
+            "algorithm": run["algorithm"],
+            "fingerprint": block[i * flen : (i + 1) * flen],
+            "embedding": mat[i].tolist(),
+            "model_id": run["model_id"],
+            "metadata": run["metadata"],
+            "text": None,
+        }
+
+
 # runs shorter than this go straight to per-frame decode: the vectorized
 # template validation has fixed setup cost (a decode + two masked
 # comparisons) that only pays for itself on genuine runs
@@ -418,12 +680,13 @@ _MAX_RUN = 262144
 
 
 def iter_frame_groups(data, offs) -> Iterator[tuple[str, object]]:
-    """Group a replay's raw frames into ("fp_run", run) | ("events",
-    [dict, ...]) items, preserving order. `data` is the concatenated
-    payload buffer (np.uint8), `offs` the (n+1) frame offsets. Uniform
-    fingerprint-only upsert runs — the batch-ingest / compaction shape —
-    decode as columns in one vectorized pass; everything else decodes
-    per frame. The concatenation of the yielded groups equals
+    """Group a replay's raw frames into ("fp_run", run) | ("emb_run",
+    run) | ("events", [dict, ...]) items, preserving order. `data` is
+    the concatenated payload buffer (np.uint8), `offs` the (n+1) frame
+    offsets. Uniform fingerprint-only and uniform embedding upsert runs
+    — the batch-ingest / bulk-vector-load / compaction shapes — decode
+    as columns in one vectorized pass; everything else decodes per
+    frame. The concatenation of the yielded groups equals
     [decode_event(f) for f in frames] exactly (fuzz-pinned)."""
     import numpy as np
 
@@ -463,35 +726,54 @@ def _split_fp_runs(arr) -> Iterator[tuple[str, object]]:
     on each sub-run being validated against its OWN first frame: when
     the sub-run's layout equals the scan's masked layout, the scan
     already proved byte-uniformity outside the varying fields (the
-    alen/flen length fields are unmasked, so a layout change always
-    splits); otherwise _try_decode_fp_run re-compares in full."""
+    alen/flen/elen length fields are unmasked, so a layout change
+    always splits); otherwise _try_decode_run re-compares in full.
+    Embedding frames run-decode too (record_id, fingerprint, and the
+    f32 block are the varying fields)."""
     import numpy as np
 
     n, frame_len = arr.shape
     ev0 = decode_event(arr[0].tobytes())
     alen0 = len(ev0["algorithm"].encode())
     flen0 = len(ev0.get("fingerprint") or b"")
+    emb0 = ev0.get("embedding")
+    elen0 = len(emb0) if emb0 is not None else 0
     col_ok = np.ones(frame_len, bool)
     col_ok[5:13] = False
     fp_off0 = 33 + alen0
+    masked0 = None  # (fp_off, flen, elen) actually masked by the scan
     if fp_off0 + flen0 <= frame_len:
         col_ok[fp_off0 : fp_off0 + flen0] = False
+        masked0 = (fp_off0, flen0, 0)
+        if elen0:
+            emb_off0 = fp_off0 + flen0 + 4
+            if emb_off0 + 4 * elen0 <= frame_len:
+                col_ok[emb_off0 : emb_off0 + 4 * elen0] = False
+                masked0 = (fp_off0, flen0, elen0)
+            else:
+                masked0 = None  # emb floats unmasked: no proven shortcut
     tcols = arr[:, col_ok]
     diff = (tcols[1:] != tcols[:-1]).any(axis=1)
     starts = np.concatenate([[0], np.flatnonzero(diff) + 1, [n]])
     for gi in range(len(starts) - 1):
         s, e = int(starts[gi]), int(starts[gi + 1])
-        run = None
+        item = None
         if e - s >= _MIN_RUN:
             tmpl = decode_event(arr[s].tobytes())
-            layout = _fp_run_layout(tmpl, frame_len)
-            if layout == (fp_off0, flen0):
+            layout = _run_layout(tmpl, frame_len)
+            if layout is not None and layout == masked0:
                 # same layout the scan masked: uniformity is proven
-                run = _fp_run_cols(arr[s:e], tmpl, fp_off0, flen0)
+                fp_off, flen, elen = layout
+                if elen:
+                    item = ("emb_run", _emb_run_cols(
+                        arr[s:e], tmpl, fp_off, flen, elen))
+                else:
+                    item = ("fp_run", _fp_run_cols(
+                        arr[s:e], tmpl, fp_off, flen))
             elif layout is not None:
-                run = _try_decode_fp_run(arr[s:e])
-        if run is not None:
-            yield ("fp_run", run)
+                item = _try_decode_run(arr[s:e])
+        if item is not None:
+            yield item
         else:
             yield (
                 "events",
@@ -518,9 +800,11 @@ class NativeWal:
     # batch-aware variant (vectorizes the uniform high-rate shape);
     # GroupCommitWal.append_buffered prefers it when the engine has one
     encode_batch = staticmethod(encode_events_batch)
-    # array-direct variant (no per-record event dicts at all);
-    # GroupCommitWal.append_buffered_run prefers it when present
+    # array-direct variants (no per-record event dicts at all);
+    # GroupCommitWal.append_buffered_run / append_buffered_emb_run
+    # prefer them when present
     encode_fp_run = staticmethod(encode_fp_run)
+    encode_emb_run = staticmethod(encode_emb_run)
 
     def append_encoded_nosync(self, blobs: list[bytes]) -> None:
         """Buffer pre-encoded frames; durable only after flush().
@@ -723,6 +1007,12 @@ class JsonWal:
         out = dict(ev)
         out["fingerprint"] = ev["fingerprint"].hex()
         out["metadata"] = ev.get("metadata", b"").hex()
+        emb = out.get("embedding")
+        if emb is not None and not isinstance(emb, (list, tuple)):
+            # compaction snapshots hand back the store's np.float32
+            # rows (index/embedded.py _apply_upsert); json can't dump
+            # numpy scalars — widen to Python floats (exact)
+            out["embedding"] = [float(x) for x in emb]
         return {k: v for k, v in out.items() if v is not None}
 
     @staticmethod
@@ -906,6 +1196,35 @@ class GroupCommitWal:
              "fingerprint": bytes(fp), "metadata": metadata,
              "embedding": None, "model_id": None, "text": None}
             for rid, fp in zip(record_ids, fingerprints)
+        ])
+
+    def append_buffered_emb_run(self, tenant_id: int, modality: str,
+                                record_ids, fingerprints, emb_mat, *,
+                                algorithm: str,
+                                model_id: str | None = None,
+                                config_hash: int = 0,
+                                format_version: int = 1,
+                                metadata: bytes = b"") -> int:
+        """append_buffered for a uniform embedding upsert run (the bulk
+        vector-load shape), encoded array-direct when the engine
+        supports it; engines without the hook (JSON) get the equivalent
+        dicts — identical replay either way (the floats are the f32
+        rows in both)."""
+        enc = getattr(self._inner, "encode_emb_run", None)
+        if enc is not None:
+            blobs = enc(tenant_id, modality, record_ids, fingerprints,
+                        emb_mat, algorithm=algorithm, model_id=model_id,
+                        config_hash=config_hash,
+                        format_version=format_version, metadata=metadata)
+            return self._queue_blobs(blobs)
+        return self.append_buffered([
+            {"op": "upsert", "tenant_id": tenant_id, "record_id": rid,
+             "modality": modality, "format_version": format_version,
+             "config_hash": config_hash, "algorithm": algorithm,
+             "fingerprint": bytes(fp), "metadata": metadata,
+             "embedding": [float(x) for x in row],
+             "model_id": model_id, "text": None}
+            for rid, fp, row in zip(record_ids, fingerprints, emb_mat)
         ])
 
     def _queue_blobs(self, blobs: list[bytes]) -> int:

@@ -521,7 +521,8 @@ class Handlers:
                 "has_embedding": m.has_embedding,
                 # catalog-entry parity (reference CatalogEntry,
                 # embedded/mod.rs:104-125)
-                "embedding_dim": len(row["embedding"]) if row["embedding"] else 0,
+                "embedding_dim": (len(row["embedding"])
+                                  if row["embedding"] is not None else 0),
                 "metadata_bytes": len(row["metadata"]),
                 "model_id": m.model_id,
                 # ?include=fingerprint[,embedding] returns the stored
@@ -543,7 +544,14 @@ class Handlers:
             if part == "fingerprint":
                 out["fingerprint_hex"] = bytes(row["fingerprint"]).hex()
             elif part == "embedding":
-                out["embedding"] = row["embedding"]
+                # stored as an np.float32 row (index/embedded.py
+                # _apply_upsert) — JSON-ify at the edge; values are the
+                # f32 the store serves/persists, not the request doubles
+                emb = row["embedding"]
+                out["embedding"] = (
+                    emb if emb is None or isinstance(emb, list)
+                    else [float(x) for x in emb]
+                )
             elif part:
                 raise HttpError(
                     400, "bad_query",
