@@ -1349,6 +1349,54 @@ def _run_all():
                 f"error: {type(e).__name__}: {e}")
         return rates[1]
 
+    def _query_http():
+        """End-to-end HTTP /v1/query soak (scripts/soak_query.py): JSON
+        parse -> auth -> micro-batched device kNN -> JSON response,
+        measured as queries/s + client latency percentiles over a
+        65k x 768 int8 catalog at 16 connections. This is the layer the
+        kernel p50s and the knn_serving_overhead envelope don't cover —
+        concurrent plain queries coalesce into ONE padded batched
+        dispatch per 2 ms deadline window (UCFP_QUERY_BATCH_MS), so
+        through the tunnel (~30 ms/dispatch) QPS ~= conns/dispatch
+        rather than 1/dispatch. The exact-mode contrast run (batching
+        off, one dispatch per request) quantifies exactly that win
+        (CPU-backend: 521 vs 103 qps). Median of 3 batched windows +
+        range/unstable/degraded flags (same contract as the ingest
+        soak)."""
+        import pathlib
+        import sys
+
+        sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent / "scripts"))
+        from soak_query import run_query_soak
+
+        runs = [run_query_soak(seconds=4.0, conns=16, n=65_536, d=768,
+                               quant="int8") for _ in range(3)]
+        rates = sorted(r["qps"] for r in runs)
+        mid = [r for r in runs if r["qps"] == rates[1]][0]
+        extra["query_http_errors"] = sum(r["errors"] for r in runs)
+        extra["query_http_range_qps"] = [rates[0], rates[-1]]
+        extra["query_http_p50_ms"] = mid["p50_ms"]
+        extra["query_http_p99_ms"] = mid["p99_ms"]
+        extra["query_http_avg_batch"] = mid["avg_batch"]
+        extra["query_http_unstable"] = bool(
+            rates[0] > 0 and rates[-1] / rates[0] > 2.0
+        )
+        if any(r.get("warmup_degraded") for r in runs):
+            extra["query_http_degraded"] = True
+        # per-dispatch contrast (micro-batching off): a failure here
+        # must not sink the primary metric
+        try:
+            ex = run_query_soak(seconds=4.0, conns=16, n=65_536, d=768,
+                                quant="int8", exact=True)
+            extra["query_http_exact_qps"] = ex["qps"]
+            extra["query_http_exact_p50_ms"] = ex["p50_ms"]
+            if ex.get("warmup_degraded"):
+                extra["query_http_exact_degraded"] = True
+        except Exception as e:
+            extra["query_http_exact_qps"] = (
+                f"error: {type(e).__name__}: {e}")
+        return rates[1]
+
     def _panako_haitsma_xrt():
         """Panako + Haitsma extraction xRT — driver-captured so the
         published ~142k / ~34k claims reproduce from the bench JSON."""
@@ -1422,6 +1470,7 @@ def _run_all():
     for name, fn in [
         ("parity_ok", _parity),
         ("ingest_http_imgs_per_sec", _ingest_http),
+        ("query_http_qps_64k_x768", _query_http),
         ("text_minhash_docs_per_sec", _text_minhash),
         ("knn_serving_overhead_ms_10m", _knn_serving_overhead),
         # the BASELINE target shape (10M x 768) runs EARLY: the sketch

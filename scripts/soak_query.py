@@ -117,7 +117,7 @@ async def _preload(index, n: int, d: int, tenant: int = 1) -> None:
     chunk = 8192
     for base in range(0, n, chunk):
         m = min(chunk, n - base)
-        embs = rng.normal(size=(m, d)).astype(np.float32)
+        embs = rng.standard_normal(size=(m, d), dtype=np.float32)
         await index.upsert_embedding_batch(
             tenant, "embedding-local", list(range(base, base + m)), embs,
             fingerprints=[b"\x00" * 8] * m,
@@ -148,7 +148,11 @@ async def _soak(state, host: str, port: int, token: str, seconds: float,
 
     # bounded warmup (same contract as soak_ingest: through a degraded
     # tunnel the first compile can take minutes; the measured window
-    # still runs and yields an honest slow number, flagged degraded)
+    # still runs and yields an honest slow number, flagged degraded).
+    # Runs at FULL concurrency: the micro-batcher pads coalesced
+    # batches to powers of two, so each pow-2 Q <= conns is its own
+    # compile — warming one connection would leave every larger shape
+    # compiling inside the measured window.
     warm = dict(ok=0, err=0, drop=0)
     warm_lats: list = []
     warm_deadline = time.perf_counter() + float(
@@ -161,14 +165,18 @@ async def _soak(state, host: str, port: int, token: str, seconds: float,
             break
         try:
             await asyncio.wait_for(
-                _client(host, port, token, d, k, 10_000_000,
-                        time.perf_counter() + 0.05, warm, warm_lats),
+                asyncio.gather(*(
+                    _client(host, port, token, d, k,
+                            (i + 101) * 10_000_000,
+                            time.perf_counter() + 0.05, warm, warm_lats)
+                    for i in range(conns)
+                )),
                 timeout=max(1.0, warm_deadline - t),
             )
         except asyncio.TimeoutError:
             warm_degraded = True
             break
-        if time.perf_counter() - t < 0.2 and warm["ok"] > 2:
+        if time.perf_counter() - t < 0.3 and warm["ok"] > 2 * conns:
             break
 
     flushes0 = getattr(state.index, "_qbatch_flushes", 0)

@@ -44,3 +44,36 @@ def test_run_soak_warmup_deadline_sets_degraded_marker(monkeypatch):
                  quiet=True)
     assert r["warmup_degraded"] is True
     assert r["requests"] > 0
+
+
+def test_run_query_soak_measures_micro_batched_queries():
+    """bench.py's query_http_qps_64k_x768 is exactly run_query_soak():
+    the measured window must serve real micro-batched queries (qps > 0,
+    zero errors, batching engaged) and a preloaded catalog."""
+    from soak_query import run_query_soak
+
+    r = run_query_soak(seconds=0.8, conns=4, n=512, d=32, k=5,
+                       quant="int8")
+    assert r["errors"] == 0
+    assert r["queries"] > 0 and r["qps"] > 0
+    assert r["p50_ms"] > 0
+    assert r["batch_flushes"] > 0 and r["batch_items"] == r["queries"]
+    assert r["warmup_degraded"] is False
+
+
+def test_run_query_soak_exact_mode_disables_batching():
+    from soak_query import run_query_soak
+
+    r = run_query_soak(seconds=0.6, conns=2, n=256, d=16, k=3,
+                       exact=True)
+    assert r["errors"] == 0 and r["queries"] > 0
+    assert r["batch_flushes"] == 0 and r["batch_items"] == 0
+
+
+def test_run_query_soak_warmup_deadline_sets_degraded_marker(monkeypatch):
+    from soak_query import run_query_soak
+
+    monkeypatch.setenv("UCFP_SOAK_WARMUP_S", "0")
+    r = run_query_soak(seconds=0.5, conns=2, n=128, d=8, k=3)
+    assert r["warmup_degraded"] is True
+    assert r["queries"] > 0  # the measured window still ran
