@@ -185,6 +185,16 @@ export declare class UcfpClient {
       tunables?: Record<string, number | boolean>;
     }
   ): Promise<Record<string, unknown>[]>;
+  embeddingBatch(
+    rows: [number, Float32Array | number[]][],
+    opts?: {
+      algorithm?: string;
+      modelId?: string;
+      modality?: string;
+      configHash?: number;
+      tenantId?: number;
+    }
+  ): Promise<{ count: number; dim: number; algorithm: string }>;
   queryBatch(
     modality: string,
     opts?: BatchQueryOptions

@@ -267,6 +267,42 @@ export class UcfpClient {
     return out.records;
   }
 
+  /** High-throughput bulk load of pre-computed embeddings (<=4096
+   *  rows, one WAL run commit server-side; binary f32 frames — no
+   *  JSON float parsing on the path). rows = [[recordId,
+   *  Float32Array-or-number[]], ...], every row the same dim; values
+   *  are stored as f32 and each row's fingerprint is its f32-LE
+   *  bytes. Returns {count, dim, algorithm}. */
+  async embeddingBatch(rows, opts = {}) {
+    if (!rows.length) return { count: 0, dim: 0, algorithm: opts.algorithm ?? 'embedding-local' };
+    if (rows.length > 4096) throw new Error('batch exceeds 4096 rows');
+    const tid = opts.tenantId ?? this.tenantId;
+    const params = new URLSearchParams({
+      algorithm: opts.algorithm ?? 'embedding-local',
+      modality: opts.modality ?? 'text',
+    });
+    if (opts.modelId) params.set('model_id', opts.modelId);
+    if (opts.configHash) params.set('config_hash', String(opts.configHash));
+    const raw = rows.map(([rid, vec]) => [
+      rid,
+      vec instanceof Float32Array ? vec : Float32Array.from(vec),
+    ]);
+    let total = 0;
+    for (const [, vec] of raw) total += 12 + vec.byteLength;
+    const body = new Uint8Array(total);
+    const dv = new DataView(body.buffer);
+    let off = 0;
+    for (const [rid, vec] of raw) {
+      dv.setBigUint64(off, BigInt(rid), true);
+      dv.setUint32(off + 8, vec.byteLength, true);
+      body.set(new Uint8Array(vec.buffer, vec.byteOffset, vec.byteLength), off + 12);
+      off += 12 + vec.byteLength;
+    }
+    const out = await this.#request('POST',
+      `/v1/ingest/embedding/batch/${tid}?${params}`, { body });
+    return out;
+  }
+
   /**
    * Batch text ingest: one WAL commit per request (up to 1024 docs).
    * docs = [[recordId, text], ...]. Returns BOTH the durably committed

@@ -345,6 +345,45 @@ class Ucfp:
         return BatchIngest(records=out.get("records", []),
                            errors=out.get("errors", []))
 
+    def embedding_batch(
+        self,
+        rows: "list[tuple[int, 'c.FloatRow']]",
+        *,
+        algorithm: str = "embedding-local",
+        model_id: Optional[str] = None,
+        modality: str = "text",
+        config_hash: int = 0,
+        tenant_id: Optional[int] = None,
+    ) -> dict:
+        """High-throughput bulk load of pre-computed embeddings (up to
+        4096 rows per request): binary f32 frames -> one WAL run commit
+        server-side, no JSON float parsing anywhere on the path. rows =
+        [(record_id, vector), ...] with every vector the same dim;
+        values are stored as f32 (each row's stored fingerprint is its
+        f32-LE bytes, like the semantic routes). Returns
+        {count, dim, algorithm}."""
+        import struct
+
+        if not rows:
+            return {"count": 0, "dim": 0, "algorithm": algorithm}
+        if len(rows) > 4096:
+            raise ValueError("batch exceeds 4096 rows")
+        tid = self.tenant_id if tenant_id is None else tenant_id
+        params: dict = {"algorithm": algorithm, "modality": modality}
+        if model_id:
+            params["model_id"] = model_id
+        if config_hash:
+            params["config_hash"] = str(int(config_hash))
+        body = bytearray()
+        for rid, vec in rows:
+            data = c.f32_row_bytes(vec)
+            body += struct.pack("<QI", int(rid), len(data))
+            body += data
+        return self._request(
+            "POST", f"/v1/ingest/embedding/batch/{tid}", params=params,
+            content=bytes(body),
+        )
+
     # -- audio ------------------------------------------------------------------
 
     def audio(

@@ -20,6 +20,31 @@ DEFAULT_BASE_URL = "http://127.0.0.1:8080"
 
 AudioSource = Union[bytes, bytearray, memoryview, Path, "Any"]
 ImageSource = Union[bytes, bytearray, memoryview, Path]
+# an embedding row: float sequence, numpy array, or pre-packed f32-LE bytes
+FloatRow = Union[bytes, bytearray, "Any"]
+
+
+def f32_row_bytes(vec: FloatRow) -> bytes:
+    """Little-endian f32 bytes of one embedding row. Accepts a float
+    sequence, a numpy array (any float dtype), or already-packed bytes
+    (validated to be f32-aligned). numpy is optional — plain sequences
+    pack via struct."""
+    if isinstance(vec, (bytes, bytearray, memoryview)):
+        b = bytes(vec)
+        if not b or len(b) % 4:
+            raise ValueError("packed row must be non-empty f32-LE bytes")
+        return b
+    tolist = getattr(vec, "tobytes", None)
+    if tolist is not None and getattr(vec, "dtype", None) is not None:
+        import numpy as np  # only reached for actual arrays
+
+        return np.ascontiguousarray(vec, dtype="<f4").tobytes()
+    import struct
+
+    seq = list(vec)
+    if not seq:
+        raise ValueError("empty embedding row")
+    return struct.pack(f"<{len(seq)}f", *seq)
 
 
 def new_record_id() -> int:

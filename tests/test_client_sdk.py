@@ -272,6 +272,26 @@ class TestImage:
         with pytest.raises(ValueError):
             client.image_batch([(i, b"x") for i in range(1025)])
 
+    def test_embedding_batch(self, client):
+        import numpy as np
+
+        mat = np.eye(3, 6, dtype=np.float32)
+        out = client.embedding_batch(
+            [(921, mat[0]), (922, mat[1].tolist()), (923, mat[2])],
+            model_id="bge", tenant_id=7,
+        )
+        assert out == {"count": 3, "dim": 6,
+                       "algorithm": "embedding-local"}
+        res = client.query("text", vector=mat[1].tolist(), k=1,
+                           tenant_id=7,
+                           filter={"algorithm": "embedding-local",
+                                   "model_id": "bge"})
+        assert res.hits[0].record_id == 922
+
+    def test_embedding_batch_size_cap_local(self, client):
+        with pytest.raises(ValueError):
+            client.embedding_batch([(i, [0.0]) for i in range(4097)])
+
     def test_audio_batch(self, client):
         import numpy as np
 

@@ -828,3 +828,116 @@ class TestWarmup:
 
         rec = tmod.fingerprint_minhash("post warmup text", 0, 1)
         assert rec.fingerprint
+
+
+class TestEmbeddingBatchRoute:
+    """POST /v1/ingest/embedding/batch/{tenant}: binary f32 rows ->
+    one WAL run commit (the remote twin of upsert_embedding_batch)."""
+
+    @staticmethod
+    def _body(rids, mat):
+        import struct
+
+        out = bytearray()
+        for rid, row in zip(rids, mat):
+            b = np.asarray(row, np.float32).tobytes()
+            out += struct.pack("<QI", rid, len(b))
+            out += b
+        return bytes(out)
+
+    def test_batch_then_query_and_describe(self, tmp_path):
+        app, state = make_app(tmp_path)
+        rng = np.random.default_rng(8)
+        mat = rng.standard_normal((12, 16), dtype=np.float32)
+        rids = list(range(300, 312))
+        r = call(app, "POST", "/v1/ingest/embedding/batch/4",
+                 self._body(rids, mat),
+                 query="model_id=bge&config_hash=9")
+        assert r.status == 201, r.body
+        body = jbody(r)
+        assert body == {"count": 12, "dim": 16,
+                        "algorithm": "embedding-local"}
+        q = jbody(call(app, "POST", "/v1/query", json.dumps({
+            "tenant_id": 4, "modality": "text", "k": 3,
+            "vector": mat[7].tolist(),
+            "filter": {"algorithm": "embedding-local",
+                       "model_id": "bge"}}).encode()))
+        assert q["hits"][0]["record_id"] == 307
+        d = jbody(call(app, "GET", "/v1/records/4/305",
+                       query="include=embedding"))
+        assert d["has_embedding"] and d["embedding_dim"] == 16
+        assert d["config_hash"] == 9 and d["model_id"] == "bge"
+        assert d["embedding"] == pytest.approx(mat[5].tolist())
+        # fingerprint is the row's f32-LE bytes (semantic-route parity)
+        fp = jbody(call(app, "GET", "/v1/records/4/305",
+                        query="include=fingerprint"))["fingerprint_hex"]
+        assert bytes.fromhex(fp) == mat[5].tobytes()
+        state.index.close()
+
+    def test_batch_survives_restart(self, tmp_path):
+        app, state = make_app(tmp_path)
+        mat = np.eye(4, dtype=np.float32)
+        r = call(app, "POST", "/v1/ingest/embedding/batch/1",
+                 self._body([1, 2, 3, 4], mat))
+        assert r.status == 201
+        state.index.close()
+        from ucfp_tpu.index.embedded import EmbeddedBackend
+
+        be = EmbeddedBackend(str(tmp_path / "db"))
+        hits = asyncio.run(be.knn(1, [0.0, 0.0, 1.0, 0.0], 1))
+        assert hits[0].record_id == 3
+        be.close()
+
+    def test_bad_bodies_400(self, tmp_path):
+        import struct
+
+        app, state = make_app(tmp_path)
+
+        def post(body, query=""):
+            return call(app, "POST", "/v1/ingest/embedding/batch/1",
+                        body, query=query)
+
+        assert post(b"\x00" * 4).status == 400  # truncated header
+        # odd byte_len (not f32-aligned)
+        assert post(struct.pack("<QI", 1, 3) + b"abc").status == 400
+        # non-uniform rows: row 1 has a different dim
+        good = struct.pack("<QI", 1, 8) + b"\x00" * 8
+        bad2 = struct.pack("<QI", 2, 4) + b"\x00" * 4
+        r = post(good + bad2)
+        assert r.status == 400
+        # body doesn't tile (trailing garbage)
+        assert post(good + b"\xff").status == 400
+        # non-finite row named in the error
+        mat = np.ones((3, 2), np.float32)
+        mat[1, 0] = np.inf
+        r = post(self._body([5, 6, 7], mat))
+        assert r.status == 400 and b"record_id 6" in r.body
+        # bad modality
+        assert post(good, query="modality=nope").status == 400
+        state.index.close()
+
+    def test_row_cap_enforced(self, tmp_path):
+        from ucfp_tpu.server.handlers import MAX_EMB_BATCH
+
+        app, state = make_app(tmp_path)
+        n = MAX_EMB_BATCH + 1
+        body = self._body(range(n), np.zeros((n, 1), np.float32))
+        r = call(app, "POST", "/v1/ingest/embedding/batch/1", body)
+        assert r.status == 400 and b"exceeds" in r.body
+        state.index.close()
+
+    def test_batch_literal_not_captured_as_tenant(self, tmp_path):
+        app, state = make_app(tmp_path)
+        mat = np.ones((2, 2), np.float32)
+        r = call(app, "POST", "/v1/ingest/embedding/batch/0",
+                 self._body([1, 2], mat))
+        assert r.status == 201
+        # duplicate rid inside one batch: per-record last-write-wins
+        m2 = np.stack([np.ones(2), 2 * np.ones(2)]).astype(np.float32)
+        r = call(app, "POST", "/v1/ingest/embedding/batch/0",
+                 self._body([9, 9], m2))
+        assert r.status == 201
+        d = jbody(call(app, "GET", "/v1/records/0/9",
+                       query="include=embedding"))
+        assert d["embedding"] == [2.0, 2.0]
+        state.index.close()

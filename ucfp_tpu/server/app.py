@@ -126,6 +126,10 @@ def build_server(
     # WAL group commit for up to 1024 images). Registered BEFORE the
     # per-record route so "batch" is not captured as a tenant id.
     r.add("POST", "/v1/ingest/image/batch/{tenant_id}", h.ingest_image_batch)
+    # batched pre-computed embedding ingest (binary f32 rows -> one WAL
+    # run commit; remote twin of upsert_embedding_batch)
+    r.add("POST", "/v1/ingest/embedding/batch/{tenant_id}",
+          h.ingest_embedding_batch)
     r.add("POST", "/v1/ingest/image/{tenant_id}/{record_id}", h.ingest_image)
     r.add("POST", "/v1/ingest/image/{tenant_id}/{record_id}/semantic",
           h.ingest_image_semantic)

@@ -61,6 +61,9 @@ SERVICE_TENANT = 0
 # already the ceiling of what one request may pin)
 MAX_QUERY_BATCH = 256
 MAX_QUERY_K = 10_000
+# embedding batch route row cap: 4096 x 768-d f32 rows = ~12.6 MB,
+# inside the 16 MiB body limit with framing headroom
+MAX_EMB_BATCH = 4096
 
 # The ingest routes accept friendly algorithm ids (?algorithm=phash)
 # but records are stored under canonical tags (imgfprint-phash-v1) —
@@ -1233,6 +1236,91 @@ class Handlers:
             out["error"] = "batch_failed"
             out["message"] = f"all {len(errors)} rows failed"
         return Response.json(out, status=201 if recs else 400)
+
+    async def ingest_embedding_batch(self, req: Request) -> Response:
+        """Many pre-computed embeddings, one request, one WAL run
+        commit — the remote twin of
+        EmbeddedBackend.upsert_embedding_batch (extension route, no
+        reference analog: the reference ingests embeddings one record
+        at a time as JSON, and at 768-d the float-list parse alone
+        bounds a bulk load). The binary body becomes the [n, d] f32
+        matrix with two vectorized views — no per-record Python floats
+        anywhere on the path.
+
+        Body framing (application/x-ucfp-emb-batch): repeated
+        [u64 LE record_id][u32 LE byte_len][byte_len bytes f32 LE],
+        byte_len identical across rows (one matrix). Query:
+        ?algorithm= (default embedding-local), ?model_id=, ?modality=
+        (default text), ?config_hash=. Response: {count, dim,
+        algorithm}. Each row's stored fingerprint is its f32-LE bytes,
+        matching the single-record semantic routes.
+        """
+        import struct
+
+        tid = _path_tenant(req)
+        tenant_guard(_ctx(req), tid)
+        algorithm = req.query.get("algorithm", tmod.ALGORITHM_SEMANTIC_LOCAL)
+        _algo_gate(algorithm)
+        model_id = req.query.get("model_id") or None
+        cfg = req.qp_int("config_hash", 0)
+        try:
+            modality = Modality(req.query.get("modality", "text"))
+        except ValueError as e:
+            raise HttpError(400, "bad_query", str(e))
+        raw = req.body
+        if len(raw) < 12:
+            raise HttpError(400, "bad_body", "truncated batch frame header")
+        _, ln = struct.unpack_from("<QI", raw, 0)
+        if ln == 0 or ln % 4 != 0:
+            raise HttpError(
+                400, "bad_body",
+                "row byte length must be a positive multiple of 4 (f32)",
+            )
+        step = 12 + ln
+        if len(raw) % step != 0:
+            raise HttpError(
+                400, "bad_body",
+                "rows must be uniform: body does not tile into "
+                f"[u64 rid][u32 len={ln}][{ln} bytes] frames",
+            )
+        n = len(raw) // step
+        if n > MAX_EMB_BATCH:
+            raise HttpError(
+                400, "bad_body", f"batch exceeds {MAX_EMB_BATCH} rows")
+        arr = np.frombuffer(raw, np.uint8).reshape(n, step)
+        lens = np.ascontiguousarray(arr[:, 8:12]).view("<u4").ravel()
+        if not bool((lens == ln).all()):
+            bad = int(np.flatnonzero(lens != ln)[0])
+            raise HttpError(
+                400, "bad_body",
+                f"rows must share one dim: row {bad} has byte_len "
+                f"{int(lens[bad])}, row 0 has {ln}",
+            )
+        rids = [int(r) for r in
+                np.ascontiguousarray(arr[:, 0:8]).view("<u8").ravel()]
+        mat = np.ascontiguousarray(arr[:, 12:]).view("<f4")
+        finite = np.isfinite(mat)
+        if not bool(finite.all()):
+            bad = int(np.flatnonzero(~finite.all(axis=1))[0])
+            raise HttpError(
+                400, "bad_body",
+                f"embeddings must be finite: row {bad} (record_id "
+                f"{rids[bad]}) has a non-finite value",
+            )
+        try:
+            await self.index.upsert_embedding_batch(
+                tid, algorithm, rids, mat, modality=modality,
+                model_id=model_id, config_hash=cfg,
+            )
+        except ValueError as e:
+            raise HttpError(400, "bad_record", str(e))
+        except UcfpError as e:
+            raise _err(e)
+        _tag_usage(req, modality.value, algorithm)
+        return Response.json(
+            {"count": n, "dim": ln // 4, "algorithm": algorithm},
+            status=201,
+        )
 
     async def ingest_image_batch(self, req: Request) -> Response:
         """Many images, one request, one device batch, one WAL commit —
