@@ -228,12 +228,21 @@ def run_query_soak(seconds: float = 8.0, conns: int = 16,
                    n: int = 65_536, d: int = 768, k: int = 10,
                    qbatch_ms: float = 2.0, quant: str | None = None,
                    native: bool = False, exact: bool = False,
+                   qbatch_pad: str = "max",
                    data_dir: str | None = None) -> dict:
     """In-process query soak; returns the measured dict.
 
     exact=True disables micro-batching (qbatch_ms=0) so every request
     rides its own device dispatch — the per-query-dispatch baseline the
     coalesced number should beat under concurrency.
+
+    qbatch_pad="max" (default) pins the flush cap to `conns` and pads
+    every coalesced batch to it: exactly ONE compiled batched shape.
+    Through the tunnel runtime each distinct shape compiles for
+    MINUTES, and the pow2 ladder (1,2,4,8,16) was observed burning a
+    25-minute warmup on compiles alone; padding to a full flush costs
+    ~nothing because the catalog scan is shared across the batch.
+    Pass qbatch_pad="pow2" to exercise the production-default ladder.
     """
     from ucfp_tpu.index.embedded import EmbeddedBackend
     from ucfp_tpu.server.app import ServerState
@@ -245,9 +254,12 @@ def run_query_soak(seconds: float = 8.0, conns: int = 16,
     created = data_dir is None
     dd = data_dir or tempfile.mkdtemp(prefix="ucfp-qsoak-")
     token = "soak-token"
-    saved = os.environ.get("UCFP_QUERY_BATCH_MS")
+    saved = {k_: os.environ.get(k_) for k_ in
+             ("UCFP_QUERY_BATCH_MS", "UCFP_QBATCH_PAD", "UCFP_QBATCH_MAX")}
     os.environ["UCFP_QUERY_BATCH_MS"] = (
         "0" if exact else str(qbatch_ms))
+    os.environ["UCFP_QBATCH_PAD"] = qbatch_pad
+    os.environ["UCFP_QBATCH_MAX"] = str(conns if qbatch_pad == "max" else 64)
     try:
         state = ServerState(
             index=EmbeddedBackend(dd, knn_quant=quant),
@@ -257,10 +269,11 @@ def run_query_soak(seconds: float = 8.0, conns: int = 16,
             inputs=InputsCache(),
         )
     finally:
-        if saved is None:
-            os.environ.pop("UCFP_QUERY_BATCH_MS", None)
-        else:
-            os.environ["UCFP_QUERY_BATCH_MS"] = saved
+        for k_, v in saved.items():
+            if v is None:
+                os.environ.pop(k_, None)
+            else:
+                os.environ[k_] = v
     try:
         return asyncio.run(
             _soak(state, "127.0.0.1", 0, token, seconds, conns, n, d, k,
@@ -282,6 +295,9 @@ def main() -> None:
     p.add_argument("--d", type=int, default=768)
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--qbatch-ms", type=float, default=2.0)
+    p.add_argument("--qbatch-pad", default="max", choices=["max", "pow2"],
+                   help="flush padding: max = one compiled shape "
+                        "(tunnel-friendly), pow2 = production ladder")
     p.add_argument("--quant", default=None,
                    help="knn quant tier (int8/int4/int2/sketch); default env")
     p.add_argument("--native", action="store_true",
@@ -296,7 +312,8 @@ def main() -> None:
 
         jax.config.update("jax_platforms", "cpu")
     out = run_query_soak(args.seconds, args.conns, args.n, args.d, args.k,
-                         args.qbatch_ms, args.quant, args.native, args.exact)
+                         args.qbatch_ms, args.quant, args.native, args.exact,
+                         qbatch_pad=args.qbatch_pad)
     json.dump(out, sys.stdout)
     print()
 

@@ -77,3 +77,22 @@ def test_run_query_soak_warmup_deadline_sets_degraded_marker(monkeypatch):
     r = run_query_soak(seconds=0.5, conns=2, n=128, d=8, k=3)
     assert r["warmup_degraded"] is True
     assert r["queries"] > 0  # the measured window still ran
+
+
+def test_qbatch_pad_max_compiles_one_shape(tmp_path, monkeypatch):
+    """UCFP_QBATCH_PAD=max pads every coalesced flush to
+    UCFP_QBATCH_MAX — the single-compiled-shape mode the soak runs
+    (through a tunneled runtime each distinct pow2 shape compiles for
+    minutes)."""
+    from ucfp_tpu.index.embedded import EmbeddedBackend
+
+    monkeypatch.setenv("UCFP_QBATCH_PAD", "max")
+    monkeypatch.setenv("UCFP_QBATCH_MAX", "16")
+    be = EmbeddedBackend(str(tmp_path / "a"))
+    assert len(be._pad_pow2_list([[1.0]] * 3)) == 16
+    assert len(be._pad_pow2_list([[1.0]] * 16)) == 16
+    be.close()
+    monkeypatch.setenv("UCFP_QBATCH_PAD", "pow2")
+    be = EmbeddedBackend(str(tmp_path / "b"))
+    assert len(be._pad_pow2_list([[1.0]] * 3)) == 4
+    be.close()

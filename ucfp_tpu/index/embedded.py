@@ -468,6 +468,17 @@ class EmbeddedBackend(IndexBackend):
         self._qbatch_ms = float(
             os.environ.get("UCFP_QUERY_BATCH_MS", "0") or 0
         )
+        # flush-size cap + padding policy. "pow2" (default) pads each
+        # coalesced batch to the next power of two — O(log max) compiled
+        # shapes, minimal padded work. "max" pads every flush to
+        # UCFP_QBATCH_MAX — exactly ONE compiled batched shape per
+        # (tenant, dim, k) bucket, for runtimes where each compile costs
+        # minutes (remote/tunneled PJRT); the padded columns are nearly
+        # free because the catalog scan dominates and is shared.
+        self._qbatch_max = max(1, int(
+            os.environ.get("UCFP_QBATCH_MAX", "64") or 64))
+        self._qbatch_pad = (
+            os.environ.get("UCFP_QBATCH_PAD", "pow2").lower())
         # kind ("vec"/"fp") -> {event loop -> DeadlineBatcher}
         self._batchers: dict[str, dict] = {}
         # coalescing observability (served via /v1/info): flushes and
@@ -2401,22 +2412,28 @@ class EmbeddedBackend(IndexBackend):
                 from ..ingest.batcher import DeadlineBatcher
 
                 b = DeadlineBatcher(
-                    run, max_batch=64, max_delay_ms=self._qbatch_ms
+                    run, max_batch=self._qbatch_max,
+                    max_delay_ms=self._qbatch_ms
                 )
                 reg[loop] = b
         return b
 
-    @staticmethod
-    def _pad_pow2_list(payloads: list) -> list:
-        """Pad a coalesced batch to a power-of-two size: XLA traces one
+    def _pad_pow2_list(self, payloads: list) -> list:
+        """Pad a coalesced batch to its compile bucket: XLA traces one
         program per distinct Q, and a deadline batcher produces
         arbitrary sizes — unpadded, a busy server would compile up to
         64 variants per bucket (minutes each through a remote runtime).
-        Seven size buckets bound it; the catalog scan dominates the
-        cost, so padding rows (a repeat of the first payload, results
-        sliced off by the caller) are nearly free."""
+        UCFP_QBATCH_PAD=pow2 (default) pads to the next power of two
+        (O(log max) buckets); "max" pads every flush to UCFP_QBATCH_MAX
+        (ONE bucket — for runtimes where every compile is minutes). The
+        catalog scan dominates the cost either way, so padding rows (a
+        repeat of the first payload, results sliced off by the caller)
+        are nearly free."""
         n = len(payloads)
-        qb = 1 << (n - 1).bit_length() if n > 1 else 1
+        if self._qbatch_pad == "max":
+            qb = self._qbatch_max
+        else:
+            qb = 1 << (n - 1).bit_length() if n > 1 else 1
         return payloads + [payloads[0]] * (qb - n)
 
     async def _run_vec_bucket(self, bucket, payloads):
