@@ -1369,23 +1369,48 @@ def _run_all():
         sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent / "scripts"))
         from soak_query import run_query_soak
 
-        runs = [run_query_soak(seconds=4.0, conns=16, n=65_536, d=768,
-                               quant="int8") for _ in range(3)]
-        rates = sorted(r["qps"] for r in runs)
-        mid = [r for r in runs if r["qps"] == rates[1]][0]
+        # stage budget: the first batched compile was observed taking
+        # >400 s through a congested tunnel window (the soak's warmup
+        # deadline absorbs it, flagged degraded); this cap keeps a
+        # pathological window from starving the rest of the bench
+        stage_budget = float(
+            os.environ.get("UCFP_BENCH_QUERY_BUDGET_S", "900"))
+        t0 = time.perf_counter()
+        runs = []
+        for _ in range(3):
+            runs.append(run_query_soak(seconds=4.0, conns=16, n=65_536,
+                                       d=768, quant="int8"))
+            if time.perf_counter() - t0 > stage_budget:
+                break
+        # a degraded run measured its window DURING the first compile
+        # (qps ~0): quote the median of clean runs, keep every run's
+        # rate visible so a congested capture can't masquerade as a
+        # serving regression
+        clean = [r for r in runs if not r.get("warmup_degraded")] or runs
+        rates = sorted(r["qps"] for r in clean)
+        med = rates[len(rates) // 2]
+        mid = [r for r in clean if r["qps"] == med][0]
         extra["query_http_errors"] = sum(r["errors"] for r in runs)
-        extra["query_http_range_qps"] = [rates[0], rates[-1]]
+        extra["query_http_runs_qps"] = sorted(
+            round(r["qps"], 1) for r in runs)
         extra["query_http_p50_ms"] = mid["p50_ms"]
         extra["query_http_p99_ms"] = mid["p99_ms"]
         extra["query_http_avg_batch"] = mid["avg_batch"]
         extra["query_http_unstable"] = bool(
-            rates[0] > 0 and rates[-1] / rates[0] > 2.0
+            len(rates) > 1
+            and (rates[0] <= 0 or rates[-1] / rates[0] > 2.0)
         )
         if any(r.get("warmup_degraded") for r in runs):
             extra["query_http_degraded"] = True
         # per-dispatch contrast (micro-batching off): a failure here
-        # must not sink the primary metric
+        # must not sink the primary metric. The 0.5 s absorber run
+        # exists to take the exact kernel's first compile OUT of the
+        # measured window (compiles persist process-wide).
         try:
+            if time.perf_counter() - t0 > stage_budget:
+                raise TimeoutError("query bench stage budget exhausted")
+            run_query_soak(seconds=0.5, conns=16, n=65_536, d=768,
+                           quant="int8", exact=True)
             ex = run_query_soak(seconds=4.0, conns=16, n=65_536, d=768,
                                 quant="int8", exact=True)
             extra["query_http_exact_qps"] = ex["qps"]
@@ -1395,7 +1420,7 @@ def _run_all():
         except Exception as e:
             extra["query_http_exact_qps"] = (
                 f"error: {type(e).__name__}: {e}")
-        return rates[1]
+        return med
 
     def _panako_haitsma_xrt():
         """Panako + Haitsma extraction xRT — driver-captured so the
