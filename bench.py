@@ -1312,17 +1312,23 @@ def _run_all():
         # instead of masquerading as a regression.
         runs = [run_soak(seconds=4.0, conns=16, algorithm="phash",
                          batch=1024, quiet=True) for _ in range(3)]
-        rates = sorted(r["req_per_sec"] for r in runs)
+        # warmup_degraded = a run hit the soak's wall-clock warmup
+        # deadline (observed: one remote compile took 480+ s through a
+        # congested tunnel window) — the captured rate is compile-bound,
+        # not the serving path's. Quote the median over CLEAN runs when
+        # any exist (one poisoned window measured 0 imgs/s / 16384
+        # errors and would drag the median below every real capture);
+        # the degraded flag + per-run rates keep the exclusion visible.
+        clean = [r for r in runs if not r.get("warmup_degraded")]
+        rates = sorted(r["req_per_sec"] for r in (clean or runs))
         extra["ingest_http_errors"] = sum(r["errors"] for r in runs)
+        extra["ingest_http_runs_imgs_per_sec"] = [
+            round(r["req_per_sec"], 1) for r in runs]
         extra["ingest_http_range_imgs_per_sec"] = [rates[0], rates[-1]]
         extra["ingest_http_unstable"] = bool(
             rates[0] > 0 and rates[-1] / rates[0] > 2.0
         )
-        # warmup_degraded = a run hit the soak's wall-clock warmup
-        # deadline (observed: one remote compile took 480+ s through a
-        # congested tunnel window) — the captured rate is compile-bound,
-        # not the serving path's.
-        if any(r.get("warmup_degraded") for r in runs):
+        if len(clean) < len(runs):
             extra["ingest_http_degraded"] = True
         # Same soak through the C++ epoll front (--native / --native-http
         # in production): the asyncio StreamReader's bytearray churn on
@@ -1335,19 +1341,20 @@ def _run_all():
             nruns = [run_soak(seconds=4.0, conns=16, algorithm="phash",
                               batch=1024, quiet=True, native=True)
                      for _ in range(3)]
-            nrates = sorted(r["req_per_sec"] for r in nruns)
-            extra["ingest_http_native_imgs_per_sec"] = nrates[1]
+            nclean = [r for r in nruns if not r.get("warmup_degraded")]
+            nrates = sorted(r["req_per_sec"] for r in (nclean or nruns))
+            extra["ingest_http_native_imgs_per_sec"] = nrates[len(nrates) // 2]
             extra["ingest_http_native_range_imgs_per_sec"] = [
                 nrates[0], nrates[-1]]
             extra["ingest_http_native_unstable"] = bool(
                 nrates[0] > 0 and nrates[-1] / nrates[0] > 2.0
             )
-            if any(r.get("warmup_degraded") for r in nruns):
+            if len(nclean) < len(nruns):
                 extra["ingest_http_native_degraded"] = True
         except Exception as e:
             extra["ingest_http_native_imgs_per_sec"] = (
                 f"error: {type(e).__name__}: {e}")
-        return rates[1]
+        return rates[len(rates) // 2]
 
     def _query_http():
         """End-to-end HTTP /v1/query soak (scripts/soak_query.py): JSON

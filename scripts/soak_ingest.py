@@ -155,9 +155,21 @@ async def _soak(state, host: str, port: int, token: str, seconds: float,
     # deadline the measured window still runs — it yields an honest slow
     # number — and warmup_degraded marks the capture as compile-bound.
     warm = dict(ok=0, err=0, drop=0)
+    # 600 s: the coalesced [8192, 32, 32] launch shape compiles ~60 s
+    # through the tunnel runtime and has been observed taking >300 s in
+    # congested windows — a warmup that gives up mid-compile measures a
+    # window of pure 408s (one capture: 0 imgs/s, 16384 errors). The
+    # budget is only ever spent when a compile is actually cold.
     warm_deadline = time.perf_counter() + float(
-        os.environ.get("UCFP_SOAK_WARMUP_S", "300"))
+        os.environ.get("UCFP_SOAK_WARMUP_S", "600"))
     warm_degraded = False
+    # warm with CONCURRENT clients: the cross-request coalescer merges
+    # concurrent groups into bigger launches, so serial warmup would
+    # leave the coalesced batch shape cold and the first measured-window
+    # flush would compile mid-capture (minutes through a congested
+    # tunnel). The soak pins UCFP_INGEST_PAD=max (run_soak), so ONE
+    # coalesced shape exists and any concurrent round compiles it.
+    warm_conns = min(conns, 8)
     for _ in range(20):
         t = time.perf_counter()
         if t >= warm_deadline:
@@ -165,8 +177,12 @@ async def _soak(state, host: str, port: int, token: str, seconds: float,
             break
         try:
             await asyncio.wait_for(
-                _client(host, port, token, body, algorithm, 0, 10_000_000,
-                        time.perf_counter() + 0.05, warm, batch, quiet),
+                asyncio.gather(*(
+                    _client(host, port, token, body, algorithm, 0,
+                            10_000_000 + i * 1_000_000,
+                            time.perf_counter() + 0.05, warm, batch, quiet)
+                    for i in range(warm_conns)
+                )),
                 timeout=max(1.0, warm_deadline - t),
             )
         except asyncio.TimeoutError:
@@ -213,6 +229,10 @@ def run_soak(seconds: float = 10.0, conns: int = 32,
     created = data_dir is None
     d = data_dir or tempfile.mkdtemp(prefix="ucfp-soak-")
     token = "soak-token"
+    # one compiled coalesced-launch shape for the whole soak (the pow2
+    # ladder would compile per flush size — minutes each through the
+    # tunnel runtime); saturation flushes fill the cap anyway
+    os.environ.setdefault("UCFP_INGEST_PAD", "max")
     state = ServerState(
         index=EmbeddedBackend(d),
         api_keys=StaticSingleKey(token),

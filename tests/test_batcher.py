@@ -109,3 +109,83 @@ class TestCancellationSafety:
                 await t2
 
         asyncio.run(go())
+
+
+class TestWeightedBatcher:
+    """weigh= mode: payloads are groups; flush threshold and chunking go
+    by total weight (rows), not item count."""
+
+    def test_weight_triggered_flush(self):
+        batches = []
+
+        async def runner(bucket, payloads):
+            batches.append(list(payloads))
+            return [len(p) for p in payloads]
+
+        async def go():
+            b = DeadlineBatcher(runner, max_batch=8, max_delay_ms=10_000,
+                                weigh=len)
+            # 3 + 5 = 8 trips the weight threshold with only 2 items
+            return await asyncio.gather(
+                b.submit("x", [0] * 3), b.submit("x", [0] * 5)
+            )
+
+        assert run(go()) == [3, 5]
+        assert len(batches) == 1 and len(batches[0]) == 2
+
+    def test_weight_chunking_splits_overfull_queue(self):
+        batches = []
+
+        async def runner(bucket, payloads):
+            batches.append([len(p) for p in payloads])
+            return [len(p) for p in payloads]
+
+        async def go():
+            b = DeadlineBatcher(runner, max_batch=4, max_delay_ms=10_000,
+                                weigh=len)
+            # enqueue under a held lock-free window: deadline far out, so
+            # the 4th submit trips the flush with 2+2+2+2 = 8 queued
+            return await asyncio.gather(*(
+                b.submit("x", [0] * 2) for _ in range(4)
+            ))
+
+        assert run(go()) == [2, 2, 2, 2]
+        # chunked into weight<=4 launches, never one 8-row launch
+        assert all(sum(c) <= 4 for c in batches)
+        assert sum(len(c) for c in batches) == 4
+
+    def test_single_overweight_group_still_runs(self):
+        async def runner(bucket, payloads):
+            return [len(p) for p in payloads]
+
+        async def go():
+            b = DeadlineBatcher(runner, max_batch=4, max_delay_ms=5,
+                                weigh=len)
+            return await asyncio.wait_for(b.submit("x", [0] * 9), timeout=2)
+
+        assert run(go()) == 9
+
+    def test_weight_resets_after_flush(self):
+        batches = []
+
+        async def runner(bucket, payloads):
+            batches.append([len(p) for p in payloads])
+            return [len(p) for p in payloads]
+
+        async def go():
+            b = DeadlineBatcher(runner, max_batch=4, max_delay_ms=10_000,
+                                weigh=len)
+            r1 = await asyncio.gather(
+                b.submit("x", [0] * 2), b.submit("x", [0] * 2))
+            # stale accumulated weight would flush the first group of
+            # this pair ALONE (4+2 >= 4 on submit); a reset weight
+            # coalesces the pair into one flush of [2, 2]
+            r2 = await asyncio.wait_for(
+                asyncio.gather(b.submit("x", [0] * 2),
+                               b.submit("x", [0] * 2)),
+                timeout=2,
+            )
+            return r1 + r2
+
+        assert run(go()) == [2, 2, 2, 2]
+        assert batches == [[2, 2], [2, 2]]

@@ -941,3 +941,76 @@ class TestEmbeddingBatchRoute:
                        query="include=embedding"))
         assert d["embedding"] == [2.0, 2.0]
         state.index.close()
+
+
+class TestIngestCoalesce:
+    """Cross-request coalescing on the bulk image route: concurrent
+    batch requests share one device launch; fingerprints must be
+    byte-identical to the per-request path (padding rows are discarded,
+    hash kernels are row-independent)."""
+
+    @staticmethod
+    def _frames(pairs):
+        import struct
+
+        out = bytearray()
+        for rid, img in pairs:
+            out += struct.pack("<QI", rid, len(img))
+            out += img
+        return bytes(out)
+
+    def _ingest_pair(self, app):
+        f1 = self._frames([(1, synthetic_png(64, 64)),
+                           (2, synthetic_png(32, 32))])
+        f2 = self._frames([(3, synthetic_png(64, 64)),
+                           (4, synthetic_png(48, 48))])
+
+        async def go():
+            (r1, _), (r2, _) = await asyncio.gather(
+                app.handle_request(req(
+                    "POST", "/v1/ingest/image/batch/0", f1,
+                    query="algorithm=phash")),
+                app.handle_request(req(
+                    "POST", "/v1/ingest/image/batch/0", f2,
+                    query="algorithm=phash")),
+            )
+            return r1, r2
+
+        r1, r2 = asyncio.run(go())
+        assert r1.status == 201 and r2.status == 201
+        out = {}
+        for r in (r1, r2):
+            for rec in jbody(r)["records"]:
+                out[rec["record_id"]] = rec["fingerprint_hex"]
+        return out
+
+    def test_coalesced_matches_direct(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("UCFP_INGEST_COALESCE_MS", "2")
+        app, state = make_app(tmp_path / "a")
+        coalesced = self._ingest_pair(app)
+
+        monkeypatch.setenv("UCFP_INGEST_COALESCE_MS", "0")
+        app2, _ = make_app(tmp_path / "b")
+        direct = self._ingest_pair(app2)
+        assert coalesced == direct and len(coalesced) == 4
+
+    def test_pad_max_matches_pow2(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("UCFP_INGEST_COALESCE_MS", "2")
+        monkeypatch.setenv("UCFP_INGEST_PAD", "max")
+        monkeypatch.setenv("UCFP_INGEST_COALESCE_ROWS", "64")
+        app, _ = make_app(tmp_path / "a")
+        padded = self._ingest_pair(app)
+
+        monkeypatch.delenv("UCFP_INGEST_PAD")
+        monkeypatch.delenv("UCFP_INGEST_COALESCE_ROWS")
+        monkeypatch.setenv("UCFP_INGEST_COALESCE_MS", "0")
+        app2, _ = make_app(tmp_path / "b")
+        assert padded == self._ingest_pair(app2)
+
+    def test_coalesce_counters_visible(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("UCFP_INGEST_COALESCE_MS", "2")
+        app, _ = make_app(tmp_path / "a")
+        self._ingest_pair(app)
+        h = app.router.match("POST", "/v1/ingest/image/batch/0")[0].__self__
+        assert h.ingest_coalesce_flushes >= 1
+        assert h.ingest_coalesce_groups >= 2

@@ -37,11 +37,19 @@ class DeadlineBatcher:
         run_batch: Callable[[Hashable, list], Awaitable[list]],
         max_batch: int = 64,
         max_delay_ms: float = 2.0,
+        weigh: Callable[[Any], int] | None = None,
     ):
         self.run_batch = run_batch
         self.max_batch = max_batch
         self.max_delay = max_delay_ms / 1000.0
+        # weighted mode: payloads are themselves GROUPS (e.g. [N, H, W]
+        # image stacks from the bulk route) and the flush threshold is
+        # total weight (rows), not item count — 8 groups of 1024 rows
+        # and 64 groups of 128 rows should both flush near the same
+        # device batch size
+        self.weigh = weigh
         self._queues: dict[Hashable, list[_Pending]] = {}
+        self._weights: dict[Hashable, int] = {}
         self._timers: dict[Hashable, asyncio.TimerHandle] = {}
         self._lock = asyncio.Lock()
         # strong refs: the loop holds tasks weakly, and a GC'd flush task
@@ -60,7 +68,13 @@ class DeadlineBatcher:
         async with self._lock:
             q = self._queues.setdefault(bucket, [])
             q.append(_Pending(payload, fut))
-            if len(q) >= self.max_batch:
+            if self.weigh is not None:
+                w = self._weights.get(bucket, 0) + self.weigh(payload)
+                self._weights[bucket] = w
+                full = w >= self.max_batch
+            else:
+                full = len(q) >= self.max_batch
+            if full:
                 flush_now = True
             elif bucket not in self._timers:
                 self._timers[bucket] = loop.call_later(
@@ -80,12 +94,12 @@ class DeadlineBatcher:
             if timer is not None:
                 timer.cancel()
             q = self._queues.pop(bucket, [])
+            self._weights.pop(bucket, None)
         if not q:
             return
         # the flush_now race can admit a few extra items; keep device
         # batches at the contracted size by chunking
-        for lo in range(0, len(q), self.max_batch):
-            chunk = q[lo : lo + self.max_batch]
+        for chunk in self._chunks(q):
             try:
                 results = await self.run_batch(
                     bucket, [p.payload for p in chunk]
@@ -102,6 +116,27 @@ class DeadlineBatcher:
                 for p in chunk:
                     if not p.future.done():
                         p.future.set_exception(e)
+
+    def _chunks(self, q: list[_Pending]):
+        """Split a flushed queue into device-batch-sized chunks: by item
+        count, or by cumulative weight when weighted (a chunk always
+        takes at least one item, so an over-weight single group still
+        runs)."""
+        if self.weigh is None:
+            for lo in range(0, len(q), self.max_batch):
+                yield q[lo:lo + self.max_batch]
+            return
+        chunk: list[_Pending] = []
+        w = 0
+        for p in q:
+            pw = self.weigh(p.payload)
+            if chunk and w + pw > self.max_batch:
+                yield chunk
+                chunk, w = [], 0
+            chunk.append(p)
+            w += pw
+        if chunk:
+            yield chunk
 
     async def flush_all(self) -> None:
         for bucket in list(self._queues.keys()):

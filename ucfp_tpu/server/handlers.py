@@ -161,7 +161,26 @@ def _hash_image_group(algo: str, gray: np.ndarray, h: int, w: int,
             out = imod.jax_device_get(imagehash.multihash_kernel_gray(
                 _pad_pow2(gray, count), h, w))
         return [imagehash.serialize_multihash(out, i) for i in range(count)]
-    gray = _pad_pow2(gray, count)
+    return _hash_single_rows(algo, gray, h, w, count)
+
+
+def _hash_single_rows(algo: str, gray: np.ndarray, h: int, w: int,
+                      count: int, pad_to: int = 0) -> list[bytes]:
+    """One single-hash kernel launch over target-shape LUMA rows
+    [count, H, W] u8 (already resized to SINGLE_HASH_INPUT). pad_to=0
+    pads to the next power of two (O(log N) compiled shapes); the
+    cross-request coalescer passes its row cap so saturation traffic
+    compiles ONE shape."""
+    from ..ops import imagehash
+
+    if pad_to:
+        cap = max(pad_to, count)
+        if cap != count:
+            gray = np.concatenate(
+                [gray, np.repeat(gray[-1:], cap - count, axis=0)], axis=0
+            )
+    else:
+        gray = _pad_pow2(gray, count)
     out = imod.jax_device_get(
         imagehash.single_hash_kernel_gray(gray, h, w, algo)
     )
@@ -281,6 +300,67 @@ class Handlers:
 
         self.image_batcher = DeadlineBatcher(_run_image_batch, max_batch=64,
                                              max_delay_ms=2.0)
+
+        # cross-REQUEST coalescing for the bulk image route: concurrent
+        # [N, H, W] groups (already host-resized to the algorithm's
+        # target shape) merge into one kernel launch. Remote/tunneled
+        # runtimes charge a fixed ~25-60 ms round trip per dispatch AND
+        # per device_get (measured: 1x[8192,32,32] phash = put 6.5 +
+        # exec ~28 + get ~28 ms in a clean window vs 8 sequential
+        # 1024-launches at ~130 ms each) — coalescing amortizes both
+        # 8x. UCFP_INGEST_COALESCE_MS=0 disables (per-request launches).
+        import os
+
+        # OFF by default — measured, not assumed: an interleaved A/B at
+        # 16 connections x 1024-image batches through the tunnel runtime
+        # read per-request {21.0k, 9.7k, 17.3k} imgs/s vs coalesced
+        # {9.9k, 12.7k, 6.0k} — the runtime pipelines sixteen 1 MB
+        # in-flight transfers better than two 8.4 MB padded ones, and
+        # the same A/B on the 1-core CPU backend cost ~35% (compute is
+        # the wall; per-request 1024 launches pad tighter). Coalescing
+        # remains the right shape when dispatch round trips dominate and
+        # concurrency is LOW (few clients, each under the row cap) —
+        # opt in with UCFP_INGEST_COALESCE_MS.
+        coalesce_ms = float(os.environ.get("UCFP_INGEST_COALESCE_MS", "0"))
+        self._coalesce_on = coalesce_ms > 0
+        self._coalesce_rows = int(
+            os.environ.get("UCFP_INGEST_COALESCE_ROWS", "8192"))
+        # pad policy for the coalesced launch: pow2 ladder (default) or
+        # "max" = always the row cap, ONE compiled shape — mirrors the
+        # query micro-batcher's UCFP_QBATCH_PAD contract
+        self._ingest_pad = os.environ.get("UCFP_INGEST_PAD", "pow2")
+        self.ingest_coalesce_flushes = 0
+        self.ingest_coalesce_groups = 0
+
+        async def _run_hash_groups(bucket, groups):
+            import asyncio
+
+            algo, h, w = bucket
+            counts = [g.shape[0] for g in groups]
+            total = sum(counts)
+            self.ingest_coalesce_flushes += 1
+            self.ingest_coalesce_groups += len(groups)
+
+            def work():
+                gray = (groups[0] if len(groups) == 1
+                        else np.concatenate(groups, axis=0))
+                pad_to = (self._coalesce_rows
+                          if self._ingest_pad == "max" else 0)
+                fps = _hash_single_rows(algo, gray, h, w, total, pad_to)
+                out, off = [], 0
+                for c in counts:
+                    out.append(fps[off:off + c])
+                    off += c
+                return out
+
+            return await asyncio.to_thread(work)
+
+        self.group_hash_batcher = DeadlineBatcher(
+            _run_hash_groups,
+            max_batch=self._coalesce_rows,
+            max_delay_ms=coalesce_ms or 2.0,
+            weigh=lambda g: g.shape[0],
+        )
 
     # -- public ---------------------------------------------------------------
 
@@ -1364,7 +1444,15 @@ class Handlers:
                 raise HttpError(400, "bad_body", "batch exceeds 1024 images")
             if code == 0:
                 n, h, w = gray.shape
-                return rids, _hash_image_group(algorithm, gray, h, w, n)
+                if algorithm != "multi" and self._coalesce_on:
+                    # host-resize to the hash's target shape here, hash
+                    # via the cross-request coalescer after the thread
+                    # hop (concurrent requests share a kernel launch)
+                    th, tw = imod.SINGLE_HASH_INPUT[algorithm]
+                    if (h, w) != (th, tw):
+                        gray = imod.resize_gray_batch(gray, th, tw)
+                    return rids, gray, None
+                return rids, None, _hash_image_group(algorithm, gray, h, w, n)
 
             # Python fallback: mixed shapes / non-BMP formats / frames
             # outside the preprocess limits (exact per-image errors).
@@ -1392,18 +1480,40 @@ class Handlers:
             groups: dict[tuple[int, int], list[int]] = {}
             for i, g in enumerate(grays):
                 groups.setdefault(g.shape, []).append(i)
+            if algorithm != "multi" and self._coalesce_on:
+                # single-hash algorithms share one target shape, so the
+                # mixed-size fallback batch still merges into ONE group
+                # for the cross-request coalescer: host-resize each
+                # shape group (same Q15 stage as the direct path), then
+                # reassemble in frame order
+                th, tw = imod.SINGLE_HASH_INPUT[algorithm]
+                small = np.empty((len(frames), th, tw), np.uint8)
+                for (h, w), idxs in groups.items():
+                    batch = np.stack([grays[i] for i in idxs])
+                    if (h, w) != (th, tw):
+                        batch = imod.resize_gray_batch(batch, th, tw)
+                    for j, i in enumerate(idxs):
+                        small[i] = batch[j]
+                return [rid for rid, _ in frames], small, None
             fps: list[bytes] = [b""] * len(frames)
             for (h, w), idxs in groups.items():
                 batch = np.stack([grays[i] for i in idxs])
                 hashed = _hash_image_group(algorithm, batch, h, w, len(idxs))
                 for j, i in enumerate(idxs):
                     fps[i] = hashed[j]
-            return [rid for rid, _ in frames], fps
+            return [rid for rid, _ in frames], None, fps
 
         try:
-            rids, fps = await asyncio.to_thread(work)
+            rids, gray, fps = await asyncio.to_thread(work)
         except UcfpError as e:
             raise _err(e)
+        if fps is None:
+            # fast-path groups hash through the cross-request coalescer:
+            # concurrent bulk requests share one device launch (and its
+            # dispatch + device_get round-trip charge)
+            fps = await self.group_hash_batcher.submit(
+                (algorithm, gray.shape[1], gray.shape[2]), gray
+            )
         cfg = pre.config_hash()
         _tag_usage(req, "image", algo_tag)
         # columnar upsert: one WAL run append + one vectorized apply,

@@ -232,6 +232,114 @@ class BodyStream:
         return True
 
 
+class _ZeroCopyProtocol(asyncio.streams.StreamReaderProtocol,
+                        asyncio.BufferedProtocol):
+    """StreamReaderProtocol with a direct-fill fast path for large
+    fixed-length bodies.
+
+    The default stream stack copies every body byte ~4 times on its way
+    to the handler (transport recv -> bytes, feed_data append into the
+    reader buffer, read() slice out, final join) plus a flow-control
+    pause/resume dance per 256 KB slice — measured >50% of the 1-core
+    ingest-soak budget at 12 MB batch bodies. Because this class also
+    subclasses BufferedProtocol, the selector transport recv()s straight
+    into whatever get_buffer() returns:
+
+    * reader mode (headers, small bodies, chunked, streaming routes):
+      get_buffer() hands out a scratch block and buffer_updated() feeds
+      the StreamReader exactly like the default protocol — same copies,
+      same flow control, byte-identical behavior.
+    * fill mode (read_body_into): get_buffer() returns the remaining
+      window of the caller's preallocated body buffer, so the kernel
+      writes each byte to its final location — ZERO Python-level copies
+      and no per-slice wakeups. Over-delivered bytes (a pipelined next
+      request) stay in the kernel buffer: the fill window is capped at
+      the body end, and the next get_buffer() is back in reader mode.
+    """
+
+    _SCRATCH = 1 << 18
+
+    def __init__(self, reader: asyncio.StreamReader, client_connected_cb,
+                 loop: asyncio.AbstractEventLoop):
+        super().__init__(reader, client_connected_cb, loop=loop)
+        # StreamReaderProtocol holds the reader weakly after
+        # connection_made; keep it alive and reachable for the fill path
+        self._zc_reader = reader
+        self._scratch = memoryview(bytearray(self._SCRATCH))
+        self._fill_buf: Optional[memoryview] = None
+        self._fill_pos = 0
+        self._fill_end = 0
+        self._fill_waiter: Optional[asyncio.Future] = None
+
+    # -- BufferedProtocol interface (replaces data_received) -----------
+    def get_buffer(self, sizehint: int) -> memoryview:
+        if self._fill_buf is not None:
+            return self._fill_buf[self._fill_pos:self._fill_end]
+        return self._scratch
+
+    def buffer_updated(self, nbytes: int) -> None:
+        if self._fill_buf is not None:
+            self._fill_pos += nbytes
+            if self._fill_pos >= self._fill_end:
+                self._fill_buf = None
+                w, self._fill_waiter = self._fill_waiter, None
+                if w is not None and not w.done():
+                    w.set_result(None)
+            return
+        # reader mode: same one copy the default transport path makes
+        # (sock.recv allocating a bytes) before feed_data
+        self.data_received(bytes(self._scratch[:nbytes]))
+
+    def _fail_fill(self, exc: BaseException) -> None:
+        if self._fill_waiter is None:
+            return
+        self._fill_buf = None
+        w, self._fill_waiter = self._fill_waiter, None
+        if not w.done():
+            w.set_exception(exc)
+
+    def eof_received(self):
+        self._fail_fill(asyncio.IncompleteReadError(b"", self._fill_end))
+        return super().eof_received()
+
+    def connection_lost(self, exc) -> None:
+        self._fail_fill(exc if exc is not None
+                        else asyncio.IncompleteReadError(b"", self._fill_end))
+        super().connection_lost(exc)
+
+    async def read_body_into(self, buf: bytearray, clen: int) -> None:
+        """Fill buf[:clen] with the next clen socket bytes. Raises
+        asyncio.IncompleteReadError / ConnectionResetError like
+        readexactly. Caller must close the connection if cancelled
+        (partial bytes are dropped with the buffer)."""
+        reader = self._zc_reader
+        pos = 0
+        # the header readuntil() may have over-read into the body: drain
+        # the reader's already-buffered bytes first (private-attr probe;
+        # readexactly returns instantly for buffered lengths)
+        pending = getattr(reader, "_buffer", None)
+        while pending is not None and len(pending) and pos < clen:
+            take = min(len(pending), clen - pos)
+            data = await reader.readexactly(take)
+            buf[pos:pos + take] = data
+            pos += take
+        if pos >= clen:
+            return
+        self._fill_buf = memoryview(buf)
+        self._fill_pos = pos
+        self._fill_end = clen
+        w = asyncio.get_running_loop().create_future()
+        self._fill_waiter = w
+        try:
+            await w
+        finally:
+            self._fill_buf = None
+            self._fill_waiter = None
+            if w.done() and not w.cancelled():
+                w.exception()  # retrieve (silences never-retrieved warning
+                #                when the await itself was cancelled)
+
+
 class Metrics:
     """Prometheus counters/histograms, matched-route path labels,
     /metrics self-scrape excluded (reference src/bin/ucfp.rs:75-101)."""
@@ -437,11 +545,19 @@ class HttpServer:
     _BODY_SLICE = 1 << 18
 
     async def _read_body_exact(self, reader: asyncio.StreamReader,
-                               clen: int) -> bytes:
+                               clen: int, proto=None) -> bytes:
         """readexactly(clen) without the large-buffer growth churn.
         Same failure contract: asyncio.IncompleteReadError on EOF."""
         if clen <= self._BODY_SLICE:
             return await reader.readexactly(clen)
+        if isinstance(proto, _ZeroCopyProtocol):
+            # kernel writes each byte to its final location; the one
+            # bytes() at the end is the only Python-level copy
+            buf = bytearray(clen)
+            await proto.read_body_into(buf, clen)
+            return bytes(buf)
+        # transports without the buffered protocol (tests, exotic
+        # setups): bounded-slice reads keep the reader buffer O(slice)
         chunks: list[bytes] = []
         remaining = clen
         while remaining:
@@ -474,6 +590,10 @@ class HttpServer:
     async def _client(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter):
         peer = writer.get_extra_info("peername")
         remote = peer[0] if isinstance(peer, tuple) and peer else ""
+        try:
+            proto = writer.transport.get_protocol()
+        except Exception:  # pragma: no cover - mock transports in tests
+            proto = None
         self._conns.add(writer)
         try:
             while True:
@@ -604,7 +724,7 @@ class HttpServer:
                     try:
                         body = (
                             await asyncio.wait_for(
-                                self._read_body_exact(reader, clen),
+                                self._read_body_exact(reader, clen, proto),
                                 self.read_timeout_secs,
                             )
                             if clen else b""
@@ -638,9 +758,17 @@ class HttpServer:
                 pass
 
     async def serve(self, host: str, port: int):
-        self._server = await asyncio.start_server(
-            self._client, host, port, limit=MAX_HEADER_BYTES
-        )
+        # start_server() with a custom protocol factory: the zero-copy
+        # protocol needs to be the transport's protocol object (the
+        # selector transport picks recv_into over recv by isinstance
+        # check on BufferedProtocol at connection time)
+        loop = asyncio.get_running_loop()
+
+        def factory() -> _ZeroCopyProtocol:
+            reader = asyncio.StreamReader(limit=MAX_HEADER_BYTES, loop=loop)
+            return _ZeroCopyProtocol(reader, self._client, loop)
+
+        self._server = await loop.create_server(factory, host, port)
         return self._server
 
 

@@ -39,6 +39,18 @@ def _work() -> None:
         imagehash.single_hash_kernel_gray(gray, 64, 64, "phash")
         done.append("image")
 
+        # the coalesced bulk-ingest launch shape (opt-in
+        # UCFP_INGEST_COALESCE_MS): compile it at boot so the first
+        # saturation burst doesn't eat a ~60 s (minutes when congested)
+        # remote compile mid-request
+        import os
+
+        if float(os.environ.get("UCFP_INGEST_COALESCE_MS", "0")) > 0:
+            rows = int(os.environ.get("UCFP_INGEST_COALESCE_ROWS", "8192"))
+            big = np.zeros((rows, 32, 32), np.uint8)
+            imagehash.single_hash_kernel_gray(big, 32, 32, "phash")
+            done.append("image-coalesced")
+
         # audio: the integer STFT + peak + pairing pipeline at two
         # durations — the padded-length buckets compile per shape class,
         # so covering 1 s and 4 s clips warms the common buckets
