@@ -1356,6 +1356,77 @@ def _run_all():
                 f"error: {type(e).__name__}: {e}")
         return rates[len(rates) // 2]
 
+    def _ingest_text_http():
+        """End-to-end HTTP text ingest: NDJSON batch route -> native
+        UAX#29 tokenize + shingle-XXH3 + minhash (host) -> WAL group
+        commit, docs/s at the reference's criterion workload (~5.6 KiB
+        pangram per doc, benches/end_to_end.rs:24-42). Host-bound (no
+        device dispatch), so less tunnel-sensitive than the image soak;
+        median of 3 windows with the same degraded-exclusion contract.
+        Reproduce: scripts/soak_ingest.py --modality text --conns 16
+        --batch 128 --quiet --algorithm minhash."""
+        import pathlib
+        import sys
+
+        sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent / "scripts"))
+        from soak_ingest import run_soak
+
+        runs = [run_soak(seconds=4.0, conns=16, algorithm="minhash",
+                         batch=128, quiet=True, modality="text")
+                for _ in range(3)]
+        clean = [r for r in runs if not r.get("warmup_degraded")]
+        rates = sorted(r["req_per_sec"] for r in (clean or runs))
+        extra["ingest_text_http_runs_docs_per_sec"] = [
+            round(r["req_per_sec"], 1) for r in runs]
+        extra["ingest_text_http_errors"] = sum(r["errors"] for r in runs)
+        if len(clean) < len(runs):
+            extra["ingest_text_http_degraded"] = True
+        return rates[len(rates) // 2]
+
+    def _ingest_audio_http():
+        """End-to-end HTTP audio ingest: binary clip-batch route ->
+        device wang pipeline (vmapped per equal-length group) -> WAL
+        group commit, measured as clips/s AND seconds-of-audio per
+        second (xRT) at the reference's criterion workload (4 s 8 kHz
+        clips, benches/end_to_end.rs). The served counterpart of
+        audio_wang_xrt (kernel-only). Reproduce:
+        scripts/soak_ingest.py --modality audio --conns 16 --batch 32
+        --quiet --algorithm wang."""
+        import pathlib
+        import sys
+
+        sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent / "scripts"))
+        from soak_ingest import run_soak
+
+        # cap THIS soak's warmup budget: the wang [32, 32000] batch
+        # shape cold-compiles in a fresh process and one congested
+        # window measured it exceeding the server's 120 s request
+        # timeout — a 240 s cap bounds what a bad window can take from
+        # the bench budget (the poisoned first run is flagged degraded
+        # and excluded; the compile completes server-side regardless,
+        # so runs 2-3 measure warm)
+        prior = os.environ.get("UCFP_SOAK_WARMUP_S")
+        os.environ["UCFP_SOAK_WARMUP_S"] = "240"
+        try:
+            runs = [run_soak(seconds=4.0, conns=16, algorithm="wang",
+                             batch=32, quiet=True, modality="audio")
+                    for _ in range(3)]
+        finally:
+            if prior is None:
+                os.environ.pop("UCFP_SOAK_WARMUP_S", None)
+            else:
+                os.environ["UCFP_SOAK_WARMUP_S"] = prior
+        clean = [r for r in runs if not r.get("warmup_degraded")]
+        rates = sorted(r["req_per_sec"] for r in (clean or runs))
+        extra["ingest_audio_http_runs_clips_per_sec"] = [
+            round(r["req_per_sec"], 1) for r in runs]
+        extra["ingest_audio_http_errors"] = sum(r["errors"] for r in runs)
+        extra["ingest_audio_http_served_xrt"] = round(
+            rates[len(rates) // 2] * 4.0, 1)  # 4 s of audio per clip
+        if len(clean) < len(runs):
+            extra["ingest_audio_http_degraded"] = True
+        return rates[len(rates) // 2]
+
     def _query_http():
         """End-to-end HTTP /v1/query soak (scripts/soak_query.py): JSON
         parse -> auth -> micro-batched device kNN -> JSON response,
@@ -1502,6 +1573,7 @@ def _run_all():
     for name, fn in [
         ("parity_ok", _parity),
         ("ingest_http_imgs_per_sec", _ingest_http),
+        ("ingest_text_http_docs_per_sec", _ingest_text_http),
         ("query_http_qps_64k_x768", _query_http),
         ("text_minhash_docs_per_sec", _text_minhash),
         ("knn_serving_overhead_ms_10m", _knn_serving_overhead),
@@ -1512,6 +1584,9 @@ def _run_all():
         ("multihash_images_per_sec", lambda: round(bench_multihash(), 1)),
         ("audio_wang_xrt", lambda: round(bench_audio_xrt(), 1)),
         ("audio_panako_xrt", _panako_haitsma_xrt),
+        # late on purpose: its cold batch-shape compile (capped 240 s
+        # warmup) must not be able to starve the query-tier metrics
+        ("ingest_audio_http_clips_per_sec", _ingest_audio_http),
         ("query_hamming_fused_p50_ms_10m_x64bit",
          lambda: round(bench_hamming_10m_fused(iters=32), 3)),
         ("query_cosine_int8_hybrid_p50_ms_10m_x64",

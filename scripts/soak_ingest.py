@@ -57,10 +57,51 @@ def _batch_body(img: bytes, rids: list[int]) -> bytes:
     return bytes(out)
 
 
+def _text_doc_bytes(target_kib: float = 5.6) -> bytes:
+    """~5.6 KiB pangram document — the reference's criterion text
+    workload (benches/end_to_end.rs:24-42: one pangram paragraph
+    repeated to ~5.6 KiB per iteration)."""
+    para = ("The quick brown fox jumps over the lazy dog. "
+            "Pack my box with five dozen liquor jugs. "
+            "How vexingly quick daft zebras jump! ")
+    doc = para * (int(target_kib * 1024) // len(para) + 1)
+    return doc[: int(target_kib * 1024)].encode()
+
+
+def _audio_clip_bytes(secs: float = 4.0, sr: int = 8000) -> bytes:
+    """4 s 8 kHz clip — the reference's criterion audio workload
+    (benches/end_to_end.rs: 4 s 440 Hz sine), plus a gated band so the
+    constellation has real structure."""
+    import numpy as np
+
+    t = np.arange(int(secs * sr)) / sr
+    x = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+    x = x + 0.25 * np.sin(2 * np.pi * 1200.0 * t) * (
+        np.sin(2 * np.pi * 0.7 * t) > 0)
+    return x.astype("<f4").tobytes()
+
+
+def _ndjson_template(doc: bytes, rids: list[int]) -> tuple[bytearray, list[int]]:
+    """NDJSON batch body for the text batch route with FIXED-WIDTH
+    (9-digit) record ids so the per-request rid patch is an in-place
+    digit overwrite, like the binary framing's u64 patch."""
+    out = bytearray()
+    offsets = []
+    prefix = b'{"record_id": '
+    for rid in rids:
+        out += prefix
+        offsets.append(len(out))
+        out += b"%09d" % rid
+        out += b', "text": "'
+        out += doc  # pangram ASCII: no JSON escaping needed
+        out += b'"}\n'
+    return out, offsets
+
+
 async def _client(host: str, port: int, token: str, body: bytes,
                   algorithm: str, tenant: int, base_rid: int,
                   stop_at: float, counts: dict, batch: int = 1,
-                  quiet: bool = False) -> None:
+                  quiet: bool = False, modality: str = "image") -> None:
     import struct
 
     reader, writer = await asyncio.open_connection(host, port)
@@ -68,28 +109,47 @@ async def _client(host: str, port: int, token: str, body: bytes,
     # prebuilt request bytes: the client shares the server's single
     # core, and rebuilding a ~1.5 MB batch body per request (bytearray
     # extend of every frame) measured ~8% of the soak budget — only the
-    # 8-byte record ids change between requests, so patch them in place
+    # record ids change between requests, so patch them in place
     template: bytearray | None = None
     rid_offsets: list[int] = []
     if batch > 1:
-        template = bytearray(
-            _batch_body(body, list(range(batch)))
-        )
-        step = 12 + len(body)
-        rid_offsets = [i * step for i in range(batch)]
+        if modality == "text":
+            template, rid_offsets = _ndjson_template(
+                body, list(range(100_000_000, 100_000_000 + batch)))
+        else:
+            template = bytearray(_batch_body(body, list(range(batch))))
+            step = 12 + len(body)
+            rid_offsets = [i * step for i in range(batch)]
     try:
         while time.perf_counter() < stop_at:
             rid += batch
             if batch > 1:
                 # safe to mutate: the previous request's response was
                 # fully read, so these bytes have left the transport
-                for j, off in enumerate(rid_offsets):
-                    struct.pack_into("<Q", template, off, rid - batch + j)
+                if modality == "text":
+                    # +100M keeps every rid at 9 digits: a leading zero
+                    # would be an invalid JSON number
+                    for j, off in enumerate(rid_offsets):
+                        template[off:off + 9] = (
+                            b"%09d" % (100_000_000 + rid - batch + j))
+                else:
+                    for j, off in enumerate(rid_offsets):
+                        struct.pack_into(
+                            "<Q", template, off, rid - batch + j)
                 payload: bytes | bytearray = template
-                path = (f"/v1/ingest/image/batch/{tenant}"
-                        f"?algorithm={algorithm}"
-                        + ("&quiet=1" if quiet else ""))
-                ctype = "application/x-ucfp-image-batch"
+                q = "&quiet=1" if quiet else ""
+                if modality == "text":
+                    path = (f"/v1/ingest/text/batch/{tenant}"
+                            f"?algorithm={algorithm}{q}")
+                    ctype = "application/x-ndjson"
+                elif modality == "audio":
+                    path = (f"/v1/ingest/audio/batch/{tenant}"
+                            f"?sample_rate=8000&algorithm={algorithm}{q}")
+                    ctype = "application/x-ucfp-audio-batch"
+                else:
+                    path = (f"/v1/ingest/image/batch/{tenant}"
+                            f"?algorithm={algorithm}{q}")
+                    ctype = "application/x-ucfp-image-batch"
             else:
                 payload = body
                 path = f"/v1/ingest/image/{tenant}/{rid}?algorithm={algorithm}"
@@ -128,7 +188,8 @@ async def _client(host: str, port: int, token: str, body: bytes,
 
 async def _soak(state, host: str, port: int, token: str, seconds: float,
                 conns: int, algorithm: str, native: bool,
-                batch: int = 1, quiet: bool = False) -> dict:
+                batch: int = 1, quiet: bool = False,
+                modality: str = "image") -> dict:
     from ucfp_tpu.server.app import build_server
 
     server = build_server(state, timeout_secs=120.0)
@@ -144,7 +205,12 @@ async def _soak(state, host: str, port: int, token: str, seconds: float,
         serve_task = asyncio.create_task(srv.serve_forever())
     await asyncio.sleep(0.2)
 
-    body = _bmp_bytes()
+    if modality == "text":
+        body = _text_doc_bytes()
+    elif modality == "audio":
+        body = _audio_clip_bytes()
+    else:
+        body = _bmp_bytes()
     # warm the device kernel path until it answers fast twice in a row
     # (first jit compile must not pollute the measured window). The whole
     # warmup is bounded by a wall-clock deadline: through a degraded
@@ -180,7 +246,8 @@ async def _soak(state, host: str, port: int, token: str, seconds: float,
                 asyncio.gather(*(
                     _client(host, port, token, body, algorithm, 0,
                             10_000_000 + i * 1_000_000,
-                            time.perf_counter() + 0.05, warm, batch, quiet)
+                            time.perf_counter() + 0.05, warm, batch, quiet,
+                            modality)
                     for i in range(warm_conns)
                 )),
                 timeout=max(1.0, warm_deadline - t),
@@ -195,7 +262,7 @@ async def _soak(state, host: str, port: int, token: str, seconds: float,
     stop_at = t0 + seconds
     await asyncio.gather(*(
         _client(host, port, token, body, algorithm, 0, (i + 1) * 10_000_000,
-                stop_at, counts, batch, quiet)
+                stop_at, counts, batch, quiet, modality)
         for i in range(conns)
     ))
     dt = time.perf_counter() - t0
@@ -217,8 +284,12 @@ async def _soak(state, host: str, port: int, token: str, seconds: float,
 def run_soak(seconds: float = 10.0, conns: int = 32,
              algorithm: str = "phash", native: bool = False,
              data_dir: str | None = None, batch: int = 1,
-             quiet: bool = False) -> dict:
-    """In-process soak; returns the measured dict."""
+             quiet: bool = False, modality: str = "image") -> dict:
+    """In-process soak; returns the measured dict. modality selects the
+    workload + batch route: image (64x64 BMP), text (~5.6 KiB pangram
+    NDJSON rows), audio (4 s 8 kHz f32 clips) — the text/audio bodies
+    mirror the reference's criterion workloads so the served numbers
+    compare against its per-request model."""
     from ucfp_tpu.index.embedded import EmbeddedBackend
     from ucfp_tpu.server.app import ServerState
     from ucfp_tpu.server.auth import StaticSingleKey
@@ -243,7 +314,7 @@ def run_soak(seconds: float = 10.0, conns: int = 32,
     try:
         return asyncio.run(
             _soak(state, "127.0.0.1", 0, token, seconds, conns, algorithm,
-                  native, batch, quiet)
+                  native, batch, quiet, modality)
         )
     finally:
         state.index.close()
@@ -287,6 +358,11 @@ def main() -> None:
     p.add_argument("--connect", default=None,
                    help="client-only mode: hammer an already-running "
                         "server at host:port (token via UCFP_TOKEN)")
+    p.add_argument("--modality", default="image",
+                   choices=("image", "text", "audio"),
+                   help="workload + batch route (text: 5.6 KiB NDJSON "
+                        "rows w/ --algorithm minhash|simhash-tf|...; "
+                        "audio: 4 s 8 kHz clips w/ wang|panako|haitsma)")
     args = p.parse_args()
     import json
 
@@ -302,7 +378,8 @@ def main() -> None:
 
         jax.config.update("jax_platforms", "cpu")
     out = run_soak(args.seconds, args.conns, args.algorithm, args.native,
-                   batch=args.batch, quiet=args.quiet)
+                   batch=args.batch, quiet=args.quiet,
+                   modality=args.modality)
     json.dump(out, sys.stdout)
     print()
 

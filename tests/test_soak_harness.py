@@ -96,3 +96,51 @@ def test_qbatch_pad_max_compiles_one_shape(tmp_path, monkeypatch):
     be = EmbeddedBackend(str(tmp_path / "b"))
     assert len(be._pad_pow2_list([[1.0]] * 3)) == 4
     be.close()
+
+
+def test_run_soak_text_modality_ingests_docs():
+    """bench.py's ingest_text_http_docs_per_sec is run_soak(modality=
+    'text'): NDJSON rows through the text batch route, durable minhash
+    records, zero errors on a healthy backend."""
+    from soak_ingest import run_soak
+
+    r = run_soak(seconds=0.5, conns=2, algorithm="minhash", batch=16,
+                 quiet=True, modality="text")
+    assert r["errors"] == 0
+    assert r["requests"] > 0 and r["req_per_sec"] > 0
+
+
+def test_run_soak_audio_modality_ingests_clips():
+    """bench.py's ingest_audio_http_clips_per_sec is run_soak(modality=
+    'audio'): binary clip frames through the audio batch route, device
+    wang pipeline, zero errors on a healthy backend."""
+    from soak_ingest import run_soak
+
+    r = run_soak(seconds=0.5, conns=2, algorithm="wang", batch=4,
+                 quiet=True, modality="audio")
+    assert r["errors"] == 0
+    assert r["requests"] > 0 and r["req_per_sec"] > 0
+
+
+def test_soak_text_rows_are_valid_ndjson_after_patch():
+    """The in-place rid patch must keep every row valid JSON (a leading
+    zero in the fixed-width rid field broke every request in the first
+    capture); rids stay distinct across the patched range."""
+    import json
+
+    from soak_ingest import _ndjson_template, _text_doc_bytes
+
+    doc = _text_doc_bytes()
+    body, offs = _ndjson_template(
+        doc, list(range(100_000_000, 100_000_000 + 8)))
+    # simulate the client patch at a warmup-range base rid
+    for j, off in enumerate(offs):
+        body[off:off + 9] = b"%09d" % (100_000_000 + 10_000_000 + j)
+    rids = set()
+    for line in bytes(body).split(b"\n"):
+        if not line.strip():
+            continue
+        row = json.loads(line)
+        rids.add(row["record_id"])
+        assert row["text"] == doc.decode()
+    assert len(rids) == 8
