@@ -1014,3 +1014,43 @@ class TestIngestCoalesce:
         h = app.router.match("POST", "/v1/ingest/image/batch/0")[0].__self__
         assert h.ingest_coalesce_flushes >= 1
         assert h.ingest_coalesce_groups >= 2
+
+
+class TestVectorValidation:
+    """The vectorized (set-of-types / np.isfinite) validators must keep
+    the exact old per-element semantics: JSON bools, nested lists,
+    strings, and non-finite floats are 400s, never 500s."""
+
+    def test_query_vector_rejects_bools_and_nested(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        for bad in ([True, 1.0], [1.0, [2.0]], ["1.0"], [None, 1.0]):
+            resp = call(app, "POST", "/v1/query",
+                        json.dumps({"tenant_id": 0, "modality": "text",
+                                    "k": 5, "vector": bad}).encode())
+            assert resp.status == 400, bad
+            assert jbody(resp)["error"] == "bad_query"
+
+    def test_query_vector_accepts_ints_and_floats(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        resp = call(app, "POST", "/v1/query",
+                    json.dumps({"tenant_id": 0, "modality": "text",
+                                "k": 5, "vector": [1, 2.5, -3]}).encode())
+        assert resp.status == 200
+
+    def test_upsert_embedding_rejects_nan_and_bool(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        base = {"tenant_id": 0, "record_id": 7, "modality": "text",
+                "algorithm": "t", "fingerprint": [1, 2, 3]}
+        for emb in ([float("nan")], [float("inf")], [True], ["x"],
+                    [[1.0]], []):
+            resp = call(app, "POST", "/v1/records",
+                        json.dumps({**base, "embedding": emb}).encode())
+            assert resp.status == 400, emb
+
+    def test_upsert_embedding_accepts_mixed_int_float(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        body = {"tenant_id": 0, "record_id": 8, "modality": "text",
+                "algorithm": "t", "fingerprint": [1, 2, 3],
+                "embedding": [1, 2.5, -3]}
+        resp = call(app, "POST", "/v1/records", json.dumps(body).encode())
+        assert resp.status in (200, 201)

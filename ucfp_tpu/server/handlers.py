@@ -417,6 +417,11 @@ class Handlers:
                     self.index, "_qbatch_flushes", 0),
                 "query_batch_items": getattr(
                     self.index, "_qbatch_items", 0),
+                # bulk-ingest cross-request coalescing (opt-in,
+                # UCFP_INGEST_COALESCE_MS; groups/flushes = avg groups
+                # per device launch)
+                "ingest_coalesce_flushes": self.ingest_coalesce_flushes,
+                "ingest_coalesce_groups": self.ingest_coalesce_groups,
             }
         )
 
@@ -481,15 +486,16 @@ class Handlers:
             return None
         if not isinstance(emb, list) or not emb:
             raise ValueError("embedding must be a non-empty array of numbers")
-        out = []
-        for x in emb:
-            if isinstance(x, bool) or not isinstance(x, (int, float)):
-                raise ValueError("embedding entries must be numbers")
-            f = float(x)
-            if not np.isfinite(f):
-                raise ValueError("embedding entries must be finite")
-            out.append(f)
-        return out
+        # one C pass over the element types instead of a per-element
+        # isinstance genexpr (~0.4 ms per 768-d vector of the serving
+        # budget); type() excludes bool exactly like the old check
+        # (json.loads only ever yields int/float/bool/str/None/dict/list)
+        if not set(map(type, emb)) <= {int, float}:
+            raise ValueError("embedding entries must be numbers")
+        arr = np.asarray(emb, np.float64)
+        if not np.isfinite(arr).all():
+            raise ValueError("embedding entries must be finite")
+        return arr.tolist()
 
     @staticmethod
     def _valid_vector(vec, name: str):
@@ -498,10 +504,11 @@ class Handlers:
         and would surface as a 500 instead of a 400."""
         if vec is None:
             return None
-        if not isinstance(vec, list) or not all(
-            isinstance(x, (int, float)) and not isinstance(x, bool)
-            for x in vec
-        ):
+        # set(map(type, ...)) is one C pass; type() is bool-exact (bool
+        # is not int under type identity), so the semantics match the
+        # old per-element isinstance genexpr at ~1/30th the cost —
+        # this ran per query on the 768-d serving path
+        if not isinstance(vec, list) or not set(map(type, vec)) <= {int, float}:
             raise HttpError(400, "bad_query", f"{name} must be a list of numbers")
         return vec
 
