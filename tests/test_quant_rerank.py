@@ -618,3 +618,37 @@ class TestSketchCostModel:
         assert hs2[0].record_id == 777
         bs.close()
         b8.close()
+
+
+class TestQuantizeRowsIdentity:
+    """quantize_rows_int8 was rewritten from the textbook five-pass
+    chain to a one-temporary form (4x on the bulk-embedding ingest
+    path); this pins value-identity against the textbook reference,
+    including round-half-to-even boundaries and zero rows."""
+
+    @staticmethod
+    def _ref(matrix):
+        m = np.asarray(matrix, np.float32)
+        absmax = np.abs(m).max(axis=1, keepdims=True)
+        scale = np.where(absmax == 0.0, 1.0, absmax / 127.0)
+        q8 = np.clip(np.round(m / scale), -127, 127).astype(np.int8)
+        row_norm = np.linalg.norm(q8.astype(np.float32), axis=1)
+        return q8, row_norm.astype(np.float32)
+
+    def test_matches_reference(self):
+        from ucfp_tpu.ops.knn import quantize_rows_int8
+
+        rng = np.random.default_rng(7)
+        cases = [
+            rng.standard_normal((257, 96)).astype(np.float32),
+            np.zeros((4, 8), np.float32),
+            rng.uniform(-1e-9, 1e-9, (16, 32)).astype(np.float32),
+            np.array([[0.5, 1.5, 2.5, -0.5, -1.5, 126.5, -126.5, 127.0]],
+                     np.float32),
+            rng.standard_normal((5, 1)).astype(np.float32),
+        ]
+        for c in cases:
+            a8, an = quantize_rows_int8(c)
+            b8, bn = self._ref(c)
+            assert np.array_equal(a8, b8)
+            assert np.array_equal(an, bn)

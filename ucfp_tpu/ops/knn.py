@@ -129,10 +129,20 @@ def quantize_rows_int8(matrix) -> tuple:
     import numpy as np
 
     m = np.asarray(matrix, np.float32)
-    absmax = np.abs(m).max(axis=1, keepdims=True)
+    # value-identical to the textbook abs().max()/round()/clip()/astype
+    # chain but with one temporary instead of five full-matrix passes
+    # (this runs on the bulk-embedding INGEST path per batch, and the
+    # old chain measured 3.2 s for a 65k x 768 load on one core):
+    # max(max, -min) == abs().max() without the 200 MB abs temp;
+    # rint == round (both half-to-even); the rounded/clipped f32 buffer
+    # IS q8 cast back, so its self-dot gives |q8 row| with no recast
+    absmax = np.maximum(m.max(axis=1), -m.min(axis=1))[:, None]
     scale = np.where(absmax == 0.0, 1.0, absmax / 127.0)
-    q8 = np.clip(np.round(m / scale), -127, 127).astype(np.int8)
-    row_norm = np.linalg.norm(q8.astype(np.float32), axis=1)
+    q = m / scale
+    np.rint(q, out=q)
+    np.clip(q, -127, 127, out=q)
+    q8 = q.astype(np.int8)
+    row_norm = np.sqrt(np.einsum("ij,ij->i", q, q, dtype=np.float32))
     return q8, row_norm.astype(np.float32)
 
 
