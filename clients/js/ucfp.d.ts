@@ -177,12 +177,15 @@ export declare class UcfpClient {
     opts?: { algorithm?: string; tenantId?: number }
   ): Promise<Record<string, unknown>[]>;
   audioBatch(
-    clips: [number, Float32Array | Uint8Array][],
+    clips: [number, Float32Array | Int16Array | Uint8Array][],
     opts: {
       sampleRate: number;
       algorithm?: string;
       tenantId?: number;
       tunables?: Record<string, number | boolean>;
+      /** 's16' halves the wire bytes for 16-bit-sourced clips
+       *  (Int16Array / raw s16-LE bytes); value-identical server-side. */
+      encoding?: 'f32' | 's16';
     }
   ): Promise<Record<string, unknown>[]>;
   embeddingBatch(

@@ -232,25 +232,39 @@ export class UcfpClient {
    *  sampleRate; equal-length clips ride one vmapped device dispatch
    *  per stage server-side, one WAL commit). clips = [[recordId,
    *  Float32Array-or-Uint8Array-f32le], ...]; algorithm
-   *  wang|panako|haitsma. Returns the per-clip record list. */
+   *  wang|panako|haitsma. encoding:'s16' halves the wire bytes for
+   *  16-bit-sourced clips (pass Int16Array or raw s16-LE bytes per
+   *  clip; exactly value-identical server-side — float clips are
+   *  refused rather than silently quantized). Returns the per-clip
+   *  record list. */
   async audioBatch(clips, opts = {}) {
     if (!clips.length) return [];
     if (clips.length > 256) throw new Error('batch exceeds 256 clips');
     if (!opts.sampleRate) throw new Error('sampleRate is required');
     const tid = opts.tenantId ?? this.tenantId;
+    const enc = opts.encoding ?? 'f32';
     const params = new URLSearchParams({
       sample_rate: String(opts.sampleRate),
       algorithm: opts.algorithm ?? 'wang',
     });
+    if (enc !== 'f32') params.set('encoding', enc);
     for (const [k, v] of Object.entries(opts.tunables ?? {})) {
       params.set(k, String(v));
     }
-    const raw = clips.map(([rid, clip]) => [
-      rid,
-      clip instanceof Float32Array
+    const raw = clips.map(([rid, clip]) => {
+      if (enc === 's16') {
+        if (clip instanceof Float32Array) {
+          throw new Error("encoding 's16' requires Int16Array or raw "
+            + "s16-LE bytes (converting floats would quantize)");
+        }
+        return [rid, clip instanceof Int16Array
+          ? new Uint8Array(clip.buffer, clip.byteOffset, clip.byteLength)
+          : clip];
+      }
+      return [rid, clip instanceof Float32Array
         ? new Uint8Array(clip.buffer, clip.byteOffset, clip.byteLength)
-        : clip,
-    ]);
+        : clip];
+    });
     let total = 0;
     for (const [, pcm] of raw) total += 12 + pcm.byteLength;
     const body = new Uint8Array(total);

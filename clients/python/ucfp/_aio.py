@@ -234,13 +234,14 @@ class UcfpAsync:
         record_id: Optional[int] = None,
         tenant_id: Optional[int] = None,
         return_embedding: bool = False,
+        encoding: str = "f32",
         **tunables: Any,
     ) -> Fingerprint:
         tid = self.tenant_id if tenant_id is None else tenant_id
         path, params, body = c.audio_request(
             tid, record_id, audio, algorithm,
             sample_rate=sample_rate, tunables=tunables,
-            return_embedding=return_embedding,
+            return_embedding=return_embedding, encoding=encoding,
         )
         out = await self._request("POST", path, params=params, content=body)
         return _parse_fingerprint(out)

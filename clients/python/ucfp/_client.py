@@ -284,13 +284,17 @@ class Ucfp:
         algorithm: str = "wang",
         tenant_id: Optional[int] = None,
         tunables: Optional[dict] = None,
+        encoding: str = "f32",
     ) -> "list[dict]":
         """High-throughput batch audio ingest (up to 256 clips per
         request, one shared sample_rate): equal-length clips ride one
         vmapped device dispatch per stage server-side, and the batch
         commits in one WAL round. clips = [(record_id, f32-PCM bytes or
-        numpy array), ...]; algorithm wang|panako|haitsma. Records are
-        bit-identical to the single route's. Returns the record list
+        numpy array), ...]; algorithm wang|panako|haitsma.
+        encoding="s16" halves the wire bytes for 16-bit-sourced clips
+        (int16 arrays / raw s16 bytes / 16-bit mono WAV) and is exactly
+        value-identical server-side. Records are bit-identical to the
+        single route's. Returns the record list
         [{record_id, fingerprint_hex, fingerprint_bytes}]."""
         import struct
 
@@ -302,11 +306,13 @@ class Ucfp:
         params: dict = {
             "sample_rate": str(int(sample_rate)), "algorithm": algorithm
         }
+        if encoding != "f32":
+            params["encoding"] = encoding
         for key, val in (tunables or {}).items():
             params[key] = str(val)
         body = bytearray()
         for rid, clip in clips:
-            data, _sr = c.audio_payload(clip, sample_rate)
+            data, _sr = c.audio_payload(clip, sample_rate, encoding)
             body += struct.pack("<QI", rid, len(data))
             body += data
         out = self._request(
@@ -395,13 +401,14 @@ class Ucfp:
         record_id: Optional[int] = None,
         tenant_id: Optional[int] = None,
         return_embedding: bool = False,
+        encoding: str = "f32",
         **tunables: Any,
     ) -> Fingerprint:
         tid = self.tenant_id if tenant_id is None else tenant_id
         path, params, body = c.audio_request(
             tid, record_id, audio, algorithm,
             sample_rate=sample_rate, tunables=tunables,
-            return_embedding=return_embedding,
+            return_embedding=return_embedding, encoding=encoding,
         )
         out = self._request("POST", path, params=params, content=body)
         return _parse_fingerprint(out)

@@ -200,26 +200,57 @@ def decode_wav(data: bytes) -> tuple[bytes, int]:
 
 
 def audio_payload(
-    audio: AudioSource, sample_rate: Optional[int]
+    audio: AudioSource, sample_rate: Optional[int], encoding: str = "f32"
 ) -> tuple[bytes, int]:
-    """Normalize any accepted audio source to (f32-LE bytes, rate)."""
+    """Normalize any accepted audio source to (PCM bytes, rate).
+
+    encoding="s16" ships raw signed-16-bit LE PCM — half the wire bytes,
+    and the server decode (`i16 -> f32 * 2^-15`) is exactly
+    value-identical to converting client-side, so fingerprints never
+    depend on the wire choice. Accepted s16 sources: 16-bit MONO WAV
+    (frames pass straight through), raw s16-LE bytes, or an int16
+    numpy array. Float sources are refused rather than silently
+    quantized (that would change the fingerprint)."""
+    if encoding not in ("f32", "s16"):
+        raise ValueError("encoding must be 'f32' or 's16'")
     if isinstance(audio, Path):
         audio = audio.read_bytes()
     if isinstance(audio, (bytearray, memoryview)):
         audio = bytes(audio)
     if not isinstance(audio, bytes):
-        # duck-typed numpy array: float samples, any dtype
         try:
             import numpy as np
-
-            audio = np.asarray(audio, dtype="<f4").tobytes()
         except Exception as e:  # pragma: no cover - exotic inputs
             raise TypeError(f"unsupported audio source {type(audio)!r}") from e
+        arr = np.asarray(audio)
+        if encoding == "s16":
+            if arr.dtype != np.int16:
+                raise ValueError(
+                    "encoding='s16' requires int16 samples; converting "
+                    f"{arr.dtype} would quantize — pass f32 instead"
+                )
+            audio = arr.astype("<i2").tobytes()
+        else:
+            # duck-typed numpy array: float samples, any dtype
+            audio = np.asarray(arr, dtype="<f4").tobytes()
     if audio[:4] == b"RIFF" and audio[8:12] == b"WAVE":
+        if encoding == "s16":
+            import io
+            import wave
+
+            with wave.open(io.BytesIO(audio), "rb") as w:
+                if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                    raise ValueError(
+                        "encoding='s16' requires 16-bit mono WAV; "
+                        "use encoding='f32' for other formats"
+                    )
+                wav_rate = w.getframerate()
+                pcm = w.readframes(w.getnframes())
+            return pcm, sample_rate if sample_rate is not None else wav_rate
         pcm, wav_rate = decode_wav(audio)
         return pcm, sample_rate if sample_rate is not None else wav_rate
     if sample_rate is None:
-        raise ValueError("sample_rate is required for raw f32 audio")
+        raise ValueError(f"sample_rate is required for raw {encoding} audio")
     return audio, sample_rate
 
 
@@ -232,10 +263,13 @@ def audio_request(
     sample_rate: Optional[int] = None,
     tunables: Optional[dict] = None,
     return_embedding: bool = False,
+    encoding: str = "f32",
 ) -> tuple[str, dict, bytes]:
-    pcm, sr = audio_payload(audio, sample_rate)
+    pcm, sr = audio_payload(audio, sample_rate, encoding)
     rid = record_id if record_id is not None else new_record_id()
     params: dict[str, str] = {"algorithm": algorithm, "sample_rate": str(sr)}
+    if encoding != "f32":
+        params["encoding"] = encoding
     if tunables:
         params.update({k: str(v) for k, v in tunables.items()})
     if return_embedding:

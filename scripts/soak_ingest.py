@@ -68,16 +68,21 @@ def _text_doc_bytes(target_kib: float = 5.6) -> bytes:
     return doc[: int(target_kib * 1024)].encode()
 
 
-def _audio_clip_bytes(secs: float = 4.0, sr: int = 8000) -> bytes:
+def _audio_clip_bytes(secs: float = 4.0, sr: int = 8000,
+                      encoding: str = "f32") -> bytes:
     """4 s 8 kHz clip — the reference's criterion audio workload
     (benches/end_to_end.rs: 4 s 440 Hz sine), plus a gated band so the
-    constellation has real structure."""
+    constellation has real structure. encoding=s16 ships the same
+    waveform sampled at 16 bits (half the wire bytes — the realistic
+    source depth for PCM audio)."""
     import numpy as np
 
     t = np.arange(int(secs * sr)) / sr
     x = 0.5 * np.sin(2 * np.pi * 440.0 * t)
     x = x + 0.25 * np.sin(2 * np.pi * 1200.0 * t) * (
         np.sin(2 * np.pi * 0.7 * t) > 0)
+    if encoding == "s16":
+        return np.round(x * 32767.0).astype("<i2").tobytes()
     return x.astype("<f4").tobytes()
 
 
@@ -101,7 +106,8 @@ def _ndjson_template(doc: bytes, rids: list[int]) -> tuple[bytearray, list[int]]
 async def _client(host: str, port: int, token: str, body: bytes,
                   algorithm: str, tenant: int, base_rid: int,
                   stop_at: float, counts: dict, batch: int = 1,
-                  quiet: bool = False, modality: str = "image") -> None:
+                  quiet: bool = False, modality: str = "image",
+                  encoding: str = "f32") -> None:
     import struct
 
     reader, writer = await asyncio.open_connection(host, port)
@@ -143,8 +149,9 @@ async def _client(host: str, port: int, token: str, body: bytes,
                             f"?algorithm={algorithm}{q}")
                     ctype = "application/x-ndjson"
                 elif modality == "audio":
+                    e = "&encoding=s16" if encoding == "s16" else ""
                     path = (f"/v1/ingest/audio/batch/{tenant}"
-                            f"?sample_rate=8000&algorithm={algorithm}{q}")
+                            f"?sample_rate=8000&algorithm={algorithm}{e}{q}")
                     ctype = "application/x-ucfp-audio-batch"
                 else:
                     path = (f"/v1/ingest/image/batch/{tenant}"
@@ -189,7 +196,7 @@ async def _client(host: str, port: int, token: str, body: bytes,
 async def _soak(state, host: str, port: int, token: str, seconds: float,
                 conns: int, algorithm: str, native: bool,
                 batch: int = 1, quiet: bool = False,
-                modality: str = "image") -> dict:
+                modality: str = "image", encoding: str = "f32") -> dict:
     from ucfp_tpu.server.app import build_server
 
     server = build_server(state, timeout_secs=120.0)
@@ -208,7 +215,7 @@ async def _soak(state, host: str, port: int, token: str, seconds: float,
     if modality == "text":
         body = _text_doc_bytes()
     elif modality == "audio":
-        body = _audio_clip_bytes()
+        body = _audio_clip_bytes(encoding=encoding)
     else:
         body = _bmp_bytes()
     # warm the device kernel path until it answers fast twice in a row
@@ -247,7 +254,7 @@ async def _soak(state, host: str, port: int, token: str, seconds: float,
                     _client(host, port, token, body, algorithm, 0,
                             10_000_000 + i * 1_000_000,
                             time.perf_counter() + 0.05, warm, batch, quiet,
-                            modality)
+                            modality, encoding)
                     for i in range(warm_conns)
                 )),
                 timeout=max(1.0, warm_deadline - t),
@@ -262,7 +269,7 @@ async def _soak(state, host: str, port: int, token: str, seconds: float,
     stop_at = t0 + seconds
     await asyncio.gather(*(
         _client(host, port, token, body, algorithm, 0, (i + 1) * 10_000_000,
-                stop_at, counts, batch, quiet, modality)
+                stop_at, counts, batch, quiet, modality, encoding)
         for i in range(conns)
     ))
     dt = time.perf_counter() - t0
@@ -284,12 +291,14 @@ async def _soak(state, host: str, port: int, token: str, seconds: float,
 def run_soak(seconds: float = 10.0, conns: int = 32,
              algorithm: str = "phash", native: bool = False,
              data_dir: str | None = None, batch: int = 1,
-             quiet: bool = False, modality: str = "image") -> dict:
+             quiet: bool = False, modality: str = "image",
+             encoding: str = "f32") -> dict:
     """In-process soak; returns the measured dict. modality selects the
     workload + batch route: image (64x64 BMP), text (~5.6 KiB pangram
-    NDJSON rows), audio (4 s 8 kHz f32 clips) — the text/audio bodies
-    mirror the reference's criterion workloads so the served numbers
-    compare against its per-request model."""
+    NDJSON rows), audio (4 s 8 kHz f32 clips; encoding=s16 ships the
+    16-bit wire at half the bytes) — the text/audio bodies mirror the
+    reference's criterion workloads so the served numbers compare
+    against its per-request model."""
     from ucfp_tpu.index.embedded import EmbeddedBackend
     from ucfp_tpu.server.app import ServerState
     from ucfp_tpu.server.auth import StaticSingleKey
@@ -314,7 +323,7 @@ def run_soak(seconds: float = 10.0, conns: int = 32,
     try:
         return asyncio.run(
             _soak(state, "127.0.0.1", 0, token, seconds, conns, algorithm,
-                  native, batch, quiet, modality)
+                  native, batch, quiet, modality, encoding)
         )
     finally:
         state.index.close()
@@ -363,6 +372,9 @@ def main() -> None:
                    help="workload + batch route (text: 5.6 KiB NDJSON "
                         "rows w/ --algorithm minhash|simhash-tf|...; "
                         "audio: 4 s 8 kHz clips w/ wang|panako|haitsma)")
+    p.add_argument("--encoding", default="f32", choices=("f32", "s16"),
+                   help="audio wire encoding (s16: half the bytes, "
+                        "value-identical server decode)")
     args = p.parse_args()
     import json
 
@@ -379,7 +391,7 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
     out = run_soak(args.seconds, args.conns, args.algorithm, args.native,
                    batch=args.batch, quiet=args.quiet,
-                   modality=args.modality)
+                   modality=args.modality, encoding=args.encoding)
     json.dump(out, sys.stdout)
     print()
 

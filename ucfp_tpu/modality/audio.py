@@ -60,6 +60,25 @@ def decode_f32le(body: bytes) -> np.ndarray:
     return np.frombuffer(body, dtype="<f4").astype(np.float32)
 
 
+def decode_s16le(body: bytes) -> np.ndarray:
+    """Raw little-endian signed-16-bit PCM body, 2-byte aligned.
+
+    Half the wire bytes of the f32 contract for 16-bit-sourced audio
+    (the common case), and EXACTLY value-identical to shipping the f32
+    conversion: every int16 is representable in f32 and the 2^-15 scale
+    is a power of two, so `i16 -> f32 * (1/32768)` matches wav_to_f32's
+    width-2 path bit for bit. An extension over the reference's raw-f32
+    contract (handlers.rs:737-750); selected with ?encoding=s16."""
+    if len(body) == 0:
+        raise ModalityError("empty audio body")
+    if len(body) % 2 != 0:
+        raise ModalityError(
+            "audio body length must be a multiple of 2 (s16 LE)")
+    vals = np.frombuffer(body, dtype="<i2").astype(np.float32)
+    scale = 1.0 / 32768.0
+    return (vals * scale).astype(np.float32)
+
+
 def wav_to_f32(data: bytes) -> tuple[bytes, int]:
     """RIFF/WAVE container -> (mono f32-LE PCM bytes, sample rate).
 

@@ -246,6 +246,22 @@ def _tag_usage(req: Request, modality: str, algorithm: Optional[str]) -> None:
     req.extensions["usage_algorithm"] = algorithm
 
 
+def _audio_pcm(req: Request, raw) -> np.ndarray:
+    """Decode a raw PCM body per ?encoding= (f32 default, s16 the
+    half-the-bytes wire for 16-bit-sourced audio). s16 is exactly
+    value-identical to client-side conversion (modality/audio.py
+    decode_s16le), so fingerprints never depend on the wire choice."""
+    enc = req.query.get("encoding", "f32")
+    try:
+        if enc == "f32":
+            return amod.decode_f32le(raw)
+        if enc == "s16":
+            return amod.decode_s16le(raw)
+    except UcfpError as e:
+        raise _err(e)
+    raise HttpError(400, "bad_query", "encoding must be f32 or s16")
+
+
 def _ingest_response(rec: Record, return_embedding: bool) -> Response:
     body = {
         "tenant_id": rec.tenant_id,
@@ -1560,11 +1576,13 @@ class Handlers:
         equal-length group, one WAL commit (the audio twin of the image
         batch route; extension, no reference analog).
 
-        Body framing: repeated [u64 LE record_id][u32 LE length][f32-LE
-        PCM bytes]. Query: ?sample_rate= (required, shared) and
+        Body framing: repeated [u64 LE record_id][u32 LE length][PCM
+        bytes]. Query: ?sample_rate= (required, shared),
         ?algorithm=wang|panako|haitsma (+ the same tunables as the
-        single route). Records are bit-identical to the single route's
-        (length grouping, never cross-clip padding)."""
+        single route), and ?encoding=f32|s16 (s16 halves the wire bytes
+        for 16-bit-sourced audio, value-identical — decode_s16le).
+        Records are bit-identical to the single route's (length
+        grouping, never cross-clip padding)."""
         import asyncio
         import struct
 
@@ -1582,6 +1600,10 @@ class Handlers:
                 f"not {algorithm!r}",
             )
         cfg = self._audio_cfg(req, algorithm)
+        enc = req.query.get("encoding", "f32")
+        if enc not in ("f32", "s16"):
+            raise HttpError(400, "bad_query", "encoding must be f32 or s16")
+        width = 4 if enc == "f32" else 2
         raw = req.body
         mv = memoryview(raw)
         rids: list[int] = []
@@ -1596,14 +1618,18 @@ class Handlers:
             if off + ln > len(raw):
                 raise HttpError(400, "bad_body",
                                 "truncated batch frame body")
-            if ln == 0 or ln % 4 != 0:
+            if ln == 0 or ln % width != 0:
                 raise HttpError(
                     400, "bad_body",
-                    "clip length must be a non-zero multiple of 4 (f32 LE)",
+                    f"clip length must be a non-zero multiple of "
+                    f"{width} ({enc} LE)",
                 )
             rids.append(rid)
-            clips.append(np.frombuffer(mv[off:off + ln], dtype="<f4")
-                         .astype(np.float32))
+            if enc == "f32":
+                clips.append(np.frombuffer(mv[off:off + ln], dtype="<f4")
+                             .astype(np.float32))
+            else:
+                clips.append(amod.decode_s16le(mv[off:off + ln]))
             off += ln
         if not rids:
             raise HttpError(400, "bad_body", "empty batch")
@@ -1690,10 +1716,7 @@ class Handlers:
             raise HttpError(400, "bad_query", "sample_rate is required")
         algorithm = req.query.get("algorithm", "wang")
         _algo_gate(algorithm)
-        try:
-            samples = amod.decode_f32le(raw)
-        except UcfpError as e:
-            raise _err(e)
+        samples = _audio_pcm(req, raw)
 
         try:
             if algorithm == "wang":
@@ -2228,8 +2251,8 @@ class Handlers:
         sample_rate = req.qp_int("sample_rate", cached_sr)
         if sample_rate is None:
             raise HttpError(400, "bad_query", "sample_rate is required")
+        samples = _audio_pcm(req, raw)
         try:
-            samples = amod.decode_f32le(raw)
             return Response.json(
                 amod.inspect_audio(
                     samples, sample_rate, req.query.get("algorithm", "wang")
