@@ -325,7 +325,7 @@ def extract_landmarks(
         # bit-exact integer spectrogram (int64 needs x64 tracing); one
         # deterministic convert to f32 feeds the unchanged selection code
         power = dsp.stft_power_int(
-            jnp.asarray(samples, jnp.float32), n_fft, hop, True
+            jnp.asarray(dsp.quantize_samples_i16(samples)), n_fft, hop, True
         ).astype(jnp.float32)
     slab = max(1, sr // hop)
     t, f, valid = pick_peaks(
@@ -352,7 +352,7 @@ def extract_panako(
         # bit-exact integer spectrogram (int64 needs x64 tracing); one
         # deterministic convert to f32 feeds the unchanged selection code
         power = dsp.stft_power_int(
-            jnp.asarray(samples, jnp.float32), n_fft, hop, True
+            jnp.asarray(dsp.quantize_samples_i16(samples)), n_fft, hop, True
         ).astype(jnp.float32)
     slab = max(1, sr // hop)
     t, f, valid = pick_peaks(
@@ -380,7 +380,7 @@ def _extract_batch(stack, sr, cfg, pair_fn, n_fft, hop):
     with enable_x64():
         power = vmap(
             lambda x: dsp.stft_power_int(x, n_fft, hop, True)
-        )(jnp.asarray(stack, jnp.float32)).astype(jnp.float32)
+        )(jnp.asarray(dsp.quantize_samples_i16(stack))).astype(jnp.float32)
     slab = max(1, sr // hop)
     t, f, valid = vmap(
         lambda p: pick_peaks(
@@ -441,7 +441,7 @@ def peaks_and_landmarks(
         # bit-exact integer spectrogram (int64 needs x64 tracing); one
         # deterministic convert to f32 feeds the unchanged selection code
         power = dsp.stft_power_int(
-            jnp.asarray(samples, jnp.float32), n_fft, hop, True
+            jnp.asarray(dsp.quantize_samples_i16(samples)), n_fft, hop, True
         ).astype(jnp.float32)
     slab = max(1, sr // hop)
     t, f, valid = pick_peaks(

@@ -147,6 +147,21 @@ def dft_basis_int_combined(n_fft: int):
     return np.concatenate(dft_basis_int_limbs(n_fft), axis=1)
 
 
+def quantize_samples_i16(x: np.ndarray) -> np.ndarray:
+    """Host-side copy of stft_power_int's sample quantization — the
+    SMALLEST exact device representation for the fingerprint path
+    (14-bit values in an i16, HALF the f32 transfer bytes; the same
+    ship-the-smallest-exact-form move as the host image resize).
+
+    np.round and jnp.round are both round-half-to-even and the
+    clip/scale are elementwise IEEE f32 ops, so shipping pre-quantized
+    samples is byte-identical to quantizing on device (fuzz-pinned in
+    tests/test_audio_i16_ship.py incl. half-to-even boundary products;
+    on-chip identity rides the bench parity gate)."""
+    xf = np.clip(np.asarray(x, np.float32), -1.0, 1.0)
+    return np.round(xf * np.float32(SAMPLE_Q)).astype(np.int16)
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def stft_power_int(
     samples: jax.Array, n_fft: int = 1024, hop: int = 256, center: bool = True,
@@ -158,10 +173,17 @@ def stft_power_int(
     n_fft=1024, and power = re^2+im^2 must stay under 2^62, so shift=8
     is the floor at n_fft 1024 (finest resolution -> fewest exact-tie
     plateaus in peak picking); Haitsma's 2048-point frames pass 14 (its
-    band-energy sums add ~10 bits and only signs matter there)."""
-    xq = jnp.round(
-        jnp.clip(samples.astype(jnp.float32), -1.0, 1.0) * SAMPLE_Q
-    ).astype(jnp.int32)
+    band-energy sums add ~10 bits and only signs matter there).
+
+    Integer input (i16 from quantize_samples_i16) is consumed as the
+    already-quantized xq; float input quantizes here. Both forms are
+    value-identical — the i16 form halves the HBM/tunnel transfer."""
+    if jnp.issubdtype(samples.dtype, jnp.integer):
+        xq = samples.astype(jnp.int32)
+    else:
+        xq = jnp.round(
+            jnp.clip(samples.astype(jnp.float32), -1.0, 1.0) * SAMPLE_Q
+        ).astype(jnp.int32)
     if center:
         pad = n_fft // 2
         xq = jnp.pad(xq, (pad, pad), mode="reflect")

@@ -116,7 +116,10 @@ def fingerprint_frames(samples: np.ndarray, sr: int, cfg: HaitsmaConfig) -> np.n
     if len(x) < FRAME + HOP:
         return np.zeros(0, np.uint32)
     with enable_x64():
-        return np.asarray(haitsma_words(jnp.asarray(x), cfg.fmin, cfg.fmax))
+        # ship the 14-bit quantized form (i16, half the transfer bytes;
+        # value-identical — dsp.quantize_samples_i16)
+        return np.asarray(haitsma_words(
+            jnp.asarray(dsp.quantize_samples_i16(x)), cfg.fmin, cfg.fmax))
 
 
 def fingerprint_frames_batch(stack_5k: np.ndarray,
@@ -136,7 +139,7 @@ def fingerprint_frames_batch(stack_5k: np.ndarray,
     with enable_x64():
         words = np.asarray(jax.vmap(
             lambda x: haitsma_words(x, cfg.fmin, cfg.fmax)
-        )(jnp.asarray(stack_5k, jnp.float32)))
+        )(jnp.asarray(dsp.quantize_samples_i16(stack_5k))))
     return [words[i] for i in range(b)]
 
 
