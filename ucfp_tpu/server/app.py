@@ -538,3 +538,4 @@ async def run(bind: str, state: ServerState, native_http: bool | None = None) ->
     except Exception as e:  # pragma: no cover - close must not flip exit 0
         logger().warn("index_close_failed", error=str(e))
     logger().info("stopped", drained=ok)
+    logger().close()  # drain any buffered info lines before exit
