@@ -132,6 +132,35 @@ class TestRoutes:
                        query="sample_rate=8000&algorithm=wang&encoding=s16"))
         assert a == b
 
+    def test_stream_route_s16_identical(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        i16 = _i16_tone(12.0, seed=11)  # 3 x 4 s segments
+        # bases far apart: per-segment record ids derive from the base
+        # rid, so nearby bases would collide and overwrite each other
+        a = jbody(call(
+            app, "POST", "/v1/ingest/audio/0/41/stream", _f32_wire(i16),
+            query="sample_rate=8000&segment_secs=4"))
+        b = jbody(call(
+            app, "POST", "/v1/ingest/audio/0/9041/stream", i16.tobytes(),
+            query="sample_rate=8000&segment_secs=4&encoding=s16"))
+        assert a["segments"] == b["segments"] > 0
+
+        def fp(rid):
+            return jbody(call(
+                app, "GET", f"/v1/records/0/{rid}",
+                query="include=fingerprint"))["fingerprint_hex"]
+
+        assert ([fp(r["record_id"]) for r in a["records"]]
+                == [fp(r["record_id"]) for r in b["records"]])
+
+    def test_stream_s16_odd_tail_400(self, tmp_path):
+        app, _ = make_app(tmp_path)
+        i16 = _i16_tone(1.0, seed=12)
+        resp = call(app, "POST", "/v1/ingest/audio/0/43/stream",
+                    i16.tobytes() + b"\x00",
+                    query="sample_rate=8000&encoding=s16")
+        assert resp.status == 400
+
     def test_validation(self, tmp_path):
         app, _ = make_app(tmp_path)
         i16 = _i16_tone(0.5, seed=6)

@@ -1874,7 +1874,9 @@ class Handlers:
         each completed segment is upserted AS IT COMPLETES — a 10-minute
         stream holds O(segment + halo) memory, never the whole body
         (reference multipart route handlers.rs:963-1011). On the asyncio
-        front the socket feeds the session incrementally via BodyStream."""
+        front the socket feeds the session incrementally via BodyStream.
+        ?encoding=s16 streams s16-LE PCM at half the bytes (decode is
+        exactly value-identical — modality/audio.py decode_s16le)."""
         import numpy as np
 
         tid, rid = _path_ids(req)
@@ -1882,6 +1884,10 @@ class Handlers:
         sample_rate = req.qp_int("sample_rate", None)
         if sample_rate is None:
             raise HttpError(400, "bad_query", "sample_rate is required")
+        enc = req.query.get("encoding", "f32")
+        if enc not in ("f32", "s16"):
+            raise HttpError(400, "bad_query", "encoding must be f32 or s16")
+        width = 4 if enc == "f32" else 2
         meta: list[dict] = []
 
         async def store(recs):
@@ -1917,14 +1923,17 @@ class Handlers:
                     raise HttpError(400, "bad_multipart",
                                     "multipart body without a boundary")
                 chunks = self._multipart_chunks(chunks, m.group(1).encode())
-            tail = b""  # carry f32 alignment across chunk boundaries
+            tail = b""  # carry sample alignment across chunk boundaries
             total = 0
             async for data in chunks:
                 total += len(data)
                 tail += data
-                usable = len(tail) - (len(tail) % 4)
+                usable = len(tail) - (len(tail) % width)
                 if usable:
-                    samples = np.frombuffer(tail[:usable], dtype="<f4")
+                    if enc == "f32":
+                        samples = np.frombuffer(tail[:usable], dtype="<f4")
+                    else:
+                        samples = amod.decode_s16le(tail[:usable])
                     tail = tail[usable:]
                     await store(session.push(samples))
             if total == 0:
@@ -1934,7 +1943,7 @@ class Handlers:
                 # tail cannot be all-or-nothing — say what was stored
                 raise HttpError(
                     400, "bad_body",
-                    f"f32 stream length not a multiple of 4 "
+                    f"{enc} stream length not a multiple of {width} "
                     f"({len(meta)} complete segment(s) were already stored)",
                 )
             await store(session.finalize())

@@ -37,10 +37,17 @@ class JsonLogger:
         self._buf_t = 0.0
 
     def _flush_buf(self) -> None:
-        if self._buf:
-            self.stream.write("".join(self._buf))
+        # the atexit drain can run after the interpreter (or a test
+        # harness) already closed the stream — dropping the tail lines
+        # then is fine, raising at exit is not
+        try:
+            if self._buf:
+                self.stream.write("".join(self._buf))
+            self.stream.flush()
+        except (ValueError, OSError):
+            pass
+        finally:
             self._buf.clear()
-        self.stream.flush()
 
     def log(self, level: str, msg: str, **fields) -> None:
         lv = _LEVELS.get(level, 20)
