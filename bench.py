@@ -1425,6 +1425,20 @@ def _run_all():
             rates[len(rates) // 2] * 4.0, 1)  # 4 s of audio per clip
         if len(clean) < len(runs):
             extra["ingest_audio_http_degraded"] = True
+        # s16 wire (the recommended encoding for 16-bit-sourced audio;
+        # half the request bytes, value-identical): one extra window —
+        # the device shapes are already warm from the f32 runs, so this
+        # costs ~the window itself
+        try:
+            s16 = run_soak(seconds=4.0, conns=16, algorithm="wang",
+                           batch=32, quiet=True, modality="audio",
+                           encoding="s16")
+            extra["ingest_audio_http_clips_per_sec_s16"] = round(
+                s16["req_per_sec"], 1)
+            if s16.get("warmup_degraded"):
+                extra["ingest_audio_http_s16_degraded"] = True
+        except Exception as e:  # isolated: the f32 metric still lands
+            extra["ingest_audio_http_s16_error"] = type(e).__name__
         return rates[len(rates) // 2]
 
     def _query_http():
