@@ -261,6 +261,14 @@ export class UcfpClient {
           ? new Uint8Array(clip.buffer, clip.byteOffset, clip.byteLength)
           : clip];
       }
+      if (clip instanceof Int16Array) {
+        // mirror of the s16 branch's Float32Array refusal: i16 bytes
+        // under the f32 encoding would be decoded server-side as
+        // garbage floats (and only 400 when not 4-aligned)
+        throw new Error("encoding 'f32' (the default) requires "
+          + "Float32Array or raw f32-LE bytes; pass encoding:'s16' "
+          + "for Int16Array clips");
+      }
       return [rid, clip instanceof Float32Array
         ? new Uint8Array(clip.buffer, clip.byteOffset, clip.byteLength)
         : clip];

@@ -17,7 +17,8 @@ from ucfp_tpu.ops.audio import dsp
 def _device_quantize(x: np.ndarray) -> np.ndarray:
     """The kernel's own f32-branch math, run standalone."""
     return np.asarray(jnp.round(
-        jnp.clip(jnp.asarray(x, jnp.float32), -1.0, 1.0) * dsp.SAMPLE_Q
+        jnp.clip(jnp.nan_to_num(jnp.asarray(x, jnp.float32)), -1.0, 1.0)
+        * dsp.SAMPLE_Q
     ).astype(jnp.int32))
 
 
@@ -58,6 +59,21 @@ class TestQuantizeEquality:
         x = np.array([-10.0, 10.0], np.float32)
         q = dsp.quantize_samples_i16(x)
         assert q.min() == -dsp.SAMPLE_Q and q.max() == dsp.SAMPLE_Q
+
+    def test_non_finite_deterministic(self):
+        # a NaN/inf in a wire body must quantize deterministically
+        # (NaN->0, +/-inf -> +/-SAMPLE_Q) with no RuntimeWarning, and
+        # host/device branches must agree on the degenerate values too
+        x = np.array([np.nan, np.inf, -np.inf, 0.25, -np.nan],
+                     np.float32)
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            q = dsp.quantize_samples_i16(x)
+        assert q[0] == 0 and q[4] == 0
+        assert q[1] == dsp.SAMPLE_Q and q[2] == -dsp.SAMPLE_Q
+        assert np.array_equal(q.astype(np.int32), _device_quantize(x))
 
 
 class TestStftEquality:

@@ -63,6 +63,51 @@ def test_hold_deadline_flushes(monkeypatch):
     assert len(stream.getvalue().splitlines()) == 2
 
 
+def test_timer_flushes_after_burst_stops():
+    # no further log() calls: the deadline timer alone must surface
+    # the buffered tail within the hold window
+    import time
+
+    lg, stream = _mk()
+    lg.info("request", seq=1)
+    assert stream.getvalue() == ""
+    deadline = time.monotonic() + 2.0
+    while time.monotonic() < deadline and stream.getvalue() == "":
+        time.sleep(0.01)
+    assert '"seq":1' in stream.getvalue()
+
+
+def test_concurrent_logging_no_loss_or_dup():
+    # asyncio loop + warmup thread + to_thread workers all share the
+    # global logger; under contention every line must appear exactly once
+    import threading
+
+    lg, stream = _mk()
+    n_threads, per = 8, 200
+
+    def work(tid):
+        for i in range(per):
+            lg.info("request", tid=tid, seq=i)
+
+    threads = [threading.Thread(target=work, args=(t,))
+               for t in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    lg.close()
+    lines = stream.getvalue().splitlines()
+    assert len(lines) == n_threads * per
+    seen = set()
+    for ln in lines:
+        import json
+
+        rec = json.loads(ln)
+        key = (rec["tid"], rec["seq"])
+        assert key not in seen
+        seen.add(key)
+
+
 def test_line_flush_env(monkeypatch):
     monkeypatch.setenv("UCFP_LOG_FLUSH", "line")
     stream = io.StringIO()

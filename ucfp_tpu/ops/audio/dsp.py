@@ -158,7 +158,12 @@ def quantize_samples_i16(x: np.ndarray) -> np.ndarray:
     samples is byte-identical to quantizing on device (fuzz-pinned in
     tests/test_audio_i16_ship.py incl. half-to-even boundary products;
     on-chip identity rides the bench parity gate)."""
-    xf = np.clip(np.asarray(x, np.float32), -1.0, 1.0)
+    # nan_to_num first: a NaN in a wire body would otherwise ride
+    # through clip/round into an undefined int cast (host RuntimeWarning
+    # + platform-defined value). NaN->0, +/-inf -> clipped to +/-1 —
+    # mirrored in stft_power_int's float branch so both quantizers stay
+    # value-identical on every input, degenerate ones included.
+    xf = np.clip(np.nan_to_num(np.asarray(x, np.float32)), -1.0, 1.0)
     return np.round(xf * np.float32(SAMPLE_Q)).astype(np.int16)
 
 
@@ -182,7 +187,8 @@ def stft_power_int(
         xq = samples.astype(jnp.int32)
     else:
         xq = jnp.round(
-            jnp.clip(samples.astype(jnp.float32), -1.0, 1.0) * SAMPLE_Q
+            jnp.clip(jnp.nan_to_num(samples.astype(jnp.float32)), -1.0, 1.0)
+            * SAMPLE_Q
         ).astype(jnp.int32)
     if center:
         pad = n_fft // 2

@@ -11,6 +11,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 
 _LEVELS = {"error": 40, "warn": 30, "info": 20, "debug": 10}
@@ -35,19 +36,35 @@ class JsonLogger:
             os.environ.get("UCFP_LOG_FLUSH", "").lower() == "line")
         self._buf: list[str] = []
         self._buf_t = 0.0
+        # the logger is shared between the asyncio loop, the warmup
+        # thread, and to_thread workers: append+flush must be atomic or
+        # concurrent flushes double-write / drop lines
+        self._lock = threading.Lock()
+        self._timer: threading.Timer | None = None
 
-    def _flush_buf(self) -> None:
+    def _drain(self) -> None:
+        """Swap the buffer out under the lock, then write outside it."""
+        with self._lock:
+            buf, self._buf = self._buf, []
+            if self._timer is not None:
+                self._timer.cancel()
+                self._timer = None
+        if not buf:
+            # still flush the stream: a caller may rely on close() to
+            # push through any line a previous write left in libc
+            try:
+                self.stream.flush()
+            except (ValueError, OSError):
+                pass
+            return
         # the atexit drain can run after the interpreter (or a test
         # harness) already closed the stream — dropping the tail lines
         # then is fine, raising at exit is not
         try:
-            if self._buf:
-                self.stream.write("".join(self._buf))
+            self.stream.write("".join(buf))
             self.stream.flush()
         except (ValueError, OSError):
             pass
-        finally:
-            self._buf.clear()
 
     def log(self, level: str, msg: str, **fields) -> None:
         lv = _LEVELS.get(level, 20)
@@ -66,19 +83,31 @@ class JsonLogger:
         # ("listening", "draining", ...) are watched live by operators
         # and subprocess tests, and warn+ must never be delayed
         if self._line_flush or lv >= 30 or msg != "request":
-            self._buf.append(line)
-            self._flush_buf()
+            with self._lock:
+                self._buf.append(line)
+            self._drain()
             return
-        now = time.monotonic()
-        if not self._buf:
-            self._buf_t = now
-        self._buf.append(line)
-        if (len(self._buf) >= self._MAX_BUF
-                or now - self._buf_t >= self._MAX_HOLD_S):
-            self._flush_buf()
+        drain = False
+        with self._lock:
+            now = time.monotonic()
+            if not self._buf:
+                self._buf_t = now
+                # after a burst stops, nothing would ever evaluate the
+                # 100 ms deadline — a daemon timer guarantees the hold
+                # window to an operator tailing the log
+                if self._timer is None:
+                    t = threading.Timer(self._MAX_HOLD_S, self._drain)
+                    t.daemon = True
+                    self._timer = t
+                    t.start()
+            self._buf.append(line)
+            drain = (len(self._buf) >= self._MAX_BUF
+                     or now - self._buf_t >= self._MAX_HOLD_S)
+        if drain:
+            self._drain()
 
     def close(self) -> None:
-        self._flush_buf()
+        self._drain()
 
     def info(self, msg: str, **fields) -> None:
         self.log("info", msg, **fields)
