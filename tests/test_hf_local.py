@@ -66,7 +66,7 @@ class TestTextLocalModel:
 
         rec = tmod.fingerprint_semantic("the quick brown fox", 0, 1)
         assert rec.model_id.startswith("local:") or "/" in rec.model_id
-        assert rec.model_id != "ucfp-hash-embed-384-v1"
+        assert rec.model_id != "standin-ucfp-hash-embed-384-v1"
         emb = np.asarray(rec.embedding, np.float32)
         assert emb.shape == (32,)  # the tiny model's hidden size
         np.testing.assert_allclose(np.linalg.norm(emb), 1.0, rtol=1e-5)
@@ -82,8 +82,29 @@ class TestTextLocalModel:
         from ucfp_tpu.modality import text as tmod
 
         rec = tmod.fingerprint_semantic("the quick brown fox", 0, 1)
-        assert rec.model_id == "ucfp-hash-embed-384-v1"
+        assert rec.model_id == "standin-ucfp-hash-embed-384-v1"
         assert len(rec.embedding) == 384
+
+    def test_standin_marking_contract(self, monkeypatch):
+        """Round-4 verdict #8: every default-config semantic/neural
+        record must carry a model_id that SAYS it is a stand-in, so no
+        user mistakes seeded random projections for real semantics."""
+        monkeypatch.delenv("UCFP_MODEL_DIR", raising=False)
+        from ucfp_tpu.modality import audio as amod
+        from ucfp_tpu.modality import image as imod
+        from ucfp_tpu.modality import text as tmod
+
+        from test_imagehash import synthetic_png
+
+        t = np.arange(2 * 8000) / 8000.0
+        x = (0.4 * np.sin(2 * np.pi * 700 * t)).astype(np.float32)
+        recs = [
+            tmod.fingerprint_semantic("the quick brown fox", 0, 1),
+            imod.fingerprint_semantic(synthetic_png(64, 64), 0, 1),
+            amod.fingerprint_neural(x, 8000, 0, 1),
+        ]
+        for rec in recs:
+            assert rec.model_id.startswith("standin-"), rec.model_id
 
 
 class TestImageLocalModel:
@@ -99,7 +120,7 @@ class TestImageLocalModel:
         emb = np.asarray(rec.embedding, np.float32)
         assert emb.shape == (32,)
         np.testing.assert_allclose(np.linalg.norm(emb), 1.0, rtol=1e-5)
-        assert rec.model_id != "ucfp-image-embed-512-v2"
+        assert rec.model_id != "standin-ucfp-image-embed-512-v2"
         # config_hash binds the model id: stand-in and local-weights
         # records refuse to compare
         rec_stand = None

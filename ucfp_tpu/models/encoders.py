@@ -16,9 +16,16 @@ import math
 
 import numpy as np
 
-IMAGE_MODEL_ID = "ucfp-image-embed-512-v2"  # v2: jitted forward (fused f32 order)
-AUDIO_MODEL_ID = "ucfp-audio-logmel-mlp-v2"  # v2: jitted forward (fused f32 order)
-TEXT_MODEL_ID = "ucfp-hash-embed-384-v1"
+# The "standin-" prefix is a contract: these are seeded random-weight
+# encoders, deterministic and device-batched but NOT semantically
+# meaningful. Every record/response carries the prefix so a
+# default-config user cannot mistake random projections for a real
+# embedding model (mount one via UCFP_MODEL_DIR — models/hf_local.py —
+# and the prefix disappears with it). model_id does not feed
+# config_hash, so the stamp costs nothing in fingerprint compatibility.
+IMAGE_MODEL_ID = "standin-ucfp-image-embed-512-v2"  # v2: jitted forward (fused f32 order)
+AUDIO_MODEL_ID = "standin-ucfp-audio-logmel-mlp-v2"  # v2: jitted forward (fused f32 order)
+TEXT_MODEL_ID = "standin-ucfp-hash-embed-384-v1"
 
 IMAGE_DIM = 512
 AUDIO_DIM = 128
