@@ -587,6 +587,91 @@ class TestWatermarkRobustness:
         assert rep.detected and rep.payload == 0x1234
 
 
+def _mulaw_roundtrip(y: np.ndarray, mu: float = 255.0) -> np.ndarray:
+    """8-bit mu-law companding round trip (G.711-style proxy for a
+    telephony codec): compress, quantize to 8 bits, expand."""
+    y = np.clip(y, -1.0, 1.0)
+    c = np.sign(y) * np.log1p(mu * np.abs(y)) / np.log1p(mu)
+    q = np.round(c * 127.0) / 127.0
+    return (np.sign(q) * ((1.0 + mu) ** np.abs(q) - 1.0) / mu).astype(
+        np.float32
+    )
+
+
+def _halfband_roundtrip(y: np.ndarray) -> np.ndarray:
+    """8 kHz -> 4 kHz -> 8 kHz: brickwall lowpass at half Nyquist,
+    2:1 decimate, linear upsample back — the decimation proxy for the
+    16->8->16 kHz codec chain (kills the PN's upper band entirely)."""
+    spec = np.fft.rfft(y)
+    spec[len(spec) // 2:] = 0.0
+    lp = np.fft.irfft(spec, len(y))
+    dec = lp[::2]
+    up = np.interp(np.arange(len(y)) / 2.0, np.arange(len(dec)), dec)
+    return up.astype(np.float32)
+
+
+class TestWatermarkCodecAttacks:
+    """Codec-proxy attacks (round-4 verdict #7): requantization,
+    decimation round trips, and pitch shift — the lossy-channel attacks
+    AudioSeal-class marks exist to survive. The half-band rows exercise
+    the detector's lowpass-matched template retry (_lowpass_pn)."""
+
+    CFG = amod.WatermarkConfig(key="tenant-7-secret")
+    PAYLOAD = 0xC0DE
+
+    def _marked(self, seed=1):
+        return amod.embed_watermark(
+            program_audio(seed=seed), 8000, payload=self.PAYLOAD,
+            cfg=self.CFG)
+
+    def _assert_detected(self, y, note):
+        rep = amod.detect_watermark(
+            np.asarray(y, np.float32), 8000, self.CFG)
+        assert rep.detected, f"{note}: confidence={rep.confidence:.3f}"
+        assert rep.payload == self.PAYLOAD, note
+        return rep
+
+    def test_mulaw_8bit_roundtrip(self):
+        self._assert_detected(_mulaw_roundtrip(self._marked()),
+                              "mu-law 8-bit")
+
+    def test_linear_8bit_requantization(self):
+        m = self._marked()
+        self._assert_detected(
+            np.round(np.clip(m, -1, 1) * 127.0) / 127.0, "linear 8-bit")
+
+    def test_halfband_decimation_roundtrip(self):
+        self._assert_detected(_halfband_roundtrip(self._marked()),
+                              "8k->4k->8k")
+
+    def test_pitch_shift(self):
+        # resample WITHOUT length correction: pitch and speed move
+        # together, the classic cheap de-watermarking attack
+        m = self._marked()
+        for f in (1.01, 0.99, 1.02):
+            pos = np.arange(int(len(m) * f), dtype=np.float64) / f
+            pos = pos[pos <= len(m) - 1]
+            y = np.interp(pos, np.arange(len(m), dtype=np.float64), m)
+            self._assert_detected(y, f"pitch shift {f}")
+
+    def test_shift_plus_mulaw(self):
+        m = self._marked()
+        y = _mulaw_roundtrip(
+            np.concatenate([np.zeros(800, np.float32), m]))
+        self._assert_detected(y, "shift 800 + mu-law")
+
+    def test_lowpass_retry_no_false_positives(self):
+        """The half-band-matched retry must not turn unmarked or
+        wrong-key audio into detections — the retry path itself is
+        exercised (plain confidence on these inputs is < 0.75)."""
+        clean = _halfband_roundtrip(program_audio(seed=5))
+        assert not amod.detect_watermark(clean, 8000, self.CFG).detected
+        marked = _halfband_roundtrip(self._marked())
+        rep = amod.detect_watermark(
+            marked, 8000, amod.WatermarkConfig(key="not-the-key"))
+        assert not rep.detected and rep.payload is None
+
+
 class TestStreaming:
     def test_requires_8k(self):
         with pytest.raises(ModalityError):
