@@ -52,11 +52,25 @@ class TestTokenize:
         assert tmod.shingles_of(["a"], 3) == ["a"]
         assert tmod.shingles_of([], 3) == []
 
-    def test_cjk_han_bigrams(self):
+    def test_cjk_han_bigrams(self, monkeypatch):
+        # UCFP_CJK_DICT=none keeps the pure dictionary-free scheme
+        monkeypatch.setenv("UCFP_CJK_DICT", "none")
         toks = tmod.tokenize("北京大学", "cjk")
         assert toks == ["北京", "京大", "大学"]
 
-    def test_cjk_mixed_scripts(self):
+    def test_cjk_default_is_dictionary_based(self, monkeypatch):
+        # round-4 verdict #6: out of the box, CJK segmentation is
+        # driven by the bundled frequency lexicon, not bare bigrams
+        monkeypatch.delenv("UCFP_CJK_DICT", raising=False)
+        assert tmod.tokenize("北京大学的计算机科学课程非常好", "cjk") == [
+            "北京", "大学", "的", "计算机", "科学", "课程", "非常", "好"]
+        assert "食べる" in tmod.tokenize("東京大学の学生は毎日食べる", "cjk")
+        toks = tmod.tokenize("안녕하세요 저는 한국어를 공부합니다", "cjk")
+        assert "안녕하세요" in toks and "한국어" in toks and "공부" in toks
+        assert tmod.cjk_dict_spec().startswith("dict-")
+
+    def test_cjk_mixed_scripts(self, monkeypatch):
+        monkeypatch.setenv("UCFP_CJK_DICT", "none")
         toks = tmod.tokenize("我爱 python 和 한국어", "cjk")
         assert "我爱" in toks and "python" in toks and "한국어" in toks
 
@@ -96,10 +110,14 @@ class TestCjkDictionary:
     def test_viterbi_prefers_known_words(self, monkeypatch):
         monkeypatch.setenv("UCFP_CJK_DICT", DICT_DIR)
         assert tmod.tokenize("日本語", "cjk") == ["日本語"]
-        # unknown chars degrade to singles around known words
+        # unknown spans degrade to the dictionary-free scheme (Han
+        # bigrams) around known words, not to single chars
         toks = tmod.tokenize("中文分词真好", "cjk")
         assert toks[:2] == ["中文", "分词"]
-        assert toks[2:] == ["真", "好"]
+        assert toks[2:] == ["真好"]
+        # a longer unknown Han span emits its full bigram chain
+        toks = tmod.tokenize("中文计算机科学", "cjk")
+        assert toks == ["中文", "计算", "算机", "机科", "科学"]
 
     def test_mixed_script_with_dictionary(self, monkeypatch):
         monkeypatch.setenv("UCFP_CJK_DICT", DICT_DIR)

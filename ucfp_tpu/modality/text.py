@@ -23,6 +23,7 @@ documented schemes and the host-vs-device rationale).
 
 from __future__ import annotations
 
+import os.path
 import re
 import unicodedata
 from dataclasses import dataclass, replace
@@ -234,18 +235,21 @@ def _is_hangul(ch: str) -> bool:
 #
 # The reference's txtfp segments Japanese/Korean with Lindera/KoDic
 # morphological dictionaries (src/modality/text.rs:30-33) — multi-MB
-# artifacts not vendorable here. The UCFP_CJK_DICT escape hatch mirrors
-# the UCFP_MODEL_DIR pattern that upgrades encoders: point it at a
-# directory of lexicon files (*.txt / *.tsv, one `word[<TAB>cost]` per
-# line, '#' comments) and CJK runs are segmented by min-cost Viterbi
-# over the lexicon (longest-match falls out of the cost structure:
-# covering a run with fewer, longer dictionary words is cheaper).
-# Without a dictionary the dictionary-FREE default stays: Han bigrams +
-# whole kana/hangul runs (a bigram postings index retrieves any
-# dictionary segmentation of the same text). The dictionary's content
-# hash is folded into config_hash (see _opts_config_hash), so records
-# cut with different lexicons refuse comparison instead of silently
-# mismatching.
+# artifacts not vendorable here. Out of the box the BUNDLED curated
+# frequency lexicon (ucfp_tpu/data/cjk_lexicon/, ~2.5k high-frequency
+# zh/ja/ko words) drives min-cost Viterbi segmentation of CJK runs
+# (longest-match falls out of the cost structure: covering a run with
+# fewer, longer dictionary words is cheaper); spans no lexicon word
+# covers degrade to the dictionary-free scheme (Han bigrams + whole
+# kana/hangul runs — a bigram postings index retrieves any dictionary
+# segmentation of the same text). UCFP_CJK_DICT mirrors the
+# UCFP_MODEL_DIR pattern: point it at a directory of lexicon files
+# (*.txt / *.tsv, one `word[<TAB>cost]` per line, '#' comments) to
+# replace the bundled lexicon with real morphological data; set it to
+# "none" (or empty) to disable dictionaries entirely and keep the pure
+# bigram scheme. The active dictionary's content hash is folded into
+# config_hash (see _opts_config_hash), so records cut with different
+# lexicons refuse comparison instead of silently mismatching.
 
 _UNKNOWN_CHAR_COST = 2.0  # per char not covered by any lexicon word
 _DEFAULT_WORD_COST = 1.0  # per lexicon word without an explicit cost
@@ -300,27 +304,74 @@ def _load_cjk_dict(dict_dir: str):
     return out
 
 
+_BUNDLED_CJK_DICT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data", "cjk_lexicon",
+)
+
+
 def _active_cjk_dict():
-    """The (words, maxlen, spec) for UCFP_CJK_DICT, or None."""
+    """The (words, maxlen, spec) for the active lexicon, or None.
+
+    UCFP_CJK_DICT=<dir> mounts a user dictionary; unset uses the
+    bundled frequency lexicon; "none"/"" disables dictionaries (pure
+    Han-bigram scheme, the pre-round-5 default)."""
     import os
 
     d = os.environ.get("UCFP_CJK_DICT")
-    return _load_cjk_dict(d) if d else None
+    if d is None:
+        return _load_cjk_dict(_BUNDLED_CJK_DICT)
+    if not d or d.lower() == "none":
+        return None
+    return _load_cjk_dict(d)
 
 
 def cjk_dict_spec() -> str:
-    """Config-hash component for the active CJK lexicon ('' without
-    one) — mounting/changing a dictionary re-versions every cjk-token
+    """Config-hash component for the active CJK lexicon ('' when
+    dictionaries are disabled via UCFP_CJK_DICT=none) — mounting or
+    changing a lexicon (bundled included) re-versions every cjk-token
     fingerprint, like UCFP_MODEL_DIR does for encoder fingerprints."""
     active = _active_cjk_dict()
     return active[2] if active else ""
 
 
+def _dictfree_span(span: str) -> list[str]:
+    """The dictionary-free scheme for one contiguous CJK span: Han
+    sub-runs emit character bigrams (singles stay single), kana and
+    hangul sub-runs emit whole script runs."""
+    out: list[str] = []
+    i = 0
+    n = len(span)
+    while i < n:
+        ch = span[i]
+        if _is_han(ch):
+            j = i
+            while j < n and _is_han(span[j]):
+                j += 1
+            run = span[i:j]
+            if len(run) == 1:
+                out.append(run)
+            else:
+                out.extend(run[k : k + 2] for k in range(len(run) - 1))
+        else:
+            pred = _is_kana if _is_kana(ch) else _is_hangul
+            j = i
+            while j < n and pred(span[j]):
+                j += 1
+            out.append(span[i:j])
+        i = j
+    return out
+
+
 def _viterbi_segment(run: str, words: dict, maxlen: int) -> list[str]:
     """Min-cost segmentation of a CJK run: lexicon words cost their
-    dictionary cost, uncovered chars cost _UNKNOWN_CHAR_COST each —
-    so known words (the longer the better) dominate, and unknown
-    spans degrade to single-char tokens."""
+    dictionary cost, uncovered chars cost _UNKNOWN_CHAR_COST each — so
+    known words (the longer the better) dominate. Spans no lexicon word
+    covers degrade to the dictionary-free scheme (_dictfree_span: Han
+    bigrams + whole kana/hangul runs), NOT to single-char tokens — a
+    small curated lexicon leaves most proper nouns uncovered, and
+    bigrams keep those spans retrievable the same way the no-dict
+    configuration indexes them."""
     n = len(run)
     inf = float("inf")
     best = [inf] * (n + 1)
@@ -345,7 +396,21 @@ def _viterbi_segment(run: str, words: dict, maxlen: int) -> list[str]:
         toks.append(run[i:j])
         j = i
     toks.reverse()
-    return toks
+    # merge consecutive UNKNOWN singles (the fallback path above) into
+    # spans and re-emit them dictionary-free
+    out: list[str] = []
+    span = ""
+    for t in toks:
+        if len(t) == 1 and t not in words:
+            span += t
+            continue
+        if span:
+            out.extend(_dictfree_span(span))
+            span = ""
+        out.append(t)
+    if span:
+        out.extend(_dictfree_span(span))
+    return out
 
 
 def _is_cjk(ch: str) -> bool:
