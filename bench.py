@@ -1514,6 +1514,69 @@ def _run_all():
                 f"error: {type(e).__name__}: {e}")
         return med
 
+    def _query_http_c1():
+        """Served SINGLE-REQUEST /v1/query latency (round-4 verdict
+        #4): conns=1 and conns=4 at the exact (f32) and int4 tiers,
+        emitted as query_http_{tier}_p50_ms_c{N} — the keys a reader
+        compares directly against the kernel p50s plus the ~0.5 ms
+        serving envelope (knn_serving_overhead_ms_10m). Micro-batching
+        is OFF (per-request dispatch): at 1 connection coalescing only
+        adds deadline latency. On-chip rows include the tunnel's
+        ~25-30 ms dispatch floor; the CPU-subprocess rows measure the
+        identical host path without it, so the pair brackets what real
+        co-located hardware would see. Compile warm-over rides each
+        soak's internal bounded warmup loop."""
+        import pathlib
+        import subprocess
+        import sys
+
+        sys.path.insert(0, str(
+            pathlib.Path(__file__).resolve().parent / "scripts"))
+        from soak_query import run_query_soak
+
+        stage_budget = float(
+            os.environ.get("UCFP_BENCH_QUERY_C1_BUDGET_S", "900"))
+        t0 = time.perf_counter()
+        headline = None
+        for quant, tag in ((None, "exact"), ("int4", "int4")):
+            for conns in (1, 4):
+                key = f"query_http_{tag}_p50_ms_c{conns}"
+                if time.perf_counter() - t0 > stage_budget:
+                    extra[key] = "skipped: stage budget exhausted"
+                    continue
+                try:
+                    r = run_query_soak(seconds=4.0, conns=conns,
+                                       n=65_536, d=768, quant=quant,
+                                       exact=True)
+                except Exception as e:
+                    extra[key] = f"error: {type(e).__name__}: {e}"
+                    continue
+                extra[key] = r["p50_ms"]
+                extra[f"query_http_{tag}_p99_ms_c{conns}"] = r["p99_ms"]
+                extra[f"query_http_{tag}_qps_c{conns}"] = r["qps"]
+                if r.get("warmup_degraded"):
+                    extra[f"query_http_{tag}_c{conns}_degraded"] = True
+                if tag == "exact" and conns == 1:
+                    headline = r["p50_ms"]
+        # identical host path, CPU backend, no tunnel dispatch floor
+        script = pathlib.Path(__file__).resolve().parent / "scripts" / \
+            "soak_query.py"
+        for quant_args, tag in (([], "exact"), (["--quant", "int4"],
+                                                "int4")):
+            key = f"query_http_cpu_{tag}_p50_ms_c1"
+            try:
+                out = subprocess.run(
+                    [sys.executable, str(script), "--cpu", "--seconds",
+                     "4", "--conns", "1", "--exact"] + quant_args,
+                    capture_output=True, text=True, timeout=600,
+                    check=True)
+                r = json.loads(out.stdout.strip().splitlines()[-1])
+                extra[key] = r["p50_ms"]
+                extra[f"query_http_cpu_{tag}_qps_c1"] = r["qps"]
+            except Exception as e:
+                extra[key] = f"error: {type(e).__name__}"
+        return headline
+
     def _panako_haitsma_xrt():
         """Panako + Haitsma extraction xRT — driver-captured so the
         published ~142k / ~34k claims reproduce from the bench JSON."""
@@ -1589,6 +1652,7 @@ def _run_all():
         ("ingest_http_imgs_per_sec", _ingest_http),
         ("ingest_text_http_docs_per_sec", _ingest_text_http),
         ("query_http_qps_64k_x768", _query_http),
+        ("query_http_exact_p50_ms_c1", _query_http_c1),
         ("text_minhash_docs_per_sec", _text_minhash),
         ("knn_serving_overhead_ms_10m", _knn_serving_overhead),
         # the BASELINE target shape (10M x 768) runs EARLY: the sketch
