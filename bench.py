@@ -672,11 +672,11 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
     pool_i4b = knn_ops.int4_batch_pool(n, k)
     qbf = q_batch.astype(jnp.float32)
 
-    @functools.partial(jax.jit, static_argnums=(5,))
-    def loop_i4_batch(q, m, rnv, pk, inv, it):
+    @functools.partial(jax.jit, static_argnums=(6, 7))
+    def loop_i4_batch(q, m, rnv, pk, inv, nv, it, pool):
         def body(_i, carry):
             _vals, idx = knn_ops.cosine_int4_topk_batched(
-                carry, m, rnv, pk, inv, jnp.int32(n), k, pool_i4b,
+                carry, m, rnv, pk, inv, nv, k, pool,
             )
             return jnp.clip(
                 carry + m[idx[0, 0]].astype(jnp.float32)[None, :] / 127.0,
@@ -696,11 +696,21 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
         jax.random.PRNGKey(5), (64, d), -127, 128, dtype=jnp.int8
     ).astype(jnp.float32)
 
-    def t_i4_batch(qv=None):
+    def t_i4_batch(qv=None, m=None, rnv=None, pk=None, inv=None, nv=None,
+                   pool=None, it=None):
         qv = qbf if qv is None else qv
         return _timed(
-            lambda it: float(loop_i4_batch(qv, m8, rn, packed_t, inv_n4, it)),
-            iters,
+            lambda nit: float(loop_i4_batch(
+                qv,
+                m if m is not None else m8,
+                rnv if rnv is not None else rn,
+                pk if pk is not None else packed_t,
+                inv if inv is not None else inv_n4,
+                nv if nv is not None else jnp.int32(n),
+                nit,
+                pool if pool is not None else pool_i4b,
+            )),
+            it if it is not None else iters,
         ) * 1000.0
 
     def t_exact():
@@ -842,9 +852,40 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
             inv=inv_n4[:shard_n], nv=jnp.int32(shard_n),
             pool=knn_ops.int4_pool(shard_n, k), it=iters_shard,
         )
+        # per-shard BATCHED int4 (round-4 verdict #2a): batched serving
+        # is the production shape — measuring the Q=32/64 pipelines at
+        # the 1.25M-row shard makes the derived v5e-8 batched keys a
+        # shard-scale measurement + a merge model, not an inference
+        # from the 10M-catalog number. Batched iters stay at `iters`*4:
+        # each iteration runs ~8-15 ms of device work at the shard
+        # (Q x scan), two orders above the tunnel jitter.
+        pool_i4b_s = knn_ops.int4_batch_pool(shard_n, k)
+        shard_i4_b32_ms = t_i4_batch(
+            m=m8_s, rnv=rn_s, pk=packed_t[:, :shard_n],
+            inv=inv_n4[:shard_n], nv=jnp.int32(shard_n),
+            pool=pool_i4b_s, it=iters * 4,
+        )
+        shard_i4_b64_ms = t_i4_batch(
+            qv=qb64f, m=m8_s, rnv=rn_s, pk=packed_t[:, :shard_n],
+            inv=inv_n4[:shard_n], nv=jnp.int32(shard_n),
+            pool=pool_i4b_s, it=iters * 4,
+        )
     else:  # catalog too small to slice a tile-aligned shard (smoke runs)
         shard_exact_ms = shard_sketch_ms = shard_int4_ms = float("nan")
-    merge_model_ms = 0.1
+        shard_i4_b32_ms = shard_i4_b64_ms = float("nan")
+    # cross-chip merge term (round-4 verdict #2b): the fixed 0.1 ms
+    # constant is replaced by the parameterized ICI model
+    # (parallel/sharded_knn.py ici_merge_model — k x 8 B candidates,
+    # v5e 400 Gbps/link, hop counts for ring vs the 2x4 slice). The
+    # model says the merge is LATENCY-bound (~6-8 us); the derived
+    # keys still quote a 0.1 ms conservative ceiling (>12x the model)
+    # so the published numbers don't lean on the 2 us/hop estimate,
+    # and both the model's inputs and its total ride the bench JSON.
+    from ucfp_tpu.parallel.sharded_knn import ici_merge_model
+
+    merge_model = ici_merge_model(shards, k, topology="2x4")
+    merge_model_batch = ici_merge_model(shards, 64 * k, topology="2x4")
+    merge_model_ms = 0.1  # quoted ceiling, not the model output
 
     # -- packed-int2 prefilter tier (UCFP_KNN_QUANT=int2), own phase ----
     # A 16 GB v5e cannot hold int8 + int4 + sketch + int2 at once
@@ -1062,6 +1103,8 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
                 shard_int2_ms + merge_model_ms, 3)}
            if shard_int2_ms == shard_int2_ms else {}),
         "query_sharded_merge_model_ms": merge_model_ms,
+        "query_sharded_merge_model": merge_model,
+        "query_sharded_merge_model_batch64": merge_model_batch,
         "query_v5e8_derived_exact_ms": round(
             shard_exact_ms + merge_model_ms, 3
         ),
@@ -1071,6 +1114,18 @@ def bench_cosine_int8_10m_768(k=10, iters=8, qbatch=32,
         "query_v5e8_derived_int4_ms": round(
             shard_int4_ms + merge_model_ms, 3
         ),
+        # batched derived keys (verdict #2a): per-query = (measured
+        # per-shard batch pipeline + merge ceiling) / Q — the
+        # production serving shape, with a margin the single-query key
+        # doesn't have (Q=64: ~0.2-0.3 ms/query derived)
+        "query_sharded_per_shard_int4_batch32_ms_per_query": round(
+            shard_i4_b32_ms / qbatch, 4),
+        "query_sharded_per_shard_int4_batch64_ms_per_query": round(
+            shard_i4_b64_ms / 64, 4),
+        "query_v5e8_derived_int4_batch32_ms": round(
+            (shard_i4_b32_ms + merge_model_ms) / qbatch, 4),
+        "query_v5e8_derived_int4_batch_ms": round(
+            (shard_i4_b64_ms + merge_model_ms) / 64, 4),
         "sharded_rows_per_shard": shard_n,
     }
 
@@ -1407,39 +1462,77 @@ def _run_all():
         # so runs 2-3 measure warm)
         prior = os.environ.get("UCFP_SOAK_WARMUP_S")
         os.environ["UCFP_SOAK_WARMUP_S"] = "240"
+        # s16 vs f32 is settled A/B-style (round-4 verdict #3):
+        # INTERLEAVED windows — f32, s16, f32, s16, ... — so the
+        # tunnel's 3x bandwidth swings hit both encodings equally
+        # instead of whichever ran last; both sides quote the median
+        # of 3, same methodology as every tunnel-sensitive metric
+        runs, s16_runs = [], []
         try:
-            runs = [run_soak(seconds=4.0, conns=16, algorithm="wang",
-                             batch=32, quiet=True, modality="audio")
-                    for _ in range(3)]
+            for _ in range(3):
+                runs.append(run_soak(seconds=4.0, conns=16,
+                                     algorithm="wang", batch=32,
+                                     quiet=True, modality="audio"))
+                try:
+                    s16_runs.append(run_soak(
+                        seconds=4.0, conns=16, algorithm="wang",
+                        batch=32, quiet=True, modality="audio",
+                        encoding="s16"))
+                except Exception as e:  # isolated: f32 metric lands
+                    extra["ingest_audio_http_s16_error"] = \
+                        type(e).__name__
+            # amortization row (verdict #5b): 4x the clips per request
+            # so the per-batch device+WAL cost spreads further; s16
+            # wire keeps the 16 MiB body cap comfortable (8 MB)
+            try:
+                b128 = run_soak(seconds=6.0, conns=16, algorithm="wang",
+                                batch=128, quiet=True, modality="audio",
+                                encoding="s16")
+                extra["ingest_audio_http_clips_per_sec_s16_b128"] = \
+                    round(b128["req_per_sec"], 1)
+                if b128.get("warmup_degraded"):
+                    extra["ingest_audio_http_s16_b128_degraded"] = True
+            except Exception as e:
+                extra["ingest_audio_http_s16_b128_error"] = \
+                    type(e).__name__
         finally:
             if prior is None:
                 os.environ.pop("UCFP_SOAK_WARMUP_S", None)
             else:
                 os.environ["UCFP_SOAK_WARMUP_S"] = prior
-        clean = [r for r in runs if not r.get("warmup_degraded")]
-        rates = sorted(r["req_per_sec"] for r in (clean or runs))
+
+        def med(rs):
+            clean = [r for r in rs if not r.get("warmup_degraded")]
+            vals = sorted(r["req_per_sec"] for r in (clean or rs))
+            return vals[len(vals) // 2], len(clean) < len(rs)
+
+        f32_med, f32_deg = med(runs)
         extra["ingest_audio_http_runs_clips_per_sec"] = [
             round(r["req_per_sec"], 1) for r in runs]
-        extra["ingest_audio_http_errors"] = sum(r["errors"] for r in runs)
-        extra["ingest_audio_http_served_xrt"] = round(
-            rates[len(rates) // 2] * 4.0, 1)  # 4 s of audio per clip
-        if len(clean) < len(runs):
+        extra["ingest_audio_http_errors"] = sum(
+            r["errors"] for r in runs + s16_runs)
+        if f32_deg:
             extra["ingest_audio_http_degraded"] = True
-        # s16 wire (the recommended encoding for 16-bit-sourced audio;
-        # half the request bytes, value-identical): one extra window —
-        # the device shapes are already warm from the f32 runs, so this
-        # costs ~the window itself
-        try:
-            s16 = run_soak(seconds=4.0, conns=16, algorithm="wang",
-                           batch=32, quiet=True, modality="audio",
-                           encoding="s16")
+        best = f32_med
+        if s16_runs:
+            s16_med, s16_deg = med(s16_runs)
+            extra["ingest_audio_http_s16_runs_clips_per_sec"] = [
+                round(r["req_per_sec"], 1) for r in s16_runs]
             extra["ingest_audio_http_clips_per_sec_s16"] = round(
-                s16["req_per_sec"], 1)
-            if s16.get("warmup_degraded"):
+                s16_med, 1)
+            if s16_deg:
                 extra["ingest_audio_http_s16_degraded"] = True
-        except Exception as e:  # isolated: the f32 metric still lands
-            extra["ingest_audio_http_s16_error"] = type(e).__name__
-        return rates[len(rates) // 2]
+            if f32_med > 0:
+                extra["ingest_audio_http_s16_vs_f32"] = round(
+                    s16_med / f32_med, 3)
+            best = max(best, s16_med)
+        b128_rate = extra.get("ingest_audio_http_clips_per_sec_s16_b128")
+        if isinstance(b128_rate, (int, float)):
+            best = max(best, b128_rate)
+        extra["ingest_audio_http_served_xrt"] = round(
+            f32_med * 4.0, 1)  # 4 s of audio per clip
+        extra["ingest_audio_http_served_xrt_best"] = round(best * 4.0, 1)
+        return f32_med
 
     def _query_http():
         """End-to-end HTTP /v1/query soak (scripts/soak_query.py): JSON

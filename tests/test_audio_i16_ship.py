@@ -60,6 +60,39 @@ class TestQuantizeEquality:
         q = dsp.quantize_samples_i16(x)
         assert q.min() == -dsp.SAMPLE_Q and q.max() == dsp.SAMPLE_Q
 
+    def test_s16_direct_full_range(self):
+        # the i16 fast branch (raw s16 wire samples straight into the
+        # quantizer) must equal decode-then-quantize over the ENTIRE
+        # int16 domain — the single-rounding argument in the docstring,
+        # verified exhaustively rather than trusted
+        all_i16 = np.arange(-32768, 32768, dtype=np.int16)
+        direct = dsp.quantize_samples_i16(all_i16)
+        decoded = all_i16.astype(np.float32) * np.float32(1.0 / 32768.0)
+        via_f32 = dsp.quantize_samples_i16(decoded)
+        assert np.array_equal(direct, via_f32)
+
+    def test_batch_i16_clips_bit_identical(self):
+        # fingerprint_audio_batch accepts raw i16 clips (the s16 batch
+        # route): every algorithm/rate combination must produce the
+        # same fingerprints as the decoded-f32 clips — the canonical
+        # rate rides the integer fast path, the rest decode internally
+        from ucfp_tpu.modality import audio as amod
+
+        rng = np.random.default_rng(3)
+        for sr in (8000, 16000):
+            xi = (rng.integers(-32768, 32768, size=2 * sr)
+                  .astype(np.int16))
+            xf = xi.astype(np.float32) * np.float32(1.0 / 32768.0)
+            for algo in ("wang", "panako", "haitsma"):
+                if algo == "panako" and sr != 8000:
+                    continue
+                ri = amod.fingerprint_audio_batch(
+                    algo, [xi, xi[: sr]], sr, 0, [1, 2])
+                rf = amod.fingerprint_audio_batch(
+                    algo, [xf, xf[: sr]], sr, 0, [1, 2])
+                for a, b in zip(ri, rf):
+                    assert a.fingerprint == b.fingerprint, (algo, sr)
+
     def test_non_finite_deterministic(self):
         # a NaN/inf in a wire body must quantize deterministically
         # (NaN->0, +/-inf -> +/-SAMPLE_Q) with no RuntimeWarning, and

@@ -258,7 +258,13 @@ def fingerprint_audio_batch(
     are dropped.
 
     algorithm: wang | panako | haitsma. Validation and Record layout
-    match the corresponding single-clip function exactly."""
+    match the corresponding single-clip function exactly.
+
+    Clips may be np.int16 arrays — s16 wire samples, value = i / 32768
+    (the batch route passes them through raw): at the canonical rate
+    they ride an integer fast path straight into the sample quantizer,
+    bit-identical to decoding to f32 first (fuzz-pinned in
+    tests/test_audio_i16_ship.py)."""
     if algorithm == "wang":
         cfg = cfg or WangConfig()
     elif algorithm == "panako":
@@ -277,13 +283,34 @@ def fingerprint_audio_batch(
     # host-side prepare (validate + resample), exactly the single path's
     prepared: list[np.ndarray] = []
     for samples in clips:
-        x = _check_input(samples, sample_rate)
-        if algorithm == "haitsma":
-            x = dsp.resample_linear(
-                np.asarray(x, np.float32), sample_rate, haitsma_ops.HAITSMA_SR
-            )
-        elif sample_rate != CANONICAL_SR:
-            x = dsp.resample_linear(x, sample_rate, CANONICAL_SR)
+        arr = np.asarray(samples)
+        if (arr.dtype == np.int16 and algorithm != "haitsma"
+                and sample_rate == CANONICAL_SR):
+            # s16-wire fast path (ship the smallest exact form): keep
+            # the raw integers when no f32 math is needed — the
+            # quantizer (dsp.quantize_samples_i16) consumes them
+            # directly with bit-identical results, so the 4 MB f32
+            # detour (decode + re-quantize) disappears from the hot
+            # batch route. The canonical rate needs no range check.
+            if arr.ndim != 1:
+                raise ModalityError("audio must be mono f32")
+            if arr.size == 0:
+                raise ModalityError("empty sample buffer")
+            x = arr
+        else:
+            if arr.dtype == np.int16:
+                # resampling is f32 math (haitsma's 5 kHz, non-canonical
+                # rates): decode exactly per the wire contract
+                # (value = i / 32768, a power-of-two scale — exact)
+                arr = arr.astype(np.float32) * np.float32(1.0 / 32768.0)
+            x = _check_input(arr, sample_rate)
+            if algorithm == "haitsma":
+                x = dsp.resample_linear(
+                    np.asarray(x, np.float32), sample_rate,
+                    haitsma_ops.HAITSMA_SR
+                )
+            elif sample_rate != CANONICAL_SR:
+                x = dsp.resample_linear(x, sample_rate, CANONICAL_SR)
         # the minimum-length gate is WANG-ONLY, exactly like the single
         # path: fingerprint_panako accepts sub-1024 clips (centered
         # STFT pads them) and haitsma yields empty frames below

@@ -158,6 +158,21 @@ def quantize_samples_i16(x: np.ndarray) -> np.ndarray:
     samples is byte-identical to quantizing on device (fuzz-pinned in
     tests/test_audio_i16_ship.py incl. half-to-even boundary products;
     on-chip identity rides the bench parity gate)."""
+    x = np.asarray(x)
+    if x.dtype == np.int16:
+        # s16-wire fast path: the i16 IS the sample at full scale
+        # (wire contract: value = i / 32768). One fused multiply+round
+        # replaces decode -> nan_to_num -> clip -> round: clip is a
+        # no-op (|i/32768| <= 1.0 for every int16), NaN is impossible,
+        # and rounding is identical — i * 2^-15 is EXACT in f32 (power
+        # of two scale) and SAMPLE_Q/32768 is exactly representable
+        # (14-bit numerator), so both orderings round the same exact
+        # real product i * SAMPLE_Q * 2^-15 exactly once. Bit-equality
+        # vs decode-then-quantize is fuzz-pinned over the full int16
+        # range in tests/test_audio_i16_ship.py.
+        return np.round(
+            x.astype(np.float32) * np.float32(SAMPLE_Q / 32768.0)
+        ).astype(np.int16)
     # nan_to_num first: a NaN in a wire body would otherwise ride
     # through clip/round into an undefined int cast (host RuntimeWarning
     # + platform-defined value). NaN->0, +/-inf -> clipped to +/-1 —

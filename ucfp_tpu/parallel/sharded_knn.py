@@ -468,3 +468,69 @@ def sharded_cosine_int8_batch_topk(query, db8, row_norm, valid, k: int,
     Returns ([Q, k] scores, [Q, k] global row idx)."""
     return _sharded_cosine_int8_batch_impl(query, db8, row_norm, valid, k,
                                            mesh, tuple(axes))
+
+
+# ---------------------------------------------------------------------------
+# ICI merge cost model (the cross-chip term of the derived v5e-8 keys)
+# ---------------------------------------------------------------------------
+
+# v5e ICI per-link bandwidth, bytes/s each direction. Public v5e system
+# spec: 4 ICI links/chip at 400 Gbps apiece (1,600 Gbps aggregate);
+# 400 Gbps = 50 GB/s per direction per link. The all_gather rides ONE
+# ring direction per hop, so the per-hop wire time uses the single-link
+# figure, not the aggregate.
+V5E_LINK_BYTES_PER_S = 50e9
+# per-hop latency floor for a small ICI transfer (DMA issue + switch +
+# synchronization). Public microbenchmarks of small TPU collectives sit
+# at ~1-2 us/hop; 2 us is the conservative end.
+ICI_HOP_LATENCY_S = 2e-6
+
+
+def ici_merge_model(n_shards: int, k: int, *, candidate_bytes: int = 8,
+                    topology: str = "ring",
+                    link_bytes_per_s: float = V5E_LINK_BYTES_PER_S,
+                    hop_latency_s: float = ICI_HOP_LATENCY_S) -> dict:
+    """Parameterized cost model for the two-stage top-k merge collective.
+
+    After each shard's local top-k, the merge is one all_gather of
+    [k] x (f32 score + i32 global index) = k * candidate_bytes per
+    shard, followed by an [n_shards * k] lax.top_k on every chip
+    (sub-microsecond at these sizes; carried in the latency term).
+
+    Ring all_gather (bidirectional exchange): ceil((S-1)/2) sequential
+    hop-steps, each moving the growing candidate block over one link;
+    total wire bytes per link ~= (S-1) * k * candidate_bytes. The 2x4
+    v5e-8 slice is a (2, 4) torus: gathering over the 4-ring then the
+    2-ring costs ceil(3/2) + ceil(1/2) = 3 hop-steps with the same
+    total payload, which `topology="2x4"` models (the hierarchical
+    `_merge_axis` call order in this module).
+
+    Latency dominates at serving k: at k=10, payload = 80 B/shard and
+    the wire time is ~11 ns/hop against a ~2 us/hop floor — the model
+    is honest about WHY the merge is cheap (it is latency-bound, not
+    bandwidth-bound). Returns every input so the bench can publish the
+    derivation, not just the result.
+    """
+    if topology == "ring":
+        hops = max(1, (n_shards - 1 + 1) // 2) if n_shards > 1 else 0
+    elif topology in ("2x4", "torus2d"):
+        a = 2
+        b = max(1, n_shards // a)
+        hops = ((b - 1 + 1) // 2) + ((a - 1 + 1) // 2) if n_shards > 1 else 0
+    else:
+        raise ValueError(f"unknown topology {topology!r}")
+    payload_bytes = k * candidate_bytes
+    wire_bytes = (n_shards - 1) * payload_bytes
+    t = hops * hop_latency_s + wire_bytes / link_bytes_per_s
+    return {
+        "n_shards": n_shards,
+        "k": k,
+        "candidate_bytes": candidate_bytes,
+        "payload_bytes_per_shard": payload_bytes,
+        "wire_bytes_per_link": wire_bytes,
+        "topology": topology,
+        "hops": hops,
+        "link_gbytes_per_s": link_bytes_per_s / 1e9,
+        "hop_latency_us": hop_latency_s * 1e6,
+        "total_ms": round(t * 1e3, 4),
+    }

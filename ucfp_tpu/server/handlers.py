@@ -1629,7 +1629,11 @@ class Handlers:
                 clips.append(np.frombuffer(mv[off:off + ln], dtype="<f4")
                              .astype(np.float32))
             else:
-                clips.append(amod.decode_s16le(mv[off:off + ln]))
+                # raw i16 straight through: fingerprint_audio_batch's
+                # s16 fast path hands these to the integer quantizer
+                # with no f32 detour (decode happens only when resample
+                # math needs it — bit-identical either way)
+                clips.append(np.frombuffer(mv[off:off + ln], dtype="<i2"))
             off += ln
         if not rids:
             raise HttpError(400, "bad_body", "empty batch")
