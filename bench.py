@@ -1409,6 +1409,50 @@ def _run_all():
         except Exception as e:
             extra["ingest_http_native_imgs_per_sec"] = (
                 f"error: {type(e).__name__}: {e}")
+        # Multi-worker stack (round-4 verdict #1): the REAL owner + 2
+        # SO_REUSEPORT worker subprocesses (server/multiworker.py) —
+        # correctness-under-load is test_multiworker.py's job; this key
+        # documents the measured 1-core throughput of the 3-process
+        # stack (processes time-slice one core here, so it reads BELOW
+        # the single-process number by design — the scaling model in
+        # BASELINE.md is per-core ceilings, not this host). batch=256:
+        # the measured 1-core multiprocess optimum (1024-image pickles
+        # stall the owner longer than the WAL work they amortize).
+        try:
+            from soak_ingest import run_soak_multiworker
+
+            # cpu=True: image ingest through the stack is host-path
+            # end to end (workers hash on CPU jax, the owner only does
+            # WAL + tables) — and the bench process already holds the
+            # tunnel chip, which a second process must not claim
+            w2 = run_soak_multiworker(2, seconds=4.0, conns=16,
+                                      algorithm="phash", batch=256,
+                                      quiet=True, cpu=True)
+            extra["ingest_http_imgs_per_sec_w2"] = w2["req_per_sec"]
+            if w2.get("warmup_degraded"):
+                extra["ingest_http_w2_degraded"] = True
+        except Exception as e:
+            extra["ingest_http_imgs_per_sec_w2"] = (
+                f"error: {type(e).__name__}: {e}")
+        # the owner's single-core ingest ceiling (WAL + tables + IPC) —
+        # the serialization point the per-core scaling model divides by
+        # (scripts/owner_ceiling.py; host-side quantity, CPU subprocess)
+        try:
+            import subprocess
+
+            script = pathlib.Path(__file__).resolve().parent / \
+                "scripts" / "owner_ceiling.py"
+            out = subprocess.run(
+                [sys.executable, str(script), "--cpu", "--seconds", "3"],
+                capture_output=True, text=True, timeout=300, check=True)
+            r = json.loads(out.stdout.strip().splitlines()[-1])
+            extra["ingest_owner_ceiling_fp_per_sec"] = \
+                r["owner_ipc_fp_per_sec"]
+            extra["ingest_owner_inproc_fp_per_sec"] = \
+                r["owner_inproc_fp_per_sec"]
+        except Exception as e:
+            extra["ingest_owner_ceiling_fp_per_sec"] = (
+                f"error: {type(e).__name__}")
         return rates[len(rates) // 2]
 
     def _ingest_text_http():

@@ -212,6 +212,14 @@ async def _soak(state, host: str, port: int, token: str, seconds: float,
         serve_task = asyncio.create_task(srv.serve_forever())
     await asyncio.sleep(0.2)
 
+    return await _drive(host, port, token, seconds, conns, algorithm,
+                        batch, quiet, modality, encoding, serve_task)
+
+
+async def _drive(host, port, token, seconds, conns, algorithm, batch,
+                 quiet, modality, encoding, serve_task=None) -> dict:
+    """Warmup + measured client window against a listening server (in-
+    process task or an external multi-worker stack)."""
     if modality == "text":
         body = _text_doc_bytes()
     elif modality == "audio":
@@ -273,11 +281,12 @@ async def _soak(state, host: str, port: int, token: str, seconds: float,
         for i in range(conns)
     ))
     dt = time.perf_counter() - t0
-    serve_task.cancel()
-    try:
-        await serve_task
-    except (asyncio.CancelledError, Exception):
-        pass
+    if serve_task is not None:
+        serve_task.cancel()
+        try:
+            await serve_task
+        except (asyncio.CancelledError, Exception):
+            pass
     return {
         "requests": counts["ok"],  # = images ingested (batch-weighted)
         "errors": counts["err"] + counts["drop"],
@@ -335,6 +344,67 @@ def run_soak(seconds: float = 10.0, conns: int = 32,
             shutil.rmtree(d, ignore_errors=True)
 
 
+def run_soak_multiworker(workers: int, seconds: float = 10.0,
+                         conns: int = 32, algorithm: str = "phash",
+                         batch: int = 1, quiet: bool = False,
+                         modality: str = "image",
+                         encoding: str = "f32",
+                         cpu: bool = False) -> dict:
+    """Soak against a REAL multi-process stack: one owner (WAL + device)
+    + N SO_REUSEPORT workers (server/multiworker.py), spawned as
+    subprocesses exactly as `--workers N` deploys them. The bench's
+    `ingest_http_imgs_per_sec_w2` key runs this; on a single-core host
+    N workers time-slice one core so the number documents correctness
+    overhead, not speedup — the per-core ceiling model in BASELINE.md
+    is the scaling story."""
+    import socket
+    import subprocess
+    import tempfile as _tf
+    import urllib.request
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    token = "soak-token"
+    d = _tf.mkdtemp(prefix="ucfp-mwsoak-")
+    env = dict(os.environ, UCFP_WARMUP="1", UCFP_LOG="warn",
+               UCFP_DRAIN_SECS="5", UCFP_RATELIMIT_RPS="0")
+    if cpu:
+        env["UCFP_JAX_PLATFORM"] = "cpu"
+    env.setdefault("UCFP_INGEST_PAD", "max")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "ucfp_tpu.server",
+         "--bind", f"127.0.0.1:{port}", "--token", token,
+         "--data-dir", d, "--workers", str(workers)],
+        env=env,
+    )
+    try:
+        deadline = time.perf_counter() + 120
+        while time.perf_counter() < deadline:
+            try:
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{port}/healthz", timeout=3):
+                    break
+            except OSError:
+                time.sleep(0.4)
+        else:
+            raise RuntimeError("multi-worker stack never became healthy")
+        out = asyncio.run(_drive("127.0.0.1", port, token, seconds,
+                                 conns, algorithm, batch, quiet,
+                                 modality, encoding))
+        out["workers"] = workers
+        return out
+    finally:
+        proc.terminate()
+        try:
+            proc.wait(30)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
+
+
 async def _client_only(connect: str, token: str, seconds: float, conns: int,
                        algorithm: str) -> dict:
     host, _, port = connect.rpartition(":")
@@ -375,9 +445,20 @@ def main() -> None:
     p.add_argument("--encoding", default="f32", choices=("f32", "s16"),
                    help="audio wire encoding (s16: half the bytes, "
                         "value-identical server decode)")
+    p.add_argument("--workers", type=int, default=0,
+                   help="soak a real multi-process stack: owner + N "
+                        "SO_REUSEPORT workers (server/multiworker.py)")
     args = p.parse_args()
     import json
 
+    if args.workers > 0:
+        out = run_soak_multiworker(
+            args.workers, args.seconds, args.conns, args.algorithm,
+            batch=args.batch, quiet=args.quiet, modality=args.modality,
+            encoding=args.encoding, cpu=args.cpu)
+        json.dump(out, sys.stdout)
+        print()
+        return
     if args.connect:
         out = asyncio.run(_client_only(
             args.connect, os.environ.get("UCFP_TOKEN", "soak-token"),

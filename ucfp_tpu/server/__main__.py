@@ -29,9 +29,26 @@ def main() -> None:
     p.add_argument("--usage-log", default=None, help="NDJSON usage log path")
     p.add_argument("--native-http", action="store_true",
                    help="serve through the C++ epoll front (env UCFP_HTTP=native)")
+    p.add_argument("--workers", type=int, default=None,
+                   help="N SO_REUSEPORT HTTP workers over one owner "
+                        "process (env UCFP_WORKERS; see server/ipc.py)")
+    p.add_argument("--worker-of", default=None, metavar="SOCK",
+                   help=argparse.SUPPRESS)  # internal: worker mode
     args = p.parse_args()
 
     bind = args.bind or os.environ.get("UCFP_BIND", "127.0.0.1:8080")
+    if args.worker_of:
+        from .multiworker import run_worker
+
+        run_worker(bind, args.worker_of, args)
+        return
+    workers = args.workers if args.workers is not None else int(
+        os.environ.get("UCFP_WORKERS", "0"))
+    if workers > 0:
+        from .multiworker import run_multiworker
+
+        run_multiworker(bind, workers, args)
+        return
     # on-demand kernel tracing (SURVEY §5: JAX profiler + Perfetto are
     # the TPU equivalent of the reference's tracing stack): point
     # TensorBoard/xprof at this port to capture device traces live

@@ -378,9 +378,16 @@ def state_from_env(
     usage_log: Optional[str] = None,
     rate: Optional[float] = None,
     burst: Optional[float] = None,
+    index=None,
+    keystore=None,
+    accounts=None,
 ) -> ServerState:
     """Env-driven composition with the reference's precedence and
-    refuse-if-no-auth rule (bin/ucfp.rs:106-205)."""
+    refuse-if-no-auth rule (bin/ucfp.rs:106-205).
+
+    index/keystore/accounts override the locally-opened stores — the
+    multi-worker front passes Remote* proxies (server/ipc.py) so only
+    the owner process ever opens the data directory."""
     data_dir = data_dir or os.environ.get("UCFP_DATA_DIR", "./ucfp-data")
     # auth precedence: UCFP_KEY_LOOKUP_URL > UCFP_KEYS_FILE > UCFP_TOKEN,
     # else refuse (bin/ucfp.rs:106-148)
@@ -432,18 +439,20 @@ def state_from_env(
     # issued tenant keys compose (first match wins)
     from .keystore import CompositeKeyLookup, PersistentKeyStore
 
-    keystore = PersistentKeyStore(os.path.join(data_dir, "keys.json"))
-    from .accounts import AccountStore
-
+    if keystore is None:
+        keystore = PersistentKeyStore(os.path.join(data_dir, "keys.json"))
     composite = CompositeKeyLookup(api_keys, keystore)
-    # signup tenant assignment must skip ids that API keys already name
-    # (keys file / service bearer / issued keys) — a collision would put
-    # two principals in one data namespace. Live closure: a key issued
-    # after boot is reserved too.
-    accounts = AccountStore(
-        os.path.join(data_dir, "accounts.json"),
-        reserved_tenants=composite.known_tenant_ids,
-    )
+    if accounts is None:
+        from .accounts import AccountStore
+
+        # signup tenant assignment must skip ids that API keys already
+        # name (keys file / service bearer / issued keys) — a collision
+        # would put two principals in one data namespace. Live closure:
+        # a key issued after boot is reserved too.
+        accounts = AccountStore(
+            os.path.join(data_dir, "accounts.json"),
+            reserved_tenants=composite.known_tenant_ids,
+        )
     # anonymous demo challenge: webhook verifier, default off
     # (self-hosted divergence note in docs/api-reference.md)
     challenge_url = os.environ.get("UCFP_DEMO_CHALLENGE_URL")
@@ -455,7 +464,7 @@ def state_from_env(
             challenge_url, os.environ.get("UCFP_DEMO_CHALLENGE_SECRET", "")
         )
     return ServerState(
-        index=EmbeddedBackend(data_dir),
+        index=index if index is not None else EmbeddedBackend(data_dir),
         api_keys=composite,
         rate_limit=rate_limit,
         usage=usage,
@@ -466,7 +475,8 @@ def state_from_env(
     )
 
 
-async def run(bind: str, state: ServerState, native_http: bool | None = None) -> None:
+async def run(bind: str, state: ServerState, native_http: bool | None = None,
+              reuse_port: bool = False) -> None:
     host, _, port = bind.rpartition(":")
     host = host or "127.0.0.1"
     server = build_server(state)
@@ -513,7 +523,7 @@ async def run(bind: str, state: ServerState, native_http: bool | None = None) ->
         except (asyncio.CancelledError, Exception):
             pass
     else:
-        srv = await server.serve(host, int(port))
+        srv = await server.serve(host, int(port), reuse_port=reuse_port)
         logger().info("serving", front="asyncio", port=int(port))
         serve_task = asyncio.create_task(srv.serve_forever())
         await stop.wait()

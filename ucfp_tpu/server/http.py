@@ -757,18 +757,24 @@ class HttpServer:
             except Exception:
                 pass
 
-    async def serve(self, host: str, port: int):
+    async def serve(self, host: str, port: int,
+                    reuse_port: bool = False):
         # start_server() with a custom protocol factory: the zero-copy
         # protocol needs to be the transport's protocol object (the
         # selector transport picks recv_into over recv by isinstance
-        # check on BufferedProtocol at connection time)
+        # check on BufferedProtocol at connection time).
+        # reuse_port=True is the multi-worker front: every worker binds
+        # the same port with SO_REUSEPORT and the kernel load-balances
+        # accepted connections across them (server/ipc.py).
         loop = asyncio.get_running_loop()
 
         def factory() -> _ZeroCopyProtocol:
             reader = asyncio.StreamReader(limit=MAX_HEADER_BYTES, loop=loop)
             return _ZeroCopyProtocol(reader, self._client, loop)
 
-        self._server = await loop.create_server(factory, host, port)
+        self._server = await loop.create_server(
+            factory, host, port, reuse_port=reuse_port or None
+        )
         return self._server
 
 
