@@ -177,13 +177,21 @@ def bench_audio_xrt(secs=60.0, iters=128):
     return secs / per_iter
 
 
-def bench_audio_xrt_panako_haitsma(secs=60.0, iters_p=128, iters_h=32):
+def bench_audio_xrt_panako_haitsma(secs=60.0, iters_p=128, iters_h=32,
+                                   iters_hf=8):
     """Panako and Haitsma extraction xRT (production integer pipelines)
     — the remaining published audio throughput claims, captured by the
     driver instead of quoted from ad-hoc scripts. Returns
-    (panako_xrt, haitsma_xrt). Loop sizing per the jitter rule:
-    Panako ~0.42 ms/iter x 128 ≈ 54 ms, Haitsma ~1.7 ms/iter x 32 ≈
-    54 ms — both above the ~30-60 ms dispatch-jitter band."""
+    (panako_xrt, haitsma_xrt, haitsma_fft_xrt) where the last is the
+    flagged ucfp-int-fft-v1 spectrogram (HaitsmaConfig(fft=True),
+    VERDICT r04 #9) — measured ~16 ms/clip vs the dense DFT's ~1.4:
+    the honest answer to "would an integer FFT cut deeper?" is no on
+    this hardware (BASELINE.md "Haitsma integer FFT" has the
+    decomposition); the key exists so the claim stays
+    driver-reproducible. Loop sizing per the jitter rule: Panako
+    ~0.42 ms/iter x 128 ≈ 54 ms, Haitsma ~1.7 ms/iter x 32 ≈ 54 ms,
+    FFT-path ~16 ms/iter x 8 ≈ 128 ms — all above the ~30-60 ms
+    dispatch-jitter band."""
     import jax
     import jax.numpy as jnp
     from jax import enable_x64
@@ -226,10 +234,10 @@ def bench_audio_xrt_panako_haitsma(secs=60.0, iters_p=128, iters_h=32):
     ).astype(np.float32)
     x5d = jax.device_put(x5)
 
-    @functools.partial(jax.jit, static_argnums=(1,))
-    def loop_haitsma(samples, n):
+    @functools.partial(jax.jit, static_argnums=(1, 2))
+    def loop_haitsma(samples, n, fft=False):
         def body(_i, carry):
-            w = hops.haitsma_words(carry, 300.0, 2000.0)
+            w = hops.haitsma_words(carry, 300.0, 2000.0, fft)
             delta = jnp.sum(w & jnp.uint32(7)) % jnp.uint32(7)
             return carry.at[0].add(delta.astype(jnp.float32) * 1e-7)
 
@@ -243,7 +251,12 @@ def bench_audio_xrt_panako_haitsma(secs=60.0, iters_p=128, iters_h=32):
         with enable_x64():
             return float(loop_haitsma(x5d, n))
 
-    return secs / _timed(run_p, iters_p), secs / _timed(run_h, iters_h)
+    def run_hf(n):
+        with enable_x64():
+            return float(loop_haitsma(x5d, n, True))
+
+    return (secs / _timed(run_p, iters_p), secs / _timed(run_h, iters_h),
+            secs / _timed(run_hf, iters_hf))
 
 
 def bench_query_p50(n=1_000_000, d=64, k=10, iters=64):
@@ -1717,8 +1730,9 @@ def _run_all():
     def _panako_haitsma_xrt():
         """Panako + Haitsma extraction xRT — driver-captured so the
         published ~142k / ~34k claims reproduce from the bench JSON."""
-        p_xrt, h_xrt = bench_audio_xrt_panako_haitsma()
+        p_xrt, h_xrt, hf_xrt = bench_audio_xrt_panako_haitsma()
         extra["audio_haitsma_xrt"] = round(h_xrt, 1)
+        extra["audio_haitsma_fft_xrt"] = round(hf_xrt, 1)
         return round(p_xrt, 1)
 
     def _knn_serving_overhead():

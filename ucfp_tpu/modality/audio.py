@@ -173,8 +173,13 @@ def _haitsma_record(tenant_id: int, record_id: int, frames,
         modality=Modality.AUDIO,
         algorithm=ALGORITHM_HAITSMA,
         fingerprint=frames.astype("<u4").tobytes(),
+        # the fft flag selects a different exactness spec (intfft.py), so
+        # its words must never collide with default-path words in one
+        # catalog; default-path hashes are unchanged (kwarg only added
+        # when the flag is on).
         config_hash=config_hash64(
-            ALGORITHM_HAITSMA, fmin=cfg.fmin, fmax=cfg.fmax
+            ALGORITHM_HAITSMA, fmin=cfg.fmin, fmax=cfg.fmax,
+            **({"spectrogram": "ucfp-int-fft-v1"} if cfg.fft else {}),
         ),
     )
 

@@ -40,6 +40,11 @@ N_BANDS = 33
 class HaitsmaConfig:
     fmin: float = 300.0
     fmax: float = 2000.0
+    # ucfp-int-fft-v1 spectrogram (ops/audio/intfft.py): ~8x fewer MACs
+    # than the dense integer DFT, a DIFFERENT exactness spec (staged
+    # truncation) — words don't bit-match the default path, so the
+    # config_hash forks when enabled. VERDICT r04 #9.
+    fft: bool = False
 
 
 @functools.lru_cache(maxsize=None)
@@ -74,8 +79,9 @@ def band_ranges(fmin: float, fmax: float) -> tuple:
     return tuple(out)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def haitsma_words(samples: jax.Array, fmin: float, fmax: float) -> jax.Array:
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def haitsma_words(samples: jax.Array, fmin: float, fmax: float,
+                  fft: bool = False) -> jax.Array:
     """5 kHz mono f32 -> [T-1] uint32 sub-fingerprints.
 
     Fully integer (call under jax.experimental.enable_x64): band
@@ -83,9 +89,18 @@ def haitsma_words(samples: jax.Array, fmin: float, fmax: float) -> jax.Array:
     the double-differential sign bits are integer comparisons — CPU and
     TPU emit identical words (the image-path exactness recipe applied
     to audio; round-1 PARITY measured 1.2% frame drift on the f32 path).
-    """
-    power = dsp.stft_power_int(samples, FRAME, HOP, center=False,
-                               shift=14)  # [T, K] int64
+
+    fft=True swaps the dense integer DFT for the staged ucfp-int-fft-v1
+    spectrogram (intfft.py) — same CPU<->TPU bit-identity guarantee,
+    different truncation spec, so the words fork (HaitsmaConfig.fft)."""
+    if fft:
+        from . import intfft
+
+        power = intfft.stft_power_int_fft(samples, FRAME, HOP,
+                                          center=False)  # [T, K] int64
+    else:
+        power = dsp.stft_power_int(samples, FRAME, HOP, center=False,
+                                   shift=14)  # [T, K] int64
     # one static [T, k0:k1] slice-sum per band: the bands partition a
     # contiguous bin range, so together these touch each needed column
     # ONCE — the previous per-band `where(mask, power, 0).sum(axis=1)`
@@ -119,7 +134,8 @@ def fingerprint_frames(samples: np.ndarray, sr: int, cfg: HaitsmaConfig) -> np.n
         # ship the 14-bit quantized form (i16, half the transfer bytes;
         # value-identical — dsp.quantize_samples_i16)
         return np.asarray(haitsma_words(
-            jnp.asarray(dsp.quantize_samples_i16(x)), cfg.fmin, cfg.fmax))
+            jnp.asarray(dsp.quantize_samples_i16(x)), cfg.fmin, cfg.fmax,
+            cfg.fft))
 
 
 def fingerprint_frames_batch(stack_5k: np.ndarray,
@@ -138,7 +154,7 @@ def fingerprint_frames_batch(stack_5k: np.ndarray,
         return [np.zeros(0, np.uint32) for _ in range(b)]
     with enable_x64():
         words = np.asarray(jax.vmap(
-            lambda x: haitsma_words(x, cfg.fmin, cfg.fmax)
+            lambda x: haitsma_words(x, cfg.fmin, cfg.fmax, cfg.fft)
         )(jnp.asarray(dsp.quantize_samples_i16(stack_5k))))
     return [words[i] for i in range(b)]
 

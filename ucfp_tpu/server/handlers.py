@@ -1709,6 +1709,8 @@ class Handlers:
                                 float_=True, alias="haitsma_fmin"),
             fmax=self._in_range(req, "fmax", 2000.0, 500.0, 2500.0,
                                 float_=True, alias="haitsma_fmax"),
+            # flagged ucfp-int-fft-v1 spectrogram (forks config_hash)
+            fft=req.qp_bool("fft", req.qp_bool("haitsma_fft", False)),
         )
 
     async def ingest_audio(self, req: Request) -> Response:

@@ -160,6 +160,9 @@ def build_manifest() -> dict:
                               300.0, 50.0, 2000.0, 10.0),
                      _tunable("fmax", "Max freq (Hz)", "", "float",
                               2000.0, 500.0, 2500.0, 10.0),
+                     _tunable("fft", "Integer FFT", "ucfp-int-fft-v1 "
+                              "staged spectrogram (different exactness "
+                              "spec; forks config_hash)", "bool", False),
                  ]},
                 {"id": "neural", "algorithm": "audiofp-neural-v1",
                  "label": "Neural log-mel embedding", "tunables": []},
