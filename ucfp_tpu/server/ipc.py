@@ -196,6 +196,8 @@ class _AsyncChannel:
         self._next_id = 0
         self._connect_lock = asyncio.Lock()
         self._wlock = asyncio.Lock()
+        self._pump_task: asyncio.Task | None = None  # strong ref: the
+        # loop holds tasks only weakly, an unreferenced pump can be GC'd
 
     async def _ensure(self) -> None:
         if self._writer is not None:
@@ -205,7 +207,8 @@ class _AsyncChannel:
                 return
             reader, writer = await asyncio.open_unix_connection(self.path)
             self._reader, self._writer = reader, writer
-            asyncio.get_running_loop().create_task(self._pump())
+            self._pump_task = asyncio.get_running_loop().create_task(
+                self._pump())
 
     async def _pump(self) -> None:
         try:
@@ -235,8 +238,12 @@ class _AsyncChannel:
         fut = asyncio.get_running_loop().create_future()
         self._pending[req_id] = fut
         async with self._wlock:
-            self._writer.write(_frame((req_id, name, args, kwargs)))
-            await self._writer.drain()
+            w = self._writer
+            if w is None:  # pump died between _ensure and here
+                self._pending.pop(req_id, None)
+                raise ConnectionError("owner connection lost")
+            w.write(_frame((req_id, name, args, kwargs)))
+            await w.drain()
         return await fut
 
     def close(self) -> None:
