@@ -12,10 +12,14 @@ ways on one core:
   * via IPC: the same batches through OwnerServer/RemoteBackend
     (pickle + unix socket + dispatch) — what workers actually see.
 
-Measured on this host: ~83-88k fingerprints/s either way (B=1024,
-536 B multi-hash fingerprints; the IPC layer costs ~nothing at batch
-granularity). BASELINE.md "Served ceilings and the multi-worker
-scaling model" builds the cores-to-target arithmetic on these keys.
+Measured on this host (fresh store per leg — a shared store biased
+the second leg ~20% slow via inherited reallocs): B=1024 (the image
+route's max request batch) ~127-147k fingerprints/s, B=256 (the
+2-worker soak's request batch) ~84-91k, IPC within a few % of
+in-process either way (536 B multi-hash fingerprints; the
+pickle+unix-socket layer costs ~nothing at batch granularity).
+BASELINE.md "Served ceilings and the multi-worker scaling model"
+builds the cores-to-target arithmetic on these keys.
 
 Usage: python scripts/owner_ceiling.py [--cpu] [--seconds 4] [--batch 1024]
 Prints one JSON line {owner_ipc_fp_per_sec, owner_inproc_fp_per_sec}.
@@ -38,44 +42,64 @@ async def _measure(seconds: float, batch: int) -> dict:
     from ucfp_tpu.index.embedded import EmbeddedBackend
     from ucfp_tpu.server.ipc import OwnerServer, RemoteBackend
 
-    d = tempfile.mkdtemp(prefix="ucfp-ceiling-")
-    sock = os.path.join(d, "owner.sock")
     fp = bytes(536)  # the 536 B multi-hash bundle
-    try:
-        be = EmbeddedBackend(d)
-        owner = OwnerServer(be, path=sock)
-        await owner.start()
-        rb = RemoteBackend(sock)
 
-        async def rate(push) -> float:
-            base = [0]
+    async def rate(push) -> float:
+        base = [0]
 
-            async def once(n):
-                await push(list(range(base[0], base[0] + n)), [fp] * n)
-                base[0] += n
+        async def once(n):
+            await push(list(range(base[0], base[0] + n)), [fp] * n)
+            base[0] += n
 
-            await once(batch)  # warm (first WAL segment, first pickle)
-            t0 = time.perf_counter()
-            n = 0
-            while time.perf_counter() - t0 < seconds:
-                await once(batch)
-                n += batch
-            return n / (time.perf_counter() - t0)
+        await once(batch)  # warm (first WAL segment, first pickle)
+        t0 = time.perf_counter()
+        n = 0
+        while time.perf_counter() - t0 < seconds:
+            await once(batch)
+            n += batch
+        return n / (time.perf_counter() - t0)
 
-        ipc = await rate(lambda rids, fps: rb.upsert_fingerprint_batch(
-            1, "imgfprint-multi-v1", rids, fps))
-        inproc = await rate(lambda rids, fps: be.upsert_fingerprint_batch(
-            2, "imgfprint-multi-v1", rids, fps))
-        rb.close()
-        await owner.close()
-        be.close()
-        return {
-            "owner_ipc_fp_per_sec": round(ipc, 1),
-            "owner_inproc_fp_per_sec": round(inproc, 1),
-            "batch": batch,
-        }
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
+    # each leg gets a FRESH store: a shared store biases whichever leg
+    # runs second slow (it inherits the first leg's ~10^5 rows, so its
+    # capacity-doubling reallocs copy more — the r05 driver capture
+    # showed the second leg 20% under the first from exactly this)
+    async def inproc_leg() -> float:
+        d = tempfile.mkdtemp(prefix="ucfp-ceiling-")
+        try:
+            be = EmbeddedBackend(d)
+            r = await rate(
+                lambda rids, fps: be.upsert_fingerprint_batch(
+                    1, "imgfprint-multi-v1", rids, fps))
+            be.close()
+            return r
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    async def ipc_leg() -> float:
+        d = tempfile.mkdtemp(prefix="ucfp-ceiling-")
+        sock = os.path.join(d, "owner.sock")
+        try:
+            be = EmbeddedBackend(d)
+            owner = OwnerServer(be, path=sock)
+            await owner.start()
+            rb = RemoteBackend(sock)
+            r = await rate(
+                lambda rids, fps: rb.upsert_fingerprint_batch(
+                    1, "imgfprint-multi-v1", rids, fps))
+            rb.close()
+            await owner.close()
+            be.close()
+            return r
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    inproc = await inproc_leg()
+    ipc = await ipc_leg()
+    return {
+        "owner_ipc_fp_per_sec": round(ipc, 1),
+        "owner_inproc_fp_per_sec": round(inproc, 1),
+        "batch": batch,
+    }
 
 
 def main() -> None:
