@@ -270,3 +270,74 @@ class TestDurabilityAcrossStack:
         assert out.returncode == 0, out.stderr[-2000:]
         got = set(json.loads(out.stdout.strip().splitlines()[-1]))
         assert set(rids) <= got, (sorted(got), out.stderr[-500:])
+
+
+class TestIpcChannel:
+    """Unit coverage of server/ipc.py edge paths the stack tests reach
+    only racily: a connection dying between _ensure and write, and
+    pending futures failing when the pump dies mid-flight."""
+
+    def test_write_after_pump_death_raises_connection_error(self, tmp_path):
+        import asyncio
+
+        from ucfp_tpu.server.ipc import OwnerServer, _AsyncChannel
+
+        class _Obj:
+            async def flush(self):
+                return "ok"
+
+        async def run():
+            sock = str(tmp_path / "o.sock")
+            owner = OwnerServer(_Obj(), path=sock)
+            await owner.start()
+            chan = _AsyncChannel(sock)
+            assert await chan.call("ix.flush") == "ok"
+            # freeze _ensure (as if a concurrent call had just passed
+            # it), then kill the connection: call() must surface
+            # ConnectionError (-> the HTTP 503 envelope), never
+            # AttributeError on the cleared writer
+            async def noop():
+                return None
+
+            chan._ensure = noop
+            chan._writer.transport.abort()
+            await asyncio.sleep(0.1)  # pump sees the reset, clears state
+            try:
+                await chan.call("ix.flush")
+                ok = False
+            except ConnectionError:
+                ok = True
+            owner_close = asyncio.create_task(owner.close())
+            await asyncio.wait_for(owner_close, timeout=5)
+            return ok
+
+        assert asyncio.run(run())
+
+    def test_pump_death_fails_pending_futures(self, tmp_path):
+        import asyncio
+
+        from ucfp_tpu.server.ipc import OwnerServer, _AsyncChannel
+
+        class _Slow:
+            async def flush(self):
+                await asyncio.sleep(30)
+
+        async def run():
+            sock = str(tmp_path / "o.sock")
+            owner = OwnerServer(_Slow(), path=sock)
+            await owner.start()
+            chan = _AsyncChannel(sock)
+            t = asyncio.create_task(chan.call("ix.flush"))
+            await asyncio.sleep(0.1)  # request in flight, owner hanging
+            chan._writer.transport.abort()  # the connection drops
+            try:
+                await asyncio.wait_for(t, timeout=5)
+                ok = False
+            except ConnectionError:
+                ok = True  # pending future failed fast, no 30 s hang
+            except asyncio.TimeoutError:
+                ok = False
+            await asyncio.wait_for(owner.close(), timeout=5)
+            return ok
+
+        assert asyncio.run(run())
