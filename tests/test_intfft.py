@@ -132,3 +132,37 @@ class TestFlaggedHaitsma:
         from ucfp_tpu.modality.confighash import config_hash64
         assert r0.config_hash == config_hash64(
             "audiofp-haitsma-v1", fmin=300.0, fmax=2000.0)
+
+
+class TestFftHttpSurface:
+    """The ?fft=1 flag through the real router: batch and single routes
+    agree, the config_hash forks from the default, and the flagged
+    records are queryable."""
+
+    def test_batch_route_fft_flag(self, tmp_path):
+        import struct
+
+        from test_server import make_app, call
+
+        def jbody(resp):
+            import json
+            assert resp.status in (200, 201), resp.body
+            return json.loads(resp.body)
+
+        clip = _clip(1.5, sr=8000, seed=20)
+        raw = clip.astype("<f4").tobytes()
+        frames = struct.pack("<QI", 1, len(raw)) + raw
+        app, _ = make_app(tmp_path)
+        batch = jbody(call(
+            app, "POST", "/v1/ingest/audio/batch/0", frames,
+            query="sample_rate=8000&algorithm=haitsma&fft=1"))
+        single = jbody(call(
+            app, "POST", "/v1/ingest/audio/0/2", raw,
+            query="sample_rate=8000&algorithm=haitsma&fft=1"))
+        default = jbody(call(
+            app, "POST", "/v1/ingest/audio/0/3", raw,
+            query="sample_rate=8000&algorithm=haitsma"))
+        rec = batch["records"][0]
+        assert rec["fingerprint_hex"] == single["fingerprint_hex"]
+        assert single["config_hash"] != default["config_hash"]
+        assert single["fingerprint_hex"] != default["fingerprint_hex"]
